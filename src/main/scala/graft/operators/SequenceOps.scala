@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Boundary
+
+/** The reference engine's built-in stream operators (its entire "relational
+  * algebra"): Sample (All/Strided/Range/Ranges/StridedRange/Gather), Space
+  * (Repeat/RepeatNull), Slice, Unslice — `scanner/engine/sampler.cpp`,
+  * `python/scannerpy/streams.py`, surveyed in SURVEY.md §2.2.
+  *
+  * Design for 100 TB: every sampler assumes (and preserves) a *dense* 0..N-1
+  * per-stream `index`, which lets re-indexing after filtering be pure
+  * arithmetic (`index/stride`, interval-offset sums) instead of a
+  * `row_number()` window. All samplers are therefore narrow (no shuffle),
+  * fully codegen'd projections/filters that Catalyst pushes into the scan.
+  * Only `unslice` (which must discover runtime group lengths) and `stencil`
+  * (which must gather neighbor rows) shuffle, each exactly once.
+  */
+object SequenceOps {
+  val STREAM = "streamId"
+  val INDEX  = "index"
+
+  private def payloadCols(df: DataFrame): Seq[String] =
+    df.columns.filter(c => c != STREAM && c != INDEX).toSeq
+
+  /** Sample[All] — identity (`sampler.cpp:33-77`). */
+  def all(df: DataFrame): DataFrame = df
+
+  /** Sample[Strided]: keep every n-th element, re-densify indices
+    * (`sampler.cpp:78-139`, `streams.py:90-120`).
+    */
+  def stride(df: DataFrame, n: Long): DataFrame = {
+    require(n > 0, s"stride must be positive, got $n")
+    df.filter(col(INDEX) % n === 0)
+      .withColumn(INDEX, col(INDEX) / n cast "long")
+  }
+
+  /** Sample[Range]: keep [start, end), re-densify (`streams.py:122-178`). */
+  def range(df: DataFrame, start: Long, end: Long): DataFrame =
+    stridedRanges(df, Seq((start, end)), 1L)
+
+  /** Sample[StridedRange] (`streams.py:180-238`). */
+  def stridedRange(df: DataFrame, start: Long, end: Long, stride: Long): DataFrame =
+    stridedRanges(df, Seq((start, end)), stride)
+
+  /** Sample[Ranges] (`streams.py:240-286`). */
+  def ranges(df: DataFrame, intervals: Seq[(Long, Long)]): DataFrame =
+    stridedRanges(df, intervals, 1L)
+
+  /** Sample[StridedRanges]: concatenation of `[start, end)` intervals, each
+    * strided; output re-indexed densely across the concatenation
+    * (`sampler.cpp:140-264`). Intervals are known at plan time, so the dense
+    * output index is a constant-folded CASE over per-interval offsets —
+    * no window, no shuffle.
+    */
+  def stridedRanges(df: DataFrame, intervals: Seq[(Long, Long)], stride: Long): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(intervals.nonEmpty, "at least one interval required")
+    intervals.foreach { case (s, e) =>
+      require(s >= 0 && e >= s, s"bad interval [$s,$e)")
+    }
+    // rows kept in interval j: ceil((e-s)/stride); offset_j = sum of earlier counts
+    val counts  = intervals.map { case (s, e) => (e - s + stride - 1) / stride }
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val idx     = col(INDEX)
+    val keep = intervals.map { case (s, e) =>
+      idx >= s && idx < e && (idx - s) % stride === 0
+    }.reduce(_ || _)
+    val newIdx = intervals.zip(offsets).foldRight(lit(-1L): Column) {
+      case (((s, e), off), other) =>
+        when(idx >= s && idx < e, lit(off) + (idx - s) / stride).otherwise(other)
+    }
+    df.filter(keep).withColumn(INDEX, newIdx.cast("long"))
+  }
+
+  /** Sample[Gather]: keep exactly the listed indices, in list order
+    * (`sampler.cpp:265-336`, `streams.py:287-317`). The (position, index)
+    * table is broadcast — no shuffle of the big side.
+    */
+  def gather(df: DataFrame, rows: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pick = rows.zipWithIndex
+      .map { case (r, i) => (r, i.toLong) }
+      .toDF(INDEX, "__newIndex")
+    df.join(broadcast(pick), Seq(INDEX))
+      .withColumn(INDEX, col("__newIndex"))
+      .drop("__newIndex")
+  }
+
+  /** Space[Repeat]: each element repeated k times, dense re-index
+    * (`sampler.cpp:400-463`, behavior test `py_test.py:310-322`).
+    */
+  def repeat(df: DataFrame, k: Long): DataFrame = {
+    require(k > 0, s"spacing must be positive, got $k")
+    df.withColumn("__pos", explode(sequence(lit(0L), lit(k - 1))))
+      .withColumn(INDEX, col(INDEX) * k + col("__pos"))
+      .drop("__pos")
+  }
+
+  /** Space[RepeatNull]: expand ×k, output i maps to input i/k when i%k==0,
+    * otherwise a null element (`sampler.cpp:337-399`, `py_test.py:324-336`).
+    */
+  def repeatNull(df: DataFrame, k: Long): DataFrame = {
+    require(k > 0, s"spacing must be positive, got $k")
+    val pays = payloadCols(df)
+    val nulled = pays.foldLeft(
+      df.withColumn("__pos", explode(sequence(lit(0L), lit(k - 1))))
+        .withColumn(INDEX, col(INDEX) * k + col("__pos"))
+    ) { (d, c) =>
+      d.withColumn(c, when(col("__pos") === 0, col(c)).otherwise(lit(null)))
+    }
+    nulled.drop("__pos")
+  }
+
+  // ---------------------------------------------------------------- slices
+
+  /** A slice partitioner maps a dense per-stream index to zero or more
+    * (sliceId, localIndex) memberships — reference `DomainSampler`/
+    * `Partitioner` (`sampler.cpp:505-741`, `python/scannerpy/partitioner.py`).
+    * Groups may overlap (reference test `py_test.py:361-375`), so membership
+    * is an array that gets exploded.
+    */
+  sealed trait Partitioner
+  object Partitioner {
+    /** partitioner.all(groupSize): contiguous chunks (`partitioner.py:15-25`,
+      * default group 250). */
+    final case class All(groupSize: Long) extends Partitioner
+    /** strided domain chunked into groups (`sampler.cpp:505-741`). */
+    final case class Strided(stride: Long, groupSize: Long) extends Partitioner
+    /** explicit, possibly overlapping [start,end) groups. */
+    final case class Ranges(intervals: Seq[(Long, Long)]) extends Partitioner
+    /** explicit index lists per group. */
+    final case class Gather(groups: Seq[Seq[Long]]) extends Partitioner
+  }
+
+  val SLICE = "sliceId"
+
+  /** Slice: partition a sequence into independent substreams; downstream
+    * stateful/stenciled ops key by (streamId, sliceId) and use the re-based
+    * dense `index` within each slice (`scanner/engine/slice_op.cpp`,
+    * `dag_analysis.cpp:168-182`). Narrow for All/Strided (pure arithmetic);
+    * membership-explode for Ranges/Gather.
+    */
+  def slice(df: DataFrame, p: Partitioner): DataFrame = p match {
+    case Partitioner.All(g) =>
+      require(g > 0)
+      df.withColumn(SLICE, (col(INDEX) / g).cast("long"))
+        .withColumn(INDEX, col(INDEX) % g)
+    case Partitioner.Strided(s, g) =>
+      require(s > 0 && g > 0)
+      df.filter(col(INDEX) % s === 0)
+        .withColumn("__d", (col(INDEX) / s).cast("long"))
+        .withColumn(SLICE, (col("__d") / g).cast("long"))
+        .withColumn(INDEX, col("__d") % g)
+        .drop("__d")
+    case Partitioner.Ranges(intervals) =>
+      val idx = col(INDEX)
+      val memberships = array(intervals.zipWithIndex.map { case ((s, e), gid) =>
+        when(idx >= s && idx < e,
+          struct(lit(gid.toLong).as("g"), (idx - s).as("l")))
+          .otherwise(lit(null))
+      }: _*)
+      df.withColumn("__m", explode(filter(memberships, m => m.isNotNull)))
+        .withColumn(SLICE, col("__m.g"))
+        .withColumn(INDEX, col("__m.l"))
+        .drop("__m")
+    case Partitioner.Gather(groups) =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val members = for {
+        (rows, gid) <- groups.zipWithIndex
+        (r, l)      <- rows.zipWithIndex
+      } yield (r, gid.toLong, l.toLong)
+      val m = members.toDF(INDEX, SLICE, "__l")
+      df.join(broadcast(m), Seq(INDEX))
+        .withColumn(INDEX, col("__l"))
+        .drop("__l")
+  }
+
+  /** Unslice: concatenate substreams back into one dense sequence — ordered
+    * UNION ALL with offset re-indexing (`unslice_op.cpp`, row remap
+    * `dag_analysis.cpp:1571-1597`). Group lengths are discovered at runtime
+    * (downstream per-slice ops may have changed them): one aggregation on
+    * (stream, slice) — tiny output, #groups rows — a cumulative-offset
+    * window over that tiny side, then a broadcast-friendly equi-join back.
+    */
+  def unslice(df: DataFrame): DataFrame = {
+    val lens = df.groupBy(col(STREAM), col(SLICE)).agg(count(lit(1)).as("__len"))
+    val w = Window.partitionBy(col(STREAM)).orderBy(col(SLICE))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = lens.withColumn("__off", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .drop("__len")
+    df.join(broadcast(offs), Seq(STREAM, SLICE))
+      .withColumn(INDEX, col("__off") + col(INDEX))
+      .drop("__off", SLICE)
+  }
+
+  // --------------------------------------------------------------- stencil
+
+  /** Stencil: for each output row r, gather input rows {r+s | s ∈ offsets}
+    * into an ordered array column `windowCol` (reference kernel attribute,
+    * `scanner/api/op.h:78-82`; row derivation `dag_analysis.cpp:1634-1643`;
+    * boundary conditions `dag_analysis.cpp:1446-1469`).
+    *
+    * Scale design: NOT a `Window.partitionBy(streamId)` (that serializes each
+    * stream into one task — fatal for a single 100 TB stream). Instead each
+    * producer row is exploded to the (few) target indices that read it, then
+    * one hash aggregation on (streamId, targetIndex) assembles the window.
+    * Parallelism is governed by (stream, index) hashing, independent of
+    * stream count; map-side combine keeps the shuffle at |offsets|× row
+    * payload.
+    */
+  def stencil(
+      df: DataFrame,
+      offsets: Seq[Int],
+      payloadCol: String,
+      boundary: Boundary = Boundary.RepeatEdge,
+      windowCol: String = "window"): DataFrame = {
+    require(offsets.nonEmpty, "stencil needs at least one offset")
+    val maxI = "__maxIdx"
+    // per-stream max index: tiny aggregate (one row per stream), broadcast back
+    val lens = df.groupBy(col(STREAM)).agg(max(col(INDEX)).as(maxI))
+    val dfl  = df.join(broadcast(lens), Seq(STREAM))
+
+    val idx = col(INDEX)
+    val mx  = col(maxI)
+    // for each slot s: contiguous target range [lo, hi] of rows that read
+    // this producer row (clamped reads collapse onto edge rows)
+    val slotTargets = offsets.zipWithIndex.map { case (s, slot) =>
+      val (lo, hi) = boundary match {
+        case Boundary.RepeatEdge =>
+          (when(idx === 0, lit(0L)).otherwise(idx - s),
+           when(idx === mx, mx).otherwise(idx - s))
+        case _ => (idx - s, idx - s)
+      }
+      val loC = greatest(lo, lit(0L))
+      val hiC = least(hi, mx)
+      when(loC <= hiC,
+        transform(sequence(loC, hiC), r => struct(r.as("t"), lit(slot).as("s"))))
+        .otherwise(array().cast("array<struct<t:long,s:int>>"))
+    }
+    val exploded = dfl
+      .withColumn("__tgt", explode(flatten(array(slotTargets: _*))))
+      .select(col(STREAM), col("__tgt.t").as("__t"), col("__tgt.s").as("__s"),
+        col(payloadCol).as("__p"))
+
+    val grouped = exploded
+      .groupBy(col(STREAM), col("__t"))
+      .agg(map_from_entries(collect_list(struct(col("__s"), col("__p")))).as("__m"))
+
+    val windowArr = array(offsets.indices.map(k => element_at(col("__m"), k)): _*)
+    val checked = boundary match {
+      case Boundary.Error =>
+        when(size(map_keys(col("__m"))) === offsets.size, windowArr)
+          .otherwise(raise_error(concat(
+            lit("stencil boundary violation (Error mode) at stream="),
+            col(STREAM).cast("string"), lit(" index="), col("__t").cast("string"))))
+      case _ => windowArr
+    }
+    grouped
+      .withColumn(windowCol, checked)
+      .select(col(STREAM), col("__t").as(INDEX), col(windowCol))
+  }
+
+  // --------------------------------------------------- multi-input binding
+
+  /** The reference binds several aligned input sequences positionally into a
+    * multi-input kernel (`python/scannerpy/op.py:174-186`) — an implicit
+    * equi-join on (streamId, index). Exposed explicitly.
+    */
+  def positionalJoin(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce((a, b) => a.join(b, Seq(STREAM, INDEX)))
+
+  /** Dense re-index fallback for inputs whose `index` is not known dense
+    * (after arbitrary filters). One shuffle per call; samplers above never
+    * need it.
+    */
+  def reindexDense(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(STREAM)).orderBy(col(INDEX))
+    df.withColumn(INDEX, row_number().over(w).cast("long") - 1)
+  }
+}

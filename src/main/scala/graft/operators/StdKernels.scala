@@ -1,0 +1,206 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import graft.model.{Elem, FrameElem, FrameType}
+
+/** Ports of the concrete kernels the reference ships (SURVEY.md §2.4) —
+  * these define the semantics our specs verify. All are pure Scala over the
+  * `FrameElem`/`Elem` model; media codecs are JDK-only (javax.imageio).
+  */
+object StdKernels {
+
+  private val frameEnc: Encoder[FrameElem] = Encoders.product[FrameElem]
+  private val elemEnc: Encoder[Elem]       = Encoders.product[Elem]
+
+  /** Deterministic synthetic frame generator (FIXTURES.md §4 `frames-synth`):
+    * replaces the reference's GCS-downloaded test videos with reproducible
+    * U8 HWC frames derived from (streamId, index, pixel).
+    */
+  def syntheticFrame(streamId: Long, index: Long, h: Int, w: Int, c: Int): FrameElem = {
+    val data = new Array[Byte](h * w * c)
+    var p = 0
+    while (p < data.length) {
+      data(p) = (((streamId * 31 + index * 7 + p) & 0xff)).toByte
+      p += 1
+    }
+    FrameElem(streamId, index, h, w, c, FrameType.U8, data)
+  }
+
+  /** Histogram: per-frame 16-bin histogram per channel, 3 channels → 48
+    * little-endian int32s (192 bytes) — `tests/test_ops.cpp:13-59`,
+    * deserializer `python/scannerpy/types.py:132`.
+    */
+  def histogram(frame: FrameElem): Array[Byte] = {
+    require(frame.dtype == FrameType.U8 && frame.channels == 3,
+      "Histogram expects U8 HWC3 frames (test_ops.cpp:22-47)")
+    val bins = new Array[Int](48)
+    val d    = frame.data
+    var p    = 0
+    while (p < d.length) {
+      val ch = p % 3 // HWC interleaved: channel = p mod 3
+      bins(ch * 16 + ((d(p) & 0xff) >> 4)) += 1
+      p += 1
+    }
+    val bb = ByteBuffer.allocate(192).order(ByteOrder.LITTLE_ENDIAN)
+    bins.foreach(bb.putInt)
+    bb.array()
+  }
+
+  def histogramOp(ds: Dataset[FrameElem]): Dataset[Elem] =
+    ds.map(f => Elem(f.streamId, f.index, histogram(f)))(elemEnc)
+
+  /** Resize (nearest-neighbor), per-stream target dims via stream-config args
+    * — `tests/test_ops.cpp:114-170` (`ResizeArgs`). The reference uses a
+    * box-sampling resize; nearest-neighbor keeps the port dependency-free
+    * while exercising the same plan shape (per-stream config joined in).
+    */
+  def resize(frame: FrameElem, outH: Int, outW: Int): FrameElem = {
+    require(frame.dtype == FrameType.U8)
+    val c   = frame.channels
+    val out = new Array[Byte](outH * outW * c)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * frame.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx  = (x.toLong * frame.width / outW).toInt
+        val src = (sy * frame.width + sx) * c
+        val dst = (y * outW + x) * c
+        var k = 0
+        while (k < c) { out(dst + k) = frame.data(src + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    frame.copy(height = outH, width = outW, data = out)
+  }
+
+  /** resize with per-stream (width, height) config — the reference's
+    * stream-config-args rate (`docs/guide/ops.rst:58-80`). Config map is
+    * closed over (broadcast by the closure), keyed by streamId.
+    */
+  def resizeOp(ds: Dataset[FrameElem], perStream: Map[Long, (Int, Int)]): Dataset[FrameElem] =
+    ds.map { f =>
+      val (w, h) = perStream(f.streamId)
+      resize(f, h, w)
+    }(frameEnc)
+
+  /** Box blur with radius `r`, op-args rate (`BlurArgs`) —
+    * `tests/test_ops.cpp:239-310` (sum over the kernel window, edge rows
+    * skipped like the reference's interior-only loop).
+    */
+  def blur(frame: FrameElem, r: Int): FrameElem = {
+    require(frame.dtype == FrameType.U8)
+    val h = frame.height; val w = frame.width; val c = frame.channels
+    val out = frame.data.clone()
+    val n   = (2 * r + 1) * (2 * r + 1)
+    var y = r
+    while (y < h - r) {
+      var x = r
+      while (x < w - r) {
+        var k = 0
+        while (k < c) {
+          var acc = 0
+          var dy = -r
+          while (dy <= r) {
+            var dx = -r
+            while (dx <= r) {
+              acc += frame.data(((y + dy) * w + (x + dx)) * c + k) & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          out((y * w + x) * c + k) = (acc / n).toByte
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    frame.copy(data = out)
+  }
+
+  def blurOp(ds: Dataset[FrameElem], radius: Int): Dataset[FrameElem] =
+    ds.map(f => blur(f, radius))(frameEnc)
+
+  /** OpticalFlow — the reference wraps OpenCV Farneback over stencil {0,1}
+    * (`tests/test_ops.cpp:63-111`), emitting an F32 (H,W,2) frame. OpenCV is
+    * not in this container, so the flow ESTIMATE is a clearly-marked
+    * deterministic substitute (per-pixel temporal intensity delta in channel
+    * 0, zeros in channel 1); the Spark-side contract — stencil fetch, F32
+    * 2-channel output shape — is real and tested.
+    */
+  def opticalFlowStub(prev: FrameElem, cur: FrameElem): FrameElem = {
+    val n   = cur.height * cur.width
+    val bb  = ByteBuffer.allocate(n * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    var p = 0
+    while (p < n) {
+      val base = p * cur.channels
+      var dPrev = 0; var dCur = 0
+      var k = 0
+      while (k < cur.channels) {
+        dPrev += prev.data(base + k) & 0xff
+        dCur  += cur.data(base + k) & 0xff
+        k += 1
+      }
+      bb.putFloat((dCur - dPrev).toFloat / 255f)
+      bb.putFloat(0f)
+      p += 1
+    }
+    FrameElem(cur.streamId, cur.index, cur.height, cur.width, 2, FrameType.F32, bb.array())
+  }
+
+  /** ImageEncoder: frame → PNG bytes (`scanner/util/image_encoder.cpp:112-117`)
+    * via JDK javax.imageio (headless-safe).
+    */
+  def encodePng(frame: FrameElem): Array[Byte] = {
+    require(frame.dtype == FrameType.U8 && frame.channels == 3)
+    val img = new java.awt.image.BufferedImage(
+      frame.width, frame.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < frame.height) {
+      var x = 0
+      while (x < frame.width) {
+        val p = (y * frame.width + x) * 3
+        val rgb = ((frame.data(p) & 0xff) << 16) |
+                  ((frame.data(p + 1) & 0xff) << 8) |
+                  (frame.data(p + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def imageEncoderOp(ds: Dataset[FrameElem]): Dataset[Elem] =
+    ds.map(f => Elem(f.streamId, f.index, encodePng(f)))(elemEnc)
+
+  /** TestIncrement (bounded/unbounded): i64 LE counter, output = count of
+    * rows processed before this one since the last (re)start —
+    * `tests/test_ops.cpp:173-236`; expected bounded sequence [0,3,3,4,5]
+    * for warmup=3 + Gather[0,10,25,26,27] (`py_test.py:407-423`).
+    */
+  object TestIncrement extends Kernels.StatefulKernel[Long] {
+    def init: Long = 0L
+    def update(state: Long, index: Long, payload: Array[Byte]): (Long, Array[Byte]) = {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(state)
+      (state + 1, bb.array())
+    }
+  }
+
+  def decodeI64(payload: Array[Byte]): Long =
+    ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getLong
+
+  /** Sleep/SleepFrame — fixed-delay pass-through used by the reference's
+    * fault-tolerance tests (`tests/test_ops.cpp:313-338`).
+    */
+  def sleepOp(ds: Dataset[Elem], millis: Long): Dataset[Elem] =
+    ds.map { e => Thread.sleep(millis); e }(elemEnc)
+}

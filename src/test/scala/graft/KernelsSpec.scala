@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.model.{Elem, FrameElem, FrameType}
+import graft.operators.{Kernels, SequenceOps, StdKernels}
+import graft.operators.SequenceOps.Partitioner
+
+/** Ports of the reference's stateful-kernel and concrete-kernel tests
+  * (`tests/py_test.py:407-435`, `tests/test_ops.cpp`).
+  */
+class KernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def elems(n: Int, streams: Int = 1): DataFrame =
+    (for (s <- 0 until streams; i <- 0 until n)
+      yield Elem(s.toLong, i.toLong, i.toString.getBytes)).toDF()
+
+  test("bounded state warmup=3 + Gather[0,10,25,26,27] -> [0,3,3,4,5] (py_test.py:407-423)") {
+    val out = Kernels.boundedState(elems(30), StdKernels.TestIncrement, 3,
+        Some(Seq(0L, 10L, 25L, 26L, 27L)))
+      .orderBy("index").collect()
+      .map(r => StdKernels.decodeI64(r.getAs[Array[Byte]]("payload")))
+    assert(out.toSeq == Seq(0L, 3L, 3L, 4L, 5L))
+  }
+
+  test("bounded state over all rows counts monotonically") {
+    val out = Kernels.boundedState(elems(10), StdKernels.TestIncrement, 3, None)
+      .orderBy("index").collect()
+      .map(r => StdKernels.decodeI64(r.getAs[Array[Byte]]("payload")))
+    assert(out.toSeq == (0L until 10L))
+  }
+
+  test("unbounded state preserves length; resets per slice (py_test.py:426-435)") {
+    val sliced = SequenceOps.slice(elems(100), Partitioner.All(50))
+    val out = Kernels.unboundedState(sliced, StdKernels.TestIncrement, sliced = true)
+    assert(out.count() == 100)
+    val vals = SequenceOps.unslice(out)
+      .orderBy("index").collect()
+      .map(r => StdKernels.decodeI64(r.getAs[Array[Byte]]("payload")))
+    assert(vals.toSeq == ((0L until 50L) ++ (0L until 50L))) // counter resets at slice 1
+  }
+
+  test("unbounded state resets per stream") {
+    val out = Kernels.unboundedState(elems(20, streams = 2), StdKernels.TestIncrement)
+      .orderBy("streamId", "index").collect()
+      .map(r => StdKernels.decodeI64(r.getAs[Array[Byte]]("payload")))
+    assert(out.toSeq == ((0L until 20L) ++ (0L until 20L)))
+  }
+
+  test("histogram: 3x16 int32 LE bins summing to H*W per channel (test_ops.cpp:13-59)") {
+    val f   = StdKernels.syntheticFrame(0, 0, 8, 8, 3)
+    val out = StdKernels.histogram(f)
+    assert(out.length == 192)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bins = Array.fill(48)(bb.getInt)
+    (0 until 3).foreach { ch =>
+      assert(bins.slice(ch * 16, ch * 16 + 16).sum == 64, s"channel $ch must sum to H*W")
+    }
+    // determinism
+    assert(StdKernels.histogram(StdKernels.syntheticFrame(0, 0, 8, 8, 3)).toSeq == out.toSeq)
+  }
+
+  test("histogram op runs distributed over synthetic frames") {
+    val frames = (0 until 50).map(i => StdKernels.syntheticFrame(0, i, 16, 16, 3)).toDS()
+    val out = StdKernels.histogramOp(frames).collect()
+    assert(out.length == 50 && out.forall(_.payload.length == 192))
+  }
+
+  test("resize changes dims, preserves channels (test_ops.cpp:114-170)") {
+    val frames = (0 until 4).map(i => StdKernels.syntheticFrame(1, i, 32, 48, 3)).toDS()
+    val out = StdKernels.resizeOp(frames, Map(1L -> (24, 16))).collect()
+    assert(out.forall(f => f.height == 16 && f.width == 24 && f.data.length == 16 * 24 * 3))
+  }
+
+  test("blur keeps dims; uniform frame is a fixed point (test_ops.cpp:239-310)") {
+    val flat = FrameElem(0, 0, 10, 10, 3, FrameType.U8, Array.fill(300)(100.toByte))
+    val out  = StdKernels.blur(flat, 1)
+    assert(out.data.toSeq == flat.data.toSeq)
+    val f2 = StdKernels.blur(StdKernels.syntheticFrame(0, 1, 10, 10, 3), 1)
+    assert(f2.height == 10 && f2.width == 10 && f2.data.length == 300)
+  }
+
+  test("image encoder emits decodable PNG (image_encoder.cpp:112-117)") {
+    val png = StdKernels.encodePng(StdKernels.syntheticFrame(0, 3, 20, 30, 3))
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 30 && img.getHeight == 20)
+  }
+
+  test("optical-flow stub: F32 (H,W,2) over stencil {0,1} (test_ops.cpp:63-111)") {
+    val prev = StdKernels.syntheticFrame(0, 0, 8, 8, 3)
+    val cur  = StdKernels.syntheticFrame(0, 1, 8, 8, 3)
+    val flow = StdKernels.opticalFlowStub(prev, cur)
+    assert(flow.dtype == FrameType.F32 && flow.channels == 2)
+    assert(flow.data.length == 8 * 8 * 2 * 4)
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{Boundary, Elem}
+import graft.operators.SequenceOps
+import graft.operators.SequenceOps.Partitioner
+
+/** Ports of the reference sampler tests (`tests/py_test.py:274-375`) and
+  * sampler math (`scanner/engine/sampler.cpp`) to the Spark rebuild —
+  * expected counts/values are engine-independent (FIXTURES.md §3).
+  */
+class SequenceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** FIXTURES.md §4: elems(n) fixture — payload = index as string bytes. */
+  def elems(n: Int, streams: Int = 1): DataFrame =
+    (for (s <- 0 until streams; i <- 0 until n)
+      yield Elem(s.toLong, i.toLong, i.toString.getBytes)).toDF()
+
+  private def idxPay(df: DataFrame): Seq[(Long, String)] =
+    df.orderBy("streamId", "index")
+      .collect()
+      .map(r => (r.getAs[Long]("index"), new String(r.getAs[Array[Byte]]("payload"))))
+      .toSeq
+
+  val N = 600
+
+  test("stride 8 keeps ceil(N/8) densely re-indexed rows (py_test.py:285-287)") {
+    val out = idxPay(SequenceOps.stride(elems(N), 8))
+    assert(out.size == (N + 7) / 8)
+    assert(out.map(_._1) == (0L until out.size.toLong))
+    assert(out.forall { case (i, p) => p.toLong == i * 8 })
+  }
+
+  test("range(0,30) keeps 30 rows (py_test.py:289)") {
+    val out = idxPay(SequenceOps.range(elems(N), 0, 30))
+    assert(out.size == 30)
+    assert(out.map(_._1) == (0L until 30L))
+  }
+
+  test("range(200,260) re-bases to dense 0..59") {
+    val out = idxPay(SequenceOps.range(elems(N), 200, 260))
+    assert(out.size == 60)
+    assert(out.map(_._1) == (0L until 60L))
+    assert(out.forall { case (i, p) => p.toLong == i + 200 })
+  }
+
+  test("stridedRange(0,300,10) keeps 30 rows (py_test.py:291-295)") {
+    val out = idxPay(SequenceOps.stridedRange(elems(N), 0, 300, 10))
+    assert(out.size == 30)
+    assert(out.forall { case (i, p) => p.toLong == i * 10 })
+  }
+
+  test("stridedRanges concatenates intervals with dense cross-interval index (sampler.cpp:140-264)") {
+    // [0,10) stride 3 -> src 0,3,6,9 ; [100,107) stride 3 -> src 100,103,106
+    val out = idxPay(SequenceOps.stridedRanges(elems(N), Seq((0L, 10L), (100L, 107L)), 3))
+    assert(out.map(_._1) == (0L until 7L))
+    assert(out.map(_._2.toLong) == Seq(0L, 3L, 6L, 9L, 100L, 103L, 106L))
+  }
+
+  test("gather keeps listed rows in list order (py_test.py:297)") {
+    val out = idxPay(SequenceOps.gather(elems(N), Seq(0L, 150L, 377L, 500L)))
+    assert(out.size == 4)
+    assert(out.map(_._1) == (0L until 4L))
+    assert(out.map(_._2.toLong) == Seq(0L, 150L, 377L, 500L))
+  }
+
+  test("repeat x8: N*8 rows, block i holds value i/8 (py_test.py:310-322)") {
+    val out = idxPay(SequenceOps.repeat(elems(96), 8))
+    assert(out.size == 96 * 8)
+    assert(out.map(_._1) == (0L until 96L * 8))
+    assert(out.forall { case (i, p) => p.toLong == i / 8 })
+  }
+
+  test("repeatNull x8: i%8==0 real, else null element (py_test.py:324-336)") {
+    val out = SequenceOps.repeatNull(elems(24), 8)
+      .orderBy("index")
+      .collect()
+      .map(r => (r.getAs[Long]("index"), Option(r.getAs[Array[Byte]]("payload"))))
+    assert(out.length == 24 * 8)
+    out.foreach { case (i, p) =>
+      if (i % 8 == 0) assert(p.exists(b => new String(b).toLong == i / 8))
+      else assert(p.isEmpty, s"index $i should be a null element")
+    }
+  }
+
+  test("slice(all(50)) then unslice is the identity (py_test.py:350-358)") {
+    val out = idxPay(SequenceOps.unslice(SequenceOps.slice(elems(N), Partitioner.All(50))))
+    assert(out.size == N)
+    assert(out.map(_._1) == (0L until N.toLong))
+    assert(out.forall { case (i, p) => p.toLong == i })
+  }
+
+  test("overlapping slice partitions + per-slice range -> 30 rows (py_test.py:361-375)") {
+    val sliced = SequenceOps.slice(elems(N),
+      Partitioner.Ranges(Seq((0L, 15L), (5L, 25L), (15L, 35L))))
+    val perSliceRange = sliced.filter(col(SequenceOps.INDEX) < 10) // Range(0,10) per slice
+    val out = SequenceOps.unslice(perSliceRange)
+      .orderBy("index").collect()
+      .map(r => (r.getAs[Long]("index"), new String(r.getAs[Array[Byte]]("payload")).toLong))
+    assert(out.length == 30)
+    assert(out.map(_._1).toSeq == (0L until 30L))
+    // group 0 local 0..9 = src 0..9 ; group 1 = src 5..14 ; group 2 = src 15..24
+    assert(out.map(_._2).toSeq == ((0L until 10L) ++ (5L until 15L) ++ (15L until 25L)))
+  }
+
+  test("slice Strided partitions the strided domain into groups") {
+    val out = SequenceOps.slice(elems(40), Partitioner.Strided(2, 5))
+      .orderBy("sliceId", "index").collect()
+      .map(r => (r.getAs[Long]("sliceId"), r.getAs[Long]("index"),
+        new String(r.getAs[Array[Byte]]("payload")).toLong))
+    assert(out.length == 20)
+    assert(out.take(5).toSeq == Seq((0L, 0L, 0L), (0L, 1L, 2L), (0L, 2L, 4L), (0L, 3L, 6L), (0L, 4L, 8L)))
+    assert(out(5) == ((1L, 0L, 10L)))
+  }
+
+  test("stencil [-1,0,1] repeat-edge (op.h:78-82, dag_analysis.cpp:1446-1469)") {
+    val out = SequenceOps.stencil(elems(5), Seq(-1, 0, 1), "payload")
+      .orderBy("index").collect()
+      .map(r => (r.getAs[Long]("index"),
+        r.getSeq[Array[Byte]](r.fieldIndex("window")).map(b => new String(b).toLong)))
+    assert(out.length == 5)
+    assert(out(0)._2 == Seq(0L, 0L, 1L)) // edge repeat at front
+    assert(out(2)._2 == Seq(1L, 2L, 3L))
+    assert(out(4)._2 == Seq(3L, 4L, 4L)) // edge repeat at back
+  }
+
+  test("stencil null-fill boundary yields nulls out of domain") {
+    val out = SequenceOps.stencil(elems(3), Seq(-2, 0), "payload", Boundary.NullFill)
+      .orderBy("index").collect()
+      .map { r =>
+        val w = r.getSeq[Array[Byte]](r.fieldIndex("window"))
+        (r.getAs[Long]("index"), w.map(Option(_).map(b => new String(b).toLong)))
+      }
+    assert(out(0)._2 == Seq(None, Some(0L)))
+    assert(out(1)._2 == Seq(None, Some(1L)))
+    assert(out(2)._2 == Seq(Some(0L), Some(2L)))
+  }
+
+  test("stencil {0,1} row counts match reference ranges (py_test.py:459-520)") {
+    // Range(0,1) with stencil [0,1] -> 1 row; Range(0,2) -> 2 rows
+    val st = SequenceOps.stencil(elems(30), Seq(0, 1), "payload")
+    assert(SequenceOps.range(st.withColumnRenamed("window", "payload"), 0, 1).count() == 1)
+    assert(SequenceOps.range(st.withColumnRenamed("window", "payload"), 0, 2).count() == 2)
+  }
+
+  test("positional join binds aligned sequences by (streamId, index) (op.py:174-186)") {
+    val a = elems(10).withColumnRenamed("payload", "a")
+    val b = elems(10).withColumnRenamed("payload", "b")
+    val j = SequenceOps.positionalJoin(Seq(a, b))
+    assert(j.count() == 10)
+    assert(j.columns.sorted.toSeq == Seq("a", "b", "index", "streamId"))
+  }
+
+  test("multi-stream: samplers operate per stream independently") {
+    val out = SequenceOps.stride(elems(100, streams = 3), 10)
+    assert(out.count() == 30)
+    assert(out.groupBy("streamId").count().collect().forall(_.getLong(1) == 10))
+  }
+}
