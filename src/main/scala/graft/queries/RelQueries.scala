@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational surface — what the Spark rebuild gets "for free" once the
+  * element model is a DataFrame (SURVEY.md §2.5: the reference has NO joins/
+  * aggregations/windows; multi-input kernels are positional joins). These
+  * queries prove the full surface on the TPC-H-ish tables and double as the
+  * scale benchmarks.
+  *
+  * FP discipline for the DuckDB oracle: every aggregated double goes through
+  * DECIMAL(38,6) (exact, order-independent) and back to DOUBLE, so Spark and
+  * DuckDB agree bit-for-bit regardless of aggregation order. Direct column
+  * reads / single-row arithmetic stay double (IEEE ops are deterministic).
+  */
+object RelQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact (order-independent) sum of a double expression, as double */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: the canonical wide aggregation
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style: 3-way join, aggregate, top-10 — join-order and
+    // broadcast decisions left to Catalyst/AQE (customer is the small side)
+    "q3_top_revenue" -> ((s, dir) => {
+      val cust   = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val li     = t(s, dir, "lineitem")
+      cust.join(orders, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: 5-way star join; dims (supplier/nation/region) are
+    // broadcast explicitly — at 100 TB only lineitem/orders are big
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      val c  = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n  = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // sort + limit with deterministic tiebreak
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ranking window: top-3 orders per customer
+    "q_group_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // anti join: customers with no orders
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // semi join: customers that have at least one order over 100k
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // set op: union of two order slices, re-aggregated
+    "q_union_priorities" -> ((s, dir) => {
+      val o    = t(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") >= 150000.0)
+        .select(col("o_orderpriority"), lit("high").as("band"))
+      val low = o.filter(col("o_totalprice") < 150000.0)
+        .select(col("o_orderpriority"), lit("low").as("band"))
+      high.union(low)
+        .groupBy(col("o_orderpriority"), col("band"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority", "band")
+    }),
+
+    // gap-based sessionization over the event stream (lag + running sum) —
+    // the batch twin of the Structured Streaming session window
+    "q_events_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events") // ts read as long nanos (GraftSession)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > lit(1800L * 1000000000L), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // tumbling 1-hour windowed aggregation — identical plan under
+    // Structured Streaming (readStream + window())
+    "q_events_hourly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.withColumn("bucket", (col("ts") / lit(3600L * 1000000000L)).cast("long"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("bucket", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_union_priorities" ->
+      """SELECT o_orderpriority, band, COUNT(*) AS n FROM (
+        |  SELECT o_orderpriority, 'high' AS band FROM orders WHERE o_totalprice >= 150000.0
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'low' AS band FROM orders WHERE o_totalprice < 150000.0)
+        |GROUP BY o_orderpriority, band ORDER BY o_orderpriority, band""".stripMargin,
+
+    "q_events_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |          lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT epoch_ns(ts) // (3600000000000) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Elem
+import graft.operators.{Kernels, SequenceOps, StdKernels}
+import graft.operators.SequenceOps.Partitioner
+
+/** Sequence-operator queries over the `events` table viewed as one dense
+  * stream (index = event_id, dense 0..N-1) — each exercises one reference
+  * stream op (SURVEY.md §2.2) and has an equivalent DuckDB oracle in
+  * [[SeqQueries.oracles]].
+  */
+object SeqQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** events as a single dense stream: (streamId=0, index=event_id, payload cols). */
+  def stream(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      lit(0L).as(SequenceOps.STREAM),
+      col("event_id").as(SequenceOps.INDEX),
+      col("event_type"),
+      col("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_stride" -> ((s, dir) =>
+      SequenceOps.stride(stream(s, dir), 8)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    "seq_range" -> ((s, dir) =>
+      SequenceOps.range(stream(s, dir), 100, 400)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    "seq_strided_ranges" -> ((s, dir) =>
+      SequenceOps.stridedRanges(stream(s, dir), Seq((0L, 200L), (500L, 700L)), 10)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    "seq_gather" -> ((s, dir) =>
+      SequenceOps.gather(stream(s, dir), Seq(5L, 250L, 750L, 999L))
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    "seq_repeat" -> ((s, dir) =>
+      SequenceOps.repeat(SequenceOps.range(stream(s, dir), 0, 50), 3)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    "seq_repeat_null" -> ((s, dir) =>
+      SequenceOps.repeatNull(SequenceOps.range(stream(s, dir), 0, 50), 3)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    "seq_slice_unslice" -> ((s, dir) => {
+      val sliced = SequenceOps.slice(stream(s, dir), Partitioner.All(50))
+      val ranged = sliced.filter(col(SequenceOps.INDEX) < 10) // per-slice Range(0,10)
+      SequenceOps.unslice(ranged)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")
+    }),
+
+    "seq_stencil_sum" -> ((s, dir) =>
+      SequenceOps.stencil(stream(s, dir), Seq(-1, 0, 1), "value")
+        .select(col("index"),
+          aggregate(col("window"), lit(0.0), (acc, x) => acc + x).as("wsum"))
+        .orderBy("index")),
+
+    "seq_positional_join" -> ((s, dir) => {
+      val base = stream(s, dir)
+      val blockSampled = SequenceOps.repeat(SequenceOps.stride(base, 8), 8)
+        .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX),
+          col("value").as("v_block"))
+      SequenceOps.positionalJoin(Seq(base.drop("event_type"), blockSampled))
+        .select(col("index"), col("value").as("v"), col("v_block"))
+        .orderBy("index")
+    }),
+
+    "seq_state_counter" -> ((s, dir) => {
+      val withPayload = stream(s, dir)
+        .withColumn("payload", encode(col("event_type"), "UTF-8"))
+        .drop("event_type", "value")
+      val sliced  = SequenceOps.slice(withPayload, Partitioner.All(100))
+      val counted = Kernels.unboundedState(sliced, StdKernels.TestIncrement, sliced = true)
+      val global  = SequenceOps.unslice(counted)
+      import s.implicits._
+      global.as[Elem]
+        .map(e => (e.index, StdKernels.decodeI64(e.payload)))
+        .toDF("index", "counter")
+        .orderBy("index")
+    }),
+
+    "seq_bounded_state" -> ((s, dir) => {
+      val withPayload = stream(s, dir)
+        .withColumn("payload", encode(col("event_type"), "UTF-8"))
+        .drop("event_type", "value")
+      val out = Kernels.boundedState(withPayload, StdKernels.TestIncrement, 3,
+        Some(Seq(0L, 10L, 25L, 26L, 27L, 500L, 501L)))
+      import s.implicits._
+      out.as[Elem]
+        .map(e => (e.index, StdKernels.decodeI64(e.payload)))
+        .toDF("index", "counter")
+        .orderBy("index")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "seq_stride" ->
+      """SELECT event_id // 8 AS index, event_type FROM events
+        |WHERE event_id % 8 = 0 ORDER BY index""".stripMargin,
+
+    "seq_range" ->
+      """SELECT event_id - 100 AS index, event_type FROM events
+        |WHERE event_id >= 100 AND event_id < 400 ORDER BY index""".stripMargin,
+
+    "seq_strided_ranges" ->
+      """SELECT CASE WHEN event_id < 200 THEN event_id // 10
+        |            ELSE 20 + (event_id - 500) // 10 END AS index, event_type
+        |FROM events
+        |WHERE (event_id >= 0 AND event_id < 200 AND event_id % 10 = 0)
+        |   OR (event_id >= 500 AND event_id < 700 AND (event_id - 500) % 10 = 0)
+        |ORDER BY index""".stripMargin,
+
+    "seq_gather" ->
+      """SELECT CAST(t.pos AS BIGINT) AS index, e.event_type
+        |FROM (VALUES (0, 5), (1, 250), (2, 750), (3, 999)) t(pos, src)
+        |JOIN events e ON e.event_id = t.src
+        |ORDER BY index""".stripMargin,
+
+    "seq_repeat" ->
+      """SELECT event_id * 3 + u AS index, event_type
+        |FROM (SELECT event_id, event_type, unnest([0, 1, 2]) AS u
+        |      FROM events WHERE event_id < 50)
+        |ORDER BY index""".stripMargin,
+
+    "seq_repeat_null" ->
+      """SELECT event_id * 3 + u AS index,
+        |       CASE WHEN u = 0 THEN event_type ELSE NULL END AS event_type
+        |FROM (SELECT event_id, event_type, unnest([0, 1, 2]) AS u
+        |      FROM events WHERE event_id < 50)
+        |ORDER BY index""".stripMargin,
+
+    "seq_slice_unslice" ->
+      """SELECT (event_id // 50) * 10 + event_id % 50 AS index, event_type
+        |FROM events WHERE event_id % 50 < 10 ORDER BY index""".stripMargin,
+
+    "seq_stencil_sum" ->
+      """SELECT event_id AS index,
+        |       coalesce(lag(value) OVER w, value) + value
+        |         + coalesce(lead(value) OVER w, value) AS wsum
+        |FROM events WINDOW w AS (ORDER BY event_id) ORDER BY index""".stripMargin,
+
+    "seq_positional_join" ->
+      """SELECT e.event_id AS index, e.value AS v, b.value AS v_block
+        |FROM events e JOIN events b ON b.event_id = (e.event_id // 8) * 8
+        |ORDER BY index""".stripMargin,
+
+    "seq_state_counter" ->
+      """SELECT event_id AS index, event_id % 100 AS counter
+        |FROM events ORDER BY index""".stripMargin,
+
+    // the reference's own expected vector for warmup=3 cold-start replay
+    // (py_test.py:407-423), extended with a second sparse run at 500
+    "seq_bounded_state" ->
+      """SELECT CAST(index AS BIGINT) AS index, CAST(counter AS BIGINT) AS counter
+        |FROM (VALUES (0, 0), (10, 3), (25, 3), (26, 4), (27, 5), (500, 3), (501, 4))
+        |  t(index, counter)
+        |ORDER BY index""".stripMargin
+  )
+}
