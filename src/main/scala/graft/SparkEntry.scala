@@ -10,11 +10,15 @@ object SparkEntry {
     * training-data-pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.SeqQueries.queries ++
-      graft.queries.RelQueries.queries
+      graft.queries.RelQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.SeqQueries.oracles ++
-      graft.queries.RelQueries.oracles
+      graft.queries.RelQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.SimQueries.oracles
 }

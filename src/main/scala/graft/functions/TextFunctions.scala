@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines (the
+  * BASELINE.json north-star extensions beyond the reference's surface).
+  * Everything is a codegen'd Column expression — no UDFs — so filters
+  * compose, whole-stage codegen spans stay wide, and the same logic scales
+  * from sf0.001 to 100 TB without driver involvement.
+  */
+object TextFunctions {
+
+  /** whitespace tokenization (the shared definition across all ops) */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** characters excluding whitespace — with tokenCount gives avg word len */
+  def nonSpaceCount(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("long")
+
+  /** count of tokens from a stopword list (quality-score component) */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+
+  /** punctuation character count (quality-score component) */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))).cast("long")
+
+  /** Language-ID: marker-token n-gram heuristic. Scores each candidate
+    * language by marker-token hits; argmax with alphabetical tie-break.
+    * Marker sets are caller-supplied: langId(text, Map("en" -> Seq("the", ...))).
+    */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks   = tokens(text)
+    val ordered = markers.toSeq.sortBy(_._1)
+    val scores = ordered.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(ordered.head._1)) { case ((lang, s), other) =>
+      when(s === m, lit(lang)).otherwise(other)
+    }
+  }
+
+  /** canonical document fingerprint: md5 of whitespace-normalized lowercase */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rabin-Karp-style polynomial rolling hash over characters,
+    * acc = (acc*31 + code) mod (2^31-1) — cheap locality-sensitive doc id.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  /** word n-gram shingles (default bigrams) — shared by MinHash/Jaccard */
+  def shingles(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+  }
+}

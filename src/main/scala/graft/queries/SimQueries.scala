@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Embedding similarity-search queries over `embeddings` (64-dim float
+  * vectors): exact brute-force top-k, sign-bucketed approximate top-k (the
+  * IVF/LSH scale path), cosine near-dup pairs, and exact per-label
+  * centroids. Cosine is computed as an ordered double fold on both engines
+  * (DuckDB `list_inner_product` ≡ Spark `aggregate(zip_with(...))`), rounded
+  * to 6 dp for rank stability.
+  */
+object SimQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val cosSql =
+    """round(list_inner_product(qv, v)
+      |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)""".stripMargin
+
+  private def bucketSql(bits: Int, src: String = "embedding"): String =
+    (0 until bits).map(q =>
+      s"(CASE WHEN $src[${q + 1}] >= 0 THEN ${1L << (bits - 1 - q)} ELSE 0 END)")
+      .mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_ann_bucketed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bucketedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 4)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
+    "sim_neardup_cos" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 6, 0.5)
+        .orderBy("a", "b")),
+
+    "emb_centroids" -> ((s, dir) =>
+      emb(s, dir).groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(element_at(col("embedding"), 1).cast("decimal(20,8)")).cast("double").as("c1"))
+        .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
+         |      FROM q, e WHERE e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_ann_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             ${bucketSql(4)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
+         |      FROM q JOIN e USING (bucket) WHERE e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_neardup_cos" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             ${bucketSql(6)} AS bucket FROM embeddings),
+         |s AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |        round(list_inner_product(x.v, y.v)
+         |          / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))), 6) AS score
+         |      FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, score FROM s WHERE score >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "emb_centroids" ->
+      """SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) AS c1
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}
