@@ -32,12 +32,21 @@ object Dedup {
   def minhashSlot(shinglesCol: Column, slot: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(s"$slot|"), s))))
 
+  /** (id, shingle-array) with tokens/shingles materialized as real columns:
+    * CollapseProject keeps a non-cheap producer referenced more than once as
+    * its own projection, so the token split runs once per row no matter how
+    * many slot expressions consume it.
+    */
+  private def withShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), TextFunctions.shinglesFromTokens(col("__toks"), 2).as("__sh"))
+
   /** long-format MinHash signatures: (id, slot, mh), k slots per doc */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = TextFunctions.shingles(col(textCol))
     val sig = array((0 until k).map(i =>
-      struct(lit(i.toLong).as("slot"), minhashSlot(sh, i).as("mh"))): _*)
-    docs.filter(size(TextFunctions.tokens(col(textCol))) >= 2)
+      struct(lit(i.toLong).as("slot"), minhashSlot(col("__sh"), i).as("mh"))): _*)
+    withShingles(docs, idCol, textCol)
       .select(col(idCol), explode(sig).as("s"))
       .select(col(idCol), col("s.slot").as("slot"), col("s.mh").as("mh"))
   }
@@ -48,12 +57,13 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, rows: Int): DataFrame = {
     require(k % rows == 0, "slots must divide into equal bands")
-    val sh = TextFunctions.shingles(col(textCol))
+    val slots = array((0 until k).map(minhashSlot(col("__sh"), _)): _*)
     val bands = (0 until k / rows).map { b =>
-      val slotHashes = (b * rows until (b + 1) * rows).map(minhashSlot(sh, _))
-      struct(lit(b).as("band"), md5(concat(slotHashes: _*)).as("bk"))
+      struct(lit(b).as("band"),
+        md5(array_join(slice(col("__slots"), b * rows + 1, rows), "")).as("bk"))
     }
-    val keyed = docs.filter(size(TextFunctions.tokens(col(textCol))) >= 2)
+    val keyed = withShingles(docs, idCol, textCol)
+      .select(col(idCol), slots.as("__slots"))
       .select(col(idCol).as("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
     val l = keyed.select(col("band"), col("bk"), col("id").as("a"))
@@ -94,11 +104,12 @@ object Dedup {
     * (a, b, inter, uni, jac).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val keyed = docs.filter(size(toks) >= 2).select(
-      col(idCol).as("id"),
-      concat_ws(" ", element_at(toks, 1), element_at(toks, 2)).as("bucket"),
-      array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
+    val keyed = docs.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2)
+      .select(
+        col(idCol).as("id"),
+        concat_ws(" ", element_at(col("__toks"), 1), element_at(col("__toks"), 2)).as("bucket"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("sh"))
     val l = keyed.select(col("bucket"), col("id").as("a"), col("sh").as("sha"))
     val r = keyed.select(col("bucket"), col("id").as("b"), col("sh").as("shb"))
     l.join(r, Seq("bucket"))
