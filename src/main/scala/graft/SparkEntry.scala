@@ -12,7 +12,8 @@ object SparkEntry {
     graft.queries.SeqQueries.queries ++
       graft.queries.RelQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.SimQueries.queries
+      graft.queries.SimQueries.queries ++
+      graft.queries.VideoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -20,5 +21,6 @@ object SparkEntry {
     graft.queries.SeqQueries.oracles ++
       graft.queries.RelQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.SimQueries.oracles
+      graft.queries.SimQueries.oracles ++
+      graft.queries.VideoQueries.oracles
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+
+import graft.model.{CacheMode, FrameElem}
+import graft.operators.{Kernels, SequenceOps, StdKernels}
+import graft.sources.VideoStore
+
+/** Video-pipeline queries — the reference's flagship path (SURVEY.md §7
+  * "minimum end-to-end slice": ingest → Range → Histogram → load,
+  * mirroring `py_test.py:274-297` + `tests/test_ops.cpp:13-59`).
+  *
+  * Inputs are deterministic synthetic frames (the codec container has no
+  * FFmpeg, FIXTURES.md §4), so these queries carry no DuckDB oracle — the
+  * driver records rows-only checks — but the specs in VideoStoreSpec pin
+  * the decode/codec semantics exactly.
+  */
+object VideoQueries {
+
+  private val frameEnc = Encoders.product[FrameElem]
+
+  /** idempotent ingest of the deterministic test video (2 streams) */
+  private def ensureIngested(s: SparkSession): String = {
+    val root = sys.props("java.io.tmpdir") + "/graft-videoq"
+    import s.implicits._
+    val frames =
+      (0L until 2L).flatMap(sid =>
+        (0 until 300).map(i => StdKernels.syntheticFrame(sid, i.toLong, 16, 24, 3)))
+    VideoStore.ingest(frames.toDS(), root, "testvid", gopSize = 50, CacheMode.Ignore)
+    root
+  }
+
+  /** histogram bins decoded to an int array for a readable result table */
+  private def binsOf(payload: Array[Byte]): Seq[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq.fill(48)(bb.getInt)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ingest → Range(0,30) → Histogram — the reference's canonical pipeline
+    "video_histogram" -> ((s, _) => {
+      val root   = ensureIngested(s)
+      val frames = VideoStore.frames(s, root, "testvid").toDF()
+      val ranged = SequenceOps.range(frames, 0L, 30L)
+      val hists  = StdKernels.histogramOp(ranged.as[FrameElem](frameEnc))
+      import s.implicits._
+      hists.map(e => (e.streamId, e.index, binsOf(e.payload)))
+        .toDF("streamId", "index", "bins")
+        .orderBy("streamId", "index")
+    }),
+
+    // sparse gather through the keyframe index (BASELINE.md bench target 4)
+    "video_sparse_gather" -> ((s, _) => {
+      val root = ensureIngested(s)
+      val rows = Seq(3L, 77L, 150L, 299L)
+      VideoStore.gatherFrames(s, root, "testvid", 0L, rows).toDF()
+        .select(col("streamId"), col("index"), col("height"), col("width"),
+          md5(col("data")).as("frame_md5"))
+        .orderBy("index")
+    }),
+
+    // stencil {0,1} optical-flow (stub estimator, real stencil plan) →
+    // per-frame mean |flow|
+    "video_flow" -> ((s, _) => {
+      val root   = ensureIngested(s)
+      val frames = VideoStore.frames(s, root, "testvid")
+      import s.implicits._
+      val pairs = frames.groupByKey(_.streamId)(Encoders.scalaLong)
+        .flatMapSortedGroups(col("index")) { (_: Long, it: Iterator[FrameElem]) =>
+          it.sliding(2).withPartial(false).map { w =>
+            val flow = StdKernels.opticalFlowStub(w.head, w.last)
+            val bb = java.nio.ByteBuffer.wrap(flow.data)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sum = 0.0; var n = 0
+            while (bb.hasRemaining) { sum += math.abs(bb.getFloat); n += 1 }
+            (flow.streamId, flow.index, sum / n)
+          }
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("streamId", "index", "mean_abs_flow")
+      pairs.orderBy("streamId", "index")
+    })
+  )
+
+  /** no DuckDB oracle possible (inputs are codec segments, not shared
+    * parquet) — driver records rows-only checks for these */
+  val oracles: Map[String, String] = Map.empty
+}

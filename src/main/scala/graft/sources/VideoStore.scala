@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.model.{CacheMode, FrameElem, StreamDescriptor}
+
+/** Video ingest / lazy frame source / export — the rebuild of the
+  * reference's video pipeline:
+  *
+  *  - ingest (`scanner/engine/ingest.cpp:867-1018`): frames → GOP segments
+  *    + a keyframe index. Here the segment table IS the keyframe index:
+  *    one row per GOP `(streamId, segId, startIndex, numFrames, payload)`,
+  *    stored as a committed [[NamedStorage]] stream, sorted by
+  *    (streamId, segId) so parquet row-group stats prune on segId.
+  *  - sparse decode (`scanner/video/decoder_automata.h:40-51`,
+  *    `dag_analysis.cpp` TaskStream row pruning): reading a sparse frame set
+  *    first plans against segment METADATA only (payload column never read),
+  *    then scans just the needed segments with an `isin(segId)` pushdown,
+  *    and decodes each segment only up to the highest requested offset.
+  *  - export (`python/scannerpy/column.py:283-342` save_mp4): ordered
+  *    concatenation of stored segments into one container file.
+  *
+  * At 100 TB: segments are the unit of parallelism (one decode task per
+  * GOP), pruning happens in the parquet scan, and nothing but the requested
+  * frame list ever reaches the driver.
+  */
+object VideoStore {
+
+  /** one GOP of compressed video — the stored representation of a video column */
+  final case class Segment(
+      streamId: Long, segId: Long, startIndex: Long, numFrames: Int, payload: Array[Byte])
+
+  private val segEnc   = Encoders.product[Segment]
+  private val frameEnc = Encoders.product[FrameElem]
+
+  /** Ingest a frame stream into GOP segments of `gopSize` frames. Frames
+    * must carry dense per-stream indices (codec GOPs are index-aligned).
+    */
+  def ingest(frames: Dataset[FrameElem], root: String, name: String,
+      gopSize: Int, mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+    require(gopSize > 0, s"gopSize must be positive, got $gopSize")
+    val segs = frames
+      .groupByKey(f => (f.streamId, f.index / gopSize))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .flatMapSortedGroups(col("index")) { (key: (Long, Long), it: Iterator[FrameElem]) =>
+        val gop = it.toSeq
+        Iterator.single(Segment(
+          key._1, key._2, gop.head.index, gop.size, FakeVideoCodec.encodeGop(gop)))
+      }(segEnc)
+    NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode)
+  }
+
+  def segments(spark: SparkSession, root: String, name: String): Dataset[Segment] =
+    NamedStorage.read(spark, root, name).as[Segment](segEnc)
+
+  /** Full-scan decode: one task per segment, no cross-segment work. */
+  def frames(spark: SparkSession, root: String, name: String,
+      decoded: Option[LongAccumulator] = None): Dataset[FrameElem] =
+    segments(spark, root, name).flatMap(s =>
+      FakeVideoCodec.decodeGop(s.payload, s.streamId, s.startIndex, Int.MaxValue, decoded))(frameEnc)
+
+  /** Sparse read of exactly the `rows` indices of one stream (reference
+    * Gather + sparse decode). Plans on metadata, scans only needed
+    * segments, decodes each only up to its highest requested offset.
+    */
+  def gatherFrames(spark: SparkSession, root: String, name: String,
+      streamId: Long, rows: Seq[Long],
+      decoded: Option[LongAccumulator] = None): Dataset[FrameElem] = {
+    require(rows.nonEmpty, "gatherFrames needs at least one row")
+    // plan: metadata-only pass (payload column pruned from the scan)
+    val meta = segments(spark, root, name)
+      .filter(col("streamId") === streamId)
+      .select(col("segId"), col("startIndex"), col("numFrames"))
+      .collect()
+    val want = rows.toSet
+    val needed: Map[Long, Long] = meta.iterator.map { r =>
+      val segId = r.getLong(0); val start = r.getLong(1); val n = r.getInt(2)
+      val offs = want.iterator.filter(x => x >= start && x < start + n).map(_ - start)
+      segId -> (if (offs.isEmpty) -1L else offs.max)
+    }.filter(_._2 >= 0).toMap
+
+    val wantB   = spark.sparkContext.broadcast(want)
+    val neededB = spark.sparkContext.broadcast(needed)
+    segments(spark, root, name)
+      .filter(col("streamId") === streamId &&
+        col("segId").isin(needed.keys.toSeq: _*)) // pushed to parquet scan
+      .flatMap { s =>
+        val upTo = neededB.value(s.segId).toInt
+        FakeVideoCodec.decodeGop(s.payload, s.streamId, s.startIndex, upTo, decoded)
+          .filter(f => wantB.value.contains(f.index))
+      }(frameEnc)
+  }
+
+  /** Ordered concatenation of stored segments into a single container file
+    * (reference save_mp4 export). Streams through the driver like the
+    * reference's client-side ffmpeg concat — never materializes more than
+    * one segment.
+    */
+  def exportConcat(spark: SparkSession, root: String, name: String,
+      streamId: Long, outPath: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p   = new Path(outPath)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    var bytes = 0L
+    try {
+      segments(spark, root, name)
+        .filter(col("streamId") === streamId)
+        .orderBy("segId")
+        .toLocalIterator().asScala
+        .foreach { s => out.write(s.payload); bytes += s.payload.length }
+    } finally out.close()
+    bytes
+  }
+}

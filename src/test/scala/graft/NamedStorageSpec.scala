@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.{CacheMode, StreamDescriptor}
+import graft.sources.NamedStorage
+
+class NamedStorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-storage").toString
+
+  private def sampleDf(n: Int) =
+    (0 until n).map(i => (0L, i.toLong, Array[Byte](i.toByte)))
+      .toDF("streamId", "index", "payload")
+
+  test("write/read round-trip with descriptor") {
+    val root = freshRoot()
+    val d = NamedStorage.write(sampleDf(10), root, "s1")
+    assert(d == StreamDescriptor("s1", committed = true, Seq("streamId", "index", "payload"), 10L))
+    assert(NamedStorage.exists(spark, root, "s1"))
+    assert(NamedStorage.committed(spark, root, "s1"))
+    assert(NamedStorage.len(spark, root, "s1") == 10L)
+    val back = NamedStorage.read(spark, root, "s1")
+    assert(back.count() == 10)
+    assert(back.columns.toSeq == Seq("streamId", "index", "payload"))
+  }
+
+  test("CacheMode.Error refuses existing; Ignore skips; Overwrite replaces") {
+    val root = freshRoot()
+    NamedStorage.write(sampleDf(5), root, "s")
+    intercept[NamedStorage.StreamExistsException] {
+      NamedStorage.write(sampleDf(7), root, "s", CacheMode.Error)
+    }
+    val ignored = NamedStorage.write(sampleDf(7), root, "s", CacheMode.Ignore)
+    assert(ignored.rows == 5L)
+    val over = NamedStorage.write(sampleDf(7), root, "s", CacheMode.Overwrite)
+    assert(over.rows == 7L)
+    assert(NamedStorage.read(spark, root, "s").count() == 7)
+  }
+
+  test("uncommitted stream (no descriptor) is not readable") {
+    val root = freshRoot()
+    // simulate a crash mid-write: data present, descriptor never written
+    sampleDf(3).write.parquet(s"$root/broken/data")
+    assert(NamedStorage.exists(spark, root, "broken"))
+    assert(!NamedStorage.committed(spark, root, "broken"))
+    intercept[NamedStorage.UncommittedStreamException] {
+      NamedStorage.read(spark, root, "broken")
+    }
+    // Overwrite-mode write repairs it
+    val d = NamedStorage.write(sampleDf(4), root, "broken", CacheMode.Overwrite)
+    assert(d.rows == 4L)
+  }
+
+  test("load returns ordered rows, optionally index-filtered") {
+    val root = freshRoot()
+    NamedStorage.write(sampleDf(20).orderBy(org.apache.spark.sql.functions.rand(7)), root, "ld")
+    val all = NamedStorage.load(spark, root, "ld").toSeq
+    assert(all.map(_.getLong(1)) == (0L until 20L))
+    val some = NamedStorage.load(spark, root, "ld", Some(Seq(3L, 11L, 17L))).toSeq
+    assert(some.map(_.getLong(1)) == Seq(3L, 11L, 17L))
+  }
+
+  test("descriptor JSON codec round-trips") {
+    val d = StreamDescriptor("a \"quoted\" name", committed = false, Seq("x", "y"), 42L)
+    assert(NamedStorage.fromJson(NamedStorage.toJson(d)) == d)
+    val empty = StreamDescriptor("e", committed = true, Seq.empty, 0L)
+    assert(NamedStorage.fromJson(NamedStorage.toJson(empty)) == empty)
+  }
+}
