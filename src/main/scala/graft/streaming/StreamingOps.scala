@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -18,41 +18,56 @@ import graft.operators.Kernels.StatefulKernel
   * Scale notes: state is per-stream (keyed by streamId), checkpointed by
   * the engine; within a micro-batch elements are sorted by index before
   * replay, and a `nextIndex` cursor in the state makes replay idempotent
-  * across retries (duplicates/out-of-order within the watermark are
-  * dropped deterministically).
+  * across retries. Elements that arrive ahead of the cursor are buffered
+  * in state and drained in index order once the gap fills; duplicates
+  * (index < cursor, or already buffered) are dropped deterministically.
   */
 object StreamingOps {
 
-  /** (kernel state, next expected dense index) carried across micro-batches */
-  final case class KernelState[S](s: S, nextIndex: Long)
+  /** (kernel state, next expected dense index, out-of-order buffer)
+    * carried across micro-batches. `pending` holds ahead-of-cursor
+    * elements until the gap fills — bounded in practice by the source's
+    * out-of-orderness, the analog of a watermark's lateness bound.
+    */
+  final case class KernelState[S](s: S, nextIndex: Long, pending: Map[Long, Array[Byte]])
 
   /** Apply an unbounded-state kernel to a streaming Dataset[Elem].
-    * Elements must arrive with dense per-stream indices (the sequence
-    * model); within each micro-batch they are sorted, and any element not
-    * matching the `nextIndex` cursor is dropped (late duplicate) or held
-    * implicitly (gap — will be processed when the gap fills in a later
-    * batch it arrives in... the reference errors on gaps; we drop-forward).
+    * Elements carry dense per-stream indices (the sequence model); each
+    * micro-batch is sorted, the cursor advances over contiguous indices,
+    * and ahead-of-cursor arrivals wait in `pending`.
     */
-  def unboundedState[S: org.apache.spark.sql.Encoder](
-      ds: Dataset[Elem], kernel: StatefulKernel[S]): Dataset[Elem] = {
-    implicit val stateEnc = Encoders.product[KernelState[S]](
-      scala.reflect.runtime.universe.typeTag[KernelState[S]].asInstanceOf[
-        scala.reflect.runtime.universe.TypeTag[KernelState[S]]])
+  def unboundedState[S](ds: Dataset[Elem], kernel: StatefulKernel[S]): Dataset[Elem] = {
+    // Kryo for the generic state (no TypeTag for S at this call site);
+    // state lives in the state store, never in a shuffled relation, so an
+    // opaque binary encoder costs nothing in plan quality.
+    implicit val stateEnc: Encoder[KernelState[S]] = Encoders.kryo[KernelState[S]]
+    implicit val outEnc: Encoder[Elem]             = Encoders.product[Elem]
     ds.groupByKey(_.streamId)(Encoders.scalaLong)
       .flatMapGroupsWithState[KernelState[S], Elem](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, it: Iterator[Elem], state: GroupState[KernelState[S]]) =>
-          var st = state.getOption.getOrElse(KernelState(kernel.init, 0L))
-          val out = it.toSeq.sortBy(_.index).iterator.flatMap { e =>
-            if (e.index == st.nextIndex) {
-              val (s2, payload) = kernel.update(st.s, e.index, e.payload)
-              st = KernelState(s2, st.nextIndex + 1)
-              Some(e.copy(payload = payload))
-            } else None // duplicate or out-of-order beyond cursor
-          }.toVector
+        (streamId: Long, it: Iterator[Elem], state: GroupState[KernelState[S]]) =>
+          var st  = state.getOption.getOrElse(KernelState(kernel.init, 0L, Map.empty))
+          val out = Vector.newBuilder[Elem]
+          def emit(index: Long, payload: Array[Byte]): Unit = {
+            val (s2, result) = kernel.update(st.s, index, payload)
+            out += Elem(streamId, index, result)
+            st = st.copy(s = s2, nextIndex = index + 1)
+          }
+          def drain(): Unit =
+            while (st.pending.contains(st.nextIndex)) {
+              val p = st.pending(st.nextIndex)
+              st = st.copy(pending = st.pending - st.nextIndex)
+              emit(st.nextIndex, p)
+            }
+          it.toSeq.sortBy(_.index).foreach { e =>
+            if (e.index == st.nextIndex) { emit(e.index, e.payload); drain() }
+            else if (e.index > st.nextIndex && !st.pending.contains(e.index))
+              st = st.copy(pending = st.pending + (e.index -> e.payload))
+            // else: duplicate behind the cursor — drop (idempotent replay)
+          }
           state.update(st)
-          out.iterator
-      }(Encoders.scalaLong, stateEnc, Encoders.product[Elem])
+          out.result().iterator
+      }
   }
 
   /** Watermarked tumbling-window event counts — the standard streaming
@@ -74,8 +89,8 @@ object StreamingOps {
   final case class ClosedSession(user_id: Long, start: Long, end: Long, n: Long)
 
   def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[ClosedSession] = {
-    implicit val ss  = Encoders.product[SessionState]
-    implicit val cs  = Encoders.product[ClosedSession]
+    implicit val ss: Encoder[SessionState]  = Encoders.product[SessionState]
+    implicit val cs: Encoder[ClosedSession] = Encoders.product[ClosedSession]
     events.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
@@ -105,6 +120,6 @@ object StreamingOps {
             }
             closed.iterator
           }
-      }(Encoders.scalaLong, ss, cs)
+      }
   }
 }
