@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - Results are fully materialized through the noop sink: `count()` would
   *   let Catalyst prune the projection, timing the scan instead of the
   *   operator under test.
-  * - A warmup pass touches every input table and the write path first, so
-  *   session/classloader/codegen startup (~5-10 s) isn't attributed to
-  *   whichever query happens to run first.
+  * - A warmup pass touches every input table, the write path, and the video
+  *   ingest (so session/classloader/codegen startup and one-time ingest
+  *   aren't attributed to whichever query runs first).
+  * - A query that throws is reported with time -1 and listed in "failed" —
+  *   never as a fast success.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -26,17 +28,23 @@ object Bench {
       try materialize(spark.read.parquet(s"$sfDir/$t.parquet").limit(1000))
       catch { case _: Throwable => () }
     }
+    try queries.VideoQueries.warmup(spark)
+    catch { case e: Throwable => System.err.println(s"warmup(video) failed: $e") }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable => System.err.println(s"bench query $name failed: $e"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Embedding similarity search over an `array<float>` column.
   *
@@ -14,6 +14,13 @@ import org.apache.spark.sql.expressions.Window
   *    queries hash to a bucket; search only within the bucket. Trades
   *    recall for a |corpus|/2^bits reduction in work; bucket key is a
   *    shuffle-friendly join column.
+  *
+  * Top-k selection is a bounded-heap [[Aggregator]] (k-sized buffer,
+  * map-side partial aggregation, k-row merges) — NOT a
+  * `Window.partitionBy(qid)` rank, which would materialize every scored
+  * corpus row for a query in a single task and die at 100 TB. The plan
+  * shows ObjectHashAggregate with partial_topk on the map side; per
+  * (input partition, query) only k rows ever cross the shuffle.
   *
   * All arithmetic is double, computed as an ordered left-to-right fold so
   * results are bit-identical to the DuckDB oracle (`list_inner_product`).
@@ -29,13 +36,69 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** sign-bit bucket over the first `bits` dimensions (bit q set iff
-    * dim q+1 >= 0) — the cheap IVF/LSH partition key
+  /** sign-bit bucket over `bits` dimensions starting at `from` (bit q set
+    * iff dim from+q+1 >= 0) — the cheap IVF/LSH partition key
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int, from: Int = 0): Column =
     (0 until bits).map(q =>
-      when(element_at(v, q + 1) >= 0f, lit(1L << (bits - 1 - q))).otherwise(lit(0L)))
+      when(element_at(v, from + q + 1) >= 0f, lit(1L << (bits - 1 - q))).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** one candidate row in the top-k buffer */
+  final case class ScoredId(id: Long, score: Double)
+  /** encoder-friendly wrapper so buffer/output use Encoders.product */
+  final case class TopKBuf(hits: Seq[ScoredId])
+
+  /** ordering: best first — score desc, id asc tiebreak (matches oracle) */
+  private val best: Ordering[ScoredId] =
+    Ordering.by((e: ScoredId) => (-e.score, e.id))
+
+  /** Bounded top-k aggregate: buffer is a k-sized sorted vector; reduce is
+    * O(k) insert with an O(1) reject for rows worse than the current k-th;
+    * merge is a k-bounded sorted merge. Spark plans Aggregator UDAFs as
+    * TypedImperativeAggregate with partial merge — map-side combine keeps
+    * shuffle volume at k rows per (partition, group).
+    */
+  final class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+
+    override def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
+      val h = b.hits
+      if (h.size >= k && best.lteq(h.last, a)) b
+      else {
+        val (le, gt) = h.span(e => best.lteq(e, a))
+        TopKBuf((le ++ (a +: gt)).take(k))
+      }
+    }
+
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val out = Vector.newBuilder[ScoredId]
+      var (i, j, n) = (0, 0, 0)
+      val (x, y) = (b1.hits, b2.hits)
+      while (n < k && (i < x.size || j < y.size)) {
+        val takeX = j >= y.size || (i < x.size && best.lteq(x(i), y(j)))
+        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+        n += 1
+      }
+      TopKBuf(out.result())
+    }
+
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** (qid, id, rank, score) from a scored candidate relation via the
+    * bounded top-k aggregate; rank = 1-based position in the final list.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), Encoders.product[ScoredId])
+    scored.groupBy(col("qid"))
+      .agg(topk(col("id"), col("score")).as("res"))
+      .select(col("qid"), posexplode(col("res.hits")))
+      .select(col("qid"), col("col.id").as("id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("score"))
+  }
 
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: (qid, id, rank, score), score rounded to 6 dp for
@@ -47,13 +110,12 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(q, col("id") =!= col("qid"))
       .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Bucketed (approximate) top-k: only candidates in the query's sign
-    * bucket are scored. Same output shape as [[bruteForceTopK]].
+    * bucket are scored. Same output shape as [[bruteForceTopK]]. At scale,
+    * choose `bits` ≈ log2(|corpus| / targetBucketSize).
     */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int): DataFrame = {
@@ -64,20 +126,31 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
-  /** near-duplicate pairs by embedding cosine within sign buckets */
+  /** Near-duplicate pairs by embedding cosine, banded sign-LSH candidates:
+    * `bands` independent sign buckets over disjoint dimension ranges; a
+    * pair is a candidate iff it collides in ANY band (union + distinct —
+    * the classic LSH OR-construction). Per-band bucket count is
+    * 2^bitsPerBand, so within-band work is |corpus|²/2^bitsPerBand spread
+    * over buckets; more bands raise recall, more bits cut bucket size —
+    * both dialable to corpus scale, unlike a single fixed bucketing.
+    */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      bits: Int, threshold: Double): DataFrame = {
-    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val l = keyed.select(col("bucket"), col("id").as("a"), col("v").as("va"))
-    val r = keyed.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
+      bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    val keyed = corpus.select(
+      col(idCol).as("id") +: col(vecCol).as("v") +:
+        (0 until bands).map(b =>
+          signBucket(col(vecCol), bitsPerBand, b * bitsPerBand).as(s"band$b")): _*)
+    val perBand = (0 until bands).map { b =>
+      val l = keyed.select(col(s"band$b").as("bk"), col("id").as("a"), col("v").as("va"))
+      val r = keyed.select(col(s"band$b").as("bk"), col("id").as("b"), col("v").as("vb"))
+      l.join(r, Seq("bk")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("va"), col("vb"))
+    }
+    perBand.reduce(_ unionByName _)
+      .dropDuplicates("a", "b") // va/vb are functionally dependent on a/b
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("score"))
       .filter(col("score") >= threshold)
   }

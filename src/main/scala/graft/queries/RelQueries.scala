@@ -143,7 +143,10 @@ object RelQueries {
     // Structured Streaming (readStream + window())
     "q_events_hourly" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      ev.withColumn("bucket", (col("ts") / lit(3600L * 1000000000L)).cast("long"))
+      // integral `div`, not `/`: long `/` evaluates in double and ts is
+      // ~1.7e18 ns (> 2^53), so double rounding could shift boundary events
+      // into the wrong bucket vs DuckDB's exact `//`
+      ev.withColumn("bucket", expr("ts div 3600000000000"))
         .groupBy(col("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("bucket", "event_type")

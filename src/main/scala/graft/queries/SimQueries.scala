@@ -20,9 +20,9 @@ object SimQueries {
     """round(list_inner_product(qv, v)
       |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)""".stripMargin
 
-  private def bucketSql(bits: Int, src: String = "embedding"): String =
+  private def bucketSql(bits: Int, from: Int = 0, src: String = "embedding"): String =
     (0 until bits).map(q =>
-      s"(CASE WHEN $src[${q + 1}] >= 0 THEN ${1L << (bits - 1 - q)} ELSE 0 END)")
+      s"(CASE WHEN $src[${from + q + 1}] >= 0 THEN ${1L << (bits - 1 - q)} ELSE 0 END)")
       .mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -40,8 +40,11 @@ object SimQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // banded sign-LSH candidates (3 bands x 6 bits over disjoint dims),
+    // threshold 0.4 so the candidate union is exercised at this SF
     "sim_neardup_cos" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 6, 0.5)
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        bands = 3, bitsPerBand = 6, threshold = 0.4)
         .orderBy("a", "b")),
 
     "emb_centroids" -> ((s, dir) =>
@@ -76,12 +79,19 @@ object SimQueries {
 
     "sim_neardup_cos" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |             ${bucketSql(6)} AS bucket FROM embeddings),
-         |s AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |             ${bucketSql(6, 0)} AS b0, ${bucketSql(6, 6)} AS b1,
+         |             ${bucketSql(6, 12)} AS b2 FROM embeddings),
+         |cand AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b FROM e x JOIN e y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+         |  UNION
+         |  SELECT x.vec_id AS a, y.vec_id AS b FROM e x JOIN e y ON x.b1 = y.b1 AND x.vec_id < y.vec_id
+         |  UNION
+         |  SELECT x.vec_id AS a, y.vec_id AS b FROM e x JOIN e y ON x.b2 = y.b2 AND x.vec_id < y.vec_id),
+         |s AS (SELECT a, b,
          |        round(list_inner_product(x.v, y.v)
          |          / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))), 6) AS score
-         |      FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |SELECT a, b, score FROM s WHERE score >= 0.5 ORDER BY a, b""".stripMargin,
+         |      FROM cand JOIN e x ON x.vec_id = a JOIN e y ON y.vec_id = b)
+         |SELECT a, b, score FROM s WHERE score >= 0.4 ORDER BY a, b""".stripMargin,
 
     "emb_centroids" ->
       """SELECT label, COUNT(*) AS n,

@@ -81,13 +81,15 @@ object NamedStorage {
   }
 
   def descriptor(spark: SparkSession, root: String, name: String): StreamDescriptor = {
-    val p  = descPath(root, name)
-    val in = fs(spark, p).open(p)
-    try {
-      val bytes = new Array[Byte](in.available() max 1 << 16)
-      val n     = in.read(bytes)
-      fromJson(new String(bytes, 0, n max 0, UTF_8))
-    } finally in.close()
+    val p = descPath(root, name)
+    val f = fs(spark, p)
+    // size from the file status, then readFully: available()/single read()
+    // may return 0 or partial counts on non-posix Hadoop filesystems
+    val size  = f.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](size)
+    val in    = f.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    fromJson(new String(bytes, UTF_8))
   }
 
   /** reference `len()` (`storage.py:170-173`) without scanning data */
