@@ -74,46 +74,99 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash over whitespace tokens. Bit j of the signature is the
+  private val hexDigits = "0123456789abcdef"
+
+  /** 64-bit SimHash over whitespace tokens, as 8 8-bit band values
+    * (columns band0..band7; band b holds signature bits 8b..8b+7,
+    * bit i of the band = signature bit 8b+i). Signature bit j is the
     * sign of the sum over tokens of (2*bit_j(md5(token)) - 1), where
-    * bit_j comes from the first 4 hex chars of the token's md5
-    * (nibble j/4, bit 3 - j%4). Near-dups share the signature (or differ
-    * in <= d bits — compare via xor popcount downstream).
+    * bit_j of a token hash comes from md5 hex nibble j/4, bit 3 - j%4.
+    *
+    * Bands, not a single long: (a) no signed-overflow trap at bit 63 in
+    * either engine, (b) the bands ARE the Hamming-ball candidate index —
+    * two docs within Hamming distance d of each other must agree exactly
+    * on at least one band when d < 8 (pigeonhole), so candidate lookup is
+    * an equi-join on (band, value), never an all-pairs scan.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hexDigits = "0123456789abcdef"
+  def simhash64Bands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
       .select(col(idCol), md5(col("t")).as("m"))
-    val nibbles = (0 until 4).map(q =>
+    val nibbles = (0 until 16).map(q =>
       (instr(lit(hexDigits), col("m").substr(lit(q + 1), lit(1))) - 1).cast("int").as(s"n$q"))
     val withN = exploded.select(col(idCol) +: nibbles: _*)
-    val sums = (0 until 16).map { j =>
+    val sums = (0 until 64).map { j =>
       val bit = (shiftright(col(s"n${j / 4}"), 3 - j % 4) % 2).cast("long")
       sum(bit * 2 - 1).as(s"s$j")
     }
     val agg = withN.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val sig = (0 until 16).map(j =>
-      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col(idCol), sig.cast("long").as("simhash"))
+    val bands = (0 until 8).map { b =>
+      (0 until 8).map(i =>
+        when(col(s"s${8 * b + i}") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+        .as(s"band$b")
+    }
+    agg.select(col(idCol) +: bands: _*)
   }
 
-  /** Exact n-gram Jaccard on candidate pairs. Candidates = docs sharing the
-    * cheap bucket key (default: first two tokens) — a scalable prefilter
-    * standing in for the LSH pass when shingle sets are small. Returns
-    * (a, b, inter, uni, jac).
+  /** 64-bit SimHash rendered as a 16-hex-char string (bit 63 leftmost) —
+    * the cross-engine-stable signature representation.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = docs.withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .filter(size(col("__toks")) >= 2)
-      .select(
-        col(idCol).as("id"),
-        concat_ws(" ", element_at(col("__toks"), 1), element_at(col("__toks"), 2)).as("bucket"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("sh"))
-    val l = keyed.select(col("bucket"), col("id").as("a"), col("sh").as("sha"))
-    val r = keyed.select(col("bucket"), col("id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("bucket"))
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = simhash64Bands(docs, idCol, textCol)
+    val hex = concat((7 to 0 by -1).flatMap { b =>
+      val hi = lit(hexDigits).substr(shiftright(col(s"band$b"), 4).cast("int") + 1, lit(1))
+      val lo = lit(hexDigits).substr(col(s"band$b").bitwiseAND(15).cast("int") + 1, lit(1))
+      Seq(hi, lo)
+    }: _*)
+    sig.select(col(idCol), hex.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via banded Hamming lookup: candidates = docs
+    * agreeing exactly on >= 1 of the 8 signature bands (pigeonhole-complete
+    * for Hamming distance < 8); verify = exact 64-bit Hamming distance by
+    * per-band xor popcount. One equi-join shuffle on (band, value) +
+    * distinct + two narrow signature re-joins — no all-pairs anywhere.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < 8, "banded lookup over 8 bands is complete only for distance < 8")
+    val bandCols = (0 until 8).map(b => col(s"band$b"))
+    val sigs  = simhash64Bands(docs, idCol, textCol)
+    val keyed = sigs.select(col(idCol).as("id"), array(bandCols: _*).as("bands"))
+    val exploded = keyed.select(col("id"), posexplode(col("bands")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bv"))
+    val l = exploded.select(col("band"), col("bv"), col("id").as("a"))
+    val r = exploded.select(col("band"), col("bv"), col("id").as("b"))
+    val cand = l.join(r, Seq("band", "bv"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val ham = aggregate(
+      zip_with(col("ba"), col("bb"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    cand
+      .join(keyed.select(col("id").as("a"), col("bands").as("ba")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("bands").as("bb")), Seq("b"))
+      .select(col("a"), col("b"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard, candidates from the MinHash LSH bands (same
+    * generator as [[lshCandidatePairs]]) — a first-two-tokens bucket would
+    * go quadratic on boilerplate prefixes ("the", "in the") at scale,
+    * while band buckets are uniform by construction. Returns
+    * (a, b, inter, uni, jac) for candidate pairs only.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rows: Int = 4): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, k, rows)
+    val sets = docs.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("sh"))
+    cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
         size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))

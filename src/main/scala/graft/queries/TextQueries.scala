@@ -71,19 +71,45 @@ object TextQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
+        .orderBy("a", "b")),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b"))
   )
 
-  private val simhashSums = (0 until 16).map { j =>
+  // 64-bit simhash building blocks shared by the dedup_simhash* oracles
+  private val simhashNibbles = (0 until 16).map(q =>
+    s"strpos('0123456789abcdef', substr(m, ${q + 1}, 1)) - 1 AS n$q").mkString(",\n    ")
+
+  private val simhashSums = (0 until 64).map { j =>
     val q = j / 4
     val d = 1 << (3 - j % 4)
     s"SUM(((n$q // $d) % 2)*2 - 1) AS s$j"
   }.mkString(",\n    ")
 
-  private val simhashBits = (0 until 16).map { j =>
-    s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)"
-  }.mkString(" + ")
+  private val simhashBands = (0 until 8).map { b =>
+    (0 until 8).map(i => s"(CASE WHEN s${8 * b + i} >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ") + s" AS b$b"
+  }.mkString(",\n    ")
+
+  private val simhashHex = (7 to 0 by -1).flatMap(b => Seq(
+    s"substr('0123456789abcdef', 1 + (b$b // 16), 1)",
+    s"substr('0123456789abcdef', 1 + (b$b % 16), 1)")).mkString(" || ")
+
+  private val simhashBandsCte =
+    s"""tk AS (
+       |  SELECT doc_id, md5(unnest($tokSql)) AS m FROM documents),
+       |n AS (SELECT doc_id,
+       |    $simhashNibbles
+       |  FROM tk),
+       |g AS (SELECT doc_id,
+       |    $simhashSums
+       |  FROM n GROUP BY doc_id),
+       |bds AS (SELECT doc_id,
+       |    $simhashBands
+       |  FROM g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
@@ -156,31 +182,55 @@ object TextQueries {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, md5(unnest($tokSql)) AS m FROM documents),
-         |n AS (SELECT doc_id,
-         |    strpos('0123456789abcdef', substr(m, 1, 1)) - 1 AS n0,
-         |    strpos('0123456789abcdef', substr(m, 2, 1)) - 1 AS n1,
-         |    strpos('0123456789abcdef', substr(m, 3, 1)) - 1 AS n2,
-         |    strpos('0123456789abcdef', substr(m, 4, 1)) - 1 AS n3
-         |  FROM tk),
-         |g AS (SELECT doc_id,
-         |    $simhashSums
-         |  FROM n GROUP BY doc_id)
-         |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash
-         |FROM g ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashBandsCte
+         |SELECT doc_id, $simhashHex AS simhash
+         |FROM bds ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashBandsCte,
+         |bands AS (
+         |  SELECT doc_id, unnest([0,1,2,3,4,5,6,7]) AS band,
+         |         unnest([b0,b1,b2,b3,b4,b5,b6,b7]) AS bv FROM bds),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+         |       AND x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |  CAST(${(0 until 8).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} AS BIGINT) AS hamming
+         |FROM cand JOIN bds x ON x.doc_id = a JOIN bds y ON y.doc_id = b
+         |WHERE ${(0 until 8).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} <= 7
+         |ORDER BY a, b""".stripMargin,
 
     "dedup_jaccard" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $tokSql AS toks, list_distinct($shSql) AS sh
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shSql) AS s
          |  FROM documents WHERE len($tokSql) >= 2),
-         |k AS (SELECT doc_id, toks[1] || ' ' || toks[2] AS bucket, sh FROM t)
-         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |sig AS (
+         |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+         |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
+         |  GROUP BY doc_id, k),
+         |p AS (
+         |  SELECT doc_id,
+         |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END)
+         |     || MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
+         |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END)
+         |     || MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
+         |  FROM sig GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
+         |  UNION ALL SELECT doc_id, 1, bk1 FROM p),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |t AS (
+         |  SELECT doc_id, list_distinct($shSql) AS sh
+         |  FROM documents WHERE len($tokSql) >= 2)
+         |SELECT a, b,
          |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
          |  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni,
          |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
-         |FROM k x JOIN k y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |FROM cand JOIN t x ON x.doc_id = a JOIN t y ON y.doc_id = b
          |ORDER BY a, b""".stripMargin
   )
 }
