@@ -49,11 +49,15 @@ object SequenceOps {
   def ranges(df: DataFrame, intervals: Seq[(Long, Long)]): DataFrame =
     stridedRanges(df, intervals, 1L)
 
-  /** Sample[StridedRanges]: concatenation of `[start, end)` intervals, each
+  /** Sample[StridedRanges]: CONCATENATION of `[start, end)` intervals, each
     * strided; output re-indexed densely across the concatenation
-    * (`sampler.cpp:140-264`). Intervals are known at plan time, so the dense
-    * output index is a constant-folded CASE over per-interval offsets —
-    * no window, no shuffle.
+    * (`sampler.cpp:140-264`). Concatenation, not union: the reference's
+    * `get_upstream_rows` maps output segment j back through
+    * `starts(j) + local*stride` independently per range, so a row covered
+    * by two overlapping intervals appears TWICE in the output, at two
+    * different output indices. Membership is therefore an (plan-time
+    * constant) array that gets exploded — still a narrow, shuffle-free
+    * projection; for disjoint intervals the array has at most one element.
     */
   def stridedRanges(df: DataFrame, intervals: Seq[(Long, Long)], stride: Long): DataFrame = {
     require(stride > 0, s"stride must be positive, got $stride")
@@ -65,14 +69,38 @@ object SequenceOps {
     val counts  = intervals.map { case (s, e) => (e - s + stride - 1) / stride }
     val offsets = counts.scanLeft(0L)(_ + _)
     val idx     = col(INDEX)
-    val keep = intervals.map { case (s, e) =>
-      idx >= s && idx < e && (idx - s) % stride === 0
-    }.reduce(_ || _)
-    val newIdx = intervals.zip(offsets).foldRight(lit(-1L): Column) {
-      case (((s, e), off), other) =>
-        when(idx >= s && idx < e, lit(off) + (idx - s) / stride).otherwise(other)
+    val memberships = array(intervals.zip(offsets).map { case ((s, e), off) =>
+      when(idx >= s && idx < e && (idx - s) % stride === 0,
+        lit(off) + (idx - s) / stride).otherwise(lit(null))
+    }: _*)
+    df.withColumn("__ni", explode(filter(memberships, m => m.isNotNull)))
+      .withColumn(INDEX, col("__ni").cast("long"))
+      .drop("__ni")
+  }
+
+  /** Per-stream sampler args — the reference's Job bindings run ONE graph
+    * over N streams with per-stream sampling parameters
+    * (`python/scannerpy/client.py:1434-1527`, `scanner/metadata.proto:182-187`,
+    * stream-config test `py_test.py:339-348`). Spark-first realization: the
+    * per-stream (start, end, stride) args are a broadcast config relation
+    * joined on streamId — one narrow broadcast-hash-join, then the same
+    * arithmetic filter/re-index as [[stridedRanges]]. Streams absent from
+    * the config are dropped (a job binds only its listed streams).
+    */
+  def stridedRangePerStream(df: DataFrame, args: Map[Long, (Long, Long, Long)]): DataFrame = {
+    require(args.nonEmpty, "at least one stream binding required")
+    args.foreach { case (sid, (s, e, st)) =>
+      require(s >= 0 && e >= s && st > 0, s"bad binding for stream $sid: [$s,$e) stride $st")
     }
-    df.filter(keep).withColumn(INDEX, newIdx.cast("long"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfg = args.toSeq.map { case (sid, (s, e, st)) => (sid, s, e, st) }
+      .toDF(STREAM, "__s", "__e", "__st")
+    df.join(broadcast(cfg), Seq(STREAM))
+      .filter(col(INDEX) >= col("__s") && col(INDEX) < col("__e") &&
+        (col(INDEX) - col("__s")) % col("__st") === 0)
+      .withColumn(INDEX, ((col(INDEX) - col("__s")) / col("__st")).cast("long"))
+      .drop("__s", "__e", "__st")
   }
 
   /** Sample[Gather]: keep exactly the listed indices, in list order

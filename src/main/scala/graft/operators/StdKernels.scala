@@ -198,6 +198,25 @@ object StdKernels {
   def decodeI64(payload: Array[Byte]): Long =
     ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getLong
 
+  def encodeI64(v: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(v)
+    bb.array()
+  }
+
+  /** RunningSum: unbounded-state kernel accumulating the i64 LE payload —
+    * a non-trivial state oracle (unlike TestIncrement, the output depends
+    * on every prior element's VALUE, not just the count), used by the
+    * multi-stream query to prove per-stream state isolation.
+    */
+  object RunningSum extends Kernels.StatefulKernel[Long] {
+    def init: Long = 0L
+    def update(state: Long, index: Long, payload: Array[Byte]): (Long, Array[Byte]) = {
+      val s2 = state + decodeI64(payload)
+      (s2, encodeI64(s2))
+    }
+  }
+
   /** Sleep/SleepFrame — fixed-delay pass-through used by the reference's
     * fault-tolerance tests (`tests/test_ops.cpp:313-338`).
     */

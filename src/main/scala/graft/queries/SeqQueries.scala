@@ -40,6 +40,38 @@ object SeqQueries {
         .select(col("index"), col("event_type"))
         .orderBy("index")),
 
+    // overlapping intervals duplicate rows (reference concatenation
+    // semantics, sampler.cpp:140-264): events 100..140 step 10 appear in
+    // both segments at different output indices
+    "seq_overlapping_ranges" -> ((s, dir) =>
+      SequenceOps.stridedRanges(stream(s, dir), Seq((0L, 150L), (100L, 250L)), 10)
+        .select(col("index"), col("event_type"))
+        .orderBy("index")),
+
+    // ONE graph over 4 streams with per-stream sampling args (reference Job
+    // bindings, client.py:1434-1527) + per-stream unbounded state: running
+    // sum over len(event_type), proving state isolation across streams
+    "seq_multistream" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        (col("event_id") % 4).as(SequenceOps.STREAM),
+        (col("event_id") / 4).cast("long").as(SequenceOps.INDEX),
+        length(col("event_type")).cast("long").as("v"))
+      val sampled = SequenceOps.stridedRangePerStream(base, Map(
+        0L -> ((0L, 250L, 2L)),
+        1L -> ((50L, 150L, 5L)),
+        2L -> ((0L, 250L, 10L)),
+        3L -> ((100L, 200L, 25L))))
+      import s.implicits._
+      val elems = sampled.as[(Long, Long, Long)]
+        .map { case (sid, idx, v) => Elem(sid, idx, StdKernels.encodeI64(v)) }
+        .toDF()
+      val summed = Kernels.unboundedState(elems, StdKernels.RunningSum)
+      summed.as[Elem]
+        .map(e => (e.streamId, e.index, StdKernels.decodeI64(e.payload)))
+        .toDF("stream_id", "index", "cumsum")
+        .orderBy("stream_id", "index")
+    }),
+
     "seq_gather" -> ((s, dir) =>
       SequenceOps.gather(stream(s, dir), Seq(5L, 250L, 750L, 999L))
         .select(col("index"), col("event_type"))
@@ -123,6 +155,30 @@ object SeqQueries {
         |WHERE (event_id >= 0 AND event_id < 200 AND event_id % 10 = 0)
         |   OR (event_id >= 500 AND event_id < 700 AND (event_id - 500) % 10 = 0)
         |ORDER BY index""".stripMargin,
+
+    "seq_overlapping_ranges" ->
+      """SELECT * FROM (
+        |  SELECT event_id // 10 AS index, event_type FROM events
+        |  WHERE event_id < 150 AND event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 15 + (event_id - 100) // 10 AS index, event_type FROM events
+        |  WHERE event_id >= 100 AND event_id < 250 AND (event_id - 100) % 10 = 0)
+        |ORDER BY index""".stripMargin,
+
+    "seq_multistream" ->
+      """WITH s AS (
+        |  SELECT event_id % 4 AS sid, event_id // 4 AS idx,
+        |         CAST(len(event_type) AS BIGINT) AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT sid, (idx - st) // stp AS nidx, v
+        |  FROM s JOIN (VALUES (0, 0, 250, 2), (1, 50, 150, 5),
+        |               (2, 0, 250, 10), (3, 100, 200, 25)) c(csid, st, en, stp)
+        |    ON s.sid = c.csid
+        |  WHERE idx >= st AND idx < en AND (idx - st) % stp = 0)
+        |SELECT sid AS stream_id, nidx AS index,
+        |       CAST(SUM(v) OVER (PARTITION BY sid ORDER BY nidx) AS BIGINT) AS cumsum
+        |FROM f ORDER BY stream_id, index""".stripMargin,
 
     "seq_gather" ->
       """SELECT CAST(t.pos AS BIGINT) AS index, e.event_type

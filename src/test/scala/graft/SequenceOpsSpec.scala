@@ -59,6 +59,26 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out.map(_._2.toLong) == Seq(0L, 3L, 6L, 9L, 100L, 103L, 106L))
   }
 
+  test("stridedRanges duplicates rows covered by overlapping intervals (sampler.cpp get_upstream_rows)") {
+    // [0,10) stride 2 -> src 0,2,4,6,8 at out 0..4 ;
+    // [4,12) stride 2 -> src 4,6,8,10 at out 5..8 — 4,6,8 appear twice
+    val out = idxPay(SequenceOps.stridedRanges(elems(N), Seq((0L, 10L), (4L, 12L)), 2))
+    assert(out.map(_._1) == (0L until 9L))
+    assert(out.map(_._2.toLong) == Seq(0L, 2L, 4L, 6L, 8L, 4L, 6L, 8L, 10L))
+  }
+
+  test("stridedRangePerStream binds per-stream sampling args (client.py:1434-1527)") {
+    val out = SequenceOps.stridedRangePerStream(elems(40, streams = 3),
+      Map(0L -> ((0L, 40L, 4L)), 1L -> ((10L, 20L, 5L)))) // stream 2 unbound -> dropped
+      .orderBy("streamId", "index").collect()
+      .map(r => (r.getAs[Long]("streamId"), r.getAs[Long]("index"),
+        new String(r.getAs[Array[Byte]]("payload")).toLong))
+    assert(out.count(_._1 == 0L) == 10)
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.count(_._1 == 2L) == 0)
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 10L), (1L, 1L, 15L)))
+  }
+
   test("gather keeps listed rows in list order (py_test.py:297)") {
     val out = idxPay(SequenceOps.gather(elems(N), Seq(0L, 150L, 377L, 500L)))
     assert(out.size == 4)
