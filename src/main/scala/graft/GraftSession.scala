@@ -12,9 +12,15 @@ import org.apache.spark.sql.SparkSession
   *   test locally.
   */
 object GraftSession {
-  def local(cores: String, appName: String = "graft"): SparkSession = {
+  /** `maxTaskFailures > 1` enables task retries in local mode
+    * (`local[N,F]`), matching cluster behavior where a task attempt can
+    * fail and be re-run — required by the fault-tolerance specs.
+    */
+  def local(cores: String, appName: String = "graft", maxTaskFailures: Int = 1): SparkSession = {
+    val master =
+      if (maxTaskFailures > 1) s"local[$cores,$maxTaskFailures]" else s"local[$cores]"
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
