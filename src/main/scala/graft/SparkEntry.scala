@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.RelQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimQueries.queries ++
-      graft.queries.VideoQueries.queries
+      graft.queries.VideoQueries.queries ++
+      graft.queries.ImageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
       graft.queries.RelQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.SimQueries.oracles ++
-      graft.queries.VideoQueries.oracles
+      graft.queries.VideoQueries.oracles ++
+      graft.queries.ImageQueries.oracles
 }

@@ -181,6 +181,31 @@ object StdKernels {
   def imageEncoderOp(ds: Dataset[FrameElem]): Dataset[Elem] =
     ds.map(f => Elem(f.streamId, f.index, encodePng(f)))(elemEnc)
 
+  /** Inverse of [[encodePng]]: decode PNG/JPEG/BMP bytes into a U8 HWC3
+    * frame — the reference's Image column type (`scanner/metadata.proto:
+    * 30-47`: JPEG/PNG/BMP/RAW groups decoded into frames for kernels).
+    */
+  def decodeImage(streamId: Long, index: Long, bytes: Array[Byte]): FrameElem = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image at stream=$streamId index=$index")
+    val h = img.getHeight; val w = img.getWidth
+    val data = new Array[Byte](h * w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val p   = (y * w + x) * 3
+        data(p) = ((rgb >> 16) & 0xff).toByte
+        data(p + 1) = ((rgb >> 8) & 0xff).toByte
+        data(p + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    FrameElem(streamId, index, h, w, 3, FrameType.U8, data)
+  }
+
   /** TestIncrement (bounded/unbounded): i64 LE counter, output = count of
     * rows processed before this one since the last (re)start —
     * `tests/test_ops.cpp:173-236`; expected bounded sequence [0,3,3,4,5]

@@ -1,0 +1,82 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.FrameElem
+import graft.operators.StdKernels
+
+/** Image-column queries — the reference's `ColumnType.Image`
+  * (`scanner/metadata.proto:30-47`: JPEG/PNG/BMP groups) realized as
+  * Spark's `binaryFile` source feeding the same frame-kernel pipeline as
+  * video. Files are opaque binary rows `(path, content)`; filename carries
+  * (streamId, index); decode is a distributed map into `FrameElem`.
+  *
+  * Inputs are PNGs generated once from the deterministic synthetic frames
+  * (no image corpus ships in the test data), so these are rows-only checks
+  * like the video queries; ImageEncoder round-trip semantics are pinned by
+  * KernelsSpec.
+  */
+object ImageQueries {
+
+  private val frameEnc = Encoders.product[FrameElem]
+
+  /** idempotent: write 2 streams x 20 PNGs derived from synthetic frames */
+  private def ensureImages(s: SparkSession): String = {
+    val root = sys.props("java.io.tmpdir") + "/graft-imageq"
+    val dir  = Paths.get(root)
+    if (!Files.exists(dir.resolve("img_1_19.png"))) {
+      Files.createDirectories(dir)
+      for (sid <- 0L until 2L; i <- 0 until 20) {
+        val png = StdKernels.encodePng(StdKernels.syntheticFrame(sid, i.toLong, 16, 24, 3))
+        Files.write(dir.resolve(s"img_${sid}_$i.png"), png)
+      }
+    }
+    root
+  }
+
+  /** binaryFile rows decoded to frames, keyed by filename-borne ids */
+  private def frames(s: SparkSession, dir: String) = {
+    val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+      .select(col("path"), col("content"))
+    bin.as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .map { case (path, bytes) =>
+        val name  = path.split('/').last.stripSuffix(".png")
+        val parts = name.split('_') // img_<sid>_<idx>
+        StdKernels.decodeImage(parts(1).toLong, parts(2).toLong, bytes)
+      }(frameEnc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // image files -> dims + content hash (the Image column scan itself)
+    "img_decode" -> ((s, _) => {
+      val root = ensureImages(s)
+      frames(s, root).toDF()
+        .select(col("streamId"), col("index"), col("height"), col("width"),
+          md5(col("data")).as("px_md5"))
+        .orderBy("streamId", "index")
+    }),
+
+    // image column feeding the SAME kernel pipeline as video frames:
+    // decode -> per-stream resize config -> histogram
+    "img_histogram" -> ((s, _) => {
+      val root    = ensureImages(s)
+      val resized = StdKernels.resizeOp(frames(s, root),
+        Map(0L -> ((12, 8)), 1L -> ((6, 4))))
+      val hists = StdKernels.histogramOp(resized)
+      import s.implicits._
+      hists.map(e => (e.streamId, e.index, md5Hex(e.payload)))
+        .toDF("streamId", "index", "hist_md5")
+        .orderBy("streamId", "index")
+    })
+  )
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** inputs are generated PNGs, not shared parquet — rows-only checks */
+  val oracles: Map[String, String] = Map.empty
+}

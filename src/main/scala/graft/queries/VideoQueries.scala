@@ -66,6 +66,19 @@ object VideoQueries {
         .orderBy("index")
     }),
 
+    // stream-config args end-to-end (py_test.py:339-348): one graph over
+    // both ingested streams, per-stream resize dims bound by streamId
+    "video_resize_perstream" -> ((s, _) => {
+      val root   = ensureIngested(s)
+      val frames = VideoStore.frames(s, root, "testvid")
+      val ranged = SequenceOps.range(frames.toDF(), 0L, 20L).as[FrameElem](frameEnc)
+      val resized = StdKernels.resizeOp(ranged, Map(0L -> ((12, 8)), 1L -> ((6, 4))))
+      resized.toDF()
+        .select(col("streamId"), col("index"), col("height"), col("width"),
+          md5(col("data")).as("frame_md5"))
+        .orderBy("streamId", "index")
+    }),
+
     // stencil {0,1} optical-flow (stub estimator, real stencil plan) →
     // per-frame mean |flow|
     "video_flow" -> ((s, _) => {

@@ -102,9 +102,14 @@ object NamedStorage {
     ()
   }
 
-  /** Write a DataFrame as a committed named stream. */
+  /** Write a DataFrame as a committed named stream. `options` pass through
+    * to the parquet writer (e.g. "compression" -> zstd — the storage-codec
+    * half of the reference's per-column compression hints,
+    * `python/scannerpy/op.py:57-102`).
+    */
   def write(df: DataFrame, root: String, name: String,
-      mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+      mode: CacheMode = CacheMode.Error,
+      options: Map[String, String] = Map.empty): StreamDescriptor = {
     val spark = df.sparkSession
     mode match {
       case CacheMode.Error if exists(spark, root, name) =>
@@ -115,7 +120,7 @@ object NamedStorage {
     }
     delete(spark, root, name)
 
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, name).toString)
+    df.write.options(options).mode(SaveMode.Overwrite).parquet(dataDir(root, name).toString)
     // row count from parquet footers only (metadata-only count, no data scan);
     // an accumulator would double-count on task retries
     val rows = spark.read.parquet(dataDir(root, name).toString).count()

@@ -33,6 +33,22 @@ object VideoStore {
   final case class Segment(
       streamId: Long, segId: Long, startIndex: Long, numFrames: Int, payload: Array[Byte])
 
+  /** Per-column output-compression hints — the reference attaches
+    * codec/quality/lossless to a sink column (`python/scannerpy/op.py:
+    * 57-102`, applied `client.py:1338-1354`). Here: `quality`/`lossless`
+    * drive the (stand-in) video codec's pre-quantization; `storageCodec`
+    * is the parquet codec of the segment table (the part Spark executes
+    * for real: zstd/snappy/none on the wire format).
+    */
+  final case class CompressionHints(
+      storageCodec: String = "snappy",
+      quality: Int = 100,
+      lossless: Boolean = true) {
+    require(quality >= 1 && quality <= 100, s"quality must be in [1,100], got $quality")
+    /** quantization step derived from quality (1 = exact) */
+    def step: Int = if (lossless) 1 else math.max(1, (100 - quality) / 4)
+  }
+
   private val segEnc   = Encoders.product[Segment]
   private val frameEnc = Encoders.product[FrameElem]
 
@@ -40,17 +56,34 @@ object VideoStore {
     * must carry dense per-stream indices (codec GOPs are index-aligned).
     */
   def ingest(frames: Dataset[FrameElem], root: String, name: String,
-      gopSize: Int, mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+      gopSize: Int, mode: CacheMode = CacheMode.Error,
+      hints: CompressionHints = CompressionHints()): StreamDescriptor = {
     require(gopSize > 0, s"gopSize must be positive, got $gopSize")
+    val q = hints.step
     val segs = frames
       .groupByKey(f => (f.streamId, f.index / gopSize))(
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .flatMapSortedGroups(col("index")) { (key: (Long, Long), it: Iterator[FrameElem]) =>
-        val gop = it.toSeq
+        val gop = it.map(f => if (q == 1) f else quantize(f, q)).toSeq
         Iterator.single(Segment(
           key._1, key._2, gop.head.index, gop.size, FakeVideoCodec.encodeGop(gop)))
       }(segEnc)
-    NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode)
+    NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode,
+      options = Map("compression" -> hints.storageCodec))
+  }
+
+  /** lossy pre-quantization: every U8 sample floored to a multiple of
+    * `step` — deterministic, monotone in quality, and it makes the XOR
+    * deltas sparser (the stand-in for a real codec's quality knob)
+    */
+  private def quantize(f: FrameElem, step: Int): FrameElem = {
+    val out = new Array[Byte](f.data.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (((f.data(i) & 0xff) / step) * step).toByte
+      i += 1
+    }
+    f.copy(data = out)
   }
 
   def segments(spark: SparkSession, root: String, name: String): Dataset[Segment] =

@@ -69,6 +69,42 @@ class VideoStoreSpec extends SparkSpec {
     assert(acc.value == 6L + 11L + 100L)
   }
 
+  test("compression hints: storage codec reaches the parquet files; lossless is exact (op.py:57-102)") {
+    val root = freshRoot()
+    import spark.implicits._
+    val frames = synthFrames(0L, 16)
+    VideoStore.ingest(frames.toDS(), root, "z", gopSize = 8,
+      hints = VideoStore.CompressionHints(storageCodec = "zstd"))
+    // writer option really applied: parquet part files carry the codec name
+    val parts = new java.io.File(s"$root/z/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts.nonEmpty && parts.forall(_.contains("zstd")))
+    // lossless default: exact round-trip
+    val back = VideoStore.frames(spark, root, "z").collect().sortBy(_.index)
+    frames.zip(back).foreach { case (a, b) => assertSameFrame(a, b) }
+  }
+
+  test("compression hints: lossy quality quantizes samples monotonically") {
+    val root = freshRoot()
+    import spark.implicits._
+    val hints = VideoStore.CompressionHints(quality = 40, lossless = false)
+    val step  = hints.step
+    assert(step > 1)
+    VideoStore.ingest(synthFrames(0L, 16).toDS(), root, "lossy", gopSize = 8, hints = hints)
+    val back = VideoStore.frames(spark, root, "lossy").collect()
+    assert(back.nonEmpty)
+    // every decoded sample is a multiple of the quantization step, and
+    // within step of the original
+    back.foreach { f =>
+      val orig = StdKernels.syntheticFrame(0L, f.index, 8, 12, 3)
+      f.data.indices.foreach { i =>
+        val v = f.data(i) & 0xff
+        assert(v % step == 0)
+        assert(math.abs(v - (orig.data(i) & 0xff)) < step)
+      }
+    }
+  }
+
   test("export concatenates segments in order") {
     val root = freshRoot()
     import spark.implicits._
