@@ -88,38 +88,46 @@ object StreamingOps {
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class ClosedSession(user_id: Long, start: Long, end: Long, n: Long)
 
+  /** The sessionize state-transition function, exposed for direct unit
+    * testing with `TestGroupState` (processing-time timeouts keep a live
+    * stream permanently busy, so the function — not a running query — is
+    * the testable unit, which is exactly what TestGroupState exists for).
+    */
+  def sessionizeFunc(gapMs: Long)
+      : (Long, Iterator[(Long, Long)], GroupState[SessionState]) => Iterator[ClosedSession] = {
+    (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(user, s.start, s.last, s.n))
+      } else {
+        val ts = it.map(_._2).toSeq.sorted
+        var closed = Vector.empty[ClosedSession]
+        var cur    = state.getOption
+        ts.foreach { t =>
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              closed :+= ClosedSession(user, s.start, s.last, s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutDuration(gapMs)
+        }
+        closed.iterator
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[ClosedSession] = {
     implicit val ss: Encoder[SessionState]  = Encoders.product[SessionState]
     implicit val cs: Encoder[ClosedSession] = Encoders.product[ClosedSession]
     events.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(user, s.start, s.last, s.n))
-          } else {
-            val ts = it.map(_._2).toSeq.sorted
-            var closed = Vector.empty[ClosedSession]
-            var cur    = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) =>
-                  closed :+= ClosedSession(user, s.start, s.last, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapMs)
-            }
-            closed.iterator
-          }
-      }
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(sessionizeFunc(gapMs))
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.Elem
+import graft.operators.StdKernels
+import graft.streaming.StreamingOps
+
+/** Structured-Streaming semantics of the stateful kernels: the same
+  * StatefulKernel contract as batch (`scanner/api/op.h:95-103`), state in
+  * the state store across micro-batches, replay idempotence, out-of-order
+  * buffering. Driven through MemoryStream micro-batches.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-stream-ck").toString
+
+  private def runBatches(batches: Seq[Seq[Elem]]): Seq[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[Elem]
+    val out = StreamingOps.unboundedState(in.toDS(), StdKernels.TestIncrement)
+    val q = out.writeStream
+      .format("memory")
+      .queryName("counts_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      spark.table(q.name).as[Elem].collect()
+        .map(e => (e.streamId, e.index, StdKernels.decodeI64(e.payload)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    } finally q.stop()
+  }
+
+  private def elem(sid: Long, i: Long): Elem = Elem(sid, i, Array[Byte](i.toByte))
+
+  test("unbounded state persists across micro-batches, per stream") {
+    val got = runBatches(Seq(
+      Seq(elem(0, 0), elem(0, 1), elem(1, 0)),
+      Seq(elem(0, 2), elem(1, 1), elem(1, 2))))
+    // counter == index for dense in-order delivery, per stream
+    assert(got == Seq((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 0L), (1L, 1L, 1L), (1L, 2L, 2L)))
+  }
+
+  test("out-of-order elements are buffered and drained in index order") {
+    val got = runBatches(Seq(
+      Seq(elem(0, 0), elem(0, 2), elem(0, 3)), // 2,3 ahead of cursor -> buffered
+      Seq(elem(0, 1)),                          // fills the gap -> 1,2,3 all emit
+      Seq(elem(0, 4))))
+    assert(got == Seq((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (0L, 4L, 4L)))
+  }
+
+  test("duplicates behind the cursor are dropped (idempotent replay)") {
+    val got = runBatches(Seq(
+      Seq(elem(0, 0), elem(0, 1)),
+      Seq(elem(0, 0), elem(0, 1), elem(0, 2)))) // batch replays 0,1
+    assert(got == Seq((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("sessionize state transitions: burst grows, gap closes, timeout flushes") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingOps.{ClosedSession, SessionState}
+    val f = StreamingOps.sessionizeFunc(gapMs = 1000L)
+    def state(s: Option[SessionState], timedOut: Boolean) =
+      TestGroupState.create[SessionState](
+        s.map(Optional.of[SessionState]).getOrElse(Optional.empty[SessionState]()),
+        GroupStateTimeout.ProcessingTimeTimeout(), 0L, Optional.empty[Long](), timedOut)
+
+    // burst within the gap: nothing closes, state carries (start, last, n)
+    val s1 = state(None, timedOut = false)
+    assert(f(7L, Iterator((7L, 0L), (7L, 500L)), s1).isEmpty)
+    assert(s1.get == SessionState(0L, 500L, 2L))
+
+    // next event past the gap: previous session closes, new one opens
+    val s2 = state(Some(SessionState(0L, 500L, 2L)), timedOut = false)
+    assert(f(7L, Iterator((7L, 5000L)), s2).toSeq == Seq(ClosedSession(7L, 0L, 500L, 2L)))
+    assert(s2.get == SessionState(5000L, 5000L, 1L))
+
+    // processing-time timeout fires: dangling session flushes, state removed
+    val s3 = state(Some(SessionState(5000L, 5000L, 1L)), timedOut = true)
+    assert(f(7L, Iterator.empty, s3).toSeq == Seq(ClosedSession(7L, 5000L, 5000L, 1L)))
+    assert(s3.isRemoved)
+  }
+
+  test("windowed event counts aggregate under watermark (batch-plan twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val out = StreamingOps.windowedEventCounts(df, "10 seconds", "1 minute")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("wincounts_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+      in.addData(Seq((ts(5), "a"), (ts(10), "a"), (ts(70), "b")))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      in.addData(Seq((ts(300), "c")))
+      q.processAllAvailable()
+      val rows = spark.table(q.name).collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows == Seq((0L, "a", 2L), (60L, "b", 1L)))
+    } finally q.stop()
+  }
+}
