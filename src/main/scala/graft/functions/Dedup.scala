@@ -62,10 +62,13 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(array_join(slice(col("__slots"), b * rows + 1, rows), "")).as("bk"))
     }
+    // band keys cost k md5s per shingle — persist so the self-join's two
+    // sides (and distinct) reuse one computation
     val keyed = withShingles(docs, idCol, textCol)
       .select(col(idCol), slots.as("__slots"))
       .select(col(idCol).as("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+      .persist()
     val l = keyed.select(col("band"), col("bk"), col("id").as("a"))
     val r = keyed.select(col("band"), col("bk"), col("id").as("b"))
     l.join(r, Seq("band", "bk"))
@@ -76,19 +79,28 @@ object Dedup {
 
   private val hexDigits = "0123456789abcdef"
 
-  /** 64-bit SimHash over whitespace tokens, as 8 8-bit band values
-    * (columns band0..band7; band b holds signature bits 8b..8b+7,
-    * bit i of the band = signature bit 8b+i). Signature bit j is the
-    * sign of the sum over tokens of (2*bit_j(md5(token)) - 1), where
-    * bit_j of a token hash comes from md5 hex nibble j/4, bit 3 - j%4.
+  /** 64-bit SimHash over whitespace tokens, as `64/bitsPerBand` band
+    * values (columns band0..bandN; band b holds signature bits
+    * [b*bitsPerBand, (b+1)*bitsPerBand), bit i of the band = signature bit
+    * b*bitsPerBand+i). Signature bit j is the sign of the sum over tokens
+    * of (2*bit_j(md5(token)) - 1), where bit_j of a token hash comes from
+    * md5 hex nibble j/4, bit 3 - j%4.
     *
     * Bands, not a single long: (a) no signed-overflow trap at bit 63 in
     * either engine, (b) the bands ARE the Hamming-ball candidate index —
     * two docs within Hamming distance d of each other must agree exactly
-    * on at least one band when d < 8 (pigeonhole), so candidate lookup is
-    * an equi-join on (band, value), never an all-pairs scan.
+    * on at least one band when d < #bands (pigeonhole), so candidate
+    * lookup is an equi-join on (band, value), never an all-pairs scan.
+    * Band width is the corpus-scale dial: 2^bitsPerBand buckets per band,
+    * so choose bitsPerBand ≈ log2(|corpus|) to keep buckets near-unique
+    * (fewer, wider bands = fewer candidates but smaller detectable
+    * distance; 8×8 bits covers d<8 for small corpora, 4×16 bits covers
+    * d<4 with 65536 buckets for large ones).
     */
-  def simhash64Bands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64Bands(docs: DataFrame, idCol: String, textCol: String,
+      bitsPerBand: Int = 8): DataFrame = {
+    require(64 % bitsPerBand == 0, s"bitsPerBand must divide 64, got $bitsPerBand")
+    val nBands = 64 / bitsPerBand
     val exploded = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
       .select(col(idCol), md5(col("t")).as("m"))
@@ -100,10 +112,10 @@ object Dedup {
       sum(bit * 2 - 1).as(s"s$j")
     }
     val agg = withN.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val bands = (0 until 8).map { b =>
-      (0 until 8).map(i =>
-        when(col(s"s${8 * b + i}") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-        .as(s"band$b")
+    val bands = (0 until nBands).map { b =>
+      (0 until bitsPerBand).map(i =>
+        when(col(s"s${bitsPerBand * b + i}") >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$b")
     }
     agg.select(col(idCol) +: bands: _*)
   }
@@ -122,33 +134,39 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs via banded Hamming lookup: candidates = docs
-    * agreeing exactly on >= 1 of the 8 signature bands (pigeonhole-complete
-    * for Hamming distance < 8); verify = exact 64-bit Hamming distance by
+    * agreeing exactly on >= 1 signature band (pigeonhole-complete for
+    * Hamming distance < #bands); verify = exact 64-bit Hamming distance by
     * per-band xor popcount. One equi-join shuffle on (band, value) +
     * distinct + two narrow signature re-joins — no all-pairs anywhere.
+    * `bitsPerBand` dials candidate volume to corpus size (see
+    * [[simhash64Bands]]): buckets per band = 2^bitsPerBand, expected
+    * random-collision candidates ≈ nBands * |corpus|² / 2^(bitsPerBand+1).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming < 8, "banded lookup over 8 bands is complete only for distance < 8")
-    val bandCols = (0 until 8).map(b => col(s"band$b"))
-    val sigs  = simhash64Bands(docs, idCol, textCol)
-    val keyed = sigs.select(col(idCol).as("id"), array(bandCols: _*).as("bands"))
-    val exploded = keyed.select(col("id"), posexplode(col("bands")))
-      .select(col("id"), col("pos").as("band"), col("col").as("bv"))
-    val l = exploded.select(col("band"), col("bv"), col("id").as("a"))
-    val r = exploded.select(col("band"), col("bv"), col("id").as("b"))
-    val cand = l.join(r, Seq("band", "bv"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+      maxHamming: Int, bitsPerBand: Int = 16): DataFrame = {
+    val nBands = 64 / bitsPerBand
+    require(maxHamming < nBands,
+      s"banded lookup over $nBands bands is complete only for distance < $nBands")
+    val bandCols = (0 until nBands).map(b => col(s"band$b"))
+    // signatures are md5-heavy to compute and referenced on both join
+    // sides — persist the narrow (id, bands) relation (nBands longs per
+    // doc) so Spark doesn't recompute the token aggregation per reference
+    val keyed = simhash64Bands(docs, idCol, textCol, bitsPerBand)
+      .select(col(idCol).as("id"), array(bandCols: _*).as("bands"))
+      .persist()
+    val exploded = keyed.select(col("id"), col("bands"), posexplode(col("bands")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bv"),
+        col("bands")) // full signature rides along: no re-join to score
+    val l = exploded.select(col("band"), col("bv"), col("id").as("a"), col("bands").as("ba"))
+    val r = exploded.select(col("band"), col("bv"), col("id").as("b"), col("bands").as("bb"))
     val ham = aggregate(
       zip_with(col("ba"), col("bb"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, v) => acc + v)
-    cand
-      .join(keyed.select(col("id").as("a"), col("bands").as("ba")), Seq("a"))
-      .join(keyed.select(col("id").as("b"), col("bands").as("bb")), Seq("b"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"), ham.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // cheap filter BEFORE the dedup shuffle
+      .dropDuplicates("a", "b")             // hamming is equal across band-collision dups
   }
 
   /** Exact n-gram Jaccard, candidates from the MinHash LSH bands (same
@@ -164,6 +182,7 @@ object Dedup {
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("sh"))
+      .persist() // tokenize+shingle once; joined for both pair sides
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))

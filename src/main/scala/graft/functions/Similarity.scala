@@ -143,6 +143,7 @@ object Similarity {
       col(idCol).as("id") +: col(vecCol).as("v") +:
         (0 until bands).map(b =>
           signBucket(col(vecCol), bitsPerBand, b * bitsPerBand).as(s"band$b")): _*)
+      .persist() // referenced 2x per band (both join sides)
     val perBand = (0 until bands).map { b =>
       val l = keyed.select(col(s"band$b").as("bk"), col("id").as("a"), col("v").as("va"))
       val r = keyed.select(col(s"band$b").as("bk"), col("id").as("b"), col("v").as("vb"))

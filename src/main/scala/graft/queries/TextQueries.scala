@@ -71,8 +71,10 @@ object TextQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // 4 bands x 16 bits: 65536 buckets/band keeps random-collision
+    // candidates near zero at corpus scale (complete for hamming < 4)
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3, bitsPerBand = 16)
         .orderBy("a", "b")),
 
     "dedup_jaccard" -> ((s, dir) =>
@@ -89,8 +91,9 @@ object TextQueries {
     s"SUM(((n$q // $d) % 2)*2 - 1) AS s$j"
   }.mkString(",\n    ")
 
-  private val simhashBands = (0 until 8).map { b =>
-    (0 until 8).map(i => s"(CASE WHEN s${8 * b + i} >= 0 THEN ${1 << i} ELSE 0 END)")
+  private def simhashBands(bitsPerBand: Int) = (0 until 64 / bitsPerBand).map { b =>
+    (0 until bitsPerBand).map(i =>
+      s"(CASE WHEN s${bitsPerBand * b + i} >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ") + s" AS b$b"
   }.mkString(",\n    ")
 
@@ -98,7 +101,7 @@ object TextQueries {
     s"substr('0123456789abcdef', 1 + (b$b // 16), 1)",
     s"substr('0123456789abcdef', 1 + (b$b % 16), 1)")).mkString(" || ")
 
-  private val simhashBandsCte =
+  private def simhashBandsCte(bitsPerBand: Int) =
     s"""tk AS (
        |  SELECT doc_id, md5(unnest($tokSql)) AS m FROM documents),
        |n AS (SELECT doc_id,
@@ -108,7 +111,7 @@ object TextQueries {
        |    $simhashSums
        |  FROM n GROUP BY doc_id),
        |bds AS (SELECT doc_id,
-       |    $simhashBands
+       |    ${simhashBands(bitsPerBand)}
        |  FROM g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -182,23 +185,23 @@ object TextQueries {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH $simhashBandsCte
+      s"""WITH ${simhashBandsCte(8)}
          |SELECT doc_id, $simhashHex AS simhash
          |FROM bds ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      s"""WITH $simhashBandsCte,
+      s"""WITH ${simhashBandsCte(16)},
          |bands AS (
-         |  SELECT doc_id, unnest([0,1,2,3,4,5,6,7]) AS band,
-         |         unnest([b0,b1,b2,b3,b4,b5,b6,b7]) AS bv FROM bds),
+         |  SELECT doc_id, unnest([0,1,2,3]) AS band,
+         |         unnest([b0,b1,b2,b3]) AS bv FROM bds),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
          |       AND x.doc_id < y.doc_id)
          |SELECT a, b,
-         |  CAST(${(0 until 8).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} AS BIGINT) AS hamming
+         |  CAST(${(0 until 4).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} AS BIGINT) AS hamming
          |FROM cand JOIN bds x ON x.doc_id = a JOIN bds y ON y.doc_id = b
-         |WHERE ${(0 until 8).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} <= 7
+         |WHERE ${(0 until 4).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} <= 3
          |ORDER BY a, b""".stripMargin,
 
     "dedup_jaccard" ->
