@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimQueries.queries ++
       graft.queries.VideoQueries.queries ++
-      graft.queries.ImageQueries.queries
+      graft.queries.ImageQueries.queries ++
+      graft.queries.AudioQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.SimQueries.oracles ++
       graft.queries.VideoQueries.oracles ++
-      graft.queries.ImageQueries.oracles
+      graft.queries.ImageQueries.oracles ++
+      graft.queries.AudioQueries.oracles
 }

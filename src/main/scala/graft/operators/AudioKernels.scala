@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+/** Audio as a first-class modality over the same element model as video
+  * (SURVEY.md §1.4): a stream is chunks of interleaved PCM16-LE samples,
+  * `(streamId, index)`-keyed, so every sequence operator (stride, range,
+  * gather, slice) and the NamedStorage commit protocol apply unchanged.
+  *
+  * No audio codec library exists in this container (same constraint as
+  * video, see README) — the "decode" of a compressed format is therefore
+  * out of scope; these kernels define the POST-decode surface: waveform
+  * stats, downsampling (the frame-sample analog), and band-energy
+  * fingerprinting, all in deterministic integer math so specs pin exact
+  * values.
+  */
+object AudioKernels {
+
+  /** one chunk of PCM16-LE audio — the audio analog of FrameElem */
+  final case class AudioChunk(
+      streamId: Long, index: Long, sampleRate: Int, channels: Int, pcm: Array[Byte])
+
+  private val chunkEnc: Encoder[AudioChunk] = Encoders.product[AudioChunk]
+
+  /** deterministic synthetic chunk: triangle-ish wave whose phase/amplitude
+    * derive from (streamId, index, position) — the audio twin of
+    * StdKernels.syntheticFrame
+    */
+  def syntheticChunk(streamId: Long, index: Long, sampleRate: Int = 16000,
+      channels: Int = 1, samplesPerChunk: Int = 1600): AudioChunk = {
+    val bb = ByteBuffer.allocate(samplesPerChunk * channels * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < samplesPerChunk * channels) {
+      val period = 50 + ((streamId * 17 + index * 5) % 50).toInt
+      val phase  = (i + index.toInt * 7) % period
+      val tri    = math.abs(phase * 2 - period) - period / 2
+      bb.putShort((tri * 300).toShort)
+      i += 1
+    }
+    AudioChunk(streamId, index, sampleRate, channels, bb.array())
+  }
+
+  private def samples(c: AudioChunk): Iterator[Int] = {
+    val bb = ByteBuffer.wrap(c.pcm).order(ByteOrder.LITTLE_ENDIAN)
+    Iterator.continually(bb).takeWhile(_.remaining() >= 2).map(_.getShort.toInt)
+  }
+
+  /** peak absolute amplitude */
+  def peak(c: AudioChunk): Int =
+    samples(c).foldLeft(0)((m, s) => math.max(m, math.abs(s)))
+
+  /** sum of squared samples (exact integer) — RMS = sqrt(sse / n) */
+  def sumSquares(c: AudioChunk): Long =
+    samples(c).foldLeft(0L)((a, s) => a + s.toLong * s)
+
+  /** zero-crossing count (sign changes between consecutive samples) */
+  def zeroCrossings(c: AudioChunk): Int =
+    samples(c).sliding(2).count(w => w.size == 2 && (w.head < 0) != (w.last < 0))
+
+  /** keep every `factor`-th sample — the audio frame-sample analog;
+    * sampleRate scales down with the data
+    */
+  def downsample(c: AudioChunk, factor: Int): AudioChunk = {
+    require(factor > 0)
+    val kept = samples(c).grouped(factor).map(_.head).toArray
+    val bb   = ByteBuffer.allocate(kept.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    kept.foreach(s => bb.putShort(s.toShort))
+    c.copy(sampleRate = c.sampleRate / factor, pcm = bb.array())
+  }
+
+  /** 8-band energy fingerprint: split the chunk into 8 equal windows, sum
+    * |sample| per window, quantize each to 8 bits by ranking against the
+    * chunk mean — packed into one long. Deterministic, comparable via
+    * xor/bit_count like SimHash.
+    */
+  def energyFingerprint(c: AudioChunk): Long = {
+    val xs = samples(c).toArray
+    if (xs.isEmpty) return 0L
+    val win   = math.max(1, xs.length / 8)
+    val energies = (0 until 8).map { b =>
+      val from = b * win
+      val to   = math.min(xs.length, from + win)
+      if (from >= xs.length) 0L
+      else (from until to).foldLeft(0L)((a, i) => a + math.abs(xs(i)))
+    }
+    val mean = energies.sum / 8
+    energies.zipWithIndex.foldLeft(0L) { case (acc, (e, b)) =>
+      acc | ((if (e > mean) 1L else 0L) << b)
+    }
+  }
+
+  // ---- Dataset-level ops (the Spark-side plumbing: schema + batch shape)
+
+  def statsOp(ds: Dataset[AudioChunk]): Dataset[(Long, Long, Int, Long, Int)] =
+    ds.map(c => (c.streamId, c.index, peak(c), sumSquares(c), zeroCrossings(c)))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.scalaLong, Encoders.scalaInt))
+
+  def downsampleOp(ds: Dataset[AudioChunk], factor: Int): Dataset[AudioChunk] =
+    ds.map(downsample(_, factor))(chunkEnc)
+
+  def fingerprintOp(ds: Dataset[AudioChunk]): Dataset[(Long, Long, Long)] =
+    ds.map(c => (c.streamId, c.index, energyFingerprint(c)))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AudioKernels, SequenceOps}
+import graft.operators.AudioKernels.AudioChunk
+
+/** Audio-modality queries: PCM chunk streams through the shared sequence
+  * operators and waveform kernels. Inputs are deterministic synthetic
+  * chunks (no audio corpus in the shared parquet, same as video), so these
+  * are rows-only checks; exact kernel values are pinned by
+  * AudioKernelsSpec.
+  */
+object AudioQueries {
+
+  private val chunkEnc = Encoders.product[AudioChunk]
+
+  /** 2 streams x 60 chunks of deterministic PCM */
+  private def chunks(s: SparkSession) = {
+    import s.implicits._
+    (for (sid <- 0L until 2L; i <- 0 until 60)
+      yield AudioKernels.syntheticChunk(sid, i.toLong)).toDS()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // waveform stats over a Range-sampled window of both streams
+    "audio_stats" -> ((s, _) => {
+      val ranged = SequenceOps.range(chunks(s).toDF(), 0L, 40L).as[AudioChunk](chunkEnc)
+      AudioKernels.statsOp(ranged)
+        .toDF("streamId", "index", "peak", "sum_sq", "zero_crossings")
+        .orderBy("streamId", "index")
+    }),
+
+    // stride-sample chunks, downsample 4x in-chunk, fingerprint — the
+    // audio twin of the video decode->resize->hash pipeline
+    "audio_fingerprint" -> ((s, _) => {
+      val strided = SequenceOps.stride(chunks(s).toDF(), 3L).as[AudioChunk](chunkEnc)
+      val down    = AudioKernels.downsampleOp(strided, 4)
+      AudioKernels.fingerprintOp(down)
+        .toDF("streamId", "index", "fp")
+        .orderBy("streamId", "index")
+    })
+  )
+
+  /** synthetic inputs, not shared parquet — rows-only checks */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -103,19 +103,25 @@ object VideoStore {
       streamId: Long, rows: Seq[Long],
       decoded: Option[LongAccumulator] = None): Dataset[FrameElem] = {
     require(rows.nonEmpty, "gatherFrames needs at least one row")
-    // plan: metadata-only pass (payload column pruned from the scan)
-    val meta = segments(spark, root, name)
+    import spark.implicits._
+    // plan: DISTRIBUTED metadata pass — segment index (payload pruned from
+    // the scan) range-joined against the broadcast wanted-row list, reduced
+    // to (segId, max needed offset). Only this pruning result — one row per
+    // segment that actually contains a wanted frame, ≤ |rows| — reaches the
+    // driver, where it becomes the isin() pushed into the payload scan
+    // (the dynamic-file-pruning pattern; the reference's TaskStream rows).
+    val want = rows.toDF("__want")
+    val needed: Map[Long, Long] = segments(spark, root, name)
       .filter(col("streamId") === streamId)
       .select(col("segId"), col("startIndex"), col("numFrames"))
-      .collect()
-    val want = rows.toSet
-    val needed: Map[Long, Long] = meta.iterator.map { r =>
-      val segId = r.getLong(0); val start = r.getLong(1); val n = r.getInt(2)
-      val offs = want.iterator.filter(x => x >= start && x < start + n).map(_ - start)
-      segId -> (if (offs.isEmpty) -1L else offs.max)
-    }.filter(_._2 >= 0).toMap
+      .join(broadcast(want), col("__want") >= col("startIndex") &&
+        col("__want") < col("startIndex") + col("numFrames"))
+      .groupBy(col("segId"))
+      .agg(max(col("__want") - col("startIndex")).as("__upTo"))
+      .as[(Long, Long)].collect().toMap
+    val wantSet = rows.toSet
 
-    val wantB   = spark.sparkContext.broadcast(want)
+    val wantB   = spark.sparkContext.broadcast(wantSet)
     val neededB = spark.sparkContext.broadcast(needed)
     segments(spark, root, name)
       .filter(col("streamId") === streamId &&

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.AudioKernels
+
+/** Deterministic-value pins for the audio kernels (the modality's analog
+  * of KernelsSpec's histogram/resize pins).
+  */
+class AudioKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic chunk is deterministic and PCM16-sized") {
+    val a = AudioKernels.syntheticChunk(1L, 2L)
+    val b = AudioKernels.syntheticChunk(1L, 2L)
+    assert(a.pcm.length == 1600 * 2)
+    assert(java.util.Arrays.equals(a.pcm, b.pcm))
+    val other = AudioKernels.syntheticChunk(1L, 3L)
+    assert(!java.util.Arrays.equals(a.pcm, other.pcm))
+  }
+
+  test("stats are exact integer math") {
+    val c = AudioKernels.syntheticChunk(0L, 0L, samplesPerChunk = 8)
+    // period = 50, phase i%50 over 8 samples: tri = |2i-50|-25
+    val expected = (0 until 8).map(i => (math.abs(i * 2 - 50) - 25) * 300)
+    val got = {
+      val bb = java.nio.ByteBuffer.wrap(c.pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq.fill(8)(bb.getShort.toInt)
+    }
+    assert(got == expected)
+    assert(AudioKernels.peak(c) == expected.map(math.abs).max)
+    assert(AudioKernels.sumSquares(c) == expected.map(v => v.toLong * v).sum)
+  }
+
+  test("downsample keeps every n-th sample and scales the rate") {
+    val c = AudioKernels.syntheticChunk(0L, 1L)
+    val d = AudioKernels.downsample(c, 4)
+    assert(d.pcm.length == c.pcm.length / 4)
+    assert(d.sampleRate == c.sampleRate / 4)
+    val orig = java.nio.ByteBuffer.wrap(c.pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val down = java.nio.ByteBuffer.wrap(d.pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 10).foreach { k =>
+      assert(down.getShort(k * 2) == orig.getShort(k * 8))
+    }
+  }
+
+  test("energy fingerprint is stable and 8-bit banded") {
+    val c  = AudioKernels.syntheticChunk(3L, 7L)
+    val fp = AudioKernels.energyFingerprint(c)
+    assert(fp == AudioKernels.energyFingerprint(c))
+    assert((fp & ~0xffL) == 0L) // only 8 band bits
+  }
+
+  test("audio chunks run distributed through the kernel ops") {
+    val ds  = (0 until 20).map(i => AudioKernels.syntheticChunk(0L, i.toLong)).toDS()
+    val out = AudioKernels.statsOp(ds).collect().sortBy(_._2)
+    assert(out.length == 20)
+    assert(out.map(_._2).toSeq == (0L until 20L))
+    // values match local computation (distributed == sequential)
+    out.foreach { case (_, idx, pk, ss, zc) =>
+      val c = AudioKernels.syntheticChunk(0L, idx)
+      assert(pk == AudioKernels.peak(c) && ss == AudioKernels.sumSquares(c) &&
+        zc == AudioKernels.zeroCrossings(c))
+    }
+  }
+}
