@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.SimQueries.queries ++
       graft.queries.VideoQueries.queries ++
       graft.queries.ImageQueries.queries ++
-      graft.queries.AudioQueries.queries
+      graft.queries.AudioQueries.queries ++
+      graft.queries.FileSourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.SimQueries.oracles ++
       graft.queries.VideoQueries.oracles ++
       graft.queries.ImageQueries.oracles ++
-      graft.queries.AudioQueries.oracles
+      graft.queries.AudioQueries.oracles ++
+      graft.queries.FileSourceQueries.oracles
 }

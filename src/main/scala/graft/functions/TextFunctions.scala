@@ -46,6 +46,17 @@ object TextFunctions {
     }
   }
 
+  /** BPE-pretokenizer-style segment count: the GPT-2-ish pre-tokenization
+    * shape (optional leading space + letter run | digit run | symbol run)
+    * restricted to an ASCII character-class regex that evaluates
+    * identically under Java regex (Spark) and RE2 (DuckDB). Counts the
+    * subword-merge INPUT segments — the standard cheap proxy for token
+    * budget before a real BPE vocab is applied.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
+      .cast("long")
+
   /** canonical document fingerprint: md5 of whitespace-normalized lowercase */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))

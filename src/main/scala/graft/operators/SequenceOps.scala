@@ -310,4 +310,40 @@ object SequenceOps {
     val w = Window.partitionBy(col(STREAM)).orderBy(col(INDEX))
     df.withColumn(INDEX, row_number().over(w).cast("long") - 1)
   }
+
+  /** As-of join: attach to each left row the LATEST right row of the same
+    * stream with `right.index <= left.index` (null struct fields if none) —
+    * sequence alignment for mixed-rate streams (sparse annotations, config
+    * snapshots, embedding checkpoints joined to a dense event/frame
+    * stream). The reference has no such operator (SURVEY.md §2.5 honest-gap
+    * map: positional equi-join only); this is the training-data-pipeline
+    * extension expressed Spark-first.
+    *
+    * Plan: tag + unionByName both sides, ONE sort-shuffle on
+    * (stream, index, side) with right-before-left at equal index, then a
+    * running `last(ignoreNulls)` fill and a side filter. No per-row probe
+    * join, no range explosion. Right values travel as one struct so
+    * legitimately-null right fields survive the ignoreNulls fill.
+    * Parallelism = #streams (the stateful-op contract; Slice first for
+    * intra-stream parallelism).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val keyCols   = Seq(STREAM, INDEX)
+    val leftVals  = left.columns.filterNot(keyCols.contains).toSeq
+    val rightVals = right.columns.filterNot(keyCols.contains).toSeq
+    require(rightVals.nonEmpty, "right side needs at least one value column")
+    require(leftVals.intersect(rightVals).isEmpty,
+      s"overlapping value columns: ${leftVals.intersect(rightVals).mkString(",")}")
+    val r = right.select(col(STREAM), col(INDEX),
+      struct(rightVals.map(col): _*).as("__r"), lit(0).as("__side"))
+    val l = left.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(col(STREAM)).orderBy(col(INDEX), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((keyCols ++ leftVals).map(col) ++
+        rightVals.map(v => col(s"__rf.$v").as(v)): _*)
+  }
 }

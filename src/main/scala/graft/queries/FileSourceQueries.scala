@@ -1,0 +1,81 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-backed stored-stream sources beyond parquet — the reference docs
+  * promise files/captions sources via scannertools
+  * (`docs/guide/stored-streams.rst:8-13,27-35`); here they are Spark's
+  * built-in `text` source plus parsing expressions, proven by a query
+  * instead of merely claimed.
+  *
+  * Caption files are generated deterministically (one .cap file per
+  * stream, lines "startFrame endFrame text") — rows-only checks, like the
+  * other generated-input modalities.
+  */
+object FileSourceQueries {
+
+  /** idempotent: 2 streams x 30 caption lines, 90 frames each at 3/caption */
+  private def ensureCaptions(s: SparkSession): String = {
+    val root = sys.props("java.io.tmpdir") + "/graft-captions"
+    val dir  = Paths.get(root)
+    if (!Files.exists(dir.resolve("stream_1.cap"))) {
+      Files.createDirectories(dir)
+      for (sid <- 0L until 2L) {
+        val lines = (0 until 30).map { i =>
+          val start = i * 3
+          s"$start ${start + 2} caption s$sid line $i word${(sid * 31 + i * 7) % 97}"
+        }
+        Files.write(dir.resolve(s"stream_$sid.cap"),
+          lines.mkString("\n").getBytes(UTF_8))
+      }
+    }
+    root
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // caption source: text files -> (streamId, caption index, frame range,
+    // text), streamId recovered from the file path, frame range parsed from
+    // the line — all expression-level (no UDFs)
+    "src_captions" -> ((s, _) => {
+      val root = ensureCaptions(s)
+      s.read.textFile(s"$root/*.cap").toDF("line")
+        .withColumn("streamId",
+          regexp_extract(input_file_name(), "stream_(\\d+)\\.cap", 1).cast("long"))
+        .withColumn("parts", split(col("line"), " ", 3))
+        .select(
+          col("streamId"),
+          element_at(col("parts"), 1).cast("long").as("startFrame"),
+          element_at(col("parts"), 2).cast("long").as("endFrame"),
+          element_at(col("parts"), 3).as("caption"))
+        .withColumn("index", col("startFrame") / 3 cast "long")
+        .orderBy("streamId", "index")
+    }),
+
+    // captions as-of-joined onto the frame index domain: every frame gets
+    // its covering caption — the caption/frame alignment the reference's
+    // caption source exists for
+    "src_caption_align" -> ((s, _) => {
+      val root = ensureCaptions(s)
+      val caps = s.read.textFile(s"$root/*.cap").toDF("line")
+        .withColumn("streamId",
+          regexp_extract(input_file_name(), "stream_(\\d+)\\.cap", 1).cast("long"))
+        .withColumn("parts", split(col("line"), " ", 3))
+        .select(col("streamId"),
+          element_at(col("parts"), 1).cast("long").as("index"),
+          element_at(col("parts"), 3).as("caption"))
+      import s.implicits._
+      val frames = (for (sid <- 0L until 2L; f <- 0L until 90L) yield (sid, f))
+        .toDF("streamId", "index")
+      graft.operators.SequenceOps.asofJoin(frames, caps)
+        .select(col("streamId"), col("index").as("frame"), col("caption"))
+        .orderBy("streamId", "frame")
+    })
+  )
+
+  /** generated text files, not shared parquet — rows-only checks */
+  val oracles: Map[String, String] = Map.empty
+}

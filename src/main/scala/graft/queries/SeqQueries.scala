@@ -72,6 +72,24 @@ object SeqQueries {
         .orderBy("stream_id", "index")
     }),
 
+    // as-of alignment: dense 4-stream event sequence joined to its own
+    // sparse (every-10th) snapshot — each row gets the latest snapshot
+    // value at-or-before its index (DuckDB native ASOF JOIN as the oracle)
+    "seq_asof" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        (col("event_id") % 4).as(SequenceOps.STREAM),
+        (col("event_id") / 4).cast("long").as(SequenceOps.INDEX),
+        col("event_type"),
+        col("value"))
+      val left  = base.select(col(SequenceOps.STREAM), col(SequenceOps.INDEX), col("event_type"))
+      val right = base.filter(col(SequenceOps.INDEX) % 10 === 0)
+        .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX), col("value").as("snap_value"))
+      SequenceOps.asofJoin(left, right)
+        .select(col(SequenceOps.STREAM).as("stream_id"), col(SequenceOps.INDEX).as("idx"),
+          col("event_type"), col("snap_value"))
+        .orderBy("stream_id", "idx")
+    }),
+
     "seq_gather" -> ((s, dir) =>
       SequenceOps.gather(stream(s, dir), Seq(5L, 250L, 750L, 999L))
         .select(col("index"), col("event_type"))
@@ -179,6 +197,16 @@ object SeqQueries {
         |SELECT sid AS stream_id, nidx AS index,
         |       CAST(SUM(v) OVER (PARTITION BY sid ORDER BY nidx) AS BIGINT) AS cumsum
         |FROM f ORDER BY stream_id, index""".stripMargin,
+
+    "seq_asof" ->
+      """WITH s AS (
+        |  SELECT event_id % 4 AS sid, event_id // 4 AS idx, event_type, value
+        |  FROM events),
+        |l AS (SELECT sid, idx, event_type FROM s),
+        |r AS (SELECT sid, idx, value FROM s WHERE idx % 10 = 0)
+        |SELECT l.sid AS stream_id, l.idx AS idx, l.event_type, r.value AS snap_value
+        |FROM l ASOF LEFT JOIN r ON l.sid = r.sid AND l.idx >= r.idx
+        |ORDER BY stream_id, idx""".stripMargin,
 
     "seq_gather" ->
       """SELECT CAST(t.pos AS BIGINT) AS index, e.event_type

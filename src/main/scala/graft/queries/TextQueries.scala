@@ -49,6 +49,10 @@ object TextQueries {
         TF.langId(col("text"), LANG_MARKERS).as("lang_guess"))
         .orderBy("doc_id")),
 
+    "txt_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
     "txt_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -138,6 +142,11 @@ object TextQueries {
          |       WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_guess
          |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)
          |ORDER BY doc_id""".stripMargin,
+
+    "txt_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

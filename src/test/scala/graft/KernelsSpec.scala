@@ -15,6 +15,26 @@ class KernelsSpec extends SparkSpec {
     (for (s <- 0 until streams; i <- 0 until n)
       yield Elem(s.toLong, i.toLong, i.toString.getBytes)).toDF()
 
+  test("stateful plan shuffles exactly once (BASELINE.md bench target 3)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: DataFrame): Int = {
+      df.collect() // AQE finalizes stages only on execution
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      // count distinct shuffle stages: exchanges nest inside AQE query
+      // stages, whose `plan` is not a child — walk the string form instead
+      plan.toString.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    }
+    assert(shuffles(Kernels.unboundedState(elems(100, streams = 4),
+      StdKernels.TestIncrement)) == 1)
+    val sliced = SequenceOps.slice(elems(100), Partitioner.All(25))
+    assert(shuffles(Kernels.unboundedState(sliced, StdKernels.TestIncrement,
+      sliced = true)) == 1)
+  }
+
   test("bounded state warmup=3 + Gather[0,10,25,26,27] -> [0,3,3,4,5] (py_test.py:407-423)") {
     val out = Kernels.boundedState(elems(30), StdKernels.TestIncrement, 3,
         Some(Seq(0L, 10L, 25L, 26L, 27L)))

@@ -79,6 +79,20 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 10L), (1L, 1L, 15L)))
   }
 
+  test("asofJoin attaches latest right row at-or-before each left index, per stream") {
+    val left = elems(10, streams = 2).withColumnRenamed("payload", "lp")
+    val right = (for ((s, i, v) <- Seq((0L, 0L, "a"), (0L, 4L, "b"), (1L, 3L, "c")))
+      yield (s, i, v)).toDF("streamId", "index", "rv")
+    val out = SequenceOps.asofJoin(left, right)
+      .orderBy("streamId", "index").collect()
+      .map(r => (r.getAs[Long]("streamId"), r.getAs[Long]("index"), r.getAs[String]("rv")))
+    // stream 0: idx 0..3 -> "a", 4..9 -> "b"; stream 1: idx 0..2 -> null, 3.. -> "c"
+    assert(out.filter(_._1 == 0L).map(_._3).toSeq ==
+      Seq.fill(4)("a") ++ Seq.fill(6)("b"))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq.fill(3)(null) ++ Seq.fill(7)("c"))
+  }
+
   test("gather keeps listed rows in list order (py_test.py:297)") {
     val out = idxPay(SequenceOps.gather(elems(N), Seq(0L, 150L, 377L, 500L)))
     assert(out.size == 4)
