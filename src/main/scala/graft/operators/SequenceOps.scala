@@ -69,13 +69,32 @@ object SequenceOps {
     val counts  = intervals.map { case (s, e) => (e - s + stride - 1) / stride }
     val offsets = counts.scanLeft(0L)(_ + _)
     val idx     = col(INDEX)
-    val memberships = array(intervals.zip(offsets).map { case ((s, e), off) =>
-      when(idx >= s && idx < e && (idx - s) % stride === 0,
-        lit(off) + (idx - s) / stride).otherwise(lit(null))
-    }: _*)
-    df.withColumn("__ni", explode(filter(memberships, m => m.isNotNull)))
-      .withColumn(INDEX, col("__ni").cast("long"))
-      .drop("__ni")
+    // overlap is decidable at plan time: when intervals are disjoint every
+    // row has at most one membership, so skip the generator entirely and
+    // emit a plain filter + CASE projection (fully codegen'd, no explode
+    // operator in the plan)
+    val disjoint = intervals.sortBy(_._1).sliding(2).forall {
+      case Seq((_, e1), (s2, _)) => e1 <= s2
+      case _                     => true
+    }
+    if (disjoint) {
+      val keep = intervals.map { case (s, e) =>
+        idx >= s && idx < e && (idx - s) % stride === 0
+      }.reduce(_ || _)
+      val newIdx = intervals.zip(offsets).foldRight(lit(-1L): Column) {
+        case (((s, e), off), other) =>
+          when(idx >= s && idx < e, lit(off) + (idx - s) / stride).otherwise(other)
+      }
+      df.filter(keep).withColumn(INDEX, newIdx.cast("long"))
+    } else {
+      val memberships = array(intervals.zip(offsets).map { case ((s, e), off) =>
+        when(idx >= s && idx < e && (idx - s) % stride === 0,
+          lit(off) + (idx - s) / stride).otherwise(lit(null))
+      }: _*)
+      df.withColumn("__ni", explode(filter(memberships, m => m.isNotNull)))
+        .withColumn(INDEX, col("__ni").cast("long"))
+        .drop("__ni")
+    }
   }
 
   /** Per-stream sampler args — the reference's Job bindings run ONE graph

@@ -52,30 +52,77 @@ object StdKernels {
   def histogramOp(ds: Dataset[FrameElem]): Dataset[Elem] =
     ds.map(f => Elem(f.streamId, f.index, histogram(f)))(elemEnc)
 
-  /** Resize (nearest-neighbor), per-stream target dims via stream-config args
-    * — `tests/test_ops.cpp:114-170` (`ResizeArgs`). The reference uses a
-    * box-sampling resize; nearest-neighbor keeps the port dependency-free
-    * while exercising the same plan shape (per-stream config joined in).
+  /** Stream-config args of the reference Resize op (`tests/test_ops.proto`
+    * ResizeArgs; kernel `tests/test_ops.cpp:114-170`): target dims, aspect
+    * preservation (one dim 0 → derived from the other), and min mode
+    * (no-op when the frame already fits).
+    */
+  final case class ResizeArgs(
+      width: Int, height: Int, preserveAspect: Boolean = false, minOnly: Boolean = false)
+
+  /** Target-dimension derivation — exact port of the reference's
+    * preserve_aspect / min logic (`test_ops.cpp:130-147`).
+    */
+  def resolveResizeDims(a: ResizeArgs, srcH: Int, srcW: Int): (Int, Int) = {
+    var (tw, th) = (a.width, a.height)
+    if (a.preserveAspect) {
+      if (tw == 0) tw = srcW * th / srcH
+      else th = srcH * tw / srcW
+    }
+    if (a.minOnly && srcW <= tw && srcH <= th) { tw = srcW; th = srcH }
+    (th, tw)
+  }
+
+  /** Bilinear resize — the reference resizes via OpenCV `cv::resize`
+    * default INTER_LINEAR (`test_ops.cpp:154`); this is the same sampling
+    * (src = (dst + 0.5) * scale - 0.5, 4-neighbor blend, edge clamp) in
+    * dependency-free double math. Not bit-identical to OpenCV's fixed-point
+    * path (OpenCV is not in this container to compare against), but the
+    * algorithm, dims logic, and plan shape are the reference's.
     */
   def resize(frame: FrameElem, outH: Int, outW: Int): FrameElem = {
     require(frame.dtype == FrameType.U8)
-    val c   = frame.channels
+    val c  = frame.channels
+    val h  = frame.height; val w = frame.width
     val out = new Array[Byte](outH * outW * c)
+    val syS = h.toDouble / outH
+    val sxS = w.toDouble / outW
     var y = 0
     while (y < outH) {
-      val sy = (y.toLong * frame.height / outH).toInt
+      val fy = math.max(0.0, (y + 0.5) * syS - 0.5)
+      val y0 = math.min(h - 1, fy.toInt)
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = fy - y0
       var x = 0
       while (x < outW) {
-        val sx  = (x.toLong * frame.width / outW).toInt
-        val src = (sy * frame.width + sx) * c
+        val fx = math.max(0.0, (x + 0.5) * sxS - 0.5)
+        val x0 = math.min(w - 1, fx.toInt)
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = fx - x0
         val dst = (y * outW + x) * c
         var k = 0
-        while (k < c) { out(dst + k) = frame.data(src + k); k += 1 }
+        while (k < c) {
+          val p00 = frame.data((y0 * w + x0) * c + k) & 0xff
+          val p01 = frame.data((y0 * w + x1) * c + k) & 0xff
+          val p10 = frame.data((y1 * w + x0) * c + k) & 0xff
+          val p11 = frame.data((y1 * w + x1) * c + k) & 0xff
+          val v = (p00 * (1 - wx) + p01 * wx) * (1 - wy) +
+                  (p10 * (1 - wx) + p11 * wx) * wy
+          out(dst + k) = math.round(v).toInt.min(255).max(0).toByte
+          k += 1
+        }
         x += 1
       }
       y += 1
     }
     frame.copy(height = outH, width = outW, data = out)
+  }
+
+  /** resize with the full reference arg surface */
+  def resizeWithArgs(frame: FrameElem, args: ResizeArgs): FrameElem = {
+    val (th, tw) = resolveResizeDims(args, frame.height, frame.width)
+    if (th == frame.height && tw == frame.width) frame
+    else resize(frame, th, tw)
   }
 
   /** resize with per-stream (width, height) config — the reference's
@@ -87,6 +134,10 @@ object StdKernels {
       val (w, h) = perStream(f.streamId)
       resize(f, h, w)
     }(frameEnc)
+
+  /** resize with full per-stream ResizeArgs (preserve_aspect / min) */
+  def resizeArgsOp(ds: Dataset[FrameElem], perStream: Map[Long, ResizeArgs]): Dataset[FrameElem] =
+    ds.map(f => resizeWithArgs(f, perStream(f.streamId)))(frameEnc)
 
   /** Box blur with radius `r`, op-args rate (`BlurArgs`) —
     * `tests/test_ops.cpp:239-310` (sum over the kernel window, edge rows

@@ -36,7 +36,46 @@ object FileSourceQueries {
     root
   }
 
+  /** idempotent: embedded Derby DB (the jars Spark ships for its metastore)
+    * seeded with a deterministic annotations table — the "SQL source"
+    */
+  private def ensureJdbc(): String = {
+    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft-derby;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, "ANNOTATIONS", null)
+      if (!meta.next()) {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          "CREATE TABLE annotations (stream_id BIGINT, idx BIGINT, label VARCHAR(32))")
+        val ps = conn.prepareStatement("INSERT INTO annotations VALUES (?, ?, ?)")
+        for (sid <- 0L until 2L; i <- 0L until 15L) {
+          ps.setLong(1, sid); ps.setLong(2, i)
+          ps.setString(3, s"label_${(sid * 31 + i * 7) % 5}")
+          ps.executeUpdate()
+        }
+        ps.close(); st.close()
+      }
+    } finally conn.close()
+    url
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL source: spark.read.jdbc against embedded Derby — the reference
+    // docs' SQL stored-stream (scannertools), realized with Spark's
+    // built-in JDBC source; predicates push into the database
+    "src_jdbc" -> ((s, _) => {
+      val url = ensureJdbc()
+      s.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "annotations")
+        .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        .load()
+        .select(col("STREAM_ID").as("stream_id"), col("IDX").as("idx"),
+          col("LABEL").as("label"))
+        .orderBy("stream_id", "idx")
+    }),
+
     // caption source: text files -> (streamId, caption index, frame range,
     // text), streamId recovered from the file path, frame range parsed from
     // the line — all expression-level (no UDFs)

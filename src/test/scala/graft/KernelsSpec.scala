@@ -35,6 +35,21 @@ class KernelsSpec extends SparkSpec {
       sliced = true)) == 1)
   }
 
+  test("resize args: preserve_aspect derives missing dim; min mode no-ops when smaller (test_ops.cpp:130-147)") {
+    import StdKernels.{resolveResizeDims, ResizeArgs}
+    assert(resolveResizeDims(ResizeArgs(0, 30, preserveAspect = true), 20, 40) == ((30, 60)))
+    assert(resolveResizeDims(ResizeArgs(60, 0, preserveAspect = true), 20, 40) == ((30, 60)))
+    assert(resolveResizeDims(ResizeArgs(100, 100, minOnly = true), 20, 40) == ((20, 40)))
+    assert(resolveResizeDims(ResizeArgs(10, 10, minOnly = true), 20, 40) == ((10, 10)))
+  }
+
+  test("bilinear resize interpolates between neighbors (cv INTER_LINEAR sampling)") {
+    val f = FrameElem(0L, 0L, 1, 2, 1, FrameType.U8, Array(0, 100).map(_.toByte))
+    val r = StdKernels.resize(f, 1, 4)
+    // src = (dst + 0.5) * 0.5 - 0.5 -> samples at 0, 0.25, 0.75, 1 (clamped)
+    assert(r.data.map(_ & 0xff).toSeq == Seq(0, 25, 75, 100))
+  }
+
   test("bounded state warmup=3 + Gather[0,10,25,26,27] -> [0,3,3,4,5] (py_test.py:407-423)") {
     val out = Kernels.boundedState(elems(30), StdKernels.TestIncrement, 3,
         Some(Seq(0L, 10L, 25L, 26L, 27L)))
