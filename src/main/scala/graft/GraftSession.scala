@@ -21,6 +21,7 @@ object GraftSession {
       if (maxTaskFailures > 1) s"local[$cores,$maxTaskFailures]" else s"local[$cores]"
     val s = SparkSession.builder()
       .master(master)
+      .withExtensions(graft.plans.GraftExtensions)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

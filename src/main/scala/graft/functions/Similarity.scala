@@ -27,8 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** ordered-fold dot product of two array<double|float> columns */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<float> columns in double precision — the
+    * native codegen'd expression ([[graft.plans.FloatVecDot]], registered
+    * by GraftExtensions). Bit-identical to [[dotFold]]'s left-to-right
+    * accumulation, one fused loop instead of the interpreted HOF pipeline.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** generic ordered-fold dot product for arbitrary numeric arrays (the
+    * expression-only fallback when inputs aren't array<float>)
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** The custom Catalyst expression must agree exactly with the
+  * expression-fold definition (which in turn matches the DuckDB
+  * list_inner_product oracle) — and be callable from SQL via the
+  * session-extension registration.
+  */
+class FloatVecDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.25f)),
+    (3L, Array.tabulate(64)(i => (i * 0.37f - 11f) / 7f),
+      Array.tabulate(64)(i => (i * 0.91f - 29f) / 13f))
+  ).toDF("id", "a", "b")
+
+  test("vec_dot equals the ordered-fold definition bit-for-bit") {
+    val rows = vecs.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("vec_dot is registered as a SQL function") {
+    vecs.createOrReplaceTempView("vdv")
+    val got = spark.sql("SELECT id, vec_dot(a, b) AS d FROM vdv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 3)
+    assert(math.abs(got.head._2 - 32.0) < 1e-9) // 1*4 + 2*5 + 3*6
+  }
+
+  test("null input yields null") {
+    val df = Seq((Option(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+}
