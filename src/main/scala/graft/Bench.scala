@@ -17,6 +17,49 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** BASELINE.md "BENCH targets for the rebuild" as first-class timed
+    * entries (prefix bt_), independent of SF dir:
+    *  - target 2: Stride/Range/Gather on a 1M-row synthetic Elem table
+    *    must be scan-dominated — compare bt_1m_* against bt_1m_scan.
+    *  - target 3: stateful kernel over 1M rows / 100 slice groups in the
+    *    single-shuffle plan.
+    *  - target 4: sparse gather of 100 frames from a 10k-frame stream
+    *    through the keyframe index (decode counts pinned by spec; this
+    *    times it).
+    */
+  private def benchTargets: Map[String, (SparkSession, String) => DataFrame] = {
+    def elems1m(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.functions._
+      s.range(0, 1000000, 1, 32).select(
+        (org.apache.spark.sql.functions.col("id") % 8).as("streamId"),
+        (org.apache.spark.sql.functions.col("id") / 8).cast("long").as("index"),
+        encode(conv(org.apache.spark.sql.functions.col("id").cast("string"), 10, 16), "UTF-8")
+          .as("payload"))
+    }
+    Map(
+      "bt_1m_scan" -> ((s, _) => elems1m(s)),
+      "bt_1m_stride" -> ((s, _) => operators.SequenceOps.stride(elems1m(s), 8)),
+      "bt_1m_ranges" -> ((s, _) =>
+        operators.SequenceOps.stridedRanges(elems1m(s), Seq((0L, 50000L), (60000L, 120000L)), 3)),
+      "bt_1m_gather" -> ((s, _) =>
+        operators.SequenceOps.gather(elems1m(s), (0L until 1000L).map(_ * 97))),
+      "bt_1m_state_100slices" -> ((s, _) => {
+        val sliced = operators.SequenceOps.slice(elems1m(s),
+          operators.SequenceOps.Partitioner.All(1250))
+        operators.Kernels.unboundedState(sliced, operators.StdKernels.TestIncrement, sliced = true)
+      }),
+      "bt_sparse_decode" -> ((s, _) => {
+        import s.implicits._
+        val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
+        val frames = (0 until 10000).map(i =>
+          operators.StdKernels.syntheticFrame(0L, i.toLong, 16, 24, 3))
+        sources.VideoStore.ingest(frames.toDS(), root, "bt10k", gopSize = 100,
+          graft.model.CacheMode.Ignore)
+        val want = (0 until 100).map(i => (i * 97L + 13) % 10000L).distinct.sorted
+        sources.VideoStore.gatherFrames(s, root, "bt10k", 0L, want).toDF()
+      }))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -30,8 +73,12 @@ object Bench {
     }
     try queries.VideoQueries.warmup(spark)
     catch { case e: Throwable => System.err.println(s"warmup(video) failed: $e") }
+    // one-time 10k-frame ingest for bt_sparse_decode happens here, not in
+    // the timed loop (CacheMode.Ignore makes the timed run skip it)
+    try materialize(benchTargets("bt_sparse_decode")(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"warmup(bt video) failed: $e") }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = (SparkEntry.queries ++ benchTargets).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }

@@ -44,12 +44,16 @@ object model {
   /** Replacement for the reference `TableDescriptor`
     * (`scanner/metadata.proto:120-128`): name, commit flag, column list,
     * row count. Persisted as JSON next to the parquet data.
+    * `location` set ⇒ inplace-registered stream: the data lives at an
+    * external path and was never copied (reference inplace ingest,
+    * `scanner/engine/ingest.cpp:382-546`).
     */
   final case class StreamDescriptor(
       name: String,
       committed: Boolean,
       columns: Seq[String],
-      rows: Long)
+      rows: Long,
+      location: Option[String] = None)
 
   /** Reference CacheMode (`python/scannerpy/client.py:1386-1432`). */
   sealed trait CacheMode

@@ -47,7 +47,8 @@ object NamedStorage {
       case c => c.toString
     } + "\""
     s"""{"name":${q(d.name)},"committed":${d.committed},""" +
-      s""""columns":[${d.columns.map(q).mkString(",")}],"rows":${d.rows}}"""
+      s""""columns":[${d.columns.map(q).mkString(",")}],"rows":${d.rows}""" +
+      d.location.map(l => s""","location":${q(l)}""").getOrElse("") + "}"
   }
 
   private[graft] def fromJson(s: String): StreamDescriptor = {
@@ -66,7 +67,10 @@ object NamedStorage {
     val colList =
       if (cols.trim.isEmpty) Seq.empty[String]
       else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(cols).map(_.group(1)).toSeq
-    StreamDescriptor(str("name"), bool("committed"), colList, lng("rows"))
+    val location =
+      s""""location"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(s)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    StreamDescriptor(str("name"), bool("committed"), colList, lng("rows"), location)
   }
 
   def exists(spark: SparkSession, root: String, name: String): Boolean = {
@@ -132,10 +136,37 @@ object NamedStorage {
     d
   }
 
-  /** Read a committed named stream; refuses uncommitted remains. */
+  /** Read a committed named stream; refuses uncommitted remains. Inplace
+    * streams read from their external `location`.
+    */
   def read(spark: SparkSession, root: String, name: String): DataFrame = {
     if (!committed(spark, root, name)) throw new UncommittedStreamException(name)
-    spark.read.parquet(dataDir(root, name).toString)
+    val d = descriptor(spark, root, name)
+    spark.read.parquet(d.location.getOrElse(dataDir(root, name).toString))
+  }
+
+  /** Inplace registration — the reference's inplace ingest
+    * (`ingest.cpp:382-546`): index existing data as a committed stream
+    * WITHOUT copying it. Only the descriptor is written; `delete` on the
+    * stream later removes the registration, never the external data.
+    */
+  def registerInplace(spark: SparkSession, root: String, name: String,
+      dataPath: String, mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+    mode match {
+      case CacheMode.Error if exists(spark, root, name) =>
+        throw new StreamExistsException(name)
+      case CacheMode.Ignore if committed(spark, root, name) =>
+        return descriptor(spark, root, name)
+      case _ => ()
+    }
+    delete(spark, root, name)
+    val df   = spark.read.parquet(dataPath) // validates readability + schema
+    val rows = df.count()                   // parquet-footer metadata count
+    val d = StreamDescriptor(name, committed = true, df.columns.toSeq, rows, Some(dataPath))
+    val p = descPath(root, name)
+    val out = fs(spark, p).create(p, true)
+    try out.write(toJson(d).getBytes(UTF_8)) finally out.close()
+    d
   }
 
   /** reference `Column.load(rows)` (`python/scannerpy/column.py:214-281`):

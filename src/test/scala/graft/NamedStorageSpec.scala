@@ -68,5 +68,22 @@ class NamedStorageSpec extends SparkSpec {
     assert(NamedStorage.fromJson(NamedStorage.toJson(d)) == d)
     val empty = StreamDescriptor("e", committed = true, Seq.empty, 0L)
     assert(NamedStorage.fromJson(NamedStorage.toJson(empty)) == empty)
+    val inplace = StreamDescriptor("ip", committed = true, Seq("c"), 7L, Some("/ext/path"))
+    assert(NamedStorage.fromJson(NamedStorage.toJson(inplace)) == inplace)
+  }
+
+  test("inplace registration indexes external data without copying (ingest.cpp:382-546)") {
+    val root = freshRoot()
+    val ext  = freshRoot() + "/external-data"
+    sampleDf(12).write.parquet(ext)
+    val d = NamedStorage.registerInplace(spark, root, "ip", ext)
+    assert(d.committed && d.rows == 12L && d.location.contains(ext))
+    // no data copied under the stream dir — just the descriptor
+    assert(!new java.io.File(s"$root/ip/data").exists())
+    assert(NamedStorage.read(spark, root, "ip").count() == 12)
+    // deleting the registration leaves the external data untouched
+    NamedStorage.delete(spark, root, "ip")
+    assert(!NamedStorage.exists(spark, root, "ip"))
+    assert(spark.read.parquet(ext).count() == 12)
   }
 }
