@@ -139,6 +139,28 @@ object RelQueries {
         .orderBy("user_id")
     }),
 
+    // hierarchical aggregation: ROLLUP produces the (flag, status),
+    // (flag), () grouping sets in one pass
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // running window frame: per-customer cumulative order spend in date
+    // order — decimal accumulation so frame-order arithmetic is exact in
+    // both engines
+    "q_running_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // tumbling 1-hour windowed aggregation — identical plan under
     // Structured Streaming (readStream + window())
     "q_events_hourly" -> ((s, dir) => {
@@ -225,6 +247,19 @@ object RelQueries {
         |          lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT epoch_ns(ts) // (3600000000000) AS bucket, event_type,
