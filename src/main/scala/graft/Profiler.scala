@@ -1,0 +1,87 @@
+package graft
+
+import scala.collection.mutable
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Profiler-equivalent of the reference's per-worker timeline profiler
+  * (`scanner/engine/master.cpp` profiler dump, `python/scannerpy/profiler.py`)
+  * — SURVEY.md §4/Phase 4: Spark's listener bus replaces the hand-rolled
+  * trace. Collects per-stage task counts, run times, and shuffle/spill
+  * volumes for everything executed inside a `profile { }` block.
+  *
+  * The Spark UI remains the interactive view; this gives the reference's
+  * programmatic `job.profiler()` surface (totals a test can assert on and
+  * a pipeline can log at 100 TB without a UI).
+  */
+object Profiler {
+
+  final case class StageProfile(
+      stageId: Int,
+      name: String,
+      numTasks: Int,
+      taskTimeMs: Long,
+      maxTaskTimeMs: Long,
+      shuffleReadBytes: Long,
+      shuffleWriteBytes: Long,
+      spillBytes: Long)
+
+  final case class Profile(stages: Seq[StageProfile]) {
+    def totalTaskTimeMs: Long    = stages.map(_.taskTimeMs).sum
+    def totalShuffleRead: Long   = stages.map(_.shuffleReadBytes).sum
+    def totalShuffleWrite: Long  = stages.map(_.shuffleWriteBytes).sum
+    def numStages: Int           = stages.size
+    def render: String =
+      f"stages=$numStages taskTime=${totalTaskTimeMs}ms " +
+        f"shuffleR=$totalShuffleRead shuffleW=$totalShuffleWrite\n" +
+        stages.sortBy(-_.taskTimeMs).map(s =>
+          f"  stage ${s.stageId}%4d ${s.numTasks}%4d tasks ${s.taskTimeMs}%7dms " +
+            f"(max ${s.maxTaskTimeMs}ms) shR=${s.shuffleReadBytes} shW=${s.shuffleWriteBytes}" +
+            f" spill=${s.spillBytes}  ${s.name.take(60)}").mkString("\n")
+  }
+
+  /** Run `body`, return (result, profile of all stages it executed). */
+  def profile[T](spark: SparkSession)(body: => T): (T, Profile) = {
+    val taskTime  = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val taskMax   = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val taskCount = mutable.Map.empty[Int, Int].withDefaultValue(0)
+    val spill     = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val done      = mutable.ArrayBuffer.empty[SparkListenerStageCompleted]
+    @volatile var lastEventAt = System.nanoTime()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        val sid = t.stageId
+        val m   = t.taskMetrics
+        if (m != null) {
+          taskTime(sid) += m.executorRunTime
+          taskMax(sid) = math.max(taskMax(sid), m.executorRunTime)
+          spill(sid) += m.diskBytesSpilled + m.memoryBytesSpilled
+        }
+        taskCount(sid) += 1
+        lastEventAt = System.nanoTime()
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        synchronized { done += s; lastEventAt = System.nanoTime() }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = body
+      // the listener bus is async (and not public API): wait until it has
+      // been quiet for 300 ms, capped at 10 s
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (System.nanoTime() - lastEventAt < 300L * 1000 * 1000 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val stages = listener.synchronized {
+        done.map { s =>
+          val sid = s.stageInfo.stageId
+          StageProfile(
+            sid, s.stageInfo.name, taskCount(sid), taskTime(sid), taskMax(sid),
+            s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            spill(sid))
+        }.toSeq
+      }
+      (result, Profile(stages))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

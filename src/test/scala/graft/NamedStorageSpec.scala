@@ -63,6 +63,21 @@ class NamedStorageSpec extends SparkSpec {
     assert(some.map(_.getLong(1)) == Seq(3L, 11L, 17L))
   }
 
+  test("multi-output graph: one upstream feeds two committed sinks (py_test.py:220-271)") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    // one graph, two outputs — persist the shared upstream so both sinks
+    // consume one computation (the reference runs the DAG once for all
+    // sink columns)
+    val upstream = sampleDf(25).withColumn("plen", length(col("payload"))).persist()
+    val d1 = NamedStorage.write(upstream.select("streamId", "index", "payload"), root, "out_payload")
+    val d2 = NamedStorage.write(upstream.select("streamId", "index", "plen"), root, "out_len")
+    assert(d1.committed && d2.committed && d1.rows == 25L && d2.rows == 25L)
+    assert(NamedStorage.read(spark, root, "out_len").columns.toSeq ==
+      Seq("streamId", "index", "plen"))
+    upstream.unpersist()
+  }
+
   test("descriptor JSON codec round-trips") {
     val d = StreamDescriptor("a \"quoted\" name", committed = false, Seq("x", "y"), 42L)
     assert(NamedStorage.fromJson(NamedStorage.toJson(d)) == d)
