@@ -28,6 +28,17 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
 
+  /** The MATERIALIZED dedup: ids surviving exact dedup (lowest id per
+    * fingerprint group) — what a pipeline actually joins against to drop
+    * duplicates. One hash aggregation; at 100 TB the downstream drop is a
+    * semi-join on this (small) keeper set.
+    */
+  def dedupedIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
   /** MinHash signature slot: min over shingles of md5(slot + "|" + shingle) */
   def minhashSlot(shinglesCol: Column, slot: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(s"$slot|"), s))))

@@ -64,6 +64,23 @@ object TextQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("fp")),
 
+    "dedup_keep" -> ((s, dir) =>
+      Dedup.dedupedIds(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // composite quality score from the text-stat components (exact ratios
+    // of integer counts, rounded at 6 dp in both engines)
+    "txt_quality" -> ((s, dir) => {
+      val d    = docs(s, dir)
+      val toks = TF.tokenCount(col("text"))
+      d.select(
+        col("doc_id"),
+        round(TF.stopwordCount(col("text"), STOPWORDS).cast("double") / toks, 6).as("stop_ratio"),
+        round(TF.punctCount(col("text")).cast("double") /
+          greatest(TF.charCount(col("text")), lit(1L)), 6).as("punct_ratio"),
+        round(TF.nonSpaceCount(col("text")).cast("double") / toks, 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 4)
         .orderBy("doc_id", "slot")),
@@ -162,6 +179,20 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_keep" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      s"""SELECT doc_id,
+         |  round(CAST(len(list_filter($tokSql,
+         |      t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($tokSql), 6) AS stop_ratio,
+         |  round(CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |      / greatest(len(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / len($tokSql), 6) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH sh AS (

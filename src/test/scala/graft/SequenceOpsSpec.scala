@@ -187,6 +187,29 @@ class SequenceOpsSpec extends SparkSpec {
     assert(j.columns.sorted.toSeq == Seq("a", "b", "index", "streamId"))
   }
 
+  test("sampler algebra: Stride(a)∘Stride(b) ≡ Stride(a*b) (SURVEY §5 property plan)") {
+    for ((a, b) <- Seq((2L, 3L), (4L, 5L), (7L, 2L))) {
+      val composed = idxPay(SequenceOps.stride(SequenceOps.stride(elems(N), a), b))
+      val direct   = idxPay(SequenceOps.stride(elems(N), a * b))
+      assert(composed == direct, s"stride $a∘$b != stride ${a * b}")
+    }
+  }
+
+  test("sampler algebra: Stride(n)∘Range(s,e) ≡ StridedRange(s,e,n)") {
+    for ((s0, e0, n) <- Seq((0L, 120L, 4L), (37L, 200L, 7L), (100L, 101L, 3L))) {
+      val composed = idxPay(SequenceOps.stride(SequenceOps.range(elems(N), s0, e0), n))
+      val direct   = idxPay(SequenceOps.stridedRange(elems(N), s0, e0, n))
+      assert(composed == direct, s"stride($n)∘range($s0,$e0) != stridedRange")
+    }
+  }
+
+  test("sampler algebra: Stride(k)∘Repeat(k) ≡ identity") {
+    for (k <- Seq(2L, 5L, 9L)) {
+      val roundTrip = idxPay(SequenceOps.stride(SequenceOps.repeat(elems(90), k), k))
+      assert(roundTrip == idxPay(elems(90)), s"stride∘repeat at k=$k not identity")
+    }
+  }
+
   test("multi-stream: samplers operate per stream independently") {
     val out = SequenceOps.stride(elems(100, streams = 3), 10)
     assert(out.count() == 30)
