@@ -82,6 +82,39 @@ class KernelsSpec extends SparkSpec {
     assert(out.toSeq == ((0L until 20L) ++ (0L until 20L)))
   }
 
+  test("per-slice op args: config keyed by sliceId changes kernel behavior (py_test.py:393-404)") {
+    import org.apache.spark.sql.functions._
+    // slice into 3 groups of 10; per-slice multiplier bound by sliceId —
+    // the reference's per-slice args rate, realized as a closure config
+    // exactly like per-stream args
+    val sliced = SequenceOps.slice(elems(30), Partitioner.All(10))
+    val perSlice = Map(0L -> 1L, 1L -> 10L, 2L -> 100L)
+    import spark.implicits._
+    val out = sliced.select(col("streamId"), col("sliceId"), col("index"), col("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .map { case (s, g, i, p) => (s, g, i, new String(p).toLong * perSlice(g)) }
+      .collect().sortBy(t => (t._2, t._3))
+    assert(out.length == 30)
+    assert(out.filter(_._2 == 0L).map(_._4).toSeq == (0L until 10L))
+    assert(out.filter(_._2 == 1L).map(_._4).toSeq == (10L until 20L).map(_ * 10))
+    assert(out.filter(_._2 == 2L).map(_._4).toSeq == (20L until 30L).map(_ * 100))
+  }
+
+  test("stencil wider than a partition assembles across partition boundaries (py_test.py:459-520)") {
+    // 600 rows forced into many small partitions; stencil offsets span far
+    // beyond any single partition — the hash-agg assembly is partition-
+    // agnostic, unlike a sliding-window-in-partition approach
+    val df  = elems(600).repartition(32)
+    val out = SequenceOps.stencil(df, Seq(-60, 0, 60), "payload")
+      .orderBy("index").collect()
+      .map(r => (r.getAs[Long]("index"),
+        r.getSeq[Array[Byte]](r.fieldIndex("window")).map(b => new String(b).toLong)))
+    assert(out.length == 600)
+    assert(out(100)._2 == Seq(40L, 100L, 160L))
+    assert(out(0)._2 == Seq(0L, 0L, 60L))     // repeat-edge at front
+    assert(out(599)._2 == Seq(539L, 599L, 599L)) // repeat-edge at back
+  }
+
   test("histogram: 3x16 int32 LE bins summing to H*W per channel (test_ops.cpp:13-59)") {
     val f   = StdKernels.syntheticFrame(0, 0, 8, 8, 3)
     val out = StdKernels.histogram(f)
