@@ -112,15 +112,22 @@ object Dedup {
       bitsPerBand: Int = 8): DataFrame = {
     require(64 % bitsPerBand == 0, s"bitsPerBand must divide 64, got $bitsPerBand")
     val nBands = 64 / bitsPerBand
-    val exploded = docs
+    // fold repeated tokens first: the vote of a token appearing w times is
+    // w * (±1) per bit, so aggregate (doc, token) -> weight, then hash each
+    // DISTINCT token once — md5/nibble extraction and the 64 sum updates
+    // run on the distinct-token relation, typically 2-3x smaller than the
+    // raw token stream (both aggregations combine map-side)
+    val tokenW = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col(idCol), md5(col("t")).as("m"))
+      .groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).as("__w"))
+      .select(col(idCol), col("__w"), md5(col("t")).as("m"))
     val nibbles = (0 until 16).map(q =>
       (instr(lit(hexDigits), col("m").substr(lit(q + 1), lit(1))) - 1).cast("int").as(s"n$q"))
-    val withN = exploded.select(col(idCol) +: nibbles: _*)
+    val withN = tokenW.select(col(idCol) +: col("__w") +: nibbles: _*)
     val sums = (0 until 64).map { j =>
       val bit = (shiftright(col(s"n${j / 4}"), 3 - j % 4) % 2).cast("long")
-      sum(bit * 2 - 1).as(s"s$j")
+      sum((bit * 2 - 1) * col("__w")).as(s"s$j")
     }
     val agg = withN.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
     val bands = (0 until nBands).map { b =>
