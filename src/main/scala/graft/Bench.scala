@@ -49,12 +49,17 @@ object Bench {
         operators.Kernels.unboundedState(sliced, operators.StdKernels.TestIncrement, sliced = true)
       }),
       "bt_sparse_decode" -> ((s, _) => {
-        import s.implicits._
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
-        val frames = (0 until 10000).map(i =>
-          operators.StdKernels.syntheticFrame(0L, i.toLong, 16, 24, 3))
-        sources.VideoStore.ingest(frames.toDS(), root, "bt10k", gopSize = 100,
-          graft.model.CacheMode.Ignore)
+        // construct+encode the 10k frames ONLY when not yet ingested —
+        // otherwise the timed run would pay driver-side frame synthesis
+        // unrelated to the sparse-decode path under measurement
+        if (!sources.NamedStorage.committed(s, root, "bt10k")) {
+          import s.implicits._
+          val frames = (0 until 10000).map(i =>
+            operators.StdKernels.syntheticFrame(0L, i.toLong, 16, 24, 3))
+          sources.VideoStore.ingest(frames.toDS(), root, "bt10k", gopSize = 100,
+            graft.model.CacheMode.Ignore)
+        }
         val want = (0 until 100).map(i => (i * 97L + 13) % 10000L).distinct.sorted
         sources.VideoStore.gatherFrames(s, root, "bt10k", 0L, want).toDF()
       }))
@@ -84,6 +89,10 @@ object Bench {
         try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"bench query $name failed: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // library ops persist() reused self-join relations (signatures, band
+      // keys); scope those caches to the query so 50 queries in one
+      // session don't accumulate storage memory
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

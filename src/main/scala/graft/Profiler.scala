@@ -40,30 +40,50 @@ object Profiler {
             f" spill=${s.spillBytes}  ${s.name.take(60)}").mkString("\n")
   }
 
-  /** Run `body`, return (result, profile of all stages it executed). */
+  /** Run `body`, return (result, profile of the stages it executed).
+    * Scoping: the block runs under a unique job group; only stages of jobs
+    * in that group are reported, so concurrent work in a shared session
+    * stays out of the profile. Metrics are keyed by (stageId, attempt) so
+    * a retried stage (fetch failure on a real cluster) reports each
+    * attempt separately instead of double-counting combined totals.
+    */
   def profile[T](spark: SparkSession)(body: => T): (T, Profile) = {
-    val taskTime  = mutable.Map.empty[Int, Long].withDefaultValue(0L)
-    val taskMax   = mutable.Map.empty[Int, Long].withDefaultValue(0L)
-    val taskCount = mutable.Map.empty[Int, Int].withDefaultValue(0)
-    val spill     = mutable.Map.empty[Int, Long].withDefaultValue(0L)
-    val done      = mutable.ArrayBuffer.empty[SparkListenerStageCompleted]
+    type Key = (Int, Int) // (stageId, attemptNumber)
+    val taskTime  = mutable.Map.empty[Key, Long].withDefaultValue(0L)
+    val taskMax   = mutable.Map.empty[Key, Long].withDefaultValue(0L)
+    val taskCount = mutable.Map.empty[Key, Int].withDefaultValue(0)
+    val spill     = mutable.Map.empty[Key, Long].withDefaultValue(0L)
+    val done      = mutable.LinkedHashMap.empty[Key, SparkListenerStageCompleted]
+    val myStages  = mutable.Set.empty[Int]
+    val groupId   = s"graft-profile-${java.util.UUID.randomUUID()}"
     @volatile var lastEventAt = System.nanoTime()
     val listener = new SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized {
+          if (j.properties != null &&
+              groupId == j.properties.getProperty("spark.jobGroup.id"))
+            myStages ++= j.stageIds
+          lastEventAt = System.nanoTime()
+        }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
-        val sid = t.stageId
+        val key = (t.stageId, t.stageAttemptId)
         val m   = t.taskMetrics
         if (m != null) {
-          taskTime(sid) += m.executorRunTime
-          taskMax(sid) = math.max(taskMax(sid), m.executorRunTime)
-          spill(sid) += m.diskBytesSpilled + m.memoryBytesSpilled
+          taskTime(key) += m.executorRunTime
+          taskMax(key) = math.max(taskMax(key), m.executorRunTime)
+          spill(key) += m.diskBytesSpilled + m.memoryBytesSpilled
         }
-        taskCount(sid) += 1
+        taskCount(key) += 1
         lastEventAt = System.nanoTime()
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        synchronized { done += s; lastEventAt = System.nanoTime() }
+        synchronized {
+          done((s.stageInfo.stageId, s.stageInfo.attemptNumber())) = s
+          lastEventAt = System.nanoTime()
+        }
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(groupId, "graft profiled block", false)
     try {
       val result = body
       // the listener bus is async (and not public API): wait until it has
@@ -72,16 +92,18 @@ object Profiler {
       while (System.nanoTime() - lastEventAt < 300L * 1000 * 1000 &&
              System.nanoTime() < deadline) Thread.sleep(50)
       val stages = listener.synchronized {
-        done.map { s =>
-          val sid = s.stageInfo.stageId
+        done.collect { case (key @ (sid, _), s) if myStages.contains(sid) =>
           StageProfile(
-            sid, s.stageInfo.name, taskCount(sid), taskTime(sid), taskMax(sid),
+            sid, s.stageInfo.name, taskCount(key), taskTime(key), taskMax(key),
             s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead,
             s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten,
-            spill(sid))
+            spill(key))
         }.toSeq
       }
       (result, Profile(stages))
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }

@@ -60,12 +60,14 @@ object AudioKernels {
   def zeroCrossings(c: AudioChunk): Int =
     samples(c).sliding(2).count(w => w.size == 2 && (w.head < 0) != (w.last < 0))
 
-  /** keep every `factor`-th sample — the audio frame-sample analog;
-    * sampleRate scales down with the data
+  /** keep every `factor`-th sample FRAME (one frame = `channels`
+    * interleaved samples, so multi-channel audio keeps all channels of the
+    * retained instants) — the audio frame-sample analog; sampleRate scales
+    * down with the data
     */
   def downsample(c: AudioChunk, factor: Int): AudioChunk = {
     require(factor > 0)
-    val kept = samples(c).grouped(factor).map(_.head).toArray
+    val kept = samples(c).grouped(c.channels).grouped(factor).map(_.head).flatten.toArray
     val bb   = ByteBuffer.allocate(kept.length * 2).order(ByteOrder.LITTLE_ENDIAN)
     kept.foreach(s => bb.putShort(s.toShort))
     c.copy(sampleRate = c.sampleRate / factor, pcm = bb.array())

@@ -20,10 +20,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * fold (left-to-right double accumulation, `(double)f1 * (double)f2`),
   * so results still match the DuckDB `list_inner_product` oracle exactly.
   *
-  * Null contract: null input → null (BinaryExpression default); lengths
-  * are not required equal — the shorter length bounds the loop, matching
-  * `zip_with`'s null-padding + `null * x = null`-skip ... the engine-side
-  * callers always pass equal-length embeddings.
+  * Null contract — identical to the fold: null input array → null;
+  * unequal lengths → null (zip_with null-pads the shorter side and the
+  * null product nulls the accumulator); any null element → null. A
+  * malformed embedding therefore surfaces as NULL, never as a silently
+  * partial score.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,15 +40,19 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // can be null even for non-null inputs (unequal lengths, null elements)
+  override def nullable: Boolean  = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -60,12 +65,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i   = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

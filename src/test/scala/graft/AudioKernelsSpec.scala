@@ -42,6 +42,19 @@ class AudioKernelsSpec extends SparkSpec {
     }
   }
 
+  test("downsample keeps whole frames of interleaved multi-channel audio") {
+    val c = AudioKernels.syntheticChunk(2L, 3L, channels = 2, samplesPerChunk = 100)
+    val d = AudioKernels.downsample(c, 5)
+    // 100 frames x 2ch -> 20 frames x 2ch; both channels of each kept instant
+    assert(d.pcm.length == 20 * 2 * 2)
+    val orig = java.nio.ByteBuffer.wrap(c.pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val down = java.nio.ByteBuffer.wrap(d.pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 5).foreach { f =>
+      assert(down.getShort(f * 4) == orig.getShort(f * 20))          // left
+      assert(down.getShort(f * 4 + 2) == orig.getShort(f * 20 + 2))  // right
+    }
+  }
+
   test("energy fingerprint is stable and 8-bit banded") {
     val c  = AudioKernels.syntheticChunk(3L, 7L)
     val fp = AudioKernels.energyFingerprint(c)

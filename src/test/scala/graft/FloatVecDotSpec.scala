@@ -41,4 +41,18 @@ class FloatVecDotSpec extends SparkSpec {
       .toDF("a", "b")
     assert(df.select(Similarity.dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
+
+  test("unequal lengths and null elements yield null, matching the fold") {
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "vec_dot should be null")
+      assert(r.isNullAt(1), "fold should be null")
+    }
+  }
 }
