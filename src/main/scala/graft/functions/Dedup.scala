@@ -39,6 +39,42 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
+  /** Connected components over a near-dup pair graph: label every node
+    * with the minimum id reachable through pairs — the step that turns
+    * pairwise candidates into keep-one-per-cluster decisions. Min-label
+    * propagation: each round joins current labels across (bidirectional)
+    * edges and takes the min; terminates when a round changes nothing
+    * (#rounds = graph diameter, which for dup clusters is tiny). The
+    * driver runs only the loop-and-converge check (one count per round);
+    * all data movement is hash joins/aggregations — the same loop shape
+    * large-star/small-star uses at web scale.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels  = nodes.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
+    var changed = 1L
+    var iter    = 0
+    while (changed > 0 && iter < maxIters) {
+      // min over own label and all neighbors' labels
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
+        .select(col("a").as("id"), col("nc").as("cluster"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** MinHash signature slot: min over shingles of md5(slot + "|" + shingle) */
   def minhashSlot(shinglesCol: Column, slot: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(s"$slot|"), s))))

@@ -47,6 +47,26 @@ object SimQueries {
         bands = 3, bitsPerBand = 6, threshold = 0.4)
         .orderBy("a", "b")),
 
+    // assignment: every corpus vector labeled with its highest-cosine
+    // anchor (vec_id < 5, broadcast). argmax via partial-aggregated
+    // max(struct(score, -qid)) — no window, ties break to the smaller qid
+    "sim_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      e.select(col("vec_id"), col("embedding").as("v"))
+        .join(q, col("vec_id") =!= col("qid"))
+        .select(col("vec_id"),
+          struct(
+            Similarity.cosine(col("qv"), col("v")).as("score"),
+            (-col("qid")).as("nq"), col("qid")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("vec_id"), col("best.qid").as("best_qid"),
+          round(col("best.score"), 6).as("score"))
+        .orderBy("vec_id")
+    }),
+
     "emb_centroids" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label"))
         .agg(
@@ -92,6 +112,18 @@ object SimQueries {
          |          / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))), 6) AS score
          |      FROM cand JOIN e x ON x.vec_id = a JOIN e y ON y.vec_id = b)
          |SELECT a, b, score FROM s WHERE score >= 0.4 ORDER BY a, b""".stripMargin,
+
+    "sim_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT e.vec_id, qid,
+        |        list_inner_product(qv, v)
+        |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS score
+        |      FROM e JOIN q ON e.vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                   ORDER BY score DESC, qid) AS rk FROM s)
+        |SELECT vec_id, qid AS best_qid, round(score, 6) AS score
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "emb_centroids" ->
       """SELECT label, COUNT(*) AS n,

@@ -99,7 +99,17 @@ object TextQueries {
         .orderBy("a", "b")),
 
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b"))
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b")),
+
+    // LSH pairs -> connected components -> per-doc cluster label (min
+    // reachable doc_id) — the keep-one-per-cluster dedup decision
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4)
+      Dedup.connectedComponents(d.select("doc_id"), pairs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    })
   )
 
   // 64-bit simhash building blocks shared by the dedup_simhash* oracles
@@ -223,6 +233,35 @@ object TextQueries {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($shSql) AS s
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |sig AS (
+         |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+         |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
+         |  GROUP BY doc_id, k),
+         |p AS (
+         |  SELECT doc_id,
+         |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END)
+         |     || MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
+         |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END)
+         |     || MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
+         |  FROM sig GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
+         |  UNION ALL SELECT doc_id, 1, bk1 FROM p),
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH ${simhashBandsCte(8)}
