@@ -90,6 +90,70 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s3.isRemoved)
   }
 
+  test("batch/stream parity: hourly windows over the events parquet match exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir   = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tts", GraftSession.nanosToTimestamp(col("ts")))
+      .groupBy(window(col("tts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val expected = agg(batch).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).sorted.toSeq
+
+    // FileStreamSource requires a directory; stage the single parquet file
+    val stageDir = Files.createTempDirectory("graft-stream-src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(stageDir.toString)
+    val q = agg(stream).writeStream
+      .format("memory")
+      .queryName("parity_" + System.nanoTime())
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val got = spark.table(q.name).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val out = StreamingOps.windowedEventCounts(df, "10 seconds", "1 minute")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("late_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+      in.addData(Seq((ts(5), "a")))
+      q.processAllAvailable()
+      in.addData(Seq((ts(600), "b"))) // watermark jumps to ~590s
+      q.processAllAvailable()
+      in.addData(Seq((ts(10), "a")))  // late beyond the bound -> dropped
+      q.processAllAvailable()
+      in.addData(Seq((ts(1200), "c"))) // close remaining windows
+      q.processAllAvailable()
+      val rows = spark.table(q.name).collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // window [0,60) holds ONE "a": the late second event never counted
+      assert(rows.contains((0L, "a", 1L)))
+      assert(!rows.contains((0L, "a", 2L)))
+    } finally q.stop()
+  }
+
   test("windowed event counts aggregate under watermark (batch-plan twin)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
