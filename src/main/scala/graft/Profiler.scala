@@ -83,6 +83,10 @@ object Profiler {
         }
     }
     spark.sparkContext.addSparkListener(listener)
+    // save the caller's job group so profiling is transparent to e.g.
+    // cancellation-by-group; restored (not cleared) on exit
+    val savedGroup = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val savedDesc  = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobGroup(groupId, "graft profiled block", false)
     try {
       val result = body
@@ -102,7 +106,9 @@ object Profiler {
       }
       (result, Profile(stages))
     } finally {
-      spark.sparkContext.clearJobGroup()
+      if (savedGroup != null) spark.sparkContext.setJobGroup(savedGroup,
+        if (savedDesc != null) savedDesc else "", false)
+      else spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
     }
   }

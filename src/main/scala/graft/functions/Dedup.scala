@@ -51,19 +51,31 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxIters: Int = 20): DataFrame = {
+    val nodeIds = nodes.select(col(idCol).as("id"))
+    // contract: label exactly the given nodes — edges touching ids outside
+    // `nodes` are dropped (both endpoints must be present), so no phantom
+    // rows and every node's own id is always a candidate label
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
       .persist()
-    var labels  = nodes.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
+    var labels  = nodeIds.withColumn("cluster", col("id")).persist()
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIters) {
-      // min over own label and all neighbors' labels
+      // min over own label and all neighbors' labels...
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
         .select(col("a").as("id"), col("nc").as("cluster"))
-      val next = labels.unionByName(viaEdges)
+      val propagated = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      // ...then pointer-jump (label <- label of label): path compression
+      // makes convergence logarithmic in component diameter, not linear
+      val next = propagated
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
+          Seq("cluster"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
         .persist()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") < col("old")).count()
@@ -72,6 +84,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly rather than silently return non-converged labels (a
+    // wrong keep-one-per-cluster decision would keep duplicates)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds")
     labels
   }
 

@@ -112,6 +112,28 @@ object TextQueries {
     })
   )
 
+  // shared minhash-LSH band-key CTEs (k=8 slots, 2 bands of 4 — matching
+  // the Spark queries' lshCandidatePairs(_, _, 8, 4)) used by the
+  // dedup_lsh_pairs / dedup_jaccard / dedup_clusters oracles
+  private val lshBandsCte =
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shSql) AS s
+       |  FROM documents WHERE len($tokSql) >= 2),
+       |sig AS (
+       |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+       |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
+       |  GROUP BY doc_id, k),
+       |p AS (
+       |  SELECT doc_id,
+       |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END) ||
+       |        MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
+       |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END) ||
+       |        MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
+       |  FROM sig GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
+       |  UNION ALL SELECT doc_id, 1, bk1 FROM p)""".stripMargin
+
   // 64-bit simhash building blocks shared by the dedup_simhash* oracles
   private val simhashNibbles = (0 until 16).map(q =>
     s"strpos('0123456789abcdef', substr(m, ${q + 1}, 1)) - 1 AS n$q").mkString(",\n    ")
@@ -213,45 +235,13 @@ object TextQueries {
          |GROUP BY doc_id, k ORDER BY doc_id, slot""".stripMargin,
 
     "dedup_lsh_pairs" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($shSql) AS s
-         |  FROM documents WHERE len($tokSql) >= 2),
-         |sig AS (
-         |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
-         |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
-         |  GROUP BY doc_id, k),
-         |p AS (
-         |  SELECT doc_id,
-         |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END)
-         |     || MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
-         |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END)
-         |     || MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
-         |  FROM sig GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
-         |  UNION ALL SELECT doc_id, 1, bk1 FROM p)
+      s"""WITH $lshBandsCte
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($shSql) AS s
-         |  FROM documents WHERE len($tokSql) >= 2),
-         |sig AS (
-         |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
-         |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
-         |  GROUP BY doc_id, k),
-         |p AS (
-         |  SELECT doc_id,
-         |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END)
-         |     || MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
-         |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END)
-         |     || MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
-         |  FROM sig GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
-         |  UNION ALL SELECT doc_id, 1, bk1 FROM p),
+      s"""WITH RECURSIVE $lshBandsCte,
          |prs AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
@@ -284,23 +274,7 @@ object TextQueries {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($shSql) AS s
-         |  FROM documents WHERE len($tokSql) >= 2),
-         |sig AS (
-         |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
-         |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
-         |  GROUP BY doc_id, k),
-         |p AS (
-         |  SELECT doc_id,
-         |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END)
-         |     || MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
-         |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END)
-         |     || MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
-         |  FROM sig GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
-         |  UNION ALL SELECT doc_id, 1, bk1 FROM p),
+      s"""WITH $lshBandsCte,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),

@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(
+      nodes.toDF("doc_id"), pairs.toDF("a", "b"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // diameter-29 chain would exceed naive propagation rounds; path
+    // compression converges well within maxIters
+    val nodes = (0L until 30L)
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val got   = labelsOf(nodes, chain)
+    assert(got.size == 30)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents labels exactly the given nodes; foreign edges drop") {
+    // edge (99, 7): 99 is not a node -> edge ignored, no phantom row;
+    // node 1 < its neighbor 7 keeps its own id as the cluster label
+    val got = labelsOf(Seq(1L, 7L, 8L), Seq((1L, 7L), (99L, 7L)))
+    assert(got == Map(1L -> 1L, 7L -> 1L, 8L -> 8L))
+  }
+
+  test("connectedComponents: disjoint clusters get distinct minimal labels") {
+    val got = labelsOf(0L until 8L, Seq((0L, 1L), (1L, 2L), (4L, 5L), (6L, 7L)))
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L))
+  }
+}

@@ -93,7 +93,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("batch/stream parity: hourly windows over the events parquet match exactly") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
-    val dir   = "/root/testdata/sf0.001"
+    val dir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     def agg(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("tts", GraftSession.nanosToTimestamp(col("ts")))
@@ -116,7 +116,7 @@ class StreamingOpsSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     try {
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate in 120 s")
       val got = spark.table(q.name).collect()
         .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).sorted.toSeq
       assert(got == expected)
