@@ -129,6 +129,21 @@ object SeqQueries {
         .orderBy("index")
     }),
 
+    // variadic input binding (op.h:44-51, op.py:174-186): THREE aligned
+    // sequences — the base stream plus two block-sampled derivations at
+    // different rates — bound positionally into one relation
+    "seq_variadic_join" -> ((s, dir) => {
+      val base = stream(s, dir)
+      def block(n: Long, name: String) =
+        SequenceOps.repeat(SequenceOps.stride(base, n), n)
+          .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX),
+            col("value").as(name))
+      SequenceOps.positionalJoin(Seq(
+        base.drop("event_type"), block(8, "v_b8"), block(4, "v_b4")))
+        .select(col("index"), col("value").as("v"), col("v_b8"), col("v_b4"))
+        .orderBy("index")
+    }),
+
     "seq_state_counter" -> ((s, dir) => {
       val withPayload = stream(s, dir)
         .withColumn("payload", encode(col("event_type"), "UTF-8"))
@@ -240,6 +255,13 @@ object SeqQueries {
     "seq_positional_join" ->
       """SELECT e.event_id AS index, e.value AS v, b.value AS v_block
         |FROM events e JOIN events b ON b.event_id = (e.event_id // 8) * 8
+        |ORDER BY index""".stripMargin,
+
+    "seq_variadic_join" ->
+      """SELECT e.event_id AS index, e.value AS v, b8.value AS v_b8, b4.value AS v_b4
+        |FROM events e
+        |JOIN events b8 ON b8.event_id = (e.event_id // 8) * 8
+        |JOIN events b4 ON b4.event_id = (e.event_id // 4) * 4
         |ORDER BY index""".stripMargin,
 
     "seq_state_counter" ->

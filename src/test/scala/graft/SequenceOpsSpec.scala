@@ -172,6 +172,17 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(2)._2 == Seq(Some(0L), Some(2L)))
   }
 
+  test("stencil Error boundary raises on out-of-domain reads (rpc.proto:254-259)") {
+    val ok = SequenceOps.stencil(elems(5), Seq(0, 1), "payload", Boundary.Error)
+      .filter(col(SequenceOps.INDEX) < 4) // all in-domain windows
+    assert(ok.count() == 4)
+    val bad = SequenceOps.stencil(elems(5), Seq(0, 1), "payload", Boundary.Error)
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("stencil boundary violation")))
+  }
+
   test("stencil {0,1} row counts match reference ranges (py_test.py:459-520)") {
     // Range(0,1) with stencil [0,1] -> 1 row; Range(0,2) -> 2 rows
     val st = SequenceOps.stencil(elems(30), Seq(0, 1), "payload")
