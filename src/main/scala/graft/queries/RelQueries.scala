@@ -73,6 +73,17 @@ object RelQueries {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q6-style: selective predicate + scalar aggregate — the
+    // pure scan-pushdown query (filters reach the parquet reader; one
+    // partial-aggregated scalar comes back)
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
     // sort + limit with deterministic tiebreak
     "q_topk_orders" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -205,6 +216,14 @@ object RelQueries {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24.0""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
