@@ -60,7 +60,14 @@ object Dedup {
       .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
       .persist()
-    var labels  = nodeIds.withColumn("cluster", col("id")).persist()
+    // the loop only touches nodes that occur in an edge: a singleton can
+    // never change label, so it never enters a round. At corpus scale the
+    // iteration runs over the (tiny) duplicate subgraph, not all of
+    // `nodes`; singletons rejoin at the end with self-labels.
+    val paired = nodeIds
+      .join(edges.select(col("a").as("id")).distinct(), Seq("id"), "left_semi")
+      .persist()
+    var labels  = paired.withColumn("cluster", col("id")).persist()
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIters) {
@@ -71,12 +78,15 @@ object Dedup {
       val propagated = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       // ...then pointer-jump (label <- label of label): path compression
-      // makes convergence logarithmic in component diameter, not linear
+      // makes convergence logarithmic in component diameter, not linear.
+      // localCheckpoint truncates the logical plan each round — the jump
+      // self-joins the previous round's plan, so without truncation the
+      // lineage (and planning time/memory) doubles per iteration
       val next = propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
           Seq("cluster"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") < col("old")).count()
       labels.unpersist()
@@ -89,7 +99,9 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds")
-    labels
+    val singletons = nodeIds.join(paired, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    labels.unionByName(singletons)
   }
 
   /** MinHash signature slot: min over shingles of md5(slot + "|" + shingle) */
