@@ -136,6 +136,17 @@ object RelQueries {
         .orderBy("o_orderpriority", "band")
     }),
 
+    // exact interpolated percentiles per group (sort-based aggregate —
+    // approx sketches can't face a hash-compare oracle)
+    "q_events_median" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // gap-based sessionization over the event stream (lag + running sum) —
     // the batch twin of the Structured Streaming session window
     "q_events_sessionize" -> ((s, dir) => {
@@ -257,6 +268,13 @@ object RelQueries {
         |  UNION ALL
         |  SELECT o_orderpriority, 'low' AS band FROM orders WHERE o_totalprice < 150000.0)
         |GROUP BY o_orderpriority, band ORDER BY o_orderpriority, band""".stripMargin,
+
+    "q_events_median" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (

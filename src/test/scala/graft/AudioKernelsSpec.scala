@@ -62,6 +62,22 @@ class AudioKernelsSpec extends SparkSpec {
     assert((fp & ~0xffL) == 0L) // only 8 band bits
   }
 
+  test("audio chunks persist through NamedStorage like any element stream") {
+    import graft.sources.NamedStorage
+    val root = java.nio.file.Files.createTempDirectory("graft-audio").toString
+    val ds = (0 until 10).map(i => AudioKernels.syntheticChunk(1L, i.toLong)).toDS()
+    val d  = NamedStorage.write(ds.toDF(), root, "pcm")
+    assert(d.committed && d.rows == 10L)
+    val back = NamedStorage.read(spark, root, "pcm")
+      .as[AudioKernels.AudioChunk].collect().sortBy(_.index)
+    assert(back.length == 10)
+    back.foreach { c =>
+      val expect = AudioKernels.syntheticChunk(1L, c.index)
+      assert(c.sampleRate == expect.sampleRate && c.channels == expect.channels)
+      assert(java.util.Arrays.equals(c.pcm, expect.pcm))
+    }
+  }
+
   test("audio chunks run distributed through the kernel ops") {
     val ds  = (0 until 20).map(i => AudioKernels.syntheticChunk(0L, i.toLong)).toDS()
     val out = AudioKernels.statsOp(ds).collect().sortBy(_._2)
