@@ -117,6 +117,14 @@ object RelQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
+    // exact distinct aggregation (expand + two-phase agg under the hood)
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"))
@@ -257,6 +265,11 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -53,6 +53,15 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    // edit distance between consecutive documents' prefixes — standard
+    // DP levenshtein in both engines, exact integer
+    "txt_editdist" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      d.join(d.select((col("doc_id") - 1).as("doc_id"), col("p").as("np")), Seq("doc_id"))
+        .select(col("doc_id"), levenshtein(col("p"), col("np")).cast("long").as("ed"))
+        .orderBy("doc_id")
+    }),
+
     "txt_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -196,6 +205,11 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_editdist" ->
+      """SELECT a.doc_id, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS ed
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
