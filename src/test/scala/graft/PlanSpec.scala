@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression pins for the scale properties the engine claims
+  * (SURVEY.md §4): these are the properties a reviewer checks with
+  * .explain — pinned here so a refactor can't silently reintroduce a
+  * scale-killer (global window rank, lost pushdown, missed broadcast).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("similarity top-k plans as partial aggregation, never a per-query window") {
+    val p = plan(queries.SimQueries.queries("sim_topk")(spark, sfDir))
+    assert(!p.contains("Window"), "top-k must not rank via a global window")
+    assert(p.contains("ObjectHashAggregate"), "bounded-heap aggregate expected")
+    assert(p.contains("partial"), "map-side partial aggregation expected")
+  }
+
+  test("star-join query broadcasts its dimension tables") {
+    val p = plan(queries.RelQueries.queries("q5_nation_revenue")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/supplier/nation should broadcast")
+  }
+
+  test("sampler predicates push into the parquet scan; columns prune") {
+    val p = plan(queries.SeqQueries.queries("seq_stride")(spark, sfDir))
+    assert(p.contains("% 8"), "stride filter should reach the scan's DataFilters")
+    // projection pruned to the two needed source columns
+    assert(p.contains("FileScan parquet [event_id") && !p.contains("value#"),
+      "scan should read only event_id/event_type")
+  }
+
+  test("vec_dot appears as the native expression in the similarity plan") {
+    val p = plan(queries.SimQueries.queries("sim_topk")(spark, sfDir))
+    assert(p.contains("vec_dot"), "native expression should replace the HOF fold")
+  }
+}
