@@ -51,7 +51,7 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxIters: Int = 20): DataFrame = {
-    val nodeIds = nodes.select(col(idCol).as("id"))
+    val nodeIds = nodes.select(col(idCol).as("id")).distinct()
     // contract: label exactly the given nodes — edges touching ids outside
     // `nodes` are dropped (both endpoints must be present), so no phantom
     // rows and every node's own id is always a candidate label
@@ -81,7 +81,12 @@ object Dedup {
       // makes convergence logarithmic in component diameter, not linear.
       // localCheckpoint truncates the logical plan each round — the jump
       // self-joins the previous round's plan, so without truncation the
-      // lineage (and planning time/memory) doubles per iteration
+      // lineage (and planning time/memory) doubles per iteration. Each
+      // round's blocks are executor-local and bounded by the (small)
+      // paired subgraph; they are reclaimed by the ContextCleaner when the
+      // round's Dataset drops out of scope. On a real cluster prefer
+      // `spark.sparkContext.setCheckpointDir` + reliable checkpoint for
+      // executor-loss recovery.
       val next = propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
           Seq("cluster"), "left")
@@ -99,8 +104,12 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds")
+    // materialize (checkpoint) the singleton labels BEFORE releasing
+    // `paired` — the result stays self-contained once returned
     val singletons = nodeIds.join(paired, Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    paired.unpersist()
     labels.unionByName(singletons)
   }
 

@@ -145,13 +145,15 @@ object RelQueries {
     }),
 
     // exact interpolated percentiles per group (sort-based aggregate —
-    // approx sketches can't face a hash-compare oracle)
+    // approx sketches can't face a hash-compare oracle). Rounded to 6 dp:
+    // both engines interpolate linearly but with independently ordered
+    // arithmetic, so raw doubles could differ by an ulp
     "q_events_median" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
@@ -284,8 +286,8 @@ object RelQueries {
 
     "q_events_median" ->
       """SELECT event_type,
-        |  quantile_cont(value, 0.5) AS p50,
-        |  quantile_cont(value, 0.9) AS p90,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

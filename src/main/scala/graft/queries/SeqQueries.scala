@@ -24,6 +24,13 @@ object SeqQueries {
       col("event_type"),
       col("value"))
 
+  /** block-sample `value` at rate n (stride then repeat) — shared by the
+    * positional/variadic join queries so both stay in sync
+    */
+  private def blockSampled(base: DataFrame, n: Long, name: String): DataFrame =
+    SequenceOps.repeat(SequenceOps.stride(base, n), n)
+      .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX), col("value").as(name))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seq_stride" -> ((s, dir) =>
       SequenceOps.stride(stream(s, dir), 8)
@@ -121,10 +128,7 @@ object SeqQueries {
 
     "seq_positional_join" -> ((s, dir) => {
       val base = stream(s, dir)
-      val blockSampled = SequenceOps.repeat(SequenceOps.stride(base, 8), 8)
-        .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX),
-          col("value").as("v_block"))
-      SequenceOps.positionalJoin(Seq(base.drop("event_type"), blockSampled))
+      SequenceOps.positionalJoin(Seq(base.drop("event_type"), blockSampled(base, 8, "v_block")))
         .select(col("index"), col("value").as("v"), col("v_block"))
         .orderBy("index")
     }),
@@ -134,12 +138,8 @@ object SeqQueries {
     // different rates — bound positionally into one relation
     "seq_variadic_join" -> ((s, dir) => {
       val base = stream(s, dir)
-      def block(n: Long, name: String) =
-        SequenceOps.repeat(SequenceOps.stride(base, n), n)
-          .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX),
-            col("value").as(name))
-      SequenceOps.positionalJoin(Seq(
-        base.drop("event_type"), block(8, "v_b8"), block(4, "v_b4")))
+      SequenceOps.positionalJoin(Seq(base.drop("event_type"),
+        blockSampled(base, 8, "v_b8"), blockSampled(base, 4, "v_b4")))
         .select(col("index"), col("value").as("v"), col("v_b8"), col("v_b4"))
         .orderBy("index")
     }),

@@ -175,7 +175,9 @@ class SequenceOpsSpec extends SparkSpec {
   test("stencil Error boundary raises on out-of-domain reads (rpc.proto:254-259)") {
     val ok = SequenceOps.stencil(elems(5), Seq(0, 1), "payload", Boundary.Error)
       .filter(col(SequenceOps.INDEX) < 4) // all in-domain windows
-    assert(ok.count() == 4)
+    // collect (not count) so the window column — and with it the checked
+    // boundary expression — is actually evaluated
+    assert(ok.collect().length == 4)
     val bad = SequenceOps.stencil(elems(5), Seq(0, 1), "payload", Boundary.Error)
     val e = intercept[Exception] { bad.collect() }
     def messages(t: Throwable): Seq[String] =
