@@ -28,5 +28,6 @@ object SparkEntry {
       graft.queries.VideoQueries.oracles ++
       graft.queries.ImageQueries.oracles ++
       graft.queries.AudioQueries.oracles ++
-      graft.queries.FileSourceQueries.oracles
+      graft.queries.FileSourceQueries.oracles ++
+      graft.queries.PinnedOracles.oracles
 }

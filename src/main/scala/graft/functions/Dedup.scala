@@ -45,12 +45,21 @@ object Dedup {
     * propagation: each round joins current labels across (bidirectional)
     * edges and takes the min; terminates when a round changes nothing
     * (#rounds = graph diameter, which for dup clusters is tiny). The
-    * driver runs only the loop-and-converge check (one count per round);
-    * all data movement is hash joins/aggregations — the same loop shape
-    * large-star/small-star uses at web scale.
+    * driver runs only the loop-and-converge check (one count per TWO
+    * rounds); all data movement is hash joins/aggregations — the same loop
+    * shape large-star/small-star uses at web scale. Pass `checkpointDir`
+    * (an HDFS/S3 path on a real cluster) for reliable per-round lineage
+    * truncation that survives executor loss; default is localCheckpoint.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      idCol: String, maxIters: Int = 20): DataFrame = {
+      idCol: String, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // reliable (HDFS/S3) checkpointing survives executor loss mid-loop;
+    // without a dir the loop falls back to localCheckpoint (executor-local
+    // blocks — fine on local[N], lossy on a real cluster)
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val nodeIds = nodes.select(col(idCol).as("id")).distinct()
     // contract: label exactly the given nodes — edges touching ids outside
     // `nodes` are dropped (both endpoints must be present), so no phantom
@@ -79,24 +88,25 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       // ...then pointer-jump (label <- label of label): path compression
       // makes convergence logarithmic in component diameter, not linear.
-      // localCheckpoint truncates the logical plan each round — the jump
+      // Checkpointing truncates the logical plan each round — the jump
       // self-joins the previous round's plan, so without truncation the
-      // lineage (and planning time/memory) doubles per iteration. Each
-      // round's blocks are executor-local and bounded by the (small)
-      // paired subgraph; they are reclaimed by the ContextCleaner when the
-      // round's Dataset drops out of scope. On a real cluster prefer
-      // `spark.sparkContext.setCheckpointDir` + reliable checkpoint for
-      // executor-loss recovery.
-      val next = propagated
+      // lineage (and planning time/memory) doubles per iteration.
+      val next = truncate(propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
           Seq("cluster"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") < col("old")).count()
+        .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster")))
+      iter += 1
+      // convergence check every OTHER round: the count() is a
+      // driver-synchronous barrier, and label propagation is monotone, so
+      // skipping alternate checks costs at most one extra (cheap, already
+      // checkpoint-truncated) round after convergence while halving the
+      // barrier count. The final permitted round always checks, so the
+      // non-convergence guard below never reads a stale value.
+      if (iter % 2 == 0 || iter == maxIters)
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+          .filter(col("cluster") < col("old")).count()
       labels.unpersist()
       labels = next
-      iter += 1
     }
     edges.unpersist()
     // fail loudly rather than silently return non-converged labels (a
@@ -106,9 +116,8 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds")
     // materialize (checkpoint) the singleton labels BEFORE releasing
     // `paired` — the result stays self-contained once returned
-    val singletons = nodeIds.join(paired, Seq("id"), "left_anti")
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+    val singletons = truncate(nodeIds.join(paired, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id")))
     paired.unpersist()
     labels.unionByName(singletons)
   }

@@ -122,19 +122,49 @@ object SequenceOps {
       .drop("__s", "__e", "__st")
   }
 
+  /** List sizes up to this run join-free through the native
+    * `gather_lookup` expression (a primitive binary search per row inside
+    * whole-stage codegen — O(log |list|), no boxing, no join operator), so
+    * gather costs one scan like stride/range. The bound caps the constant
+    * `long[]` tables embedded in the plan; past it a broadcast join
+    * amortizes better anyway.
+    */
+  private val GatherLiteralMax = 100000
+
   /** Sample[Gather]: keep exactly the listed indices, in list order
-    * (`sampler.cpp:265-336`, `streams.py:287-317`). The (position, index)
-    * table is broadcast — no shuffle of the big side.
+    * (`sampler.cpp:265-336`, `streams.py:287-317`).
+    *
+    * The row list is a plan-time constant, so the common case (modest,
+    * duplicate-free list) needs NO join operator at all: one
+    * [[graft.plans.GatherLookup]] binary-search expression computes the
+    * output position (null = not gathered), a null filter drops the rest —
+    * scan-dominated at any stream size (BASELINE.md target 2). Duplicate
+    * source indices (a row gathered to several output positions) or very
+    * large lists fall back to the broadcast (position, index) join — still
+    * no shuffle of the big side.
     */
   def gather(df: DataFrame, rows: Seq[Long]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pick = rows.zipWithIndex
-      .map { case (r, i) => (r, i.toLong) }
-      .toDF(INDEX, "__newIndex")
-    df.join(broadcast(pick), Seq(INDEX))
-      .withColumn(INDEX, col("__newIndex"))
-      .drop("__newIndex")
+    require(rows.nonEmpty, "gather needs at least one row")
+    val distinct = rows.distinct
+    if (distinct.size == rows.size && rows.size <= GatherLiteralMax) {
+      val sorted = rows.zipWithIndex.sortBy(_._1)
+      val keys   = sorted.map(_._1).toArray
+      val pos    = sorted.map(_._2.toLong).toArray
+      df.withColumn("__ni", call_function("gather_lookup",
+          col(INDEX), typedlit(keys), typedlit(pos)))
+        .filter(col("__ni").isNotNull)
+        .withColumn(INDEX, col("__ni"))
+        .drop("__ni")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val pick = rows.zipWithIndex
+        .map { case (r, i) => (r, i.toLong) }
+        .toDF(INDEX, "__newIndex")
+      df.join(broadcast(pick), Seq(INDEX))
+        .withColumn(INDEX, col("__newIndex"))
+        .drop("__newIndex")
+    }
   }
 
   /** Space[Repeat]: each element repeated k times, dense re-index
@@ -338,31 +368,82 @@ object SequenceOps {
     * map: positional equi-join only); this is the training-data-pipeline
     * extension expressed Spark-first.
     *
-    * Plan: tag + unionByName both sides, ONE sort-shuffle on
-    * (stream, index, side) with right-before-left at equal index, then a
-    * running `last(ignoreNulls)` fill and a side filter. No per-row probe
-    * join, no range explosion. Right values travel as one struct so
-    * legitimately-null right fields survive the ignoreNulls fill.
-    * Parallelism = #streams (the stateful-op contract; Slice first for
-    * intra-stream parallelism).
+    * Scale design — intra-stream parallel, never one-task-per-stream:
+    *  1. Both sides bucket on `index div bucketWidth`; the fill window
+    *     partitions on (stream, bucket), so a single multi-TB stream spreads
+    *     over #buckets tasks instead of serializing into one.
+    *  2. A TINY bucket-level pass computes each bucket's carry-in snapshot
+    *     (the latest right row from strictly-earlier buckets): right rows
+    *     aggregate to one row per non-empty bucket (`max_by`), and a
+    *     per-stream window over those aggregates — data/bucketWidth rows,
+    *     the only per-stream-serial step — carries the last snapshot
+    *     forward. Carry-ins are injected as synthetic right rows at the
+    *     bucket's first index, sorting before any real row of the bucket.
+    *  3. One union + ONE sort-shuffle on (stream, bucket), a running
+    *     `last(ignoreNulls)` fill ordered by (index, side) with
+    *     carry-before-right-before-left at equal index, and a side filter.
+    * No per-row probe join, no range explosion. Right values travel as one
+    * struct so legitimately-null right fields survive the ignoreNulls fill.
+    *
+    * `bucketWidth <= 0` selects the single-window fallback (parallelism =
+    * #streams) — only sensible for many-small-streams corpora.
     */
-  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+  def asofJoin(left: DataFrame, right: DataFrame, bucketWidth: Long = 1 << 20): DataFrame = {
     val keyCols   = Seq(STREAM, INDEX)
     val leftVals  = left.columns.filterNot(keyCols.contains).toSeq
     val rightVals = right.columns.filterNot(keyCols.contains).toSeq
     require(rightVals.nonEmpty, "right side needs at least one value column")
     require(leftVals.intersect(rightVals).isEmpty,
       s"overlapping value columns: ${leftVals.intersect(rightVals).mkString(",")}")
-    val r = right.select(col(STREAM), col(INDEX),
-      struct(rightVals.map(col): _*).as("__r"), lit(0).as("__side"))
-    val l = left.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
-      .withColumn("__side", lit(1))
-    val w = Window.partitionBy(col(STREAM)).orderBy(col(INDEX), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(w))
+    val rStruct  = right.select(col(STREAM), col(INDEX),
+      struct(rightVals.map(col): _*).as("__r"))
+    val snapType = rStruct.schema("__r").dataType
+    def out(filled: DataFrame): DataFrame = filled
       .filter(col("__side") === 1)
       .select((keyCols ++ leftVals).map(col) ++
         rightVals.map(v => col(s"__rf.$v").as(v)): _*)
+
+    if (bucketWidth <= 0) {
+      // fallback: one running fill per stream (reference stateful-op shape)
+      val r = rStruct.withColumn("__side", lit(0))
+      val l = left.withColumn("__r", lit(null).cast(snapType)).withColumn("__side", lit(1))
+      val w = Window.partitionBy(col(STREAM)).orderBy(col(INDEX), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      out(l.unionByName(r, allowMissingColumns = true)
+        .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(w)))
+    } else {
+      // `div` (not `/`): long division must stay integral past 2^53
+      val bkt = expr(s"$INDEX div $bucketWidth")
+      val lb  = left.withColumn("__bkt", bkt)
+      val rb  = rStruct.withColumn("__bkt", bkt)
+      // one row per non-empty right bucket: its latest snapshot
+      val rAgg = rb.groupBy(col(STREAM), col("__bkt"))
+        .agg(max_by(col("__r"), col(INDEX)).as("__snap"))
+      // bucket-level as-of: for each LEFT bucket, the latest snapshot of any
+      // strictly-earlier right bucket. Left markers sort before right
+      // aggregates within a bucket, so the running last() at a marker sees
+      // only earlier buckets. Tiny relation: one row per non-empty bucket.
+      val marks = lb.select(col(STREAM), col("__bkt")).distinct()
+        .withColumn("__snap", lit(null).cast(snapType))
+        .withColumn("__m", lit(0))
+      val wB = Window.partitionBy(col(STREAM)).orderBy(col("__bkt"), col("__m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carry = marks.unionByName(rAgg.withColumn("__m", lit(1)))
+        .withColumn("__carry", last(col("__snap"), ignoreNulls = true).over(wB))
+        .filter(col("__m") === 0 && col("__carry").isNotNull)
+        .select(col(STREAM), col("__bkt"), col("__carry"))
+      // synthetic carry rows at the bucket's first index, side -1 so a real
+      // right row at that same index supersedes them in the fill order
+      val carryRows = carry.select(col(STREAM),
+        (col("__bkt") * bucketWidth).cast("long").as(INDEX), col("__bkt"),
+        col("__carry").as("__r"), lit(-1).as("__side"))
+      val rRows = rb.withColumn("__side", lit(0))
+      val lRows = lb.withColumn("__r", lit(null).cast(snapType)).withColumn("__side", lit(1))
+      val wF = Window.partitionBy(col(STREAM), col("__bkt"))
+        .orderBy(col(INDEX), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      out(lRows.unionByName(rRows.unionByName(carryRows), allowMissingColumns = true)
+        .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(wF)))
+    }
   }
 }

@@ -98,5 +98,12 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         FloatVecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("gather_lookup"),
+      new ExpressionInfo(classOf[GatherLookup].getName, "gather_lookup"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "gather_lookup takes exactly 3 arguments")
+        GatherLookup(children.head, children(1), children(2))
+      }))
   }
 }

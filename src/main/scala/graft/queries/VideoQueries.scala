@@ -37,22 +37,19 @@ object VideoQueries {
     root
   }
 
-  /** histogram bins decoded to an int array for a readable result table */
-  private def binsOf(payload: Array[Byte]): Seq[Int] = {
-    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Seq.fill(48)(bb.getInt)
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ingest → Range(0,30) → Histogram — the reference's canonical pipeline
+    // ingest → Range(0,30) → Histogram — the reference's canonical pipeline.
+    // Bins are emitted as a scalar md5 digest (like img_histogram): the
+    // driver's compare sorts result columns in pandas, and an array column
+    // is unhashable there.
     "video_histogram" -> ((s, _) => {
       val root   = ensureIngested(s)
       val frames = VideoStore.frames(s, root, "testvid").toDF()
       val ranged = SequenceOps.range(frames, 0L, 30L)
       val hists  = StdKernels.histogramOp(ranged.as[FrameElem](frameEnc))
       import s.implicits._
-      hists.map(e => (e.streamId, e.index, binsOf(e.payload)))
-        .toDF("streamId", "index", "bins")
+      hists.map(e => (e.streamId, e.index, md5Hex(e.payload)))
+        .toDF("streamId", "index", "hist_md5")
         .orderBy("streamId", "index")
     }),
 
@@ -101,7 +98,11 @@ object VideoQueries {
     })
   )
 
-  /** no DuckDB oracle possible (inputs are codec segments, not shared
-    * parquet) — driver records rows-only checks for these */
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** inputs are generated codec segments, not shared parquet — oracles are
+    * pinned VALUES literals (see [[PinnedOracles]]) */
   val oracles: Map[String, String] = Map.empty
 }

@@ -20,10 +20,10 @@ import graft.model.FrameElem
   *   int32 h | int32 w | int32 c | int8 dtype | int32 n | n * (h*w*c) bytes
   * }}}
   */
-object FakeVideoCodec {
+object FakeVideoCodec extends GopCodec {
 
   /** encode consecutive frames (one GOP) into a single segment payload */
-  def encodeGop(frames: Seq[FrameElem]): Array[Byte] = {
+  override def encodeGop(frames: Seq[FrameElem]): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     val sz   = head.data.length
@@ -52,7 +52,7 @@ object FakeVideoCodec {
     * `decoded` (optional) counts frames actually decoded, for instrumenting
     * sparse-read pruning.
     */
-  def decodeGop(
+  override def decodeGop(
       payload: Array[Byte],
       streamId: Long,
       startIndex: Long,

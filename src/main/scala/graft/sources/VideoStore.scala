@@ -57,7 +57,8 @@ object VideoStore {
     */
   def ingest(frames: Dataset[FrameElem], root: String, name: String,
       gopSize: Int, mode: CacheMode = CacheMode.Error,
-      hints: CompressionHints = CompressionHints()): StreamDescriptor = {
+      hints: CompressionHints = CompressionHints(),
+      codec: GopCodec = FakeVideoCodec): StreamDescriptor = {
     require(gopSize > 0, s"gopSize must be positive, got $gopSize")
     val q = hints.step
     val segs = frames
@@ -66,7 +67,7 @@ object VideoStore {
       .flatMapSortedGroups(col("index")) { (key: (Long, Long), it: Iterator[FrameElem]) =>
         val gop = it.map(f => if (q == 1) f else quantize(f, q)).toSeq
         Iterator.single(Segment(
-          key._1, key._2, gop.head.index, gop.size, FakeVideoCodec.encodeGop(gop)))
+          key._1, key._2, gop.head.index, gop.size, codec.encodeGop(gop)))
       }(segEnc)
     NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode,
       options = Map("compression" -> hints.storageCodec))
@@ -91,9 +92,10 @@ object VideoStore {
 
   /** Full-scan decode: one task per segment, no cross-segment work. */
   def frames(spark: SparkSession, root: String, name: String,
-      decoded: Option[LongAccumulator] = None): Dataset[FrameElem] =
+      decoded: Option[LongAccumulator] = None,
+      codec: GopCodec = FakeVideoCodec): Dataset[FrameElem] =
     segments(spark, root, name).flatMap(s =>
-      FakeVideoCodec.decodeGop(s.payload, s.streamId, s.startIndex, Int.MaxValue, decoded))(frameEnc)
+      codec.decodeGop(s.payload, s.streamId, s.startIndex, Int.MaxValue, decoded))(frameEnc)
 
   /** Sparse read of exactly the `rows` indices of one stream (reference
     * Gather + sparse decode). Plans on metadata, scans only needed
@@ -101,7 +103,8 @@ object VideoStore {
     */
   def gatherFrames(spark: SparkSession, root: String, name: String,
       streamId: Long, rows: Seq[Long],
-      decoded: Option[LongAccumulator] = None): Dataset[FrameElem] = {
+      decoded: Option[LongAccumulator] = None,
+      codec: GopCodec = FakeVideoCodec): Dataset[FrameElem] = {
     require(rows.nonEmpty, "gatherFrames needs at least one row")
     import spark.implicits._
     // plan: DISTRIBUTED metadata pass — segment index (payload pruned from
@@ -128,7 +131,7 @@ object VideoStore {
         col("segId").isin(needed.keys.toSeq: _*)) // pushed to parquet scan
       .flatMap { s =>
         val upTo = neededB.value(s.segId).toInt
-        FakeVideoCodec.decodeGop(s.payload, s.streamId, s.startIndex, upTo, decoded)
+        codec.decodeGop(s.payload, s.streamId, s.startIndex, upTo, decoded)
           .filter(f => wantB.value.contains(f.index))
       }(frameEnc)
   }

@@ -32,4 +32,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L))
   }
+
+  test("connectedComponents with a reliable checkpoint dir: same labels, checkpoint files written") {
+    // the cluster-safe mode VERDICT asked for: per-round lineage truncation
+    // goes through sc.checkpoint (survives executor loss), not local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val got = Dedup.connectedComponents(
+      (0L until 30L).toDF("doc_id"),
+      (0L until 29L).map(i => (i, i + 1)).toDF("a", "b"),
+      "doc_id", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30 && got.values.forall(_ == 0L))
+    def files(p: java.io.File): Iterator[java.io.File] =
+      Option(p.listFiles).iterator.flatten.flatMap(f =>
+        if (f.isDirectory) files(f) else Iterator.single(f))
+    assert(files(new java.io.File(dir)).nonEmpty,
+      "reliable checkpoint mode must actually write to the checkpoint dir")
+  }
 }

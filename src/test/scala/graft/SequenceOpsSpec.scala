@@ -100,6 +100,66 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out.map(_._2.toLong) == Seq(0L, 150L, 377L, 500L))
   }
 
+  test("asofJoin bucketed matches the single-window fallback; carry crosses right-empty buckets") {
+    val left  = elems(1000).withColumnRenamed("payload", "lp")
+    val right = Seq((0L, 5L, "a"), (0L, 17L, "b"), (0L, 450L, "c"))
+      .toDF("streamId", "index", "rv")
+    def vals(bucketWidth: Long): Seq[(Long, Long, String)] =
+      SequenceOps.asofJoin(left, right, bucketWidth)
+        .orderBy("streamId", "index").collect()
+        .map(r => (r.getAs[Long]("streamId"), r.getAs[Long]("index"), r.getAs[String]("rv")))
+        .toSeq
+    val bucketed = vals(64)
+    assert(bucketed == vals(0), "bucketed plan must agree with the single-window fallback")
+    // rights live in buckets 0 and 7 only; rows in buckets 1..6 and 8..15
+    // read their value through the bucket-carry pass
+    assert(bucketed(4)._3 == null && bucketed(5)._3 == "a")
+    assert(bucketed(449)._3 == "b" && bucketed(450)._3 == "c" && bucketed(999)._3 == "c")
+  }
+
+  test("bucketed asofJoin spreads ONE stream over many tasks; fill window keys on (stream, bucket)") {
+    val left  = elems(1000).withColumnRenamed("payload", "lp")
+    val right = Seq((0L, 5L, "a")).toDF("streamId", "index", "rv")
+    val out   = SequenceOps.asofJoin(left, right, bucketWidth = 64)
+    // the big-side fill window (the one ordering on __side) must partition
+    // on the bucket too — a refactor back to partitionBy(streamId) alone
+    // would re-serialize a 100 TB stream into one task
+    val fillWindows = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("windowspecdefinition") && l.contains("__side"))
+      .toSeq
+    assert(fillWindows.nonEmpty, "expected the fill window in the plan")
+    assert(fillWindows.forall(_.contains("__bkt")),
+      "fill window must partition on (stream, bucket)")
+    // AQE rightly coalesces this tiny test shuffle into one partition;
+    // switch coalescing off to observe the partitioning the plan declares
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val tasksWithRows = SequenceOps.asofJoin(left, right, bucketWidth = 64).rdd
+        .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0)).sum()
+      assert(tasksWithRows > 1, "a single stream should spread over multiple tasks")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("gather constant-list fast path plans join-free (BASELINE target 2)") {
+    // 500 distinct indices (97 coprime to 600): a big-but-constant list
+    val df = SequenceOps.gather(elems(N), (0L until 500L).map(_ * 97 % N))
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "a duplicate-free constant gather list must plan as filter+re-index, not a join")
+    // unsorted list: output position is LIST position, not sorted order
+    val out = idxPay(SequenceOps.gather(elems(N), Seq(500L, 3L, 150L)))
+    assert(out.map(_._1) == (0L until 3L))
+    assert(out.map(_._2.toLong) == Seq(500L, 3L, 150L))
+  }
+
+  test("gather with duplicate sources still emits one row per list position") {
+    // 7 gathered twice -> falls back to the join path, list order preserved
+    val out = idxPay(SequenceOps.gather(elems(N), Seq(7L, 7L, 3L)))
+    assert(out.map(_._1) == (0L until 3L))
+    assert(out.map(_._2.toLong) == Seq(7L, 7L, 3L))
+  }
+
   test("repeat x8: N*8 rows, block i holds value i/8 (py_test.py:310-322)") {
     val out = idxPay(SequenceOps.repeat(elems(96), 8))
     assert(out.size == 96 * 8)

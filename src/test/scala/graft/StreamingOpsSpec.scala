@@ -57,6 +57,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (0L, 4L, 4L)))
   }
 
+  test("out-of-order stream result is batch-identical (pending-buffer drain end-to-end)") {
+    // scrambled delivery across micro-batches, two interleaved streams, a
+    // gap held open for two batches — must equal the one-shot batch run of
+    // the SAME kernel over the in-order data
+    val scrambled = Seq(
+      Seq(elem(0, 3), elem(1, 0), elem(0, 0)),
+      Seq(elem(0, 2), elem(1, 2)),              // stream 0 still missing 1
+      Seq(elem(1, 1), elem(0, 1)),              // gaps fill -> both drain
+      Seq(elem(0, 4)))
+    val streamed = runBatches(scrambled)
+    val batchIn  = scrambled.flatten.sortBy(e => (e.streamId, e.index)).toDS()
+    val batch = graft.operators.Kernels
+      .unboundedState(batchIn.toDF(), StdKernels.TestIncrement)
+      .as[Elem].collect()
+      .map(e => (e.streamId, e.index, StdKernels.decodeI64(e.payload)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("duplicates behind the cursor are dropped (idempotent replay)") {
     val got = runBatches(Seq(
       Seq(elem(0, 0), elem(0, 1)),
