@@ -48,6 +48,10 @@ object Bench {
           operators.SequenceOps.Partitioner.All(1250))
         operators.Kernels.unboundedState(sliced, operators.StdKernels.TestIncrement, sliced = true)
       }),
+      "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
+      "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),
+      "bt_1m_lsh" -> ((s, _) => lshJoinStress(s, 1000000L)),
+      "bt_10m_lsh" -> ((s, _) => lshJoinStress(s, 10000000L)),
       "bt_sparse_decode" -> ((s, _) => {
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
         // construct+encode the 10k frames ONLY when not yet ingested —
@@ -63,6 +67,45 @@ object Bench {
         val want = (0 until 100).map(i => (i * 97L + 13) % 10000L).distinct.sorted
         sources.VideoStore.gatherFrames(s, root, "bt10k", 0L, want).toDF()
       }))
+  }
+
+  /** Stencil {-1,0,1} + window-sum over n rows across 8 streams — the
+    * explode + single-hash-agg plan at a scale where the shuffle (3n
+    * exploded rows) actually exercises the exchange machinery; the 1M/10M
+    * pair makes scaling measurable (sub-linear wall growth expected: the
+    * plan is one shuffle, no driver round-trips, no skew).
+    */
+  private def stencilStress(s: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = s.range(0, n, 1, 32).select(
+      (col("id") % 8).as("streamId"),
+      expr("id div 8").as("index"),
+      (col("id") * 37 % 1000).as("v"))
+    operators.SequenceOps.stencil(base, Seq(-1, 0, 1), "v")
+      .select(col("streamId"), col("index"),
+        aggregate(col("window"), lit(0L), (acc, x) => acc + x).as("wsum"))
+  }
+
+  /** The LSH candidate-generation join at n band-key rows: self-join on
+    * (band, key), a<b, distinct — the ONLY shuffle-heavy stage of the
+    * MinHash pipeline (signatures are embarrassingly parallel and scale
+    * linearly by construction). Keys give ~2-row buckets plus one hot key
+    * per band (a fixed ~4000 rows spread over 16 bands) so AQE's skew
+    * handling is exercised, not just the uniform path.
+    */
+  private def lshJoinStress(s: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hotEvery = math.max(n / 4000L, 1L) // fixed ~4000 hot rows at any n
+    val keyed = s.range(0, n, 1, 32).select(
+      col("id"),
+      (expr("id div 2") % 16).cast("int").as("band"),
+      when(col("id") % hotEvery === 0, lit(-1L)).otherwise(expr("id div 2")).as("bk"))
+    val l = keyed.select(col("band"), col("bk"), col("id").as("a"))
+    val r = keyed.select(col("band"), col("bk"), col("id").as("b"))
+    l.join(r, Seq("band", "bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
   def main(args: Array[String]): Unit = {
