@@ -304,6 +304,17 @@ object SequenceOps {
 
     val idx = col(INDEX)
     val mx  = col(maxI)
+    // Interior rows (the overwhelming majority) serve exactly one target
+    // per slot — t = idx - s — so their membership array is a plain
+    // constant-shape array(struct(...)): fully codegen'd, no per-row
+    // ArrayData churn. Clamped (range) reads can only be served by the two
+    // EDGE rows of a stream (source = clamp(t+s, 0, max) hits 0 or max
+    // only there), so only those ≤2 rows per stream pay the
+    // sequence/transform machinery (HOFs evaluate interpreted — routing
+    // 10M interior rows through them dominated the stencil bench).
+    val interior = array(offsets.zipWithIndex.map { case (s, slot) =>
+      struct((idx - s).cast("long").as("t"), lit(slot).as("s"))
+    }: _*)
     // for each slot s: contiguous target range [lo, hi] of rows that read
     // this producer row (clamped reads collapse onto edge rows)
     val slotTargets = offsets.zipWithIndex.map { case (s, slot) =>
@@ -319,8 +330,17 @@ object SequenceOps {
         transform(sequence(loC, hiC), r => struct(r.as("t"), lit(slot).as("s"))))
         .otherwise(array().cast("array<struct<t:long,s:int>>"))
     }
+    val membership = boundary match {
+      case Boundary.RepeatEdge =>
+        when(idx =!= 0 && idx =!= mx, interior)
+          .otherwise(flatten(array(slotTargets: _*)))
+      case _ => interior
+    }
     val exploded = dfl
-      .withColumn("__tgt", explode(flatten(array(slotTargets: _*))))
+      .withColumn("__tgt", explode(membership))
+      // out-of-domain targets from near-edge interior rows (and NullFill/
+      // Error everywhere) drop here; edge-row ranges arrive pre-clamped
+      .filter(col("__tgt.t") >= 0 && col("__tgt.t") <= mx)
       .select(col(STREAM), col("__tgt.t").as("__t"), col("__tgt.s").as("__s"),
         col(payloadCol).as("__p"))
 

@@ -27,6 +27,11 @@ object MicroBench {
     }
     val targets: Seq[(String, SparkSession => DataFrame)] = Seq(
       "scan"   -> (s => elems1m(s)),
+      "stencil10m" -> (s => {
+        import org.apache.spark.sql.functions._
+        val base = s.range(0, 10000000, 1, 32).select((col("id") % 8).as("streamId"), expr("id div 8").as("index"), (col("id") * 37 % 1000).as("v"))
+        graft.operators.SequenceOps.stencil(base, Seq(-1, 0, 1), "v").select(col("streamId"), col("index"), aggregate(col("window"), lit(0L), (acc, x) => acc + x).as("wsum"))
+      }),
       "stride" -> (s => graft.operators.SequenceOps.stride(elems1m(s), 8)),
       "gather" -> (s => graft.operators.SequenceOps.gather(elems1m(s),
         (0L until 1000L).map(_ * 97))))
