@@ -138,6 +138,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the FAISS-style scale path:
+    * a small deterministic coarse-quantizer relation (`anchors`; at corpus
+    * scale, k-means centroids — any small vector relation works) partitions
+    * the corpus into cells, each vector assigned to its highest-cosine
+    * anchor; a query exact-searches only its `nprobe` highest-cosine cells.
+    *
+    * Plan shape at 100 TB: assignment is one broadcast of the anchors +
+    * a partial-aggregated argmax (`max(struct(score, -cid))` — no window,
+    * no shuffle of the corpus beyond the one cell-key exchange); candidate
+    * generation is an equi-join on cellId between the (tiny, broadcast)
+    * query×probe list and the celled corpus — never all-pairs; selection
+    * is the same bounded-heap aggregate as [[bruteForceTopK]]. Recall
+    * dials with `nprobe`, cell size with |anchors|.
+    */
+  def ivfTopK(corpus: DataFrame, anchors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    // invert the corpus: every vector into its best cell (argmax via
+    // max(struct) — ties break to the smaller anchor id, like the oracle's
+    // ORDER BY score DESC, cid)
+    val celled = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(a)
+      .select(col("id"), col("v"),
+        struct(cosine(col("cv"), col("v")).as("s"), (-col("cid")).as("nc"),
+          col("cid")).as("cand"))
+      .groupBy(col("id"))
+      .agg(max(col("cand")).as("best"), first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("best.cid").as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // per-query probe list: nprobe highest-cosine cells (bounded heap over
+    // the broadcast anchor relation — |queries| * |anchors| rows, k rows out)
+    val probes = rankTopK(
+      q.join(a).select(col("qid"), col("cid").as("id"),
+        round(cosine(col("cv"), col("qv")), 6).as("score")), nprobe)
+      .select(col("qid"), col("id").as("cell"))
+    val qp = broadcast(probes.join(q, Seq("qid")))
+    val scored = celled.join(qp, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine, banded sign-LSH candidates:
     * `bands` independent sign buckets over disjoint dimension ranges; a
     * pair is a candidate iff it collides in ANY band (union + distinct —

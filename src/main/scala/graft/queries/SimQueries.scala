@@ -40,6 +40,17 @@ object SimQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF: anchors vec_id<8 are the coarse cells, queries 8..12 probe their
+    // 2 best cells and exact-search only those inverted lists
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // banded sign-LSH candidates (3 bands x 6 bits over disjoint dims),
     // threshold 0.4 so the candidate union is exercised at this SF
     "sim_neardup_cos" -> ((s, dir) =>
@@ -92,6 +103,34 @@ object SimQueries {
          |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
          |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
          |      FROM q JOIN e USING (bucket) WHERE e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |a AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (SELECT e.vec_id AS id, cid,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY list_inner_product(cv, v)
+         |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v))) DESC,
+         |              cid) AS ark
+         |        FROM e CROSS JOIN a),
+         |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |pr AS (SELECT qid, cid AS cell,
+         |         row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(list_inner_product(cv, qv)
+         |             / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv))), 6) DESC,
+         |           cid) AS prk
+         |       FROM q CROSS JOIN a),
+         |probe AS (SELECT qid, cell FROM pr WHERE prk <= 2),
+         |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
+         |      FROM probe JOIN cells ON probe.cell = cells.cell
+         |      JOIN e ON e.vec_id = cells.id
+         |      JOIN q USING (qid)
+         |      WHERE e.vec_id <> qid),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
          |      FROM s)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3

@@ -42,6 +42,15 @@ class PlanSpec extends SparkSpec {
       "scan should read only event_id/event_type")
   }
 
+  test("IVF top-k plans with heap aggregates and broadcasts, never a window") {
+    val p = plan(queries.SimQueries.queries("sim_ivf_topk")(spark, sfDir))
+    assert(!p.contains("Window"),
+      "assignment argmax and top-k selection must not rank via windows")
+    assert(p.contains("ObjectHashAggregate"), "bounded-heap aggregate expected")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "anchors and probe lists should broadcast")
+  }
+
   test("vec_dot appears as the native expression in the similarity plan") {
     val p = plan(queries.SimQueries.queries("sim_topk")(spark, sfDir))
     assert(p.contains("vec_dot"), "native expression should replace the HOF fold")
