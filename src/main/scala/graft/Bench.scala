@@ -83,7 +83,8 @@ object Bench {
       (col("id") * 37 % 1000).as("v"))
     operators.SequenceOps.stencil(base, Seq(-1, 0, 1), "v")
       .select(col("streamId"), col("index"),
-        aggregate(col("window"), lit(0L), (acc, x) => acc + x).as("wsum"))
+        (lit(0L) + element_at(col("window"), 1) + element_at(col("window"), 2)
+          + element_at(col("window"), 3)).as("wsum"))
   }
 
   /** The LSH candidate-generation join at n band-key rows: self-join on

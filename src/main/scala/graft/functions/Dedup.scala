@@ -45,9 +45,10 @@ object Dedup {
     * propagation: each round joins current labels across (bidirectional)
     * edges and takes the min; terminates when a round changes nothing
     * (#rounds = graph diameter, which for dup clusters is tiny). The
-    * driver runs only the loop-and-converge check (one count per TWO
-    * rounds); all data movement is hash joins/aggregations — the same loop
-    * shape large-star/small-star uses at web scale. Pass `checkpointDir`
+    * driver issues exactly ONE job per round (convergence detection rides
+    * the checkpoint job via an accumulator — no separate count); all data
+    * movement is hash joins/aggregations — the same loop shape
+    * large-star/small-star uses at web scale. Pass `checkpointDir`
     * (an HDFS/S3 path on a real cluster) for reliable per-round lineage
     * truncation that survives executor loss; default is localCheckpoint.
     */
@@ -79,6 +80,9 @@ object Dedup {
     var labels  = paired.withColumn("cluster", col("id")).persist()
     var changed = 1L
     var iter    = 0
+    val spark   = nodes.sparkSession
+    val chgAcc  = spark.sparkContext.longAccumulator("ccChanged")
+    import spark.implicits._
     while (changed > 0 && iter < maxIters) {
       // min over own label and all neighbors' labels...
       val viaEdges = edges
@@ -91,20 +95,29 @@ object Dedup {
       // Checkpointing truncates the logical plan each round — the jump
       // self-joins the previous round's plan, so without truncation the
       // lineage (and planning time/memory) doubles per iteration.
+      //
+      // Convergence detection rides the (eager) checkpoint job itself: the
+      // old label joins in, a mapPartitions bumps an accumulator per
+      // improved row, and no separate count() job runs at all — the loop
+      // costs exactly ONE driver-synchronous job per round. A resubmitted
+      // task can at worst over-count (never report 0 when labels moved),
+      // which only risks one extra cheap round.
+      chgAcc.reset()
       val next = truncate(propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
           Seq("cluster"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster")))
+        .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, cluster, old) =>
+            if (cluster < old) chgAcc.add(1L)
+            (id, cluster)
+          }
+        }
+        .toDF("id", "cluster"))
+      changed = chgAcc.value
       iter += 1
-      // convergence check every OTHER round: the count() is a
-      // driver-synchronous barrier, and label propagation is monotone, so
-      // skipping alternate checks costs at most one extra (cheap, already
-      // checkpoint-truncated) round after convergence while halving the
-      // barrier count. The final permitted round always checks, so the
-      // non-convergence guard below never reads a stale value.
-      if (iter % 2 == 0 || iter == maxIters)
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-          .filter(col("cluster") < col("old")).count()
       labels.unpersist()
       labels = next
     }

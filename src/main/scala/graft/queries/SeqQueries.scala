@@ -120,10 +120,14 @@ object SeqQueries {
         .orderBy("index")
     }),
 
+    // window sum as explicit element adds (same left-to-right double order
+    // as a fold, so oracle parity holds) — HOF aggregate() evaluates
+    // interpreted, element_at stays in codegen
     "seq_stencil_sum" -> ((s, dir) =>
       SequenceOps.stencil(stream(s, dir), Seq(-1, 0, 1), "value")
         .select(col("index"),
-          aggregate(col("window"), lit(0.0), (acc, x) => acc + x).as("wsum"))
+          (lit(0.0) + element_at(col("window"), 1) + element_at(col("window"), 2)
+            + element_at(col("window"), 3)).as("wsum"))
         .orderBy("index")),
 
     "seq_positional_join" -> ((s, dir) => {
