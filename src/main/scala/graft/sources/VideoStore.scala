@@ -136,10 +136,43 @@ object VideoStore {
       }(frameEnc)
   }
 
+  /** Full `save_mp4` export: stored segments wrapped in a REAL ISO-BMFF
+    * container ([[Mp4Writer]] — ftyp/mdat/moov with complete sample
+    * tables; one sample per GOP, all sync). The reference does this by
+    * shelling to ffmpeg client-side (`python/scannerpy/column.py:283-342`);
+    * here the mux is native and only the sample-description fourcc is the
+    * stand-in codec's. Two passes, both driver-streamed like the
+    * reference's export: a metadata pass for the sample table (sizes and
+    * frame counts only), then the payload stream — never more than one
+    * segment in memory.
+    */
+  def exportMp4(spark: SparkSession, root: String, name: String,
+      streamId: Long, outPath: String, fps: Int = 30): Long = {
+    import scala.jdk.CollectionConverters._
+    val mine = segments(spark, root, name).filter(col("streamId") === streamId)
+    val metas = mine
+      .select(col("segId"), length(col("payload")).cast("long").as("sz"), col("numFrames"))
+      .orderBy("segId")
+      .collect()
+      .map(r => Mp4Writer.SampleMeta(r.getAs[Long]("sz"), r.getAs[Int]("numFrames")))
+      .toSeq
+    require(metas.nonEmpty, s"stream $streamId has no segments in $name")
+    // frame dims live in the codec payload header; peek at one segment
+    val head = mine.orderBy("segId").select(col("payload")).limit(1)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val bb = java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h  = bb.getInt; val w = bb.getInt
+    val p   = new Path(outPath)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try Mp4Writer.write(out, metas, w, h, fps,
+      mine.orderBy("segId").select(col("payload")).toLocalIterator().asScala
+        .map(_.getAs[Array[Byte]]("payload")))
+    finally out.close()
+  }
+
   /** Ordered concatenation of stored segments into a single container file
-    * (reference save_mp4 export). Streams through the driver like the
-    * reference's client-side ffmpeg concat — never materializes more than
-    * one segment.
+    * (the raw-stream export twin of [[exportMp4]]). Streams through the
+    * driver — never materializes more than one segment.
     */
   def exportConcat(spark: SparkSession, root: String, name: String,
       streamId: Long, outPath: String): Long = {

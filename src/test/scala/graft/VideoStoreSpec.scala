@@ -116,4 +116,63 @@ class VideoStoreSpec extends SparkSpec {
     assert(bytes == expected)
     assert(new java.io.File(out).length() == expected)
   }
+
+  test("save_mp4 writes a structurally valid ISO-BMFF container around the stored GOPs") {
+    val root = freshRoot()
+    import spark.implicits._
+    VideoStore.ingest(synthFrames(0L, 20).toDS(), root, "mp4", gopSize = 8)
+    val out   = s"$root/out.mp4"
+    val total = VideoStore.exportMp4(spark, root, "mp4", 0L, out, fps = 24)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(bytes.length.toLong == total)
+
+    def be32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    def fourcc(off: Int): String = new String(bytes, off + 4, 4, "US-ASCII")
+    // top-level box walk
+    def topBoxes: Seq[(String, Int, Int)] = {
+      var off = 0
+      val b   = Seq.newBuilder[(String, Int, Int)]
+      while (off < bytes.length) {
+        val sz = be32(off); b += ((fourcc(off), off, sz)); off += sz
+      }
+      b.result()
+    }
+    assert(topBoxes.map(_._1) == Seq("ftyp", "mdat", "moov"),
+      "exactly the classic three top-level boxes, in order")
+
+    val segs = VideoStore.segments(spark, root, "mp4").collect().sortBy(_.segId)
+    val (_, mdatOff, mdatSz) = topBoxes(1)
+    // mdat payload == segments concatenated in segId order
+    val mdatBody = bytes.slice(mdatOff + 8, mdatOff + mdatSz)
+    assert(java.util.Arrays.equals(mdatBody, segs.flatMap(_.payload).toArray))
+
+    // descend moov/trak/mdia/minf/stbl and check the sample tables
+    def child(off: Int, end: Int, tpe: String): Int = {
+      var o = off
+      while (o < end && fourcc(o) != tpe) o += be32(o)
+      assert(o < end, s"missing box $tpe"); o
+    }
+    val (_, moovOff, moovSz) = topBoxes(2)
+    val trak = child(moovOff + 8, moovOff + moovSz, "trak")
+    val mdia = child(trak + 8, trak + be32(trak), "mdia")
+    val minf = child(mdia + 8, mdia + be32(mdia), "minf")
+    val stbl = child(minf + 8, minf + be32(minf), "stbl")
+    val stblEnd = stbl + be32(stbl)
+    val stsz = child(stbl + 8, stblEnd, "stsz")
+    assert(be32(stsz + 16) == segs.length, "stsz sample count == #GOPs")
+    segs.indices.foreach { i =>
+      assert(be32(stsz + 20 + 4 * i) == segs(i).payload.length, s"stsz[$i]")
+    }
+    val stco = child(stbl + 8, stblEnd, "stco")
+    assert(be32(stco + 16) == mdatOff + 8, "chunk offset points at first payload byte")
+    val stts = child(stbl + 8, stblEnd, "stts")
+    val runs = be32(stts + 12)
+    val framesTotal = (0 until runs)
+      .map(r => be32(stts + 16 + 8 * r).toLong * be32(stts + 20 + 8 * r)).sum
+    assert(framesTotal == 20L, "stts durations sum to total frames")
+    val stsd = child(stbl + 8, stblEnd, "stsd")
+    assert(fourcc(stsd + 16) == "gfvc", "sample entry carries the stand-in fourcc")
+  }
 }
