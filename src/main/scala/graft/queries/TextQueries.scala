@@ -66,6 +66,23 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Deterministic stratified sampling — the training-mix op: per-source
+    // keep rates applied via a cross-engine hash (rolling hash of
+    // md5(doc_id) mod 1000 < rate‰), so the sample is reproducible across
+    // engines and runs, composable with any downstream filter, and scales
+    // as a narrow codegen'd predicate (no shuffle, no RNG state). src0 is
+    // upsampled at 500‰, src1 at 250‰, the long tail at 100‰.
+    "txt_stratified_sample" -> ((s, dir) => {
+      val key  = TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000
+      val rate = when(col("source") === "src0", lit(500L))
+        .when(col("source") === "src1", lit(250L))
+        .otherwise(lit(100L))
+      docs(s, dir)
+        .filter(key < rate)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "txt_rollhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
@@ -221,6 +238,17 @@ object TextQueries {
         |    list_transform(generate_series(1, len(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |    list_transform(generate_series(1, 32),
+        |      i -> CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) % 1000 AS k
+        |  FROM documents)
+        |SELECT doc_id, source FROM h
+        |WHERE k < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep

@@ -136,6 +136,73 @@ object VideoStore {
       }(frameEnc)
   }
 
+  /** MP4 ingest — the container half of the reference's flagship path
+    * (`scanner/engine/ingest.cpp:175-380`: demux the container, index the
+    * keyframe-aligned sample runs, store segments + index). The ISO-BMFF
+    * demux is REAL ([[Mp4Writer.parseSampleTable]]): the driver reads only
+    * box headers plus the (small) `moov` box and the 17-byte GOP headers —
+    * the reference's single-pass index build — then each EXECUTOR
+    * positioned-reads its own samples' byte ranges, so payload bytes never
+    * route through the driver and ingest parallelism = #samples. Executors
+    * resolve the filesystem from default Hadoop config (core-site on the
+    * executor classpath — the standard cluster deployment).
+    *
+    * Samples must be GOP payloads of the stand-in codec until a real
+    * [[GopCodec]] lands (the sample payload is opaque to the demux layer
+    * itself).
+    */
+  def ingestMp4(spark: SparkSession, mp4Path: String, root: String, name: String,
+      streamId: Long, mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val p   = new Path(mp4Path)
+    val fs0 = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs0.getFileStatus(p).getLen
+    val in  = fs0.open(p)
+    val (refs, frameCounts) = try {
+      val hdr = new Array[Byte](8)
+      var off = 0L
+      var moov: Array[Byte] = null
+      while (moov == null && off < len) {
+        in.readFully(off, hdr, 0, 8)
+        val sz = ByteBuffer.wrap(hdr).order(ByteOrder.BIG_ENDIAN).getInt(0)
+        require(sz >= 8, s"mp4: bad box size $sz at $off")
+        if (new String(hdr, 4, 4, "US-ASCII") == "moov") {
+          moov = new Array[Byte](sz); in.readFully(off, moov, 0, sz)
+        } else off += sz
+      }
+      require(moov != null, s"no moov box in $mp4Path")
+      val rs   = Mp4Writer.parseSampleTable(moov)
+      val nbuf = new Array[Byte](4)
+      val ns = rs.map { r => // frame count from the GOP header (h,w,c,dtype = 13 bytes)
+        in.readFully(r.offset + 13, nbuf, 0, 4)
+        ByteBuffer.wrap(nbuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+      }
+      (rs, ns)
+    } finally in.close()
+    val starts = frameCounts.scanLeft(0L)(_ + _)
+    import spark.implicits._
+    val meta = refs.zipWithIndex.map { case (r, i) =>
+      (i.toLong, starts(i), frameCounts(i), r.offset, r.bytes)
+    }
+    val segs = meta.toDF("segId", "startIndex", "numFrames", "off", "sz")
+      .as[(Long, Long, Int, Long, Int)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val path = new Path(mp4Path)
+          val s    = path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => s.close()))
+          it.map { case (segId, st, n, off, sz) =>
+            val b = new Array[Byte](sz)
+            s.readFully(off, b, 0, sz)
+            Segment(streamId, segId, st, n, b)
+          }
+        }
+      }(segEnc)
+    NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode)
+  }
+
   /** Full `save_mp4` export: stored segments wrapped in a REAL ISO-BMFF
     * container ([[Mp4Writer]] — ftyp/mdat/moov with complete sample
     * tables; one sample per GOP, all sync). The reference does this by

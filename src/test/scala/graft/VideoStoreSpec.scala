@@ -117,6 +117,28 @@ class VideoStoreSpec extends SparkSpec {
     assert(new java.io.File(out).length() == expected)
   }
 
+  test("mp4 round-trip: export -> demux ingest -> identical frames and segment index") {
+    val root = freshRoot()
+    import spark.implicits._
+    val frames = synthFrames(0L, 20)
+    VideoStore.ingest(frames.toDS(), root, "orig", gopSize = 8)
+    val out = s"$root/rt.mp4"
+    VideoStore.exportMp4(spark, root, "orig", 0L, out, fps = 24)
+    // demux the container back into a second stored stream
+    VideoStore.ingestMp4(spark, out, root, "fromMp4", streamId = 0L)
+    val origSegs = VideoStore.segments(spark, root, "orig").collect().sortBy(_.segId)
+    val backSegs = VideoStore.segments(spark, root, "fromMp4").collect().sortBy(_.segId)
+    assert(backSegs.map(s => (s.segId, s.startIndex, s.numFrames)).toSeq ==
+      origSegs.map(s => (s.segId, s.startIndex, s.numFrames)).toSeq)
+    origSegs.zip(backSegs).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.payload, b.payload))
+    }
+    val back = VideoStore.frames(spark, root, "fromMp4").collect()
+      .sortBy(_.index)
+    assert(back.length == 20)
+    frames.zip(back).foreach { case (a, b) => assertSameFrame(a, b) }
+  }
+
   test("save_mp4 writes a structurally valid ISO-BMFF container around the stored GOPs") {
     val root = freshRoot()
     import spark.implicits._
