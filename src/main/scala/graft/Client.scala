@@ -61,4 +61,13 @@ final case class Client(spark: SparkSession, storageRoot: String) {
   /** reference `save_mp4` — ordered segment export */
   def export(name: String, streamId: Long, outPath: String): Long =
     VideoStore.exportConcat(spark, storageRoot, name, streamId, outPath)
+
+  /** reference `save_mp4` proper: segments wrapped in a real MP4 container */
+  def saveMp4(name: String, streamId: Long, outPath: String, fps: Int = 30): Long =
+    VideoStore.exportMp4(spark, storageRoot, name, streamId, outPath, fps)
+
+  /** reference `ingest_videos` from an actual MP4 file (container demux) */
+  def ingestMp4(name: String, mp4Path: String, streamId: Long = 0L,
+      mode: CacheMode = CacheMode.Ignore): StreamDescriptor =
+    VideoStore.ingestMp4(spark, mp4Path, storageRoot, name, streamId, mode)
 }
