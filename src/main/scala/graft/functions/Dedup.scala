@@ -149,11 +149,30 @@ object Dedup {
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol), TextFunctions.shinglesFromTokens(col("__toks"), 2).as("__sh"))
 
+  /** Wide-format signatures (id, __m0..__m(k-1)) — the minhash compute
+    * core. Shingles EXPLODE into rows so every md5 is a plain codegen'd
+    * column expression and the per-slot mins fold in one map-side-combining
+    * hash aggregate; the `array_min(transform(...))` formulation computes
+    * the same values but makes k interpreted HOF passes per document
+    * (lambda machinery per element — measured ~2x slower at bench scale).
+    * Values are identical: min over shingles of md5("slot|" + shingle).
+    */
+  private def slotMins(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val hashes = (0 until k).map(i =>
+      md5(concat(lit(s"$i|"), col("__s"))).as(s"__h$i"))
+    val mins = (0 until k).map(i => min(col(s"__h$i")).as(s"__m$i"))
+    withShingles(docs, idCol, textCol)
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .select(col(idCol) +: hashes: _*)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+  }
+
   /** long-format MinHash signatures: (id, slot, mh), k slots per doc */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val sig = array((0 until k).map(i =>
-      struct(lit(i.toLong).as("slot"), minhashSlot(col("__sh"), i).as("mh"))): _*)
-    withShingles(docs, idCol, textCol)
+      struct(lit(i.toLong).as("slot"), col(s"__m$i").as("mh"))): _*)
+    slotMins(docs, idCol, textCol, k)
       .select(col(idCol), explode(sig).as("s"))
       .select(col(idCol), col("s.slot").as("slot"), col("s.mh").as("mh"))
   }
@@ -164,15 +183,13 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, rows: Int): DataFrame = {
     require(k % rows == 0, "slots must divide into equal bands")
-    val slots = array((0 until k).map(minhashSlot(col("__sh"), _)): _*)
     val bands = (0 until k / rows).map { b =>
       struct(lit(b).as("band"),
-        md5(array_join(slice(col("__slots"), b * rows + 1, rows), "")).as("bk"))
+        md5(concat((0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bk"))
     }
     // band keys cost k md5s per shingle — persist so the self-join's two
     // sides (and distinct) reuse one computation
-    val keyed = withShingles(docs, idCol, textCol)
-      .select(col(idCol), slots.as("__slots"))
+    val keyed = slotMins(docs, idCol, textCol, k)
       .select(col(idCol).as("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
       .persist()
