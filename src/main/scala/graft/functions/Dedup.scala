@@ -59,8 +59,17 @@ object Dedup {
     // without a dir the loop falls back to localCheckpoint (executor-local
     // blocks — fine on local[N], lossy on a real cluster)
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // Reliable checkpoint alone would RECOMPUTE the plan in the checkpoint
+    // writer's second job (double work, and it would double-fire the
+    // convergence accumulator); persisting first makes that second pass a
+    // cache read, then the cache is released once the files are durable.
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        val cached = df.persist()
+        val ck     = cached.checkpoint()
+        cached.unpersist()
+        ck
+      } else df.localCheckpoint()
     val nodeIds = nodes.select(col(idCol).as("id")).distinct()
     // contract: label exactly the given nodes — edges touching ids outside
     // `nodes` are dropped (both endpoints must be present), so no phantom
@@ -80,9 +89,7 @@ object Dedup {
     var labels  = paired.withColumn("cluster", col("id")).persist()
     var changed = 1L
     var iter    = 0
-    val spark   = nodes.sparkSession
-    val chgAcc  = spark.sparkContext.longAccumulator("ccChanged")
-    import spark.implicits._
+    val chgAcc = nodes.sparkSession.sparkContext.longAccumulator("ccChanged")
     while (changed > 0 && iter < maxIters) {
       // min over own label and all neighbors' labels...
       val viaEdges = edges
@@ -103,19 +110,23 @@ object Dedup {
       // task can at worst over-count (never report 0 when labels moved),
       // which only risks one extra cheap round.
       chgAcc.reset()
-      val next = truncate(propagated
+      // the improved? flag computes as a Column (id stays any orderable
+      // type — string fingerprints, ints, longs), the row pass only reads
+      // the precomputed boolean and feeds the accumulator
+      val flagged = propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
           Seq("cluster"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
         .join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .as[(Long, Long, Long)]
+        .select(col("id"), col("cluster"), (col("cluster") < col("old")).as("__chg"))
+      val outSchema = org.apache.spark.sql.types.StructType(flagged.schema.take(2))
+      val next = truncate(flagged
         .mapPartitions { it =>
-          it.map { case (id, cluster, old) =>
-            if (cluster < old) chgAcc.add(1L)
-            (id, cluster)
+          it.map { r =>
+            if (r.getBoolean(2)) chgAcc.add(1L)
+            org.apache.spark.sql.Row(r.get(0), r.get(1))
           }
-        }
-        .toDF("id", "cluster"))
+        }(org.apache.spark.sql.Encoders.row(outSchema)))
       changed = chgAcc.value
       iter += 1
       labels.unpersist()

@@ -144,14 +144,19 @@ object SequenceOps {
     * no shuffle of the big side.
     */
   def gather(df: DataFrame, rows: Seq[Long]): DataFrame = {
-    require(rows.nonEmpty, "gather needs at least one row")
     val distinct = rows.distinct
-    if (distinct.size == rows.size && rows.size <= GatherLiteralMax) {
+    if (rows.isEmpty) {
+      // an empty (dynamically computed) list gathers nothing — same result
+      // the join path always produced, without planning a join
+      df.filter(lit(false))
+    } else if (distinct.size == rows.size && rows.size <= GatherLiteralMax) {
       val sorted = rows.zipWithIndex.sortBy(_._1)
       val keys   = sorted.map(_._1).toArray
       val pos    = sorted.map(_._2.toLong).toArray
+      // cast: gather_lookup binary-searches a long[]; int-typed indices
+      // coerced here exactly as the join path's key equi-compare would
       df.withColumn("__ni", call_function("gather_lookup",
-          col(INDEX), typedlit(keys), typedlit(pos)))
+          col(INDEX).cast("long"), typedlit(keys), typedlit(pos)))
         .filter(col("__ni").isNotNull)
         .withColumn(INDEX, col("__ni"))
         .drop("__ni")

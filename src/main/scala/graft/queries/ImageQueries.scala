@@ -65,17 +65,11 @@ object ImageQueries {
       val root    = ensureImages(s)
       val resized = StdKernels.resizeOp(frames(s, root),
         Map(0L -> ((12, 8)), 1L -> ((6, 4))))
-      val hists = StdKernels.histogramOp(resized)
-      import s.implicits._
-      hists.map(e => (e.streamId, e.index, md5Hex(e.payload)))
-        .toDF("streamId", "index", "hist_md5")
+      StdKernels.histogramOp(resized).toDF()
+        .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
         .orderBy("streamId", "index")
     })
   )
-
-  private def md5Hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map(x => f"${x & 0xff}%02x").mkString
 
   /** inputs are generated PNGs, not shared parquet — rows-only checks */
   val oracles: Map[String, String] = Map.empty

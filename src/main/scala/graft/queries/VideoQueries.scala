@@ -47,9 +47,8 @@ object VideoQueries {
       val frames = VideoStore.frames(s, root, "testvid").toDF()
       val ranged = SequenceOps.range(frames, 0L, 30L)
       val hists  = StdKernels.histogramOp(ranged.as[FrameElem](frameEnc))
-      import s.implicits._
-      hists.map(e => (e.streamId, e.index, md5Hex(e.payload)))
-        .toDF("streamId", "index", "hist_md5")
+      hists.toDF()
+        .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
         .orderBy("streamId", "index")
     }),
 
@@ -97,10 +96,6 @@ object VideoQueries {
       pairs.orderBy("streamId", "index")
     })
   )
-
-  private def md5Hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map(x => f"${x & 0xff}%02x").mkString
 
   /** inputs are generated codec segments, not shared parquet — oracles are
     * pinned VALUES literals (see [[PinnedOracles]]) */

@@ -143,9 +143,10 @@ object VideoStore {
     * box headers plus the (small) `moov` box and the 17-byte GOP headers —
     * the reference's single-pass index build — then each EXECUTOR
     * positioned-reads its own samples' byte ranges, so payload bytes never
-    * route through the driver and ingest parallelism = #samples. Executors
-    * resolve the filesystem from default Hadoop config (core-site on the
-    * executor classpath — the standard cluster deployment).
+    * route through the driver and ingest parallelism = #samples. The
+    * session's Hadoop configuration travels to executors as broadcast
+    * key-value pairs, so object-store credentials/endpoints set via
+    * spark.hadoop.* resolve there too.
     *
     * Samples must be GOP payloads of the stand-in codec until a real
     * [[GopCodec]] lands (the sample payload is opaque to the demux layer
@@ -164,10 +165,20 @@ object VideoStore {
       var moov: Array[Byte] = null
       while (moov == null && off < len) {
         in.readFully(off, hdr, 0, 8)
-        val sz = ByteBuffer.wrap(hdr).order(ByteOrder.BIG_ENDIAN).getInt(0)
-        require(sz >= 8, s"mp4: bad box size $sz at $off")
+        val sz32 = ByteBuffer.wrap(hdr).order(ByteOrder.BIG_ENDIAN).getInt(0)
+        // full 14496-12 size grammar: 1 = 64-bit largesize follows (the
+        // shape every >2 GiB mdat uses), 0 = box extends to end of file
+        val sz: Long =
+          if (sz32 == 1) {
+            val l8 = new Array[Byte](8)
+            in.readFully(off + 8, l8, 0, 8)
+            ByteBuffer.wrap(l8).order(ByteOrder.BIG_ENDIAN).getLong(0)
+          } else if (sz32 == 0) len - off
+          else sz32.toLong
+        require(sz >= 8 && off + sz <= len, s"mp4: corrupt box size $sz at $off")
         if (new String(hdr, 4, 4, "US-ASCII") == "moov") {
-          moov = new Array[Byte](sz); in.readFully(off, moov, 0, sz)
+          require(sz <= Int.MaxValue, s"mp4: moov box too large ($sz bytes)")
+          moov = new Array[Byte](sz.toInt); in.readFully(off, moov, 0, sz.toInt)
         } else off += sz
       }
       require(moov != null, s"no moov box in $mp4Path")
@@ -181,6 +192,13 @@ object VideoStore {
     } finally in.close()
     val starts = frameCounts.scanLeft(0L)(_ + _)
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // ship the session's Hadoop configuration to the executors as plain
+    // (key, value) pairs — a fresh default Configuration() there would
+    // drop every spark.hadoop.* setting (s3a credentials, endpoints)
+    val confKV = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val confB = spark.sparkContext.broadcast(confKV)
     val meta = refs.zipWithIndex.map { case (r, i) =>
       (i.toLong, starts(i), frameCounts(i), r.offset, r.bytes)
     }
@@ -189,8 +207,10 @@ object VideoStore {
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
+          val hc = new org.apache.hadoop.conf.Configuration(false)
+          confB.value.foreach { case (k, v) => hc.set(k, v) }
           val path = new Path(mp4Path)
-          val s    = path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path)
+          val s    = path.getFileSystem(hc).open(path)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => s.close()))
           it.map { case (segId, st, n, off, sz) =>

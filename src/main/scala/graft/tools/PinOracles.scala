@@ -56,12 +56,16 @@ object PinOracles {
   }
 
   private def literal(v: Any): String = v match {
-    case null       => "NULL"
-    case s: String  => "'" + s.replace("'", "''") + "'"
-    case d: Double  => d.toString // shortest round-trip repr
-    case f: Float   => f.toString
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    // NaN/Infinity must be quoted — bare tokens don't parse in a VALUES
+    // list; the surrounding CAST(... AS DOUBLE) recovers the special value
+    case d: Double if d.isNaN || d.isInfinite => s"'$d'"
+    case d: Double => d.toString // shortest round-trip repr
+    case f: Float if f.isNaN || f.isInfinite => s"'$f'"
+    case f: Float => f.toString
     case b: Boolean => b.toString.toUpperCase
-    case n          => n.toString
+    case n => n.toString
   }
 
   /** the whole result as `SELECT casts FROM (VALUES ...) t(c0..cN)` */
