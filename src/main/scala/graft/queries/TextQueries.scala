@@ -87,6 +87,32 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
 
+    // The flagship COMPOSITE: the full prepare-a-training-mix pipeline in
+    // one declarative plan — quality gate -> exact-dedup keepers ->
+    // deterministic per-source stratified sample -> per-source doc count +
+    // BPE token budget. Every stage is one of the library ops above;
+    // Catalyst fuses the narrow stages (gate + sample are one codegen'd
+    // scan pass) and the only shuffles are the dedup aggregation, its
+    // semi-join, and the final tiny rollup — the plan a 100 TB mix build
+    // actually wants.
+    "txt_training_mix" -> ((s, dir) => {
+      val d    = docs(s, dir)
+      val toks = TF.tokenCount(col("text"))
+      val qualified = d.filter(toks >= 20 &&
+        TF.stopwordCount(col("text"), STOPWORDS).cast("double") / toks >= 0.05)
+      val kept = qualified.join(
+        Dedup.dedupedIds(qualified, "doc_id", "text"), Seq("doc_id"), "left_semi")
+      val key  = TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000
+      val rate = when(col("source") === "src0", lit(500L))
+        .when(col("source") === "src1", lit(250L))
+        .otherwise(lit(100L))
+      kept.filter(key < rate)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.bpeTokenCount(col("text"))).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("fp")),
 
@@ -238,6 +264,26 @@ object TextQueries {
         |    list_transform(generate_series(1, len(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_training_mix" ->
+      s"""WITH q AS (SELECT * FROM documents
+         |  WHERE len($tokSql) >= 20
+         |    AND CAST(len(list_filter($tokSql,
+         |      t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($tokSql) >= 0.05),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |kd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+         |h AS (SELECT *,
+         |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(generate_series(1, 32),
+         |      i -> CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) % 1000 AS hk
+         |  FROM kd),
+         |s AS (SELECT * FROM h
+         |  WHERE hk < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 ELSE 100 END)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT)
+         |    AS n_tokens
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_stratified_sample" ->
       """WITH h AS (SELECT doc_id, source,
