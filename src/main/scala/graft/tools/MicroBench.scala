@@ -25,8 +25,24 @@ object MicroBench {
         (col("id") / 8).cast("long").as("index"),
         encode(conv(col("id").cast("string"), 10, 16), "UTF-8").as("payload"))
     }
+    def stencilBase(s: SparkSession, n: Long): DataFrame = {
+      import org.apache.spark.sql.functions._
+      s.range(0, n, 1, 32).select((col("id") % 8).as("streamId"),
+        expr("id div 8").as("index"), (col("id") * 37 % 1000).as("v"))
+    }
+    val wide = (-7 to 7).toSeq
     val targets: Seq[(String, SparkSession => DataFrame)] = Seq(
       "scan"   -> (s => elems1m(s)),
+      "w7_explode3m" -> (s => // width 7 is the widest the dispatch gives explode
+        graft.operators.SequenceOps.stencil(stencilBase(s, 3000000), (-3 to 3).toSeq, "v")),
+      "w7_halo3m" -> (s =>
+        graft.operators.SequenceOps.stencilHalo(stencilBase(s, 3000000), (-3 to 3).toSeq, "v")),
+      "w15_halo3m" -> (s =>
+        graft.operators.SequenceOps.stencilHalo(stencilBase(s, 3000000), wide, "v")),
+      "w3_explode3m" -> (s =>
+        graft.operators.SequenceOps.stencil(stencilBase(s, 3000000), Seq(-1, 0, 1), "v")),
+      "w3_halo3m" -> (s =>
+        graft.operators.SequenceOps.stencilHalo(stencilBase(s, 3000000), Seq(-1, 0, 1), "v")),
       "stencil10m" -> (s => {
         import org.apache.spark.sql.functions._
         val base = s.range(0, 10000000, 1, 32).select((col("id") % 8).as("streamId"), expr("id div 8").as("index"), (col("id") * 37 % 1000).as("v"))

@@ -245,6 +245,40 @@ class SequenceOpsSpec extends SparkSpec {
     assert(messages(e).exists(m => m != null && m.contains("stencil boundary violation")))
   }
 
+  test("stencilHalo matches the explode plan on every boundary mode, edges, gaps, buckets") {
+    def canon(df: DataFrame): Seq[(Long, Long, Seq[Option[Long]])] =
+      df.orderBy("streamId", "index").collect().map { r =>
+        val w = r.getSeq[Array[Byte]](r.fieldIndex("window"))
+        (r.getAs[Long]("streamId"), r.getAs[Long]("index"),
+          w.map(Option(_).map(b => new String(b).toLong)))
+      }.toSeq
+    val base = elems(300, streams = 2)
+    // a gap: indices 40..49 of stream 0 removed (non-dense input)
+    val gappy = base.filter(!(col("streamId") === 0 && col("index") >= 40 && col("index") < 50))
+    for {
+      offsets  <- Seq(Seq(-1, 0, 1), Seq(-3, 2), Seq(-2, 0, 2, 5))
+      boundary <- Seq(Boundary.RepeatEdge, Boundary.NullFill)
+      input    <- Seq(base, gappy)
+    } {
+      val expect = canon(SequenceOps.stencilExplode(input, offsets, "payload", boundary))
+      // bucketWidth 64 forces multi-bucket streams and real halo traffic
+      val got = canon(SequenceOps.stencilHalo(input, offsets, "payload", boundary,
+        bucketWidth = 64))
+      assert(got == expect, s"halo mismatch: offsets=$offsets boundary=$boundary")
+    }
+    // Error boundary: clean in-domain slice passes, full domain raises
+    val okH = SequenceOps.stencilHalo(elems(100), Seq(0, 1), "payload", Boundary.Error,
+      bucketWidth = 64).filter(col(SequenceOps.INDEX) < 99)
+    assert(okH.collect().length == 99)
+    val e = intercept[Exception] {
+      SequenceOps.stencilHalo(elems(100), Seq(0, 1), "payload", Boundary.Error,
+        bucketWidth = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("stencil boundary violation")))
+  }
+
   test("stencil {0,1} row counts match reference ranges (py_test.py:459-520)") {
     // Range(0,1) with stencil [0,1] -> 1 row; Range(0,2) -> 2 rows
     val st = SequenceOps.stencil(elems(30), Seq(0, 1), "payload")
