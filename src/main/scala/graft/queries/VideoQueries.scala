@@ -75,25 +75,36 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
-    // stencil {0,1} optical-flow (stub estimator, real stencil plan) →
-    // per-frame mean |flow|
+    // stencil {-1,0} optical-flow (stub estimator, real stencil plan) →
+    // per-frame mean |flow|. The frame-pair fetch goes through the
+    // halo-bucketed stencil, so parallelism is #buckets, not #streams —
+    // one multi-TB stream no longer serializes into a single task (the
+    // previous per-stream flatMapSortedGroups shape did exactly that).
     "video_flow" -> ((s, _) => {
       val root   = ensureIngested(s)
-      val frames = VideoStore.frames(s, root, "testvid")
+      val frames = VideoStore.frames(s, root, "testvid").toDF()
+        .select(col("streamId"), col("index"),
+          struct(col("height"), col("width"), col("channels"), col("dtype"),
+            col("data")).as("f"))
+      val paired = SequenceOps
+        .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill)
+        .filter(element_at(col("window"), 1).isNotNull) // drop t=0 (no prev)
       import s.implicits._
-      val pairs = frames.groupByKey(_.streamId)(Encoders.scalaLong)
-        .flatMapSortedGroups(col("index")) { (_: Long, it: Iterator[FrameElem]) =>
-          it.sliding(2).withPartial(false).map { w =>
-            val flow = StdKernels.opticalFlowStub(w.head, w.last)
-            val bb = java.nio.ByteBuffer.wrap(flow.data)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            var sum = 0.0; var n = 0
-            while (bb.hasRemaining) { sum += math.abs(bb.getFloat); n += 1 }
-            (flow.streamId, flow.index, sum / n)
-          }
-        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      paired.map { r =>
+        val sid = r.getAs[Long]("streamId")
+        val t   = r.getAs[Long]("index")
+        val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
+        def fe(x: org.apache.spark.sql.Row) = FrameElem(sid, t,
+          x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
+        val flow = StdKernels.opticalFlowStub(fe(w(0)), fe(w(1)))
+        val bb = java.nio.ByteBuffer.wrap(flow.data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sum = 0.0; var n = 0
+        while (bb.hasRemaining) { sum += math.abs(bb.getFloat); n += 1 }
+        (sid, t, sum / n)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
         .toDF("streamId", "index", "mean_abs_flow")
-      pairs.orderBy("streamId", "index")
+        .orderBy("streamId", "index")
     })
   )
 
