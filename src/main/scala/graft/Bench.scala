@@ -50,6 +50,18 @@ object Bench {
       }),
       "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
       "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),
+      // ONE 10M-row stream as-of joined to a sparse snapshot stream: the
+      // bucketed plan spreads the fill across index-range buckets — the
+      // single-window fallback would put all 10M rows in one task
+      "bt_10m_asof" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val left = s.range(0, 10000000, 1, 32).select(
+          lit(0L).as("streamId"), col("id").as("index"), (col("id") % 97).as("v"))
+        val right = s.range(0, 10000, 1, 8).select(
+          lit(0L).as("streamId"), (col("id") * 1000).as("index"),
+          (col("id") * 7).as("snap"))
+        operators.SequenceOps.asofJoin(left, right, bucketWidth = 1 << 18)
+      }),
       "bt_1m_lsh" -> ((s, _) => lshJoinStress(s, 1000000L)),
       "bt_10m_lsh" -> ((s, _) => lshJoinStress(s, 10000000L)),
       "bt_sparse_decode" -> ((s, _) => {
