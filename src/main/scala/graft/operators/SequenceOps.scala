@@ -282,6 +282,14 @@ object SequenceOps {
 
   // --------------------------------------------------------------- stencil
 
+  /** the Error-mode message both stencil plans raise (kept in one place —
+    * specs and operators match on this text)
+    */
+  private def boundaryRaise(idxCol: Column): Column =
+    raise_error(concat(
+      lit("stencil boundary violation (Error mode) at stream="),
+      col(STREAM).cast("string"), lit(" index="), idxCol.cast("string")))
+
   /** Stencil: for each output row r, gather input rows {r+s | s ∈ offsets}
     * into an ordered array column `windowCol` (reference kernel attribute,
     * `scanner/api/op.h:78-82`; row derivation `dag_analysis.cpp:1634-1643`;
@@ -300,8 +308,16 @@ object SequenceOps {
       offsets: Seq[Int],
       payloadCol: String,
       boundary: Boundary = Boundary.RepeatEdge,
-      windowCol: String = "window"): DataFrame =
-    stencilHalo(df, offsets, payloadCol, boundary, windowCol)
+      windowCol: String = "window",
+      bucketWidth: Long = 1 << 16): DataFrame = {
+    require(offsets.nonEmpty, "stencil needs at least one offset")
+    // auto-grow the bucket for extreme offsets so every offset set the
+    // explode plan accepted still works through the default path
+    val need = 2 * offsets.map(o => math.abs(o.toLong)).max + 1
+    val bw   = if (bucketWidth > need) bucketWidth
+               else java.lang.Long.highestOneBit(need) * 2
+    stencilHalo(df, offsets, payloadCol, boundary, windowCol, bw)
+  }
 
   /** Explode-plan stencil: each producer row explodes to the (few) target
     * indices that read it, then one hash aggregation on (streamId,
@@ -384,10 +400,7 @@ object SequenceOps {
     val windowArr = array(offsets.indices.map(k => col(s"__w$k")): _*)
     val checked = boundary match {
       case Boundary.Error =>
-        when(col("__n") === offsets.size, windowArr)
-          .otherwise(raise_error(concat(
-            lit("stencil boundary violation (Error mode) at stream="),
-            col(STREAM).cast("string"), lit(" index="), col("__t").cast("string"))))
+        when(col("__n") === offsets.size, windowArr).otherwise(boundaryRaise(col("__t")))
       case _ => windowArr
     }
     grouped
@@ -424,6 +437,12 @@ object SequenceOps {
       s"bucketWidth must be a power of two, got $bucketWidth")
     require(bucketWidth > 2 * offsets.map(o => math.abs(o.toLong)).max,
       "bucketWidth must exceed twice the largest offset")
+    // the typed group pass reads these as primitives — fail with a clear
+    // message instead of a mid-job ClassCastException
+    require(df.schema(STREAM).dataType == org.apache.spark.sql.types.LongType &&
+      df.schema(INDEX).dataType == org.apache.spark.sql.types.LongType,
+      s"stencilHalo requires bigint $STREAM/$INDEX (the sequence model's key " +
+        s"types); cast first or use stencilExplode for other key types")
     val bits = java.lang.Long.numberOfTrailingZeros(bucketWidth)
 
     val maxI = "__mx"
@@ -438,8 +457,13 @@ object SequenceOps {
     // ignores it.
     val tLo = when(idx === 0, lit(0L)).otherwise(greatest(idx - maxOff, lit(0L)))
     val tHi = when(idx === mx, mx).otherwise(least(idx - minOff, mx))
-    val keyed = dfl
-      .withColumn("__b", explode(sequence(shiftright(tLo, bits), shiftright(tHi, bits))))
+    // a near-edge row can serve NO targets (tHi < tLo, e.g. idx=0 with
+    // all-positive offsets under NullFill) — emit no membership rather
+    // than let sequence() count downward into spurious negative buckets
+    val buckets = when(tLo <= tHi,
+      sequence(shiftright(tLo, bits), shiftright(tHi, bits)))
+      .otherwise(array().cast("array<bigint>"))
+    val keyed = dfl.withColumn("__b", explode(buckets))
 
     val iPos   = keyed.schema.fieldIndex(INDEX)
     val mxPos  = keyed.schema.fieldIndex(maxI)
@@ -488,10 +512,11 @@ object SequenceOps {
             k += 1
           }
         }
-        val out = Vector.newBuilder[Row]
-        val tIt = targets.iterator()
-        while (tIt.hasNext) {
-          val t   = tIt.next().longValue()
+        // lazy map over the target set: output rows stream out instead of
+        // buffering a second bucket-sized collection next to the input
+        import scala.jdk.CollectionConverters._
+        targets.iterator().asScala.map { tBoxed =>
+          val t   = tBoxed.longValue()
           val arr = new Array[Any](nSlots)
           var n   = 0
           var k   = 0
@@ -506,10 +531,8 @@ object SequenceOps {
             arr(k) = if (hit) byIdx.get(src) else null
             k += 1
           }
-          out += Row(key._1, t, arr.toSeq, n)
-          ()
+          Row(key._1, t, arr.toSeq, n)
         }
-        out.result().iterator
       }(Encoders.row(outSchema))
       .toDF()
 
@@ -520,10 +543,7 @@ object SequenceOps {
     // way (dag_analysis.cpp:1446-1469)
     val checked = boundary match {
       case Boundary.Error =>
-        when(col("__n") === offsets.size, col(windowCol))
-          .otherwise(raise_error(concat(
-            lit("stencil boundary violation (Error mode) at stream="),
-            col(STREAM).cast("string"), lit(" index="), col(INDEX).cast("string"))))
+        when(col("__n") === offsets.size, col(windowCol)).otherwise(boundaryRaise(col(INDEX)))
       case _ => col(windowCol)
     }
     raw.withColumn(windowCol, checked).drop("__n")

@@ -27,6 +27,18 @@ object TextQueries {
     "fr" -> Seq("scan", "data", "query"),
     "zh" -> Seq("join", "small", "column"))
 
+  /** The deterministic sampling key/rates shared by txt_stratified_sample
+    * and txt_training_mix (and their hand-matched DuckDB oracles) — one
+    * definition so the cross-engine-sensitive hash can't drift between the
+    * two queries.
+    */
+  private def sampleKey: org.apache.spark.sql.Column =
+    TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000
+  private def sampleRate: org.apache.spark.sql.Column =
+    when(col("source") === "src0", lit(500L))
+      .when(col("source") === "src1", lit(250L))
+      .otherwise(lit(100L))
+
   private val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
   private val shSql =
     s"""list_transform(generate_series(1, len($tokSql)-1),
@@ -72,16 +84,11 @@ object TextQueries {
     // engines and runs, composable with any downstream filter, and scales
     // as a narrow codegen'd predicate (no shuffle, no RNG state). src0 is
     // upsampled at 500‰, src1 at 250‰, the long tail at 100‰.
-    "txt_stratified_sample" -> ((s, dir) => {
-      val key  = TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000
-      val rate = when(col("source") === "src0", lit(500L))
-        .when(col("source") === "src1", lit(250L))
-        .otherwise(lit(100L))
+    "txt_stratified_sample" -> ((s, dir) =>
       docs(s, dir)
-        .filter(key < rate)
+        .filter(sampleKey < sampleRate)
         .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "txt_rollhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
@@ -102,11 +109,7 @@ object TextQueries {
         TF.stopwordCount(col("text"), STOPWORDS).cast("double") / toks >= 0.05)
       val kept = qualified.join(
         Dedup.dedupedIds(qualified, "doc_id", "text"), Seq("doc_id"), "left_semi")
-      val key  = TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000
-      val rate = when(col("source") === "src0", lit(500L))
-        .when(col("source") === "src1", lit(250L))
-        .otherwise(lit(100L))
-      kept.filter(key < rate)
+      kept.filter(sampleKey < sampleRate)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TF.bpeTokenCount(col("text"))).as("n_tokens"))

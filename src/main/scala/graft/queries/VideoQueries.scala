@@ -86,17 +86,20 @@ object VideoQueries {
         .select(col("streamId"), col("index"),
           struct(col("height"), col("width"), col("channels"), col("dtype"),
             col("data")).as("f"))
+      // bucketWidth 1024: per-task memory = a bucket of FRAMES, so keep it
+      // small (1024 x frame bytes); parallelism is still stream-length/1024
       val paired = SequenceOps
-        .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill)
+        .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill,
+          bucketWidth = 1024)
         .filter(element_at(col("window"), 1).isNotNull) // drop t=0 (no prev)
       import s.implicits._
       paired.map { r =>
         val sid = r.getAs[Long]("streamId")
         val t   = r.getAs[Long]("index")
         val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
-        def fe(x: org.apache.spark.sql.Row) = FrameElem(sid, t,
+        def fe(x: org.apache.spark.sql.Row, idx: Long) = FrameElem(sid, idx,
           x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
-        val flow = StdKernels.opticalFlowStub(fe(w(0)), fe(w(1)))
+        val flow = StdKernels.opticalFlowStub(fe(w(0), t - 1), fe(w(1), t))
         val bb = java.nio.ByteBuffer.wrap(flow.data)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var sum = 0.0; var n = 0

@@ -33,14 +33,14 @@ object MicroBench {
     val wide = (-7 to 7).toSeq
     val targets: Seq[(String, SparkSession => DataFrame)] = Seq(
       "scan"   -> (s => elems1m(s)),
-      "w7_explode3m" -> (s => // width 7 is the widest the dispatch gives explode
-        graft.operators.SequenceOps.stencil(stencilBase(s, 3000000), (-3 to 3).toSeq, "v")),
+      "w7_explode3m" -> (s =>
+        graft.operators.SequenceOps.stencilExplode(stencilBase(s, 3000000), (-3 to 3).toSeq, "v")),
       "w7_halo3m" -> (s =>
         graft.operators.SequenceOps.stencilHalo(stencilBase(s, 3000000), (-3 to 3).toSeq, "v")),
       "w15_halo3m" -> (s =>
         graft.operators.SequenceOps.stencilHalo(stencilBase(s, 3000000), wide, "v")),
       "w3_explode3m" -> (s =>
-        graft.operators.SequenceOps.stencil(stencilBase(s, 3000000), Seq(-1, 0, 1), "v")),
+        graft.operators.SequenceOps.stencilExplode(stencilBase(s, 3000000), Seq(-1, 0, 1), "v")),
       "w3_halo3m" -> (s =>
         graft.operators.SequenceOps.stencilHalo(stencilBase(s, 3000000), Seq(-1, 0, 1), "v")),
       "stencil10m" -> (s => {
