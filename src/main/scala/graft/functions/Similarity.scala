@@ -138,6 +138,20 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric int8 quantization columns — the embedding-storage
+    * compression step of a training pipeline (4x smaller than float32;
+    * dequantize ≈ q * scale). `scaleCol` must hold maxAbs(v)/127 computed
+    * ONCE per row (a lambda that recomputed the max per element would be
+    * O(dim²)); rounding is half-away-from-zero in both engines, so the
+    * DuckDB oracle reproduces the codes exactly.
+    */
+  def maxAbs(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  def int8Quantize(v: Column, scaleCol: Column): Column =
+    when(scaleCol === 0d, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x.cast("double") / scaleCol).cast("int")))
+
   /** IVF (inverted-file) approximate top-k — the FAISS-style scale path:
     * a small deterministic coarse-quantizer relation (`anchors`; at corpus
     * scale, k-means centroids — any small vector relation works) partitions

@@ -78,6 +78,22 @@ object SimQueries {
         .orderBy("vec_id")
     }),
 
+    // int8 storage quantization: per-vector scale + code digest — the
+    // oracle recomputes the exact codes (round half-away-from-zero in both
+    // engines), so any drift in the quantizer turns the row red
+    "emb_quantize" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("__s", Similarity.maxAbs(col("embedding")) / 127.0)
+        .withColumn("__q", Similarity.int8Quantize(col("embedding"), col("__s")))
+      e.select(
+        col("vec_id"),
+        round(col("__s"), 6).as("scale"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("qsum"),
+        array_min(col("__q")).as("qmin"),
+        array_max(col("__q")).as("qmax"))
+        .orderBy("vec_id")
+    }),
+
     "emb_centroids" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label"))
         .agg(
@@ -163,6 +179,20 @@ object SimQueries {
         |                                   ORDER BY score DESC, qid) AS rk FROM s)
         |SELECT vec_id, qid AS best_qid, round(score, 6) AS score
         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+        |q AS (SELECT vec_id, s,
+        |        CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS qv
+        |      FROM sc)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_min(qv) AS INTEGER) AS qmin,
+        |  CAST(list_max(qv) AS INTEGER) AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "emb_centroids" ->
       """SELECT label, COUNT(*) AS n,
