@@ -179,6 +179,18 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // set algebra beyond UNION: (urgent ∩ high-priority customers) minus
+    // low-priority customers — INTERSECT/EXCEPT distinct semantics match
+    // across engines
+    "q_set_ops" -> ((s, dir) => {
+      def custs(prio: String) = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_custkey"))
+      custs("1-URGENT").intersect(custs("2-HIGH"))
+        .except(custs("5-LOW"))
+        .orderBy("o_custkey")
+    }),
+
     // full CUBE with a grouping-id column distinguishing the aggregation
     // level (NULL data values vs NULL subtotal markers)
     "q_cube" -> ((s, dir) =>
@@ -315,6 +327,14 @@ object RelQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
