@@ -75,4 +75,24 @@ class FaultToleranceSpec extends SparkSpec {
     val src = sampleDf(200)
     assert(run(flaky(src, failAttempts = 1)) == run(src))
   }
+
+  test("halo stencil and bucketed as-of join survive task retry with identical results") {
+    import org.apache.spark.sql.functions._
+    val src = sampleDf(500)
+    def stencilRun(df: DataFrame): Seq[(Long, Seq[Long])] = operators.SequenceOps
+      .stencil(df, Seq(-1, 0, 1), "payload", bucketWidth = 64)
+      .orderBy("index").collect()
+      .map(r => (r.getAs[Long]("index"),
+        r.getSeq[Array[Byte]](r.fieldIndex("window")).map(b => b(0).toLong)))
+      .toSeq
+    assert(stencilRun(flaky(src, failAttempts = 1)) == stencilRun(src))
+
+    val right = Seq((0L, 5L, "a"), (0L, 170L, "b")).toDF("streamId", "index", "rv")
+    def asofRun(df: DataFrame): Seq[(Long, String)] = operators.SequenceOps
+      .asofJoin(df.withColumnRenamed("payload", "lp"), right, bucketWidth = 64)
+      .orderBy("index").collect()
+      .map(r => (r.getAs[Long]("index"), r.getAs[String]("rv")))
+      .toSeq
+    assert(asofRun(flaky(src, failAttempts = 1)) == asofRun(src))
+  }
 }
