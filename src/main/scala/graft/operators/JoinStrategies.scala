@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The two join-layout techniques of the 100 TB playbook that aren't a
+  * single built-in call — bucketed co-location and key salting — exposed
+  * as library operators so pipelines use the vetted shape instead of
+  * re-deriving it.
+  *
+  *  - Co-location: the reference reads N ALIGNED columns of a table
+  *    per-row without any join machinery (`python/scannerpy/op.py:174-186`
+  *    positional binding; storage layout `scanner/engine/ingest.cpp`).
+  *    Spark's equivalent alignment guarantee is a bucketed+sorted table:
+  *    two streams bucketed identically on (streamId, index) positional-join
+  *    WITHOUT an exchange — the sort-merge join reads co-located buckets.
+  *  - Salting: a skewed build key (one stream id holding half the corpus)
+  *    overwhelms one task in a plain equi-join. Salting splits each key
+  *    into `salt` sub-keys: the big side hashes each row into one sub-key,
+  *    the small side replicates into all of them — parallelism × salt on
+  *    the hot key for a small-side blowup of × salt. AQE's skew-join
+  *    handles sort-merge cases adaptively; salting is the deterministic
+  *    variant that also covers aggregations and broadcast-ineligible
+  *    smalls.
+  */
+object JoinStrategies {
+
+  /** Write a sequence relation as a bucketed, sorted table co-located on
+    * (streamId, index). Tables written with the same `buckets` count
+    * positional-join exchange-free.
+    */
+  def writeAligned(df: DataFrame, table: String, buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, SequenceOps.STREAM, SequenceOps.INDEX)
+      .sortBy(SequenceOps.STREAM, SequenceOps.INDEX)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Positional join of aligned bucketed tables (by name, written via
+    * [[writeAligned]]) — the reference's multi-column read, shuffle-free.
+    */
+  def positionalJoinAligned(spark: SparkSession, tables: Seq[String]): DataFrame =
+    SequenceOps.positionalJoin(tables.map(spark.table))
+
+  /** Salted equi-join for skewed keys: deterministic per-row salt on the
+    * big side (hash of all its columns — no RNG state, retry-stable),
+    * small side replicated across all `salt` sub-keys.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salt: Int): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val b = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(salt)))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinStrategies
+
+/** Plan + parity pins for the join-layout operators: bucketed co-location
+  * must join without an exchange; salting must preserve join results while
+  * splitting the hot key across sub-partitions.
+  */
+class JoinStrategiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqDf(n: Int, valName: String, f: Long => Long): DataFrame =
+    (0 until n).map(i => (i.toLong % 4, i.toLong / 4, f(i.toLong)))
+      .toDF("streamId", "index", valName)
+
+  test("aligned bucketed tables positional-join with ZERO exchanges") {
+    val a = s"graft_aligned_a_${System.nanoTime()}"
+    val b = s"graft_aligned_b_${System.nanoTime()}"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val bcOld = spark.conf.get(bcKey)
+    try {
+      // force the sort-merge path (at real scale both sides are far over
+      // the broadcast threshold) so bucket co-location is observable
+      spark.conf.set(bcKey, "-1")
+      JoinStrategies.writeAligned(seqDf(400, "va", _ * 3), a, buckets = 8)
+      JoinStrategies.writeAligned(seqDf(400, "vb", _ + 7), b, buckets = 8)
+      val j = JoinStrategies.positionalJoinAligned(spark, Seq(a, b))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed positional join must be shuffle-free, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      val rows = j.collect()
+      assert(rows.length == 400)
+      rows.foreach { r =>
+        val i = r.getAs[Long]("streamId") + r.getAs[Long]("index") * 4
+        // (streamId, index) = (i%4, i/4) -> va = 3i, vb = i+7
+        assert(r.getAs[Long]("va") == 3 * i && r.getAs[Long]("vb") == i + 7)
+      }
+    } finally {
+      spark.conf.set(bcKey, bcOld)
+      spark.sql(s"DROP TABLE IF EXISTS $a")
+      spark.sql(s"DROP TABLE IF EXISTS $b")
+    }
+  }
+
+  test("salted join: identical results to the plain join; salt reaches the join keys") {
+    // skew: 90% of the big side lands on streamId 0
+    val big = (0 until 2000).map { i =>
+      val sid = if (i % 10 == 0) (i / 10) % 4 + 1 else 0L
+      (sid.toLong, i.toLong, i.toLong * 2)
+    }.toDF("streamId", "id", "v")
+    val small = (0L until 5L).map(sid => (sid, s"dim_$sid")).toDF("streamId", "label")
+    val plain  = big.join(small, Seq("streamId"))
+    val salted = JoinStrategies.saltedJoin(big, small, Seq("streamId"), salt = 8)
+    def canon(df: DataFrame) = df.select("streamId", "id", "v", "label")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(canon(salted) == canon(plain))
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "join must key on the salt column")
+  }
+}
