@@ -38,18 +38,39 @@ object JoinStrategies {
 
   /** Positional join of aligned bucketed tables (by name, written via
     * [[writeAligned]]) — the reference's multi-column read, shuffle-free.
+    * Sequence relations usually all carry a column named `payload`, so
+    * colliding value columns are disambiguated with a table-name prefix;
+    * unique names pass through untouched.
     */
-  def positionalJoinAligned(spark: SparkSession, tables: Seq[String]): DataFrame =
-    SequenceOps.positionalJoin(tables.map(spark.table))
+  def positionalJoinAligned(spark: SparkSession, tables: Seq[String]): DataFrame = {
+    val keys = Seq(SequenceOps.STREAM, SequenceOps.INDEX)
+    val valueNames = tables.flatMap(t =>
+      spark.table(t).columns.filterNot(keys.contains).map(c => (t, c)))
+    val dup = valueNames.groupBy(_._2).filter(_._2.size > 1).keySet
+    val dfs = tables.map { t =>
+      val df = spark.table(t)
+      df.columns.filterNot(keys.contains).filter(dup.contains)
+        .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${t}_$c"))
+    }
+    SequenceOps.positionalJoin(dfs)
+  }
 
   /** Salted equi-join for skewed keys: deterministic per-row salt on the
-    * big side (hash of all its columns — no RNG state, retry-stable),
+    * big side (hash of its hashable columns — no RNG state, retry-stable),
     * small side replicated across all `salt` sub-keys.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    val b = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(salt)))
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt")
+    // hash() rejects MapType; skip maps — any remaining column mix still
+    // spreads rows of one hot key across sub-keys
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty, "big side needs at least one non-map column to salt on")
+    val b = big.withColumn("__salt", pmod(hash(hashable: _*), lit(salt)))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")
   }

@@ -77,7 +77,6 @@ class FaultToleranceSpec extends SparkSpec {
   }
 
   test("halo stencil and bucketed as-of join survive task retry with identical results") {
-    import org.apache.spark.sql.functions._
     val src = sampleDf(500)
     def stencilRun(df: DataFrame): Seq[(Long, Seq[Long])] = operators.SequenceOps
       .stencil(df, Seq(-1, 0, 1), "payload", bucketWidth = 64)

@@ -46,6 +46,32 @@ class JoinStrategiesSpec extends SparkSpec {
     }
   }
 
+  test("aligned join disambiguates colliding payload columns with a table prefix") {
+    val a = s"graft_pay_a_${System.nanoTime()}"
+    val b = s"graft_pay_b_${System.nanoTime()}"
+    try {
+      // both tables carry the model's standard column name `payload`
+      JoinStrategies.writeAligned(seqDf(40, "payload", _ * 2), a, buckets = 4)
+      JoinStrategies.writeAligned(seqDf(40, "payload", _ + 1), b, buckets = 4)
+      val j = JoinStrategies.positionalJoinAligned(spark, Seq(a, b))
+      assert(j.columns.toSet == Set("streamId", "index", s"${a}_payload", s"${b}_payload"))
+      // downstream single-column select works (would be AMBIGUOUS otherwise)
+      assert(j.select(s"${a}_payload").count() == 40)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $a")
+      spark.sql(s"DROP TABLE IF EXISTS $b")
+    }
+  }
+
+  test("saltedJoin rejects a reserved __salt column instead of clobbering it") {
+    val big   = Seq((0L, 1L)).toDF("streamId", "__salt")
+    val small = Seq((0L, "x")).toDF("streamId", "label")
+    val e = intercept[IllegalArgumentException] {
+      JoinStrategies.saltedJoin(big, small, Seq("streamId"), salt = 4)
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
   test("salted join: identical results to the plain join; salt reaches the join keys") {
     // skew: 90% of the big side lands on streamId 0
     val big = (0 until 2000).map { i =>
