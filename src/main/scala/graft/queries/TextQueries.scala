@@ -94,6 +94,17 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
 
+    // corpus bigram frequency table (the vocabulary/contamination analysis
+    // staple): explode shingles -> one map-side-combining count -> frequent
+    // set. Narrow explode + single agg — the 100 TB shape for n-gram stats.
+    "txt_ngram_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TF.shingles(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("n").desc, col("ngram"))),
+
     // The flagship COMPOSITE: the full prepare-a-training-mix pipeline in
     // one declarative plan — quality gate -> exact-dedup keepers ->
     // deterministic per-source stratified sample -> per-source doc count +
@@ -267,6 +278,13 @@ object TextQueries {
         |    list_transform(generate_series(1, len(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_ngram_freq" ->
+      s"""SELECT ngram, COUNT(*) AS n
+         |FROM (SELECT unnest($shSql) AS ngram FROM documents
+         |      WHERE len($tokSql) >= 2)
+         |GROUP BY ngram HAVING COUNT(*) >= 10
+         |ORDER BY n DESC, ngram""".stripMargin,
 
     "txt_training_mix" ->
       s"""WITH q AS (SELECT * FROM documents
