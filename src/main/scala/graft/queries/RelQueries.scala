@@ -226,6 +226,19 @@ object RelQueries {
         .groupBy(col("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("bucket", "event_type")
+    }),
+
+    // calendar functions over the nano timestamps: ISO weekday (0=Monday,
+    // aligned across engines' differing dayofweek conventions) + DATE-typed
+    // aggregation — the scalar date surface of the gap map
+    "q_events_weekday" -> ((s, dir) => {
+      val tts = graft.GraftSession.nanosToTimestamp(col("ts"))
+      t(s, dir, "events")
+        .select(((dayofweek(tts) + 5) % 7).cast("long").as("dow"),
+          col("event_type"), to_date(tts).as("d"))
+        .groupBy(col("dow"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("d")).as("first_day"))
+        .orderBy("dow", "event_type")
     })
   )
 
@@ -327,6 +340,11 @@ object RelQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_events_weekday" ->
+      """SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow, event_type,
+        |  COUNT(*) AS n, MIN(CAST(ts AS DATE)) AS first_day
+        |FROM events GROUP BY 1, 2 ORDER BY dow, event_type""".stripMargin,
 
     "q_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
