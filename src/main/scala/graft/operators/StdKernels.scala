@@ -207,6 +207,33 @@ object StdKernels {
   /** ImageEncoder: frame → PNG bytes (`scanner/util/image_encoder.cpp:112-117`)
     * via JDK javax.imageio (headless-safe).
     */
+  /** Tile same-shape frames into one grid image (`cols` across, row-major
+    * in input order) — the preview/contact-sheet kernel every video
+    * pipeline ships. Pure pixel-row copy; output index = first frame's.
+    */
+  def tileGrid(frames: Seq[FrameElem], cols: Int): FrameElem = {
+    require(frames.nonEmpty && cols > 0, "tileGrid needs frames and a positive column count")
+    val h0 = frames.head
+    frames.foreach(f => require(f.height == h0.height && f.width == h0.width &&
+      f.channels == h0.channels && f.dtype == h0.dtype, "tileGrid frames must share shape"))
+    val rows   = (frames.size + cols - 1) / cols
+    val gh     = rows * h0.height
+    val gw     = cols * h0.width
+    val stride = h0.width * h0.channels
+    val out    = new Array[Byte](gh * gw * h0.channels)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val cellR = i / cols
+      val cellC = i % cols
+      var y = 0
+      while (y < f.height) {
+        System.arraycopy(f.data, y * stride, out,
+          ((cellR * h0.height + y) * gw + cellC * h0.width) * h0.channels, stride)
+        y += 1
+      }
+    }
+    FrameElem(h0.streamId, h0.index, gh, gw, h0.channels, h0.dtype, out)
+  }
+
   def encodePng(frame: FrameElem): Array[Byte] = {
     require(frame.dtype == FrameType.U8 && frame.channels == 3)
     val img = new java.awt.image.BufferedImage(

@@ -75,6 +75,31 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
+    // preview contact sheet: sparse gather through the keyframe index →
+    // per-stream resize → 2x3 tile → PNG digest. A bounded per-stream op
+    // (6 thumbs/stream), so the tiny per-stream group is fine here —
+    // the SCALE path is the sparse decode feeding it.
+    "video_thumb_grid" -> ((s, _) => {
+      val root = ensureIngested(s)
+      val want = Seq(0L, 60L, 120L, 180L, 240L, 299L)
+      import s.implicits._
+      val thumbs = Seq(0L, 1L)
+        .map(sid => VideoStore.gatherFrames(s, root, "testvid", sid, want))
+        .reduce(_ unionByName _)
+      val small = StdKernels.resizeOp(thumbs, Map(0L -> ((8, 12)), 1L -> ((8, 12))))
+      small.groupByKey(_.streamId)(Encoders.scalaLong)
+        .flatMapSortedGroups(col("index")) { (sid: Long, it: Iterator[FrameElem]) =>
+          val grid = StdKernels.tileGrid(it.toSeq, cols = 3)
+          val png  = StdKernels.encodePng(grid)
+          val md5d = java.security.MessageDigest.getInstance("MD5").digest(png)
+            .map(x => f"${x & 0xff}%02x").mkString
+          Iterator.single((sid, grid.height, grid.width, md5d))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+          Encoders.scalaInt, Encoders.STRING))
+        .toDF("streamId", "grid_h", "grid_w", "png_md5")
+        .orderBy("streamId")
+    }),
+
     // stencil {-1,0} optical-flow (stub estimator, real stencil plan) →
     // per-frame mean |flow|. The frame-pair fetch goes through the
     // halo-bucketed stencil, so parallelism is #buckets, not #streams —

@@ -9,6 +9,24 @@ import graft.operators.SequenceOps.Partitioner
   * (`tests/py_test.py:407-435`, `tests/test_ops.cpp`).
   */
 class KernelsSpec extends SparkSpec {
+
+  test("tileGrid places each frame's pixel block at its grid cell") {
+    import graft.operators.StdKernels
+    // 4 frames of 2x2x1, values = frame id -> 2x2 grid of cells
+    val frames = (0 until 4).map { i =>
+      graft.model.FrameElem(0L, i.toLong, 2, 2, 1, graft.model.FrameType.U8,
+        Array.fill(4)(i.toByte))
+    }
+    val g = StdKernels.tileGrid(frames, cols = 2)
+    assert((g.height, g.width, g.channels) == ((4, 4, 1)))
+    // row-major cells: (0 0 1 1 / 0 0 1 1 / 2 2 3 3 / 2 2 3 3)
+    val expect = Array[Byte](0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+    assert(java.util.Arrays.equals(g.data, expect))
+    // ragged last row: 3 frames over 2 cols -> 2x2 grid with a blank cell
+    val g3 = StdKernels.tileGrid(frames.take(3), cols = 2)
+    assert((g3.height, g3.width) == ((4, 4)))
+    assert(g3.data(8) == 2 && g3.data(10) == 0) // row 2: frame2 block, then blank
+  }
   import spark.implicits._
 
   def elems(n: Int, streams: Int = 1): DataFrame =
