@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: an 8g heap meant the
+  // bench spent a large, noisy share of wall time in GC (±50% swings on
+  // identical plans). 32g ≈ 1g/task, the ballpark a real executor would
+  // get; override with SPARK_DRIVER_MEM on smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

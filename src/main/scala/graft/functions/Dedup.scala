@@ -150,15 +150,21 @@ object Dedup {
   def minhashSlot(shinglesCol: Column, slot: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(s"$slot|"), s))))
 
-  /** (id, shingle-array) with tokens/shingles materialized as real columns:
-    * CollapseProject keeps a non-cheap producer referenced more than once as
-    * its own projection, so the token split runs once per row no matter how
-    * many slot expressions consume it.
+  /** (id, DISTINCT shingle-array) with tokens/shingles materialized as real
+    * columns: CollapseProject keeps a non-cheap producer referenced more
+    * than once as its own projection, so the token split runs once per row
+    * no matter how many slot expressions consume it. The distinct fold is
+    * free correctness-wise (min over a multiset of hashes = min over its
+    * set) and shrinks every downstream md5 by the duplicate factor — on
+    * real corpora repeated n-grams ("of the", boilerplate) are a large
+    * share of the stream; it is also exactly the set the Jaccard verify
+    * step needs, so [[ngramJaccardPairs]] shares this one relation.
     */
   private def withShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2)
-      .select(col(idCol), TextFunctions.shinglesFromTokens(col("__toks"), 2).as("__sh"))
+      .select(col(idCol),
+        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("__sh"))
 
   /** Wide-format signatures (id, __m0..__m(k-1)) — the minhash compute
     * core. Shingles EXPLODE into rows so every md5 is a plain codegen'd
@@ -168,16 +174,18 @@ object Dedup {
     * (lambda machinery per element — measured ~2x slower at bench scale).
     * Values are identical: min over shingles of md5("slot|" + shingle).
     */
-  private def slotMins(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  private def slotMinsFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
     val hashes = (0 until k).map(i =>
       md5(concat(lit(s"$i|"), col("__s"))).as(s"__h$i"))
     val mins = (0 until k).map(i => min(col(s"__h$i")).as(s"__m$i"))
-    withShingles(docs, idCol, textCol)
-      .select(col(idCol), explode(col("__sh")).as("__s"))
+    sh.select(col(idCol), explode(col("__sh")).as("__s"))
       .select(col(idCol) +: hashes: _*)
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
   }
+
+  private def slotMins(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    slotMinsFromShingles(withShingles(docs, idCol, textCol), idCol, k)
 
   /** long-format MinHash signatures: (id, slot, mh), k slots per doc */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
@@ -188,28 +196,36 @@ object Dedup {
       .select(col(idCol), col("s.slot").as("slot"), col("s.mh").as("mh"))
   }
 
-  /** LSH candidate pairs: docs sharing any band (band = `rows` consecutive
-    * signature slots hashed together). Returns distinct (a, b), a < b.
-    */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, rows: Int): DataFrame = {
+  /** (id, band, bk) band keys from a slot-min relation */
+  private def bandKeys(mins: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
     require(k % rows == 0, "slots must divide into equal bands")
     val bands = (0 until k / rows).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bk"))
     }
-    // band keys cost k md5s per shingle — persist so the self-join's two
-    // sides (and distinct) reuse one computation
-    val keyed = slotMins(docs, idCol, textCol, k)
-      .select(col(idCol).as("id"), explode(array(bands: _*)).as("bb"))
+    mins.select(col(idCol).as("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-      .persist()
+  }
+
+  /** distinct (a, b), a < b sharing any (band, bk); expects `keyed` persisted */
+  private def bandSelfJoinPairs(keyed: DataFrame): DataFrame = {
     val l = keyed.select(col("band"), col("bk"), col("id").as("a"))
     val r = keyed.select(col("band"), col("bk"), col("id").as("b"))
     l.join(r, Seq("band", "bk"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
+  }
+
+  /** LSH candidate pairs: docs sharing any band (band = `rows` consecutive
+    * signature slots hashed together). Returns distinct (a, b), a < b.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, rows: Int): DataFrame = {
+    // band keys cost k md5s per shingle — persist so the self-join's two
+    // sides (and distinct) reuse one computation
+    val keyed = bandKeys(slotMins(docs, idCol, textCol, k), idCol, k, rows).persist()
+    bandSelfJoinPairs(keyed)
   }
 
   private val hexDigits = "0123456789abcdef"
@@ -319,12 +335,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 4): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, k, rows)
-    val sets = docs.withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .filter(size(col("__toks")) >= 2)
-      .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("sh"))
-      .persist() // tokenize+shingle once; joined for both pair sides
+    // ONE persisted tokenize+shingle pass feeds both phases: the minhash
+    // signature explode (candidate generation) and the exact-set verify
+    // joins — previously the verify side re-tokenized the whole corpus
+    val sh = withShingles(docs, idCol, textCol).persist()
+    val keyed = bandKeys(slotMinsFromShingles(sh, idCol, k), idCol, k, rows).persist()
+    val cands = bandSelfJoinPairs(keyed)
+    val sets  = sh.select(col(idCol).as("id"), col("__sh").as("sh"))
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))

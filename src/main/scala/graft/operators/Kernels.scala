@@ -105,7 +105,8 @@ object Kernels {
       df: DataFrame,
       kernel: StatefulKernel[S],
       warmup: Int,
-      requested: Option[Seq[Long]] = None): DataFrame = {
+      requested: Option[Seq[Long]] = None,
+      sliced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val needed: DataFrame = requested match {
       case None => df
@@ -115,19 +116,40 @@ object Kernels {
         df.join(broadcast(want), Seq("index"))
     }
     val reqSet = requested.map(_.toSet)
-    val ds     = needed.selectExpr("streamId", "index", "payload").as[Elem](elemEnc)
-    ds.groupByKey(_.streamId)(Encoders.scalaLong)
-      .flatMapSortedGroups(col("index")) { (_: Long, it: Iterator[Elem]) =>
-        var s       = kernel.init
-        var lastIdx = Long.MinValue
-        it.flatMap { e =>
-          if (e.index != lastIdx + 1) s = kernel.init // cold start at gap
-          lastIdx = e.index
-          val (s2, out) = kernel.update(s, e.index, e.payload)
-          s = s2
-          if (reqSet.forall(_.contains(e.index))) Some(e.copy(payload = out)) else None
-        }
-      }(elemEnc)
-      .toDF()
+    // one ordered warmup-replay pass over a group's fetched rows
+    def pass[E](it: Iterator[E], index: E => Long, payload: E => Array[Byte],
+        rebuild: (E, Array[Byte]) => E): Iterator[E] = {
+      var s       = kernel.init
+      var lastIdx = Long.MinValue
+      it.flatMap { e =>
+        if (index(e) != lastIdx + 1) s = kernel.init // cold start at gap
+        lastIdx = index(e)
+        val (s2, out) = kernel.update(s, index(e), payload(e))
+        s = s2
+        if (reqSet.forall(_.contains(index(e)))) Some(rebuild(e, out)) else None
+      }
+    }
+    if (!sliced) {
+      val ds = needed.selectExpr("streamId", "index", "payload").as[Elem](elemEnc)
+      ds.groupByKey(_.streamId)(Encoders.scalaLong)
+        .flatMapSortedGroups(col("index")) { (_: Long, it: Iterator[Elem]) =>
+          pass[Elem](it, _.index, _.payload, (e, out) => e.copy(payload = out))
+        }(elemEnc)
+        .toDF()
+    } else {
+      // per-slice variant: state (and the warmup replay window) scope to
+      // (streamId, sliceId) over the slice-LOCAL dense index — the
+      // reference derives warmup rows within slices
+      // (`dag_analysis.cpp:1607-1620`; per-slice args `py_test.py:393-404`);
+      // `requested` names local indices, applied uniformly to every slice
+      val ds = needed.selectExpr("streamId", "sliceId", "index", "payload")
+        .as[SlicedElem](sElemEnc)
+      ds.groupByKey(e => (e.streamId, e.sliceId))(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .flatMapSortedGroups(col("index")) { (_: (Long, Long), it: Iterator[SlicedElem]) =>
+          pass[SlicedElem](it, _.index, _.payload, (e, out) => e.copy(payload = out))
+        }(sElemEnc)
+        .toDF()
+    }
   }
 }

@@ -173,6 +173,27 @@ object SeqQueries {
         .map(e => (e.index, StdKernels.decodeI64(e.payload)))
         .toDF("index", "counter")
         .orderBy("index")
+    }),
+
+    // bounded state INSIDE Slice: warmup replay and state cold-starts scope
+    // to each (stream, slice) group over slice-local indices (reference
+    // per-slice warmup derivation `dag_analysis.cpp:1607-1620`). Requested
+    // locals {0,5,100,101,249} with warmup 3 give the same counter vector
+    // in every complete 250-row slice: fetch runs {0},{2..5},{97..101},
+    // {246..249} cold-start at their gaps, so the counter at a requested
+    // local is its position within its fetched run.
+    "seq_bounded_state_sliced" -> ((s, dir) => {
+      val withPayload = stream(s, dir)
+        .withColumn("payload", encode(col("event_type"), "UTF-8"))
+        .drop("event_type", "value")
+      val sliced = SequenceOps.slice(withPayload, Partitioner.All(250))
+      val out = Kernels.boundedState(sliced, StdKernels.TestIncrement, 3,
+        Some(Seq(0L, 5L, 100L, 101L, 249L)), sliced = true)
+      import s.implicits._
+      out.as[Kernels.SlicedElem]
+        .map(e => (e.sliceId, e.index, StdKernels.decodeI64(e.payload)))
+        .toDF("slice_id", "idx", "counter")
+        .orderBy("slice_id", "idx")
     })
   )
 
@@ -278,6 +299,19 @@ object SeqQueries {
       """SELECT CAST(index AS BIGINT) AS index, CAST(counter AS BIGINT) AS counter
         |FROM (VALUES (0, 0), (10, 3), (25, 3), (26, 4), (27, 5), (500, 3), (501, 4))
         |  t(index, counter)
-        |ORDER BY index""".stripMargin
+        |ORDER BY index""".stripMargin,
+
+    // the per-slice counter vector is data-independent (TestIncrement reads
+    // only the replay run shape), so the oracle derives it arithmetically
+    // from the dense event_id domain: every slice that contains a requested
+    // local yields the same counters {0:0, 5:3, 100:3, 101:4, 249:3}
+    "seq_bounded_state_sliced" ->
+      """SELECT event_id // 250 AS slice_id, event_id % 250 AS idx,
+        |       CAST(CASE event_id % 250 WHEN 0 THEN 0 WHEN 5 THEN 3
+        |            WHEN 100 THEN 3 WHEN 101 THEN 4 WHEN 249 THEN 3 END AS BIGINT)
+        |         AS counter
+        |FROM events
+        |WHERE event_id % 250 IN (0, 5, 100, 101, 249)
+        |ORDER BY slice_id, idx""".stripMargin
   )
 }

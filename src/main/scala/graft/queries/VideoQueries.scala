@@ -52,6 +52,27 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
+    // full container round-trip IN the driver gate: stored segments →
+    // save_mp4 export (real ISO-BMFF mux) → ingestMp4 (real demux,
+    // index rebuilt from the moov alone) → decode → histogram. The
+    // stand-in codec is lossless, so the digests must equal
+    // video_histogram's stream-0 rows — any regression in mux, demux,
+    // sample-table math, or executor-side positioned reads flips the hash.
+    "video_roundtrip_histogram" -> ((s, _) => {
+      val root = ensureIngested(s)
+      if (!graft.sources.NamedStorage.committed(s, root, "testvid_rt")) {
+        val mp4 = root + "/testvid_rt.mp4"
+        VideoStore.exportMp4(s, root, "testvid", 0L, mp4)
+        VideoStore.ingestMp4(s, mp4, root, "testvid_rt", 0L, CacheMode.Ignore)
+      }
+      val frames = VideoStore.frames(s, root, "testvid_rt").toDF()
+      val ranged = SequenceOps.range(frames, 0L, 30L)
+      val hists  = StdKernels.histogramOp(ranged.as[FrameElem](frameEnc))
+      hists.toDF()
+        .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
+        .orderBy("streamId", "index")
+    }),
+
     // sparse gather through the keyframe index (BASELINE.md bench target 4)
     "video_sparse_gather" -> ((s, _) => {
       val root = ensureIngested(s)

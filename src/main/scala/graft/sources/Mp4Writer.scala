@@ -47,13 +47,24 @@ object Mp4Writer {
     d.write("isom".getBytes(US_ASCII)); d.write("iso2".getBytes(US_ASCII))
   }
 
-  /** size-prefixed `mdat` header; payloads stream after it */
+  /** Size-prefixed `mdat` header; payloads stream after it. Past 2 GiB the
+    * compact 32-bit size can't hold the box, so the 14496-12 `largesize`
+    * form is written instead (size=1, 64-bit length after the type) — the
+    * shape [[graft.sources.VideoStore.ingestMp4]]'s box walk already reads.
+    */
   def mdatHeader(payloadBytes: Long): Array[Byte] = {
-    require(payloadBytes + 8 <= Int.MaxValue, "use largesize mdat beyond 2 GiB")
+    require(payloadBytes >= 0, s"negative mdat payload: $payloadBytes")
     val out = new ByteArrayOutputStream()
     val d   = new DataOutputStream(out)
-    d.writeInt((payloadBytes + 8).toInt)
-    d.write("mdat".getBytes(US_ASCII)); d.flush()
+    if (payloadBytes + 8 <= Int.MaxValue) {
+      d.writeInt((payloadBytes + 8).toInt)
+      d.write("mdat".getBytes(US_ASCII))
+    } else {
+      d.writeInt(1) // 1 = 64-bit largesize follows the type
+      d.write("mdat".getBytes(US_ASCII))
+      d.writeLong(payloadBytes + 16)
+    }
+    d.flush()
     out.toByteArray
   }
 
@@ -80,7 +91,11 @@ object Mp4Writer {
     // fail loudly instead of silently truncating the fixed-width fields
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
       s"sample-entry dimensions are 16-bit: got ${width}x$height")
-    require(chunkOffset <= Int.MaxValue, "stco is 32-bit; co64 needed for >2 GiB offsets")
+    require(chunkOffset >= 0, s"negative chunk offset: $chunkOffset")
+    // stsz stays 32-bit: a single GOP segment past 2 GiB is a genuine
+    // error (GOPs are bounded by gopSize frames), unlike the FILE size,
+    // which legitimately passes 2 GiB and switches mdat/stco to the
+    // largesize/co64 forms
     samples.foreach(s =>
       require(s.bytes <= Int.MaxValue, s"stsz entry overflows 32 bits: ${s.bytes}"))
     val totalFrames = samples.map(_.frames.toLong).sum
@@ -142,8 +157,14 @@ object Mp4Writer {
       d.writeInt(0); d.writeInt(samples.size)
       samples.foreach(s => d.writeInt(s.bytes.toInt))
     }
-    val stco = fullBox("stco") { d => d.writeInt(1); d.writeInt(chunkOffset.toInt) }
-    val stbl = box("stbl") { d => Seq(stsd, stts, stsc, stsz, stco).foreach(d.write) }
+    // stco holds UNSIGNED 32-bit offsets, so it covers chunk starts up to
+    // 4 GiB; beyond that the 64-bit co64 box is the spec's representation
+    val chunkBox =
+      if (chunkOffset <= 0xffffffffL)
+        fullBox("stco") { d => d.writeInt(1); d.writeInt(chunkOffset.toInt) }
+      else
+        fullBox("co64") { d => d.writeInt(1); d.writeLong(chunkOffset) }
+    val stbl = box("stbl") { d => Seq(stsd, stts, stsc, stsz, chunkBox).foreach(d.write) }
     val minf = box("minf") { d => Seq(vmhd, dinf, stbl).foreach(d.write) }
     val mdia = box("mdia") { d => Seq(mdhd, hdlr, minf).foreach(d.write) }
     val trak = box("trak") { d => Seq(tkhd, mdia).foreach(d.write) }
@@ -176,10 +197,13 @@ object Mp4Writer {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
+  private def be64(b: Array[Byte], off: Int): Long =
+    ((be32(b, off) & 0xffffffffL) << 32) | (be32(b, off + 4) & 0xffffffffL)
+
   private def boxType(b: Array[Byte], off: Int): String =
     new String(b, off + 4, 4, US_ASCII)
 
-  private def findChild(b: Array[Byte], from: Int, end: Int, tpe: String): Int = {
+  private def findChildOpt(b: Array[Byte], from: Int, end: Int, tpe: String): Option[Int] = {
     var o = from
     while (o < end && boxType(b, o) != tpe) {
       val sz = be32(b, o)
@@ -188,19 +212,33 @@ object Mp4Writer {
       require(sz >= 8 && o + sz <= end, s"mp4: corrupt box size $sz at offset $o")
       o += sz
     }
-    require(o < end, s"mp4: missing $tpe box"); o
+    if (o < end) Some(o) else None
   }
 
-  /** Parse the sample table of a whole in-memory ISO-BMFF file. */
+  private def findChild(b: Array[Byte], from: Int, end: Int, tpe: String): Int =
+    findChildOpt(b, from, end, tpe)
+      .getOrElse(throw new IllegalArgumentException(s"mp4: missing $tpe box"))
+
+  /** Parse the sample table of a whole in-memory ISO-BMFF file. Understands
+    * the full size grammar of the top-level walk (compact 32-bit,
+    * `largesize`, and 0 = to-end-of-file) so files our own writer produces
+    * past 2 GiB — and files from other muxers — walk correctly.
+    */
   def parseSamples(bytes: Array[Byte]): Seq[SampleRef] = {
-    var off = 0
-    while (off < bytes.length && boxType(bytes, off) != "moov") {
-      val sz = be32(bytes, off)
+    var off = 0L
+    var moovAt = -1L
+    while (moovAt < 0 && off < bytes.length) {
+      val sz32 = be32(bytes, off.toInt)
+      val sz: Long =
+        if (sz32 == 1) be64(bytes, off.toInt + 8)
+        else if (sz32 == 0) bytes.length - off
+        else sz32.toLong & 0xffffffffL
       require(sz >= 8 && off + sz <= bytes.length, s"mp4: corrupt box size $sz at offset $off")
-      off += sz
+      if (boxType(bytes, off.toInt) == "moov") moovAt = off else off += sz
     }
-    require(off < bytes.length, "mp4: missing moov box")
-    parseSampleTable(java.util.Arrays.copyOfRange(bytes, off, off + be32(bytes, off)))
+    require(moovAt >= 0, "mp4: missing moov box")
+    parseSampleTable(java.util.Arrays.copyOfRange(
+      bytes, moovAt.toInt, moovAt.toInt + be32(bytes, moovAt.toInt)))
   }
 
   /** Parse a single-track sample table from the `moov` box bytes alone
@@ -209,7 +247,18 @@ object Mp4Writer {
     * this one box). Handles the general stsc/stco chunk layout, so files
     * from other muxers with multiple chunks demux too.
     */
-  def parseSampleTable(bytes: Array[Byte]): Seq[SampleRef] = {
+  def parseSampleTable(bytes: Array[Byte]): Seq[SampleRef] =
+    parseSampleTableWithDurations(bytes)._1
+
+  /** [[parseSampleTable]] plus the per-sample `stts` time deltas. Our
+    * writer's timescale is 1 unit = 1 frame ([[moov]]), so for files it
+    * muxed the delta of a sample IS that GOP's frame count — which is what
+    * lets [[graft.sources.VideoStore.ingestMp4]] build its whole index from
+    * the single moov read (the reference's one-pass index build,
+    * `scanner/engine/ingest.cpp:175-380`) instead of issuing one positioned
+    * header read per sample.
+    */
+  def parseSampleTableWithDurations(bytes: Array[Byte]): (Seq[SampleRef], Seq[Int]) = {
     require(boxType(bytes, 0) == "moov", "expected a moov box")
     val off     = 0
     val moovEnd = be32(bytes, 0)
@@ -225,9 +274,19 @@ object Mp4Writer {
     val sizes = (0 until nSamples).map(i =>
       if (fixedSize != 0) fixedSize else be32(bytes, stsz + 20 + 4 * i))
 
-    val stco = findChild(bytes, stbl + 8, stblEnd, "stco")
-    val nChunks = be32(bytes, stco + 12)
-    val chunkOffsets = (0 until nChunks).map(i => be32(bytes, stco + 16 + 4 * i).toLong)
+    // chunk offsets: stco entries are UNSIGNED 32-bit (mask, don't
+    // sign-extend — a 2-4 GiB offset is legal stco); past 4 GiB the spec
+    // uses the 64-bit co64 box instead
+    val chunkOffsets = findChildOpt(bytes, stbl + 8, stblEnd, "stco") match {
+      case Some(stco) =>
+        val nChunks = be32(bytes, stco + 12)
+        (0 until nChunks).map(i => be32(bytes, stco + 16 + 4 * i).toLong & 0xffffffffL)
+      case None =>
+        val co64 = findChild(bytes, stbl + 8, stblEnd, "co64")
+        val nChunks = be32(bytes, co64 + 12)
+        (0 until nChunks).map(i => be64(bytes, co64 + 16 + 8 * i))
+    }
+    val nChunks = chunkOffsets.size
 
     val stsc = findChild(bytes, stbl + 8, stblEnd, "stsc")
     val nRuns = be32(bytes, stsc + 12)
@@ -248,6 +307,17 @@ object Mp4Writer {
       }
     }
     require(sample == nSamples, s"mp4: chunk map covered $sample of $nSamples samples")
-    out.result()
+
+    // per-sample time deltas, expanded from the run-length-compacted stts
+    val stts = findChild(bytes, stbl + 8, stblEnd, "stts")
+    val nTimeRuns = be32(bytes, stts + 12)
+    val durations = (0 until nTimeRuns).flatMap { r =>
+      val n     = be32(bytes, stts + 16 + 8 * r)
+      val delta = be32(bytes, stts + 20 + 8 * r)
+      Seq.fill(n)(delta)
+    }
+    require(durations.size == nSamples,
+      s"mp4: stts covers ${durations.size} of $nSamples samples")
+    (out.result(), durations)
   }
 }

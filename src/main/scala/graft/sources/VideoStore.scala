@@ -104,35 +104,59 @@ object VideoStore {
   def gatherFrames(spark: SparkSession, root: String, name: String,
       streamId: Long, rows: Seq[Long],
       decoded: Option[LongAccumulator] = None,
+      codec: GopCodec = FakeVideoCodec): Dataset[FrameElem] =
+    gatherFramesMulti(spark, root, name, Map(streamId -> rows), decoded, codec)
+
+  /** Multi-stream sparse gather: one job plans and decodes the wanted rows
+    * of EVERY stream (the reference's per-job stream loop,
+    * `python/scannerpy/client.py:1434-1527`, without looping the driver —
+    * N streams is one metadata pass + one decode pass, not N jobs).
+    */
+  def gatherFramesMulti(spark: SparkSession, root: String, name: String,
+      wants: Map[Long, Seq[Long]],
+      decoded: Option[LongAccumulator] = None,
       codec: GopCodec = FakeVideoCodec): Dataset[FrameElem] = {
-    require(rows.nonEmpty, "gatherFrames needs at least one row")
+    require(wants.nonEmpty && wants.values.forall(_.nonEmpty),
+      "gatherFrames needs at least one row per requested stream")
     import spark.implicits._
     // plan: DISTRIBUTED metadata pass — segment index (payload pruned from
     // the scan) range-joined against the broadcast wanted-row list, reduced
-    // to (segId, max needed offset). Only this pruning result — one row per
-    // segment that actually contains a wanted frame, ≤ |rows| — reaches the
-    // driver, where it becomes the isin() pushed into the payload scan
-    // (the dynamic-file-pruning pattern; the reference's TaskStream rows).
-    val want = rows.toDF("__want")
-    val needed: Map[Long, Long] = segments(spark, root, name)
-      .filter(col("streamId") === streamId)
-      .select(col("segId"), col("startIndex"), col("numFrames"))
-      .join(broadcast(want), col("__want") >= col("startIndex") &&
+    // to (streamId, segId, max needed offset). Only this pruning result —
+    // one row per segment that actually contains a wanted frame, ≤ |rows| —
+    // reaches the driver, where it becomes the isin() pushed into the
+    // payload scan (the dynamic-file-pruning pattern; the reference's
+    // TaskStream rows).
+    val want = wants.toSeq
+      .flatMap { case (sid, rows) => rows.map(r => (sid, r)) }
+      .toDF("__sid", "__want")
+    val needed: Map[(Long, Long), Long] = segments(spark, root, name)
+      .select(col("streamId"), col("segId"), col("startIndex"), col("numFrames"))
+      .join(broadcast(want), col("streamId") === col("__sid") &&
+        col("__want") >= col("startIndex") &&
         col("__want") < col("startIndex") + col("numFrames"))
-      .groupBy(col("segId"))
+      .groupBy(col("streamId"), col("segId"))
       .agg(max(col("__want") - col("startIndex")).as("__upTo"))
-      .as[(Long, Long)].collect().toMap
-    val wantSet = rows.toSet
+      .as[(Long, Long, Long)].collect()
+      .map { case (sid, seg, upTo) => (sid, seg) -> upTo }.toMap
 
-    val wantB   = spark.sparkContext.broadcast(wantSet)
+    val wantB   = spark.sparkContext.broadcast(wants.map { case (k, v) => k -> v.toSet })
     val neededB = spark.sparkContext.broadcast(needed)
+    // scan pushdown is the sargable per-column relaxation of the pair set
+    // (streamId ∈ sids ∧ segId ∈ all needed segIds); the exact pair
+    // membership check runs executor-side against the broadcast map
+    val sids    = needed.keys.map(_._1).toSeq.distinct
+    val segIds  = needed.keys.map(_._2).toSeq.distinct
     segments(spark, root, name)
-      .filter(col("streamId") === streamId &&
-        col("segId").isin(needed.keys.toSeq: _*)) // pushed to parquet scan
+      .filter(col("streamId").isin(sids: _*) &&
+        col("segId").isin(segIds: _*)) // pushed to parquet scan
       .flatMap { s =>
-        val upTo = neededB.value(s.segId).toInt
-        codec.decodeGop(s.payload, s.streamId, s.startIndex, upTo, decoded)
-          .filter(f => wantB.value.contains(f.index))
+        neededB.value.get((s.streamId, s.segId)) match {
+          case None => Iterator.empty
+          case Some(upTo) =>
+            val wantSet = wantB.value(s.streamId)
+            codec.decodeGop(s.payload, s.streamId, s.startIndex, upTo.toInt, decoded)
+              .filter(f => wantSet.contains(f.index))
+        }
       }(frameEnc)
   }
 
@@ -182,11 +206,24 @@ object VideoStore {
         } else off += sz
       }
       require(moov != null, s"no moov box in $mp4Path")
-      val rs   = Mp4Writer.parseSampleTable(moov)
-      val nbuf = new Array[Byte](4)
-      val ns = rs.map { r => // frame count from the GOP header (h,w,c,dtype = 13 bytes)
-        in.readFully(r.offset + 13, nbuf, 0, 4)
-        ByteBuffer.wrap(nbuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+      // frame counts come from the stts deltas already in the moov (our
+      // muxer's timescale is 1 unit = 1 frame), NOT from one positioned
+      // 4-byte read per sample — on an object store O(#samples) driver
+      // round-trips would dominate ingest latency; this keeps the driver at
+      // exactly one header walk + one moov read, the reference's
+      // single-pass index build (`scanner/engine/ingest.cpp:175-380`)
+      val (rs, ns) = Mp4Writer.parseSampleTableWithDurations(moov)
+      // one constant-cost cross-check: sample 0's GOP payload header
+      // (h,w,c,dtype = 13 bytes, then frame count) must agree with its stts
+      // delta — a file with a foreign timescale fails loudly here instead
+      // of silently mis-indexing every startIndex
+      rs.headOption.foreach { r0 =>
+        val nbuf = new Array[Byte](4)
+        in.readFully(r0.offset + 13, nbuf, 0, 4)
+        val headerN = ByteBuffer.wrap(nbuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(headerN == ns.head,
+          s"mp4: stts delta ${ns.head} != GOP header frame count $headerN — " +
+            "not a 1-unit-per-frame file; re-mux or ingest via frames()")
       }
       (rs, ns)
     } finally in.close()

@@ -35,8 +35,19 @@ object StreamingOps {
     * Elements carry dense per-stream indices (the sequence model); each
     * micro-batch is sorted, the cursor advances over contiguous indices,
     * and ahead-of-cursor arrivals wait in `pending`.
+    *
+    * `maxPending` bounds the out-of-order buffer per stream — the lateness
+    * bound of this operator, in the same spirit as a watermark. A
+    * permanently missing index would otherwise grow state without limit
+    * while emission stalls silently; instead the query FAILS LOUDLY when a
+    * stream accumulates more than `maxPending` ahead-of-cursor elements
+    * (the batch engine's Error-boundary idiom: corrupt input is an error,
+    * not a hang). Size it to the source's real out-of-orderness — e.g.
+    * partition count × max in-flight per partition.
     */
-  def unboundedState[S](ds: Dataset[Elem], kernel: StatefulKernel[S]): Dataset[Elem] = {
+  def unboundedState[S](ds: Dataset[Elem], kernel: StatefulKernel[S],
+      maxPending: Int = 10000): Dataset[Elem] = {
+    require(maxPending > 0, s"maxPending must be positive, got $maxPending")
     // Kryo for the generic state (no TypeTag for S at this call site);
     // state lives in the state store, never in a shuffled relation, so an
     // opaque binary encoder costs nothing in plan quality.
@@ -61,8 +72,15 @@ object StreamingOps {
             }
           it.toSeq.sortBy(_.index).foreach { e =>
             if (e.index == st.nextIndex) { emit(e.index, e.payload); drain() }
-            else if (e.index > st.nextIndex && !st.pending.contains(e.index))
+            else if (e.index > st.nextIndex && !st.pending.contains(e.index)) {
+              if (st.pending.size >= maxPending)
+                throw new IllegalStateException(
+                  s"stream $streamId: out-of-order buffer exceeded maxPending=" +
+                    s"$maxPending waiting for index ${st.nextIndex} " +
+                    s"(${st.pending.size} buffered, saw ${e.index}) — the gap " +
+                    "never filled; raise maxPending or fix the source")
               st = st.copy(pending = st.pending + (e.index -> e.payload))
+            }
             // else: duplicate behind the cursor — drop (idempotent replay)
           }
           state.update(st)
