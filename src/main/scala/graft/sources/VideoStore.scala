@@ -239,8 +239,19 @@ object VideoStore {
     val meta = refs.zipWithIndex.map { case (r, i) =>
       (i.toLong, starts(i), frameCounts(i), r.offset, r.bytes)
     }
+    // Range-partition + sort the TINY metadata relation BEFORE the payload
+    // fetch, then write with no further ordering: a global orderBy after
+    // the fetch would run the RangePartitioner's sampling pass over the
+    // fetched relation — every sample's bytes read TWICE from the object
+    // store (pinned by the spy-filesystem read-count spec). Ordering the
+    // metadata first costs a sampling pass over #samples driver-local rows,
+    // keeps parquet files segId-ordered for row-group pruning, and reads
+    // each payload byte exactly once.
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism, meta.size))
     val segs = meta.toDF("segId", "startIndex", "numFrames", "off", "sz")
       .as[(Long, Long, Int, Long, Int)]
+      .repartitionByRange(nParts, col("segId"))
+      .sortWithinPartitions("segId")
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
@@ -257,7 +268,7 @@ object VideoStore {
           }
         }
       }(segEnc)
-    NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode)
+    NamedStorage.write(segs.toDF(), root, name, mode)
   }
 
   /** Full `save_mp4` export: stored segments wrapped in a REAL ISO-BMFF

@@ -83,6 +83,20 @@ class KernelsSpec extends SparkSpec {
     assert(out.toSeq == (0L until 10L))
   }
 
+  test("bounded state inside Slice: warmup replay and cold starts scope per slice (dag_analysis.cpp:1607-1620)") {
+    // 60 rows in 3 slices of 20; requested LOCALS {0, 5, 19} with warmup 3
+    // -> per slice: 0 alone (counter 0), 5 at the end of run {2..5}
+    // (counter 3), 19 at the end of run {16..19} (counter 3)
+    val sliced = SequenceOps.slice(elems(60), Partitioner.All(20))
+    val out = Kernels.boundedState(sliced, StdKernels.TestIncrement, 3,
+        Some(Seq(0L, 5L, 19L)), sliced = true)
+      .orderBy("sliceId", "index").collect()
+      .map(r => (r.getAs[Long]("sliceId"), r.getAs[Long]("index"),
+        StdKernels.decodeI64(r.getAs[Array[Byte]]("payload"))))
+    assert(out.toSeq == (0L until 3L).flatMap(sl =>
+      Seq((sl, 0L, 0L), (sl, 5L, 3L), (sl, 19L, 3L))))
+  }
+
   test("unbounded state preserves length; resets per slice (py_test.py:426-435)") {
     val sliced = SequenceOps.slice(elems(100), Partitioner.All(50))
     val out = Kernels.unboundedState(sliced, StdKernels.TestIncrement, sliced = true)

@@ -30,6 +30,24 @@ class PlanSpec extends SparkSpec {
       "customer/supplier/nation should broadcast")
   }
 
+  test("star-join FACT side goes sort-merge when it outgrows the broadcast threshold (100x-representative)") {
+    // At fixture scale every relation fits the 10 MB broadcast threshold,
+    // so the frozen plan can't demonstrate the big-fact shape. Model the
+    // production fact/dimension divide by pinning the threshold to 256 KB at
+    // sf0.1 (lineitem 10.8 MB, orders 2.7 MB above it; every dimension
+    // below): lineitem⋈orders must plan sort-merge, dimensions must still
+    // broadcast — the same ratio a 1000-executor cluster sees at 100 TB.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 10).toString)
+      val p = plan(queries.RelQueries.queries("q5_nation_revenue")(spark, "/root/testdata/sf0.1"))
+      assert(p.contains("SortMergeJoin"),
+        "lineitem⋈orders must be a shuffle join once the fact side exceeds the threshold")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        "dimensions must still broadcast at the representative threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sampler predicates push into the parquet scan; columns prune") {
     val p = plan(queries.SeqQueries.queries("seq_stride")(spark, sfDir))
     // the filter must appear ON the FileScan line (its DataFilters), not

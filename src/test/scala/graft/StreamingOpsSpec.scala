@@ -20,10 +20,11 @@ class StreamingOpsSpec extends SparkSpec {
   private def checkpoint(): String =
     Files.createTempDirectory("graft-stream-ck").toString
 
-  private def runBatches(batches: Seq[Seq[Elem]]): Seq[(Long, Long, Long)] = {
+  private def runBatches(batches: Seq[Seq[Elem]],
+      maxPending: Int = 10000): Seq[(Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     val in  = MemoryStream[Elem]
-    val out = StreamingOps.unboundedState(in.toDS(), StdKernels.TestIncrement)
+    val out = StreamingOps.unboundedState(in.toDS(), StdKernels.TestIncrement, maxPending)
     val q = out.writeStream
       .format("memory")
       .queryName("counts_" + System.nanoTime())
@@ -82,6 +83,27 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(elem(0, 0), elem(0, 1)),
       Seq(elem(0, 0), elem(0, 1), elem(0, 2)))) // batch replays 0,1
     assert(got == Seq((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("pending buffer is bounded: a gap that never fills fails loudly, in-bound reorder still drains") {
+    // in-bound: 3 ahead-of-cursor elements under maxPending=3 drain
+    // batch-identically once the gap fills
+    val ok = runBatches(Seq(
+      Seq(elem(0, 0), elem(0, 2), elem(0, 3), elem(0, 4)), // 3 buffered
+      Seq(elem(0, 1))), maxPending = 3)
+    assert(ok == Seq((0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (0L, 3L, 3L), (0L, 4L, 4L)))
+    // breach: a 4th ahead-of-cursor element while index 1 never arrives
+    // must FAIL the query (unbounded state growth + silent stall otherwise)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runBatches(Seq(
+        Seq(elem(0, 0), elem(0, 2), elem(0, 3), elem(0, 4)),
+        Seq(elem(0, 5))), maxPending = 3)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("maxPending")))
   }
 
   test("sessionize state transitions: burst grows, gap closes, timeout flushes") {

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.model.FrameElem
 import graft.operators.StdKernels
-import graft.sources.{FakeVideoCodec, VideoStore}
+import graft.sources.{FakeVideoCodec, Mp4Writer, VideoStore}
 
 class VideoStoreSpec extends SparkSpec {
 
@@ -67,6 +67,25 @@ class VideoStoreSpec extends SparkSpec {
     got.foreach(f => assertSameFrame(f, StdKernels.syntheticFrame(0L, f.index, 8, 12, 3)))
     // segments 0 (to off 5), 2 (to off 10), 9 (to off 99) -> 6 + 11 + 100 decodes
     assert(acc.value == 6L + 11L + 100L)
+  }
+
+  test("multi-stream sparse gather: one pass plans and decodes every stream's rows") {
+    val root = freshRoot()
+    import spark.implicits._
+    // stream 0: 5 GOPs of 100; stream 1: 3 GOPs of 100
+    val all = synthFrames(0L, 500) ++ synthFrames(1L, 300)
+    VideoStore.ingest(all.toDS(), root, "multi", gopSize = 100)
+    val acc = spark.sparkContext.longAccumulator("decodedMulti")
+    val wants = Map(0L -> Seq(5L, 205L, 499L), 1L -> Seq(0L, 250L, 255L))
+    val got = VideoStore.gatherFramesMulti(spark, root, "multi", wants, Some(acc))
+      .collect().sortBy(f => (f.streamId, f.index))
+    assert(got.map(f => (f.streamId, f.index)).toSeq ==
+      Seq((0L, 5L), (0L, 205L), (0L, 499L), (1L, 0L), (1L, 250L), (1L, 255L)))
+    got.foreach(f => assertSameFrame(f, StdKernels.syntheticFrame(f.streamId, f.index, 8, 12, 3)))
+    // decode pruning holds PER (stream, segment): s0 segs 0->off5, 2->off5,
+    // 4->off99; s1 segs 0->off0, 2->off55 — gathers never decode past the
+    // last requested offset of each stream's own segment
+    assert(acc.value == (6L + 6L + 100L) + (1L + 56L))
   }
 
   test("compression hints: storage codec reaches the parquet files; lossless is exact (op.py:57-102)") {
@@ -196,5 +215,72 @@ class VideoStoreSpec extends SparkSpec {
     assert(framesTotal == 20L, "stts durations sum to total frames")
     val stsd = child(stbl + 8, stblEnd, "stsd")
     assert(fourcc(stsd + 16) == "gfvc", "sample entry carries the stand-in fourcc")
+  }
+
+  // ------------------------------------------------------ 64-bit container
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  test("mdat header switches to the 64-bit largesize form past 2 GiB") {
+    val small = Mp4Writer.mdatHeader(1000L)
+    assert(small.length == 8 && be32(small, 0) == 1008L)
+    val big = Mp4Writer.mdatHeader(5L << 30) // 5 GiB payload
+    assert(big.length == 16, "largesize header is 16 bytes")
+    assert(be32(big, 0) == 1L, "compact size 1 flags largesize")
+    assert(new String(big, 4, 4, "US-ASCII") == "mdat")
+    assert(be64(big, 8) == (5L << 30) + 16L)
+  }
+
+  test("moov past the stco range writes co64 and demuxes back exactly (no 2 GiB export wall)") {
+    // synthetic sample table: 4 GOPs of 1.5 GiB starting at offset 5 GiB —
+    // no real payload needed, the sample TABLE is what must survive 64-bit
+    val gib = 1L << 30
+    val samples = Seq.fill(4)(Mp4Writer.SampleMeta(gib + gib / 2, 250))
+    val chunkOffset = 5L * gib
+    val moov = Mp4Writer.moov(samples, 16, 24, 30, chunkOffset)
+    // the box tree must contain co64, not stco
+    val moovStr = new String(moov.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert(moovStr.contains("co64") && !moovStr.contains("stco"))
+    val (refs, durs) = Mp4Writer.parseSampleTableWithDurations(moov)
+    assert(refs.map(_.offset) ==
+      Seq(chunkOffset, chunkOffset + samples(0).bytes,
+        chunkOffset + 2 * samples(0).bytes, chunkOffset + 3 * samples(0).bytes))
+    assert(refs.map(_.bytes.toLong) == samples.map(_.bytes))
+    assert(durs == Seq(250, 250, 250, 250))
+  }
+
+  test("stco chunk offsets parse UNSIGNED: a 2-4 GiB offset is legal stco, not a negative") {
+    val off = 3L << 30 // 3 GiB: fits unsigned 32-bit, overflows signed
+    val moov = Mp4Writer.moov(Seq(Mp4Writer.SampleMeta(100, 10)), 16, 24, 30, off)
+    val moovStr = new String(moov.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert(moovStr.contains("stco"), "within unsigned-32 range stco is still the right box")
+    val (refs, _) = Mp4Writer.parseSampleTableWithDurations(moov)
+    assert(refs.head.offset == off)
+  }
+
+  test("ingestMp4 builds its whole index from ONE moov read — no per-sample driver round-trips") {
+    val root = freshRoot()
+    import spark.implicits._
+    // 30 GOPs: the pre-fix path would issue 30 extra positioned reads
+    VideoStore.ingest(synthFrames(0L, 120).toDS(), root, "spy", gopSize = 4)
+    val out = s"$root/spy.mp4"
+    VideoStore.exportMp4(spark, root, "spy", 0L, out)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.spy.impl", classOf[SpyFileSystem].getName)
+    SpyFileSystem.reset()
+    VideoStore.ingestMp4(spark, s"spy://$out", root, "fromSpy", streamId = 0L)
+    val reads = SpyFileSystem.positionedReads.get()
+    // driver: box-header walk (3 boxes) + moov body + 1 frame-count
+    // cross-check = 5; executors: one positioned read per sample = 30.
+    // The removed per-sample frame-count loop alone would add 30 more.
+    assert(reads <= 40, s"expected ~35 positioned reads (5 driver + 30 executor), got $reads")
+    // and the index is still exactly right
+    val back = VideoStore.frames(spark, root, "fromSpy").collect().sortBy(_.index)
+    assert(back.length == 120)
+    back.foreach(f => assertSameFrame(f, StdKernels.syntheticFrame(0L, f.index, 8, 12, 3)))
   }
 }
