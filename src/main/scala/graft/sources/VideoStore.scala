@@ -69,8 +69,17 @@ object VideoStore {
         Iterator.single(Segment(
           key._1, key._2, gop.head.index, gop.size, codec.encodeGop(gop)))
       }(segEnc)
-    NamedStorage.write(segs.toDF().orderBy("streamId", "segId"), root, name, mode,
+      .toDF()
+    // persist across the orderBy: the write's range sort runs a
+    // RangePartitioner SAMPLING job first, and without the cache that job
+    // re-executes the whole group-and-encode pipeline — every GOP encoded
+    // twice (the ingestMp4 twin of this cost was pinned by the spy-read
+    // spec; here a counting codec pins it). The cache bounds the second
+    // pass to a (memory-then-disk) read of the encoded segments.
+    segs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try NamedStorage.write(segs.orderBy("streamId", "segId"), root, name, mode,
       options = Map("compression" -> hints.storageCodec))
+    finally segs.unpersist()
   }
 
   /** lossy pre-quantization: every U8 sample floored to a multiple of

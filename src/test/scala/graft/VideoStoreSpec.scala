@@ -6,6 +6,20 @@ import graft.model.FrameElem
 import graft.operators.StdKernels
 import graft.sources.{FakeVideoCodec, Mp4Writer, VideoStore}
 
+/** FakeVideoCodec with a static encode counter (executors share the test
+  * JVM in local mode, so the counter sees every task's calls)
+  */
+object CountingCodec extends graft.sources.GopCodec {
+  val encodes = new java.util.concurrent.atomic.AtomicLong(0)
+  override def encodeGop(frames: Seq[FrameElem]): Array[Byte] = {
+    encodes.incrementAndGet()
+    FakeVideoCodec.encodeGop(frames)
+  }
+  override def decodeGop(payload: Array[Byte], streamId: Long, startIndex: Long,
+      upTo: Int, decoded: Option[org.apache.spark.util.LongAccumulator]) =
+    FakeVideoCodec.decodeGop(payload, streamId, startIndex, upTo, decoded)
+}
+
 class VideoStoreSpec extends SparkSpec {
 
   private def freshRoot(): String =
@@ -260,6 +274,21 @@ class VideoStoreSpec extends SparkSpec {
     assert(moovStr.contains("stco"), "within unsigned-32 range stco is still the right box")
     val (refs, _) = Mp4Writer.parseSampleTableWithDurations(moov)
     assert(refs.head.offset == off)
+  }
+
+  test("ingest encodes each GOP exactly once — the write's sampling pass must not re-run the codec") {
+    val root = freshRoot()
+    import spark.implicits._
+    CountingCodec.encodes.set(0)
+    VideoStore.ingest(synthFrames(0L, 120).toDS(), root, "once", gopSize = 10,
+      codec = CountingCodec)
+    assert(CountingCodec.encodes.get() == 12L,
+      s"12 GOPs must encode exactly once each, got ${CountingCodec.encodes.get()}")
+    // and the stream still reads back exactly
+    val back = VideoStore.frames(spark, root, "once", codec = CountingCodec)
+      .collect().sortBy(_.index)
+    assert(back.length == 120)
+    back.foreach(f => assertSameFrame(f, StdKernels.syntheticFrame(0L, f.index, 8, 12, 3)))
   }
 
   test("ingestMp4 builds its whole index from ONE moov read — no per-sample driver round-trips") {
