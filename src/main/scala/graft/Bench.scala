@@ -165,6 +165,12 @@ object Bench {
         // session don't accumulate storage memory and so every rep pays the
         // query's full cost (honest isolation)
         spark.catalog.clearCache()
+        // settle the JVM between reps: collecting prior queries' garbage
+        // HERE (untimed) also lets the ContextCleaner reclaim their
+        // broadcast/shuffle state — without it, a query's reps absorb its
+        // neighbors' cleanup (seq_stencil_sum measured 3.1-6.2 s inside the
+        // suite vs 0.87 s in isolation, all plans identical)
+        System.gc()
         if (ok) Some(sec) else None
       }
       // Headline value = MIN of the successful reps; median kept alongside.

@@ -167,6 +167,71 @@ object TextQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b")),
 
+    // Gopher-style repetition signals: token repetition is the classic
+    // low-quality marker (boilerplate, keyword stuffing). One explode +
+    // two map-side-combining hash aggregations — the same 100 TB shape as
+    // n-gram frequency; ratios rounded to 6 dp for cross-engine doubles.
+    "txt_repetition" -> ((s, dir) => {
+      val tw = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      tw.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_frac"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_tok_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Eval-set contamination: training docs sharing any distinct bigram
+    // with the benchmark set (here: doc_id < 20). The eval n-gram set is
+    // SMALL by construction, so it broadcasts and the check is one
+    // broadcast semi-ish join over the exploded corpus — never a
+    // corpus x corpus comparison.
+    "txt_contamination" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TF.shingles(col("text"), 2))).as("ng"))
+      val evalNgrams = sh.filter(col("doc_id") < 20).select(col("ng")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(broadcast(evalNgrams), Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: greedy first-fit of docs into fixed token-budget
+    // training sequences, the last mile of a pretraining pipeline. Packing
+    // is inherently an ordered scan, so it runs as a stateful pass per
+    // (source, shard) group — the engine's bounded-state shape; shard =
+    // doc_id % 8 keeps parallelism at #sources x 8 while staying
+    // deterministic for the oracle (real pipelines shard exactly like
+    // this: packing order within a shard is what matters, not globally).
+    "txt_pack" -> ((s, dir) => {
+      import s.implicits._
+      val budget = 512L
+      val d = docs(s, dir).select(
+        col("doc_id"), col("source"), (col("doc_id") % 8).as("shard"),
+        TF.tokenCount(col("text")).as("n_tok"))
+        .as[(Long, String, Long, Long)]
+      d.groupByKey(r => (r._2, r._3))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+        .flatMapSortedGroups(col("doc_id")) { (_: (String, Long), it: Iterator[(Long, String, Long, Long)]) =>
+          var pack = 0L
+          var fill = 0L
+          var first = true
+          it.map { case (docId, source, shard, nTok) =>
+            if (!first && fill + nTok > budget) { pack += 1; fill = nTok }
+            else fill += nTok
+            first = false
+            (docId, source, shard, nTok, pack)
+          }
+        }
+        .toDF("doc_id", "source", "shard", "n_tok", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     // LSH pairs -> connected components -> per-doc cluster label (min
     // reachable doc_id) — the keep-one-per-cluster dedup decision
     "dedup_clusters" -> ((s, dir) => {
@@ -285,6 +350,46 @@ object TextQueries {
          |      WHERE len($tokSql) >= 2)
          |GROUP BY ngram HAVING COUNT(*) >= 10
          |ORDER BY n DESC, ngram""".stripMargin,
+
+    "txt_repetition" ->
+      s"""WITH tw AS (
+         |  SELECT doc_id, t, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
+         |  GROUP BY doc_id, t)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |  ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_frac,
+         |  ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_tok_frac
+         |FROM tw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shSql)) AS ng FROM documents),
+         |ev AS (SELECT DISTINCT ng FROM sh WHERE doc_id < 20)
+         |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |FROM sh JOIN ev USING (ng)
+         |WHERE doc_id >= 20
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, source, doc_id % 8 AS shard,
+         |         CAST(len($tokSql) AS BIGINT) AS n_tok,
+         |         ROW_NUMBER() OVER (PARTITION BY source, doc_id % 8
+         |                            ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p(doc_id, source, shard, n_tok, rn, pack_id, fill) AS (
+         |  SELECT doc_id, source, shard, n_tok, rn, CAST(0 AS BIGINT), n_tok
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.source, d.shard, d.n_tok, d.rn,
+         |         CASE WHEN p.fill + d.n_tok > 512 THEN p.pack_id + 1
+         |              ELSE p.pack_id END,
+         |         CASE WHEN p.fill + d.n_tok > 512 THEN d.n_tok
+         |              ELSE p.fill + d.n_tok END
+         |  FROM p JOIN d ON d.source = p.source AND d.shard = p.shard
+         |              AND d.rn = p.rn + 1)
+         |SELECT doc_id, source, shard, n_tok, pack_id
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "txt_training_mix" ->
       s"""WITH q AS (SELECT * FROM documents
