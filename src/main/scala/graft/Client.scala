@@ -38,6 +38,19 @@ final case class Client(spark: SparkSession, storageRoot: String) {
   def frames(name: String): Dataset[FrameElem] =
     VideoStore.frames(spark, storageRoot, name)
 
+  /** sparse frame read of one stream through the keyframe index
+    * (reference Gather + sparse decode)
+    */
+  def gatherFrames(name: String, streamId: Long, rows: Seq[Long]): Dataset[FrameElem] =
+    VideoStore.gatherFrames(spark, storageRoot, name, streamId, rows)
+
+  /** multi-stream sparse read: one planning + decode pass over every
+    * requested stream (the reference's per-job stream loop without looping
+    * the driver)
+    */
+  def gatherFrames(name: String, wants: Map[Long, Seq[Long]]): Dataset[FrameElem] =
+    VideoStore.gatherFramesMulti(spark, storageRoot, name, wants)
+
   /** reference NamedStream table read */
   def stream(name: String): DataFrame =
     NamedStorage.read(spark, storageRoot, name)

@@ -192,11 +192,9 @@ object TextQueries {
       val sh = docs(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(TF.shingles(col("text"), 2))).as("ng"))
-      val evalNgrams = sh.filter(col("doc_id") < 20).select(col("ng")).distinct()
-      sh.filter(col("doc_id") >= 20)
-        .join(broadcast(evalNgrams), Seq("ng"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_overlap"))
+      graft.functions.Packing.contamination(
+        sh.filter(col("doc_id") >= 20), sh.filter(col("doc_id") < 20),
+        "doc_id", "ng")
         .orderBy("doc_id")
     }),
 
@@ -207,30 +205,13 @@ object TextQueries {
     // doc_id % 8 keeps parallelism at #sources x 8 while staying
     // deterministic for the oracle (real pipelines shard exactly like
     // this: packing order within a shard is what matters, not globally).
-    "txt_pack" -> ((s, dir) => {
-      import s.implicits._
-      val budget = 512L
-      val d = docs(s, dir).select(
-        col("doc_id"), col("source"), (col("doc_id") % 8).as("shard"),
-        TF.tokenCount(col("text")).as("n_tok"))
-        .as[(Long, String, Long, Long)]
-      d.groupByKey(r => (r._2, r._3))(
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
-        .flatMapSortedGroups(col("doc_id")) { (_: (String, Long), it: Iterator[(Long, String, Long, Long)]) =>
-          var pack = 0L
-          var fill = 0L
-          var first = true
-          it.map { case (docId, source, shard, nTok) =>
-            if (!first && fill + nTok > budget) { pack += 1; fill = nTok }
-            else fill += nTok
-            first = false
-            (docId, source, shard, nTok, pack)
-          }
-        }
-        .toDF("doc_id", "source", "shard", "n_tok", "pack_id")
-        .orderBy("doc_id")
-    }),
+    "txt_pack" -> ((s, dir) =>
+      graft.functions.Packing.packSequences(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).as("n_tok")),
+        orderCol = "doc_id", weightCol = "n_tok", groupCol = "source",
+        budget = 512L, shards = 8)
+        .orderBy("doc_id")),
 
     // LSH pairs -> connected components -> per-doc cluster label (min
     // reachable doc_id) — the keep-one-per-cluster dedup decision
