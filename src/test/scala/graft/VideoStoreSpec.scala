@@ -276,6 +276,43 @@ class VideoStoreSpec extends SparkSpec {
     assert(refs.head.offset == off)
   }
 
+  test("demux handles the general multi-chunk stsc/stco layout (files from other muxers)") {
+    // hand-built moov: 5 samples over 2 chunks (3 then 2), sizes
+    // 10,20,30,40,50, chunk offsets 100 and 500 -> absolute sample offsets
+    // 100,110,130 / 500,540; stts in two runs (3x7 frames, 2x9)
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    def box(tpe: String)(body: DataOutputStream => Unit): Array[Byte] = {
+      val buf = new ByteArrayOutputStream(); val d = new DataOutputStream(buf)
+      body(d); d.flush()
+      val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+      o.writeInt(8 + buf.size()); o.write(tpe.getBytes("US-ASCII")); buf.writeTo(o); o.flush()
+      out.toByteArray
+    }
+    def full(tpe: String)(body: DataOutputStream => Unit): Array[Byte] =
+      box(tpe) { d => d.writeInt(0); body(d) }
+    val stsz = full("stsz") { d =>
+      d.writeInt(0); d.writeInt(5); Seq(10, 20, 30, 40, 50).foreach(d.writeInt)
+    }
+    val stco = full("stco") { d => d.writeInt(2); d.writeInt(100); d.writeInt(500) }
+    val stsc = full("stsc") { d =>
+      d.writeInt(2)
+      d.writeInt(1); d.writeInt(3); d.writeInt(1) // chunks 1..: 3 samples
+      d.writeInt(2); d.writeInt(2); d.writeInt(1) // chunks 2..: 2 samples
+    }
+    val stts = full("stts") { d =>
+      d.writeInt(2); d.writeInt(3); d.writeInt(7); d.writeInt(2); d.writeInt(9)
+    }
+    val stbl = box("stbl") { d => Seq(stsz, stco, stsc, stts).foreach(d.write) }
+    val minf = box("minf") { d => d.write(stbl) }
+    val mdia = box("mdia") { d => d.write(minf) }
+    val trak = box("trak") { d => d.write(mdia) }
+    val moov = box("moov") { d => d.write(trak) }
+    val (refs, durs) = Mp4Writer.parseSampleTableWithDurations(moov)
+    assert(refs.map(r => (r.offset, r.bytes)) ==
+      Seq((100L, 10), (110L, 20), (130L, 30), (500L, 40), (540L, 50)))
+    assert(durs == Seq(7, 7, 7, 9, 9))
+  }
+
   test("ingest encodes each GOP exactly once — the write's sampling pass must not re-run the codec") {
     val root = freshRoot()
     import spark.implicits._
