@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, element_at}
+
+import graft.functions.Dedup
+import graft.model.Boundary
+import graft.operators.SequenceOps
+
+/** Ground-truth models for the three hardest operators — randomized,
+  * fixed-seed. The existing specs pin hand-picked cases and
+  * implementation-vs-implementation parity (halo vs explode, bucketed vs
+  * window); here each result is checked against an independent brute-force
+  * model, so a shared bug in both plans cannot hide.
+  */
+class RandomizedModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+
+  test("asofJoin matches the brute-force latest-at-or-before model on random sparse streams") {
+    (1 to 6).foreach { it =>
+      val nStreams = 1 + rnd.nextInt(3)
+      val left = for {
+        s <- 0L until nStreams.toLong
+        i <- 0L until (20 + rnd.nextInt(120)).toLong
+      } yield (s, i, s * 10000 + i)
+      // sparse right side with random gaps; may start after the left does
+      val right = for {
+        s <- 0L until nStreams.toLong
+        i <- 0L until 200L
+        if rnd.nextInt(10) == 0
+      } yield (s, i, s * 100 + i * 3)
+      val rightByStream = right.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val expect = left.map { case (s, i, v) =>
+        val snap = rightByStream.getOrElse(s, Seq.empty)
+          .takeWhile(_._2 <= i).lastOption.map(_._3)
+        (s, i, v, snap)
+      }.sortBy(t => (t._1, t._2))
+      // random small bucket width exercises carry across many empty buckets
+      val bw = 1L << (2 + rnd.nextInt(6))
+      val got = SequenceOps.asofJoin(
+        left.toDF(SequenceOps.STREAM, SequenceOps.INDEX, "v"),
+        right.toDF(SequenceOps.STREAM, SequenceOps.INDEX, "snap"),
+        bucketWidth = bw)
+        .collect()
+        .map(r => (r.getAs[Long](SequenceOps.STREAM), r.getAs[Long](SequenceOps.INDEX),
+          r.getAs[Long]("v"),
+          if (r.isNullAt(r.fieldIndex("snap"))) None else Some(r.getAs[Long]("snap"))))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == expect, s"iteration $it bucketWidth=$bw")
+    }
+  }
+
+  test("stencil matches the brute-force window model over random offsets and boundary modes") {
+    (1 to 6).foreach { it =>
+      val n = (30 + rnd.nextInt(120)).toLong
+      val nOff = 1 + rnd.nextInt(4)
+      val offsets = Seq.fill(nOff)(rnd.nextInt(9) - 4).distinct.sorted
+      val boundary = if (it % 2 == 0) Boundary.RepeatEdge else Boundary.NullFill
+      val rows = for (s <- 0L until 2L; i <- 0L until n) yield (s, i, s * 1000 + i * 13 % 251)
+      val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+      val expect = rows.map { case (s, i, _) =>
+        val win = offsets.map { o =>
+          val src = i + o
+          boundary match {
+            case Boundary.RepeatEdge =>
+              Some(byKey((s, math.max(0L, math.min(n - 1, src)))))
+            case _ => byKey.get((s, src))
+          }
+        }
+        (s, i, win)
+      }.sortBy(t => (t._1, t._2))
+      // small bucket width forces halo traffic across many bucket borders
+      val got = SequenceOps.stencil(
+        rows.toDF(SequenceOps.STREAM, SequenceOps.INDEX, "v"),
+        offsets, "v", boundary, bucketWidth = 16)
+        .select(Seq(col(SequenceOps.STREAM), col(SequenceOps.INDEX)) ++
+          offsets.indices.map(j => element_at(col("window"), j + 1).as(s"w$j")): _*)
+        .collect()
+        .map { r =>
+          val win = offsets.indices.map(j =>
+            if (r.isNullAt(2 + j)) None else Some(r.getLong(2 + j))).toSeq
+          (r.getLong(0), r.getLong(1), win)
+        }
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == expect, s"iteration $it offsets=$offsets boundary=$boundary")
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    (1 to 5).foreach { it =>
+      val n = 20 + rnd.nextInt(80)
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(rnd.nextInt(n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // union-find model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(i => (i, {
+        // min id in the component = the union-find root under min-merge
+        find(i.toInt).toLong
+      })).sortBy(_._1)
+      val got = Dedup.connectedComponents(
+        nodes.map(Tuple1(_)).toDF("doc_id"),
+        if (edges.isEmpty) Seq((-1L, -2L)).toDF("a", "b") // foreign edge: drops
+        else edges.toDF("a", "b"),
+        "doc_id", maxIters = 30)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster")))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"iteration $it n=$n edges=${edges.size}")
+    }
+  }
+}
