@@ -104,9 +104,10 @@ object VideoQueries {
       val root = ensureIngested(s)
       val want = Seq(0L, 60L, 120L, 180L, 240L, 299L)
       import s.implicits._
-      val thumbs = Seq(0L, 1L)
-        .map(sid => VideoStore.gatherFrames(s, root, "testvid", sid, want))
-        .reduce(_ unionByName _)
+      // ONE multi-stream gather plans and decodes both streams' thumbs —
+      // no per-stream driver loop (the N-streams plan is one metadata pass)
+      val thumbs = VideoStore.gatherFramesMulti(s, root, "testvid",
+        Map(0L -> want, 1L -> want))
       val small = StdKernels.resizeOp(thumbs, Map(0L -> ((8, 12)), 1L -> ((8, 12))))
       small.groupByKey(_.streamId)(Encoders.scalaLong)
         .flatMapSortedGroups(col("index")) { (sid: Long, it: Iterator[FrameElem]) =>

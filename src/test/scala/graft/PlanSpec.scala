@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
       "anchors and probe lists should broadcast")
   }
 
+  test("sequence packing is ONE shuffle into (group, shard) groups") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = queries.TextQueries.queries("txt_pack")(spark, sfDir)
+    df.collect() // AQE finalizes stages only on execution
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+    // one hash exchange for the (group, shard) pass; the trailing range
+    // exchange is the oracle query's display orderBy, not the operator
+    assert(finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "the ordered pack pass must cost exactly one hash-partition shuffle")
+    assert(!finalPlan.contains("Window "), "packing must not serialize through a global window")
+  }
+
   test("vec_dot appears as the native expression in the similarity plan") {
     val p = plan(queries.SimQueries.queries("sim_topk")(spark, sfDir))
     assert(p.contains("vec_dot"), "native expression should replace the HOF fold")
