@@ -79,6 +79,13 @@ final case class Client(spark: SparkSession, storageRoot: String) {
   def saveMp4(name: String, streamId: Long, outPath: String, fps: Int = 30): Long =
     VideoStore.exportMp4(spark, storageRoot, name, streamId, outPath, fps)
 
+  /** distributed multi-stream `save_mp4`: every stream to its own MP4,
+    * one executor task per stream (the reference's client-side per-stream
+    * export loop without the client bottleneck)
+    */
+  def saveMp4All(name: String, outDir: String, fps: Int = 30): Array[(Long, String, Long)] =
+    VideoStore.exportMp4All(spark, storageRoot, name, outDir, fps)
+
   /** reference `ingest_videos` from an actual MP4 file (container demux) */
   def ingestMp4(name: String, mp4Path: String, streamId: Long = 0L,
       mode: CacheMode = CacheMode.Ignore): StreamDescriptor =

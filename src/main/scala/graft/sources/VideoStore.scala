@@ -314,6 +314,74 @@ object VideoStore {
     finally out.close()
   }
 
+  /** Distributed multi-stream `save_mp4`: every stream of the named store
+    * exported as its own MP4, ONE EXECUTOR TASK PER STREAM — the driver
+    * never touches payload bytes (the reference loops its client per
+    * stream, `python/scannerpy/column.py:283-342`; single-stream
+    * [[exportMp4]] keeps that shape, this is the 10k-streams path).
+    *
+    * The mdat size must precede the payloads in the file, so each task
+    * spools its stream's payloads to `<outDir>/.tmp-<sid>` while
+    * accumulating the sample table, then assembles header + payload copy +
+    * trailing moov and deletes the spool — 2x write, 1x read of payload
+    * bytes per stream, all executor-side and embarrassingly parallel
+    * across streams.
+    *
+    * @return (streamId, path, bytes) per exported stream (collected —
+    *         3 small values per stream)
+    */
+  def exportMp4All(spark: SparkSession, root: String, name: String,
+      outDir: String, fps: Int = 30): Array[(Long, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val confKV = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val confB = spark.sparkContext.broadcast(confKV)
+    segments(spark, root, name)
+      .groupByKey(_.streamId)(Encoders.scalaLong)
+      .flatMapSortedGroups(col("segId")) { (sid: Long, it: Iterator[Segment]) =>
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => hc.set(k, v) }
+        val dir = new Path(outDir)
+        val fs  = dir.getFileSystem(hc)
+        fs.mkdirs(dir)
+        val tmp   = new Path(dir, s".tmp-$sid")
+        val metas = Seq.newBuilder[Mp4Writer.SampleMeta]
+        var h = -1; var w = -1
+        var total = 0L
+        val t = fs.create(tmp, true)
+        try it.foreach { s =>
+          if (h < 0) {
+            val bb = java.nio.ByteBuffer.wrap(s.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            h = bb.getInt; w = bb.getInt
+          }
+          metas += Mp4Writer.SampleMeta(s.payload.length.toLong, s.numFrames)
+          t.write(s.payload); total += s.payload.length
+        } finally t.close()
+        val ms = metas.result()
+        if (ms.isEmpty) { fs.delete(tmp, false); Iterator.empty }
+        else {
+          val outP = new Path(dir, s"stream-$sid.mp4")
+          val out  = fs.create(outP, true)
+          val head = Mp4Writer.ftyp
+          val mh   = Mp4Writer.mdatHeader(total)
+          try {
+            out.write(head); out.write(mh)
+            val in  = fs.open(tmp)
+            val buf = new Array[Byte](1 << 20)
+            try {
+              var n = in.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            out.write(Mp4Writer.moov(ms, w, h, fps, head.length.toLong + mh.length))
+          } finally out.close()
+          fs.delete(tmp, false)
+          Iterator.single((sid, outP.toString, fs.getFileStatus(outP).getLen))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+      .collect()
+  }
+
   /** Ordered concatenation of stored segments into a single container file
     * (the raw-stream export twin of [[exportMp4]]). Streams through the
     * driver — never materializes more than one segment.

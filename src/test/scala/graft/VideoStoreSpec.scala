@@ -276,6 +276,42 @@ class VideoStoreSpec extends SparkSpec {
     assert(refs.head.offset == off)
   }
 
+  test("distributed multi-stream export: one task per stream, byte-identical to the driver path") {
+    val root = freshRoot()
+    import spark.implicits._
+    val all = synthFrames(0L, 20) ++ synthFrames(1L, 12)
+    VideoStore.ingest(all.toDS(), root, "many", gopSize = 8)
+    val outDir = s"$root/exports"
+    val got = VideoStore.exportMp4All(spark, root, "many", outDir, fps = 24)
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    // byte parity with the driver-streamed single-stream exporter
+    val single = s"$root/single0.mp4"
+    VideoStore.exportMp4(spark, root, "many", 0L, single, fps = 24)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(single)),
+      Files.readAllBytes(java.nio.file.Paths.get(s"$outDir/stream-0.mp4"))))
+    // every exported file demuxes + decodes back to its stream's frames
+    got.foreach { case (sid, path, bytes) =>
+      val raw = Files.readAllBytes(java.nio.file.Paths.get(path.stripPrefix("file:")))
+      assert(raw.length.toLong == bytes)
+      val refs = Mp4Writer.parseSamples(raw)
+      val back = refs.iterator.flatMap { r =>
+        FakeVideoCodec.decodeGop(
+          java.util.Arrays.copyOfRange(raw, r.offset.toInt, r.offset.toInt + r.bytes),
+          sid, 0L)
+      }.toSeq
+      val expect = all.filter(_.streamId == sid)
+      assert(back.size == expect.size)
+      // decodeGop startIndex arg is per-call; compare payload content only
+      expect.sortBy(_.index).zip(back).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a.data, b.data))
+      }
+      // no spool files left behind
+      assert(!new java.io.File(s"$outDir/.tmp-$sid").exists())
+    }
+  }
+
   test("demux handles the general multi-chunk stsc/stco layout (files from other muxers)") {
     // hand-built moov: 5 samples over 2 chunks (3 then 2), sizes
     // 10,20,30,40,50, chunk offsets 100 and 500 -> absolute sample offsets
