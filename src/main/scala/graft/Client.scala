@@ -90,4 +90,11 @@ final case class Client(spark: SparkSession, storageRoot: String) {
   def ingestMp4(name: String, mp4Path: String, streamId: Long = 0L,
       mode: CacheMode = CacheMode.Ignore): StreamDescriptor =
     VideoStore.ingestMp4(spark, mp4Path, storageRoot, name, streamId, mode)
+
+  /** reference `ingest_videos` over a whole directory: one multi-stream
+    * table in one job, one executor task per container file
+    */
+  def ingestMp4Dir(name: String, dirPath: String,
+      mode: CacheMode = CacheMode.Ignore): StreamDescriptor =
+    VideoStore.ingestMp4Dir(spark, dirPath, storageRoot, name, mode)
 }

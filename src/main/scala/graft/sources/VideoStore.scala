@@ -185,22 +185,29 @@ object VideoStore {
     * [[GopCodec]] lands (the sample payload is opaque to the demux layer
     * itself).
     */
-  def ingestMp4(spark: SparkSession, mp4Path: String, root: String, name: String,
-      streamId: Long, mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+  /** Demux one container's index: top-level box walk (full 14496-12 size
+    * grammar — compact, `largesize`, 0 = to-end-of-file), one moov read,
+    * sample refs + per-sample frame counts from the stts deltas (our
+    * muxer's timescale is 1 unit = 1 frame), and a constant-cost
+    * cross-check of sample 0's GOP header against its stts delta so a
+    * foreign-timescale file fails loudly instead of silently mis-indexing.
+    * Exactly one header walk + one moov read + one 4-byte peek — the
+    * reference's single-pass index build (`scanner/engine/ingest.cpp:
+    * 175-380`). Runs on the driver (single-file ingest) or inside an
+    * executor task (directory ingest).
+    */
+  private def demuxIndex(fs: org.apache.hadoop.fs.FileSystem, p: Path)
+      : (Seq[Mp4Writer.SampleRef], Seq[Int]) = {
     import java.nio.{ByteBuffer, ByteOrder}
-    val p   = new Path(mp4Path)
-    val fs0 = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val len = fs0.getFileStatus(p).getLen
-    val in  = fs0.open(p)
-    val (refs, frameCounts) = try {
+    val len = fs.getFileStatus(p).getLen
+    val in  = fs.open(p)
+    try {
       val hdr = new Array[Byte](8)
       var off = 0L
       var moov: Array[Byte] = null
       while (moov == null && off < len) {
         in.readFully(off, hdr, 0, 8)
         val sz32 = ByteBuffer.wrap(hdr).order(ByteOrder.BIG_ENDIAN).getInt(0)
-        // full 14496-12 size grammar: 1 = 64-bit largesize follows (the
-        // shape every >2 GiB mdat uses), 0 = box extends to end of file
         val sz: Long =
           if (sz32 == 1) {
             val l8 = new Array[Byte](8)
@@ -214,18 +221,8 @@ object VideoStore {
           moov = new Array[Byte](sz.toInt); in.readFully(off, moov, 0, sz.toInt)
         } else off += sz
       }
-      require(moov != null, s"no moov box in $mp4Path")
-      // frame counts come from the stts deltas already in the moov (our
-      // muxer's timescale is 1 unit = 1 frame), NOT from one positioned
-      // 4-byte read per sample — on an object store O(#samples) driver
-      // round-trips would dominate ingest latency; this keeps the driver at
-      // exactly one header walk + one moov read, the reference's
-      // single-pass index build (`scanner/engine/ingest.cpp:175-380`)
+      require(moov != null, s"no moov box in $p")
       val (rs, ns) = Mp4Writer.parseSampleTableWithDurations(moov)
-      // one constant-cost cross-check: sample 0's GOP payload header
-      // (h,w,c,dtype = 13 bytes, then frame count) must agree with its stts
-      // delta — a file with a foreign timescale fails loudly here instead
-      // of silently mis-indexing every startIndex
       rs.headOption.foreach { r0 =>
         val nbuf = new Array[Byte](4)
         in.readFully(r0.offset + 13, nbuf, 0, 4)
@@ -236,6 +233,13 @@ object VideoStore {
       }
       (rs, ns)
     } finally in.close()
+  }
+
+  def ingestMp4(spark: SparkSession, mp4Path: String, root: String, name: String,
+      streamId: Long, mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+    val p   = new Path(mp4Path)
+    val fs0 = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (refs, frameCounts) = demuxIndex(fs0, p)
     val starts = frameCounts.scanLeft(0L)(_ + _)
     import spark.implicits._
     import scala.jdk.CollectionConverters._
@@ -274,6 +278,70 @@ object VideoStore {
             val b = new Array[Byte](sz)
             s.readFully(off, b, 0, sz)
             Segment(streamId, segId, st, n, b)
+          }
+        }
+      }(segEnc)
+    NamedStorage.write(segs.toDF(), root, name, mode)
+  }
+
+  /** Distributed multi-file MP4 ingest: a DIRECTORY of containers becomes
+    * one stored multi-stream table in one job — each executor task demuxes
+    * its files' moov and streams their samples (one segment in memory at a
+    * time), so the driver never opens a container at all (the 10k-files
+    * twin of [[ingestMp4]], whose per-file driver walk would cost 10k
+    * sequential object-store round-trips). streamId = position of the file
+    * in the lexicographically sorted listing (deterministic; name files
+    * with zero-padded ids to control it). The tiny (path, streamId)
+    * relation is range-partitioned by streamId before the fetch, so
+    * parquet files come out stream-then-segId ordered for row-group
+    * pruning without a payload re-read.
+    */
+  def ingestMp4Dir(spark: SparkSession, dirPath: String, root: String, name: String,
+      mode: CacheMode = CacheMode.Error): StreamDescriptor = {
+    import scala.jdk.CollectionConverters._
+    val dir = new Path(dirPath)
+    val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs0.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.toLowerCase.endsWith(".mp4"))
+      .map(_.toString).sorted
+    require(files.nonEmpty, s"no .mp4 files under $dirPath")
+    val confKV = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val confB = spark.sparkContext.broadcast(confKV)
+    import spark.implicits._
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism, files.length))
+    val segs = files.zipWithIndex.map { case (f, i) => (f, i.toLong) }.toSeq
+      .toDF("path", "sid").as[(String, Long)]
+      .repartitionByRange(nParts, col("sid"))
+      .sortWithinPartitions("sid")
+      .mapPartitions { it =>
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => hc.set(k, v) }
+        it.flatMap { case (pathStr, sid) =>
+          val p  = new Path(pathStr)
+          val fs = p.getFileSystem(hc)
+          val (refs, ns) = demuxIndex(fs, p)
+          val starts = ns.scanLeft(0L)(_ + _)
+          val in = fs.open(p)
+          // safety net for partially-consumed iterators (task failure);
+          // normal path closes at exhaustion so a task over many files
+          // holds one handle at a time
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
+          // lazy per-sample reads: one segment in memory at a time
+          new Iterator[Segment] {
+            private var i = 0
+            def hasNext: Boolean = i < refs.size
+            def next(): Segment = {
+              val r = refs(i)
+              val b = new Array[Byte](r.bytes)
+              in.readFully(r.offset, b, 0, r.bytes)
+              val seg = Segment(sid, i.toLong, starts(i), ns(i), b)
+              i += 1
+              if (i == refs.size) in.close()
+              seg
+            }
           }
         }
       }(segEnc)

@@ -312,6 +312,31 @@ class VideoStoreSpec extends SparkSpec {
     }
   }
 
+  test("distributed directory ingest: exportMp4All -> ingestMp4Dir round-trips a multi-stream store") {
+    val root = freshRoot()
+    import spark.implicits._
+    val all = synthFrames(0L, 20) ++ synthFrames(1L, 12)
+    VideoStore.ingest(all.toDS(), root, "dirsrc", gopSize = 8)
+    val outDir = s"$root/direxp"
+    VideoStore.exportMp4All(spark, root, "dirsrc", outDir)
+    VideoStore.ingestMp4Dir(spark, outDir, root, "dirback")
+    val orig = VideoStore.segments(spark, root, "dirsrc").collect()
+      .sortBy(s => (s.streamId, s.segId))
+    val back = VideoStore.segments(spark, root, "dirback").collect()
+      .sortBy(s => (s.streamId, s.segId))
+    assert(back.map(s => (s.streamId, s.segId, s.startIndex, s.numFrames)).toSeq ==
+      orig.map(s => (s.streamId, s.segId, s.startIndex, s.numFrames)).toSeq)
+    orig.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.payload, b.payload))
+    }
+    val frames = VideoStore.frames(spark, root, "dirback").collect()
+      .sortBy(f => (f.streamId, f.index))
+    assert(frames.length == 32)
+    all.sortBy(f => (f.streamId, f.index)).zip(frames).foreach {
+      case (a, b) => assertSameFrame(a, b)
+    }
+  }
+
   test("demux handles the general multi-chunk stsc/stco layout (files from other muxers)") {
     // hand-built moov: 5 samples over 2 chunks (3 then 2), sizes
     // 10,20,30,40,50, chunk offsets 100 and 500 -> absolute sample offsets
