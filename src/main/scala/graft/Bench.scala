@@ -124,10 +124,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    // median-of-N per query: single-shot timings at sub-second scale are
-    // dominated by codegen/GC/scheduler noise (the r2->r3 comparison showed
-    // 1.5-2x swings on queries whose plans did not change)
-    val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // N timed reps per query after one untimed warmup: single-shot timings
+    // at sub-second scale are dominated by codegen/JIT and this host's
+    // virtualization steal bursts (the r2->r3 comparison showed 1.5-2x
+    // swings on queries whose plans did not change). Default 2 keeps one
+    // full run under ~6 min — the driver repeats the whole bench itself,
+    // so the effective sample per query is reps x driver-runs.
+    val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val only  = args.toSet // optional query-name filter for targeted reruns
     val spark = GraftSession.local(cpus, "graft-bench")
 
