@@ -167,6 +167,47 @@ object TextQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b")),
 
+    // Perplexity-proxy quality score — the classic LM-based filter: a
+    // bigram model with add-one smoothing is fit on the corpus itself and
+    // every doc scored by its mean log-likelihood. Corpus model = two
+    // map-side-combining aggregations; scoring = one shuffle join of doc
+    // bigrams (multiset) against the model + a per-doc average. At 100 TB
+    // the model relation is vocab-bounded, far smaller than the corpus —
+    // the join shuffles the small side's key space, never corpus x corpus.
+    // Rounded to 6 dp: double-sum association order differs across
+    // engines at ~1e-14, far below the rounding grid.
+    "txt_lm_score" -> ((s, dir) => {
+      val d    = docs(s, dir)
+      val bigs = d.select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
+      val bigN = bigs.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+      val toks = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      val uniN = toks.groupBy(col("t")).agg(count(lit(1)).as("cuni"))
+      val vocab = uniN.count() // one tiny driver scalar: |V| for smoothing
+      bigs
+        .join(bigN, Seq("bg"))
+        .join(uniN, expr("t = split(bg, ' ')[0]"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(
+          log((col("cbg") + 1).cast("double") / (col("cuni") + vocab).cast("double"))), 6)
+          .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    // per-doc character-distribution entropy — the cheap gibberish /
+    // binary-noise detector (natural text sits in a narrow entropy band):
+    // explode chars, two hash aggregations, -sum p ln p
+    "txt_entropy" -> ((s, dir) => {
+      val ch = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+      val tot = ch.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
+      ch.join(tot, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum((col("n") / col("len")) * log(col("n") / col("len"))), 6)
+          .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: token repetition is the classic
     // low-quality marker (boilerplate, keyword stuffing). One explode +
     // two map-side-combining hash aggregations — the same 100 TB shape as
@@ -331,6 +372,37 @@ object TextQueries {
          |      WHERE len($tokSql) >= 2)
          |GROUP BY ngram HAVING COUNT(*) >= 10
          |ORDER BY n DESC, ngram""".stripMargin,
+
+    "txt_lm_score" ->
+      s"""WITH bigs AS (
+         |  SELECT doc_id, unnest($shSql) AS bg
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |bigN AS (SELECT bg, COUNT(*) AS cbg FROM bigs GROUP BY bg),
+         |toks AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |uniN AS (SELECT t, COUNT(*) AS cuni FROM toks GROUP BY t),
+         |v AS (SELECT COUNT(*) AS vocab FROM uniN)
+         |SELECT doc_id,
+         |  ROUND(AVG(ln((cbg + 1) / CAST(cuni + vocab AS DOUBLE))), 6) AS lm_score
+         |FROM bigs
+         |JOIN bigN USING (bg)
+         |JOIN uniN ON uniN.t = string_split(bg, ' ')[1]
+         |CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, c, COUNT(*) AS n
+         |  FROM (SELECT doc_id, substr(text, i, 1) AS c
+         |        FROM (SELECT doc_id, text,
+         |                unnest(generate_series(1, len(text))) AS i
+         |              FROM documents))
+         |  GROUP BY doc_id, c),
+         |tot AS (SELECT doc_id, SUM(n) AS len FROM ch GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ROUND(-SUM((n / CAST(len AS DOUBLE)) * ln(n / CAST(len AS DOUBLE))), 6)
+         |    AS entropy
+         |FROM ch JOIN tot USING (doc_id)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_repetition" ->
       s"""WITH tw AS (
