@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction — tokenizer training over a corpus: repeatedly
+  * merge the most frequent adjacent symbol pair (byte-pair encoding,
+  * Sennrich et al. 2016 style over whitespace-tokenized words).
+  *
+  * The scale shape: the CORPUS-sized work happens exactly once (the
+  * word-frequency aggregation — one explode + map-side-combining count);
+  * every merge round then iterates on the DISTINCT-WORD relation, which is
+  * vocab-bounded — at 100 TB that is orders of magnitude smaller than the
+  * corpus and the k driver-synchronized rounds each cost one small
+  * aggregation + argmax, the same loop discipline as connected components.
+  * Ties break deterministically (count desc, then pair lexicographic), so
+  * induced merges are reproducible across runs and engines.
+  */
+object Bpe {
+
+  /** one induced merge: rank (1-based), left & right symbol, weighted count */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** standard greedy left-to-right, non-overlapping application of one merge */
+  private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  def induceMerges(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the ONE corpus-scale pass: word -> weight
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+    var syms = words.map { case (w, n) => (w.map(_.toString): Seq[String], n) }.persist()
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var continue = true
+    while (round <= k && continue) {
+      val top = syms.flatMap { case (ss, n) =>
+        if (ss.size < 2) Iterator.empty
+        else ss.iterator.zip(ss.iterator.drop(1)).map { case (x, y) => (x, y, n) }
+      }.toDF("a", "b", "n")
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1) // tiny argmax: ONE driver row per round
+        .collect()
+      if (top.isEmpty) continue = false
+      else {
+        val r = top.head
+        val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
+        merges += Merge(round, a, b, cnt)
+        val next = syms.map { case (ss, n) => (applyMerge(ss, a, b), n) }.persist()
+        next.count() // materialize before releasing the parent cache
+        syms.unpersist()
+        syms = next
+        round += 1
+      }
+    }
+    syms.unpersist()
+    merges.result()
+  }
+}

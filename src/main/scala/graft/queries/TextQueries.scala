@@ -208,6 +208,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE merge induction — tokenizer training (the iterative
+    // most-frequent-pair loop). No SQL oracle can replay it (each round
+    // re-aggregates over the previous round's merge result, which a
+    // recursive CTE cannot express), so its oracle is a VALUES pin
+    // generated at the GATE's scale factor — see [[PinnedOracles]].
+    "txt_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Bpe.induceMerges(docs(s, dir), "text", 8)
+        .map(m => (m.rank.toLong, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "cnt")
+        .orderBy("rank")
+    }),
+
     // Gopher-style repetition signals: token repetition is the classic
     // low-quality marker (boilerplate, keyword stuffing). One explode +
     // two map-side-combining hash aggregations — the same 100 TB shape as

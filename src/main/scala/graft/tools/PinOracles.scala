@@ -36,7 +36,8 @@ object PinOracles {
     Files.createDirectories(outDir)
     val spark = GraftSession.local("8", "graft-pin-oracles")
     try PinnedOracles.names.foreach { name =>
-      val df  = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val sf  = PinnedOracles.pinSf.getOrElse(name, "/root/testdata/sf0.001")
+      val df  = SparkEntry.queries(name)(spark, sf)
       val sql = valuesSql(df)
       Files.write(outDir.resolve(s"$name.sql"), sql.getBytes(UTF_8))
       println(s"[pin] $name: ${sql.count(_ == '\n') + 1} lines")
