@@ -187,9 +187,16 @@ object Bench {
       // 3 reps are hit. A query that always throws keeps the -1 sentinel
       // and lands in "failed".
       val sec = if (times.isEmpty) -1.0 else times.min
+      // true median: average the two middles for even rep counts — the
+      // upper-middle shortcut would report the WORST of 2 reps, i.e. the
+      // steal burst this field exists to see past
       val med =
         if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
+        else {
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       System.err.println(
         f"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f")
       name -> (sec, med)

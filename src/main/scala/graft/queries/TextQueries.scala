@@ -177,12 +177,19 @@ object TextQueries {
     // Rounded to 6 dp: double-sum association order differs across
     // engines at ~1e-14, far below the rounding grid.
     "txt_lm_score" -> ((s, dir) => {
-      val d    = docs(s, dir)
+      val d = docs(s, dir)
+      // persist the model relations and the exploded doc-bigram stream:
+      // bigs feeds bigN AND the scoring probe side, and |V| for smoothing
+      // needs uniN's count — without the caches each reference re-tokenizes
+      // the whole corpus (the cost ngramJaccardPairs' shared-relation
+      // rewrite eliminated; same discipline here)
       val bigs = d.select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
+        .persist()
       val bigN = bigs.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-      val toks = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-      val uniN = toks.groupBy(col("t")).agg(count(lit(1)).as("cuni"))
-      val vocab = uniN.count() // one tiny driver scalar: |V| for smoothing
+      val uniN = d.select(explode(TF.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cuni"))
+        .persist()
+      val vocab = uniN.count() // one tiny driver scalar off the cached model
       bigs
         .join(bigN, Seq("bg"))
         .join(uniN, expr("t = split(bg, ' ')[0]"))

@@ -226,7 +226,8 @@ object Mp4Writer {
     */
   def parseSamples(bytes: Array[Byte]): Seq[SampleRef] = {
     var off = 0L
-    var moovAt = -1L
+    var moovAt  = -1L
+    var moovEnd = -1L
     while (moovAt < 0 && off < bytes.length) {
       val sz32 = be32(bytes, off.toInt)
       val sz: Long =
@@ -234,11 +235,14 @@ object Mp4Writer {
         else if (sz32 == 0) bytes.length - off
         else sz32.toLong & 0xffffffffL
       require(sz >= 8 && off + sz <= bytes.length, s"mp4: corrupt box size $sz at offset $off")
-      if (boxType(bytes, off.toInt) == "moov") moovAt = off else off += sz
+      if (boxType(bytes, off.toInt) == "moov") { moovAt = off; moovEnd = off + sz }
+      else off += sz
     }
     require(moovAt >= 0, "mp4: missing moov box")
-    parseSampleTable(java.util.Arrays.copyOfRange(
-      bytes, moovAt.toInt, moovAt.toInt + be32(bytes, moovAt.toInt)))
+    // copy with the WALK's size, not the compact 32-bit field: a legal
+    // moov written with size=0 (to-end-of-file, common for a last box) or
+    // largesize would otherwise copy 0/1 bytes and crash the table parse
+    parseSampleTable(java.util.Arrays.copyOfRange(bytes, moovAt.toInt, moovEnd.toInt))
   }
 
   /** Parse a single-track sample table from the `moov` box bytes alone
@@ -260,9 +264,14 @@ object Mp4Writer {
     */
   def parseSampleTableWithDurations(bytes: Array[Byte]): (Seq[SampleRef], Seq[Int]) = {
     require(boxType(bytes, 0) == "moov", "expected a moov box")
-    val off     = 0
-    val moovEnd = be32(bytes, 0)
-    val trak = findChild(bytes, off + 8, moovEnd, "trak")
+    // full size grammar for the moov's own header too: size=0 (to end) and
+    // largesize (children then start at 16) are legal even if rare
+    val sz32 = be32(bytes, 0)
+    val (moovEnd, childStart) =
+      if (sz32 == 0) (bytes.length, 8)
+      else if (sz32 == 1) (be64(bytes, 8).toInt, 16)
+      else (sz32, 8)
+    val trak = findChild(bytes, childStart, moovEnd, "trak")
     val mdia = findChild(bytes, trak + 8, trak + be32(bytes, trak), "mdia")
     val minf = findChild(bytes, mdia + 8, mdia + be32(bytes, mdia), "minf")
     val stbl = findChild(bytes, minf + 8, minf + be32(bytes, minf), "stbl")

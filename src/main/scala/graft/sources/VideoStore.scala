@@ -412,7 +412,16 @@ object VideoStore {
         val dir = new Path(outDir)
         val fs  = dir.getFileSystem(hc)
         fs.mkdirs(dir)
-        val tmp   = new Path(dir, s".tmp-$sid")
+        // ATTEMPT-UNIQUE scratch names: speculative/retried attempts of the
+        // same stream's task must never share spool or output files, or
+        // their writes interleave. Each attempt assembles its own part file
+        // and commits via rename; every attempt produces identical bytes
+        // (the group sort is deterministic), so whichever rename lands
+        // first wins and the loser just cleans up.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp   = new Path(dir, s".tmp-$sid-$attempt")
+        val part  = new Path(dir, s".part-$sid-$attempt")
         val metas = Seq.newBuilder[Mp4Writer.SampleMeta]
         var h = -1; var w = -1
         var total = 0L
@@ -430,7 +439,7 @@ object VideoStore {
         if (ms.isEmpty) { fs.delete(tmp, false); Iterator.empty }
         else {
           val outP = new Path(dir, s"stream-$sid.mp4")
-          val out  = fs.create(outP, true)
+          val out  = fs.create(part, true)
           val head = Mp4Writer.ftyp
           val mh   = Mp4Writer.mdatHeader(total)
           try {
@@ -444,6 +453,12 @@ object VideoStore {
             out.write(Mp4Writer.moov(ms, w, h, fps, head.length.toLong + mh.length))
           } finally out.close()
           fs.delete(tmp, false)
+          fs.delete(outP, false) // re-export overwrites, like the driver path
+          if (!fs.rename(part, outP)) {
+            // another attempt committed first (byte-identical) — yield
+            fs.delete(part, false)
+            require(fs.exists(outP), s"mp4 export commit failed for stream $sid")
+          }
           Iterator.single((sid, outP.toString, fs.getFileStatus(outP).getLen))
         }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))

@@ -20,11 +20,9 @@ class SpyFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "spy"
   override def getUri: java.net.URI = java.net.URI.create("spy:///")
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val inner = super.open(f, bufferSize)
-    if (!exists(f)) throw new FileNotFoundException(f.toString)
-    new FSDataInputStream(new CountingStream(inner))
-  }
+  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+    // missing files already throw FileNotFoundException in super.open
+    new FSDataInputStream(new CountingStream(super.open(f, bufferSize)))
 
   /** delegates everything, counts the positioned-read entry points */
   private class CountingStream(inner: FSDataInputStream)

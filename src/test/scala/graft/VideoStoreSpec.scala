@@ -307,8 +307,10 @@ class VideoStoreSpec extends SparkSpec {
       expect.sortBy(_.index).zip(back).foreach { case (a, b) =>
         assert(java.util.Arrays.equals(a.data, b.data))
       }
-      // no spool files left behind
-      assert(!new java.io.File(s"$outDir/.tmp-$sid").exists())
+      // no spool or part files left behind
+      val leftovers = new java.io.File(outDir).listFiles()
+        .filter(f => f.getName.startsWith(".tmp-") || f.getName.startsWith(".part-"))
+      assert(leftovers.isEmpty, s"scratch files not cleaned: ${leftovers.mkString(",")}")
     }
   }
 
