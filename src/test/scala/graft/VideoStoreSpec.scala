@@ -312,6 +312,13 @@ class VideoStoreSpec extends SparkSpec {
         .filter(f => f.getName.startsWith(".tmp-") || f.getName.startsWith(".part-"))
       assert(leftovers.isEmpty, s"scratch files not cleaned: ${leftovers.mkString(",")}")
     }
+    // re-export into the same directory commits cleanly over the previous
+    // files (the delete + rename path of the attempt-unique protocol)
+    val before = Files.readAllBytes(java.nio.file.Paths.get(s"$outDir/stream-0.mp4"))
+    val again  = VideoStore.exportMp4All(spark, root, "many", outDir, fps = 24)
+    assert(again.length == 2)
+    val after = Files.readAllBytes(java.nio.file.Paths.get(s"$outDir/stream-0.mp4"))
+    assert(java.util.Arrays.equals(before, after))
   }
 
   test("distributed directory ingest: exportMp4All -> ingestMp4Dir round-trips a multi-stream store") {
