@@ -346,6 +346,29 @@ class VideoStoreSpec extends SparkSpec {
     }
   }
 
+  test("a last-box moov written with size=0 (to end of file) still parses") {
+    val root = freshRoot()
+    import spark.implicits._
+    VideoStore.ingest(synthFrames(0L, 16).toDS(), root, "sz0", gopSize = 8)
+    val out = s"$root/sz0.mp4"
+    VideoStore.exportMp4(spark, root, "sz0", 0L, out)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    val normal = Mp4Writer.parseSamples(bytes)
+    // find the trailing moov and rewrite its compact size to 0 — a legal
+    // encoding for the last box per 14496-12
+    var off = 0
+    var moovAt = -1
+    while (moovAt < 0) {
+      if (new String(bytes, off + 4, 4, "US-ASCII") == "moov") moovAt = off
+      else off += ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    }
+    val patched = bytes.clone()
+    patched(moovAt) = 0; patched(moovAt + 1) = 0
+    patched(moovAt + 2) = 0; patched(moovAt + 3) = 0
+    assert(Mp4Writer.parseSamples(patched) == normal)
+  }
+
   test("demux handles the general multi-chunk stsc/stco layout (files from other muxers)") {
     // hand-built moov: 5 samples over 2 chunks (3 then 2), sizes
     // 10,20,30,40,50, chunk offsets 100 and 500 -> absolute sample offsets
