@@ -87,6 +87,37 @@ class RandomizedModelSpec extends SparkSpec {
     }
   }
 
+  test("minhash signatures match a brute-force MessageDigest model on random docs") {
+    // independent md5 path (java.security vs the plan's codegen'd Md5) and
+    // independent shingle/slot/min logic — validates the explode + 8-column
+    // hash-agg plumbing, the distinct fold, and the slot prefixes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val vocab = Seq("spark", "scan", "row", "key", "agg", "the", "a")
+    (1 to 4).foreach { it =>
+      val docs = (0L until 30L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 4
+      val expect = (for {
+        (id, text) <- docs
+        toks = text.split("\\s+").toSeq
+        if toks.size >= 2
+        slot <- 0 until k
+      } yield {
+        val shingles = toks.zip(toks.tail).map { case (x, y) => s"$x $y" }
+        (id, slot.toLong, shingles.map(sh => md5hex(s"$slot|$sh")).min)
+      }).sortBy(t => (t._1, t._2))
+      val got = graft.functions.Dedup
+        .minhashSignatures(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("slot"), r.getAs[String]("mh")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == expect, s"iteration $it")
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     (1 to 5).foreach { it =>
       val n = 20 + rnd.nextInt(80)
