@@ -133,6 +133,15 @@ object Bench {
     val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val only  = args.toSet // optional query-name filter for targeted reruns
     val spark = GraftSession.local(cpus, "graft-bench")
+    // fail loudly on a misspelled filter: a silent empty selection prints
+    // total=0 and reads like a (nonsense) clean run
+    locally {
+      val known   = SparkEntry.queries.keySet ++ benchTargets.keySet
+      val unknown = only.diff(known)
+      require(unknown.isEmpty,
+        s"unknown bench query name(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${known.toSeq.sorted.mkString(", ")}")
+    }
 
     val tables = Seq("lineitem", "orders", "customer", "nation", "region",
       "supplier", "part", "events", "documents", "embeddings")

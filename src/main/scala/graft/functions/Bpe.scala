@@ -21,6 +21,22 @@ object Bpe {
   /** one induced merge: rank (1-based), left & right symbol, weighted count */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** Split a word into one symbol per Unicode CODE POINT (not UTF-16 code
+    * unit): supplementary characters (emoji, rare CJK) must stay whole, or
+    * induced merges contain unpaired surrogate halves — standard BPE
+    * operates on code points or bytes, never UTF-16 units.
+    */
+  private[graft] def codePointSyms(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** standard greedy left-to-right, non-overlapping application of one merge */
   private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -43,7 +59,7 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-    var syms = words.map { case (w, n) => (w.map(_.toString): Seq[String], n) }.persist()
+    var syms = words.map { case (w, n) => (codePointSyms(w), n) }.persist()
     val merges = Seq.newBuilder[Merge]
     var round = 1
     var continue = true

@@ -269,7 +269,14 @@ object Mp4Writer {
     val sz32 = be32(bytes, 0)
     val (moovEnd, childStart) =
       if (sz32 == 0) (bytes.length, 8)
-      else if (sz32 == 1) (be64(bytes, 8).toInt, 16)
+      else if (sz32 == 1) {
+        val sz = be64(bytes, 8)
+        // bound BEFORE the narrowing: a corrupt largesize over 2^31 would
+        // otherwise wrap in .toInt (e.g. 0x1_0000_0010 -> 16) and mis-parse
+        require(sz >= 16 && sz <= bytes.length,
+          s"mp4: corrupt moov largesize $sz (buffer ${bytes.length})")
+        (sz.toInt, 16)
+      }
       else (sz32, 8)
     val trak = findChild(bytes, childStart, moovEnd, "trak")
     val mdia = findChild(bytes, trak + 8, trak + be32(bytes, trak), "mdia")

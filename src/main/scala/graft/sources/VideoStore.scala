@@ -404,6 +404,19 @@ object VideoStore {
     val confKV = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     val confB = spark.sparkContext.broadcast(confKV)
+    // Overwrite semantics are settled ONCE here on the driver, before any
+    // task runs: clear prior committed outputs so the task-side commit can
+    // be pure rename-first. A task must never delete the destination — a
+    // losing speculative attempt that deleted the winner's file and then
+    // died would silently lose committed output.
+    locally {
+      val dirP = new Path(outDir)
+      val dfs  = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (dfs.exists(dirP))
+        dfs.listStatus(dirP).iterator
+          .filter(st => st.getPath.getName.matches("stream-\\d+\\.mp4"))
+          .foreach(st => dfs.delete(st.getPath, false))
+    }
     segments(spark, root, name)
       .groupByKey(_.streamId)(Encoders.scalaLong)
       .flatMapSortedGroups(col("segId")) { (sid: Long, it: Iterator[Segment]) =>
@@ -453,9 +466,11 @@ object VideoStore {
             out.write(Mp4Writer.moov(ms, w, h, fps, head.length.toLong + mh.length))
           } finally out.close()
           fs.delete(tmp, false)
-          fs.delete(outP, false) // re-export overwrites, like the driver path
+          // Rename-first commit: never touch the destination except via the
+          // atomic rename. If the rename loses (HDFS-style fail-on-existing
+          // destination), another byte-identical attempt already committed —
+          // delete only our own part file and yield to the winner.
           if (!fs.rename(part, outP)) {
-            // another attempt committed first (byte-identical) — yield
             fs.delete(part, false)
             require(fs.exists(outP), s"mp4 export commit failed for stream $sid")
           }
