@@ -49,7 +49,74 @@ object Bpe {
     out.result()
   }
 
-  def induceMerges(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+  /** Spark's string ordering is UTF-8 BINARY (UTF8String compares bytes
+    * unsigned); Scala's String.compareTo is UTF-16 code-unit order. They
+    * diverge for supplementary vs U+E000..U+FFFF characters, so the local
+    * induction path compares UTF-8 bytes to tie-break EXACTLY like the
+    * distributed `orderBy(cnt.desc, a, b)` it substitutes for.
+    */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** In-memory greedy induction over a collected word-frequency table —
+    * identical output to the distributed loop (same argmax, same
+    * count-desc / pair-UTF-8-binary tie-break), k rounds over a
+    * vocab-bounded array instead of k driver-synchronized Spark jobs.
+    */
+  private[graft] def induceLocal(vocab: Array[(String, Long)], k: Int): Seq[Merge] = {
+    var syms: Array[(Seq[String], Long)] =
+      vocab.map { case (w, n) => (codePointSyms(w), n) }
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var continue = true
+    while (round <= k && continue) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      syms.foreach { case (ss, n) =>
+        var i = 0
+        while (i + 1 < ss.length) {
+          counts.merge((ss(i), ss(i + 1)), n, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (utf8Lt(p._1, best._1._1) ||
+                (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((a, b), cnt) = best
+        merges += Merge(round, a, b, cnt)
+        syms = syms.map { case (ss, n) => (applyMerge(ss, a, b), n) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Induce the top-k BPE merges. The corpus-scale pass (tokenize + word
+    * count) is always distributed and runs exactly once; the k-round
+    * induction then runs LOCALLY when the distinct-word table fits under
+    * `maxLocalVocab` rows (the shape every production tokenizer trainer
+    * uses — word counts are vocab-bounded, orders of magnitude smaller
+    * than the corpus; Spark MLlib's Word2Vec collects its vocab the same
+    * way), and falls back to the per-round distributed loop for corpora
+    * whose raw vocab genuinely exceeds driver memory. Both paths produce
+    * identical merges (same deterministic tie-break).
+    */
+  def induceMerges(docs: DataFrame, textCol: String, k: Int,
+      maxLocalVocab: Int = 1 << 22): Seq[Merge] = {
     require(k > 0, s"k must be positive, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -59,6 +126,10 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
+    // limit(maxLocalVocab + 1): bounded driver transfer — never an
+    // unbounded collect; one extra row is enough to detect overflow
+    val head = words.limit(maxLocalVocab + 1).collect()
+    if (head.length <= maxLocalVocab) return induceLocal(head, k)
     var syms = words.map { case (w, n) => (codePointSyms(w), n) }.persist()
     val merges = Seq.newBuilder[Merge]
     var round = 1

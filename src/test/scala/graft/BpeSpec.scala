@@ -33,4 +33,35 @@ class BpeSpec extends SparkSpec {
     val docs = Seq("a b", "c").toDF("text") // single-char words only
     assert(Bpe.induceMerges(docs, "text", 5).isEmpty)
   }
+
+  test("local and distributed induction produce identical merges") {
+    val docs = Seq("low low low", "lower lower", "newest newest", "wide wider",
+      "er er er low", "estest").toDF("text")
+    val local = Bpe.induceMerges(docs, "text", 6) // vocab far under default cap
+    val dist  = Bpe.induceMerges(docs, "text", 6, maxLocalVocab = 0)
+    assert(local == dist)
+  }
+
+  test("supplementary characters stay whole symbols (code points, not UTF-16 units)") {
+    // U+1F600 GRINNING FACE is a surrogate pair in UTF-16; repeated next to
+    // 'a' so the (emoji, a) pair wins a merge — the merged symbol must be
+    // the full emoji + 'a', never an unpaired half-surrogate
+    val e = new String(Character.toChars(0x1F600))
+    assert(Bpe.codePointSyms(s"${e}a") == Seq(e, "a"))
+    val docs = Seq(s"${e}a ${e}a ${e}a").toDF("text")
+    val got = Bpe.induceMerges(docs, "text", 1)
+    assert(got == Seq(Bpe.Merge(1, e, "a", 3L)))
+  }
+
+  test("utf8Lt tie-break matches Spark's UTF8String binary order") {
+    // U+FFFD (efbfbd in UTF-8) vs U+10400 (f0909080): UTF-16 code-unit
+    // order says U+10400 < U+FFFD (high surrogate 0xD801 < 0xFFFD) but
+    // UTF-8 binary order says the opposite — pin the Spark-matching choice
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x10400))
+    assert(supp.compareTo(bmp) < 0)    // UTF-16 order (what we must NOT use)
+    assert(Bpe.utf8Lt(bmp, supp))      // UTF-8 binary order (what Spark uses)
+    assert(!Bpe.utf8Lt(supp, bmp))
+    assert(Bpe.utf8Lt("a", "ab") && !Bpe.utf8Lt("ab", "a") && !Bpe.utf8Lt("a", "a"))
+  }
 }
