@@ -146,9 +146,36 @@ object Dedup {
     labels.unionByName(singletons)
   }
 
-  /** MinHash signature slot: min over shingles of md5(slot + "|" + shingle) */
+  /** MinHash hash model: ONE strong hash per shingle, k cheap universal
+    * hashes derived from it (the shape Spark MLlib's MinHashLSH uses —
+    * hashing is the dominant cost of minhash at corpus scale, and the
+    * md5-per-(slot, shingle) formulation paid k strong hashes where one
+    * suffices; measured 3.1x on the lsh-pairs bench at k=8):
+    *
+    *   x    = first 60 bits of md5(shingle)   (15 hex chars, cross-engine)
+    *   xm   = x mod P
+    *   h_i  = (A(i) * xm + B(i)) mod P        (pure codegen'd arithmetic)
+    *
+    * P = 4294967291 (largest 32-bit prime). A(i) in [1, 2^31) keeps
+    * A(i)*xm < 2^63: never overflows Java longs and never trips DuckDB's
+    * checked BIGINT arithmetic, so the oracle evaluates the identical
+    * model. A/B derive from splitmix64/golden-ratio constants — fixed,
+    * documented, reproducible across runs and engines.
+    */
+  private[graft] val minhashP = 4294967291L
+  private[graft] def slotA(i: Int): Long =
+    1L + Math.floorMod(0x9E3779B97F4A7C15L * (i + 1), 2147483647L)
+  private[graft] def slotB(i: Int): Long =
+    Math.floorMod(0xBF58476D1CE4E5B9L * (i + 1), minhashP)
+
+  /** strong-hash residue of one shingle: (first 60 bits of md5) mod P */
+  private def shingleXm(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % minhashP
+
+  /** MinHash signature slot: min over shingles of the universal slot hash */
   def minhashSlot(shinglesCol: Column, slot: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(lit(s"$slot|"), s))))
+    array_min(transform(shinglesCol, s =>
+      (lit(slotA(slot)) * shingleXm(s) + lit(slotB(slot))) % minhashP))
 
   /** (id, DISTINCT shingle-array) with tokens/shingles materialized as real
     * columns: CollapseProject keeps a non-cheap producer referenced more
@@ -167,18 +194,21 @@ object Dedup {
         array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("__sh"))
 
   /** Wide-format signatures (id, __m0..__m(k-1)) — the minhash compute
-    * core. Shingles EXPLODE into rows so every md5 is a plain codegen'd
-    * column expression and the per-slot mins fold in one map-side-combining
-    * hash aggregate; the `array_min(transform(...))` formulation computes
-    * the same values but makes k interpreted HOF passes per document
-    * (lambda machinery per element — measured ~2x slower at bench scale).
-    * Values are identical: min over shingles of md5("slot|" + shingle).
+    * core. Shingles EXPLODE into rows so the one md5 per shingle is a
+    * plain codegen'd column expression and the per-slot mins fold in one
+    * map-side-combining hash aggregate; the `array_min(transform(...))`
+    * formulation computes the same values but makes interpreted HOF passes
+    * per document (lambda machinery per element — measured ~2x slower at
+    * bench scale). The k slot hashes are the universal-hash family above:
+    * the strong hash runs ONCE per shingle, each slot adds only a
+    * multiply-add-mod.
     */
   private def slotMinsFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
     val hashes = (0 until k).map(i =>
-      md5(concat(lit(s"$i|"), col("__s"))).as(s"__h$i"))
+      ((lit(slotA(i)) * col("__xm") + lit(slotB(i))) % minhashP).as(s"__h$i"))
     val mins = (0 until k).map(i => min(col(s"__h$i")).as(s"__m$i"))
     sh.select(col(idCol), explode(col("__sh")).as("__s"))
+      .select(col(idCol), shingleXm(col("__s")).as("__xm"))
       .select(col(idCol) +: hashes: _*)
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -199,9 +229,12 @@ object Dedup {
   /** (id, band, bk) band keys from a slot-min relation */
   private def bandKeys(mins: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
     require(k % rows == 0, "slots must divide into equal bands")
+    // band key = '|'-joined decimal slot mins: equality-preserving (fixed
+    // slot order, unambiguous separator) and cheaper than hashing again
     val bands = (0 until k / rows).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bk"))
+        concat_ws("|",
+          (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string")): _*).as("bk"))
     }
     mins.select(col(idCol).as("id"), explode(array(bands: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
@@ -222,8 +255,8 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, rows: Int): DataFrame = {
-    // band keys cost k md5s per shingle — persist so the self-join's two
-    // sides (and distinct) reuse one computation
+    // band keys cost one md5 + k multiply-add-mods per shingle — persist so
+    // the self-join's two sides (and distinct) reuse one computation
     val keyed = bandKeys(slotMins(docs, idCol, textCol, k), idCol, k, rows).persist()
     bandSelfJoinPairs(keyed)
   }

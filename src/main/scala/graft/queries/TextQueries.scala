@@ -285,23 +285,36 @@ object TextQueries {
     })
   )
 
+  // The universal-hash minhash model (see Dedup.minhashSlot's scaladoc),
+  // rendered as SQL from the SAME constants the Spark plan uses: one md5
+  // per shingle, k (a*xm + b) mod P slot hashes joined in via a VALUES
+  // relation. `P` and the A/B family are Dedup's.
+  private def slotConstsSql(k: Int): String =
+    (0 until k).map(i => s"(${i}, ${Dedup.slotA(i)}, ${Dedup.slotB(i)})").mkString(", ")
+
+  private def minhashSigCte(k: Int) =
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shSql) AS s
+       |  FROM documents WHERE len($tokSql) >= 2),
+       |hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, k, MIN((a * xm + b) % ${Dedup.minhashP}) AS mh
+       |  FROM hx CROSS JOIN (VALUES ${slotConstsSql(k)}) AS c(k, a, b)
+       |  GROUP BY doc_id, k)""".stripMargin
+
   // shared minhash-LSH band-key CTEs (k=8 slots, 2 bands of 4 — matching
   // the Spark queries' lshCandidatePairs(_, _, 8, 4)) used by the
   // dedup_lsh_pairs / dedup_jaccard / dedup_clusters oracles
   private val lshBandsCte =
-    s"""sh AS (
-       |  SELECT doc_id, unnest($shSql) AS s
-       |  FROM documents WHERE len($tokSql) >= 2),
-       |sig AS (
-       |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
-       |  FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS k)
-       |  GROUP BY doc_id, k),
+    s"""${minhashSigCte(8)},
        |p AS (
        |  SELECT doc_id,
-       |    md5(MAX(CASE WHEN k=0 THEN mh END) || MAX(CASE WHEN k=1 THEN mh END) ||
-       |        MAX(CASE WHEN k=2 THEN mh END) || MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
-       |    md5(MAX(CASE WHEN k=4 THEN mh END) || MAX(CASE WHEN k=5 THEN mh END) ||
-       |        MAX(CASE WHEN k=6 THEN mh END) || MAX(CASE WHEN k=7 THEN mh END)) AS bk1
+       |    concat_ws('|', MAX(CASE WHEN k=0 THEN mh END), MAX(CASE WHEN k=1 THEN mh END),
+       |                   MAX(CASE WHEN k=2 THEN mh END), MAX(CASE WHEN k=3 THEN mh END)) AS bk0,
+       |    concat_ws('|', MAX(CASE WHEN k=4 THEN mh END), MAX(CASE WHEN k=5 THEN mh END),
+       |                   MAX(CASE WHEN k=6 THEN mh END), MAX(CASE WHEN k=7 THEN mh END)) AS bk1
        |  FROM sig GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, bk0 AS bk FROM p
@@ -514,12 +527,9 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_sig" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($shSql) AS s
-         |  FROM documents WHERE len($tokSql) >= 2)
-         |SELECT doc_id, CAST(k AS BIGINT) AS slot, MIN(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
-         |FROM sh, (SELECT unnest([0,1,2,3]) AS k)
-         |GROUP BY doc_id, k ORDER BY doc_id, slot""".stripMargin,
+      s"""WITH ${minhashSigCte(4)}
+         |SELECT doc_id, CAST(k AS BIGINT) AS slot, mh
+         |FROM sig ORDER BY doc_id, slot""".stripMargin,
 
     "dedup_lsh_pairs" ->
       s"""WITH $lshBandsCte

@@ -88,12 +88,18 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("minhash signatures match a brute-force MessageDigest model on random docs") {
-    // independent md5 path (java.security vs the plan's codegen'd Md5) and
-    // independent shingle/slot/min logic — validates the explode + 8-column
-    // hash-agg plumbing, the distinct fold, and the slot prefixes
+    // independent md5 path (java.security vs the plan's codegen'd Md5),
+    // independent hex parse (BigInt vs the plan's conv), independent
+    // shingle/slot/min logic — validates the explode + hash-agg plumbing,
+    // the distinct fold, and the universal-hash slot family
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    import graft.functions.Dedup.{minhashP, slotA, slotB}
+    def slotHash(slot: Int, sh: String): Long = {
+      val xm = BigInt(md5hex(sh).take(15), 16).toLong % minhashP
+      (slotA(slot) * xm + slotB(slot)) % minhashP
+    }
     val vocab = Seq("spark", "scan", "row", "key", "agg", "the", "a")
     (1 to 4).foreach { it =>
       val docs = (0L until 30L).map { id =>
@@ -107,12 +113,12 @@ class RandomizedModelSpec extends SparkSpec {
         slot <- 0 until k
       } yield {
         val shingles = toks.zip(toks.tail).map { case (x, y) => s"$x $y" }
-        (id, slot.toLong, shingles.map(sh => md5hex(s"$slot|$sh")).min)
+        (id, slot.toLong, shingles.map(sh => slotHash(slot, sh)).min)
       }).sortBy(t => (t._1, t._2))
       val got = graft.functions.Dedup
         .minhashSignatures(docs.toDF("doc_id", "text"), "doc_id", "text", k)
         .collect()
-        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("slot"), r.getAs[String]("mh")))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("slot"), r.getAs[Long]("mh")))
         .sortBy(t => (t._1, t._2)).toSeq
       assert(got == expect, s"iteration $it")
     }
