@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *  - jaccard:    candidate generation by cheap bucket key, then exact
   *                set-overlap on candidates only (never all-pairs)
   *
-  * Hash choice: md5 (deterministic, available in every engine) — minhash
-  * slot k uses md5("k|" + shingle); min over the hex strings is a uniform
-  * min-hash. This keeps signatures reproducible across engines for the
-  * correctness oracle.
+  * Hash choice: md5 as the one strong hash (deterministic, available in
+  * every engine), k universal multiply-add-mod slot hashes derived from
+  * its leading 60 bits (see [[minhashSlot]]). This keeps signatures
+  * reproducible across engines for the correctness oracle while paying
+  * only one strong hash per shingle.
   */
 object Dedup {
 
@@ -366,6 +367,48 @@ object Dedup {
     * while band buckets are uniform by construction. Returns
     * (a, b, inter, uni, jac) for candidate pairs only.
     */
+  /** Exact substring (token-window) duplication stats — the pretraining
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"): a span duplicated ACROSS documents is memorization
+    * fuel even when the documents as wholes are unique, so the unit of
+    * dedup is the n-token window, not the document. Per doc:
+    * distinct n-token windows, how many of them also occur in another
+    * document, and the duplicated fraction.
+    *
+    * Scale shape — everything is hash aggregation on 32-byte window
+    * hashes, never on raw text: explode windows once, md5 each (shuffles
+    * carry the hash, not the tokens), distinct (doc, hash) in one
+    * map-side-combining agg, window→doc-count in a second, and one
+    * equi-join of the per-doc stream against the (much smaller)
+    * duplicated-window relation. No all-pairs, no driver materialization;
+    * AQE turns the final join into a broadcast when the duplicated set is
+    * small.
+    */
+  def duplicatedWindowStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window width must be >= 2, got $n")
+    val docWin = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("wh"))
+      .distinct()
+      .persist() // feeds the per-doc count, the dup-set agg, and the join
+    val dupWins = docWin.groupBy(col("wh"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"))
+    val perDoc = docWin.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = docWin.join(dupWins, Seq("wh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_windows").cast("double"), 6))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 4): DataFrame = {
     // ONE persisted tokenize+shingle pass feeds both phases: the minhash

@@ -167,6 +167,12 @@ object TextQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b")),
 
+    // exact substring (5-token window) duplication — the Lee et al. 2021
+    // pretraining dedup unit; see Dedup.duplicatedWindowStats
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedWindowStats(docs(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // Perplexity-proxy quality score — the classic LM-based filter: a
     // bigram model with add-one smoothing is fit on the corpus itself and
     // every doc scored by its mean log-likelihood. Corpus model = two
@@ -569,6 +575,20 @@ object TextQueries {
          |FROM cand JOIN bds x ON x.doc_id = a JOIN bds y ON y.doc_id = b
          |WHERE ${(0 until 4).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")} <= 3
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents WHERE len($tokSql) >= 5),
+         |w AS (
+         |  SELECT DISTINCT doc_id, md5(unnest(list_transform(generate_series(1, len(tk)-4),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS wh
+         |  FROM t),
+         |d AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) > 1),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+         |dd AS (SELECT w.doc_id, COUNT(*) AS n_dup FROM w JOIN d USING (wh) GROUP BY w.doc_id)
+         |SELECT pd.doc_id, pd.n_windows, COALESCE(dd.n_dup, 0) AS n_dup,
+         |  round(CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / pd.n_windows, 6) AS dup_ratio
+         |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id ORDER BY pd.doc_id""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $lshBandsCte,

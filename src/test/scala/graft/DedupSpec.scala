@@ -10,6 +10,28 @@ class DedupSpec extends SparkSpec {
       nodes.toDF("doc_id"), pairs.toDF("a", "b"), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("duplicatedWindowStats counts cross-doc duplicated token windows (hand-computed)") {
+    // n=3 windows:
+    //   doc 0 "a b c d"   -> {a b c, b c d}
+    //   doc 1 "a b c e"   -> {a b c, b c e}
+    //   doc 2 "x y z w"   -> {x y z, y z w}
+    //   doc 3 "q r"       -> too short, dropped
+    //   doc 4 "b c d b c d" -> {b c d, c d b, d b c, b c d(dup within doc -> distinct)}
+    // cross-doc duplicated windows: "a b c" (docs 0,1), "b c d" (docs 0,4)
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c e"), (2L, "x y z w"),
+      (3L, "q r"), (4L, "b c d b c d")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1.0),       // both windows shared
+      (1L, 2L, 1L, 0.5),       // "a b c" shared, "b c e" unique
+      (2L, 2L, 0L, 0.0),       // nothing shared
+      (4L, 3L, 1L, 0.333333))) // distinct{b c d, c d b, d b c}; "b c d" shared
+  }
+
   test("connectedComponents converges on a long chain (pointer jumping)") {
     // diameter-29 chain would exceed naive propagation rounds; path
     // compression converges well within maxIters
