@@ -296,8 +296,16 @@ object Dedup {
       .groupBy(col(idCol), col("t"))
       .agg(count(lit(1)).as("__w"))
       .select(col(idCol), col("__w"), md5(col("t")).as("m"))
-    val nibbles = (0 until 16).map(q =>
-      (instr(lit(hexDigits), col("m").substr(lit(q + 1), lit(1))) - 1).cast("int").as(s"n$q"))
+    // nibble extraction by parsing the leading 16 hex chars as integers
+    // (one 15-char parse + one 1-char parse) and shifting, instead of 16
+    // per-nibble instr+substr string searches — same values, arithmetic
+    // stays inside whole-stage codegen without per-nibble string scans
+    val x1 = conv(substring(col("m"), 1, 15), 16, 10).cast("long")
+    val x2 = conv(substring(col("m"), 16, 1), 16, 10).cast("long")
+    val nibbles = (0 until 16).map { q =>
+      val n = if (q < 15) shiftright(x1, 4 * (14 - q)).bitwiseAND(15) else x2
+      n.cast("int").as(s"n$q")
+    }
     val withN = tokenW.select(col(idCol) +: col("__w") +: nibbles: _*)
     val sums = (0 until 64).map { j =>
       val bit = (shiftright(col(s"n${j / 4}"), 3 - j % 4) % 2).cast("long")
