@@ -88,6 +88,28 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: the batch keeper-set semantics
+    * ([[graft.functions.Dedup.dedupedIds]]) extended to unbounded arrival —
+    * the FIRST document with a given normalized fingerprint passes, every
+    * later duplicate drops, across micro-batches (fingerprint state lives
+    * in the state store). Pass `tsCol`+`watermark` to bound that state:
+    * `dropDuplicatesWithinWatermark` lets the engine expire fingerprints
+    * older than the lateness bound, which is the 100 TB-stream shape —
+    * unbounded distinct fingerprints otherwise grow state forever, the
+    * same wall [[unboundedState]]'s `maxPending` guards against.
+    */
+  def streamingDedup(docs: DataFrame, textCol: String,
+      tsCol: Option[String] = None, watermark: Option[String] = None): DataFrame = {
+    val fp = docs.withColumn("fp", md5(col(textCol)))
+    (tsCol, watermark) match {
+      case (Some(ts), Some(wm)) =>
+        fp.withWatermark(ts, wm).dropDuplicatesWithinWatermark("fp")
+      case (None, None) => fp.dropDuplicates("fp")
+      case _ => throw new IllegalArgumentException(
+        "tsCol and watermark must be provided together")
+    }
+  }
+
   /** Watermarked tumbling-window event counts — the standard streaming
     * aggregation shape (readStream → withWatermark → groupBy(window) →
     * agg), over an events-like stream (ts: Timestamp, event_type: String).

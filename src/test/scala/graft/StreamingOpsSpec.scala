@@ -106,6 +106,30 @@ class StreamingOpsSpec extends SparkSpec {
       c.getMessage.contains("maxPending")))
   }
 
+  test("streamingDedup keeps first arrival per fingerprint across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDedup(
+      in.toDF().toDF("doc_id", "text"), "text")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("dedup_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      in.addData((0L, "alpha"), (1L, "beta"), (2L, "alpha"))
+      q.processAllAvailable()
+      // cross-batch duplicate ("beta") must drop via state, not batch-local
+      // dedup; new text ("gamma") passes
+      in.addData((3L, "beta"), (4L, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table(q.name).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(0L, 1L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize state transitions: burst grows, gap closes, timeout flushes") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
