@@ -194,6 +194,64 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Squared L2 distance in double precision, ordered left-to-right fold
+    * (bit-identical to the DuckDB oracle's `list_reduce` with a prepended
+    * 0.0 seed).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Lloyd's k-means — the IVF coarse-quantizer trainer (reference's
+    * anchors in [[ivfTopK]] are exactly these centroids at corpus scale).
+    * Deterministic: init = the k lowest-id vectors; assignment argmin via
+    * `min(struct(dist, cid))` (partial-aggregated, ties to the smaller
+    * cid); means via exact DECIMAL(20,8) sums so the result is independent
+    * of partition/merge order (the [[SimQueries]] `emb_centroids` parity
+    * technique), rounded to 6 dp before the next round.
+    *
+    * Plan shape per iteration at 100 TB: ONE broadcast of the (tiny)
+    * centroid relation, one hash-agg argmin over the points (map-side
+    * partial — no window, no shuffle of the corpus beyond the (id) agg),
+    * one (cid, pos) hash-agg for the means (dims explode narrowly, then
+    * combine map-side). The driver loop iterates only the centroid
+    * relation — points are persisted once and scanned per round, never
+    * collected.
+    */
+  def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist() // scanned once per Lloyd round
+    var cent = pts.filter(col("id") < k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = pts.join(broadcast(cent))
+        .select(col("id"), col("v"),
+          struct(sqDist(col("v"), col("cv")).as("d"), col("cid")).as("cand"))
+        .groupBy(col("id"))
+        .agg(min(col("cand")).as("best"), first(col("v")).as("v"))
+        .select(col("best.cid").as("cid"), col("v"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("col").cast("decimal(20,8)")).cast("double") /
+            count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(first(col("n")).as("n"),
+          array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m"))))
+            .as("pm"))
+        .select(col("cid"), col("n"),
+          transform(col("pm"), p => p.getField("m")).as("cv"))
+    }
+    val out = cent.select(col("cid"), col("n"), posexplode(col("cv")))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        col("col").as("cval"), col("n"))
+    out
+  }
+
   /** Near-duplicate pairs by embedding cosine, banded sign-LSH candidates:
     * `bands` independent sign buckets over disjoint dimension ranges; a
     * pair is a candidate iff it collides in ANY band (union + distinct —

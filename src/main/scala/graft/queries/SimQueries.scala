@@ -99,7 +99,16 @@ object SimQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(element_at(col("embedding"), 1).cast("decimal(20,8)")).cast("double").as("c1"))
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // Lloyd's k-means (3 rounds, k=8, init = lowest vec_ids) — the IVF
+    // coarse-quantizer trainer. Output: final centroids flattened to
+    // (cid, pos, cval) + cluster size n. Exact-parity means via
+    // DECIMAL(20,8) sums, 6-dp rounding between rounds.
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 3)
+        .orderBy("cid", "pos"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,6 +206,37 @@ object SimQueries {
     "emb_centroids" ->
       """SELECT label, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) AS c1
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64)
   )
+
+  /** Unrolled Lloyd rounds as DuckDB CTEs: assignment = QUALIFY row_number
+    * over (dist, cid) (≡ Spark's min(struct(d, cid))); distance = the same
+    * prepended-seed left fold as Spark's `aggregate(zip_with(...))`; means
+    * = exact DECIMAL(20,8) sums / COUNT, rounded to 6 dp between rounds.
+    */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT e.id, e.v, c.cid,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dim),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b) AS d
+         |  FROM e, c${i - 1} c),
+         |b$i AS (SELECT id, v, cid FROM a$i
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1),
+         |m$i AS (SELECT cid, pos, COUNT(*) AS n,
+         |    CAST(SUM(CAST(val AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT cid, unnest(v) AS val, unnest(range(0, $dim)) AS pos FROM b$i)
+         |  GROUP BY cid, pos),
+         |c$i AS (SELECT cid, max(n) AS n, list(round(m, 6) ORDER BY pos) AS cv
+         |  FROM m$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < $k),
+       |$rounds
+       |SELECT cid, pos, cval, n FROM (
+       |  SELECT cid, n, unnest(cv) AS cval, unnest(range(0, $dim)) AS pos FROM c$iters)
+       |ORDER BY cid, pos""".stripMargin
+  }
 }
