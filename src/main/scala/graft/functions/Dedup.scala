@@ -434,4 +434,26 @@ object Dedup {
         size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))
       .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
   }
+
+  /** Winnowing (MOSS) near-dup candidates: pairs of docs sharing at least
+    * `minShared` selected fingerprints
+    * ([[TextFunctions.winnowFingerprints]]). One narrow fingerprint
+    * explode, one fp equi-join, one pair-count aggregation — never
+    * all-pairs. Winnowing's expected fingerprint density is 2/(w+1) of the
+    * gram count, so the join's key space (and any hot-key fan-out) dials
+    * down with larger w; the shared-substring guarantee (>= w+k-1 tokens)
+    * still holds.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long): DataFrame = {
+    val fps = docs.select(col(idCol).as("__id"),
+      explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist() // both sides of the candidate join
+    fps.select(col("fp"), col("__id").as("a"))
+      .join(fps.select(col("fp"), col("__id").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

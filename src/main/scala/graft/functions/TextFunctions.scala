@@ -77,6 +77,32 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 2147483647L)
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS scheme): polynomial hash per k-token gram, minimum over every
+    * window of w consecutive gram hashes, distinct selected values = the
+    * document's fingerprint set (sorted). Guarantee: two documents sharing
+    * a token run of length >= w+k-1 share at least one fingerprint — the
+    * sparse, position-robust alternative to hashing every gram.
+    *
+    * Window minima fold over shifted slices with `least` (the
+    * [[shinglesFromTokens]] zip_with idiom — O(grams·w) streaming, no
+    * per-index element_at). Short docs (0 < grams < w) keep their single
+    * overall minimum.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 2, s"need k >= 1, w >= 2; got k=$k w=$w")
+    val hashes = transform(shinglesFromTokens(tokens(text), k), g =>
+      aggregate(transform(split(g, ""), ch => ascii(ch).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L))
+    val outLen = greatest(size(hashes) - (w - 1), lit(0))
+    val winMins = (2 to w).foldLeft(slice(hashes, lit(1), outLen)) { (acc, j) =>
+      zip_with(acc, slice(hashes, lit(j), outLen), (a, b) => least(a, b))
+    }
+    val mins = when(size(hashes) > 0 && size(hashes) < w,
+      array(array_min(hashes))).otherwise(winMins)
+    array_sort(array_distinct(mins))
+  }
+
   /** word n-gram shingles (default bigrams) — shared by MinHash/Jaccard.
     *
     * Built by zipping the token array with its own shifted slices rather

@@ -40,6 +40,24 @@ object TextQueries {
       .otherwise(lit(100L))
 
   private val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** winnowing CTE chain (k=3 grams, w=4 windows) ending in f(doc_id, fps)
+    * — the polynomial gram hash is txt_rollhash's fold, the window minima
+    * mirror the Spark `least` fold, short docs keep their overall min
+    */
+  private val winnowCte =
+    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |gr AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM t),
+       |h AS (SELECT doc_id, list_transform(gs, g -> CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(generate_series(1, len(g)), j -> CAST(ascii(substr(g, j, 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)) AS hs FROM gr),
+       |m AS (SELECT doc_id,
+       |    CASE WHEN len(hs) > 0 AND len(hs) < 4 THEN [list_min(hs)]
+       |         ELSE list_transform(generate_series(1, greatest(len(hs)-3, 0)),
+       |                i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3])) END AS mins
+       |  FROM h),
+       |f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)""".stripMargin
   private val shSql =
     s"""list_transform(generate_series(1, len($tokSql)-1),
        |      i -> $tokSql[i] || ' ' || $tokSql[i+1])""".stripMargin
@@ -172,6 +190,23 @@ object TextQueries {
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedWindowStats(docs(s, dir), "doc_id", "text", 5)
         .orderBy("doc_id")),
+
+    // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
+    // count + md5 digest of the sorted selected hashes
+    "txt_winnow" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TF.winnowFingerprints(col("text"), 3, 4).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(concat_ws(",", transform(col("fps"), _.cast("string"))))
+            .as("fp_digest"))
+        .orderBy("doc_id")),
+
+    // MOSS-style near-dup candidates: >= 3 shared winnowing fingerprints
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), "doc_id", "text", 3, 4, 3L)
+        .orderBy("a", "b")),
 
     // Perplexity-proxy quality score — the classic LM-based filter: a
     // bigram model with add-one smoothing is fit on the corpus itself and
@@ -589,6 +624,19 @@ object TextQueries {
          |SELECT pd.doc_id, pd.n_windows, COALESCE(dd.n_dup, 0) AS n_dup,
          |  round(CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / pd.n_windows, 6) AS dup_ratio
          |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    "txt_winnow" ->
+      s"""WITH $winnowCte
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowCte,
+         |fx AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+         |SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+         |FROM fx a JOIN fx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY a, b""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $lshBandsCte,

@@ -71,4 +71,25 @@ class DedupSpec extends SparkSpec {
     assert(files(new java.io.File(dir)).nonEmpty,
       "reliable checkpoint mode must actually write to the checkpoint dir")
   }
+
+  test("winnowPairs: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1 for k=3, w=4
+    val docs = Seq(
+      (0L, s"one two $shared three"),
+      (1L, s"$shared nine ten eleven"),
+      (2L, "completely different words here entirely now")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnowFingerprints: short docs (grams < w) keep their single overall min") {
+    import graft.functions.TextFunctions
+    // 4 tokens -> 2 trigram hashes < w=4 windows -> exactly one fingerprint
+    val fps = Seq((0L, "a b c d")).toDF("doc_id", "text")
+      .select(TextFunctions.winnowFingerprints(org.apache.spark.sql.functions.col("text"), 3, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(fps.length == 1)
+  }
 }
