@@ -74,4 +74,26 @@ object JoinStrategies {
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")
   }
+
+  /** Bloom-filter pre-filtered semi-join — the runtime-filter pattern for
+    * fact⋈filter at 100 TB when the filtering side's key set is too big to
+    * broadcast as an exact hash relation but fits a few MB of bloom bits:
+    * build the filter with ONE distributed aggregate over the keys
+    * (`DataFrameStatFunctions.bloomFilter`, merged tree-style), broadcast
+    * it to every scan task, drop non-matching fact rows BEFORE the
+    * shuffle, then run the exact semi-join on the survivors to clear the
+    * ~fpp false positives. Bit-identical to the plain semi-join — the
+    * bloom pass only cuts the fact side's shuffle volume by ~selectivity.
+    * (Spark's own AQE runtime bloom injects the same shape when stats
+    * line up; this operator makes it explicit and unconditional.)
+    */
+  def bloomSemiJoin(big: DataFrame, keyed: DataFrame, bigKey: String,
+      smallKey: String, expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf    = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bcast = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bcast.value.mightContainLong(k))
+    big.filter(might(col(bigKey).cast("long")))
+      .join(keyed, col(bigKey) === col(smallKey), "left_semi")
+  }
 }

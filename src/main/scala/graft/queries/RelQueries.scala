@@ -117,6 +117,21 @@ object RelQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
+    // bloom-prefiltered semi-join (JoinStrategies.bloomSemiJoin): lineitem
+    // of high-value orders, fact rows dropped at the scan by broadcast
+    // bloom bits before the exact semi-join clears false positives —
+    // result identical to the plain semi-join the oracle runs
+    "q_bloom_semi_join" -> ((s, dir) => {
+      val hi = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+      graft.operators.JoinStrategies
+        .bloomSemiJoin(t(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey",
+          expectedKeys = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // exact distinct aggregation (expand + two-phase agg under the hood)
     "q_count_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -302,6 +317,14 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,

@@ -87,4 +87,19 @@ class JoinStrategiesSpec extends SparkSpec {
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), "join must key on the salt column")
   }
+
+  test("bloomSemiJoin equals the plain semi-join and prefilters the fact side") {
+    val big   = spark.range(0, 10000).toDF("k")
+    val keyed = spark.range(0, 10000).filter(col("id") % 100 === 0).toDF("j")
+    val got = JoinStrategies.bloomSemiJoin(big, keyed, "k", "j", expectedKeys = 200L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val exact = big.join(keyed, col("k") === col("j"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exact) // no false negatives, false positives cleared
+    // the bloom pass alone must reject the vast majority of non-matching rows
+    val bf = keyed.stat.bloomFilter("j", 200L, 0.01)
+    val passed = (0L until 10000L).count(bf.mightContainLong)
+    assert(passed >= 100 && passed < 400,
+      s"bloom prefilter should pass ~matches + fpp, passed $passed of 10000")
+  }
 }
