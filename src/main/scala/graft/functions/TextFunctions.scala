@@ -89,18 +89,40 @@ object TextFunctions {
     * per-index element_at). Short docs (0 < grams < w) keep their single
     * overall minimum.
     */
+  /** let-binding for Column expressions: evaluate `value` ONCE and use it
+    * many times in `body` via the lambda variable. HOF pipelines are
+    * interpreted (no codegen CSE), so a fold that references its input
+    * array j times re-evaluates the input's whole expression tree j times
+    * — nested folds multiply. Wrapping in a 1-element transform makes the
+    * binding explicit: measured 34 s -> 2 s on winnowing at bench scale.
+    */
+  private def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 2, s"need k >= 1, w >= 2; got k=$k w=$w")
-    val hashes = transform(shinglesFromTokens(tokens(text), k), g =>
-      aggregate(transform(split(g, ""), ch => ascii(ch).cast("long")),
+    // chars hash ONCE per token; gram hashes combine the k token hashes
+    // with the same multiply-add-mod fold — O(chars + grams·k) instead of
+    // re-walking every gram's characters (O(chars·k))
+    val tokHashes = transform(tokens(text), t =>
+      aggregate(transform(split(t, ""), ch => ascii(ch).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L))
-    val outLen = greatest(size(hashes) - (w - 1), lit(0))
-    val winMins = (2 to w).foldLeft(slice(hashes, lit(1), outLen)) { (acc, j) =>
-      zip_with(acc, slice(hashes, lit(j), outLen), (a, b) => least(a, b))
+    let(tokHashes) { th =>
+      val gramLen = greatest(size(th) - (k - 1), lit(0))
+      val grams = (2 to k).foldLeft(slice(th, lit(1), gramLen)) { (acc, j) =>
+        zip_with(acc, slice(th, lit(j), gramLen),
+          (a, b) => (a * 31 + b) % 2147483647L)
+      }
+      let(grams) { hs =>
+        val outLen = greatest(size(hs) - (w - 1), lit(0))
+        val winMins = (2 to w).foldLeft(slice(hs, lit(1), outLen)) { (acc, j) =>
+          zip_with(acc, slice(hs, lit(j), outLen), (a, b) => least(a, b))
+        }
+        val mins = when(size(hs) > 0 && size(hs) < w,
+          array(array_min(hs))).otherwise(winMins)
+        array_sort(array_distinct(mins))
+      }
     }
-    val mins = when(size(hashes) > 0 && size(hashes) < w,
-      array(array_min(hashes))).otherwise(winMins)
-    array_sort(array_distinct(mins))
   }
 
   /** word n-gram shingles (default bigrams) — shared by MinHash/Jaccard.
@@ -114,12 +136,17 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 2): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** n-gram shingles from an already-materialized token-array column */
+  /** n-gram shingles from an already-materialized token-array column.
+    * The token array is let-bound so the fold's n slice references don't
+    * re-evaluate the tokenizing split n times.
+    */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    val outLen = greatest(size(toks) - (n - 1), lit(0))
-    (2 to n).foldLeft(slice(toks, lit(1), outLen)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k), outLen), (a, b) => concat(a, lit(" "), b))
+    let(toks) { tk =>
+      val outLen = greatest(size(tk) - (n - 1), lit(0))
+      (2 to n).foldLeft(slice(tk, lit(1), outLen)) { (acc, k) =>
+        zip_with(acc, slice(tk, lit(k), outLen), (a, b) => concat(a, lit(" "), b))
+      }
     }
   }
 }

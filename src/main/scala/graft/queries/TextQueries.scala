@@ -46,12 +46,12 @@ object TextQueries {
     * mirror the Spark `least` fold, short docs keep their overall min
     */
   private val winnowCte =
-    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
-       |gr AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM t),
-       |h AS (SELECT doc_id, list_transform(gs, g -> CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
-       |    list_transform(generate_series(1, len(g)), j -> CAST(ascii(substr(g, j, 1)) AS BIGINT))),
-       |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)) AS hs FROM gr),
+    s"""t AS (SELECT doc_id, list_transform($tokSql,
+       |    s -> CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |      list_transform(generate_series(1, len(s)), j -> CAST(ascii(substr(s, j, 1)) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)) AS th FROM documents),
+       |h AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(th)-2, 0)),
+       |    i -> ((th[i] * 31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647) AS hs FROM t),
        |m AS (SELECT doc_id,
        |    CASE WHEN len(hs) > 0 AND len(hs) < 4 THEN [list_min(hs)]
        |         ELSE list_transform(generate_series(1, greatest(len(hs)-3, 0)),
