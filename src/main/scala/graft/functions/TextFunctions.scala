@@ -57,6 +57,31 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
       .cast("long")
 
+  /** PII patterns shared with the DuckDB oracle — kept to the dialect
+    * intersection of Java regex and RE2 (no backrefs, no lookaround).
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+  val IPV4_RE  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** count of matches of a PII pattern (counts run on the raw text,
+    * independently per type)
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact emails, then IPv4s, then phone fragments (fixed order so
+    * engines agree when patterns could overlap) — the pre-training PII
+    * scrub. Pure codegen'd string expressions; at 100 TB this is one
+    * narrow scan pass, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        IPV4_RE, "<IP>"),
+      PHONE_RE, "<PHONE>")
+
   /** canonical document fingerprint: md5 of whitespace-normalized lowercase */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))

@@ -208,6 +208,25 @@ object TextQueries {
       Dedup.winnowPairs(docs(s, dir), "doc_id", "text", 3, 4, 3L)
         .orderBy("a", "b")),
 
+    // PII scrub: the corpus text carries no natural PII, so a contact
+    // line (email/phone/IP derived from doc_id) is appended in-query on
+    // BOTH engines, then detected and redacted. Output pins the per-type
+    // counts and the digest of the redacted text.
+    "txt_pii_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("raw", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") * 3 % 256).cast("string")))
+        .select(col("doc_id"),
+          TF.piiCount(col("raw"), TF.EMAIL_RE).as("n_email"),
+          TF.piiCount(col("raw"), TF.PHONE_RE).as("n_phone"),
+          TF.piiCount(col("raw"), TF.IPV4_RE).as("n_ip"),
+          md5(TF.redactPii(col("raw"))).as("redacted_digest"))
+        .orderBy("doc_id")),
+
     // Perplexity-proxy quality score — the classic LM-based filter: a
     // bigram model with add-one smoothing is fit on the corpus itself and
     // every doc scored by its mean log-likelihood. Corpus model = two
@@ -624,6 +643,22 @@ object TextQueries {
          |SELECT pd.doc_id, pd.n_windows, COALESCE(dd.n_dup, 0) AS n_dup,
          |  round(CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / pd.n_windows, 6) AS dup_ratio
          |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    "txt_pii_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-'
+        |      || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.0.' || (doc_id % 256) || '.' || (doc_id * 3 % 256) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_digest
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "txt_winnow" ->
       s"""WITH $winnowCte
