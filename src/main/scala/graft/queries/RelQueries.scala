@@ -132,6 +132,35 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
+    // HLL++ sketch count-distinct — the mergeable, fixed-memory 100 TB
+    // path (exact countDistinct expands every value through the shuffle;
+    // the sketch ships kilobyte registers). The oracle can't reproduce
+    // another engine's sketch, so the pin is the exact count plus the
+    // sketch landing within 3x its rsd — deterministic: HLL register
+    // merge is a max, order-independent.
+    "q_sketch_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("__approx"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_exact"), col("n_orders"),
+          (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.15).as("hll_ok"))
+        .orderBy("o_orderpriority")),
+
+    // t-digest-style quantile sketch vs the exact percentile: same
+    // tolerance-pin scheme as q_sketch_distinct (rank error <= n/accuracy)
+    "q_sketch_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("__p50a"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50_exact"), col("n"),
+          (abs(col("__p50a") - col("p50_exact")) <= lit(2.0)).as("sketch_ok"))
+        .orderBy("l_returnflag")),
+
     // exact distinct aggregation (expand + two-phase agg under the hood)
     "q_count_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -325,6 +354,16 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_sketch_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+        |  COUNT(*) AS n_orders, TRUE AS hll_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sketch_quantile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+        |  COUNT(*) AS n, TRUE AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
