@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** BPE merge induction — tokenizer training over a corpus: repeatedly
@@ -104,6 +104,44 @@ object Bpe {
     }
     merges.result()
   }
+
+  /** sentinel brackets for [[encodeExpr]]'s symbol representation — must
+    * not occur in corpus text (control chars; enforce upstream if needed)
+    */
+  private[graft] val L = "\u0001"
+  private[graft] val R = "\u0002"
+
+  /** Apply an induced merge table to every whitespace word of a text
+    * column — tokenizer ENCODE, the inference half of [[induceMerges]].
+    * The merge table is vocab-bounded (k entries), so it ships as literals
+    * inside one codegen'd expression chain: each word becomes its code
+    * points wrapped in sentinel brackets (symbol x -> Lx R), and each
+    * merge in rank order is one `replace` of "L a R L b R" with "L ab R".
+    * Bracket wrapping (not a flat separator) makes matches symbol-exact —
+    * symbols ["xa","b"] can never match the pair (a,b) — and adjacent
+    * matches never share a boundary char, so replace's left-to-right
+    * non-overlapping pass per merge IS standard BPE application (a merge
+    * of rank r only ever creates pairs of later rank, so one ordered
+    * sweep is exact). One narrow scan pass, no shuffle, no UDF.
+    *
+    * Returns the bracketed symbol string (words joined by a space);
+    * symbol count = number of R sentinels.
+    */
+  def encodeExpr(text: Column, merges: Seq[Merge]): Column = {
+    // '.', one code point per match: Java regex and RE2 both refuse to
+    // split a supplementary character
+    val wrapped = transform(TextFunctions.tokens(text), w =>
+      concat_ws("", transform(regexp_extract_all(w, lit("."), lit(0)),
+        cp => concat(lit(L), cp, lit(R)))))
+    merges.sortBy(_.rank).foldLeft(concat_ws(" ", wrapped)) { (acc, m) =>
+      replace(acc, lit(L + m.left + R + L + m.right + R),
+        lit(L + m.left + m.right + R))
+    }
+  }
+
+  /** symbol count of an [[encodeExpr]] string: one R sentinel per symbol */
+  def symbolCount(encoded: Column): Column =
+    (length(encoded) - length(replace(encoded, lit(R)))).cast("long")
 
   /** Induce the top-k BPE merges. The corpus-scale pass (tokenize + word
     * count) is always distributed and runs exactly once; the k-round

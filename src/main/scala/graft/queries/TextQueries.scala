@@ -288,6 +288,27 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // tokenizer ENCODE: apply the induced merge table to the corpus
+    // (Bpe.encodeExpr — merge literals folded into one scan-pass
+    // expression chain). Pinned per-source rollup: doc count, total
+    // post-merge symbol count, digest-of-digests in doc_id order.
+    "txt_bpe_encode" -> ((s, dir) => {
+      val merges = graft.functions.Bpe.induceMerges(docs(s, dir), "text", 8)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Bpe.encodeExpr(col("text"), merges).as("e"))
+        .select(col("doc_id"), col("source"),
+          graft.functions.Bpe.symbolCount(col("e")).as("n_syms"),
+          md5(col("e")).as("digest"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_syms")).as("total_syms"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("digest")))),
+              p => p.getField("digest")))).as("src_digest"))
+        .orderBy("source")
+    }),
+
     // Gopher-style repetition signals: token repetition is the classic
     // low-quality marker (boilerplate, keyword stuffing). One explode +
     // two map-side-combining hash aggregations — the same 100 TB shape as

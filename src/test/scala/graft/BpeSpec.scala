@@ -64,4 +64,26 @@ class BpeSpec extends SparkSpec {
     assert(!Bpe.utf8Lt(supp, bmp))
     assert(Bpe.utf8Lt("a", "ab") && !Bpe.utf8Lt("ab", "a") && !Bpe.utf8Lt("a", "a"))
   }
+
+  test("encodeExpr matches the sequential applyMerge model word by word") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("low lower lowest", "newer newest new", "low new low", "")
+    val docs  = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.induceMerges(docs, "text", 5)
+    val got = docs.orderBy("doc_id")
+      .select(Bpe.encodeExpr(col("text"), merges))
+      .collect().map(_.getString(0)).toSeq
+    val want = texts.map(_.trim.split("\\s+").toSeq.map { w =>
+      val syms = merges.sortBy(_.rank).foldLeft(Bpe.codePointSyms(w)) { (ss, m) =>
+        Bpe.applyMerge(ss, m.left, m.right)
+      }
+      syms.map(sym => Bpe.L + sym + Bpe.R).mkString
+    }.mkString(" "))
+    assert(got == want)
+    // symbol counts ride the same string
+    val counts = docs.orderBy("doc_id")
+      .select(Bpe.symbolCount(Bpe.encodeExpr(col("text"), merges)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts == want.map(_.count(_ == Bpe.R.charAt(0)).toLong))
+  }
 }
