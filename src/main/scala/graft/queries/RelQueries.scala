@@ -132,6 +132,21 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
+    // z-order (Morton) clustering key — the multi-column data-skipping
+    // layout (Layout.zorderLayout); the query pins the interleaved key's
+    // bit math by showing each coarse z-bucket covers a tight
+    // hyper-rectangle of BOTH key columns
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("p"), (col("l_suppkey") * 37 % 1024).as("q"))
+        .withColumn("zk",
+          graft.operators.Layout.zorderKey(Seq(col("p"), col("q")), 10))
+        .groupBy(shiftright(col("zk"), 16).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+        .orderBy("zbucket")),
+
     // HLL++ sketch count-distinct — the mergeable, fixed-memory 100 TB
     // path (exact countDistinct expands every value through the shuffle;
     // the sketch ships kilobyte registers). The oracle can't reproduce
@@ -354,6 +369,17 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "layout_zorder" -> {
+      val terms = (0 until 10).flatMap(b =>
+        Seq(s"(((p >> $b) & 1) << ${2 * b})", s"(((q >> $b) & 1) << ${2 * b + 1})"))
+        .mkString(" + ")
+      s"""WITH z AS (SELECT l_partkey % 1024 AS p, l_suppkey * 37 % 1024 AS q FROM lineitem),
+         |k AS (SELECT p, q, $terms AS zk FROM z)
+         |SELECT zk >> 16 AS zbucket, COUNT(*) AS n,
+         |  MIN(p) AS min_p, MAX(p) AS max_p, MIN(q) AS min_q, MAX(q) AS max_q
+         |FROM k GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
 
     "q_sketch_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
