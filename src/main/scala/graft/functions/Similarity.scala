@@ -220,7 +220,18 @@ object Similarity {
     * collected.
     */
   def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    kmeansCentroidVectors(points, idCol, vecCol, k, iters)
+      .select(col("cid"), col("n"), posexplode(col("cv")))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        col("col").as("cval"), col("n"))
+
+  /** [[kmeansCentroids]] in vector form: (cid, n, cv: array<double>) —
+    * the shape [[ivfTopK]] consumes as its coarse-quantizer anchors.
+    */
+  def kmeansCentroidVectors(points: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one Lloyd round, got $iters")
     val pts = points.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .persist() // scanned once per Lloyd round
@@ -246,10 +257,7 @@ object Similarity {
         .select(col("cid"), col("n"),
           transform(col("pm"), p => p.getField("m")).as("cv"))
     }
-    val out = cent.select(col("cid"), col("n"), posexplode(col("cv")))
-      .select(col("cid"), col("pos").cast("long").as("pos"),
-        col("col").as("cval"), col("n"))
-    out
+    cent
   }
 
   /** Near-duplicate pairs by embedding cosine, banded sign-LSH candidates:

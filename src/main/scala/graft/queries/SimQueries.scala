@@ -108,7 +108,26 @@ object SimQueries {
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
         k = 8, iters = 3)
-        .orderBy("cid", "pos"))
+        .orderBy("cid", "pos")),
+
+    // the FULL FAISS-style pipeline in one plan: TRAIN the coarse
+    // quantizer (2 Lloyd rounds) then build the inverted file and search
+    // it — cells are the learned centroids instead of raw corpus rows.
+    // Centroids are float-cast on both engines so the cosine inputs match
+    // bit-for-bit.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = Similarity
+        .kmeansCentroidVectors(e, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("cid").as("vec_id"),
+          transform(col("cv"), x => x.cast("float")).as("embedding"))
+      Similarity.ivfTopK(e, anchors,
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,15 +227,53 @@ object SimQueries {
         |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) AS c1
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
-    "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64)
+    "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
+
+    "sim_ivf_kmeans" -> ivfKmeansSql(k = 8, iters = 2, dim = 64)
   )
+
+  /** composite oracle: the [[kmeansCtes]] chain trains the anchors, then
+    * the sim_ivf_topk CTE shape searches with them (float-cast parity on
+    * the centroid vectors)
+    */
+  private def ivfKmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val anchorCos =
+      """list_inner_product(cv, v)
+        |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v)))""".stripMargin
+    val queryCos =
+      """round(list_inner_product(cv, qv)
+        |             / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv))), 6)""".stripMargin
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |anch AS (SELECT cid, list_transform(cv, y -> CAST(CAST(y AS FLOAT) AS DOUBLE)) AS cv
+       |  FROM c$iters),
+       |asg AS (SELECT e.id, cid,
+       |          row_number() OVER (PARTITION BY e.id
+       |            ORDER BY $anchorCos DESC, cid) AS ark
+       |        FROM e CROSS JOIN anch),
+       |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE id >= $k AND id < ${k + 5}),
+       |pr AS (SELECT qid, cid AS cell,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $queryCos DESC, cid) AS prk
+       |       FROM q CROSS JOIN anch),
+       |probe AS (SELECT qid, cell FROM pr WHERE prk <= 2),
+       |s AS (SELECT qid, e.id AS vec_id, $cosSql AS score
+       |      FROM probe JOIN cells ON probe.cell = cells.cell
+       |      JOIN e ON e.id = cells.id
+       |      JOIN q USING (qid)
+       |      WHERE e.id <> qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+       |      FROM s)
+       |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** Unrolled Lloyd rounds as DuckDB CTEs: assignment = QUALIFY row_number
     * over (dist, cid) (≡ Spark's min(struct(d, cid))); distance = the same
     * prepended-seed left fold as Spark's `aggregate(zip_with(...))`; means
     * = exact DECIMAL(20,8) sums / COUNT, rounded to 6 dp between rounds.
     */
-  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+  /** the Lloyd CTE chain alone (e, c0, a1..c$iters) for composition */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (SELECT e.id, e.v, c.cid,
          |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dim),
@@ -231,12 +288,15 @@ object SimQueries {
          |c$i AS (SELECT cid, max(n) AS n, list(round(m, 6) ORDER BY pos) AS cv
          |  FROM m$i GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id,
+    s"""e AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < $k),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
        |SELECT cid, pos, cval, n FROM (
        |  SELECT cid, n, unnest(cv) AS cval, unnest(range(0, $dim)) AS pos FROM c$iters)
        |ORDER BY cid, pos""".stripMargin
-  }
 }
