@@ -88,4 +88,21 @@ class PlanSpec extends SparkSpec {
     val p = plan(queries.SimQueries.queries("sim_topk")(spark, sfDir))
     assert(p.contains("vec_dot"), "native expression should replace the HOF fold")
   }
+
+  test("bloom semi-join filters the fact scan BEFORE the join exchange") {
+    val p = plan(queries.RelQueries.queries("q_bloom_semi_join")(spark, sfDir))
+    // the bloom predicate is the only UDF in the plan; it must sit in a
+    // Filter on the lineitem branch (pre-shuffle), not after the join
+    val joinAt = p.indexOf("Join")
+    val udfAt  = p.indexOf("UDF")
+    assert(udfAt >= 0, "bloom prefilter UDF missing from the plan")
+    assert(joinAt >= 0 && udfAt > joinAt,
+      "bloom prefilter should appear below (after) the join operator in the tree printout")
+  }
+
+  test("kmeans round broadcasts the centroid relation; corpus side stays hash-aggregated") {
+    val p = plan(queries.SimQueries.queries("emb_kmeans")(spark, sfDir))
+    assert(p.contains("Broadcast"), "centroid relation must broadcast")
+    assert(!p.contains("Window"), "no window in the Lloyd round")
+  }
 }
