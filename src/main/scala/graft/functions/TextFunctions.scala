@@ -35,14 +35,21 @@ object TextFunctions {
     * Marker sets are caller-supplied: langId(text, Map("en" -> Seq("the", ...))).
     */
   def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
-    val toks   = tokens(text)
     val ordered = markers.toSeq.sortBy(_._1)
-    val scores = ordered.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
-    }
-    val m = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit(ordered.head._1)) { case ((lang, s), other) =>
-      when(s === m, lit(lang)).otherwise(other)
+    // let-bind the token array AND the per-language score vector: the
+    // argmax when-chain references every score several times (directly
+    // and inside the max), which would re-run the tokenize+filter tree
+    // per reference in the interpreted HOF path
+    let(tokens(text)) { toks =>
+      let(array(ordered.map { case (_, words) =>
+        size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+      }: _*)) { arr =>
+        ordered.zipWithIndex.foldRight(lit(ordered.head._1)) {
+          case (((lang, _), i), other) =>
+            when(element_at(arr, i + 1) === array_max(arr), lit(lang))
+              .otherwise(other)
+        }
+      }
     }
   }
 
