@@ -105,5 +105,12 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "gather_lookup takes exactly 3 arguments")
         GatherLookup(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "poly_hash takes exactly 1 argument")
+        PolyHash(children.head)
+      }))
   }
 }
