@@ -110,6 +110,33 @@ object StreamingOps {
     }
   }
 
+  /** Streaming near-duplicate candidate pairs: the batch LSH band join
+    * ([[graft.functions.Dedup]]) as a watermarked stream-stream self-join.
+    * Each arriving document expands to its band keys (stateless, the same
+    * minhash/band expressions as batch); the self-join on band key emits
+    * (a, b) candidates whose event times lie within `joinWindow` of each
+    * other — the horizon both sides' state is kept for, so the state store
+    * holds only the banded rows of one window, not the whole stream. Pair
+    * order (a < b) dedups the symmetric match; downstream either verifies
+    * exactly (batch-side join) or keeps first-arrival per pair.
+    *
+    * This is the 100 TB streaming-dedup shape: band keys cut the join
+    * space exactly as in batch, and the watermark bounds state where the
+    * batch job's persist() would otherwise be unbounded arrival.
+    */
+  def streamingBandPairs(docs: DataFrame, idCol: String, bandCol: String,
+      tsCol: String, watermark: String, joinWindow: String): DataFrame = {
+    val l = docs.select(col(idCol).as("a"), col(bandCol).as("bk"),
+      col(tsCol).as("ts_a")).withWatermark("ts_a", watermark)
+    val r = docs.select(col(idCol).as("b"), col(bandCol).as("bk_r"),
+      col(tsCol).as("ts_b")).withWatermark("ts_b", watermark)
+    l.join(r,
+      col("bk") === col("bk_r") && col("a") < col("b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $joinWindow") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $joinWindow"))
+      .select(col("a"), col("b"), col("bk"))
+  }
+
   /** Watermarked tumbling-window event counts — the standard streaming
     * aggregation shape (readStream → withWatermark → groupBy(window) →
     * agg), over an events-like stream (ts: Timestamp, event_type: String).

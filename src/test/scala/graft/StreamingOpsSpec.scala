@@ -244,4 +244,54 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows == Seq((0L, "a", 2L), (60L, "b", 1L)))
     } finally q.stop()
   }
+
+  test("streamingBandPairs finds cross-batch band collisions within the join window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamingOps.streamingBandPairs(
+      in.toDF().toDF("id", "band", "ts"),
+      "id", "band", "ts", watermark = "10 seconds", joinWindow = "30 SECONDS")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("bands_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      in.addData((0L, 7L, ts(0)), (1L, 9L, ts(1)))
+      q.processAllAvailable()
+      // doc 2 collides with doc 0's band from the PREVIOUS micro-batch
+      // (state store), doc 3's band is unique, doc 4 shares doc 1's band
+      in.addData((2L, 7L, ts(5)), (3L, 11L, ts(6)), (4L, 9L, ts(8)))
+      q.processAllAvailable()
+      val pairs = spark.table(q.name).select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pairs == Seq((0L, 2L), (1L, 4L)))
+    } finally q.stop()
+  }
+
+  test("streamingBandPairs join window excludes far-apart arrivals on a shared band") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamingOps.streamingBandPairs(
+      in.toDF().toDF("id", "band", "ts"),
+      "id", "band", "ts", watermark = "5 seconds", joinWindow = "10 SECONDS")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("bandw_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      in.addData((0L, 7L, ts(0)), (1L, 7L, ts(5)))
+      q.processAllAvailable()
+      in.addData((2L, 7L, ts(100))) // same band, outside the 10 s horizon
+      q.processAllAvailable()
+      val pairs = spark.table(q.name).select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pairs == Seq((0L, 1L)))
+    } finally q.stop()
+  }
 }
