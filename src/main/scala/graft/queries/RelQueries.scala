@@ -132,6 +132,27 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
+    // explicit GROUPING SETS (the general form of rollup/cube): per-flag,
+    // per-status, and grand-total aggregates in ONE pass (Expand operator)
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // pivot: status categories become columns (one wide agg pass; the
+    // pivot values are declared, so the schema is static at plan time)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_extendedprice")))
+        .withColumnRenamed("F", "price_f").withColumnRenamed("O", "price_o")
+        .orderBy("l_returnflag")),
+
     // z-order (Morton) clustering key — the multi-column data-skipping
     // layout (Layout.zorderLayout); the query pins the interleaved key's
     // bit math by showing each coarse z-bucket covers a tight
@@ -369,6 +390,21 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    FILTER (l_linestatus = 'F') AS DOUBLE) AS price_f,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    FILTER (l_linestatus = 'O') AS DOUBLE) AS price_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "layout_zorder" -> {
       val terms = (0 until 10).flatMap(b =>
