@@ -151,4 +151,40 @@ class RandomizedModelSpec extends SparkSpec {
       assert(got == expect, s"iteration $it n=$n edges=${edges.size}")
     }
   }
+
+  test("winnowFingerprints matches the brute-force winnowing model on random corpora") {
+    import graft.functions.TextFunctions
+    def polyHash(s: String): Long = {
+      var acc = 0L
+      s.codePoints().forEach(cp => acc = (acc * 31 + cp) % 2147483647L)
+      acc
+    }
+    def model(text: String, k: Int, w: Int): Seq[Long] = {
+      val toks  = text.trim.split("\\s+").toSeq
+      val th    = toks.map(polyHash)
+      val grams = th.sliding(k).filter(_.size == k)
+        .map(_.reduceLeft((a, b) => (a * 31 + b) % 2147483647L)).toSeq
+      val mins =
+        if (grams.isEmpty) Seq.empty
+        else if (grams.size < w) Seq(grams.min)
+        else grams.sliding(w).map(_.min).toSeq
+      mins.distinct.sorted
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    (1 to 8).foreach { it =>
+      val k = 2 + rnd.nextInt(2)  // 2..3
+      val w = 2 + rnd.nextInt(3)  // 2..4
+      val docs = (0 until 20).map { i =>
+        val n = rnd.nextInt(12) // includes too-short and empty docs
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), TextFunctions.winnowFingerprints(col("text"), k, w).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        assert(got(id) == model(text, k, w),
+          s"iteration $it k=$k w=$w doc=$id text='$text'")
+      }
+    }
+  }
 }
