@@ -132,6 +132,19 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
+    // semi-structured surface: parse the events' JSON props with a
+    // declared schema (from_json — codegen'd Jackson parse at the scan,
+    // no UDF) and aggregate an extracted field
+    "q_events_props_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_parsed"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // explicit GROUPING SETS (the general form of rollup/cube): per-flag,
     // per-status, and grand-total aggregates in ONE pass (Expand operator)
     "q_grouping_sets" -> ((s, dir) =>
@@ -390,6 +403,15 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_props_json" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n_parsed,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
