@@ -8,9 +8,21 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus, "graft-verify")
+    dump(spark, sfDir, outDir, SparkEntry.queries.keys.toSeq)
+    spark.stop()
+  }
+
+  /** Write each named query's result under `outDir/<name>` and the
+    * matching subset of oracle SQL as `outDir/oracle_sql.json` — shared
+    * by the full driver gate above and the dev-loop
+    * [[graft.tools.RunQuery]] so the dump format and JSON escaping can
+    * never drift between them.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      names: Seq[String]): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -29,9 +41,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

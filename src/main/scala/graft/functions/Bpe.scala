@@ -128,10 +128,12 @@ object Bpe {
     * symbol count = number of R sentinels.
     */
   def encodeExpr(text: Column, merges: Seq[Merge]): Column = {
-    // '.', one code point per match: Java regex and RE2 both refuse to
-    // split a supplementary character
+    // '(?s).': one code point per match (never half a surrogate pair);
+    // DOTALL because tokens() splits only on \s, so line separators like
+    // U+2028 survive inside a token and must stay symbols — a bare '.'
+    // would silently drop them and diverge from induceMerges' code points
     val wrapped = transform(TextFunctions.tokens(text), w =>
-      concat_ws("", transform(regexp_extract_all(w, lit("."), lit(0)),
+      concat_ws("", transform(regexp_extract_all(w, lit("(?s)."), lit(0)),
         cp => concat(lit(L), cp, lit(R)))))
     merges.sortBy(_.rank).foldLeft(concat_ws(" ", wrapped)) { (acc, m) =>
       replace(acc, lit(L + m.left + R + L + m.right + R),

@@ -235,7 +235,10 @@ object Similarity {
     val pts = points.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .persist() // scanned once per Lloyd round
-    var cent = pts.filter(col("id") < k)
+    // init = the k lowest ids, whatever the id domain (a filter on id < k
+    // would silently seed fewer — or zero — centroids for non-dense or
+    // non-zero-based ids); TakeOrderedAndProject keeps this one tiny job
+    var cent = pts.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = pts.join(broadcast(cent))

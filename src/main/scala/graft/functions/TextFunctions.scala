@@ -106,6 +106,16 @@ object TextFunctions {
     */
   def rollingHash(text: Column): Column = call_function("poly_hash", text)
 
+  /** let-binding for Column expressions: evaluate `value` ONCE and use it
+    * many times in `body` via the lambda variable. HOF pipelines are
+    * interpreted (no codegen CSE), so a fold that references its input
+    * array j times re-evaluates the input's whole expression tree j times
+    * — nested folds multiply. Wrapping in a 1-element transform makes the
+    * binding explicit: measured 34 s -> 2 s on winnowing at bench scale.
+    */
+  private def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003, the
     * MOSS scheme): polynomial hash per k-token gram, minimum over every
     * window of w consecutive gram hashes, distinct selected values = the
@@ -118,16 +128,6 @@ object TextFunctions {
     * per-index element_at). Short docs (0 < grams < w) keep their single
     * overall minimum.
     */
-  /** let-binding for Column expressions: evaluate `value` ONCE and use it
-    * many times in `body` via the lambda variable. HOF pipelines are
-    * interpreted (no codegen CSE), so a fold that references its input
-    * array j times re-evaluates the input's whole expression tree j times
-    * — nested folds multiply. Wrapping in a 1-element transform makes the
-    * binding explicit: measured 34 s -> 2 s on winnowing at bench scale.
-    */
-  private def let(value: Column)(body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
-
   def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 2, s"need k >= 1, w >= 2; got k=$k w=$w")
     // chars hash ONCE per token (native poly_hash); gram hashes combine

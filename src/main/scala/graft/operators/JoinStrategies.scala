@@ -90,10 +90,26 @@ object JoinStrategies {
   def bloomSemiJoin(big: DataFrame, keyed: DataFrame, bigKey: String,
       smallKey: String, expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // the probe must match how stat.bloomFilter inserted the keys:
+    // integral types as longs, strings as UTF-8 bytes — a mismatched
+    // probe (e.g. casting a string key to long) would silently drop
+    // every row instead of erroring
+    val keyType = big.schema(bigKey).dataType
+    require(keyType == keyed.schema(smallKey).dataType,
+      s"bloomSemiJoin key types differ: $keyType vs ${keyed.schema(smallKey).dataType}")
     val bf    = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bcast.value.mightContainLong(k))
-    big.filter(might(col(bigKey).cast("long")))
-      .join(keyed, col(bigKey) === col(smallKey), "left_semi")
+    val prefiltered = keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val might = udf((k: Long) => bcast.value.mightContainLong(k))
+        big.filter(might(col(bigKey).cast("long")))
+      case StringType =>
+        val might = udf((k: String) => bcast.value.mightContainString(k))
+        big.filter(might(col(bigKey)))
+      case t => throw new IllegalArgumentException(
+        s"bloomSemiJoin supports integral or string keys, got ${t.simpleString}")
+    }
+    prefiltered.join(keyed, col(bigKey) === col(smallKey), "left_semi")
   }
 }

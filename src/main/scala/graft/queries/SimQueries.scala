@@ -290,7 +290,7 @@ object SimQueries {
     }.mkString(",\n")
     s"""e AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < $k),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $k),
        |$rounds""".stripMargin
   }
 

@@ -1,8 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
-import graft.{GraftSession, SparkEntry}
+import graft.{GraftSession, SparkEntry, Verify}
 
 /** Dev-loop single-query runner: Verify's dump (parquet + oracle_sql.json)
   * restricted to the named queries, so `tools/check_oracle.py` can gate one
@@ -19,27 +17,7 @@ object RunQuery {
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-runquery")
-    new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      spark.catalog.clearCache()
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.dump(spark, sfDir, outDir, names)
     spark.stop()
   }
 }

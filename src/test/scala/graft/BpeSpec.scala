@@ -67,7 +67,10 @@ class BpeSpec extends SparkSpec {
 
   test("encodeExpr matches the sequential applyMerge model word by word") {
     import org.apache.spark.sql.functions.col
-    val texts = Seq("low lower lowest", "newer newest new", "low new low", "")
+    // the U+2028 line separator is NOT \s, so it stays inside a token and
+    // must survive encode as its own symbol (DOTALL code-point split)
+    val texts = Seq("low lower lowest", "newer newest new", "low new low", "",
+      "a\u2028b low")
     val docs  = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val merges = Bpe.induceMerges(docs, "text", 5)
     val got = docs.orderBy("doc_id")
