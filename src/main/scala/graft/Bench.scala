@@ -64,6 +64,18 @@ object Bench {
       }),
       "bt_1m_lsh" -> ((s, _) => lshJoinStress(s, 1000000L)),
       "bt_10m_lsh" -> ((s, _) => lshJoinStress(s, 10000000L)),
+      // winnowing at synthetic scale: 1M generated 12-token docs through
+      // the let-bound fingerprint chain — pins the HOF-binding win (the
+      // unbound formulation ran ~25x slower) as a first-class bench row
+      "bt_1m_winnow" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.range(0, 1000000, 1, 32).select(col("id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            conv(((col("id") + j * 37) % 99991).cast("string"), 10, 16)): _*).as("text"))
+        docs.select(col("id"),
+          size(functions.TextFunctions.winnowFingerprints(col("text"), 3, 4)).as("n_fp"))
+          .agg(sum(col("n_fp")).as("total_fp"), count(lit(1)).as("n"))
+      }),
       "bt_sparse_decode" -> ((s, _) => {
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
         // construct+encode the 10k frames ONLY when not yet ingested —

@@ -98,18 +98,22 @@ object JoinStrategies {
     val keyType = big.schema(bigKey).dataType
     require(keyType == keyed.schema(smallKey).dataType,
       s"bloomSemiJoin key types differ: $keyType vs ${keyed.schema(smallKey).dataType}")
-    val bf    = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
-    val bcast = big.sparkSession.sparkContext.broadcast(bf)
-    val prefiltered = keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        val might = udf((k: Long) => bcast.value.mightContainLong(k))
-        big.filter(might(col(bigKey).cast("long")))
-      case StringType =>
-        val might = udf((k: String) => bcast.value.mightContainString(k))
-        big.filter(might(col(bigKey)))
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
       case t => throw new IllegalArgumentException(
         s"bloomSemiJoin supports integral or string keys, got ${t.simpleString}")
     }
+    val bf    = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bcast = big.sparkSession.sparkContext.broadcast(bf)
+    val prefiltered =
+      if (integral) {
+        val might = udf((k: Long) => bcast.value.mightContainLong(k))
+        big.filter(might(col(bigKey).cast("long")))
+      } else {
+        val might = udf((k: String) => bcast.value.mightContainString(k))
+        big.filter(might(col(bigKey)))
+      }
     prefiltered.join(keyed, col(bigKey) === col(smallKey), "left_semi")
   }
 }

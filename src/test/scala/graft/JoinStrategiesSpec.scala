@@ -102,4 +102,24 @@ class JoinStrategiesSpec extends SparkSpec {
     assert(passed >= 100 && passed < 400,
       s"bloom prefilter should pass ~matches + fpp, passed $passed of 10000")
   }
+
+  test("bloomSemiJoin probes string keys as strings (not a silent long cast)") {
+    val big   = spark.range(0, 2000).select(concat(lit("user-"), col("id")).as("k"))
+    val keyed = spark.range(0, 2000).filter(col("id") % 40 === 0)
+      .select(concat(lit("user-"), col("id")).as("j"))
+    val got = JoinStrategies.bloomSemiJoin(big, keyed, "k", "j", expectedKeys = 100L)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val exact = big.join(keyed, col("k") === col("j"), "left_semi")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == exact && got.size == 50)
+  }
+
+  test("bloomSemiJoin rejects unsupported key types loudly") {
+    val big   = spark.range(0, 5).select((col("id") * 1.5).as("k"))
+    val keyed = spark.range(0, 5).select((col("id") * 1.5).as("j"))
+    val ex = intercept[IllegalArgumentException] {
+      JoinStrategies.bloomSemiJoin(big, keyed, "k", "j")
+    }
+    assert(ex.getMessage.contains("integral or string"))
+  }
 }
