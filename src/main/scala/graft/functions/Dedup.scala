@@ -114,10 +114,15 @@ object Dedup {
       // the improved? flag computes as a Column (id stays any orderable
       // type — string fingerprints, ints, longs), the row pass only reads
       // the precomputed boolean and feeds the accumulator
-      val flagged = propagated
-        .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")),
+      // two jumps per materialized round: each jump is one more tiny
+      // self-join inside the SAME job, but compression squares per jump,
+      // so the count of driver-synchronous rounds (the real cost — each
+      // pays a checkpoint job) halves
+      def jump(rel: DataFrame): DataFrame = rel
+        .join(rel.select(col("id").as("cluster"), col("cluster").as("jc")),
           Seq("cluster"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
+      val flagged = jump(jump(propagated))
         .join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .select(col("id"), col("cluster"), (col("cluster") < col("old")).as("__chg"))
       val outSchema = org.apache.spark.sql.types.StructType(flagged.schema.take(2))
