@@ -118,6 +118,40 @@ object StdKernels {
     frame.copy(height = outH, width = outW, data = out)
   }
 
+  /** Average-hash perceptual fingerprint (aHash): grayscale -> bilinear
+    * 8x8 downsample (the [[resize]] kernel on a 1-channel frame) ->
+    * threshold each cell against the mean -> 64-bit hash, MSB = cell
+    * (0,0). Brightness/contrast shifts preserve the bits (thresholding is
+    * relative to the mean), so it pairs with a banded Hamming join for
+    * image near-dup detection — the multimodal analog of SimHash on text.
+    */
+  def averageHash(frame: FrameElem): Long = {
+    require(frame.dtype == FrameType.U8)
+    val c    = frame.channels
+    val n    = frame.height * frame.width
+    val gray = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      var s = 0
+      var k = 0
+      while (k < c) { s += frame.data(i * c + k) & 0xff; k += 1 }
+      gray(i) = (s / c).toByte
+      i += 1
+    }
+    val small = resize(frame.copy(channels = 1, data = gray), 8, 8)
+    var sum = 0L
+    i = 0
+    while (i < 64) { sum += small.data(i) & 0xff; i += 1 }
+    val mean = sum / 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if ((small.data(i) & 0xff) >= mean) hash |= 1L << (63 - i)
+      i += 1
+    }
+    hash
+  }
+
   /** resize with the full reference arg surface */
   def resizeWithArgs(frame: FrameElem, args: ResizeArgs): FrameElem = {
     val (th, tw) = resolveResizeDims(args, frame.height, frame.width)

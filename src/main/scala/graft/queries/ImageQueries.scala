@@ -68,6 +68,38 @@ object ImageQueries {
       StdKernels.histogramOp(resized).toDF()
         .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
         .orderBy("streamId", "index")
+    }),
+
+    // perceptual near-dup for IMAGES: aHash fingerprints + banded Hamming
+    // pairs (4x16-bit bands, pigeonhole-complete for hamming <= 3) — the
+    // multimodal analog of SimHash text dedup. Inputs: the 40 PNGs plus a
+    // brightness-shifted variant of each (+3, clipped), which aHash maps
+    // to (near-)identical bits because thresholding is mean-relative.
+    "img_ahash_pairs" -> ((s, _) => {
+      val root = ensureImages(s)
+      val base = frames(s, root)
+      val variants = base.map(f => f.copy(index = f.index + 100,
+        data = f.data.map(b => math.min(255, (b & 0xff) + 3).toByte)))(frameEnc)
+      val hashed = base.union(variants)
+        .map(f => (f.streamId * 1000L + f.index, StdKernels.averageHash(f)))(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("img", "h")
+        .select(col("img") +: col("h") +:
+          (0 until 4).map(b =>
+            shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as(s"b$b")): _*)
+        .persist() // both sides of all 4 band joins
+      val perBand = (0 until 4).map { b =>
+        val l = hashed.select(col(s"b$b").as("bk"), col("img").as("a"), col("h").as("ha"))
+        val r = hashed.select(col(s"b$b").as("bk"), col("img").as("b"), col("h").as("hb"))
+        l.join(r, Seq("bk")).filter(col("a") < col("b"))
+          .select(col("a"), col("b"), col("ha"), col("hb"))
+      }
+      perBand.reduce(_ unionByName _)
+        .dropDuplicates("a", "b")
+        .select(col("a"), col("b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("a", "b")
     })
   )
 

@@ -194,4 +194,16 @@ class KernelsSpec extends SparkSpec {
     assert(flow.dtype == FrameType.F32 && flow.channels == 2)
     assert(flow.data.length == 8 * 8 * 2 * 4)
   }
+
+  test("averageHash is brightness-invariant (no clipping) and image-sensitive") {
+    val f = StdKernels.syntheticFrame(3, 7, 16, 24, 3)
+    // keep every byte below 250 so a +5 shift can't clip
+    val capped  = f.copy(data = f.data.map(b => math.min(249, b & 0xff).toByte))
+    val shifted = capped.copy(data = capped.data.map(b => ((b & 0xff) + 5).toByte))
+    assert(StdKernels.averageHash(capped) == StdKernels.averageHash(shifted),
+      "mean-relative thresholding must ignore a uniform brightness shift")
+    val other = StdKernels.syntheticFrame(4, 9, 16, 24, 3)
+    assert(StdKernels.averageHash(capped) != StdKernels.averageHash(other),
+      "different images should not share an aHash (for this fixture)")
+  }
 }
