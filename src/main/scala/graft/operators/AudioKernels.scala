@@ -73,6 +73,19 @@ object AudioKernels {
     c.copy(sampleRate = c.sampleRate / factor, pcm = bb.array())
   }
 
+  /** integer gain `num/den` on the PCM samples with int16 clamping — the
+    * volume-change transform the energy fingerprint should shrug off
+    */
+  def gain(c: AudioChunk, num: Int, den: Int): AudioChunk = {
+    val bb  = ByteBuffer.wrap(c.pcm).order(ByteOrder.LITTLE_ENDIAN)
+    val out = ByteBuffer.allocate(c.pcm.length).order(ByteOrder.LITTLE_ENDIAN)
+    while (bb.remaining() >= 2) {
+      val v = bb.getShort.toInt * num / den
+      out.putShort(v.max(Short.MinValue).min(Short.MaxValue).toShort)
+    }
+    c.copy(pcm = out.array())
+  }
+
   /** 8-band energy fingerprint: split the chunk into 8 equal windows, sum
     * |sample| per window, quantize each to 8 bits by ranking against the
     * chunk mean — packed into one long. Deterministic, comparable via

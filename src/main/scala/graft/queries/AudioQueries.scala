@@ -40,6 +40,28 @@ object AudioQueries {
       AudioKernels.fingerprintOp(down)
         .toDF("streamId", "index", "fp")
         .orderBy("streamId", "index")
+    }),
+
+    // near-dup for AUDIO: gain-scaled copies (volume x5/4, clamped) share
+    // the band-energy fingerprint because the bits rank band energies
+    // against the chunk mean — pairs on fp equality across the combined
+    // relation (original ids, variants offset +1000). One hash equi-join,
+    // the same candidate shape as every other modality's dedup.
+    "audio_dup_pairs" -> ((s, _) => {
+      val base = chunks(s)
+      val variants = base.map(c =>
+        AudioKernels.gain(c, 5, 4).copy(index = c.index + 1000))(chunkEnc)
+      val fps = AudioKernels.fingerprintOp(base.union(variants))
+        .toDF("streamId", "index", "fp")
+        .select((col("streamId") * 10000 + col("index")).as("cid"), col("fp"))
+        .persist() // both sides of the candidate join
+      fps.select(col("fp"), col("cid").as("a"))
+        .join(fps.select(col("fp"), col("cid").as("b")), Seq("fp"))
+        .filter(col("a") < col("b"))
+        // keep only original-vs-variant matches: same chunk family
+        .filter(col("b") - col("a") === 1000)
+        .select(col("a"), col("b"), col("fp"))
+        .orderBy("a")
     })
   )
 

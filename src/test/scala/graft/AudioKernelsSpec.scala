@@ -90,4 +90,18 @@ class AudioKernelsSpec extends SparkSpec {
         zc == AudioKernels.zeroCrossings(c))
     }
   }
+
+  test("energyFingerprint is gain-invariant (mean-relative band ranks) and chunk-sensitive") {
+    val c = AudioKernels.syntheticChunk(2L, 11L)
+    val louder = AudioKernels.gain(c, 5, 4)
+    assert(AudioKernels.energyFingerprint(c) == AudioKernels.energyFingerprint(louder),
+      "a uniform volume change must not move band energies across the mean")
+    val other = AudioKernels.syntheticChunk(2L, 12L)
+    assert(AudioKernels.energyFingerprint(c) != AudioKernels.energyFingerprint(other),
+      "different chunks should not share a fingerprint (for this fixture)")
+    // clamping path: extreme gain saturates without throwing (peak is
+    // |sample|, so a clamped Short.MinValue reads 32768)
+    val sat = AudioKernels.gain(c, 1000, 1)
+    assert(AudioKernels.peak(sat) == 32768)
+  }
 }
