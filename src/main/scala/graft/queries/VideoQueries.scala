@@ -155,6 +155,42 @@ object VideoQueries {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
         .toDF("streamId", "index", "mean_abs_flow")
         .orderBy("streamId", "index")
+    }),
+
+    // near-dup for VIDEO STREAMS, composed from the library's own parts:
+    // per-frame aHash (brightness-robust perceptual token) -> per-stream
+    // token sequence in index order -> the SAME minhash/LSH + Jaccard
+    // pipeline as text dedup (temporal bigram shingles, so frame ORDER
+    // matters, not just the frame set). Fixture semantics the pin freezes:
+    // the two ingested streams are perceptual twins by construction
+    // (the synthetic generator varies levels, not structure; aHash is
+    // level-invariant) -> jac 1.0; a brightness-shifted copy of stream 0
+    // (stream 2) pairs slightly below 1.0 (clipping damage); a REVERSED
+    // copy of stream 0 (stream 3) shares the frame set but not the
+    // sequence, so temporal bigrams exclude it from every pair. At fleet
+    // scale the per-stream doc would shard by (stream, window) — the
+    // per-stream token string is stream-length bounded.
+    "video_dup_pairs" -> ((s, _) => {
+      val root = ensureIngested(s)
+      val f = VideoStore.frames(s, root, "testvid")
+      val shifted = f.filter((fr: FrameElem) => fr.streamId == 0L)
+        .map(fr => fr.copy(streamId = 2L,
+          data = fr.data.map(b => math.min(255, (b & 0xff) + 3).toByte)))(frameEnc)
+      val reversed = f.filter((fr: FrameElem) => fr.streamId == 0L)
+        .map(fr => fr.copy(streamId = 3L, index = 299L - fr.index))(frameEnc)
+      import s.implicits._
+      val docs = f.union(shifted).union(reversed)
+        .map(fr => (fr.streamId, fr.index, StdKernels.averageHash(fr)))(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("sid", "idx", "h")
+        .groupBy(col("sid"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), hex(col("h")).as("tok")))),
+          p => p.getField("tok"))).as("text"))
+      graft.functions.Dedup.ngramJaccardPairs(docs, "sid", "text")
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("a", "b")
     })
   )
 
