@@ -359,6 +359,17 @@ object Dedup {
     val keyed = simhash64Bands(docs, idCol, textCol, bitsPerBand)
       .select(col(idCol).as("id"), array(bandCols: _*).as("bands"))
       .persist()
+    bandedHammingPairs(keyed, maxHamming)
+  }
+
+  /** Banded-Hamming candidate pairs over ANY `(id, bands: array<long>)`
+    * relation — the shared core of [[simhashPairs]] (text) and the image
+    * aHash near-dup query: one (band, value) equi-join, full signature
+    * riding the explode so scoring needs no re-join, exact Hamming as the
+    * sum of per-band xor popcounts, cheap filter before the pair dedup.
+    * Pigeonhole-complete for maxHamming < #bands.
+    */
+  def bandedHammingPairs(keyed: DataFrame, maxHamming: Int): DataFrame = {
     val exploded = keyed.select(col("id"), col("bands"), posexplode(col("bands")))
       .select(col("id"), col("pos").as("band"), col("col").as("bv"),
         col("bands")) // full signature rides along: no re-join to score

@@ -80,7 +80,9 @@ object AudioKernels {
     val bb  = ByteBuffer.wrap(c.pcm).order(ByteOrder.LITTLE_ENDIAN)
     val out = ByteBuffer.allocate(c.pcm.length).order(ByteOrder.LITTLE_ENDIAN)
     while (bb.remaining() >= 2) {
-      val v = bb.getShort.toInt * num / den
+      // long arithmetic: a full-scale sample times a large num overflows
+      // Int and would clamp to the WRONG rail
+      val v = bb.getShort.toLong * num / den
       out.putShort(v.max(Short.MinValue).min(Short.MaxValue).toShort)
     }
     c.copy(pcm = out.array())

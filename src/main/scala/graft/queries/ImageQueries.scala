@@ -80,25 +80,14 @@ object ImageQueries {
       val base = frames(s, root)
       val variants = base.map(f => f.copy(index = f.index + 100,
         data = f.data.map(b => math.min(255, (b & 0xff) + 3).toByte)))(frameEnc)
-      val hashed = base.union(variants)
+      val keyed = base.union(variants)
         .map(f => (f.streamId * 1000L + f.index, StdKernels.averageHash(f)))(
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-        .toDF("img", "h")
-        .select(col("img") +: col("h") +:
-          (0 until 4).map(b =>
-            shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as(s"b$b")): _*)
-        .persist() // both sides of all 4 band joins
-      val perBand = (0 until 4).map { b =>
-        val l = hashed.select(col(s"b$b").as("bk"), col("img").as("a"), col("h").as("ha"))
-        val r = hashed.select(col(s"b$b").as("bk"), col("img").as("b"), col("h").as("hb"))
-        l.join(r, Seq("bk")).filter(col("a") < col("b"))
-          .select(col("a"), col("b"), col("ha"), col("hb"))
-      }
-      perBand.reduce(_ unionByName _)
-        .dropDuplicates("a", "b")
-        .select(col("a"), col("b"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
+        .toDF("id", "h")
+        .select(col("id"), array((0 until 4).map(b =>
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*).as("bands"))
+        .persist() // hashing feeds both sides of the candidate join
+      graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming = 3)
         .orderBy("a", "b")
     })
   )
