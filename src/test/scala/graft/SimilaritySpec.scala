@@ -25,6 +25,25 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0L, 10 - third, 3L), (1L, 1L, 10 - third, 3L)))
   }
 
+  test("kmeansCentroids is invariant to input partitioning (exact decimal means)") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 4 - 2)))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+        .repartition(parts)
+      Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 3)
+        .orderBy("cid", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+    }
+    // bit-identical across 1, 7, and 32 partitions: the DECIMAL sums make
+    // the means independent of partition/merge order, which is exactly
+    // what the cross-engine oracle hash relies on
+    val one = run(1)
+    assert(one == run(7) && one == run(32))
+  }
+
   test("kmeansCentroids: assignment ties break to the smaller centroid id") {
     // point 2 is equidistant from both centroids -> joins cid 0
     val pts = Seq(
