@@ -112,5 +112,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "poly_hash takes exactly 1 argument")
         PolyHash(children.head)
       }))
+    // the HOF dot fold on float arrays rewrites to the native expression
+    ext.injectOptimizerRule(_ => FoldToVecDot)
   }
 }

@@ -55,4 +55,32 @@ class FloatVecDotSpec extends SparkSpec {
       assert(r.isNullAt(1), "fold should be null")
     }
   }
+
+  // non-foldable float arrays off range(): literal inputs would constant-
+  // fold the whole expression before any optimizer rule could see it
+  private def rangedPair = spark.range(1, 2).select(
+    array(col("id").cast("float"), lit(2f), lit(3f)).as("a"),
+    array(lit(4f), lit(5f), lit(6f)).as("b"))
+
+  test("optimizer rewrites the HOF dot fold on float arrays into vec_dot") {
+    val q = rangedPair.select(Similarity.dotFold(col("a"), col("b")).as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      "FoldToVecDot should replace the aggregate(zip_with(...)) pattern")
+    assert(q.collect()(0).getDouble(0) == 32.0)
+  }
+
+  test("the rewrite leaves non-float folds and other zeros untouched") {
+    val dd = spark.range(1, 2).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val q1 = dd.select(Similarity.dotFold(col("a"), col("b")).as("d"))
+    assert(!q1.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(q1.collect()(0).getDouble(0) == 11.0)
+    // float arrays but a different seed: still the fold
+    val q2 = rangedPair.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(q2.collect()(0).getDouble(0) == 33.0)
+  }
 }
