@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, element_at}
+import org.apache.spark.sql.functions.{col, element_at, lit, shiftright}
 
 import graft.functions.Dedup
 import graft.model.Boundary
@@ -149,6 +149,30 @@ class RandomizedModelSpec extends SparkSpec {
         .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster")))
         .sortBy(_._1).toSeq
       assert(got == expect, s"iteration $it n=$n edges=${edges.size}")
+    }
+  }
+
+  test("bandedHammingPairs matches brute-force Hamming for distance <= maxHamming (pigeonhole)") {
+    import graft.functions.Dedup
+    (1 to 5).foreach { it =>
+      val n = 30 + rnd.nextInt(30)
+      val hashes = (0L until n.toLong).map { i =>
+        // clusters of near hashes: base values with a few flipped bits
+        val base = rnd.nextInt(4).toLong * 0x123456789abcL
+        val noise = (0 until rnd.nextInt(4)).foldLeft(0L)((acc, _) =>
+          acc | (1L << rnd.nextInt(64)))
+        (i, base ^ noise)
+      }
+      val keyed = hashes.toDF("id", "h")
+        .select(col("id"), org.apache.spark.sql.functions.array((0 until 4).map(b =>
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*).as("bands"))
+      val got = Dedup.bandedHammingPairs(keyed, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"iteration $it n=$n")
     }
   }
 
