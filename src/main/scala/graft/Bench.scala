@@ -76,6 +76,24 @@ object Bench {
           size(functions.TextFunctions.winnowFingerprints(col("text"), 3, 4)).as("n_fp"))
           .agg(sum(col("n_fp")).as("total_fp"), count(lit(1)).as("n"))
       }),
+      // Lloyd at synthetic scale: 100k 16-dim vectors, k=16, 3 rounds —
+      // pins the broadcast + two-partial-agg round shape as a bench row
+      "bt_100k_kmeans" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val pts = s.range(0, 100000, 1, 32).select(col("id"),
+          transform(sequence(lit(1), lit(16)),
+            j => pmod(col("id") * 37 + j * 101, lit(997)).cast("float")).as("v"))
+        functions.Similarity.kmeansCentroids(pts, "id", "v", k = 16, iters = 3)
+      }),
+      // z-order layout at 1M rows: Morton key + range repartition + sort —
+      // the write-time clustering cost (one range exchange by design)
+      "bt_1m_zorder" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val rows = s.range(0, 1000000, 1, 32).select(
+          (col("id") * 2654435761L % 1024).as("x"),
+          (col("id") * 40503 % 1024).as("y"), col("id"))
+        operators.Layout.zorderLayout(rows, Seq("x", "y"), bits = 10, partitions = 32)
+      }),
       "bt_sparse_decode" -> ((s, _) => {
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
         // construct+encode the 10k frames ONLY when not yet ingested —

@@ -194,11 +194,16 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Squared L2 distance in double precision, ordered left-to-right fold
-    * (bit-identical to the DuckDB oracle's `list_reduce` with a prepended
-    * 0.0 seed).
+  /** Squared L2 distance in double precision over `array<double>` inputs —
+    * the native codegen'd [[graft.plans.DoubleVecSqDist]] (one fused loop;
+    * the interpreted fold was ~10x the cost of a whole Lloyd round at
+    * 100k x 16 centroids). Bit-identical to the left-to-right fold and to
+    * the DuckDB oracle's `list_reduce` with a prepended 0.0 seed.
     */
-  def sqDist(a: Column, b: Column): Column =
+  def sqDist(a: Column, b: Column): Column = call_function("vec_sqdist", a, b)
+
+  /** generic fold fallback for non-double arrays (casts per element) */
+  def sqDistFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)

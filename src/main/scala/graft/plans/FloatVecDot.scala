@@ -112,6 +112,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "poly_hash takes exactly 1 argument")
         PolyHash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[DoubleVecSqDist].getName, "vec_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_sqdist takes exactly 2 arguments")
+        DoubleVecSqDist(children.head, children(1))
+      }))
     // the HOF dot fold on float arrays rewrites to the native expression
     ext.injectOptimizerRule(_ => FoldToVecDot)
   }
