@@ -157,10 +157,11 @@ object Bench {
     // N timed reps per query after one untimed warmup: single-shot timings
     // at sub-second scale are dominated by codegen/JIT and this host's
     // virtualization steal bursts (the r2->r3 comparison showed 1.5-2x
-    // swings on queries whose plans did not change). Default 2 keeps one
-    // full run under ~6 min — the driver repeats the whole bench itself,
-    // so the effective sample per query is reps x driver-runs.
-    val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // swings on queries whose plans did not change). Default 3: min-of-2
+    // is one steal burst away from a false signal in either direction —
+    // the r5 bench published a 13-query "regression cluster" that a
+    // reps=4 re-run showed was entirely steal noise.
+    val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val only  = args.toSet // optional query-name filter for targeted reruns
     val spark = GraftSession.local(cpus, "graft-bench")
     // fail loudly on a misspelled filter: a silent empty selection prints
@@ -238,16 +239,33 @@ object Bench {
         }
       System.err.println(
         f"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f")
-      name -> (sec, med)
+      name -> ((sec, med, times))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val meds = results.map { case (k, (_, m)) => s"\"" + k + "\":" + m }
+    val meds = results.map { case (k, (_, m, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
+    // per-rep wall times: a steal-burst run is self-diagnosing (one rep
+    // 3-6x the others on an unchanged plan = de-schedule, not a regression)
+    val perRep = results.map { case (k, (_, _, ts)) =>
+      s"\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    // ALSO write the full JSON to a file: the driver's stdout capture
+    // truncates to a tail, which cost r5 ~35 of 96 query numbers and let a
+    // contaminated run publish as a regression cluster with no per-rep
+    // evidence to refute it
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench-results.json"))
+    try {
+      if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+      System.err.println(s"[bench] full results written to $outPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

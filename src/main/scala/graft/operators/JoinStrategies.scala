@@ -104,16 +104,18 @@ object JoinStrategies {
       case t => throw new IllegalArgumentException(
         s"bloomSemiJoin supports integral or string keys, got ${t.simpleString}")
     }
-    val bf    = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
-    val bcast = big.sparkSession.sparkContext.broadcast(bf)
+    val bf = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    // ship the filter as serialized bytes in a foldable literal — the
+    // native codegen probe (plans.BloomMightContain) deserializes once per
+    // expression instance and keeps the fact scan inside one
+    // whole-stage-codegen span (the prior Scala-UDF probe broke it per row)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probeKey = if (integral) col(bigKey).cast("long") else col(bigKey)
     val prefiltered =
-      if (integral) {
-        val might = udf((k: Long) => bcast.value.mightContainLong(k))
-        big.filter(might(col(bigKey).cast("long")))
-      } else {
-        val might = udf((k: String) => bcast.value.mightContainString(k))
-        big.filter(might(col(bigKey)))
-      }
-    prefiltered.join(keyed, col(bigKey) === col(smallKey), "left_semi")
+      big.filter(call_function("bloom_might_contain", lit(bos.toByteArray), probeKey))
+    // dataframe-qualified key refs: with an unqualified `col(k) === col(k)`
+    // a shared key NAME across both sides is ambiguous (AnalysisException)
+    prefiltered.join(keyed, prefiltered.col(bigKey) === keyed.col(smallKey), "left_semi")
   }
 }

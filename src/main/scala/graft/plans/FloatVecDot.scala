@@ -113,6 +113,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         PolyHash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bloom_might_contain takes exactly 2 arguments")
+        BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_sqdist"),
       new ExpressionInfo(classOf[DoubleVecSqDist].getName, "vec_sqdist"),
       (children: Seq[Expression]) => {

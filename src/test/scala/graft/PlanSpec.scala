@@ -89,14 +89,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "native expression should replace the HOF fold")
   }
 
-  test("bloom semi-join filters the fact scan BEFORE the join exchange") {
+  test("bloom semi-join filters the fact scan BEFORE the join exchange, UDF-free") {
     val p = plan(queries.RelQueries.queries("q_bloom_semi_join")(spark, sfDir))
-    // the bloom predicate is the only UDF in the plan; it must sit in a
-    // Filter on the lineitem branch (pre-shuffle), not after the join
-    val joinAt = p.indexOf("Join")
-    val udfAt  = p.indexOf("UDF")
-    assert(udfAt >= 0, "bloom prefilter UDF missing from the plan")
-    assert(joinAt >= 0 && udfAt > joinAt,
+    // the probe is the native codegen expression, not a Scala UDF (a UDF
+    // here would break the whole-stage span on every fact row), and it
+    // must sit in a Filter on the fact branch (pre-shuffle), not after
+    // the join
+    val joinAt  = p.indexOf("Join")
+    val probeAt = p.indexOf("bloom_might_contain")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      "bloom probe must be the native expression, not a Scala UDF")
+    assert(probeAt >= 0, "native bloom_might_contain probe missing from the plan")
+    assert(joinAt >= 0 && probeAt > joinAt,
       "bloom prefilter should appear below (after) the join operator in the tree printout")
   }
 
