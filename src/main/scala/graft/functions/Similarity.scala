@@ -212,9 +212,12 @@ object Similarity {
     * anchors in [[ivfTopK]] are exactly these centroids at corpus scale).
     * Deterministic: init = the k lowest-id vectors; assignment argmin via
     * `min(struct(dist, cid))` (partial-aggregated, ties to the smaller
-    * cid); means via exact DECIMAL(20,8) sums so the result is independent
+    * cid); means via exact DECIMAL(30,8) sums so the result is independent
     * of partition/merge order (the [[SimQueries]] `emb_centroids` parity
-    * technique), rounded to 6 dp before the next round.
+    * technique), rounded to 6 dp before the next round. A centroid that
+    * draws zero points in a round is carried forward unchanged with n=0 —
+    * the trainer ALWAYS returns exactly k centroids, never a silently
+    * shrunken quantizer.
     *
     * Plan shape per iteration at 100 TB: ONE broadcast of the (tiny)
     * centroid relation, one hash-agg argmin over the points (map-side
@@ -249,14 +252,22 @@ object Similarity {
       val assigned = pts.join(broadcast(cent))
         .select(col("id"), col("v"),
           struct(sqDist(col("v"), col("cv")).as("d"), col("cid")).as("cand"))
+        // a null distance (ragged dims, null elements) would sort FIRST in
+        // Spark's struct ordering but LAST under the oracle's ORDER BY —
+        // drop such candidates; a vector null against EVERY centroid drops
+        // out of the round entirely (malformed input never steers a mean)
+        .filter(col("cand.d").isNotNull)
         .groupBy(col("id"))
         .agg(min(col("cand")).as("best"), first(col("v")).as("v"))
         .select(col("best.cid").as("cid"), col("v"))
-      cent = assigned
+      val means = assigned
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
+        // DECIMAL(30,8) element casts: exact sums stay partition-order
+        // independent with headroom to |x| < 1e22 per element (20,8
+        // overflowed — became NULL non-ANSI — at 1e12)
         .agg(count(lit(1)).as("n"),
-          (sum(col("col").cast("decimal(20,8)")).cast("double") /
+          (sum(col("col").cast("decimal(30,8)")).cast("double") /
             count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(first(col("n")).as("n"),
@@ -264,6 +275,13 @@ object Similarity {
             .as("pm"))
         .select(col("cid"), col("n"),
           transform(col("pm"), p => p.getField("m")).as("cv"))
+      // a centroid assigned zero points this round has no means row; carry
+      // it forward (n=0) instead of silently returning < k centroids — a
+      // shrunken quantizer would quietly search fewer IVF cells downstream
+      cent = cent.select(col("cid"), col("cv").as("__prev"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("cv"), col("__prev")).as("cv"))
     }
     cent
   }

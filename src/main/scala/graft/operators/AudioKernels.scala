@@ -77,6 +77,11 @@ object AudioKernels {
     * volume-change transform the energy fingerprint should shrug off
     */
   def gain(c: AudioChunk, num: Int, den: Int): AudioChunk = {
+    // int16 PCM invariant — an odd trailing byte would otherwise silently
+    // come back as 0 (the pair loop never consumes it), a shape-dependent
+    // mutation instead of a loud error
+    require(c.pcm.length % 2 == 0,
+      s"gain expects int16 PCM (even byte length), got ${c.pcm.length}")
     val bb  = ByteBuffer.wrap(c.pcm).order(ByteOrder.LITTLE_ENDIAN)
     val out = ByteBuffer.allocate(c.pcm.length).order(ByteOrder.LITTLE_ENDIAN)
     while (bb.remaining() >= 2) {

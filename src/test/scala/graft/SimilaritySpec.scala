@@ -44,6 +44,43 @@ class SimilaritySpec extends SparkSpec {
     assert(one == run(7) && one == run(32))
   }
 
+  test("kmeansCentroids: a cluster that empties mid-training is carried forward, never dropped") {
+    // ids 0,1,2 share one vector -> init seeds three IDENTICAL centroids;
+    // every point ties across all three and the tie-break sends ALL of
+    // them to cid 0, so clusters 1 and 2 are empty from round 1 on
+    val pts = (Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f))) ++
+      (10L until 20L).map(i => (i, Seq(5f, 5f)))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansCentroidVectors(pts, "vec_id", "embedding", k = 3, iters = 2)
+      .orderBy("cid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq
+    // always exactly k centroids. Round 1: everything ties to cid 0 (1 and
+    // 2 empty -> carried forward at the seed). Round 2: the carried-forward
+    // (0,0) seed RECLAIMS the origin points for cid 1 — the recovery a
+    // dropped centroid could never make — while cid 2 stays empty at n=0.
+    assert(got == Seq(
+      (0L, 10L, Seq(5.0, 5.0)),
+      (1L, 3L, Seq(0.0, 0.0)),
+      (2L, 0L, Seq(0.0, 0.0))))
+  }
+
+  test("kmeansCentroids: null-distance candidates (ragged dims) never steer a mean") {
+    // id 5 has a 1-dim vector: sqDist against 2-dim centroids is NULL for
+    // every candidate, so it drops out of the round instead of sorting
+    // first in the struct argmin (Spark nulls-first vs oracle nulls-last)
+    val pts = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(2f, 2f)),
+      (2L, Seq(0f, 2f)), (5L, Seq(9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansCentroidVectors(pts, "vec_id", "embedding", k = 2, iters = 1)
+      .orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    assert(got == Seq(
+      (0L, 2L, Seq(0.0, 1.0)),   // ids 0,2
+      (1L, 1L, Seq(2.0, 2.0)))) // id 1; id 5 excluded everywhere
+  }
+
   test("kmeansCentroids: assignment ties break to the smaller centroid id") {
     // point 2 is equidistant from both centroids -> joins cid 0
     val pts = Seq(
