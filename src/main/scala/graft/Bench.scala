@@ -195,7 +195,7 @@ object Bench {
       // measured 2-3x the steady state on sub-second queries. The number
       // the 100 TB design cares about is per-row throughput, which the
       // warmed runs measure; the one-time costs amortize to zero at scale.
-      try { materialize(fn(spark, sfDir)); spark.catalog.clearCache() }
+      try { materialize(fn(spark, sfDir)); CacheScope.release() }
       catch { case _: Throwable => () } // the timed reps will report it
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -203,11 +203,11 @@ object Bench {
           try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable => System.err.println(s"bench query $name failed: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
-        // library ops persist() reused self-join relations (signatures, band
-        // keys); scope those caches to the query — both so 50 queries in one
-        // session don't accumulate storage memory and so every rep pays the
-        // query's full cost (honest isolation)
-        spark.catalog.clearCache()
+        // library ops register their reused self-join relations (signatures,
+        // band keys) in CacheScope; release them per rep — both so 100
+        // queries in one session don't accumulate storage memory and so
+        // every rep pays the query's full cost (honest isolation)
+        CacheScope.release()
         // settle the JVM between reps: collecting prior queries' garbage
         // HERE (untimed) also lets the ContextCleaner reclaim their
         // broadcast/shuffle state — without it, a query's reps absorb its

@@ -1,0 +1,50 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Dataset
+
+/** Cache-lifecycle ownership for the library's internal `persist()` sites.
+  *
+  * Library ops (dedup candidate relations, k-means point sets, ANN band
+  * keys) persist relations that their RETURNED lazy plans reference more
+  * than once — both sides of a band self-join, one scan per Lloyd round.
+  * The op cannot unpersist before returning (the caller hasn't
+  * materialized the result yet, and unpersisting would forfeit exactly
+  * the reuse the persist buys), so every such relation registers here and
+  * the CALLER releases them once results are materialized:
+  *
+  * {{{
+  *   val pairs = Dedup.lshCandidatePairs(docs, "id", "text", 8, 4)
+  *   pairs.write.parquet(out)   // materialize
+  *   CacheScope.release()       // drop the op-internal caches
+  * }}}
+  *
+  * `release()` only touches datasets registered by graft ops — never the
+  * caller's own persisted data (unlike the blunt
+  * `spark.catalog.clearCache()` Verify/Bench previously leaned on). A
+  * long-lived session composing many pipeline stages calls it at stage
+  * boundaries instead of accumulating storage memory until eviction
+  * thrash. Ops that persist AND unpersist within their own scope
+  * (connected components' per-round labels, BPE's merge loop) keep their
+  * tighter internal lifecycle and never register here.
+  */
+object CacheScope {
+  private val live = new ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** persist + register — every graft-internal long-lived cache site */
+  private[graft] def cache[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    live.add(ds)
+    ds
+  }
+
+  /** graft-internal cached relations not yet released */
+  def liveCount: Int = live.size
+
+  /** unpersist every graft-registered relation (non-blocking) */
+  def release(): Unit = {
+    var d = live.poll()
+    while (d != null) { d.unpersist(false); d = live.poll() }
+  }
+}

@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard. All are expression + shuffle plans (no
   * driver materialization, no UDFs):
@@ -263,7 +265,7 @@ object Dedup {
       k: Int, rows: Int): DataFrame = {
     // band keys cost one md5 + k multiply-add-mods per shingle — persist so
     // the self-join's two sides (and distinct) reuse one computation
-    val keyed = bandKeys(slotMins(docs, idCol, textCol, k), idCol, k, rows).persist()
+    val keyed = CacheScope.cache(bandKeys(slotMins(docs, idCol, textCol, k), idCol, k, rows))
     bandSelfJoinPairs(keyed)
   }
 
@@ -356,9 +358,8 @@ object Dedup {
     // signatures are md5-heavy to compute and referenced on both join
     // sides — persist the narrow (id, bands) relation (nBands longs per
     // doc) so Spark doesn't recompute the token aggregation per reference
-    val keyed = simhash64Bands(docs, idCol, textCol, bitsPerBand)
-      .select(col(idCol).as("id"), array(bandCols: _*).as("bands"))
-      .persist()
+    val keyed = CacheScope.cache(simhash64Bands(docs, idCol, textCol, bitsPerBand)
+      .select(col(idCol).as("id"), array(bandCols: _*).as("bands")))
     bandedHammingPairs(keyed, maxHamming)
   }
 
@@ -418,7 +419,7 @@ object Dedup {
         explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("__w"))
       .select(col(idCol), md5(col("__w")).as("wh"))
       .distinct()
-      .persist() // feeds the per-doc count, the dup-set agg, and the join
+    CacheScope.cache(docWin) // feeds the per-doc count, the dup-set agg, and the join
     val dupWins = docWin.groupBy(col("wh"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
@@ -433,13 +434,68 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_windows").cast("double"), 6))
   }
 
+  /** Substring-dedup span REMOVAL — the transform half of Lee et al. 2021:
+    * [[duplicatedWindowStats]] measures cross-document window duplication;
+    * this CUTS every occurrence of every duplicated n-token window and
+    * emits the cleaned corpus (the paper's released pipeline also removes
+    * ALL copies — keeping exactly one is a much harder global choice and
+    * changes nothing for memorization). A window is duplicated iff it
+    * occurs in MORE THAN ONE document (within-doc repetition alone is
+    * repetition, not contamination — [[TextFunctions]] repetition scoring
+    * covers it).
+    *
+    * Scale shape — same skeleton as the stats: windows shuffle as md5
+    * hashes with their 1-based start positions, the duplicated-window set
+    * comes from one distinct + one count agg, and each doc gets back only
+    * the START POSITIONS of its duplicated windows (collect_list bounded
+    * by the doc's own window count). The cut itself is a scan-pass HOF:
+    * token i survives iff no duplicated window covering it starts at
+    * p <= i < p+n. Output text is whitespace-normalized (single spaces) —
+    * the tokenizer's view, identical on both engines.
+    *
+    * Returns (idCol, clean_text, n_tokens, n_cut) for EVERY input doc
+    * (docs with no duplicated windows pass through with n_cut = 0).
+    */
+  def removeDuplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window width must be >= 2, got $n")
+    val win = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        posexplode(TextFunctions.shinglesFromTokens(col("__toks"), n)))
+      .select(col(idCol), (col("pos") + 1).as("p"), md5(col("col")).as("wh"))
+    CacheScope.cache(win) // feeds the dup-set agg AND the per-doc start positions
+    val dupWins = win.select(col(idCol), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"))
+    val starts = win.join(dupWins, Seq("wh"))
+      .groupBy(col(idCol)).agg(collect_list(col("p")).as("__ps"))
+    val cleaned = TextFunctions.let(TextFunctions.tokens(col(textCol))) { tk =>
+      TextFunctions.let(filter(tk, (_, i) =>
+        !exists(col("__ps"), p => p <= i + 1 && i + 1 < p + lit(n)))) { kept =>
+        struct(
+          concat_ws(" ", kept).as("clean_text"),
+          size(tk).cast("long").as("n_tokens"),
+          (size(tk) - size(kept)).cast("long").as("n_cut"))
+      }
+    }
+    docs.join(starts, Seq(idCol), "left")
+      .withColumn("__ps",
+        coalesce(col("__ps"), array().cast("array<int>")))
+      .withColumn("__c", cleaned)
+      .select(col(idCol), col("__c.clean_text").as("clean_text"),
+        col("__c.n_tokens").as("n_tokens"), col("__c.n_cut").as("n_cut"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 4): DataFrame = {
     // ONE persisted tokenize+shingle pass feeds both phases: the minhash
     // signature explode (candidate generation) and the exact-set verify
     // joins — previously the verify side re-tokenized the whole corpus
-    val sh = withShingles(docs, idCol, textCol).persist()
-    val keyed = bandKeys(slotMinsFromShingles(sh, idCol, k), idCol, k, rows).persist()
+    val sh = CacheScope.cache(withShingles(docs, idCol, textCol))
+    val keyed = CacheScope.cache(bandKeys(slotMinsFromShingles(sh, idCol, k), idCol, k, rows))
     val cands = bandSelfJoinPairs(keyed)
     val sets  = sh.select(col(idCol).as("id"), col("__sh").as("sh"))
     cands
@@ -462,9 +518,9 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long): DataFrame = {
-    val fps = docs.select(col(idCol).as("__id"),
+    val fps = CacheScope.cache(docs.select(col(idCol).as("__id"),
       explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
-      .persist() // both sides of the candidate join
+      ) // cached: both sides of the candidate join
     fps.select(col("fp"), col("__id").as("a"))
       .join(fps.select(col("fp"), col("__id").as("b")), Seq("fp"))
       .filter(col("a") < col("b"))

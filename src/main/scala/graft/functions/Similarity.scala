@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope
+
 /** Embedding similarity search over an `array<float>` column.
   *
   * Two paths, per the scale playbook:
@@ -240,9 +242,9 @@ object Similarity {
   def kmeansCentroidVectors(points: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"need at least one Lloyd round, got $iters")
-    val pts = points.select(col(idCol).cast("long").as("id"),
+    val pts = CacheScope.cache(points.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .persist() // scanned once per Lloyd round
+      ) // cached: scanned once per Lloyd round; caller releases via CacheScope
     // init = the k lowest ids, whatever the id domain (a filter on id < k
     // would silently seed fewer — or zero — centroids for non-dense or
     // non-zero-based ids); TakeOrderedAndProject keeps this one tiny job
@@ -296,11 +298,11 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
-    val keyed = corpus.select(
+    val keyed = CacheScope.cache(corpus.select(
       col(idCol).as("id") +: col(vecCol).as("v") +:
         (0 until bands).map(b =>
           signBucket(col(vecCol), bitsPerBand, b * bitsPerBand).as(s"band$b")): _*)
-      .persist() // referenced 2x per band (both join sides)
+      ) // cached: referenced 2x per band (both join sides)
     val perBand = (0 until bands).map { b =>
       val l = keyed.select(col(s"band$b").as("bk"), col("id").as("a"), col("v").as("va"))
       val r = keyed.select(col(s"band$b").as("bk"), col("id").as("b"), col("v").as("vb"))

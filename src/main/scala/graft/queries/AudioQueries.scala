@@ -51,10 +51,10 @@ object AudioQueries {
       val base = chunks(s)
       val variants = base.map(c =>
         AudioKernels.gain(c, 5, 4).copy(index = c.index + 1000))(chunkEnc)
-      val fps = AudioKernels.fingerprintOp(base.union(variants))
+      val fps = graft.CacheScope.cache(AudioKernels.fingerprintOp(base.union(variants))
         .toDF("streamId", "index", "fp")
         .select((col("streamId") * 10000 + col("index")).as("cid"), col("fp"))
-        .persist() // both sides of the candidate join
+        ) // cached: both sides of the candidate join
       fps.select(col("fp"), col("cid").as("a"))
         .join(fps.select(col("fp"), col("cid").as("b")), Seq("fp"))
         .filter(col("a") < col("b"))

@@ -80,13 +80,13 @@ object ImageQueries {
       val base = frames(s, root)
       val variants = base.map(f => f.copy(index = f.index + 100,
         data = f.data.map(b => math.min(255, (b & 0xff) + 3).toByte)))(frameEnc)
-      val keyed = base.union(variants)
+      val keyed = graft.CacheScope.cache(base.union(variants)
         .map(f => (f.streamId * 1000L + f.index, StdKernels.averageHash(f)))(
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
         .toDF("id", "h")
         .select(col("id"), array((0 until 4).map(b =>
           shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*).as("bands"))
-        .persist() // hashing feeds both sides of the candidate join
+        ) // cached: hashing feeds both sides of the candidate join
       graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming = 3)
         .orderBy("a", "b")
     })

@@ -191,6 +191,12 @@ object TextQueries {
       Dedup.duplicatedWindowStats(docs(s, dir), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // the transform half of Lee et al.: CUT every occurrence of every
+    // cross-doc-duplicated 5-token window, emit the cleaned corpus
+    "dedup_substring_removed" -> ((s, dir) =>
+      Dedup.removeDuplicatedWindows(docs(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
     // count + md5 digest of the sorted selected hashes
     "txt_winnow" -> ((s, dir) =>
@@ -243,12 +249,12 @@ object TextQueries {
       // needs uniN's count — without the caches each reference re-tokenizes
       // the whole corpus (the cost ngramJaccardPairs' shared-relation
       // rewrite eliminated; same discipline here)
-      val bigs = d.select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
-        .persist()
+      val bigs = graft.CacheScope.cache(
+        d.select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg")))
       val bigN = bigs.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-      val uniN = d.select(explode(TF.tokens(col("text"))).as("t"))
-        .groupBy(col("t")).agg(count(lit(1)).as("cuni"))
-        .persist()
+      val uniN = graft.CacheScope.cache(
+        d.select(explode(TF.tokens(col("text"))).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("cuni")))
       val vocab = uniN.count() // one tiny driver scalar off the cached model
       bigs
         .join(bigN, Seq("bg"))
@@ -664,6 +670,31 @@ object TextQueries {
          |SELECT pd.doc_id, pd.n_windows, COALESCE(dd.n_dup, 0) AS n_dup,
          |  round(CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / pd.n_windows, 6) AS dup_ratio
          |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    "dedup_substring_removed" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |w0 AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS p
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, p,
+         |    md5(tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] || ' ' || tk[p+3] || ' ' || tk[p+4]) AS wh
+         |  FROM w0),
+         |d AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh HAVING COUNT(*) > 1),
+         |ps AS (SELECT doc_id, list(p) AS ps FROM w JOIN d USING (wh) GROUP BY doc_id),
+         |c AS (
+         |  SELECT t.doc_id, t.tk, COALESCE(ps.ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id),
+         |k AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(tk, (x, i) -> len(list_filter(ps, q -> q <= i AND i < q + 5)) = 0) AS kept
+         |  FROM c)
+         |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(tk) - len(kept) AS BIGINT) AS n_cut
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "txt_pii_redact" ->
       """WITH r AS (SELECT doc_id,

@@ -32,6 +32,35 @@ class DedupSpec extends SparkSpec {
       (4L, 3L, 1L, 0.333333))) // distinct{b c d, c d b, d b c}; "b c d" shared
   }
 
+  test("removeDuplicatedWindows cuts every occurrence of every cross-doc window (hand-computed)") {
+    import org.apache.spark.sql.functions.col
+    // docs 1,2 share the 5-token window "a b c d e"; docs 3,4 share
+    // "p q r s t" (doc 3 is NOTHING BUT that window -> fully cut);
+    // doc 5 has no cross-doc window and passes through with n_cut=0
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "x y a b c d e z"),
+      (3L, "p q r s t"), (4L, "p q r s t u v w"),
+      (5L, "h i j k l m")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedWindows(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "f g", 7L, 5L),
+      (2L, "x y z", 8L, 5L),
+      (3L, "", 5L, 5L),
+      (4L, "u v w", 8L, 5L),
+      (5L, "h i j k l m", 6L, 0L)))
+
+    // THE property (Lee et al.'s cleanup invariant): re-running the stats
+    // on the cleaned corpus finds ZERO duplicated windows of the same width
+    val re = Dedup.duplicatedWindowStats(
+      Dedup.removeDuplicatedWindows(docs, "doc_id", "text", 5)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", 5)
+    assert(re.agg(org.apache.spark.sql.functions.sum("n_dup")).head.getLong(0) == 0L,
+      "a duplicated window survived the removal pass")
+  }
+
   test("connectedComponents converges on a long chain (pointer jumping)") {
     // diameter-29 chain would exceed naive propagation rounds; path
     // compression converges well within maxIters
