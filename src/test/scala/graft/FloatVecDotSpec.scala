@@ -69,6 +69,39 @@ class FloatVecDotSpec extends SparkSpec {
     assert(q.collect()(0).getDouble(0) == 32.0)
   }
 
+  test("optimizer rewrites the HOF sqdist fold into vec_sqdist (float AND double arrays)") {
+    // float arrays: the lambda keeps its explicit widening casts
+    val qf = rangedPair.select(Similarity.sqDistFold(col("a"), col("b")).as("d"))
+    assert(qf.queryExecution.optimizedPlan.toString.contains("vec_sqdist"),
+      "FoldToVecDot should replace the sqdist aggregate(zip_with(...)) pattern on floats")
+    assert(qf.collect()(0).getDouble(0) == 27.0) // 9 + 9 + 9
+    // double arrays: SimplifyCasts elides the casts first — the rule still fires
+    val dd = spark.range(1, 2).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val qd = dd.select(Similarity.sqDistFold(col("a"), col("b")).as("d"))
+    assert(qd.queryExecution.optimizedPlan.toString.contains("vec_sqdist"),
+      "FoldToVecDot should replace the sqdist fold on doubles too")
+    assert(qd.collect()(0).getDouble(0) == 8.0) // 4 + 4
+  }
+
+  test("rewritten sqdist fold is bit-identical to the fold, incl. null cases") {
+    val rows = vecs.select(
+      Similarity.sqDist(transform(col("a"), _.cast("double")),
+        transform(col("b"), _.cast("double"))).as("native"),
+      Similarity.sqDistFold(col("a"), col("b")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val nulls = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(Similarity.sqDistFold(col("a"), col("b")).as("d")).collect()
+    nulls.foreach(r => assert(r.isNullAt(0), "sqdist fold on malformed input should be null"))
+  }
+
   test("the rewrite leaves non-float folds and other zeros untouched") {
     val dd = spark.range(1, 2).select(
       array(col("id").cast("double"), lit(2.0)).as("a"),
