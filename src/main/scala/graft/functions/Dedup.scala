@@ -225,6 +225,35 @@ object Dedup {
   private def slotMins(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     slotMinsFromShingles(withShingles(docs, idCol, textCol), idCol, k)
 
+  /** Stateless per-row LSH band keys — `array<struct<band,bk>>` from a
+    * DISTINCT-shingle array, value-identical to the batch band relation
+    * ([[bandKeys]]: same universal-hash slots, same '|'-joined decimal
+    * band key). The per-slot mins use the `array_min(transform(...))` HOF
+    * formulation instead of the explode+aggregate — ~2x slower per row at
+    * batch scale, but it is a pure row expression, which is exactly what
+    * a STREAMING pipeline needs: no aggregation state, the banding rides
+    * the arriving row. Input must be the distinct-shingle array (empty
+    * arrays produce null mins — filter out sub-2-token docs first, as
+    * the batch path does).
+    */
+  def bandKeyStructs(shinglesCol: Column, k: Int, rows: Int): Column = {
+    require(k % rows == 0, "slots must divide into equal bands")
+    TextFunctions.let(shinglesCol) { sh =>
+      val mins = (0 until k).map(i => minhashSlot(sh, i))
+      array((0 until k / rows).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|",
+            (0 until rows).map(r => mins(b * rows + r).cast("string")): _*).as("bk"))
+      }: _*)
+    }
+  }
+
+  /** the distinct-shingle array expression shared by batch and streaming
+    * (2-token shingles over the whitespace tokenizer)
+    */
+  def shingleSet(textCol: Column): Column =
+    array_distinct(TextFunctions.shinglesFromTokens(TextFunctions.tokens(textCol), 2))
+
   /** long-format MinHash signatures: (id, slot, mh), k slots per doc */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val sig = array((0 until k).map(i =>

@@ -137,6 +137,60 @@ object StreamingOps {
       .select(col("a"), col("b"), col("bk"))
   }
 
+  /** Streaming near-duplicate detection END-TO-END in one composed call:
+    * text → minhash band keys → watermarked band self-join → exact
+    * Jaccard verify — the full batch `dedup_lsh_pairs`+`dedup_jaccard`
+    * pipeline over unbounded arrival. Returns verified
+    * (a, b, inter, uni, jac) pairs whose event times lie within
+    * `joinWindow` of each other and whose exact 2-gram Jaccard clears
+    * `minJaccard`.
+    *
+    * Composition notes (the 100 TB streaming shape):
+    *  - Banding is [[graft.functions.Dedup.bandKeyStructs]] — a pure row
+    *    expression (no aggregation state), value-identical to batch.
+    *  - The band self-join is the ONLY stateful operator: watermark +
+    *    time-range condition bound both sides' state to one window.
+    *  - The shingle set rides the banded row, so the verify is a column
+    *    expression on the joined pair — no re-join to fetch text.
+    *  - Cross-band duplicate pairs dedup STATELESSLY: both sides carry
+    *    their full band-key array, and a pair emits only from its FIRST
+    *    shared band (`array_min` over the zip of equal keys) — exactly
+    *    one output per pair per window without a second stateful dedup
+    *    operator stacked on the join.
+    */
+  def streamingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, joinWindow: String,
+      k: Int = 8, rows: Int = 4, minJaccard: Double = 0.0): DataFrame = {
+    import graft.functions.Dedup
+    val banded = docs
+      .withColumn("__sh", Dedup.shingleSet(col(textCol)))
+      .filter(size(col("__sh")) >= 1) // sub-2-token docs have no shingles
+      .withColumn("__bands", Dedup.bandKeyStructs(col("__sh"), k, rows))
+      .select(col(idCol), col(tsCol), col("__sh"), col("__bands"),
+        explode(col("__bands")).as("bb"))
+      .select(col(idCol), col(tsCol), col("__sh"), col("__bands"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val l = banded.select(col(idCol).as("a"), col("__sh").as("sha"),
+      col("__bands").as("bands_a"), col("band"), col("bk"),
+      col(tsCol).as("ts_a")).withWatermark("ts_a", watermark)
+    val r = banded.select(col(idCol).as("b"), col("__sh").as("shb"),
+      col("__bands").as("bands_b"), col("band").as("band_r"), col("bk").as("bk_r"),
+      col(tsCol).as("ts_b")).withWatermark("ts_b", watermark)
+    val firstShared = array_min(zip_with(col("bands_a"), col("bands_b"),
+      (x, y) => when(x.getField("bk") === y.getField("bk"), x.getField("band"))))
+    l.join(r,
+      col("band") === col("band_r") && col("bk") === col("bk_r") &&
+        col("a") < col("b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $joinWindow") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $joinWindow"))
+      .filter(col("band") === firstShared)
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))
+      .withColumn("jac", round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Watermarked tumbling-window event counts — the standard streaming
     * aggregation shape (readStream → withWatermark → groupBy(window) →
     * agg), over an events-like stream (ts: Timestamp, event_type: String).

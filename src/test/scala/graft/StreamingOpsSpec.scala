@@ -301,6 +301,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupPairs end-to-end matches batch LSH candidates + Jaccard for in-window docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // near-dup families sharing most 2-gram shingles, plus unique docs —
+    // replayed over three micro-batches, all within the join window
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text about spark partitions and shuffles"),
+      (3L, "totally unrelated words concerning parquet file readers"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "spark partitions and shuffles make completely different text"))
+    def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingNearDupPairs(
+      in.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermark = "10 seconds", joinWindow = "5 MINUTES")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("ndp_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      val batches = corpus.grouped(2).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        in.addData(b.map { case (id, t) => (id, t, ts(i * 3)) })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table(q.name)
+        .select("a", "b", "inter", "uni", "jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch truth over the same corpus: LSH candidates scored by exact
+      // Jaccard (the composed pipeline this op streams)
+      val docs = corpus.toDF("doc_id", "text")
+      val batch = graft.functions.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8, 4)
+        .select(col("a"), col("b"), col("inter"), col("uni"),
+          org.apache.spark.sql.functions.round(col("jac"), 6).as("jac"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed.nonEmpty, "expected near-dup candidates in the stream")
+      assert(streamed == batch,
+        s"streaming pairs $streamed differ from batch pipeline $batch")
+      // exactly one emission per pair (the first-shared-band stateless dedup)
+      assert(streamed.map(t => (t._1, t._2)).distinct.length == streamed.length)
+    } finally q.stop()
+  }
+
   test("streamingBandPairs join window excludes far-apart arrivals on a shared band") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
