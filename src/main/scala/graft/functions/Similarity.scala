@@ -169,12 +169,21 @@ object Similarity {
     * dials with `nprobe`, cell size with |anchors|.
     */
   def ivfTopK(corpus: DataFrame, anchors: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    ivfProbe(ivfBuildCells(corpus, anchors, idCol, vecCol), anchors,
+      queries, idCol, vecCol, k, nprobe)
+
+  /** The IVF BUILD half: invert the corpus into (id, v, cell) — every
+    * vector assigned to its highest-cosine anchor (argmax via
+    * max(struct) — ties break to the smaller anchor id, like the oracle's
+    * ORDER BY score DESC, cid). One anchor broadcast + one
+    * partial-aggregated argmax; at corpus scale this runs ONCE and the
+    * result persists ([[ivfWriteIndex]]) for every later query batch.
+    */
+  def ivfBuildCells(corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    // invert the corpus: every vector into its best cell (argmax via
-    // max(struct) — ties break to the smaller anchor id, like the oracle's
-    // ORDER BY score DESC, cid)
-    val celled = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(a)
       .select(col("id"), col("v"),
         struct(cosine(col("cv"), col("v")).as("s"), (-col("cid")).as("nc"),
@@ -182,6 +191,31 @@ object Similarity {
       .groupBy(col("id"))
       .agg(max(col("cand")).as("best"), first(col("v")).as("v"))
       .select(col("id"), col("v"), col("best.cid").as("cell"))
+  }
+
+  /** Persist the built index as a cell-bucketed, cell-sorted table — the
+    * build-once/query-many ANN shape: probes read only the matching
+    * buckets' files and the assignment aggregation never reruns. Buckets
+    * co-locate cells so a (rare) shuffle-based probe join is exchange-free
+    * on the corpus side; the common broadcast-probe plan just benefits
+    * from the one-time assignment.
+    */
+  def ivfWriteIndex(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, table: String, buckets: Int = 32): Unit =
+    ivfBuildCells(corpus, anchors, idCol, vecCol)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** The IVF PROBE half over a prebuilt celled relation (id, v, cell) —
+    * per-query probe list from the broadcast anchors, candidate equi-join
+    * on cell, bounded-heap top-k. NO assignment aggregation anywhere in
+    * this plan: the index is an input, not a computation.
+    */
+  def ivfProbe(celled: DataFrame, anchors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // per-query probe list: nprobe highest-cosine cells (bounded heap over
     // the broadcast anchor relation — |queries| * |anchors| rows, k rows out)
@@ -190,7 +224,7 @@ object Similarity {
         round(cosine(col("cv"), col("qv")), 6).as("score")), nprobe)
       .select(col("qid"), col("id").as("cell"))
     val qp = broadcast(probes.join(q, Seq("qid")))
-    val scored = celled.join(qp, Seq("cell"))
+    val scored = celled.select(col("id"), col("v"), col("cell")).join(qp, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
     rankTopK(scored, k)

@@ -16,6 +16,38 @@ object SimQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** shared IVF search oracle: sim_ivf_persisted is the same search as
+    * sim_ivf_topk by construction (the index table holds the identical
+    * celled relation) — one SQL, two query keys
+    */
+  private lazy val ivfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |a AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (SELECT e.vec_id AS id, cid,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY list_inner_product(cv, v)
+         |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v))) DESC,
+         |              cid) AS ark
+         |        FROM e CROSS JOIN a),
+         |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |pr AS (SELECT qid, cid AS cell,
+         |         row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(list_inner_product(cv, qv)
+         |             / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv))), 6) DESC,
+         |           cid) AS prk
+         |       FROM q CROSS JOIN a),
+         |probe AS (SELECT qid, cell FROM pr WHERE prk <= 2),
+         |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
+         |      FROM probe JOIN cells ON probe.cell = cells.cell
+         |      JOIN e ON e.vec_id = cells.id
+         |      JOIN q USING (qid)
+         |      WHERE e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
+         |ORDER BY qid, rnk""".stripMargin
+
   private val cosSql =
     """round(list_inner_product(qv, v)
       |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)""".stripMargin
@@ -45,6 +77,25 @@ object SimQueries {
     "sim_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // the build-once/query-many ANN shape: the celled corpus persists as a
+    // cell-bucketed table (written once per session+SF), probes run
+    // against the TABLE — no assignment aggregation in the probe plan
+    // (PlanSpec-pinned). Same results as sim_ivf_topk by construction.
+    "sim_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") < 8)
+      // one deterministic table per SF dir; rewrite only when absent so
+      // repeated reps measure the PROBE, not the build
+      val table = "graft_ivf_idx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!s.catalog.tableExists(table))
+        Similarity.ivfWriteIndex(e, anchors, "vec_id", "embedding", table)
+      Similarity.ivfProbe(s.table(table), anchors,
         e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
         "vec_id", "embedding", k = 3, nprobe = 2)
         .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
@@ -152,33 +203,9 @@ object SimQueries {
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
-    "sim_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |a AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |asg AS (SELECT e.vec_id AS id, cid,
-         |          row_number() OVER (PARTITION BY e.vec_id
-         |            ORDER BY list_inner_product(cv, v)
-         |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v))) DESC,
-         |              cid) AS ark
-         |        FROM e CROSS JOIN a),
-         |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
-         |pr AS (SELECT qid, cid AS cell,
-         |         row_number() OVER (PARTITION BY qid ORDER BY
-         |           round(list_inner_product(cv, qv)
-         |             / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv))), 6) DESC,
-         |           cid) AS prk
-         |       FROM q CROSS JOIN a),
-         |probe AS (SELECT qid, cell FROM pr WHERE prk <= 2),
-         |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
-         |      FROM probe JOIN cells ON probe.cell = cells.cell
-         |      JOIN e ON e.vec_id = cells.id
-         |      JOIN q USING (qid)
-         |      WHERE e.vec_id <> qid),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
-         |      FROM s)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
-         |ORDER BY qid, rnk""".stripMargin,
+    "sim_ivf_topk" -> ivfTopkSql,
+
+    "sim_ivf_persisted" -> ivfTopkSql,
 
     "sim_neardup_cos" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

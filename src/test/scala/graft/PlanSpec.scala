@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
       "bloom prefilter should appear below (after) the join operator in the tree printout")
   }
 
+  test("persisted-IVF probe plan has no assignment aggregation — the index is an input") {
+    val p = plan(queries.SimQueries.queries("sim_ivf_persisted")(spark, sfDir))
+    assert(p.contains("graft_ivf_idx"),
+      "probe should scan the persisted bucketed index table")
+    // the build half's argmax (max(cand) + first(v)) must NOT rerun at
+    // probe time; the only aggregate left is the bounded-heap top-k
+    assert(!p.contains("max(cand"), "assignment argmax reran in the probe plan")
+    assert(!p.contains("first(v"), "assignment vector carry reran in the probe plan")
+    assert(p.contains("Broadcast"), "anchors/probe list must broadcast")
+  }
+
   test("kmeans round broadcasts the centroid relation; corpus side stays hash-aggregated") {
     val p = plan(queries.SimQueries.queries("emb_kmeans")(spark, sfDir))
     assert(p.contains("Broadcast"), "centroid relation must broadcast")
