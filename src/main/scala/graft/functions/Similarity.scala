@@ -201,12 +201,23 @@ object Similarity {
     * from the one-time assignment.
     */
   def ivfWriteIndex(corpus: DataFrame, anchors: DataFrame, idCol: String,
-      vecCol: String, table: String, buckets: Int = 32): Unit =
+      vecCol: String, table: String, buckets: Int = 32): Unit = {
+    val s = corpus.sparkSession
+    // true overwrite semantics: an in-memory catalog forgets tables across
+    // JVMs while the warehouse directory persists — clear a stale location
+    // so the rebuild doesn't fail with LOCATION_ALREADY_EXISTS
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     ivfBuildCells(corpus, anchors, idCol, vecCol)
       .write.mode("overwrite")
       .bucketBy(buckets, "cell").sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** The IVF PROBE half over a prebuilt celled relation (id, v, cell) —
     * per-query probe list from the broadcast anchors, candidate equi-join
