@@ -324,11 +324,17 @@ object Similarity {
           transform(col("pm"), p => p.getField("m")).as("cv"))
       // a centroid assigned zero points this round has no means row; carry
       // it forward (n=0) instead of silently returning < k centroids — a
-      // shrunken quantizer would quietly search fewer IVF cells downstream
-      cent = cent.select(col("cid"), col("cv").as("__prev"))
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("cv"), col("__prev")).as("cv"))
+      // shrunken quantizer would quietly search fewer IVF cells downstream.
+      // The carry-forward makes cent(r-1) referenced TWICE per round
+      // (assignment broadcast + prev join) — cache each round's k-row
+      // centroid relation so the second reference is a cache read, not a
+      // re-evaluation of the whole prior-round corpus aggregation (the
+      // uncached form doubled lineage per round: 2.1x on bt_100k_kmeans)
+      cent = CacheScope.cache(
+        cent.select(col("cid"), col("cv").as("__prev"))
+          .join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("cv"), col("__prev")).as("cv")))
     }
     cent
   }
@@ -347,15 +353,22 @@ object Similarity {
       col(idCol).as("id") +: col(vecCol).as("v") +:
         (0 until bands).map(b =>
           signBucket(col(vecCol), bitsPerBand, b * bitsPerBand).as(s"band$b")): _*)
-      ) // cached: referenced 2x per band (both join sides)
+      ) // cached: both sides of every band join AND the post-dedup vector fetch
+    // candidates carry ONLY (a, b): at dim=1024 the pair-dedup exchange
+    // moves 16 bytes per candidate instead of ~8 KB of rider vectors —
+    // the vectors re-join from the cached keyed relation AFTER the
+    // distinct shrinks the candidate set (the simhashPairs ride-along-
+    // only-what-scores discipline)
     val perBand = (0 until bands).map { b =>
-      val l = keyed.select(col(s"band$b").as("bk"), col("id").as("a"), col("v").as("va"))
-      val r = keyed.select(col(s"band$b").as("bk"), col("id").as("b"), col("v").as("vb"))
+      val l = keyed.select(col(s"band$b").as("bk"), col("id").as("a"))
+      val r = keyed.select(col(s"band$b").as("bk"), col("id").as("b"))
       l.join(r, Seq("bk")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("va"), col("vb"))
+        .select(col("a"), col("b"))
     }
     perBand.reduce(_ unionByName _)
-      .dropDuplicates("a", "b") // va/vb are functionally dependent on a/b
+      .dropDuplicates("a", "b")
+      .join(keyed.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("score"))
       .filter(col("score") >= threshold)
   }

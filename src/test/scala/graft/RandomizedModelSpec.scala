@@ -211,4 +211,37 @@ class RandomizedModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("removeDuplicatedWindows matches the brute-force cut model on random corpora") {
+    (1 to 4).foreach { it =>
+      val n     = 3 + rnd.nextInt(3) // window width 3..5
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0L until (8 + rnd.nextInt(8)).toLong).map { id =>
+        val len = rnd.nextInt(25) // includes sub-window docs
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute-force model: windows by position, cross-doc dup set, cut
+      // every token covered by a duplicated window. split of "" yields
+      // Seq("") — mirroring the engine's tokenizer exactly
+      val tokExact = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+      val wins = tokExact.toSeq.flatMap { case (id, tk) =>
+        if (tk.size < n) Seq.empty
+        else tk.sliding(n).zipWithIndex.map { case (w, p) => (id, p, w.mkString(" ")) }.toSeq
+      }
+      val dup = wins.map { case (id, _, w) => (id, w) }.distinct
+        .groupBy(_._2).filter(_._2.size > 1).keySet
+      val expect = docs.map { case (id, _) =>
+        val tk = tokExact(id)
+        val starts = wins.collect { case (`id`, p, w) if dup(w) => p }
+        val kept = tk.zipWithIndex.collect {
+          case (t, i) if !starts.exists(p => p <= i && i < p + n) => t
+        }
+        (id, kept.mkString(" "), tk.size.toLong, (tk.size - kept.size).toLong)
+      }.sortBy(_._1)
+      val got = Dedup.removeDuplicatedWindows(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"iteration $it n=$n")
+    }
+  }
 }
