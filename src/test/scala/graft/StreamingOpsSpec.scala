@@ -350,6 +350,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupPairs excludes near-dup docs arriving outside the join window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingNearDupPairs(
+      in.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermark = "5 seconds", joinWindow = "10 SECONDS")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("ndpw_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      val dup = "the quick brown fox jumps over the lazy dog"
+      in.addData((0L, dup, ts(0)), (1L, dup, ts(5)))
+      q.processAllAvailable()
+      in.addData((2L, dup, ts(100))) // identical text, outside the horizon
+      q.processAllAvailable()
+      val pairs = spark.table(q.name).select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pairs == Seq((0L, 1L)),
+        "only the in-window pair may emit; the late twin is beyond the state horizon")
+    } finally q.stop()
+  }
+
   test("streamingBandPairs join window excludes far-apart arrivals on a shared band") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
