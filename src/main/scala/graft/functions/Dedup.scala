@@ -488,18 +488,64 @@ object Dedup {
   def removeDuplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"window width must be >= 2, got $n")
-    val win = docs
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol),
-        posexplode(TextFunctions.shinglesFromTokens(col("__toks"), n)))
-      .select(col(idCol), (col("pos") + 1).as("p"), md5(col("col")).as("wh"))
+    val win = windowsWithPositions(docs, idCol, textCol, n)
     CacheScope.cache(win) // feeds the dup-set agg AND the per-doc start positions
     val dupWins = win.select(col(idCol), col("wh")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
       .select(col("wh"))
-    val starts = win.join(dupWins, Seq("wh"))
+    cutAtStarts(docs, win.join(dupWins, Seq("wh")), idCol, textCol, n)
+  }
+
+  /** [[removeDuplicatedWindows]] with the paper's other policy: remove all
+    * but ONE occurrence of each duplicated window. The keeper is the
+    * lexicographically smallest (doc, position) occurrence — a
+    * deterministic global choice made by ONE min-struct aggregation per
+    * duplicated window hash (no all-pairs, no ordering shuffle of the
+    * corpus); every other occurrence's span is cut. A kept span can still
+    * lose tokens to a DIFFERENT overlapping duplicated window's cut — the
+    * same overlap property as the reference implementation's byte-range
+    * cuts.
+    */
+  def removeDuplicatedWindowsKeepOne(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"window width must be >= 2, got $n")
+    val win = windowsWithPositions(docs, idCol, textCol, n)
+    CacheScope.cache(win) // dup-set agg + keeper argmin + start positions
+    val dupWins = win.select(col(idCol), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"))
+    val dupOcc = win.join(dupWins, Seq("wh"))
+    val keepers = dupOcc
+      .groupBy(col("wh"))
+      .agg(min(struct(col(idCol).as("kid"), col("p").as("kp"))).as("k"))
+      .select(col("wh"), col("k.kid").as("__kid"), col("k.kp").as("__kp"))
+    val cut = dupOcc.join(keepers, Seq("wh"))
+      .filter(!(col(idCol) === col("__kid") && col("p") === col("__kp")))
+    cutAtStarts(docs, cut, idCol, textCol, n)
+  }
+
+  /** (id, p, wh): every n-token window of every doc as (1-based start
+    * position, md5 hash) — windows shuffle as fixed-width hashes, never
+    * raw text
+    */
+  private def windowsWithPositions(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        posexplode(TextFunctions.shinglesFromTokens(col("__toks"), n)))
+      .select(col(idCol), (col("pos") + 1).as("p"), md5(col("col")).as("wh"))
+
+  /** cut every token covered by a window starting at one of `cutOcc`'s
+    * (id, p) rows; emits (id, clean_text, n_tokens, n_cut) for EVERY
+    * input doc — the shared tail of both removal policies
+    */
+  private def cutAtStarts(docs: DataFrame, cutOcc: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val starts = cutOcc
       .groupBy(col(idCol)).agg(collect_list(col("p")).as("__ps"))
     val cleaned = TextFunctions.let(TextFunctions.tokens(col(textCol))) { tk =>
       TextFunctions.let(filter(tk, (_, i) =>

@@ -197,6 +197,13 @@ object TextQueries {
       Dedup.removeDuplicatedWindows(docs(s, dir), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // the paper's other removal policy: keep exactly ONE occurrence (the
+    // lexicographically smallest (doc, position)) of each duplicated
+    // window, cut every other occurrence
+    "dedup_substring_keep1" -> ((s, dir) =>
+      Dedup.removeDuplicatedWindowsKeepOne(docs(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
     // count + md5 digest of the sorted selected hashes
     "txt_winnow" -> ((s, dir) =>
@@ -684,6 +691,35 @@ object TextQueries {
          |  FROM w0),
          |d AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh HAVING COUNT(*) > 1),
          |ps AS (SELECT doc_id, list(p) AS ps FROM w JOIN d USING (wh) GROUP BY doc_id),
+         |c AS (
+         |  SELECT t.doc_id, t.tk, COALESCE(ps.ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id),
+         |k AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(tk, (x, i) -> len(list_filter(ps, q -> q <= i AND i < q + 5)) = 0) AS kept
+         |  FROM c)
+         |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(tk) - len(kept) AS BIGINT) AS n_cut
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_keep1" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |w0 AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS p
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, p,
+         |    md5(tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] || ' ' || tk[p+3] || ' ' || tk[p+4]) AS wh
+         |  FROM w0),
+         |d AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh HAVING COUNT(*) > 1),
+         |occ AS (
+         |  SELECT doc_id, p, wh,
+         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rk
+         |  FROM w JOIN d USING (wh)),
+         |ps AS (SELECT doc_id, list(p) AS ps FROM occ WHERE rk > 1 GROUP BY doc_id),
          |c AS (
          |  SELECT t.doc_id, t.tk, COALESCE(ps.ps, CAST([] AS BIGINT[])) AS ps
          |  FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id),

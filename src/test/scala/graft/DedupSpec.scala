@@ -61,6 +61,33 @@ class DedupSpec extends SparkSpec {
       "a duplicated window survived the removal pass")
   }
 
+  test("removeDuplicatedWindowsKeepOne keeps exactly the (doc,pos)-minimal occurrence") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "x y a b c d e z"),
+      (3L, "p q r s t"), (4L, "p q r s t u v w"),
+      (5L, "h i j k l m")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedWindowsKeepOne(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // keepers: "a b c d e" at (1,1) -> doc 1 intact, doc 2 cut;
+    //          "p q r s t" at (3,1) -> doc 3 intact, doc 4 cut
+    assert(got == Seq(
+      (1L, "a b c d e f g", 7L, 0L),
+      (2L, "x y z", 8L, 5L),
+      (3L, "p q r s t", 5L, 0L),
+      (4L, "u v w", 8L, 5L),
+      (5L, "h i j k l m", 6L, 0L)))
+
+    // keep-one invariant: NO window is duplicated across docs afterwards
+    // (the single kept copy lives in exactly one doc)
+    val re = Dedup.duplicatedWindowStats(
+      Dedup.removeDuplicatedWindowsKeepOne(docs, "doc_id", "text", 5)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", 5)
+    assert(re.agg(org.apache.spark.sql.functions.sum("n_dup")).head.getLong(0) == 0L)
+  }
+
   test("connectedComponents converges on a long chain (pointer jumping)") {
     // diameter-29 chain would exceed naive propagation rounds; path
     // compression converges well within maxIters
