@@ -85,6 +85,24 @@ object Bench {
             j => pmod(col("id") * 37 + j * 101, lit(997)).cast("float")).as("v"))
         functions.Similarity.kmeansCentroids(pts, "id", "v", k = 16, iters = 3)
       }),
+      // substring span removal at synthetic scale: 300k 12-token docs, 6
+      // docs sharing each 6-token prefix — prefix windows are cross-doc
+      // duplicated (partial cuts), tails unique. Windows shuffle as md5
+      // hashes; the cut is a scan-pass HOF — the full Lee et al. pipeline
+      // shape as a first-class bench row. NOTE: the interpreted-HOF cut
+      // reaches C2 steady state slowly (measured 11->3 s over 4 runs on
+      // identical plans); the min-of-reps estimator is what reads true
+      "bt_300k_substr_cut" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.range(0, 300000, 1, 32).select(col("id"),
+          concat_ws(" ",
+            (0 until 6).map(j =>
+              conv(((col("id") % 50000) * 13 + j * 7).cast("string"), 10, 16)) ++
+            (6 until 12).map(j =>
+              conv((col("id") * 37 + j).cast("string"), 10, 16)): _*).as("text"))
+        functions.Dedup.removeDuplicatedWindows(docs, "id", "text", 5)
+          .agg(sum(col("n_cut")).as("total_cut"), count(lit(1)).as("n"))
+      }),
       // z-order layout at 1M rows: Morton key + range repartition + sort —
       // the write-time clustering cost (one range exchange by design)
       "bt_1m_zorder" -> ((s, _) => {
@@ -195,7 +213,7 @@ object Bench {
       // measured 2-3x the steady state on sub-second queries. The number
       // the 100 TB design cares about is per-row throughput, which the
       // warmed runs measure; the one-time costs amortize to zero at scale.
-      try { materialize(fn(spark, sfDir)); CacheScope.release() }
+      try { materialize(fn(spark, sfDir)); CacheScope.release(blocking = true) }
       catch { case _: Throwable => () } // the timed reps will report it
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -207,7 +225,7 @@ object Bench {
         // band keys) in CacheScope; release them per rep — both so 100
         // queries in one session don't accumulate storage memory and so
         // every rep pays the query's full cost (honest isolation)
-        CacheScope.release()
+        CacheScope.release(blocking = true)
         // settle the JVM between reps: collecting prior queries' garbage
         // HERE (untimed) also lets the ContextCleaner reclaim their
         // broadcast/shuffle state — without it, a query's reps absorb its

@@ -42,9 +42,13 @@ object CacheScope {
   /** graft-internal cached relations not yet released */
   def liveCount: Int = live.size
 
-  /** unpersist every graft-registered relation (non-blocking) */
-  def release(): Unit = {
+  /** Unpersist every graft-registered relation. Non-blocking by default;
+    * pass `blocking = true` when the caller needs deterministic isolation
+    * (benchmark reps — an async drop of a large cache contends with the
+    * next rep's work).
+    */
+  def release(blocking: Boolean = false): Unit = {
     var d = live.poll()
-    while (d != null) { d.unpersist(false); d = live.poll() }
+    while (d != null) { d.unpersist(blocking); d = live.poll() }
   }
 }
