@@ -368,6 +368,15 @@ object TextQueries {
         budget = 512L, shards = 8)
         .orderBy("doc_id")),
 
+    // Trained domain classifier: multinomial NB fit on (source, token)
+    // counts, every doc scored against every source, argmax emitted. The
+    // model relation is vocab-bounded, so scoring joins on token (inverted
+    // index), never corpus x corpus — see NaiveBayes's scaladoc.
+    "txt_nb_classify" -> ((s, dir) =>
+      graft.functions.NaiveBayes
+        .trainScorePredict(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
     // LSH pairs -> connected components -> per-doc cluster label (min
     // reachable doc_id) — the keep-one-per-cluster dedup decision
     "dedup_clusters" -> ((s, dir) => {
@@ -515,6 +524,37 @@ object TextQueries {
          |JOIN uniN ON uniN.t = string_split(bg, ' ')[1]
          |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // NB replay: training is pure counting, so the oracle re-derives the
+    // model from the same tokenization and replays ln-prior + token-mass
+    // scoring; argmax tie-break = score DESC, class ASC in both engines.
+    "txt_nb_classify" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, source AS c, unnest($tokSql) AS t FROM documents),
+         |dt AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
+         |tc AS (SELECT c, t, COUNT(*) AS cnt FROM ex GROUP BY c, t),
+         |v AS (SELECT COUNT(DISTINCT t) AS vocab FROM tc),
+         |ct AS (SELECT c, SUM(cnt) AS totc FROM tc GROUP BY c),
+         |cd AS (SELECT source AS c, COUNT(*) AS ndocs FROM documents GROUP BY source),
+         |cs AS (SELECT c, CAST(ndocs AS DOUBLE) /
+         |         CAST((SELECT SUM(ndocs) FROM cd) AS DOUBLE) AS prior, totc
+         |       FROM cd JOIN ct USING (c)),
+         |dn AS (SELECT doc_id, SUM(n) AS nd FROM dt GROUP BY doc_id),
+         |ms AS (SELECT dt.doc_id, tc.c,
+         |         SUM(CAST(dt.n AS DOUBLE) * ln(CAST(tc.cnt AS DOUBLE) + 1)) AS m
+         |       FROM dt JOIN tc USING (t) GROUP BY dt.doc_id, tc.c),
+         |sc AS (SELECT dn.doc_id, cs.c,
+         |         ln(cs.prior)
+         |           - CAST(dn.nd AS DOUBLE) * ln(CAST(cs.totc + v.vocab AS DOUBLE))
+         |           + COALESCE(ms.m, 0) AS score
+         |       FROM dn CROSS JOIN cs CROSS JOIN v
+         |       LEFT JOIN ms ON ms.doc_id = dn.doc_id AND ms.c = cs.c)
+         |SELECT doc_id, c AS pred, ROUND(score, 6) AS score
+         |FROM (SELECT doc_id, c, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY score DESC, c) AS rn
+         |      FROM sc)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "txt_entropy" ->
       s"""WITH ch AS (
