@@ -102,7 +102,7 @@ object Similarity {
   /** (qid, id, rank, score) from a scored candidate relation via the
     * bounded top-k aggregate; rank = 1-based position in the final list.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[ScoredId])
     scored.groupBy(col("qid"))
       .agg(topk(col("id"), col("score")).as("res"))

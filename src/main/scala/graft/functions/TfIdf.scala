@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF document vectors + top-k cosine neighbors via an inverted-index
+  * self-join — the classic sparse-retrieval analogue of the dense ANN ops
+  * in [[Similarity]] (near-duplicate detection and semantic clustering
+  * both lean on it when no embedding model is in the loop).
+  *
+  * Scale shape: everything flows through the term (inverted-index) key
+  * space, never corpus x corpus. Pair-generation cost is sum(df^2) over
+  * surviving terms, so `maxDf` is THE dial — dropping terms that appear
+  * in more than maxDf docs (stop-terms) bounds each posting list and
+  * makes the self-join's biggest key O(maxDf^2), independent of corpus
+  * size. Weights use n-gram terms (default bigrams): unigram spaces are
+  * tiny/undiscriminative on real corpora's head tokens, and every term
+  * with df=1 still contributes to the norm while generating zero pairs.
+  * The dot products ride ONE equi-join + one hash agg; per-doc top-k is
+  * the bounded-heap aggregate (k rows per partition x group cross the
+  * shuffle — no window rank).
+  *
+  * Reference analogue: scanner has no retrieval op; this extends the
+  * pipeline suite the same way the dense `sim_*` family does.
+  */
+object TfIdf {
+
+  /** Top-k TF-IDF cosine neighbors per doc: (idCol, id, rank, score),
+    * score rounded at 6 dp BEFORE ranking (both engines rank the rounded
+    * grid, so cross-engine double noise at ~1e-15 can't flip a rank), ties
+    * toward the smaller neighbor id. Docs with no surviving terms (or a
+    * zero vector after pruning) emit no rows.
+    */
+  def topKNeighbors(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
+    val nDocs = docs.count()
+    val terms = graft.CacheScope.cache(
+      docs.select(col(idCol).as("id"),
+          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+    // document frequency, stop-term pruned: df > maxDf terms are dropped
+    // from weights AND norms (the oracle replays the same convention)
+    val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = graft.CacheScope.cache(
+      terms.join(dfRel, Seq("t"))
+        .select(col("id"), col("t"),
+          (col("n").cast("double")
+            * log(lit(nDocs).cast("double") / col("df").cast("double"))).as("w")))
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0d)
+    // inverted index: postings self-join per term, halved by id order,
+    // then one hash agg accumulates the sparse dot products
+    val dots = w.select(col("t"), col("id").as("ai"), col("w").as("wa"))
+      .join(w.select(col("t"), col("id").as("bi"), col("w").as("wb")), Seq("t"))
+      .filter(col("ai") < col("bi"))
+      .groupBy(col("ai"), col("bi")).agg(sum(col("wa") * col("wb")).as("dot"))
+    val sims = dots
+      .join(norms.select(col("id").as("ai"), col("nrm").as("na")), Seq("ai"))
+      .join(norms.select(col("id").as("bi"), col("nrm").as("nb")), Seq("bi"))
+      .select(col("ai"), col("bi"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("score"))
+    val mirrored = sims.select(col("ai").as("qid"), col("bi").as("id"), col("score"))
+      .unionByName(sims.select(col("bi").as("qid"), col("ai").as("id"), col("score")))
+    Similarity.rankTopK(mirrored, k)
+      .withColumnRenamed("qid", idCol)
+  }
+}

@@ -377,6 +377,14 @@ object TextQueries {
         .trainScorePredict(docs(s, dir), "doc_id", "text", "source")
         .orderBy("doc_id")),
 
+    // Sparse retrieval: TF-IDF bigram vectors, top-3 cosine neighbors per
+    // doc through the inverted-index self-join (sum(df^2) bounded by the
+    // maxDf stop-term prune — see TfIdf's scaladoc for the 100 TB dial)
+    "sim_tfidf_topk" -> ((s, dir) =>
+      graft.functions.TfIdf.topKNeighbors(docs(s, dir), "doc_id", "text",
+        k = 3, ngram = 2, maxDf = 50L)
+        .orderBy("doc_id", "rank")),
+
     // LSH pairs -> connected components -> per-doc cluster label (min
     // reachable doc_id) — the keep-one-per-cluster dedup decision
     "dedup_clusters" -> ((s, dir) => {
@@ -524,6 +532,37 @@ object TextQueries {
          |JOIN uniN ON uniN.t = string_split(bg, ' ')[1]
          |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF replay: same bigram terms, df<=50 prune, idf = ln(N/df),
+    // ranks computed over the ROUNDED score grid in both engines.
+    "sim_tfidf_topk" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest($shSql) AS t
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+         |        HAVING COUNT(*) <= 50),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, t,
+         |        CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+         |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),
+         |nrm AS (SELECT doc_id, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY doc_id
+         |        HAVING sqrt(SUM(w*w)) > 0),
+         |dt AS (SELECT a.doc_id AS ai, b.doc_id AS bi, SUM(a.w*b.w) AS dot
+         |       FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |sim AS (SELECT ai, bi, ROUND(dot / (na.nrm * nb.nrm), 6) AS score
+         |        FROM dt
+         |        JOIN nrm na ON na.doc_id = ai
+         |        JOIN nrm nb ON nb.doc_id = bi),
+         |m AS (SELECT ai AS doc_id, bi AS id, score FROM sim
+         |      UNION ALL SELECT bi, ai, score FROM sim)
+         |SELECT doc_id, id, rank, score FROM (
+         |  SELECT doc_id, id, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, id) AS rank
+         |  FROM m)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // NB replay: training is pure counting, so the oracle re-derives the
     // model from the same tokenization and replays ln-prior + token-mass

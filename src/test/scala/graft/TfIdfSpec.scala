@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.TfIdf
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bigrams: d1={a b, b c}, d2={a b, b d}, d3={x y, y z}; only "a b" is
+  // shared, so d1<->d2 is the single pair and d3 emits nothing
+  private val corpus = Seq(
+    (1L, "a b c"), (2L, "a b d"), (3L, "x y z")
+  ).toDF("doc_id", "text")
+
+  test("cosine matches the closed-form TF-IDF similarity") {
+    val rows = TfIdf.topKNeighbors(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect()
+    CacheScope.release()
+    // sim(d1,d2) = ln(3/2)^2 / (ln(3/2)^2 + ln(3)^2), both norms equal
+    val l15sq = math.pow(math.log(3.0 / 2.0), 2)
+    val l3sq  = math.pow(math.log(3.0), 2)
+    val want  = BigDecimal(l15sq / (l15sq + l3sq))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+    rows.foreach(r => assert(math.abs(r.getDouble(3) - want) < 1e-9))
+  }
+
+  test("maxDf stop-term prune drops the only shared term") {
+    // df("a b") = 2 > maxDf = 1, so no pairs survive anywhere
+    val out = TfIdf.topKNeighbors(corpus, "doc_id", "text", k = 3, maxDf = 1L)
+    assert(out.count() == 0)
+    CacheScope.release()
+  }
+
+  test("k bounds the neighbor list with smaller-id tie-break") {
+    // three identical docs (plus one outlier so idf > 0): every pair among
+    // 1-3 scores 1.0, k=2 keeps the two smallest neighbor ids; the
+    // outlier shares no term and emits nothing
+    val same = ((1L to 3L).map(i => (i, "p q r")) :+ (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val rows = TfIdf.topKNeighbors(same, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheScope.release()
+    assert(rows == Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L),
+      (3L, 1L), (3L, 2L)))
+  }
+}
