@@ -298,6 +298,45 @@ object Dedup {
     bandSelfJoinPairs(keyed)
   }
 
+  /** The BUILD half of INCREMENTAL dedup: persist the corpus's LSH band
+    * keys once as a bucketed (id, band, bk) table. A pretraining corpus
+    * grows shard by shard — recomputing every historical signature per
+    * arriving shard is the O(corpus) cost this kills: the minhash of an
+    * already-indexed doc never changes, so it is data, not computation.
+    * Bucketing by the join key co-locates each band key's postings; the
+    * probe side (one shard) is small enough that its exchange is the only
+    * shuffle the incremental path pays at 100 TB.
+    */
+  def lshWriteBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, rows: Int, table: String, buckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    Similarity.prepareTableOverwrite(s, table)
+    bandKeys(slotMins(docs, idCol, textCol, k), idCol, k, rows)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** The PROBE half: band the NEW shard only and equi-join against the
+    * prebuilt index — no signature recomputation anywhere on the corpus
+    * side (PlanSpec-pinned: the probe plan reads raw text exactly once).
+    * Returns distinct (id, dup_of): new-shard docs colliding with an
+    * indexed doc in any band — the drop set of incremental dedup. New
+    * docs surviving the probe get [[lshCandidatePairs]] against each
+    * other (within-shard dups) and their bands appended to the index;
+    * `k`/`rows` must match the build call.
+    */
+  def lshProbeBandIndex(index: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, rows: Int): DataFrame = {
+    val probe = bandKeys(slotMins(newDocs, idCol, textCol, k), idCol, k, rows)
+    probe.select(col("band"), col("bk"), col("id").as("a"))
+      .join(index.select(col("band"), col("bk"), col("id").as("b")), Seq("band", "bk"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("id"), col("b").as("dup_of"))
+      .distinct()
+  }
+
   private val hexDigits = "0123456789abcdef"
 
   /** 64-bit SimHash over whitespace tokens, as `64/bitsPerBand` band

@@ -200,18 +200,24 @@ object Similarity {
     * on the corpus side; the common broadcast-probe plan just benefits
     * from the one-time assignment.
     */
-  def ivfWriteIndex(corpus: DataFrame, anchors: DataFrame, idCol: String,
-      vecCol: String, table: String, buckets: Int = 32): Unit = {
-    val s = corpus.sparkSession
-    // true overwrite semantics: an in-memory catalog forgets tables across
-    // JVMs while the warehouse directory persists — clear a stale location
-    // so the rebuild doesn't fail with LOCATION_ALREADY_EXISTS
+  /** true overwrite semantics for saveAsTable: an in-memory catalog
+    * forgets tables across JVMs while the warehouse directory persists —
+    * clear a stale location so a rebuild doesn't fail with
+    * LOCATION_ALREADY_EXISTS (shared by every build-once index writer)
+    */
+  private[graft] def prepareTableOverwrite(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
     if (!s.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+
+  def ivfWriteIndex(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, table: String, buckets: Int = 32): Unit = {
+    val s = corpus.sparkSession
+    prepareTableOverwrite(s, table)
     ivfBuildCells(corpus, anchors, idCol, vecCol)
       .write.mode("overwrite")
       .bucketBy(buckets, "cell").sortBy("cell")

@@ -140,6 +140,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("incremental probe flags shard-vs-corpus collisions only, never within-shard") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "an entirely different corpus document about engines")).toDF("doc_id", "text")
+    // 10 and 11 duplicate EACH OTHER and doc 0; 12 is novel
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "totally novel shard content with fresh phrasing")).toDF("doc_id", "text")
+    val table = "graft_lsh_idx_spec"
+    graft.functions.Dedup.lshWriteBandIndex(corpus, "doc_id", "text", 8, 4, table)
+    val hits = graft.functions.Dedup
+      .lshProbeBandIndex(spark.table(table), shard, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    spark.sql(s"DROP TABLE $table")
+    // within-shard pair (10, 11) is NOT the probe's job; both hit corpus doc 0
+    assert(hits == Seq((10L, 0L), (11L, 0L)))
+  }
+
   test("winnowFingerprints: short docs (grams < w) keep their single overall min") {
     import graft.functions.TextFunctions
     // 4 tokens -> 2 trigram hashes < w=4 windows -> exactly one fingerprint

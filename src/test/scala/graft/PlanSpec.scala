@@ -115,6 +115,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), "anchors/probe list must broadcast")
   }
 
+  test("incremental-dedup probe plan never recomputes corpus signatures") {
+    val p = plan(queries.TextQueries.queries("dedup_incremental")(spark, sfDir))
+    assert(p.contains("graft_lsh_idx"),
+      "probe should scan the persisted bucketed band index")
+    // only the NEW shard reads raw text: exactly one documents.parquet scan
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "corpus side must come from the index table, not a re-banding of raw docs")
+  }
+
   test("kmeans round broadcasts the centroid relation; corpus side stays hash-aggregated") {
     val p = plan(queries.SimQueries.queries("emb_kmeans")(spark, sfDir))
     assert(p.contains("Broadcast"), "centroid relation must broadcast")
