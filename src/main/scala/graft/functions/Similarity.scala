@@ -378,4 +378,37 @@ object Similarity {
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    * near-duplicates by clustering the embedding space and comparing only
+    * WITHIN clusters. Train the coarse k-means quantizer, assign every
+    * vector to its highest-cosine centroid (the [[ivfBuildCells]] argmax,
+    * ties to the smaller cid), pair within cells above `threshold`, keep
+    * the min-id representative of each duplicate group. Output:
+    * (idCol, cell, keep).
+    *
+    * Scale: within-cell pairing is |cell|² work, so k is the dial — the
+    * paper runs ~100k clusters at corpus scale precisely so cells stay
+    * O(corpus/k) small; nothing here is all-pairs across cells. The pair
+    * dedup carries bare (a, b) ids only; the threshold compares the
+    * ROUNDED cosine so the oracle's grid matches bit-for-bit.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val anchors = kmeansCentroidVectors(embs, idCol, vecCol, k, iters)
+      .select(col("cid").as(idCol),
+        transform(col("cv"), x => x.cast("float")).as(vecCol))
+    val celled = CacheScope.cache(ivfBuildCells(embs, anchors, idCol, vecCol))
+    val l = celled.select(col("cell"), col("id").as("a"), col("v").as("va"))
+    val r = celled.select(col("cell"), col("id").as("b"), col("v").as("vb"))
+    val drops = l.join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("b").as("id"))
+      .distinct()
+    celled.select(col("id"), col("cell"))
+      .join(drops.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        not(coalesce(col("__d"), lit(false))).as("keep"))
+  }
 }

@@ -161,6 +161,15 @@ object SimQueries {
         k = 8, iters = 3)
         .orderBy("cid", "pos")),
 
+    // SemDeDup: cluster the embedding space (2 Lloyd rounds), compare
+    // cosines WITHIN cells only, keep the min-id representative of every
+    // near-duplicate group — the semantic layer of the dedup suite (k is
+    // the cell-size dial; nothing crosses cells)
+    "sem_dedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.35)
+        .orderBy("vec_id")),
+
     // the FULL FAISS-style pipeline in one plan: TRAIN the coarse
     // quantizer (2 Lloyd rounds) then build the inverted file and search
     // it — cells are the learned centroids instead of raw corpus rows.
@@ -256,8 +265,38 @@ object SimQueries {
 
     "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
 
-    "sim_ivf_kmeans" -> ivfKmeansSql(k = 8, iters = 2, dim = 64)
+    "sim_ivf_kmeans" -> ivfKmeansSql(k = 8, iters = 2, dim = 64),
+
+    "sem_dedup" -> semDedupSql(k = 8, iters = 2, dim = 64, threshold = 0.35)
   )
+
+  /** composite oracle: k-means chain -> cosine-argmax cells -> within-cell
+    * pair threshold on the ROUNDED cosine grid -> min-id keeper
+    */
+  private def semDedupSql(k: Int, iters: Int, dim: Int, threshold: Double): String = {
+    val anchorCos =
+      """list_inner_product(cv, v)
+        |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v)))""".stripMargin
+    val pairCos =
+      """round(list_inner_product(ea.v, eb.v)
+        |        / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))), 6)""".stripMargin
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |anch AS (SELECT cid, list_transform(cv, y -> CAST(CAST(y AS FLOAT) AS DOUBLE)) AS cv
+       |  FROM c$iters),
+       |asg AS (SELECT e.id, cid,
+       |          row_number() OVER (PARTITION BY e.id
+       |            ORDER BY $anchorCos DESC, cid) AS ark
+       |        FROM e CROSS JOIN anch),
+       |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
+       |prs AS (SELECT x.id AS a, y.id AS b
+       |        FROM cells x JOIN cells y ON x.cell = y.cell AND x.id < y.id
+       |        JOIN e ea ON ea.id = x.id JOIN e eb ON eb.id = y.id
+       |        WHERE $pairCos >= $threshold),
+       |drops AS (SELECT DISTINCT b AS id FROM prs)
+       |SELECT cells.id AS vec_id, cell, (drops.id IS NULL) AS keep
+       |FROM cells LEFT JOIN drops ON drops.id = cells.id
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** composite oracle: the [[kmeansCtes]] chain trains the anchors, then
     * the sim_ivf_topk CTE shape searches with them (float-cast parity on
