@@ -137,6 +137,48 @@ object StreamingOps {
       .select(col("a"), col("b"), col("bk"))
   }
 
+  /** The streaming half of INCREMENTAL dedup: arriving documents probe the
+    * PERSISTED corpus band index
+    * ([[graft.functions.Dedup.lshWriteBandIndex]]) through a
+    * stream-static equi-join — each micro-batch bands its own rows (pure
+    * row expressions, no aggregation state) and joins the static index;
+    * corpus signatures are data, never recomputation, and the static side
+    * holds NO stream state at all. Emits (id, dup_of) per
+    * corpus collision — dedup-against-history with per-batch latency,
+    * complementing [[streamingBandPairs]]'s within-window pairs. `k` and
+    * `rows` must match the index build.
+    */
+  def streamingIndexProbe(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, rows: Int = 4): DataFrame = {
+    import graft.functions.Dedup
+    // the index's per-id band array, built ONCE (static side — cache so
+    // micro-batches reuse it); sort_array orders by band, aligning
+    // positionally with the stream side's bandKeyStructs array
+    val idxArr = graft.CacheScope.cache(index.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("band"), col("bk")))).as("bands_i")))
+    val idxFlat = idxArr
+      .select(col("id").as("dup_of"), col("bands_i"), explode(col("bands_i")).as("bb"))
+      .select(col("dup_of"), col("bands_i"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val banded = docs
+      .withColumn("__sh", Dedup.shingleSet(col(textCol)))
+      .filter(size(col("__sh")) >= 1)
+      .withColumn("__bands", Dedup.bandKeyStructs(col("__sh"), k, rows))
+      .select(col(idCol).as("id"), col("__bands"),
+        explode(col("__bands")).as("bb"))
+      .select(col("id"), col("__bands"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    // a pair colliding in SEVERAL bands emits once, from its first shared
+    // band — the stateless dedup trick of [[streamingNearDupPairs]] (a
+    // streaming dropDuplicates here would grow state without bound)
+    val firstShared = array_min(zip_with(col("__bands"), col("bands_i"),
+      (x, y) => when(x.getField("bk") === y.getField("bk"), x.getField("band"))))
+    banded
+      .join(idxFlat, Seq("band", "bk"))
+      .filter(col("id") =!= col("dup_of"))
+      .filter(col("band") === firstShared)
+      .select(col("id"), col("dup_of"))
+  }
+
   /** Streaming near-duplicate detection END-TO-END in one composed call:
     * text → minhash band keys → watermarked band self-join → exact
     * Jaccard verify — the full batch `dedup_lsh_pairs`+`dedup_jaccard`

@@ -399,4 +399,40 @@ class StreamingOpsSpec extends SparkSpec {
       assert(pairs == Seq((0L, 1L)))
     } finally q.stop()
   }
+
+  test("streamingIndexProbe: arriving docs hit the persisted corpus index, one row per pair") {
+    import graft.functions.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "an entirely different corpus document about engines"))
+      .toDF("doc_id", "text")
+    val table = "graft_lsh_idx_stream_spec"
+    Dedup.lshWriteBandIndex(corpus, "doc_id", "text", 8, 4, table)
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingIndexProbe(
+      in.toDF().toDF("doc_id", "text"), spark.table(table), "doc_id", "text")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("idxprobe_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      // doc 10 duplicates corpus doc 0 — identical text collides in EVERY
+      // band, so the first-shared-band dedup must still emit exactly one row
+      in.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "totally novel shard content with fresh phrasing"))
+      q.processAllAvailable()
+      in.addData((12L, "an entirely different corpus document about engines"))
+      q.processAllAvailable()
+      val hits = spark.table(q.name).select("id", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(hits == Seq((10L, 0L), (12L, 1L)))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE $table")
+      CacheScope.release()
+    }
+  }
 }
