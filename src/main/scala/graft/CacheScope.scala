@@ -31,6 +31,7 @@ import org.apache.spark.sql.Dataset
   */
 object CacheScope {
   private val live = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val liveRdds = new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** persist + register — every graft-internal long-lived cache site */
   private[graft] def cache[T](ds: Dataset[T]): Dataset[T] = {
@@ -39,8 +40,14 @@ object CacheScope {
     ds
   }
 
+  /** register an ALREADY-persisted row RDD (lineage-truncation blocks a
+    * returned relation still reads — Dataset.unpersist can't reach them)
+    */
+  private[graft] def registerRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    liveRdds.add(rdd)
+
   /** graft-internal cached relations not yet released */
-  def liveCount: Int = live.size
+  def liveCount: Int = live.size + liveRdds.size
 
   /** Unpersist every graft-registered relation. Non-blocking by default;
     * pass `blocking = true` when the caller needs deterministic isolation
@@ -50,5 +57,7 @@ object CacheScope {
   def release(blocking: Boolean = false): Unit = {
     var d = live.poll()
     while (d != null) { d.unpersist(blocking); d = live.poll() }
+    var r = liveRdds.poll()
+    while (r != null) { r.unpersist(blocking); r = liveRdds.poll() }
   }
 }
