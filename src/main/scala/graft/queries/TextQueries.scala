@@ -410,6 +410,18 @@ object TextQueries {
       Dedup.connectedComponents(d.select("doc_id"), pairs, "doc_id")
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
+    }),
+
+    // ...and the DECISION applied: the near-dup cleaned corpus keeps the
+    // min-id representative of every cluster (id == its own label) — the
+    // LSH-cluster analogue of dedup_keep's exact-hash keeper
+    "dedup_cluster_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4)
+      Dedup.connectedComponents(d.select("doc_id"), pairs, "doc_id")
+        .filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -749,6 +761,19 @@ object TextQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_keep" ->
+      s"""WITH RECURSIVE $lshBandsCte,
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+         |SELECT id AS doc_id FROM reach
+         |GROUP BY id HAVING id = MIN(r) ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH ${simhashBandsCte(8)}
