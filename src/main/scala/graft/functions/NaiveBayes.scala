@@ -49,14 +49,18 @@ object NaiveBayes {
     val tokClass = ex.groupBy(col("c"), col("t")).agg(count(lit(1)).as("cnt"))
     val vocab    = tokClass.select(col("t")).distinct().count()
 
-    // |C| rows: token mass + doc count per class, plus the corpus doc
-    // total folded in as a literal-free column so priors divide doubles
+    // |C| rows: token mass + doc count per class. The corpus doc total is
+    // one driver scalar off the CACHED class relation (|C| rows — bounded
+    // like the vocab count; a window-over-all here would plant a Window in
+    // an otherwise window-free plan), and priors divide doubles
     // identically in both engines (ndocs / total, then ln)
     val classTok  = tokClass.groupBy(col("c")).agg(sum(col("cnt")).as("totc"))
-    val classDocs = docs.groupBy(col(classCol).as("c")).agg(count(lit(1)).as("ndocs"))
-    val nDocsAll  = sum(col("ndocs")).over()
+    val classDocs = graft.CacheScope.cache(
+      docs.groupBy(col(classCol).as("c")).agg(count(lit(1)).as("ndocs")))
+    val nDocsAll  = classDocs.agg(sum(col("ndocs"))).collect()(0).getLong(0)
     val classStats = classDocs
-      .select(col("c"), (col("ndocs").cast("double") / nDocsAll.cast("double")).as("prior"))
+      .select(col("c"),
+        (col("ndocs").cast("double") / lit(nDocsAll).cast("double")).as("prior"))
       .join(classTok, Seq("c"))
 
     val docLen = docTok.groupBy(col("id")).agg(sum(col("n")).as("nd"))

@@ -124,6 +124,12 @@ class PlanSpec extends SparkSpec {
       "corpus side must come from the index table, not a re-banding of raw docs")
   }
 
+  test("NB classifier plan: model join + broadcast constants, no window anywhere") {
+    val p = plan(queries.TextQueries.queries("txt_nb_classify")(spark, sfDir))
+    assert(!p.contains("Window"), "priors/argmax must not plant a window")
+    assert(p.contains("Broadcast"), "the |C|-row class-stats relation should broadcast")
+  }
+
   test("kmeans round broadcasts the centroid relation; corpus side stays hash-aggregated") {
     val p = plan(queries.SimQueries.queries("emb_kmeans")(spark, sfDir))
     assert(p.contains("Broadcast"), "centroid relation must broadcast")
