@@ -103,6 +103,25 @@ object Bench {
         functions.Dedup.removeDuplicatedWindows(docs, "id", "text", 5)
           .agg(sum(col("n_cut")).as("total_cut"), count(lit(1)).as("n"))
       }),
+      // TF-IDF retrieval at synthetic scale: 100k 8-token docs in groups
+      // of 5 sharing a 6-token prefix (shared bigrams df=5, tails df=1) —
+      // the posting self-join runs over ~100k group-local keys, sum(df²)
+      // ≈ 2.5M, and every doc finds its 4 group neighbors; exercises the
+      // maxDf prune + bounded-heap top-k at a scale where a window rank
+      // or unpruned head term would blow up. Early reps ramp down while
+      // C2 compiles the tokenize/HOF codegen (same note as the substr-cut
+      // row); min-of-reps reports the steady state.
+      "bt_100k_tfidf" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.range(0, 100000, 1, 32).select(col("id"),
+          concat_ws(" ",
+            (0 until 6).map(j =>
+              conv(((col("id") / 5) * 31 + j * 7).cast("string"), 10, 16)) ++
+            (6 until 8).map(j =>
+              conv((col("id") * 97 + j).cast("string"), 10, 16)): _*).as("text"))
+        functions.TfIdf.topKNeighbors(docs, "id", "text", k = 4, maxDf = 50L)
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
+      }),
       // z-order layout at 1M rows: Morton key + range repartition + sort —
       // the write-time clustering cost (one range exchange by design)
       "bt_1m_zorder" -> ((s, _) => {
