@@ -367,12 +367,17 @@ object SequenceOps {
         transform(sequence(loC, hiC), r => struct(r.as("t"), lit(slot).as("s"))))
         .otherwise(array().cast("array<struct<t:long,s:int>>"))
     }
-    val membership = boundary match {
+    // the 1→1 contract: every input row is also ITS OWN target (sentinel
+    // slot -1, matching no window slot) — producer membership alone drops
+    // edge windows no producer serves (one-sided offset sets under
+    // NullFill/Error lose the first/last rows; randomized-model pinned)
+    val selfTarget = array(struct(idx.cast("long").as("t"), lit(-1).as("s")))
+    val membership = concat(boundary match {
       case Boundary.RepeatEdge =>
         when(idx =!= 0 && idx =!= mx, interior)
           .otherwise(flatten(array(slotTargets: _*)))
       case _ => interior
-    }
+    }, selfTarget)
     val exploded = dfl
       .withColumn("__tgt", explode(membership))
       // out-of-domain targets from near-edge interior rows (and NullFill/
@@ -392,7 +397,7 @@ object SequenceOps {
     // still a present neighbor).
     val slotAggs = offsets.indices.map(k =>
       max(when(col("__s") === k, col("__p"))).as(s"__w$k")) :+
-      count(lit(1)).as("__n")
+      count(when(col("__s") >= 0, lit(1))).as("__n") // sentinel rows don't count as neighbors
     val grouped = exploded
       .groupBy(col(STREAM), col("__t"))
       .agg(slotAggs.head, slotAggs.tail: _*)
@@ -500,6 +505,11 @@ object SequenceOps {
         val targets = new java.util.TreeSet[java.lang.Long]()
         rows.foreach { r =>
           val p = r.getLong(iPos)
+          // the 1→1 contract: every input row IS a target — producer
+          // reach alone drops edge windows no producer serves (one-sided
+          // offset sets under NullFill/Error lose the first/last |min|/
+          // |max| rows; caught by the randomized ground-truth model)
+          if (p >= bktLo && p <= bktHi) targets.add(p)
           var k = 0
           while (k < nSlots) {
             val s = offs(k)

@@ -51,6 +51,47 @@ class RandomizedModelSpec extends SparkSpec {
     }
   }
 
+  test("NB classifier matches the brute-force multinomial model on random corpora") {
+    import graft.functions.NaiveBayes
+    (1 to 4).foreach { it =>
+      val nClasses = 2 + rnd.nextInt(3)
+      val vocabPool = ('a' to 'j').map(_.toString)
+      val docs = (0L until (20 + rnd.nextInt(40)).toLong).map { i =>
+        val cls = s"c${rnd.nextInt(nClasses)}"
+        val toks = Seq.fill(1 + rnd.nextInt(8))(vocabPool(rnd.nextInt(vocabPool.size)))
+        (i, toks.mkString(" "), cls)
+      }
+      // brute-force model: counts -> add-one-smoothed log-likelihood argmax
+      val byTok   = docs.flatMap { case (i, t, c) => t.split("\\s+").map(tok => (i, c, tok)) }
+      val tokCls  = byTok.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong).toMap
+      val totCls  = byTok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val vocab   = byTok.map(_._3).distinct.size.toLong
+      val classes = docs.map(_._3).distinct.sorted
+      val prior   = classes.map(c =>
+        c -> docs.count(_._3 == c).toDouble / docs.size).toMap
+      // score every class; near-ties (sum-order float noise between the
+      // two implementations) accept any class within 1e-9 of the best
+      val scoresByDoc = docs.map { case (i, t, _) =>
+        val toks = t.split("\\s+").toSeq
+        i -> classes.map { c =>
+          c -> (math.log(prior(c)) -
+            toks.size * math.log((totCls(c) + vocab).toDouble) +
+            toks.map(tok => math.log(tokCls.getOrElse((c, tok), 0L) + 1d)).sum)
+        }.toMap
+      }.toMap
+      val got = NaiveBayes.trainScorePredict(
+          docs.toDF("doc_id", "text", "cls"), "doc_id", "text", "cls")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      CacheScope.release()
+      got.foreach { case (i, pred) =>
+        val scores = scoresByDoc(i)
+        val best   = scores.values.max
+        assert(scores(pred) >= best - 1e-9,
+          s"iteration $it doc $i: predicted $pred (${scores(pred)}) vs best $best")
+      }
+    }
+  }
+
   test("stencil matches the brute-force window model over random offsets and boundary modes") {
     (1 to 6).foreach { it =>
       val n = (30 + rnd.nextInt(120)).toLong

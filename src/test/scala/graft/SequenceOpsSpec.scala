@@ -232,6 +232,24 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(2)._2 == Seq(Some(0L), Some(2L)))
   }
 
+  test("stencil one-sided offsets under null-fill keep the edge rows (all-null windows)") {
+    // offsets={+2}: rows 3 and 4 have NO in-domain neighbor — the 1→1
+    // contract still emits them, window = [null] (both physical plans)
+    for (plan <- Seq(
+        SequenceOps.stencil(elems(5), Seq(2), "payload", Boundary.NullFill),
+        SequenceOps.stencilExplode(elems(5), Seq(2), "payload", Boundary.NullFill))) {
+      val out = plan.orderBy("index").collect()
+        .map { r =>
+          val w = r.getSeq[Array[Byte]](r.fieldIndex("window"))
+          (r.getAs[Long]("index"), w.map(Option(_).map(b => new String(b).toLong)))
+        }
+      assert(out.map(_._1).toSeq == (0L until 5L).toSeq, "every input row is a target")
+      assert(out(2)._2 == Seq(Some(4L)))
+      assert(out(3)._2 == Seq(None))
+      assert(out(4)._2 == Seq(None))
+    }
+  }
+
   test("stencil Error boundary raises on out-of-domain reads (rpc.proto:254-259)") {
     val ok = SequenceOps.stencil(elems(5), Seq(0, 1), "payload", Boundary.Error)
       .filter(col(SequenceOps.INDEX) < 4) // all in-domain windows
