@@ -15,9 +15,14 @@ import graft.operators.SequenceOps
 class RandomizedModelSpec extends SparkSpec {
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(1234)
+  // one independent fixed-seed stream PER TEST: a shared stream couples
+  // every test's cases to file order, so inserting a test silently
+  // changes all later tests' coverage (that shift is how the stencil
+  // one-sided-offset bug surfaced — now each test owns its cases)
+  private def seeded(seed: Int) = new scala.util.Random(seed)
 
   test("asofJoin matches the brute-force latest-at-or-before model on random sparse streams") {
+    val rnd = seeded(1234)
     (1 to 6).foreach { it =>
       val nStreams = 1 + rnd.nextInt(3)
       val left = for {
@@ -52,6 +57,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("NB classifier matches the brute-force multinomial model on random corpora") {
+    val rnd = seeded(1235)
     import graft.functions.NaiveBayes
     (1 to 4).foreach { it =>
       val nClasses = 2 + rnd.nextInt(3)
@@ -93,6 +99,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("stencil matches the brute-force window model over random offsets and boundary modes") {
+    val rnd = seeded(1236)
     (1 to 6).foreach { it =>
       val n = (30 + rnd.nextInt(120)).toLong
       val nOff = 1 + rnd.nextInt(4)
@@ -129,6 +136,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("minhash signatures match a brute-force MessageDigest model on random docs") {
+    val rnd = seeded(1237)
     // independent md5 path (java.security vs the plan's codegen'd Md5),
     // independent hex parse (BigInt vs the plan's conv), independent
     // shingle/slot/min logic — validates the explode + hash-agg plumbing,
@@ -166,6 +174,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("connectedComponents matches union-find on random graphs") {
+    val rnd = seeded(1238)
     (1 to 5).foreach { it =>
       val n = 20 + rnd.nextInt(80)
       val nodes = (0L until n.toLong)
@@ -194,6 +203,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("bandedHammingPairs matches brute-force Hamming for distance <= maxHamming (pigeonhole)") {
+    val rnd = seeded(1239)
     import graft.functions.Dedup
     (1 to 5).foreach { it =>
       val n = 30 + rnd.nextInt(30)
@@ -218,6 +228,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("winnowFingerprints matches the brute-force winnowing model on random corpora") {
+    val rnd = seeded(1240)
     import graft.functions.TextFunctions
     def polyHash(s: String): Long = {
       var acc = 0L
@@ -254,6 +265,7 @@ class RandomizedModelSpec extends SparkSpec {
   }
 
   test("removeDuplicatedWindows matches the brute-force cut model on random corpora") {
+    val rnd = seeded(1241)
     (1 to 4).foreach { it =>
       val n     = 3 + rnd.nextInt(3) // window width 3..5
       val vocab = Vector("a", "b", "c", "d", "e", "f")
