@@ -377,6 +377,20 @@ object TextQueries {
         .trainScorePredict(docs(s, dir), "doc_id", "text", "source")
         .orderBy("doc_id")),
 
+    // Count-min point-frequency: the sketch builds in d*w fixed cells
+    // (one map-side-combining agg), probes broadcast against it — the
+    // frequency query that never shuffles a vocab. Probes = the stopword
+    // list + one absent token (est 0 unless a collision over-counts).
+    "q_cms_freq" -> ((s, dir) => {
+      import s.implicits._
+      val sk = graft.functions.CountMin.sketch(
+        docs(s, dir).select(explode(TF.tokens(col("text"))).as("token")),
+        "token", d = 3, w = 128)
+      graft.functions.CountMin.estimate(sk,
+        (STOPWORDS :+ "zz_missing").toDF("token"), "token", d = 3, w = 128)
+        .orderBy("token")
+    }),
+
     // Incremental dedup: corpus (doc_id % 10 < 8) band-indexed ONCE as a
     // bucketed table, the arriving shard (% 10 >= 8) probes it — the
     // shard-by-shard growth path where historical signatures are data,
@@ -561,6 +575,27 @@ object TextQueries {
          |JOIN uniN ON uniN.t = string_split(bg, ' ')[1]
          |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CMS replay: same md5-residue universal hashes, same cells, same
+    // collisions — the estimate is deterministic in both engines.
+    "q_cms_freq" ->
+      s"""WITH tk AS (SELECT unnest($tokSql) AS tkn FROM documents),
+         |hx AS (SELECT tkn,
+         |    ('0x' || substr(md5(tkn), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
+         |  FROM tk),
+         |cells AS (SELECT r, (a * xm + b) % ${Dedup.minhashP} % 128 AS c,
+         |    COUNT(*) AS cnt
+         |  FROM hx CROSS JOIN (VALUES ${slotConstsSql(3)}) AS s(r, a, b)
+         |  GROUP BY r, (a * xm + b) % ${Dedup.minhashP} % 128),
+         |pr AS (SELECT unnest([${(STOPWORDS :+ "zz_missing").map(t => s"'$t'").mkString(", ")}]) AS token),
+         |ph AS (SELECT token,
+         |    ('0x' || substr(md5(token), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
+         |  FROM pr),
+         |pe AS (SELECT token, r, (a * xm + b) % ${Dedup.minhashP} % 128 AS c
+         |  FROM ph CROSS JOIN (VALUES ${slotConstsSql(3)}) AS s(r, a, b))
+         |SELECT token, MIN(COALESCE(cells.cnt, 0)) AS est
+         |FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.c = pe.c
+         |GROUP BY token ORDER BY token""".stripMargin,
 
     // Incremental replay: signatures are split-independent, so the oracle
     // bands ALL docs once and applies the corpus/shard split in the join
