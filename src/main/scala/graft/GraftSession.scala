@@ -33,6 +33,32 @@ object GraftSession {
     s
   }
 
+  /** REAL multi-executor session: `local-cluster[workers, cores, memMb]`
+    * spawns separate executor JVMs (Spark's standalone master/worker in
+    * miniature), so closure/kernel serialization, broadcasts, shuffle
+    * files, and block fetches all cross process boundaries exactly as on
+    * a cluster — the execution-model evidence `local[N]` cannot give.
+    * The executor classpath mirrors the driver's (same machine), which is
+    * how our compiled classes reach the worker JVMs without packaging a
+    * jar per run.
+    */
+  def localCluster(workers: Int, cores: Int, memMb: Int,
+      appName: String = "graft-cluster"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$workers,$cores,$memMb]")
+      .withExtensions(graft.plans.GraftExtensions)
+      .appName(appName)
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.sql.shuffle.partitions", (workers * cores).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   /** Nanosecond-long → microsecond timestamp, for tables read with
     * nanosAsLong (events.ts).
     */

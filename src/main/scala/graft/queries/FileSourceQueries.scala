@@ -37,27 +37,65 @@ object FileSourceQueries {
   }
 
   /** idempotent: embedded Derby DB (the jars Spark ships for its metastore)
-    * seeded with a deterministic annotations table — the "SQL source"
+    * seeded with a deterministic annotations table — the "SQL source".
+    *
+    * Embedded Derby is a single-JVM engine: a directory-backed database is
+    * locked exclusively by whichever JVM boots it, which breaks
+    * `local-cluster` runs where the driver resolves the JDBC schema while
+    * a separate executor JVM scans the table. Derby's documented
+    * multi-reader deployment is a database-in-a-jar
+    * (`jdbc:derby:jar:(archive)db`): read-only by construction, no
+    * `db.lck`, and any number of JVMs may boot it concurrently — exactly
+    * the shape of a shared annotation store. So: seed a scratch copy,
+    * shut it down cleanly, zip it into an archive, and hand out the jar
+    * URL. `derby.storage.tempDirectory` is stored IN the database so
+    * read-only boots get a writable scratch dir on every JVM.
     */
   private def ensureJdbc(): String = {
-    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft-derby;create=true"
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val meta = conn.getMetaData.getTables(null, null, "ANNOTATIONS", null)
-      if (!meta.next()) {
-        val st = conn.createStatement()
-        st.executeUpdate(
-          "CREATE TABLE annotations (stream_id BIGINT, idx BIGINT, label VARCHAR(32))")
-        val ps = conn.prepareStatement("INSERT INTO annotations VALUES (?, ?, ?)")
-        for (sid <- 0L until 2L; i <- 0L until 15L) {
-          ps.setLong(1, sid); ps.setLong(2, i)
-          ps.setString(3, s"label_${(sid * 31 + i * 7) % 5}")
-          ps.executeUpdate()
-        }
-        ps.close(); st.close()
+    val tmp  = sys.props("java.io.tmpdir")
+    val seed = Paths.get(tmp, "graft-derby-seed")
+    val jar  = Paths.get(tmp, "graft-derby.jar")
+    if (!Files.exists(jar)) {
+      if (!Files.exists(seed)) {
+        val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$seed;create=true")
+        try {
+          val st = conn.createStatement()
+          st.executeUpdate(
+            "CREATE TABLE annotations (stream_id BIGINT, idx BIGINT, label VARCHAR(32))")
+          val ps = conn.prepareStatement("INSERT INTO annotations VALUES (?, ?, ?)")
+          for (sid <- 0L until 2L; i <- 0L until 15L) {
+            ps.setLong(1, sid); ps.setLong(2, i)
+            ps.setString(3, s"label_${(sid * 31 + i * 7) % 5}")
+            ps.executeUpdate()
+          }
+          ps.close()
+          val cs = conn.prepareCall("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(?, ?)")
+          cs.setString(1, "derby.storage.tempDirectory")
+          cs.setString(2, tmp)
+          cs.execute(); cs.close(); st.close()
+        } finally conn.close()
+        // clean shutdown (SQLState 08006 signals success) so the archived
+        // log needs no recovery on read-only boots
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$seed;shutdown=true")
+        catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
       }
-    } finally conn.close()
-    url
+      // zip the seeded tree under the "graft-derby-seed/" prefix; write to
+      // a temp name then move, so a concurrent caller never sees a torn jar
+      val part = Files.createTempFile(Paths.get(tmp), "graft-derby", ".jar.part")
+      val zos  = new java.util.zip.ZipOutputStream(Files.newOutputStream(part))
+      try {
+        val walk = Files.walk(seed)
+        try walk.filter(Files.isRegularFile(_)).forEach { p =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(
+            "graft-derby-seed/" + seed.relativize(p).toString.replace('\\', '/')))
+          Files.copy(p, zos)
+          zos.closeEntry()
+        } finally walk.close()
+      } finally zos.close()
+      try Files.move(part, jar, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(part) }
+    }
+    s"jdbc:derby:jar:($jar)graft-derby-seed"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
