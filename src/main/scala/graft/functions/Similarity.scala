@@ -345,6 +345,89 @@ object Similarity {
     cent
   }
 
+  /** the m disjoint subvector slices of `v` (double-cast), indexed by
+    * subspace — the PQ decomposition column
+    */
+  private def pqSubs(v: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(j =>
+      transform(slice(v, j * subDim + 1, subDim), x => x.cast("double"))): _*)
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split every vector into
+    * `m` disjoint `subDim`-dim subvectors and train an independent
+    * `ksub`-centroid Lloyd quantizer per subspace — the compression that
+    * stores a 100 TB float corpus as m bytes/vector plus a tiny codebook.
+    * Output: (sub, cid, cv: array<double>) — m × ksub rows, broadcastable
+    * everywhere downstream.
+    *
+    * Scale: training reuses [[kmeansCentroidVectors]] per subspace (m
+    * narrow corpus scans per round over `subDim`-wide slices). At corpus
+    * scale codebooks are trained on a sample anyway — the codebook is the
+    * small side; [[pqEncode]] is the full-corpus pass.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame =
+    (0 until m).map { j =>
+      kmeansCentroidVectors(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * subDim + 1, subDim).as(vecCol)),
+        idCol, vecCol, ksub, iters)
+        .select(lit(j).as("sub"), col("cid"), col("n"), col("cv"))
+    }.reduce(_ unionByName _)
+
+  /** PQ ENCODE — the full-corpus compression pass: each vector becomes m
+    * small codes, one per subspace (argmin centroid by squared L2, ties to
+    * the smaller cid — `min(struct)`, partial-aggregated, no window).
+    * Output: (id, sub, code). Plan at 100 TB: ONE broadcast of the m×ksub
+    * codebook against the exploded slices, one hash-agg argmin — the
+    * corpus shuffles only by (id, sub) group keys, never pairwise.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val cb = broadcast(codebooks.select(col("sub"), col("cid"), col("cv")))
+    corpus.select(col(idCol).cast("long").as("id"),
+        posexplode(pqSubs(col(vecCol), m, subDim)).as(Seq("sub", "sv")))
+      .join(cb, Seq("sub"))
+      .select(col("id"), col("sub"),
+        struct(sqDist(col("sv"), col("cv")).as("d"), col("cid")).as("cand"))
+      .filter(col("cand.d").isNotNull)
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("id"), col("sub"), col("best.cid").as("code"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): score compressed codes against
+    * UNcompressed queries through a per-query lookup table
+    * LUT(qid, sub, cid) = ||q_sub − centroid||², so the corpus-side work
+    * per row is m table lookups + a sum — never a dim-wide float scan.
+    *
+    * Plan at 100 TB: the LUT is |queries| × m × ksub rows (tiny,
+    * broadcast); codes join it on (sub, code) with no corpus-side
+    * pre-shuffle; per-(qid, id) distance is an exact DECIMAL sum of the
+    * 6-dp-rounded per-subspace entries (partition-order independent, so
+    * results are reproducible under AQE re-planning and match the SQL
+    * replay bit-for-bit); selection is the bounded-heap top-k — k rows per
+    * partition×query cross the shuffle. Output: (qid, id, rank, dist),
+    * nearest first, ties to the smaller id.
+    */
+  def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
+    val lut = broadcast(
+      queries.select(col(idCol).cast("long").as("qid"),
+          posexplode(pqSubs(col(vecCol), m, subDim)).as(Seq("sub", "qsv")))
+        .join(codebooks, Seq("sub"))
+        .select(col("qid"), col("sub"), col("cid").as("code"),
+          round(sqDist(col("qsv"), col("cv")), 6).cast("decimal(20,8)").as("d")))
+    val summed = codes.join(lut, Seq("sub", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d")).cast("double").as("dist"))
+    // bounded-heap selection wants "best = highest score": negate the
+    // distance going in, restore it coming out
+    rankTopK(summed.select(col("qid"), col("id"), (-col("dist")).as("score")), k)
+      .select(col("qid"), col("id"), col("rank"), (-col("score")).as("dist"))
+  }
+
   /** Near-duplicate pairs by embedding cosine, banded sign-LSH candidates:
     * `bands` independent sign buckets over disjoint dimension ranges; a
     * pair is a candidate iff it collides in ANY band (union + distinct —

@@ -170,6 +170,45 @@ object SimQueries {
         k = 8, iters = 2, threshold = 0.35)
         .orderBy("vec_id")),
 
+    // Product quantization (Jégou et al. 2011) — train m=4 independent
+    // 16-dim sub-quantizers (8 centroids, 2 Lloyd rounds each): the
+    // codebook that compresses a float corpus to m codes/vector
+    "pq_codebooks" -> ((s, dir) =>
+      Similarity.pqTrainCodebooks(emb(s, dir), "vec_id", "embedding",
+        m = 4, subDim = 16, ksub = 8, iters = 2)
+        .select(col("sub"), col("cid"), col("n"), posexplode(col("cv")))
+        .select(col("sub"), col("cid"), col("pos").cast("long").as("pos"),
+          col("col").as("cval"), col("n"))
+        .orderBy("sub", "cid", "pos")),
+
+    // the full-corpus compression pass: every vector -> m argmin codes
+    // (one codebook broadcast + one partial-aggregated argmin)
+    "pq_encode" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        m = 4, subDim = 16, ksub = 8, iters = 2)
+      Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 4, subDim = 16)
+        .select(col("id").as("vec_id"), col("sub"), col("code"))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ADC search: queries 8..12 score the COMPRESSED corpus through a
+    // broadcast per-query lookup table — m lookups + an exact DECIMAL sum
+    // per candidate, bounded-heap top-3 by asymmetric distance
+    "pq_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        m = 4, subDim = 16, ksub = 8, iters = 2)
+      val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      Similarity.pqAdcTopK(codes, cb,
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", k = 3, m = 4, subDim = 16)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("rank").as("rnk"), col("dist"))
+        .orderBy("qid", "rnk")
+    }),
+
     // the FULL FAISS-style pipeline in one plan: TRAIN the coarse
     // quantizer (2 Lloyd rounds) then build the inverted file and search
     // it — cells are the learned centroids instead of raw corpus rows.
@@ -265,6 +304,12 @@ object SimQueries {
 
     "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
 
+    "pq_codebooks" -> pqCodebooksSql,
+
+    "pq_encode" -> pqEncodeSql,
+
+    "pq_adc_topk" -> pqAdcSql,
+
     "sim_ivf_kmeans" -> ivfKmeansSql(k = 8, iters = 2, dim = 64),
 
     "sem_dedup" -> semDedupSql(k = 8, iters = 2, dim = 64, threshold = 0.35)
@@ -296,6 +341,82 @@ object SimQueries {
        |SELECT cells.id AS vec_id, cell, (drops.id IS NULL) AS keep
        |FROM cells LEFT JOIN drops ON drops.id = cells.id
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** PQ oracle params — mirror the query-side m/subDim/ksub/iters.
+    * `final` without type ascription = compile-time constants, so the
+    * `oracles` map (initialized earlier in declaration order) sees the
+    * real values, not the pre-init 0 default.
+    */
+  private final val pqM = 4
+  private final val pqSubDim = 16
+  private final val pqKsub = 8
+  private final val pqIters = 2
+
+  /** m independent namespaced Lloyd chains, one per 16-dim subspace slice */
+  private def pqChains: String =
+    (0 until pqM).map { j =>
+      kmeansCtesNs(s"s$j", pqKsub, pqIters, pqSubDim,
+        s"embedding[${j * pqSubDim + 1}:${(j + 1) * pqSubDim}]")
+    }.mkString(",\n")
+
+  /** squared-L2 between a sliced vector (alias e) and a centroid (alias
+    * c) — the same prepended-seed left fold the Spark side computes
+    */
+  private def pqSubDist: String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, $pqSubDim),
+       |        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b)""".stripMargin
+
+  /** per-subspace argmin code assignment (ties to the smaller cid) */
+  private def pqEncodeBranches: String =
+    (0 until pqM).map { j =>
+      s"""SELECT id, $j AS sub, cid AS code FROM (
+         |    SELECT e.id, c.cid, $pqSubDist AS d
+         |    FROM s${j}e e, s${j}c$pqIters c)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1""".stripMargin
+    }.mkString("\n  UNION ALL ")
+
+  private def pqCodebooksSql: String = {
+    val branches = (0 until pqM).map { j =>
+      s"""SELECT $j AS sub, cid, n, unnest(cv) AS cval, unnest(range(0, $pqSubDim)) AS pos
+         |  FROM s${j}c$pqIters""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $pqChains
+       |SELECT sub, cid, pos, cval, n FROM (
+       |  $branches)
+       |ORDER BY sub, cid, pos""".stripMargin
+  }
+
+  private def pqEncodeSql: String =
+    s"""WITH $pqChains,
+       |enc AS (
+       |  $pqEncodeBranches)
+       |SELECT id AS vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin
+
+  /** ADC: per-query LUT of 6-dp-rounded per-subspace distances as exact
+    * DECIMAL(20,8), summed per (qid, id) — bit-identical to the Spark
+    * side's decimal sum regardless of partition/merge order
+    */
+  private def pqAdcSql: String = {
+    val luts = (0 until pqM).map { j =>
+      s"""SELECT e.id AS qid, $j AS sub, c.cid AS code,
+         |    CAST(round($pqSubDist, 6) AS DECIMAL(20,8)) AS d
+         |  FROM s${j}e e, s${j}c$pqIters c WHERE e.id >= 8 AND e.id < 13""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $pqChains,
+       |enc AS (
+       |  $pqEncodeBranches),
+       |lut AS (
+       |  $luts),
+       |sums AS (SELECT qid, id, CAST(SUM(d) AS DOUBLE) AS dist
+       |  FROM enc JOIN lut USING (sub, code) WHERE id <> qid
+       |  GROUP BY qid, id)
+       |SELECT qid, id AS vec_id,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rnk,
+       |  dist
+       |FROM sums
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, id) <= 3
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** composite oracle: the [[kmeansCtes]] chain trains the anchors, then
@@ -339,24 +460,32 @@ object SimQueries {
     * = exact DECIMAL(20,8) sums / COUNT, rounded to 6 dp between rounds.
     */
   /** the Lloyd CTE chain alone (e, c0, a1..c$iters) for composition */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
+    kmeansCtesNs("", k, iters, dim, "embedding")
+
+  /** namespaced Lloyd chain (${p}e, ${p}c0 .. ${p}c$iters) over an
+    * arbitrary list-expression source — lets one statement train several
+    * independent quantizers (the PQ per-subspace oracles train m of them)
+    */
+  private def kmeansCtesNs(p: String, k: Int, iters: Int, dim: Int,
+      src: String): String = {
     val rounds = (1 to iters).map { i =>
-      s"""a$i AS (SELECT e.id, e.v, c.cid,
+      s"""${p}a$i AS (SELECT e.id, e.v, c.cid,
          |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dim),
          |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b) AS d
-         |  FROM e, c${i - 1} c),
-         |b$i AS (SELECT id, v, cid FROM a$i
+         |  FROM ${p}e e, ${p}c${i - 1} c),
+         |${p}b$i AS (SELECT id, v, cid FROM ${p}a$i
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1),
-         |m$i AS (SELECT cid, pos, COUNT(*) AS n,
+         |${p}m$i AS (SELECT cid, pos, COUNT(*) AS n,
          |    CAST(SUM(CAST(val AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM (SELECT cid, unnest(v) AS val, unnest(range(0, $dim)) AS pos FROM b$i)
+         |  FROM (SELECT cid, unnest(v) AS val, unnest(range(0, $dim)) AS pos FROM ${p}b$i)
          |  GROUP BY cid, pos),
-         |c$i AS (SELECT cid, max(n) AS n, list(round(m, 6) ORDER BY pos) AS cv
-         |  FROM m$i GROUP BY cid)""".stripMargin
+         |${p}c$i AS (SELECT cid, max(n) AS n, list(round(m, 6) ORDER BY pos) AS cv
+         |  FROM ${p}m$i GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $k),
+    s"""${p}e AS (SELECT vec_id AS id,
+       |    list_transform($src, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${p}c0 AS (SELECT id AS cid, v AS cv FROM ${p}e ORDER BY id LIMIT $k),
        |$rounds""".stripMargin
   }
 

@@ -126,4 +126,51 @@ class SimilaritySpec extends SparkSpec {
     CacheScope.release()
     assert(out == Seq(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("pqTrainCodebooks always returns m x ksub rows; pqEncode assigns the nearest sub-centroid") {
+    // dim 4, m=2 subspaces of 2: subspace 0 separates ids {0,2} from {1,3};
+    // subspace 1 separates {0,3} from {1,2} — codes differ per subspace
+    val pts = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(8f, 8f, 8f, 8f)),
+      (2L, Seq(0.5f, 0f, 8f, 8.5f)),
+      (3L, Seq(8.5f, 8f, 0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebooks(pts, "vec_id", "embedding",
+      m = 2, subDim = 2, ksub = 2, iters = 2)
+    assert(cb.count() == 4) // 2 subs x 2 centroids, no silent shrink
+    val codes = Similarity.pqEncode(pts, cb, "vec_id", "embedding",
+        m = 2, subDim = 2)
+      .orderBy("id", "sub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    CacheScope.release()
+    // init centroids carry the ids of the 2 lowest vectors (0 and 1)
+    assert(codes == Seq(
+      (0L, 0, 0L), (0L, 1, 0L),
+      (1L, 0, 1L), (1L, 1, 1L),
+      (2L, 0, 0L), (2L, 1, 1L),
+      (3L, 0, 1L), (3L, 1, 0L)))
+  }
+
+  test("pqAdcTopK is bit-identical across input partitionings (decimal LUT sums)") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 120L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+        .repartition(parts)
+      val cb = Similarity.pqTrainCodebooks(df, "vec_id", "embedding",
+        m = 2, subDim = 4, ksub = 4, iters = 2)
+      val codes = Similarity.pqEncode(df, cb, "vec_id", "embedding",
+        m = 2, subDim = 4)
+      val out = Similarity.pqAdcTopK(codes, cb,
+          df.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 5, m = 2, subDim = 4)
+        .orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      CacheScope.release()
+      out
+    }
+    val base = run(1)
+    assert(base.nonEmpty && base == run(7) && base == run(32))
+  }
 }
