@@ -62,6 +62,29 @@ object TextQueries {
     s"""list_transform(generate_series(1, len($tokSql)-1),
        |      i -> $tokSql[i] || ' ' || $tokSql[i+1])""".stripMargin
 
+  /** DSIR weight chain ending in w(doc_id, logw): hashed unigram+bigram
+    * buckets (md5 leading 60 bits mod 256 — Dsir.bucketOf), add-one
+    * smoothed target/raw distributions from one grouped pass, per-raw-doc
+    * log-ratio sums rounded at 6 dp (libm noise ~1e-12 << grid)
+    */
+  private val dsirWeightsCte =
+    s"""t0 AS (SELECT doc_id, (source = 'src0') AS tgt,
+       |    list_concat($tokSql, $shSql) AS fs FROM documents),
+       |fb AS (SELECT doc_id, tgt,
+       |    ('0x' || substr(md5(unnest(fs)), 1, 15))::BIGINT % 256 AS bucket FROM t0),
+       |bc AS (SELECT bucket,
+       |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+       |    SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc
+       |  FROM fb GROUP BY bucket),
+       |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM bc),
+       |lr AS (SELECT bucket,
+       |    ln((tc + 1.0) / (tt + 256)) - ln((rc + 1.0) / (rt + 256)) AS lr
+       |  FROM bc CROSS JOIN tot),
+       |pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb
+       |  WHERE NOT tgt GROUP BY doc_id, bucket),
+       |w AS (SELECT doc_id, round(SUM(c * lr), 6) AS logw
+       |  FROM pd JOIN lr USING (bucket) GROUP BY doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -144,6 +167,23 @@ object TextQueries {
           sum(TF.bpeTokenCount(col("text"))).as("n_tokens"))
         .orderBy("source")
     }),
+
+    // DSIR (Xie et al. 2023): hashed-ngram importance weights for every
+    // raw doc against the src0 target distribution — the model is 256
+    // bucket rows whatever the corpus size
+    "txt_dsir_weights" -> ((s, dir) =>
+      graft.functions.Dsir.importanceWeights(docs(s, dir), "doc_id", "text",
+        col("source") === "src0", b = 256)
+        .orderBy("doc_id")),
+
+    // Gumbel-top-50 resampling over the weights: deterministic md5
+    // uniforms make "sample ∝ exp(logw) without replacement" a stateless
+    // ORDER BY LIMIT — reproducible across engines, retries, and reruns
+    "txt_dsir_sample" -> ((s, dir) =>
+      graft.functions.Dsir.gumbelTopN(
+        graft.functions.Dsir.importanceWeights(docs(s, dir), "doc_id", "text",
+          col("source") === "src0", b = 256),
+        "doc_id", n = 50)),
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("fp")),
@@ -702,6 +742,17 @@ object TextQueries {
          |FROM sh JOIN ev USING (ng)
          |WHERE doc_id >= 20
          |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_dsir_weights" ->
+      s"""WITH $dsirWeightsCte
+         |SELECT doc_id, logw FROM w ORDER BY doc_id""".stripMargin,
+
+    "txt_dsir_sample" ->
+      s"""WITH $dsirWeightsCte
+         |SELECT doc_id, logw,
+         |  round(logw - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % 1000000 + 0.5) / 1000000)), 6) AS key
+         |FROM w ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
 
     "txt_pack" ->
       s"""WITH RECURSIVE d AS (
