@@ -476,6 +476,48 @@ object TextQueries {
         .filter(col("id") === col("cluster"))
         .select(col("id").as("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // The end-to-end CORPUS-CLEANING pipeline — the daily driver of a
+    // pretraining data build, composed entirely from the library ops
+    // above: exact dedup (keep min-id per fingerprint) -> near-dup
+    // cluster keep (minhash LSH -> connected components -> one rep per
+    // cluster) -> cross-doc substring-span removal (Lee et al. 2021) ->
+    // quality gate on the CLEANED text (enough tokens, plausible stopword
+    // density — the C4-style "is this natural language" test) -> PII
+    // scrub. Each stage only ever shuffles ids/hashes, never full text
+    // (text rides only the two survivor semi-joins), so the composition
+    // keeps each member's 100 TB shape; survivors shrink monotonically so
+    // later (more expensive per-token) stages see the least data.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // 1. exact dedup: keep the min-id representative of each byte-
+      //    identical group
+      val d1 = d.join(Dedup.dedupedIds(d, "doc_id", "text"),
+        Seq("doc_id"), "left_semi")
+      // 2. near-dup dedup: LSH candidates over survivors, CC labels,
+      //    keep each cluster's min-id representative
+      val pairs = Dedup.lshCandidatePairs(d1, "doc_id", "text", 8, 4)
+      val reps = Dedup.connectedComponents(d1.select("doc_id"), pairs, "doc_id")
+        .filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id"))
+      val d2 = d1.join(reps, Seq("doc_id"), "left_semi")
+      // 3. cut every cross-doc-duplicated 5-token window
+      val cleaned = Dedup.removeDuplicatedWindows(d2, "doc_id", "text", 5)
+        .withColumn("n_tokens_out", (col("n_tokens") - col("n_cut")).cast("long"))
+      // 4. quality gate on the cleaned text: enough tokens left, stopword
+      //    density in the natural-language band
+      val scored = cleaned.withColumn("stop_ratio",
+        round(TF.stopwordCount(col("clean_text"), STOPWORDS).cast("double") /
+          greatest(col("n_tokens_out"), lit(1L)), 6))
+      scored
+        .filter(col("n_tokens_out") >= 20 &&
+          col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.2)
+        // 5. PII scrub the survivors; pin the digest of the final text
+        .select(col("doc_id"),
+          md5(TF.redactPii(col("clean_text"))).as("clean_digest"),
+          col("n_tokens_out"), col("n_cut"), col("stop_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -486,10 +528,10 @@ object TextQueries {
   private def slotConstsSql(k: Int): String =
     (0 until k).map(i => s"(${i}, ${Dedup.slotA(i)}, ${Dedup.slotB(i)})").mkString(", ")
 
-  private def minhashSigCte(k: Int) =
+  private def minhashSigCte(k: Int, rel: String = "documents") =
     s"""sh AS (
        |  SELECT doc_id, unnest($shSql) AS s
-       |  FROM documents WHERE len($tokSql) >= 2),
+       |  FROM $rel WHERE len($tokSql) >= 2),
        |hx AS (
        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
        |  FROM sh),
@@ -501,8 +543,8 @@ object TextQueries {
   // shared minhash-LSH band-key CTEs (k=8 slots, 2 bands of 4 — matching
   // the Spark queries' lshCandidatePairs(_, _, 8, 4)) used by the
   // dedup_lsh_pairs / dedup_jaccard / dedup_clusters oracles
-  private val lshBandsCte =
-    s"""${minhashSigCte(8)},
+  private def lshBandsCte(rel: String = "documents") =
+    s"""${minhashSigCte(8, rel)},
        |p AS (
        |  SELECT doc_id,
        |    concat_ws('|', MAX(CASE WHEN k=0 THEN mh END), MAX(CASE WHEN k=1 THEN mh END),
@@ -641,7 +683,7 @@ object TextQueries {
     // bands ALL docs once and applies the corpus/shard split in the join
     // predicate — same collision set as probe-against-index.
     "dedup_incremental" ->
-      s"""WITH $lshBandsCte
+      s"""WITH ${lshBandsCte()}
          |SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
          |WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8
@@ -830,13 +872,13 @@ object TextQueries {
          |FROM sig ORDER BY doc_id, slot""".stripMargin,
 
     "dedup_lsh_pairs" ->
-      s"""WITH $lshBandsCte
+      s"""WITH ${lshBandsCte()}
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $lshBandsCte,
+      s"""WITH RECURSIVE ${lshBandsCte()},
          |prs AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
@@ -849,7 +891,7 @@ object TextQueries {
          |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_keep" ->
-      s"""WITH RECURSIVE $lshBandsCte,
+      s"""WITH RECURSIVE ${lshBandsCte()},
          |prs AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
@@ -860,6 +902,61 @@ object TextQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id FROM reach
          |GROUP BY id HAVING id = MIN(r) ORDER BY doc_id""".stripMargin,
+
+    // full pipeline replay: exact dedup -> LSH bands over survivors ->
+    // recursive-CTE connected components -> cluster reps -> substring-span
+    // cut -> quality gate -> PII-redacted digest
+    "pipeline_clean_corpus" ->
+      s"""WITH RECURSIVE
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d1 AS (SELECT dd.doc_id, dd.text FROM documents dd JOIN ex USING (doc_id)),
+         |${lshBandsCte("d1")},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM d1
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |reps AS (SELECT id FROM reach GROUP BY id HAVING id = MIN(r)),
+         |d2 AS (SELECT d1.doc_id, d1.text FROM d1 JOIN reps ON d1.doc_id = reps.id),
+         |t AS (SELECT doc_id, $tokSql AS tk FROM d2),
+         |w0 AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS p
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, p,
+         |    md5(tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] || ' ' || tk[p+3] || ' ' || tk[p+4]) AS wh
+         |  FROM w0),
+         |dw AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh HAVING COUNT(*) > 1),
+         |ps AS (SELECT doc_id, list(p) AS ps FROM w JOIN dw USING (wh) GROUP BY doc_id),
+         |c AS (
+         |  SELECT t.doc_id, t.tk, COALESCE(ps.ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id),
+         |k AS (
+         |  SELECT doc_id,
+         |    list_filter(tk, (x, i) -> len(list_filter(ps, q -> q <= i AND i < q + 5)) = 0) AS kept,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM c),
+         |q AS (
+         |  SELECT doc_id,
+         |    COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+         |    CAST(len(kept) AS BIGINT) AS n_tokens_out,
+         |    n_tokens - CAST(len(kept) AS BIGINT) AS n_cut,
+         |    round(CAST(len(list_filter(kept, s -> s IN ('the','a','of','to','and'))) AS DOUBLE)
+         |        / greatest(len(kept), 1), 6) AS stop_ratio
+         |  FROM k)
+         |SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(clean_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_digest,
+         |  n_tokens_out, n_cut, stop_ratio
+         |FROM q
+         |WHERE n_tokens_out >= 20 AND stop_ratio >= 0.02 AND stop_ratio <= 0.2
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH ${simhashBandsCte(8)}
@@ -979,7 +1076,7 @@ object TextQueries {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY a, b""".stripMargin,
 
     "dedup_jaccard" ->
-      s"""WITH $lshBandsCte,
+      s"""WITH ${lshBandsCte()},
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
