@@ -65,4 +65,49 @@ object TfIdf {
     Similarity.rankTopK(mirrored, k)
       .withColumnRenamed("qid", idCol)
   }
+
+  /** BM25 top-k retrieval (Robertson/Sparck Jones; the lexical ranking
+    * standard): score every corpus doc against each query doc's distinct
+    * terms and keep the k best. Same inverted-index scale shape as
+    * [[topKNeighbors]] — query terms equi-join the postings (cost =
+    * sum over query terms of df, bounded by `maxDf`), one hash agg sums
+    * the per-term contributions, and the bounded-heap aggregate ranks.
+    * The per-(doc, term) score is the standard saturation form
+    * idf * tf*(k1+1) / (tf + k1*(0.25 + 0.75*len/avglen)) with
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive), length
+    * in n-gram terms. Scores round at 6 dp BEFORE ranking (cross-engine
+    * rank stability), ties toward the smaller id, self-matches excluded.
+    */
+  def bm25TopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
+      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L,
+      k1: Double = 1.2): DataFrame = {
+    val nDocs = docs.count()
+    val terms = graft.CacheScope.cache(
+      docs.select(col(idCol).as("id"),
+          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+    val lens = terms.groupBy(col("id")).agg(sum(col("n")).as("len"))
+    // 1-row exact scalar: avg length = sum(long)/count, no FP-order noise
+    val stats = lens.agg(
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val qTerms = terms.join(queryIds.select(col(idCol).as("qid")),
+        col("id") === col("qid"), "inner")
+      .select(col("qid"), col("t")).distinct()
+    val scored = qTerms
+      .join(dfRel, Seq("t"))
+      .join(terms, Seq("t"))
+      .filter(col("id") =!= col("qid"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("n") * lit(k1 + 1))
+          / (col("n") + lit(k1) * (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+        .as("s"))
+      .select(col("qid"), col("id"), round(col("s"), 6).as("score"))
+    Similarity.rankTopK(scored, k).withColumnRenamed("qid", idCol)
+  }
 }

@@ -456,6 +456,45 @@ object TextQueries {
         k = 3, ngram = 2, maxDf = 50L)
         .orderBy("doc_id", "rank")),
 
+    // BM25 retrieval: every 25th doc is a query, scored against the
+    // corpus through the posting join (the lexical-ranking standard)
+    "sim_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.functions.TfIdf.bm25TopK(d,
+        d.filter(col("doc_id") % 25 === 0).select("doc_id"),
+        "doc_id", "text", k = 3, ngram = 2, maxDf = 50L)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Temperature-resampled language mix (the multilingual pretraining
+    // balance knob): per-language sampling weight c^alpha (alpha=0.5)
+    // flattens the language distribution — rare languages are upsampled
+    // relative to their corpus share, the head language downsampled — at
+    // a total budget of half the corpus. Per-language quotas come from
+    // one tiny count agg (weights rounded at 6 dp and summed as DECIMAL
+    // so the total is exact in any partition order); membership is the
+    // deterministic per-million hash split, so the sample is reproducible
+    // and the whole op is one scan pass + a broadcast of |langs| rows.
+    "txt_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val c = d.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+      val st = c.agg(
+        sum(round(sqrt(col("cl").cast("double")), 6).cast("decimal(20,6)"))
+          .as("sw"),
+        sum(col("cl")).as("tot"))
+      val thr = c.crossJoin(broadcast(st))
+        .withColumn("w", round(sqrt(col("cl").cast("double")), 6))
+        .withColumn("quota", least(col("cl"),
+          floor((col("tot") / 2).cast("long").cast("double") * col("w")
+            / col("sw").cast("double")).cast("long")))
+        .select(col("lang"),
+          floor(col("quota") * lit(1000000.0) / col("cl")).cast("long").as("th"))
+      d.join(broadcast(thr), Seq("lang"))
+        .filter(TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000000 < col("th"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // LSH pairs -> connected components -> per-doc cluster label (min
     // reachable doc_id) — the keep-one-per-cluster dedup decision
     "dedup_clusters" -> ((s, dir) => {
@@ -492,16 +531,20 @@ object TextQueries {
     "pipeline_clean_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
       // 1. exact dedup: keep the min-id representative of each byte-
-      //    identical group
-      val d1 = d.join(Dedup.dedupedIds(d, "doc_id", "text"),
-        Seq("doc_id"), "left_semi")
+      //    identical group. Survivor relations are CacheScope-cached:
+      //    each feeds 3+ downstream stages, and without the cache every
+      //    stage re-runs the whole upstream (measured 18 s -> the sum of
+      //    the stages at sf0.1). At corpus scale this is the standard
+      //    materialize-between-stages point (cache, or write a table).
+      val d1 = graft.CacheScope.cache(
+        d.join(Dedup.dedupedIds(d, "doc_id", "text"), Seq("doc_id"), "left_semi"))
       // 2. near-dup dedup: LSH candidates over survivors, CC labels,
       //    keep each cluster's min-id representative
       val pairs = Dedup.lshCandidatePairs(d1, "doc_id", "text", 8, 4)
       val reps = Dedup.connectedComponents(d1.select("doc_id"), pairs, "doc_id")
         .filter(col("id") === col("cluster"))
         .select(col("id").as("doc_id"))
-      val d2 = d1.join(reps, Seq("doc_id"), "left_semi")
+      val d2 = graft.CacheScope.cache(d1.join(reps, Seq("doc_id"), "left_semi"))
       // 3. cut every cross-doc-duplicated 5-token window
       val cleaned = Dedup.removeDuplicatedWindows(d2, "doc_id", "text", 5)
         .withColumn("n_tokens_out", (col("n_tokens") - col("n_cut")).cast("long"))
@@ -720,6 +763,37 @@ object TextQueries {
          |  FROM m)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // BM25 replay: same tokenization/df-prune as TF-IDF, the standard
+    // saturation formula term by term (association order matched to the
+    // Spark expression so the 6-dp rounded grid agrees)
+    "sim_bm25_topk" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest($shSql) AS t
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
+         |lens AS (SELECT doc_id, SUM(n) AS len FROM tf GROUP BY doc_id),
+         |stats AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM lens),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 50),
+         |qt AS (SELECT DISTINCT doc_id AS qid, t FROM ex WHERE doc_id % 25 = 0),
+         |sc AS (
+         |  SELECT qid, tf.doc_id AS id,
+         |    SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |        * (n * 2.2)
+         |        / (n + 1.2 * (0.25 + 0.75 * len / avglen))) AS s
+         |  FROM qt JOIN dfr USING (t) JOIN tf USING (t)
+         |  JOIN lens ON lens.doc_id = tf.doc_id
+         |  CROSS JOIN stats CROSS JOIN nn
+         |  WHERE tf.doc_id <> qid
+         |  GROUP BY qid, tf.doc_id),
+         |r AS (SELECT qid AS doc_id, id, ROUND(s, 6) AS score FROM sc)
+         |SELECT doc_id, id, rank, score FROM (
+         |  SELECT doc_id, id, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, id) AS rank
+         |  FROM r)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // NB replay: training is pure counting, so the oracle re-derives the
     // model from the same tokenization and replays ln-prior + token-mass
     // scoring; argmax tie-break = score DESC, class ASC in both engines.
@@ -847,6 +921,27 @@ object TextQueries {
         |SELECT doc_id, source FROM h
         |WHERE k < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    // temperature-mix replay: per-language quota from c^0.5 weights
+    // (rounded at 6 dp, summed as DECIMAL so the total is exact in both
+    // engines), then the same per-million rolling-hash membership split
+    "txt_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cl FROM documents GROUP BY lang),
+        |s AS (SELECT SUM(CAST(round(sqrt(CAST(cl AS DOUBLE)), 6) AS DECIMAL(20,6))) AS sw,
+        |         SUM(cl) AS tot FROM c),
+        |thr AS (SELECT lang,
+        |    CAST(floor(least(cl,
+        |      CAST(floor(CAST(tot // 2 AS DOUBLE) * round(sqrt(CAST(cl AS DOUBLE)), 6)
+        |        / CAST(sw AS DOUBLE)) AS BIGINT)) * 1000000.0 / cl) AS BIGINT) AS th
+        |  FROM c CROSS JOIN s),
+        |h AS (SELECT doc_id, lang,
+        |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |    list_transform(generate_series(1, 32),
+        |      i -> CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) % 1000000 AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h JOIN thr USING (lang)
+        |WHERE hk < th ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep

@@ -32,6 +32,34 @@ class TfIdfSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("bm25 matches the closed-form score and excludes the query doc") {
+    // query d1 (bigrams "a b", "b c"): d2 shares only "a b" (df=2, tf=1,
+    // len=2, avglen=2 -> length norm is exactly 1)
+    val qs   = Seq(Tuple1(1L)).toDF("doc_id")
+    val rows = TfIdf.bm25TopK(corpus, qs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect()
+    CacheScope.release()
+    val idf  = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val want = BigDecimal(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L)).map { case (q, i) => (q, i, 1L) })
+    assert(math.abs(rows.head.getDouble(3) - want) < 1e-9)
+  }
+
+  test("bm25 tf saturation: doubled term count scores higher but sublinearly") {
+    // d2 and d3 both match query term "a b"; d3 has it twice in the same
+    // length-4 doc, so it outranks d2 — by less than 2x (k1 saturation)
+    val c = Seq((1L, "a b z w"), (2L, "a b p q"), (3L, "a b a b"),
+      (4L, "m n o r")).toDF("doc_id", "text")
+    val rows = TfIdf.bm25TopK(c, Seq(Tuple1(1L)).toDF("doc_id"),
+      "doc_id", "text", k = 3).orderBy("doc_id", "rank").collect()
+    CacheScope.release()
+    val byId = rows.map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(rows.head.getLong(1) == 3L)
+    assert(byId(3L) > byId(2L) && byId(3L) < 2 * byId(2L))
+  }
+
   test("k bounds the neighbor list with smaller-id tie-break") {
     // three identical docs (plus one outlier so idf > 0): every pair among
     // 1-3 scores 1.0, k=2 keeps the two smallest neighbor ids; the
