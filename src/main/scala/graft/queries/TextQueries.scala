@@ -456,6 +456,46 @@ object TextQueries {
         k = 3, ngram = 2, maxDf = 50L)
         .orderBy("doc_id", "rank")),
 
+    // Training-window chunking: split every doc into width-32 token
+    // windows at stride 24 (8-token overlap keeps context across the
+    // boundary — the standard context-length prep before packing). Pure
+    // narrow explode: n_chunks = 1 if n<=w else ceil((n-w)/s)+1 with the
+    // last window clipped, so no chunk is ever fully contained in its
+    // predecessor. Codegen'd sequence+slice, no shuffle, no UDF.
+    "txt_chunk" -> ((s, dir) => {
+      val w = 32
+      val st = 24
+      docs(s, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .withColumn("nc",
+          when(size(col("tk")) <= w, lit(1L))
+            .otherwise(ceil((size(col("tk")) - lit(w)) / lit(st.toDouble)) + 1L))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(0L), col("nc") - 1L)))
+        .select(col("doc_id"), col("col").as("chunk_id"),
+          slice(col("tk"), (col("col") * st + 1L).cast("int"), lit(w)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("ck")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Per-domain quality cap — "keep the N best docs per language", the
+    // curation step that bounds any one domain's contribution: quality
+    // scores ride the same bounded-heap top-k aggregate as the retrieval
+    // ops (N rows per partition x lang cross the shuffle, no window rank)
+    "txt_domain_cap" -> ((s, dir) => {
+      val toks = TF.tokenCount(col("text"))
+      val scored = docs(s, dir).select(
+        col("lang").as("qid"), col("doc_id").as("id"),
+        round(TF.stopwordCount(col("text"), STOPWORDS).cast("double") /
+          greatest(toks, lit(1L)), 6).as("score"))
+      graft.functions.Similarity.rankTopK(scored, 5)
+        .select(col("qid").as("lang"), col("id").as("doc_id"),
+          col("rank"), col("score"))
+        .orderBy("lang", "rank")
+    }),
+
     // BM25 retrieval: every 25th doc is a query, scored against the
     // corpus through the posting join (the lexical-ranking standard)
     "sim_bm25_topk" -> ((s, dir) => {
@@ -762,6 +802,35 @@ object TextQueries {
          |                            ORDER BY score DESC, id) AS rank
          |  FROM m)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // chunking replay: same n_chunks formula, 1-based list slices
+    "txt_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |    CASE WHEN len(tk) <= 32 THEN 1
+         |         ELSE CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+         |  FROM t),
+         |e AS (SELECT doc_id, tk, unnest(generate_series(0, nc - 1)) AS chunk_id FROM n),
+         |c AS (SELECT doc_id, chunk_id,
+         |    tk[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, len(tk))] AS ck
+         |  FROM e)
+         |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
+         |  array_to_string(ck, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // domain-cap replay: per-language quality ranking, ties to smaller id
+    "txt_domain_cap" ->
+      s"""WITH sc AS (SELECT lang, doc_id,
+         |    round(CAST(len(list_filter($tokSql,
+         |        t -> t IN ('the','a','of','to','and'))) AS DOUBLE)
+         |      / greatest(len($tokSql), 1), 6) AS score
+         |  FROM documents)
+         |SELECT lang, doc_id, rank, score FROM (
+         |  SELECT lang, doc_id, score,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     // BM25 replay: same tokenization/df-prune as TF-IDF, the standard
     // saturation formula term by term (association order matched to the
