@@ -456,6 +456,21 @@ object TextQueries {
         k = 3, ngram = 2, maxDf = 50L)
         .orderBy("doc_id", "rank")),
 
+    // Deterministic train/val/test split (90/5/5): membership from the
+    // same per-million content-independent hash as the sampling ops, so
+    // the split is reproducible across runs/engines, stable under corpus
+    // growth (a doc's split never changes when others arrive), and a
+    // pure codegen predicate — no shuffle, no RNG state
+    "txt_split" -> ((s, dir) => {
+      val hk = TF.rollingHash(md5(col("doc_id").cast("string"))) % 1000000
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(hk < 900000, lit("train"))
+            .when(hk < 950000, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Training-window chunking: split every doc into width-32 token
     // windows at stride 24 (8-token overlap keeps context across the
     // boundary — the standard context-length prep before packing). Pure
@@ -802,6 +817,20 @@ object TextQueries {
          |                            ORDER BY score DESC, id) AS rank
          |  FROM m)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // split replay: same rolling-hash membership bands
+    "txt_split" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |    list_transform(generate_series(1, 32),
+        |      i -> CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) % 1000000 AS hk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN hk < 900000 THEN 'train'
+        |       WHEN hk < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // chunking replay: same n_chunks formula, 1-based list slices
     "txt_chunk" ->
