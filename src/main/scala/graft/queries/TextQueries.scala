@@ -592,7 +592,8 @@ object TextQueries {
       //    the stages at sf0.1). At corpus scale this is the standard
       //    materialize-between-stages point (cache, or write a table).
       val d1 = graft.CacheScope.cache(
-        d.join(Dedup.dedupedIds(d, "doc_id", "text"), Seq("doc_id"), "left_semi"))
+        d.select("doc_id", "text") // prune BEFORE caching: only these flow on
+          .join(Dedup.dedupedIds(d, "doc_id", "text"), Seq("doc_id"), "left_semi"))
       // 2. near-dup dedup: LSH candidates over survivors, CC labels,
       //    keep each cluster's min-id representative
       val pairs = Dedup.lshCandidatePairs(d1, "doc_id", "text", 8, 4)
