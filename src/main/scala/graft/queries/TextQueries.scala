@@ -378,6 +378,39 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1, adapted to the
+    // whitespace-token corpus — the line/bullet rules don't apply):
+    // token-count band, mean word length band, >= 2 distinct stopwords,
+    // top-token repetition bound, symbol ratio bound, plus the AND. All
+    // per-rule values are single IEEE divisions of exact integer counts,
+    // so the booleans are bit-stable cross-engine without rounding. One
+    // scan pass + the same repetition agg shape as txt_repetition.
+    "txt_gopher_flags" -> ((s, dir) => {
+      val rep = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("ttf"))
+      val toks = TF.tokenCount(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          toks.as("n_tok"),
+          (TF.nonSpaceCount(col("text")).cast("double") / toks).as("mwl"),
+          size(array_intersect(TF.tokens(col("text")),
+            array(STOPWORDS.map(lit): _*))).as("nsk"),
+          (TF.punctCount(col("text")).cast("double") / toks).as("symr"))
+        .join(rep, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") >= 50 && col("n_tok") <= 100000).as("ok_len"),
+          (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("ok_word_len"),
+          (col("nsk") >= 2).as("ok_stopwords"),
+          (col("ttf") <= 0.2).as("ok_repetition"),
+          (col("symr") <= 0.1).as("ok_symbols"))
+        .withColumn("pass", col("ok_len") && col("ok_word_len") &&
+          col("ok_stopwords") && col("ok_repetition") && col("ok_symbols"))
+        .orderBy("doc_id")
+    }),
+
     // Eval-set contamination: training docs sharing any distinct bigram
     // with the benchmark set (here: doc_id < 20). The eval n-gram set is
     // SMALL by construction, so it broadcasts and the check is one
@@ -948,6 +981,34 @@ object TextQueries {
          |  ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_frac,
          |  ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_tok_frac
          |FROM tw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Gopher-rules replay: identical integer counts, identical single
+    // divisions, same thresholds
+    "txt_gopher_flags" ->
+      s"""WITH tw AS (
+         |  SELECT doc_id, t, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
+         |  GROUP BY doc_id, t),
+         |rep AS (SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS ttf
+         |  FROM tw GROUP BY doc_id),
+         |m AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tok,
+         |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / len($tokSql) AS mwl,
+         |    len(list_intersect($tokSql, ['the','a','of','to','and'])) AS nsk,
+         |    CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |      / len($tokSql) AS symr
+         |  FROM documents)
+         |SELECT m.doc_id, n_tok,
+         |  n_tok >= 50 AND n_tok <= 100000 AS ok_len,
+         |  mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+         |  nsk >= 2 AS ok_stopwords,
+         |  ttf <= 0.2 AS ok_repetition,
+         |  symr <= 0.1 AS ok_symbols,
+         |  (n_tok >= 50 AND n_tok <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+         |    AND nsk >= 2 AND ttf <= 0.2 AND symr <= 0.1 AS pass
+         |FROM m JOIN rep ON m.doc_id = rep.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
 
     "txt_contamination" ->
       s"""WITH sh AS (
