@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions._
   * (collisions only add), within eps*N at w = ceil(e/eps), delta = e^-d.
   *
   * The hash family is the minhash universal family ([[Dedup.slotA]]/
-  * [[Dedup.slotB]] over the md5 residue), so the DuckDB oracle replays
-  * the sketch bit-for-bit — same cells, same collisions, same estimates.
+  * [[Dedup.slotB]]) over a PER-ROW md5 residue (row index salted into the
+  * digest input), so the d rows are genuinely independent: two items that
+  * collide in row 0's residue get fresh digests in every other row, and
+  * delta = e^-d holds without a shared-residue collision floor. The DuckDB
+  * oracle replays the same salted digests bit-for-bit — same cells, same
+  * collisions, same estimates.
   */
 object CountMin {
 
-  /** cell index of `item` in hash row r: universal slot hash mod w */
+  /** cell index of `item` in hash row r: universal slot hash over the
+    * row-salted md5 residue, mod w
+    */
   private def cell(item: Column, r: Int, w: Int): Column = {
-    val xm = conv(substring(md5(item), 1, 15), 16, 10).cast("long") % Dedup.minhashP
+    val xm = conv(substring(md5(concat(lit(r + "#"), item)), 1, 15), 16, 10)
+      .cast("long") % Dedup.minhashP
     (lit(Dedup.slotA(r)) * xm + lit(Dedup.slotB(r))) % Dedup.minhashP % w
   }
 

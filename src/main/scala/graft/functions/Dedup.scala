@@ -53,14 +53,17 @@ object Dedup {
     * movement is hash joins/aggregations — the same loop shape
     * large-star/small-star uses at web scale. Pass `checkpointDir`
     * (an HDFS/S3 path on a real cluster) for reliable per-round lineage
-    * truncation that survives executor loss; default is localCheckpoint.
+    * truncation that survives executor loss; without one, each round
+    * persists its label row-RDD (MEMORY_AND_DISK) to cut lineage, and the
+    * loop releases the previous round's blocks explicitly — see the
+    * truncate() comment for why Dataset.localCheckpoint was rejected.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     // reliable (HDFS/S3) checkpointing survives executor loss mid-loop;
-    // without a dir the loop falls back to localCheckpoint (executor-local
-    // blocks — fine on local[N], lossy on a real cluster)
+    // without a dir the loop persists each round's row RDD instead
+    // (executor-local blocks — fine on local[N], lossy on a real cluster)
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
     // Reliable checkpoint alone would RECOMPUTE the plan in the checkpoint
     // writer's second job (double work, and it would double-fire the

@@ -206,13 +206,19 @@ object Similarity {
     * LOCATION_ALREADY_EXISTS (shared by every build-once index writer)
     */
   private[graft] def prepareTableOverwrite(s: org.apache.spark.sql.SparkSession,
-      table: String): Unit =
+      table: String): Unit = {
+    // the stale-location computation below is warehouse.dir/<name> — only
+    // valid for unqualified names in the default database ("db.tbl" would
+    // map to a literal 'db.tbl' directory and miss/delete the wrong path)
+    require(!table.contains('.'),
+      s"prepareTableOverwrite needs an unqualified table name, got '$table'")
     if (!s.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+  }
 
   def ivfWriteIndex(corpus: DataFrame, anchors: DataFrame, idCol: String,
       vecCol: String, table: String, buckets: Int = 32): Unit = {

@@ -57,7 +57,13 @@ object FileSourceQueries {
     val jar  = Paths.get(tmp, "graft-derby.jar")
     if (!Files.exists(jar)) {
       if (!Files.exists(seed)) {
-        val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$seed;create=true")
+        // seed into a scratch path and atomically rename after the clean
+        // shutdown: a crash mid-seed leaves only an orphan scratch tree,
+        // never a torn/un-shutdown database at the path a later run would
+        // trust enough to zip into the permanent read-only jar
+        val work = Files.createTempDirectory(Paths.get(tmp), "graft-derby-work")
+        Files.delete(work) // Derby insists on creating the db dir itself
+        val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$work;create=true")
         try {
           val st = conn.createStatement()
           st.executeUpdate(
@@ -76,8 +82,16 @@ object FileSourceQueries {
         } finally conn.close()
         // clean shutdown (SQLState 08006 signals success) so the archived
         // log needs no recovery on read-only boots
-        try java.sql.DriverManager.getConnection(s"jdbc:derby:$seed;shutdown=true")
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$work;shutdown=true")
         catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
+        try Files.move(work, seed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // concurrent seeder won; discard ours
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val walk = Files.walk(work)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(Files.delete(_))
+            finally walk.close()
+        }
       }
       // zip the seeded tree under the "graft-derby-seed/" prefix; write to
       // a temp name then move, so a concurrent caller never sees a torn jar

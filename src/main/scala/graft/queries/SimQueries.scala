@@ -480,8 +480,11 @@ object SimQueries {
          |    CAST(SUM(CAST(val AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS m
          |  FROM (SELECT cid, unnest(v) AS val, unnest(range(0, $dim)) AS pos FROM ${p}b$i)
          |  GROUP BY cid, pos),
-         |${p}c$i AS (SELECT cid, max(n) AS n, list(round(m, 6) ORDER BY pos) AS cv
-         |  FROM ${p}m$i GROUP BY cid)""".stripMargin
+         |${p}g$i AS (SELECT cid, max(n) AS n, list(round(m, 6) ORDER BY pos) AS cv
+         |  FROM ${p}m$i GROUP BY cid),
+         |${p}c$i AS (SELECT prev.cid, COALESCE(g.n, 0) AS n,
+         |    COALESCE(g.cv, prev.cv) AS cv
+         |  FROM ${p}c${i - 1} prev LEFT JOIN ${p}g$i g ON g.cid = prev.cid)""".stripMargin
     }.mkString(",\n")
     s"""${p}e AS (SELECT vec_id AS id,
        |    list_transform($src, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

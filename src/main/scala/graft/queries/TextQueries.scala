@@ -790,23 +790,24 @@ object TextQueries {
          |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // CMS replay: same md5-residue universal hashes, same cells, same
-    // collisions — the estimate is deterministic in both engines.
+    // CMS replay: same row-salted md5-residue universal hashes, same
+    // cells, same collisions — the estimate is deterministic in both
+    // engines.
     "q_cms_freq" ->
       s"""WITH tk AS (SELECT unnest($tokSql) AS tkn FROM documents),
-         |hx AS (SELECT tkn,
-         |    ('0x' || substr(md5(tkn), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
-         |  FROM tk),
+         |hx AS (SELECT tkn, r, a, b,
+         |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || tkn), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
+         |  FROM tk CROSS JOIN (VALUES ${slotConstsSql(3)}) AS s(r, a, b)),
          |cells AS (SELECT r, (a * xm + b) % ${Dedup.minhashP} % 128 AS c,
          |    COUNT(*) AS cnt
-         |  FROM hx CROSS JOIN (VALUES ${slotConstsSql(3)}) AS s(r, a, b)
+         |  FROM hx
          |  GROUP BY r, (a * xm + b) % ${Dedup.minhashP} % 128),
          |pr AS (SELECT unnest([${(STOPWORDS :+ "zz_missing").map(t => s"'$t'").mkString(", ")}]) AS token),
-         |ph AS (SELECT token,
-         |    ('0x' || substr(md5(token), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
-         |  FROM pr),
+         |ph AS (SELECT token, r, a, b,
+         |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || token), 1, 15))::BIGINT % ${Dedup.minhashP} AS xm
+         |  FROM pr CROSS JOIN (VALUES ${slotConstsSql(3)}) AS s(r, a, b)),
          |pe AS (SELECT token, r, (a * xm + b) % ${Dedup.minhashP} % 128 AS c
-         |  FROM ph CROSS JOIN (VALUES ${slotConstsSql(3)}) AS s(r, a, b))
+         |  FROM ph)
          |SELECT token, MIN(COALESCE(cells.cnt, 0)) AS est
          |FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.c = pe.c
          |GROUP BY token ORDER BY token""".stripMargin,
