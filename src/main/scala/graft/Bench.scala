@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -16,6 +17,70 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Session-cumulative task-metric tally: one listener for the whole
+    * bench run; each rep reads before/after deltas. Cumulative counters
+    * (not per-block scoping) keep the rep loop free of listener
+    * add/remove churn; `lastEventAt` supports a quiet-wait drain because
+    * the bus is async (same pattern as [[Profiler.profile]]).
+    */
+  private final class MetricsTally extends SparkListener {
+    @volatile var lastEventAt  = System.nanoTime()
+    val shuffleRead  = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill        = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+      lastEventAt = System.nanoTime()
+    }
+    /** wait until the bus has been quiet for 200 ms (capped) so the
+      * counters include every task of the just-finished action; called
+      * OUTSIDE the timed window — drain latency is not engine cost */
+    def drain(): Unit = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (System.nanoTime() - lastEventAt < 200L * 1000 * 1000 &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+    }
+  }
+
+  /** Per-rep resource snapshot (deltas between two of these attribute a
+    * slow rep to GC vs host CPU-steal vs genuine work — the variance
+    * question the r6 verdict left open). */
+  private final case class ResSnap(gcMs: Long, cpuNs: Long, stealTicks: Long,
+      shR: Long, shW: Long, spill: Long)
+  private def snap(t: MetricsTally): ResSnap = {
+    import scala.jdk.CollectionConverters._
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    val cpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+    // host-wide steal ticks (USER_HZ=100), field 8 of /proc/stat's cpu
+    // line; single-JVM benches own the host so the delta is attributable
+    val steal = try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+    ResSnap(gc, cpu, steal, t.shuffleRead.get, t.shuffleWrite.get, t.spill.get)
+  }
+
+  /** one rep's telemetry as a JSON object string */
+  private def telemetryJson(a: ResSnap, b: ResSnap): String = {
+    def mb(x: Long) = f"${x / 1048576.0}%.1f"
+    val cpuS   = if (a.cpuNs < 0 || b.cpuNs < 0) "-1" else f"${(b.cpuNs - a.cpuNs) / 1e9}%.2f"
+    val stealS = if (a.stealTicks < 0 || b.stealTicks < 0) "-1"
+                 else f"${(b.stealTicks - a.stealTicks) / 100.0}%.2f"
+    s"""{"gc_ms":${b.gcMs - a.gcMs},"cpu_s":$cpuS,"steal_s":$stealS,""" +
+      s""""sh_r_mb":${mb(b.shR - a.shR)},"sh_w_mb":${mb(b.shW - a.shW)},""" +
+      s""""spill_mb":${mb(b.spill - a.spill)}}"""
+  }
 
   /** BASELINE.md "BENCH targets for the rebuild" as first-class timed
     * entries (prefix bt_), independent of SF dir:
@@ -226,6 +291,8 @@ object Bench {
 
     val all = SparkEntry.queries ++ benchTargets
     val selected = if (only.isEmpty) all else all.filter { case (n, _) => only(n) }
+    val tally = new MetricsTally
+    spark.sparkContext.addSparkListener(tally)
     val results = selected.map { case (name, fn) =>
       // one UNTIMED warm-up execution: the first 1-2 runs of a query pay
       // plan compile + Janino codegen + C2 JIT of the generated classes —
@@ -234,12 +301,19 @@ object Bench {
       // warmed runs measure; the one-time costs amortize to zero at scale.
       try { materialize(fn(spark, sfDir)); CacheScope.release(blocking = true) }
       catch { case _: Throwable => () } // the timed reps will report it
-      val times = (1 to reps).flatMap { _ =>
+      val timed = (1 to reps).flatMap { _ =>
+        val pre = snap(tally)
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable => System.err.println(s"bench query $name failed: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        // drain the async bus (untimed) so the rep's shuffle counters are
+        // complete, then snapshot BEFORE release/gc so cleanup cost is
+        // excluded from the rep's telemetry (it shows up in the next
+        // rep's steal/gc only if it leaks past the settle below)
+        tally.drain()
+        val post = snap(tally)
         // library ops register their reused self-join relations (signatures,
         // band keys) in CacheScope; release them per rep — both so 100
         // queries in one session don't accumulate storage memory and so
@@ -251,8 +325,9 @@ object Bench {
         // neighbors' cleanup (seq_stencil_sum measured 3.1-6.2 s inside the
         // suite vs 0.87 s in isolation, all plans identical)
         System.gc()
-        if (ok) Some(sec) else None
+        if (ok) Some((sec, telemetryJson(pre, post))) else None
       }
+      val times = timed.map(_._1)
       // Headline value = MIN of the successful reps; median kept alongside.
       // Why min, not median: this host shows virtualization steal bursts —
       // /proc/stat steal measured ~30% of busy CPU across a bench run, with
@@ -276,7 +351,8 @@ object Bench {
         }
       System.err.println(
         f"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f")
-      name -> ((sec, med, times))
+      timed.foreach { case (t, tel) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
+      name -> ((sec, med, timed))
     }
     val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -285,12 +361,18 @@ object Bench {
     // per-rep wall times: a steal-burst run is self-diagnosing (one rep
     // 3-6x the others on an unchanged plan = de-schedule, not a regression)
     val perRep = results.map { case (k, (_, _, ts)) =>
-      s"\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+      s"\"" + k + "\":[" + ts.map(t => f"${t._1}%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-rep resource telemetry: gc_ms + cpu_s + steal_s attribute a slow
+    // rep (GC storm vs hypervisor de-schedule vs real work); sh_r/w_mb is
+    // the per-query shuffle volume the 100 TB extrapolation needs
+    val perTel = results.map { case (k, (_, _, ts)) =>
+      s"\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"queries_telemetry":$perTel,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
     // ALSO write the full JSON to a file: the driver's stdout capture
     // truncates to a tail, which cost r5 ~35 of 96 query numbers and let a
     // contaminated run publish as a regression cluster with no per-rep
