@@ -196,6 +196,20 @@ object Bench {
           (col("id") * 40503 % 1024).as("y"), col("id"))
         operators.Layout.zorderLayout(rows, Seq("x", "y"), bits = 10, partitions = 32)
       }),
+      // adversarial CC scale row: a single 1M-node PATH (diameter 1M —
+      // the worst case for label propagation, and the duplicate-subgraph
+      // prune can drop nothing since every node has an edge). The
+      // double-pointer-jump loop must still converge in ~log4(1M) ≈ 10
+      // driver rounds; DedupSpec pins the round count, this row times it.
+      "bt_1m_cc" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val n = 1000000L
+        val nodes = s.range(0, n, 1, 32).toDF("id")
+        val chain = s.range(0, n - 1, 1, 32)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        functions.Dedup.connectedComponents(nodes, chain, "id")
+          .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("nc"))
+      }),
       "bt_sparse_decode" -> ((s, _) => {
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
         // construct+encode the 10k frames ONLY when not yet ingested —
@@ -265,6 +279,11 @@ object Bench {
     // reps=4 re-run showed was entirely steal noise.
     val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val only  = args.toSet // optional query-name filter for targeted reruns
+    // queries that get the extra per-op-attribution profile pass
+    // (default: the heaviest five of the r6 bench)
+    val profileSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE",
+      "pipeline_clean_corpus,dedup_cluster_keep,dedup_clusters," +
+        "pq_adc_topk,sim_tfidf_topk").split(",").map(_.trim).toSet
     val spark = GraftSession.local(cpus, "graft-bench")
     // fail loudly on a misspelled filter: a silent empty selection prints
     // total=0 and reads like a (nonsense) clean run
@@ -352,27 +371,47 @@ object Bench {
       System.err.println(
         f"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f")
       timed.foreach { case (t, tel) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
-      name -> ((sec, med, timed))
+      // per-op attribution for the configured heavy set: ONE extra
+      // untimed profiled run, task time broken down by the library op
+      // that spent it (graft:cc-round vs the composed (final) action ...)
+      val ops: Map[String, Long] =
+        if (!profileSet.contains(name) || times.isEmpty) Map.empty
+        else try {
+          val (_, prof) = Profiler.profile(spark) { materialize(fn(spark, sfDir)) }
+          CacheScope.release(blocking = true); System.gc()
+          System.err.println(s"[bench] $name op breakdown: " + prof.byOp.toSeq
+            .sortBy(-_._2).map { case (o, ms) => s"$o=${ms}ms" }.mkString(" "))
+          prof.byOp
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name profile pass failed: $e"); Map.empty
+        }
+      name -> ((sec, med, timed, ops))
     }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val meds = results.map { case (k, (_, m, _)) => s"\"" + k + "\":" + m }
+    val meds = results.map { case (k, (_, m, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // per-rep wall times: a steal-burst run is self-diagnosing (one rep
     // 3-6x the others on an unchanged plan = de-schedule, not a regression)
-    val perRep = results.map { case (k, (_, _, ts)) =>
+    val perRep = results.map { case (k, (_, _, ts, _)) =>
       s"\"" + k + "\":[" + ts.map(t => f"${t._1}%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     // per-rep resource telemetry: gc_ms + cpu_s + steal_s attribute a slow
     // rep (GC storm vs hypervisor de-schedule vs real work); sh_r/w_mb is
     // the per-query shuffle volume the 100 TB extrapolation needs
-    val perTel = results.map { case (k, (_, _, ts)) =>
+    val perTel = results.map { case (k, (_, _, ts, _)) =>
       s"\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    // per-op task-time attribution (profileSet queries only)
+    val perOps = results.collect { case (k, (_, _, _, ops)) if ops.nonEmpty =>
+      s"\"" + k + "\":" + ops.toSeq.sortBy(-_._2).map { case (o, ms) =>
+        s"\"" + o.stripPrefix("graft:") + "\":" + ms
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"queries_telemetry":$perTel,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"queries_telemetry":$perTel,"queries_ops_ms":$perOps,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
     // ALSO write the full JSON to a file: the driver's stdout capture
     // truncates to a tail, which cost r5 ~35 of 96 query numbers and let a
     // contaminated run publish as a regression cluster with no per-rep

@@ -26,7 +26,8 @@ object Profiler {
       shuffleWriteBytes: Long,
       spillBytes: Long)
 
-  final case class Profile(stages: Seq[StageProfile]) {
+  final case class Profile(stages: Seq[StageProfile],
+      byOp: Map[String, Long] = Map.empty) {
     def totalTaskTimeMs: Long    = stages.map(_.taskTimeMs).sum
     def totalShuffleRead: Long   = stages.map(_.shuffleReadBytes).sum
     def totalShuffleWrite: Long  = stages.map(_.shuffleWriteBytes).sum
@@ -34,10 +35,30 @@ object Profiler {
     def render: String =
       f"stages=$numStages taskTime=${totalTaskTimeMs}ms " +
         f"shuffleR=$totalShuffleRead shuffleW=$totalShuffleWrite\n" +
+        byOp.toSeq.sortBy(-_._2).map { case (op, ms) =>
+          f"  op $op%-24s $ms%7dms" }.mkString("\n") + "\n" +
         stages.sortBy(-_.taskTimeMs).map(s =>
           f"  stage ${s.stageId}%4d ${s.numTasks}%4d tasks ${s.taskTimeMs}%7dms " +
             f"(max ${s.maxTaskTimeMs}ms) shR=${s.shuffleReadBytes} shW=${s.shuffleWriteBytes}" +
             f" spill=${s.spillBytes}  ${s.name.take(60)}").mkString("\n")
+  }
+
+  /** Run `body` with its Spark jobs labeled as library op `op` — the
+    * attribution seam the reference's per-op profiler totals map to
+    * (`python/scannerpy/profiler.py` op timelines). Library operators
+    * wrap their INTERNAL driver-synchronous actions (a CC round, a
+    * k-means iteration, an index build) so [[profile]] can break a
+    * query's task time down by the op that spent it; anything not inside
+    * an `attributed` block lands in the "(final)" bucket (the composed
+    * query's own action). Restores the caller's description on exit, so
+    * nesting attributes to the innermost op.
+    */
+  def attributed[T](spark: SparkSession, op: String)(body: => T): T = {
+    val sc    = spark.sparkContext
+    val saved = sc.getLocalProperty("spark.job.description")
+    sc.setLocalProperty("spark.job.description", s"graft:$op")
+    try body
+    finally sc.setLocalProperty("spark.job.description", saved)
   }
 
   /** Run `body`, return (result, profile of the stages it executed).
@@ -55,14 +76,23 @@ object Profiler {
     val spill     = mutable.Map.empty[Key, Long].withDefaultValue(0L)
     val done      = mutable.LinkedHashMap.empty[Key, SparkListenerStageCompleted]
     val myStages  = mutable.Set.empty[Int]
+    val stageOp   = mutable.Map.empty[Int, String]
     val groupId   = s"graft-profile-${java.util.UUID.randomUUID()}"
     @volatile var lastEventAt = System.nanoTime()
     val listener = new SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         synchronized {
           if (j.properties != null &&
-              groupId == j.properties.getProperty("spark.jobGroup.id"))
+              groupId == j.properties.getProperty("spark.jobGroup.id")) {
             myStages ++= j.stageIds
+            // stages of a job launched inside Profiler.attributed carry
+            // the op label in the job description; everything else is the
+            // composed query's own ("final") action
+            val desc = j.properties.getProperty("spark.job.description")
+            val op = if (desc != null && desc.startsWith("graft:")) desc
+                     else "(final)"
+            j.stageIds.foreach(sid => stageOp(sid) = op)
+          }
           lastEventAt = System.nanoTime()
         }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
@@ -95,16 +125,19 @@ object Profiler {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (System.nanoTime() - lastEventAt < 300L * 1000 * 1000 &&
              System.nanoTime() < deadline) Thread.sleep(50)
-      val stages = listener.synchronized {
-        done.collect { case (key @ (sid, _), s) if myStages.contains(sid) =>
+      val (stages, byOp) = listener.synchronized {
+        val st = done.collect { case (key @ (sid, _), s) if myStages.contains(sid) =>
           StageProfile(
             sid, s.stageInfo.name, taskCount(key), taskTime(key), taskMax(key),
             s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead,
             s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten,
             spill(key))
         }.toSeq
+        val ops = st.groupBy(p => stageOp.getOrElse(p.stageId, "(final)"))
+          .map { case (op, ss) => op -> ss.map(_.taskTimeMs).sum }
+        (st, ops)
       }
-      (result, Profile(stages))
+      (result, Profile(stages, byOp))
     } finally {
       if (savedGroup != null) spark.sparkContext.setJobGroup(savedGroup,
         if (savedDesc != null) savedDesc else "", false)

@@ -60,7 +60,20 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxIters: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithStats(nodes, pairs, idCol, maxIters,
+      checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of driver-synchronous rounds
+    * the loop ran — the convergence-envelope observable: with one
+    * edge-hop propagation and two pointer jumps per round, resolved label
+    * distance grows ~4x per round, so rounds should track
+    * ceil(log4(diameter)) + 1. The bt_1m_cc bench row and the DedupSpec
+    * long-chain pin assert exactly that.
+    */
+  def connectedComponentsWithStats(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // reliable (HDFS/S3) checkpointing survives executor loss mid-loop;
     // without a dir the loop persists each round's row RDD instead
     // (executor-local blocks — fine on local[N], lossy on a real cluster)
@@ -77,17 +90,21 @@ object Dedup {
     // later work (measured: 0.6 s rounds over a ~300-node subgraph
     // intermittently taking 3-6 s). Persisting the row RDD directly gives
     // the same lineage truncation with an explicit, per-round release.
+    // rounds are driver-synchronous jobs — label them for Profiler's
+    // per-op breakdown (graft:cc-round vs the composed query's action)
     def truncate(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) =
-      if (checkpointDir.isDefined) {
-        val cached = df.persist()
-        val ck     = cached.checkpoint()
-        cached.unpersist()
-        (ck, None)
-      } else {
-        val rdd = df.rdd
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // eager: lineage ends here; convergence accumulator fires
-        (df.sparkSession.createDataFrame(rdd, df.schema), Some(rdd))
+      graft.Profiler.attributed(df.sparkSession, "cc-round") {
+        if (checkpointDir.isDefined) {
+          val cached = df.persist()
+          val ck     = cached.checkpoint()
+          cached.unpersist()
+          (ck, None)
+        } else {
+          val rdd = df.rdd
+          rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rdd.count() // eager: lineage ends here; convergence accumulator fires
+          (df.sparkSession.createDataFrame(rdd, df.schema), Some(rdd))
+        }
       }
     val nodeIds = nodes.select(col(idCol).as("id")).distinct()
     // contract: label exactly the given nodes — edges touching ids outside
@@ -178,7 +195,7 @@ object Dedup {
     // the returned relation still reads the final round's blocks + the
     // singleton blocks — they live until the caller's CacheScope.release()
     (labelsRdd.toSeq ++ singlRdd.toSeq).foreach(CacheScope.registerRdd)
-    labels.unionByName(singletons)
+    (labels.unionByName(singletons), iter)
   }
 
   /** MinHash hash model: ONE strong hash per shingle, k cheap universal
@@ -392,9 +409,18 @@ object Dedup {
     // w * (±1) per bit, so aggregate (doc, token) -> weight, then hash each
     // DISTINCT token once — md5/nibble extraction and the 64 sum updates
     // run on the distinct-token relation, typically 2-3x smaller than the
-    // raw token stream (both aggregations combine map-side)
+    // raw token stream.
+    //
+    // ONE explicit exchange by id up front: hash(id) satisfies the
+    // clustering of BOTH the (id, token) weight agg and the per-id 64-sum
+    // signature agg, so neither plants its own exchange. Letting the
+    // first agg shuffle by (id, token) instead left the signature agg
+    // re-shuffling 65-column partials whose map-side combine saturates as
+    // the corpus grows (sf0.1 -> sf1 telemetry: 40x shuffle for 10x docs
+    // — every partition held nearly every doc's partial).
     val tokenW = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("t"))
       .agg(count(lit(1)).as("__w"))
       .select(col(idCol), col("__w"), md5(col("t")).as("m"))

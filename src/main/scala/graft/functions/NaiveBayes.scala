@@ -39,14 +39,24 @@ object NaiveBayes {
     * driver scalar off the model relation; scoring is docTok ⋈ tokClass
     * on token + a |C|-row broadcast for the constants. Caller releases
     * the explode cache via [[graft.CacheScope.release]].
+    *
+    * Scoring-join shape, gated on the measured model size: when
+    * |V| x |C| fits a broadcast, the doc side repartitions by id ONCE and
+    * every downstream agg/join (doc-token counts, doc lengths, the
+    * (id, class) score agg, the argmax) rides that partitioning with zero
+    * further exchanges — the sf0.1 -> sf1 telemetry showed the shuffled
+    * join's (id, class) partial agg saturating its map-side combine
+    * (every partition holds nearly every (doc, class) group: 42x shuffle
+    * growth for 10x data). With a vocabulary too large to broadcast, the
+    * posting join shuffles by token exactly as before — the bounded-model
+    * broadcast is an optimization, not a scale requirement.
     */
   def trainScorePredict(docs: DataFrame, idCol: String, textCol: String,
       classCol: String): DataFrame = {
-    val ex = graft.CacheScope.cache(
+    val ex0 = graft.CacheScope.cache(
       docs.select(col(idCol).as("id"), col(classCol).as("c"),
         explode(TextFunctions.tokens(col(textCol))).as("t")))
-    val docTok   = ex.groupBy(col("id"), col("t")).agg(count(lit(1)).as("n"))
-    val tokClass = ex.groupBy(col("c"), col("t")).agg(count(lit(1)).as("cnt"))
+    val tokClass = ex0.groupBy(col("c"), col("t")).agg(count(lit(1)).as("cnt"))
     val vocab    = tokClass.select(col("t")).distinct().count()
 
     // |C| rows: token mass + doc count per class. The corpus doc total is
@@ -57,7 +67,11 @@ object NaiveBayes {
     val classTok  = tokClass.groupBy(col("c")).agg(sum(col("cnt")).as("totc"))
     val classDocs = graft.CacheScope.cache(
       docs.groupBy(col(classCol).as("c")).agg(count(lit(1)).as("ndocs")))
-    val nDocsAll  = classDocs.agg(sum(col("ndocs"))).collect()(0).getLong(0)
+    val docStats  = classDocs.agg(sum(col("ndocs")), count(lit(1))).collect()(0)
+    val nDocsAll  = docStats.getLong(0)
+    val smallModel = vocab * docStats.getLong(1) <= 2000000L
+    val ex = if (smallModel) ex0.repartition(col("id")) else ex0
+    val docTok = ex.groupBy(col("id"), col("t")).agg(count(lit(1)).as("n"))
     val classStats = classDocs
       .select(col("c"),
         (col("ndocs").cast("double") / lit(nDocsAll).cast("double")).as("prior"))
@@ -66,7 +80,8 @@ object NaiveBayes {
     val docLen = docTok.groupBy(col("id")).agg(sum(col("n")).as("nd"))
     // inverted index: only (token, class) pairs that EXIST contribute;
     // smoothing's ln(1) = 0 covers every absent pair for free
-    val matched = docTok.join(tokClass, Seq("t"))
+    val model = if (smallModel) broadcast(tokClass) else tokClass
+    val matched = docTok.join(model, Seq("t"))
       .groupBy(col("id"), col("c"))
       .agg(sum(col("n").cast("double") * log(col("cnt").cast("double") + 1d)).as("m"))
 

@@ -224,11 +224,13 @@ object Similarity {
       vecCol: String, table: String, buckets: Int = 32): Unit = {
     val s = corpus.sparkSession
     prepareTableOverwrite(s, table)
-    ivfBuildCells(corpus, anchors, idCol, vecCol)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "cell").sortBy("cell")
-      .format("parquet")
-      .saveAsTable(table)
+    graft.Profiler.attributed(s, "ivf-build") {
+      ivfBuildCells(corpus, anchors, idCol, vecCol)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    }
   }
 
   /** The IVF PROBE half over a prebuilt celled relation (id, v, cell) —

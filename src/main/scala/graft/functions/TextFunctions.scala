@@ -113,7 +113,7 @@ object TextFunctions {
     * — nested folds multiply. Wrapping in a 1-element transform makes the
     * binding explicit: measured 34 s -> 2 s on winnowing at bench scale.
     */
-  private[functions] def let(value: Column)(body: Column => Column): Column =
+  private[graft] def let(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003, the

@@ -30,14 +30,23 @@ object TfIdf {
     * grid, so cross-engine double noise at ~1e-15 can't flip a rank), ties
     * toward the smaller neighbor id. Docs with no surviving terms (or a
     * zero vector after pruning) emit no rows.
+    *
+    * IDF corpus size N = number of INDEXED docs (those with >= 1 n-gram
+    * term) — the standard IR convention, and what lets the whole call
+    * scan the corpus exactly once: N is an aggregate over the cached
+    * `terms` relation (the counting action is also what materializes the
+    * cache), not a separate `docs.count()` corpus action. Equals the raw
+    * row count whenever no doc is shorter than the n-gram width.
     */
   def topKNeighbors(docs: DataFrame, idCol: String, textCol: String,
       k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
-    val nDocs = docs.count()
     val terms = graft.CacheScope.cache(
       docs.select(col(idCol).as("id"),
           explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
         .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+    val nDocs = graft.Profiler.attributed(docs.sparkSession, "tfidf-index") {
+      terms.select(countDistinct(col("id"))).head.getLong(0)
+    }
     // document frequency, stop-term pruned: df > maxDf terms are dropped
     // from weights AND norms (the oracle replays the same convention)
     val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -77,15 +86,19 @@ object TfIdf {
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive), length
     * in n-gram terms. Scores round at 6 dp BEFORE ranking (cross-engine
     * rank stability), ties toward the smaller id, self-matches excluded.
+    * IDF corpus size N = indexed-doc count derived from the cached terms
+    * relation (see [[topKNeighbors]]) — one corpus scan per call.
     */
   def bm25TopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
       textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L,
       k1: Double = 1.2): DataFrame = {
-    val nDocs = docs.count()
     val terms = graft.CacheScope.cache(
       docs.select(col(idCol).as("id"),
           explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
         .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+    val nDocs = graft.Profiler.attributed(docs.sparkSession, "bm25-index") {
+      terms.select(countDistinct(col("id"))).head.getLong(0)
+    }
     val lens = terms.groupBy(col("id")).agg(sum(col("n")).as("len"))
     // 1-row exact scalar: avg length = sum(long)/count, no FP-order noise
     val stats = lens.agg(

@@ -211,31 +211,110 @@ object StdKernels {
   def blurOp(ds: Dataset[FrameElem], radius: Int): Dataset[FrameElem] =
     ds.map(f => blur(f, radius))(frameEnc)
 
-  /** OpticalFlow — the reference wraps OpenCV Farneback over stencil {0,1}
-    * (`tests/test_ops.cpp:63-111`), emitting an F32 (H,W,2) frame. OpenCV is
-    * not in this container, so the flow ESTIMATE is a clearly-marked
-    * deterministic substitute (per-pixel temporal intensity delta in channel
-    * 0, zeros in channel 1); the Spark-side contract — stencil fetch, F32
-    * 2-channel output shape — is real and tested.
+  /** OpticalFlow — real dense Lucas-Kanade (pure Scala/JVM; the reference
+    * wraps OpenCV Farneback over stencil {0,1}, `tests/test_ops.cpp:63-111`;
+    * OpenCV is not in this container, so the estimator is LK rather than
+    * Farneback — same contract: F32 (H,W,2) per-pixel (u,v) such that
+    * prev(x,y) moves to approximately cur(x+u, y+v)).
+    *
+    * Method: channel-mean grayscale in [0,1]; central-difference spatial
+    * gradients on `prev` (border-clamped), forward temporal difference;
+    * per pixel solve the 2x2 normal equations A d = -b over a (2r+1)^2
+    * window. Window sums come from summed-area tables over the five
+    * product images, so the whole frame is O(pixels), independent of r.
+    * Windows whose structure tensor has min-eigenvalue below `minEig`
+    * (flat / aperture-ambiguous regions) emit (0,0). Single level — valid
+    * for small displacements (a pyramid is the standard extension; the
+    * library's frames are decode-time, so callers can feed downsampled
+    * frames through [[resize]] for large motion).
+    *
+    * Fully deterministic (fixed sequential FP order) — safe to pin.
     */
-  def opticalFlowStub(prev: FrameElem, cur: FrameElem): FrameElem = {
-    val n   = cur.height * cur.width
-    val bb  = ByteBuffer.allocate(n * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+  def opticalFlow(prev: FrameElem, cur: FrameElem, r: Int = 4,
+      minEig: Double = 1e-4): FrameElem = {
+    require(prev.height == cur.height && prev.width == cur.width &&
+      prev.channels == cur.channels, "optical flow needs same-shape frames")
+    require(prev.dtype == FrameType.U8 && cur.dtype == FrameType.U8)
+    val h = cur.height; val w = cur.width; val c = cur.channels
+    val n = h * w
+    val gp = new Array[Double](n); val gc = new Array[Double](n)
     var p = 0
     while (p < n) {
-      val base = p * cur.channels
-      var dPrev = 0; var dCur = 0
-      var k = 0
-      while (k < cur.channels) {
-        dPrev += prev.data(base + k) & 0xff
-        dCur  += cur.data(base + k) & 0xff
+      var sp = 0; var sc = 0; var k = 0
+      val base = p * c
+      while (k < c) {
+        sp += prev.data(base + k) & 0xff; sc += cur.data(base + k) & 0xff
         k += 1
       }
-      bb.putFloat((dCur - dPrev).toFloat / 255f)
-      bb.putFloat(0f)
+      gp(p) = sp / (255.0 * c); gc(p) = sc / (255.0 * c)
       p += 1
     }
-    FrameElem(cur.streamId, cur.index, cur.height, cur.width, 2, FrameType.F32, bb.array())
+    @inline def at(g: Array[Double], x: Int, y: Int): Double = {
+      val xx = if (x < 0) 0 else if (x >= w) w - 1 else x
+      val yy = if (y < 0) 0 else if (y >= h) h - 1 else y
+      g(yy * w + xx)
+    }
+    // five product images, then (h+1)x(w+1) summed-area tables
+    val prods = Array.fill(5)(new Array[Double](n))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i  = y * w + x
+        val ix = (at(gp, x + 1, y) - at(gp, x - 1, y)) / 2
+        val iy = (at(gp, x, y + 1) - at(gp, x, y - 1)) / 2
+        val it = gc(i) - gp(i)
+        prods(0)(i) = ix * ix; prods(1)(i) = ix * iy; prods(2)(i) = iy * iy
+        prods(3)(i) = ix * it; prods(4)(i) = iy * it
+        x += 1
+      }
+      y += 1
+    }
+    val sw = w + 1
+    val sats = prods.map { a =>
+      val s = new Array[Double]((h + 1) * sw)
+      var yy = 0
+      while (yy < h) {
+        var rowAcc = 0.0
+        var xx = 0
+        while (xx < w) {
+          rowAcc += a(yy * w + xx)
+          s((yy + 1) * sw + xx + 1) = s(yy * sw + xx + 1) + rowAcc
+          xx += 1
+        }
+        yy += 1
+      }
+      s
+    }
+    @inline def winSum(s: Array[Double], x0: Int, y0: Int, x1: Int, y1: Int) =
+      s((y1 + 1) * sw + x1 + 1) - s(y0 * sw + x1 + 1) -
+        s((y1 + 1) * sw + x0) + s(y0 * sw + x0)
+    val bb = ByteBuffer.allocate(n * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    y = 0
+    while (y < h) {
+      val y0 = math.max(0, y - r); val y1 = math.min(h - 1, y + r)
+      var x = 0
+      while (x < w) {
+        val x0 = math.max(0, x - r); val x1 = math.min(w - 1, x + r)
+        val sxx = winSum(sats(0), x0, y0, x1, y1)
+        val sxy = winSum(sats(1), x0, y0, x1, y1)
+        val syy = winSum(sats(2), x0, y0, x1, y1)
+        val sxt = winSum(sats(3), x0, y0, x1, y1)
+        val syt = winSum(sats(4), x0, y0, x1, y1)
+        val tr   = sxx + syy
+        val det  = sxx * syy - sxy * sxy
+        // smaller eigenvalue of the structure tensor: both gradient
+        // directions must carry signal or the constraint is rank-deficient
+        val lMin = (tr - math.sqrt(math.max(0.0, tr * tr - 4 * det))) / 2
+        if (lMin > minEig) {
+          bb.putFloat(((-sxt * syy + sxy * syt) / det).toFloat)
+          bb.putFloat(((sxy * sxt - sxx * syt) / det).toFloat)
+        } else { bb.putFloat(0f); bb.putFloat(0f) }
+        x += 1
+      }
+      y += 1
+    }
+    FrameElem(cur.streamId, cur.index, h, w, 2, FrameType.F32, bb.array())
   }
 
   /** ImageEncoder: frame → PNG bytes (`scanner/util/image_encoder.cpp:112-117`)

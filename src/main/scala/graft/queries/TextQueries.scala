@@ -411,6 +411,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher LINE-structure rules (Rae et al. 2021 A1.1/A1.2): bullet-
+    // start ratio <= 0.9, ellipsis-end ratio <= 0.3, duplicate-line
+    // fraction <= 0.3, duplicate-line CHARACTER fraction <= 0.2. The
+    // corpus is single-line by construction, so the query first renders a
+    // deterministic multi-line view (8-token lines; hash-keyed "- "
+    // prefixes, "..." suffixes, and first-line repeats) that both engines
+    // replay — the rules are exercised with value-diverse flags, not
+    // vacuously true. Shape: the rendering is one let-bound scan pass,
+    // then ONE line-level explode + two map-side-combining hash aggs
+    // ((doc,line) then doc) — lines are materialized exactly once and
+    // never re-evaluated per flag, and nothing is ever corpus x corpus.
+    "txt_gopher_line_flags" -> ((s, dir) => {
+      val rendered = TF.let(TF.tokens(col("text"))) { tk =>
+        val raw = transform(
+          sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+          li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
+        TF.let(raw) { r =>
+          transform(r, (x, li) => concat(
+            when((col("doc_id") * 31 + li) % 4 === 0, lit("- "))
+              .otherwise(lit("")),
+            when((col("doc_id") * 13 + li) % 6 === 0, element_at(r, 1))
+              .otherwise(x),
+            when((col("doc_id") * 7 + li) % 5 === 1, lit("..."))
+              .otherwise(lit(""))))
+        }
+      }
+      docs(s, dir)
+        .select(col("doc_id"), explode(rendered).as("line"))
+        .groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_lines"),
+          count(lit(1)).as("dn"),
+          sum(col("cnt") * length(col("line"))).as("ca"),
+          sum(length(col("line"))).as("cd"),
+          sum(when(col("line").startsWith("- "), col("cnt")).otherwise(0L)).as("bn"),
+          sum(when(col("line").endsWith("..."), col("cnt")).otherwise(0L)).as("en"))
+        .select(col("doc_id"), col("n_lines"),
+          (col("bn").cast("double") / col("n_lines") <= 0.9).as("ok_bullet"),
+          (col("en").cast("double") / col("n_lines") <= 0.3).as("ok_ellipsis"),
+          ((col("n_lines") - col("dn")).cast("double") / col("n_lines") <= 0.3)
+            .as("ok_dup_line"),
+          ((col("ca") - col("cd")).cast("double") / col("ca") <= 0.2)
+            .as("ok_dup_char"))
+        .withColumn("pass", col("ok_bullet") && col("ok_ellipsis") &&
+          col("ok_dup_line") && col("ok_dup_char"))
+        .orderBy("doc_id")
+    }),
+
     // Eval-set contamination: training docs sharing any distinct bigram
     // with the benchmark set (here: doc_id < 20). The eval n-gram set is
     // SMALL by construction, so it broadcasts and the check is one
@@ -831,7 +880,7 @@ object TextQueries {
          |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
          |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
          |        HAVING COUNT(*) <= 50),
-         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
          |w AS (SELECT doc_id, t,
          |        CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
          |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),
@@ -906,7 +955,7 @@ object TextQueries {
          |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
          |lens AS (SELECT doc_id, SUM(n) AS len FROM tf GROUP BY doc_id),
          |stats AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM lens),
-         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
          |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 50),
          |qt AS (SELECT DISTINCT doc_id AS qid, t FROM ex WHERE doc_id % 25 = 0),
          |sc AS (
@@ -1010,6 +1059,48 @@ object TextQueries {
          |    AND nsk >= 2 AND ttf <= 0.2 AND symr <= 0.1 AS pass
          |FROM m JOIN rep ON m.doc_id = rep.doc_id
          |ORDER BY m.doc_id""".stripMargin,
+
+    // line-rules replay: identical deterministic multi-line rendering
+    // (8-token lines, the same hash-keyed decorations), identical
+    // integer counts and single divisions, same Gopher thresholds
+    "txt_gopher_line_flags" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |r AS (SELECT doc_id,
+         |    list_transform(generate_series(0,
+         |        CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1),
+         |      li -> array_to_string(
+         |        tk[li * 8 + 1 : least(li * 8 + 8, len(tk))], ' ')) AS raw
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, len(raw) - 1), li ->
+         |      (CASE WHEN (doc_id * 31 + li) % 4 = 0 THEN '- ' ELSE '' END)
+         |      || (CASE WHEN (doc_id * 13 + li) % 6 = 0 THEN raw[1]
+         |              ELSE raw[li + 1] END)
+         |      || (CASE WHEN (doc_id * 7 + li) % 5 = 1 THEN '...' ELSE '' END)
+         |    )) AS line
+         |  FROM r),
+         |g AS (SELECT doc_id, line, COUNT(*) AS cnt
+         |  FROM l GROUP BY doc_id, line),
+         |f AS (SELECT doc_id,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         |    CAST(COUNT(*) AS BIGINT) AS dn,
+         |    CAST(SUM(cnt * len(line)) AS BIGINT) AS ca,
+         |    CAST(SUM(len(line)) AS BIGINT) AS cd,
+         |    CAST(SUM(CASE WHEN starts_with(line, '- ') THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS bn,
+         |    CAST(SUM(CASE WHEN ends_with(line, '...') THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS en
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_lines,
+         |  CAST(bn AS DOUBLE) / n_lines <= 0.9 AS ok_bullet,
+         |  CAST(en AS DOUBLE) / n_lines <= 0.3 AS ok_ellipsis,
+         |  CAST(n_lines - dn AS DOUBLE) / n_lines <= 0.3 AS ok_dup_line,
+         |  CAST(ca - cd AS DOUBLE) / ca <= 0.2 AS ok_dup_char,
+         |  CAST(bn AS DOUBLE) / n_lines <= 0.9
+         |    AND CAST(en AS DOUBLE) / n_lines <= 0.3
+         |    AND CAST(n_lines - dn AS DOUBLE) / n_lines <= 0.3
+         |    AND CAST(ca - cd AS DOUBLE) / ca <= 0.2 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "txt_contamination" ->
       s"""WITH sh AS (

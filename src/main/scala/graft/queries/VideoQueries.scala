@@ -122,7 +122,7 @@ object VideoQueries {
         .orderBy("streamId")
     }),
 
-    // stencil {-1,0} optical-flow (stub estimator, real stencil plan) →
+    // stencil {-1,0} optical-flow (real dense Lucas-Kanade estimator) →
     // per-frame mean |flow|. The frame-pair fetch goes through the
     // halo-bucketed stencil, so parallelism is #buckets, not #streams —
     // one multi-TB stream no longer serializes into a single task (the
@@ -146,7 +146,7 @@ object VideoQueries {
         val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
         def fe(x: org.apache.spark.sql.Row, idx: Long) = FrameElem(sid, idx,
           x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
-        val flow = StdKernels.opticalFlowStub(fe(w(0), t - 1), fe(w(1), t))
+        val flow = StdKernels.opticalFlow(fe(w(0), t - 1), fe(w(1), t))
         val bb = java.nio.ByteBuffer.wrap(flow.data)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var sum = 0.0; var n = 0

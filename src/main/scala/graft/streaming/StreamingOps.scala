@@ -233,6 +233,72 @@ object StreamingOps {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** INCREMENTAL clean-corpus: the batch `pipeline_clean_corpus` stages
+    * 1 (exact dedup) → 2 (near-dup, against the persisted corpus band
+    * index) → 4 (quality gate) composed over unbounded arrival — arriving
+    * shards flow the whole pipeline end-to-end with per-window latency.
+    *
+    * Composition (all ingredients are the already-tested parts):
+    *  - exact dedup = [[streamingDedup]] (watermarked fingerprint state;
+    *    first arrival of a text passes, later byte-dups drop);
+    *  - near-dup = the [[streamingIndexProbe]] banding against the static
+    *    [[graft.functions.Dedup.lshWriteBandIndex]] relation, flipped to
+    *    KEEP the misses: band rows left-anti-join the index, and a doc
+    *    survives only if EVERY band missed (count == n_bands via the
+    *    windowed aggregate — the only new stateful operator, bounded by
+    *    the watermark). Docs too short to shingle carry one sentinel band
+    *    (band -1, null key) that can never match, so they ride the same
+    *    path instead of a side union.
+    *  - quality gate = the batch gate's pure row predicates (min token
+    *    count + stopword-density band) on the aggregated survivor.
+    *
+    * State inventory at 100 TB: fingerprint store (watermark-bounded),
+    * one window of per-doc band-miss counts, and nothing else — the
+    * corpus index is static data, text crosses the one aggregation as
+    * `first(text)` within its window, and every predicate is a row
+    * expression. Output: (win_start, id, text, n_tokens, stop_ratio) per
+    * surviving doc, emitted when its window closes.
+    */
+  def streamingCleanCorpus(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermark: String, windowLen: String,
+      k: Int = 8, rows: Int = 4, minTokens: Long = 20,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"),
+      stopLo: Double = 0.02, stopHi: Double = 0.2): DataFrame = {
+    import graft.functions.{Dedup, TextFunctions}
+    val deduped = streamingDedup(docs, textCol, Some(tsCol), Some(watermark))
+    val banded = deduped
+      .withColumn("__sh", Dedup.shingleSet(col(textCol)))
+      .withColumn("__bands",
+        when(size(col("__sh")) >= 1, Dedup.bandKeyStructs(col("__sh"), k, rows))
+          .otherwise(array(struct(lit(-1).as("band"),
+            lit(null).cast("string").as("bk")))))
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"), col(textCol).as("__text"),
+        size(col("__bands")).as("__nb"), explode(col("__bands")).as("bb"))
+      .select(col("id"), col("__ts"), col("__text"), col("__nb"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    // KEEP the band rows the corpus index does NOT contain (stream-static
+    // left anti; a null sentinel key never equi-matches, so short docs
+    // keep their one row) — a doc is new iff all its bands survive
+    val misses = banded.join(index.select(col("band"), col("bk")),
+      Seq("band", "bk"), "left_anti")
+    val survivors = misses
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("id"))
+      .agg(first(col("__text")).as("text"), count(lit(1)).as("__nm"),
+        first(col("__nb")).as("__nb"))
+      .filter(col("__nm") === col("__nb"))
+    val toks = TextFunctions.tokenCount(col("text"))
+    survivors
+      .withColumn("n_tokens", toks)
+      .withColumn("stop_ratio",
+        round(TextFunctions.stopwordCount(col("text"), stopwords).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stop_ratio") >= stopLo && col("stop_ratio") <= stopHi)
+      .select(col("window.start").as("win_start"), col("id"), col("text"),
+        col("n_tokens"), col("stop_ratio"))
+  }
+
   /** Watermarked tumbling-window event counts — the standard streaming
     * aggregation shape (readStream → withWatermark → groupBy(window) →
     * agg), over an events-like stream (ts: Timestamp, event_type: String).

@@ -98,6 +98,28 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("connectedComponents round count is logarithmic in chain diameter") {
+    // adversarial envelope pin: a PATH of 4^7 = 16384 nodes (diameter
+    // 16383, nothing for the duplicate-subgraph prune to drop). With one
+    // edge-hop propagation + two pointer jumps per round, resolved label
+    // distance grows ~4x per round, so convergence must land near
+    // log4(diameter) = 7 rounds (+1 confirming round) — far under the
+    // ~16k a propagate-only loop would need, and within default maxIters.
+    val n = 16384L
+    val (labels, rounds) = Dedup.connectedComponentsWithStats(
+      spark.range(0, n).toDF("id"),
+      spark.range(0, n - 1).select(
+        org.apache.spark.sql.functions.col("id").as("a"),
+        (org.apache.spark.sql.functions.col("id") + 1).as("b")),
+      "id")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    CacheScope.release()
+    assert(got.length == n && got.forall(_._2 == 0L))
+    assert(rounds <= 10, s"expected ~log4($n)+1 rounds, got $rounds")
+    assert(rounds >= 6, s"a $n-node path cannot resolve in $rounds rounds " +
+      "— the round counter is broken")
+  }
+
   test("connectedComponents labels exactly the given nodes; foreign edges drop") {
     // edge (99, 7): 99 is not a node -> edge ignored, no phantom row;
     // node 1 < its neighbor 7 keeps its own id as the cluster label

@@ -187,12 +187,44 @@ class KernelsSpec extends SparkSpec {
     assert(img.getWidth == 30 && img.getHeight == 20)
   }
 
-  test("optical-flow stub: F32 (H,W,2) over stencil {0,1} (test_ops.cpp:63-111)") {
+  test("optical flow: F32 (H,W,2) over stencil {0,1} (test_ops.cpp:63-111)") {
     val prev = StdKernels.syntheticFrame(0, 0, 8, 8, 3)
     val cur  = StdKernels.syntheticFrame(0, 1, 8, 8, 3)
-    val flow = StdKernels.opticalFlowStub(prev, cur)
+    val flow = StdKernels.opticalFlow(prev, cur)
     assert(flow.dtype == FrameType.F32 && flow.channels == 2)
     assert(flow.data.length == 8 * 8 * 2 * 4)
+  }
+
+  test("optical flow recovers a known translation (dense Lucas-Kanade)") {
+    // smooth 2D texture (sum of incommensurate sinusoids — gradient
+    // energy in BOTH directions everywhere, no aperture ambiguity),
+    // translated by exactly (dx, dy) = (2, 1) px between the frames
+    val h = 48; val w = 64
+    def tex(x: Double, y: Double): Int =
+      (127.5 + 55 * math.sin(0.31 * x + 0.17 * y) * math.cos(0.23 * y - 0.11 * x)
+        + 45 * math.sin(0.13 * x) * math.sin(0.19 * y)).round.toInt.max(0).min(255)
+    def frame(idx: Long, dx: Int, dy: Int) = {
+      val data = new Array[Byte](h * w)
+      for (y <- 0 until h; x <- 0 until w)
+        data(y * w + x) = tex(x - dx, y - dy).toByte
+      graft.model.FrameElem(0L, idx, h, w, 1, FrameType.U8, data)
+    }
+    val flow = StdKernels.opticalFlow(frame(0, 0, 0), frame(1, 2, 1), r = 6)
+    val bb = java.nio.ByteBuffer.wrap(flow.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // interior pixels (away from the clamped border + window radius):
+    // mean estimate must land near (2, 1); single-level LK on a smooth
+    // texture is biased low for multi-pixel shifts, hence the loose band
+    var su = 0.0; var sv = 0.0; var n = 0
+    for (y <- 10 until h - 10; x <- 10 until w - 10) {
+      val i = (y * w + x) * 2
+      su += bb.getFloat(i * 4); sv += bb.getFloat(i * 4 + 4); n += 1
+    }
+    val mu = su / n; val mv = sv / n
+    assert(math.abs(mu - 2.0) < 0.8, s"mean u $mu should be near 2.0")
+    assert(math.abs(mv - 1.0) < 0.5, s"mean v $mv should be near 1.0")
+    assert(mu > 2 * mv * 0.7 && mu < 2 * mv * 1.5,
+      s"flow direction (u/v ratio) should be near 2:1, got $mu/$mv")
   }
 
   test("averageHash is brightness-invariant (no clipping) and image-sensitive") {

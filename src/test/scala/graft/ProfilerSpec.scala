@@ -50,4 +50,36 @@ class ProfilerSpec extends SparkSpec {
     val (_, prof) = Profiler.profile(spark) { () }
     assert(prof.numStages == 0)
   }
+
+  test("per-op attribution: library-internal rounds separate from the final action") {
+    import org.apache.spark.sql.functions._
+    // connectedComponents runs its rounds as attributed(cc-round) jobs;
+    // the caller's own aggregate is the (final) action. Both buckets must
+    // show up, covering ALL profiled task time between them.
+    val nodes = spark.range(0, 512).toDF("id")
+    val chain = spark.range(0, 511).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (n, prof) = Profiler.profile(spark) {
+      graft.functions.Dedup.connectedComponents(nodes, chain, "id")
+        .agg(countDistinct(col("cluster"))).head.getLong(0)
+    }
+    CacheScope.release()
+    assert(n == 1L)
+    assert(prof.byOp.contains("graft:cc-round"),
+      s"expected cc-round bucket in ${prof.byOp.keySet}")
+    assert(prof.byOp.contains("(final)"),
+      s"expected the caller's own action bucket in ${prof.byOp.keySet}")
+    assert(prof.byOp.values.sum == prof.totalTaskTimeMs,
+      "attribution buckets must partition the total task time")
+  }
+
+  test("attributed restores the caller's job description") {
+    val sc = spark.sparkContext
+    sc.setLocalProperty("spark.job.description", "outer")
+    try {
+      Profiler.attributed(spark, "inner") {
+        assert(sc.getLocalProperty("spark.job.description") == "graft:inner")
+      }
+      assert(sc.getLocalProperty("spark.job.description") == "outer")
+    } finally sc.setLocalProperty("spark.job.description", null)
+  }
 }

@@ -13,16 +13,22 @@ import org.apache.hadoop.fs.{FSDataInputStream, FSInputStream, Path, PositionedR
 object SpyFileSystem {
   /** total positioned-read calls (readFully/read-at-offset) on spy:// files */
   val positionedReads = new AtomicLong(0)
-  def reset(): Unit = positionedReads.set(0)
+  /** total file opens on spy:// files — each scan task opens its input at
+    * least once, so a query that scans a source twice roughly doubles
+    * this (the "how many corpus scans" signal for a parquet input) */
+  val opens = new AtomicLong(0)
+  def reset(): Unit = { positionedReads.set(0); opens.set(0) }
 }
 
 class SpyFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "spy"
   override def getUri: java.net.URI = java.net.URI.create("spy:///")
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     // missing files already throw FileNotFoundException in super.open
+    SpyFileSystem.opens.incrementAndGet()
     new FSDataInputStream(new CountingStream(super.open(f, bufferSize)))
+  }
 
   /** delegates everything, counts the positioned-read entry points */
   private class CountingStream(inner: FSDataInputStream)

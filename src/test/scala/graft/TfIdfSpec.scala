@@ -60,6 +60,48 @@ class TfIdfSpec extends SparkSpec {
     assert(byId(3L) > byId(2L) && byId(3L) < 2 * byId(2L))
   }
 
+  test("IDF corpus size counts indexed docs only (>= 1 n-gram)") {
+    // a 1-token doc produces no bigrams: it is not in the index, so
+    // N = 3, and the d1<->d2 score matches the 3-doc closed form exactly
+    // (under the old N = raw row count it would use ln(4/2)/ln(4))
+    val c = corpus.unionByName(Seq((9L, "solo")).toDF("doc_id", "text"))
+    val rows = TfIdf.topKNeighbors(c, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect()
+    CacheScope.release()
+    val l15sq = math.pow(math.log(3.0 / 2.0), 2)
+    val l3sq  = math.pow(math.log(3.0), 2)
+    val want  = BigDecimal(l15sq / (l15sq + l3sq))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+    rows.foreach(r => assert(math.abs(r.getDouble(3) - want) < 1e-9))
+  }
+
+  test("one retrieval call = one corpus scan (spy-FS open count)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf-spy")
+    corpus.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.spy.impl", classOf[SpyFileSystem].getName)
+    // baseline: file opens for ONE full-column scan (schema inference +
+    // footer + data reads — identical fixed costs on both sides)
+    SpyFileSystem.reset()
+    spark.read.parquet(s"spy://$dir")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).collect()
+    val oneScan = SpyFileSystem.opens.get()
+    // the retrieval call: terms build + N derivation + the full pair
+    // pipeline must together touch the corpus once (the old separate
+    // docs.count() action made this ~2x the one-scan open count)
+    SpyFileSystem.reset()
+    TfIdf.topKNeighbors(spark.read.parquet(s"spy://$dir"),
+      "doc_id", "text", k = 2).collect()
+    CacheScope.release()
+    val used = SpyFileSystem.opens.get()
+    assert(used <= oneScan,
+      s"retrieval opened the corpus parquet $used times vs $oneScan for one scan")
+  }
+
   test("k bounds the neighbor list with smaller-id tie-break") {
     // three identical docs (plus one outlier so idf > 0): every pair among
     // 1-3 scores 1.0, k=2 keeps the two smallest neighbor ids; the
