@@ -656,6 +656,61 @@ object Dedup {
         col("__c.n_tokens").as("n_tokens"), col("__c.n_cut").as("n_cut"))
   }
 
+  /** CCNet-style paragraph dedup (Wenzek et al. 2020 §4.1: "we deduplicate
+    * at the paragraph level ... keeping the first occurrence"): split each
+    * doc on `sep`, hash every paragraph, keep exactly ONE occurrence of
+    * each distinct paragraph corpus-wide (the lexicographically smallest
+    * (doc, position) — a deterministic global choice), drop every other
+    * occurrence, and reassemble the surviving paragraphs in document
+    * order. Distinct from [[removeDuplicatedWindows]]: that cuts token
+    * windows duplicated ACROSS docs (within-doc repetition is out of
+    * scope there); this drops whole repeated paragraphs wherever they
+    * recur — including within one document — which is what kills web
+    * boilerplate (nav bars, cookie banners, footers).
+    *
+    * Scale shape — the skeleton the other dedup transforms share:
+    * paragraphs shuffle as (md5, position) pairs, never raw text; the
+    * keeper is ONE min-struct aggregation per hash (no all-pairs, no
+    * global sort); each doc gets back only the POSITIONS it must drop
+    * (collect_list bounded by the doc's own paragraph count); and the
+    * rebuild is a scan-pass HOF over the re-split text. A boilerplate
+    * paragraph repeated across the whole corpus is one hot hash in the
+    * keeper agg — a map-side-combining count, not a join fan-out.
+    *
+    * Returns (idCol, clean_text, n_paras, n_dropped) for EVERY input doc;
+    * a doc whose every paragraph is dropped emits clean_text = "".
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val occ = docs
+      .select(col(idCol), posexplode(split(col(textCol), sepRe)))
+      .select(col(idCol), col("pos"), md5(col("col")).as("ph"))
+    CacheScope.cache(occ) // feeds the keeper agg AND the per-doc drop list
+    val keepers = occ.groupBy(col("ph"))
+      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kp"))).as("k"),
+        count(lit(1)).as("nocc"))
+      .filter(col("nocc") > 1) // unique paragraphs can't produce drops
+      .select(col("ph"), col("k.kid").as("__kid"), col("k.kp").as("__kp"))
+    val drops = occ.join(keepers, Seq("ph"))
+      .filter(!(col(idCol) === col("__kid") && col("pos") === col("__kp")))
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__dp"))
+    val rebuilt = TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+      TextFunctions.let(filter(ps, (_, i) =>
+        !array_contains(col("__dp"), i))) { kept =>
+        struct(
+          concat_ws(sep, kept).as("clean_text"),
+          size(ps).cast("long").as("n_paras"),
+          (size(ps) - size(kept)).cast("long").as("n_dropped"))
+      }
+    }
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("__dp", coalesce(col("__dp"), array().cast("array<int>")))
+      .withColumn("__c", rebuilt)
+      .select(col(idCol), col("__c.clean_text").as("clean_text"),
+        col("__c.n_paras").as("n_paras"), col("__c.n_dropped").as("n_dropped"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 4): DataFrame = {
     // ONE persisted tokenize+shingle pass feeds both phases: the minhash

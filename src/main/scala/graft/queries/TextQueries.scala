@@ -244,6 +244,32 @@ object TextQueries {
       Dedup.removeDuplicatedWindowsKeepOne(docs(s, dir), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // CCNet paragraph dedup (Wenzek et al. 2020): drop every repeated
+    // paragraph corpus-wide, keeping the first (doc, position) occurrence.
+    // The corpus is single-line, so the query first renders a deterministic
+    // multi-paragraph view (8-token paragraphs; a hash-keyed corpus-wide
+    // boilerplate paragraph — ONE hot hash, the web-footer case — and
+    // hash-keyed within-doc first-paragraph repeats) that both engines
+    // replay; see Dedup.dedupParagraphs for the shuffle shape.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val rendered = TF.let(TF.tokens(col("text"))) { tk =>
+        val raw = transform(
+          sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+          li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
+        TF.let(raw) { r =>
+          concat_ws("\n", transform(r, (x, li) =>
+            when((col("doc_id") * 17 + li) % 11 === 0,
+              lit("the shared boilerplate paragraph"))
+              .when((col("doc_id") * 13 + li) % 7 === 3, element_at(r, 1))
+              .otherwise(x)))
+        }
+      }
+      Dedup.dedupParagraphs(
+        docs(s, dir).select(col("doc_id"), rendered.as("text")),
+        "doc_id", "text", "\n")
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
     // count + md5 digest of the sorted selected hashes
     "txt_winnow" -> ((s, dir) =>
