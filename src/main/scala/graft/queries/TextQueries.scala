@@ -1419,6 +1419,50 @@ object TextQueries {
          |  CAST(len(tk) - len(kept) AS BIGINT) AS n_cut
          |FROM k ORDER BY doc_id""".stripMargin,
 
+    // replays the query's deterministic multi-paragraph rendering (8-token
+    // paragraphs; boilerplate / first-para repeats keyed on (doc_id, index)
+    // hashes), then CCNet paragraph dedup: keep the smallest (doc_id, pos)
+    // occurrence of every repeated paragraph, drop the rest, reassemble in
+    // document order. DuckDB lambda indices are 1-based (Spark's are
+    // 0-based) — hence the `li - 1` in every keyed condition.
+    "dedup_paragraphs" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |raw AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      generate_series(0, CAST(ceil(len(tk) / 8.0) AS INT) - 1),
+         |      li -> array_to_string(tk[li*8+1 : li*8+8], ' ')) AS r
+         |  FROM t),
+         |rendered AS (
+         |  SELECT doc_id,
+         |    list_transform(r, (x, li) -> CASE
+         |      WHEN (doc_id * 17 + (li - 1)) % 11 = 0
+         |        THEN 'the shared boilerplate paragraph'
+         |      WHEN (doc_id * 13 + (li - 1)) % 7 = 3 THEN r[1]
+         |      ELSE x END) AS paras
+         |  FROM raw),
+         |occ0 AS (
+         |  SELECT doc_id, paras,
+         |    unnest(generate_series(1, len(paras))) AS li
+         |  FROM rendered),
+         |occ AS (SELECT doc_id, li - 1 AS pos, md5(paras[li]) AS ph FROM occ0),
+         |d AS (SELECT ph FROM occ GROUP BY ph HAVING COUNT(*) > 1),
+         |ranked AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rk
+         |  FROM occ JOIN d USING (ph)),
+         |drops AS (SELECT doc_id, list(pos) AS dp FROM ranked WHERE rk > 1 GROUP BY doc_id),
+         |fin AS (
+         |  SELECT r.doc_id, len(r.paras) AS np,
+         |    list_filter(r.paras, (x, i) ->
+         |      NOT list_contains(COALESCE(d.dp, CAST([] AS BIGINT[])), i - 1)) AS kept
+         |  FROM rendered r LEFT JOIN drops d ON r.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(np AS BIGINT) AS n_paras,
+         |  CAST(np - len(kept) AS BIGINT) AS n_dropped
+         |FROM fin ORDER BY doc_id""".stripMargin,
+
     "txt_pii_redact" ->
       """WITH r AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 555-'

@@ -181,6 +181,30 @@ class DedupSpec extends SparkSpec {
     assert(hits == Seq((10L, 0L), (11L, 0L)))
   }
 
+  test("dedupParagraphs keeps the first (doc,pos) occurrence corpus-wide (hand-computed)") {
+    // para "B" is corpus-wide boilerplate (first seen doc 0 pos 1);
+    // doc 1 repeats its own first para "X" within-doc; doc 2 is clean.
+    val docs = Seq(
+      (0L, "A\nB\nC"),
+      (1L, "X\nB\nX\nY"),
+      (2L, "P\nQ")).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "A\nB\nC", 3L, 0L),  // keeper of B; nothing dropped
+      (1L, "X\nY", 4L, 2L),     // loses its B copy AND its own X repeat
+      (2L, "P\nQ", 2L, 0L)))
+  }
+
+  test("dedupParagraphs emits empty text for a doc whose every paragraph is dropped") {
+    val docs = Seq((0L, "A\nB"), (1L, "B\nA")).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, "A\nB", 0L), (1L, "", 2L)))
+  }
+
   test("winnowFingerprints: short docs (grams < w) keep their single overall min") {
     import graft.functions.TextFunctions
     // 4 tokens -> 2 trigram hashes < w=4 windows -> exactly one fingerprint
