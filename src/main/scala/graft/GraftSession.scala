@@ -66,4 +66,31 @@ object GraftSession {
     import org.apache.spark.sql.functions._
     timestamp_micros((c / 1000L).cast("long"))
   }
+
+  /** Normalize an event table's `ts` column to epoch NANOSECONDS as LONG,
+    * whatever physical encoding the parquet writer chose. The driver's
+    * testdata has shipped `events.ts` as parquet TIMESTAMP(NANOS) (which
+    * `nanosAsLong` surfaces as a nano-long), as TIMESTAMP(MICROS)
+    * adjusted-to-UTC (Spark `TimestampType`), and as TIMESTAMP(MICROS)
+    * NTZ (`TimestampNTZType`) across regenerations; all engine event-time
+    * arithmetic (session gaps, hourly buckets, calendar fns) is written
+    * against nano-longs, so every events reader funnels through here.
+    *
+    * NTZ wall-clock is interpreted as UTC: the session timezone is pinned
+    * to UTC in [[local]]/[[localCluster]], so `cast(ts as timestamp)` is a
+    * pure relabel, and `unix_micros` then yields the same epoch the DuckDB
+    * oracle's `epoch_ns(ts)` computes on the naive value.
+    */
+  def tsToNanos(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) parquet read via nanosAsLong
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected long/timestamp/timestamp_ntz, got $other")
+    }
+  }
 }

@@ -45,18 +45,31 @@ object Dedup {
   /** Connected components over a near-dup pair graph: label every node
     * with the minimum id reachable through pairs — the step that turns
     * pairwise candidates into keep-one-per-cluster decisions. Min-label
-    * propagation: each round joins current labels across (bidirectional)
-    * edges and takes the min; terminates when a round changes nothing
-    * (#rounds = graph diameter, which for dup clusters is tiny). The
-    * driver issues exactly ONE job per round (convergence detection rides
-    * the checkpoint job via an accumulator — no separate count); all data
-    * movement is hash joins/aggregations — the same loop shape
-    * large-star/small-star uses at web scale. Pass `checkpointDir`
-    * (an HDFS/S3 path on a real cluster) for reliable per-round lineage
-    * truncation that survives executor loss; without one, each round
-    * persists its label row-RDD (MEMORY_AND_DISK) to cut lineage, and the
-    * loop releases the previous round's blocks explicitly — see the
-    * truncate() comment for why Dataset.localCheckpoint was rejected.
+    * propagation with double pointer jumping: each round takes the min
+    * over neighbor labels (one edge hop), then twice replaces each label
+    * with its label's label (path compression), so resolved label
+    * distance grows ~4x per round and the loop converges in
+    * ~ceil(log4(diameter)) + 1 driver-synchronous rounds.
+    *
+    * The iteration runs as a co-partitioned RDD loop, not a Catalyst
+    * plan-per-round: node ids are dictionary-encoded to dense longs once
+    * (in natural id order, so min-code ≡ min-id and decoded labels are
+    * bit-identical to a DataFrame min), and edges + labels share one
+    * HashPartitioner for the whole loop. Every per-round join is then a
+    * narrow co-partitioned zip — the only shuffles are the (combined)
+    * message reduction and the two pointer-jump relabelings, all moving
+    * compact (long, long) pairs instead of full Tungsten rows, and no
+    * per-round planning/AQE work happens at all. (The previous
+    * DataFrame-loop formulation re-planned and re-shuffled the full label
+    * relation 4-5x per round: 137 s / 3.2 GB shuffle on the 1M-chain
+    * bench; this loop is the same algorithm minus that overhead.)
+    *
+    * The driver issues exactly ONE job per round (convergence detection
+    * rides the round's materialization via an accumulator — no separate
+    * count). Pass `checkpointDir` (an HDFS/S3 path on a real cluster) for
+    * reliable per-round lineage truncation that survives executor loss;
+    * without one each round's labels persist MEMORY_AND_DISK and the loop
+    * releases the previous round's blocks explicitly.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxIters: Int = 20,
@@ -74,128 +87,139 @@ object Dedup {
   def connectedComponentsWithStats(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxIters: Int = 20,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.storage.StorageLevel
+
+    val spark = nodes.sparkSession
     // reliable (HDFS/S3) checkpointing survives executor loss mid-loop;
-    // without a dir the loop persists each round's row RDD instead
+    // without a dir the loop persists each round's pair RDD instead
     // (executor-local blocks — fine on local[N], lossy on a real cluster)
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    // Reliable checkpoint alone would RECOMPUTE the plan in the checkpoint
-    // writer's second job (double work, and it would double-fire the
-    // convergence accumulator); persisting first makes that second pass a
-    // cache read, then the cache is released once the files are durable.
-    //
-    // The local path deliberately does NOT use Dataset.localCheckpoint:
-    // its blocks can only be freed by GC + async ContextCleaner
-    // (Dataset.unpersist is a no-op on them), so every round leaked its
-    // predecessor's blocks and the deferred cleanup storms contended with
-    // later work (measured: 0.6 s rounds over a ~300-node subgraph
-    // intermittently taking 3-6 s). Persisting the row RDD directly gives
-    // the same lineage truncation with an explicit, per-round release.
-    // rounds are driver-synchronous jobs — label them for Profiler's
-    // per-op breakdown (graft:cc-round vs the composed query's action)
-    def truncate(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) =
-      graft.Profiler.attributed(df.sparkSession, "cc-round") {
-        if (checkpointDir.isDefined) {
-          val cached = df.persist()
-          val ck     = cached.checkpoint()
-          cached.unpersist()
-          (ck, None)
-        } else {
-          val rdd = df.rdd
-          rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          rdd.count() // eager: lineage ends here; convergence accumulator fires
-          (df.sparkSession.createDataFrame(rdd, df.schema), Some(rdd))
-        }
-      }
-    val nodeIds = nodes.select(col(idCol).as("id")).distinct()
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val nodeIds = CacheScope.cache(nodes.select(col(idCol).as("id")).distinct())
     // contract: label exactly the given nodes — edges touching ids outside
     // `nodes` are dropped (both endpoints must be present), so no phantom
     // rows and every node's own id is always a candidate label
-    val edges = pairs.select(col("a"), col("b"))
+    val edgesDf = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-      .persist()
     // the loop only touches nodes that occur in an edge: a singleton can
     // never change label, so it never enters a round. At corpus scale the
     // iteration runs over the (tiny) duplicate subgraph, not all of
     // `nodes`; singletons rejoin at the end with self-labels.
-    val paired = nodeIds
-      .join(edges.select(col("a").as("id")).distinct(), Seq("id"), "left_semi")
-      .persist()
-    var labels  = paired.withColumn("cluster", col("id")).persist()
-    // the persisted row RDD backing the current `labels` (None for the
-    // SQL-cached round-0 relation and on the reliable-checkpoint path)
-    var labelsRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    val paired = CacheScope.cache(nodeIds
+      .join(edgesDf.select(col("a").as("id")).distinct(), Seq("id"), "left_semi"))
+
+    // Dictionary-encode paired node ids to dense longs IN NATURAL ID ORDER
+    // (sort + zipWithIndex): code order mirrors id order, so the min-code
+    // fixpoint decodes to exactly the min-id labels the callers' oracles
+    // expect, for any orderable id type (longs, md5 strings, ...).
+    val idField = StructField("id", nodeIds.schema.head.dataType, nodeIds.schema.head.nullable)
+    val dict = CacheScope.cache(spark.createDataFrame(
+      paired.orderBy("id").rdd.zipWithIndex()
+        .map { case (r, code) => Row(r.get(0), code) },
+      StructType(Seq(idField, StructField("code", LongType, nullable = false)))))
+
+    // one partitioner for the WHOLE loop: edges and every round's labels
+    // stay co-partitioned, so the per-round joins below are narrow
+    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+    val edgesR: RDD[(Long, Long)] = edgesDf
+      .join(dict.select(col("id").as("a"), col("code").as("ca")), Seq("a"))
+      .join(dict.select(col("id").as("b"), col("code").as("cb")), Seq("b"))
+      .select(col("cb"), col("ca")).rdd // keyed by source b: b's label flows to a
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels: RDD[(Long, Long)] = dict.select("code").rdd
+      .map(r => (r.getLong(0), r.getLong(0)))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val minL: (Long, Long) => Long = math.min
+    val chgAcc  = spark.sparkContext.longAccumulator("ccChanged")
     var changed = 1L
     var iter    = 0
-    val chgAcc = nodes.sparkSession.sparkContext.longAccumulator("ccChanged")
     while (changed > 0 && iter < maxIters) {
-      // min over own label and all neighbors' labels...
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
-        .select(col("a").as("id"), col("nc").as("cluster"))
-      val propagated = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-      // ...then pointer-jump (label <- label of label): path compression
-      // makes convergence logarithmic in component diameter, not linear.
-      // Checkpointing truncates the logical plan each round — the jump
-      // self-joins the previous round's plan, so without truncation the
-      // lineage (and planning time/memory) doubles per iteration.
-      //
-      // Convergence detection rides the (eager) checkpoint job itself: the
-      // old label joins in, a mapPartitions bumps an accumulator per
-      // improved row, and no separate count() job runs at all — the loop
-      // costs exactly ONE driver-synchronous job per round. A resubmitted
-      // task can at worst over-count (never report 0 when labels moved),
-      // which only risks one extra cheap round.
-      chgAcc.reset()
-      // the improved? flag computes as a Column (id stays any orderable
-      // type — string fingerprints, ints, longs), the row pass only reads
-      // the precomputed boolean and feeds the accumulator
-      // two jumps per materialized round: each jump is one more tiny
-      // self-join inside the SAME job, but compression squares per jump,
-      // so the count of driver-synchronous rounds (the real cost — each
-      // pays a checkpoint job) halves
-      def jump(rel: DataFrame): DataFrame = rel
-        .join(rel.select(col("id").as("cluster"), col("cluster").as("jc")),
-          Seq("cluster"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("jc"), col("cluster"))).as("cluster"))
-      val flagged = jump(jump(propagated))
-        .join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .select(col("id"), col("cluster"), (col("cluster") < col("old")).as("__chg"))
-      val outSchema = org.apache.spark.sql.types.StructType(flagged.schema.take(2))
       val t0 = System.nanoTime()
-      val (next, nextRdd) = truncate(flagged
-        .mapPartitions { it =>
-          it.map { r =>
-            if (r.getBoolean(2)) chgAcc.add(1L)
-            org.apache.spark.sql.Row(r.get(0), r.get(1))
-          }
-        }(org.apache.spark.sql.Encoders.row(outSchema)))
+      // min over own label and all neighbors' labels: the edge join is
+      // narrow (both sides on `part`); the only shuffle is the map-side-
+      // combined message reduction
+      val msgs = edgesR.join(labels)
+        .map { case (_, (a, c)) => (a, c) }
+        .reduceByKey(part, minL)
+      val prop = labels.leftOuterJoin(msgs)
+        .mapValues { case (c, m) => math.min(c, m.getOrElse(c)) }
+      // ...then pointer-jump (label <- label of label) twice: path
+      // compression makes convergence logarithmic in component diameter;
+      // two jumps per materialized round squares the compression again so
+      // the count of driver-synchronous rounds (the real cost) halves.
+      // Each jump shuffles only compact (long, long) pairs: once to key by
+      // cluster for the parent lookup (the lookup join itself is narrow),
+      // once to bring the jumped labels back to their node's partition.
+      def jump(rel: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+        val jumped = rel.map { case (i, c) => (c, i) }
+          .partitionBy(part)
+          .join(rel)
+          .map { case (_, (i, jc)) => (i, jc) }
+          .reduceByKey(part, minL)
+        rel.leftOuterJoin(jumped).mapValues { case (c, j) => math.min(c, j.getOrElse(c)) }
+      }
+      // Convergence detection rides the round's one materialization job:
+      // the old label zips in (narrow), a mapPartitions bumps an
+      // accumulator per improved row — no separate count() job runs. A
+      // resubmitted task can at worst over-count (never report 0 when
+      // labels moved), which only risks one extra cheap round.
+      chgAcc.reset()
+      val flagged = jump(jump(prop)).join(labels)
+        .mapPartitions(_.map { case (i, (nc, oc)) =>
+          if (nc < oc) chgAcc.add(1L)
+          (i, nc)
+        }, preservesPartitioning = true)
+      // one driver-synchronous job per round, labeled for Profiler's
+      // per-op breakdown (graft:cc-round vs the composed query's action).
+      // persist BEFORE checkpoint: the checkpoint writer's second pass
+      // then reads the cache instead of recomputing (which would also
+      // double-fire the convergence accumulator).
+      val next = graft.Profiler.attributed(spark, "cc-round") {
+        flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        if (checkpointDir.isDefined) flagged.checkpoint()
+        flagged.count()
+        flagged
+      }
       changed = chgAcc.value
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%.2fs changed=$changed")
-      labels.unpersist()                               // round-0 SQL cache
-      labelsRdd.foreach(_.unpersist(blocking = true))  // prior round's blocks
+      labels.unpersist(blocking = true) // prior round's blocks
       labels = next
-      labelsRdd = nextRdd
     }
-    edges.unpersist()
+    edgesR.unpersist(blocking = false)
     // fail loudly rather than silently return non-converged labels (a
     // wrong keep-one-per-cluster decision would keep duplicates)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds")
-    // materialize (checkpoint) the singleton labels BEFORE releasing
-    // `paired` — the result stays self-contained once returned
-    val (singletons, singlRdd) = truncate(nodeIds.join(paired, Seq("id"), "left_anti")
-      .withColumn("cluster", col("id")))
-    paired.unpersist()
-    // the returned relation still reads the final round's blocks + the
-    // singleton blocks — they live until the caller's CacheScope.release()
-    (labelsRdd.toSeq ++ singlRdd.toSeq).foreach(CacheScope.registerRdd)
-    (labels.unionByName(singletons), iter)
+    // decode: two small dict joins give back (id, cluster) in the caller's
+    // id type; singletons rejoin with self-labels. The returned relation
+    // reads the final round's blocks + the cached dict/node relations —
+    // they live until the caller's CacheScope.release().
+    CacheScope.registerRdd(labels)
+    val labDf = spark.createDataFrame(
+      labels.map { case (i, c) => Row(i, c) },
+      StructType(Seq(StructField("code", LongType, nullable = false),
+        StructField("ccode", LongType, nullable = false))))
+    val decoded = labDf
+      .join(dict, Seq("code"))
+      .join(dict.select(col("code").as("ccode"), col("id").as("cluster")), Seq("ccode"))
+      .select(col("id"), col("cluster"))
+    val singletons = nodeIds.join(paired, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    (decoded.unionByName(singletons), iter)
   }
 
   /** MinHash hash model: ONE strong hash per shingle, k cheap universal

@@ -20,6 +20,14 @@ object RelQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to nano-long whatever the parquet
+    * encoding (see [[graft.GraftSession.tsToNanos]]) — every event-time
+    * query reads through here so a driver-side re-encode of the fact
+    * table cannot break the suite again.
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.tsToNanos(t(s, dir, "events"))
+
   /** exact (order-independent) sum of a double expression, as double */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(38,6)")).cast("double")
@@ -253,9 +261,9 @@ object RelQueries {
     // gap-based sessionization over the event stream (lag + running sum) —
     // the batch twin of the Structured Streaming session window
     "q_events_sessionize" -> ((s, dir) => {
-      val ev = t(s, dir, "events") // ts read as long nanos (GraftSession)
+      val events = ev(s, dir) // ts normalized to long nanos
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      events.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_ts").isNull || col("ts") - col("prev_ts") > lit(1800L * 1000000000L), 1L)
             .otherwise(0L))
@@ -311,11 +319,10 @@ object RelQueries {
     // tumbling 1-hour windowed aggregation — identical plan under
     // Structured Streaming (readStream + window())
     "q_events_hourly" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
       // integral `div`, not `/`: long `/` evaluates in double and ts is
       // ~1.7e18 ns (> 2^53), so double rounding could shift boundary events
       // into the wrong bucket vs DuckDB's exact `//`
-      ev.withColumn("bucket", expr("ts div 3600000000000"))
+      ev(s, dir).withColumn("bucket", expr("ts div 3600000000000"))
         .groupBy(col("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("bucket", "event_type")
@@ -326,7 +333,7 @@ object RelQueries {
     // aggregation — the scalar date surface of the gap map
     "q_events_weekday" -> ((s, dir) => {
       val tts = graft.GraftSession.nanosToTimestamp(col("ts"))
-      t(s, dir, "events")
+      ev(s, dir)
         .select(((dayofweek(tts) + 5) % 7).cast("long").as("dow"),
           col("event_type"), to_date(tts).as("d"))
         .groupBy(col("dow"), col("event_type"))

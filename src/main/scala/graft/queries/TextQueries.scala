@@ -1446,17 +1446,17 @@ object TextQueries {
          |    unnest(generate_series(1, len(paras))) AS li
          |  FROM rendered),
          |occ AS (SELECT doc_id, li - 1 AS pos, md5(paras[li]) AS ph FROM occ0),
-         |d AS (SELECT ph FROM occ GROUP BY ph HAVING COUNT(*) > 1),
+         |dups AS (SELECT ph FROM occ GROUP BY ph HAVING COUNT(*) > 1),
          |ranked AS (
          |  SELECT doc_id, pos,
          |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rk
-         |  FROM occ JOIN d USING (ph)),
+         |  FROM occ JOIN dups USING (ph)),
          |drops AS (SELECT doc_id, list(pos) AS dp FROM ranked WHERE rk > 1 GROUP BY doc_id),
          |fin AS (
          |  SELECT r.doc_id, len(r.paras) AS np,
          |    list_filter(r.paras, (x, i) ->
-         |      NOT list_contains(COALESCE(d.dp, CAST([] AS BIGINT[])), i - 1)) AS kept
-         |  FROM rendered r LEFT JOIN drops d ON r.doc_id = d.doc_id)
+         |      NOT list_contains(COALESCE(dr.dp, CAST([] AS BIGINT[])), i - 1)) AS kept
+         |  FROM rendered r LEFT JOIN drops dr ON r.doc_id = dr.doc_id)
          |SELECT doc_id,
          |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
          |  CAST(np AS BIGINT) AS n_paras,

@@ -19,10 +19,12 @@ import graft.queries.PinnedOracles
   * gate then checks rows+schema+hash instead of rows-only, making any
   * hash-regression in the decode/kernel pipelines visible.
   *
-  * Doubles are written with Java's shortest round-trip representation;
-  * DuckDB's correctly-rounded parse recovers the identical bits, so the
-  * gate's exact string compare (pandas astype(str) of both float64
-  * columns) holds.
+  * Doubles are written with Java's shortest round-trip representation,
+  * QUOTED, so the outer CAST parses string->double (correctly rounded —
+  * recovers the identical bits). A bare decimal literal would type the
+  * VALUES column as DECIMAL(w,s) and DuckDB's decimal->double conversion
+  * (int scaling + FP divide) double-rounds near-tie values: measured 9 of
+  * 598 video_flow rows off by 1 ulp against the engine's exact output.
   *
   * Run after changing any pinned pipeline:
   * {{{ sbt "runMain graft.tools.PinOracles" }}}
@@ -59,12 +61,12 @@ object PinOracles {
   private def literal(v: Any): String = v match {
     case null => "NULL"
     case s: String => "'" + s.replace("'", "''") + "'"
-    // NaN/Infinity must be quoted — bare tokens don't parse in a VALUES
-    // list; the surrounding CAST(... AS DOUBLE) recovers the special value
-    case d: Double if d.isNaN || d.isInfinite => s"'$d'"
-    case d: Double => d.toString // shortest round-trip repr
-    case f: Float if f.isNaN || f.isInfinite => s"'$f'"
-    case f: Float => f.toString
+    // ALL floating-point values quoted (not just NaN/Infinity, whose bare
+    // tokens don't parse at all): the surrounding CAST(... AS DOUBLE/REAL)
+    // then string-parses — correctly rounded — instead of routing the
+    // value through a lossy DECIMAL VALUES column (see scaladoc)
+    case d: Double => s"'$d'"
+    case f: Float  => s"'$f'"
     case b: Boolean => b.toString.toUpperCase
     case n => n.toString
   }

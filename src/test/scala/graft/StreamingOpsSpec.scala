@@ -161,7 +161,11 @@ class StreamingOpsSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     val dir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val batch = spark.read.parquet(s"$dir/events.parquet")
-    def agg(df: org.apache.spark.sql.DataFrame) = df
+    // tsToNanos inside agg (not on `batch`): the streaming side below reuses
+    // batch.schema for its parquet source, which must match the file's raw
+    // encoding, and the normalization itself is plan-only so it applies to
+    // streaming DataFrames identically
+    def agg(df: org.apache.spark.sql.DataFrame) = GraftSession.tsToNanos(df)
       .withColumn("tts", GraftSession.nanosToTimestamp(col("ts")))
       .groupBy(window(col("tts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
