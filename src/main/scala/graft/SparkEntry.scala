@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.VideoQueries.queries ++
       graft.queries.ImageQueries.queries ++
       graft.queries.AudioQueries.queries ++
-      graft.queries.FileSourceQueries.queries
+      graft.queries.FileSourceQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.ImageQueries.oracles ++
       graft.queries.AudioQueries.oracles ++
       graft.queries.FileSourceQueries.oracles ++
+      graft.queries.StreamQueries.oracles ++
       graft.queries.PinnedOracles.oracles
 }

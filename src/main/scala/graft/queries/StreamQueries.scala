@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.Dedup
+import graft.streaming.StreamingOps
+
+/** Driver-gate entries for the Structured Streaming surface: each runs a
+  * BOUNDED streaming execution (MemoryStream micro-batches + a watermark
+  * flush, drained with processAllAvailable) of a composed streaming op
+  * and returns the sink contents as a plain DataFrame, so the same
+  * rows/schema/hash oracle machinery that gates the batch queries gates
+  * the streaming pipelines too.
+  *
+  * Determinism contract: each entry feeds its stream as ONE ordered
+  * MemoryStream batch (a single input partition). Shuffle reads preserve
+  * per-mapper row order, so stateful first-arrival choices (streaming
+  * exact dedup's keeper) resolve to the smallest doc_id — exactly what
+  * the DuckDB oracle's MIN(doc_id) computes.
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the INCREMENTAL clean-corpus pipeline (StreamingOps.streamingCleanCorpus):
+    // streaming exact dedup -> static corpus band-index probe (keep misses)
+    // -> quality gate, replayed bounded. Corpus = doc_id % 5 == 0 (the
+    // persisted band index); shard = the rest, streamed in doc_id order
+    // with one event time; a far-future sentinel advances the watermark
+    // past the window so Append mode flushes the aggregated survivors.
+    "stream_clean_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 === 0)
+      // the static index: the same (band, bk) relation lshWriteBandIndex
+      // persists, built inline (the probe only reads band/bk)
+      val index = corpus
+        .withColumn("__sh", Dedup.shingleSet(col("text")))
+        .filter(size(col("__sh")) >= 1)
+        .select(col("doc_id").as("id"),
+          explode(Dedup.bandKeyStructs(col("__sh"), 8, 4)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+      val shard = d.filter(col("doc_id") % 5 =!= 0).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val t0 = new java.sql.Timestamp(60L * 1000) // inside window [60s, 120s)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = StreamingOps.streamingCleanCorpus(
+        in.toDF().toDF("doc_id", "text", "ts"), index,
+        "doc_id", "text", "ts",
+        watermark = "10 seconds", windowLen = "1 minute")
+      val qname = "scc_" + System.nanoTime()
+      val ckpt  = java.nio.file.Files.createTempDirectory("graft-scc-ck").toString
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        in.addData(shard.toSeq.map { case (id, t) => (id, t, t0) })
+        q.processAllAvailable()
+        // sentinel: 1-token text (sentinel band, fails the gate) whose
+        // event time closes the shard's window; its own window never
+        // closes, so it can't emit
+        in.addData(Seq((-1L, "flush", new java.sql.Timestamp(3600L * 1000))))
+        q.processAllAvailable()
+        val res = s.table(qname)
+          .filter(col("id") >= 0)
+          .select(col("id").as("doc_id"), md5(col("text")).as("clean_digest"),
+            col("n_tokens"), col("stop_ratio"))
+        // detach from the memory sink (collect) before the query stops
+        val rows = res.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+          .orderBy("doc_id")
+      } finally q.stop()
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // batch replay of the three streamed stages; `bands` (shared LSH CTE
+    // over ALL documents) serves both the corpus index (doc_id % 5 = 0)
+    // and the probe side. Docs too short to shingle have no bands -> no
+    // possible hit -> survive stage 2, matching the op's sentinel band.
+    "stream_clean_corpus" ->
+      s"""WITH shard AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM shard GROUP BY md5(text)),
+         |s1 AS (SELECT sh2.doc_id, sh2.text FROM shard sh2 JOIN ex USING (doc_id)),
+         |${TextQueries.lshBandsCte("documents")},
+         |hit AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM bands p JOIN bands c ON p.band = c.band AND p.bk = c.bk
+         |  WHERE p.doc_id % 5 <> 0 AND c.doc_id % 5 = 0),
+         |s2 AS (
+         |  SELECT s1.doc_id, s1.text FROM s1
+         |  LEFT JOIN hit ON s1.doc_id = hit.doc_id
+         |  WHERE hit.doc_id IS NULL),
+         |fin AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(${TextQueries.tokSql}) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(${TextQueries.tokSql},
+         |        s -> s IN ('the','a','of','to','and'))) AS DOUBLE)
+         |      / greatest(len(${TextQueries.tokSql}), 1), 6) AS stop_ratio
+         |  FROM s2)
+         |SELECT doc_id, md5(text) AS clean_digest, n_tokens, stop_ratio
+         |FROM fin
+         |WHERE n_tokens >= 20 AND stop_ratio >= 0.02 AND stop_ratio <= 0.2
+         |ORDER BY doc_id""".stripMargin
+  )
+}

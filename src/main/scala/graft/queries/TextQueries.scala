@@ -39,7 +39,7 @@ object TextQueries {
       .when(col("source") === "src1", lit(250L))
       .otherwise(lit(100L))
 
-  private val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private[queries] val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
 
   /** winnowing CTE chain (k=3 grams, w=4 windows) ending in f(doc_id, fps)
     * — the polynomial gram hash is txt_rollhash's fold, the window minima
@@ -750,7 +750,7 @@ object TextQueries {
   // shared minhash-LSH band-key CTEs (k=8 slots, 2 bands of 4 — matching
   // the Spark queries' lshCandidatePairs(_, _, 8, 4)) used by the
   // dedup_lsh_pairs / dedup_jaccard / dedup_clusters oracles
-  private def lshBandsCte(rel: String = "documents") =
+  private[queries] def lshBandsCte(rel: String = "documents") =
     s"""${minhashSigCte(8, rel)},
        |p AS (
        |  SELECT doc_id,

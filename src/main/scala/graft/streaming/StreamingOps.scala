@@ -281,8 +281,11 @@ object StreamingOps {
     // keep their one row) — a doc is new iff all its bands survive
     val misses = banded.join(index.select(col("band"), col("bk")),
       Seq("band", "bk"), "left_anti")
+    // no second withWatermark: streamingDedup already defined it on tsCol
+    // and the alias to __ts carries the event-time tag; redefining a
+    // watermark between stateful operators is an AnalysisException in
+    // Spark 4 (allowMultiple stateful operators, single watermark def)
     val survivors = misses
-      .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), windowLen), col("id"))
       .agg(first(col("__text")).as("text"), count(lit(1)).as("__nm"),
         first(col("__nb")).as("__nb"))

@@ -404,6 +404,63 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCleanCorpus: dedup state crosses batches, index hits drop, gate filters, window flushes") {
+    import graft.functions.Dedup
+    import org.apache.spark.sql.functions.{col, explode, size}
+    implicit val sqlCtx = spark.sqlContext
+    // ~23-token texts with exactly one stopword (ratio ~0.043, inside the
+    // [0.02, 0.2] gate); C is the corpus doc the index knows about
+    val textC = "the quick brown fox jumps over lazy dog while autumn winds carry " +
+      "scattered leaves across quiet village roads during early morning hours today"
+    val textD = "a silver river flows gently past ancient stone bridges where travelers " +
+      "rest beneath tall willow trees sharing stories about distant mountain journeys tonight"
+    val textE = "of copper kettles humming softly workshop artisans shape delicate glass " +
+      "ornaments while winter snow gathers slowly outside wooden window frames this evening now"
+    val corpus = Seq((0L, textC)).toDF("doc_id", "text")
+    val index = corpus
+      .withColumn("__sh", Dedup.shingleSet(col("text")))
+      .filter(size(col("__sh")) >= 1)
+      .select(col("doc_id").as("id"),
+        explode(Dedup.bandKeyStructs(col("__sh"), 8, 4)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingCleanCorpus(
+      in.toDF().toDF("doc_id", "text", "ts"), index,
+      "doc_id", "text", "ts", watermark = "10 seconds", windowLen = "1 minute")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("scc_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      val t0 = new java.sql.Timestamp(60L * 1000)
+      // batch 1: first copy of D survives; 3-token doc rides the sentinel
+      // band (no index match) but fails the token gate
+      in.addData(Seq((10L, textD, t0), (14L, "short text here", t0)))
+      q.processAllAvailable()
+      // batch 2: 11 re-sends D (exact-dup state from batch 1 must drop it),
+      // 12 duplicates the CORPUS doc (every band hits the static index),
+      // 13 is novel and clean
+      in.addData(Seq((11L, textD, t0), (12L, textC, t0), (13L, textE, t0)))
+      q.processAllAvailable()
+      assert(spark.table(q.name).isEmpty,
+        "window [60s,120s) must not emit before the watermark passes its end")
+      // watermark flush: far-future sentinel closes the window
+      in.addData(Seq((-1L, "flush", new java.sql.Timestamp(3600L * 1000))))
+      q.processAllAvailable()
+      val got = spark.table(q.name)
+        .select("win_start", "id", "n_tokens")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+        .sortBy(_._2).toSeq
+      assert(got == Seq((60000L, 10L, 23L), (60000L, 13L, 23L)),
+        s"survivors must be exactly first-D and novel-E, got $got")
+    } finally {
+      q.stop()
+      CacheScope.release()
+    }
+  }
+
   test("streamingIndexProbe: arriving docs hit the persisted corpus index, one row per pair") {
     import graft.functions.Dedup
     implicit val sqlCtx = spark.sqlContext
