@@ -85,6 +85,27 @@ object TextQueries {
        |w AS (SELECT doc_id, round(SUM(c * lr), 6) AS logw
        |  FROM pd JOIN lr USING (bucket) GROUP BY doc_id)""".stripMargin
 
+  /** The deterministic multi-paragraph rendering shared by
+    * `dedup_paragraphs` and `pipeline_clean_corpus_pd` (the corpus is
+    * single-line, so paragraph structure is synthesized): 8-token
+    * paragraphs, a hash-keyed corpus-wide boilerplate paragraph (ONE hot
+    * hash — the web-footer case) and hash-keyed within-doc first-paragraph
+    * repeats. One definition so the two queries' oracles can't drift.
+    */
+  private def renderedParas: org.apache.spark.sql.Column =
+    TF.let(TF.tokens(col("text"))) { tk =>
+      val raw = transform(
+        sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+        li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
+      TF.let(raw) { r =>
+        concat_ws("\n", transform(r, (x, li) =>
+          when((col("doc_id") * 17 + li) % 11 === 0,
+            lit("the shared boilerplate paragraph"))
+            .when((col("doc_id") * 13 + li) % 7 === 3, element_at(r, 1))
+            .otherwise(x)))
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -252,20 +273,8 @@ object TextQueries {
     // hash-keyed within-doc first-paragraph repeats) that both engines
     // replay; see Dedup.dedupParagraphs for the shuffle shape.
     "dedup_paragraphs" -> ((s, dir) => {
-      val rendered = TF.let(TF.tokens(col("text"))) { tk =>
-        val raw = transform(
-          sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
-          li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
-        TF.let(raw) { r =>
-          concat_ws("\n", transform(r, (x, li) =>
-            when((col("doc_id") * 17 + li) % 11 === 0,
-              lit("the shared boilerplate paragraph"))
-              .when((col("doc_id") * 13 + li) % 7 === 3, element_at(r, 1))
-              .otherwise(x)))
-        }
-      }
       Dedup.dedupParagraphs(
-        docs(s, dir).select(col("doc_id"), rendered.as("text")),
+        docs(s, dir).select(col("doc_id"), renderedParas.as("text")),
         "doc_id", "text", "\n")
         .orderBy("doc_id")
     }),
@@ -724,6 +733,43 @@ object TextQueries {
         .select(col("doc_id"),
           md5(TF.redactPii(col("clean_text"))).as("clean_digest"),
           col("n_tokens_out"), col("n_cut"), col("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // the pipeline with CCNet paragraph dedup composed in front (Wenzek et
+    // al. 2020 run paragraph dedup BEFORE doc-level dedup/LID): stage 0
+    // drops corpus-wide repeated paragraphs from the deterministic
+    // multi-paragraph rendering, stages 1-5 are pipeline_clean_corpus
+    // unchanged over the paragraph-cleaned text. n_paras_cut carries
+    // stage 0's per-doc fate into the output next to stage 3's n_cut.
+    "pipeline_clean_corpus_pd" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pd = graft.CacheScope.cache(
+        Dedup.dedupParagraphs(
+          d.select(col("doc_id"), renderedParas.as("text")),
+          "doc_id", "text", "\n")
+          .select(col("doc_id"), col("clean_text").as("text"),
+            col("n_dropped").as("n_paras_cut")))
+      val d1 = graft.CacheScope.cache(
+        pd.select("doc_id", "text")
+          .join(Dedup.dedupedIds(pd, "doc_id", "text"), Seq("doc_id"), "left_semi"))
+      val pairs = Dedup.lshCandidatePairs(d1, "doc_id", "text", 8, 4)
+      val reps = Dedup.connectedComponents(d1.select("doc_id"), pairs, "doc_id")
+        .filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id"))
+      val d2 = graft.CacheScope.cache(d1.join(reps, Seq("doc_id"), "left_semi"))
+      val cleaned = Dedup.removeDuplicatedWindows(d2, "doc_id", "text", 5)
+        .withColumn("n_tokens_out", (col("n_tokens") - col("n_cut")).cast("long"))
+      val scored = cleaned.withColumn("stop_ratio",
+        round(TF.stopwordCount(col("clean_text"), STOPWORDS).cast("double") /
+          greatest(col("n_tokens_out"), lit(1L)), 6))
+      scored
+        .filter(col("n_tokens_out") >= 20 &&
+          col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.2)
+        .join(pd.select(col("doc_id"), col("n_paras_cut")), Seq("doc_id"))
+        .select(col("doc_id"),
+          md5(TF.redactPii(col("clean_text"))).as("clean_digest"),
+          col("n_tokens_out"), col("n_cut"), col("n_paras_cut"), col("stop_ratio"))
         .orderBy("doc_id")
     })
   )
@@ -1330,6 +1376,97 @@ object TextQueries {
          |FROM q
          |WHERE n_tokens_out >= 20 AND stop_ratio >= 0.02 AND stop_ratio <= 0.2
          |ORDER BY doc_id""".stripMargin,
+
+    // pipeline_clean_corpus with the CCNet paragraph-dedup pre-stage:
+    // the dedup_paragraphs CTE chain (p-prefixed) produces the cleaned
+    // relation `pd`, which replaces `documents` as the pipeline's base;
+    // everything downstream is the pipeline_clean_corpus oracle verbatim
+    "pipeline_clean_corpus_pd" ->
+      s"""WITH RECURSIVE
+         |pt AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |praw AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      generate_series(0, CAST(ceil(len(tk) / 8.0) AS INT) - 1),
+         |      li -> array_to_string(tk[li*8+1 : li*8+8], ' ')) AS r
+         |  FROM pt),
+         |prendered AS (
+         |  SELECT doc_id,
+         |    list_transform(r, (x, li) -> CASE
+         |      WHEN (doc_id * 17 + (li - 1)) % 11 = 0
+         |        THEN 'the shared boilerplate paragraph'
+         |      WHEN (doc_id * 13 + (li - 1)) % 7 = 3 THEN r[1]
+         |      ELSE x END) AS paras
+         |  FROM praw),
+         |pocc0 AS (
+         |  SELECT doc_id, paras,
+         |    unnest(generate_series(1, len(paras))) AS li
+         |  FROM prendered),
+         |pocc AS (SELECT doc_id, li - 1 AS pos, md5(paras[li]) AS ph FROM pocc0),
+         |pdups AS (SELECT ph FROM pocc GROUP BY ph HAVING COUNT(*) > 1),
+         |pranked AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rk
+         |  FROM pocc JOIN pdups USING (ph)),
+         |pdrops AS (SELECT doc_id, list(pos) AS dp FROM pranked WHERE rk > 1 GROUP BY doc_id),
+         |pd AS (
+         |  SELECT r.doc_id,
+         |    COALESCE(array_to_string(list_filter(r.paras, (x, i) ->
+         |      NOT list_contains(COALESCE(dr.dp, CAST([] AS BIGINT[])), i - 1)),
+         |      chr(10)), '') AS text,
+         |    CAST(len(r.paras) - len(list_filter(r.paras, (x, i) ->
+         |      NOT list_contains(COALESCE(dr.dp, CAST([] AS BIGINT[])), i - 1))) AS BIGINT)
+         |      AS n_paras_cut
+         |  FROM prendered r LEFT JOIN pdrops dr ON r.doc_id = dr.doc_id),
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM pd GROUP BY md5(text)),
+         |d1 AS (SELECT dd.doc_id, dd.text FROM pd dd JOIN ex USING (doc_id)),
+         |${lshBandsCte("d1")},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM d1
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |reps AS (SELECT id FROM reach GROUP BY id HAVING id = MIN(r)),
+         |d2 AS (SELECT d1.doc_id, d1.text FROM d1 JOIN reps ON d1.doc_id = reps.id),
+         |t AS (SELECT doc_id, $tokSql AS tk FROM d2),
+         |w0 AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS p
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, p,
+         |    md5(tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] || ' ' || tk[p+3] || ' ' || tk[p+4]) AS wh
+         |  FROM w0),
+         |dw AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh HAVING COUNT(*) > 1),
+         |ps AS (SELECT doc_id, list(p) AS ps FROM w JOIN dw USING (wh) GROUP BY doc_id),
+         |c AS (
+         |  SELECT t.doc_id, t.tk, COALESCE(ps.ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id),
+         |k AS (
+         |  SELECT doc_id,
+         |    list_filter(tk, (x, i) -> len(list_filter(ps, q -> q <= i AND i < q + 5)) = 0) AS kept,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM c),
+         |q AS (
+         |  SELECT doc_id,
+         |    COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+         |    CAST(len(kept) AS BIGINT) AS n_tokens_out,
+         |    n_tokens - CAST(len(kept) AS BIGINT) AS n_cut,
+         |    round(CAST(len(list_filter(kept, s -> s IN ('the','a','of','to','and'))) AS DOUBLE)
+         |        / greatest(len(kept), 1), 6) AS stop_ratio
+         |  FROM k)
+         |SELECT q.doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(clean_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_digest,
+         |  n_tokens_out, n_cut, pd.n_paras_cut, stop_ratio
+         |FROM q JOIN pd ON q.doc_id = pd.doc_id
+         |WHERE n_tokens_out >= 20 AND stop_ratio >= 0.02 AND stop_ratio <= 0.2
+         |ORDER BY q.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH ${simhashBandsCte(8)}
