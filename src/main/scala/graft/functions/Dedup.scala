@@ -125,8 +125,17 @@ object Dedup {
       StructType(Seq(idField, StructField("code", LongType, nullable = false)))))
 
     // one partitioner for the WHOLE loop: edges and every round's labels
-    // stay co-partitioned, so the per-round joins below are narrow
-    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+    // stay co-partitioned, so the per-round joins below are narrow.
+    // Size it to the duplicate SUBGRAPH, not the session default: every
+    // round is several driver-synchronous shuffle stages, and a corpus
+    // whose dup subgraph is a few hundred nodes pays pure per-stage
+    // scheduling latency on partitions that hold a handful of rows
+    // (50k labels/partition keeps tasks meaningful; the count is a
+    // cached-scan job that also materializes the dict exactly once).
+    val nPaired = dict.count()
+    val part = new HashPartitioner(math.max(1,
+      math.min(spark.sessionState.conf.numShufflePartitions,
+        math.ceil(nPaired / 50000.0).toInt)))
     val edgesR: RDD[(Long, Long)] = edgesDf
       .join(dict.select(col("id").as("a"), col("code").as("ca")), Seq("a"))
       .join(dict.select(col("id").as("b"), col("code").as("cb")), Seq("b"))
