@@ -121,6 +121,16 @@ object Bench {
           operators.SequenceOps.Partitioner.All(1250))
         operators.Kernels.unboundedState(sliced, operators.StdKernels.TestIncrement, sliced = true)
       }),
+      // pipe-bridge throughput: 100k elements through 8 forked python3
+      // kernels (one per partition) — times fork + protocol + pipe cost
+      // against bt_1m_scan-style in-JVM rates; the honest overhead number
+      // for the external-kernel surface
+      "bt_100k_prockernel" -> ((s, _) => {
+        val enc = org.apache.spark.sql.Encoders.product[model.Elem]
+        val ds  = elemsN(s, 100000L).repartition(8).as[model.Elem](enc)
+        operators.ProcessKernel.run(ds, operators.ProcessKernel.Spec(
+          Seq("python3", queries.ProcQueries.ensureKernelScript()))).toDF()
+      }),
       "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
       "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),
       // ONE 10M-row stream as-of joined to a sparse snapshot stream: the

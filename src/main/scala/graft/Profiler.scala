@@ -24,7 +24,10 @@ object Profiler {
       maxTaskTimeMs: Long,
       shuffleReadBytes: Long,
       shuffleWriteBytes: Long,
-      spillBytes: Long)
+      spillBytes: Long,
+      op: String = "(final)",
+      submittedMs: Long = 0L,
+      completedMs: Long = 0L)
 
   final case class Profile(stages: Seq[StageProfile],
       byOp: Map[String, Long] = Map.empty) {
@@ -41,6 +44,47 @@ object Profiler {
           f"  stage ${s.stageId}%4d ${s.numTasks}%4d tasks ${s.taskTimeMs}%7dms " +
             f"(max ${s.maxTaskTimeMs}ms) shR=${s.shuffleReadBytes} shW=${s.shuffleWriteBytes}" +
             f" spill=${s.spillBytes}  ${s.name.take(60)}").mkString("\n")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
+  /** Write a Chrome trace-event file for a [[Profile]] — the reference's
+    * `profiler.write_trace(path)` surface (`python/scannerpy/profiler.py`
+    * chrome://tracing dump, `docs/guide/profiling.rst`): one complete
+    * ("X") event per stage, grouped onto one trace row (tid) per
+    * attributed op, with task/shuffle/spill totals in `args`. Timestamps
+    * are stage submission/completion wall-clock, rebased to the earliest
+    * stage so the trace starts at t=0. Open in chrome://tracing or
+    * https://ui.perfetto.dev.
+    */
+  def writeTrace(profile: Profile, path: String): Unit = {
+    val stages = profile.stages.filter(_.completedMs > 0)
+    val t0 = if (stages.isEmpty) 0L else stages.map(_.submittedMs).filter(_ > 0).min
+    val tids = stages.map(_.op).distinct.zipWithIndex.toMap
+    val sb = new StringBuilder("[\n")
+    val events =
+      tids.toSeq.sortBy(_._2).map { case (op, tid) =>
+        s"""{"name":"thread_name","ph":"M","pid":0,"tid":$tid,""" +
+          s""""args":{"name":${jsonStr(op)}}}"""
+      } ++
+      stages.map { s =>
+        val ts  = math.max(0L, s.submittedMs - t0) * 1000 // chrome wants micros
+        val dur = math.max(1L, s.completedMs - s.submittedMs) * 1000
+        s"""{"name":${jsonStr(s"stage ${s.stageId}: ${s.name.takeWhile(_ != '\n').take(80)}")},""" +
+          s""""cat":"stage","ph":"X","ts":$ts,"dur":$dur,"pid":0,"tid":${tids(s.op)},""" +
+          s""""args":{"tasks":${s.numTasks},"taskTimeMs":${s.taskTimeMs},""" +
+          s""""shuffleReadBytes":${s.shuffleReadBytes},"shuffleWriteBytes":${s.shuffleWriteBytes},""" +
+          s""""spillBytes":${s.spillBytes}}}"""
+      }
+    sb.append(events.mkString(",\n")).append("\n]\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Run `body` with its Spark jobs labeled as library op `op` — the
@@ -131,7 +175,10 @@ object Profiler {
             sid, s.stageInfo.name, taskCount(key), taskTime(key), taskMax(key),
             s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead,
             s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten,
-            spill(key))
+            spill(key),
+            op = stageOp.getOrElse(sid, "(final)"),
+            submittedMs = s.stageInfo.submissionTime.getOrElse(0L),
+            completedMs = s.stageInfo.completionTime.getOrElse(0L))
         }.toSeq
         val ops = st.groupBy(p => stageOp.getOrElse(p.stageId, "(final)"))
           .map { case (op, ss) => op -> ss.map(_.taskTimeMs).sum }

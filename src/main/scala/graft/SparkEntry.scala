@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.ImageQueries.queries ++
       graft.queries.AudioQueries.queries ++
       graft.queries.FileSourceQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.ProcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.AudioQueries.oracles ++
       graft.queries.FileSourceQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
+      graft.queries.ProcQueries.oracles ++
       graft.queries.PinnedOracles.oracles
 }

@@ -1,0 +1,219 @@
+package graft.operators
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+import graft.model.Elem
+
+/** External-process kernel bridge — the reference's arbitrary-language
+  * kernel surface (Python kernels run in forked interpreter pools over
+  * pipes: host `scanner/engine/python_kernel.cpp:1-429`, process loop
+  * `python/scannerpy/kernel.py:81-117`, registration
+  * `python/scannerpy/client.py:910-963`) re-expressed Spark-first.
+  *
+  * Model mapping: the reference forks one kernel process per pipeline
+  * instance per node and streams protobuf-framed elements over pipes.
+  * Here `mapPartitions` forks ONE child process per partition (Spark's
+  * executor-core parallelism plays the role of the reference's
+  * `pipeline_instances_per_node`), and elements stream over the child's
+  * stdin/stdout as a line protocol. The child can be python3, awk, a
+  * compiled binary — anything that speaks the protocol; this is strictly
+  * more general than the reference's Python-only bridge.
+  *
+  * Line protocol (UTF-8, tab-separated, payloads base64; `-` = null
+  * payload, the reference NullElement):
+  *
+  *   driver → child:
+  *     `init\t<b64(initArgs)>`                    once, first line
+  *       (reference per-op constructor args, `kernel.h:171-180`)
+  *     `stream\t<streamId>\t<b64(config)>`        on every streamId change
+  *       (reference `new_stream(args)` — also the state-reset point,
+  *        `kernel.h:182-191`)
+  *     `elem\t<streamId>\t<index>\t<b64|->`       one per element
+  *   child → driver:
+  *     `out\t<b64|->`                             EXACTLY one per elem
+  *     `err\t<b64(message)>`                      abort with message
+  *
+  * Contract enforcement: the 1→1 rate (`docs/guide/graphs.rst:103-105`)
+  * is checked — a child that drops or duplicates elements fails the task
+  * with a diagnostic including the child's captured stderr tail, as does
+  * a nonzero exit.
+  *
+  * Scale shape: zero shuffle for stateless kernels (runs on the incoming
+  * partitioning); stateful kernels get one hash exchange + in-partition
+  * sort so each stream's elements reach its child process in index order
+  * with state-reset boundaries intact — the same single-shuffle shape as
+  * `Kernels.unboundedState`. Throughput is pipe-bound, not memory-bound:
+  * a writer thread feeds stdin while the task thread consumes stdout, so
+  * in-flight data is bounded by the OS pipe buffers plus whatever the
+  * child itself buffers (a well-behaved kernel answers as it reads; the
+  * in-flight key queue then stays O(pipe buffer / elem size)).
+  */
+object ProcessKernel {
+
+  /** Kernel launch spec — mirrors the reference's op registration payload
+    * (command ≈ the pickled kernel class, initArgs ≈ constructor proto,
+    * streamConfigs ≈ per-stream `new_stream` args, `op.py:24-44`).
+    * `streamConfigs` is shipped in the task closure: per-stream CONFIG is
+    * driver-small by construction (the reference sends it inline in the
+    * job proto too, `client.py:1434-1527`).
+    */
+  final case class Spec(
+      command: Seq[String],
+      initArgs: Array[Byte] = Array.empty,
+      streamConfigs: Map[Long, Array[Byte]] = Map.empty,
+      env: Map[String, String] = Map.empty,
+      stateful: Boolean = false)
+
+  private val elemEnc: Encoder[Elem] = Encoders.product[Elem]
+  private val B64E = Base64.getEncoder
+  private val B64D = Base64.getDecoder
+
+  private def enc(b: Array[Byte]): String =
+    if (b == null) "-" else B64E.encodeToString(b)
+  private def dec(s: String): Array[Byte] =
+    if (s == "-") null else B64D.decode(s)
+
+  /** Run the external kernel over a sequence. Stateless kernels execute on
+    * the existing partitioning (narrow); `spec.stateful` adds the one
+    * exchange+sort that stateful semantics require (all of a stream's
+    * elements, in index order, through one kernel instance).
+    */
+  def run(ds: Dataset[Elem], spec: Spec): Dataset[Elem] = {
+    val routed =
+      if (spec.stateful)
+        ds.repartition(ds.col("streamId"))
+          .sortWithinPartitions("streamId", "index")
+      else ds
+    routed.mapPartitions(it => runPartition(it, spec))(elemEnc)
+  }
+
+  private def runPartition(it: Iterator[Elem], spec: Spec): Iterator[Elem] = {
+    if (!it.hasNext) return Iterator.empty
+    val pb = new ProcessBuilder(spec.command: _*)
+    spec.env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
+    val ctx  = TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+
+    // stderr drain — keep the tail for diagnostics (bounded)
+    val errBuf = new StringBuilder
+    val errThread = new Thread(() => {
+      val r = new BufferedReader(new InputStreamReader(proc.getErrorStream, UTF_8))
+      var line = r.readLine()
+      while (line != null) {
+        errBuf.synchronized {
+          errBuf.append(line).append('\n')
+          if (errBuf.length > 8192) errBuf.delete(0, errBuf.length - 8192)
+        }
+        line = r.readLine()
+      }
+    }, "graft-prockernel-stderr")
+    errThread.setDaemon(true)
+    errThread.start()
+
+    def stderrTail: String = errBuf.synchronized(errBuf.toString)
+
+    // in-flight (streamId, index) keys, written by the feeder, consumed by
+    // the reader to rebuild full elements from payload-only responses
+    val inFlight = new ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile var fed       = 0L
+    @volatile var feedError: Throwable = null
+
+    val feeder = new Thread(() => {
+      // propagate the task's TaskContext thread-local before touching the
+      // upstream iterator — the same move Spark's own RDD.pipe stdin-writer
+      // thread makes (core/src/main/scala/org/apache/spark/rdd/
+      // PipedRDD.scala); the setter is Spark-internal, hence reflection
+      if (ctx != null) try {
+        val m = TaskContext.getClass.getDeclaredMethod(
+          "setTaskContext", classOf[TaskContext])
+        m.setAccessible(true)
+        m.invoke(TaskContext, ctx)
+      } catch { case _: Throwable => () }
+      val w = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, UTF_8))
+      try {
+        w.write(s"init\t${enc(spec.initArgs)}\n")
+        var curStream = Long.MinValue
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.streamId != curStream) {
+            curStream = e.streamId
+            val cfg = spec.streamConfigs.getOrElse(e.streamId, Array.empty[Byte])
+            w.write(s"stream\t${e.streamId}\t${enc(cfg)}\n")
+          }
+          inFlight.add((e.streamId, e.index))
+          fed += 1
+          w.write(s"elem\t${e.streamId}\t${e.index}\t${enc(e.payload)}\n")
+        }
+        w.flush()
+      } catch {
+        case t: Throwable => feedError = t
+      } finally {
+        try w.close() catch { case _: Throwable => () } // EOF = no more elements
+      }
+    }, "graft-prockernel-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val out = new BufferedReader(new InputStreamReader(proc.getInputStream, UTF_8))
+
+    def fail(msg: String): Nothing = {
+      proc.destroyForcibly()
+      throw new RuntimeException(
+        s"ProcessKernel ${spec.command.mkString(" ")}: $msg" +
+          (if (stderrTail.nonEmpty) s"\n--- child stderr tail ---\n$stderrTail" else ""))
+    }
+
+    new Iterator[Elem] {
+      private var nextLine: String = null
+      private var finished         = false
+      private var emitted          = 0L
+
+      private def advance(): Unit = {
+        if (finished || nextLine != null) return
+        nextLine = out.readLine()
+        if (nextLine == null) {
+          finished = true
+          // child closed stdout: it must have answered every element
+          feeder.join()
+          if (feedError != null) fail(s"feeding stdin failed: $feedError")
+          if (!proc.waitFor(30, TimeUnit.SECONDS)) fail("child did not exit after EOF")
+          errThread.join(2000)
+          if (proc.exitValue() != 0) fail(s"child exited ${proc.exitValue()}")
+          if (emitted != fed)
+            fail(s"1-to-1 contract violated: $fed elements in, $emitted out")
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); !finished }
+
+      override def next(): Elem = {
+        advance()
+        if (finished) throw new NoSuchElementException
+        val line = nextLine; nextLine = null
+        val tab  = line.indexOf('\t')
+        val kind = if (tab < 0) line else line.substring(0, tab)
+        kind match {
+          case "out" =>
+            val key = inFlight.poll()
+            if (key == null)
+              fail(s"1-to-1 contract violated: output with no pending element")
+            emitted += 1
+            Elem(key._1, key._2, dec(line.substring(tab + 1)))
+          case "err" =>
+            fail(s"kernel error: ${new String(dec(line.substring(tab + 1)), UTF_8)}")
+          case other =>
+            fail(s"bad protocol line from child: '${line.take(120)}'")
+        }
+      }
+    }
+  }
+}

@@ -317,6 +317,210 @@ object StdKernels {
     FrameElem(cur.streamId, cur.index, h, w, 2, FrameType.F32, bb.array())
   }
 
+  /** OpticalFlow, Farneback estimator — the reference's actual estimator
+    * family (`tests/test_ops.cpp:63-111` wraps cv::calcOpticalFlowFarneback;
+    * [[opticalFlow]] above is the Lucas-Kanade stand-in). Pure-Scala
+    * single-scale single-iteration implementation of Farnebäck's two-frame
+    * polynomial-expansion method (Farnebäck, SCIA 2003):
+    *
+    *  1. per-frame quadratic expansion f(x) ≈ xᵀAx + bᵀx + c over a
+    *     Gaussian applicability (polyN, polySigma). The normal-equation
+    *     matrix G = Σ w·basis·basisᵀ is position-independent, so it is
+    *     built and inverted ONCE; per-pixel moments come from six
+    *     separable correlations (kernels g, x·g, x²·g per axis) with
+    *     replicate borders — O(pixels·polyN) per frame.
+    *  2. displacement from the expansion pair: A = (A₁+A₂)/2,
+    *     Δb = (b₁−b₂)/2 (so f₂(x) = f₁(x−d), i.e. prev(x) appears at
+    *     cur(x+d) — the same u,v convention as [[opticalFlow]]), averaged
+    *     over a (2·winRadius+1)² box window via summed-area tables:
+    *     d = (Σ AᵀA)⁻¹ (Σ AᵀΔb) — O(pixels), independent of winRadius.
+    *
+    * Same contract as [[opticalFlow]]: stencil {-1,0} U8 pair → F32
+    * (H,W,2); rank-deficient windows (det ≈ 0, textureless) emit (0,0).
+    * Single level: valid for small displacements — the reference's
+    * pyramid is this estimator composed over [[resize]]d frames.
+    * Deterministic fixed FP order — safe to pin.
+    */
+  def farnebackFlow(prev: FrameElem, cur: FrameElem, polyN: Int = 5,
+      polySigma: Double = 1.1, winRadius: Int = 4): FrameElem = {
+    require(prev.height == cur.height && prev.width == cur.width &&
+      prev.channels == cur.channels, "optical flow needs same-shape frames")
+    require(prev.dtype == FrameType.U8 && cur.dtype == FrameType.U8)
+    val h = cur.height; val w = cur.width; val c = cur.channels
+    val n = h * w
+    val gp = new Array[Double](n); val gc = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      var sp = 0; var sc = 0; var k = 0
+      val base = p * c
+      while (k < c) {
+        sp += prev.data(base + k) & 0xff; sc += cur.data(base + k) & 0xff
+        k += 1
+      }
+      gp(p) = sp / (255.0 * c); gc(p) = sc / (255.0 * c)
+      p += 1
+    }
+    val e1 = polyExpansion(gp, h, w, polyN, polySigma)
+    val e2 = polyExpansion(gc, h, w, polyN, polySigma)
+    // five window-accumulated images: AᵀA (3 unique entries) and AᵀΔb (2)
+    val prods = Array.fill(5)(new Array[Double](n))
+    var i = 0
+    while (i < n) {
+      val m11 = (e1.a11(i) + e2.a11(i)) / 2
+      val m12 = (e1.a12(i) + e2.a12(i)) / 2
+      val m22 = (e1.a22(i) + e2.a22(i)) / 2
+      val db1 = (e1.bx(i) - e2.bx(i)) / 2
+      val db2 = (e1.by(i) - e2.by(i)) / 2
+      prods(0)(i) = m11 * m11 + m12 * m12
+      prods(1)(i) = m11 * m12 + m12 * m22
+      prods(2)(i) = m12 * m12 + m22 * m22
+      prods(3)(i) = m11 * db1 + m12 * db2
+      prods(4)(i) = m12 * db1 + m22 * db2
+      i += 1
+    }
+    val sw = w + 1
+    val sats = prods.map { a =>
+      val s = new Array[Double]((h + 1) * sw)
+      var yy = 0
+      while (yy < h) {
+        var rowAcc = 0.0
+        var xx = 0
+        while (xx < w) {
+          rowAcc += a(yy * w + xx)
+          s((yy + 1) * sw + xx + 1) = s(yy * sw + xx + 1) + rowAcc
+          xx += 1
+        }
+        yy += 1
+      }
+      s
+    }
+    @inline def winSum(s: Array[Double], x0: Int, y0: Int, x1: Int, y1: Int) =
+      s((y1 + 1) * sw + x1 + 1) - s(y0 * sw + x1 + 1) -
+        s((y1 + 1) * sw + x0) + s(y0 * sw + x0)
+    val bb = ByteBuffer.allocate(n * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    var y = 0
+    while (y < h) {
+      val y0 = math.max(0, y - winRadius); val y1 = math.min(h - 1, y + winRadius)
+      var x = 0
+      while (x < w) {
+        val x0 = math.max(0, x - winRadius); val x1 = math.min(w - 1, x + winRadius)
+        val g11 = winSum(sats(0), x0, y0, x1, y1)
+        val g12 = winSum(sats(1), x0, y0, x1, y1)
+        val g22 = winSum(sats(2), x0, y0, x1, y1)
+        val h1  = winSum(sats(3), x0, y0, x1, y1)
+        val h2  = winSum(sats(4), x0, y0, x1, y1)
+        val det = g11 * g22 - g12 * g12
+        if (det > 1e-12) {
+          bb.putFloat(((g22 * h1 - g12 * h2) / det).toFloat)
+          bb.putFloat(((g11 * h2 - g12 * h1) / det).toFloat)
+        } else { bb.putFloat(0f); bb.putFloat(0f) }
+        x += 1
+      }
+      y += 1
+    }
+    FrameElem(cur.streamId, cur.index, h, w, 2, FrameType.F32, bb.array())
+  }
+
+  /** Per-pixel quadratic expansion coefficients: f ≈ xᵀAx + bᵀx + c with
+    * A = [[a11, a12], [a12, a22]], b = (bx, by); x = (dx right, dy down).
+    */
+  private final case class PolyExp(
+      bx: Array[Double], by: Array[Double],
+      a11: Array[Double], a22: Array[Double], a12: Array[Double])
+
+  /** Farnebäck polynomial expansion (paper §3): solve G·r = v per pixel
+    * for basis (1, dx, dy, dx², dy², dx·dy) under a separable Gaussian
+    * applicability. G is constant; v comes from separable correlations.
+    */
+  private def polyExpansion(g: Array[Double], h: Int, w: Int,
+      n: Int, sigma: Double): PolyExp = {
+    val size = 2 * n + 1
+    val ker = Array.tabulate(size)(i =>
+      math.exp(-((i - n) * (i - n)) / (2 * sigma * sigma)))
+    val ksum = ker.sum
+    var i = 0
+    while (i < size) { ker(i) /= ksum; i += 1 }
+    // 1D moments of the normalized kernel: t2 = Σ g·x², t4 = Σ g·x⁴
+    var t2 = 0.0; var t4 = 0.0
+    i = 0
+    while (i < size) {
+      val d = (i - n).toDouble
+      t2 += ker(i) * d * d; t4 += ker(i) * d * d * d * d
+      i += 1
+    }
+    // G decouples: (dx) and (dy) rows scale by t2; (dx·dy) by t2²; the
+    // (1, dx², dy²) block M3 = [[1, t2, t2], [t2, t4, t2²], [t2, t2², t4]]
+    // is inverted analytically (we need its 2nd/3rd rows for a11/a22)
+    val m11 = 1.0; val m12 = t2; val m13 = t2
+    val m22 = t4;  val m23 = t2 * t2; val m33 = t4
+    val det3 = m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13) +
+      m13 * (m12 * m23 - m22 * m13)
+    // inverse rows (cofactor/det): row2 = (i21, i22, i23), row3 = (i31, i32, i33)
+    val i21 = -(m12 * m33 - m23 * m13) / det3
+    val i22 = (m11 * m33 - m13 * m13) / det3
+    val i23 = -(m11 * m23 - m12 * m13) / det3
+    val i31 = (m12 * m23 - m22 * m13) / det3
+    val i32 = -(m11 * m23 - m13 * m12) / det3
+    val i33 = (m11 * m22 - m12 * m12) / det3
+    val np = h * w
+    // row pass: correlate each row with g, x·g, x²·g (replicate border)
+    val tmp0 = new Array[Double](np)
+    val tmp1 = new Array[Double](np)
+    val tmp2 = new Array[Double](np)
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var k = -n
+        while (k <= n) {
+          val xx = if (x + k < 0) 0 else if (x + k >= w) w - 1 else x + k
+          val v  = g(row + xx) * ker(k + n)
+          s0 += v; s1 += v * k; s2 += v * k * k
+          k += 1
+        }
+        tmp0(row + x) = s0; tmp1(row + x) = s1; tmp2(row + x) = s2
+        x += 1
+      }
+      y += 1
+    }
+    // column pass: assemble the six moments and solve per pixel
+    val bx  = new Array[Double](np); val by  = new Array[Double](np)
+    val a11 = new Array[Double](np); val a22 = new Array[Double](np)
+    val a12 = new Array[Double](np)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v1 = 0.0; var v2 = 0.0; var v3 = 0.0
+        var v4 = 0.0; var v5 = 0.0; var v6 = 0.0
+        var k = -n
+        while (k <= n) {
+          val yy = if (y + k < 0) 0 else if (y + k >= h) h - 1 else y + k
+          val kw = ker(k + n)
+          val r0 = tmp0(yy * w + x); val r1 = tmp1(yy * w + x); val r2 = tmp2(yy * w + x)
+          v1 += kw * r0            // Σ w f
+          v2 += kw * r1            // Σ w dx f
+          v3 += kw * k * r0        // Σ w dy f
+          v4 += kw * r2            // Σ w dx² f
+          v5 += kw * k * k * r0    // Σ w dy² f
+          v6 += kw * k * r1        // Σ w dx dy f
+          k += 1
+        }
+        val idx = y * w + x
+        bx(idx)  = v2 / t2
+        by(idx)  = v3 / t2
+        a12(idx) = v6 / (t2 * t2) / 2
+        a11(idx) = i21 * v1 + i22 * v4 + i23 * v5
+        a22(idx) = i31 * v1 + i32 * v4 + i33 * v5
+        x += 1
+      }
+      y += 1
+    }
+    PolyExp(bx, by, a11, a22, a12)
+  }
+
   /** ImageEncoder: frame → PNG bytes (`scanner/util/image_encoder.cpp:112-117`)
     * via JDK javax.imageio (headless-safe).
     */

@@ -157,6 +157,38 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
+    // same stencil {-1,0} composition with the FARNEBACK estimator — the
+    // reference's actual flow family (test_ops.cpp:63-111 wraps
+    // cv::calcOpticalFlowFarneback); plan shape identical to video_flow
+    // (halo-bucketed pair fetch, parallelism = stream-length/bucket)
+    "video_flow_farneback" -> ((s, _) => {
+      val root   = ensureIngested(s)
+      val frames = VideoStore.frames(s, root, "testvid").toDF()
+        .select(col("streamId"), col("index"),
+          struct(col("height"), col("width"), col("channels"), col("dtype"),
+            col("data")).as("f"))
+      val paired = SequenceOps
+        .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill,
+          bucketWidth = 1024)
+        .filter(element_at(col("window"), 1).isNotNull)
+      import s.implicits._
+      paired.map { r =>
+        val sid = r.getAs[Long]("streamId")
+        val t   = r.getAs[Long]("index")
+        val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
+        def fe(x: org.apache.spark.sql.Row, idx: Long) = FrameElem(sid, idx,
+          x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
+        val flow = StdKernels.farnebackFlow(fe(w(0), t - 1), fe(w(1), t))
+        val bb = java.nio.ByteBuffer.wrap(flow.data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sum = 0.0; var n = 0
+        while (bb.hasRemaining) { sum += math.abs(bb.getFloat); n += 1 }
+        (sid, t, sum / n)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("streamId", "index", "mean_abs_flow")
+        .orderBy("streamId", "index")
+    }),
+
     // near-dup for VIDEO STREAMS, composed from the library's own parts:
     // per-frame aHash (brightness-robust perceptual token) -> per-stream
     // token sequence in index order -> the SAME minhash/LSH + Jaccard

@@ -227,6 +227,43 @@ class KernelsSpec extends SparkSpec {
       s"flow direction (u/v ratio) should be near 2:1, got $mu/$mv")
   }
 
+  test("Farneback flow recovers a known translation (polynomial expansion)") {
+    // same fixture as the LK test: smooth incommensurate-sinusoid texture
+    // translated by (1, 1) px — within the single-scale estimator's range
+    val h = 48; val w = 64
+    def tex(x: Double, y: Double): Int =
+      (127.5 + 55 * math.sin(0.31 * x + 0.17 * y) * math.cos(0.23 * y - 0.11 * x)
+        + 45 * math.sin(0.13 * x) * math.sin(0.19 * y)).round.toInt.max(0).min(255)
+    def frame(idx: Long, dx: Int, dy: Int) = {
+      val data = new Array[Byte](h * w)
+      for (y <- 0 until h; x <- 0 until w)
+        data(y * w + x) = tex(x - dx, y - dy).toByte
+      graft.model.FrameElem(0L, idx, h, w, 1, FrameType.U8, data)
+    }
+    val flow = StdKernels.farnebackFlow(frame(0, 0, 0), frame(1, 1, 1))
+    assert(flow.dtype == FrameType.F32 && flow.channels == 2)
+    assert(flow.data.length == h * w * 2 * 4)
+    val bb = java.nio.ByteBuffer.wrap(flow.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var su = 0.0; var sv = 0.0; var n = 0
+    for (y <- 10 until h - 10; x <- 10 until w - 10) {
+      val i = (y * w + x) * 2
+      su += bb.getFloat(i * 4); sv += bb.getFloat(i * 4 + 4); n += 1
+    }
+    val mu = su / n; val mv = sv / n
+    assert(math.abs(mu - 1.0) < 0.35, s"mean u $mu should be near 1.0")
+    assert(math.abs(mv - 1.0) < 0.35, s"mean v $mv should be near 1.0")
+  }
+
+  test("Farneback flow is zero for identical frames") {
+    val f = StdKernels.syntheticFrame(0, 0, 24, 32, 3)
+    val flow = StdKernels.farnebackFlow(f, f.copy(index = 1))
+    val bb = java.nio.ByteBuffer.wrap(flow.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    while (bb.hasRemaining)
+      assert(math.abs(bb.getFloat) < 1e-6)
+  }
+
   test("averageHash is brightness-invariant (no clipping) and image-sensitive") {
     val f = StdKernels.syntheticFrame(3, 7, 16, 24, 3)
     // keep every byte below 250 so a +5 shift can't clip

@@ -72,6 +72,32 @@ class ProfilerSpec extends SparkSpec {
       "attribution buckets must partition the total task time")
   }
 
+  test("writeTrace emits valid chrome trace-event JSON with per-op rows") {
+    import org.apache.spark.sql.functions._
+    val (_, prof) = Profiler.profile(spark) {
+      Profiler.attributed(spark, "warm") {
+        spark.range(0, 10000).select((col("id") % 7).as("k"))
+          .groupBy("k").count().collect()
+      }
+      spark.range(0, 1000).count()
+    }
+    val path = java.nio.file.Files.createTempFile("graft-trace", ".json").toString
+    Profiler.writeTrace(prof, path)
+    // valid JSON: parse it back through Spark's JSON reader (array of events)
+    val events = spark.read.option("multiLine", true).json(path)
+    assert(events.count() > 0)
+    val cols = events.columns.toSet
+    assert(Set("name", "ph", "pid", "tid").subsetOf(cols), cols.toString)
+    val metas = events.filter(col("ph") === "M").count()
+    assert(metas >= 2, "one thread_name meta event per op row (warm + final)")
+    val spans = events.filter(col("ph") === "X")
+    assert(spans.count() > 0)
+    import spark.implicits._
+    val durs = spans.select(col("dur").cast("long")).as[Long].collect()
+    assert(durs.forall(_ >= 1000L), "durations are microseconds (>= 1ms floor)")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("attributed restores the caller's job description") {
     val sc = spark.sparkContext
     sc.setLocalProperty("spark.job.description", "outer")
