@@ -116,6 +116,36 @@ class ProcessKernelSpec extends SparkSpec {
     assert(messageChain(t).contains("bad elem"), messageChain(t))
   }
 
+  test("stateless bridge composes with Structured Streaming micro-batches") {
+    // the stateless path is a narrow mapPartitions, so it runs inside
+    // each micro-batch unchanged — a fresh child per partition per batch
+    // (the reference has no streaming surface at all; this is strictly
+    // additive parity)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[Elem] = elemEnc
+    val in  = MemoryStream[Elem]
+    val out = ProcessKernel.run(in.toDS(),
+      Spec(Seq("awk", "-F\t", "$1==\"elem\"{print \"out\\t\" $4; fflush()}")))
+    val q = out.writeStream.format("memory")
+      .queryName("pk_stream_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pk-ck").toString)
+      .start()
+    try {
+      in.addData(Seq(Elem(0L, 0L, "a".getBytes(UTF_8)), Elem(0L, 1L, "b".getBytes(UTF_8))))
+      q.processAllAvailable()
+      in.addData(Seq(Elem(1L, 0L, "c".getBytes(UTF_8))))
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), UTF_8)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got === Seq((0L, 0L, "a"), (0L, 1L, "b"), (1L, 0L, "c")))
+    } finally q.stop()
+  }
+
   test("init args and per-stream configs reach the child") {
     val script =
       """import sys, base64
