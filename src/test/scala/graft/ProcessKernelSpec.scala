@@ -116,6 +116,24 @@ class ProcessKernelSpec extends SparkSpec {
     assert(messageChain(t).contains("bad elem"), messageChain(t))
   }
 
+  test("a crashing child is healed by Spark's task retry (exactly-once output)") {
+    // the child exits 7 on its FIRST launch (marker file absent), then
+    // behaves: attempt 0 fails, the retry (maxTaskFailures=2 in the test
+    // session) forks a fresh child and succeeds — process death is just a
+    // task failure, the same recovery story as any executor fault
+    val marker = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pk_crash_${System.nanoTime()}")
+    val script = "if [ ! -e " + marker + " ]; then touch " + marker +
+      "; echo first-launch-crash >&2; exit 7; fi; " +
+      "exec awk -F'\t' '$1==\"elem\"{print \"out\\t\" $4; fflush()}'"
+    val got = ProcessKernel.run(elems(6, 1).coalesce(1),
+      Spec(Seq("sh", "-c", script)))
+      .collect().map(e => (e.index, new String(e.payload, UTF_8))).toMap
+    assert(got.size === 6, "retry must deliver the full partition exactly once")
+    assert(got(4L) === "text-0-4")
+    Files.deleteIfExists(marker)
+  }
+
   test("stateless bridge composes with Structured Streaming micro-batches") {
     // the stateless path is a narrow mapPartitions, so it runs inside
     // each micro-batch unchanged — a fresh child per partition per batch
