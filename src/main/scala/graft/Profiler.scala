@@ -64,8 +64,11 @@ object Profiler {
     * https://ui.perfetto.dev.
     */
   def writeTrace(profile: Profile, path: String): Unit = {
-    val stages = profile.stages.filter(_.completedMs > 0)
-    val t0 = if (stages.isEmpty) 0L else stages.map(_.submittedMs).filter(_ > 0).min
+    // a StageInfo can lack a submission time (never-started attempt) —
+    // such stages have no place on a timeline, drop them rather than
+    // emitting epoch-length garbage spans (and guard the empty min)
+    val stages = profile.stages.filter(s => s.completedMs > 0 && s.submittedMs > 0)
+    val t0 = if (stages.isEmpty) 0L else stages.map(_.submittedMs).min
     val tids = stages.map(_.op).distinct.zipWithIndex.toMap
     val sb = new StringBuilder("[\n")
     val events =

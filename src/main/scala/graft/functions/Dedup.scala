@@ -103,10 +103,13 @@ object Dedup {
     // contract: label exactly the given nodes — edges touching ids outside
     // `nodes` are dropped (both endpoints must be present), so no phantom
     // rows and every node's own id is always a candidate label
-    val edgesDf = pairs.select(col("a"), col("b"))
+    // cached: consumed once to derive paired/dict and again to build
+    // edgesR — without the cache the caller's `pairs` plan (the LSH band
+    // self-join in the dedup pipelines) would evaluate twice
+    val edgesDf = CacheScope.cache(pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-      .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
     // the loop only touches nodes that occur in an edge: a singleton can
     // never change label, so it never enters a round. At corpus scale the
     // iteration runs over the (tiny) duplicate subgraph, not all of

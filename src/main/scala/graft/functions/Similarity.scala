@@ -382,16 +382,20 @@ object Similarity {
     */
   def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one Lloyd round, got $iters")
     // (id, sub, v): every vector's m disjoint subvectors, cached once —
     // scanned by each of the `iters` rounds
     val pts = CacheScope.cache(corpus
       .select(col(idCol).cast("long").as("id"),
         posexplode(pqSubs(col(vecCol), m, subDim)).as(Seq("sub", "v"))))
-    // init: the ksub lowest ids seed every subspace (exactly what each
-    // independent chain's orderBy(id).limit(ksub) picked)
-    var cent = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(idCol).cast("long").as("cid"),
-        posexplode(pqSubs(col(vecCol), m, subDim)).as(Seq("sub", "cv")))
+    // init: the ksub lowest ids seed every subspace — ordered on the
+    // CAST-long id, exactly the ordering each independent chain's
+    // pts.orderBy(id).limit(ksub) used (raw-column order would differ
+    // for e.g. string-typed numeric ids)
+    var cent = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("__v"))
+      .orderBy(col("cid")).limit(ksub)
+      .select(col("cid"), posexplode(pqSubs(col("__v"), m, subDim)).as(Seq("sub", "cv")))
       .select(col("sub"), col("cid"), col("cv"))
     for (_ <- 1 to iters) {
       val assigned = pts.join(broadcast(cent), Seq("sub"))

@@ -201,16 +201,27 @@ object ProcessKernel {
         val line = nextLine; nextLine = null
         val tab  = line.indexOf('\t')
         val kind = if (tab < 0) line else line.substring(0, tab)
+        // a keyword with no tab (bare "out"/"err") is malformed too —
+        // route it to the diagnostic path, not a raw Base64/NPE crash
         kind match {
-          case "out" =>
+          case "out" if tab >= 0 =>
             val key = inFlight.poll()
             if (key == null)
               fail(s"1-to-1 contract violated: output with no pending element")
+            val payload =
+              try dec(line.substring(tab + 1))
+              catch { case _: IllegalArgumentException =>
+                fail(s"bad protocol line from child (invalid base64): '${line.take(120)}'")
+              }
             emitted += 1
-            Elem(key._1, key._2, dec(line.substring(tab + 1)))
-          case "err" =>
-            fail(s"kernel error: ${new String(dec(line.substring(tab + 1)), UTF_8)}")
-          case other =>
+            Elem(key._1, key._2, payload)
+          case "err" if tab >= 0 =>
+            val msg =
+              try Option(dec(line.substring(tab + 1)))
+                .map(new String(_, UTF_8)).getOrElse("(no message)")
+              catch { case _: IllegalArgumentException => line.take(120) }
+            fail(s"kernel error: $msg")
+          case _ =>
             fail(s"bad protocol line from child: '${line.take(120)}'")
         }
       }

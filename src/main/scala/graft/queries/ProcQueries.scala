@@ -18,26 +18,37 @@ import graft.operators.ProcessKernel
   */
 object ProcQueries {
 
-  /** idempotent: the word-count kernel script (python3 stdlib only);
-    * public so Bench's pipe-throughput row forks the same kernel */
+  /** The word-count kernel script (python3 stdlib only); public so
+    * Bench's pipe-throughput row forks the same kernel.
+    *
+    * Tokenizer is the EXPLICIT class `[ \t\n\r\f]+` on both sides —
+    * python's bare `str.split()` splits on Unicode whitespace while the
+    * oracle's RE2 `\s` is ASCII-only, a latent divergence on e.g. U+00A0.
+    *
+    * The path embeds a content hash and the file is rewritten (atomic
+    * move) every call: a stale script from an earlier commit — or a
+    * foreign file squatting the predictable tmp name — is never executed.
+    */
   def ensureKernelScript(): String = {
     val script =
-      """import sys, base64
+      """import sys, base64, re
         |for line in sys.stdin:
         |    parts = line.rstrip("\n").split("\t")
         |    if parts[0] == "elem":
         |        data = b"" if parts[3] == "-" else base64.b64decode(parts[3])
-        |        n = len(data.decode("utf-8").split())
+        |        toks = re.split(r'[ \t\n\r\f]+', data.decode("utf-8"))
+        |        n = sum(1 for t in toks if t)
         |        sys.stdout.write("out\t" + base64.b64encode(str(n).encode()).decode() + "\n")
         |        sys.stdout.flush()
         |""".stripMargin
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_kernel_wordcount.py")
-    if (!Files.exists(p)) {
-      val tmp = Paths.get(p.toString + ".tmp." + ProcessHandle.current().pid())
-      Files.write(tmp, script.getBytes(UTF_8))
-      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
-    }
+    val bytes = script.getBytes(UTF_8)
+    val hash = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_kernel_wordcount_$hash.py")
+    val tmp = Paths.get(p.toString + ".tmp." + ProcessHandle.current().pid())
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     p.toString
   }
 
@@ -60,7 +71,7 @@ object ProcQueries {
   val oracles: Map[String, String] = Map(
     "proc_kernel_wordcount" ->
       """SELECT doc_id,
-        |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |       CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
         |                            x -> x <> '')) AS BIGINT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -164,6 +164,21 @@ class ProcessKernelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("malformed protocol lines fail with the diagnostic path, not a raw decode crash") {
+    // bare "out" (no tab) → bad-protocol message, not a Base64 exception
+    val t1 = intercept[Throwable] {
+      ProcessKernel.run(elems(2, 1).coalesce(1),
+        Spec(Seq("awk", "-F\t", "$1==\"elem\"{print \"out\"; fflush()}"))).collect()
+    }
+    assert(messageChain(t1).contains("bad protocol line"), messageChain(t1))
+    // "err\t-" (null message) → "(no message)", not an NPE
+    val t2 = intercept[Throwable] {
+      ProcessKernel.run(elems(2, 1).coalesce(1),
+        Spec(Seq("awk", "-F\t", "$1==\"elem\"{print \"err\\t-\"; exit 0}"))).collect()
+    }
+    assert(messageChain(t2).contains("no message"), messageChain(t2))
+  }
+
   test("init args and per-stream configs reach the child") {
     val script =
       """import sys, base64
