@@ -114,3 +114,53 @@ abstract class GopCodecContract(codecName: String, codec: GopCodec,
 /** the shipped instance must honor its own seam */
 class FakeVideoCodecContractSpec
   extends GopCodecContract("FakeVideoCodec", FakeVideoCodec)
+
+/** the deflate codec (temporal delta + per-frame DEFLATE) honors the same
+  * contract — plus properties only a REAL entropy coder has
+  */
+class DeflateVideoCodecContractSpec
+  extends GopCodecContract("DeflateVideoCodec", graft.sources.DeflateVideoCodec) {
+  import graft.sources.DeflateVideoCodec
+
+  test("DeflateVideoCodec: structured frames genuinely compress (real entropy coding)") {
+    val frames = (0 until 8).map(i =>
+      StdKernels.syntheticFrame(0L, i.toLong, 48, 64, 3))
+    val rawBytes = frames.map(_.data.length.toLong).sum
+    val payload  = DeflateVideoCodec.encodeGop(frames).length.toLong
+    assert(payload * 2 < rawBytes,
+      s"synthetic GOP must compress at least 2x (raw=$rawBytes, payload=$payload)")
+  }
+
+  test("DeflateVideoCodec: incompressible noise is stored honestly (~1x, never corrupted)") {
+    val rnd = new scala.util.Random(42)
+    val frames = (0 until 4).map { i =>
+      val d = new Array[Byte](24 * 32 * 3); rnd.nextBytes(d)
+      FrameElem(1L, i.toLong, 24, 32, 3, FrameType.U8, d)
+    }
+    val payload = DeflateVideoCodec.encodeGop(frames)
+    val back    = DeflateVideoCodec.decodeGop(payload, 1L, 0L).toSeq
+    back.zip(frames).foreach { case (g, w) =>
+      assert(java.util.Arrays.equals(g.data, w.data), "noise must round-trip bit-exact")
+    }
+    val rawBytes = frames.map(_.data.length).sum
+    assert(payload.length < rawBytes * 1.05,
+      "deflate overhead on incompressible data stays within ~5%")
+  }
+
+  test("DeflateVideoCodec: VideoStore ingest/decode round-trips through the seam") {
+    val root = java.nio.file.Files.createTempDirectory("graft-deflate-store").toString
+    import graft.sources.VideoStore
+    import org.apache.spark.sql.Encoders
+    val fe = Encoders.product[FrameElem]
+    val frames = spark.createDataset(
+      (0 until 60).map(i => StdKernels.syntheticFrame(0L, i.toLong, 12, 16, 3)))(fe)
+    VideoStore.ingest(frames, root, "dz", gopSize = 16, codec = DeflateVideoCodec)
+    val back = VideoStore.frames(spark, root, "dz", codec = DeflateVideoCodec)
+      .collect().sortBy(_.index)
+    assert(back.length == 60)
+    val want = (0 until 60).map(i => StdKernels.syntheticFrame(0L, i.toLong, 12, 16, 3))
+    back.zip(want).foreach { case (g, w) =>
+      assert(g.index == w.index && java.util.Arrays.equals(g.data, w.data))
+    }
+  }
+}
