@@ -242,6 +242,22 @@ object Bench {
         }
         val want = (0 until 100).map(i => (i * 97L + 13) % 10000L).distinct.sorted
         sources.VideoStore.gatherFrames(s, root, "bt10k", 0L, want).toDF()
+      }),
+      // full-stream decode through the REAL-entropy-coding codec (deflate
+      // GOPs): 10k frames x 1152 B inflate+delta per task — the measurable
+      // proxy for BASELINE target 1 (decode throughput) this container
+      // permits; compare against bt_sparse_decode's prune economics
+      "bt_deflate_decode" -> ((s, _) => {
+        val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
+        if (!sources.NamedStorage.committed(s, root, "btdz10k")) {
+          import s.implicits._
+          val frames = (0 until 10000).map(i =>
+            operators.StdKernels.syntheticFrame(0L, i.toLong, 16, 24, 3))
+          sources.VideoStore.ingest(frames.toDS(), root, "btdz10k", gopSize = 100,
+            graft.model.CacheMode.Ignore, codec = sources.DeflateVideoCodec)
+        }
+        sources.VideoStore.frames(s, root, "btdz10k",
+            codec = sources.DeflateVideoCodec).toDF()
       }))
   }
 
