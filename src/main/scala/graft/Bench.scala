@@ -128,8 +128,7 @@ object Bench {
       "bt_100k_prockernel" -> ((s, _) => {
         val enc = org.apache.spark.sql.Encoders.product[model.Elem]
         val ds  = elemsN(s, 100000L).repartition(8).as[model.Elem](enc)
-        operators.ProcessKernel.run(ds, operators.ProcessKernel.Spec(
-          Seq("python3", queries.ProcQueries.ensureKernelScript()))).toDF()
+        operators.ProcessKernel.run(ds, queries.ProcQueries.wordcountSpec).toDF()
       }),
       "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
       "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),

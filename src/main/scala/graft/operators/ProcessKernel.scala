@@ -68,7 +68,40 @@ object ProcessKernel {
       initArgs: Array[Byte] = Array.empty,
       streamConfigs: Map[Long, Array[Byte]] = Map.empty,
       env: Map[String, String] = Map.empty,
-      stateful: Boolean = false)
+      stateful: Boolean = false,
+      shipFiles: Map[String, Array[Byte]] = Map.empty)
+
+  /** Materialize `shipFiles` on the machine about to fork (executor-local
+    * tmp, content-hashed path — idempotent and collision-safe across
+    * concurrent tasks) and substitute `{{name}}` occurrences in the
+    * command with the materialized absolute paths. This is what makes a
+    * script-backed kernel CLUSTER-correct: the script's bytes travel in
+    * the task closure like any other kernel state (the reference ships
+    * the cloudpickled kernel class the same way, `client.py:910-963`) —
+    * a driver-local path would not exist on executors.
+    */
+  private def resolveCommand(spec: Spec): Seq[String] = {
+    if (spec.shipFiles.isEmpty) return spec.command
+    val paths = spec.shipFiles.map { case (name, bytes) =>
+      val hash = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-pk-$hash-$name")
+      if (!java.nio.file.Files.exists(p)) {
+        val tmp = java.nio.file.Paths.get(
+          p.toString + ".tmp." + Thread.currentThread().getId)
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+        }
+      }
+      name -> p.toString
+    }
+    spec.command.map(arg =>
+      paths.foldLeft(arg) { case (a, (n, p)) => a.replace(s"{{$n}}", p) })
+  }
 
   private val elemEnc: Encoder[Elem] = Encoders.product[Elem]
   private val B64E = Base64.getEncoder
@@ -95,7 +128,7 @@ object ProcessKernel {
 
   private def runPartition(it: Iterator[Elem], spec: Spec): Iterator[Elem] = {
     if (!it.hasNext) return Iterator.empty
-    val pb = new ProcessBuilder(spec.command: _*)
+    val pb = new ProcessBuilder(resolveCommand(spec): _*)
     spec.env.foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
     val ctx  = TaskContext.get()

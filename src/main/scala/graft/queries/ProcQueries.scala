@@ -1,7 +1,6 @@
 package graft.queries
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,49 +18,41 @@ import graft.operators.ProcessKernel
 object ProcQueries {
 
   /** The word-count kernel script (python3 stdlib only); public so
-    * Bench's pipe-throughput row forks the same kernel.
+    * Bench's pipe-throughput row forks the same kernel. Shipped to
+    * wherever the fork happens via `Spec.shipFiles` (task-closure bytes,
+    * executor-local content-hashed materialization) — a driver-written
+    * tmp path would not exist on a real cluster's executors.
     *
     * Tokenizer is the EXPLICIT class `[ \t\n\r\f]+` on both sides —
     * python's bare `str.split()` splits on Unicode whitespace while the
     * oracle's RE2 `\s` is ASCII-only, a latent divergence on e.g. U+00A0.
-    *
-    * The path embeds a content hash and the file is rewritten (atomic
-    * move) every call: a stale script from an earlier commit — or a
-    * foreign file squatting the predictable tmp name — is never executed.
     */
-  def ensureKernelScript(): String = {
-    val script =
-      """import sys, base64, re
-        |for line in sys.stdin:
-        |    parts = line.rstrip("\n").split("\t")
-        |    if parts[0] == "elem":
-        |        data = b"" if parts[3] == "-" else base64.b64decode(parts[3])
-        |        toks = re.split(r'[ \t\n\r\f]+', data.decode("utf-8"))
-        |        n = sum(1 for t in toks if t)
-        |        sys.stdout.write("out\t" + base64.b64encode(str(n).encode()).decode() + "\n")
-        |        sys.stdout.flush()
-        |""".stripMargin
-    val bytes = script.getBytes(UTF_8)
-    val hash = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_kernel_wordcount_$hash.py")
-    val tmp = Paths.get(p.toString + ".tmp." + ProcessHandle.current().pid())
-    Files.write(tmp, bytes)
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    p.toString
-  }
+  val wordcountScript: Array[Byte] =
+    """import sys, base64, re
+      |for line in sys.stdin:
+      |    parts = line.rstrip("\n").split("\t")
+      |    if parts[0] == "elem":
+      |        data = b"" if parts[3] == "-" else base64.b64decode(parts[3])
+      |        toks = re.split(r'[ \t\n\r\f]+', data.decode("utf-8"))
+      |        n = sum(1 for t in toks if t)
+      |        sys.stdout.write("out\t" + base64.b64encode(str(n).encode()).decode() + "\n")
+      |        sys.stdout.flush()
+      |""".stripMargin.getBytes(UTF_8)
+
+  /** the Spec both the oracle query and the bench row fork */
+  def wordcountSpec: ProcessKernel.Spec = ProcessKernel.Spec(
+    Seq("python3", "{{wordcount.py}}"),
+    shipFiles = Map("wordcount.py" -> wordcountScript))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "proc_kernel_wordcount" -> ((s: SparkSession, dir: String) => {
-      val kernel = ensureKernelScript()
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val elemEnc = Encoders.product[Elem]
       // documents → byte-payload sequence: one stream per doc, the same
       // opaque-element shape every other kernel sees
       val seq = docs.select(col("doc_id"), col("text"))
         .map(r => Elem(r.getLong(0), 0L, r.getString(1).getBytes(UTF_8)))(elemEnc)
-      val counted = ProcessKernel.run(seq, ProcessKernel.Spec(Seq("python3", kernel)))
+      val counted = ProcessKernel.run(seq, wordcountSpec)
       counted
         .select(col("streamId").as("doc_id"),
           col("payload").cast("string").cast("long").as("n_words"))

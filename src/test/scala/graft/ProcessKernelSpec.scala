@@ -164,6 +164,19 @@ class ProcessKernelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shipFiles materializes kernel bytes where the fork happens ({{name}} substitution)") {
+    // the script travels as task-closure bytes; {{upper.sh}} resolves to
+    // an executor-local content-hashed path — no driver-written tmp path
+    // is assumed to exist where the child forks (cluster-correctness)
+    val script = "#!/bin/sh\nexec awk -F'\t' '$1==\"elem\"{print \"out\\t\" $4; fflush()}'\n"
+    val got = ProcessKernel.run(elems(4, 1).repartition(2),
+      Spec(Seq("sh", "{{upper.sh}}"),
+        shipFiles = Map("upper.sh" -> script.getBytes(UTF_8))))
+      .collect().map(e => (e.index, new String(e.payload, UTF_8))).toMap
+    assert(got.size === 4)
+    assert(got(2L) === "text-0-2")
+  }
+
   test("malformed protocol lines fail with the diagnostic path, not a raw decode crash") {
     // bare "out" (no tab) → bad-protocol message, not a Base64 exception
     val t1 = intercept[Throwable] {
