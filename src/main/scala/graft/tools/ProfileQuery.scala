@@ -21,6 +21,12 @@ object ProfileQuery {
     val (_, prof) = Profiler.profile(spark) { run() }
     CacheScope.release()
     println(prof.render)
+    // chrome://tracing / ui.perfetto.dev timeline of the profiled run —
+    // the reference's profiler.write_trace(path) surface
+    val trace = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-trace-$name.json").toString
+    Profiler.writeTrace(prof, trace)
+    println(s"trace: $trace")
     spark.stop()
   }
 }
