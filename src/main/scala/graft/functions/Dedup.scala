@@ -747,6 +747,66 @@ object Dedup {
         col("__c.n_paras").as("n_paras"), col("__c.n_dropped").as("n_dropped"))
   }
 
+  /** C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we discarded
+    * all but one of any three-sentence span occurring more than once in
+    * the data set"): slide a `span`-line window over each doc's lines,
+    * hash every span, keep the lexicographically smallest (doc, position)
+    * occurrence of each duplicated span, and drop the LINES covered by
+    * every other occurrence. Distinct from [[dedupParagraphs]] (single
+    * repeated paragraphs) and [[removeDuplicatedWindows]] (fixed token
+    * windows): the span unit straddles sentence boundaries, so shared
+    * boilerplate runs die wherever they recur — including inside one
+    * document — while a sentence repeated in two unrelated contexts
+    * survives (its flanking sentences differ, so no span matches).
+    *
+    * Scale shape — the [[dedupParagraphs]] skeleton: spans shuffle as
+    * (md5, position) pairs, never text; the keeper is ONE min-struct
+    * aggregation per span hash (a corpus-hot span is map-side combine,
+    * not join fan-out); each doc receives only the line positions IT
+    * must drop (bounded by span x its own span count); the rebuild is a
+    * scan-pass HOF over the re-split text. Returns
+    * (idCol, clean_text, n_lines, n_dropped) for EVERY input doc; docs
+    * with fewer than `span` lines contribute no spans and pass through.
+    */
+  def c4SpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", span: Int = 3): DataFrame = {
+    require(span >= 2, s"span must be >= 2, got $span")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val spans = CacheScope.cache(docs
+      .select(col(idCol), explode(TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+        when(size(ps) >= span,
+          transform(sequence(lit(0), size(ps) - span), i =>
+            struct(i.as("pos"),
+              md5(concat_ws(sep, slice(ps, i + 1, lit(span)))).as("sh"))))
+          .otherwise(array().cast("array<struct<pos:int,sh:string>>"))
+      }).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.sh").as("sh")))
+    val keepers = spans.groupBy(col("sh"))
+      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kp"))).as("k"),
+        count(lit(1)).as("nocc"))
+      .filter(col("nocc") > 1) // unique spans can't produce drops
+      .select(col("sh"), col("k.kid").as("__kid"), col("k.kp").as("__kp"))
+    val drops = spans.join(keepers, Seq("sh"))
+      .filter(!(col(idCol) === col("__kid") && col("pos") === col("__kp")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(span - 1))).as("lp"))
+      .groupBy(col(idCol)).agg(collect_set(col("lp")).as("__dp"))
+    val rebuilt = TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+      TextFunctions.let(filter(ps, (_, i) =>
+        !array_contains(col("__dp"), i))) { kept =>
+        struct(
+          concat_ws(sep, kept).as("clean_text"),
+          size(ps).cast("long").as("n_lines"),
+          (size(ps) - size(kept)).cast("long").as("n_dropped"))
+      }
+    }
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("__dp", coalesce(col("__dp"), array().cast("array<int>")))
+      .withColumn("__c", rebuilt)
+      .select(col(idCol), col("__c.clean_text").as("clean_text"),
+        col("__c.n_lines").as("n_lines"), col("__c.n_dropped").as("n_dropped"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 4): DataFrame = {
     // ONE persisted tokenize+shingle pass feeds both phases: the minhash

@@ -106,6 +106,39 @@ object TextQueries {
       }
     }
 
+  /** Raw 8-token line view (no decorations) — the sentence proxy for the
+    * C4 queries. Shared by `dedup_c4_spans` (spans hash RAW lines: the
+    * doc-keyed decorations of the flag query would make cross-doc span
+    * equality impossible by construction) and as the base of
+    * [[renderedC4Lines]], so the two C4 queries can't drift.
+    */
+  private def rawLines: org.apache.spark.sql.Column =
+    TF.let(TF.tokens(col("text"))) { tk =>
+      transform(sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+        li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
+    }
+
+  /** The deterministic line rendering for the C4 cleaning rules (the
+    * corpus is punctuation-free single-line text, so the content the
+    * rules react to is synthesized hash-keyed, same device as the Gopher
+    * line query): ~1/29 lines gain a "lorem ipsum " prefix, ~1/7 a
+    * " javascript" suffix, ~1/23 a " {" suffix, and 2/3 a terminal "." —
+    * every C4 rule fires on a value-diverse slice, never vacuously.
+    */
+  private def renderedC4Lines: org.apache.spark.sql.Column =
+    TF.let(rawLines) { r =>
+      transform(r, (x, li) => concat(
+        when((col("doc_id") * 17 + li) % 29 === 7, lit("lorem ipsum "))
+          .otherwise(lit("")),
+        x,
+        when((col("doc_id") * 11 + li) % 7 === 3, lit(" javascript"))
+          .otherwise(lit("")),
+        when((col("doc_id") * 13 + li) % 23 === 5, lit(" {"))
+          .otherwise(lit("")),
+        when((col("doc_id") * 7 + li) % 3 =!= 2, lit("."))
+          .otherwise(lit(""))))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -278,6 +311,51 @@ object TextQueries {
         "doc_id", "text", "\n")
         .orderBy("doc_id")
     }),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) over the deterministic
+    // line rendering: a line is KEPT iff it ends in terminal punctuation
+    // (. ! ? "), has >= 3 words, and doesn't mention javascript; the page
+    // fails outright on "{" (code), "lorem ipsum" (placeholder), a
+    // blocklist word ("dup" stands in for the C4 badword list — 5% doc
+    // frequency in this corpus), or < 3 surviving sentences. Shape: ONE
+    // line explode + one map-side-combining agg + a narrow per-doc flag
+    // scan joined on doc_id — no shuffle carries text except the line agg.
+    "txt_c4_line_flags" -> ((s, dir) => {
+      val lineAgg = docs(s, dir)
+        .select(col("doc_id"), explode(renderedC4Lines).as("line"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(
+            (col("line").endsWith(".") || col("line").endsWith("!") ||
+              col("line").endsWith("?") || col("line").endsWith("\"")) &&
+              size(split(col("line"), " ")) >= 3 &&
+              !col("line").contains("javascript"), 1L).otherwise(0L)).as("n_kept"),
+          max(when(col("line").contains("{"), 1L).otherwise(0L)).as("__brace"),
+          max(when(col("line").contains("lorem ipsum"), 1L).otherwise(0L)).as("__lorem"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          array_contains(TF.tokens(col("text")), "dup").as("__bad"))
+        .join(lineAgg, Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          (col("n_kept") >= 3).as("ok_sentences"),
+          (col("__brace") === 0).as("ok_brace"),
+          (col("__lorem") === 0).as("ok_lorem"),
+          (!col("__bad")).as("ok_badword"))
+        .withColumn("pass", col("ok_sentences") && col("ok_brace") &&
+          col("ok_lorem") && col("ok_badword"))
+        .orderBy("doc_id")
+    }),
+
+    // C4's corpus-level dedup (Raffel et al. 2020 §2.2): "we discarded all
+    // but one of any three-sentence span occurring more than once" — spans
+    // over the RAW line rendering (8-token sentence proxies), keep-first
+    // by (doc, position), covered lines dropped, doc reassembled. See
+    // Dedup.c4SpanDedup for the (md5, pos)-only shuffle shape.
+    "dedup_c4_spans" -> ((s, dir) =>
+      Dedup.c4SpanDedup(
+        docs(s, dir).select(col("doc_id"), concat_ws("\n", rawLines).as("text")),
+        "doc_id", "text", "\n", 3)
+        .orderBy("doc_id")),
 
     // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
     // count + md5 digest of the sorted selected hashes
@@ -1598,6 +1676,82 @@ object TextQueries {
          |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
          |  CAST(np AS BIGINT) AS n_paras,
          |  CAST(np - len(kept) AS BIGINT) AS n_dropped
+         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // C4 line/page rules replay: identical deterministic decorations
+    // (DuckDB lambda indices are 1-based -> li - 1 in every keyed
+    // condition via generate_series), identical keep predicate and
+    // page-level flags, same thresholds
+    "txt_c4_line_flags" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
+         |raw AS (
+         |  SELECT doc_id, text,
+         |    list_transform(
+         |      generate_series(0, CAST(ceil(len(tk) / 8.0) AS INT) - 1),
+         |      li -> array_to_string(tk[li*8+1 : li*8+8], ' ')) AS r
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, len(r) - 1), li ->
+         |      (CASE WHEN (doc_id * 17 + li) % 29 = 7 THEN 'lorem ipsum ' ELSE '' END)
+         |      || r[li + 1]
+         |      || (CASE WHEN (doc_id * 11 + li) % 7 = 3 THEN ' javascript' ELSE '' END)
+         |      || (CASE WHEN (doc_id * 13 + li) % 23 = 5 THEN ' {' ELSE '' END)
+         |      || (CASE WHEN (doc_id * 7 + li) % 3 != 2 THEN '.' ELSE '' END)
+         |    )) AS line
+         |  FROM raw),
+         |f AS (SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(CASE WHEN
+         |        (ends_with(line, '.') OR ends_with(line, '!')
+         |          OR ends_with(line, '?') OR ends_with(line, '"'))
+         |        AND len(string_split(line, ' ')) >= 3
+         |        AND NOT contains(line, 'javascript')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    MAX(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS brace,
+         |    MAX(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END) AS lorem
+         |  FROM l GROUP BY doc_id),
+         |b AS (SELECT doc_id, list_contains($tokSql, 'dup') AS bad FROM documents)
+         |SELECT f.doc_id, n_lines, n_kept,
+         |  n_kept >= 3 AS ok_sentences,
+         |  brace = 0 AS ok_brace,
+         |  lorem = 0 AS ok_lorem,
+         |  NOT bad AS ok_badword,
+         |  n_kept >= 3 AND brace = 0 AND lorem = 0 AND NOT bad AS pass
+         |FROM f JOIN b ON f.doc_id = b.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+
+    // C4 span-dedup replay: raw 8-token lines, 3-line spans hashed as the
+    // chr(10)-joined text, keep-first by (doc_id, pos) via row_number,
+    // covered line positions unioned per doc, reassembly in document order
+    "dedup_c4_spans" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |raw AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      generate_series(0, CAST(ceil(len(tk) / 8.0) AS INT) - 1),
+         |      li -> array_to_string(tk[li*8+1 : li*8+8], ' ')) AS r
+         |  FROM t),
+         |s AS (SELECT doc_id, li AS pos,
+         |    md5(r[li+1] || chr(10) || r[li+2] || chr(10) || r[li+3]) AS sh
+         |  FROM raw, unnest(generate_series(0, len(r) - 3)) AS u(li)
+         |  WHERE len(r) >= 3),
+         |dups AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) > 1),
+         |ranked AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk
+         |  FROM s JOIN dups USING (sh)),
+         |dp AS (SELECT doc_id,
+         |    list_distinct(flatten(list([pos, pos + 1, pos + 2]))) AS dp
+         |  FROM ranked WHERE rk > 1 GROUP BY doc_id),
+         |fin AS (
+         |  SELECT raw.doc_id, len(raw.r) AS nl,
+         |    list_filter(raw.r, (x, i) ->
+         |      NOT list_contains(COALESCE(dp.dp, CAST([] AS BIGINT[])), i - 1)) AS kept
+         |  FROM raw LEFT JOIN dp ON raw.doc_id = dp.doc_id)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(nl AS BIGINT) AS n_lines,
+         |  CAST(nl - len(kept) AS BIGINT) AS n_dropped
          |FROM fin ORDER BY doc_id""".stripMargin,
 
     "txt_pii_redact" ->

@@ -205,6 +205,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, "A\nB", 0L), (1L, "", 2L)))
   }
 
+  test("c4SpanDedup drops lines covered by non-keeper duplicated 3-line spans (hand-computed)") {
+    // doc 1 & 2 open with the same 3 lines (span ABC; keeper (1,0)), so
+    // doc 2 loses lines 0-2; doc 3 is the same 3 lines looping — spans
+    // PQR/QRP/RPQ each recur, keepers are positions 0/1/2, every later
+    // occurrence's cover unions to lines 3-8; doc 4 is below span width.
+    val docs = Seq(
+      (1L, "A\nB\nC\nD\nE"),
+      (2L, "A\nB\nC\nX\nY"),
+      (3L, "P\nQ\nR\nP\nQ\nR\nP\nQ\nR"),
+      (4L, "Z\nW")).toDF("doc_id", "text")
+    val got = Dedup.c4SpanDedup(docs, "doc_id", "text", "\n", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "A\nB\nC\nD\nE", 5L, 0L), // keeper of ABC; nothing dropped
+      (2L, "X\nY", 5L, 3L),          // non-keeper ABC covers lines 0-2
+      (3L, "P\nQ\nR", 9L, 6L),       // one loop survives, the rest dies
+      (4L, "Z\nW", 2L, 0L)))         // too short for any span
+  }
+
+  test("c4SpanDedup keeps a repeated sentence whose flanking context differs") {
+    // "B" recurs in both docs but no 3-line SPAN recurs — C4's unit is
+    // the span, so nothing is dropped (contrast dedupParagraphs, which
+    // would kill the second B).
+    val docs = Seq(
+      (1L, "A\nB\nC"),
+      (2L, "X\nB\nY")).toDF("doc_id", "text")
+    val got = Dedup.c4SpanDedup(docs, "doc_id", "text", "\n", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "A\nB\nC", 0L), (2L, "X\nB\nY", 0L)))
+  }
+
   test("winnowFingerprints: short docs (grams < w) keep their single overall min") {
     import graft.functions.TextFunctions
     // 4 tokens -> 2 trigram hashes < w=4 windows -> exactly one fingerprint
