@@ -111,6 +111,31 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"), col("col.score").as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: given any number of (qid, id,
+    * rank) rankings (lexical BM25, dense cosine, ...), fuse by
+    * score(q, d) = Σ_rankers 1/(k0 + rank_r(q, d)), re-rank, keep top-k.
+    * Ranker-agnostic by design — RRF needs only ranks, never the
+    * incomparable raw scores. Scores round at 6 dp before ranking; ties
+    * break toward the smaller id (same convention as every ranking op).
+    *
+    * Scale shape: each input is already top-k-bounded, so the fusion
+    * union holds ≤ |rankers| × k rows PER QUERY — ids and ranks only, no
+    * text or vectors. One hash agg sums the reciprocal ranks; the re-rank
+    * is the bounded-heap aggregate. The fusion itself costs nothing at
+    * any corpus size; the legs dominate.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val scored = rankings
+      .map(_.select(col("qid"), col("id"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank"))).as("rr")))
+      .reduce(_ unionByName _)
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("rr")), 6).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: (qid, id, rank, score), score rounded to 6 dp for
     * cross-engine rank stability, self-matches excluded.

@@ -40,24 +40,7 @@ object TfIdf {
     */
   def topKNeighbors(docs: DataFrame, idCol: String, textCol: String,
       k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
-    val terms = graft.CacheScope.cache(
-      docs.select(col(idCol).as("id"),
-          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
-        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
-    val nDocs = graft.Profiler.attributed(docs.sparkSession, "tfidf-index") {
-      terms.select(countDistinct(col("id"))).head.getLong(0)
-    }
-    // document frequency, stop-term pruned: df > maxDf terms are dropped
-    // from weights AND norms (the oracle replays the same convention)
-    val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val w = graft.CacheScope.cache(
-      terms.join(dfRel, Seq("t"))
-        .select(col("id"), col("t"),
-          (col("n").cast("double")
-            * log(lit(nDocs).cast("double") / col("df").cast("double"))).as("w")))
-    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      .filter(col("nrm") > 0d)
+    val (w, norms) = tfidfWeights(docs, idCol, textCol, ngram, maxDf, "tfidf-index")
     // inverted index: postings self-join per term, halved by id order,
     // then one hash agg accumulates the sparse dot products
     val dots = w.select(col("t"), col("id").as("ai"), col("w").as("wa"))
@@ -73,6 +56,58 @@ object TfIdf {
       .unionByName(sims.select(col("bi").as("qid"), col("ai").as("id"), col("score")))
     Similarity.rankTopK(mirrored, k)
       .withColumnRenamed("qid", idCol)
+  }
+
+  /** The shared TF-IDF weight chain: cached (id, t, w) weights (stop-term
+    * pruned at `maxDf`, IDF over the indexed-doc count derived from the
+    * cached terms relation — one corpus scan) and the positive-norm
+    * relation (id, nrm). Exactly the expressions [[topKNeighbors]] always
+    * used, factored so [[tfidfQueryTopK]] can't drift from them.
+    */
+  private def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int, maxDf: Long, attrTag: String): (DataFrame, DataFrame) = {
+    val terms = graft.CacheScope.cache(
+      docs.select(col(idCol).as("id"),
+          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+    val nDocs = graft.Profiler.attributed(docs.sparkSession, attrTag) {
+      terms.select(countDistinct(col("id"))).head.getLong(0)
+    }
+    // document frequency, stop-term pruned: df > maxDf terms are dropped
+    // from weights AND norms (the oracle replays the same convention)
+    val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = graft.CacheScope.cache(
+      terms.join(dfRel, Seq("t"))
+        .select(col("id"), col("t"),
+          (col("n").cast("double")
+            * log(lit(nDocs).cast("double") / col("df").cast("double"))).as("w")))
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0d)
+    (w, norms)
+  }
+
+  /** TF-IDF cosine top-k for a designated QUERY set only — the sparse
+    * "dense leg" of hybrid retrieval. Same weights, norms, rounding, and
+    * tie-breaks as [[topKNeighbors]] (identical scores for any query doc),
+    * but the posting join is query-side restricted: cost = sum over query
+    * terms of df (linear in the corpus, like [[bm25TopK]]), never the
+    * corpus self-join's sum(df²). Output (idCol, id, rank, score).
+    */
+  def tfidfQueryTopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
+      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
+    val (w, norms) = tfidfWeights(docs, idCol, textCol, ngram, maxDf, "tfidf-q-index")
+    val wq = w.join(queryIds.select(col(idCol).as("qid")), col("id") === col("qid"))
+      .select(col("qid"), col("t"), col("w").as("wq"))
+    val dots = wq.join(w.select(col("t"), col("id"), col("w").as("wd")), Seq("t"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("wq") * col("wd")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("id").as("qid"), col("nrm").as("nq")), Seq("qid"))
+      .join(norms, Seq("id"))
+      .select(col("qid"), col("id"),
+        round(col("dot") / (col("nq") * col("nrm")), 6).as("score"))
+    Similarity.rankTopK(scored, k).withColumnRenamed("qid", idCol)
   }
 
   /** BM25 top-k retrieval (Robertson/Sparck Jones; the lexical ranking

@@ -716,6 +716,26 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    // the BM25 lexical ranking and the query-restricted TF-IDF cosine
+    // ranking (the sparse stand-in for a dense-embedding leg) each
+    // produce a top-5, fused by 1/(60+rank) sums into a final top-3.
+    // Both legs are query-side posting joins (cost linear in sum of
+    // query-term df); the fusion union is <= 2x5 id/rank rows per query.
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % 25 === 0).select("doc_id")
+      val lex = graft.functions.TfIdf.bm25TopK(d, q, "doc_id", "text",
+        k = 5, ngram = 2, maxDf = 50L)
+      val dense = graft.functions.TfIdf.tfidfQueryTopK(d, q, "doc_id", "text",
+        k = 5, ngram = 2, maxDf = 50L)
+      graft.functions.Similarity.rrfFuse(
+        Seq(lex.withColumnRenamed("doc_id", "qid"),
+          dense.withColumnRenamed("doc_id", "qid")), k = 3)
+        .withColumnRenamed("qid", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Temperature-resampled language mix (the multilingual pretraining
     // balance knob): per-language sampling weight c^alpha (alpha=0.5)
     // flattens the language distribution — rare languages are upsampled
@@ -1124,6 +1144,58 @@ object TextQueries {
          |         row_number() OVER (PARTITION BY doc_id
          |                            ORDER BY score DESC, id) AS rank
          |  FROM r)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // hybrid-RRF replay: the two legs re-derive from the SAME shared
+    // CTEs (one tokenization, one df-prune), each ranked top-5 on its
+    // 6-dp-rounded score (ties to smaller id), fused by 1/(60+rank)
+    // sums rounded at 6 dp, re-ranked top-3 with the same tie-break
+    "sim_hybrid_rrf" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest($shSql) AS t
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 50),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
+         |w AS (SELECT doc_id, t,
+         |        CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+         |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),
+         |nrm AS (SELECT doc_id, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY doc_id
+         |        HAVING sqrt(SUM(w*w)) > 0),
+         |dq AS (SELECT a.doc_id AS qid, b.doc_id AS id, SUM(a.w * b.w) AS dot
+         |       FROM w a JOIN w b ON a.t = b.t AND b.doc_id <> a.doc_id
+         |       WHERE a.doc_id % 25 = 0
+         |       GROUP BY a.doc_id, b.doc_id),
+         |ds AS (SELECT qid, id, ROUND(dot / (nq.nrm * nd.nrm), 6) AS score
+         |       FROM dq JOIN nrm nq ON nq.doc_id = qid
+         |       JOIN nrm nd ON nd.doc_id = id),
+         |dr AS (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |       FROM ds),
+         |lens AS (SELECT doc_id, SUM(n) AS len FROM tf GROUP BY doc_id),
+         |stats AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM lens),
+         |qt AS (SELECT DISTINCT doc_id AS qid, t FROM ex WHERE doc_id % 25 = 0),
+         |sc AS (
+         |  SELECT qid, tf.doc_id AS id,
+         |    SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |        * (n * 2.2)
+         |        / (n + 1.2 * (0.25 + 0.75 * len / avglen))) AS s
+         |  FROM qt JOIN dfr USING (t) JOIN tf USING (t)
+         |  JOIN lens ON lens.doc_id = tf.doc_id
+         |  CROSS JOIN stats CROSS JOIN nn
+         |  WHERE tf.doc_id <> qid
+         |  GROUP BY qid, tf.doc_id),
+         |lr AS (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY ROUND(s, 6) DESC, id) AS rank
+         |       FROM sc),
+         |u AS (SELECT qid, id, 1.0 / (60 + rank) AS rr FROM dr WHERE rank <= 5
+         |      UNION ALL
+         |      SELECT qid, id, 1.0 / (60 + rank) AS rr FROM lr WHERE rank <= 5),
+         |f AS (SELECT qid, id, ROUND(SUM(rr), 6) AS score FROM u GROUP BY qid, id)
+         |SELECT doc_id, id, rank, score FROM (
+         |  SELECT qid AS doc_id, id, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |  FROM f)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // NB replay: training is pure counting, so the oracle re-derives the

@@ -102,6 +102,43 @@ class TfIdfSpec extends SparkSpec {
       s"retrieval opened the corpus parquet $used times vs $oneScan for one scan")
   }
 
+  test("tfidfQueryTopK matches topKNeighbors for the query subset") {
+    // the query-restricted posting join must reproduce the self-join's
+    // scores and ranks exactly for any query doc — only the cost differs
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "b c d e"),
+      (4L, "x y z w"), (5L, "x y q w")).toDF("doc_id", "text")
+    val q = Seq(Tuple1(1L), Tuple1(4L)).toDF("doc_id")
+    val full = TfIdf.topKNeighbors(docs, "doc_id", "text", k = 3)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(1L, 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    CacheScope.release()
+    val restricted = TfIdf.tfidfQueryTopK(docs, q, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    CacheScope.release()
+    assert(restricted == full)
+  }
+
+  test("rrfFuse sums reciprocal ranks with smaller-id tie-break (hand-computed)") {
+    import graft.functions.Similarity
+    // q1: ranker A = [1,2,3], ranker B = [2,1,4]. Docs 1 and 2 both sum
+    // 1/61+1/62 (tie -> id order); 3 and 4 both get 1/63 (tie again).
+    val ra = Seq((10L, 1L, 1L), (10L, 2L, 2L), (10L, 3L, 3L))
+      .toDF("qid", "id", "rank")
+    val rb = Seq((10L, 2L, 1L), (10L, 1L, 2L), (10L, 4L, 3L))
+      .toDF("qid", "id", "rank")
+    val got = Similarity.rrfFuse(Seq(ra, rb), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val both = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one = BigDecimal(1.0 / 63)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 1L, both), (2L, 2L, both), (3L, 3L, one), (4L, 4L, one)))
+  }
+
   test("k bounds the neighbor list with smaller-id tie-break") {
     // three identical docs (plus one outlier so idf > 0): every pair among
     // 1-3 scores 1.0, k=2 keeps the two smallest neighbor ids; the
