@@ -152,6 +152,73 @@ object StdKernels {
     hash
   }
 
+  /** DCT perceptual hash (pHash, Zauner 2010): grayscale -> bilinear
+    * 32x32 downsample -> 2D DCT-II -> 8x8 low-frequency block -> each AC
+    * coefficient thresholds against the MEDIAN of the 63 ACs (the DC term
+    * is excluded and its bit is always 0; MSB = cell (0,0), row-major).
+    * Invariant (up to FP eps) to uniform brightness shifts — only the DC
+    * coefficient moves — AND to contrast scaling — every coefficient and
+    * the median scale together — so it survives the classic photometric
+    * edits that defeat pixel hashes; structural edits (crops, rotations)
+    * still change it. Pairs with the same banded-Hamming join as
+    * [[averageHash]] for image near-dup at corpus scale.
+    */
+  def perceptualHash(frame: FrameElem): Long = {
+    require(frame.dtype == FrameType.U8)
+    val c    = frame.channels
+    val n    = frame.height * frame.width
+    val gray = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      var s = 0
+      var k = 0
+      while (k < c) { s += frame.data(i * c + k) & 0xff; k += 1 }
+      gray(i) = (s / c).toByte
+      i += 1
+    }
+    val small = resize(frame.copy(channels = 1, data = gray), 32, 32)
+    // separable DCT-II; only the first 8 frequencies of each pass are
+    // ever read, so compute 32x8 row transforms then the 8x8 block
+    val cosT = Array.tabulate(8, 32)((k, m) =>
+      math.cos(math.Pi * (2 * m + 1) * k / 64.0))
+    val rows = Array.ofDim[Double](32, 8)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += (small.data(y * 32 + x) & 0xff) * cosT(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rows(yy)(u) * cosT(v)(yy); yy += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // exact median of the 63 AC coefficients
+    var hash = 0L
+    i = 1
+    while (i < 64) {
+      if (coef(i) > med) hash |= 1L << (63 - i)
+      i += 1
+    }
+    hash
+  }
+
   /** resize with the full reference arg surface */
   def resizeWithArgs(frame: FrameElem, args: ResizeArgs): FrameElem = {
     val (th, tw) = resolveResizeDims(args, frame.height, frame.width)

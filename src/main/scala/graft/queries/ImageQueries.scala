@@ -89,6 +89,28 @@ object ImageQueries {
         ) // cached: hashing feeds both sides of the candidate join
       graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming = 3)
         .orderBy("a", "b")
+    }),
+
+    // DCT perceptual near-dup (pHash): same banded-Hamming core, stronger
+    // fingerprint — the variants here are contrast-scaled (x0.92) AND
+    // brightness-shifted (+5), the photometric edit pair pHash is built
+    // for (every DCT coefficient and the median scale together; only the
+    // excluded DC term absorbs the shift).
+    "img_phash_pairs" -> ((s, _) => {
+      val root = ensureImages(s)
+      val base = frames(s, root)
+      val variants = base.map(f => f.copy(index = f.index + 100,
+        data = f.data.map(b =>
+          math.min(255, math.round((b & 0xff) * 0.92).toInt + 5).toByte)))(frameEnc)
+      val keyed = graft.CacheScope.cache(base.union(variants)
+        .map(f => (f.streamId * 1000L + f.index, StdKernels.perceptualHash(f)))(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("id", "h")
+        .select(col("id"), array((0 until 4).map(b =>
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*).as("bands"))
+        ) // cached: hashing feeds both sides of the candidate join
+      graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming = 3)
+        .orderBy("a", "b")
     })
   )
 
