@@ -52,6 +52,14 @@ object StdKernels {
   def histogramOp(ds: Dataset[FrameElem]): Dataset[Elem] =
     ds.map(f => Elem(f.streamId, f.index, histogram(f)))(elemEnc)
 
+  /** parse a histogram payload (LE int32s) back to typed bins — the view
+    * histogram-difference ops (shot detection) consume as an array column
+    */
+  def histogramBins(payload: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(payload.length / 4)(bb.getInt())
+  }
+
   /** Stream-config args of the reference Resize op (`tests/test_ops.proto`
     * ResizeArgs; kernel `tests/test_ops.cpp:114-170`): target dims, aspect
     * preservation (one dim 0 → derived from the other), and min mode

@@ -157,6 +157,47 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
+    // Shot detection (docs/scannertools.rst:77-89 `detect_shots`): per-
+    // frame histograms -> consecutive L1 histogram distance per stream
+    // (the SAME stencil {-1,0} halo plan as the flow queries, but the
+    // stencil elements are 48-int bins, not frames — tiny halo traffic)
+    // -> per-stream adaptive threshold mean + 3*stddev. A deterministic
+    // scene change is synthesized by contrast-crushing frames [100, 200)
+    // (v >> 1: all mass moves to the lower half-bins — the synthetic
+    // ramp's near-uniform histogram makes an INVERSION invisible to
+    // histogram distance, a real shot-detection blind spot worth
+    // documenting), so the two true cuts at 100 and 200 must surface per
+    // stream. The distance is an exact integer (zip_with/aggregate,
+    // codegen'd); doubles appear only in the threshold predicate, never
+    // in the output.
+    "video_shot_cuts" -> ((s, _) => {
+      val root = ensureIngested(s)
+      import s.implicits._
+      val frames = VideoStore.frames(s, root, "testvid")
+        .map(f =>
+          if (f.index >= 100 && f.index < 200)
+            f.copy(data = f.data.map(b => ((b & 0xff) >> 1).toByte))
+          else f)(frameEnc)
+      val bins = StdKernels.histogramOp(frames)
+        .map(e => (e.streamId, e.index, StdKernels.histogramBins(e.payload)))
+        .toDF("streamId", "index", "bins")
+      val paired = SequenceOps
+        .stencil(bins, Seq(-1, 0), "bins", graft.model.Boundary.NullFill,
+          bucketWidth = 1024)
+        .filter(element_at(col("window"), 1).isNotNull) // t=0 has no prev
+      val d = graft.CacheScope.cache(paired.select(col("streamId"), col("index"),
+        aggregate(
+          zip_with(element_at(col("window"), 1), element_at(col("window"), 2),
+            (a, b) => abs(a - b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("dist")))
+      val stats = d.groupBy(col("streamId"))
+        .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sd"))
+      d.join(broadcast(stats), Seq("streamId"))
+        .filter(col("dist") > col("mu") + lit(3.0) * col("sd"))
+        .select(col("streamId"), col("index"), col("dist"))
+        .orderBy("streamId", "index")
+    }),
+
     // same stencil {-1,0} composition with the FARNEBACK estimator — the
     // reference's actual flow family (test_ops.cpp:63-111 wraps
     // cv::calcOpticalFlowFarneback); plan shape identical to video_flow
