@@ -68,7 +68,11 @@ object PlanAudit {
     "pipeline_clean_corpus" ->
       "clean-corpus composition: survivor relations cached once (InMemoryRelation) and reused by every stage; only ids/hashes cross any exchange — full text rides only the two survivor semi-joins",
     "proc_kernel_wordcount" ->
-      "external-process kernel: the pipe-bridge mapPartitions sits directly on the scan projection — NO Exchange between the parquet read and the forked child (stateless kernels run narrow); the only sort is the output order-by")
+      "external-process kernel: the pipe-bridge mapPartitions sits directly on the scan projection — NO Exchange between the parquet read and the forked child (stateless kernels run narrow); the only sort is the output order-by",
+    "dedup_c4_spans" ->
+      "C4 span dedup: spans cross exchanges as (md5, pos) only (never text); keeper = ONE min-struct hash agg with partial (map-side) combine; per-doc drop set via collect_set bounded by the doc's own spans; rebuild is a scan-pass HOF after a left join",
+    "sim_hybrid_rrf" ->
+      "hybrid RRF: BOTH legs are query-side posting joins (query terms equi-join pruned postings — sum-of-df cost, no corpus self-join in the dense leg); the fusion is one hash agg over <= |rankers| x k id/rank rows per query + the bounded-heap re-rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
