@@ -36,6 +36,27 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Upstream-dtype shield for vector columns — the events-ts lesson
+    * (round 7) applied to the embeddings table: the engine's canonical
+    * vector type is `array<float>` (what the generator has always
+    * produced, and what the native `vec_dot` expression binds to). If an
+    * upstream regeneration ever widens the column to `array<double>`,
+    * normalize AT THE LOADER so every downstream op — native dot, sign
+    * buckets, PQ slices — sees the same float grid; the SQL oracles
+    * replay the identical FLOAT-first quantization
+    * (`embedding::FLOAT[]::DOUBLE[]`). No-op (schema untouched, same
+    * plan) on canonical data.
+    */
+  def canonicalVectors(df: DataFrame, vecCol: String): DataFrame =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        df.withColumn(vecCol, col(vecCol).cast("array<float>"))
+      case other =>
+        sys.error(s"$vecCol: expected an array vector column, got ${other.simpleString}")
+    }
+
   /** generic ordered-fold dot product for arbitrary numeric arrays (the
     * expression-only fallback when inputs aren't array<float>)
     */

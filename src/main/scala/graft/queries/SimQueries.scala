@@ -13,15 +13,21 @@ import graft.functions.Similarity
   */
 object SimQueries {
 
+  /** loader with the vector-dtype shield (see Similarity.canonicalVectors:
+    * an upstream regeneration widening `embedding` to array<double> must
+    * not break the native-float paths; ids/labels stay native — both
+    * engines read those directly, so they drift together harmlessly)
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.canonicalVectors(
+      s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
 
   /** shared IVF search oracle: sim_ivf_persisted is the same search as
     * sim_ivf_topk by construction (the index table holds the identical
     * celled relation) — one SQL, two query keys
     */
   private lazy val ivfTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
          |a AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
          |asg AS (SELECT e.vec_id AS id, cid,
          |          row_number() OVER (PARTITION BY e.vec_id
@@ -54,7 +60,9 @@ object SimQueries {
 
   private def bucketSql(bits: Int, from: Int = 0, src: String = "embedding"): String =
     (0 until bits).map(q =>
-      s"(CASE WHEN $src[${from + q + 1}] >= 0 THEN ${1L << (bits - 1 - q)} ELSE 0 END)")
+      // FLOAT-first like every other oracle read of the embedding column
+      // (sign is quantization-stable, but the grid should match anyway)
+      s"(CASE WHEN CAST($src[${from + q + 1}] AS FLOAT) >= 0 THEN ${1L << (bits - 1 - q)} ELSE 0 END)")
       .mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,7 +239,7 @@ object SimQueries {
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
          |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
          |      FROM q, e WHERE e.vec_id <> qid),
@@ -241,7 +249,7 @@ object SimQueries {
          |ORDER BY qid, rnk""".stripMargin,
 
     "sim_ann_bucketed" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v,
          |             ${bucketSql(4)} AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
          |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
@@ -256,7 +264,7 @@ object SimQueries {
     "sim_ivf_persisted" -> ivfTopkSql,
 
     "sim_neardup_cos" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v,
          |             ${bucketSql(6, 0)} AS b0, ${bucketSql(6, 6)} AS b1,
          |             ${bucketSql(6, 12)} AS b2 FROM embeddings),
          |cand AS (
@@ -272,7 +280,7 @@ object SimQueries {
          |SELECT a, b, score FROM s WHERE score >= 0.4 ORDER BY a, b""".stripMargin,
 
     "sim_assign" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
         |s AS (SELECT e.vec_id, qid,
         |        list_inner_product(qv, v)
@@ -284,7 +292,7 @@ object SimQueries {
         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "emb_quantize" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         |sc AS (SELECT vec_id, v,
         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
         |q AS (SELECT vec_id, s,
@@ -299,7 +307,7 @@ object SimQueries {
 
     "emb_centroids" ->
       """SELECT label, COUNT(*) AS n,
-        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) AS c1
+        |  CAST(SUM(CAST(CAST(CAST(embedding[1] AS FLOAT) AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) AS c1
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
@@ -487,7 +495,7 @@ object SimQueries {
          |  FROM ${p}c${i - 1} prev LEFT JOIN ${p}g$i g ON g.cid = prev.cid)""".stripMargin
     }.mkString(",\n")
     s"""${p}e AS (SELECT vec_id AS id,
-       |    list_transform($src, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |    list_transform($src, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v FROM embeddings),
        |${p}c0 AS (SELECT id AS cid, v AS cv FROM ${p}e ORDER BY id LIMIT $k),
        |$rounds""".stripMargin
   }

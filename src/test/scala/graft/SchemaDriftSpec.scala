@@ -70,4 +70,42 @@ class SchemaDriftSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](GraftSession.tsToNanos(bad))
     assert(e.getMessage.contains("events.ts"))
   }
+
+  // ---- embeddings vector-dtype drift (the same lesson, applied to the
+  // other generated fact table): a regeneration widening `embedding` to
+  // array<double> must not break the native-float similarity paths.
+  // Similarity.canonicalVectors is the guard in SimQueries' loader.
+
+  private lazy val embVariants: Map[String, String] = {
+    val canonical = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def write(encode: DataFrame => DataFrame): String = {
+      val dir = Files.createTempDirectory("graft-edrift").toString
+      encode(canonical).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    Map(
+      "array-float" -> write(identity),
+      "array-double" -> write(
+        _.withColumn("embedding", col("embedding").cast("array<double>"))))
+  }
+
+  for (q <- Seq("sim_topk", "sim_assign", "emb_quantize"))
+    test(s"$q is invariant across embedding element types") {
+      val results = embVariants.map { case (name, dir) =>
+        name -> SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+      }
+      CacheScope.release()
+      val (refName, refRows) = results.head
+      assert(refRows.nonEmpty, s"$q returned no rows on $refName")
+      for ((name, rows) <- results.tail)
+        assert(rows == refRows, s"$q: $name differs from $refName")
+    }
+
+  test("canonicalVectors rejects a non-array vector column") {
+    import spark.implicits._
+    val bad = Seq((1L, "oops")).toDF("vec_id", "embedding")
+    val e = intercept[RuntimeException](
+      graft.functions.Similarity.canonicalVectors(bad, "embedding"))
+    assert(e.getMessage.contains("embedding"))
+  }
 }
