@@ -118,4 +118,42 @@ object JoinStrategies {
     // a shared key NAME across both sides is ambiguous (AnalysisException)
     prefiltered.join(keyed, prefiltered.col(bigKey) === keyed.col(smallKey), "left_semi")
   }
+
+  /** exact floor(x / w) on longs without the double-precision trap
+    * (ts ~ 1.7e18 ns > 2^53: a double `/` can misplace boundary points):
+    * subtract the non-negative `pmod` remainder, then the integral `div`
+    * of an exactly-divisible value — floor for ANY sign of x.
+    */
+  private def floorBucket(c: org.apache.spark.sql.Column, w: Long) =
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+
+  /** Bucketed interval (range) join — the equi-join rewrite of the
+    * point-in-interval theta join that Spark would otherwise plan as a
+    * broadcast-nested-loop (or a cartesian when neither side fits) at
+    * scale: quantize the range dimension into fixed-width buckets,
+    * explode each interval across every bucket it overlaps, equi-join
+    * points to intervals on the bucket key, and apply the exact
+    * containment as a cheap post-filter. A (point, interval) match meets
+    * in exactly ONE bucket — the point's — so no pair dedup is needed.
+    * Shuffle is hash-partitioned on the bucket; per-interval fan-out is
+    * bounded by ceil(len / bucketWidth) + 1, so set `bucketWidth` near
+    * the typical interval length to keep the blow-up ≤ 2x (skewed hot
+    * buckets then fall to AQE skew-split or [[saltedJoin]]).
+    * Half-open [start, end) semantics — the time-window convention;
+    * empty/negative intervals contribute nothing.
+    */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val pb = points.withColumn("__bk", floorBucket(col(ptCol), bucketWidth))
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bk", explode(sequence(
+        floorBucket(col(startCol), bucketWidth),
+        floorBucket(col(endCol) - 1, bucketWidth))))
+    pb.join(ib, Seq("__bk"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bk")
+  }
 }

@@ -328,6 +328,29 @@ object RelQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    // Interval (range) join through the bucketed equi-join rewrite
+    // (JoinStrategies.bucketedRangeJoin): 20 overlapping 12-hour analysis
+    // windows (6-hour step from the corpus min ts — derived by a 1-row
+    // agg that broadcasts) x the event stream, half-open containment.
+    // The naive formulation is a theta join Spark plans nested-loop; the
+    // rewrite shuffles hash-partitioned on the 6-hour bucket with
+    // fan-out <= 3 buckets per window, the shape that holds when BOTH
+    // sides are large.
+    "q_events_range_join" -> ((s, dir) => {
+      val sixH = 21600000000000L // 6h in ns
+      val e  = ev(s, dir)
+      val t0 = e.agg(min(col("ts")).as("t0"))
+      val wins = t0.select(explode(sequence(lit(0L), lit(19L))).as("win_id"), col("t0"))
+        .select(col("win_id"),
+          (col("t0") + col("win_id") * sixH).as("ws"),
+          (col("t0") + col("win_id") * sixH + 2 * sixH).as("we"))
+      graft.operators.JoinStrategies.bucketedRangeJoin(
+        e.select(col("ts"), col("value")), wins, "ts", "ws", "we", sixH)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("win_id")
+    }),
+
     // calendar functions over the nano timestamps: ISO weekday (0=Monday,
     // aligned across engines' differing dayofweek conventions) + DATE-typed
     // aggregation — the scalar date surface of the gap map
@@ -520,6 +543,20 @@ object RelQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // range-join replay: the plain theta join — correct by definition at
+    // oracle scale; the engine's bucketed rewrite must be value-identical
+    "q_events_range_join" ->
+      """WITH t0 AS (SELECT MIN(epoch_ns(ts)) AS t0 FROM events),
+        |w AS (SELECT i AS win_id,
+        |    t0 + i * 21600000000000 AS ws,
+        |    t0 + i * 21600000000000 + 43200000000000 AS we
+        |  FROM generate_series(0, 19) AS g(i) CROSS JOIN t0),
+        |j AS (SELECT win_id, value FROM events e JOIN w
+        |  ON epoch_ns(e.ts) >= w.ws AND epoch_ns(e.ts) < w.we)
+        |SELECT win_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM j GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT epoch_ns(ts) // (3600000000000) AS bucket, event_type,

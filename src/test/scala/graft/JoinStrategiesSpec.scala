@@ -114,6 +114,41 @@ class JoinStrategiesSpec extends SparkSpec {
     assert(got == exact && got.size == 50)
   }
 
+  test("bucketedRangeJoin: half-open containment, multi-bucket spans, negatives (hand-computed)") {
+    import spark.implicits._
+    // bucketWidth 10. Intervals: A=[5,25) spans buckets 0-2; B=[20,30)
+    // spans 2; C=[-15,-5) spans buckets -2..-1 (floor, not truncate-to-
+    // zero); D=[40,40) is empty and must vanish.
+    val points = Seq(5L, 24L, 25L, 20L, 29L, 30L, -15L, -6L, -5L, 0L)
+      .toDF("p")
+    val ivals = Seq(("A", 5L, 25L), ("B", 20L, 30L), ("C", -15L, -5L),
+      ("D", 40L, 40L)).toDF("iv", "s", "e")
+    val got = JoinStrategies.bucketedRangeJoin(points, ivals, "p", "s", "e", 10L)
+      .select(col("iv"), col("p")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(
+      ("A", 5L), ("A", 20L), ("A", 24L),           // 25 excluded (half-open)
+      ("B", 20L), ("B", 24L), ("B", 25L), ("B", 29L), // 30 excluded
+      ("C", -15L), ("C", -6L)))                     // -5 excluded; D gone
+  }
+
+  test("bucketedRangeJoin matches the naive theta join and plans no nested loop") {
+    import spark.implicits._
+    val points = spark.range(0, 2000).select((col("id") * 7 % 1000).as("p"))
+    val ivals = spark.range(0, 40).select(
+      col("id").as("iv"), (col("id") * 25).as("s"), (col("id") * 25 + 60).as("e"))
+    val bucketed = JoinStrategies.bucketedRangeJoin(points, ivals, "p", "s", "e", 50L)
+    val got = bucketed.groupBy("iv").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = points.join(ivals, col("p") >= col("s") && col("p") < col("e"))
+      .groupBy("iv").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == naive)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed rewrite must stay an equi-join:\n$plan")
+  }
+
   test("bloomSemiJoin rejects unsupported key types loudly") {
     val big   = spark.range(0, 5).select((col("id") * 1.5).as("k"))
     val keyed = spark.range(0, 5).select((col("id") * 1.5).as("j"))
