@@ -351,6 +351,45 @@ object RelQueries {
         .orderBy("win_id")
     }),
 
+    // Ordered funnel (view -> click -> purchase): per user, the earliest
+    // qualifying event of each step STRICTLY AFTER the previous step's
+    // time — the event-analytics staple. Shape: one filtered min-agg per
+    // step chained by a user-keyed join (each join co-partitions on the
+    // user hash; no per-user window sort anywhere), then three tiny
+    // counts. At 100 TB each step's relation is |users| rows max.
+    "q_events_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n")).select(lit(1L).as("step"), col("n"))
+        .unionByName(s2.agg(count(lit(1)).as("n")).select(lit(2L).as("step"), col("n")))
+        .unionByName(s3.agg(count(lit(1)).as("n")).select(lit(3L).as("step"), col("n")))
+        .orderBy("step")
+    }),
+
+    // Retention cohorts: users grouped by first-seen day, distinct-user
+    // activity counted per (cohort_day, day_offset) for the first week.
+    // One min-agg for the cohort + one distinct (user, day) relation +
+    // one user-keyed join — the cohort table is |users| rows, activity
+    // shuffles as (user, day) pairs, never raw events.
+    "q_events_retention" -> ((s, dir) => {
+      val d0 = to_date(graft.GraftSession.nanosToTimestamp(col("ts")))
+      val e = ev(s, dir).select(col("user_id"), d0.as("d")).distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      e.join(cohort, Seq("user_id"))
+        .select(col("c0").as("cohort_day"), datediff(col("d"), col("c0")).cast("long").as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // calendar functions over the nano timestamps: ISO weekday (0=Monday,
     // aligned across engines' differing dayofweek conventions) + DATE-typed
     // aggregation — the scalar date surface of the gap map
@@ -516,6 +555,31 @@ object RelQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // funnel replay: identical min-chain, strict-after joins
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_ns(ts)) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_ns(ts) > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_ns(ts)) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_ns(ts) > t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, COUNT(*) AS n FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    // retention replay: distinct (user, day), min-day cohort, day offsets
+    "q_events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS c0 FROM e GROUP BY user_id)
+        |SELECT c0 AS cohort_day, CAST(d - c0 AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE d - c0 <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q_events_weekday" ->
       """SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow, event_type,
