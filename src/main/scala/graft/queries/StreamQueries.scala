@@ -74,6 +74,56 @@ object StreamQueries {
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
           .orderBy("doc_id")
       } finally q.stop()
+    }),
+
+    // Event-time sessionization replayed bounded: the full event stream
+    // feeds one ordered MemoryStream batch (in-stream gap closures emit
+    // immediately); two far-future sentinels then advance the watermark
+    // past every open session's last + gap — sentinel 1 raises the
+    // watermark, sentinel 2 triggers the batch in which the event-time
+    // timeouts fire — so the drained sink holds EVERY session. Aggregated
+    // per user, the result must equal the batch q_events_sessionize
+    // window query (same nano arithmetic, same 30-minute gap): one
+    // oracle, two execution models.
+    "stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = graft.GraftSession.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"))
+        .orderBy("ts", "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val out = StreamingOps.sessionizeEventTime(
+        in.toDF().toDF("user_id", "ts_ns", "ts"),
+        gapMs = 1800L * 1000, watermark = "10 seconds")
+      val qname = "ssz_" + System.nanoTime()
+      val ckpt  = java.nio.file.Files.createTempDirectory("graft-ssz-ck").toString
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        in.addData(rows.toSeq.map { case (u, ns) =>
+          (u, ns, new java.sql.Timestamp(ns / 1000000L))
+        })
+        q.processAllAvailable()
+        val far   = new java.sql.Timestamp(4102444800000L) // 2100-01-01
+        // sentinel ts_ns must ride far in the future too: its own state's
+        // timeout is armed at ts_ns + gap, which must stay >= the watermark
+        val farNs = 4102444800000L * 1000000L
+        in.addData(Seq((-1L, farNs, far))) // advances the watermark
+        q.processAllAvailable()
+        in.addData(Seq((-2L, farNs, far))) // batch in which timeouts fire
+        q.processAllAvailable()
+        val res = s.table(qname)
+          .filter(col("user_id") >= 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        val collected = res.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(collected, 1), res.schema)
+          .orderBy("user_id")
+      } finally q.stop()
     })
   )
 
@@ -105,6 +155,18 @@ object StreamQueries {
          |SELECT doc_id, md5(text) AS clean_digest, n_tokens, stop_ratio
          |FROM fin
          |WHERE n_tokens >= 20 AND stop_ratio >= 0.02 AND stop_ratio <= 0.2
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // the SAME window-based SQL that gates the batch q_events_sessionize —
+    // one oracle, two execution models (batch lag window vs event-time
+    // flatMapGroupsWithState)
+    "stream_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |          lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

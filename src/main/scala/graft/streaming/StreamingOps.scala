@@ -362,4 +362,67 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(sessionizeFunc(gapMs))
   }
+
+  /** The EVENT-TIME sessionize state transition: same session algebra as
+    * [[sessionizeFunc]] (nano timestamps, gap join/close, per-batch sorted
+    * fold), but the open session's close is armed on the WATERMARK passing
+    * last-event + gap instead of wall clock — deterministic under replay,
+    * drains completely in a bounded (availableNow / sentinel-flushed) run,
+    * and late data inside the watermark still joins its session. Values
+    * are (user_id, ts_ns, event_time).
+    */
+  def sessionizeEventTimeFunc(gapMs: Long)
+      : (Long, Iterator[(Long, Long, java.sql.Timestamp)],
+         GroupState[SessionState]) => Iterator[ClosedSession] = {
+    (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]) =>
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(user, s.start, s.last, s.n))
+      } else {
+        val gapNs = gapMs * 1000000L
+        val ts = it.map(_._2).toSeq.sorted
+        var closed = Vector.empty[ClosedSession]
+        var cur    = state.getOption
+        ts.foreach { t =>
+          cur match {
+            case Some(s) if t - s.last <= gapNs =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              closed :+= ClosedSession(user, s.start, s.last, s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last / 1000000L + gapMs)
+        }
+        closed.iterator
+      }
+  }
+
+  /** Event-time sessionization over an events frame with columns
+    * (user_id: long, ts_ns: long, ts: timestamp): watermark on `ts`,
+    * sessions close when the watermark passes last + gap. Note the GAP is
+    * compared in NANOS (gapMs * 1e6) against ts_ns, so boundaries agree
+    * bit-for-bit with the batch q_events_sessionize arithmetic.
+    */
+  def sessionizeEventTime(events: DataFrame, gapMs: Long,
+      watermark: String): Dataset[ClosedSession] = {
+    implicit val ss: Encoder[SessionState]  = Encoders.product[SessionState]
+    implicit val cs: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val in: Encoder[(Long, Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.TIMESTAMP)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts_ns"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionizeEventTimeFunc(gapMs))
+  }
 }

@@ -156,6 +156,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s3.isRemoved)
   }
 
+  test("event-time sessionize: nano gap algebra, watermark timeout arming and flush") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingOps.{ClosedSession, SessionState}
+    val f = StreamingOps.sessionizeEventTimeFunc(gapMs = 1000L) // gap = 1e9 ns
+    def state(s: Option[SessionState], timedOut: Boolean, wm: Long = 0L) =
+      TestGroupState.create[SessionState](
+        s.map(Optional.of[SessionState]).getOrElse(Optional.empty[SessionState]()),
+        GroupStateTimeout.EventTimeTimeout(), 0L, Optional.of[Long](wm), timedOut)
+    def ev(ns: Long) = (7L, ns, new java.sql.Timestamp(ns / 1000000L))
+
+    // burst inside the NANO gap joins; timeout armed at last/1e6 + gapMs
+    val s1 = state(None, timedOut = false)
+    assert(f(7L, Iterator(ev(0L), ev(900000000L)), s1).isEmpty)
+    assert(s1.get == SessionState(0L, 900000000L, 2L))
+    assert(s1.getTimeoutTimestampMs.get == 900L + 1000L)
+
+    // a nano-gap breach closes the session in-stream
+    val s2 = state(Some(SessionState(0L, 900000000L, 2L)), timedOut = false)
+    assert(f(7L, Iterator(ev(3000000000L)), s2).toSeq ==
+      Seq(ClosedSession(7L, 0L, 900000000L, 2L)))
+
+    // watermark-driven timeout flushes the dangling session and clears state
+    val s3 = state(Some(SessionState(3000000000L, 3000000000L, 1L)),
+      timedOut = true, wm = 10000L)
+    assert(f(7L, Iterator.empty, s3).toSeq ==
+      Seq(ClosedSession(7L, 3000000000L, 3000000000L, 1L)))
+    assert(s3.isRemoved)
+  }
+
   test("batch/stream parity: hourly windows over the events parquet match exactly") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
