@@ -72,7 +72,11 @@ object PlanAudit {
     "dedup_c4_spans" ->
       "C4 span dedup: spans cross exchanges as (md5, pos) only (never text); keeper = ONE min-struct hash agg with partial (map-side) combine; per-doc drop set via collect_set bounded by the doc's own spans; rebuild is a scan-pass HOF after a left join",
     "sim_hybrid_rrf" ->
-      "hybrid RRF: BOTH legs are query-side posting joins (query terms equi-join pruned postings — sum-of-df cost, no corpus self-join in the dense leg); the fusion is one hash agg over <= |rankers| x k id/rank rows per query + the bounded-heap re-rank")
+      "hybrid RRF: BOTH legs are query-side posting joins (query terms equi-join pruned postings — sum-of-df cost, no corpus self-join in the dense leg); the fusion is one hash agg over <= |rankers| x k id/rank rows per query + the bounded-heap re-rank",
+    "q_events_range_join" ->
+      "bucketed range join: the point-in-interval theta join runs as a HASH equi-join on the 6h bucket key (intervals exploded <= 3 buckets each) with exact containment as a post-filter — NO BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan",
+    "q_events_funnel" ->
+      "funnel: three filtered min-aggs chained by user-keyed equi-joins — no per-user window sort; each step's relation is <= |users| rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
