@@ -357,6 +357,37 @@ object TextQueries {
         "doc_id", "text", "\n", 3)
         .orderBy("doc_id")),
 
+    // Corpus data card (the "datasheet" rollup a corpus release ships):
+    // docs / token mass / stopword-quality mass / near-dup count per
+    // (source, lang), per source, and corpus-wide — ONE grouping-sets
+    // Expand pass over a per-doc relation that joins the LSH+CC near-dup
+    // verdict (dup = doc is not its own cluster label). Sums are exact
+    // (longs; DECIMAL for the rounded ratios) so every rollup level is
+    // bit-stable; the CC piece reuses the library's pointer-jump
+    // components, never a second pass over text.
+    "txt_corpus_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TF.tokenCount(col("text"))
+      val dup = Dedup.connectedComponents(
+        d.select("doc_id"),
+        Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4), "doc_id")
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"), lit(1L).as("__dup"))
+      d.select(col("doc_id"), col("source"), col("lang"), toks.as("nt"),
+          round(TF.stopwordCount(col("text"), STOPWORDS).cast("double") / toks, 6)
+            .as("sr"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("__dup", coalesce(col("__dup"), lit(0L)))
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("sr").cast("decimal(38,6)")).cast("double").as("stop_mass"),
+          sum(col("__dup")).as("n_neardup"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+
     // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
     // count + md5 digest of the sorted selected hashes
     "txt_winnow" -> ((s, dir) =>
@@ -1458,6 +1489,35 @@ object TextQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // data-card replay: the same recursive-CTE CC verdict feeding a
+    // GROUPING SETS rollup with exact integer/decimal sums
+    "txt_corpus_report" ->
+      s"""WITH RECURSIVE ${lshBandsCte()},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |base AS (
+         |  SELECT d.doc_id, source, lang,
+         |    CAST(len($tokSql) AS BIGINT) AS nt,
+         |    round(CAST(len(list_filter($tokSql,
+         |        t -> t IN ('the','a','of','to','and'))) AS DOUBLE)
+         |      / len($tokSql), 6) AS sr,
+         |    CASE WHEN lab.cluster <> d.doc_id THEN 1 ELSE 0 END AS dup
+         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(sr AS DECIMAL(38,6))) AS DOUBLE) AS stop_mass,
+         |  CAST(SUM(dup) AS BIGINT) AS n_neardup
+         |FROM base
+         |GROUP BY GROUPING SETS ((source, lang), (source), ())
+         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
 
     "dedup_cluster_keep" ->
       s"""WITH RECURSIVE ${lshBandsCte()},
