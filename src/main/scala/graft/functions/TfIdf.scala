@@ -110,6 +110,27 @@ object TfIdf {
     Similarity.rankTopK(scored, k).withColumnRenamed("qid", idCol)
   }
 
+  /** Per-document keyword extraction: the k highest-TF-IDF terms of each
+    * doc (the tagging/labeling staple). Reuses the shared weight chain;
+    * the per-doc top-k is a sorted-slice over the doc's OWN collected
+    * terms — bounded by document length, so no window rank and no
+    * corpus-wide state. Ties break toward the lexicographically smaller
+    * term; weights round at 6 dp. Output (idCol, rank, term, w).
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      ngram: Int = 1, maxDf: Long = 1000L): DataFrame = {
+    val (w, _) = tfidfWeights(docs, idCol, textCol, ngram, maxDf, "tfidf-terms")
+    // rank on the ROUNDED weight (house convention: both engines rank the
+    // 6-dp grid, so 1-ulp libm ln differences can't flip a rank); the
+    // negation of an already-rounded double is exact
+    w.select(col("id"), struct((round(col("w"), 6) * -1).as("nw"), col("t")).as("c"))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(col("c"))), 1, k).as("top"))
+      .select(col("id").as(idCol), posexplode(col("top")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.t").as("term"), (col("col.nw") * -1).as("w"))
+  }
+
   /** BM25 top-k retrieval (Robertson/Sparck Jones; the lexical ranking
     * standard): score every corpus doc against each query doc's distinct
     * terms and keep the k best. Same inverted-index scale shape as

@@ -357,6 +357,37 @@ object TextQueries {
         "doc_id", "text", "\n", 3)
         .orderBy("doc_id")),
 
+    // CCNet-style text normalization (Wenzek et al. 2020 §4.1: lowercase,
+    // digit folding, whitespace collapse — what runs ahead of dedup
+    // hashing so near-identical pages collide). The corpus is already
+    // lowercase/digit-free single-space text, so a deterministic
+    // mixed-case + digits + ragged-whitespace header is prepended
+    // in-query on BOTH engines, then normalized away — the rules are
+    // exercised on value-diverse content, never vacuously. Pure codegen
+    // string expressions, zero shuffle.
+    "txt_normalize" -> ((s, dir) => {
+      val raw = concat(
+        lit("  Doc"), col("doc_id").cast("string"), lit("  HEADER\t "),
+        upper(substring(col("text"), 1, 10)), substring(col("text"), 11, 1000000))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TF.let(trim(regexp_replace(
+            regexp_replace(lower(raw), "[0-9]", "0"), "\\s+", " "))) { n =>
+            struct(md5(n).as("digest"), length(n).cast("long").as("n_chars"))
+          }.as("x"))
+        .select(col("doc_id"), col("x.digest").as("digest"),
+          col("x.n_chars").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-doc keyword extraction: top-3 TF-IDF unigrams (TfIdf.topTerms —
+    // the sorted-slice over each doc's own terms, bounded by doc length,
+    // no window rank, no corpus-wide state beyond the df relation)
+    "txt_keywords" -> ((s, dir) =>
+      graft.functions.TfIdf.topTerms(docs(s, dir), "doc_id", "text",
+        k = 3, ngram = 1)
+        .orderBy("doc_id", "rank")),
+
     // Corpus data card (the "datasheet" rollup a corpus release ships):
     // docs / token mass / stopword-quality mass / near-dup count per
     // (source, lang), per source, and corpus-wide — ONE grouping-sets
@@ -1489,6 +1520,36 @@ object TextQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // normalization replay: identical decoration, identical rule chain
+    "txt_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    '  Doc' || doc_id || '  HEADER' || chr(9) || ' '
+        |      || upper(substr(text, 1, 10)) || substr(text, 11) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(raw), '[0-9]', '0', 'g'),
+        |      '\s+', ' ', 'g')) AS nt
+        |  FROM r)
+        |SELECT doc_id, md5(nt) AS digest, CAST(len(nt) AS BIGINT) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // keyword replay: same unigram weights, ranked on the 6-dp grid with
+    // term tie-break
+    "txt_keywords" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+         |        HAVING COUNT(*) <= 1000),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
+         |w AS (SELECT doc_id, t,
+         |        round(CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS w
+         |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),
+         |r AS (SELECT doc_id, t, w,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, t) AS rank
+         |      FROM w)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS term, w
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // data-card replay: the same recursive-CTE CC verdict feeding a
     // GROUPING SETS rollup with exact integer/decimal sums
