@@ -25,6 +25,47 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** The one tokenize+count pass every retrieval op builds on: the cached
+    * (id, t, n) term relation and the indexed-doc count derived from it
+    * (the counting action is also what materializes the cache — one
+    * corpus scan, never a separate docs.count()). Build it ONCE and pass
+    * it to the `*Indexed` variants when several rankers share a corpus
+    * (hybrid retrieval); the convenience overloads build a private one.
+    */
+  final case class TermIndex(terms: DataFrame, nDocs: Long)
+
+  def buildTermIndex(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2, attrTag: String = "tfidf-index"): TermIndex = {
+    val terms = graft.CacheScope.cache(
+      docs.select(col(idCol).as("id"),
+          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+    val nDocs = graft.Profiler.attributed(docs.sparkSession, attrTag) {
+      terms.select(countDistinct(col("id"))).head.getLong(0)
+    }
+    TermIndex(terms, nDocs)
+  }
+
+  /** The shared TF-IDF weight chain off a prebuilt index: cached
+    * (id, t, w) weights (stop-term pruned at `maxDf`, IDF over the
+    * indexed-doc count) and the positive-norm relation (id, nrm). One
+    * definition so no ranker's weights can drift from another's.
+    */
+  private def tfidfWeightsFrom(idx: TermIndex, maxDf: Long): (DataFrame, DataFrame) = {
+    // document frequency, stop-term pruned: df > maxDf terms are dropped
+    // from weights AND norms (the oracle replays the same convention)
+    val dfRel = idx.terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = graft.CacheScope.cache(
+      idx.terms.join(dfRel, Seq("t"))
+        .select(col("id"), col("t"),
+          (col("n").cast("double")
+            * log(lit(idx.nDocs).cast("double") / col("df").cast("double"))).as("w")))
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0d)
+    (w, norms)
+  }
+
   /** Top-k TF-IDF cosine neighbors per doc: (idCol, id, rank, score),
     * score rounded at 6 dp BEFORE ranking (both engines rank the rounded
     * grid, so cross-engine double noise at ~1e-15 can't flip a rank), ties
@@ -32,15 +73,13 @@ object TfIdf {
     * zero vector after pruning) emit no rows.
     *
     * IDF corpus size N = number of INDEXED docs (those with >= 1 n-gram
-    * term) — the standard IR convention, and what lets the whole call
-    * scan the corpus exactly once: N is an aggregate over the cached
-    * `terms` relation (the counting action is also what materializes the
-    * cache), not a separate `docs.count()` corpus action. Equals the raw
-    * row count whenever no doc is shorter than the n-gram width.
+    * term) — the standard IR convention; see [[buildTermIndex]] for the
+    * one-corpus-scan derivation.
     */
   def topKNeighbors(docs: DataFrame, idCol: String, textCol: String,
       k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
-    val (w, norms) = tfidfWeights(docs, idCol, textCol, ngram, maxDf, "tfidf-index")
+    val (w, norms) = tfidfWeightsFrom(
+      buildTermIndex(docs, idCol, textCol, ngram, "tfidf-index"), maxDf)
     // inverted index: postings self-join per term, halved by id order,
     // then one hash agg accumulates the sparse dot products
     val dots = w.select(col("t"), col("id").as("ai"), col("w").as("wa"))
@@ -58,45 +97,17 @@ object TfIdf {
       .withColumnRenamed("qid", idCol)
   }
 
-  /** The shared TF-IDF weight chain: cached (id, t, w) weights (stop-term
-    * pruned at `maxDf`, IDF over the indexed-doc count derived from the
-    * cached terms relation — one corpus scan) and the positive-norm
-    * relation (id, nrm). Exactly the expressions [[topKNeighbors]] always
-    * used, factored so [[tfidfQueryTopK]] can't drift from them.
+  /** TF-IDF cosine top-k for a designated QUERY set only, off a shared
+    * [[TermIndex]] — the sparse "dense leg" of hybrid retrieval. Same
+    * weights, norms, rounding, and tie-breaks as [[topKNeighbors]]
+    * (identical scores for any query doc), but the posting join is
+    * query-side restricted: cost = sum over query terms of df (linear in
+    * the corpus, like BM25), never the corpus self-join's sum(df²).
+    * Output (idCol, id, rank, score).
     */
-  private def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int, maxDf: Long, attrTag: String): (DataFrame, DataFrame) = {
-    val terms = graft.CacheScope.cache(
-      docs.select(col(idCol).as("id"),
-          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
-        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
-    val nDocs = graft.Profiler.attributed(docs.sparkSession, attrTag) {
-      terms.select(countDistinct(col("id"))).head.getLong(0)
-    }
-    // document frequency, stop-term pruned: df > maxDf terms are dropped
-    // from weights AND norms (the oracle replays the same convention)
-    val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val w = graft.CacheScope.cache(
-      terms.join(dfRel, Seq("t"))
-        .select(col("id"), col("t"),
-          (col("n").cast("double")
-            * log(lit(nDocs).cast("double") / col("df").cast("double"))).as("w")))
-    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      .filter(col("nrm") > 0d)
-    (w, norms)
-  }
-
-  /** TF-IDF cosine top-k for a designated QUERY set only — the sparse
-    * "dense leg" of hybrid retrieval. Same weights, norms, rounding, and
-    * tie-breaks as [[topKNeighbors]] (identical scores for any query doc),
-    * but the posting join is query-side restricted: cost = sum over query
-    * terms of df (linear in the corpus, like [[bm25TopK]]), never the
-    * corpus self-join's sum(df²). Output (idCol, id, rank, score).
-    */
-  def tfidfQueryTopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
-      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
-    val (w, norms) = tfidfWeights(docs, idCol, textCol, ngram, maxDf, "tfidf-q-index")
+  def tfidfQueryTopKIndexed(idx: TermIndex, queryIds: DataFrame,
+      idCol: String, k: Int, maxDf: Long = 1000L): DataFrame = {
+    val (w, norms) = tfidfWeightsFrom(idx, maxDf)
     val wq = w.join(queryIds.select(col(idCol).as("qid")), col("id") === col("qid"))
       .select(col("qid"), col("t"), col("w").as("wq"))
     val dots = wq.join(w.select(col("t"), col("id"), col("w").as("wd")), Seq("t"))
@@ -110,6 +121,13 @@ object TfIdf {
     Similarity.rankTopK(scored, k).withColumnRenamed("qid", idCol)
   }
 
+  /** convenience: build a private index for a one-off call */
+  def tfidfQueryTopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
+      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame =
+    tfidfQueryTopKIndexed(
+      buildTermIndex(docs, idCol, textCol, ngram, "tfidf-q-index"),
+      queryIds, idCol, k, maxDf)
+
   /** Per-document keyword extraction: the k highest-TF-IDF terms of each
     * doc (the tagging/labeling staple). Reuses the shared weight chain;
     * the per-doc top-k is a sorted-slice over the doc's OWN collected
@@ -119,7 +137,8 @@ object TfIdf {
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       ngram: Int = 1, maxDf: Long = 1000L): DataFrame = {
-    val (w, _) = tfidfWeights(docs, idCol, textCol, ngram, maxDf, "tfidf-terms")
+    val (w, _) = tfidfWeightsFrom(
+      buildTermIndex(docs, idCol, textCol, ngram, "tfidf-terms"), maxDf)
     // rank on the ROUNDED weight (house convention: both engines rank the
     // 6-dp grid, so 1-ulp libm ln differences can't flip a rank); the
     // negation of an already-rounded double is exact
@@ -132,29 +151,21 @@ object TfIdf {
   }
 
   /** BM25 top-k retrieval (Robertson/Sparck Jones; the lexical ranking
-    * standard): score every corpus doc against each query doc's distinct
-    * terms and keep the k best. Same inverted-index scale shape as
-    * [[topKNeighbors]] — query terms equi-join the postings (cost =
-    * sum over query terms of df, bounded by `maxDf`), one hash agg sums
-    * the per-term contributions, and the bounded-heap aggregate ranks.
+    * standard) off a shared [[TermIndex]]: score every corpus doc against
+    * each query doc's distinct terms and keep the k best. Query terms
+    * equi-join the postings (cost = sum over query terms of df, bounded
+    * by `maxDf`), one hash agg sums the per-term contributions, and the
+    * bounded-heap aggregate ranks.
     * The per-(doc, term) score is the standard saturation form
     * idf * tf*(k1+1) / (tf + k1*(0.25 + 0.75*len/avglen)) with
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive), length
     * in n-gram terms. Scores round at 6 dp BEFORE ranking (cross-engine
     * rank stability), ties toward the smaller id, self-matches excluded.
-    * IDF corpus size N = indexed-doc count derived from the cached terms
-    * relation (see [[topKNeighbors]]) — one corpus scan per call.
     */
-  def bm25TopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
-      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L,
-      k1: Double = 1.2): DataFrame = {
-    val terms = graft.CacheScope.cache(
-      docs.select(col(idCol).as("id"),
-          explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
-        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
-    val nDocs = graft.Profiler.attributed(docs.sparkSession, "bm25-index") {
-      terms.select(countDistinct(col("id"))).head.getLong(0)
-    }
+  def bm25TopKIndexed(idx: TermIndex, queryIds: DataFrame, idCol: String,
+      k: Int, maxDf: Long = 1000L, k1: Double = 1.2): DataFrame = {
+    val terms = idx.terms
+    val nDocs = idx.nDocs
     val lens = terms.groupBy(col("id")).agg(sum(col("n")).as("len"))
     // 1-row exact scalar: avg length = sum(long)/count, no FP-order noise
     val stats = lens.agg(
@@ -179,4 +190,11 @@ object TfIdf {
       .select(col("qid"), col("id"), round(col("s"), 6).as("score"))
     Similarity.rankTopK(scored, k).withColumnRenamed("qid", idCol)
   }
+
+  /** convenience: build a private index for a one-off call */
+  def bm25TopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
+      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L,
+      k1: Double = 1.2): DataFrame =
+    bm25TopKIndexed(buildTermIndex(docs, idCol, textCol, ngram, "bm25-index"),
+      queryIds, idCol, k, maxDf, k1)
 }

@@ -29,6 +29,26 @@ object StdKernels {
     FrameElem(streamId, index, h, w, c, FrameType.U8, data)
   }
 
+  /** Hash-pixel texture frame — the DCT-generic fixture for the
+    * perceptual-hash family. The plain [[syntheticFrame]] ramp is
+    * pathological for spectral hashing: its periodic symmetry makes many
+    * DCT coefficients EXACTLY tie at the pHash median (so photometric-
+    * edit FP eps flips bits) and consecutive frames are genuine spectral
+    * near-dups of each other. Knuth-hash pixels give every frame a
+    * well-separated generic spectrum: variants land at Hamming ~0,
+    * different frames at ~32.
+    */
+  def texturedFrame(streamId: Long, index: Long, h: Int, w: Int, c: Int): FrameElem = {
+    val data = new Array[Byte](h * w * c)
+    var p = 0
+    while (p < data.length) {
+      val x = (streamId * 1000003L + index * 40503L + p) * 2654435761L
+      data(p) = ((x >>> 24) & 0xff).toByte
+      p += 1
+    }
+    FrameElem(streamId, index, h, w, c, FrameType.U8, data)
+  }
+
   /** Histogram: per-frame 16-bin histogram per channel, 3 channels → 48
     * little-endian int32s (192 bytes) — `tests/test_ops.cpp:13-59`,
     * deserializer `python/scannerpy/types.py:132`.
@@ -133,7 +153,11 @@ object StdKernels {
     * relative to the mean), so it pairs with a banded Hamming join for
     * image near-dup detection — the multimodal analog of SimHash on text.
     */
-  def averageHash(frame: FrameElem): Long = {
+  /** channel-averaged 1-channel view — the shared prologue of both
+    * perceptual hash families (one definition so their grayscale
+    * conventions can't drift)
+    */
+  private def grayscale(frame: FrameElem): FrameElem = {
     require(frame.dtype == FrameType.U8)
     val c    = frame.channels
     val n    = frame.height * frame.width
@@ -146,9 +170,13 @@ object StdKernels {
       gray(i) = (s / c).toByte
       i += 1
     }
-    val small = resize(frame.copy(channels = 1, data = gray), 8, 8)
+    frame.copy(channels = 1, data = gray)
+  }
+
+  def averageHash(frame: FrameElem): Long = {
+    val small = resize(grayscale(frame), 8, 8)
     var sum = 0L
-    i = 0
+    var i = 0
     while (i < 64) { sum += small.data(i) & 0xff; i += 1 }
     val mean = sum / 64.0
     var hash = 0L
@@ -171,25 +199,21 @@ object StdKernels {
     * still change it. Pairs with the same banded-Hamming join as
     * [[averageHash]] for image near-dup at corpus scale.
     */
+  /** the constant 8x32 DCT-II basis (only the first 8 frequencies are
+    * ever read). StrictMath.cos, not Math.cos: the pinned oracle asserts
+    * exact Hamming values, and Math.cos is only 1-ulp-accurate with
+    * platform/JIT-dependent intrinsics — a borderline AC-vs-median bit
+    * must not flip across JVMs/architectures.
+    */
+  private val dctBasis: Array[Array[Double]] = Array.tabulate(8, 32)((k, m) =>
+    StrictMath.cos(math.Pi * (2 * m + 1) * k / 64.0))
+
   def perceptualHash(frame: FrameElem): Long = {
-    require(frame.dtype == FrameType.U8)
-    val c    = frame.channels
-    val n    = frame.height * frame.width
-    val gray = new Array[Byte](n)
-    var i = 0
-    while (i < n) {
-      var s = 0
-      var k = 0
-      while (k < c) { s += frame.data(i * c + k) & 0xff; k += 1 }
-      gray(i) = (s / c).toByte
-      i += 1
-    }
-    val small = resize(frame.copy(channels = 1, data = gray), 32, 32)
-    // separable DCT-II; only the first 8 frequencies of each pass are
-    // ever read, so compute 32x8 row transforms then the 8x8 block
-    val cosT = Array.tabulate(8, 32)((k, m) =>
-      math.cos(math.Pi * (2 * m + 1) * k / 64.0))
+    val small = resize(grayscale(frame), 32, 32)
+    // separable DCT-II over the shared constant basis
+    val cosT = dctBasis
     val rows = Array.ofDim[Double](32, 8)
+    var i = 0
     var y = 0
     while (y < 32) {
       var u = 0

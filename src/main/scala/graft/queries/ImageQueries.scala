@@ -23,28 +23,38 @@ object ImageQueries {
 
   private val frameEnc = Encoders.product[FrameElem]
 
-  /** idempotent: write 2 streams x 20 PNGs derived from synthetic frames */
+  /** idempotent: write 2 streams x 20 PNGs of the ramp frames (`img_`,
+    * the decode/histogram/aHash inputs) and of the hash-pixel texture
+    * frames (`tex_`, the pHash inputs — see StdKernels.texturedFrame for
+    * why the ramp is pathological for spectral hashing)
+    */
   private def ensureImages(s: SparkSession): String = {
     val root = sys.props("java.io.tmpdir") + "/graft-imageq"
     val dir  = Paths.get(root)
-    if (!Files.exists(dir.resolve("img_1_19.png"))) {
-      Files.createDirectories(dir)
+    Files.createDirectories(dir)
+    if (!Files.exists(dir.resolve("img_1_19.png")))
       for (sid <- 0L until 2L; i <- 0 until 20) {
         val png = StdKernels.encodePng(StdKernels.syntheticFrame(sid, i.toLong, 16, 24, 3))
         Files.write(dir.resolve(s"img_${sid}_$i.png"), png)
       }
-    }
+    if (!Files.exists(dir.resolve("tex_1_19.png")))
+      for (sid <- 0L until 2L; i <- 0 until 20) {
+        val png = StdKernels.encodePng(StdKernels.texturedFrame(sid, i.toLong, 16, 24, 3))
+        Files.write(dir.resolve(s"tex_${sid}_$i.png"), png)
+      }
     root
   }
 
-  /** binaryFile rows decoded to frames, keyed by filename-borne ids */
-  private def frames(s: SparkSession, dir: String) = {
-    val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+  /** binaryFile rows decoded to frames, keyed by filename-borne ids;
+    * `prefix` selects the ramp (`img`) or texture (`tex`) set
+    */
+  private def frames(s: SparkSession, dir: String, prefix: String = "img") = {
+    val bin = s.read.format("binaryFile").load(s"$dir/${prefix}_*.png")
       .select(col("path"), col("content"))
     bin.as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .map { case (path, bytes) =>
         val name  = path.split('/').last.stripSuffix(".png")
-        val parts = name.split('_') // img_<sid>_<idx>
+        val parts = name.split('_') // <prefix>_<sid>_<idx>
         StdKernels.decodeImage(parts(1).toLong, parts(2).toLong, bytes)
       }(frameEnc)
   }
@@ -75,44 +85,49 @@ object ImageQueries {
     // multimodal analog of SimHash text dedup. Inputs: the 40 PNGs plus a
     // brightness-shifted variant of each (+3, clipped), which aHash maps
     // to (near-)identical bits because thresholding is mean-relative.
-    "img_ahash_pairs" -> ((s, _) => {
-      val root = ensureImages(s)
-      val base = frames(s, root)
-      val variants = base.map(f => f.copy(index = f.index + 100,
-        data = f.data.map(b => math.min(255, (b & 0xff) + 3).toByte)))(frameEnc)
-      val keyed = graft.CacheScope.cache(base.union(variants)
-        .map(f => (f.streamId * 1000L + f.index, StdKernels.averageHash(f)))(
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-        .toDF("id", "h")
-        .select(col("id"), array((0 until 4).map(b =>
-          shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*).as("bands"))
-        ) // cached: hashing feeds both sides of the candidate join
-      graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming = 3)
-        .orderBy("a", "b")
-    }),
+    "img_ahash_pairs" -> ((s, _) =>
+      hashPairs(s, StdKernels.averageHash,
+        b => math.min(255, (b & 0xff) + 3).toByte)),
 
     // DCT perceptual near-dup (pHash): same banded-Hamming core, stronger
-    // fingerprint — the variants here are contrast-scaled (x0.92) AND
-    // brightness-shifted (+5), the photometric edit pair pHash is built
-    // for (every DCT coefficient and the median scale together; only the
-    // excluded DC term absorbs the shift).
-    "img_phash_pairs" -> ((s, _) => {
-      val root = ensureImages(s)
-      val base = frames(s, root)
-      val variants = base.map(f => f.copy(index = f.index + 100,
-        data = f.data.map(b =>
-          math.min(255, math.round((b & 0xff) * 0.92).toInt + 5).toByte)))(frameEnc)
-      val keyed = graft.CacheScope.cache(base.union(variants)
-        .map(f => (f.streamId * 1000L + f.index, StdKernels.perceptualHash(f)))(
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-        .toDF("id", "h")
-        .select(col("id"), array((0 until 4).map(b =>
-          shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*).as("bands"))
-        ) // cached: hashing feeds both sides of the candidate join
-      graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming = 3)
-        .orderBy("a", "b")
-    })
+    // fingerprint — inputs are the TEXTURE PNGs (the ramp's periodic
+    // spectrum is pathological for DCT hashing, see texturedFrame), the
+    // variants contrast-scaled (x0.92) AND brightness-shifted (+5), the
+    // photometric edit pair pHash is built for. 8x8-bit bands (complete
+    // for Hamming < 8): resize rounding on 16x24 textures leaves variant
+    // pairs at Hamming <= 4 while distinct textures sit >= 10 — the
+    // narrower 4x16 banding of aHash would miss real variant pairs here.
+    "img_phash_pairs" -> ((s, _) =>
+      hashPairs(s, StdKernels.perceptualHash,
+        b => math.min(255, math.round((b & 0xff) * 0.92).toInt + 5).toByte,
+        prefix = "tex", bitsPerBand = 8, maxHamming = 7))
   )
+
+  /** the shared near-dup body of both perceptual-hash queries: base PNGs
+    * plus a per-byte photometric variant (index + 100), the 64-bit hash
+    * split into 64/bitsPerBand bands (one id/banding convention — a
+    * change here changes BOTH queries together), candidates through the
+    * common bandedHammingPairs core.
+    */
+  private def hashPairs(s: SparkSession, hashFn: FrameElem => Long,
+      variantByte: Byte => Byte, prefix: String = "img",
+      bitsPerBand: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nBands = 64 / bitsPerBand
+    val mask   = (1L << bitsPerBand) - 1
+    val root = ensureImages(s)
+    val base = frames(s, root, prefix)
+    val variants = base.map(f => f.copy(index = f.index + 100,
+      data = f.data.map(variantByte)))(frameEnc)
+    val keyed = graft.CacheScope.cache(base.union(variants)
+      .map(f => (f.streamId * 1000L + f.index, hashFn(f)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "h")
+      .select(col("id"), array((0 until nBands).map(b =>
+        shiftright(col("h"), b * bitsPerBand).bitwiseAND(lit(mask))): _*).as("bands"))
+      ) // cached: hashing feeds both sides of the candidate join
+    graft.functions.Dedup.bandedHammingPairs(keyed, maxHamming)
+      .orderBy("a", "b")
+  }
 
   /** inputs are generated PNGs, not shared parquet — rows-only checks */
   val oracles: Map[String, String] = Map.empty

@@ -93,24 +93,21 @@ object TextQueries {
     * repeats. One definition so the two queries' oracles can't drift.
     */
   private def renderedParas: org.apache.spark.sql.Column =
-    TF.let(TF.tokens(col("text"))) { tk =>
-      val raw = transform(
-        sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
-        li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
-      TF.let(raw) { r =>
-        concat_ws("\n", transform(r, (x, li) =>
-          when((col("doc_id") * 17 + li) % 11 === 0,
-            lit("the shared boilerplate paragraph"))
-            .when((col("doc_id") * 13 + li) % 7 === 3, element_at(r, 1))
-            .otherwise(x)))
-      }
+    TF.let(rawLines) { r =>
+      concat_ws("\n", transform(r, (x, li) =>
+        when((col("doc_id") * 17 + li) % 11 === 0,
+          lit("the shared boilerplate paragraph"))
+          .when((col("doc_id") * 13 + li) % 7 === 3, element_at(r, 1))
+          .otherwise(x)))
     }
 
-  /** Raw 8-token line view (no decorations) — the sentence proxy for the
-    * C4 queries. Shared by `dedup_c4_spans` (spans hash RAW lines: the
-    * doc-keyed decorations of the flag query would make cross-doc span
-    * equality impossible by construction) and as the base of
-    * [[renderedC4Lines]], so the two C4 queries can't drift.
+  /** Raw 8-token line view (no decorations) — THE one definition of the
+    * synthesized line/paragraph unit. Base of [[renderedParas]] (CCNet
+    * queries), the Gopher line rendering, and the C4 family
+    * ([[renderedC4Lines]]; `dedup_c4_spans` hashes RAW lines — doc-keyed
+    * decorations would make cross-doc span equality impossible by
+    * construction). Every oracle replays this exact shape, so it must
+    * only ever change everywhere at once.
     */
   private def rawLines: org.apache.spark.sql.Column =
     TF.let(TF.tokens(col("text"))) { tk =>
@@ -598,19 +595,14 @@ object TextQueries {
     // ((doc,line) then doc) — lines are materialized exactly once and
     // never re-evaluated per flag, and nothing is ever corpus x corpus.
     "txt_gopher_line_flags" -> ((s, dir) => {
-      val rendered = TF.let(TF.tokens(col("text"))) { tk =>
-        val raw = transform(
-          sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
-          li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
-        TF.let(raw) { r =>
-          transform(r, (x, li) => concat(
-            when((col("doc_id") * 31 + li) % 4 === 0, lit("- "))
-              .otherwise(lit("")),
-            when((col("doc_id") * 13 + li) % 6 === 0, element_at(r, 1))
-              .otherwise(x),
-            when((col("doc_id") * 7 + li) % 5 === 1, lit("..."))
-              .otherwise(lit(""))))
-        }
+      val rendered = TF.let(rawLines) { r =>
+        transform(r, (x, li) => concat(
+          when((col("doc_id") * 31 + li) % 4 === 0, lit("- "))
+            .otherwise(lit("")),
+          when((col("doc_id") * 13 + li) % 6 === 0, element_at(r, 1))
+            .otherwise(x),
+          when((col("doc_id") * 7 + li) % 5 === 1, lit("..."))
+            .otherwise(lit(""))))
       }
       docs(s, dir)
         .select(col("doc_id"), explode(rendered).as("line"))
@@ -782,15 +774,20 @@ object TextQueries {
     // the BM25 lexical ranking and the query-restricted TF-IDF cosine
     // ranking (the sparse stand-in for a dense-embedding leg) each
     // produce a top-5, fused by 1/(60+rank) sums into a final top-3.
-    // Both legs are query-side posting joins (cost linear in sum of
-    // query-term df); the fusion union is <= 2x5 id/rank rows per query.
+    // ONE TermIndex serves both legs (single tokenize pass + single
+    // indexed-doc-count action — the same shared ex/tf/dfr/nn CTE chain
+    // the oracle uses); both legs are query-side posting joins (cost
+    // linear in sum of query-term df); the fusion union is <= 2x5
+    // id/rank rows per query.
     "sim_hybrid_rrf" -> ((s, dir) => {
       val d = docs(s, dir)
       val q = d.filter(col("doc_id") % 25 === 0).select("doc_id")
-      val lex = graft.functions.TfIdf.bm25TopK(d, q, "doc_id", "text",
-        k = 5, ngram = 2, maxDf = 50L)
-      val dense = graft.functions.TfIdf.tfidfQueryTopK(d, q, "doc_id", "text",
-        k = 5, ngram = 2, maxDf = 50L)
+      val idx = graft.functions.TfIdf.buildTermIndex(d, "doc_id", "text",
+        ngram = 2, attrTag = "hybrid-index")
+      val lex = graft.functions.TfIdf.bm25TopKIndexed(idx, q, "doc_id",
+        k = 5, maxDf = 50L)
+      val dense = graft.functions.TfIdf.tfidfQueryTopKIndexed(idx, q, "doc_id",
+        k = 5, maxDf = 50L)
       graft.functions.Similarity.rrfFuse(
         Seq(lex.withColumnRenamed("doc_id", "qid"),
           dense.withColumnRenamed("doc_id", "qid")), k = 3)

@@ -387,8 +387,20 @@ object StreamingOps {
         var cur    = state.getOption
         ts.foreach { t =>
           cur match {
-            case Some(s) if t - s.last <= gapNs =>
-              cur = Some(s.copy(last = t, n = s.n + 1))
+            // in-gap (including LATE, watermark-admitted) events join the
+            // open session without ever moving `last` backward — a
+            // rewound `last` would re-arm the timeout too early, emit
+            // end < start, and let a later in-gap event spuriously close
+            // the session (the session algebra must stay a superset of
+            // the batch sorted-fold)
+            case Some(s) if t >= s.start - gapNs && t - s.last <= gapNs =>
+              cur = Some(SessionState(math.min(s.start, t),
+                math.max(s.last, t), s.n + 1))
+            // far-past straggler (beyond the gap BEFORE the open
+            // session): in event-time order its session already closed —
+            // emit it as an immediately-closed singleton
+            case Some(s) if t < s.start - gapNs =>
+              closed :+= ClosedSession(user, t, t, 1)
             case Some(s) =>
               closed :+= ClosedSession(user, s.start, s.last, s.n)
               cur = Some(SessionState(t, t, 1))

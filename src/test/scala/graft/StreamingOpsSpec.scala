@@ -184,6 +184,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(f(7L, Iterator.empty, s3).toSeq ==
       Seq(ClosedSession(7L, 3000000000L, 3000000000L, 1L)))
     assert(s3.isRemoved)
+
+    // LATE (watermark-admitted) in-gap event joins WITHOUT rewinding
+    // `last` — the timeout stays armed at the true session end
+    val s4 = state(Some(SessionState(2000000000L, 3000000000L, 2L)), timedOut = false)
+    assert(f(7L, Iterator(ev(2500000000L)), s4).isEmpty)
+    assert(s4.get == SessionState(2000000000L, 3000000000L, 3L))
+    assert(s4.getTimeoutTimestampMs.get == 3000L + 1000L)
+
+    // late event within the gap BEFORE start extends the session backward
+    val s5 = state(Some(SessionState(2000000000L, 3000000000L, 2L)), timedOut = false)
+    assert(f(7L, Iterator(ev(1500000000L)), s5).isEmpty)
+    assert(s5.get == SessionState(1500000000L, 3000000000L, 3L))
+
+    // far-past straggler (beyond the gap before start): immediately-closed
+    // singleton; the open session is untouched
+    val s6 = state(Some(SessionState(2000000000L, 3000000000L, 2L)), timedOut = false)
+    assert(f(7L, Iterator(ev(100000000L)), s6).toSeq ==
+      Seq(ClosedSession(7L, 100000000L, 100000000L, 1L)))
+    assert(s6.get == SessionState(2000000000L, 3000000000L, 2L))
   }
 
   test("batch/stream parity: hourly windows over the events parquet match exactly") {
