@@ -251,6 +251,90 @@ object StdKernels {
     hash
   }
 
+  /** Bright-blob detector — the detection-family kernel (the reference's
+    * scannertools detection ops are model-backed — faces, objects, pose —
+    * which this container can't run; this is the model-free CV equivalent
+    * with the same op shape: frame in, box list out). Grayscale,
+    * threshold at mean + sigma * stddev, 4-connected components via a
+    * two-pass union-find labeling, per-blob bounding boxes
+    * (x0, y0, x1, y1, area) with blobs under `minArea` dropped. Ordered
+    * by area desc then (y0, x0) — deterministic for the pinned oracle.
+    */
+  def detectBlobs(frame: FrameElem, sigma: Double = 1.0,
+      minArea: Int = 4): Seq[(Int, Int, Int, Int, Int)] = {
+    val g = grayscale(frame)
+    val h = g.height
+    val w = g.width
+    val n = h * w
+    var sum = 0L
+    var sq  = 0L
+    var i = 0
+    while (i < n) {
+      val v = g.data(i) & 0xff
+      sum += v; sq += v.toLong * v; i += 1
+    }
+    val mean = sum.toDouble / n
+    val std  = math.sqrt(math.max(0.0, sq.toDouble / n - mean * mean))
+    val thr  = mean + sigma * std
+    // two-pass CCL with union-find over provisional labels
+    val label  = new Array[Int](n)
+    val parent = new Array[Int](n / 2 + 2) // <= n/2 provisional labels in 4-connectivity
+    var nextL  = 1
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        if ((g.data(p) & 0xff) > thr) {
+          val up   = if (y > 0 && label(p - w) != 0) label(p - w) else 0
+          val left = if (x > 0 && label(p - 1) != 0) label(p - 1) else 0
+          if (up == 0 && left == 0) {
+            label(p) = nextL; parent(nextL) = nextL; nextL += 1
+          } else if (up != 0 && left != 0) {
+            label(p) = math.min(up, left); union(up, left)
+          } else label(p) = math.max(up, left)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // second pass: resolve roots, accumulate boxes
+    val boxes = scala.collection.mutable.HashMap.empty[Int, Array[Int]]
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        if (label(p) != 0) {
+          val r = find(label(p))
+          val b = boxes.getOrElseUpdate(r, Array(x, y, x, y, 0))
+          if (x < b(0)) b(0) = x
+          if (y < b(1)) b(1) = y
+          if (x > b(2)) b(2) = x
+          if (y > b(3)) b(3) = y
+          b(4) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    boxes.values.toSeq
+      .filter(_(4) >= minArea)
+      .map(b => (b(0), b(1), b(2), b(3), b(4)))
+      .sortBy(b => (-b._5, b._2, b._1))
+  }
+
   /** resize with the full reference arg surface */
   def resizeWithArgs(frame: FrameElem, args: ResizeArgs): FrameElem = {
     val (th, tw) = resolveResizeDims(args, frame.height, frame.width)

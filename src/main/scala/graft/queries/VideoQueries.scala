@@ -198,6 +198,27 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
+    // Detection-family op (the reference's scannertools detect ops are
+    // model-backed; detectBlobs is the model-free equivalent with the
+    // same frame-in/boxes-out shape): bright-region 4-connected
+    // components per frame, one row per box — an embarrassingly parallel
+    // flatMap over decoded frames, the same distribution story as every
+    // 1->N kernel.
+    "video_blob_boxes" -> ((s, _) => {
+      val root   = ensureIngested(s)
+      import s.implicits._
+      val ranged = SequenceOps.range(
+        VideoStore.frames(s, root, "testvid").toDF(), 0L, 10L)
+        .as[FrameElem](frameEnc)
+      ranged.flatMap { f =>
+        StdKernels.detectBlobs(f, sigma = 1.0, minArea = 4)
+          .zipWithIndex.map { case ((x0, y0, x1, y1, area), bi) =>
+            (f.streamId, f.index, bi.toLong, x0, y0, x1, y1, area)
+          }
+      }.toDF("streamId", "index", "blob", "x0", "y0", "x1", "y1", "area")
+        .orderBy("streamId", "index", "blob")
+    }),
+
     // same stencil {-1,0} composition with the FARNEBACK estimator — the
     // reference's actual flow family (test_ops.cpp:63-111 wraps
     // cv::calcOpticalFlowFarneback); plan shape identical to video_flow

@@ -301,6 +301,26 @@ class KernelsSpec extends SparkSpec {
     assert(h0 >= 0L, "bit 63 is the excluded DC term and must be 0")
   }
 
+  test("detectBlobs: exact boxes for known rectangles; union-find merges a U shape") {
+    import graft.model.{FrameElem, FrameType}
+    // 9x9 single-channel frame, background 0: rectangle A (x1..3, y1..2,
+    // area 6) and a U shape (columns 5 and 7 over y3..6 plus the (6,6)
+    // bridge, area 9). Threshold mean+1sigma falls strictly between 0 and
+    // 255, so exactly the lit pixels are foreground; the U's two arms get
+    // distinct provisional labels that must union at the bridge row.
+    val w = 9; val h = 9
+    val data = new Array[Byte](w * h)
+    def set(x: Int, y: Int): Unit = data(y * w + x) = 255.toByte
+    for (x <- 1 to 3; y <- 1 to 2) set(x, y)
+    for (y <- 3 to 6) { set(5, y); set(7, y) }
+    set(6, 6)
+    val f = FrameElem(0L, 0L, h, w, 1, FrameType.U8, data)
+    val got = StdKernels.detectBlobs(f, sigma = 1.0, minArea = 4)
+    assert(got == Seq(
+      (5, 3, 7, 6, 9), // the merged U (largest)
+      (1, 1, 3, 2, 6)))
+  }
+
   test("ramp frames tie DCT coefficients at the median — the documented pHash blind spot") {
     // keep the pathological case visible: on the periodic ramp a pure
     // brightness shift CAN flip median-tied bits (this is why the query
