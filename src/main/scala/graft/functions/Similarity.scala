@@ -279,6 +279,27 @@ object Similarity {
     }
   }
 
+  /** The INCREMENTAL half of the persisted index: assign an arriving
+    * shard with the SAME anchors and APPEND its celled rows to the
+    * bucketed table — no rebuild, no touch of the existing cells (the
+    * incremental-dedup band index's shard economics applied to ANN; cost
+    * is O(shard), not O(corpus)). The probe plan is unchanged, and the
+    * final celled relation is identical whether built in one pass or
+    * many appends — exactly what the sim_ivf_incremental gate asserts by
+    * reusing the one-shot build's oracle verbatim.
+    */
+  def ivfAppendIndex(shard: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, table: String, buckets: Int = 32): Unit = {
+    val s = shard.sparkSession
+    graft.Profiler.attributed(s, "ivf-append") {
+      ivfBuildCells(shard, anchors, idCol, vecCol)
+        .write.mode("append")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+  }
+
   /** The IVF PROBE half over a prebuilt celled relation (id, v, cell) —
     * per-query probe list from the broadcast anchors, candidate equi-join
     * on cell, bounded-heap top-k. NO assignment aggregation anywhere in

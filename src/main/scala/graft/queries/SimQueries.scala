@@ -110,6 +110,27 @@ object SimQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // the INCREMENTAL index lifecycle: build from the even half, APPEND
+    // the odd half as an arriving shard (same anchors, O(shard) cost, no
+    // rebuild), probe the table — results must equal the one-shot build,
+    // so this row reuses sim_ivf_topk's oracle verbatim
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") < 8)
+      val table = "graft_ivf_inc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        Similarity.ivfWriteIndex(e.filter(col("vec_id") % 2 === 0), anchors,
+          "vec_id", "embedding", table)
+        Similarity.ivfAppendIndex(e.filter(col("vec_id") % 2 =!= 0), anchors,
+          "vec_id", "embedding", table)
+      }
+      Similarity.ivfProbe(s.table(table), anchors,
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // banded sign-LSH candidates (3 bands x 6 bits over disjoint dims),
     // threshold 0.4 so the candidate union is exercised at this SF
     "sim_neardup_cos" -> ((s, dir) =>
@@ -262,6 +283,9 @@ object SimQueries {
     "sim_ivf_topk" -> ivfTopkSql,
 
     "sim_ivf_persisted" -> ivfTopkSql,
+
+    // build+append must be indistinguishable from the one-shot build
+    "sim_ivf_incremental" -> ivfTopkSql,
 
     "sim_neardup_cos" ->
       s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v,
