@@ -127,4 +127,31 @@ object AudioKernels {
   def fingerprintOp(ds: Dataset[AudioChunk]): Dataset[(Long, Long, Long)] =
     ds.map(c => (c.streamId, c.index, energyFingerprint(c)))(
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+
+  /** VAD-style activity segmentation over any (streamId, index, energy)
+    * relation: chunks STRICTLY above their stream's median energy are
+    * "speech", maximal runs of consecutive active chunks collapse to
+    * (streamId, seg_start, seg_end, n_chunks) via gaps-and-islands
+    * (island key = index - row_number over the active chunks in index
+    * order). The window is per-STREAM — partitions bounded by stream
+    * length, the running-window shape; the adaptive median threshold is a
+    * |streams|-row broadcast, no tuned constant.
+    */
+  def vadSegments(stats: org.apache.spark.sql.DataFrame,
+      energyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val med = stats.groupBy(col("streamId"))
+      .agg(percentile(col(energyCol), lit(0.5)).as("__med"))
+    val active = stats.join(broadcast(med), Seq("streamId"))
+      .filter(col(energyCol) > col("__med"))
+    val w = Window.partitionBy(col("streamId")).orderBy(col("index"))
+    active
+      .withColumn("__grp", col("index") - row_number().over(w))
+      .groupBy(col("streamId"), col("__grp"))
+      .agg(min(col("index")).as("seg_start"),
+        max(col("index")).as("seg_end"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("streamId"), col("seg_start"), col("seg_end"), col("n_chunks"))
+  }
 }

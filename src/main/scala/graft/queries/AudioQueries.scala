@@ -71,24 +71,12 @@ object AudioQueries {
     // per-STREAM — bounded partitions, the q_running_spend shape). The
     // adaptive median threshold makes activity value-diverse on the
     // synthetic PCM without a tuned constant.
-    "audio_vad_segments" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
-      val stats = AudioKernels.statsOp(chunks(s))
-        .toDF("streamId", "index", "peak", "sum_sq", "zero_crossings")
-      val med = stats.groupBy(col("streamId"))
-        .agg(percentile(col("sum_sq"), lit(0.5)).as("med"))
-      val active = stats.join(broadcast(med), Seq("streamId"))
-        .filter(col("sum_sq") > col("med"))
-      val w = Window.partitionBy(col("streamId")).orderBy(col("index"))
-      active
-        .withColumn("grp", col("index") - row_number().over(w))
-        .groupBy(col("streamId"), col("grp"))
-        .agg(min(col("index")).as("seg_start"),
-          max(col("index")).as("seg_end"),
-          count(lit(1)).as("n_chunks"))
-        .select(col("streamId"), col("seg_start"), col("seg_end"), col("n_chunks"))
-        .orderBy("streamId", "seg_start")
-    })
+    "audio_vad_segments" -> ((s, _) =>
+      AudioKernels.vadSegments(
+        AudioKernels.statsOp(chunks(s))
+          .toDF("streamId", "index", "peak", "sum_sq", "zero_crossings"),
+        "sum_sq")
+        .orderBy("streamId", "seg_start"))
   )
 
   /** synthetic inputs, not shared parquet — rows-only checks */

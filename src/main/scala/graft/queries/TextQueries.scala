@@ -416,6 +416,27 @@ object TextQueries {
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     }),
 
+    // Quality-aware cluster keeper: production dedup keeps the BEST copy
+    // of a near-dup cluster (highest quality score), not the first-seen —
+    // keeper = argmax(stop-ratio quality, ties to the smaller doc_id) per
+    // CC cluster, via the same partial-aggregated max(struct) argmax as
+    // sim_assign (no window). Same CC economics as dedup_cluster_keep;
+    // the quality relation joins as one narrow (doc_id, q) column.
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4)
+      val cc = Dedup.connectedComponents(d.select("doc_id"), pairs, "doc_id")
+      val toks = TF.tokenCount(col("text"))
+      val q = d.select(col("doc_id"),
+        round(TF.stopwordCount(col("text"), STOPWORDS).cast("double") / toks, 6).as("q"))
+      cc.select(col("id").as("doc_id"), col("cluster"))
+        .join(q, Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nd"), col("doc_id"))).as("b"))
+        .select(col("b.doc_id").as("doc_id"), col("b.q").as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprint set per doc (k=3-token grams, w=4 windows):
     // count + md5 digest of the sorted selected hashes
     "txt_winnow" -> ((s, dir) =>
@@ -1576,6 +1597,30 @@ object TextQueries {
          |FROM base
          |GROUP BY GROUPING SETS ((source, lang), (source), ())
          |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
+    // best-quality keeper replay: same recursive-CTE CC labels, keeper
+    // per cluster by quality DESC then doc_id ASC
+    "dedup_cluster_keep_best" ->
+      s"""WITH RECURSIVE ${lshBandsCte()},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |    round(CAST(len(list_filter($tokSql,
+         |        t -> t IN ('the','a','of','to','and'))) AS DOUBLE)
+         |      / len($tokSql), 6) AS q
+         |  FROM documents)
+         |SELECT doc_id, q AS quality FROM (
+         |  SELECT lab.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY q.q DESC, lab.doc_id) AS rk
+         |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_keep" ->
       s"""WITH RECURSIVE ${lshBandsCte()},

@@ -104,4 +104,20 @@ class AudioKernelsSpec extends SparkSpec {
     val sat = AudioKernels.gain(c, 1000, 1)
     assert(AudioKernels.peak(sat) == 32768)
   }
+
+  test("vadSegments: strict-median activity collapses to maximal runs (hand-computed)") {
+    import spark.implicits._
+    // stream 0 energies [0,10,20,0,30,40] at idx 0..5: median 15 ->
+    // active {2, 4, 5} -> runs [2,2] and [4,5]. stream 1 all-equal
+    // energies: nothing is STRICTLY above the median -> no segments.
+    val stats = Seq(
+      (0L, 0L, 0L), (0L, 1L, 10L), (0L, 2L, 20L),
+      (0L, 3L, 0L), (0L, 4L, 30L), (0L, 5L, 40L),
+      (1L, 0L, 7L), (1L, 1L, 7L), (1L, 2L, 7L)
+    ).toDF("streamId", "index", "e")
+    val got = graft.operators.AudioKernels.vadSegments(stats, "e")
+      .orderBy("streamId", "seg_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 2L, 2L, 1L), (0L, 4L, 5L, 2L)))
+  }
 }
