@@ -218,6 +218,21 @@ object Bench {
       // prune can drop nothing since every node has an edge). The
       // double-pointer-jump loop must still converge in ~log4(1M) ≈ 10
       // driver rounds; DedupSpec pins the round count, this row times it.
+      // the bucketed range join at stress scale: 1M points x 10k
+      // half-open intervals (width 150 over a 1M domain, bucket 128 —
+      // fan-out <= 3 buckets/interval, ~1.5M matches). The naive theta
+      // join would be a 1M x 10k nested loop; this must stay a hash
+      // equi-join whose time tracks the MATCH count, not the cross
+      // product.
+      "bt_1m_rangejoin" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val points = s.range(0, 1000000L, 1, 32).toDF("p")
+        val ivals = s.range(0, 10000L, 1, 32)
+          .select(col("id").as("iv"), (col("id") * 100).as("lo"),
+            (col("id") * 100 + 150).as("hi"))
+        operators.JoinStrategies.bucketedRangeJoin(points, ivals, "p", "lo", "hi", 128L)
+          .agg(count(lit(1)).as("n_matches"), countDistinct(col("iv")).as("n_ivals"))
+      }),
       "bt_1m_cc" -> ((s, _) => {
         import org.apache.spark.sql.functions._
         val n = 1000000L
