@@ -663,4 +663,20 @@ object SequenceOps {
         .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(wF)))
     }
   }
+
+  /** FORWARD as-of join — each left row takes the EARLIEST right row
+    * at-or-after its index (pandas merge_asof direction='forward'; the
+    * next-snapshot attribution query). Implemented as [[asofJoin]] on
+    * REFLECTED indices (idx' = 2^62 - idx): the whole bucketed-carry
+    * machinery, its intra-stream parallelism, and the equal-index
+    * inclusivity carry over unchanged, with zero duplicated window
+    * logic. Requires 0 <= index < 2^62 (any real sequence).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      bucketWidth: Long = 1 << 20): DataFrame = {
+    val pivot = 1L << 62
+    def refl(df: DataFrame): DataFrame =
+      df.withColumn(INDEX, (lit(pivot) - col(INDEX)).cast("long"))
+    refl(asofJoin(refl(left), refl(right), bucketWidth))
+  }
 }

@@ -97,6 +97,23 @@ object SeqQueries {
         .orderBy("stream_id", "idx")
     }),
 
+    // the FORWARD direction (next snapshot at-or-after each row) over the
+    // same streams — index reflection reuses the bucketed backward plan
+    "seq_asof_forward" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        (col("event_id") % 4).as(SequenceOps.STREAM),
+        (col("event_id") / 4).cast("long").as(SequenceOps.INDEX),
+        col("event_type"),
+        col("value"))
+      val left  = base.select(col(SequenceOps.STREAM), col(SequenceOps.INDEX), col("event_type"))
+      val right = base.filter(col(SequenceOps.INDEX) % 10 === 0)
+        .select(col(SequenceOps.STREAM), col(SequenceOps.INDEX), col("value").as("snap_value"))
+      SequenceOps.asofJoinForward(left, right)
+        .select(col(SequenceOps.STREAM).as("stream_id"), col(SequenceOps.INDEX).as("idx"),
+          col("event_type"), col("snap_value"))
+        .orderBy("stream_id", "idx")
+    }),
+
     "seq_gather" -> ((s, dir) =>
       SequenceOps.gather(stream(s, dir), Seq(5L, 250L, 750L, 999L))
         .select(col("index"), col("event_type"))
@@ -246,6 +263,17 @@ object SeqQueries {
         |r AS (SELECT sid, idx, value FROM s WHERE idx % 10 = 0)
         |SELECT l.sid AS stream_id, l.idx AS idx, l.event_type, r.value AS snap_value
         |FROM l ASOF LEFT JOIN r ON l.sid = r.sid AND l.idx >= r.idx
+        |ORDER BY stream_id, idx""".stripMargin,
+
+    // forward replay: the flipped inequality (earliest right at-or-after)
+    "seq_asof_forward" ->
+      """WITH s AS (
+        |  SELECT event_id % 4 AS sid, event_id // 4 AS idx, event_type, value
+        |  FROM events),
+        |l AS (SELECT sid, idx, event_type FROM s),
+        |r AS (SELECT sid, idx, value FROM s WHERE idx % 10 = 0)
+        |SELECT l.sid AS stream_id, l.idx AS idx, l.event_type, r.value AS snap_value
+        |FROM l ASOF LEFT JOIN r ON l.sid = r.sid AND l.idx <= r.idx
         |ORDER BY stream_id, idx""".stripMargin,
 
     "seq_gather" ->

@@ -93,6 +93,21 @@ class SequenceOpsSpec extends SparkSpec {
       Seq.fill(3)(null) ++ Seq.fill(7)("c"))
   }
 
+  test("asofJoinForward attaches earliest right row at-or-after each left index") {
+    val left = elems(10, streams = 2).withColumnRenamed("payload", "lp")
+    val right = (for ((s, i, v) <- Seq((0L, 0L, "a"), (0L, 4L, "b"), (1L, 3L, "c")))
+      yield (s, i, v)).toDF("streamId", "index", "rv")
+    val out = SequenceOps.asofJoinForward(left, right)
+      .orderBy("streamId", "index").collect()
+      .map(r => (r.getAs[Long]("streamId"), r.getAs[Long]("index"), r.getAs[String]("rv")))
+    // stream 0: idx 0 -> "a" (inclusive at equality), 1..4 -> "b",
+    // 5..9 -> null (nothing follows); stream 1: 0..3 -> "c", 4.. -> null
+    assert(out.filter(_._1 == 0L).map(_._3).toSeq ==
+      Seq("a") ++ Seq.fill(4)("b") ++ Seq.fill(5)(null))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq.fill(4)("c") ++ Seq.fill(6)(null))
+  }
+
   test("gather keeps listed rows in list order (py_test.py:297)") {
     val out = idxPay(SequenceOps.gather(elems(N), Seq(0L, 150L, 377L, 500L)))
     assert(out.size == 4)
