@@ -146,6 +146,14 @@ object JoinStrategies {
       ptCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // loud failure over silent ambiguity (mirrors asofJoin's overlap
+    // check): a shared column name — or a pre-existing __bk — would
+    // produce duplicate/ambiguous columns downstream of the equi-join
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"bucketedRangeJoin requires disjoint column sets; shared: ${overlap.mkString(", ")}")
+    require(!points.columns.contains("__bk") && !intervals.columns.contains("__bk"),
+      "bucketedRangeJoin reserves the column name __bk")
     val pb = points.withColumn("__bk", floorBucket(col(ptCol), bucketWidth))
     val ib = intervals
       .filter(col(endCol) > col(startCol))

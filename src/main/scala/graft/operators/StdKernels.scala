@@ -332,7 +332,12 @@ object StdKernels {
     boxes.values.toSeq
       .filter(_(4) >= minArea)
       .map(b => (b(0), b(1), b(2), b(3), b(4)))
-      .sortBy(b => (-b._5, b._2, b._1))
+      // total order: (area, y0, x0) alone can tie for disjoint blobs
+      // (both touching row 0 / col 0 at different pixels), which would
+      // leave HashMap iteration order deciding — (x1, y1) disambiguates
+      // because two distinct blobs cannot share the full bounding box
+      // AND area under 4-connectivity labeling of a deterministic mask
+      .sortBy(b => (-b._5, b._2, b._1, b._4, b._3))
   }
 
   /** resize with the full reference arg surface */

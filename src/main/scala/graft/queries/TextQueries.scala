@@ -111,8 +111,13 @@ object TextQueries {
     */
   private def rawLines: org.apache.spark.sql.Column =
     TF.let(TF.tokens(col("text"))) { tk =>
-      transform(sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
-        li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8))))
+      // zero-token guard: Spark's sequence(0, -1) yields the DESCENDING
+      // [0, -1] (two phantom lines) while DuckDB's generate_series(0, -1)
+      // yields [] — an empty doc must render zero lines on both engines
+      when(size(tk) > 0,
+        transform(sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+          li => concat_ws(" ", slice(tk, li * 8 + 1, lit(8)))))
+        .otherwise(array().cast("array<string>"))
     }
 
   /** The deterministic line rendering for the C4 cleaning rules (the

@@ -385,6 +385,19 @@ object StreamingOps {
         val ts = it.map(_._2).toSeq.sorted
         var closed = Vector.empty[ClosedSession]
         var cur    = state.getOption
+        // far-past stragglers (beyond the gap BEFORE the open session) are
+        // folded among THEMSELVES with the same gap algebra before closing:
+        // two stragglers within gap of each other form ONE session, exactly
+        // as the batch sorted-fold would. A straggler chain can never merge
+        // with the open session — its last element t satisfies
+        // t < start - gap by construction, so the chain is always gap-
+        // disjoint from the open session and closes at batch end (in
+        // event-time order its watermark has already passed).
+        var strag: Option[SessionState] = None
+        def flushStrag(): Unit = strag.foreach { ss =>
+          closed :+= ClosedSession(user, ss.start, ss.last, ss.n)
+          strag = None
+        }
         ts.foreach { t =>
           cur match {
             // in-gap (including LATE, watermark-admitted) events join the
@@ -394,20 +407,27 @@ object StreamingOps {
             // the session (the session algebra must stay a superset of
             // the batch sorted-fold)
             case Some(s) if t >= s.start - gapNs && t - s.last <= gapNs =>
+              flushStrag()
               cur = Some(SessionState(math.min(s.start, t),
                 math.max(s.last, t), s.n + 1))
-            // far-past straggler (beyond the gap BEFORE the open
-            // session): in event-time order its session already closed —
-            // emit it as an immediately-closed singleton
             case Some(s) if t < s.start - gapNs =>
-              closed :+= ClosedSession(user, t, t, 1)
+              strag match {
+                case Some(ss) if t - ss.last <= gapNs =>
+                  strag = Some(SessionState(ss.start,
+                    math.max(ss.last, t), ss.n + 1))
+                case _ =>
+                  flushStrag()
+                  strag = Some(SessionState(t, t, 1))
+              }
             case Some(s) =>
+              flushStrag()
               closed :+= ClosedSession(user, s.start, s.last, s.n)
               cur = Some(SessionState(t, t, 1))
             case None =>
               cur = Some(SessionState(t, t, 1))
           }
         }
+        flushStrag()
         cur.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.last / 1000000L + gapMs)

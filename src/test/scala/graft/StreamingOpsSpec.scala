@@ -203,6 +203,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(f(7L, Iterator(ev(100000000L)), s6).toSeq ==
       Seq(ClosedSession(7L, 100000000L, 100000000L, 1L)))
     assert(s6.get == SessionState(2000000000L, 3000000000L, 2L))
+
+    // TWO far-past stragglers within the gap of each other fold into ONE
+    // closed session (the batch sorted-fold answer), not two singletons;
+    // a third beyond the straggler gap starts a second straggler session
+    val s7 = state(Some(SessionState(9000000000L, 9000000000L, 1L)), timedOut = false)
+    assert(f(7L, Iterator(ev(100000000L), ev(600000000L), ev(4000000000L)), s7).toSeq ==
+      Seq(ClosedSession(7L, 100000000L, 600000000L, 2L),
+          ClosedSession(7L, 4000000000L, 4000000000L, 1L)))
+    assert(s7.get == SessionState(9000000000L, 9000000000L, 1L))
+
+    // a straggler chain followed by an in-gap event: the chain closes,
+    // the in-gap event joins the open session (no cross-contamination)
+    val s8 = state(Some(SessionState(5000000000L, 6000000000L, 2L)), timedOut = false)
+    assert(f(7L, Iterator(ev(1000000000L), ev(1500000000L), ev(4500000000L)), s8).toSeq ==
+      Seq(ClosedSession(7L, 1000000000L, 1500000000L, 2L)))
+    assert(s8.get == SessionState(4500000000L, 6000000000L, 3L))
   }
 
   test("batch/stream parity: hourly windows over the events parquet match exactly") {
