@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * - shuffle partitions sized to local cores (not the 200 default), AQE on
   *   so the 100 TB plan shape (skew-join, partition coalescing) is what we
   *   test locally.
+  * - Kryo for RDD shuffle/cache serialization: DataFrame paths are
+  *   Tungsten either way, but the connected-components label loop shuffles
+  *   RDD[(Long, Long)] every round — JavaSerializer there costs ~10x the
+  *   bytes-on-wire CPU and dominates old-gen churn (the bt_1m_cc GC/CPU
+  *   swings); Kryo writes the pair as two varints.
   */
 object GraftSession {
   /** `maxTaskFailures > 1` enables task retries in local mode
@@ -23,6 +28,7 @@ object GraftSession {
       .master(master)
       .withExtensions(graft.plans.GraftExtensions)
       .appName(appName)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -48,6 +54,7 @@ object GraftSession {
       .master(s"local-cluster[$workers,$cores,$memMb]")
       .withExtensions(graft.plans.GraftExtensions)
       .appName(appName)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.sql.shuffle.partitions", (workers * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")

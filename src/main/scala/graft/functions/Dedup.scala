@@ -145,12 +145,17 @@ object Dedup {
       .select(col("cb"), col("ca")).rdd // keyed by source b: b's label flows to a
       .map(r => (r.getLong(0), r.getLong(1)))
       .partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
+    // _SER levels everywhere in the loop: a deserialized cache holds two
+    // boxed Longs + a Tuple2 per row (~48 heap bytes each, all promoted to
+    // old gen because rounds outlive young collections) and re-persists a
+    // fresh object graph per round; the serialized form is ~10 bytes/row
+    // of Kryo varints in a handful of byte arrays — GC-invisible.
     var labels: RDD[(Long, Long)] = dict.select("code").rdd
       .map(r => (r.getLong(0), r.getLong(0)))
       .partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     val minL: (Long, Long) => Long = math.min
     val chgAcc  = spark.sparkContext.longAccumulator("ccChanged")
@@ -198,7 +203,7 @@ object Dedup {
       // then reads the cache instead of recomputing (which would also
       // double-fire the convergence accumulator).
       val next = graft.Profiler.attributed(spark, "cc-round") {
-        flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        flagged.persist(StorageLevel.MEMORY_AND_DISK_SER)
         if (checkpointDir.isDefined) flagged.checkpoint()
         flagged.count()
         flagged
