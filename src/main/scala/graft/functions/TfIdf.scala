@@ -10,10 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: everything flows through the term (inverted-index) key
   * space, never corpus x corpus. Pair-generation cost is sum(df^2) over
-  * surviving terms, so `maxDf` is THE dial — dropping terms that appear
-  * in more than maxDf docs (stop-terms) bounds each posting list and
-  * makes the self-join's biggest key O(maxDf^2), independent of corpus
-  * size. Weights use n-gram terms (default bigrams): unigram spaces are
+  * surviving terms, so the `maxDf` stop-term prune is THE dial: dropping
+  * terms that appear in too many docs bounds each posting list. The
+  * bound is a [[DfBound]] — by DEFAULT a corpus FRACTION (df/N) resolved
+  * from the [[TermIndex]]'s indexed-doc count, because an absolute count
+  * silently changes meaning as the corpus grows (a df=50 cap that prunes
+  * stop-terms at 5k docs deletes the discriminative mid-frequency band
+  * at 50M docs, and the r8 sf1 bench measured the fixed cap turning the
+  * posting-join shuffle superlinear: 15.7x bytes for 10x docs). An
+  * absolute count stays available (`DfBound.Abs`, or just a `Long` via
+  * the implicit lift) for fixed-vocabulary corpora.
+  * Weights use n-gram terms (default bigrams): unigram spaces are
   * tiny/undiscriminative on real corpora's head tokens, and every term
   * with df=1 still contributes to the norm while generating zero pairs.
   * The dot products ride ONE equi-join + one hash agg; per-doc top-k is
@@ -51,11 +58,12 @@ object TfIdf {
     * indexed-doc count) and the positive-norm relation (id, nrm). One
     * definition so no ranker's weights can drift from another's.
     */
-  private def tfidfWeightsFrom(idx: TermIndex, maxDf: Long): (DataFrame, DataFrame) = {
-    // document frequency, stop-term pruned: df > maxDf terms are dropped
-    // from weights AND norms (the oracle replays the same convention)
+  private def tfidfWeightsFrom(idx: TermIndex, maxDf: DfBound): (DataFrame, DataFrame) = {
+    // document frequency, stop-term pruned: df > resolved-bound terms are
+    // dropped from weights AND norms (the oracle replays the same
+    // convention, including the floor(frac*N) resolution)
     val dfRel = idx.terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") <= maxDf.resolve(idx.nDocs))
     val w = graft.CacheScope.cache(
       idx.terms.join(dfRel, Seq("t"))
         .select(col("id"), col("t"),
@@ -77,7 +85,7 @@ object TfIdf {
     * one-corpus-scan derivation.
     */
   def topKNeighbors(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame = {
+      k: Int, ngram: Int = 2, maxDf: DfBound = DfBound.Default): DataFrame = {
     val (w, norms) = tfidfWeightsFrom(
       buildTermIndex(docs, idCol, textCol, ngram, "tfidf-index"), maxDf)
     // inverted index: postings self-join per term, halved by id order,
@@ -106,7 +114,7 @@ object TfIdf {
     * Output (idCol, id, rank, score).
     */
   def tfidfQueryTopKIndexed(idx: TermIndex, queryIds: DataFrame,
-      idCol: String, k: Int, maxDf: Long = 1000L): DataFrame = {
+      idCol: String, k: Int, maxDf: DfBound = DfBound.Default): DataFrame = {
     val (w, norms) = tfidfWeightsFrom(idx, maxDf)
     val wq = w.join(queryIds.select(col(idCol).as("qid")), col("id") === col("qid"))
       .select(col("qid"), col("t"), col("w").as("wq"))
@@ -123,7 +131,7 @@ object TfIdf {
 
   /** convenience: build a private index for a one-off call */
   def tfidfQueryTopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
-      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L): DataFrame =
+      textCol: String, k: Int, ngram: Int = 2, maxDf: DfBound = DfBound.Default): DataFrame =
     tfidfQueryTopKIndexed(
       buildTermIndex(docs, idCol, textCol, ngram, "tfidf-q-index"),
       queryIds, idCol, k, maxDf)
@@ -136,7 +144,7 @@ object TfIdf {
     * term; weights round at 6 dp. Output (idCol, rank, term, w).
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      ngram: Int = 1, maxDf: Long = 1000L): DataFrame = {
+      ngram: Int = 1, maxDf: DfBound = DfBound.Default): DataFrame = {
     val (w, _) = tfidfWeightsFrom(
       buildTermIndex(docs, idCol, textCol, ngram, "tfidf-terms"), maxDf)
     // rank on the ROUNDED weight (house convention: both engines rank the
@@ -163,7 +171,7 @@ object TfIdf {
     * rank stability), ties toward the smaller id, self-matches excluded.
     */
   def bm25TopKIndexed(idx: TermIndex, queryIds: DataFrame, idCol: String,
-      k: Int, maxDf: Long = 1000L, k1: Double = 1.2): DataFrame = {
+      k: Int, maxDf: DfBound = DfBound.Default, k1: Double = 1.2): DataFrame = {
     val terms = idx.terms
     val nDocs = idx.nDocs
     val lens = terms.groupBy(col("id")).agg(sum(col("n")).as("len"))
@@ -171,7 +179,7 @@ object TfIdf {
     val stats = lens.agg(
       (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
     val dfRel = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") <= maxDf.resolve(nDocs))
     val qTerms = terms.join(queryIds.select(col(idCol).as("qid")),
         col("id") === col("qid"), "inner")
       .select(col("qid"), col("t")).distinct()
@@ -193,8 +201,37 @@ object TfIdf {
 
   /** convenience: build a private index for a one-off call */
   def bm25TopK(docs: DataFrame, queryIds: DataFrame, idCol: String,
-      textCol: String, k: Int, ngram: Int = 2, maxDf: Long = 1000L,
+      textCol: String, k: Int, ngram: Int = 2, maxDf: DfBound = DfBound.Default,
       k1: Double = 1.2): DataFrame =
     bm25TopKIndexed(buildTermIndex(docs, idCol, textCol, ngram, "bm25-index"),
       queryIds, idCol, k, maxDf, k1)
+}
+
+/** Stop-term document-frequency bound (see [[TfIdf]]'s scaladoc for why
+  * the default is fractional). Resolution happens driver-side against the
+  * already-computed indexed-doc count — a scalar, never an extra action —
+  * and both engines (Spark and the DuckDB oracle) replay the identical
+  * `floor(frac * N)` IEEE-double arithmetic, so the threshold is
+  * bit-reproducible cross-engine.
+  */
+sealed trait DfBound { def resolve(nDocs: Long): Long }
+object DfBound {
+  /** fixed absolute cap — for fixed-vocabulary / synthetic corpora where
+    * df genuinely does not grow with N */
+  final case class Abs(n: Long) extends DfBound {
+    def resolve(nDocs: Long): Long = n
+  }
+  /** corpus-fraction cap: terms in more than `frac` of the indexed docs
+    * are stop-terms; floors at 1 so a tiny corpus still has a prune */
+  final case class Frac(frac: Double) extends DfBound {
+    require(frac > 0 && frac <= 1, s"df fraction must be in (0,1]: $frac")
+    def resolve(nDocs: Long): Long =
+      math.max(1L, math.floor(frac * nDocs).toLong)
+  }
+  /** default: drop terms present in more than 75% of docs — the classic
+    * "appears almost everywhere" stop-term band, scale-invariant */
+  val Default: DfBound = Frac(0.75)
+  /** absolute call sites keep reading `maxDf = 50L` */
+  implicit def fromLong(n: Long): DfBound = Abs(n)
+  implicit def fromInt(n: Int): DfBound = Abs(n.toLong)
 }

@@ -728,7 +728,7 @@ object TextQueries {
     // maxDf stop-term prune — see TfIdf's scaladoc for the 100 TB dial)
     "sim_tfidf_topk" -> ((s, dir) =>
       graft.functions.TfIdf.topKNeighbors(docs(s, dir), "doc_id", "text",
-        k = 3, ngram = 2, maxDf = 50L)
+        k = 3, ngram = 2, maxDf = graft.functions.DfBound.Frac(0.1))
         .orderBy("doc_id", "rank")),
 
     // Deterministic train/val/test split (90/5/5): membership from the
@@ -792,7 +792,8 @@ object TextQueries {
       val d = docs(s, dir)
       graft.functions.TfIdf.bm25TopK(d,
         d.filter(col("doc_id") % 25 === 0).select("doc_id"),
-        "doc_id", "text", k = 3, ngram = 2, maxDf = 50L)
+        "doc_id", "text", k = 3, ngram = 2,
+        maxDf = graft.functions.DfBound.Frac(0.1))
         .orderBy("doc_id", "rank")
     }),
 
@@ -811,9 +812,9 @@ object TextQueries {
       val idx = graft.functions.TfIdf.buildTermIndex(d, "doc_id", "text",
         ngram = 2, attrTag = "hybrid-index")
       val lex = graft.functions.TfIdf.bm25TopKIndexed(idx, q, "doc_id",
-        k = 5, maxDf = 50L)
+        k = 5, maxDf = graft.functions.DfBound.Frac(0.1))
       val dense = graft.functions.TfIdf.tfidfQueryTopKIndexed(idx, q, "doc_id",
-        k = 5, maxDf = 50L)
+        k = 5, maxDf = graft.functions.DfBound.Frac(0.1))
       graft.functions.Similarity.rrfFuse(
         Seq(lex.withColumnRenamed("doc_id", "qid"),
           dense.withColumnRenamed("doc_id", "qid")), k = 3)
@@ -1126,16 +1127,16 @@ object TextQueries {
          |WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8
          |ORDER BY doc_id, dup_of""".stripMargin,
 
-    // TF-IDF replay: same bigram terms, df<=50 prune, idf = ln(N/df),
+    // TF-IDF replay: same bigram terms, fractional df prune (df <= floor(0.1*N)),
     // ranks computed over the ROUNDED score grid in both engines.
     "sim_tfidf_topk" ->
       s"""WITH ex AS (
          |  SELECT doc_id, unnest($shSql) AS t
          |  FROM documents WHERE len($tokSql) >= 2),
          |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
-         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
-         |        HAVING COUNT(*) <= 50),
          |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+         |        HAVING COUNT(*) <= (SELECT greatest(1, CAST(floor(0.1::DOUBLE * n_docs) AS BIGINT)) FROM nn)),
          |w AS (SELECT doc_id, t,
          |        CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
          |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),
@@ -1211,7 +1212,8 @@ object TextQueries {
          |lens AS (SELECT doc_id, SUM(n) AS len FROM tf GROUP BY doc_id),
          |stats AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM lens),
          |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
-         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 50),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+         |        HAVING COUNT(*) <= (SELECT greatest(1, CAST(floor(0.1::DOUBLE * n_docs) AS BIGINT)) FROM nn)),
          |qt AS (SELECT DISTINCT doc_id AS qid, t FROM ex WHERE doc_id % 25 = 0),
          |sc AS (
          |  SELECT qid, tf.doc_id AS id,
@@ -1240,8 +1242,9 @@ object TextQueries {
          |  SELECT doc_id, unnest($shSql) AS t
          |  FROM documents WHERE len($tokSql) >= 2),
          |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
-         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 50),
          |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+         |        HAVING COUNT(*) <= (SELECT greatest(1, CAST(floor(0.1::DOUBLE * n_docs) AS BIGINT)) FROM nn)),
          |w AS (SELECT doc_id, t,
          |        CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
          |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),
@@ -1562,9 +1565,9 @@ object TextQueries {
     "txt_keywords" ->
       s"""WITH ex AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
          |tf AS (SELECT doc_id, t, COUNT(*) AS n FROM ex GROUP BY doc_id, t),
-         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
-         |        HAVING COUNT(*) <= 1000),
          |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex),
+         |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+         |        HAVING COUNT(*) <= (SELECT greatest(1, CAST(floor(0.75::DOUBLE * n_docs) AS BIGINT)) FROM nn)),
          |w AS (SELECT doc_id, t,
          |        round(CAST(n AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS w
          |      FROM tf JOIN dfr USING (t) CROSS JOIN nn),

@@ -25,6 +25,27 @@ class TfIdfSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(3) - want) < 1e-9))
   }
 
+  test("fractional df bound resolves against the indexed-doc count") {
+    import graft.functions.DfBound
+    // floor semantics, floored at 1, absolute pass-through
+    assert(DfBound.Frac(0.1).resolve(500) == 50L)
+    assert(DfBound.Frac(0.1).resolve(509) == 50L)
+    assert(DfBound.Frac(0.1).resolve(3) == 1L)   // floor(0.3) -> floored at 1
+    assert(DfBound.Frac(0.75).resolve(4) == 3L)
+    assert(DfBound.Abs(50L).resolve(1000000) == 50L)
+    intercept[IllegalArgumentException] { DfBound.Frac(0.0) }
+    intercept[IllegalArgumentException] { DfBound.Frac(1.5) }
+    // a fraction that resolves to the same threshold as an absolute cap
+    // yields the identical result set (N=3 indexed docs, 0.75 -> 2)
+    val frac = TfIdf.topKNeighbors(corpus, "doc_id", "text", k = 3,
+      maxDf = DfBound.Frac(0.75)).orderBy("doc_id", "rank").collect().toSeq
+    CacheScope.release()
+    val abs = TfIdf.topKNeighbors(corpus, "doc_id", "text", k = 3,
+      maxDf = 2L).orderBy("doc_id", "rank").collect().toSeq
+    CacheScope.release()
+    assert(frac == abs && frac.nonEmpty)
+  }
+
   test("maxDf stop-term prune drops the only shared term") {
     // df("a b") = 2 > maxDf = 1, so no pairs survive anywhere
     val out = TfIdf.topKNeighbors(corpus, "doc_id", "text", k = 3, maxDf = 1L)
