@@ -92,6 +92,11 @@ object Bench {
     *    through the keyframe index (decode counts pinned by spec; this
     *    times it).
     */
+  /** pipe-bridge element count (default keeps the historical 100k row
+    * comparable across rounds; override for protocol-slope attribution) */
+  private def pkElems: Long =
+    sys.env.getOrElse("SPARK_GRAFT_PK_ELEMS", "100000").toLong
+
   private def benchTargets: Map[String, (SparkSession, String) => DataFrame] = {
     def elemsN(s: SparkSession, n: Long): DataFrame = {
       import org.apache.spark.sql.functions._
@@ -127,8 +132,20 @@ object Bench {
       // for the external-kernel surface
       "bt_100k_prockernel" -> ((s, _) => {
         val enc = org.apache.spark.sql.Encoders.product[model.Elem]
-        val ds  = elemsN(s, 100000L).repartition(8).as[model.Elem](enc)
+        val ds  = elemsN(s, pkElems).repartition(8).as[model.Elem](enc)
         operators.ProcessKernel.run(ds, queries.ProcQueries.wordcountSpec).toDF()
+      }),
+      // the same elements through the BATCHED frame protocol (256 elems
+      // per pipe frame): the delta against bt_100k_prockernel is the
+      // per-line pipe cost the batch attribute exists to amortize (at the
+      // default 100k/8-partition size both rows sit near the ~0.5 s
+      // job-setup floor — raise SPARK_GRAFT_PK_ELEMS to expose the
+      // protocol slope; BENCHNOTES carries the 1M-element attribution)
+      "bt_100k_prockernel_batched" -> ((s, _) => {
+        val enc = org.apache.spark.sql.Encoders.product[model.Elem]
+        val ds  = elemsN(s, pkElems).repartition(8).as[model.Elem](enc)
+        operators.ProcessKernel.run(ds,
+          queries.ProcQueries.wordcountBatchedSpec(256)).toDF()
       }),
       "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
       "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),

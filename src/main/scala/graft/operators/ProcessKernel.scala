@@ -34,9 +34,19 @@ import graft.model.Elem
   *     `stream\t<streamId>\t<b64(config)>`        on every streamId change
   *       (reference `new_stream(args)` — also the state-reset point,
   *        `kernel.h:182-191`)
-  *     `elem\t<streamId>\t<index>\t<b64|->`       one per element
+  *     `elem\t<streamId>\t<index>\t<b64|->`       one per element (batch=1)
+  *     `elems\t<streamId>\t<n>\t<idx1>\t<b64|->\t...\t<idxn>\t<b64|->`
+  *       n same-stream elements in ONE frame (Spec.batch > 1) — the
+  *       reference's kernel `batch` attribute (`kernel.h:59-66`), which
+  *       amortizes per-element dispatch; here it amortizes the pipe's
+  *       per-LINE cost (child read/parse/flush per element is what bounds
+  *       the unbatched bridge). A frame never spans a stream boundary, so
+  *       `stream` state-reset points stay exact.
   *   child → driver:
-  *     `out\t<b64|->`                             EXACTLY one per elem
+  *     `out\t<b64|->`                             one output payload
+  *     `outs\t<n>\t<b64|->\t...\t<b64|->`         n output payloads
+  *       (any mix — outputs map to inputs in feed order; EXACTLY one
+  *        payload per element in total)
   *     `err\t<b64(message)>`                      abort with message
   *
   * Contract enforcement: the 1→1 rate (`docs/guide/graphs.rst:103-105`)
@@ -69,7 +79,13 @@ object ProcessKernel {
       streamConfigs: Map[Long, Array[Byte]] = Map.empty,
       env: Map[String, String] = Map.empty,
       stateful: Boolean = false,
-      shipFiles: Map[String, Array[Byte]] = Map.empty)
+      shipFiles: Map[String, Array[Byte]] = Map.empty,
+      // elements per `elems` frame (1 = the per-element `elem` protocol);
+      // the reference's batch attribute, kernel.h:59-66 — opt-in because
+      // the child's parser must understand the frame
+      batch: Int = 1) {
+    require(batch >= 1, s"batch must be >= 1: $batch")
+  }
 
   /** Materialize `shipFiles` on the machine about to fork (executor-local
     * tmp, content-hashed path — idempotent and collision-safe across
@@ -175,17 +191,33 @@ object ProcessKernel {
       try {
         w.write(s"init\t${enc(spec.initArgs)}\n")
         var curStream = Long.MinValue
+        // batched framing state: payload fragments of the open frame
+        // ("\tidx\tb64" repeated) — flushed on stream change / frame full
+        val frame  = new java.lang.StringBuilder
+        var frameN = 0
+        def flushFrame(): Unit = if (frameN > 0) {
+          w.write(s"elems\t$curStream\t$frameN$frame\n")
+          frame.setLength(0); frameN = 0
+        }
         while (it.hasNext) {
           val e = it.next()
           if (e.streamId != curStream) {
+            flushFrame() // a frame never spans a stream boundary
             curStream = e.streamId
             val cfg = spec.streamConfigs.getOrElse(e.streamId, Array.empty[Byte])
             w.write(s"stream\t${e.streamId}\t${enc(cfg)}\n")
           }
           inFlight.add((e.streamId, e.index))
           fed += 1
-          w.write(s"elem\t${e.streamId}\t${e.index}\t${enc(e.payload)}\n")
+          if (spec.batch == 1)
+            w.write(s"elem\t${e.streamId}\t${e.index}\t${enc(e.payload)}\n")
+          else {
+            frame.append('\t').append(e.index).append('\t').append(enc(e.payload))
+            frameN += 1
+            if (frameN >= spec.batch) flushFrame()
+          }
         }
+        flushFrame()
         w.flush()
       } catch {
         case t: Throwable => feedError = t
@@ -206,57 +238,95 @@ object ProcessKernel {
     }
 
     new Iterator[Elem] {
-      private var nextLine: String = null
-      private var finished         = false
-      private var emitted          = 0L
+      // decoded-but-unconsumed outputs: an `outs` frame yields n elements
+      // from one line, so the iterator drains this before reading again
+      private val pending  = new java.util.ArrayDeque[Elem]()
+      private var finished = false
+      private var emitted  = 0L
+
+      /** match one output payload to the oldest in-flight input key */
+      private def takeOne(b64: String, line: String): Unit = {
+        val key = inFlight.poll()
+        if (key == null)
+          fail(s"1-to-1 contract violated: output with no pending element")
+        val payload =
+          try dec(b64)
+          catch { case _: IllegalArgumentException =>
+            fail(s"bad protocol line from child (invalid base64): '${line.take(120)}'")
+          }
+        emitted += 1
+        pending.add(Elem(key._1, key._2, payload))
+      }
 
       private def advance(): Unit = {
-        if (finished || nextLine != null) return
-        nextLine = out.readLine()
-        if (nextLine == null) {
-          finished = true
-          // child closed stdout: it must have answered every element
-          feeder.join()
-          if (feedError != null) fail(s"feeding stdin failed: $feedError")
-          if (!proc.waitFor(30, TimeUnit.SECONDS)) fail("child did not exit after EOF")
-          errThread.join(2000)
-          if (proc.exitValue() != 0) fail(s"child exited ${proc.exitValue()}")
-          if (emitted != fed)
-            fail(s"1-to-1 contract violated: $fed elements in, $emitted out")
+        while (!finished && pending.isEmpty) {
+          val line = out.readLine()
+          if (line == null) {
+            finished = true
+            // child closed stdout: it must have answered every element
+            feeder.join()
+            if (feedError != null) fail(s"feeding stdin failed: $feedError")
+            if (!proc.waitFor(30, TimeUnit.SECONDS)) fail("child did not exit after EOF")
+            errThread.join(2000)
+            if (proc.exitValue() != 0) fail(s"child exited ${proc.exitValue()}")
+            if (emitted != fed)
+              fail(s"1-to-1 contract violated: $fed elements in, $emitted out")
+          } else {
+            val tab  = line.indexOf('\t')
+            val kind = if (tab < 0) line else line.substring(0, tab)
+            // a keyword with no tab (bare "out"/"err") is malformed too —
+            // route it to the diagnostic path, not a raw Base64/NPE crash
+            kind match {
+              case "out" if tab >= 0 =>
+                takeOne(line.substring(tab + 1), line)
+              case "outs" if tab >= 0 =>
+                // outs\t<n>\t<b64>...: n payloads, feed-order mapping.
+                // Cursor walk, not split(): a frame line is O(batch) long
+                // and this is the per-element hot path
+                val tab2 = line.indexOf('\t', tab + 1)
+                val n =
+                  try (if (tab2 < 0) line.substring(tab + 1)
+                       else line.substring(tab + 1, tab2)).toInt
+                  catch { case _: NumberFormatException =>
+                    fail(s"bad outs frame from child: '${line.take(120)}'")
+                  }
+                if (n < 1 || tab2 < 0)
+                  fail(s"outs frame declares $n payloads but carries 0: " +
+                    s"'${line.take(120)}'")
+                var i = 0
+                var cur = tab2 + 1
+                while (i < n) {
+                  if (cur > line.length)
+                    fail(s"outs frame declares $n payloads but carries $i: " +
+                      s"'${line.take(120)}'")
+                  val next = line.indexOf('\t', cur)
+                  val end  = if (next < 0) line.length else next
+                  takeOne(line.substring(cur, end), line)
+                  cur = end + 1
+                  i += 1
+                }
+                if (cur <= line.length)
+                  fail(s"outs frame declares $n payloads but carries more: " +
+                    s"'${line.take(120)}'")
+              case "err" if tab >= 0 =>
+                val msg =
+                  try Option(dec(line.substring(tab + 1)))
+                    .map(new String(_, UTF_8)).getOrElse("(no message)")
+                  catch { case _: IllegalArgumentException => line.take(120) }
+                fail(s"kernel error: $msg")
+              case _ =>
+                fail(s"bad protocol line from child: '${line.take(120)}'")
+            }
+          }
         }
       }
 
-      override def hasNext: Boolean = { advance(); !finished }
+      override def hasNext: Boolean = { advance(); !pending.isEmpty }
 
       override def next(): Elem = {
         advance()
-        if (finished) throw new NoSuchElementException
-        val line = nextLine; nextLine = null
-        val tab  = line.indexOf('\t')
-        val kind = if (tab < 0) line else line.substring(0, tab)
-        // a keyword with no tab (bare "out"/"err") is malformed too —
-        // route it to the diagnostic path, not a raw Base64/NPE crash
-        kind match {
-          case "out" if tab >= 0 =>
-            val key = inFlight.poll()
-            if (key == null)
-              fail(s"1-to-1 contract violated: output with no pending element")
-            val payload =
-              try dec(line.substring(tab + 1))
-              catch { case _: IllegalArgumentException =>
-                fail(s"bad protocol line from child (invalid base64): '${line.take(120)}'")
-              }
-            emitted += 1
-            Elem(key._1, key._2, payload)
-          case "err" if tab >= 0 =>
-            val msg =
-              try Option(dec(line.substring(tab + 1)))
-                .map(new String(_, UTF_8)).getOrElse("(no message)")
-              catch { case _: IllegalArgumentException => line.take(120) }
-            fail(s"kernel error: $msg")
-          case _ =>
-            fail(s"bad protocol line from child: '${line.take(120)}'")
-        }
+        if (pending.isEmpty) throw new NoSuchElementException
+        pending.poll()
       }
     }
   }

@@ -44,6 +44,39 @@ object ProcQueries {
     Seq("python3", "{{wordcount.py}}"),
     shipFiles = Map("wordcount.py" -> wordcountScript))
 
+  /** The same word count speaking the BATCHED frame protocol (`elems` in,
+    * `outs` out): one read/parse/answer/flush per n elements instead of
+    * per element — the bridge analogue of the reference kernel `batch`
+    * attribute (`kernel.h:59-66`). Identical tokenizer, so any output
+    * divergence from [[wordcountScript]] is a protocol bug
+    * (ProcessKernelSpec pins the parity).
+    */
+  val wordcountBatchedScript: Array[Byte] =
+    """import sys, base64, re
+      |ws = re.compile(r'[ \t\n\r\f]+')
+      |def count(b64):
+      |    data = b"" if b64 == "-" else base64.b64decode(b64)
+      |    return sum(1 for t in ws.split(data.decode("utf-8")) if t)
+      |for line in sys.stdin:
+      |    parts = line.rstrip("\n").split("\t")
+      |    if parts[0] == "elems":
+      |        n = int(parts[2])
+      |        outs = [base64.b64encode(str(count(parts[4 + 2 * i])).encode()).decode()
+      |                for i in range(n)]
+      |        sys.stdout.write("outs\t%d\t%s\n" % (n, "\t".join(outs)))
+      |        sys.stdout.flush()
+      |    elif parts[0] == "elem":
+      |        sys.stdout.write("out\t" + base64.b64encode(
+      |            str(count(parts[3])).encode()).decode() + "\n")
+      |        sys.stdout.flush()
+      |""".stripMargin.getBytes(UTF_8)
+
+  def wordcountBatchedSpec(batch: Int = 256): ProcessKernel.Spec =
+    ProcessKernel.Spec(
+      Seq("python3", "{{wordcount_batched.py}}"),
+      shipFiles = Map("wordcount_batched.py" -> wordcountBatchedScript),
+      batch = batch)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "proc_kernel_wordcount" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -192,6 +192,55 @@ class ProcessKernelSpec extends SparkSpec {
     assert(messageChain(t2).contains("no message"), messageChain(t2))
   }
 
+  test("batched frames: parity with the per-element protocol across stream boundaries") {
+    // same word-count kernel in both protocols over multi-stream input
+    // whose stream sizes (5) don't divide the batch (3): frames must
+    // flush at stream boundaries and on partial fill, and outputs must
+    // map back to the right (streamId, index) keys
+    val ds = elems(5, 3)
+    val unbatched = ProcessKernel.run(ds,
+      graft.queries.ProcQueries.wordcountSpec.copy(stateful = true))
+      .collect().map(e => (e.streamId, e.index) -> new String(e.payload, UTF_8)).toMap
+    val batched = ProcessKernel.run(ds,
+      graft.queries.ProcQueries.wordcountBatchedSpec(batch = 3).copy(stateful = true))
+      .collect().map(e => (e.streamId, e.index) -> new String(e.payload, UTF_8)).toMap
+    assert(batched.size === 15)
+    assert(batched === unbatched)
+  }
+
+  test("batched frames: an awk kernel answers with mixed out/outs frames") {
+    // child answers the first element of each frame with a bare `out`
+    // and the rest as one `outs` — the host maps payloads to inputs in
+    // feed order regardless of framing
+    val script =
+      """$1=="elems"{
+        |  n=$3;
+        |  printf "out\t%s\n", $5;
+        |  if (n > 1) {
+        |    printf "outs\t%d", n-1;
+        |    for (i=2; i<=n; i++) printf "\t%s", $(4+2*i-1);
+        |    printf "\n";
+        |  }
+        |  fflush();
+        |}""".stripMargin.replace("\n", " ")
+    val got = ProcessKernel.run(elems(7, 1).coalesce(1),
+      Spec(Seq("awk", "-F\t", script), batch = 4))
+      .collect().map(e => (e.index, new String(e.payload, UTF_8))).toMap
+    assert(got.size === 7)
+    (0 until 7).foreach(i => assert(got(i.toLong) === s"text-0-$i"))
+  }
+
+  test("batched frames: a count-mismatched outs frame is a protocol failure") {
+    // child declares 3 payloads but carries 2 → loud diagnostic
+    val t = intercept[Throwable] {
+      ProcessKernel.run(elems(4, 1).coalesce(1),
+        Spec(Seq("awk", "-F\t",
+          "$1==\"elems\"{print \"outs\\t3\\t\" $5 \"\\t\" $7; fflush()}"), batch = 4))
+        .collect()
+    }
+    assert(messageChain(t).contains("outs frame"), messageChain(t))
+  }
+
   test("init args and per-stream configs reach the child") {
     val script =
       """import sys, base64
