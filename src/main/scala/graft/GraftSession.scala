@@ -49,8 +49,9 @@ object GraftSession {
     * jar per run.
     */
   def localCluster(workers: Int, cores: Int, memMb: Int,
-      appName: String = "graft-cluster"): SparkSession = {
-    val s = SparkSession.builder()
+      appName: String = "graft-cluster",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,$memMb]")
       .withExtensions(graft.plans.GraftExtensions)
       .appName(appName)
@@ -61,7 +62,8 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

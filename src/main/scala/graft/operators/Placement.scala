@@ -86,6 +86,21 @@ object Placement {
       .require(new ExecutorResourceRequests().resource("gpu", gpusPerExecutor))
       .build()
 
+  /** Task-only GPU profile (Spark `TaskResourceProfile`): the placed
+    * stage's tasks claim `gpusPerTask` from whatever GPUs the DEFAULT
+    * executors already discovered — the static-allocation path (Spark
+    * supports task-only profiles on standalone/YARN/k8s with dynamic
+    * allocation OFF, SPARK-39853), vs [[gpuProfile]] which also asks the
+    * cluster manager for differently-shaped executors and therefore
+    * needs dynamic allocation. This is the profile a fixed GPU fleet
+    * wants: executors are homogeneous, placement just gates which
+    * STAGES may occupy a GPU slot.
+    */
+  def gpuTaskProfile(gpusPerTask: Double = 1.0): ResourceProfile =
+    new ResourceProfileBuilder()
+      .require(new TaskResourceRequests().resource("gpu", gpusPerTask))
+      .build()
+
   /** Place a kernel segment on a device. Validates against `registry`,
     * then for GPU attaches [[gpuProfile]] to the segment's RDD — the
     * segment becomes its own stage scheduled onto GPU executors. CPU is
@@ -96,7 +111,8 @@ object Placement {
       kernel: String,
       registry: Registry,
       device: Device,
-      gpusPerTask: Double = 1.0): Dataset[Elem] = {
+      gpusPerTask: Double = 1.0,
+      taskOnly: Boolean = false): Dataset[Elem] = {
     registry.validate(Seq(kernel -> device))
     device match {
       case Device.CPU => ds
@@ -107,9 +123,14 @@ object Placement {
         // stage-level scheduling (local[n], static-allocation YARN…) —
         // surface that as the same fail-fast placement error the
         // reference raises for a GPU kernel on a CPU-only worker pool
-        // (`dag_analysis.cpp:262-269`)
+        // (`dag_analysis.cpp:262-269`). `taskOnly` picks the
+        // static-fleet [[gpuTaskProfile]] (default executors already
+        // carry GPUs) over the executor-reshaping [[gpuProfile]].
+        val profile =
+          if (taskOnly) gpuTaskProfile(gpusPerTask)
+          else gpuProfile(gpusPerTask)
         val placed =
-          try ds.rdd.withResources(gpuProfile(gpusPerTask))
+          try ds.rdd.withResources(profile)
           catch {
             case e: org.apache.spark.SparkException =>
               throw new ValidationException(

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Paths
 
 import graft.model.Elem
 import graft.operators.Placement
@@ -61,5 +62,42 @@ class PlacementSpec extends SparkSpec {
     intercept[Placement.ValidationException] {
       Placement.place(elems(8), "blur", registry, Device.GPU)
     }
+  }
+
+  test("a GPU-placed stage is actually SCHEDULED onto a (stub-discovered) gpu slot") {
+    // end-to-end execution, not refusal: forks graft.tools.GpuProbe in its
+    // own JVM (two SparkContexts can't share this one) — a local-cluster
+    // worker "discovers" a fake GPU via a stub discovery script, the
+    // Device.GPU placement (task-only profile, SPARK-39853 static path)
+    // runs as a real stage whose tasks hold the gpu address in
+    // TaskContext.resources(), and an unplaced control stage does not.
+    // The probe self-asserts; this test checks its verdict line + exit 0.
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    // forward this JVM's --add-opens set (Spark-on-JDK17 module opens,
+    // injected by build.sbt's javaOptions) to the probe driver JVM
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    // both spellings occur: "--add-opens p=ALL-UNNAMED" (two args) and
+    // "--add-opens=p=ALL-UNNAMED" (one)
+    val opens = jvmArgs.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" && i + 1 < jvmArgs.length =>
+        Seq(a, jvmArgs(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Nil
+    }
+    val cmd = Seq(javaBin) ++ opens ++
+      Seq("-cp", sys.props("java.class.path"), "-Xmx1536m", "graft.tools.GpuProbe")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+    val exited = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+    if (!exited) proc.destroyForcibly()
+    assert(exited, "GpuProbe did not finish within 240 s")
+    assert(proc.exitValue() === 0, s"GpuProbe exited ${proc.exitValue()}:\n" +
+      out.linesIterator.toSeq.takeRight(40).mkString("\n"))
+    assert(out.contains("GPU-PROBE OK placed=8 unplaced=8 addr=0"), out.take(4000))
   }
 }
