@@ -78,6 +78,31 @@ object ScaleTier {
         col("label"))
   }
 
+  /** A ZIPFIAN document tier — rank-frequency ~ 1/(r ln V) over a
+    * vocabulary that grows with sqrt(n) (Heaps-ish), all xxhash64-keyed.
+    *
+    * Why it exists: the fixed-31-word `documents` fixture is non-Zipfian —
+    * EVERY bigram sits at ~5.7% document frequency (measured sf0.1:
+    * median df 285/5000, max 338; sf1: median 2690/50000), so no df prune
+    * of any kind can bound an inverted-index join on it without emptying
+    * it; its all-pairs similarity is dense BY CONSTRUCTION. Real corpora
+    * have Zipf heads (pruned by a df fraction) and long tails (bounded
+    * postings), which is the regime the retrieval family's 100 TB story
+    * lives in — this generator provides that regime at bench scale.
+    *
+    * Token rank r = floor(V^u) for u ~ U(0,1]: P(rank <= r) = ln r/ln V,
+    * i.e. P(rank = r) ~ 1/(r ln V) — the classic Zipf(1) law.
+    */
+  def zipfDocuments(s: SparkSession, n: Long): DataFrame = {
+    val v = math.max(1000L, (8.0 * math.sqrt(n.toDouble)).toLong)
+    s.range(0, n, 1, 32).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(1), lit(20) + h(col("id"), "znt", 80)),
+        j => concat(lit("w"), floor(pow(lit(v.toDouble),
+          (h(col("id") * 131 + j.cast("long"), "ztok", 1000000) + 1)
+            / lit(1000000.0))).cast("long")))).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(outDir, factorS) = args
     val factor = factorS.toInt
