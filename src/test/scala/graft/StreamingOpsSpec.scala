@@ -221,6 +221,53 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s8.get == SessionState(4500000000L, 6000000000L, 3L))
   }
 
+  test("live sessionize: cross-batch out-of-order delivery matches the batch fold; beyond-watermark events drop and are counted") {
+    // the r8 ask: the pinned stream_sessionize gate replays in order, so
+    // this pins the semantics it cannot express — events shuffled across
+    // micro-batches (including a late-but-admitted arrival) produce the
+    // batch sorted-fold sessions over the ACCEPTED set, and an event
+    // beyond the lateness bound is dropped pre-state with the drop
+    // visible in numRowsDroppedByWatermark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts_ns", "ts")
+    val out = StreamingOps.sessionizeEventTime(df, gapMs = 60000L, "10 seconds")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("sess_late_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      def ev(sec: Long) = (1L, sec * 1000000000L, new java.sql.Timestamp(sec * 1000L))
+      // batch 1: OUT OF ORDER within the batch; watermark after = 150-10 = 140
+      in.addData(Seq(ev(150), ev(130)))
+      q.processAllAvailable()
+      // batch 2: 145 is LATE (behind max seen) but watermark-admitted —
+      // joins the open session; 50 is beyond the bound (< 140) — dropped
+      in.addData(Seq(ev(145), ev(50)))
+      q.processAllAvailable()
+      // batch 3/4: gap-closing events (300 closes [130,150], 400 closes [300])
+      in.addData(Seq(ev(300)))
+      q.processAllAvailable()
+      in.addData(Seq(ev(400)))
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._2).toSeq
+      // the batch sorted-fold over the accepted set {130,145,150,300}:
+      // [130..150] n=3 (145 joined despite arriving after 150), then [300]
+      val ns = 1000000000L
+      assert(got == Seq((1L, 130 * ns, 150 * ns, 3L), (1L, 300 * ns, 300 * ns, 1L)),
+        got.toString)
+      // the beyond-bound event is visible as a watermark drop, not a
+      // silent absence
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped === 1L, s"expected exactly one watermark-dropped row, got $dropped")
+    } finally q.stop()
+  }
+
   test("batch/stream parity: hourly windows over the events parquet match exactly") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
