@@ -851,4 +851,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Benchmark decontamination — the GPT-3-style n-gram overlap check
+    * (training docs sharing any length-n token window with an evaluation
+    * benchmark are flagged for removal, so eval scores aren't inflated by
+    * memorized test data). Returns one row per CONTAMINATED training doc:
+    * (idCol, contaminated_by = smallest matching benchmark id, n_hits =
+    * number of matching (gram, benchmark-doc) pairs).
+    *
+    * Scale shape: distinct (doc, gram) relations on both sides (a doc
+    * repeating a gram adds no work), ONE equi-join on the gram key, one
+    * per-doc agg — the exact-dedup skeleton keyed by n-grams. The
+    * benchmark side is the small one by construction (an eval set vs a
+    * training corpus); Spark's planner broadcasts it when its stats allow,
+    * and the join never goes corpus×corpus regardless.
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    grams(train, "__tid")
+      .join(grams(bench, "__bid"), Seq("g"))
+      .groupBy(col("__tid"))
+      .agg(min(col("__bid")).as("contaminated_by"),
+        count(lit(1)).as("n_hits"))
+      .withColumnRenamed("__tid", idCol)
+  }
 }

@@ -390,6 +390,29 @@ object TextQueries {
         k = 3, ngram = 1)
         .orderBy("doc_id", "rank")),
 
+    // LM-perplexity quality scoring (the CCNet filter): corpus-trained
+    // bigram LM with add-one smoothing, per-doc cross-entropy (nats,
+    // 6 dp), head/middle/tail TERCILE buckets — training keeps the
+    // low-perplexity head. One bigram explode feeds counts and scoring;
+    // tercile thresholds are a 1-row broadcast (LangModel's scaladoc has
+    // the ulp-robustness argument for the cross-engine bucket compare).
+    "txt_perplexity" -> ((s, dir) =>
+      graft.functions.LangModel.perplexityBuckets(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination (the GPT-3 n-gram overlap rule): training
+    // docs sharing any 4-gram with the held-out benchmark slice
+    // (doc_id % 10 == 0) are flagged with the smallest witness id and the
+    // (gram, benchmark-doc) hit count — the removal decision a training
+    // pipeline applies before eval
+    "txt_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.functions.Dedup.ngramContamination(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
     // Corpus data card (the "datasheet" rollup a corpus release ships):
     // docs / token mass / stopword-quality mass / near-dup count per
     // (source, lang), per source, and corpus-wide — ONE grouping-sets
@@ -1576,6 +1599,48 @@ object TextQueries {
          |      FROM w)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS term, w
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // perplexity replay: same bigram counts, add-one smoothing, mean
+    // nll rounded at 6 dp, tercile thresholds via type-7 quantiles (the
+    // same (n-1)p linear interpolation Spark's exact percentile uses)
+    "txt_perplexity" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest($shSql) AS t
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |c2 AS (SELECT t, COUNT(*) AS n2 FROM ex GROUP BY t),
+         |c1 AS (SELECT split_part(t, ' ', 1) AS p, COUNT(*) AS n1
+         |       FROM ex GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM c1),
+         |sc AS (SELECT doc_id, -ln((n2 + 1.0) / (n1 + v)) AS nll
+         |       FROM ex JOIN c2 USING (t)
+         |       JOIN c1 ON c1.p = split_part(ex.t, ' ', 1)
+         |       CROSS JOIN vv),
+         |e AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        ROUND(SUM(nll) / COUNT(*), 6) AS entropy
+         |      FROM sc GROUP BY doc_id),
+         |thr AS (SELECT quantile_cont(entropy, 1.0/3) AS t1,
+         |               quantile_cont(entropy, 2.0/3) AS t2 FROM e)
+         |SELECT doc_id, n_bigrams, entropy,
+         |  CASE WHEN entropy <= t1 THEN 'head'
+         |       WHEN entropy <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM e CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+
+    // decontamination replay: distinct 4-gram sets per side, one gram
+    // equi-join, per-training-doc witness min + hit count
+    "txt_decontaminate" ->
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len($tokSql) - 3),
+         |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' ||
+         |         $tokSql[i+2] || ' ' || $tokSql[i+3])) AS g
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 <> 0),
+         |be AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 = 0)
+         |SELECT tr.doc_id, MIN(be.doc_id) AS contaminated_by,
+         |       COUNT(*) AS n_hits
+         |FROM tr JOIN be USING (g)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // data-card replay: the same recursive-CTE CC verdict feeding a
     // GROUPING SETS rollup with exact integer/decimal sums

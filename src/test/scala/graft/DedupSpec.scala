@@ -246,4 +246,21 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(fps.length == 1)
   }
+
+  test("ngramContamination: witness min + distinct hit count, short/clean docs emit nothing") {
+    // bench 10/20 both contain "p q r s"; train 1 shares it (hits both
+    // witnesses -> n_hits 2, contaminated_by 10), train 4 repeats the
+    // gram but distinct-per-doc keeps one hit per witness, train 2 is
+    // clean, train 5 is too short for any 4-gram
+    val bench = Seq((10L, "p q r s t"), (20L, "z p q r s")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x p q r s y"),
+      (2L, "a b c d e"),
+      (4L, "p q r s w p q r s"),
+      (5L, "p q r")).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, 2L), (4L, 10L, 2L)))
+  }
 }
