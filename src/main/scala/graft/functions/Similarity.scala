@@ -616,4 +616,41 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"),
         not(coalesce(col("__d"), lit(false))).as("keep"))
   }
+
+  /** Deterministic sparse random projection (Achlioptas-style ±1 signs,
+    * Johnson-Lindenstrauss): out_j = (Σ_i v_i · w_ij) / sqrt(dim),
+    * rounded at 6 dp — the dimensionality-reduction front of the ANN
+    * scale path (project 64 → 16 before IVF/bucketing and the index
+    * shrinks 4× with JL-bounded distortion). Output is EXPLODED to
+    * (idCol, j, pv) scalar rows (1-based j) so the gate hashes scalars.
+    *
+    * The sign matrix w is keyed by md5 of the "(i,j)" coordinate — no RNG
+    * state, bit-reproducible on any engine that has md5 — and is built
+    * DRIVER-side (dim·outDim hashes, microseconds) into a plan LITERAL:
+    * zero per-row hashing, the projection is one ordered zip_with fold
+    * per output dim, no shuffle, no UDF. Floats widen exactly to double;
+    * both engines fold left-to-right so the 6-dp grid agrees.
+    */
+  def randomProject(embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int): DataFrame = {
+    // +1 when the first md5 hex char of "i,j" is even — mirrored by the
+    // oracle's substr(md5(i||','||j),1,1) IN ('0','2',...,'e')
+    def sign(i: Int, j: Int): Double = {
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i,$j".getBytes("UTF-8"))(0)
+      if (((b0 >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    val w = array((1 to outDim).map(j =>
+      array((1 to dim).map(i => lit(sign(i, j))): _*)): _*)
+    embs
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), lit(outDim)), j =>
+          round(
+            aggregate(
+              zip_with(col(vecCol), element_at(w, j), (v, s) => v * s),
+              lit(0d), (acc, x) => acc + x) / math.sqrt(dim.toDouble),
+            6))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("pv"))
+  }
 }

@@ -190,6 +190,15 @@ object SimQueries {
         k = 8, iters = 3)
         .orderBy("cid", "pos")),
 
+    // Johnson-Lindenstrauss front of the ANN path: deterministic ±1
+    // random projection 64 -> 16 (md5-keyed signs, driver-built literal
+    // matrix, ordered folds — Similarity.randomProject's scaladoc has
+    // the cross-engine argument); exploded to scalar rows for the gate
+    "emb_rand_proj" -> ((s, dir) =>
+      Similarity.randomProject(emb(s, dir), "vec_id", "embedding",
+        dim = 64, outDim = 16)
+        .orderBy("vec_id", "j")),
+
     // SemDeDup: cluster the embedding space (2 Lloyd rounds), compare
     // cosines WITHIN cells only, keep the min-id representative of every
     // near-duplicate group — the semantic layer of the dedup suite (k is
@@ -335,6 +344,19 @@ object SimQueries {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
+
+    // random-projection replay: same md5 sign rule (first hex char even
+    // -> +1), same left-to-right fold, /sqrt(64), 6-dp grid
+    "emb_rand_proj" ->
+      """WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, j, ROUND(list_reduce(
+        |    list_transform(generate_series(1, 64), i -> v[i] *
+        |      (CASE WHEN substr(md5(i || ',' || j), 1, 1)
+        |            IN ('0','2','4','6','8','a','c','e')
+        |       THEN 1.0 ELSE -1.0 END)),
+        |    (a, b) -> a + b) / sqrt(64.0), 6) AS pv
+        |FROM e CROSS JOIN generate_series(1, 16) AS g(j)
+        |ORDER BY vec_id, j""".stripMargin,
 
     "pq_codebooks" -> pqCodebooksSql,
 

@@ -173,4 +173,27 @@ class SimilaritySpec extends SparkSpec {
     val base = run(1)
     assert(base.nonEmpty && base == run(7) && base == run(32))
   }
+
+  test("randomProject: basis vector picks out one scaled sign column; duplicates project identically") {
+    // e_1 (1,0,...,0) in dim=4 -> out_j = sign(1,j)/sqrt(4) = ±0.5 exactly;
+    // the expected sign replays the library's md5 rule independently
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val docs = Seq((1L, e1), (2L, e1), (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(docs, "vec_id", "embedding",
+      dim = 4, outDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sign(i: Int, j: Int): Double = {
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i,$j".getBytes("UTF-8"))(0)
+      if (((b0 >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    (1 to 8).foreach { j =>
+      assert(got((1L, j.toLong)) === sign(1, j) / 2.0)
+      // identical vectors -> bit-identical projections
+      assert(got((2L, j.toLong)) === got((1L, j.toLong)))
+      // a different basis vector reads a different matrix row
+      assert(got((3L, j.toLong)) === sign(2, j) / 2.0)
+    }
+  }
 }
