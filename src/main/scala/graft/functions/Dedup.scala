@@ -859,6 +859,13 @@ object Dedup {
     * (idCol, contaminated_by = smallest matching benchmark id, n_hits =
     * number of matching (gram, benchmark-doc) pairs).
     *
+    * Relation to `txt_contamination` (Packing.contamination): that op
+    * REPORTS raw short-gram overlap counts against a broadcastable eval
+    * set; this is the REMOVAL decision at GPT-3's long-n-gram setting —
+    * wider windows (n=4+ here, 13 in the paper) so incidental shared
+    * phrases don't flag, plus the witness benchmark id an audit trail
+    * needs.
+    *
     * Scale shape: distinct (doc, gram) relations on both sides (a doc
     * repeating a gram adds no work), ONE equi-join on the gram key, one
     * per-doc agg — the exact-dedup skeleton keyed by n-grams. The

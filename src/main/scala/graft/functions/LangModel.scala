@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * mean negative log-prob over bigram positions (cross-entropy, nats),
   * rounded at 6 dp — the 6-dp grid is the house cross-engine convention.
   *
+  * Relation to `txt_lm_score` (TextQueries): that query is the KenLM-ish
+  * per-doc fluency SCORE with the unigram-count denominator
+  * p ≈ (c2+1)/(cuni(prev)+|unigram vocab|) — cheap because the unigram
+  * relation is shared with other queries. This op is (a) the textbook
+  * conditional-MLE estimator — the denominator counts CONTEXT-position
+  * occurrences, so Σ_cur p(cur|prev) is properly normalized — and (b)
+  * the CCNet SELECTION step on top: corpus-wide tercile thresholds and
+  * the head/middle/tail verdict a pipeline actually filters on.
+  *
   * Scale shape: ONE corpus scan explodes bigram occurrences (reused for
   * c2, c1, and the per-position scoring via [[graft.CacheScope]]); counts
   * are map-side-combined hash aggs on term keys; scoring is two linear
