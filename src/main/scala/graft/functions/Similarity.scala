@@ -632,7 +632,29 @@ object Similarity {
     * both engines fold left-to-right so the 6-dp grid agrees.
     */
   def randomProject(embs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, outDim: Int): DataFrame = {
+      dim: Int, outDim: Int): DataFrame =
+    embs
+      .select(col(idCol),
+        posexplode(projectedArray(col(vecCol), dim, outDim)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("pv"))
+
+  /** The non-exploded projection: (idCol, `as` array<float>) — rounded
+    * double coordinates narrowed to the engine's CANONICAL vector dtype,
+    * so every downstream ANN op (native `vec_dot`, sign buckets, IVF,
+    * [[bruteForceTopK]]) composes on the projected space unchanged. The
+    * float narrowing is replayed by the oracle (`CAST(... AS FLOAT)` then
+    * `::DOUBLE[]`), the same FLOAT-first quantization convention as
+    * [[canonicalVectors]].
+    */
+  def randomProjectVec(embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, as: String = "pvec"): DataFrame =
+    embs.select(col(idCol),
+      transform(projectedArray(col(vecCol), dim, outDim),
+        x => x.cast("float")).as(as))
+
+  /** the rounded-double projected coordinates (1..outDim) of one vector */
+  private def projectedArray(vec: Column, dim: Int, outDim: Int): Column = {
     // +1 when the first md5 hex char of "i,j" is even — mirrored by the
     // oracle's substr(md5(i||','||j),1,1) IN ('0','2',...,'e')
     def sign(i: Int, j: Int): Double = {
@@ -642,15 +664,11 @@ object Similarity {
     }
     val w = array((1 to outDim).map(j =>
       array((1 to dim).map(i => lit(sign(i, j))): _*)): _*)
-    embs
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(1), lit(outDim)), j =>
-          round(
-            aggregate(
-              zip_with(col(vecCol), element_at(w, j), (v, s) => v * s),
-              lit(0d), (acc, x) => acc + x) / math.sqrt(dim.toDouble),
-            6))))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("j"),
-        col("col").as("pv"))
+    transform(sequence(lit(1), lit(outDim)), j =>
+      round(
+        aggregate(
+          zip_with(vec, element_at(w, j), (v, s) => v * s),
+          lit(0d), (acc, x) => acc + x) / math.sqrt(dim.toDouble),
+        6))
   }
 }

@@ -199,6 +199,19 @@ object SimQueries {
         dim = 64, outDim = 16)
         .orderBy("vec_id", "j")),
 
+    // search IN the projected space: JL projection 64 -> 16 feeds the
+    // SAME brute-force top-k op (canonical float dtype, native vec_dot)
+    // — the reduced-dimension index path end-to-end; ranks differ from
+    // sim_topk exactly by the JL distortion, and the oracle replays the
+    // full project -> float-narrow -> cosine -> rank chain
+    "sim_rand_proj_topk" -> ((s, dir) => {
+      val p = Similarity.randomProjectVec(emb(s, dir), "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      Similarity.bruteForceTopK(p, p.filter(col("vec_id") < 5), "vec_id", "pvec", 5)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // SemDeDup: cluster the embedding space (2 Lloyd rounds), compare
     // cosines WITHIN cells only, keep the min-id representative of every
     // near-duplicate group — the semantic layer of the dedup suite (k is
@@ -344,6 +357,24 @@ object SimQueries {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
+
+    "sim_rand_proj_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v0 FROM embeddings),
+         |e AS (SELECT vec_id, (list_transform(generate_series(1, 16), j ->
+         |        CAST(ROUND(list_reduce(
+         |          list_transform(generate_series(1, 64), i -> v0[i] *
+         |            (CASE WHEN substr(md5(i || ',' || j), 1, 1)
+         |                  IN ('0','2','4','6','8','a','c','e')
+         |             THEN 1.0 ELSE -1.0 END)),
+         |          (a, b) -> a + b) / sqrt(64.0), 6) AS FLOAT)))::DOUBLE[] AS v
+         |      FROM e0),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, e.vec_id AS vec_id, $cosSql AS score
+         |      FROM q, e WHERE e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
 
     // random-projection replay: same md5 sign rule (first hex char even
     // -> +1), same left-to-right fold, /sqrt(64), 6-dp grid

@@ -196,4 +196,20 @@ class SimilaritySpec extends SparkSpec {
       assert(got((3L, j.toLong)) === sign(2, j) / 2.0)
     }
   }
+
+  test("randomProjectVec emits the canonical float dtype and composes with bruteForceTopK") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProjectVec(vecs, "vec_id", "embedding",
+      dim = 4, outDim = 8)
+    assert(p.schema("pvec").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.FloatType)
+    // JL with ±1 signs preserves enough geometry at 8 dims for 4 vectors:
+    // each query's nearest projected neighbor is its true cluster twin
+    val top1 = Similarity.bruteForceTopK(p, p, "vec_id", "pvec", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+  }
 }
