@@ -50,7 +50,10 @@ object LangModel {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val ent = crossEntropy(docs, idCol, textCol)
+    // cached: the entropy relation feeds BOTH the threshold aggregate and
+    // the final bucket scan — without the cache the whole count/join/agg
+    // chain runs twice
+    val ent = graft.CacheScope.cache(crossEntropy(docs, idCol, textCol))
     // the tercile points are the Scala doubles 1.0/3 and 2.0/3 — the
     // same bits DuckDB's 1.0/3 division produces (a 16-digit decimal
     // literal would risk one-ulp drift between the engines)
