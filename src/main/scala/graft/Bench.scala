@@ -234,7 +234,10 @@ object Bench {
         import org.apache.spark.sql.functions._
         val n = sys.env.getOrElse("SPARK_GRAFT_ZIPF_N", "100000").toLong
         val docs = tools.ScaleTier.zipfDocuments(s, n)
-        val q = docs.select(col("doc_id")).filter(col("doc_id") % (n / 500) === 0)
+        // 500 fixed queries at any n; max(1,...) keeps a small
+        // SPARK_GRAFT_ZIPF_N override from a silent %-by-zero null filter
+        val q = docs.select(col("doc_id"))
+          .filter(col("doc_id") % math.max(1L, n / 500) === 0)
         functions.TfIdf.bm25TopK(docs, q, "doc_id", "text", k = 5,
           ngram = 1, maxDf = functions.DfBound.Frac(0.01))
           .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
@@ -397,8 +400,6 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
     val results = timeAll(spark, tally, selected, sfDir, reps, profileSet)
 
-    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
@@ -427,8 +428,12 @@ object Bench {
             "dedup_cluster_keep,dedup_paragraphs,dedup_c4_spans," +
             "sem_dedup,pq_encode,emb_kmeans,txt_normalize," +
             "txt_corpus_report").split(",").map(_.trim).toSet
+        // check BOTH tables: a run that died between the two writes (or a
+        // tmp-reaper that took one) must still trigger regeneration
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
-            s"$sf1Dir/documents.parquet"))) {
+              s"$sf1Dir/documents.parquet", "_SUCCESS")) ||
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(
+              s"$sf1Dir/embeddings.parquet", "_SUCCESS"))) {
           System.err.println(s"[bench] generating sf1 tier at $sf1Dir (10x)")
           tools.ScaleTier.documents(spark, 50000L).write.mode("overwrite")
             .parquet(s"$sf1Dir/documents.parquet")
@@ -454,7 +459,19 @@ object Bench {
         s""","sf1":{"dir":"$sf1Dir","reps":$sf1Reps,${sectionJson(res1)},"ratio_vs_sf0.1":$ratios}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 section failed: $e")
-        s""","sf1":{"error":"${e.toString.replace("\"", "'")}"}"""
+        // full JSON string escape: exception messages carry newlines and
+        // backslashes (plan fragments) that would invalidate the whole
+        // results file a JSON consumer reads
+        val msg = e.toString.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        s""","sf1":{"error":"$msg"}"""
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec",${sectionJson(results)},"reps":$reps,"failed":$failed,"sf":"$sfDir"$sf1Json}"""
     // ALSO write the full JSON to a file: the driver's stdout capture

@@ -653,8 +653,13 @@ object Similarity {
       transform(projectedArray(col(vecCol), dim, outDim),
         x => x.cast("float")).as(as))
 
-  /** the rounded-double projected coordinates (1..outDim) of one vector */
-  private def projectedArray(vec: Column, dim: Int, outDim: Int): Column = {
+  /** the rounded-double projected coordinates (1..outDim) of one vector;
+    * fails loudly on a dim mismatch — zip_with would otherwise null-pad
+    * the shorter side and every projection would silently come out null */
+  private def projectedArray(vec0: Column, dim: Int, outDim: Int): Column = {
+    val vec = when(size(vec0) === dim, vec0).otherwise(raise_error(concat(
+      lit(s"randomProject: expected $dim-dim vectors, got "),
+      size(vec0).cast("string"))))
     // +1 when the first md5 hex char of "i,j" is even — mirrored by the
     // oracle's substr(md5(i||','||j),1,1) IN ('0','2',...,'e')
     def sign(i: Int, j: Int): Double = {

@@ -386,13 +386,14 @@ object StreamingOps {
         var closed = Vector.empty[ClosedSession]
         var cur    = state.getOption
         // far-past stragglers (beyond the gap BEFORE the open session) are
-        // folded among THEMSELVES with the same gap algebra before closing:
-        // two stragglers within gap of each other form ONE session, exactly
-        // as the batch sorted-fold would. A straggler chain can never merge
-        // with the open session — its last element t satisfies
-        // t < start - gap by construction, so the chain is always gap-
-        // disjoint from the open session and closes at batch end (in
-        // event-time order its watermark has already passed).
+        // folded among THEMSELVES with the same gap algebra: two
+        // stragglers within gap of each other form ONE session, exactly
+        // as the batch sorted-fold would. A later in-batch event can
+        // BRIDGE the chain to the open session (within gap of both) —
+        // then chain + event + session fold into one session (the in-gap
+        // branch below); an unbridged chain is gap-disjoint from the open
+        // session by construction and closes at batch end (in event-time
+        // order its watermark has already passed).
         var strag: Option[SessionState] = None
         def flushStrag(): Unit = strag.foreach { ss =>
           closed :+= ClosedSession(user, ss.start, ss.last, ss.n)
@@ -407,9 +408,21 @@ object StreamingOps {
             // the session (the session algebra must stay a superset of
             // the batch sorted-fold)
             case Some(s) if t >= s.start - gapNs && t - s.last <= gapNs =>
-              flushStrag()
-              cur = Some(SessionState(math.min(s.start, t),
-                math.max(s.last, t), s.n + 1))
+              strag match {
+                case Some(ss) if t - ss.last <= gapNs =>
+                  // BRIDGING event: within gap of both the straggler
+                  // chain's last element and the open session — the batch
+                  // sorted-fold merges chain + t + session into ONE
+                  // session, so fold the chain in rather than closing it
+                  strag = None
+                  cur = Some(SessionState(
+                    math.min(ss.start, math.min(s.start, t)),
+                    math.max(s.last, t), s.n + ss.n + 1))
+                case _ =>
+                  flushStrag()
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
+              }
             case Some(s) if t < s.start - gapNs =>
               strag match {
                 case Some(ss) if t - ss.last <= gapNs =>

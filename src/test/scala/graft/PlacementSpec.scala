@@ -92,10 +92,20 @@ class PlacementSpec extends SparkSpec {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+    // drain stdout on a separate thread: a blocking readAllBytes on THIS
+    // thread would make the 240 s waitFor timeout unreachable if the
+    // probe hangs (the exact scenario the timeout exists for)
+    val outBuf = new java.io.ByteArrayOutputStream
+    val drain = new Thread(() => proc.getInputStream.transferTo(outBuf),
+      "gpu-probe-drain")
+    drain.setDaemon(true)
+    drain.start()
     val exited = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
     if (!exited) proc.destroyForcibly()
-    assert(exited, "GpuProbe did not finish within 240 s")
+    drain.join(5000)
+    val out = outBuf.toString(UTF_8)
+    assert(exited, "GpuProbe did not finish within 240 s:\n" +
+      out.linesIterator.toSeq.takeRight(40).mkString("\n"))
     assert(proc.exitValue() === 0, s"GpuProbe exited ${proc.exitValue()}:\n" +
       out.linesIterator.toSeq.takeRight(40).mkString("\n"))
     assert(out.contains("GPU-PROBE OK placed=8 unplaced=8 addr=0"), out.take(4000))

@@ -219,6 +219,14 @@ class StreamingOpsSpec extends SparkSpec {
     assert(f(7L, Iterator(ev(1000000000L), ev(1500000000L), ev(4500000000L)), s8).toSeq ==
       Seq(ClosedSession(7L, 1000000000L, 1500000000L, 2L)))
     assert(s8.get == SessionState(4500000000L, 6000000000L, 3L))
+
+    // BRIDGING event: within gap of BOTH the straggler chain's last
+    // element and the open session — the batch sorted-fold over
+    // {3.6, 4.3, 5, 6} s (all gaps <= 1 s) is ONE session, so the chain
+    // must fold in (not close as a spurious singleton)
+    val s9 = state(Some(SessionState(5000000000L, 6000000000L, 2L)), timedOut = false)
+    assert(f(7L, Iterator(ev(3600000000L), ev(4300000000L)), s9).isEmpty)
+    assert(s9.get == SessionState(3600000000L, 6000000000L, 4L))
   }
 
   test("live sessionize: cross-batch out-of-order delivery matches the batch fold; beyond-watermark events drop and are counted") {
