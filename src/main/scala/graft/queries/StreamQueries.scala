@@ -76,6 +76,40 @@ object StreamQueries {
       } finally q.stop()
     }),
 
+    // Streaming decontamination replayed bounded: the non-benchmark docs
+    // arrive over TWO MemoryStream micro-batches (stateless op — batch
+    // boundaries must not matter) against the static benchmark gram
+    // index; the drained sink must equal the per-witness batch join.
+    "stream_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val shard = d.filter(col("doc_id") % 10 =!= 0).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val out = StreamingOps.streamingDecontaminate(
+        in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+      val qname = "sdc_" + System.nanoTime()
+      val ckpt  = java.nio.file.Files.createTempDirectory("graft-sdc-ck").toString
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val (half1, half2) = shard.toSeq.splitAt(shard.length / 2)
+        in.addData(half1)
+        q.processAllAvailable()
+        in.addData(half2)
+        q.processAllAvailable()
+        val res = s.table(qname)
+        val rows = res.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+          .orderBy("doc_id", "contaminated_by")
+      } finally q.stop()
+    }),
+
     // Event-time sessionization replayed bounded: the full event stream
     // feeds one ordered MemoryStream batch (in-stream gap closures emit
     // immediately); two far-future sentinels then advance the watermark
@@ -128,6 +162,23 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-witness replay of the batch decontamination join (the stream op
+    // emits one row per (doc, witness); same distinct-4-gram equi-join)
+    "stream_decontaminate" ->
+      """WITH tg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 3),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+3])) AS g
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 <> 0),
+        |be AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 = 0)
+        |SELECT tr.doc_id, be.doc_id AS contaminated_by, COUNT(*) AS n_hits
+        |FROM tr JOIN be USING (g)
+        |GROUP BY tr.doc_id, be.doc_id
+        |ORDER BY tr.doc_id, contaminated_by""".stripMargin,
     // batch replay of the three streamed stages; `bands` (shared LSH CTE
     // over ALL documents) serves both the corpus index (doc_id % 5 = 0)
     // and the probe side. Docs too short to shingle have no bands -> no

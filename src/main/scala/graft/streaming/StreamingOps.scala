@@ -200,6 +200,46 @@ object StreamingOps {
     *    one output per pair per window without a second stateful dedup
     *    operator stacked on the join.
     */
+  /** Streaming benchmark decontamination — the arrival-time twin of
+    * [[graft.functions.Dedup.ngramContamination]]: each arriving doc is
+    * checked against a STATIC benchmark n-gram index and flagged the
+    * moment any length-n token window matches, so an ingestion pipeline
+    * decontaminates on arrival instead of re-scanning the corpus per
+    * eval release. Output: one row per (arriving doc, witness benchmark
+    * doc) — (idCol, contaminated_by, n_hits), n_hits = shared distinct
+    * grams with THAT witness (finer than the batch op's min-witness
+    * rollup; `min/sum` over a doc's rows reproduces it exactly).
+    *
+    * Scale shape: STATELESS — the benchmark side is cached once (small
+    * by construction: an eval set); each micro-batch is a distinct-gram
+    * equi-join against it. Multi-gram collisions dedup without a
+    * stateful operator: both sides carry their gram arrays and a pair
+    * emits only from its FIRST shared gram (the
+    * [[streamingNearDupPairs]] first-shared-key device).
+    */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val idxArr = graft.CacheScope.cache(bench
+      .select(col(idCol).as("__bid"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("g"))
+      .groupBy(col("__bid"))
+      .agg(sort_array(collect_list(col("g"))).as("grams_i")))
+    val idxFlat = idxArr
+      .select(col("__bid"), col("grams_i"), explode(col("grams_i")).as("g"))
+    val gs = docs
+      .select(col(idCol),
+        array_distinct(TextFunctions.shingles(col(textCol), n)).as("__grams"))
+      .filter(size(col("__grams")) >= 1)
+      .select(col(idCol), col("__grams"), explode(col("__grams")).as("g"))
+    val shared = filter(col("__grams"),
+      x => array_contains(col("grams_i"), x))
+    gs.join(idxFlat, Seq("g"))
+      .filter(col("g") === array_min(shared))
+      .select(col(idCol), col("__bid").as("contaminated_by"),
+        size(shared).cast("long").as("n_hits"))
+  }
+
   def streamingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String, joinWindow: String,
       k: Int = 8, rows: Int = 4, minJaccard: Double = 0.0): DataFrame = {

@@ -229,6 +229,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s9.get == SessionState(3600000000L, 6000000000L, 4L))
   }
 
+  test("streamingDecontaminate: stateless per-witness rows match the batch op across micro-batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((10L, "p q r s t"), (20L, "z p q r s")).toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "x p q r s y"),       // shares "p q r s" with 10 AND 20
+      (2L, "a b c d e"),         // clean
+      (4L, "p q r s w p q r s")) // repeated gram counts once per witness
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDecontaminate(
+      in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+    val q = out.writeStream.format("memory")
+      .queryName("sdc_spec_" + System.nanoTime())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      // split mid-stream: the op is stateless, so batch boundaries are
+      // invisible in the drained sink
+      in.addData(arriving.take(1)); q.processAllAvailable()
+      in.addData(arriving.drop(1)); q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got === Seq((1L, 10L, 1L), (1L, 20L, 1L), (4L, 10L, 1L), (4L, 20L, 1L)))
+      // min/sum over a doc's rows reproduces the batch op's rollup
+      val rolled = got.groupBy(_._1).map { case (id, rs) =>
+        (id, rs.map(_._2).min, rs.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val batch = graft.functions.Dedup.ngramContamination(
+        arriving.toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(rolled === batch)
+    } finally q.stop()
+  }
+
   test("live sessionize: cross-batch out-of-order delivery matches the batch fold; beyond-watermark events drop and are counted") {
     // the r8 ask: the pinned stream_sessionize gate replays in order, so
     // this pins the semantics it cannot express — events shuffled across
