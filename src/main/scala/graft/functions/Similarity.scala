@@ -653,6 +653,51 @@ object Similarity {
       transform(projectedArray(col(vecCol), dim, outDim),
         x => x.cast("float")).as(as))
 
+  /** Embedding outlier pruning — the embedding-space quality filter
+    * (CLIP-score-filtering analogue with the corpus itself as the
+    * reference model): each vector's distance to its GROUP centroid,
+    * flagged when beyond the group's q-quantile. Training pipelines drop
+    * the flagged tail (mislabeled / off-distribution samples sit far
+    * from their group's center).
+    *
+    * Output: (idCol, groupCol, dist, is_outlier); dist is the euclidean
+    * distance to the group mean, rounded at 6 dp. Exact-parity means via
+    * the house DECIMAL(30,8)-sum convention (partition-order-independent,
+    * same as the Lloyd trainer); the quantile compare is ulp-robust
+    * cross-engine for the same reason the perplexity terciles are — dists
+    * live on the 6-dp grid, thresholds interpolate on or strictly
+    * between grid values.
+    *
+    * Scale shape: one narrow (group, pos) decimal agg for the means
+    * (|groups|·dim rows out, broadcast back), one scan pass for
+    * distances, one (group, dist) agg for thresholds (exact percentile —
+    * swap in approx_percentile at the 100 TB tier if the per-group value
+    * lists outgrow executors), one broadcast compare. Nothing pairwise.
+    */
+  def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, q: Double): DataFrame = {
+    val e = CacheScope.cache(embs.select(col(idCol), col(groupCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v")))
+    val cents = e.select(col(groupCol), posexplode(col("__v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(col("col").cast("decimal(30,8)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m"))))
+        .as("pm"))
+      .select(col(groupCol), transform(col("pm"), p => p.getField("m")).as("__cv"))
+    val d = CacheScope.cache(e.join(broadcast(cents), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        round(sqrt(aggregate(
+          zip_with(col("__v"), col("__cv"), (a, b) => (a - b) * (a - b)),
+          lit(0d), (acc, x) => acc + x)), 6).as("dist")))
+    val thr = d.groupBy(col(groupCol))
+      .agg(percentile(col("dist"), lit(q)).as("__thr"))
+    d.join(broadcast(thr), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("dist"),
+        (col("dist") > col("__thr")).as("is_outlier"))
+  }
+
   /** the rounded-double projected coordinates (1..outDim) of one vector;
     * fails loudly on a dim mismatch — zip_with would otherwise null-pad
     * the shorter side and every projection would silently come out null */

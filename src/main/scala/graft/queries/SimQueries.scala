@@ -199,6 +199,37 @@ object SimQueries {
         dim = 64, outDim = 16)
         .orderBy("vec_id", "j")),
 
+    // Embedding outlier pruning: distance to the label centroid, flagged
+    // beyond the label's 0.9-quantile — the embedding-space quality
+    // filter (drop the off-distribution tail before training)
+    "emb_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(emb(s, dir), "vec_id", "embedding",
+        "label", q = 0.9)
+        .orderBy("vec_id")),
+
+    // ANN quality eval: recall@5 of the PROJECTED-space search against
+    // the exact top-k, per query — the measurement that justifies (or
+    // rejects) an approximate index before it ships; both legs are the
+    // same ops the sim_topk / sim_rand_proj_topk gates pin
+    "sim_recall_at_k" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("qid"), col("id"))
+      val p = Similarity.randomProjectVec(e, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      val approx = Similarity.bruteForceTopK(p,
+        p.filter(col("vec_id") < 5), "vec_id", "pvec", 5)
+        .select(col("qid"), col("id"))
+      val hits = exact.join(approx, Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid").as("vec_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall"))
+        .orderBy("vec_id")
+    }),
+
     // search IN the projected space: JL projection 64 -> 16 feeds the
     // SAME brute-force top-k op (canonical float dtype, native vec_dot)
     // — the reduced-dimension index path end-to-end; ranks differ from
@@ -357,6 +388,60 @@ object SimQueries {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
+
+    // outlier replay: DECIMAL(30,8)-sum label means (cast to DOUBLE
+    // before dividing — decimal-division scale rules differ between
+    // engines), ordered squared-distance fold, per-label type-7 quantile
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
+        |cm AS (SELECT label, j,
+        |         ROUND(CAST(SUM(CAST(v[j] AS DECIMAL(30,8))) AS DOUBLE)
+        |               / COUNT(*), 6) AS cv
+        |       FROM e CROSS JOIN generate_series(1, 64) AS g(j)
+        |       GROUP BY label, j),
+        |c AS (SELECT label, list(cv ORDER BY j) AS cvs FROM cm GROUP BY label),
+        |d AS (SELECT vec_id, e.label,
+        |        ROUND(sqrt(list_reduce(
+        |          list_transform(generate_series(1, 64),
+        |            j -> (v[j] - cvs[j]) * (v[j] - cvs[j])),
+        |          (a, b) -> a + b)), 6) AS dist
+        |      FROM e JOIN c USING (label)),
+        |t AS (SELECT label, quantile_cont(dist, 0.9) AS thr FROM d GROUP BY label)
+        |SELECT vec_id, label, dist, dist > thr AS is_outlier
+        |FROM d JOIN t USING (label) ORDER BY vec_id""".stripMargin,
+
+    // recall replay: both legs' CTEs composed, hit counts per query with
+    // zero-recall queries preserved
+    "sim_recall_at_k" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v0 FROM embeddings),
+         |xq AS (SELECT vec_id AS qid, v0 AS qv FROM e0 WHERE vec_id < 5),
+         |xs AS (SELECT qid, e0.vec_id AS id,
+         |         round(list_inner_product(qv, v0)
+         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v0, v0))), 6) AS score
+         |       FROM xq, e0 WHERE e0.vec_id <> qid),
+         |xr AS (SELECT qid, id FROM (
+         |         SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+         |         FROM xs) WHERE rk <= 5),
+         |e AS (SELECT vec_id, (list_transform(generate_series(1, 16), j ->
+         |        CAST(ROUND(list_reduce(
+         |          list_transform(generate_series(1, 64), i -> v0[i] *
+         |            (CASE WHEN substr(md5(i || ',' || j), 1, 1)
+         |                  IN ('0','2','4','6','8','a','c','e')
+         |             THEN 1.0 ELSE -1.0 END)),
+         |          (a, b) -> a + b) / sqrt(64.0), 6) AS FLOAT)))::DOUBLE[] AS v
+         |      FROM e0),
+         |pq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |ps AS (SELECT qid, e.vec_id AS id,
+         |         round(list_inner_product(qv, v)
+         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) AS score
+         |       FROM pq, e WHERE e.vec_id <> qid),
+         |pr AS (SELECT qid, id FROM (
+         |         SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+         |         FROM ps) WHERE rk <= 5),
+         |h AS (SELECT qid, COUNT(*) AS n_hits FROM xr JOIN pr USING (qid, id) GROUP BY qid)
+         |SELECT xq.qid AS vec_id, COALESCE(n_hits, 0) AS n_hits,
+         |       ROUND(COALESCE(n_hits, 0) / 5.0, 6) AS recall
+         |FROM xq LEFT JOIN h ON h.qid = xq.qid ORDER BY vec_id""".stripMargin,
 
     "sim_rand_proj_topk" ->
       s"""WITH e0 AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v0 FROM embeddings),

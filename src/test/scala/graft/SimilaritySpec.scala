@@ -212,4 +212,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(top1 === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
   }
+
+  test("centroidOutliers: closed-form distances, quantile flag, group isolation") {
+    // group 0: mean of (0,0),(2,0),(0,2),(10,10) = (3,3); dists
+    // sqrt(18)=4.242641, sqrt(10)=3.162278 (x2), sqrt(98)=9.899495.
+    // 0.9-quantile of [3.162278, 3.162278, 4.242641, 9.899495] at
+    // (4-1)*0.9=2.7 -> 4.242641 + 0.7*(9.899495-4.242641) = 8.202439 ->
+    // only the (10,10) point flags. group 1 is a lone point (dist 0,
+    // never an outlier) and must not contaminate group 0's mean.
+    val vecs = Seq(
+      (1L, 0L, Array(0f, 0f)), (2L, 0L, Array(2f, 0f)),
+      (3L, 0L, Array(0f, 2f)), (4L, 0L, Array(10f, 10f)),
+      (9L, 1L, Array(5f, 5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    CacheScope.release()
+    assert(got(1L) === ((4.242641, false)))
+    assert(got(2L) === ((3.162278, false)))
+    assert(got(3L) === ((3.162278, false)))
+    assert(got(4L) === ((9.899495, true)))
+    assert(got(9L) === ((0.0, false)))
+  }
 }
