@@ -210,7 +210,11 @@ object SimQueries {
     // ANN quality eval: recall@5 of the PROJECTED-space search against
     // the exact top-k, per query — the measurement that justifies (or
     // rejects) an approximate index before it ships; both legs are the
-    // same ops the sim_topk / sim_rand_proj_topk gates pin
+    // same ops the sim_topk / sim_rand_proj_topk gates pin. On THIS
+    // fixture recall is ~0 by construction (near-random unit vectors:
+    // every cosine is ~0±noise, so the exact top-5 is a noise ordering
+    // any 16-dim projection scrambles) — the eval correctly reporting
+    // "don't ship this index for this data" is the point of the op
     "sim_recall_at_k" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 5)
