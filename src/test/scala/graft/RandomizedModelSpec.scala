@@ -297,4 +297,63 @@ class RandomizedModelSpec extends SparkSpec {
       assert(got == expect, s"iteration $it n=$n")
     }
   }
+
+  test("ngramContamination matches the brute-force gram-overlap model on random corpora") {
+    val rnd = seeded(977)
+    (1 to 5).foreach { it =>
+      val vocab = Vector("a", "b", "c", "d", "e")
+      def doc() = (0 until (4 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val n = 3
+      val train = (0L until 30L).map(i => (i, doc()))
+      val bench = (100L until (100L + 5 + rnd.nextInt(5))).map(i => (i, doc()))
+      def grams(t: String) = t.split(" ").sliding(n)
+        .filter(_.length == n).map(_.mkString(" ")).toSet
+      val bg = bench.map { case (id, t) => id -> grams(t) }
+      val expect = train.flatMap { case (id, t) =>
+        val g = grams(t)
+        val wits = bg.filter { case (_, gs) => (g & gs).nonEmpty }
+        if (wits.isEmpty) None
+        else Some((id, wits.map(_._1).min,
+          wits.map { case (_, gs) => (g & gs).size.toLong }.sum))
+      }.sortBy(_._1)
+      val got = Dedup.ngramContamination(train.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"iteration $it")
+    }
+  }
+
+  test("LangModel.crossEntropy matches the brute-force smoothed-bigram model on random corpora") {
+    val rnd = seeded(4881)
+    (1 to 4).foreach { it =>
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (0L until 20L).map(i => (i, (0 until (1 + rnd.nextInt(8)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val bigrams = docs.flatMap { case (id, t) =>
+        t.split(" ").toSeq.sliding(2).filter(_.length == 2)
+          .map(p => (id, p(0), p(1)))
+      }
+      val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+      val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+      val v = c1.size
+      val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val nll = bs.map { case (_, pr, cu) =>
+          -math.log((c2((pr, cu)) + 1.0) / (c1(pr) + v)) }
+        (id, bs.size.toLong, nll.sum / nll.size)
+      }.toSeq.sortBy(_._1)
+      val got = graft.functions.LangModel
+        .crossEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      CacheScope.release()
+      // ids + bigram counts exact; entropy within the 6-dp grid (the
+      // engine rounds after a partition-ordered sum, the model doesn't)
+      assert(got.map(t => (t._1, t._2)) == expect.map(t => (t._1, t._2)),
+        s"iteration $it")
+      got.zip(expect).foreach { case (g, e) =>
+        assert(math.abs(g._3 - e._3) <= 1e-6, s"doc ${g._1} iteration $it") }
+    }
+  }
 }
