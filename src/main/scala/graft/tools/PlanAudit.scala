@@ -76,7 +76,17 @@ object PlanAudit {
     "q_events_range_join" ->
       "bucketed range join: the point-in-interval theta join runs as a HASH equi-join on the 6h bucket key (intervals exploded <= 3 buckets each) with exact containment as a post-filter — NO BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan",
     "q_events_funnel" ->
-      "funnel: three filtered min-aggs chained by user-keyed equi-joins — no per-user window sort; each step's relation is <= |users| rows")
+      "funnel: three filtered min-aggs chained by user-keyed equi-joins — no per-user window sort; each step's relation is <= |users| rows",
+    "txt_perplexity" ->
+      "bigram LM: ONE cached bigram explode (InMemoryRelation) feeds the count aggs AND the scoring joins; smoothing V and the tercile thresholds are 1-row broadcasts; per-doc hash agg, no window anywhere",
+    "txt_decontaminate" ->
+      "decontamination: distinct (doc, gram) relations on both sides, ONE equi-join on the gram key, per-doc witness agg with map-side combine — never corpus x corpus, text never crosses an exchange",
+    "emb_rand_proj" ->
+      "JL projection: the +-1 sign matrix is a plan LITERAL inside the scan projection (no per-row hashing, no join); ZERO exchanges before the output sort",
+    "sim_rand_proj_topk" ->
+      "projected search: the projection folds into the scan side of the SAME broadcast + bounded-heap top-k shape as sim_topk — reduced-dimension vectors, unchanged join strategy",
+    "emb_outliers" ->
+      "centroid outliers: (group, pos) decimal agg broadcast back as |groups| centroid rows; distances are a scan pass; thresholds one (group, dist) percentile agg broadcast for the final compare — nothing pairwise, no window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
