@@ -874,6 +874,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe split (the GroupShuffleSplit discipline): membership
+    // keyed on the near-dup CLUSTER label, so a whole cluster lands in
+    // ONE split — near-dups straddling train/test would leak eval
+    // content into training, which the per-doc txt_split cannot prevent
+    "txt_cluster_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4)
+      val hk = TF.rollingHash(md5(col("cluster").cast("string"))) % 1000000
+      Dedup.connectedComponents(d.select("doc_id"), pairs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"),
+          when(hk < 900000, lit("train")).when(hk < 950000, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // LSH pairs -> connected components -> per-doc cluster label (min
     // reachable doc_id) — the keep-one-per-cluster dedup decision
     "dedup_clusters" -> ((s, dir) => {
@@ -1556,6 +1571,31 @@ object TextQueries {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+
+    // cluster-split replay: the dedup_clusters CC chain + the txt_split
+    // rolling-hash bands keyed on the CLUSTER label
+    "txt_cluster_split" ->
+      s"""WITH RECURSIVE ${lshBandsCte()},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |h AS (SELECT doc_id, cluster,
+         |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(generate_series(1, 32),
+         |      i -> CAST(ascii(substr(md5(CAST(cluster AS VARCHAR)), i, 1)) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) % 1000000 AS hk
+         |  FROM lab)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN hk < 900000 THEN 'train'
+         |       WHEN hk < 950000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${lshBandsCte()},

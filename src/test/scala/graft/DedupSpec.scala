@@ -247,6 +247,29 @@ class DedupSpec extends SparkSpec {
     assert(fps.length == 1)
   }
 
+  test("cluster-keyed split: every member of a near-dup cluster lands in the SAME split") {
+    // the leakage-safe-split invariant: assignment is a pure function of
+    // the cluster label, so clusters can never straddle train/test
+    import org.apache.spark.sql.functions.{col, md5, when, lit}
+    import graft.functions.{TextFunctions => TF}
+    val docs = ((1L to 6L).map(i => (i, s"unique text $i right here")) ++
+      Seq((10L, "a b c d e f g h"), (11L, "a b c d e f g h"),
+        (12L, "a b c d e f g h"))).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+    val hk = TF.rollingHash(md5(col("cluster").cast("string"))) % 1000000
+    val split = Dedup.connectedComponents(docs.select("doc_id"), pairs, "doc_id")
+      .select(col("id"), col("cluster"),
+        when(hk < 900000, lit("train")).when(hk < 950000, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    CacheScope.release()
+    val byCluster = split.groupBy(_._2)
+    // the identical-text trio is one cluster with one split value
+    val dupCluster = split.find(_._1 == 10L).get._2
+    assert(byCluster(dupCluster).map(_._1).toSet === Set(10L, 11L, 12L))
+    byCluster.values.foreach(ms => assert(ms.map(_._3).toSet.size === 1))
+  }
+
   test("ngramContamination: witness min + distinct hit count, short/clean docs emit nothing") {
     // bench 10/20 both contain "p q r s"; train 1 shares it (hits both
     // witnesses -> n_hits 2, contaminated_by 10), train 4 repeats the
