@@ -90,12 +90,30 @@ object ProcQueries {
         .select(col("streamId").as("doc_id"),
           col("payload").cast("string").cast("long").as("n_words"))
         .orderBy("doc_id")
+    }),
+
+    // the SAME word count through the BATCHED frame protocol (elems/outs,
+    // 64 elements per pipe frame) — the batch surface gets its own
+    // DuckDB-gated row, not just spec parity with the unbatched kernel
+    "proc_kernel_wordcount_batched" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val elemEnc = Encoders.product[Elem]
+      val seq = docs.select(col("doc_id"), col("text"))
+        .map(r => Elem(r.getLong(0), 0L, r.getString(1).getBytes(UTF_8)))(elemEnc)
+      ProcessKernel.run(seq, wordcountBatchedSpec(batch = 64))
+        .select(col("streamId").as("doc_id"),
+          col("payload").cast("string").cast("long").as("n_words"))
+        .orderBy("doc_id")
     }))
 
+  /** one tokenizer replay serves both protocol variants */
+  private val wordcountSql =
+    """SELECT doc_id,
+      |       CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+      |                            x -> x <> '')) AS BIGINT) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "proc_kernel_wordcount" ->
-      """SELECT doc_id,
-        |       CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
-        |                            x -> x <> '')) AS BIGINT) AS n_words
-        |FROM documents ORDER BY doc_id""".stripMargin)
+    "proc_kernel_wordcount" -> wordcountSql,
+    "proc_kernel_wordcount_batched" -> wordcountSql)
 }
