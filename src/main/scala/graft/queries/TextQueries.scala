@@ -874,6 +874,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Source-overlap provenance matrix (corpus governance): near-dup
+    // PAIR counts per unordered source pair — which sources copy from
+    // each other (mirror detection, license-risk attribution). Rides the
+    // same banded candidate join as the dedup family; the matrix is
+    // |sources|² tiny however big the corpus
+    "txt_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+        .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+        // unordered pair -> (least, greatest): upper-triangular matrix
+        // regardless of which source holds the smaller doc_id
+        .select(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
+
     // Leakage-safe split (the GroupShuffleSplit discipline): membership
     // keyed on the near-dup CLUSTER label, so a whole cluster lands in
     // ONE split — near-dups straddling train/test would leak eval
@@ -1571,6 +1592,22 @@ object TextQueries {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+
+    // source-overlap replay: banded candidates + two provenance joins,
+    // unordered-pair normalization via least/greatest
+    "txt_source_overlap" ->
+      s"""WITH ${lshBandsCte()},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |sp AS (SELECT least(da.source, db.source) AS source_x,
+         |              greatest(da.source, db.source) AS source_y
+         |       FROM prs
+         |       JOIN documents da ON da.doc_id = prs.a
+         |       JOIN documents db ON db.doc_id = prs.b)
+         |SELECT source_x, source_y, COUNT(*) AS n_pairs
+         |FROM sp GROUP BY source_x, source_y
+         |ORDER BY source_x, source_y""".stripMargin,
 
     // cluster-split replay: the dedup_clusters CC chain + the txt_split
     // rolling-hash bands keyed on the CLUSTER label
