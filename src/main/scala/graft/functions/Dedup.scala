@@ -812,11 +812,14 @@ object Dedup {
         col("__c.n_lines").as("n_lines"), col("__c.n_dropped").as("n_dropped"))
   }
 
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rows: Int = 4): DataFrame = {
-    // ONE persisted tokenize+shingle pass feeds both phases: the minhash
-    // signature explode (candidate generation) and the exact-set verify
-    // joins — previously the verify side re-tokenized the whole corpus
+  /** banded candidates joined back to both docs' shingle sets:
+    * (a, b, sha, shb) — the shared verify base of [[ngramJaccardPairs]]
+    * and [[ngramContainmentPairs]]. ONE persisted tokenize+shingle pass
+    * feeds both phases: the minhash signature explode (candidate
+    * generation) and the exact-set verify joins.
+    */
+  private def candidateShinglePairs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, rows: Int): DataFrame = {
     val sh = CacheScope.cache(withShingles(docs, idCol, textCol))
     val keyed = CacheScope.cache(bandKeys(slotMinsFromShingles(sh, idCol, k), idCol, k, rows))
     val cands = bandSelfJoinPairs(keyed)
@@ -824,10 +827,82 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rows: Int = 4): DataFrame =
+    candidateShinglePairs(docs, idCol, textCol, k, rows)
       .select(col("a"), col("b"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
         size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))
       .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
+
+  /** Overlap-coefficient (asymmetric containment) near-dup pairs:
+    * inter / min(|A|, |B|) over the same banded candidates as
+    * [[ngramJaccardPairs]]. The asymmetry Jaccard can't see: a short doc
+    * quoted whole inside a long one has a tiny union-dominated Jaccard
+    * but overlap 1.0 — the quote/subset-duplication case pretraining
+    * dedup cares about (Lee et al. 2021's containment framing). Same
+    * scale shape: banded equi-join candidates, one persisted shingle
+    * pass, never all-pairs — with the caveat (inherent to minhash) that
+    * recall for low-Jaccard/high-containment pairs comes from the band
+    * collisions the shared shingles still produce.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rows: Int = 4): DataFrame =
+    candidateShinglePairs(docs, idCol, textCol, k, rows)
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"))
+      .withColumn("ovl", col("inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+
+  /** Boilerplate line removal (the CCNet / jusText site-template case):
+    * a line is boilerplate iff it occurs in at least `minDocs` DISTINCT
+    * documents of the SAME source — navigation, footers, cookie banners
+    * are per-site templates, so the frequency key is (source, line),
+    * not the corpus. Distinct from [[dedupParagraphs]] two ways: dedup
+    * keeps the FIRST occurrence of any repeat, this drops EVERY
+    * occurrence of a frequent line; and a rare cross-doc repeat (a quote
+    * shared by two pages) is content here, not template, and survives.
+    *
+    * Scale shape: lines shuffle as (source, md5) pairs, never text; the
+    * doc-frequency agg partially combines map-side; the frequent set is
+    * small by construction (templates are few lines repeated many
+    * times), so the drop join fans out only over template occurrences;
+    * each doc receives positions-only drop lists; rebuild is a scan-pass
+    * HOF over the re-split text. Returns
+    * (idCol, clean_text, n_lines, n_bp) for EVERY input doc.
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, minDocs: Int = 3, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val occ = docs
+      .select(col(idCol), col(srcCol), posexplode(split(col(textCol), sepRe)))
+      .select(col(idCol), col(srcCol), col("pos"), md5(col("col")).as("ph"))
+    CacheScope.cache(occ) // feeds the frequency agg AND the drop join
+    val bp = occ.groupBy(col(srcCol), col("ph"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col(srcCol), col("ph"))
+    val drops = occ.join(bp, Seq(srcCol, "ph"))
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__dp"))
+    val rebuilt = TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+      TextFunctions.let(filter(ps, (_, i) =>
+        !array_contains(col("__dp"), i))) { kept =>
+        struct(
+          concat_ws(sep, kept).as("clean_text"),
+          size(ps).cast("long").as("n_lines"),
+          (size(ps) - size(kept)).cast("long").as("n_bp"))
+      }
+    }
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("__dp", coalesce(col("__dp"), array().cast("array<int>")))
+      .withColumn("__c", rebuilt)
+      .select(col(idCol), col("__c.clean_text").as("clean_text"),
+        col("__c.n_lines").as("n_lines"), col("__c.n_bp").as("n_bp"))
   }
 
   /** Winnowing (MOSS) near-dup candidates: pairs of docs sharing at least

@@ -281,6 +281,11 @@ object TextQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b")),
 
+    // overlap coefficient inter/min(|A|,|B|) over the same candidates —
+    // the asymmetric subset-duplication signal Jaccard dilutes
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text").orderBy("a", "b")),
+
     // exact substring (5-token window) duplication — the Lee et al. 2021
     // pretraining dedup unit; see Dedup.duplicatedWindowStats
     "dedup_substring" -> ((s, dir) =>
@@ -311,6 +316,16 @@ object TextQueries {
       Dedup.dedupParagraphs(
         docs(s, dir).select(col("doc_id"), renderedParas.as("text")),
         "doc_id", "text", "\n")
+        .orderBy("doc_id")
+    }),
+
+    // site-template boilerplate removal over the same paragraph
+    // rendering: drop EVERY occurrence of a line seen in >= 3 distinct
+    // docs of one source (dedup keeps the first; this keeps none)
+    "txt_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateRemove(
+        docs(s, dir).select(col("doc_id"), col("source"), renderedParas.as("text")),
+        "doc_id", "source", "text", minDocs = 3)
         .orderBy("doc_id")
     }),
 
@@ -2063,6 +2078,45 @@ object TextQueries {
          |  CAST(np - len(kept) AS BIGINT) AS n_dropped
          |FROM fin ORDER BY doc_id""".stripMargin,
 
+    // boilerplate replay: same paragraph rendering, but the drop rule is
+    // per-SOURCE doc frequency (>= 3 distinct docs) and drops EVERY
+    // occurrence — no keeper ranking
+    "txt_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokSql AS tk FROM documents),
+         |raw AS (
+         |  SELECT doc_id, source,
+         |    list_transform(
+         |      generate_series(0, CAST(ceil(len(tk) / 8.0) AS INT) - 1),
+         |      li -> array_to_string(tk[li*8+1 : li*8+8], ' ')) AS r
+         |  FROM t),
+         |rendered AS (
+         |  SELECT doc_id, source,
+         |    list_transform(r, (x, li) -> CASE
+         |      WHEN (doc_id * 17 + (li - 1)) % 11 = 0
+         |        THEN 'the shared boilerplate paragraph'
+         |      WHEN (doc_id * 13 + (li - 1)) % 7 = 3 THEN r[1]
+         |      ELSE x END) AS paras
+         |  FROM raw),
+         |occ0 AS (
+         |  SELECT doc_id, source, paras,
+         |    unnest(generate_series(1, len(paras))) AS li
+         |  FROM rendered),
+         |occ AS (SELECT doc_id, source, li - 1 AS pos, md5(paras[li]) AS ph FROM occ0),
+         |bp AS (SELECT source, ph FROM occ
+         |  GROUP BY source, ph HAVING COUNT(DISTINCT doc_id) >= 3),
+         |drops AS (SELECT doc_id, list(pos) AS dp
+         |  FROM occ JOIN bp USING (source, ph) GROUP BY doc_id),
+         |fin AS (
+         |  SELECT r.doc_id, len(r.paras) AS np,
+         |    list_filter(r.paras, (x, i) ->
+         |      NOT list_contains(COALESCE(dr.dp, CAST([] AS BIGINT[])), i - 1)) AS kept
+         |  FROM rendered r LEFT JOIN drops dr ON r.doc_id = dr.doc_id)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(np AS BIGINT) AS n_lines,
+         |  CAST(np - len(kept) AS BIGINT) AS n_bp
+         |FROM fin ORDER BY doc_id""".stripMargin,
+
     // C4 line/page rules replay: identical deterministic decorations
     // (DuckDB lambda indices are 1-based -> li - 1 in every keyed
     // condition via generate_series), identical keep predicate and
@@ -2181,6 +2235,25 @@ object TextQueries {
          |  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni,
          |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+         |FROM cand JOIN t x ON x.doc_id = a JOIN t y ON y.doc_id = b
+         |ORDER BY a, b""".stripMargin,
+
+    // containment replay: same candidates + shingle sets, overlap
+    // coefficient inter / min(|A|, |B|) instead of Jaccard
+    "dedup_containment" ->
+      s"""WITH ${lshBandsCte()},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |t AS (
+         |  SELECT doc_id, list_distinct($shSql) AS sh
+         |  FROM documents WHERE len($tokSql) >= 2)
+         |SELECT a, b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         |  CAST(len(x.sh) AS BIGINT) AS n_a,
+         |  CAST(len(y.sh) AS BIGINT) AS n_b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |    / least(len(x.sh), len(y.sh)) AS ovl
          |FROM cand JOIN t x ON x.doc_id = a JOIN t y ON y.doc_id = b
          |ORDER BY a, b""".stripMargin
   )

@@ -205,6 +205,45 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, "A\nB", 0L), (1L, "", 2L)))
   }
 
+  test("boilerplateRemove drops EVERY occurrence of a per-source frequent line (hand-computed)") {
+    // line "F" appears in 3 distinct docs of src0 -> boilerplate, every
+    // copy dies (incl. doc 0's double). Line "R" repeats across only 2
+    // docs -> content, survives everywhere (dedupParagraphs would cut
+    // the second copy). Doc 4 has "F" too, but in src1 where it's
+    // unique — per-source keying keeps it.
+    val docs = Seq(
+      (0L, "s0", "F\nA\nF"),
+      (1L, "s0", "F\nR"),
+      (2L, "s0", "B\nF\nR"),
+      (3L, "s0", "C"),
+      (4L, "s1", "F\nD")).toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateRemove(docs, "doc_id", "source", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "A", 3L, 2L),
+      (1L, "R", 2L, 1L),
+      (2L, "B\nR", 3L, 1L),
+      (3L, "C", 1L, 0L),
+      (4L, "F\nD", 2L, 0L)))
+  }
+
+  test("ngramContainmentPairs: subset doc scores overlap 1.0 where Jaccard dilutes") {
+    // doc 1 is a strict prefix of doc 0: its 6 2-shingles are all among
+    // doc 0's 7, and (checked against the deterministic md5 minhash) the
+    // pair shares a band, so it surfaces as a candidate.
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g")).toDF("doc_id", "text")
+    val ovl = Dedup.ngramContainmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(ovl == Seq((0L, 1L, 6L, 7L, 6L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => r.getDouble(4)).head
+    assert(jac < 1.0) // 6/7 — the union-diluted view of the same pair
+  }
+
   test("c4SpanDedup drops lines covered by non-keeper duplicated 3-line spans (hand-computed)") {
     // doc 1 & 2 open with the same 3 lines (span ABC; keeper (1,0)), so
     // doc 2 loses lines 0-2; doc 3 is the same 3 lines looping — spans
