@@ -86,7 +86,13 @@ object PlanAudit {
     "sim_rand_proj_topk" ->
       "projected search: the projection folds into the scan side of the SAME broadcast + bounded-heap top-k shape as sim_topk — reduced-dimension vectors, unchanged join strategy",
     "emb_outliers" ->
-      "centroid outliers: (group, pos) decimal agg broadcast back as |groups| centroid rows; distances are a scan pass; thresholds one (group, dist) percentile agg broadcast for the final compare — nothing pairwise, no window")
+      "centroid outliers: (group, pos) decimal agg broadcast back as |groups| centroid rows; distances are a scan pass; thresholds one (group, dist) percentile agg broadcast for the final compare — nothing pairwise, no window",
+    "txt_boilerplate" ->
+      "boilerplate removal: lines cross exchanges as (source, md5, pos) only (never text); the per-source doc-frequency agg partially combines map-side; per-doc drop lists are positions-only; rebuild is a scan-pass HOF after a left join",
+    "dedup_containment" ->
+      "containment: the SAME banded candidate self-join + persisted shingle relation as the Jaccard plan; the overlap math is a scan projection over the joined sets — no additional exchange",
+    "txt_source_overlap" ->
+      "source-overlap matrix: banded candidates + two narrow (doc_id, source) provenance joins; output bounded by n_sources^2 however large the corpus — the final agg is map-side-combining on a tiny key space")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
