@@ -285,8 +285,77 @@ object VideoQueries {
         .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
         .filter(col("jac") >= 0.5)
         .orderBy("a", "b")
+    }),
+
+    // REAL H264 Annex-B ingest: distributed NAL-walk indexing of
+    // spec-compliant byte streams (H264Writer-synthesized: exp-Golomb
+    // SPS/PPS, IDR + P slice headers, SEI, emulation-prevention
+    // escaping). The pin freezes access-unit splitting (incl. a
+    // two-slice frame), keyframe detection, SPS/PPS re-insertion at
+    // SPS-less IDRs (visible as byte_size deltas), and the cropped
+    // width/height parsed from the SPS tail.
+    "video_h264_index" -> ((s, _) => {
+      val dir = ensureH264Fixture()
+      graft.sources.H264Ingest.indexFiles(s, dir + "/*.h264")
+        .withColumn("stream",
+          regexp_extract(col("path"), "stream(\\d+)", 1).cast("long"))
+        .select(col("stream"), col("frame"), col("byte_offset"),
+          col("byte_size"), col("keyframe"), col("frame_num"),
+          col("n_slices"), col("width"), col("height"))
+        .orderBy("stream", "frame")
     })
   )
+
+  /** Deterministic Annex-B fixture: two real header-level H264 streams.
+    * Stream 0 (64x48): 3 GOPs of IDR+4P; SPS/PPS written ONLY before the
+    * first IDR (the indexer must re-insert them at GOPs 1-2), SEI before
+    * every IDR, and frame 7 split across two slices. Stream 1 (50x30,
+    * frame-cropped SPS): 2 GOPs of IDR+2P with 4-byte start codes on the
+    * parameter sets.
+    */
+  private def ensureH264Fixture(): String = {
+    import graft.sources.{H264Writer => W}
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-h264")
+    dir.mkdirs()
+    val f0 = new java.io.File(dir, "stream0.h264")
+    val f1 = new java.io.File(dir, "stream1.h264")
+    if (f0.isFile && f1.isFile) return dir.getPath
+    def filler(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => (0x11 + (i * 7) % 200).toByte)
+    val s0 = new java.io.ByteArrayOutputStream()
+    s0.write(W.nal(3, 7, W.sps(0, 64, 48)))
+    s0.write(W.nal(3, 8, W.pps(0, 0)))
+    (0 until 3).foreach { g =>
+      s0.write(W.nal(0, 6, filler(5))) // SEI opens the meta sequence
+      s0.write(W.nal(3, 5, W.slice(idr = true, 0, 0, 0, idrPicId = g,
+        filler = filler(40 + g))))
+      (1 to 4).foreach { k =>
+        val fno = 5 * g + k // global frame index for the fixture
+        if (fno == 7) { // two slices, one access unit (GOP 1, frame 2)
+          s0.write(W.nal(2, 1, W.slice(idr = false, 0, k, 2 * k,
+            filler = filler(20))))
+          s0.write(W.nal(2, 1, W.slice(idr = false, 0, k, 2 * k,
+            firstMb = 6, filler = filler(21))))
+        } else
+          s0.write(W.nal(2, 1, W.slice(idr = false, 0, k, 2 * k,
+            filler = filler(25 + fno))))
+      }
+    }
+    val s1 = new java.io.ByteArrayOutputStream()
+    s1.write(W.nal(3, 7, W.sps(0, 50, 30), fourByte = true))
+    s1.write(W.nal(3, 8, W.pps(0, 0), fourByte = true))
+    (0 until 2).foreach { g =>
+      s1.write(W.nal(3, 5, W.slice(idr = true, 0, 0, 0, idrPicId = g,
+        filler = filler(30 + g))))
+      (1 to 2).foreach { k =>
+        s1.write(W.nal(2, 1, W.slice(idr = false, 0, k, 2 * k,
+          filler = filler(18 + k))))
+      }
+    }
+    java.nio.file.Files.write(f0.toPath, s0.toByteArray)
+    java.nio.file.Files.write(f1.toPath, s1.toByteArray)
+    dir.getPath
+  }
 
   /** inputs are generated codec segments, not shared parquet — oracles are
     * pinned VALUES literals (see [[PinnedOracles]]) */
