@@ -313,7 +313,7 @@ object VideoQueries {
     * frame-cropped SPS): 2 GOPs of IDR+2P with 4-byte start codes on the
     * parameter sets.
     */
-  private def ensureH264Fixture(): String = {
+  private[graft] def ensureH264Fixture(): String = {
     import graft.sources.{H264Writer => W}
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-h264")
     dir.mkdirs()

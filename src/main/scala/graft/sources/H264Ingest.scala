@@ -42,6 +42,83 @@ object H264Ingest {
       .toDF(frameSchema: _*)
   }
 
+  /** Ingest a directory of `.h264` files into the SAME committed
+    * segment-table format [[VideoStore.ingest]] writes — one row per
+    * keyframe-aligned GOP, `(streamId, segId)` sorted so parquet
+    * row-group stats prune on segId; streamId is the file's position in
+    * the sorted listing (the `ingestMp4Dir` convention). The stored
+    * payloads are REAL self-contained H264 (parameter sets present at
+    * every leading IDR), so everything metadata-driven on the store —
+    * sparse-read segment planning, pruned scans, ordered concatenation
+    * back to one Annex-B stream — runs today; only pixel decode of these
+    * segments waits on a real H264 [[GopCodec]] behind the seam.
+    */
+  def ingestH264Dir(spark: SparkSession, dirPath: String, root: String,
+      name: String,
+      mode: graft.model.CacheMode = graft.model.CacheMode.Error)
+      : graft.model.StreamDescriptor = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    // Hadoop FS throughout (any backend), executor-side opens via a
+    // broadcast conf — the ingestMp4Dir pattern (VideoStore.scala:300)
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs0.listStatus(dir).map(_.getPath)
+      .filter(_.getName.toLowerCase.endsWith(".h264"))
+      .map(_.toString).sorted
+    require(files.nonEmpty, s"no .h264 files under $dirPath")
+    val confKV = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val confB = spark.sparkContext.broadcast(confKV)
+    val withIds = files.zipWithIndex.map { case (p, i) => (p, i.toLong) }.toSeq
+    val segs = spark.createDataset(withIds)
+      .repartition(math.max(1,
+        math.min(spark.sparkContext.defaultParallelism, files.length)))
+      .flatMap { case (pathStr, sid) =>
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => hc.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val fs = p.getFileSystem(hc)
+        val len = fs.getFileStatus(p).getLen
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        H264.index(bytes).gopSegments.map { case (g, start, n, payload) =>
+          VideoStore.Segment(sid, g.toLong, start, n, payload)
+        }
+      }
+      .toDF()
+    NamedStorage.write(segs.orderBy("streamId", "segId"), root, name, mode)
+  }
+
+  /** Export one stored stream back to a single Annex-B file — the
+    * `save_mp4` twin for raw H264 stores
+    * (`python/scannerpy/column.py:283-342` semantics: ordered segment
+    * concatenation; valid here because every GOP payload is
+    * self-contained). Segments stream through `toLocalIterator` in
+    * segId order — driver memory stays one-GOP bounded however long
+    * the stream. Returns the byte count written.
+    */
+  def saveAnnexB(spark: SparkSession, root: String, name: String,
+      streamId: Long, outPath: String): Long = {
+    val segs = VideoStore.segments(spark, root, name)
+      .filter(col("streamId") === streamId)
+      .orderBy("segId")
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    var n = 0L
+    try {
+      val it = segs.toLocalIterator()
+      while (it.hasNext) {
+        val payload = it.next().payload
+        out.write(payload)
+        n += payload.length
+      }
+    } finally out.close()
+    n
+  }
+
   /** keyframe-aligned GOP segments: (path, gop, start_frame, n_frames,
     * payload) — each payload independently decodable
     */

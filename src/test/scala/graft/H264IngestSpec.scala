@@ -1,0 +1,47 @@
+package graft
+
+import graft.model.CacheMode
+import graft.sources.{H264, H264Ingest, VideoStore}
+
+/** The H264 store loop on REAL Annex-B bytes: distributed ingest into the
+  * committed segment-table format, stored-payload self-containment, and
+  * the export-concatenate-reingest round trip.
+  */
+class H264IngestSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val dir = queries.VideoQueries.ensureH264Fixture()
+    val r = sys.props("java.io.tmpdir") + "/graft-h264-store"
+    H264Ingest.ingestH264Dir(spark, dir, r, "realvid", CacheMode.Ignore)
+    r
+  }
+
+  test("ingestH264Dir stores keyframe-aligned GOP segments in VideoStore's format") {
+    val segs = VideoStore.segments(spark, root, "realvid")
+      .collect().sortBy(s => (s.streamId, s.segId))
+    assert(segs.map(s => (s.streamId, s.segId, s.startIndex, s.numFrames)).toSeq == Seq(
+      (0L, 0L, 0L, 5), (0L, 1L, 5L, 5), (0L, 2L, 10L, 5),
+      (1L, 0L, 0L, 3), (1L, 1L, 3L, 3)))
+  }
+
+  test("every stored payload re-indexes standalone (parameter sets travel with the GOP)") {
+    VideoStore.segments(spark, root, "realvid").collect().foreach { s =>
+      val ix = H264.index(s.payload)
+      assert(ix.frames.length == s.numFrames)
+      assert(ix.keyframes == Vector(0L))
+      assert(ix.width > 0 && ix.height > 0)
+    }
+  }
+
+  test("saveAnnexB export re-ingests to the original frame structure") {
+    val out = sys.props("java.io.tmpdir") + "/graft-h264-export/stream0.h264"
+    val n = H264Ingest.saveAnnexB(spark, root, "realvid", 0L, out)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(n == bytes.length && n > 0)
+    val ix = H264.index(bytes)
+    assert(ix.frames.length == 15)
+    assert(ix.keyframes == Vector(0L, 5L, 10L))
+    assert(ix.width == 64 && ix.height == 48)
+    assert(ix.frames.map(_.nSlices).count(_ == 2) == 1) // the split frame survives
+  }
+}
