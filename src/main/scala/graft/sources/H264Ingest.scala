@@ -56,17 +56,64 @@ object H264Ingest {
   def ingestH264Dir(spark: SparkSession, dirPath: String, root: String,
       name: String,
       mode: graft.model.CacheMode = graft.model.CacheMode.Error)
+      : graft.model.StreamDescriptor =
+    // Hadoop FS throughout (any backend), executor-side opens via a
+    // broadcast conf — the ingestMp4Dir pattern (VideoStore.scala:300)
+    ingestDirWith(spark, dirPath, root, name, mode, ".h264",
+      bytes => H264.index(bytes))
+
+  /** [[ingestH264Dir]] for directories of real `avc1` MP4 files — the
+    * format users actually have. Each executor task demuxes its file
+    * with the repo's own ISO-BMFF + AVCC walk ([[H264Mp4.indexMp4]]:
+    * avcC parameter sets re-inlined, samples re-framed to Annex-B),
+    * then indexes and GOP-segments it exactly like the raw path — so a
+    * directory of MP4s and a directory of `.h264` streams produce the
+    * SAME stored table.
+    */
+  def ingestMp4H264Dir(spark: SparkSession, dirPath: String, root: String,
+      name: String,
+      mode: graft.model.CacheMode = graft.model.CacheMode.Error)
+      : graft.model.StreamDescriptor =
+    ingestDirWith(spark, dirPath, root, name, mode, ".mp4",
+      bytes => H264Mp4.indexMp4(bytes))
+
+  /** Export one stored stream as a real `avc1` MP4 (AVCC samples, avcC
+    * parameter sets, stss sync table). The stream's segments concatenate
+    * to one Annex-B stream (each is self-contained), which re-indexes
+    * and muxes; the driver holds ONE stream's bytes — the sample table
+    * needs every access-unit size before the container header is known.
+    * Returns bytes written.
+    */
+  def saveMp4(spark: SparkSession, root: String, name: String,
+      streamId: Long, outPath: String, fps: Int = 30): Long = {
+    val segs = VideoStore.segments(spark, root, name)
+      .filter(col("streamId") === streamId)
+      .orderBy("segId")
+    val buf = new java.io.ByteArrayOutputStream()
+    val it = segs.toLocalIterator()
+    while (it.hasNext) buf.write(it.next().payload)
+    val ix = H264.index(buf.toByteArray)
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try H264Mp4.mux(ix, out, fps) finally out.close()
+  }
+
+  /** shared distributed walk of [[ingestH264Dir]]/[[ingestMp4H264Dir]]:
+    * list, broadcast conf, per-file open + index + segment
+    */
+  private def ingestDirWith(spark: SparkSession, dirPath: String,
+      root: String, name: String, mode: graft.model.CacheMode, ext: String,
+      indexer: Array[Byte] => H264.StreamIndex)
       : graft.model.StreamDescriptor = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    // Hadoop FS throughout (any backend), executor-side opens via a
-    // broadcast conf — the ingestMp4Dir pattern (VideoStore.scala:300)
     val dir = new org.apache.hadoop.fs.Path(dirPath)
     val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs0.listStatus(dir).map(_.getPath)
-      .filter(_.getName.toLowerCase.endsWith(".h264"))
+      .filter(_.getName.toLowerCase.endsWith(ext))
       .map(_.toString).sorted
-    require(files.nonEmpty, s"no .h264 files under $dirPath")
+    require(files.nonEmpty, s"no $ext files under $dirPath")
     val confKV = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     val confB = spark.sparkContext.broadcast(confKV)
@@ -83,7 +130,7 @@ object H264Ingest {
         val bytes = new Array[Byte](len.toInt)
         val in = fs.open(p)
         try in.readFully(0L, bytes) finally in.close()
-        H264.index(bytes).gopSegments.map { case (g, start, n, payload) =>
+        indexer(bytes).gopSegments.map { case (g, start, n, payload) =>
           VideoStore.Segment(sid, g.toLong, start, n, payload)
         }
       }

@@ -26,7 +26,7 @@ object Mp4Writer {
   /** metadata of one sample (= one stored GOP segment), in stream order */
   final case class SampleMeta(bytes: Long, frames: Int)
 
-  private def box(tpe: String)(body: DataOutputStream => Unit): Array[Byte] = {
+  private[sources] def box(tpe: String)(body: DataOutputStream => Unit): Array[Byte] = {
     val buf = new ByteArrayOutputStream()
     val d   = new DataOutputStream(buf)
     body(d); d.flush()
@@ -38,7 +38,7 @@ object Mp4Writer {
     out.toByteArray
   }
 
-  private def fullBox(tpe: String, version: Int = 0, flags: Int = 0)(
+  private[sources] def fullBox(tpe: String, version: Int = 0, flags: Int = 0)(
       body: DataOutputStream => Unit): Array[Byte] =
     box(tpe) { d => d.writeInt((version << 24) | (flags & 0xffffff)); body(d) }
 
@@ -86,7 +86,8 @@ object Mp4Writer {
     * offset of the first payload byte inside mdat.
     */
   def moov(samples: Seq[SampleMeta], width: Int, height: Int, fps: Int,
-      chunkOffset: Long): Array[Byte] = {
+      chunkOffset: Long, entryOverride: Option[Array[Byte]] = None,
+      syncSamples: Seq[Int] = Nil): Array[Byte] = {
     require(samples.nonEmpty, "mp4 needs at least one sample")
     // fail loudly instead of silently truncating the fixed-width fields
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
@@ -138,7 +139,19 @@ object Mp4Writer {
         r.write(fullBox("url ", flags = 1)(_ => ())) // self-contained
       })
     }
-    val stsd = fullBox("stsd") { d => d.writeInt(1); d.write(sampleEntry(width, height)) }
+    val stsd = fullBox("stsd") { d =>
+      d.writeInt(1)
+      d.write(entryOverride.getOrElse(sampleEntry(width, height)))
+    }
+    // sync-sample (keyframe) table: omitted when EVERY sample is a sync
+    // point (absence means all-sync per the spec — the GOP-segment case);
+    // real inter-coded tracks (avc1) list their IDR samples here
+    val stssOpt =
+      if (syncSamples.isEmpty) None
+      else Some(fullBox("stss") { d =>
+        d.writeInt(syncSamples.size)
+        syncSamples.foreach(d.writeInt)
+      })
     // per-sample durations (frames per GOP), run-length compacted
     val stts = fullBox("stts") { d =>
       val runs = samples.foldLeft(Vector.empty[(Int, Int)]) { (acc, s) =>
@@ -164,7 +177,9 @@ object Mp4Writer {
         fullBox("stco") { d => d.writeInt(1); d.writeInt(chunkOffset.toInt) }
       else
         fullBox("co64") { d => d.writeInt(1); d.writeLong(chunkOffset) }
-    val stbl = box("stbl") { d => Seq(stsd, stts, stsc, stsz, chunkBox).foreach(d.write) }
+    val stbl = box("stbl") { d =>
+      (Seq(stsd, stts) ++ stssOpt ++ Seq(stsc, stsz, chunkBox)).foreach(d.write)
+    }
     val minf = box("minf") { d => Seq(vmhd, dinf, stbl).foreach(d.write) }
     val mdia = box("mdia") { d => Seq(mdhd, hdlr, minf).foreach(d.write) }
     val trak = box("trak") { d => Seq(tkhd, mdia).foreach(d.write) }
@@ -176,14 +191,16 @@ object Mp4Writer {
     * bytes written.
     */
   def write(out: OutputStream, samples: Seq[SampleMeta], width: Int, height: Int,
-      fps: Int, payloads: Iterator[Array[Byte]]): Long = {
+      fps: Int, payloads: Iterator[Array[Byte]],
+      entryOverride: Option[Array[Byte]] = None,
+      syncSamples: Seq[Int] = Nil): Long = {
     val head   = ftyp
     val mdatH  = mdatHeader(samples.map(_.bytes).sum)
     val offset = head.length.toLong + mdatH.length // first payload byte
     out.write(head); out.write(mdatH)
     var written = offset
     payloads.foreach { p => out.write(p); written += p.length }
-    val tail = moov(samples, width, height, fps, offset)
+    val tail = moov(samples, width, height, fps, offset, entryOverride, syncSamples)
     out.write(tail)
     written + tail.length
   }
@@ -193,17 +210,17 @@ object Mp4Writer {
   /** one demuxed sample: absolute file offset + size */
   final case class SampleRef(offset: Long, bytes: Int)
 
-  private def be32(b: Array[Byte], off: Int): Int =
+  private[sources] def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  private def be64(b: Array[Byte], off: Int): Long =
+  private[sources] def be64(b: Array[Byte], off: Int): Long =
     ((be32(b, off) & 0xffffffffL) << 32) | (be32(b, off + 4) & 0xffffffffL)
 
-  private def boxType(b: Array[Byte], off: Int): String =
+  private[sources] def boxType(b: Array[Byte], off: Int): String =
     new String(b, off + 4, 4, US_ASCII)
 
-  private def findChildOpt(b: Array[Byte], from: Int, end: Int, tpe: String): Option[Int] = {
+  private[sources] def findChildOpt(b: Array[Byte], from: Int, end: Int, tpe: String): Option[Int] = {
     var o = from
     while (o < end && boxType(b, o) != tpe) {
       val sz = be32(b, o)
@@ -215,7 +232,7 @@ object Mp4Writer {
     if (o < end) Some(o) else None
   }
 
-  private def findChild(b: Array[Byte], from: Int, end: Int, tpe: String): Int =
+  private[sources] def findChild(b: Array[Byte], from: Int, end: Int, tpe: String): Int =
     findChildOpt(b, from, end, tpe)
       .getOrElse(throw new IllegalArgumentException(s"mp4: missing $tpe box"))
 

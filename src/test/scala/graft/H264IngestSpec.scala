@@ -33,6 +33,44 @@ class H264IngestSpec extends SparkSpec {
     }
   }
 
+  test("a directory of avc1 MP4s ingests to the SAME table as the raw .h264 dir") {
+    import graft.sources.H264Mp4
+    // wrap each fixture stream in a real avc1 container, ingest the dir
+    val h264Dir = queries.VideoQueries.ensureH264Fixture()
+    val mp4Dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-h264-mp4")
+    mp4Dir.mkdirs()
+    new java.io.File(h264Dir).listFiles().filter(_.getName.endsWith(".h264"))
+      .sortBy(_.getName).foreach { f =>
+        val ix = H264.index(java.nio.file.Files.readAllBytes(f.toPath))
+        val out = new java.io.FileOutputStream(
+          new java.io.File(mp4Dir, f.getName.replace(".h264", ".mp4")))
+        try H264Mp4.mux(ix, out) finally out.close()
+      }
+    val r2 = sys.props("java.io.tmpdir") + "/graft-h264-store-mp4"
+    H264Ingest.ingestMp4H264Dir(spark, mp4Dir.getPath, r2, "realvid",
+      CacheMode.Ignore)
+    val a = VideoStore.segments(spark, root, "realvid").collect()
+      .sortBy(s => (s.streamId, s.segId))
+      .map(s => (s.streamId, s.segId, s.startIndex, s.numFrames))
+    val b = VideoStore.segments(spark, r2, "realvid").collect()
+      .sortBy(s => (s.streamId, s.segId))
+      .map(s => (s.streamId, s.segId, s.startIndex, s.numFrames))
+    assert(a.toSeq == b.toSeq) // identical index; payload bytes differ only
+                               // in parameter-set placement (avcC re-inline)
+  }
+
+  test("saveMp4 exports a real avc1 container that re-ingests structurally") {
+    import graft.sources.H264Mp4
+    val out = sys.props("java.io.tmpdir") + "/graft-h264-export/stream0.mp4"
+    val n = H264Ingest.saveMp4(spark, root, "realvid", 0L, out)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(n == bytes.length)
+    val cfg = H264Mp4.parseAvcConfig(bytes)
+    assert(cfg.width == 64 && cfg.height == 48 && cfg.profileIdc == 66)
+    val ix = H264Mp4.indexMp4(bytes)
+    assert(ix.frames.length == 15 && ix.keyframes == Vector(0L, 5L, 10L))
+  }
+
   test("saveAnnexB export re-ingests to the original frame structure") {
     val out = sys.props("java.io.tmpdir") + "/graft-h264-export/stream0.h264"
     val n = H264Ingest.saveAnnexB(spark, root, "realvid", 0L, out)
