@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, TextFunctions => TF}
+import graft.functions.{Dedup, Provenance, TextFunctions => TF}
 
 /** Text-analysis + deduplication queries over `documents` — the
   * training-data-pipeline extensions (BASELINE.json north star), each with
@@ -317,6 +317,34 @@ object TextQueries {
         docs(s, dir).select(col("doc_id"), renderedParas.as("text")),
         "doc_id", "text", "\n")
         .orderBy("doc_id")
+    }),
+
+    // Corpus snapshot diff (crawl versioning): snapshot A is missing the
+    // not-yet-crawled doc_id % 11 == 3 slice; snapshot B drops
+    // doc_id % 7 == 2 and rewrites doc_id % 5 == 0 — per doc, status in
+    // added/removed/changed/unchanged by content md5 (text never
+    // crosses the exchange; the diff joins 48-byte (id, md5) rows)
+    "txt_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.filter(col("doc_id") % 11 =!= 3).select(col("doc_id"), col("text"))
+      val b = d.filter(col("doc_id") % 7 =!= 2).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      Provenance.snapshotDiff(a, b, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // per-source churn rollup of the same diff: the refresh report that
+    // says how much of each slice is new/gone/rewritten
+    "txt_snapshot_churn" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.filter(col("doc_id") % 11 =!= 3).select(col("doc_id"), col("text"))
+      val b = d.filter(col("doc_id") % 7 =!= 2).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      Provenance.snapshotChurn(a, b, "doc_id", "text",
+        d.select(col("doc_id"), col("source").as("grp")))
+        .select(col("grp").as("source"), col("status"), col("n"))
+        .orderBy("source", "status")
     }),
 
     // site-template boilerplate removal over the same paragraph
@@ -2077,6 +2105,42 @@ object TextQueries {
          |  CAST(np AS BIGINT) AS n_paras,
          |  CAST(np - len(kept) AS BIGINT) AS n_dropped
          |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // snapshot-diff replay: same deterministic snapshot derivations,
+    // full-outer md5 compare
+    "txt_snapshot_diff" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 11 <> 3),
+         |b AS (
+         |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+         |                          ELSE text END) AS hb
+         |  FROM documents WHERE doc_id % 7 <> 2)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN ha IS NULL THEN 'added'
+         |       WHEN hb IS NULL THEN 'removed'
+         |       WHEN ha = hb THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "txt_snapshot_churn" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 11 <> 3),
+         |b AS (
+         |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+         |                          ELSE text END) AS hb
+         |  FROM documents WHERE doc_id % 7 <> 2),
+         |d AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |    CASE WHEN ha IS NULL THEN 'added'
+         |         WHEN hb IS NULL THEN 'removed'
+         |         WHEN ha = hb THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT s.source, d.status, COUNT(*) AS n
+         |FROM d JOIN documents s USING (doc_id)
+         |GROUP BY s.source, d.status
+         |ORDER BY s.source, d.status""".stripMargin,
 
     // boilerplate replay: same paragraph rendering, but the drop rule is
     // per-SOURCE doc frequency (>= 3 distinct docs) and drops EVERY
