@@ -147,6 +147,17 @@ object Bench {
         operators.ProcessKernel.run(ds,
           queries.ProcQueries.wordcountBatchedSpec(256)).toDF()
       }),
+      // fleet-scale real-H264 ingest: 48 streams x 240 AUs (~17 MB of
+      // Annex-B) through the distributed NAL walk + header parse +
+      // keyframe index; one task per file — the per-byte scan rate is
+      // the number that holds at video-corpus scale
+      "bt_h264_index" -> ((s, _) => {
+        val dir = queries.VideoQueries.ensureH264Fleet()
+        sources.H264Ingest.indexFiles(s, dir + "/*.h264")
+          .groupBy().agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum("byte_size").as("bytes"))
+      }),
       "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
       "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),
       // ONE 10M-row stream as-of joined to a sparse snapshot stream: the
@@ -456,7 +467,12 @@ object Bench {
               mins01.get(k).exists(_._1 > 0) =>
             s"\"" + k + "\":" + f"${v / mins01(k)._1}%.2f"
         }.mkString("{", ",", "}")
-        s""","sf1":{"dir":"$sf1Dir","reps":$sf1Reps,${sectionJson(res1)},"ratio_vs_sf0.1":$ratios}"""
+        // failed list for THIS section too — the top-level "failed" only
+        // covers the sf0.1 results, and a consumer checking it would
+        // otherwise see a clean run while sf1 numbers silently miss
+        val failed1 = res1.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
+          .mkString("[", ",", "]")
+        s""","sf1":{"dir":"$sf1Dir","reps":$sf1Reps,${sectionJson(res1)},"failed":$failed1,"ratio_vs_sf0.1":$ratios}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 section failed: $e")
         // full JSON string escape: exception messages carry newlines and

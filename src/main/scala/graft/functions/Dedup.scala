@@ -721,11 +721,20 @@ object Dedup {
     * Returns (idCol, clean_text, n_paras, n_dropped) for EVERY input doc;
     * a doc whose every paragraph is dropped emits clean_text = "".
     */
+  /** line split guarded for the empty doc: Spark's split("") yields [""]
+    * (one phantom empty line) where the oracles' token-derived renderings
+    * yield zero lines — an empty doc must render ZERO lines on both
+    * engines (the rawLines zero-token guard's twin at the line layer)
+    */
+  private def splitLines(textCol: String, sepRe: String): Column =
+    when(length(col(textCol)) > 0, split(col(textCol), sepRe))
+      .otherwise(array().cast("array<string>"))
+
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val occ = docs
-      .select(col(idCol), posexplode(split(col(textCol), sepRe)))
+      .select(col(idCol), posexplode(splitLines(textCol, sepRe)))
       .select(col(idCol), col("pos"), md5(col("col")).as("ph"))
     CacheScope.cache(occ) // feeds the keeper agg AND the per-doc drop list
     val keepers = occ.groupBy(col("ph"))
@@ -736,7 +745,7 @@ object Dedup {
     val drops = occ.join(keepers, Seq("ph"))
       .filter(!(col(idCol) === col("__kid") && col("pos") === col("__kp")))
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__dp"))
-    val rebuilt = TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+    val rebuilt = TextFunctions.let(splitLines(textCol, sepRe)) { ps =>
       TextFunctions.let(filter(ps, (_, i) =>
         !array_contains(col("__dp"), i))) { kept =>
         struct(
@@ -778,7 +787,7 @@ object Dedup {
     require(span >= 2, s"span must be >= 2, got $span")
     val sepRe = java.util.regex.Pattern.quote(sep)
     val spans = CacheScope.cache(docs
-      .select(col(idCol), explode(TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+      .select(col(idCol), explode(TextFunctions.let(splitLines(textCol, sepRe)) { ps =>
         when(size(ps) >= span,
           transform(sequence(lit(0), size(ps) - span), i =>
             struct(i.as("pos"),
@@ -796,7 +805,7 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(span - 1))).as("lp"))
       .groupBy(col(idCol)).agg(collect_set(col("lp")).as("__dp"))
-    val rebuilt = TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+    val rebuilt = TextFunctions.let(splitLines(textCol, sepRe)) { ps =>
       TextFunctions.let(filter(ps, (_, i) =>
         !array_contains(col("__dp"), i))) { kept =>
         struct(
@@ -880,7 +889,7 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val sepRe = java.util.regex.Pattern.quote(sep)
     val occ = docs
-      .select(col(idCol), col(srcCol), posexplode(split(col(textCol), sepRe)))
+      .select(col(idCol), col(srcCol), posexplode(splitLines(textCol, sepRe)))
       .select(col(idCol), col(srcCol), col("pos"), md5(col("col")).as("ph"))
     CacheScope.cache(occ) // feeds the frequency agg AND the drop join
     val bp = occ.groupBy(col(srcCol), col("ph"))
@@ -889,7 +898,7 @@ object Dedup {
       .select(col(srcCol), col("ph"))
     val drops = occ.join(bp, Seq(srcCol, "ph"))
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__dp"))
-    val rebuilt = TextFunctions.let(split(col(textCol), sepRe)) { ps =>
+    val rebuilt = TextFunctions.let(splitLines(textCol, sepRe)) { ps =>
       TextFunctions.let(filter(ps, (_, i) =>
         !array_contains(col("__dp"), i))) { kept =>
         struct(

@@ -313,6 +313,39 @@ object VideoQueries {
     * frame-cropped SPS): 2 GOPs of IDR+2P with 4-byte start codes on the
     * parameter sets.
     */
+  /** A FLEET of deterministic Annex-B streams for the ingest bench:
+    * `files` streams of `gops` GOPs x (IDR + `pFrames` P), `fillerLen`
+    * bytes of deterministic slice payload — sized so the timed cost is
+    * the per-byte NAL scan + per-AU header parse, not file handling.
+    * One-time generation (idempotent on the marker file).
+    */
+  private[graft] def ensureH264Fleet(files: Int = 48, gops: Int = 40,
+      pFrames: Int = 5, fillerLen: Int = 1500): String = {
+    import graft.sources.{H264Writer => W}
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-h264-fleet-$files-$gops-$pFrames-$fillerLen")
+    val marker = new java.io.File(dir, "_DONE")
+    if (marker.isFile) return dir.getPath
+    dir.mkdirs()
+    val filler = Array.tabulate(fillerLen)(i => (0x21 + (i * 11) % 180).toByte)
+    (0 until files).foreach { f =>
+      val s = new java.io.ByteArrayOutputStream(gops * (pFrames + 1) * (fillerLen + 32))
+      s.write(W.nal(3, 7, W.sps(0, 640, 480)))
+      s.write(W.nal(3, 8, W.pps(0, 0)))
+      (0 until gops).foreach { g =>
+        s.write(W.nal(3, 5, W.slice(idr = true, 0, 0, 0, idrPicId = g % 2,
+          filler = filler)))
+        (1 to pFrames).foreach { k =>
+          s.write(W.nal(2, 1, W.slice(idr = false, 0, k, 2 * k, filler = filler)))
+        }
+      }
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"stream$f%04d.h264").toPath, s.toByteArray)
+    }
+    java.nio.file.Files.write(marker.toPath, Array[Byte]())
+    dir.getPath
+  }
+
   private[graft] def ensureH264Fixture(): String = {
     import graft.sources.{H264Writer => W}
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-h264")

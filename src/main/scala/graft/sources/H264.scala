@@ -354,12 +354,12 @@ object H264 {
       val offset = demuxed.size.toLong
       if (auHasIdr) {
         keyframes += frame
-        // self-containment: an IDR sample that does not carry its own SPS
-        // gets every cached parameter set prepended
-        if (!au.exists(_.nalType == 7)) {
-          spsBytes.values.foreach(demuxed.write)
-          ppsBytes.values.foreach(demuxed.write)
-        }
+        // self-containment: prepend whichever cached parameter-set KIND
+        // the IDR's own unit lacks — checked independently, because a
+        // stream may legally repeat SPS per IDR but not PPS (or vice
+        // versa), and a GOP missing either is not standalone decodable
+        if (!au.exists(_.nalType == 7)) spsBytes.values.foreach(demuxed.write)
+        if (!au.exists(_.nalType == 8)) ppsBytes.values.foreach(demuxed.write)
       }
       au.foreach { nal => demuxed.write(startCode); demuxed.write(nal.bytes) }
       frames += Frame(frame, offset, demuxed.size - offset, auHasIdr,

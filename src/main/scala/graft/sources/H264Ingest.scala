@@ -118,24 +118,39 @@ object H264Ingest {
       .map(e => (e.getKey, e.getValue)).toArray
     val confB = spark.sparkContext.broadcast(confKV)
     val withIds = files.zipWithIndex.map { case (p, i) => (p, i.toLong) }.toSeq
-    val segs = spark.createDataset(withIds)
-      .repartition(math.max(1,
-        math.min(spark.sparkContext.defaultParallelism, files.length)))
-      .flatMap { case (pathStr, sid) =>
-        val hc = new org.apache.hadoop.conf.Configuration(false)
-        confB.value.foreach { case (k, v) => hc.set(k, v) }
-        val p = new org.apache.hadoop.fs.Path(pathStr)
-        val fs = p.getFileSystem(hc)
-        val len = fs.getFileStatus(p).getLen
-        val bytes = new Array[Byte](len.toInt)
-        val in = fs.open(p)
-        try in.readFully(0L, bytes) finally in.close()
-        indexer(bytes).gopSegments.map { case (g, start, n, payload) =>
-          VideoStore.Segment(sid, g.toLong, start, n, payload)
+    val nParts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, files.length))
+    // the ingestMp4Dir ordering trick (VideoStore.scala:311): range-sort
+    // the TINY (path, sid) relation, emit per-file segments in segId
+    // order, and write with NO global sort — parquet comes out
+    // (streamId, segId)-ordered without an exchange over the payloads
+    val segs = withIds.toDF("path", "sid")
+      .repartitionByRange(nParts, col("sid"))
+      .sortWithinPartitions("sid")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val hc = new org.apache.hadoop.conf.Configuration(false)
+          confB.value.foreach { case (k, v) => hc.set(k, v) }
+          it.flatMap { case (pathStr, sid) =>
+            val p = new org.apache.hadoop.fs.Path(pathStr)
+            val fs = p.getFileSystem(hc)
+            val len = fs.getFileStatus(p).getLen
+            require(len <= Int.MaxValue,
+              s"$pathStr is $len bytes; single-stream indexing is bounded " +
+                "at 2 GiB — split the stream or extend to a streaming NAL walk")
+            val bytes = new Array[Byte](len.toInt)
+            val in = fs.open(p)
+            try in.readFully(0L, bytes) finally in.close()
+            indexer(bytes).gopSegments.map { case (g, start, n, payload) =>
+              VideoStore.Segment(sid, g.toLong, start, n, payload)
+            }
+          }
         }
       }
       .toDF()
-    NamedStorage.write(segs.orderBy("streamId", "segId"), root, name, mode)
+    NamedStorage.write(segs, root, name, mode)
   }
 
   /** Export one stored stream back to a single Annex-B file — the

@@ -82,6 +82,12 @@ object H264Mp4 {
     * the sync table. Returns bytes written.
     */
   def mux(ix: H264.StreamIndex, out: OutputStream, fps: Int = 30): Long = {
+    // an stss-less track means ALL samples are sync points per ISO
+    // 14496-12 — the opposite of the truth for a keyframe-less stream
+    // (a tail cut mid-GOP); refuse rather than write a lying container
+    require(ix.keyframes.nonEmpty,
+      "cannot mux a stream with no IDR keyframe: every sample would be " +
+        "mis-declared seekable (absent stss = all-sync)")
     // collect parameter sets from the demuxed stream (indexer caches
     // guarantee every IDR sample carries them; take the first of each)
     val nals = H264.nalUnits(ix.demuxed)

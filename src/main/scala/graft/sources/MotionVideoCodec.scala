@@ -205,7 +205,15 @@ object MotionVideoCodec extends GopCodec {
         val plainLen = if (i == 0) sz else (((w + B - 1) / B) * ((h + B - 1) / B)) * 2 + sz
         val plain = new Array[Byte](plainLen)
         var got = 0
-        while (got < plainLen) got += inflater.inflate(plain, got, plainLen - got)
+        var step = -1
+        // stop on finished() OR a zero-progress inflate (exhausted input
+        // with the stream unfinished = truncated block) — either way the
+        // require turns corruption into a loud failure, never a spin
+        while (got < plainLen && step != 0 && !inflater.finished()) {
+          step = inflater.inflate(plain, got, plainLen - got)
+          got += step
+        }
+        require(got == plainLen, s"truncated GMV1 frame block: $got of $plainLen")
         val data =
           if (i == 0) plain
           else reconstructP(prev, plain, h, w, c)

@@ -228,6 +228,20 @@ class DedupSpec extends SparkSpec {
       (4L, "F\nD", 2L, 0L)))
   }
 
+  test("line ops render an empty doc as ZERO lines (split-empty guard)") {
+    // Spark's split("") is [""] — one phantom line the oracles' token
+    // renderings never produce; the splitLines guard must zero it in all
+    // three line ops
+    val docs = Seq((0L, "s0", ""), (1L, "s0", "A\nB"), (2L, "s0", "A\nC"),
+      (3L, "s0", "A")).toDF("doc_id", "source", "text")
+    val bp = Dedup.boilerplateRemove(docs, "doc_id", "source", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(bp.head == ((0L, "", 0L))) // empty doc: zero lines, not one
+    val dp = Dedup.dedupParagraphs(docs.select($"doc_id", $"text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(dp.head == ((0L, 0L)))
+  }
+
   test("ngramContainmentPairs: subset doc scores overlap 1.0 where Jaccard dilutes") {
     // doc 1 is a strict prefix of doc 0: its 6 2-shingles are all among
     // doc 0's 7, and (checked against the deterministic md5 minhash) the

@@ -113,6 +113,26 @@ class H264Spec extends AnyFunSuite {
     assert(k0.keyframe && k1.keyframe)
   }
 
+  test("IDR carrying its own SPS but no PPS still gets the cached PPS prepended") {
+    // legal stream shape: SPS repeated per IDR, PPS only at the head
+    val s = new java.io.ByteArrayOutputStream()
+    s.write(W.nal(3, 7, W.sps(0, 64, 48)))
+    s.write(W.nal(3, 8, W.pps(0, 0)))
+    s.write(W.nal(3, 5, W.slice(idr = true, 0, 0, 0, idrPicId = 0)))
+    s.write(W.nal(2, 1, W.slice(idr = false, 0, 1, 2)))
+    s.write(W.nal(3, 7, W.sps(0, 64, 48))) // SPS again — but NOT PPS
+    s.write(W.nal(3, 5, W.slice(idr = true, 0, 0, 0, idrPicId = 1)))
+    s.write(W.nal(2, 1, W.slice(idr = false, 0, 1, 2)))
+    val ix = H264.index(s.toByteArray)
+    assert(ix.keyframes == Vector(0L, 2L))
+    // the second GOP segment must re-index standalone — i.e. its payload
+    // carries a PPS despite the source AU lacking one
+    val (_, _, n, payload) = ix.gopSegments(1)
+    val sub = H264.index(payload)
+    assert(sub.frames.length == n)
+    assert(H264.nalUnits(payload).count(_.nalType == 8) == 1)
+  }
+
   test("gopSegments are independently decodable: each re-indexes standalone") {
     val s = new java.io.ByteArrayOutputStream()
     s.write(W.nal(3, 7, W.sps(0, 64, 48)))
