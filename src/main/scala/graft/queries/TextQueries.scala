@@ -789,6 +789,43 @@ object TextQueries {
         .orderBy("doc_id", "dup_of")
     }),
 
+    // The INCREMENTAL-UPDATE composition, end to end: snapshot diff finds
+    // what the new crawl added or rewrote; only THOSE docs probe the
+    // persisted band index (same bucketed table as dedup_incremental);
+    // probe hits reject, the rest are accepted for append. The 100 TB
+    // story this pins: a refresh costs O(delta), never O(corpus) —
+    // diff joins (id, md5) rows, the probe exchanges only the delta's
+    // band keys against the bucketed index. A changed doc matching its
+    // own superseded index entry does NOT count as a dup (that entry is
+    // being replaced).
+    "pipeline_incremental_update" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val table = "graft_lsh_idx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!s.catalog.tableExists(table))
+        Dedup.lshWriteBandIndex(d.filter(col("doc_id") % 10 < 8),
+          "doc_id", "text", 8, 4, table)
+      val base = d.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("text"))
+      val arrived = d.select(col("doc_id"),
+        when(col("doc_id") % 10 < 8 && col("doc_id") % 9 === 4,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")).as("text"))
+      val delta = Provenance.snapshotDiff(base, arrived, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+      val newDocs = arrived.join(delta, Seq("doc_id"))
+      // (lshProbeBandIndex already excludes id = dup_of — the changed
+      // doc's superseded self-entry)
+      val dups = Dedup.lshProbeBandIndex(s.table(table), newDocs,
+          "doc_id", "text", 8, 4)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_dups"))
+        .withColumnRenamed("id", "doc_id")
+      newDocs.select(col("doc_id"), col("status"))
+        .join(dups, Seq("doc_id"), "left")
+        .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+        .withColumn("accepted", col("n_dups") === 0)
+        .orderBy("doc_id")
+    }),
+
     // Sparse retrieval: TF-IDF bigram vectors, top-3 cosine neighbors per
     // doc through the inverted-index self-join (sum(df^2) bounded by the
     // maxDf stop-term prune — see TfIdf's scaladoc for the 100 TB dial)
@@ -1228,6 +1265,45 @@ object TextQueries {
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
          |WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8
          |ORDER BY doc_id, dup_of""".stripMargin,
+
+    // incremental-update replay: the snapshot delta + band probe in one
+    // chain. The band CTEs instantiate once, so the two sides share one
+    // relation with probe ids offset by 10^8 (sides stay disjoint at any
+    // tier the gate runs); the probe join excludes the changed doc's own
+    // superseded index entry.
+    "pipeline_incremental_update" ->
+      s"""WITH bmod AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 8 AND doc_id % 9 = 4 THEN text || ' updated'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |delta AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN a.doc_id IS NULL THEN 'added'
+         |         WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM bmod b
+         |  LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8) a
+         |    ON a.doc_id = b.doc_id),
+         |udocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+         |  UNION ALL
+         |  SELECT b.doc_id + 100000000 AS doc_id, b.text
+         |  FROM bmod b JOIN delta USING (doc_id)
+         |  WHERE delta.status IN ('added', 'changed')),
+         |${lshBandsCte("udocs")},
+         |dups AS (
+         |  SELECT x.doc_id - 100000000 AS doc_id, COUNT(DISTINCT y.doc_id) AS n_dups
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
+         |  WHERE x.doc_id >= 100000000 AND y.doc_id < 100000000
+         |    AND y.doc_id <> x.doc_id - 100000000
+         |  GROUP BY x.doc_id)
+         |SELECT d.doc_id, d.status,
+         |  COALESCE(n_dups, 0) AS n_dups,
+         |  COALESCE(n_dups, 0) = 0 AS accepted
+         |FROM delta d LEFT JOIN dups USING (doc_id)
+         |WHERE d.status IN ('added', 'changed')
+         |ORDER BY d.doc_id""".stripMargin,
 
     // TF-IDF replay: same bigram terms, fractional df prune (df <= floor(0.1*N)),
     // ranks computed over the ROUNDED score grid in both engines.
