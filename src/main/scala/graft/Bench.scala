@@ -438,7 +438,8 @@ object Bench {
           "dedup_lsh_pairs,dedup_simhash_pairs,dedup_clusters," +
             "dedup_cluster_keep,dedup_paragraphs,dedup_c4_spans," +
             "sem_dedup,pq_encode,emb_kmeans,txt_normalize," +
-            "txt_corpus_report").split(",").map(_.trim).toSet
+            "txt_corpus_report,txt_boilerplate,dedup_containment," +
+            "pipeline_incremental_update").split(",").map(_.trim).toSet
         // check BOTH tables: a run that died between the two writes (or a
         // tmp-reaper that took one) must still trigger regeneration
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(

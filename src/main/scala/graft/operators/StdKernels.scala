@@ -157,6 +157,36 @@ object StdKernels {
     * perceptual hash families (one definition so their grayscale
     * conventions can't drift)
     */
+  /** Blur detection: variance of the 4-neighbor Laplacian over the
+    * grayscale image — the classic variance-of-Laplacian sharpness score
+    * (Pech-Pacheco et al. 2000, the OpenCV `CV_64F` Laplacian-variance
+    * recipe): sharp edges carry large second derivatives, defocus
+    * collapses them toward zero. Interior pixels only (no border-padding
+    * bias); degenerate (<3px) images score 0.
+    */
+  def laplacianVariance(frame: FrameElem): Double = {
+    val g = grayscale(frame)
+    val h = g.height; val w = g.width
+    if (h < 3 || w < 3) return 0.0
+    var sum = 0.0; var sumSq = 0.0; var n = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val lap = 4 * (g.data(y * w + x) & 0xff) -
+          (g.data((y - 1) * w + x) & 0xff) - (g.data((y + 1) * w + x) & 0xff) -
+          (g.data(y * w + x - 1) & 0xff) - (g.data(y * w + x + 1) & 0xff)
+        sum += lap
+        sumSq += lap.toDouble * lap
+        n += 1
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum / n
+    sumSq / n - mean * mean
+  }
+
   private def grayscale(frame: FrameElem): FrameElem = {
     require(frame.dtype == FrameType.U8)
     val c    = frame.channels

@@ -100,7 +100,28 @@ object ImageQueries {
     "img_phash_pairs" -> ((s, _) =>
       hashPairs(s, StdKernels.perceptualHash,
         b => math.min(255, math.round((b & 0xff) * 0.92).toInt + 5).toByte,
-        prefix = "tex", bitsPerBand = 8, maxHamming = 7))
+        prefix = "tex", bitsPerBand = 8, maxHamming = 7)),
+
+    // Blur/quality filtering (variance of Laplacian, Pech-Pacheco 2000):
+    // each texture image scored sharp AND through a 3x3 box blur — the
+    // data-quality gate that drops defocused/low-detail images from a
+    // multimodal corpus. The pin freezes both scores (4 dp); the
+    // invariant blur_detected (= blurred score strictly below sharp)
+    // must hold for EVERY image, so a regression in either the kernel or
+    // the blur shows as a hash mismatch, not a silent drift.
+    "img_blur_scores" -> ((s, _) => {
+      val root = ensureImages(s)
+      import s.implicits._
+      frames(s, root, "tex").map { f =>
+        val sharp = StdKernels.laplacianVariance(f)
+        val blur  = StdKernels.laplacianVariance(StdKernels.blur(f, 1))
+        (f.streamId, f.index,
+          math.round(sharp * 10000) / 10000.0,
+          math.round(blur * 10000) / 10000.0,
+          blur < sharp)
+      }.toDF("streamId", "index", "lap_sharp", "lap_blur", "blur_detected")
+        .orderBy("streamId", "index")
+    })
   )
 
   /** the shared near-dup body of both perceptual-hash queries: base PNGs

@@ -264,6 +264,20 @@ class KernelsSpec extends SparkSpec {
       assert(math.abs(bb.getFloat) < 1e-6)
   }
 
+  test("laplacianVariance: zero on flat images, monotone under blur, degenerate-safe") {
+    import graft.model.{FrameElem, FrameType}
+    val flat = FrameElem(0L, 0L, 16, 24, 3, FrameType.U8,
+      Array.fill[Byte](16 * 24 * 3)(77))
+    assert(StdKernels.laplacianVariance(flat) == 0.0)
+    val tex = StdKernels.texturedFrame(0L, 0L, 16, 24, 3)
+    val sharp = StdKernels.laplacianVariance(tex)
+    val blur1 = StdKernels.laplacianVariance(StdKernels.blur(tex, 1))
+    val blur2 = StdKernels.laplacianVariance(StdKernels.blur(StdKernels.blur(tex, 1), 1))
+    assert(sharp > blur1 && blur1 > blur2) // more defocus, lower score
+    val tiny = FrameElem(0L, 0L, 2, 2, 1, FrameType.U8, Array[Byte](1, 2, 3, 4))
+    assert(StdKernels.laplacianVariance(tiny) == 0.0) // no interior pixels
+  }
+
   test("averageHash is brightness-invariant (no clipping) and image-sensitive") {
     val f = StdKernels.syntheticFrame(3, 7, 16, 24, 3)
     // keep every byte below 250 so a +5 shift can't clip
