@@ -92,7 +92,9 @@ object PlanAudit {
     "dedup_containment" ->
       "containment: the SAME banded candidate self-join + persisted shingle relation as the Jaccard plan; the overlap math is a scan projection over the joined sets — no additional exchange",
     "txt_source_overlap" ->
-      "source-overlap matrix: banded candidates + two narrow (doc_id, source) provenance joins; output bounded by n_sources^2 however large the corpus — the final agg is map-side-combining on a tiny key space")
+      "source-overlap matrix: banded candidates + two narrow (doc_id, source) provenance joins; output bounded by n_sources^2 however large the corpus — the final agg is map-side-combining on a tiny key space",
+    "pipeline_incremental_update" ->
+      "incremental update: the O(delta) refresh shape — the base corpus appears ONLY as (id, md5) scans (diff) and the bucketed index TABLE scan (probe); no minhash/banding of the base anywhere in the plan, only the delta's documents are shingled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
