@@ -153,6 +153,59 @@ object H264Ingest {
     NamedStorage.write(segs, root, name, mode)
   }
 
+  /** Sparse access-unit gather over an H264 segment store: for the
+    * requested (stream, frame) pairs, read ONLY the covering GOP
+    * segments and return each wanted frame's index row (keyframe flag,
+    * frame_num, slice count, byte size) by re-indexing just those
+    * payloads. Same two-phase plan as [[VideoStore.gatherFramesMulti]]
+    * (`decoder_automata` sparse-run semantics): a payload-pruned
+    * metadata pass range-joins the broadcast want list down to one row
+    * per covering segment, and only that `isin` set reaches the payload
+    * scan — so a 10-frame request against a million-GOP store reads
+    * ~10 segments, which is the whole point of keyframe alignment.
+    * `scanned` (optional) counts segments actually opened, for pruning
+    * pins. Decode-free: access-unit structure needs only the NAL walk.
+    */
+  def gatherAccessUnits(spark: SparkSession, root: String, name: String,
+      wants: Map[Long, Seq[Long]],
+      scanned: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(wants.nonEmpty && wants.values.forall(_.nonEmpty),
+      "gatherAccessUnits needs at least one frame per requested stream")
+    import spark.implicits._
+    val want = wants.toSeq
+      .flatMap { case (sid, rows) => rows.map(r => (sid, r)) }
+      .toDF("__sid", "__want")
+    val needed = VideoStore.segments(spark, root, name)
+      .select(col("streamId"), col("segId"), col("startIndex"), col("numFrames"))
+      .join(broadcast(want), col("streamId") === col("__sid") &&
+        col("__want") >= col("startIndex") &&
+        col("__want") < col("startIndex") + col("numFrames"))
+      .select(col("streamId"), col("segId")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val wantB = spark.sparkContext.broadcast(
+      wants.map { case (k, v) => k -> v.toSet })
+    val neededB = spark.sparkContext.broadcast(needed)
+    val sids = needed.map(_._1).toSeq.distinct
+    val segIds = needed.map(_._2).toSeq.distinct
+    VideoStore.segments(spark, root, name)
+      .filter(col("streamId").isin(sids: _*) &&
+        col("segId").isin(segIds: _*)) // pushed to the parquet scan
+      .flatMap { s =>
+        if (!neededB.value((s.streamId, s.segId))) Iterator.empty
+        else {
+          scanned.foreach(_.add(1L))
+          val wantSet = wantB.value(s.streamId)
+          H264.index(s.payload).frames.iterator
+            .map(f => (s.streamId, s.startIndex + f.frame, f.keyframe,
+              f.frameNum, f.nSlices, f.byteSize))
+            .filter(t => wantSet.contains(t._2))
+        }
+      }
+      .toDF("streamId", "frame", "keyframe", "frame_num", "n_slices",
+        "byte_size")
+  }
+
   /** Export one stored stream back to a single Annex-B file — the
     * `save_mp4` twin for raw H264 stores
     * (`python/scannerpy/column.py:283-342` semantics: ordered segment

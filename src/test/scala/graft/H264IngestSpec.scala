@@ -71,6 +71,19 @@ class H264IngestSpec extends SparkSpec {
     assert(ix.frames.length == 15 && ix.keyframes == Vector(0L, 5L, 10L))
   }
 
+  test("gatherAccessUnits reads ONLY covering segments and returns exact frame rows") {
+    val acc = spark.sparkContext.longAccumulator("h264-gather-scanned")
+    // stream 0 GOPs cover frames [0,5) [5,10) [10,15): frames 1 and 12
+    // live in GOPs 0 and 2 — GOP 1 must never be opened; stream 1's
+    // frame 4 lives in its GOP 1 ([3,6))
+    val got = H264Ingest.gatherAccessUnits(spark, root, "realvid",
+        Map(0L -> Seq(1L, 12L), 1L -> Seq(4L)), scanned = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((0L, 1L, false, 1), (0L, 12L, false, 1), (1L, 4L, false, 1)))
+    assert(acc.value == 3L, s"must open exactly the 3 covering segments, got ${acc.value}")
+  }
+
   test("saveAnnexB export re-ingests to the original frame structure") {
     val out = sys.props("java.io.tmpdir") + "/graft-h264-export/stream0.h264"
     val n = H264Ingest.saveAnnexB(spark, root, "realvid", 0L, out)
