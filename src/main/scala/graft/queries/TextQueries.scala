@@ -1000,6 +1000,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the duplication PROFILE of the corpus: cluster-size histogram
+    // (how many clusters of each size — the first chart in any dedup
+    // report; a heavy tail here is what motivates keeper policies).
+    // Two tiny aggs on top of the CC labels; output is bounded by the
+    // number of distinct sizes however large the corpus
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4)
+      Dedup.connectedComponents(d.select("doc_id"), pairs, "doc_id")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
+
     // ...and the DECISION applied: the near-dup cleaned corpus keeps the
     // min-id representative of every cluster (id == its own label) — the
     // LSH-cluster analogue of dedup_keep's exact-hash keeper
@@ -1765,6 +1779,23 @@ object TextQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // cluster-size histogram replay: the dedup_clusters CC chain + two
+    // rollups
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${lshBandsCte()},
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |cs AS (SELECT cluster, COUNT(*) AS sz FROM lab GROUP BY cluster)
+         |SELECT sz, COUNT(*) AS n_clusters FROM cs
+         |GROUP BY sz ORDER BY sz""".stripMargin,
 
     // normalization replay: identical decoration, identical rule chain
     "txt_normalize" ->

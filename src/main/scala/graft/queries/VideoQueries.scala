@@ -303,6 +303,23 @@ object VideoQueries {
           col("byte_size"), col("keyframe"), col("frame_num"),
           col("n_slices"), col("width"), col("height"))
         .orderBy("stream", "frame")
+    }),
+
+    // ingest diagnostics: per-stream GOP structure rollup (frame count,
+    // keyframe density, bytes) — the first sanity report a video-corpus
+    // ingest prints; one map-side-combining agg over the index rows
+    "video_h264_gop_stats" -> ((s, _) => {
+      val dir = ensureH264Fixture()
+      graft.sources.H264Ingest.indexFiles(s, dir + "/*.h264")
+        .withColumn("stream",
+          regexp_extract(col("path"), "stream(\\d+)", 1).cast("long"))
+        .groupBy(col("stream"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
+          sum(col("byte_size")).as("total_bytes"),
+          max(col("n_slices")).as("max_slices"),
+          round(avg(col("byte_size")), 2).as("mean_au_bytes"))
+        .orderBy("stream")
     })
   )
 
