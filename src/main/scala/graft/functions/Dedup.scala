@@ -970,4 +970,39 @@ object Dedup {
         count(lit(1)).as("n_hits"))
       .withColumnRenamed("__tid", idCol)
   }
+
+  /** [[ngramContamination]] with a Bloom pre-filter on the corpus side —
+    * the 100 TB shape of decontamination: the benchmark gram set is
+    * eval-suite sized while the corpus stream is the whole crawl, so a
+    * Bloom filter of the bench grams (built distributed, shipped as a
+    * foldable plan literal probed by the codegen `bloom_might_contain`)
+    * gates the corpus's (id, gram) stream IN THE SCAN, before the
+    * distinct/join exchanges. No false negatives by Bloom's contract;
+    * false positives die in the exact join — the OUTPUT is identical to
+    * the exact operator (the driver gate runs both against one oracle),
+    * only the exchanged volume shrinks from O(corpus grams) to
+    * O(hits + fpp * corpus grams).
+    */
+  def ngramContaminationBloom(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bg = CacheScope.cache(bench
+      .select(col(idCol).as("__bid"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .distinct()) // cached: the bloom build AND the exact join read it
+    val bf = bg.stat.bloomFilter("g", expectedGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val tg = train
+      .select(col(idCol).as("__tid"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .filter(call_function("bloom_might_contain",
+        lit(bos.toByteArray), col("g")))
+      .distinct()
+    tg.join(bg, Seq("g"))
+      .groupBy(col("__tid"))
+      .agg(min(col("__bid")).as("contaminated_by"),
+        count(lit(1)).as("n_hits"))
+      .withColumnRenamed("__tid", idCol)
+  }
 }

@@ -456,6 +456,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // same SEMANTICS as txt_decontaminate, different PLAN: the corpus
+    // gram stream is bloom-gated inside the scan (codegen
+    // bloom_might_contain over a plan-literal filter of the bench grams)
+    // before any exchange — the 100 TB decontamination shape. The
+    // IDENTICAL oracle proves bloom adds no false negatives end to end.
+    "txt_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.functions.Dedup.ngramContaminationBloom(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
     // Corpus data card (the "datasheet" rollup a corpus release ships):
     // docs / token mass / stopword-quality mass / near-dup count per
     // (source, lang), per source, and corpus-wide — ONE grouping-sets
@@ -1179,7 +1192,21 @@ object TextQueries {
        |    ${simhashBands(bitsPerBand)}
        |  FROM g)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+    private val decontaminateSql =
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len($tokSql) - 3),
+         |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' ||
+         |         $tokSql[i+2] || ' ' || $tokSql[i+3])) AS g
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 <> 0),
+         |be AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 = 0)
+         |SELECT tr.doc_id, MIN(be.doc_id) AS contaminated_by,
+         |       COUNT(*) AS n_hits
+         |FROM tr JOIN be USING (g)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
+val oracles: Map[String, String] = Map(
     "txt_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
@@ -1855,19 +1882,14 @@ object TextQueries {
 
     // decontamination replay: distinct 4-gram sets per side, one gram
     // equi-join, per-training-doc witness min + hit count
-    "txt_decontaminate" ->
-      s"""WITH tg AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len($tokSql) - 3),
-         |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' ||
-         |         $tokSql[i+2] || ' ' || $tokSql[i+3])) AS g
-         |  FROM documents),
-         |tr AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 <> 0),
-         |be AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 = 0)
-         |SELECT tr.doc_id, MIN(be.doc_id) AS contaminated_by,
-         |       COUNT(*) AS n_hits
-         |FROM tr JOIN be USING (g)
-         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "txt_decontaminate" -> decontaminateSql,
+
+    // the bloom variant must produce BIT-IDENTICAL output (bloom is a
+    // no-false-negative pre-filter; false positives die in the exact
+    // join), so it shares the one oracle string
+    "txt_decontaminate_bloom" -> decontaminateSql,
+
+    
 
     // data-card replay: the same recursive-CTE CC verdict feeding a
     // GROUPING SETS rollup with exact integer/decimal sums

@@ -94,7 +94,9 @@ object PlanAudit {
     "txt_source_overlap" ->
       "source-overlap matrix: banded candidates + two narrow (doc_id, source) provenance joins; output bounded by n_sources^2 however large the corpus — the final agg is map-side-combining on a tiny key space",
     "pipeline_incremental_update" ->
-      "incremental update: the O(delta) refresh shape — the base corpus appears ONLY as (id, md5) scans (diff) and the bucketed index TABLE scan (probe); no minhash/banding of the base anywhere in the plan, only the delta's documents are shingled")
+      "incremental update: the O(delta) refresh shape — the base corpus appears ONLY as (id, md5) scans (diff) and the bucketed index TABLE scan (probe); no minhash/banding of the base anywhere in the plan, only the delta's documents are shingled",
+    "txt_decontaminate_bloom" ->
+      "bloom-gated decontamination: the native bloom_might_contain probe (bench-gram filter as a foldable plan literal) gates the corpus gram stream INSIDE whole-stage codegen, BEFORE the distinct/join exchanges — the exchanged volume is O(hits + fpp x corpus grams), not O(corpus grams)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
