@@ -153,6 +153,28 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("corrupt input fails loudly, never silently wrong") {
+    // truncated SPS: bit reads past the RBSP end must throw, not wrap
+    val sps = W.sps(0, 64, 48)
+    val cut = java.util.Arrays.copyOfRange(sps, 0, 4)
+    intercept[IllegalArgumentException] {
+      H264.parseSps(new H264.BitReader(cut))
+    }
+    // a slice arriving before any SPS/PPS: loud NoSuchElementException
+    // (unparseable stream state), not a bogus frame row
+    val s = new java.io.ByteArrayOutputStream()
+    s.write(W.nal(3, 5, W.slice(idr = true, 0, 0, 0)))
+    intercept[NoSuchElementException] { H264.index(s.toByteArray) }
+    // an exp-Golomb run past 31 zeros (a zeroed buffer posing as RBSP)
+    intercept[IllegalArgumentException] {
+      new H264.BitReader(new Array[Byte](16)).ue
+    }
+    // garbage with no start codes: zero NALs, empty index
+    val noise = Array.tabulate[Byte](64)(i => (i * 37 + 5).toByte)
+    assert(H264.nalUnits(noise).isEmpty)
+    assert(H264.index(noise).frames.isEmpty)
+  }
+
   test("slice headers containing emulation-prevention bytes parse (RBSP path)") {
     // force a 00 00 00 run inside the slice-header bits: frame_num 0 with
     // a 16-bit field and pocLsb 0 with 16 bits yields >= 3 zero bytes
