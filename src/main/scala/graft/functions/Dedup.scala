@@ -697,6 +697,15 @@ object Dedup {
         col("__c.n_tokens").as("n_tokens"), col("__c.n_cut").as("n_cut"))
   }
 
+  /** line split guarded for the empty doc: Spark's split("") yields [""]
+    * (one phantom empty line) where the oracles' token-derived renderings
+    * yield zero lines — an empty doc must render ZERO lines on both
+    * engines (the rawLines zero-token guard's twin at the line layer)
+    */
+  private def splitLines(textCol: String, sepRe: String): Column =
+    when(length(col(textCol)) > 0, split(col(textCol), sepRe))
+      .otherwise(array().cast("array<string>"))
+
   /** CCNet-style paragraph dedup (Wenzek et al. 2020 §4.1: "we deduplicate
     * at the paragraph level ... keeping the first occurrence"): split each
     * doc on `sep`, hash every paragraph, keep exactly ONE occurrence of
@@ -721,15 +730,6 @@ object Dedup {
     * Returns (idCol, clean_text, n_paras, n_dropped) for EVERY input doc;
     * a doc whose every paragraph is dropped emits clean_text = "".
     */
-  /** line split guarded for the empty doc: Spark's split("") yields [""]
-    * (one phantom empty line) where the oracles' token-derived renderings
-    * yield zero lines — an empty doc must render ZERO lines on both
-    * engines (the rawLines zero-token guard's twin at the line layer)
-    */
-  private def splitLines(textCol: String, sepRe: String): Column =
-    when(length(col(textCol)) > 0, split(col(textCol), sepRe))
-      .otherwise(array().cast("array<string>"))
-
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)

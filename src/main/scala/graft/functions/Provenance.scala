@@ -22,13 +22,19 @@ object Provenance {
     */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def keyed(df: DataFrame, h: String) =
-      df.select(col(idCol), md5(col(textCol)).as(h))
-    keyed(a, "__ha").join(keyed(b, "__hb"), Seq(idCol), "full_outer")
+    // presence flags, NOT hash-nullness: md5(NULL) is NULL, so a doc with
+    // NULL text present in both snapshots would otherwise read as
+    // "added" (and one present only in A as "added" too — inverted).
+    // The hash compare is null-safe for the same reason: two NULL texts
+    // are the same content.
+    def keyed(df: DataFrame, h: String, p: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h), lit(true).as(p))
+    keyed(a, "__ha", "__pa")
+      .join(keyed(b, "__hb", "__pb"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__ha").isNull, lit("added"))
-          .when(col("__hb").isNull, lit("removed"))
-          .when(col("__ha") === col("__hb"), lit("unchanged"))
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
+          .when(col("__ha") <=> col("__hb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

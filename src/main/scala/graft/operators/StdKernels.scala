@@ -153,10 +153,6 @@ object StdKernels {
     * relative to the mean), so it pairs with a banded Hamming join for
     * image near-dup detection — the multimodal analog of SimHash on text.
     */
-  /** channel-averaged 1-channel view — the shared prologue of both
-    * perceptual hash families (one definition so their grayscale
-    * conventions can't drift)
-    */
   /** Blur detection: variance of the 4-neighbor Laplacian over the
     * grayscale image — the classic variance-of-Laplacian sharpness score
     * (Pech-Pacheco et al. 2000, the OpenCV `CV_64F` Laplacian-variance
@@ -187,6 +183,10 @@ object StdKernels {
     sumSq / n - mean * mean
   }
 
+  /** channel-averaged 1-channel view — the shared prologue of both
+    * perceptual hash families (one definition so their grayscale
+    * conventions can't drift)
+    */
   private def grayscale(frame: FrameElem): FrameElem = {
     require(frame.dtype == FrameType.U8)
     val c    = frame.channels

@@ -1192,21 +1192,26 @@ object TextQueries {
        |    ${simhashBands(bitsPerBand)}
        |  FROM g)""".stripMargin
 
-    private val decontaminateSql =
-      s"""WITH tg AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len($tokSql) - 3),
-         |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' ||
-         |         $tokSql[i+2] || ' ' || $tokSql[i+3])) AS g
-         |  FROM documents),
-         |tr AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 <> 0),
-         |be AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 = 0)
-         |SELECT tr.doc_id, MIN(be.doc_id) AS contaminated_by,
-         |       COUNT(*) AS n_hits
-         |FROM tr JOIN be USING (g)
-         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  /** one SQL for two operators: the bloom variant must be bit-identical
+    * to the exact decontamination (bloom adds no false negatives; false
+    * positives die in the exact join), so both query keys share this
+    * string and the gate itself is the equivalence proof
+    */
+  private val decontaminateSql =
+    s"""WITH tg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len($tokSql) - 3),
+       |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' ||
+       |         $tokSql[i+2] || ' ' || $tokSql[i+3])) AS g
+       |  FROM documents),
+       |tr AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 <> 0),
+       |be AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 10 = 0)
+       |SELECT tr.doc_id, MIN(be.doc_id) AS contaminated_by,
+       |       COUNT(*) AS n_hits
+       |FROM tr JOIN be USING (g)
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
-val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Map(
     "txt_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
@@ -1889,7 +1894,7 @@ val oracles: Map[String, String] = Map(
     // join), so it shares the one oracle string
     "txt_decontaminate_bloom" -> decontaminateSql,
 
-    
+
 
     // data-card replay: the same recursive-CTE CC verdict feeding a
     // GROUPING SETS rollup with exact integer/decimal sums
@@ -2245,9 +2250,9 @@ val oracles: Map[String, String] = Map(
          |                          ELSE text END) AS hb
          |  FROM documents WHERE doc_id % 7 <> 2)
          |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-         |  CASE WHEN ha IS NULL THEN 'added'
-         |       WHEN hb IS NULL THEN 'removed'
-         |       WHEN ha = hb THEN 'unchanged'
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       WHEN ha IS NOT DISTINCT FROM hb THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          |ORDER BY doc_id""".stripMargin,
@@ -2261,9 +2266,9 @@ val oracles: Map[String, String] = Map(
          |  FROM documents WHERE doc_id % 7 <> 2),
          |d AS (
          |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-         |    CASE WHEN ha IS NULL THEN 'added'
-         |         WHEN hb IS NULL THEN 'removed'
-         |         WHEN ha = hb THEN 'unchanged'
+         |    CASE WHEN a.doc_id IS NULL THEN 'added'
+         |         WHEN b.doc_id IS NULL THEN 'removed'
+         |         WHEN ha IS NOT DISTINCT FROM hb THEN 'unchanged'
          |         ELSE 'changed' END AS status
          |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
          |SELECT s.source, d.status, COUNT(*) AS n

@@ -323,13 +323,6 @@ object VideoQueries {
     })
   )
 
-  /** Deterministic Annex-B fixture: two real header-level H264 streams.
-    * Stream 0 (64x48): 3 GOPs of IDR+4P; SPS/PPS written ONLY before the
-    * first IDR (the indexer must re-insert them at GOPs 1-2), SEI before
-    * every IDR, and frame 7 split across two slices. Stream 1 (50x30,
-    * frame-cropped SPS): 2 GOPs of IDR+2P with 4-byte start codes on the
-    * parameter sets.
-    */
   /** A FLEET of deterministic Annex-B streams for the ingest bench:
     * `files` streams of `gops` GOPs x (IDR + `pFrames` P), `fillerLen`
     * bytes of deterministic slice payload — sized so the timed cost is
@@ -363,6 +356,13 @@ object VideoQueries {
     dir.getPath
   }
 
+  /** Deterministic Annex-B fixture: two real header-level H264 streams.
+    * Stream 0 (64x48): 3 GOPs of IDR+4P; SPS/PPS written ONLY before the
+    * first IDR (the indexer must re-insert them at GOPs 1-2), SEI before
+    * every IDR, and frame 7 split across two slices. Stream 1 (50x30,
+    * frame-cropped SPS): 2 GOPs of IDR+2P with 4-byte start codes on the
+    * parameter sets.
+    */
   private[graft] def ensureH264Fixture(): String = {
     import graft.sources.{H264Writer => W}
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-h264")

@@ -86,17 +86,27 @@ object H264Ingest {
     */
   def saveMp4(spark: SparkSession, root: String, name: String,
       streamId: Long, outPath: String, fps: Int = 30): Long = {
-    val segs = VideoStore.segments(spark, root, name)
-      .filter(col("streamId") === streamId)
-      .orderBy("segId")
     val buf = new java.io.ByteArrayOutputStream()
-    val it = segs.toLocalIterator()
-    while (it.hasNext) buf.write(it.next().payload)
+    streamPayloads(spark, root, name, streamId).foreach(buf.write)
     val ix = H264.index(buf.toByteArray)
     val p = new org.apache.hadoop.fs.Path(outPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try H264Mp4.mux(ix, out, fps) finally out.close()
+  }
+
+  /** one stream's GOP payloads in segId order, streamed through
+    * `toLocalIterator` — the shared concatenation source of
+    * [[saveAnnexB]] (writes as it goes) and [[saveMp4]] (must buffer:
+    * the container header needs every sample size first)
+    */
+  private def streamPayloads(spark: SparkSession, root: String,
+      name: String, streamId: Long): Iterator[Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    VideoStore.segments(spark, root, name)
+      .filter(col("streamId") === streamId)
+      .orderBy("segId")
+      .toLocalIterator().asScala.map(_.payload)
   }
 
   /** shared distributed walk of [[ingestH264Dir]]/[[ingestMp4H264Dir]]:
@@ -170,27 +180,13 @@ object H264Ingest {
       wants: Map[Long, Seq[Long]],
       scanned: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
-    require(wants.nonEmpty && wants.values.forall(_.nonEmpty),
-      "gatherAccessUnits needs at least one frame per requested stream")
     import spark.implicits._
-    val want = wants.toSeq
-      .flatMap { case (sid, rows) => rows.map(r => (sid, r)) }
-      .toDF("__sid", "__want")
-    val needed = VideoStore.segments(spark, root, name)
-      .select(col("streamId"), col("segId"), col("startIndex"), col("numFrames"))
-      .join(broadcast(want), col("streamId") === col("__sid") &&
-        col("__want") >= col("startIndex") &&
-        col("__want") < col("startIndex") + col("numFrames"))
-      .select(col("streamId"), col("segId")).distinct()
-      .as[(Long, Long)].collect().toSet
+    // one pruning plan, two payload consumers: the decode gather and this
+    val (needed, pruned) = VideoStore.pruneSegments(spark, root, name, wants)
     val wantB = spark.sparkContext.broadcast(
       wants.map { case (k, v) => k -> v.toSet })
-    val neededB = spark.sparkContext.broadcast(needed)
-    val sids = needed.map(_._1).toSeq.distinct
-    val segIds = needed.map(_._2).toSeq.distinct
-    VideoStore.segments(spark, root, name)
-      .filter(col("streamId").isin(sids: _*) &&
-        col("segId").isin(segIds: _*)) // pushed to the parquet scan
+    val neededB = spark.sparkContext.broadcast(needed.keySet)
+    pruned
       .flatMap { s =>
         if (!neededB.value((s.streamId, s.segId))) Iterator.empty
         else {
@@ -216,20 +212,13 @@ object H264Ingest {
     */
   def saveAnnexB(spark: SparkSession, root: String, name: String,
       streamId: Long, outPath: String): Long = {
-    val segs = VideoStore.segments(spark, root, name)
-      .filter(col("streamId") === streamId)
-      .orderBy("segId")
     val p = new org.apache.hadoop.fs.Path(outPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     var n = 0L
-    try {
-      val it = segs.toLocalIterator()
-      while (it.hasNext) {
-        val payload = it.next().payload
-        out.write(payload)
-        n += payload.length
-      }
+    try streamPayloads(spark, root, name, streamId).foreach { payload =>
+      out.write(payload)
+      n += payload.length
     } finally out.close()
     n
   }

@@ -31,6 +31,10 @@ object H264Mp4 {
   /** AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1) */
   def avcC(sps: Seq[Array[Byte]], pps: Seq[Array[Byte]]): Array[Byte] = {
     require(sps.nonEmpty && pps.nonEmpty, "avcC needs at least one SPS and PPS")
+    // the record's count fields are 5- and 8-bit: overflow would bleed
+    // into reserved bits / truncate silently — a lying config record
+    require(sps.size <= 31, s"avcC holds at most 31 SPS, got ${sps.size}")
+    require(pps.size <= 255, s"avcC holds at most 255 PPS, got ${pps.size}")
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
     d.write(1)                      // configurationVersion
@@ -88,11 +92,27 @@ object H264Mp4 {
     require(ix.keyframes.nonEmpty,
       "cannot mux a stream with no IDR keyframe: every sample would be " +
         "mis-declared seekable (absent stss = all-sync)")
-    // collect parameter sets from the demuxed stream (indexer caches
-    // guarantee every IDR sample carries them; take the first of each)
+    // collect parameter sets from the demuxed stream. avcC is GLOBAL
+    // (out-of-band, no sequential scope), so a stream that REDEFINES an
+    // sps_id/pps_id mid-stream with different content cannot be
+    // represented faithfully — early GOPs would decode against the later
+    // definition after a round trip. Refuse loudly; such streams need an
+    // id rewrite or a per-GOP split first.
     val nals = H264.nalUnits(ix.demuxed)
-    val sps = nals.filter(_.nalType == 7).map(_.bytes).distinctBy(_.toSeq)
-    val pps = nals.filter(_.nalType == 8).map(_.bytes).distinctBy(_.toSeq)
+    def collectUnique(tpe: Int, parseId: Array[Byte] => Int, kind: String) = {
+      val byId = nals.filter(_.nalType == tpe).map(_.bytes)
+        .map(b => parseId(b) -> b)
+      byId.groupBy(_._1).foreach { case (id, vs) =>
+        require(vs.map(_._2.toSeq).distinct.size == 1,
+          s"stream redefines $kind id $id mid-stream: not representable " +
+            "in a single avcC record")
+      }
+      byId.map(_._2).distinctBy(_.toSeq)
+    }
+    val sps = collectUnique(7,
+      b => H264.parseSps(new H264.BitReader(H264.rbsp(b, 1))).spsId, "SPS")
+    val pps = collectUnique(8,
+      b => H264.parsePps(new H264.BitReader(H264.rbsp(b, 1))).ppsId, "PPS")
     val samples = ix.frames.map { f =>
       auToAvccSample(java.util.Arrays.copyOfRange(
         ix.demuxed, f.byteOffset.toInt, (f.byteOffset + f.byteSize).toInt))
@@ -109,23 +129,11 @@ object H264Mp4 {
   /** parse `avc1`+`avcC` out of a whole in-memory MP4's moov */
   def parseAvcConfig(mp4: Array[Byte]): AvcConfig = {
     import Mp4Writer._
-    // locate moov with the top-level size grammar
-    var off = 0L
-    var moovAt = -1L; var moovEnd = -1L
-    while (moovAt < 0 && off < mp4.length) {
-      val sz32 = be32(mp4, off.toInt)
-      val sz: Long =
-        if (sz32 == 1) be64(mp4, off.toInt + 8)
-        else if (sz32 == 0) mp4.length - off
-        else sz32.toLong & 0xffffffffL
-      require(sz >= 8 && off + sz <= mp4.length, s"mp4: corrupt box at $off")
-      if (boxType(mp4, off.toInt) == "moov") { moovAt = off; moovEnd = off + sz }
-      else off += sz
-    }
-    require(moovAt >= 0, "mp4: missing moov box")
+    // shared locator (handles largesize/to-end moov headers — childStart
+    // skips a 64-bit size field so the trak walk can't misread it)
+    val (_, moovEnd, childStart) = locateMoov(mp4)
     val b = mp4
-    val moov = moovAt.toInt
-    val trak = findChild(b, moov + 8, moovEnd.toInt, "trak")
+    val trak = findChild(b, childStart, moovEnd, "trak")
     val mdia = findChild(b, trak + 8, trak + be32(b, trak), "mdia")
     val minf = findChild(b, mdia + 8, mdia + be32(b, mdia), "minf")
     val stbl = findChild(b, minf + 8, minf + be32(b, minf), "stbl")

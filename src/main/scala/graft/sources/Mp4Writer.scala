@@ -241,25 +241,34 @@ object Mp4Writer {
     * `largesize`, and 0 = to-end-of-file) so files our own writer produces
     * past 2 GiB — and files from other muxers — walk correctly.
     */
-  def parseSamples(bytes: Array[Byte]): Seq[SampleRef] = {
+  /** Locate the top-level `moov` with the full size grammar (compact,
+    * largesize, 0 = to-end-of-file). Returns (start, end, childStart) —
+    * childStart skips the 64-bit largesize header when present, so child
+    * walks never misread the size field as a box header.
+    */
+  private[sources] def locateMoov(bytes: Array[Byte]): (Int, Int, Int) = {
     var off = 0L
-    var moovAt  = -1L
-    var moovEnd = -1L
-    while (moovAt < 0 && off < bytes.length) {
+    while (off < bytes.length) {
       val sz32 = be32(bytes, off.toInt)
       val sz: Long =
         if (sz32 == 1) be64(bytes, off.toInt + 8)
         else if (sz32 == 0) bytes.length - off
         else sz32.toLong & 0xffffffffL
       require(sz >= 8 && off + sz <= bytes.length, s"mp4: corrupt box size $sz at offset $off")
-      if (boxType(bytes, off.toInt) == "moov") { moovAt = off; moovEnd = off + sz }
-      else off += sz
+      if (boxType(bytes, off.toInt) == "moov")
+        return (off.toInt, (off + sz).toInt,
+          off.toInt + (if (sz32 == 1) 16 else 8))
+      off += sz
     }
-    require(moovAt >= 0, "mp4: missing moov box")
+    throw new IllegalArgumentException("mp4: missing moov box")
+  }
+
+  def parseSamples(bytes: Array[Byte]): Seq[SampleRef] = {
+    val (moovAt, moovEnd, _) = locateMoov(bytes)
     // copy with the WALK's size, not the compact 32-bit field: a legal
     // moov written with size=0 (to-end-of-file, common for a last box) or
     // largesize would otherwise copy 0/1 bytes and crash the table parse
-    parseSampleTable(java.util.Arrays.copyOfRange(bytes, moovAt.toInt, moovEnd.toInt))
+    parseSampleTable(java.util.Arrays.copyOfRange(bytes, moovAt, moovEnd))
   }
 
   /** Parse a single-track sample table from the `moov` box bytes alone

@@ -125,16 +125,40 @@ object VideoStore {
       wants: Map[Long, Seq[Long]],
       decoded: Option[LongAccumulator] = None,
       codec: GopCodec = FakeVideoCodec): Dataset[FrameElem] = {
+    val (needed, pruned) = pruneSegments(spark, root, name, wants)
+    val wantB   = spark.sparkContext.broadcast(wants.map { case (k, v) => k -> v.toSet })
+    val neededB = spark.sparkContext.broadcast(needed)
+    pruned.flatMap { s =>
+      neededB.value.get((s.streamId, s.segId)) match {
+        case None => Iterator.empty
+        case Some(upTo) =>
+          val wantSet = wantB.value(s.streamId)
+          codec.decodeGop(s.payload, s.streamId, s.startIndex, upTo.toInt, decoded)
+            .filter(f => wantSet.contains(f.index))
+      }
+    }(frameEnc)
+  }
+
+  /** The shared two-phase sparse-read plan (the dynamic-file-pruning
+    * pattern; the reference's TaskStream rows): a DISTRIBUTED metadata
+    * pass — segment index (payload pruned from the scan) range-joined
+    * against the broadcast wanted-row list — reduces to one
+    * ((streamId, segId) -> max needed offset) row per covering segment,
+    * ≤ |wanted rows|; only that reaches the driver, where its sargable
+    * per-column relaxation (streamId ∈ sids ∧ segId ∈ segIds) becomes the
+    * `isin` pushed into the payload scan. Callers re-check exact pair
+    * membership executor-side against the returned map (the relaxation's
+    * cross-product may scan a few extra segments; it must never DECODE
+    * them). Serves [[gatherFramesMulti]] and
+    * [[H264Ingest.gatherAccessUnits]] — one pruning plan, two payload
+    * consumers.
+    */
+  private[sources] def pruneSegments(spark: SparkSession, root: String,
+      name: String, wants: Map[Long, Seq[Long]])
+      : (Map[(Long, Long), Long], Dataset[Segment]) = {
     require(wants.nonEmpty && wants.values.forall(_.nonEmpty),
-      "gatherFrames needs at least one row per requested stream")
+      "sparse gather needs at least one row per requested stream")
     import spark.implicits._
-    // plan: DISTRIBUTED metadata pass — segment index (payload pruned from
-    // the scan) range-joined against the broadcast wanted-row list, reduced
-    // to (streamId, segId, max needed offset). Only this pruning result —
-    // one row per segment that actually contains a wanted frame, ≤ |rows| —
-    // reaches the driver, where it becomes the isin() pushed into the
-    // payload scan (the dynamic-file-pruning pattern; the reference's
-    // TaskStream rows).
     val want = wants.toSeq
       .flatMap { case (sid, rows) => rows.map(r => (sid, r)) }
       .toDF("__sid", "__want")
@@ -147,26 +171,12 @@ object VideoStore {
       .agg(max(col("__want") - col("startIndex")).as("__upTo"))
       .as[(Long, Long, Long)].collect()
       .map { case (sid, seg, upTo) => (sid, seg) -> upTo }.toMap
-
-    val wantB   = spark.sparkContext.broadcast(wants.map { case (k, v) => k -> v.toSet })
-    val neededB = spark.sparkContext.broadcast(needed)
-    // scan pushdown is the sargable per-column relaxation of the pair set
-    // (streamId ∈ sids ∧ segId ∈ all needed segIds); the exact pair
-    // membership check runs executor-side against the broadcast map
-    val sids    = needed.keys.map(_._1).toSeq.distinct
-    val segIds  = needed.keys.map(_._2).toSeq.distinct
-    segments(spark, root, name)
+    val sids   = needed.keys.map(_._1).toSeq.distinct
+    val segIds = needed.keys.map(_._2).toSeq.distinct
+    val pruned = segments(spark, root, name)
       .filter(col("streamId").isin(sids: _*) &&
         col("segId").isin(segIds: _*)) // pushed to parquet scan
-      .flatMap { s =>
-        neededB.value.get((s.streamId, s.segId)) match {
-          case None => Iterator.empty
-          case Some(upTo) =>
-            val wantSet = wantB.value(s.streamId)
-            codec.decodeGop(s.payload, s.streamId, s.startIndex, upTo.toInt, decoded)
-              .filter(f => wantSet.contains(f.index))
-        }
-      }(frameEnc)
+    (needed, pruned)
   }
 
   /** MP4 ingest — the container half of the reference's flagship path
