@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 
-import graft.model.{CacheMode, FrameElem}
+import graft.model.{CacheMode, FrameElem, FrameType}
 import graft.operators.{Kernels, SequenceOps, StdKernels}
-import graft.sources.VideoStore
+import graft.sources.{H264GopCodec, VideoStore}
 
 /** Video-pipeline queries — the reference's flagship path (SURVEY.md §7
   * "minimum end-to-end slice": ingest → Range → Histogram → load,
@@ -305,6 +305,47 @@ object VideoQueries {
         .orderBy("stream", "frame")
     }),
 
+    // REAL H.264 pixel round trip through the WHOLE storage layer: gray
+    // frames -> I_PCM H264 GOP segments (spec-syntax Annex-B via the
+    // pure-JVM codec) -> committed store -> decode -> per-frame digest
+    // joined against the source digest. Monochrome-in-4:2:0 PCM is
+    // lossless, so every `lossless` cell must be true — a regression
+    // anywhere in slice syntax, PCM alignment, NAL escaping, or the GOP
+    // seam flips the pinned hash.
+    "video_h264_pcm_roundtrip" -> ((s, _) => {
+      val root = ensureH264Stores(s)
+      import s.implicits._
+      val src = h264GrayFixture(s).toDF()
+        .select(col("streamId"), col("index"), md5(col("data")).as("src_md5"))
+      val dec = VideoStore.frames(s, root, "h264pcm", codec = H264GopCodec.Pcm).toDF()
+        .select(col("streamId"), col("index"), md5(col("data")).as("dec_md5"))
+      src.join(dec, Seq("streamId", "index"))
+        .withColumn("lossless", col("src_md5") === col("dec_md5"))
+        .orderBy("streamId", "index")
+    }),
+
+    // the COMPRESSED tier of the same path: CAVLC Intra_16x16 at QP 12
+    // (transform + quant + entropy coding — real lossy video), decoded
+    // back through the store via the Range plan into per-frame pixel
+    // digests. Decoded pixels are deterministic, so the digests pin
+    // exactly; the size columns assert the entropy layer actually
+    // compresses (stored GOP bytes < half the raw frame bytes).
+    "video_h264_store_histogram" -> ((s, _) => {
+      val root = ensureH264Stores(s)
+      val frames = VideoStore
+        .frames(s, root, "h264cavlc", codec = H264GopCodec.Default).toDF()
+      val digests = SequenceOps.range(frames, 0L, 20L)
+        .select(col("streamId"), col("index"), md5(col("data")).as("frame_md5"))
+      val rawBytes = 32L * 48L * 60L // per stream: h*w*frames (U8 gray)
+      val sizes = VideoStore.segments(s, root, "h264cavlc").toDF()
+        .groupBy(col("streamId"))
+        .agg(sum(length(col("payload"))).as("stored_bytes"))
+        .withColumn("compressed", col("stored_bytes") < lit(rawBytes / 2))
+        .select(col("streamId"), col("stored_bytes"), col("compressed"))
+      digests.join(sizes, Seq("streamId"))
+        .orderBy("streamId", "index")
+    }),
+
     // ingest diagnostics: per-stream GOP structure rollup (frame count,
     // keyframe density, bytes) — the first sanity report a video-corpus
     // ingest prints; one map-side-combining agg over the index rows
@@ -322,6 +363,34 @@ object VideoQueries {
         .orderBy("stream")
     })
   )
+
+  /** deterministic grayscale fixture for the real-H264 stores: 2 streams
+    * x 60 frames of 32x48 U8 — gradient + 8x8 checker so the CAVLC tier
+    * has real AC energy to code
+    */
+  private def h264GrayFixture(s: SparkSession): org.apache.spark.sql.Dataset[FrameElem] = {
+    import s.implicits._
+    (0L until 2L).flatMap { sid =>
+      (0L until 60L).map { i =>
+        val h = 32; val w = 48
+        FrameElem(sid, i, h, w, 1, FrameType.U8, Array.tabulate(h * w) { p =>
+          val x = p % w; val y = p / w
+          ((x + y * 3 + i * 5 + sid * 17) % 200 +
+            (if ((x / 8 + y / 8) % 2 == 0) 30 else 0)).toByte
+        })
+      }
+    }.toDS()
+  }
+
+  /** idempotent ingest of the gray fixture through BOTH real-H264 tiers */
+  private def ensureH264Stores(s: SparkSession): String = {
+    val root = sys.props("java.io.tmpdir") + "/graft-h264store"
+    VideoStore.ingest(h264GrayFixture(s), root, "h264pcm", gopSize = 15,
+      CacheMode.Ignore, codec = H264GopCodec.Pcm)
+    VideoStore.ingest(h264GrayFixture(s), root, "h264cavlc", gopSize = 15,
+      CacheMode.Ignore, codec = H264GopCodec.Default)
+    root
+  }
 
   /** A FLEET of deterministic Annex-B streams for the ingest bench:
     * `files` streams of `gops` GOPs x (IDR + `pFrames` P), `fillerLen`

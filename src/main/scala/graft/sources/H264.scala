@@ -64,6 +64,16 @@ object H264 {
       val k = ue
       if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** skip to the next byte boundary (pcm_alignment_zero_bit, §7.3.5) */
+    def align(): Unit = pos = (pos + 7) & ~7
+    /** more_rbsp_data(): true while bits beyond the rbsp_stop_one_bit
+      * remain (§7.2 — the stop bit is the last 1 in the buffer)
+      */
+    def moreRbspData: Boolean = {
+      var last = buf.length * 8 - 1
+      while (last >= 0 && ((buf(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
+      pos < last
+    }
   }
 
   final case class Sps(

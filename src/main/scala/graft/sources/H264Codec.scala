@@ -1,0 +1,684 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A real H.264 encoder/decoder pair in pure JVM code — the pixel half
+  * of the video layer the container's missing FFmpeg had kept behind the
+  * [[GopCodec]] seam. Produces/consumes spec-syntax Annex-B streams
+  * (Baseline profile, CAVLC, frame-coded 4:2:0) built entirely from the
+  * public ITU-T H.264 spec: SPS/PPS generation, I slices whose
+  * macroblocks are either Intra_16x16 (DC prediction, 4x4 integer
+  * transform + Hadamard DC transforms, CAVLC residuals — §8.3.3, §8.5,
+  * §9.2) or I_PCM (raw macroblocks, §7.3.5 — bit-exact, so grayscale
+  * content round-trips losslessly).
+  *
+  * Scope, by design (documented subset, each refused loudly on decode):
+  * intra-only (P/B prediction not yet emitted), Intra_16x16 DC luma +
+  * DC chroma prediction modes only, no deblocking filter (streams set
+  * disable_deblocking_filter_idc = 1, so skipping the filter is
+  * conformant for our own output). The reference feeds FFmpeg/NVDEC
+  * behind `scanner/video/decoder_automata.h:28-51`; this class is the
+  * software instance of that seam this container permits.
+  *
+  * Conformance evidence available in-container: the streams parse under
+  * the independent [[H264]] ingest indexer (NAL/AU/SPS grammar), every
+  * VLC table is pinned prefix-free, and encode→decode round-trips are
+  * pinned numerically (lossless for PCM, near-lossless at QP 0). True
+  * cross-decoder conformance needs a second decoder, which the offline
+  * container cannot ship — the honest residual gap.
+  */
+object H264Codec {
+
+  /** one 4:2:0 frame: full-range planes, chroma half-size each dimension */
+  final case class Yuv(w: Int, h: Int, y: Array[Byte], cb: Array[Byte], cr: Array[Byte])
+
+  /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
+  private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  private val blkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+
+  import H264Transform._
+
+  // ------------------------------------------------------------ headers
+
+  /** codec SPS: Baseline, poc type 2 (no slice-header POC fields), frame
+    * MBs only, cropping for non-multiple-of-16 dims
+    */
+  private def codecSps(w: Int, h: Int): Array[Byte] = {
+    val bw = new H264Writer.BitWriter
+    bw.u(8, 66) // profile_idc Baseline
+    bw.u(8, 0)  // constraint flags
+    bw.u(8, 40) // level 4.0
+    bw.ue(0)    // sps_id
+    bw.ue(8)    // log2_max_frame_num_minus4 -> 12 bits of frame_num
+    bw.ue(2)    // pic_order_cnt_type 2 (POC from decode order)
+    bw.ue(1)    // max_num_ref_frames
+    bw.u1(0)    // gaps_in_frame_num_value_allowed_flag
+    val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
+    bw.ue(mbW - 1)
+    bw.ue(mbH - 1)
+    bw.u1(1)    // frame_mbs_only_flag
+    bw.u1(1)    // direct_8x8_inference_flag
+    val cropR = (mbW * 16 - w) / 2; val cropB = (mbH * 16 - h) / 2
+    if (cropR > 0 || cropB > 0) { bw.u1(1); bw.ue(0); bw.ue(cropR); bw.ue(0); bw.ue(cropB) }
+    else bw.u1(0)
+    bw.u1(0)    // vui_parameters_present_flag
+    bw.rbspTrailing()
+  }
+
+  /** codec PPS: CAVLC, deblocking control present (slices disable it) */
+  private def codecPps(): Array[Byte] = {
+    val bw = new H264Writer.BitWriter
+    bw.ue(0)   // pps_id
+    bw.ue(0)   // sps_id
+    bw.u1(0)   // entropy_coding_mode_flag: CAVLC
+    bw.u1(0)   // pic_order_present_flag
+    bw.ue(0)   // num_slice_groups_minus1
+    bw.ue(0); bw.ue(0) // num_ref_idx_l{0,1}_active_minus1
+    bw.u1(0)   // weighted_pred_flag
+    bw.u(2, 0) // weighted_bipred_idc
+    bw.se(0)   // pic_init_qp_minus26
+    bw.se(0)   // pic_init_qs_minus26
+    bw.se(0)   // chroma_qp_index_offset
+    bw.u1(1)   // deblocking_filter_control_present_flag
+    bw.u1(0)   // constrained_intra_pred_flag
+    bw.u1(0)   // redundant_pic_cnt_present_flag
+    bw.rbspTrailing()
+  }
+
+  // ----------------------------------------------------- pixel plumbing
+
+  /** edge-replicate `src` (w x h) into a (pw x ph) padded plane */
+  private def pad(src: Array[Byte], w: Int, h: Int, pw: Int, ph: Int): Array[Byte] = {
+    val out = new Array[Byte](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) { out(y * pw + x) = src(sy * w + math.min(x, w - 1)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  private def crop(src: Array[Byte], pw: Int, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) { System.arraycopy(src, y * pw, out, y * w, w); y += 1 }
+    out
+  }
+
+  /** per-picture coding state shared by encode and decode */
+  private final class PicState(val mbW: Int, val mbH: Int) {
+    val pw: Int = mbW * 16; val ph: Int = mbH * 16
+    val cw: Int = pw / 2; val ch: Int = ph / 2
+    val reconY = new Array[Byte](pw * ph)
+    val reconCb = new Array[Byte](cw * ch)
+    val reconCr = new Array[Byte](cw * ch)
+    // TotalCoeff per 4x4 block, for CAVLC nC contexts
+    val bw4: Int = mbW * 4
+    val cbw4: Int = mbW * 2
+    val nzY = new Array[Int](bw4 * mbH * 4)
+    val nzCb = new Array[Int](cbw4 * mbH * 2)
+    val nzCr = new Array[Int](cbw4 * mbH * 2)
+    def nC(nz: Array[Int], rowW: Int, bx: Int, by: Int): Int = {
+      val nA = if (bx > 0) nz(by * rowW + bx - 1) else -1
+      val nB = if (by > 0) nz((by - 1) * rowW + bx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA
+      else if (nB >= 0) nB
+      else 0
+    }
+  }
+
+  /** parsed/encoded residual of one Intra_16x16 macroblock */
+  private final class MbCoeffs {
+    val lumaDcZig = new Array[Int](16)
+    val lumaAcZig: Array[Array[Int]] = Array.fill(16)(new Array[Int](15))
+    val cbDcZig = new Array[Int](4)
+    val crDcZig = new Array[Int](4)
+    val cbAcZig: Array[Array[Int]] = Array.fill(4)(new Array[Int](15))
+    val crAcZig: Array[Array[Int]] = Array.fill(4)(new Array[Int](15))
+    var cbpLuma = 0   // 0 or 15
+    var cbpChroma = 0 // 0, 1, 2
+  }
+
+  @inline private def clip(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Intra_16x16 DC luma prediction (§8.3.3.3) from reconstructed neighbours */
+  private def predLumaDc(st: PicState, mbX: Int, mbY: Int): Int = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val hasL = mbX > 0; val hasT = mbY > 0
+    var sum = 0
+    if (hasT) { var i = 0; while (i < 16) { sum += st.reconY((y0 - 1) * st.pw + x0 + i) & 0xff; i += 1 } }
+    if (hasL) { var i = 0; while (i < 16) { sum += st.reconY((y0 + i) * st.pw + x0 - 1) & 0xff; i += 1 } }
+    if (hasT && hasL) (sum + 16) >> 5
+    else if (hasT || hasL) (sum + 8) >> 4
+    else 128
+  }
+
+  /** chroma DC prediction (§8.3.4), per 4x4 quadrant of the 8x8 block;
+    * returns the 4 quadrant DC values indexed [by*2+bx]
+    */
+  private def predChromaDc(plane: Array[Byte], cw: Int, mbX: Int, mbY: Int): Array[Int] = {
+    val x0 = mbX * 8; val y0 = mbY * 8
+    val hasL = mbX > 0; val hasT = mbY > 0
+    def sumT(from: Int): Int = {
+      var s = 0; var i = 0
+      while (i < 4) { s += plane((y0 - 1) * cw + x0 + from + i) & 0xff; i += 1 }
+      s
+    }
+    def sumL(from: Int): Int = {
+      var s = 0; var i = 0
+      while (i < 4) { s += plane((y0 + from + i) * cw + x0 - 1) & 0xff; i += 1 }
+      s
+    }
+    val q = new Array[Int](4)
+    // (0,0): both; (1,0): prefer top; (0,1): prefer left; (1,1): both
+    q(0) =
+      if (hasT && hasL) (sumT(0) + sumL(0) + 4) >> 3
+      else if (hasT) (sumT(0) + 2) >> 2
+      else if (hasL) (sumL(0) + 2) >> 2
+      else 128
+    q(1) =
+      if (hasT) (sumT(4) + 2) >> 2
+      else if (hasL) (sumL(0) + 2) >> 2
+      else 128
+    q(2) =
+      if (hasL) (sumL(4) + 2) >> 2
+      else if (hasT) (sumT(0) + 2) >> 2
+      else 128
+    q(3) =
+      if (hasT && hasL) (sumT(4) + sumL(4) + 4) >> 3
+      else if (hasT) (sumT(4) + 2) >> 2
+      else if (hasL) (sumL(4) + 2) >> 2
+      else 128
+    q
+  }
+
+  /** shared encoder/decoder reconstruction of one Intra_16x16 MB: dequant,
+    * inverse transforms, prediction add, clip — into the recon planes
+    */
+  private def reconstructMb(st: PicState, mbX: Int, mbY: Int, qp: Int, mc: MbCoeffs): Unit = {
+    val qpc = chromaQp(qp)
+    // ---- luma
+    val dcArr = new Array[Int](16)
+    var i = 0
+    while (i < 16) { dcArr(zigzag4x4(i)) = mc.lumaDcZig(i); i += 1 }
+    hadamard4x4(dcArr)
+    i = 0
+    while (i < 16) { dcArr(i) = dequantLumaDc(dcArr(i), qp); i += 1 }
+    val predY = predLumaDc(st, mbX, mbY)
+    val x0 = mbX * 16; val y0 = mbY * 16
+    var blk = 0
+    val w = new Array[Int](16)
+    while (blk < 16) {
+      java.util.Arrays.fill(w, 0)
+      w(0) = dcArr(blkY(blk) * 4 + blkX(blk))
+      if (mc.cbpLuma != 0) {
+        var zi = 1
+        while (zi < 16) {
+          val pos = zigzag4x4(zi)
+          w(pos) = dequantAc(mc.lumaAcZig(blk)(zi - 1), qp, pos)
+          zi += 1
+        }
+      }
+      inverse4x4(w)
+      val bx0 = x0 + blkX(blk) * 4; val by0 = y0 + blkY(blk) * 4
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) {
+          st.reconY((by0 + r) * st.pw + bx0 + c) = clip(predY + w(r * 4 + c))
+          c += 1
+        }
+        r += 1
+      }
+      blk += 1
+    }
+    // ---- chroma
+    def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      val dc = new Array[Int](4)
+      var k = 0
+      while (k < 4) { dc(k) = dcZig(k); k += 1 }
+      hadamard2x2(dc)
+      k = 0
+      while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+      val q = predChromaDc(plane, st.cw, mbX, mbY)
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      var cb = 0
+      while (cb < 4) {
+        val bx = cb % 2; val by = cb / 2
+        java.util.Arrays.fill(w, 0)
+        w(0) = dc(by * 2 + bx)
+        if (mc.cbpChroma == 2) {
+          var zi = 1
+          while (zi < 16) {
+            val pos = zigzag4x4(zi)
+            w(pos) = dequantAc(acZig(cb)(zi - 1), qpc, pos)
+            zi += 1
+          }
+        }
+        inverse4x4(w)
+        val px0 = cx0 + bx * 4; val py0 = cy0 + by * 4
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            plane((py0 + r) * st.cw + px0 + c) = clip(q(by * 2 + bx) + w(r * 4 + c))
+            c += 1
+          }
+          r += 1
+        }
+        cb += 1
+      }
+    }
+    chroma(st.reconCb, mc.cbDcZig, mc.cbAcZig)
+    chroma(st.reconCr, mc.crDcZig, mc.crAcZig)
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** forward-code one MB as Intra_16x16 and return its coefficients */
+  private def analyseMbI16(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): MbCoeffs = {
+    val qpc = chromaQp(qp)
+    val mc = new MbCoeffs
+    // ---- luma
+    val predY = predLumaDc(st, mbX, mbY)
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val dcArr = new Array[Int](16)
+    val b = new Array[Int](16)
+    var anyLumaAc = false
+    var blk = 0
+    while (blk < 16) {
+      val bx0 = x0 + blkX(blk) * 4; val by0 = y0 + blkY(blk) * 4
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) {
+          b(r * 4 + c) = (srcY((by0 + r) * st.pw + bx0 + c) & 0xff) - predY
+          c += 1
+        }
+        r += 1
+      }
+      forward4x4(b)
+      dcArr(blkY(blk) * 4 + blkX(blk)) = b(0)
+      var zi = 1
+      while (zi < 16) {
+        val pos = zigzag4x4(zi)
+        val z = quantAc(b(pos), qp, pos)
+        mc.lumaAcZig(blk)(zi - 1) = z
+        if (z != 0) anyLumaAc = true
+        zi += 1
+      }
+      blk += 1
+    }
+    hadamard4x4(dcArr)
+    var i = 0
+    while (i < 16) { dcArr(i) = dcArr(i) / 2; i += 1 }
+    i = 0
+    while (i < 16) { mc.lumaDcZig(i) = quantLumaDc(dcArr(zigzag4x4(i)), qp); i += 1 }
+    mc.cbpLuma = if (anyLumaAc) 15 else 0
+    // ---- chroma
+    var anyChromaAc = false
+    var anyChromaDc = false
+    def chroma(src: Array[Byte], plane: Array[Byte], dcZig: Array[Int],
+        acZig: Array[Array[Int]]): Unit = {
+      val q = predChromaDc(plane, st.cw, mbX, mbY)
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      val dc = new Array[Int](4)
+      var cb = 0
+      while (cb < 4) {
+        val bx = cb % 2; val by = cb / 2
+        val px0 = cx0 + bx * 4; val py0 = cy0 + by * 4
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            b(r * 4 + c) = (src((py0 + r) * st.cw + px0 + c) & 0xff) - q(by * 2 + bx)
+            c += 1
+          }
+          r += 1
+        }
+        forward4x4(b)
+        dc(by * 2 + bx) = b(0)
+        var zi = 1
+        while (zi < 16) {
+          val pos = zigzag4x4(zi)
+          val z = quantAc(b(pos), qpc, pos)
+          acZig(cb)(zi - 1) = z
+          if (z != 0) anyChromaAc = true
+          zi += 1
+        }
+        cb += 1
+      }
+      hadamard2x2(dc)
+      var k = 0
+      while (k < 4) {
+        dcZig(k) = quantChromaDc(dc(k), qpc)
+        if (dcZig(k) != 0) anyChromaDc = true
+        k += 1
+      }
+    }
+    chroma(srcCb, st.reconCb, mc.cbDcZig, mc.cbAcZig)
+    chroma(srcCr, st.reconCr, mc.crDcZig, mc.crAcZig)
+    mc.cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
+    mc
+  }
+
+  /** write one Intra_16x16 MB's syntax elements + CAVLC residuals,
+    * updating the nC bookkeeping (shared block order with the parser)
+    */
+  private def writeMbI16(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
+      mc: MbCoeffs): Unit = {
+    val mbType = 1 + 2 + 4 * mc.cbpChroma + 12 * (if (mc.cbpLuma == 15) 1 else 0)
+    bw.ue(mbType)
+    bw.ue(0) // intra_chroma_pred_mode: DC
+    bw.se(0) // mb_qp_delta
+    val bX = mbX * 4; val bY = mbY * 4
+    // luma DC: nC of blkIdx 0
+    H264Cavlc.writeBlock(bw, mc.lumaDcZig, st.nC(st.nzY, st.bw4, bX, bY))
+    // luma AC
+    var blk = 0
+    while (blk < 16) {
+      val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+      val tc =
+        if (mc.cbpLuma != 0)
+          H264Cavlc.writeBlock(bw, mc.lumaAcZig(blk), st.nC(st.nzY, st.bw4, ax, ay))
+        else 0
+      st.nzY(ay * st.bw4 + ax) = tc
+      blk += 1
+    }
+    // chroma DC (Cb then Cr), nC = -1
+    if (mc.cbpChroma != 0) {
+      H264Cavlc.writeBlock(bw, mc.cbDcZig, -1)
+      H264Cavlc.writeBlock(bw, mc.crDcZig, -1)
+    }
+    // chroma AC
+    val cX = mbX * 2; val cY = mbY * 2
+    def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      var cb = 0
+      while (cb < 4) {
+        val ax = cX + cb % 2; val ay = cY + cb / 2
+        val tc =
+          if (mc.cbpChroma == 2)
+            H264Cavlc.writeBlock(bw, acZig(cb), st.nC(nz, st.cbw4, ax, ay))
+          else 0
+        nz(ay * st.cbw4 + ax) = tc
+        cb += 1
+      }
+    }
+    chromaAc(st.nzCb, mc.cbAcZig)
+    chromaAc(st.nzCr, mc.crAcZig)
+  }
+
+  /** encode one frame as a single I slice (IDR for frame 0) */
+  private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean): Array[Byte] = {
+    val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
+    val st = new PicState(mbW, mbH)
+    val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
+    val srcCb = pad(yuv.cb, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
+    val srcCr = pad(yuv.cr, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
+    val idr = frameIdx == 0
+    val bw = new H264Writer.BitWriter
+    bw.ue(0)                 // first_mb_in_slice
+    bw.ue(7)                 // slice_type: I (all slices of picture)
+    bw.ue(0)                 // pps_id
+    bw.u(12, frameIdx % (1 << 12)) // frame_num
+    if (idr) bw.ue(0)        // idr_pic_id
+    // poc type 2: no POC fields
+    if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
+    else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
+    bw.se(qp - 26)           // slice_qp_delta
+    bw.ue(1)                 // disable_deblocking_filter_idc: off
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        if (pcm) {
+          bw.ue(25) // I_PCM
+          bw.alignZero()
+          val x0 = mbX * 16; val y0 = mbY * 16
+          var r = 0
+          while (r < 16) {
+            var c = 0
+            while (c < 16) { bw.u(8, srcY((y0 + r) * st.pw + x0 + c) & 0xff); c += 1 }
+            r += 1
+          }
+          def pcmChroma(src: Array[Byte]): Unit = {
+            val cx0 = mbX * 8; val cy0 = mbY * 8
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) { bw.u(8, src((cy0 + r) * st.cw + cx0 + c) & 0xff); c += 1 }
+              r += 1
+            }
+          }
+          pcmChroma(srcCb)
+          pcmChroma(srcCr)
+          // PCM reconstructs to the raw samples; nC counts are 16 (§9.2.1)
+          r = 0
+          while (r < 16) {
+            var c = 0
+            while (c < 16) { st.reconY((y0 + r) * st.pw + x0 + c) = srcY((y0 + r) * st.pw + x0 + c); c += 1 }
+            r += 1
+          }
+          val cx0 = mbX * 8; val cy0 = mbY * 8
+          r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              st.reconCb((cy0 + r) * st.cw + cx0 + c) = srcCb((cy0 + r) * st.cw + cx0 + c)
+              st.reconCr((cy0 + r) * st.cw + cx0 + c) = srcCr((cy0 + r) * st.cw + cx0 + c)
+              c += 1
+            }
+            r += 1
+          }
+          var i = 0
+          while (i < 4) {
+            var j = 0
+            while (j < 4) { st.nzY((mbY * 4 + i) * st.bw4 + mbX * 4 + j) = 16; j += 1 }
+            j = 0
+            while (j < 2 && i < 2) {
+              st.nzCb((mbY * 2 + i) * st.cbw4 + mbX * 2 + j) = 16
+              st.nzCr((mbY * 2 + i) * st.cbw4 + mbX * 2 + j) = 16
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
+          writeMbI16(bw, st, mbX, mbY, mc)
+          reconstructMb(st, mbX, mbY, qp, mc)
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val rbsp = bw.rbspTrailing()
+    H264Writer.nal(if (idr) 3 else 2, if (idr) 5 else 1, rbsp)
+  }
+
+  /** encode frames into one Annex-B stream (SPS + PPS + one I slice per
+    * frame; the first frame is the IDR). `pcm = true` codes every MB as
+    * I_PCM (bit-exact); otherwise Intra_16x16 at `qp`.
+    */
+  def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "empty GOP")
+    val head = frames.head
+    require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
+    require(qp >= 0 && qp <= 51, s"QP $qp out of [0,51]")
+    frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h)))
+    out.write(H264Writer.nal(3, 8, codecPps()))
+    frames.zipWithIndex.foreach { case (f, i) => out.write(encodeFrame(f, i, qp, pcm)) }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- decode
+
+  private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean)
+
+  /** the PPS fields the pixel decoder needs beyond [[H264.parsePps]] */
+  private def parseCodecPps(r: H264.BitReader): CodecPps = {
+    r.ue; r.ue // pps_id, sps_id
+    require(r.u1 == 0, "CABAC streams not supported (CAVLC decoder)")
+    r.u1       // pic_order_present
+    require(r.ue == 0, "FMO not supported")
+    r.ue; r.ue // num_ref_idx defaults
+    r.u1; r.u(2)
+    val picInitQp = 26 + r.se
+    r.se // pic_init_qs
+    r.se // chroma_qp_index_offset (0 in our streams; nonzero unsupported)
+    val deblk = r.u1 == 1
+    r.u1 // constrained_intra_pred
+    r.u1 // redundant_pic_cnt_present
+    CodecPps(picInitQp, deblk)
+  }
+
+  /** decode one I slice into the picture state; returns the slice QP used */
+  private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
+      nalType: Int, refIdc: Int, st: PicState): Unit = {
+    val r = new H264.BitReader(rbsp)
+    require(r.ue == 0, "multi-slice pictures not supported by the pixel decoder")
+    val sliceType = r.ue
+    require(sliceType == 2 || sliceType == 7, s"not an I slice: slice_type $sliceType")
+    r.ue // pps_id
+    r.u(sps.log2MaxFrameNum) // frame_num
+    val idr = nalType == 5
+    if (idr) r.ue // idr_pic_id
+    sps.pocType match {
+      case 0 => r.u(sps.log2MaxPocLsb)
+      case 2 => ()
+      case other => sys.error(s"poc type $other unsupported")
+    }
+    if (refIdc != 0) {
+      if (idr) { r.u1; r.u1 }
+      else require(r.u1 == 0, "adaptive ref pic marking not supported")
+    }
+    var qp = pps.picInitQp + r.se
+    if (pps.deblockingPresent)
+      require(r.ue == 1, "deblocking filter not implemented; streams must disable it")
+    val mbW = st.mbW; val mbH = st.mbH
+    var mb = 0
+    while (mb < mbW * mbH) {
+      val mbX = mb % mbW; val mbY = mb / mbW
+      val mbType = r.ue
+      if (mbType == 25) { // I_PCM
+        r.align()
+        val x0 = mbX * 16; val y0 = mbY * 16
+        var i = 0
+        while (i < 256) {
+          st.reconY((y0 + i / 16) * st.pw + x0 + i % 16) = r.u(8).toByte
+          i += 1
+        }
+        val cx0 = mbX * 8; val cy0 = mbY * 8
+        i = 0
+        while (i < 64) {
+          st.reconCb((cy0 + i / 8) * st.cw + cx0 + i % 8) = r.u(8).toByte
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          st.reconCr((cy0 + i / 8) * st.cw + cx0 + i % 8) = r.u(8).toByte
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          var j = 0
+          while (j < 4) { st.nzY((mbY * 4 + i) * st.bw4 + mbX * 4 + j) = 16; j += 1 }
+          j = 0
+          while (j < 2 && i < 2) {
+            st.nzCb((mbY * 2 + i) * st.cbw4 + mbX * 2 + j) = 16
+            st.nzCr((mbY * 2 + i) * st.cbw4 + mbX * 2 + j) = 16
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        require(mbType >= 1 && mbType <= 24,
+          s"mb_type $mbType unsupported (Intra_16x16 and I_PCM only)")
+        val m = mbType - 1
+        val lumaFlag = m / 12
+        val rem = m % 12
+        val cbpChroma = rem / 4
+        val predMode = rem % 4
+        require(predMode == 2, s"Intra_16x16 prediction mode $predMode not implemented (DC only)")
+        val mc = new MbCoeffs
+        mc.cbpLuma = if (lumaFlag == 1) 15 else 0
+        mc.cbpChroma = cbpChroma
+        require(r.ue == 0, "chroma prediction mode != DC not implemented")
+        qp += r.se // mb_qp_delta
+        val bX = mbX * 4; val bY = mbY * 4
+        val (dcZig, _) = H264Cavlc.readBlock(r, 16, st.nC(st.nzY, st.bw4, bX, bY))
+        System.arraycopy(dcZig, 0, mc.lumaDcZig, 0, 16)
+        var blk = 0
+        while (blk < 16) {
+          val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+          val tc =
+            if (mc.cbpLuma != 0) {
+              val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(st.nzY, st.bw4, ax, ay))
+              System.arraycopy(ac, 0, mc.lumaAcZig(blk), 0, 15)
+              t
+            } else 0
+          st.nzY(ay * st.bw4 + ax) = tc
+          blk += 1
+        }
+        if (mc.cbpChroma != 0) {
+          val (cbDc, _) = H264Cavlc.readBlock(r, 4, -1)
+          val (crDc, _) = H264Cavlc.readBlock(r, 4, -1)
+          System.arraycopy(cbDc, 0, mc.cbDcZig, 0, 4)
+          System.arraycopy(crDc, 0, mc.crDcZig, 0, 4)
+        }
+        val cX = mbX * 2; val cY = mbY * 2
+        def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+          var cb = 0
+          while (cb < 4) {
+            val ax = cX + cb % 2; val ay = cY + cb / 2
+            val tc =
+              if (mc.cbpChroma == 2) {
+                val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(nz, st.cbw4, ax, ay))
+                System.arraycopy(ac, 0, acZig(cb), 0, 15)
+                t
+              } else 0
+            nz(ay * st.cbw4 + ax) = tc
+            cb += 1
+          }
+        }
+        chromaAc(st.nzCb, mc.cbAcZig)
+        chromaAc(st.nzCr, mc.crAcZig)
+        reconstructMb(st, mbX, mbY, qp, mc)
+      }
+      mb += 1
+    }
+  }
+
+  /** decode the first `maxFrames` frames of an Annex-B stream produced by
+    * [[encode]] (or any stream within the documented subset)
+    */
+  def decode(stream: Array[Byte], maxFrames: Int = Int.MaxValue): Vector[Yuv] = {
+    var sps: H264.Sps = null
+    var pps: CodecPps = null
+    val out = ArrayBuffer.empty[Yuv]
+    val nals = H264.nalUnits(stream).iterator
+    while (nals.hasNext && out.size < maxFrames) {
+      val nal = nals.next()
+      nal.nalType match {
+        case 7 => sps = H264.parseSps(new H264.BitReader(H264.rbsp(nal.bytes, 1)))
+        case 8 => pps = parseCodecPps(new H264.BitReader(H264.rbsp(nal.bytes, 1)))
+        case 1 | 5 =>
+          require(sps != null && pps != null, "VCL NAL before SPS/PPS")
+          val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
+          val st = new PicState(mbW, mbH)
+          decodeSlice(H264.rbsp(nal.bytes, 1), sps, pps, nal.nalType, nal.refIdc, st)
+          out += Yuv(sps.width, sps.height,
+            crop(st.reconY, st.pw, sps.width, sps.height),
+            crop(st.reconCb, st.cw, sps.width / 2, sps.height / 2),
+            crop(st.reconCr, st.cw, sps.width / 2, sps.height / 2))
+        case _ => () // SEI / AUD / filler: ignored
+      }
+    }
+    out.toVector
+  }
+}

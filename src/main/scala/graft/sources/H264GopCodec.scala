@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.util.LongAccumulator
+
+import graft.model.{FrameElem, FrameType}
+
+/** [[GopCodec]] instance backed by the real pure-JVM H.264 codec
+  * ([[H264Codec]]) — the software decoder slot of the reference's codec
+  * seam (`scanner/video/decoder_automata.h:28-51`,
+  * `software_video_decoder.cpp`), replacing the stand-ins for U8 frames.
+  *
+  * Channel mapping to 4:2:0:
+  *  - `channels == 1`: the plane IS luma; chroma is neutral 128. With
+  *    `pcm = true` the round trip is BIT-EXACT (monochrome-in-4:2:0 is
+  *    the standard trick for grayscale video).
+  *  - `channels == 3`: BT.601 full-range RGB -> YCbCr with 2x2 chroma
+  *    averaging on encode and replication on decode — real 4:2:0 video,
+  *    so inherently lossy for RGB even under PCM (chroma subsampling),
+  *    deterministic both ways.
+  *
+  * Payload = 21-byte header (magic, dims, channels, dtype, n, mode) +
+  * the Annex-B stream, so sparse reads can stop after `upTo + 1` access
+  * units exactly like the reference's sequential-from-keyframe decode.
+  */
+final class H264GopCodec(qp: Int = 12, pcm: Boolean = false) extends GopCodec {
+
+  private val MAGIC = 0x47483236 // "GH26"
+
+  override def encodeGop(frames: Seq[FrameElem]): Array[Byte] = {
+    require(frames.nonEmpty, "empty GOP")
+    val head = frames.head
+    require(head.dtype == FrameType.U8, s"H264GopCodec is U8-only (dtype ${head.dtype})")
+    require(head.channels == 1 || head.channels == 3,
+      s"H264GopCodec supports 1 or 3 channels, got ${head.channels}")
+    frames.foreach { f =>
+      require(f.height == head.height && f.width == head.width &&
+        f.channels == head.channels && f.dtype == head.dtype,
+        "GOP frames must share shape/dtype")
+    }
+    val yuvs = frames.map(toYuv)
+    val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm)
+    val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(MAGIC).putInt(head.height).putInt(head.width)
+      .put(head.channels.toByte).put(head.dtype)
+      .putInt(frames.size).put(if (pcm) 1.toByte else 0.toByte)
+    out.put(stream)
+    out.array()
+  }
+
+  override def decodeGop(payload: Array[Byte], streamId: Long, startIndex: Long,
+      upTo: Int, decoded: Option[LongAccumulator]): Iterator[FrameElem] = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == MAGIC, "not an H264 GOP payload")
+    val h = bb.getInt(); val w = bb.getInt()
+    val c = bb.get().toInt; val dtype = bb.get()
+    val n = bb.getInt(); bb.get() // mode flag (informational on decode)
+    val stream = new Array[Byte](payload.length - 21)
+    bb.get(stream)
+    val want = if (upTo == Int.MaxValue) n else math.min(n, upTo + 1)
+    val yuvs = H264Codec.decode(stream, maxFrames = want)
+    decoded.foreach(_.add(yuvs.size.toLong))
+    yuvs.iterator.zipWithIndex.map { case (yuv, i) =>
+      FrameElem(streamId, startIndex + i, h, w, c, dtype, fromYuv(yuv, c))
+    }
+  }
+
+  // ------------------------------------------------- colorspace plumbing
+
+  private def toYuv(f: FrameElem): H264Codec.Yuv = {
+    val w = f.width; val h = f.height
+    require(w % 2 == 0 && h % 2 == 0, s"4:2:0 requires even dims, got ${w}x$h")
+    if (f.channels == 1)
+      H264Codec.Yuv(w, h, f.data.clone(),
+        Array.fill(w / 2 * h / 2)(128.toByte), Array.fill(w / 2 * h / 2)(128.toByte))
+    else {
+      val y = new Array[Byte](w * h)
+      val cbF = new Array[Int](w * h); val crF = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val r = f.data(i * 3) & 0xff
+        val g = f.data(i * 3 + 1) & 0xff
+        val b = f.data(i * 3 + 2) & 0xff
+        // BT.601 full-range, integer approximation (same both directions)
+        val yy = (77 * r + 150 * g + 29 * b + 128) >> 8
+        y(i) = yy.toByte
+        cbF(i) = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+        crF(i) = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+        i += 1
+      }
+      val cw = w / 2; val ch = h / 2
+      val cb = new Array[Byte](cw * ch); val cr = new Array[Byte](cw * ch)
+      var cy = 0
+      while (cy < ch) {
+        var cx = 0
+        while (cx < cw) {
+          val p0 = (cy * 2) * w + cx * 2; val p1 = p0 + w
+          def clip(v: Int) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          cb(cy * cw + cx) = clip((cbF(p0) + cbF(p0 + 1) + cbF(p1) + cbF(p1 + 1) + 2) >> 2)
+          cr(cy * cw + cx) = clip((crF(p0) + crF(p0 + 1) + crF(p1) + crF(p1 + 1) + 2) >> 2)
+          cx += 1
+        }
+        cy += 1
+      }
+      H264Codec.Yuv(w, h, y, cb, cr)
+    }
+  }
+
+  private def fromYuv(yuv: H264Codec.Yuv, channels: Int): Array[Byte] =
+    if (channels == 1) yuv.y
+    else {
+      val w = yuv.w; val h = yuv.h; val cw = w / 2
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val x = i % w; val yy = i / w
+        val yv = yuv.y(i) & 0xff
+        val cb = (yuv.cb((yy / 2) * cw + x / 2) & 0xff) - 128
+        val cr = (yuv.cr((yy / 2) * cw + x / 2) & 0xff) - 128
+        def clip(v: Int) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        out(i * 3) = clip(yv + ((359 * cr + 128) >> 8))
+        out(i * 3 + 1) = clip(yv - ((88 * cb + 183 * cr + 128) >> 8))
+        out(i * 3 + 2) = clip(yv + ((454 * cb + 128) >> 8))
+        i += 1
+      }
+      out
+    }
+}
+
+object H264GopCodec {
+  /** lossless grayscale store (I_PCM macroblocks) */
+  val Pcm: H264GopCodec = new H264GopCodec(pcm = true)
+  /** default compressed store */
+  val Default: H264GopCodec = new H264GopCodec(qp = 12)
+}

@@ -40,6 +40,8 @@ object H264Writer {
       u(len, code)
     }
     def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pad with zero bits to the next byte boundary (pcm alignment, §7.3.5) */
+    def alignZero(): this.type = { while (nBits != 0) u1(0); this }
     /** rbsp_trailing_bits + flush */
     def rbspTrailing(): Array[Byte] = {
       u1(1)

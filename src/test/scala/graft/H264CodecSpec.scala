@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{H264, H264Cavlc, H264Codec, H264Transform, H264Writer => W}
+import graft.sources.H264Codec.Yuv
+
+/** Pins for the pure-JVM H.264 pixel codec: structural validity of every
+  * CAVLC table (prefix-free), entropy-layer encode→decode identity,
+  * transform/quant inversion bounds, lossless I_PCM round trips, and
+  * cross-validation of the emitted streams under the INDEPENDENT
+  * [[H264]] ingest indexer (the parser written rounds earlier for the
+  * reference's ingest path — it never shares code with the codec's
+  * slice writer beyond the spec itself).
+  */
+class H264CodecSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  // deterministic grayscale test frame: smooth gradient + structured detail
+  private def grayFrame(w: Int, h: Int, t: Int): Array[Byte] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 3 + y * 2 + t * 5 + (if ((x / 4 + y / 4) % 2 == 0) 40 else 0)) % 256).toByte
+    }
+
+  private def grayYuv(w: Int, h: Int, t: Int): Yuv =
+    Yuv(w, h, grayFrame(w, h, t),
+      Array.fill(w / 2 * h / 2)(128.toByte), Array.fill(w / 2 * h / 2)(128.toByte))
+
+  test("every CAVLC table is prefix-free") {
+    assert(H264Cavlc.prefixViolations.isEmpty,
+      H264Cavlc.prefixViolations.mkString("; "))
+  }
+
+  test("CAVLC block coding round-trips over randomized blocks, all contexts") {
+    val r = rng(42)
+    for {
+      maxCoeff <- Seq(16, 15, 4)
+      nC <- if (maxCoeff == 4) Seq(-1) else Seq(0, 1, 2, 3, 4, 7, 8, 16)
+      trial <- 0 until 200
+    } {
+      val zig = new Array[Int](maxCoeff)
+      val density = r.nextInt(maxCoeff + 1)
+      (0 until density).foreach { _ =>
+        val mag = r.nextInt(3) match {
+          case 0 => 1 + r.nextInt(2)            // trailing-one territory
+          case 1 => 1 + r.nextInt(30)           // mid levels
+          case 2 => 1 + r.nextInt(2000)         // escape-code territory
+        }
+        zig(r.nextInt(maxCoeff)) = if (r.nextBoolean()) mag else -mag
+      }
+      val bw = new W.BitWriter
+      val tcW = H264Cavlc.writeBlock(bw, zig, nC)
+      val reader = new H264.BitReader(bw.rbspTrailing())
+      val (out, tcR) = H264Cavlc.readBlock(reader, maxCoeff, nC)
+      assert(out.toSeq == zig.toSeq, s"maxCoeff=$maxCoeff nC=$nC trial=$trial")
+      assert(tcW == tcR)
+    }
+  }
+
+  test("forward/inverse 4x4 transform with quant at QP 0 reconstructs within 1") {
+    val r = rng(7)
+    (0 until 100).foreach { _ =>
+      val src = Array.fill(16)(r.nextInt(511) - 255)
+      val b = src.clone()
+      H264Transform.forward4x4(b)
+      // quant/dequant round trip at QP 0 (no DC special-casing here: pure AC path)
+      val z = Array.tabulate(16)(i => H264Transform.quantAc(b(i), 0, i))
+      val w = Array.tabulate(16)(i => H264Transform.dequantAc(z(i), 0, i))
+      H264Transform.inverse4x4(w)
+      (0 until 16).foreach(i => assert(math.abs(w(i) - src(i)) <= 1,
+        s"pos $i: ${w(i)} vs ${src(i)}"))
+    }
+  }
+
+  test("I_PCM round trip is bit-exact (grayscale, cropped dims)") {
+    val frames = (0 until 3).map(t => grayYuv(36, 28, t)) // crops 48x32 MB grid
+    val stream = H264Codec.encode(frames, pcm = true)
+    val back = H264Codec.decode(stream)
+    assert(back.size == 3)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(b.w == 36 && b.h == 28)
+      assert(a.y.toSeq == b.y.toSeq)
+      assert(a.cb.toSeq == b.cb.toSeq)
+      assert(a.cr.toSeq == b.cr.toSeq)
+    }
+  }
+
+  test("CAVLC intra coding reconstructs near-losslessly at QP 0") {
+    val frames = (0 until 2).map(t => grayYuv(48, 32, t))
+    val stream = H264Codec.encode(frames, qp = 0)
+    val back = H264Codec.decode(stream)
+    assert(back.size == 2)
+    frames.zip(back).foreach { case (a, b) =>
+      val maxErr = a.y.indices.map(i => math.abs((a.y(i) & 0xff) - (b.y(i) & 0xff))).max
+      assert(maxErr <= 2, s"luma max error $maxErr at QP 0")
+      val maxErrC = a.cb.indices.map(i => math.abs((a.cb(i) & 0xff) - (b.cb(i) & 0xff))).max
+      assert(maxErrC <= 2, s"chroma max error $maxErrC at QP 0")
+    }
+  }
+
+  test("quality degrades monotonically-ish with QP but stays bounded at QP 30") {
+    val f = grayYuv(64, 48, 1)
+    def mse(qp: Int): Double = {
+      val b = H264Codec.decode(H264Codec.encode(Seq(f), qp = qp)).head
+      f.y.indices.map { i =>
+        val d = (f.y(i) & 0xff) - (b.y(i) & 0xff); d.toDouble * d
+      }.sum / f.y.length
+    }
+    val m0 = mse(0); val m12 = mse(12); val m30 = mse(30)
+    assert(m0 <= m12 + 0.5 && m12 <= m30 + 0.5, s"mse: $m0 / $m12 / $m30")
+    val psnr30 = 10 * math.log10(255.0 * 255.0 / math.max(m30, 1e-9))
+    assert(psnr30 > 28, s"QP30 PSNR $psnr30 too low for smooth content")
+  }
+
+  test("CAVLC coding compresses smooth content vs PCM and is deterministic") {
+    val frames = (0 until 4).map(t => grayYuv(64, 64, t))
+    val cavlc = H264Codec.encode(frames, qp = 24)
+    val pcm = H264Codec.encode(frames, pcm = true)
+    assert(cavlc.length < pcm.length / 3,
+      s"CAVLC ${cavlc.length} B vs PCM ${pcm.length} B: no compression")
+    assert(cavlc.toSeq == H264Codec.encode(frames, qp = 24).toSeq)
+  }
+
+  test("emitted streams index under the independent Annex-B ingest parser") {
+    val frames = (0 until 5).map(t => grayYuv(48, 32, t))
+    for (stream <- Seq(H264Codec.encode(frames, qp = 12),
+      H264Codec.encode(frames, pcm = true))) {
+      val ix = H264.index(stream)
+      assert(ix.frames.size == 5)
+      assert(ix.frames.head.keyframe, "frame 0 must be the IDR")
+      assert(ix.frames.tail.forall(!_.keyframe))
+      assert(ix.width == 48 && ix.height == 32)
+      // frame_num advances per frame (mod wrap), as the AU splitter requires
+      assert(ix.frames.map(_.frameNum) == (0 until 5))
+    }
+  }
+
+  test("non-gray content: chroma planes code and round-trip within QP bounds") {
+    val r = rng(11)
+    val w = 32; val h = 32
+    val y = Array.tabulate(w * h)(i => ((i * 7) % 200 + 20).toByte)
+    val cb = Array.tabulate(w / 2 * h / 2)(i => (100 + (i % 60)).toByte)
+    val cr = Array.tabulate(w / 2 * h / 2)(i => (160 - (i % 60)).toByte)
+    val f = Yuv(w, h, y, cb, cr)
+    val back = H264Codec.decode(H264Codec.encode(Seq(f), qp = 4)).head
+    def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+      a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
+    assert(maxErr(f.y, back.y) <= 3)
+    assert(maxErr(f.cb, back.cb) <= 3, "Cb drifted")
+    assert(maxErr(f.cr, back.cr) <= 3, "Cr drifted")
+    // PCM carries chroma bit-exactly
+    val pcmBack = H264Codec.decode(H264Codec.encode(Seq(f), pcm = true)).head
+    assert(maxErr(f.cb, pcmBack.cb) == 0 && maxErr(f.cr, pcmBack.cr) == 0)
+  }
+
+  test("decode honors maxFrames (sequential prefix stop)") {
+    val frames = (0 until 6).map(t => grayYuv(32, 32, t))
+    val stream = H264Codec.encode(frames, qp = 12)
+    assert(H264Codec.decode(stream, maxFrames = 2).size == 2)
+    assert(H264Codec.decode(stream, maxFrames = 0).isEmpty)
+  }
+
+  test("corrupt slice data fails loudly, not silently wrong") {
+    val stream = H264Codec.encode(Seq(grayYuv(32, 32, 0)), qp = 12)
+    // flip bits in the middle of the slice payload
+    val bad = stream.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5a).toByte
+    val res = scala.util.Try(H264Codec.decode(bad))
+    res match {
+      case scala.util.Failure(_) => () // loud refusal: good
+      case scala.util.Success(fs) =>
+        // a flip that survives parsing must still change the output, never
+        // silently reproduce the original
+        val orig = H264Codec.decode(stream)
+        assert(fs.isEmpty || fs.head.y.toSeq != orig.head.y.toSeq)
+    }
+  }
+}
