@@ -324,20 +324,20 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
-    // the COMPRESSED tier of the same path: CAVLC Intra_16x16 at QP 12
-    // (transform + quant + entropy coding — real lossy video), decoded
-    // back through the store via the Range plan into per-frame pixel
-    // digests. Decoded pixels are deterministic, so the digests pin
+    // the COMPRESSED tier of the same path: IDR + P frames at QP 12 —
+    // real temporal prediction (motion search, skip runs, inter CAVLC
+    // residuals) — decoded sequentially-from-keyframe through the store
+    // via the Range plan into per-frame pixel digests. Decoded pixels are deterministic, so the digests pin
     // exactly; the size columns assert the entropy layer actually
     // compresses (stored GOP bytes < half the raw frame bytes).
     "video_h264_store_histogram" -> ((s, _) => {
       val root = ensureH264Stores(s)
       val frames = VideoStore
-        .frames(s, root, "h264cavlc", codec = H264GopCodec.Default).toDF()
+        .frames(s, root, "h264tp", codec = H264GopCodec.Default).toDF()
       val digests = SequenceOps.range(frames, 0L, 20L)
         .select(col("streamId"), col("index"), md5(col("data")).as("frame_md5"))
       val rawBytes = 32L * 48L * 60L // per stream: h*w*frames (U8 gray)
-      val sizes = VideoStore.segments(s, root, "h264cavlc").toDF()
+      val sizes = VideoStore.segments(s, root, "h264tp").toDF()
         .groupBy(col("streamId"))
         .agg(sum(length(col("payload"))).as("stored_bytes"))
         .withColumn("compressed", col("stored_bytes") < lit(rawBytes / 2))
@@ -387,7 +387,7 @@ object VideoQueries {
     val root = sys.props("java.io.tmpdir") + "/graft-h264store"
     VideoStore.ingest(h264GrayFixture(s), root, "h264pcm", gopSize = 15,
       CacheMode.Ignore, codec = H264GopCodec.Pcm)
-    VideoStore.ingest(h264GrayFixture(s), root, "h264cavlc", gopSize = 15,
+    VideoStore.ingest(h264GrayFixture(s), root, "h264tp", gopSize = 15,
       CacheMode.Ignore, codec = H264GopCodec.Default)
     root
   }

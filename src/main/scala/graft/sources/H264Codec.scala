@@ -12,9 +12,16 @@ import scala.collection.mutable.ArrayBuffer
   * §9.2) or I_PCM (raw macroblocks, §7.3.5 — bit-exact, so grayscale
   * content round-trips losslessly).
   *
+  * P slices are real temporal prediction (§8.4): P_L0_16x16 macroblocks
+  * with full-search motion estimation against the reconstructed
+  * reference, median MV prediction with the spec's P_Skip zero
+  * conditions, mb_skip_run coding, inter coded_block_pattern, and
+  * motion-compensated residual coding (chroma at eighth-pel bilinear).
+  *
   * Scope, by design (documented subset, each refused loudly on decode):
-  * intra-only (P/B prediction not yet emitted), Intra_16x16 DC luma +
-  * DC chroma prediction modes only, no deblocking filter (streams set
+  * Intra_16x16 DC luma + DC chroma prediction modes only, integer-pel
+  * luma motion (no 6-tap half-pel filter yet), single reference
+  * picture, no B slices, no deblocking filter (streams set
   * disable_deblocking_filter_idc = 1, so skipping the filter is
   * conformant for our own output). The reference feeds FFmpeg/NVDEC
   * behind `scanner/video/decoder_automata.h:28-51`; this class is the
@@ -31,6 +38,23 @@ object H264Codec {
 
   /** one 4:2:0 frame: full-range planes, chroma half-size each dimension */
   final case class Yuv(w: Int, h: Int, y: Array[Byte], cb: Array[Byte], cr: Array[Byte])
+
+  /** coded_block_pattern me(v) mapping for Inter macroblocks (spec Table
+    * 9-4, Inter column): codeNum -> cbp. Same transcription caveat as the
+    * CAVLC tables (verified bijective below; conformance unverifiable
+    * offline). The Intra column is not needed — Intra_16x16 carries its
+    * cbp inside mb_type.
+    */
+  private val cbpInterFromCode: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private val cbpInterToCode: Array[Int] = {
+    val inv = Array.fill(48)(-1)
+    cbpInterFromCode.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
+    require(inv.forall(_ >= 0), "inter cbp mapping must be a bijection on 0..47")
+    inv
+  }
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -120,6 +144,10 @@ object H264Codec {
     val nzY = new Array[Int](bw4 * mbH * 4)
     val nzCb = new Array[Int](cbw4 * mbH * 2)
     val nzCr = new Array[Int](cbw4 * mbH * 2)
+    // per-MB motion state (16x16 partitions only), for MV prediction
+    val mvX = new Array[Int](mbW * mbH)
+    val mvY = new Array[Int](mbW * mbH)
+    val inter = new Array[Boolean](mbW * mbH)
     def nC(nz: Array[Int], rowW: Int, bx: Int, by: Int): Int = {
       val nA = if (bx > 0) nz(by * rowW + bx - 1) else -1
       val nB = if (by > 0) nz((by - 1) * rowW + bx) else -1
@@ -276,6 +304,201 @@ object H264Codec {
     chroma(st.reconCr, mc.crDcZig, mc.crAcZig)
   }
 
+  // ----------------------------------------------------- inter (P) path
+
+  /** edge-replicated reference sample (the spec's unrestricted-MV padding) */
+  @inline private def refSample(plane: Array[Byte], pw: Int, ph: Int, x: Int, y: Int): Int = {
+    val cx = if (x < 0) 0 else if (x >= pw) pw - 1 else x
+    val cy = if (y < 0) 0 else if (y >= ph) ph - 1 else y
+    plane(cy * pw + cx) & 0xff
+  }
+
+  /** 16x16 luma motion compensation. MVs are QUARTER-pel per the spec's
+    * mvd semantics; this codec emits integer-pel motion only, and the
+    * decoder refuses fractional luma positions loudly (the documented
+    * subset — the 6-tap half-pel filter is the next rung).
+    */
+  private def mcLuma(ref: PicState, mbX: Int, mbY: Int, mvx: Int, mvy: Int,
+      out: Array[Int]): Unit = {
+    require((mvx & 3) == 0 && (mvy & 3) == 0,
+      s"fractional-pel luma MV ($mvx,$mvy)/4 not implemented (integer-pel subset)")
+    val x0 = mbX * 16 + (mvx >> 2); val y0 = mbY * 16 + (mvy >> 2)
+    var r = 0
+    while (r < 16) {
+      var c = 0
+      while (c < 16) {
+        out(r * 16 + c) = refSample(ref.reconY, ref.pw, ref.ph, x0 + c, y0 + r)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** 8x8 chroma MC: the luma quarter-pel MV IS the chroma eighth-pel MV;
+    * integer-pel luma motion lands on {0, 1/2} chroma positions, handled
+    * by the spec's bilinear interpolation (§8.4.2.2.2)
+    */
+  private def mcChroma(plane: Array[Byte], cw: Int, ch: Int, mbX: Int, mbY: Int,
+      mvx: Int, mvy: Int, out: Array[Int]): Unit = {
+    val fx = mvx & 7 // eighth-pel fraction (two's-complement & handles <0)
+    val fy = mvy & 7
+    val bx = mbX * 8 + (mvx >> 3)
+    val by = mbY * 8 + (mvy >> 3)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = refSample(plane, cw, ch, bx + c, by + r)
+        val b = refSample(plane, cw, ch, bx + c + 1, by + r)
+        val d = refSample(plane, cw, ch, bx + c, by + r + 1)
+        val e = refSample(plane, cw, ch, bx + c + 1, by + r + 1)
+        out(r * 8 + c) =
+          ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b +
+            (8 - fx) * fy * d + fx * fy * e + 32) >> 6
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** median MV predictor for a 16x16 partition (§8.4.1.3): neighbours
+    * A=left, B=above, C=above-right (D=above-left when C is outside).
+    * Returns (pred, A, B) — A and B feed the P_Skip zero conditions.
+    */
+  private def predictMv(st: PicState, mbX: Int, mbY: Int): (Int, Int, Option[(Int, Int, Boolean)], Option[(Int, Int, Boolean)]) = {
+    def nb(x: Int, y: Int): Option[(Int, Int, Boolean)] =
+      if (x < 0 || y < 0 || x >= st.mbW || y >= st.mbH) None
+      else { val i = y * st.mbW + x; Some((st.mvX(i), st.mvY(i), st.inter(i))) }
+    val a = nb(mbX - 1, mbY)
+    val b = nb(mbX, mbY - 1)
+    val cRaw = nb(mbX + 1, mbY - 1)
+    val c = if (cRaw.isDefined) cRaw else nb(mbX - 1, mbY - 1) // D substitutes C
+    // exactly-one-inter rule (single reference picture, refIdx always 0)
+    val inters = Seq(a, b, c).flatten.filter(_._3)
+    val pred =
+      if (b.isEmpty && c.isEmpty && a.isDefined) (a.get._1, a.get._2)
+      else if (inters.size == 1 && Seq(a, b, c).count(_.isDefined) >= 1 &&
+        Seq(a, b, c).flatten.count(_._3) == 1) (inters.head._1, inters.head._2)
+      else {
+        def mv(n: Option[(Int, Int, Boolean)]) = n.filter(_._3).map(v => (v._1, v._2)).getOrElse((0, 0))
+        val (ax, ay) = mv(a); val (bx, by) = mv(b); val (cx, cy) = mv(c)
+        def med(p: Int, q: Int, r: Int) = math.max(math.min(p, q), math.min(math.max(p, q), r))
+        (med(ax, bx, cx), med(ay, by, cy))
+      }
+    (pred._1, pred._2, a, b)
+  }
+
+  /** P_Skip motion vector (§8.4.1.1): the median predictor, forced to
+    * zero when a boundary/zero-neighbour condition holds
+    */
+  private def skipMv(st: PicState, mbX: Int, mbY: Int): (Int, Int) = {
+    val (px, py, a, b) = predictMv(st, mbX, mbY)
+    val zero =
+      a.isEmpty || b.isEmpty ||
+        (a.exists(n => n._3 && n._1 == 0 && n._2 == 0)) ||
+        (b.exists(n => n._3 && n._1 == 0 && n._2 == 0))
+    if (zero) (0, 0) else (px, py)
+  }
+
+  /** inter residual of one P MB: 16 luma 4x4 blocks (16 coeffs each, no
+    * separate DC) + the chroma DC/AC structure shared with intra
+    */
+  private final class PMbCoeffs {
+    val lumaZig: Array[Array[Int]] = Array.fill(16)(new Array[Int](16))
+    val cbDcZig = new Array[Int](4)
+    val crDcZig = new Array[Int](4)
+    val cbAcZig: Array[Array[Int]] = Array.fill(4)(new Array[Int](15))
+    val crAcZig: Array[Array[Int]] = Array.fill(4)(new Array[Int](15))
+    var cbp = 0 // 6 bits: low 4 = luma 8x8 groups, high 2 = chroma mode
+    def cbpLuma: Int = cbp & 15
+    def cbpChroma: Int = cbp >> 4
+  }
+
+  /** shared P-MB reconstruction: MC prediction + dequantised residual */
+  private def reconstructPMb(st: PicState, ref: PicState, mbX: Int, mbY: Int,
+      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs): Unit = {
+    val qpc = chromaQp(qp)
+    val predL = new Array[Int](256)
+    mcLuma(ref, mbX, mbY, mvx, mvy, predL)
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val w = new Array[Int](16)
+    var blk = 0
+    while (blk < 16) {
+      val coded = mc != null && ((mc.cbpLuma >> (blk / 4)) & 1) != 0
+      val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
+      if (coded) {
+        java.util.Arrays.fill(w, 0)
+        var zi = 0
+        while (zi < 16) {
+          val pos = zigzag4x4(zi)
+          w(pos) = dequantAc(mc.lumaZig(blk)(zi), qp, pos)
+          zi += 1
+        }
+        inverse4x4(w)
+      } else java.util.Arrays.fill(w, 0)
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) {
+          st.reconY((y0 + by0 + r) * st.pw + x0 + bx0 + c) =
+            clip(predL((by0 + r) * 16 + bx0 + c) + w(r * 4 + c))
+          c += 1
+        }
+        r += 1
+      }
+      blk += 1
+    }
+    def chromaRec(plane: Array[Byte], refPlane: Array[Byte],
+        dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      val predC = new Array[Int](64)
+      mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx, mvy, predC)
+      val cbpChroma = if (mc == null) 0 else mc.cbpChroma
+      val dc = new Array[Int](4)
+      if (cbpChroma != 0) {
+        var k = 0
+        while (k < 4) { dc(k) = dcZig(k); k += 1 }
+        hadamard2x2(dc)
+        k = 0
+        while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+      }
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      var cb = 0
+      while (cb < 4) {
+        val bx = cb % 2; val by = cb / 2
+        java.util.Arrays.fill(w, 0)
+        if (cbpChroma != 0) {
+          w(0) = dc(by * 2 + bx)
+          if (cbpChroma == 2) {
+            var zi = 1
+            while (zi < 16) {
+              val pos = zigzag4x4(zi)
+              w(pos) = dequantAc(acZig(cb)(zi - 1), qpc, pos)
+              zi += 1
+            }
+          }
+          inverse4x4(w)
+        }
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            plane((cy0 + by * 4 + r) * st.cw + cx0 + bx * 4 + c) =
+              clip(predC((by * 4 + r) * 8 + bx * 4 + c) + w(r * 4 + c))
+            c += 1
+          }
+          r += 1
+        }
+        cb += 1
+      }
+    }
+    chromaRec(st.reconCb, ref.reconCb,
+      if (mc == null) null else mc.cbDcZig, if (mc == null) null else mc.cbAcZig)
+    chromaRec(st.reconCr, ref.reconCr,
+      if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig)
+    val mi = mbY * st.mbW + mbX
+    st.mvX(mi) = mvx; st.mvY(mi) = mvy; st.inter(mi) = true
+  }
+
   // ------------------------------------------------------------- encode
 
   /** forward-code one MB as Intra_16x16 and return its coefficients */
@@ -412,25 +635,246 @@ object H264Codec {
     chromaAc(st.nzCr, mc.crAcZig)
   }
 
-  /** encode one frame as a single I slice (IDR for frame 0) */
-  private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean): Array[Byte] = {
+  /** motion-estimate + forward-code one P MB. Full search over integer
+    * displacements in [-`range`, range]^2 on luma SAD against the
+    * RECONSTRUCTED reference (closed loop — the decoder sees the same
+    * prediction), zero-preferring tie-break. Returns (mv quarter-pel,
+    * coeffs) — coeffs null when every quantised level is zero.
+    */
+  private def analysePMb(st: PicState, ref: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      range: Int): (Int, Int, PMbCoeffs) = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    def sad(dx: Int, dy: Int): Long = {
+      var s = 0L
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          s += math.abs((srcY((y0 + r) * st.pw + x0 + c) & 0xff) -
+            refSample(ref.reconY, ref.pw, ref.ph, x0 + c + dx, y0 + r + dy))
+          c += 1
+        }
+        r += 1
+      }
+      s
+    }
+    var bestDx = 0; var bestDy = 0
+    var best = sad(0, 0)
+    var dy = -range
+    while (dy <= range) {
+      var dx = -range
+      while (dx <= range) {
+        if (dx != 0 || dy != 0) {
+          val s = sad(dx, dy)
+          if (s < best) { best = s; bestDx = dx; bestDy = dy }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    val mvx = bestDx * 4; val mvy = bestDy * 4
+    val qpc = chromaQp(qp)
+    val mc = new PMbCoeffs
+    val predL = new Array[Int](256)
+    mcLuma(ref, mbX, mbY, mvx, mvy, predL)
+    val b = new Array[Int](16)
+    var lumaBits = 0
+    var blk = 0
+    while (blk < 16) {
+      val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) {
+          b(r * 4 + c) = (srcY((y0 + by0 + r) * st.pw + x0 + bx0 + c) & 0xff) -
+            predL((by0 + r) * 16 + bx0 + c)
+          c += 1
+        }
+        r += 1
+      }
+      forward4x4(b)
+      var any = false
+      var zi = 0
+      while (zi < 16) {
+        val pos = zigzag4x4(zi)
+        val z = quantAc(b(pos), qp, pos)
+        mc.lumaZig(blk)(zi) = z
+        if (z != 0) any = true
+        zi += 1
+      }
+      if (any) lumaBits |= 1 << (blk / 4)
+      blk += 1
+    }
+    var anyChromaAc = false
+    var anyChromaDc = false
+    def chroma(src: Array[Byte], refPlane: Array[Byte], dcZig: Array[Int],
+        acZig: Array[Array[Int]]): Unit = {
+      val predC = new Array[Int](64)
+      mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx, mvy, predC)
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      val dc = new Array[Int](4)
+      var cb = 0
+      while (cb < 4) {
+        val bx = cb % 2; val by = cb / 2
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            b(r * 4 + c) = (src((cy0 + by * 4 + r) * st.cw + cx0 + bx * 4 + c) & 0xff) -
+              predC((by * 4 + r) * 8 + bx * 4 + c)
+            c += 1
+          }
+          r += 1
+        }
+        forward4x4(b)
+        dc(by * 2 + bx) = b(0)
+        var zi = 1
+        while (zi < 16) {
+          val pos = zigzag4x4(zi)
+          val z = quantAc(b(pos), qpc, pos)
+          acZig(cb)(zi - 1) = z
+          if (z != 0) anyChromaAc = true
+          zi += 1
+        }
+        cb += 1
+      }
+      hadamard2x2(dc)
+      var k = 0
+      while (k < 4) {
+        dcZig(k) = quantChromaDc(dc(k), qpc)
+        if (dcZig(k) != 0) anyChromaDc = true
+        k += 1
+      }
+    }
+    chroma(srcCb, ref.reconCb, mc.cbDcZig, mc.cbAcZig)
+    chroma(srcCr, ref.reconCr, mc.crDcZig, mc.crAcZig)
+    val cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
+    mc.cbp = lumaBits | (cbpChroma << 4)
+    (mvx, mvy, if (mc.cbp == 0) null else mc)
+  }
+
+  /** write one coded P MB (P_L0_16x16) + CAVLC residuals, with nC and MV
+    * bookkeeping shared with the parser
+    */
+  private def writePMb(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
+      mvx: Int, mvy: Int, mc: PMbCoeffs): Unit = {
+    bw.ue(0) // mb_type: P_L0_16x16
+    val (px, py, _, _) = predictMv(st, mbX, mbY)
+    bw.se(mvx - px)
+    bw.se(mvy - py)
+    val cbp = if (mc == null) 0 else mc.cbp
+    bw.ue(cbpInterToCode(cbp))
+    if (cbp != 0) {
+      bw.se(0) // mb_qp_delta
+      writePResidual(bw, st, mbX, mbY, mc)
+    } else clearNz(st, mbX, mbY)
+  }
+
+  private def writePResidual(bw: H264Writer.BitWriter, st: PicState,
+      mbX: Int, mbY: Int, mc: PMbCoeffs): Unit = {
+    val bX = mbX * 4; val bY = mbY * 4
+    var blk = 0
+    while (blk < 16) {
+      val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+      val tc =
+        if (((mc.cbpLuma >> (blk / 4)) & 1) != 0)
+          H264Cavlc.writeBlock(bw, mc.lumaZig(blk), st.nC(st.nzY, st.bw4, ax, ay))
+        else 0
+      st.nzY(ay * st.bw4 + ax) = tc
+      blk += 1
+    }
+    if (mc.cbpChroma != 0) {
+      H264Cavlc.writeBlock(bw, mc.cbDcZig, -1)
+      H264Cavlc.writeBlock(bw, mc.crDcZig, -1)
+    }
+    val cX = mbX * 2; val cY = mbY * 2
+    def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      var cb = 0
+      while (cb < 4) {
+        val ax = cX + cb % 2; val ay = cY + cb / 2
+        val tc =
+          if (mc.cbpChroma == 2)
+            H264Cavlc.writeBlock(bw, acZig(cb), st.nC(nz, st.cbw4, ax, ay))
+          else 0
+        nz(ay * st.cbw4 + ax) = tc
+        cb += 1
+      }
+    }
+    chromaAc(st.nzCb, mc.cbAcZig)
+    chromaAc(st.nzCr, mc.crAcZig)
+  }
+
+  /** zero the nC bookkeeping of an MB with no coded residual (skip, or
+    * coded with cbp 0)
+    */
+  private def clearNz(st: PicState, mbX: Int, mbY: Int): Unit = {
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) { st.nzY((mbY * 4 + i) * st.bw4 + mbX * 4 + j) = 0; j += 1 }
+      j = 0
+      while (j < 2 && i < 2) {
+        st.nzCb((mbY * 2 + i) * st.cbw4 + mbX * 2 + j) = 0
+        st.nzCr((mbY * 2 + i) * st.cbw4 + mbX * 2 + j) = 0
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** encode one frame as a single slice: IDR for frame 0, P when a
+    * reference is supplied (temporal prediction — motion search, skip
+    * runs, inter residuals), I otherwise. Returns the NAL plus the
+    * reconstructed picture state, which becomes the next frame's
+    * reference (closed loop, same reconstruction the decoder computes).
+    */
+  private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
+      ref: PicState, searchRange: Int): (Array[Byte], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
     val srcCb = pad(yuv.cb, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val srcCr = pad(yuv.cr, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val idr = frameIdx == 0
+    val pSlice = ref != null && !idr
     val bw = new H264Writer.BitWriter
     bw.ue(0)                 // first_mb_in_slice
-    bw.ue(7)                 // slice_type: I (all slices of picture)
+    bw.ue(if (pSlice) 5 else 7) // slice_type: P / I ("all slices of picture")
     bw.ue(0)                 // pps_id
     bw.u(12, frameIdx % (1 << 12)) // frame_num
     if (idr) bw.ue(0)        // idr_pic_id
     // poc type 2: no POC fields
+    if (pSlice) {
+      bw.u1(0)               // num_ref_idx_active_override_flag
+      bw.u1(0)               // ref_pic_list_modification_flag_l0
+    }
     if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
     else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
     bw.se(qp - 26)           // slice_qp_delta
     bw.ue(1)                 // disable_deblocking_filter_idc: off
+    if (pSlice) {
+      var skipRun = 0
+      var mb = 0
+      while (mb < mbW * mbH) {
+        val mbX = mb % mbW; val mbY = mb / mbW
+        val (mvx, mvy, mc) = analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange)
+        val (sx, sy) = skipMv(st, mbX, mbY)
+        if (mc == null && mvx == sx && mvy == sy) {
+          skipRun += 1
+          clearNz(st, mbX, mbY)
+          reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, null)
+        } else {
+          bw.ue(skipRun); skipRun = 0
+          writePMb(bw, st, mbX, mbY, mvx, mvy, mc)
+          reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+        }
+        mb += 1
+      }
+      if (skipRun > 0) bw.ue(skipRun) // trailing skipped MBs
+      val rbsp = bw.rbspTrailing()
+      return (H264Writer.nal(2, 1, rbsp), st)
+    }
     var mbY = 0
     while (mbY < mbH) {
       var mbX = 0
@@ -496,23 +940,33 @@ object H264Codec {
       mbY += 1
     }
     val rbsp = bw.rbspTrailing()
-    H264Writer.nal(if (idr) 3 else 2, if (idr) 5 else 1, rbsp)
+    (H264Writer.nal(if (idr) 3 else 2, if (idr) 5 else 1, rbsp), st)
   }
 
-  /** encode frames into one Annex-B stream (SPS + PPS + one I slice per
-    * frame; the first frame is the IDR). `pcm = true` codes every MB as
-    * I_PCM (bit-exact); otherwise Intra_16x16 at `qp`.
+  /** Encode frames into one Annex-B stream: SPS + PPS, an IDR first
+    * frame, then P frames predicting from the previous reconstruction
+    * (`allIntra = true` forces I everywhere; `pcm = true` codes every MB
+    * as I_PCM — bit-exact, implies all-intra). `searchRange` is the
+    * integer-pel full-search motion radius.
     */
-  def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false): Array[Byte] = {
+  def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false,
+      allIntra: Boolean = false, searchRange: Int = 4): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
     require(qp >= 0 && qp <= 51, s"QP $qp out of [0,51]")
+    require(searchRange >= 0 && searchRange <= 16, s"searchRange $searchRange out of [0,16]")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     val out = new java.io.ByteArrayOutputStream()
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h)))
     out.write(H264Writer.nal(3, 8, codecPps()))
-    frames.zipWithIndex.foreach { case (f, i) => out.write(encodeFrame(f, i, qp, pcm)) }
+    var ref: PicState = null
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val (nal, state) = encodeFrame(f, i, qp, pcm,
+        if (pcm || allIntra) null else ref, searchRange)
+      out.write(nal)
+      ref = state
+    }
     out.toByteArray
   }
 
@@ -537,13 +991,15 @@ object H264Codec {
     CodecPps(picInitQp, deblk)
   }
 
-  /** decode one I slice into the picture state; returns the slice QP used */
+  /** decode one slice (I or P) into the picture state */
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
-      nalType: Int, refIdc: Int, st: PicState): Unit = {
+      nalType: Int, refIdc: Int, st: PicState, ref: PicState): Unit = {
     val r = new H264.BitReader(rbsp)
     require(r.ue == 0, "multi-slice pictures not supported by the pixel decoder")
     val sliceType = r.ue
-    require(sliceType == 2 || sliceType == 7, s"not an I slice: slice_type $sliceType")
+    val isI = sliceType == 2 || sliceType == 7
+    val isP = sliceType == 0 || sliceType == 5
+    require(isI || isP, s"slice_type $sliceType unsupported (I and P only)")
     r.ue // pps_id
     r.u(sps.log2MaxFrameNum) // frame_num
     val idr = nalType == 5
@@ -553,6 +1009,10 @@ object H264Codec {
       case 2 => ()
       case other => sys.error(s"poc type $other unsupported")
     }
+    if (isP) {
+      if (r.u1 == 1) r.ue // num_ref_idx_active_override -> l0_active_minus1
+      require(r.u1 == 0, "ref_pic_list_modification not supported")
+    }
     if (refIdc != 0) {
       if (idr) { r.u1; r.u1 }
       else require(r.u1 == 0, "adaptive ref pic marking not supported")
@@ -561,6 +1021,80 @@ object H264Codec {
     if (pps.deblockingPresent)
       require(r.ue == 1, "deblocking filter not implemented; streams must disable it")
     val mbW = st.mbW; val mbH = st.mbH
+    if (isP) {
+      require(ref != null, "P slice with no reference picture (stream must open with an IDR)")
+      var mb = 0
+      while (mb < mbW * mbH) {
+        var skipRun = r.ue
+        require(skipRun <= mbW * mbH - mb, s"mb_skip_run $skipRun overruns the picture")
+        while (skipRun > 0) {
+          val mbX = mb % mbW; val mbY = mb / mbW
+          val (sx, sy) = skipMv(st, mbX, mbY)
+          clearNz(st, mbX, mbY)
+          reconstructPMb(st, ref, mbX, mbY, qp, sx, sy, null)
+          mb += 1
+          skipRun -= 1
+        }
+        if (mb < mbW * mbH) {
+          val mbX = mb % mbW; val mbY = mb / mbW
+          val mbType = r.ue
+          require(mbType == 0,
+            s"P mb_type $mbType unsupported (P_L0_16x16 subset; intra-in-P not emitted)")
+          val mvdX = r.se; val mvdY = r.se
+          val (px, py, _, _) = predictMv(st, mbX, mbY)
+          val mvx = px + mvdX; val mvy = py + mvdY
+          val cbpCode = r.ue
+          require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
+          val cbp = cbpInterFromCode(cbpCode)
+          val mc = if (cbp == 0) null else {
+            val m = new PMbCoeffs
+            m.cbp = cbp
+            qp += r.se // mb_qp_delta
+            val bX = mbX * 4; val bY = mbY * 4
+            var blk = 0
+            while (blk < 16) {
+              val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+              val tc =
+                if (((m.cbpLuma >> (blk / 4)) & 1) != 0) {
+                  val (zz, t) = H264Cavlc.readBlock(r, 16, st.nC(st.nzY, st.bw4, ax, ay))
+                  System.arraycopy(zz, 0, m.lumaZig(blk), 0, 16)
+                  t
+                } else 0
+              st.nzY(ay * st.bw4 + ax) = tc
+              blk += 1
+            }
+            if (m.cbpChroma != 0) {
+              val (cbDc, _) = H264Cavlc.readBlock(r, 4, -1)
+              val (crDc, _) = H264Cavlc.readBlock(r, 4, -1)
+              System.arraycopy(cbDc, 0, m.cbDcZig, 0, 4)
+              System.arraycopy(crDc, 0, m.crDcZig, 0, 4)
+            }
+            val cX = mbX * 2; val cY = mbY * 2
+            def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+              var cb = 0
+              while (cb < 4) {
+                val ax = cX + cb % 2; val ay = cY + cb / 2
+                val tc =
+                  if (m.cbpChroma == 2) {
+                    val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(nz, st.cbw4, ax, ay))
+                    System.arraycopy(ac, 0, acZig(cb), 0, 15)
+                    t
+                  } else 0
+                nz(ay * st.cbw4 + ax) = tc
+                cb += 1
+              }
+            }
+            chromaAc(st.nzCb, m.cbAcZig)
+            chromaAc(st.nzCr, m.crAcZig)
+            m
+          }
+          if (mc == null) clearNz(st, mbX, mbY)
+          reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+          mb += 1
+        }
+      }
+      return
+    }
     var mb = 0
     while (mb < mbW * mbH) {
       val mbX = mb % mbW; val mbY = mb / mbW
@@ -660,6 +1194,7 @@ object H264Codec {
   def decode(stream: Array[Byte], maxFrames: Int = Int.MaxValue): Vector[Yuv] = {
     var sps: H264.Sps = null
     var pps: CodecPps = null
+    var ref: PicState = null // previous decoded picture (P reference)
     val out = ArrayBuffer.empty[Yuv]
     val nals = H264.nalUnits(stream).iterator
     while (nals.hasNext && out.size < maxFrames) {
@@ -671,7 +1206,9 @@ object H264Codec {
           require(sps != null && pps != null, "VCL NAL before SPS/PPS")
           val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
           val st = new PicState(mbW, mbH)
-          decodeSlice(H264.rbsp(nal.bytes, 1), sps, pps, nal.nalType, nal.refIdc, st)
+          decodeSlice(H264.rbsp(nal.bytes, 1), sps, pps, nal.nalType, nal.refIdc, st,
+            if (nal.nalType == 5) null else ref)
+          ref = st
           out += Yuv(sps.width, sps.height,
             crop(st.reconY, st.pw, sps.width, sps.height),
             crop(st.reconCb, st.cw, sps.width / 2, sps.height / 2),

@@ -162,6 +162,65 @@ class H264CodecSpec extends AnyFunSuite {
     assert(H264Codec.decode(stream, maxFrames = 0).isEmpty)
   }
 
+  // translating scene: base texture shifted by (2t, t) px per frame —
+  // interior MBs are perfectly predictable by motion compensation
+  private def movingYuv(w: Int, h: Int, t: Int): Yuv = {
+    def base(x: Int, y: Int): Int =
+      ((x * 7 + y * 13) % 180 + (if ((x / 8 + y / 8) % 2 == 0) 50 else 0)) & 0xff
+    val y = Array.tabulate(w * h)(i => base(i % w + 2 * t, i / w + t).toByte)
+    Yuv(w, h, y, Array.fill(w / 2 * h / 2)(128.toByte), Array.fill(w / 2 * h / 2)(128.toByte))
+  }
+
+  test("P frames round-trip: IDR + temporal prediction reconstructs within QP bounds") {
+    val frames = (0 until 6).map(t => movingYuv(64, 48, t))
+    val stream = H264Codec.encode(frames, qp = 4)
+    val back = H264Codec.decode(stream)
+    assert(back.size == 6)
+    frames.zip(back).zipWithIndex.foreach { case ((a, b), i) =>
+      val maxErr = a.y.indices.map(j => math.abs((a.y(j) & 0xff) - (b.y(j) & 0xff))).max
+      assert(maxErr <= 4, s"frame $i luma max error $maxErr at QP 4 (drift?)")
+    }
+    // deterministic bitstream
+    assert(stream.toSeq == H264Codec.encode(frames, qp = 4).toSeq)
+  }
+
+  test("P frames exploit motion: translating content codes far smaller than all-intra") {
+    val frames = (0 until 8).map(t => movingYuv(64, 64, t))
+    val inter = H264Codec.encode(frames, qp = 12)
+    val intra = H264Codec.encode(frames, qp = 12, allIntra = true)
+    assert(inter.length * 2 < intra.length,
+      s"P stream ${inter.length} B vs all-intra ${intra.length} B: motion buys nothing")
+  }
+
+  test("static content collapses to skip runs (near-zero P frame cost)") {
+    val f = grayYuv(64, 64, 0)
+    val frames = Seq.fill(10)(f)
+    val stream = H264Codec.encode(frames, qp = 12)
+    // early P frames legitimately re-code the IDR's quantisation residue
+    // (closed-loop refinement); once recon converges the frame is one
+    // whole-picture skip run — pin the STEADY-STATE cost via the delta
+    // between a 10-frame and a 9-frame encode
+    val lastP = stream.length - H264Codec.encode(frames.take(9), qp = 12).length
+    assert(lastP < 25, s"steady-state static P frame costs $lastP B — skip runs not engaging")
+    val back = H264Codec.decode(stream)
+    assert(back.size == 10)
+    // near-converged steady state: successive P reconstructions agree to
+    // within one quantisation step (a few MBs legitimately oscillate at
+    // the deadzone boundary — the cost bound above pins that it is only
+    // a few); it need not equal the lossy IDR recon
+    val drift = back(9).y.indices
+      .map(i => math.abs((back(9).y(i) & 0xff) - (back(8).y(i) & 0xff))).max
+    assert(drift <= 4, s"steady-state oscillation amplitude $drift > one quant step")
+  }
+
+  test("P streams index under the independent parser with correct slice types") {
+    val frames = (0 until 5).map(t => movingYuv(48, 32, t))
+    val ix = H264.index(H264Codec.encode(frames, qp = 12))
+    assert(ix.frames.size == 5)
+    assert(ix.frames.head.keyframe && ix.frames.head.sliceType % 5 == 2, "IDR I slice")
+    assert(ix.frames.tail.forall(f => !f.keyframe && f.sliceType % 5 == 0), "P slices")
+  }
+
   test("corrupt slice data fails loudly, not silently wrong") {
     val stream = H264Codec.encode(Seq(grayYuv(32, 32, 0)), qp = 12)
     // flip bits in the middle of the slice payload
