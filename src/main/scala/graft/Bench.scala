@@ -158,6 +158,28 @@ object Bench {
             org.apache.spark.sql.functions.lit(1)).as("n"),
             org.apache.spark.sql.functions.sum("byte_size").as("bytes"))
       }),
+      // real-H264 pixel throughput: 32 tasks each encode (IDR + 15 P,
+      // motion search) then decode 16 frames of 128x128 gray — the
+      // distributed codec rate (frames/s = 1024 / wall) that sets the
+      // decode-bound ceiling of every real-video pipeline here
+      "bt_h264_codec" -> ((s, _) => {
+        import s.implicits._
+        s.range(0, 32, 1, 32).map { task =>
+          val frames = (0 until 16).map { t =>
+            sources.H264Codec.Yuv(128, 128,
+              Array.tabulate(128 * 128) { p =>
+                val x = p % 128; val y = p / 128
+                ((x * 3 + y * 7 + t * 2 + task) % 256).toByte
+              },
+              Array.fill(64 * 64)(128.toByte), Array.fill(64 * 64)(128.toByte))
+          }
+          val stream = sources.H264Codec.encode(frames, qp = 16)
+          val back = sources.H264Codec.decode(stream)
+          (back.size.toLong, stream.length.toLong)
+        }.toDF("frames", "bytes")
+          .groupBy().agg(org.apache.spark.sql.functions.sum("frames").as("frames"),
+            org.apache.spark.sql.functions.sum("bytes").as("bytes"))
+      }),
       "bt_1m_stencil" -> ((s, _) => stencilStress(s, 1000000L)),
       "bt_10m_stencil" -> ((s, _) => stencilStress(s, 10000000L)),
       // ONE 10M-row stream as-of joined to a sparse snapshot stream: the

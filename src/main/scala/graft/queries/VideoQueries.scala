@@ -346,6 +346,34 @@ object VideoQueries {
         .orderBy("streamId", "index")
     }),
 
+    // the FULL real-video chain, every layer the library owns: pixels ->
+    // H264 encode (I_PCM GOP chunks) -> real avc1 MP4 mux -> DISTRIBUTED
+    // MP4 demux + NAL index + GOP segmentation (ingestMp4H264Dir, one
+    // task per file) -> DISTRIBUTED pixel decode (one task per GOP
+    // segment, parameter sets self-contained) -> per-frame digest vs the
+    // source digest. PCM is lossless, so every row must match — this one
+    // row gates codec, muxer, demuxer, indexer, and segmenter together.
+    "video_h264_mp4_pixels" -> ((s, _) => {
+      val dir = ensureH264Mp4Fixture(s)
+      val root = sys.props("java.io.tmpdir") + "/graft-h264store"
+      graft.sources.H264Ingest.ingestMp4H264Dir(s, dir, root, "h264mp4",
+        graft.model.CacheMode.Ignore)
+      import s.implicits._
+      val dec = VideoStore.segments(s, root, "h264mp4")
+        .flatMap { seg =>
+          graft.sources.H264Codec.decode(seg.payload).zipWithIndex.map {
+            case (yuv, i) => (seg.streamId, seg.startIndex + i, yuv.y)
+          }
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY))
+        .toDF("streamId", "index", "y")
+        .select(col("streamId"), col("index"), md5(col("y")).as("dec_md5"))
+      val src = h264GrayFixture(s).toDF()
+        .select(col("streamId"), col("index"), md5(col("data")).as("src_md5"))
+      src.join(dec, Seq("streamId", "index"))
+        .withColumn("lossless", col("src_md5") === col("dec_md5"))
+        .orderBy("streamId", "index")
+    }),
+
     // ingest diagnostics: per-stream GOP structure rollup (frame count,
     // keyframe density, bytes) — the first sanity report a video-corpus
     // ingest prints; one map-side-combining agg over the index rows
@@ -380,6 +408,33 @@ object VideoQueries {
         })
       }
     }.toDS()
+  }
+
+  /** real avc1 MP4 files of the gray fixture, one per stream: each is
+    * four I_PCM GOP chunks (independent SPS/PPS+IDR every 15 frames, so
+    * the indexer splits four keyframe-aligned segments), muxed by the
+    * library's own ISO-BMFF writer. Idempotent.
+    */
+  private def ensureH264Mp4Fixture(s: SparkSession): String = {
+    import graft.sources.{H264, H264Codec, H264Mp4}
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-h264mp4")
+    dir.mkdirs()
+    val done = new java.io.File(dir, "_DONE")
+    if (done.isFile) return dir.getPath
+    val all = h264GrayFixture(s).collect() // 120 tiny frames: fixture-scale
+    all.groupBy(_.streamId).foreach { case (sid, frames) =>
+      val annexb = new java.io.ByteArrayOutputStream()
+      frames.sortBy(_.index).grouped(15).foreach { gop =>
+        val yuvs = gop.map(f => H264Codec.Yuv(f.width, f.height, f.data,
+          Array.fill(f.width / 2 * f.height / 2)(128.toByte),
+          Array.fill(f.width / 2 * f.height / 2)(128.toByte)))
+        annexb.write(H264Codec.encode(yuvs.toSeq, pcm = true))
+      }
+      val out = new java.io.FileOutputStream(new java.io.File(dir, f"stream$sid%02d.mp4"))
+      try H264Mp4.mux(H264.index(annexb.toByteArray), out) finally out.close()
+    }
+    java.nio.file.Files.write(done.toPath, Array[Byte]())
+    dir.getPath
   }
 
   /** idempotent ingest of the gray fixture through BOTH real-H264 tiers */
