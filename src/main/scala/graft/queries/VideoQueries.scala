@@ -333,11 +333,11 @@ object VideoQueries {
     "video_h264_store_histogram" -> ((s, _) => {
       val root = ensureH264Stores(s)
       val frames = VideoStore
-        .frames(s, root, "h264tp", codec = H264GopCodec.Default).toDF()
+        .frames(s, root, "h264tp2", codec = H264GopCodec.Default).toDF()
       val digests = SequenceOps.range(frames, 0L, 20L)
         .select(col("streamId"), col("index"), md5(col("data")).as("frame_md5"))
       val rawBytes = 32L * 48L * 60L // per stream: h*w*frames (U8 gray)
-      val sizes = VideoStore.segments(s, root, "h264tp").toDF()
+      val sizes = VideoStore.segments(s, root, "h264tp2").toDF()
         .groupBy(col("streamId"))
         .agg(sum(length(col("payload"))).as("stored_bytes"))
         .withColumn("compressed", col("stored_bytes") < lit(rawBytes / 2))
@@ -442,7 +442,7 @@ object VideoQueries {
     val root = sys.props("java.io.tmpdir") + "/graft-h264store"
     VideoStore.ingest(h264GrayFixture(s), root, "h264pcm", gopSize = 15,
       CacheMode.Ignore, codec = H264GopCodec.Pcm)
-    VideoStore.ingest(h264GrayFixture(s), root, "h264tp", gopSize = 15,
+    VideoStore.ingest(h264GrayFixture(s), root, "h264tp2", gopSize = 15,
       CacheMode.Ignore, codec = H264GopCodec.Default)
     root
   }

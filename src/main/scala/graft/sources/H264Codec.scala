@@ -18,9 +18,12 @@ import scala.collection.mutable.ArrayBuffer
   * conditions, mb_skip_run coding, inter coded_block_pattern, and
   * motion-compensated residual coding (chroma at eighth-pel bilinear).
   *
+  * Luma motion is integer- and half-pel (the spec's 6-tap Wiener
+  * filter); chroma rides the eighth-pel bilinear.
+  *
   * Scope, by design (documented subset, each refused loudly on decode):
-  * Intra_16x16 DC luma + DC chroma prediction modes only, integer-pel
-  * luma motion (no 6-tap half-pel filter yet), single reference
+  * Intra_16x16 DC luma + DC chroma prediction modes only, no
+  * quarter-pel luma averaging step, single reference
   * picture, no B slices, no deblocking filter (streams set
   * disable_deblocking_filter_idc = 1, so skipping the filter is
   * conformant for our own output). The reference feeds FFmpeg/NVDEC
@@ -314,23 +317,70 @@ object H264Codec {
   }
 
   /** 16x16 luma motion compensation. MVs are QUARTER-pel per the spec's
-    * mvd semantics; this codec emits integer-pel motion only, and the
-    * decoder refuses fractional luma positions loudly (the documented
-    * subset — the 6-tap half-pel filter is the next rung).
+    * mvd semantics; integer and HALF-pel positions are implemented (the
+    * spec's 6-tap (1,-5,20,20,-5,1)/32 Wiener filter, §8.4.2.2.1, with
+    * the exact b/h/j formulas incl. the 10-bit center normalisation).
+    * Quarter-pel positions (the final averaging step) are refused loudly
+    * — the encoder never emits them.
     */
   private def mcLuma(ref: PicState, mbX: Int, mbY: Int, mvx: Int, mvy: Int,
       out: Array[Int]): Unit = {
-    require((mvx & 3) == 0 && (mvy & 3) == 0,
-      s"fractional-pel luma MV ($mvx,$mvy)/4 not implemented (integer-pel subset)")
+    val fx = mvx & 3; val fy = mvy & 3
+    require(fx % 2 == 0 && fy % 2 == 0,
+      s"quarter-pel luma MV ($mvx,$mvy)/4 not implemented (half-pel subset)")
     val x0 = mbX * 16 + (mvx >> 2); val y0 = mbY * 16 + (mvy >> 2)
-    var r = 0
-    while (r < 16) {
-      var c = 0
-      while (c < 16) {
-        out(r * 16 + c) = refSample(ref.reconY, ref.pw, ref.ph, x0 + c, y0 + r)
-        c += 1
+    val pw = ref.pw; val ph = ref.ph; val plane = ref.reconY
+    @inline def s(x: Int, y: Int) = refSample(plane, pw, ph, x, y)
+    @inline def clip255(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    if (fx == 0 && fy == 0) {
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) { out(r * 16 + c) = s(x0 + c, y0 + r); c += 1 }
+        r += 1
       }
-      r += 1
+    } else if (fx == 2 && fy == 0) { // horizontal half-pel b
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          val x = x0 + c; val y = y0 + r
+          val b1 = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+            20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+          out(r * 16 + c) = clip255((b1 + 16) >> 5)
+          c += 1
+        }
+        r += 1
+      }
+    } else if (fx == 0 && fy == 2) { // vertical half-pel h
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          val x = x0 + c; val y = y0 + r
+          val h1 = s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
+            20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3)
+          out(r * 16 + c) = clip255((h1 + 16) >> 5)
+          c += 1
+        }
+        r += 1
+      }
+    } else { // center half-pel j: 6-tap over unnormalised horizontal taps
+      @inline def b1(x: Int, y: Int) =
+        s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+          20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          val x = x0 + c; val y = y0 + r
+          val j1 = b1(x, y - 2) - 5 * b1(x, y - 1) + 20 * b1(x, y) +
+            20 * b1(x, y + 1) - 5 * b1(x, y + 2) + b1(x, y + 3)
+          out(r * 16 + c) = clip255((j1 + 512) >> 10)
+          c += 1
+        }
+        r += 1
+      }
     }
   }
 
@@ -643,7 +693,7 @@ object H264Codec {
     */
   private def analysePMb(st: PicState, ref: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      range: Int): (Int, Int, PMbCoeffs) = {
+      range: Int, halfPel: Boolean): (Int, Int, PMbCoeffs) = {
     val x0 = mbX * 16; val y0 = mbY * 16
     def sad(dx: Int, dy: Int): Long = {
       var s = 0L
@@ -673,7 +723,37 @@ object H264Codec {
       }
       dy += 1
     }
-    val mvx = bestDx * 4; val mvy = bestDy * 4
+    // half-pel refinement: the 8 half-sample neighbours of the integer
+    // winner, SAD over the actual 6-tap interpolated prediction
+    // (integer-preferring tie-break keeps zero-motion skip paths cheap)
+    var mvx = bestDx * 4; var mvy = bestDy * 4
+    val predTmp = new Array[Int](256)
+    def sadInterp(qx: Int, qy: Int): Long = {
+      mcLuma(ref, mbX, mbY, qx, qy, predTmp)
+      var s = 0L
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          s += math.abs((srcY((y0 + r) * st.pw + x0 + c) & 0xff) - predTmp(r * 16 + c))
+          c += 1
+        }
+        r += 1
+      }
+      s
+    }
+    var hy = if (halfPel) -2 else 4
+    while (hy <= 2) {
+      var hx = -2
+      while (hx <= 2) {
+        if ((hx != 0 || hy != 0) && (hx % 4 != 0 || hy % 4 != 0)) {
+          val s = sadInterp(bestDx * 4 + hx, bestDy * 4 + hy)
+          if (s < best) { best = s; mvx = bestDx * 4 + hx; mvy = bestDy * 4 + hy }
+        }
+        hx += 2
+      }
+      hy += 2
+    }
     val qpc = chromaQp(qp)
     val mc = new PMbCoeffs
     val predL = new Array[Int](256)
@@ -830,7 +910,7 @@ object H264Codec {
     * reference (closed loop, same reconstruction the decoder computes).
     */
   private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
-      ref: PicState, searchRange: Int): (Array[Byte], PicState) = {
+      ref: PicState, searchRange: Int, halfPel: Boolean): (Array[Byte], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -858,7 +938,8 @@ object H264Codec {
       var mb = 0
       while (mb < mbW * mbH) {
         val mbX = mb % mbW; val mbY = mb / mbW
-        val (mvx, mvy, mc) = analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange)
+        val (mvx, mvy, mc) =
+          analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange, halfPel)
         val (sx, sy) = skipMv(st, mbX, mbY)
         if (mc == null && mvx == sx && mvy == sy) {
           skipRun += 1
@@ -950,7 +1031,8 @@ object H264Codec {
     * integer-pel full-search motion radius.
     */
   def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false,
-      allIntra: Boolean = false, searchRange: Int = 4): Array[Byte] = {
+      allIntra: Boolean = false, searchRange: Int = 4,
+      halfPel: Boolean = true): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -963,7 +1045,7 @@ object H264Codec {
     var ref: PicState = null
     frames.zipWithIndex.foreach { case (f, i) =>
       val (nal, state) = encodeFrame(f, i, qp, pcm,
-        if (pcm || allIntra) null else ref, searchRange)
+        if (pcm || allIntra) null else ref, searchRange, halfPel)
       out.write(nal)
       ref = state
     }

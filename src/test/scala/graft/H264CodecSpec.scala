@@ -221,6 +221,38 @@ class H264CodecSpec extends AnyFunSuite {
     assert(ix.frames.tail.forall(f => !f.keyframe && f.sliceType % 5 == 0), "P slices")
   }
 
+  test("half-pel motion: sub-integer translation codes smaller and cleaner than integer-only ME") {
+    // content translating 0.5 px/frame horizontally: frames sample a
+    // smooth continuous pattern at x + t/2 via exact bilinear, so odd
+    // frames sit BETWEEN integer positions of their predecessor — the
+    // regime the 6-tap half-pel filter exists for
+    def cont(x: Double, y: Double): Double = {
+      val v = 96 + 60 * math.sin(x * 0.35) + 50 * math.cos(y * 0.3 + x * 0.1)
+      math.max(0, math.min(255, v))
+    }
+    def frame(t: Int): Yuv = {
+      val w = 64; val h = 48
+      val y = Array.tabulate(w * h) { i =>
+        val xx = (i % w) + t * 0.5
+        val x0 = math.floor(xx).toInt
+        val f = xx - x0
+        math.round((1 - f) * cont(x0, i / w) + f * cont(x0 + 1, i / w)).toInt.toByte
+      }
+      Yuv(w, h, y, Array.fill(w / 2 * h / 2)(128.toByte), Array.fill(w / 2 * h / 2)(128.toByte))
+    }
+    val frames = (0 until 8).map(frame)
+    val half = H264Codec.encode(frames, qp = 12)
+    val intOnly = H264Codec.encode(frames, qp = 12, halfPel = false)
+    assert(half.length < intOnly.length,
+      s"half-pel ${half.length} B vs integer-only ${intOnly.length} B: filter buys nothing")
+    // and the half-pel streams still round-trip within the QP bound
+    val back = H264Codec.decode(half)
+    frames.zip(back).foreach { case (a, b) =>
+      val mae = a.y.indices.map(i => math.abs((a.y(i) & 0xff) - (b.y(i) & 0xff))).sum.toDouble / a.y.length
+      assert(mae < 3.0, s"half-pel mean abs error $mae")
+    }
+  }
+
   test("corrupt slice data fails loudly, not silently wrong") {
     val stream = H264Codec.encode(Seq(grayYuv(32, 32, 0)), qp = 12)
     // flip bits in the middle of the slice payload
