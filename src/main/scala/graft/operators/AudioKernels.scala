@@ -73,6 +73,40 @@ object AudioKernels {
     c.copy(sampleRate = c.sampleRate / factor, pcm = bb.array())
   }
 
+  /** Linear-interpolation resample to `toRate` Hz — the sample-rate
+    * normalisation every audio training corpus needs (8k telephony /
+    * 44.1k music sources onto one model rate), for ARBITRARY rate
+    * ratios (vs [[downsample]]'s integer decimation). Exact integer
+    * arithmetic (position numerators kept as longs, truncating interp),
+    * so output is bit-deterministic and pinnable cross-engine. Output
+    * frames = floor((n-1) * toRate / fromRate) + 1; multi-channel
+    * interleaving preserved per frame.
+    */
+  def resample(c: AudioChunk, toRate: Int): AudioChunk = {
+    require(toRate > 0, s"toRate $toRate")
+    if (toRate == c.sampleRate) return c
+    val frames = samples(c).grouped(c.channels).map(_.toArray).toArray
+    val n = frames.length
+    require(n > 0, "empty chunk")
+    val outN = ((n - 1).toLong * toRate / c.sampleRate).toInt + 1
+    val bb = ByteBuffer.allocate(outN * c.channels * 2).order(ByteOrder.LITTLE_ENDIAN)
+    var j = 0
+    while (j < outN) {
+      val num = j.toLong * c.sampleRate // fractional source index = num / toRate
+      val i0 = (num / toRate).toInt
+      val frac = num % toRate
+      var ch = 0
+      while (ch < c.channels) {
+        val a = frames(math.min(i0, n - 1))(ch)
+        val b = frames(math.min(i0 + 1, n - 1))(ch)
+        bb.putShort((a + ((b - a).toLong * frac) / toRate).toShort)
+        ch += 1
+      }
+      j += 1
+    }
+    AudioChunk(c.streamId, c.index, toRate, c.channels, bb.array())
+  }
+
   /** integer gain `num/den` on the PCM samples with int16 clamping — the
     * volume-change transform the energy fingerprint should shrug off
     */

@@ -24,6 +24,24 @@ object AudioQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sample-rate normalisation (16 kHz sources onto 22.05 kHz AND 8 kHz
+    // model rates in one pass): arbitrary-ratio linear-interp resampling
+    // with exact integer arithmetic — per-chunk scan-local work, the
+    // embarrassingly parallel shape of every per-element audio kernel
+    "audio_resample" -> ((s, _) => {
+      import s.implicits._
+      val ranged = SequenceOps.range(chunks(s).toDF(), 0L, 20L).as[AudioChunk](chunkEnc)
+      ranged.flatMap { c =>
+        Seq(22050, 8000).map { rate =>
+          val r = AudioKernels.resample(c, rate)
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(r.pcm)
+            .map(x => f"${x & 0xff}%02x").mkString
+          (c.streamId, c.index, rate, r.pcm.length / 2, md5)
+        }
+      }.toDF("streamId", "index", "rate", "n_samples", "pcm_md5")
+        .orderBy("streamId", "index", "rate")
+    }),
+
     // waveform stats over a Range-sampled window of both streams
     "audio_stats" -> ((s, _) => {
       val ranged = SequenceOps.range(chunks(s).toDF(), 0L, 40L).as[AudioChunk](chunkEnc)

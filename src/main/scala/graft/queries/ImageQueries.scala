@@ -102,6 +102,31 @@ object ImageQueries {
         b => math.min(255, math.round((b & 0xff) * 0.92).toInt + 5).toByte,
         prefix = "tex", bitsPerBand = 8, maxHamming = 7)),
 
+    // image DEDUP CLUSTERS: the pHash near-dup pairs fed through the
+    // same distributed connected-components core as text dedup — one
+    // cluster id per image, cluster sizes, min-id keeper flags. The
+    // multimodal half of the dedup story: identical plan skeleton
+    // (banded candidates -> CC -> argmin keeper), different fingerprint.
+    "img_dedup_clusters" -> ((s, _) => {
+      val pairs = hashPairs(s, StdKernels.perceptualHash,
+        b => math.min(255, math.round((b & 0xff) * 0.92).toInt + 5).toByte,
+        prefix = "tex", bitsPerBand = 8, maxHamming = 7)
+      val root = ensureImages(s)
+      import s.implicits._
+      val ids = frames(s, root, "tex")
+        .flatMap(f => Seq(f.streamId * 1000L + f.index,
+          f.streamId * 1000L + f.index + 100))(Encoders.scalaLong)
+        .toDF("id")
+      val cc = graft.functions.Dedup.connectedComponents(
+        ids, pairs.select(col("a"), col("b")), "id")
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keeper_id"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("keeper_id")).as("keeper"))
+        .orderBy("id")
+    }),
+
     // Blur/quality filtering (variance of Laplacian, Pech-Pacheco 2000):
     // each texture image scored sharp AND through a 3x3 box blur — the
     // data-quality gate that drops defocused/low-detail images from a

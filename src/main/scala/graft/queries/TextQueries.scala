@@ -41,6 +41,13 @@ object TextQueries {
 
   private[queries] val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
 
+  /** the shared blocklist for txt_blocklist (raw-substring semantics on
+    * both engines; drawn from the synthetic corpus vocabulary so hits
+    * actually occur)
+    */
+  val BLOCK_PHRASES: Seq[String] = Seq(
+    "table scan", "slow query", "drop", "merge part", "filter chain")
+
   /** winnowing CTE chain (k=3 grams, w=4 windows) ending in f(doc_id, fps)
     * — the polynomial gram hash is txt_rollhash's fold, the window minima
     * mirror the Spark `least` fold, short docs keep their overall min
@@ -190,6 +197,62 @@ object TextQueries {
     "txt_rollhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
+
+    // Aho-Corasick blocklist gate (the C4/RefinedWeb badwords step, done
+    // scale-correctly): ONE automaton matches every phrase in one text
+    // pass — O(text + hits) per doc regardless of list size, vs the
+    // O(text x phrases) contains-loop that dies at 10k phrases. The
+    // automaton broadcasts; matching is scan-local, zero exchange.
+    "txt_blocklist" -> ((s, dir) =>
+      graft.functions.Blocklist.annotate(docs(s, dir), "text", BLOCK_PHRASES)
+        .select(col("doc_id"), col("n_hits"), col("hit_phrases"), col("blocked"))
+        .orderBy("doc_id")),
+
+    // deterministic shuffle-and-shard manifest (the step right before
+    // tokenizer/training export): shard = md5-hash mod N — NO global
+    // sort, just a hash exchange on shard — and the within-shard order
+    // is the md5 key itself, digested per shard so the oracle pins the
+    // exact emit order a writer would produce. 100 TB shape: one
+    // hash-partitioned pass, per-shard local sort, manifest is the agg.
+    "txt_shard_export" -> ((s, dir) => {
+      val key = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":42"))), 1, 8), 16, 10).cast("long")
+      docs(s, dir)
+        .withColumn("k", key)
+        .withColumn("shard", pmod(col("k"), lit(8)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("k"), col("doc_id")))),
+            x => x.getField("doc_id")))).as("order_digest"))
+        .orderBy("shard")
+    }),
+
+    // per-source unigram KL divergence against the corpus distribution —
+    // the data-mixing diagnostic (how far each domain's vocabulary sits
+    // from the blend it will be mixed into). Two map-side-combining
+    // aggs + a broadcast-sized join of per-source rows onto corpus
+    // token stats; shuffles carry (token, count) pairs, never text.
+    "txt_domain_kl" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
+      val bySrc = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c_st")).as("tot_s"))
+      val corpus = bySrc.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+      val totAll = corpus.agg(sum(col("c_t")).as("tot")).select(col("tot"))
+      bySrc.join(broadcast(srcTot), Seq("source"))
+        .join(corpus, Seq("t"))
+        .crossJoin(broadcast(totAll))
+        .groupBy(col("source"))
+        .agg(round(sum(
+          (col("c_st") / col("tot_s")) *
+            log((col("c_st") / col("tot_s")) / (col("c_t") / col("tot")))), 6)
+          .as("kl"),
+          max(col("tot_s")).as("n_tokens"))
+        .select(col("source"), col("n_tokens"), col("kl"))
+        .orderBy("source")
+    }),
 
     // corpus bigram frequency table (the vocabulary/contamination analysis
     // staple): explode shingles -> one map-side-combining count -> frequent
@@ -1256,6 +1319,52 @@ object TextQueries {
         |    list_transform(generate_series(1, len(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_blocklist" -> {
+      val vals = BLOCK_PHRASES.map(p => s"('$p')").mkString(", ")
+      s"""WITH p(phrase) AS (VALUES $vals),
+         |hits AS (
+         |  SELECT d.doc_id, p.phrase
+         |  FROM documents d JOIN p ON contains(d.text, p.phrase)),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n,
+         |         string_agg(phrase, ',' ORDER BY phrase) AS ph
+         |  FROM hits GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(agg.n, 0) AS INT) AS n_hits,
+         |  COALESCE(agg.ph, '') AS hit_phrases,
+         |  COALESCE(agg.n, 0) > 0 AS blocked
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_shard_export" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT AS k
+        |  FROM documents)
+        |SELECT k % 8 AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY k, doc_id)) AS order_digest
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_domain_kl" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest($tokSql) AS t FROM documents),
+         |by_src AS (SELECT source, t, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+         |src_tot AS (SELECT source, SUM(c_st) AS tot_s FROM by_src GROUP BY 1),
+         |corpus AS (SELECT t, SUM(c_st) AS c_t FROM by_src GROUP BY 1),
+         |tot AS (SELECT SUM(c_t) AS tot FROM corpus)
+         |SELECT b.source,
+         |  CAST(MAX(s.tot_s) AS BIGINT) AS n_tokens,
+         |  ROUND(SUM((c_st / CAST(tot_s AS DOUBLE)) *
+         |    ln((c_st / CAST(tot_s AS DOUBLE)) / (c_t / CAST(tot.tot AS DOUBLE)))), 6) AS kl
+         |FROM by_src b
+         |JOIN src_tot s USING (source)
+         |JOIN corpus USING (t)
+         |CROSS JOIN tot
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
 
     "txt_ngram_freq" ->
       s"""SELECT ngram, COUNT(*) AS n

@@ -170,32 +170,29 @@ object VideoQueries {
     // stream. The distance is an exact integer (zip_with/aggregate,
     // codegen'd); doubles appear only in the threshold predicate, never
     // in the output.
-    "video_shot_cuts" -> ((s, _) => {
-      val root = ensureIngested(s)
-      import s.implicits._
-      val frames = VideoStore.frames(s, root, "testvid")
-        .map(f =>
-          if (f.index >= 100 && f.index < 200)
-            f.copy(data = f.data.map(b => ((b & 0xff) >> 1).toByte))
-          else f)(frameEnc)
-      val bins = StdKernels.histogramOp(frames)
-        .map(e => (e.streamId, e.index, StdKernels.histogramBins(e.payload)))
-        .toDF("streamId", "index", "bins")
-      val paired = SequenceOps
-        .stencil(bins, Seq(-1, 0), "bins", graft.model.Boundary.NullFill,
-          bucketWidth = 1024)
-        .filter(element_at(col("window"), 1).isNotNull) // t=0 has no prev
-      val d = graft.CacheScope.cache(paired.select(col("streamId"), col("index"),
-        aggregate(
-          zip_with(element_at(col("window"), 1), element_at(col("window"), 2),
-            (a, b) => abs(a - b).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("dist")))
-      val stats = d.groupBy(col("streamId"))
-        .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sd"))
-      d.join(broadcast(stats), Seq("streamId"))
-        .filter(col("dist") > col("mu") + lit(3.0) * col("sd"))
-        .select(col("streamId"), col("index"), col("dist"))
-        .orderBy("streamId", "index")
+    "video_shot_cuts" -> ((s, _) =>
+      shotCuts(s).orderBy("streamId", "index")),
+
+    // scene → CLIP extraction (the video-training-data staple: cut the
+    // stream into per-scene clips for captioning/sampling): the detected
+    // cuts become clip boundaries, closed by lead() over the per-stream
+    // cut list — the window runs over CUT rows (a handful per stream),
+    // never over frames, so the plan scales with scenes, not footage.
+    "video_scene_clips" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val starts = shotCuts(s).select(col("streamId"), col("index"))
+        .union(shotCuts(s).select(col("streamId")).distinct()
+          .withColumn("index", lit(0L)))
+        .distinct()
+      val w = Window.partitionBy(col("streamId")).orderBy(col("index"))
+      starts
+        .withColumn("clip", row_number().over(w).cast("long") - 1)
+        .withColumn("end_index",
+          coalesce(lead(col("index"), 1).over(w) - 1, lit(299L)))
+        .select(col("streamId"), col("clip"), col("index").as("start_index"),
+          col("end_index"),
+          (col("end_index") - col("index") + 1).as("n_frames"))
+        .orderBy("streamId", "clip")
     }),
 
     // Detection-family op (the reference's scannertools detect ops are
@@ -391,6 +388,39 @@ object VideoQueries {
         .orderBy("stream")
     })
   )
+
+  /** The shared shot-cut detector of video_shot_cuts and
+    * video_scene_clips (one definition so the pinned cut set cannot
+    * drift between them): per-frame histograms -> stencil {-1,0} L1
+    * distance -> per-stream mean + 3σ adaptive threshold, with the
+    * deterministic contrast-crush scene change at frames [100, 200).
+    */
+  private def shotCuts(s: SparkSession): DataFrame = {
+    val root = ensureIngested(s)
+    import s.implicits._
+    val frames = VideoStore.frames(s, root, "testvid")
+      .map(f =>
+        if (f.index >= 100 && f.index < 200)
+          f.copy(data = f.data.map(b => ((b & 0xff) >> 1).toByte))
+        else f)(frameEnc)
+    val bins = StdKernels.histogramOp(frames)
+      .map(e => (e.streamId, e.index, StdKernels.histogramBins(e.payload)))
+      .toDF("streamId", "index", "bins")
+    val paired = SequenceOps
+      .stencil(bins, Seq(-1, 0), "bins", graft.model.Boundary.NullFill,
+        bucketWidth = 1024)
+      .filter(element_at(col("window"), 1).isNotNull) // t=0 has no prev
+    val d = graft.CacheScope.cache(paired.select(col("streamId"), col("index"),
+      aggregate(
+        zip_with(element_at(col("window"), 1), element_at(col("window"), 2),
+          (a, b) => abs(a - b).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("dist")))
+    val stats = d.groupBy(col("streamId"))
+      .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sd"))
+    d.join(broadcast(stats), Seq("streamId"))
+      .filter(col("dist") > col("mu") + lit(3.0) * col("sd"))
+      .select(col("streamId"), col("index"), col("dist"))
+  }
 
   /** deterministic grayscale fixture for the real-H264 stores: 2 streams
     * x 60 frames of 32x48 U8 — gradient + 8x8 checker so the CAVLC tier
