@@ -93,6 +93,39 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** HTML → visible text (the WARC→WET conversion step every crawl
+    * pipeline runs before any text filter): drop comments and
+    * script/style SUBTREES (their character data is code, not prose),
+    * strip remaining tags, decode the common character entities
+    * (`&amp;` LAST so freshly-decoded `&lt;` stays literal text — the
+    * order every HTML serializer escapes in, reversed), collapse
+    * whitespace. Pure codegen'd `regexp_replace`/`replace` chain — the
+    * regex subset used (inline `(?is)` flags, lazy `.*?`, char classes)
+    * is shared by Java regex and RE2, so the DuckDB oracle replays the
+    * SAME patterns (with its explicit `'g'` flag — DuckDB replaces only
+    * the first match by default, Spark replaces all).
+    */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript  = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags    = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded =
+      replace(replace(replace(replace(replace(replace(
+        noTags,
+        lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+        lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** first <title> element's decoded text ('' when absent) */
+  def htmlTitle(html: Column): Column =
+    htmlToText(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
   /** Rabin-Karp-style polynomial rolling hash over characters,
     * acc = (acc*31 + code) mod (2^31-1) — cheap locality-sensitive doc id.
     *

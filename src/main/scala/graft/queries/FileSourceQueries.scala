@@ -112,7 +112,100 @@ object FileSourceQueries {
     s"jdbc:derby:jar:($jar)graft-derby-seed"
   }
 
+  /** idempotent WARC fixture: two crawl files (one member-gzip `.warc.gz`
+    * — the Common Crawl layout — one plain `.warc`), each warcinfo +
+    * request/response pairs; response bodies are deterministic HTML
+    * pages plus one `text/plain` robots.txt (which the WET pipeline
+    * must SKIP on content type). Written via [[graft.sources.Warc]]'s
+    * own writer, so reader and writer pin each other round-trip.
+    */
+  private def ensureWarc(): String = {
+    val root = sys.props("java.io.tmpdir") + "/graft-warc"
+    val dir  = Paths.get(root)
+    if (!Files.exists(dir.resolve("crawl-00.warc.gz"))) {
+      Files.createDirectories(dir)
+      import graft.sources.Warc
+      def page(f: Int, i: Int): String =
+        s"<html><head><title>Page $f-$i</title><style>b{font:x} q>z{}</style>" +
+          s"</head><body><script>var n=$i; if(n<3){n=3}</script><h1>Heading $i</h1>" +
+          s"<p>body text file $f rec $i word${(f * 31 + i * 7) % 97} &amp; tail</p>" +
+          ("<p>filler sentence repeated</p>" * (i % 4)) + "</body></html>"
+      for (f <- 0 until 2) {
+        val recs = scala.collection.mutable.ArrayBuffer.empty[Warc.WriteRecord]
+        def rid(i: Int) = f"urn:uuid:00000000-0000-0000-000$f%01d-${i}%012d"
+        def date(i: Int) = f"2024-01-0${f + 1}%dT00:00:$i%02dZ"
+        recs += Warc.WriteRecord("warcinfo", rid(0), None, date(0),
+          s"software: graft-crawler\r\nfile: crawl-0$f\r\n".getBytes(UTF_8),
+          httpResponse = false)
+        for (i <- 1 to 12) {
+          val uri = s"https://example.org/f$f/page$i.html"
+          recs += Warc.WriteRecord("request", rid(i * 2 - 1), Some(uri), date(i),
+            s"GET /f$f/page$i.html HTTP/1.1\r\nHost: example.org\r\n\r\n".getBytes(UTF_8),
+            httpResponse = false)
+          recs += Warc.WriteRecord("response", rid(i * 2), Some(uri), date(i),
+            page(f, i).getBytes(UTF_8), httpResponse = true)
+        }
+        recs += Warc.WriteRecord("response", rid(99),
+          Some(s"https://example.org/f$f/robots.txt"), date(59),
+          s"User-agent: *\nDisallow: /private$f\n".getBytes(UTF_8),
+          httpResponse = true, httpContentType = "text/plain")
+        val name = if (f == 0) "crawl-00.warc.gz" else "crawl-01.warc"
+        val part = Files.createTempFile(dir, name, ".part")
+        val out  = Files.newOutputStream(part)
+        try {
+          if (f == 0) Warc.writeGz(out, recs.toSeq)
+          else Warc.writePlain(out, recs.toSeq)
+        } finally out.close()
+        try Files.move(part, dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(part) }
+      }
+    }
+    root
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WARC source: the web-crawl container (ISO 28500, Common Crawl's
+    // format) — distributed per-file streaming parse, metadata + body
+    // digest per record. Both compression layouts (member-gzip and
+    // plain) land in one relation.
+    "src_warc_records" -> ((s, _) => {
+      val root = ensureWarc()
+      graft.sources.Warc.readDir(s, root)
+        .select(
+          regexp_extract(col("path"), "(crawl-\\d+\\.warc(?:\\.gz)?)$", 1).as("file"),
+          col("rec_idx"), col("warc_type"), col("target_uri"),
+          col("http_status"), col("http_content_type"), col("body_len"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("file", "rec_idx")
+    }),
+
+    // WARC -> WET: the crawl-to-text conversion every web-scale corpus
+    // starts from — response records gated on status 200 + text/html,
+    // bodies UTF-8 decoded, boilerplate stripped by the SAME
+    // TextFunctions.htmlToText chain the parquet-gated txt_html_extract
+    // proves against DuckDB. Embarrassingly parallel: parse + extract
+    // run in the file's task; no shuffle until the final presentation
+    // sort.
+    "pipeline_warc_wet" -> ((s, _) => {
+      val root = ensureWarc()
+      import graft.functions.{TextFunctions => TF}
+      graft.sources.Warc.readDir(s, root)
+        .filter(col("warc_type") === "response" && col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(
+          regexp_extract(col("path"), "(crawl-\\d+\\.warc(?:\\.gz)?)$", 1).as("file"),
+          col("rec_idx"), col("target_uri"),
+          col("body").cast("string").as("html"))
+        .select(col("file"), col("rec_idx"), col("target_uri"),
+          TF.htmlTitle(col("html")).as("title"),
+          TF.htmlToText(col("html")).as("text"))
+        .select(col("file"), col("rec_idx"), col("target_uri"), col("title"),
+          md5(col("text")).as("digest"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("file", "rec_idx")
+    }),
+
     // SQL source: spark.read.jdbc against embedded Derby — the reference
     // docs' SQL stored-stream (scannertools), realized with Spark's
     // built-in JDBC source; predicates push into the database

@@ -488,6 +488,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML -> visible text (the WARC->WET conversion ahead of every text
+    // filter). The shared corpus is plain text, so BOTH engines first
+    // render each doc into an identical HTML page — title, style and
+    // script subtrees (whose character data must NOT survive), a
+    // comment, a literal-entity paragraph, and the &-escaped doc text
+    // split across two <p> blocks — then strip it back. The Spark side
+    // is TextFunctions.htmlToText (codegen regexp chain, zero shuffle);
+    // the oracle replays the same RE2-compatible patterns. Title
+    // recovery is checked against the oracle's direct construction, so
+    // the extractor's output is compared to ground truth, not to itself.
+    "txt_html_extract" -> ((s, dir) => {
+      val esc = replace(col("text"), lit("&"), lit("&amp;"))
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit(" #"),
+        col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0} .x>y{}</style>" +
+          "<script>var q=\"<p>not text</p>\";</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><!-- crawl id="),
+        col("doc_id").cast("string"),
+        lit(" --><p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;end</p><div><p>"),
+        substring(esc, 1, 60), lit("</p><p>"), substring(esc, 61, 1000000),
+        lit("</p></div></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TF.let(html) { h =>
+            struct(TF.htmlTitle(h).as("title"),
+              TF.let(TF.htmlToText(h)) { t =>
+                struct(md5(t).as("digest"),
+                  length(t).cast("long").as("n_chars"))
+              }.as("y"))
+          }.as("x"))
+        .select(col("doc_id"), col("x.title").as("title"),
+          col("x.y.digest").as("digest"), col("x.y.n_chars").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Per-doc keyword extraction: top-3 TF-IDF unigrams (TfIdf.topTerms —
     // the sorted-slice over each doc's own terms, bounded by doc length,
     // no window rank, no corpus-wide state beyond the df relation)
@@ -1950,6 +1986,38 @@ object TextQueries {
         |  FROM r)
         |SELECT doc_id, md5(nt) AS digest, CAST(len(nt) AS BIGINT) AS n_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // WET replay: identical page construction, the same RE2 strip chain
+    // (DuckDB needs the explicit 'g' flag — it replaces first-match-only
+    // by default), and the title from DIRECT construction so the Spark
+    // extractor is checked against ground truth
+    "txt_html_extract" ->
+      """WITH h AS (SELECT doc_id, source || ' #' || doc_id AS title,
+        |    '<html><head><title>' || source || ' #' || doc_id ||
+        |    '</title><style>p{margin:0} .x>y{}</style>' ||
+        |    '<script>var q="<p>not text</p>";</script></head><body><h1>Doc ' ||
+        |    doc_id || '</h1><!-- crawl id=' || doc_id ||
+        |    ' --><p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;end</p><div><p>' ||
+        |    substr(replace(text, '&', '&amp;'), 1, 60) || '</p><p>' ||
+        |    substr(replace(text, '&', '&amp;'), 61) ||
+        |    '</p></div></body></html>' AS html
+        |  FROM documents),
+        |e AS (SELECT doc_id, title,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          html,
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS txt
+        |  FROM h)
+        |SELECT doc_id, title, md5(txt) AS digest,
+        |  CAST(len(txt) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // keyword replay: same unigram weights, ranked on the 6-dp grid with
     // term tie-break
