@@ -206,6 +206,44 @@ object FileSourceQueries {
         .orderBy("file", "rec_idx")
     }),
 
+    // WebDataset tar shards: the multimodal training-corpus container
+    // (sample = adjacent tar entries sharing a basename key). This query
+    // is the FULL loop — distributed sink (4 writer tasks rolling
+    // byte-budgeted shards from the documents table: .txt body +
+    // deterministic .json sidecar per sample) then distributed source
+    // (one task per shard), samples reassembled and checked against
+    // DuckDB reading the SAME parquet — so the oracle verifies the tar
+    // round-trip against ground truth, not against itself.
+    "src_webdataset" -> ((s, dir) => {
+      import graft.sources.TarShard
+      val root = sys.props("java.io.tmpdir") + "/graft-wds-" +
+        dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val marker = Paths.get(root, "_SUCCESS")
+      if (!Files.exists(marker)) {
+        val src = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 200)
+        val json = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"source\":\""), col("source"), lit("\"}"))
+        val rows = src.select(
+          format_string("%06d", col("doc_id")).as("key"),
+          explode(map(lit("txt"), col("text").cast("binary"),
+            lit("json"), json.cast("binary"))).as(Seq("ext", "payload")))
+        TarShard.writeSamples(rows, root, maxShardBytes = 16L << 10, nWriters = 4)
+        Files.createDirectories(Paths.get(root))
+        Files.write(marker, Array.emptyByteArray)
+      }
+      TarShard.readDir(s, root)
+        .groupBy("key")
+        .agg(
+          array_join(sort_array(collect_set(col("ext"))), ",").as("exts"),
+          max(when(col("ext") === "txt", md5(col("payload")))).as("txt_md5"),
+          max(when(col("ext") === "json", md5(col("payload")))).as("json_md5"),
+          sum(col("payload_len")).as("total_bytes"))
+        .select(col("key").cast("long").as("doc_id"), col("exts"),
+          col("txt_md5"), col("json_md5"), col("total_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // SQL source: spark.read.jdbc against embedded Derby — the reference
     // docs' SQL stored-stream (scannertools), realized with Spark's
     // built-in JDBC source; predicates push into the database
@@ -260,6 +298,18 @@ object FileSourceQueries {
     })
   )
 
-  /** generated text files, not shared parquet — rows-only checks */
-  val oracles: Map[String, String] = Map.empty
+  /** captions/jdbc/warc read generated inputs (pinned VALUES oracles);
+    * src_webdataset round-trips SHARED parquet through tar shards, so
+    * its oracle recomputes the expected samples straight from the table
+    */
+  val oracles: Map[String, String] = Map(
+    "src_webdataset" ->
+      """WITH j AS (SELECT doc_id,
+        |    '{"doc_id":' || doc_id || ',"source":"' || source || '"}' AS js
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT d.doc_id, 'json,txt' AS exts,
+        |  md5(d.text) AS txt_md5, md5(j.js) AS json_md5,
+        |  CAST(strlen(d.text) + strlen(j.js) AS BIGINT) AS total_bytes
+        |FROM documents d JOIN j USING (doc_id)
+        |WHERE d.doc_id < 200 ORDER BY d.doc_id""".stripMargin)
 }
