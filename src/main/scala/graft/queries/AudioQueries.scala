@@ -94,7 +94,29 @@ object AudioQueries {
         AudioKernels.statsOp(chunks(s))
           .toDF("streamId", "index", "peak", "sum_sq", "zero_crossings"),
         "sum_sq")
-        .orderBy("streamId", "seg_start"))
+        .orderBy("streamId", "seg_start")),
+
+    // MFCC feature extraction (FFT -> mel filterbank -> log -> DCT-II):
+    // the standard audio feature vector, flattened to one row per
+    // (chunk, coefficient) with the per-chunk frame mean — per-element
+    // scan work, embarrassingly parallel like every audio kernel
+    "audio_mfcc" -> ((s, _) => {
+      val ranged = SequenceOps.range(chunks(s).toDF(), 0L, 8L).as[AudioChunk](chunkEnc)
+      AudioKernels.mfccOp(ranged)
+        .toDF("streamId", "index", "coef", "mean_val")
+        .orderBy("streamId", "index", "coef")
+    }),
+
+    // spectral-shape quality gates: centroid/bandwidth/rolloff/flatness
+    // per chunk — the hum/tone/noise detectors of an audio corpus
+    // cleaning pipeline
+    "audio_spectral" -> ((s, _) => {
+      val ranged = SequenceOps.range(chunks(s).toDF(), 0L, 12L).as[AudioChunk](chunkEnc)
+      AudioKernels.spectralOp(ranged)
+        .toDF("streamId", "index", "centroid_hz", "bandwidth_hz",
+          "rolloff_hz", "flatness")
+        .orderBy("streamId", "index")
+    })
   )
 
   /** synthetic inputs, not shared parquet — rows-only checks */

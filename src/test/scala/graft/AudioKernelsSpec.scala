@@ -120,4 +120,77 @@ class AudioKernelsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((0L, 2L, 2L, 1L), (0L, 4L, 5L, 2L)))
   }
+
+  test("fft matches the naive DFT and satisfies Parseval") {
+    val n = 32
+    // deterministic pseudo-random signal (LCG)
+    var seed = 12345L
+    val x = Array.fill(n) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33).toInt % 1000) / 1000.0
+    }
+    val re = x.clone(); val im = new Array[Double](n)
+    AudioKernels.fft(re, im)
+    // naive DFT reference
+    for (k <- 0 until n) {
+      var dr = 0.0; var di = 0.0
+      for (t <- 0 until n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        dr += x(t) * math.cos(ang); di += x(t) * math.sin(ang)
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"bin $k: got (${re(k)},${im(k)}) want ($dr,$di)")
+    }
+    val time = x.map(v => v * v).sum
+    val freq = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+    assert(math.abs(time - freq) < 1e-9)
+  }
+
+  test("fft basis vectors: DC concentrates in bin 0, impulse is flat") {
+    val dcR = Array.fill(8)(1.0); val dcI = new Array[Double](8)
+    AudioKernels.fft(dcR, dcI)
+    assert(math.abs(dcR(0) - 8.0) < 1e-12)
+    assert((1 until 8).forall(k => math.abs(dcR(k)) < 1e-12 && math.abs(dcI(k)) < 1e-12))
+    val impR = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val impI = new Array[Double](8)
+    AudioKernels.fft(impR, impI)
+    assert((0 until 8).forall(k => math.abs(impR(k) - 1.0) < 1e-12))
+  }
+
+  test("mel filterbank: every filter non-empty, weights in (0,1], centers ascend") {
+    val bank = AudioKernels.melFilterbank(26, 512, 16000)
+    assert(bank.length == 26)
+    assert(bank.forall(_.nonEmpty))
+    assert(bank.forall(_.forall { case (_, w) => w > 0 && w <= 1.0 }))
+    val firstBins = bank.map(_.head._1)
+    assert(firstBins.zip(firstBins.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("spectral centroid tracks a pure tone's frequency") {
+    // 2 kHz sine at 16 kHz in one 512-sample chunk
+    val sr = 16000
+    val bb = java.nio.ByteBuffer.allocate(512 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 512).foreach(i =>
+      bb.putShort((math.sin(2 * math.Pi * 2000.0 * i / sr) * 20000).toShort))
+    val c = AudioKernels.AudioChunk(0L, 0L, sr, 1, bb.array())
+    val (centroid, bandwidth, rolloff, flatness) = AudioKernels.spectralFeatures(c)
+    assert(math.abs(centroid - 2000.0) < 150.0, s"centroid $centroid")
+    assert(rolloff >= 1800 && rolloff <= 2300, s"rolloff $rolloff")
+    assert(bandwidth < 800.0, s"bandwidth $bandwidth")
+    assert(flatness < 0.05, s"tone must be spectrally peaked, got $flatness")
+  }
+
+  test("mfcc: shape, determinism, and energy sensitivity in c0") {
+    val c = AudioKernels.syntheticChunk(1L, 3L)
+    val m1 = AudioKernels.mfcc(c)
+    val m2 = AudioKernels.mfcc(c)
+    assert(m1.length == (1600 + 255) / 256) // ceil(samples/hop) frames
+    assert(m1.forall(_.length == 13))
+    assert(m1.zip(m2).forall { case (a, b) => a.sameElements(b) })
+    // louder signal -> larger log-energy c0
+    val loud = AudioKernels.gain(c, 4, 1)
+    val mLoud = AudioKernels.mfcc(loud)
+    assert(mLoud.head(0) > m1.head(0))
+  }
 }
