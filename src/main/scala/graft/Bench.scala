@@ -94,6 +94,39 @@ object Bench {
     */
   /** pipe-bridge element count (default keeps the historical 100k row
     * comparable across rounds; override for protocol-slope attribution) */
+  /** idempotent fleet-scale WARC fixture for bt_warc_wet: 48 member-gzip
+    * files x 400 deterministic HTML response records (~15 MB of markup);
+    * built once, so timed reps pay only the parse + extract
+    */
+  private def ensureWarcFleet(): String = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val root = sys.props("java.io.tmpdir") + "/graft-warc-fleet"
+    val dirP = java.nio.file.Paths.get(root)
+    val marker = dirP.resolve("_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(dirP)
+      for (f <- 0 until 48) {
+        val out = java.nio.file.Files.newOutputStream(
+          dirP.resolve(f"crawl-$f%03d.warc.gz"))
+        try {
+          val recs = (0 until 400).map { i =>
+            val words = (0 until 40)
+              .map(w => s"w${(f * 7919 + i * 131 + w * 17) % 9973}").mkString(" ")
+            val body = s"<html><head><title>P $f-$i</title><style>a{x:y}</style>" +
+              s"</head><body><script>var x=$i;</script><h1>H$i</h1>" +
+              s"<p>$words &amp; tail</p><p>$words</p></body></html>"
+            sources.Warc.WriteRecord("response", f"urn:uuid:$f%04d-$i%08d",
+              Some(s"https://example.org/$f/$i"), "2024-03-01T00:00:00Z",
+              body.getBytes(UTF_8), httpResponse = true)
+          }
+          sources.Warc.writeGz(out, recs)
+        } finally out.close()
+      }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
+
   private def pkElems: Long =
     sys.env.getOrElse("SPARK_GRAFT_PK_ELEMS", "100000").toLong
 
@@ -146,6 +179,41 @@ object Bench {
         val ds  = elemsN(s, pkElems).repartition(8).as[model.Elem](enc)
         operators.ProcessKernel.run(ds,
           queries.ProcQueries.wordcountBatchedSpec(256)).toDF()
+      }),
+      // crawl-to-text at fleet scale: 48 member-gzip WARC files x 400
+      // response records (~15 MB of HTML) through the streaming record
+      // parse + the codegen htmlToText chain; one task per file — the
+      // WET-conversion scan rate that multiplies by executors at
+      // crawl-corpus scale
+      "bt_warc_wet" -> ((s, _) => {
+        val dir = ensureWarcFleet()
+        import org.apache.spark.sql.functions._
+        sources.Warc.readDir(s, dir)
+          .filter(col("warc_type") === "response" &&
+            col("http_content_type").startsWith("text/html"))
+          .select(functions.TextFunctions.htmlToText(
+            col("body").cast("string")).as("t"))
+          .groupBy().agg(count(lit(1)).as("n"),
+            sum(length(col("t"))).as("chars"))
+      }),
+      // WebDataset shard sink + source in one timed pass: 50k two-file
+      // samples hash-distributed over 8 writer tasks into byte-budgeted
+      // tar shards, then read back one task per shard — the container
+      // overhead (512 B header + padding per file) is the honest cost
+      // of small-sample shards
+      "bt_wds_roundtrip" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val dir = sys.props("java.io.tmpdir") + "/graft-bench-wds"
+        val rows = s.range(0, 50000, 1, 32).select(
+          format_string("%08d", col("id")).as("key"),
+          explode(map(
+            lit("txt"), encode(rpad(conv(col("id").cast("string"), 10, 16), 200, "x"), "UTF-8"),
+            lit("json"), encode(concat(lit("{\"i\":"), col("id").cast("string"), lit("}")), "UTF-8")
+          )).as(Seq("ext", "payload")))
+        sources.TarShard.writeSamples(rows, dir, maxShardBytes = 8L << 20, nWriters = 8)
+        sources.TarShard.readDir(s, dir)
+          .groupBy().agg(count(lit(1)).as("files"),
+            sum(col("payload_len")).as("bytes"))
       }),
       // fleet-scale real-H264 ingest: 48 streams x 240 AUs (~17 MB of
       // Annex-B) through the distributed NAL walk + header parse +
