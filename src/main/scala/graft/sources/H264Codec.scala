@@ -162,9 +162,20 @@ object H264Codec {
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
     val pcmMb = new Array[Boolean](mbW * mbH)
+    // slice membership (§7.4.4 neighbour availability: a macroblock in
+    // another slice is NOT available for nC contexts, MV prediction, or
+    // intra prediction). -1 = not yet coded; curSlice advances per slice.
+    val sliceOfMb: Array[Int] = Array.fill(mbW * mbH)(-1)
+    var curSlice = 0
+    @inline def mbAvail(x: Int, y: Int): Boolean =
+      x >= 0 && y >= 0 && x < mbW && y < mbH &&
+        sliceOfMb(y * mbW + x) == curSlice
     def nC(nz: Array[Int], rowW: Int, bx: Int, by: Int): Int = {
-      val nA = if (bx > 0) nz(by * rowW + bx - 1) else -1
-      val nB = if (by > 0) nz((by - 1) * rowW + bx) else -1
+      val blkPerMb = if (rowW == bw4) 4 else 2
+      val nA = if (bx > 0 && mbAvail((bx - 1) / blkPerMb, by / blkPerMb))
+        nz(by * rowW + bx - 1) else -1
+      val nB = if (by > 0 && mbAvail(bx / blkPerMb, (by - 1) / blkPerMb))
+        nz((by - 1) * rowW + bx) else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
       else if (nA >= 0) nA
       else if (nB >= 0) nB
@@ -189,7 +200,7 @@ object H264Codec {
   /** Intra_16x16 DC luma prediction (§8.3.3.3) from reconstructed neighbours */
   private def predLumaDc(st: PicState, mbX: Int, mbY: Int): Int = {
     val x0 = mbX * 16; val y0 = mbY * 16
-    val hasL = mbX > 0; val hasT = mbY > 0
+    val hasL = st.mbAvail(mbX - 1, mbY); val hasT = st.mbAvail(mbX, mbY - 1)
     var sum = 0
     if (hasT) { var i = 0; while (i < 16) { sum += st.reconY((y0 - 1) * st.pw + x0 + i) & 0xff; i += 1 } }
     if (hasL) { var i = 0; while (i < 16) { sum += st.reconY((y0 + i) * st.pw + x0 - 1) & 0xff; i += 1 } }
@@ -201,9 +212,9 @@ object H264Codec {
   /** chroma DC prediction (§8.3.4), per 4x4 quadrant of the 8x8 block;
     * returns the 4 quadrant DC values indexed [by*2+bx]
     */
-  private def predChromaDc(plane: Array[Byte], cw: Int, mbX: Int, mbY: Int): Array[Int] = {
+  private def predChromaDc(plane: Array[Byte], cw: Int, mbX: Int, mbY: Int,
+      hasL: Boolean, hasT: Boolean): Array[Int] = {
     val x0 = mbX * 8; val y0 = mbY * 8
-    val hasL = mbX > 0; val hasT = mbY > 0
     def sumT(from: Int): Int = {
       var s = 0; var i = 0
       while (i < 4) { s += plane((y0 - 1) * cw + x0 + from + i) & 0xff; i += 1 }
@@ -286,7 +297,8 @@ object H264Codec {
       hadamard2x2(dc)
       k = 0
       while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
-      val q = predChromaDc(plane, st.cw, mbX, mbY)
+      val q = predChromaDc(plane, st.cw, mbX, mbY,
+        st.mbAvail(mbX - 1, mbY), st.mbAvail(mbX, mbY - 1))
       val cx0 = mbX * 8; val cy0 = mbY * 8
       var cb = 0
       while (cb < 4) {
@@ -453,7 +465,7 @@ object H264Codec {
     */
   private def predictMv(st: PicState, mbX: Int, mbY: Int): (Int, Int, Option[(Int, Int, Boolean)], Option[(Int, Int, Boolean)]) = {
     def nb(x: Int, y: Int): Option[(Int, Int, Boolean)] =
-      if (x < 0 || y < 0 || x >= st.mbW || y >= st.mbH) None
+      if (!st.mbAvail(x, y)) None // out of picture OR another slice (§7.4.4)
       else { val i = y * st.mbW + x; Some((st.mvX(i), st.mvY(i), st.inter(i))) }
     val a = nb(mbX - 1, mbY)
     val b = nb(mbX, mbY - 1)
@@ -634,7 +646,8 @@ object H264Codec {
     var anyChromaDc = false
     def chroma(src: Array[Byte], plane: Array[Byte], dcZig: Array[Int],
         acZig: Array[Array[Int]]): Unit = {
-      val q = predChromaDc(plane, st.cw, mbX, mbY)
+      val q = predChromaDc(plane, st.cw, mbX, mbY,
+        st.mbAvail(mbX - 1, mbY), st.mbAvail(mbX, mbY - 1))
       val cx0 = mbX * 8; val cy0 = mbY * 8
       val dc = new Array[Int](4)
       var cb = 0
@@ -1083,9 +1096,14 @@ object H264Codec {
     * reconstructed picture state, which becomes the next frame's
     * reference (closed loop, same reconstruction the decoder computes).
     */
+  /** encode one frame as `slices` slice NALs (MB-row-aligned split;
+    * §7.4.4 neighbour availability stops at slice boundaries, so each
+    * slice is independently decodable given SPS/PPS — the unit of
+    * intra-frame parallel decode)
+    */
   private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
       ref: PicState, searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      deblock: Boolean): (Array[Byte], PicState) = {
+      deblock: Boolean, slices: Int): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -1093,56 +1111,87 @@ object H264Codec {
     val srcCr = pad(yuv.cr, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val idr = frameIdx == 0
     val pSlice = ref != null && !idr
-    val bw = new H264Writer.BitWriter
-    bw.ue(0)                 // first_mb_in_slice
-    bw.ue(if (pSlice) 5 else 7) // slice_type: P / I ("all slices of picture")
-    bw.ue(0)                 // pps_id
-    bw.u(12, frameIdx % (1 << 12)) // frame_num
-    if (idr) bw.ue(0)        // idr_pic_id
-    // poc type 2: no POC fields
-    if (pSlice) {
-      bw.u1(0)               // num_ref_idx_active_override_flag
-      bw.u1(0)               // ref_pic_list_modification_flag_l0
-    }
-    if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
-    else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
-    bw.se(qp - 26)           // slice_qp_delta
-    if (deblock) {
-      bw.ue(0)               // disable_deblocking_filter_idc: filter on
-      bw.se(0)               // slice_alpha_c0_offset_div2
-      bw.se(0)               // slice_beta_offset_div2
-    } else
-      bw.ue(1)               // disable_deblocking_filter_idc: off
-    if (pSlice) {
-      var skipRun = 0
-      var mb = 0
-      while (mb < mbW * mbH) {
-        val mbX = mb % mbW; val mbY = mb / mbW
-        val (mvx, mvy, mc) =
-          analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange,
-            halfPel, quarterPel)
-        val (sx, sy) = skipMv(st, mbX, mbY)
-        if (mc == null && mvx == sx && mvy == sy) {
-          skipRun += 1
-          clearNz(st, mbX, mbY)
-          reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, null)
-        } else {
-          bw.ue(skipRun); skipRun = 0
-          writePMb(bw, st, mbX, mbY, mvx, mvy, mc)
-          reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
-        }
-        mb += 1
+    val nSlices = math.max(1, math.min(slices, mbH))
+    val nals = Seq.newBuilder[Array[Byte]]
+    var s = 0
+    while (s < nSlices) {
+      val startMb = ((mbH.toLong * s) / nSlices).toInt * mbW
+      val endMb = ((mbH.toLong * (s + 1)) / nSlices).toInt * mbW
+      st.curSlice = s
+      val bw = new H264Writer.BitWriter
+      bw.ue(startMb)           // first_mb_in_slice
+      bw.ue(if (pSlice) 5 else 7) // slice_type: P / I ("all slices of picture")
+      bw.ue(0)                 // pps_id
+      bw.u(12, frameIdx % (1 << 12)) // frame_num
+      if (idr) bw.ue(0)        // idr_pic_id
+      // poc type 2: no POC fields
+      if (pSlice) {
+        bw.u1(0)               // num_ref_idx_active_override_flag
+        bw.u1(0)               // ref_pic_list_modification_flag_l0
       }
-      if (skipRun > 0) bw.ue(skipRun) // trailing skipped MBs
-      if (deblock) deblockPicture(st, 0, 0) // in-loop: filtered frame is the next reference
-      val rbsp = bw.rbspTrailing()
-      return (H264Writer.nal(2, 1, rbsp), st)
+      if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
+      else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
+      bw.se(qp - 26)           // slice_qp_delta
+      if (deblock) {
+        bw.ue(0)               // disable_deblocking_filter_idc: filter on
+        bw.se(0)               // slice_alpha_c0_offset_div2
+        bw.se(0)               // slice_beta_offset_div2
+      } else
+        bw.ue(1)               // disable_deblocking_filter_idc: off
+      if (pSlice)
+        encodePRange(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
+          halfPel, quarterPel, startMb, endMb)
+      else
+        encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb)
+      val nalRefIdc = if (idr) 3 else 2
+      val nalType = if (idr) 5 else 1
+      nals += H264Writer.nal(nalRefIdc, nalType, bw.rbspTrailing())
+      s += 1
     }
-    var mbY = 0
-    while (mbY < mbH) {
-      var mbX = 0
-      while (mbX < mbW) {
-        if (pcm) {
+    // in-loop: the FILTERED picture is the next reference on both sides
+    if (deblock) deblockPicture(st, 0, 0)
+    (nals.result(), st)
+  }
+
+  /** the P-slice macroblock loop over [startMb, endMb) */
+  private def encodePRange(st: PicState, ref: PicState, bw: H264Writer.BitWriter,
+      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
+      startMb: Int, endMb: Int): Unit = {
+    val mbW = st.mbW
+    var skipRun = 0
+    var mb = startMb
+    while (mb < endMb) {
+      val mbX = mb % mbW; val mbY = mb / mbW
+      st.sliceOfMb(mb) = st.curSlice
+      val (mvx, mvy, mc) =
+        analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange,
+          halfPel, quarterPel)
+      val (sx, sy) = skipMv(st, mbX, mbY)
+      if (mc == null && mvx == sx && mvy == sy) {
+        skipRun += 1
+        clearNz(st, mbX, mbY)
+        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, null)
+      } else {
+        bw.ue(skipRun); skipRun = 0
+        writePMb(bw, st, mbX, mbY, mvx, mvy, mc)
+        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+      }
+      mb += 1
+    }
+    if (skipRun > 0) bw.ue(skipRun) // trailing skipped MBs
+  }
+
+  /** the I-slice macroblock loop over [startMb, endMb) */
+  private def encodeIRange(st: PicState, bw: H264Writer.BitWriter, qp: Int,
+      pcm: Boolean, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      startMb: Int, endMb: Int): Unit = {
+    var mb = startMb
+    while (mb < endMb) {
+      val mbX = mb % st.mbW
+      val mbY = mb / st.mbW
+      st.sliceOfMb(mb) = st.curSlice
+      if (pcm) {
           bw.ue(25) // I_PCM
           bw.alignZero()
           val x0 = mbX * 16; val y0 = mbY * 16
@@ -1198,31 +1247,29 @@ object H264Codec {
           val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
           writeMbI16(bw, st, mbX, mbY, mc)
           reconstructMb(st, mbX, mbY, qp, mc)
-        }
-        mbX += 1
       }
-      mbY += 1
+      mb += 1
     }
-    if (deblock) deblockPicture(st, 0, 0)
-    val rbsp = bw.rbspTrailing()
-    (H264Writer.nal(if (idr) 3 else 2, if (idr) 5 else 1, rbsp), st)
   }
 
   /** Encode frames into one Annex-B stream: SPS + PPS, an IDR first
     * frame, then P frames predicting from the previous reconstruction
     * (`allIntra = true` forces I everywhere; `pcm = true` codes every MB
     * as I_PCM — bit-exact, implies all-intra). `searchRange` is the
-    * integer-pel full-search motion radius.
+    * integer-pel full-search motion radius. `slicesPerFrame > 1` splits
+    * each picture into MB-row-aligned slices (independently decodable —
+    * the intra-frame parallelism unit big frames decode with).
     */
   def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false,
       allIntra: Boolean = false, searchRange: Int = 4,
       halfPel: Boolean = true, quarterPel: Boolean = true,
-      deblock: Boolean = true): Array[Byte] = {
+      deblock: Boolean = true, slicesPerFrame: Int = 1): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
     require(qp >= 0 && qp <= 51, s"QP $qp out of [0,51]")
     require(searchRange >= 0 && searchRange <= 16, s"searchRange $searchRange out of [0,16]")
+    require(slicesPerFrame >= 1, s"slicesPerFrame $slicesPerFrame must be >= 1")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     val out = new java.io.ByteArrayOutputStream()
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h)))
@@ -1231,10 +1278,10 @@ object H264Codec {
     frames.zipWithIndex.foreach { case (f, i) =>
       // the PCM tier stays filter-free: deblocking raw macroblocks would
       // break the bit-exact lossless guarantee that tier exists for
-      val (nal, state) = encodeFrame(f, i, qp, pcm,
+      val (nals, state) = encodeFrame(f, i, qp, pcm,
         if (pcm || allIntra) null else ref, searchRange, halfPel, quarterPel,
-        deblock && !pcm)
-      out.write(nal)
+        deblock && !pcm, slicesPerFrame)
+      nals.foreach(out.write)
       ref = state
     }
     out.toByteArray
@@ -1268,7 +1315,8 @@ object H264Codec {
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
       nalType: Int, refIdc: Int, st: PicState, ref: PicState): Option[(Int, Int)] = {
     val r = new H264.BitReader(rbsp)
-    require(r.ue == 0, "multi-slice pictures not supported by the pixel decoder")
+    val firstMb = r.ue // slices start anywhere; caller sequences them into one picture
+    require(firstMb < st.mbW * st.mbH, s"first_mb_in_slice $firstMb outside the picture")
     val sliceType = r.ue
     val isI = sliceType == 2 || sliceType == 7
     val isP = sliceType == 0 || sliceType == 5
@@ -1311,20 +1359,23 @@ object H264Codec {
     val mbW = st.mbW; val mbH = st.mbH
     if (isP) {
       require(ref != null, "P slice with no reference picture (stream must open with an IDR)")
-      var mb = 0
-      while (mb < mbW * mbH) {
+      var mb = firstMb
+      // slice end = rbsp exhaustion (more_rbsp_data), picture end = MB count
+      while (mb < mbW * mbH && r.moreRbspData) {
         var skipRun = r.ue
         require(skipRun <= mbW * mbH - mb, s"mb_skip_run $skipRun overruns the picture")
         while (skipRun > 0) {
           val mbX = mb % mbW; val mbY = mb / mbW
+          st.sliceOfMb(mb) = st.curSlice
           val (sx, sy) = skipMv(st, mbX, mbY)
           clearNz(st, mbX, mbY)
           reconstructPMb(st, ref, mbX, mbY, qp, sx, sy, null)
           mb += 1
           skipRun -= 1
         }
-        if (mb < mbW * mbH) {
+        if (mb < mbW * mbH && r.moreRbspData) {
           val mbX = mb % mbW; val mbY = mb / mbW
+          st.sliceOfMb(mb) = st.curSlice
           val mbType = r.ue
           require(mbType == 0,
             s"P mb_type $mbType unsupported (P_L0_16x16 subset; intra-in-P not emitted)")
@@ -1383,9 +1434,10 @@ object H264Codec {
       }
       return deblockReq
     }
-    var mb = 0
-    while (mb < mbW * mbH) {
+    var mb = firstMb
+    while (mb < mbW * mbH && r.moreRbspData) {
       val mbX = mb % mbW; val mbY = mb / mbW
+      st.sliceOfMb(mb) = st.curSlice
       val mbType = r.ue
       if (mbType == 25) { // I_PCM
         r.align()
@@ -1485,29 +1537,56 @@ object H264Codec {
     var sps: H264.Sps = null
     var pps: CodecPps = null
     var ref: PicState = null // previous decoded picture (P reference)
+    var cur: PicState = null // picture being assembled from its slices
+    var curDeblock: Option[(Int, Int)] = None
     val out = ArrayBuffer.empty[Yuv]
+
+    // a picture completes when the next one starts (first_mb_in_slice 0)
+    // or the stream ends: filter in-loop, emit, and promote to reference
+    def finishPicture(): Unit = if (cur != null) {
+      require(!cur.sliceOfMb.contains(-1),
+        "picture has macroblocks covered by no slice — truncated or torn stream")
+      curDeblock.foreach { case (aOff, bOff) => deblockPicture(cur, aOff, bOff) }
+      ref = cur
+      out += Yuv(sps.width, sps.height,
+        crop(cur.reconY, cur.pw, sps.width, sps.height),
+        crop(cur.reconCb, cur.cw, sps.width / 2, sps.height / 2),
+        crop(cur.reconCr, cur.cw, sps.width / 2, sps.height / 2))
+      cur = null
+    }
+
     val nals = H264.nalUnits(stream).iterator
-    while (nals.hasNext && out.size < maxFrames) {
+    var stop = false
+    while (nals.hasNext && !stop) {
       val nal = nals.next()
       nal.nalType match {
         case 7 => sps = H264.parseSps(new H264.BitReader(H264.rbsp(nal.bytes, 1)))
         case 8 => pps = parseCodecPps(new H264.BitReader(H264.rbsp(nal.bytes, 1)))
         case 1 | 5 =>
           require(sps != null && pps != null, "VCL NAL before SPS/PPS")
-          val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
-          val st = new PicState(mbW, mbH)
-          val deblockReq =
-            decodeSlice(H264.rbsp(nal.bytes, 1), sps, pps, nal.nalType, nal.refIdc, st,
+          val rbsp = H264.rbsp(nal.bytes, 1)
+          val firstMb = new H264.BitReader(rbsp).ue // peek the slice start
+          if (firstMb == 0) {
+            finishPicture()
+            if (out.size >= maxFrames) stop = true
+            else {
+              val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
+              cur = new PicState(mbW, mbH)
+              cur.curSlice = 0
+            }
+          } else {
+            require(cur != null,
+              s"continuation slice (first_mb $firstMb) with no open picture")
+            cur.curSlice += 1
+          }
+          if (!stop) {
+            curDeblock = decodeSlice(rbsp, sps, pps, nal.nalType, nal.refIdc, cur,
               if (nal.nalType == 5) null else ref)
-          deblockReq.foreach { case (aOff, bOff) => deblockPicture(st, aOff, bOff) }
-          ref = st
-          out += Yuv(sps.width, sps.height,
-            crop(st.reconY, st.pw, sps.width, sps.height),
-            crop(st.reconCb, st.cw, sps.width / 2, sps.height / 2),
-            crop(st.reconCr, st.cw, sps.width / 2, sps.height / 2))
+          }
         case _ => () // SEI / AUD / filler: ignored
       }
     }
+    if (!stop) finishPicture()
     out.toVector
   }
 }

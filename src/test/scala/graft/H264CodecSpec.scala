@@ -378,6 +378,60 @@ class H264CodecSpec extends AnyFunSuite {
     assert(!on.last.y.sameElements(off.last.y))
   }
 
+  test("multi-slice pictures: split, decode, and bounded round-trip error") {
+    val frames = (0 until 3).map(t => grayYuv(64, 64, t))
+    val stream = H264Codec.encode(frames, qp = 16, slicesPerFrame = 4)
+    // 4 VCL NALs per picture
+    val vcl = graft.sources.H264.nalUnits(stream).filter(_.isVcl)
+    assert(vcl.size == 12, s"expected 3 pictures x 4 slices, got ${vcl.size} VCL NALs")
+    val back = H264Codec.decode(stream)
+    assert(back.size == 3)
+    val maxErr = back.zip(frames).map { case (b, f) =>
+      b.y.zip(f.y).map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }.max
+    }.max
+    assert(maxErr <= 20, s"QP 16 multi-slice error $maxErr")
+    // the independent ingest indexer sees ONE access unit of 4 slices
+    val ix = graft.sources.H264.index(stream)
+    assert(ix.frames.size == 3 && ix.frames.forall(_.nSlices == 4))
+  }
+
+  test("slices are independently decodable: arrival order within a picture is irrelevant") {
+    val frames = (0 until 2).map(t => grayYuv(64, 64, t))
+    val stream = H264Codec.encode(frames, qp = 16, slicesPerFrame = 3)
+    val nals = graft.sources.H264.nalUnits(stream)
+    def rebuild(order: Seq[graft.sources.H264.Nal]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      order.foreach { nal =>
+        out.write(Array[Byte](0, 0, 0, 1)); out.write(nal.bytes)
+      }
+      out.toByteArray
+    }
+    // swap the 2nd and 3rd slices of the FIRST picture (indices in the
+    // NAL list: sps, pps, s0, s1, s2, then picture 2's slices)
+    val swapped = nals.take(3) ++ Seq(nals(4), nals(3)) ++ nals.drop(5)
+    val a = H264Codec.decode(stream)
+    val b = H264Codec.decode(rebuild(swapped))
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.y.sameElements(y.y) && x.cb.sameElements(y.cb) && x.cr.sameElements(y.cr),
+        "slice arrival order changed decoded samples — slices are not independent")
+    }
+  }
+
+  test("a missing slice fails loudly, never silently partial") {
+    val stream = H264Codec.encode(Seq(grayYuv(64, 64, 1)), qp = 16, slicesPerFrame = 4)
+    val nals = graft.sources.H264.nalUnits(stream)
+    val out = new java.io.ByteArrayOutputStream()
+    // drop the 3rd slice NAL (keep sps, pps, slices 0,1,3)
+    nals.zipWithIndex.filterNot(_._2 == 4).map(_._1).foreach { nal =>
+      out.write(Array[Byte](0, 0, 0, 1)); out.write(nal.bytes)
+    }
+    val e = intercept[IllegalArgumentException] {
+      H264Codec.decode(out.toByteArray)
+    }
+    assert(e.getMessage.contains("covered by no slice"))
+  }
+
   test("PCM tier stays bit-exact: deblocking never touches it") {
     val f = grayYuv(32, 32, 2)
     val stream = H264Codec.encode(Seq(f), pcm = true)
