@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.AudioQueries.queries ++
       graft.queries.FileSourceQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.ProcQueries.queries
+      graft.queries.ProcQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.FileSourceQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
       graft.queries.ProcQueries.oracles ++
+      graft.queries.GraphQueries.oracles ++
       graft.queries.PinnedOracles.oracles
 }

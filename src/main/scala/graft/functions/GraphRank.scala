@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.CacheScope
+
+/** Link-graph centrality for corpus curation — the rank signal web-scale
+  * pipelines weight crawl hosts and co-visitation items with (CCNet-style
+  * corpora keep "high-rank" hosts; recommender curation ranks items by
+  * random-walk mass).
+  *
+  * Both operators run in EXACT FIXED-POINT INTEGER arithmetic: scores are
+  * longs scaled by `scale`, every per-edge share is an integer division,
+  * and every reduction is a sum of longs — associative, order-independent,
+  * overflow-checked. That makes ranks bit-identical across partitionings,
+  * re-runs, executor counts, AND engines (the DuckDB oracle replays the
+  * same recurrence to the same bits), where a floating-point PageRank
+  * drifts in the low mantissa bits with every shuffle reordering. At
+  * 100 TB, reproducible curation decisions are the difference between an
+  * auditable corpus and one that changes under re-execution.
+  *
+  * Scale shape (mirrors the connected-components loop in
+  * [[graft.functions.Dedup]]): compact (long, long) pair RDDs under ONE
+  * HashPartitioner for the whole loop, so the per-round rank lookup join
+  * is narrow and the only shuffle per PageRank round is the map-side-
+  * combined contribution reduction. Rounds are fixed-count (no convergence
+  * test), and the dangling-mass sum for round i+1 rides the SAME action
+  * that materializes round i's ranks — exactly one driver job per round.
+  */
+object GraphRank {
+
+  /** Exact fixed-point PageRank over a directed edge list.
+    *
+    * @param edges relation with long columns `src`, `dst` (parallel edges
+    *              are collapsed; self-loops count like any edge)
+    * @param iters fixed iteration count (power iteration; ~log(N)/log(1/d)
+    *              rounds reach link-curation stability — 8 is the usual
+    *              crawl-ranking setting)
+    * @param scale fixed-point unit: returned ranks sum to ~`scale`
+    *              (truncation leaks a few units per round, deterministically)
+    * @param dampPct damping factor as an integer percentage (85 = the
+    *                classic 0.85)
+    * @return (node LONG, rank LONG) — rank is the stationary-mass share
+    *         times `scale`; recover a probability as rank/scale.
+    *
+    * Recurrence (all integer ops, `/` = truncating division on nonneg):
+    * {{{
+    *   base    = scale / N
+    *   share_e = rank(src_e) / outdeg(src_e)
+    *   dm      = sum of rank over outdeg-0 nodes       (dangling mass)
+    *   rank'   = ((100-d)*base + d*(sum_in share + dm/N)) / 100
+    * }}}
+    */
+  def pageRank(edges: DataFrame, iters: Int = 8,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct $dampPct out of [0,100]")
+    // overflow envelope: d*(incoming + dm/N) <= 100 * 2*scale must fit a long
+    require(scale >= 1000 && scale <= 1000000000000000L,
+      s"scale $scale out of [1e3, 1e15]")
+    val spark = edges.sparkSession
+
+    val e = CacheScope.cache(edges
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val nodeDeg = nodes.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+
+    // one partitioner for the whole loop, sized to the graph (not the
+    // session default): every round is a driver-synchronous stage chain,
+    // and scheduling empty partitions is pure latency on small graphs
+    val degPairs: RDD[(Long, Long)] = nodeDeg.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = degPairs.count()
+    require(n > 0, "pageRank over an empty edge relation")
+    val part = new HashPartitioner(math.max(1,
+      math.min(spark.sessionState.conf.numShufflePartitions,
+        math.ceil(n / 50000.0).toInt)))
+    val degR = degPairs.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val edgesR: RDD[(Long, Long)] = e.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+    val base = scale / n
+    val damp = dampPct.toLong
+    var ranks: RDD[(Long, Long)] = degR.mapValues(_ => base)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // the action below materializes ranks AND yields round 1's dangling mass
+    def danglingOf(r: RDD[(Long, Long)]): Long = r.join(degR)
+      .map { case (_, (rank, od)) => if (od == 0L) rank else 0L }
+      .fold(0L)(_ + _)
+    var dm = danglingOf(ranks)
+
+    var it = 0
+    while (it < iters) {
+      val dShare = dm / n
+      // rank/outdeg shares at the src partition (narrow: ranks and degR
+      // co-partitioned), then the round's ONE shuffle: the map-side-
+      // combined sum of incoming shares keyed by dst
+      val shares = ranks.join(degR)
+        .flatMapValues { case (rank, od) => if (od == 0L) None else Some(rank / od) }
+      val incoming = edgesR.join(shares)
+        .map { case (_, (dst, share)) => (dst, share) }
+        .reduceByKey(part, _ + _)
+      val next = degR.leftOuterJoin(incoming)
+        .mapValues { case (_, inc) =>
+          ((100L - damp) * base + damp * (inc.getOrElse(0L) + dShare)) / 100L
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val old = ranks
+      dm = danglingOf(next) // one job: materializes `next`, reads next round's dm
+      ranks = next
+      old.unpersist(blocking = false)
+      it += 1
+    }
+    degR.unpersist(blocking = false)
+    edgesR.unpersist(blocking = false)
+    CacheScope.registerRdd(ranks)
+    e.unpersist(blocking = false)
+
+    spark.createDataFrame(
+      ranks.map { case (id, r) => Row(id, r) },
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false))))
+  }
+
+  /** Exact fixed-point HITS (Kleinberg hubs-and-authorities) over a
+    * directed edge list: authorities collect from hubs, hubs from the
+    * UPDATED authorities, both L1-normalised to `scale` each round
+    * (the one place 64 bits can't hold the multiply, so the normalising
+    * `raw * scale / total` runs through BigInt per NODE — never per edge;
+    * the oracle replays it as HUGEINT).
+    *
+    * @return (node LONG, hub LONG, auth LONG), each column summing to
+    *         ~`scale` (minus deterministic truncation)
+    */
+  def hits(edges: DataFrame, iters: Int = 8, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(scale >= 1000 && scale <= 1000000000000L, s"scale $scale out of [1e3, 1e12]")
+    val spark = edges.sparkSession
+
+    val e = CacheScope.cache(edges
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val nodePairs: RDD[(Long, Unit)] = nodes.rdd.map(r => (r.getLong(0), ()))
+    val n = nodePairs.count()
+    require(n > 0, "hits over an empty edge relation")
+    val part = new HashPartitioner(math.max(1,
+      math.min(spark.sessionState.conf.numShufflePartitions,
+        math.ceil(n / 50000.0).toInt)))
+    val nodesR = nodePairs.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val bySrc: RDD[(Long, Long)] = e.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val byDst: RDD[(Long, Long)] = e.rdd.map(r => (r.getLong(1), r.getLong(0)))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+    val sc = BigInt(scale)
+    // raw collected sums -> L1-normalised scores on every node
+    def normalise(raw: RDD[(Long, Long)]): (RDD[(Long, Long)], Long) = {
+      val total = raw.values.fold(0L)(_ + _) // materializes `raw`'s lineage
+      val scores = nodesR.leftOuterJoin(raw)
+        .mapValues { case (_, r) =>
+          if (total == 0L) 0L
+          else (BigInt(r.getOrElse(0L)) * sc / total).toLong
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      (scores, total)
+    }
+
+    var hub: RDD[(Long, Long)] = nodesR.mapValues(_ => scale)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var auth: RDD[(Long, Long)] = hub
+    var it = 0
+    while (it < iters) {
+      val rawAuth = bySrc.join(hub) // narrow: co-partitioned
+        .map { case (_, (dst, h)) => (dst, h) }
+        .reduceByKey(part, _ + _)
+      val (nextAuth, _) = normalise(rawAuth)
+      val rawHub = byDst.join(nextAuth)
+        .map { case (_, (src, a)) => (src, a) }
+        .reduceByKey(part, _ + _)
+      val (nextHub, _) = normalise(rawHub)
+      val (oldH, oldA) = (hub, auth)
+      hub = nextHub; auth = nextAuth
+      if (oldA ne oldH) oldA.unpersist(blocking = false)
+      oldH.unpersist(blocking = false)
+      it += 1
+    }
+    bySrc.unpersist(blocking = false)
+    byDst.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    CacheScope.registerRdd(hub)
+    CacheScope.registerRdd(auth)
+    e.unpersist(blocking = false)
+
+    val joined = hub.join(auth).map { case (id, (h, a)) => Row(id, h, a) }
+    spark.createDataFrame(joined,
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("hub", LongType, nullable = false),
+        StructField("auth", LongType, nullable = false))))
+  }
+}

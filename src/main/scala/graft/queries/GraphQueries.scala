@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraphRank
+
+/** Link-graph centrality queries over the events co-visitation graph.
+  *
+  * The graph: users and `props.k` items as nodes (items offset to
+  * 1000000+k so the id spaces stay disjoint), one edge per distinct
+  * (user, item) interaction IN BOTH DIRECTIONS — the undirected
+  * co-visitation graph random-walk ranking operates on. Because
+  * [[GraphRank]] is exact fixed-point integer arithmetic, the DuckDB
+  * oracles replay the full power iteration (unrolled CTE per round,
+  * generated below) to the SAME BITS — no FP tolerance anywhere.
+  */
+object GraphQueries {
+
+  private val Iters = 8
+  private val Scale = 1000000000000L // pagerank fixed-point unit
+  private val HScale = 1000000000L   // hits fixed-point unit (HUGEINT-normalised)
+  private val ItemBase = 1000000L
+
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val uk = ev.select(col("user_id").cast("long").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull).distinct()
+    uk.select(col("u").as("src"), (col("k") + ItemBase).as("dst"))
+      .unionByName(uk.select((col("k") + ItemBase).as("src"), col("u").as("dst")))
+  }
+
+  /** shared oracle prelude: the same edge derivation in DuckDB. Every CTE
+    * in these unrolled recurrences is AS MATERIALIZED — the round-i
+    * relations are each referenced twice by round i+1, so the default
+    * inline expansion is EXPONENTIAL in `iters` (4^8 scans of the events
+    * parquet for hits — it exhausts file descriptors before it finishes).
+    */
+  private def graphCtes: String =
+    s"""WITH uk AS MATERIALIZED (
+       |  SELECT DISTINCT user_id AS u, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, $ItemBase + k AS dst FROM uk
+       |  UNION
+       |  SELECT $ItemBase + k AS src, u AS dst FROM uk),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+       |""".stripMargin
+
+  /** the [[GraphRank.pageRank]] recurrence, unrolled one CTE trio per
+    * round — integer `//` throughout, so DuckDB lands on identical longs
+    */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      s"""deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |c AS MATERIALIZED (SELECT COUNT(*) AS n, $Scale // COUNT(*) AS base FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT base FROM c) AS rank FROM nodes),
+         |""".stripMargin)
+    for (i <- 0 until iters) {
+      sb.append(
+        s"""d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
+           |  FROM r$i r LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+           |m$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank // g.outdeg) AS inc
+           |  FROM edges e JOIN r$i r ON r.id = e.src JOIN deg g ON g.id = e.src
+           |  GROUP BY 1),
+           |r${i + 1} AS MATERIALIZED (SELECT n.id,
+           |    (15 * (SELECT base FROM c)
+           |     + 85 * (COALESCE(m.inc, 0) + (SELECT dm FROM d$i) // (SELECT n FROM c)))
+           |    // 100 AS rank
+           |  FROM nodes n LEFT JOIN m$i m ON m.id = n.id),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT id AS node, CAST(rank AS BIGINT) AS rank FROM r$iters)
+         |SELECT node, rank FROM fin ORDER BY rank DESC, node""".stripMargin)
+    sb.toString
+  }
+
+  /** the [[GraphRank.hits]] recurrence, unrolled; the L1 normalisation
+    * multiply runs as HUGEINT exactly like the operator's BigInt
+    */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append("h0 AS MATERIALIZED (SELECT id, CAST(" + HScale + " AS BIGINT) AS v FROM nodes),\n")
+    def norm(outName: String, rawName: String): String =
+      s"""$outName AS MATERIALIZED (SELECT n.id,
+         |    CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * $HScale
+         |         // (SELECT SUM(raw) FROM $rawName) AS BIGINT) AS v
+         |  FROM nodes n LEFT JOIN $rawName r ON r.id = n.id),
+         |""".stripMargin
+    for (i <- 0 until iters) {
+      sb.append(
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, SUM(h.v) AS raw
+           |  FROM edges e JOIN h$i h ON h.id = e.src GROUP BY 1),
+           |""".stripMargin)
+      sb.append(norm(s"a${i + 1}", s"ar$i"))
+      sb.append(
+        s"""hr$i AS MATERIALIZED (SELECT e.src AS id, SUM(a.v) AS raw
+           |  FROM edges e JOIN a${i + 1} a ON a.id = e.dst GROUP BY 1),
+           |""".stripMargin)
+      sb.append(norm(s"h${i + 1}", s"hr$i"))
+    }
+    sb.append(
+      s"""fin AS (SELECT h.id AS node, h.v AS hub, a.v AS auth
+         |  FROM h$iters h JOIN a$iters a ON a.id = h.id)
+         |SELECT node, hub, auth FROM fin ORDER BY hub DESC, node""".stripMargin)
+    sb.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // random-walk mass over the co-visitation graph: the host-rank signal
+    // crawl curation keeps "reputable" sources with. Exact fixed-point —
+    // every rank long lands bit-identical across engines, executors, and
+    // re-runs (reproducible curation), per-round cost = one compact
+    // (long,long) shuffle, one driver job.
+    "graph_pagerank" -> ((s, dir) =>
+      GraphRank.pageRank(edges(s, dir), iters = Iters, scale = Scale)
+        .orderBy(col("rank").desc, col("node"))),
+
+    // hubs-and-authorities on the same graph: on the bipartite
+    // co-visitation graph hub mass concentrates on promiscuous users,
+    // authority mass on widely-shared items — the two curation signals a
+    // single PageRank blends together.
+    "graph_hits" -> ((s, dir) =>
+      GraphRank.hits(edges(s, dir), iters = Iters, scale = HScale)
+        .orderBy(col("hub").desc, col("node"))))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql(Iters),
+    "graph_hits" -> hitsSql(Iters))
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.GraphRank
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** in-test replay of the EXACT integer recurrence — the operator must
+    * match it bit-for-bit on any graph (same algebra the DuckDB oracle
+    * unrolls)
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L, damp: Long = 85L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale / n
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filter(v => !outdeg.contains(v)).map(rank).sum
+      val dShare = dm / n
+      val incoming = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> (((100L - damp) * base + damp * (incoming.getOrElse(v, 0L) + dShare)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] =
+    GraphRank.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the integer recurrence bit-for-bit (cycle + chain + dangling)") {
+    // 0 -> 1 -> 2 -> 0 cycle, 3 -> 0 entry, 4 dangling sink fed by 2
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L))
+    assert(run(edges) == refPageRank(edges, 8))
+  }
+
+  test("pageRank is deterministic across runs and partitionings") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 200L), (i, (i * 13 + 5) % 200L), (i, i % 10L)))
+    val a = run(edges)
+    val b = run(edges)
+    assert(a == b)
+    assert(a == refPageRank(edges, 8))
+  }
+
+  test("pageRank semantics: hub with many in-links outranks leaf nodes; mass ~conserved") {
+    // star: 1..9 all link to 0; 0 links back to 1 (so 0 is not dangling)
+    val edges = (1L to 9L).map(i => (i, 0L)) :+ ((0L, 1L))
+    val r = run(edges)
+    assert(r(0L) > r(2L) * 4, s"hub rank ${r(0L)} should dominate leaf ${r(2L)}")
+    // fixed-point truncation only ever leaks mass downward, deterministically
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 900000000000L, s"total mass $total")
+  }
+
+  test("pageRank dangling mass is redistributed, not dropped") {
+    // 0 -> 1, 1 has no out-edges: without dangling redistribution node 0
+    // would decay to (1-d)*base; with it, 1's mass flows back to both
+    val edges = Seq((0L, 1L))
+    val r = run(edges, iters = 12)
+    val ref = refPageRank(edges, 12)
+    assert(r == ref)
+    assert(r(0L) > 250000000000L, s"dangling mass must recirculate, got ${r(0L)}")
+  }
+
+  test("parallel edges collapse: duplicated edge rows do not double-count") {
+    val once = run(Seq((0L, 1L), (1L, 0L)))
+    val dup  = run(Seq((0L, 1L), (0L, 1L), (1L, 0L)))
+    assert(once == dup)
+  }
+
+  /** integer-recurrence replay for HITS (BigInt normalisation like the op) */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val total = raw.values.sum
+      nodes.map(v => v -> (if (total == 0L) 0L
+        else (BigInt(raw.getOrElse(v, 0L)) * scale / total).toLong)).toMap
+    }
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = hub
+    for (_ <- 0 until iters) {
+      auth = norm(e.groupBy(_._2).view.mapValues(_.map(x => hub(x._1)).sum).toMap)
+      hub = norm(e.groupBy(_._1).view.mapValues(_.map(x => auth(x._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits matches the integer recurrence and separates hubs from authorities") {
+    // 0,1,2 all point at 8 and 9; directed only — classic hub/authority split
+    val edges = for (h <- 0L to 2L; a <- 8L to 9L) yield (h, a)
+    val got = GraphRank.hits(edges.toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refHits(edges, 8))
+    val (hub0, auth0) = got(0L)
+    val (hub8, auth8) = got(8L)
+    assert(hub0 > 0L && auth0 == 0L, s"pure hub got $hub0/$auth0")
+    assert(auth8 > 0L && hub8 == 0L, s"pure authority got $hub8/$auth8")
+    // L1 normalisation: each score family sums to ~scale
+    val hubTotal = got.values.map(_._1).sum
+    assert(hubTotal <= 1000000000L && hubTotal > 999999000L, s"hub L1 $hubTotal")
+  }
+
+  test("hits is exact on an asymmetric graph (mixed hub/authority roles)") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val got = GraphRank.hits(edges.toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refHits(edges, 8))
+  }
+}
