@@ -381,6 +381,28 @@ object Bench {
         functions.Dedup.connectedComponents(nodes, chain, "id")
           .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("nc"))
       }),
+      // PageRank scale row: a 1M-node graph with a power-law-ish in-degree
+      // skew (every node links to two pseudo-random targets plus one of 10
+      // hubs — hub in-degree ~100k, everyone else ~2) and ~6% dangling
+      // nodes. 4 power rounds over 3M edges: per round ONE map-side-
+      // combined (long,long) shuffle + the co-partitioned narrow rank
+      // join; the fixed-point integer algebra means the timed work is
+      // byte-identical across reps and hosts.
+      "bt_1m_pagerank" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val n = 1000000L
+        val src = s.range(0, n, 1, 32)
+        // drop out-edges for ids ≡ 15 (mod 16) → dangling-mass path live
+        val e = src.where(col("id") % 16 =!= 15).select(col("id").as("src"),
+            ((col("id") * 2654435761L + 1) % n).as("dst"))
+          .unionAll(src.where(col("id") % 16 =!= 15).select(col("id").as("src"),
+            ((col("id") * 40503L + 7) % n).as("dst")))
+          .unionAll(src.where(col("id") % 16 =!= 15).select(col("id").as("src"),
+            (col("id") % 10).as("dst")))
+        functions.GraphRank.pageRank(e, iters = 4)
+          .agg(count(lit(1)).as("n"), sum(col("rank")).as("mass"),
+            max(col("rank")).as("top"))
+      }),
       "bt_sparse_decode" -> ((s, _) => {
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
         // construct+encode the 10k frames ONLY when not yet ingested —
