@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.CacheScope
+
+/** Structural link-graph operators for corpus/recommender curation:
+  * co-occurrence neighbor ranking (the item-item similarity signal
+  * co-visitation recommenders and "related documents" curation run on)
+  * and degree-oriented triangle counting (the local-clustering signal
+  * that separates organic communities from spam link farms).
+  *
+  * Everything here is exact integer counting over DataFrame joins and
+  * aggregations — no iteration, no floating point — so results are
+  * bit-identical across engines and the DuckDB oracles replay the same
+  * relational algebra directly.
+  */
+object GraphStructure {
+
+  /** Top-k co-occurring items per item: two items co-occur once per
+    * shared context (user, session, document — any grouping key).
+    *
+    * Scale shape: the ONLY superlinear danger in co-occurrence is the
+    * per-context pair fan-out (a context with d items emits d(d-1)
+    * pairs), so contexts with more than `maxCtxDegree` distinct items
+    * are dropped BEFORE the self-join — the standard recsys prune
+    * (promiscuous contexts carry ~no similarity signal; a crawler that
+    * touched every page says nothing about page affinity). With the cap,
+    * pair volume is <= cap * |relation| and the plan is: one exchange of
+    * the (ctx, item) relation, a co-partitioned self-join (one shuffled
+    * relation reused on both sides), a map-side-combined count, and the
+    * bounded sorted-slice top-k — no window, no all-pairs.
+    *
+    * @param rel          relation with a context column and an item column
+    * @param maxCtxDegree contexts with more distinct items are dropped
+    * @param k            neighbors kept per item
+    * @return (item, rank, other, n_shared) — rank 1..k by
+    *         (n_shared desc, other asc); items with no surviving
+    *         neighbor are absent
+    */
+  def coOccurrenceTopK(rel: DataFrame, ctxCol: String, itemCol: String,
+      k: Int, maxCtxDegree: Int = 1000): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(maxCtxDegree >= 2, s"maxCtxDegree $maxCtxDegree must be >= 2")
+    val pairs = rel
+      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+    val kept = pairs.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxCtxDegree)
+      .select(col("ctx"))
+    // both sides of the pair self-join read this — cache once (caller
+    // releases via CacheScope, the house lifecycle)
+    val p = CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+    val co = p.as("a").join(p.as("b"), Seq("ctx"))
+      .where(col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item"), col("b.item").as("other"))
+      .agg(count(lit(1)).as("n_shared"))
+    co.select(col("item"),
+        struct((col("n_shared") * -1).as("nc"), col("other")).as("c"))
+      .groupBy(col("item"))
+      .agg(slice(sort_array(collect_list(col("c"))), 1, k).as("top"))
+      .select(col("item"), posexplode(col("top")))
+      .select(col("item"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.other").as("other"), (col("col.nc") * -1).as("n_shared"))
+  }
+
+  /** Undirected item-item projection of a bipartite (ctx, item)
+    * relation: one edge per item pair sharing at least `minShared`
+    * contexts (after the same promiscuous-context prune as
+    * [[coOccurrenceTopK]]). Canonical (a < b) edge orientation.
+    */
+  def projectItemGraph(rel: DataFrame, ctxCol: String, itemCol: String,
+      minShared: Long, maxCtxDegree: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    val pairs = rel
+      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+    val kept = pairs.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxCtxDegree)
+      .select(col("ctx"))
+    val p = CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+    p.as("x").join(p.as("y"), Seq("ctx"))
+      .where(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("a"), col("b"))
+  }
+
+  /** Per-node triangle counts over an undirected simple graph.
+    *
+    * Input edges are symmetrized/deduplicated and self-loops dropped, so
+    * any edge-list convention works. The enumeration is the classic
+    * degree-ordered orientation (Schank & Wagner's forward algorithm):
+    * orient every edge from the lower-(degree, id) endpoint to the
+    * higher, list triangles as wedge (a->b, a->c) + closing oriented
+    * edge (b->c). Each triangle is produced exactly once, and — the
+    * scale property — every oriented out-degree is O(sqrt(m)), so the
+    * wedge join's fan-out is bounded by m^1.5 TOTAL regardless of skew:
+    * a celebrity node with degree 10^6 has out-degree ~sqrt(2m) after
+    * orientation because nearly all its edges point AT it. Without the
+    * orientation, wedges at that node alone would be 10^12.
+    *
+    * Plan: degree agg, one broadcast-or-shuffle join to attach endpoint
+    * degrees, the wedge self-join on the oriented source, and the
+    * closing equi-join on (b, c) — all hash equi-joins, counts exact.
+    *
+    * @return (node, triangles) for every node in >= 1 triangle
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    // und feeds the degree agg (twice, via the union) and the degree
+    // attach; oriented feeds the wedge self-join on BOTH sides plus the
+    // closing-edge probe — cache each once so an expensive upstream (e.g.
+    // a projected item graph) is computed once, not 3x
+    val und = CacheScope.cache(raw
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct())
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lower endpoint -> higher endpoint
+    val withDeg = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val oriented = CacheScope.cache(withDeg
+      .select(when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+        when(ka < kb, kb).otherwise(ka).as("dstKey"))
+      .select(col("src"), col("dstKey.i").as("dst"), col("dstKey")))
+    // wedges at src, ordered by the dst rank key so each unordered wedge
+    // appears once; the closing edge's orientation is then forced
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstKey") < col("e2.dstKey"))
+      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
+      .join(oriented.as("e3"),
+        col("tb") === col("e3.src") && col("tc") === col("e3.dst"), "left_semi")
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraphRank
+import graft.functions.{GraphRank, GraphStructure}
 
 /** Link-graph centrality queries over the events co-visitation graph.
   *
@@ -110,7 +110,46 @@ object GraphQueries {
     sb.toString
   }
 
+  private val Cap = 64      // promiscuous-user prune for the co-occurrence ops
+  private val MinShared = 40L // item-graph edge threshold (shared users)
+  private val TopK = 5
+
+  /** the raw bipartite (user, item) interaction relation the structural
+    * ops consume — unlike [[edges]], items keep their own id space */
+  private def interactions(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("ctx"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+
+  /** same derivation + promiscuous-context prune in DuckDB */
+  private val structCtes: String =
+    s"""WITH uk AS MATERIALIZED (
+       |  SELECT DISTINCT user_id AS ctx, CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL),
+       |kept AS MATERIALIZED (SELECT ctx FROM uk GROUP BY ctx HAVING COUNT(*) <= $Cap),
+       |p AS MATERIALIZED (SELECT uk.ctx, uk.item FROM uk JOIN kept ON kept.ctx = uk.ctx),
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // item-item co-visitation neighbors: top-k other items by shared-user
+    // count — the "related items / related documents" curation signal.
+    // The promiscuous-context cap bounds pair fan-out (the one superlinear
+    // risk); ranking is the bounded sorted-slice, no window.
+    "graph_covisit_topk" -> ((s, dir) =>
+      GraphStructure.coOccurrenceTopK(interactions(s, dir), "ctx", "item",
+          k = TopK, maxCtxDegree = Cap)
+        .orderBy(col("item"), col("rank"))),
+
+    // per-item triangle counts over the >=MinShared-shared-users item
+    // projection: local clustering mass, the organic-community-vs-link-farm
+    // signal. Degree-ordered orientation bounds the wedge join at m^1.5.
+    "graph_triangles" -> ((s, dir) =>
+      GraphStructure.triangleCounts(
+          GraphStructure.projectItemGraph(interactions(s, dir), "ctx", "item",
+            minShared = MinShared, maxCtxDegree = Cap), "a", "b")
+        .orderBy(col("node"))),
+
     // random-walk mass over the co-visitation graph: the host-rank signal
     // crawl curation keeps "reputable" sources with. Exact fixed-point —
     // every rank long lands bit-identical across engines, executors, and
@@ -130,5 +169,26 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(Iters),
-    "graph_hits" -> hitsSql(Iters))
+    "graph_hits" -> hitsSql(Iters),
+
+    "graph_covisit_topk" -> (structCtes +
+      s"""co AS MATERIALIZED (SELECT a.item AS item, b.item AS other, COUNT(*) AS n_shared
+         |  FROM p a JOIN p b ON a.ctx = b.ctx AND a.item <> b.item GROUP BY 1, 2),
+         |rk AS (SELECT item, other, n_shared,
+         |  ROW_NUMBER() OVER (PARTITION BY item ORDER BY n_shared DESC, other) AS rnk FROM co)
+         |SELECT item, CAST(rnk AS BIGINT) AS rank, other, n_shared
+         |FROM rk WHERE rnk <= $TopK ORDER BY item, rank""".stripMargin),
+
+    // triangle counts are orientation-independent, so the oracle uses the
+    // simplest canonical enumeration (a < b < c over a<b edges) — the
+    // engine's degree-ordered plan must land on the identical multiset
+    "graph_triangles" -> (structCtes +
+      s"""e AS MATERIALIZED (SELECT x.item AS a, y.item AS b
+         |  FROM p x JOIN p y ON x.ctx = y.ctx AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
+         |t AS MATERIALIZED (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |n AS (SELECT ta AS node FROM t UNION ALL SELECT tb FROM t UNION ALL SELECT tc FROM t)
+         |SELECT node, COUNT(*) AS triangles FROM n GROUP BY 1 ORDER BY node""".stripMargin))
 }

@@ -96,7 +96,11 @@ object PlanAudit {
     "pipeline_incremental_update" ->
       "incremental update: the O(delta) refresh shape — the base corpus appears ONLY as (id, md5) scans (diff) and the bucketed index TABLE scan (probe); no minhash/banding of the base anywhere in the plan, only the delta's documents are shingled",
     "txt_decontaminate_bloom" ->
-      "bloom-gated decontamination: the native bloom_might_contain probe (bench-gram filter as a foldable plan literal) gates the corpus gram stream INSIDE whole-stage codegen, BEFORE the distinct/join exchanges — the exchanged volume is O(hits + fpp x corpus grams), not O(corpus grams)")
+      "bloom-gated decontamination: the native bloom_might_contain probe (bench-gram filter as a foldable plan literal) gates the corpus gram stream INSIDE whole-stage codegen, BEFORE the distinct/join exchanges — the exchanged volume is O(hits + fpp x corpus grams), not O(corpus grams)",
+    "graph_covisit_topk" ->
+      "co-occurrence: promiscuous contexts pruned by a degree agg + left-semi BEFORE the ctx-keyed pair self-join (the one superlinear risk); counts partial-combine map-side; top-k is the bounded sorted-slice agg — no window, no all-pairs",
+    "graph_triangles" ->
+      "triangles: every join a HASH equi-join (degree attach, wedge self-join on oriented src, closing-edge left-semi on (b,c)) — no BroadcastNestedLoopJoin/CartesianProduct; degree orientation bounds wedge fan-out at m^1.5")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

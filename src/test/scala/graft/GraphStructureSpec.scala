@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.GraphStructure
+
+class GraphStructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topk(rel: Seq[(Long, Long)], k: Int, cap: Int = 1000): Seq[(Long, Long, Long, Long)] =
+    GraphStructure.coOccurrenceTopK(rel.toDF("ctx", "item"), "ctx", "item", k, cap)
+      .orderBy("item", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("coOccurrenceTopK counts shared contexts, ranks by (count desc, id asc)") {
+    // ctx1: {1,2,3}, ctx2: {1,2}, ctx3: {1,3} -> (1,2)=2, (1,3)=2, (2,3)=1
+    val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L))
+    assert(topk(rel, 2) == Seq(
+      (1L, 1L, 2L, 2L), (1L, 2L, 3L, 2L), // item 1: ties broken toward smaller id
+      (2L, 1L, 1L, 2L), (2L, 2L, 3L, 1L),
+      (3L, 1L, 1L, 2L), (3L, 2L, 2L, 1L)))
+  }
+
+  test("coOccurrenceTopK: duplicate interaction rows do not double-count") {
+    val once = topk(Seq((10L, 1L), (10L, 2L)), 1)
+    val dup = topk(Seq((10L, 1L), (10L, 1L), (10L, 2L)), 1)
+    assert(once == dup && once == Seq((1L, 1L, 2L, 1L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("coOccurrenceTopK: promiscuous contexts are dropped before the pair join") {
+    // ctx 99 touches 4 items; with cap 3 it contributes nothing
+    val rel = Seq((99L, 1L), (99L, 2L), (99L, 3L), (99L, 4L), (10L, 1L), (10L, 2L))
+    assert(topk(rel, 5, cap = 3) == Seq((1L, 1L, 2L, 1L), (2L, 1L, 1L, 1L)))
+  }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphStructure.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** brute-force reference: count triples with all three edges present */
+  private def refTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val ts = for {
+      a <- nodes; b <- nodes if b > a && und((a, b))
+      c <- nodes if c > b && und((a, c)) && und((b, c))
+    } yield (a, b, c)
+    ts.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangleCounts: K4 puts every node in 3 triangles") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if b > a) yield (a, b)
+    assert(tri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graphs yield no rows") {
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 3L))).isEmpty) // path
+    assert(tri((1L to 9L).map(i => (0L, i))).isEmpty)      // star
+  }
+
+  test("triangleCounts: direction, duplicates, and self-loops are normalized away") {
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 0L), (2L, 1L))
+    assert(tri(messy) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangleCounts matches brute force on a skewed pseudo-random graph") {
+    // hub 0 connects to everyone (worst case without degree orientation)
+    // plus a pseudo-random sparse layer
+    val n = 60L
+    val hub = (1L until n).map(i => (0L, i))
+    val rnd = (0L until 3 * n).map(i => ((i * 7919) % n, (i * i * 131 + 7) % n))
+    val edges = hub ++ rnd
+    assert(tri(edges) == refTri(edges))
+  }
+
+  test("projectItemGraph applies the shared-context threshold") {
+    // items 1,2 share two contexts; 1,3 and 2,3 share one
+    val rel = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L), (40L, 2L), (40L, 3L))
+    val g = GraphStructure.projectItemGraph(rel.toDF("ctx", "item"), "ctx", "item", minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == Set((1L, 2L)))
+  }
+}
