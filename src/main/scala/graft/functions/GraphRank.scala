@@ -57,10 +57,30 @@ object GraphRank {
     * }}}
     */
   def pageRank(edges: DataFrame, iters: Int = 8,
-      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
+    prCore(edges, None, iters, scale, dampPct)
+
+  /** Personalized PageRank (random walk with restart): identical
+    * recurrence except the teleport mass — both the (100-d) restart and
+    * the dangling redistribution — lands uniformly on the SEED set
+    * instead of all nodes. The curation use: rank items/hosts by
+    * random-walk proximity to a trusted or topical seed set ("related
+    * items", "hosts reachable from curated domains"). Uniform
+    * [[pageRank]] is exactly this with seeds = all nodes.
+    *
+    * @param seeds relation whose FIRST column holds seed node ids; ids
+    *              absent from the graph are ignored (a seed with no
+    *              edges anywhere contributes nothing reachable)
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 8,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
+    prCore(edges, Some(seeds), iters, scale, dampPct)
+
+  private def prCore(edges: DataFrame, seedsOpt: Option[DataFrame], iters: Int,
+      scale: Long, dampPct: Int): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct $dampPct out of [0,100]")
-    // overflow envelope: d*(incoming + dm/N) <= 100 * 2*scale must fit a long
+    // overflow envelope: d*(incoming + dm/|S|) <= 100 * 2*scale must fit a long
     require(scale >= 1000 && scale <= 1000000000000000L,
       s"scale $scale out of [1e3, 1e15]")
     val spark = edges.sparkSession
@@ -72,16 +92,28 @@ object GraphRank {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val nodeDeg = nodes.join(deg, Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val seedFlag = seedsOpt match {
+      case None => nodes.select(col("id"), lit(true).as("seed"))
+      case Some(sd) =>
+        val s0 = sd.select(sd.columns.head)
+        val sids = s0.select(col(s0.columns.head).cast(LongType).as("id"))
+          .where(col(s0.columns.head).isNotNull).distinct()
+        nodes.join(sids.withColumn("seed", lit(true)), Seq("id"), "left")
+          .select(col("id"), coalesce(col("seed"), lit(false)).as("seed"))
+    }
+    val nodeDeg = seedFlag.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"), col("seed"))
 
     // one partitioner for the whole loop, sized to the graph (not the
     // session default): every round is a driver-synchronous stage chain,
     // and scheduling empty partitions is pure latency on small graphs
-    val degPairs: RDD[(Long, Long)] = nodeDeg.rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val n = degPairs.count()
+    val degPairs: RDD[(Long, (Long, Boolean))] = nodeDeg.rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+    val counts = degPairs.map { case (_, (_, s)) => (1L, if (s) 1L else 0L) }
+      .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    val (n, nSeeds) = counts
     require(n > 0, "pageRank over an empty edge relation")
+    require(nSeeds > 0, "personalizedPageRank: no seed id appears in the graph")
     val part = new HashPartitioner(math.max(1,
       math.min(spark.sessionState.conf.numShufflePartitions,
         math.ceil(n / 50000.0).toInt)))
@@ -89,30 +121,32 @@ object GraphRank {
     val edgesR: RDD[(Long, Long)] = e.rdd.map(r => (r.getLong(0), r.getLong(1)))
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
 
-    val base = scale / n
+    val base = scale / nSeeds // teleport mass per seed node
     val damp = dampPct.toLong
-    var ranks: RDD[(Long, Long)] = degR.mapValues(_ => base)
+    var ranks: RDD[(Long, Long)] = degR
+      .mapValues { case (_, seed) => if (seed) base else 0L }
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // the action below materializes ranks AND yields round 1's dangling mass
     def danglingOf(r: RDD[(Long, Long)]): Long = r.join(degR)
-      .map { case (_, (rank, od)) => if (od == 0L) rank else 0L }
+      .map { case (_, (rank, (od, _))) => if (od == 0L) rank else 0L }
       .fold(0L)(_ + _)
     var dm = danglingOf(ranks)
 
     var it = 0
     while (it < iters) {
-      val dShare = dm / n
+      val dShare = dm / nSeeds
       // rank/outdeg shares at the src partition (narrow: ranks and degR
       // co-partitioned), then the round's ONE shuffle: the map-side-
       // combined sum of incoming shares keyed by dst
       val shares = ranks.join(degR)
-        .flatMapValues { case (rank, od) => if (od == 0L) None else Some(rank / od) }
+        .flatMapValues { case (rank, (od, _)) => if (od == 0L) None else Some(rank / od) }
       val incoming = edgesR.join(shares)
         .map { case (_, (dst, share)) => (dst, share) }
         .reduceByKey(part, _ + _)
       val next = degR.leftOuterJoin(incoming)
-        .mapValues { case (_, inc) =>
-          ((100L - damp) * base + damp * (inc.getOrElse(0L) + dShare)) / 100L
+        .mapValues { case ((_, seed), inc) =>
+          val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
+          (teleport + damp * inc.getOrElse(0L)) / 100L
         }
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val old = ranks

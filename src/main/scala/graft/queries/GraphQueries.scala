@@ -79,6 +79,45 @@ object GraphQueries {
     sb.toString
   }
 
+  private val NSeedItems = 5 // PPR teleport set: items 0..4
+
+  /** the [[GraphRank.personalizedPageRank]] recurrence, unrolled — same
+    * integer algebra as [[pageRankSql]] but teleport (restart + dangling)
+    * mass lands only on the seed set
+    */
+  private def pprSql(iters: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      s"""seeds AS MATERIALIZED (SELECT id FROM nodes
+         |  WHERE id >= $ItemBase AND id < $ItemBase + $NSeedItems),
+         |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |c AS MATERIALIZED (SELECT COUNT(*) AS ns, $Scale // COUNT(*) AS base FROM seeds),
+         |r0 AS MATERIALIZED (SELECT n.id,
+         |    CASE WHEN s.id IS NULL THEN 0 ELSE (SELECT base FROM c) END AS rank
+         |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+         |""".stripMargin)
+    for (i <- 0 until iters) {
+      sb.append(
+        s"""d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
+           |  FROM r$i r LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+           |m$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank // g.outdeg) AS inc
+           |  FROM edges e JOIN r$i r ON r.id = e.src JOIN deg g ON g.id = e.src
+           |  GROUP BY 1),
+           |r${i + 1} AS MATERIALIZED (SELECT n.id,
+           |    (CASE WHEN s.id IS NULL THEN 0
+           |          ELSE 15 * (SELECT base FROM c)
+           |               + 85 * ((SELECT dm FROM d$i) // (SELECT ns FROM c)) END
+           |     + 85 * COALESCE(m.inc, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN m$i m ON m.id = n.id
+           |             LEFT JOIN seeds s ON s.id = n.id),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT id AS node, CAST(rank AS BIGINT) AS rank FROM r$iters)
+         |SELECT node, rank FROM fin ORDER BY rank DESC, node""".stripMargin)
+    sb.toString
+  }
+
   /** the [[GraphRank.hits]] recurrence, unrolled; the L1 normalisation
     * multiply runs as HUGEINT exactly like the operator's BigInt
     */
@@ -159,6 +198,16 @@ object GraphQueries {
       GraphRank.pageRank(edges(s, dir), iters = Iters, scale = Scale)
         .orderBy(col("rank").desc, col("node"))),
 
+    // personalized PageRank from a 5-item seed set: random-walk-with-
+    // restart proximity — the "related to THESE items/hosts" ranker
+    // (teleport and dangling mass land only on seeds). Same loop, same
+    // exactness, same per-round cost as graph_pagerank.
+    "graph_ppr" -> ((s, dir) =>
+      GraphRank.personalizedPageRank(edges(s, dir),
+          s.range(0, NSeedItems).select((col("id") + ItemBase).as("id")),
+          iters = Iters, scale = Scale)
+        .orderBy(col("rank").desc, col("node"))),
+
     // hubs-and-authorities on the same graph: on the bipartite
     // co-visitation graph hub mass concentrates on promiscuous users,
     // authority mass on widely-shared items — the two curation signals a
@@ -169,6 +218,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(Iters),
+    "graph_ppr" -> pprSql(Iters),
     "graph_hits" -> hitsSql(Iters),
 
     "graph_covisit_topk" -> (structCtes +

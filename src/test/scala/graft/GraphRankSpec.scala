@@ -73,6 +73,57 @@ class GraphRankSpec extends SparkSpec {
     assert(once == dup)
   }
 
+  /** in-test replay of the personalized recurrence: teleport + dangling
+    * mass land uniformly on the seed set only
+    */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      scale: Long = 1000000000000L, damp: Long = 85L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val s = nodes.filter(seeds).toSet
+    val ns = s.size.toLong
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale / ns
+    var rank = nodes.map(v => v -> (if (s(v)) base else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filter(v => !outdeg.contains(v)).map(rank).sum
+      val dShare = dm / ns
+      val incoming = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outdeg(u) }.sum).toMap
+      rank = nodes.map { v =>
+        val teleport = if (s(v)) (100L - damp) * base + damp * dShare else 0L
+        v -> ((teleport + damp * incoming.getOrElse(v, 0L)) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int = 8): Map[Long, Long] =
+    GraphRank.personalizedPageRank(edges.toDF("src", "dst"), seeds.toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalizedPageRank matches the seeded integer recurrence bit-for-bit") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L), (4L, 3L))
+    assert(runPpr(edges, Seq(0L)) == refPpr(edges, Set(0L), 8))
+    assert(runPpr(edges, Seq(2L, 3L)) == refPpr(edges, Set(2L, 3L), 8))
+  }
+
+  test("personalizedPageRank with seeds = all nodes equals uniform pageRank") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L))
+    assert(runPpr(edges, 0L to 4L) == run(edges))
+  }
+
+  test("personalizedPageRank concentrates mass near the seed; unreachable nodes get zero") {
+    // two disconnected cycles; seed in the first — second must stay at 0
+    val edges = Seq((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
+    val r = runPpr(edges, Seq(0L), iters = 12)
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(0L) > r(1L) && r(0L) + r(1L) > 900000000000L)
+    // seed ids absent from the graph are ignored, not invented
+    val r2 = runPpr(edges, Seq(0L, 777L), iters = 12)
+    assert(r2 == r && !r2.contains(777L))
+  }
+
   /** integer-recurrence replay for HITS (BigInt normalisation like the op) */
   private def refHits(edges: Seq[(Long, Long)], iters: Int,
       scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
