@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.CacheScope
+
+/** Exact fixed-point principal-component analysis for embedding columns —
+  * the whitening/reduction step ahead of semantic dedup and ANN indexing
+  * (where [[Similarity.randomProjectVec]] is the data-oblivious reduction,
+  * this is the data-adaptive one: project onto the direction of maximum
+  * corpus variance).
+  *
+  * Exactness design (the same cross-engine discipline as [[GraphRank]]):
+  * embedding entries quantize to longs on a fixed grid
+  * (`floor(x * quantScale)` — floor of an IEEE double product is
+  * bit-deterministic in both engines), the scatter matrix is computed in
+  * the mean-free integer form `S = n·Σqqᵀ − (Σq)(Σq)ᵀ` (no rational mean,
+  * exact decimal sums), and the power iteration runs in scaled-integer
+  * arithmetic (per-round max-normalisation by truncating division). Every
+  * step is integer algebra, so loadings and scores land bit-identical
+  * across partitionings, re-runs, and engines; the DuckDB oracle replays
+  * the full pipeline (HUGEINT) to the same bits — no FP tolerance.
+  *
+  * Scale shape: the ONLY data-sized work is the one-pass scatter
+  * aggregation — d(d+1)/2 products per row feeding a map-side-combined
+  * sum onto d(d+1)/2 keys (d=64 → 2080 rows; constant in corpus size).
+  * The d×d eigen-iteration is driver-side BigInt on that constant-size
+  * matrix (the standard tall-skinny split: executors reduce over rows,
+  * the driver solves the tiny spectral problem). The projection pass is
+  * a pure scan expression, zero exchanges.
+  */
+object Pca {
+
+  /** default input quantization grid: 1e6 steps per unit */
+  val QuantScale: Long = 1000000L
+  /** fixed-point unit of the returned axis loadings (max |loading|) */
+  val VScale: Long = 1000000000L
+  /** scatter entries are floor-divided down to <= ~1e12 before the
+    * iteration so a matvec term stays far inside 128-bit range at any
+    * corpus size */
+  val SCap: Long = 1000000000000L
+
+  /** quantized per-row vectors (canonical float grid first — see
+    * [[Similarity.canonicalVectors]]) */
+  private def quantize(emb: DataFrame, vecCol: String, quantScale: Long) =
+    Similarity.canonicalVectors(emb, vecCol).withColumn("__q",
+      transform(col(vecCol), x => floor(x.cast("double") * quantScale).cast(LongType)))
+
+  /** driver-side principal axis as scaled-integer loadings.
+    *
+    * @return (dim, loadings) — `loadings(p)` is the axis component at
+    *         position p, max magnitude = `vScale`, sign fixed so the
+    *         first nonzero component is positive
+    */
+  def principalAxisLocal(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 12, quantScale: Long = QuantScale,
+      vScale: Long = VScale): Array[Long] = {
+    require(dim >= 1 && dim <= 4096, s"dim $dim out of [1, 4096]")
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val q = CacheScope.cache(quantize(emb, vecCol, quantScale).select(col("__q")))
+
+    // one distributed pass: upper-triangle pair-product sums (exact
+    // decimal), plus per-position sums and the row count
+    val pairIdx = (0 until dim).flatMap(i => (i until dim).map(j => (i, j)))
+    // decimal BEFORE the multiply: exact at any quant magnitude (a
+    // long*long product could wrap silently)
+    val pairSums = q.select(explode(flatten(transform(
+        sequence(lit(0), lit(dim - 1)),
+        i => transform(sequence(i, lit(dim - 1)),
+          j => struct(i.cast("int").as("i"), j.cast("int").as("j"),
+            (element_at(col("__q"), i.cast("int") + 1).cast("decimal(18,0)") *
+             element_at(col("__q"), j.cast("int") + 1).cast("decimal(18,0)")).as("p"))))))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("spp"))
+      .collect()
+    val colStats = q.select(posexplode(col("__q")).as(Seq("pos", "qv")))
+      .groupBy(col("pos"))
+      .agg(sum(col("qv").cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    require(colStats.length == dim,
+      s"expected $dim vector positions, found ${colStats.length} (ragged or empty input)")
+    val n = BigInt(colStats.head.getLong(2))
+    val sq = Array.ofDim[BigInt](dim)
+    colStats.foreach { r =>
+      require(r.getLong(2) == n.toLong, s"ragged vectors: position ${r.getInt(0)} count differs")
+      require(r.getDecimal(1) != null, "per-position sum overflowed decimal(38,0)")
+      sq(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
+    }
+    val spp = collection.mutable.Map.empty[(Int, Int), BigInt]
+    pairSums.foreach { r =>
+      require(r.getDecimal(2) != null, "pair-product sum overflowed decimal(38,0)")
+      spp((r.getInt(0), r.getInt(1))) = BigInt(r.getDecimal(2).toBigInteger)
+    }
+    require(spp.size == pairIdx.size, s"scatter agg returned ${spp.size} of ${pairIdx.size} cells")
+
+    // S = n*Σqq − (Σq)(Σq)ᵀ, capped by truncating division (exact algebra
+    // both engines replay); BigInt `/` truncates toward zero = DuckDB `//`
+    val s0 = pairIdx.map { case (i, j) => (i, j) -> (n * spp((i, j)) - sq(i) * sq(j)) }.toMap
+    val maxAbs = s0.values.map(_.abs).max
+    val sDiv = (maxAbs / SCap).max(BigInt(1))
+    def sAt(i: Int, j: Int): BigInt =
+      (if (i <= j) s0((i, j)) else s0((j, i))) / sDiv
+
+    var v = Array.fill(dim)(BigInt(vScale))
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + sAt(i, j) * v(j)))
+      val m = w.map(_.abs).max
+      v = if (m == 0) Array.fill(dim)(BigInt(0))
+          else w.map(x => x * vScale / m)
+    }
+    val sign = v.find(_ != 0).map(_.signum).getOrElse(1)
+    (if (sign < 0) v.map(-_) else v).map(_.toLong)
+  }
+
+  /** the principal axis as a relation: (pos LONG, loading LONG) */
+  def principalAxis(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 12, quantScale: Long = QuantScale,
+      vScale: Long = VScale): DataFrame = {
+    val axis = principalAxisLocal(emb, vecCol, dim, iters, quantScale, vScale)
+    emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(axis.zipWithIndex.map {
+        case (l, p) => Row(p.toLong, l) }: _*),
+      StructType(Seq(StructField("pos", LongType, nullable = false),
+        StructField("loading", LongType, nullable = false))))
+  }
+
+  /** per-row projection onto the principal axis: score = Σ q_p·axis_p
+    * (exact longs: |q| <= quantScale·max|x|, |axis| <= vScale — the
+    * product grid is sized so a 4096-dim sum stays in range). The axis
+    * solve is driver-side; the scoring pass is a pure scan expression —
+    * ZERO exchanges before any output ordering.
+    *
+    * @return (idCol, score LONG)
+    */
+  def projectPrincipal(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      iters: Int = 12, quantScale: Long = QuantScale,
+      vScale: Long = VScale): DataFrame = {
+    val axis = principalAxisLocal(emb, vecCol, dim, iters, quantScale, vScale)
+    quantize(emb, vecCol, quantScale)
+      .select(col(idCol), aggregate(
+        zip_with(col("__q"), typedLit(axis), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("score"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Similarity
+import graft.functions.{Pca, Similarity}
 
 /** Embedding similarity-search queries over `embeddings` (64-dim float
   * vectors): exact brute-force top-k, sign-bucketed approximate top-k (the
@@ -198,6 +198,21 @@ object SimQueries {
       Similarity.randomProject(emb(s, dir), "vec_id", "embedding",
         dim = 64, outDim = 16)
         .orderBy("vec_id", "j")),
+
+    // Data-adaptive reduction next to the JL one: principal axis of the
+    // corpus scatter in EXACT fixed-point integer algebra (quantized
+    // grid, mean-free scatter, scaled-integer power iteration) — the
+    // oracle replays all 12 rounds in HUGEINT to the same bits
+    "emb_pca" -> ((s, dir) =>
+      Pca.principalAxis(emb(s, dir), "embedding", dim = 64)
+        .orderBy("pos")),
+
+    // per-vector projection onto that axis (whitening/ranking scores):
+    // the axis solve is driver-side on the constant-size scatter; the
+    // scoring pass is a pure scan expression, zero exchanges
+    "emb_pca_scores" -> ((s, dir) =>
+      Pca.projectPrincipal(emb(s, dir), "vec_id", "embedding", dim = 64)
+        .orderBy("vec_id")),
 
     // Embedding outlier pruning: distance to the label centroid, flagged
     // beyond the label's 0.9-quantile — the embedding-space quality
@@ -478,6 +493,21 @@ object SimQueries {
         |FROM e CROSS JOIN generate_series(1, 16) AS g(j)
         |ORDER BY vec_id, j""".stripMargin,
 
+    // full fixed-point PCA replay: quantized grid, HUGEINT mean-free
+    // scatter, capped entries, 12 unrolled matvec rounds, sign fix —
+    // every step integer algebra, zero FP tolerance
+    "emb_pca" -> (pcaCtes(dim = 64, iters = 12) +
+      """fin AS (SELECT CAST(pos AS BIGINT) AS pos, CAST(av AS BIGINT) AS loading FROM axis)
+        |SELECT pos, loading FROM fin ORDER BY pos""".stripMargin),
+
+    "emb_pca_scores" -> (pcaCtes(dim = 64, iters = 12) +
+      s"""el AS MATERIALIZED (SELECT id, u.t.pos AS pos, u.t.qe AS qe FROM (
+         |    SELECT id, UNNEST(list_transform(range(0, 64),
+         |      p -> {'pos': p, 'qe': qv[p+1]})) AS t FROM q) u)
+         |SELECT e.id AS vec_id, CAST(SUM(CAST(e.qe AS HUGEINT) * x.av) AS BIGINT) AS score
+         |FROM el e JOIN axis x ON x.pos = e.pos
+         |GROUP BY 1 ORDER BY vec_id""".stripMargin),
+
     "pq_codebooks" -> pqCodebooksSql,
 
     "pq_encode" -> pqEncodeSql,
@@ -488,6 +518,61 @@ object SimQueries {
 
     "sem_dedup" -> semDedupSql(k = 8, iters = 2, dim = 64, threshold = 0.35)
   )
+
+  /** the [[graft.functions.Pca]] pipeline as DuckDB CTEs, through the
+    * sign-fixed `axis` relation: quantize (identical FLOOR grid), pair-
+    * product + per-position HUGEINT sums, mean-free scatter
+    * S = n·Σqq − (Σq)(Σq)ᵀ, magnitude cap by truncating division
+    * (DuckDB `//` truncates toward zero exactly like BigInt `/`), then
+    * `iters` unrolled scaled-integer matvec rounds. All CTEs
+    * MATERIALIZED — each round references the previous twice.
+    */
+  private def pcaCtes(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS id, list_transform(embedding::FLOAT[],
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Pca.QuantScale}) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ps AS MATERIALIZED (SELECT u.e.i AS i, u.e.j AS j, SUM(u.e.p) AS spp FROM (
+         |    SELECT UNNEST(flatten(list_transform(range(0, $dim), i ->
+         |      list_transform(range(i, $dim), j ->
+         |        {'i': i, 'j': j, 'p': CAST(qv[i+1] AS HUGEINT) * qv[j+1]})))) AS e
+         |    FROM q) u GROUP BY 1, 2),
+         |cs AS MATERIALIZED (SELECT u.t.pos AS pos, SUM(CAST(u.t.qe AS HUGEINT)) AS sq FROM (
+         |    SELECT UNNEST(list_transform(range(0, $dim),
+         |      p -> {'pos': p, 'qe': qv[p+1]})) AS t FROM q) u GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM q),
+         |s0 AS MATERIALIZED (SELECT p.i, p.j,
+         |    (SELECT n FROM nn) * p.spp - a.sq * b.sq AS s
+         |  FROM ps p JOIN cs a ON a.pos = p.i JOIN cs b ON b.pos = p.j),
+         |sd AS MATERIALIZED (SELECT GREATEST(CAST(1 AS HUGEINT),
+         |    (SELECT MAX(ABS(s)) FROM s0) // ${Pca.SCap}) AS d),
+         |sm AS MATERIALIZED (
+         |  SELECT i, j, s // (SELECT d FROM sd) AS s FROM s0
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, s // (SELECT d FROM sd) AS s FROM s0 WHERE i <> j),
+         |v0 AS MATERIALIZED (SELECT UNNEST(range(0, $dim)) AS pos,
+         |    CAST(${Pca.VScale} AS HUGEINT) AS av),
+         |""".stripMargin)
+    for (r <- 0 until iters) {
+      sb.append(
+        s"""w$r AS MATERIALIZED (SELECT f.i AS pos, SUM(f.s * v.av) AS w
+           |  FROM sm f JOIN v$r v ON v.pos = f.j GROUP BY 1),
+           |m$r AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w$r),
+           |v${r + 1} AS MATERIALIZED (SELECT pos,
+           |    CASE WHEN (SELECT m FROM m$r) = 0 THEN CAST(0 AS HUGEINT)
+           |         ELSE w * ${Pca.VScale} // (SELECT m FROM m$r) END AS av
+           |  FROM w$r),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""sgn AS (SELECT CASE WHEN (SELECT av FROM v$iters WHERE av <> 0
+         |    ORDER BY pos LIMIT 1) < 0 THEN -1 ELSE 1 END AS g),
+         |axis AS MATERIALIZED (SELECT pos, av * (SELECT g FROM sgn) AS av FROM v$iters),
+         |""".stripMargin)
+    sb.toString
+  }
 
   /** composite oracle: k-means chain -> cosine-argmax cells -> within-cell
     * pair threshold on the ROUNDED cosine grid -> min-id keeper
