@@ -551,7 +551,7 @@ object Bench {
             "dedup_cluster_keep,dedup_paragraphs,dedup_c4_spans," +
             "sem_dedup,pq_encode,emb_kmeans,txt_normalize," +
             "txt_corpus_report,txt_boilerplate,dedup_containment," +
-            "pipeline_incremental_update").split(",").map(_.trim).toSet
+            "pipeline_incremental_update,emb_pca").split(",").map(_.trim).toSet
         // check BOTH tables: a run that died between the two writes (or a
         // tmp-reaper that took one) must still trigger regeneration
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(

@@ -93,6 +93,57 @@ object GraphStructure {
       .select(col("a"), col("b"))
   }
 
+  /** Deterministic random walks — the training-corpus generator for
+    * graph-embedding pipelines (DeepWalk/node2vec-style): one walk per
+    * node, each step choosing a neighbor by a content hash instead of an
+    * RNG, so the corpus is bit-identical across partitionings, re-runs,
+    * and engines (the oracle replays the same md5-indexed choice), and
+    * regenerating a shard never perturbs the others.
+    *
+    * Choice rule at step t from node c on walk started at s:
+    * `idx = int(first 8 hex chars of md5("s,t,c")) % |nbrs(c)|` over the
+    * sorted (and degree-capped) neighbor list — independent per walk and
+    * per step, stable under graph growth elsewhere.
+    *
+    * Scale shape: the adjacency relation (node -> sorted neighbor array,
+    * first `maxDegree` kept — the cap bounds hub rows the same way the
+    * co-occurrence prune does) is built once and cached; each step is ONE
+    * equi-join of the (start, cur) frontier against it. Walks ending at a
+    * sink stop (the join drops them) — no dangling special-casing.
+    *
+    * @return (start, step, node): step 0 is the start itself; a walk
+    *         contributes `steps+1` rows unless it hits a sink early
+    */
+  def randomWalks(edges: DataFrame, steps: Int, maxDegree: Int = 1024,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps $steps out of [1, 64]")
+    require(maxDegree >= 1, s"maxDegree $maxDegree must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val adj = CacheScope.cache(e.distinct()
+      .groupBy(col("src").as("cur"))
+      .agg(slice(sort_array(collect_set(col("dst"))), 1, maxDegree).as("nbrs")))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+
+    var frontier = nodes.select(col("id").as("start"), col("id").as("cur"))
+    val out = collection.mutable.Buffer(
+      frontier.select(col("start"), lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to steps) {
+      val h = conv(substring(md5(
+          concat_ws(",", col("start"), lit(t.toLong), col("cur"))), 1, 8), 16, 10)
+        .cast(LongType)
+      // each step is read twice (its output rows + the next hop) — cache
+      // keeps the unioned plan linear in steps instead of quadratic
+      frontier = CacheScope.cache(frontier.join(adj, Seq("cur"))
+        .select(col("start"),
+          element_at(col("nbrs"), (h % size(col("nbrs")) + 1).cast("int")).as("cur")))
+      out += frontier.select(col("start"), lit(t.toLong).as("step"), col("cur").as("node"))
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Per-node triangle counts over an undirected simple graph.
     *
     * Input edges are symmetrized/deduplicated and self-loops dropped, so

@@ -170,7 +170,46 @@ object GraphQueries {
        |p AS MATERIALIZED (SELECT uk.ctx, uk.item FROM uk JOIN kept ON kept.ctx = uk.ctx),
        |""".stripMargin
 
+  private val WalkSteps = 4
+  private val WalkMaxDeg = 64
+
+  /** the [[GraphStructure.randomWalks]] recurrence, unrolled — sorted
+    * capped adjacency, md5-indexed neighbor choice per (start, step, cur)
+    */
+  private def walksSql(steps: Int, maxDeg: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      s"""adj AS MATERIALIZED (SELECT src AS cur,
+         |    list_sort(list(DISTINCT dst))[1:$maxDeg] AS nbrs
+         |  FROM edges GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT id AS start, id AS cur FROM nodes),
+         |""".stripMargin)
+    for (t <- 1 to steps) {
+      sb.append(
+        s"""w$t AS MATERIALIZED (SELECT w.start, a.nbrs[CAST(
+           |    CAST(('0x' || substr(md5(w.start || ',' || $t || ',' || w.cur), 1, 8)) AS BIGINT)
+           |    % len(a.nbrs) AS INT) + 1] AS cur
+           |  FROM w${t - 1} w JOIN adj a ON a.cur = w.cur),
+           |""".stripMargin)
+    }
+    sb.append((0 to steps).map(t =>
+        s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("fin AS (", " UNION ALL ", ")\n"))
+    sb.append("SELECT start, step, node FROM fin ORDER BY start, step, node")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic DeepWalk-style corpus: one 4-hop walk per node over
+    // the co-visitation graph, neighbor choice by content hash — the
+    // graph-embedding training-data generator, reproducible to the bit
+    // across engines and re-runs (regenerating one shard never perturbs
+    // another)
+    "graph_walks" -> ((s, dir) =>
+      GraphStructure.randomWalks(edges(s, dir), steps = WalkSteps,
+          maxDegree = WalkMaxDeg)
+        .orderBy(col("start"), col("step"), col("node"))),
+
     // item-item co-visitation neighbors: top-k other items by shared-user
     // count — the "related items / related documents" curation signal.
     // The promiscuous-context cap bounds pair fan-out (the one superlinear
@@ -219,6 +258,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(Iters),
     "graph_ppr" -> pprSql(Iters),
+    "graph_walks" -> walksSql(WalkSteps, WalkMaxDeg),
     "graph_hits" -> hitsSql(Iters),
 
     "graph_covisit_topk" -> (structCtes +

@@ -73,6 +73,66 @@ class GraphStructureSpec extends SparkSpec {
     assert(tri(edges) == refTri(edges))
   }
 
+  /** JVM replay of the md5 neighbor choice */
+  private def refChoice(start: Long, step: Int, cur: Long, nbrs: Seq[Long]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$start,$step,$cur".getBytes("UTF-8"))
+    val h = d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    nbrs((h % nbrs.size).toInt)
+  }
+
+  private def walks(edges: Seq[(Long, Long)], steps: Int, maxDeg: Int = 1024): Seq[(Long, Long, Long)] =
+    graft.functions.GraphStructure.randomWalks(edges.toDF("src", "dst"), steps, maxDeg)
+      .orderBy("start", "step")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("randomWalks replays the md5-indexed choice over sorted capped adjacency") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 1L))
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = walks(edges, steps = 3)
+    val wantRows = adj.keySet.union(edges.map(_._2).toSet).toSeq.sorted.flatMap { s =>
+      val rows = collection.mutable.Buffer((s, 0L, s))
+      var cur = s
+      var t = 1
+      while (t <= 3 && adj.contains(cur)) {
+        cur = refChoice(s, t, cur, adj(cur)); rows += ((s, t.toLong, cur)); t += 1
+      }
+      rows
+    }
+    assert(got == wantRows)
+  }
+
+  test("randomWalks: every hop is a real edge; walks stop at sinks") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)) // 3 is a sink
+    val eset = edges.toSet
+    val w = walks(edges, steps = 5)
+    val byWalk = w.groupBy(_._1)
+    byWalk.foreach { case (s, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head == s)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(eset((a, b)), s"hop ($a,$b) not an edge")
+        case _ =>
+      }
+      // a walk either runs all 5 steps or its last node is the sink
+      assert(rows.size == 6 || path.last == 3L, s"walk $s: $path")
+    }
+    assert(byWalk(3L) == Seq((3L, 0L, 3L))) // sink start: step-0 row only
+  }
+
+  test("randomWalks is deterministic across runs and partitionings") {
+    val edges = (0L until 100L).flatMap(i => Seq((i, (i * 13 + 1) % 100L), (i, (i * 7 + 3) % 100L)))
+    assert(walks(edges, 4) == walks(edges, 4))
+  }
+
+  test("randomWalks degree cap restricts choices to the first sorted neighbors") {
+    val edges = (1L to 9L).map(i => (0L, i)) :+ ((1L, 0L))
+    val w = walks(edges, steps = 1, maxDeg = 3)
+    val hop0 = w.filter(r => r._1 == 0L && r._2 == 1L).map(_._3)
+    assert(hop0.forall(n => n >= 1L && n <= 3L), s"capped choice escaped: $hop0")
+    assert(hop0 == Seq(refChoice(0L, 1, 0L, Seq(1L, 2L, 3L))))
+  }
+
   test("projectItemGraph applies the shared-context threshold") {
     // items 1,2 share two contexts; 1,3 and 2,3 share one
     val rel = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L), (40L, 2L), (40L, 3L))
