@@ -58,7 +58,22 @@ object GraphRank {
     */
   def pageRank(edges: DataFrame, iters: Int = 8,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
-    prCore(edges, None, iters, scale, dampPct)
+    prCore(edges, None, None, iters, scale, dampPct)
+
+  /** Weighted PageRank: out-mass splits proportionally to integer edge
+    * weights instead of uniformly — the host-graph ranker as actually
+    * run (link multiplicity / interaction counts as weights). Parallel
+    * (src, dst) rows SUM their weights; `share_e = rank·w_e / W(src)`
+    * with W = total out-weight (truncating division, exact). All-ones
+    * weights reproduce [[pageRank]] bit for bit, since rank·1/W is the
+    * uniform split.
+    *
+    * @param weightCol positive integer weight column; rows with
+    *                  weight <= 0 or null are dropped
+    */
+  def pageRankWeighted(edges: DataFrame, weightCol: String, iters: Int = 8,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
+    prCore(edges, Some(weightCol), None, iters, scale, dampPct)
 
   /** Personalized PageRank (random walk with restart): identical
     * recurrence except the teleport mass — both the (100-d) restart and
@@ -74,9 +89,10 @@ object GraphRank {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 8,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
-    prCore(edges, Some(seeds), iters, scale, dampPct)
+    prCore(edges, None, Some(seeds), iters, scale, dampPct)
 
-  private def prCore(edges: DataFrame, seedsOpt: Option[DataFrame], iters: Int,
+  private def prCore(edges: DataFrame, weightColOpt: Option[String],
+      seedsOpt: Option[DataFrame], iters: Int,
       scale: Long, dampPct: Int): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct $dampPct out of [0,100]")
@@ -85,13 +101,22 @@ object GraphRank {
       s"scale $scale out of [1e3, 1e15]")
     val spark = edges.sparkSession
 
-    val e = CacheScope.cache(edges
-      .select(col("src").cast(LongType), col("dst").cast(LongType))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct())
+    val e = CacheScope.cache(weightColOpt match {
+      case None => edges
+        .select(col("src").cast(LongType), col("dst").cast(LongType))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .select(col("src"), col("dst"), lit(1L).as("w"))
+      case Some(wc) => edges
+        .select(col("src").cast(LongType), col("dst").cast(LongType),
+          col(wc).cast(LongType).as("w"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    })
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // out-WEIGHT per node (plain out-degree when unweighted)
+    val deg = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("outdeg"))
     val seedFlag = seedsOpt match {
       case None => nodes.select(col("id"), lit(true).as("seed"))
       case Some(sd) =>
@@ -118,8 +143,14 @@ object GraphRank {
       math.min(spark.sessionState.conf.numShufflePartitions,
         math.ceil(n / 50000.0).toInt)))
     val degR = degPairs.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val edgesR: RDD[(Long, Long)] = e.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val edgesR: RDD[(Long, (Long, Long))] = e.rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // per-edge share is rank*w/W: pin the overflow envelope to the data
+    val maxW = if (weightColOpt.isEmpty) 1L
+               else edgesR.map(_._2._2).fold(0L)(math.max)
+    require(maxW <= Long.MaxValue / (2 * scale + 1),
+      s"max edge weight $maxW overflows the rank*weight envelope at scale $scale")
 
     val base = scale / nSeeds // teleport mass per seed node
     val damp = dampPct.toLong
@@ -135,13 +166,13 @@ object GraphRank {
     var it = 0
     while (it < iters) {
       val dShare = dm / nSeeds
-      // rank/outdeg shares at the src partition (narrow: ranks and degR
-      // co-partitioned), then the round's ONE shuffle: the map-side-
-      // combined sum of incoming shares keyed by dst
-      val shares = ranks.join(degR)
-        .flatMapValues { case (rank, (od, _)) => if (od == 0L) None else Some(rank / od) }
-      val incoming = edgesR.join(shares)
-        .map { case (_, (dst, share)) => (dst, share) }
+      // (rank, out-weight) at the src partition (narrow: ranks and degR
+      // co-partitioned), per-edge shares rank*w/W, then the round's ONE
+      // shuffle: the map-side-combined sum of incoming shares keyed by dst
+      val srcRank = ranks.join(degR)
+        .flatMapValues { case (rank, (ow, _)) => if (ow == 0L) None else Some((rank, ow)) }
+      val incoming = edgesR.join(srcRank)
+        .map { case (_, ((dst, w), (rank, ow))) => (dst, rank * w / ow) }
         .reduceByKey(part, _ + _)
       val next = degR.leftOuterJoin(incoming)
         .mapValues { case ((_, seed), inc) =>

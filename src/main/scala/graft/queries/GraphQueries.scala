@@ -173,6 +173,57 @@ object GraphQueries {
   private val WalkSteps = 4
   private val WalkMaxDeg = 64
 
+  /** the co-visitation graph with interaction-count weights (NOT the
+    * distinct relation [[edges]] uses: multiplicity IS the weight) */
+  private def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val uk = ev.select(col("user_id").cast("long").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("u"), col("k")).agg(count(lit(1)).as("w"))
+    uk.select(col("u").as("src"), (col("k") + ItemBase).as("dst"), col("w"))
+      .unionByName(uk.select((col("k") + ItemBase).as("src"), col("u").as("dst"), col("w")))
+  }
+
+  /** the [[GraphRank.pageRankWeighted]] recurrence, unrolled — same
+    * skeleton as [[pageRankSql]] with per-edge `rank·w // W(src)` shares
+    */
+  private def wPageRankSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH wuk AS MATERIALIZED (
+         |  SELECT user_id AS u, CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+         |         COUNT(*) AS c
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, $ItemBase + k AS dst, c AS w FROM wuk
+         |  UNION ALL
+         |  SELECT $ItemBase + k AS src, u AS dst, c AS w FROM wuk),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+         |deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS outw FROM edges GROUP BY 1),
+         |c AS MATERIALIZED (SELECT COUNT(*) AS n, $Scale // COUNT(*) AS base FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT base FROM c) AS rank FROM nodes),
+         |""".stripMargin)
+    for (i <- 0 until iters) {
+      sb.append(
+        s"""d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
+           |  FROM r$i r LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+           |m$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank * e.w // g.outw) AS inc
+           |  FROM edges e JOIN r$i r ON r.id = e.src JOIN deg g ON g.id = e.src
+           |  GROUP BY 1),
+           |r${i + 1} AS MATERIALIZED (SELECT n.id,
+           |    (15 * (SELECT base FROM c)
+           |     + 85 * (COALESCE(m.inc, 0) + (SELECT dm FROM d$i) // (SELECT n FROM c)))
+           |    // 100 AS rank
+           |  FROM nodes n LEFT JOIN m$i m ON m.id = n.id),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT id AS node, CAST(rank AS BIGINT) AS rank FROM r$iters)
+         |SELECT node, rank FROM fin ORDER BY rank DESC, node""".stripMargin)
+    sb.toString
+  }
+
   /** the [[GraphStructure.randomWalks]] recurrence, unrolled — sorted
     * capped adjacency, md5-indexed neighbor choice per (start, step, cur)
     */
@@ -237,6 +288,14 @@ object GraphQueries {
       GraphRank.pageRank(edges(s, dir), iters = Iters, scale = Scale)
         .orderBy(col("rank").desc, col("node"))),
 
+    // multiplicity-weighted PageRank: repeat interactions count — the
+    // production host/item ranker splits out-mass by edge weight, not
+    // uniformly (all-ones weights reproduce graph_pagerank exactly)
+    "graph_pagerank_weighted" -> ((s, dir) =>
+      GraphRank.pageRankWeighted(weightedEdges(s, dir), "w",
+          iters = Iters, scale = Scale)
+        .orderBy(col("rank").desc, col("node"))),
+
     // personalized PageRank from a 5-item seed set: random-walk-with-
     // restart proximity — the "related to THESE items/hosts" ranker
     // (teleport and dangling mass land only on seeds). Same loop, same
@@ -258,6 +317,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(Iters),
     "graph_ppr" -> pprSql(Iters),
+    "graph_pagerank_weighted" -> wPageRankSql(Iters),
     "graph_walks" -> walksSql(WalkSteps, WalkMaxDeg),
     "graph_hits" -> hitsSql(Iters),
 

@@ -73,6 +73,50 @@ class GraphRankSpec extends SparkSpec {
     assert(once == dup)
   }
 
+  /** in-test replay of the WEIGHTED recurrence: per-edge rank·w/W shares */
+  private def refPageRankW(edges: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long = 1000000000000L, damp: Long = 85L): Map[Long, Long] = {
+    val e = edges.filter(_._3 > 0).groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).sum).toSeq.map { case ((a, b), w) => (a, b, w) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outw = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = scale / n
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filter(v => !outw.contains(v)).map(rank).sum
+      val dShare = dm / n
+      val incoming = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => rank(u) * w / outw(u) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> (((100L - damp) * base + damp * (incoming.getOrElse(v, 0L) + dShare)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def runW(edges: Seq[(Long, Long, Long)], iters: Int = 8): Map[Long, Long] =
+    GraphRank.pageRankWeighted(edges.toDF("src", "dst", "w"), "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRankWeighted matches the weighted integer recurrence bit-for-bit") {
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 2L), (2L, 0L, 5L), (2L, 3L, 1L))
+    assert(runW(edges) == refPageRankW(edges, 8))
+  }
+
+  test("pageRankWeighted: all-ones weights reproduce uniform pageRank exactly") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L))
+    assert(runW(edges.map(e => (e._1, e._2, 1L))) == run(edges))
+  }
+
+  test("pageRankWeighted: parallel rows sum weights; heavier edge carries more mass") {
+    // 0 splits 3:1 toward 1 vs 2 (two parallel rows to 1 summing to 3)
+    val split = Seq((0L, 1L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val merged = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val r = runW(split)
+    assert(r == runW(merged))
+    assert(r(1L) > r(2L) * 2, s"3:1 split must favor node 1: $r")
+  }
+
   /** in-test replay of the personalized recurrence: teleport + dangling
     * mass land uniformly on the seed set only
     */
