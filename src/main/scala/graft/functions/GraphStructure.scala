@@ -144,6 +144,29 @@ object GraphStructure {
     out.reduce(_ unionByName _)
   }
 
+  /** Skip-gram (center, context) pair extraction over a walk corpus —
+    * the step between [[randomWalks]] and embedding training: every
+    * ordered pair of nodes within `window` hops on the same walk, with
+    * corpus-wide multiplicity. One cached walk relation, one
+    * start-keyed self-join (fan-out bounded by walk length × window),
+    * one map-side-combined count.
+    *
+    * @param walks relation with columns (start, step, node) as
+    *              [[randomWalks]] returns
+    * @return (center, context, n) — n = co-occurrence multiplicity
+    */
+  def walkSkipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    val w = CacheScope.cache(
+      walks.select(col("start"), col("step").cast(LongType).as("step"),
+        col("node").cast(LongType).as("node")))
+    w.as("a").join(w.as("b"),
+        col("a.start") === col("b.start") && col("a.step") =!= col("b.step") &&
+        abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-node triangle counts over an undirected simple graph.
     *
     * Input edges are symmetrized/deduplicated and self-loops dropped, so

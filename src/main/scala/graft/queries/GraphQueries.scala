@@ -225,9 +225,11 @@ object GraphQueries {
   }
 
   /** the [[GraphStructure.randomWalks]] recurrence, unrolled — sorted
-    * capped adjacency, md5-indexed neighbor choice per (start, step, cur)
+    * capped adjacency, md5-indexed neighbor choice per (start, step, cur);
+    * ends with the `fin` CTE (start, step, node) + trailing comma so
+    * callers append their own final selection
     */
-  private def walksSql(steps: Int, maxDeg: Int): String = {
+  private def walksCtes(steps: Int, maxDeg: Int): String = {
     val sb = new StringBuilder(graphCtes)
     sb.append(
       s"""adj AS MATERIALIZED (SELECT src AS cur,
@@ -245,10 +247,22 @@ object GraphQueries {
     }
     sb.append((0 to steps).map(t =>
         s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
-      .mkString("fin AS (", " UNION ALL ", ")\n"))
-    sb.append("SELECT start, step, node FROM fin ORDER BY start, step, node")
+      .mkString("fin AS MATERIALIZED (", " UNION ALL ", "),\n"))
     sb.toString
   }
+
+  private def walksSql(steps: Int, maxDeg: Int): String =
+    walksCtes(steps, maxDeg) +
+      """res AS (SELECT start, step, node FROM fin)
+        |SELECT start, step, node FROM res ORDER BY start, step, node""".stripMargin
+
+  private def walkPairsSql(steps: Int, maxDeg: Int, window: Int): String =
+    walksCtes(steps, maxDeg) +
+      s"""pr AS (SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+         |  FROM fin a JOIN fin b ON b.start = a.start AND b.step <> a.step
+         |    AND ABS(b.step - a.step) <= $window
+         |  GROUP BY 1, 2)
+         |SELECT center, context, n FROM pr ORDER BY center, context""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic DeepWalk-style corpus: one 4-hop walk per node over
@@ -260,6 +274,14 @@ object GraphQueries {
       GraphStructure.randomWalks(edges(s, dir), steps = WalkSteps,
           maxDegree = WalkMaxDeg)
         .orderBy(col("start"), col("step"), col("node"))),
+
+    // skip-gram pairs from the walk corpus (window 2) — the exact rows a
+    // word2vec-style embedding trainer consumes, multiplicity-counted
+    "graph_walk_pairs" -> ((s, dir) =>
+      GraphStructure.walkSkipGrams(
+          GraphStructure.randomWalks(edges(s, dir), steps = WalkSteps,
+            maxDegree = WalkMaxDeg), window = 2)
+        .orderBy(col("center"), col("context"))),
 
     // item-item co-visitation neighbors: top-k other items by shared-user
     // count — the "related items / related documents" curation signal.
@@ -319,6 +341,7 @@ object GraphQueries {
     "graph_ppr" -> pprSql(Iters),
     "graph_pagerank_weighted" -> wPageRankSql(Iters),
     "graph_walks" -> walksSql(WalkSteps, WalkMaxDeg),
+    "graph_walk_pairs" -> walkPairsSql(WalkSteps, WalkMaxDeg, window = 2),
     "graph_hits" -> hitsSql(Iters),
 
     "graph_covisit_topk" -> (structCtes +

@@ -133,6 +133,20 @@ class GraphStructureSpec extends SparkSpec {
     assert(hop0 == Seq(refChoice(0L, 1, 0L, Seq(1L, 2L, 3L))))
   }
 
+  test("walkSkipGrams: window pairs with multiplicity, no self-step pairs") {
+    // two hand walks: (s=0) 0,1,2,1 and (s=9) 9,1
+    val walks = Seq(
+      (0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 1L),
+      (9L, 0L, 9L), (9L, 1L, 1L)).toDF("start", "step", "node")
+    val got = graft.functions.GraphStructure.walkSkipGrams(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // window 1 on walk 0: (0,1),(1,0),(1,2),(2,1),(2,1),(1,2); walk 9: (9,1),(1,9)
+    assert(got == Map(
+      (0L, 1L) -> 1L, (1L, 0L) -> 1L,
+      (1L, 2L) -> 2L, (2L, 1L) -> 2L,
+      (9L, 1L) -> 1L, (1L, 9L) -> 1L))
+  }
+
   test("projectItemGraph applies the shared-context threshold") {
     // items 1,2 share two contexts; 1,3 and 2,3 share one
     val rel = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L), (40L, 2L), (40L, 3L))
