@@ -130,7 +130,7 @@ object Bench {
   private def pkElems: Long =
     sys.env.getOrElse("SPARK_GRAFT_PK_ELEMS", "100000").toLong
 
-  private def benchTargets: Map[String, (SparkSession, String) => DataFrame] = {
+  private[graft] def benchTargets: Map[String, (SparkSession, String) => DataFrame] = {
     def elemsN(s: SparkSession, n: Long): DataFrame = {
       import org.apache.spark.sql.functions._
       s.range(0, n, 1, 32).select(

@@ -14,7 +14,9 @@ object ProfileQuery {
     val Array(sfDir, name) = args.take(2)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-profile")
-    val fn = SparkEntry.queries(name)
+    // bt_* stress rows are profile-able too — they are where the scale
+    // questions live
+    val fn = SparkEntry.queries.getOrElse(name, graft.Bench.benchTargets(name))
     def run(): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     run(); CacheScope.release(blocking = true); System.gc() // warmup
