@@ -243,37 +243,48 @@ object GraphRank {
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     val sc = BigInt(scale)
-    // raw collected sums -> L1-normalised scores on every node
-    def normalise(raw: RDD[(Long, Long)]): (RDD[(Long, Long)], Long) = {
-      val total = raw.values.fold(0L)(_ + _) // materializes `raw`'s lineage
-      val scores = nodesR.leftOuterJoin(raw)
+    // raw collected sums -> L1-normalised scores on every node. `raw` is
+    // persisted by the caller: the total fold materializes it, and the
+    // scores join then reads the cache instead of re-running the reduce
+    // side from shuffle files (the same fold-then-reuse lifecycle as the
+    // PageRank loop); the caller unpersists it once `scores` materializes
+    def normalise(raw: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val total = raw.values.fold(0L)(_ + _) // materializes `raw`
+      nodesR.leftOuterJoin(raw)
         .mapValues { case (_, r) =>
           if (total == 0L) 0L
           else (BigInt(r.getOrElse(0L)) * sc / total).toLong
         }
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      (scores, total)
     }
 
     var hub: RDD[(Long, Long)] = nodesR.mapValues(_ => scale)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var auth: RDD[(Long, Long)] = hub
+    var prevRawHub: RDD[(Long, Long)] = null
     var it = 0
     while (it < iters) {
       val rawAuth = bySrc.join(hub) // narrow: co-partitioned
         .map { case (_, (dst, h)) => (dst, h) }
         .reduceByKey(part, _ + _)
-      val (nextAuth, _) = normalise(rawAuth)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val nextAuth = normalise(rawAuth) // fold materializes rawAuth + hub
+      if (prevRawHub != null) prevRawHub.unpersist(blocking = false)
       val rawHub = byDst.join(nextAuth)
         .map { case (_, (src, a)) => (src, a) }
         .reduceByKey(part, _ + _)
-      val (nextHub, _) = normalise(rawHub)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val nextHub = normalise(rawHub) // fold materializes rawHub + nextAuth
+      rawAuth.unpersist(blocking = false)
       val (oldH, oldA) = (hub, auth)
       hub = nextHub; auth = nextAuth
       if (oldA ne oldH) oldA.unpersist(blocking = false)
       oldH.unpersist(blocking = false)
+      prevRawHub = rawHub
       it += 1
     }
+    hub.count() // materialize the final half-round before dropping its input
+    if (prevRawHub != null) prevRawHub.unpersist(blocking = false)
     bySrc.unpersist(blocking = false)
     byDst.unpersist(blocking = false)
     nodesR.unpersist(blocking = false)

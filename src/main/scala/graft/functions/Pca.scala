@@ -78,7 +78,8 @@ object Pca {
       .collect()
     val colStats = q.select(posexplode(col("__q")).as(Seq("pos", "qv")))
       .groupBy(col("pos"))
-      .agg(sum(col("qv").cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+      .agg(sum(col("qv").cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"),
+        max(abs(col("qv"))).as("mx"))
       .collect()
     require(colStats.length == dim,
       s"expected $dim vector positions, found ${colStats.length} (ragged or empty input)")
@@ -87,6 +88,11 @@ object Pca {
     colStats.foreach { r =>
       require(r.getLong(2) == n.toLong, s"ragged vectors: position ${r.getInt(0)} count differs")
       require(r.getDecimal(1) != null, "per-position sum overflowed decimal(38,0)")
+      // the decimal(18,0) pair-product cast would NULL (and the sum then
+      // silently skip rows) past this magnitude — refuse loudly instead
+      require(r.getLong(3) <= 999999999999999999L,
+        s"quantized magnitude ${r.getLong(3)} at position ${r.getInt(0)} exceeds the " +
+          s"exact-product grid; lower quantScale ($quantScale) for this value range")
       sq(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
     }
     val spp = collection.mutable.Map.empty[(Int, Int), BigInt]
