@@ -158,10 +158,54 @@ object StreamQueries {
         s.createDataFrame(s.sparkContext.parallelize(collected, 1), res.schema)
           .orderBy("user_id")
       } finally q.stop()
+    }),
+
+    // Live co-visitation graph: events arrive across micro-batches and
+    // the per-edge interaction multiplicity folds into running agg state
+    // (Complete mode exposes the current weighted graph — the edge
+    // relation graph_pagerank_weighted / graph_covisit_topk consume,
+    // maintained incrementally instead of recomputed). The batch wuk
+    // derivation is the oracle: one graph law, two execution models.
+    "stream_covisit" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id").cast("long"), col("props"))
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(1), r.getString(2)))
+      val in = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingOps.streamingCoVisitation(
+        in.toDF().toDF("user_id", "props"), "user_id", "props")
+      val qname = "scv_" + System.nanoTime()
+      val ckpt  = java.nio.file.Files.createTempDirectory("graft-scv-ck").toString
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        // three arrival waves: the final complete table must not depend
+        // on how interactions split across micro-batches
+        val third = math.max(1, ev.length / 3)
+        ev.grouped(third).foreach { wave =>
+          in.addData(wave.toSeq)
+          q.processAllAvailable()
+        }
+        val res = s.table(qname)
+        val rows = res.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+          .orderBy("u", "k")
+      } finally q.stop()
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_covisit" ->
+      s"""SELECT user_id AS u, CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+         |       COUNT(*) AS w
+         |FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY u, k""".stripMargin,
+
     // per-witness replay of the batch decontamination join (the stream op
     // emits one row per (doc, witness); same distinct-4-gram equi-join)
     "stream_decontaminate" ->

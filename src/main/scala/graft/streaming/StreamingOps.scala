@@ -495,6 +495,23 @@ object StreamingOps {
     * compared in NANOS (gapMs * 1e6) against ts_ns, so boundaries agree
     * bit-for-bit with the batch q_events_sessionize arithmetic.
     */
+  /** Streaming co-visitation edge counts: the live-updating weighted
+    * interaction graph [[graft.functions.GraphRank.pageRankWeighted]] and
+    * the co-occurrence ops consume — each micro-batch folds new (user,
+    * item) interactions into the running per-edge multiplicity (Spark
+    * keeps the agg state; Complete/Update mode exposes the current
+    * graph). Item ids come from the `props` JSON key `k`, exactly like
+    * the batch co-visitation derivation, so the batch weighted-edge
+    * oracle gates the drained stream.
+    */
+  def streamingCoVisitation(events: DataFrame, userCol: String,
+      propsCol: String): DataFrame =
+    events.select(col(userCol).cast("long").as("u"),
+        get_json_object(col(propsCol), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("u"), col("k"))
+      .agg(count(lit(1)).as("w"))
+
   def sessionizeEventTime(events: DataFrame, gapMs: Long,
       watermark: String): Dataset[ClosedSession] = {
     implicit val ss: Encoder[SessionState]  = Encoders.product[SessionState]

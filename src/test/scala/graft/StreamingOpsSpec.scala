@@ -39,6 +39,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def runCoVisit(batches: Seq[Seq[(Long, String)]]): Map[(Long, Long), Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingCoVisitation(
+      in.toDF().toDF("user_id", "props"), "user_id", "props")
+    val q = out.writeStream.format("memory")
+      .queryName("scv_" + System.nanoTime())
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    } finally q.stop()
+  }
+
+  test("streaming co-visitation: multiplicity folds across micro-batches, split-invariant") {
+    val rows = Seq(
+      (1L, """{"k": 10}"""), (1L, """{"k": 10}"""), (1L, """{"k": 11}"""),
+      (2L, """{"k": 10}"""), (2L, """{"x": 1}"""), (3L, "{}"))
+    val want = Map((1L, 10L) -> 2L, (1L, 11L) -> 1L, (2L, 10L) -> 1L)
+    assert(runCoVisit(Seq(rows)) == want)
+    assert(runCoVisit(rows.map(Seq(_))) == want) // one event per micro-batch
+  }
+
   private def elem(sid: Long, i: Long): Elem = Elem(sid, i, Array[Byte](i.toByte))
 
   test("unbounded state persists across micro-batches, per stream") {
