@@ -418,6 +418,24 @@ object Bench {
         val want = (0 until 100).map(i => (i * 97L + 13) % 10000L).distinct.sorted
         sources.VideoStore.gatherFrames(s, root, "bt10k", 0L, want).toDF()
       }),
+      // BASELINE target 1 made concrete now that the pixel codec is REAL:
+      // full-scan H264 decode at the reference fixture's 640x480
+      // (tests/videos.h:32-35). 512 VGA frames in 16-frame GOPs (IDR + 15
+      // P, CAVLC, motion-compensated), encoded ONCE outside the timed
+      // loop; the timed run is decode-only through the store — one task
+      // per GOP, zero shuffle, the rate multiplies by executors.
+      "bt_h264_decode_vga" -> ((s, _) => {
+        val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
+        if (!sources.NamedStorage.committed(s, root, "btvga")) {
+          import s.implicits._
+          val frames = (0 until 512).map(i =>
+            operators.StdKernels.syntheticFrame(0L, i.toLong, 480, 640, 1))
+          sources.VideoStore.ingest(frames.toDS(), root, "btvga", gopSize = 16,
+            graft.model.CacheMode.Ignore, codec = sources.H264GopCodec.Default)
+        }
+        sources.VideoStore.frames(s, root, "btvga",
+            codec = sources.H264GopCodec.Default).toDF()
+      }),
       // full-stream decode through the REAL-entropy-coding codec (deflate
       // GOPs): 10k frames x 1152 B inflate+delta per task — the measurable
       // proxy for BASELINE target 1 (decode throughput) this container
