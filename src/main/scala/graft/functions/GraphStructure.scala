@@ -144,6 +144,48 @@ object GraphStructure {
     out.reduce(_ unionByName _)
   }
 
+  /** Pointwise mutual information over co-occurring item pairs:
+    * `pmi(a,b) = ln(P(a,b)/(P(a)P(b))) = ln(c_ab·n / (c_a·c_b))` with
+    * counts over the degree-capped context relation — the association
+    * measure that separates "genuinely related" from "both merely
+    * popular" (raw co-occurrence counts rank popular×popular pairs
+    * first; PMI normalizes the popularity out). Counts are exact
+    * integers; the one FP step is the final ln, rounded to the house
+    * 6-dp grid so both engines land on the same value (the quotient is
+    * computed in a PINNED operation order: (c_ab·n) / (c_a·c_b), each
+    * factor a deterministic IEEE double product).
+    *
+    * @return (item_a, item_b, n_shared, pmi) for canonical a < b pairs
+    *         with at least `minShared` shared contexts
+    */
+  def covisitPmi(rel: DataFrame, ctxCol: String, itemCol: String,
+      minShared: Long, maxCtxDegree: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    val pairs = rel
+      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+    val kept = pairs.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxCtxDegree)
+      .select(col("ctx"))
+    val p = CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+    val nCtx = p.agg(countDistinct(col("ctx")).as("n_ctx")) // 1-row broadcast
+    val ci = p.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val cab = p.as("x").join(p.as("y"), Seq("ctx"))
+      .where(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    cab
+      .join(ci.select(col("item").as("item_a"), col("c").as("ca")), Seq("item_a"))
+      .join(ci.select(col("item").as("item_b"), col("c").as("cb")), Seq("item_b"))
+      .crossJoin(nCtx)
+      .select(col("item_a"), col("item_b"), col("n_shared"),
+        round(log((col("n_shared").cast("double") * col("n_ctx")) /
+          (col("ca").cast("double") * col("cb").cast("double"))), 6).as("pmi"))
+  }
+
   /** Skip-gram (center, context) pair extraction over a walk corpus —
     * the step between [[randomWalks]] and embedding training: every
     * ordered pair of nodes within `window` hops on the same walk, with

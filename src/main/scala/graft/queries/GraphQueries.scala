@@ -310,6 +310,39 @@ object GraphQueries {
       GraphRank.pageRank(edges(s, dir), iters = Iters, scale = Scale)
         .orderBy(col("rank").desc, col("node"))),
 
+    // PMI-normalized co-visitation: association strength with popularity
+    // divided out (raw counts rank popular-x-popular first; PMI finds the
+    // genuinely-related pairs) — exact counts, one 6-dp-rounded ln
+    "graph_covisit_pmi" -> ((s, dir) =>
+      GraphStructure.covisitPmi(interactions(s, dir), "ctx", "item",
+          minShared = MinShared, maxCtxDegree = Cap)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // graph data card (the txt_corpus_report analogue for the interaction
+    // graph): node/edge/degree/projection/triangle rollup in ONE row —
+    // every measure an exact integer aggregate with map-side combine
+    // (max degrees, not medians: nothing here collects a per-node list)
+    "graph_report" -> ((s, dir) => {
+      val ia = interactions(s, dir).distinct()
+      val base = ia.agg(
+        countDistinct(col("ctx")).as("n_users"),
+        countDistinct(col("item")).as("n_items"),
+        count(lit(1)).as("n_pairs"))
+      val maxU = ia.groupBy(col("ctx")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("max_user_deg"))
+      val maxI = ia.groupBy(col("item")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("max_item_deg"))
+      val proj = GraphStructure.projectItemGraph(ia, "ctx", "item",
+        minShared = MinShared, maxCtxDegree = Cap)
+      val nEdges = proj.agg(count(lit(1)).as("proj_edges"))
+      val nTri = GraphStructure.triangleCounts(proj, "a", "b")
+        .agg(coalesce(sum(col("triangles")), lit(0L)).as("tri_incidences"))
+      // all five relations are single-row: chain of trivial cross joins
+      base.crossJoin(maxU).crossJoin(maxI).crossJoin(nEdges).crossJoin(nTri)
+        .withColumn("n_triangles", expr("tri_incidences div 3"))
+        .drop("tri_incidences")
+    }),
+
     // multiplicity-weighted PageRank: repeat interactions count — the
     // production host/item ranker splits out-mass by edge weight, not
     // uniformly (all-ones weights reproduce graph_pagerank exactly)
@@ -351,6 +384,33 @@ object GraphQueries {
          |  ROW_NUMBER() OVER (PARTITION BY item ORDER BY n_shared DESC, other) AS rnk FROM co)
          |SELECT item, CAST(rnk AS BIGINT) AS rank, other, n_shared
          |FROM rk WHERE rnk <= $TopK ORDER BY item, rank""".stripMargin),
+
+    "graph_covisit_pmi" -> (structCtes +
+      s"""nn AS MATERIALIZED (SELECT COUNT(DISTINCT ctx) AS n_ctx FROM p),
+         |ci AS MATERIALIZED (SELECT item, COUNT(*) AS c FROM p GROUP BY 1),
+         |cab AS MATERIALIZED (SELECT x.item AS item_a, y.item AS item_b, COUNT(*) AS n_shared
+         |  FROM p x JOIN p y ON x.ctx = y.ctx AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared)
+         |SELECT cab.item_a, cab.item_b, cab.n_shared,
+         |       ROUND(LN((CAST(cab.n_shared AS DOUBLE) * (SELECT n_ctx FROM nn))
+         |                / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+         |FROM cab JOIN ci a ON a.item = cab.item_a JOIN ci b ON b.item = cab.item_b
+         |ORDER BY item_a, item_b""".stripMargin),
+
+    "graph_report" -> (structCtes +
+      s"""e AS MATERIALIZED (SELECT x.item AS a, y.item AS b
+         |  FROM p x JOIN p y ON x.ctx = y.ctx AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
+         |t AS MATERIALIZED (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT (SELECT COUNT(DISTINCT ctx) FROM uk) AS n_users,
+         |       (SELECT COUNT(DISTINCT item) FROM uk) AS n_items,
+         |       (SELECT COUNT(*) FROM uk) AS n_pairs,
+         |       (SELECT MAX(d) FROM (SELECT COUNT(*) AS d FROM uk GROUP BY ctx)) AS max_user_deg,
+         |       (SELECT MAX(d) FROM (SELECT COUNT(*) AS d FROM uk GROUP BY item)) AS max_item_deg,
+         |       (SELECT COUNT(*) FROM e) AS proj_edges,
+         |       (SELECT COUNT(*) FROM t) AS n_triangles""".stripMargin),
 
     // triangle counts are orientation-independent, so the oracle uses the
     // simplest canonical enumeration (a < b < c over a<b edges) — the

@@ -147,6 +147,24 @@ class GraphStructureSpec extends SparkSpec {
       (9L, 1L) -> 1L, (1L, 9L) -> 1L))
   }
 
+  test("covisitPmi: exact counts, pinned formula, popularity normalized out") {
+    // contexts 1..6: niche pair (1,2) co-occur in 2 of their 2 appearances;
+    // popular pair (8,9) co-occur in 2 but each appears in 6
+    val rel = (1L to 6L).flatMap(c => Seq((c, 8L), (c, 9L)).filter(_ => true)) ++
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val got = graft.functions.GraphStructure.covisitPmi(
+        rel.toDF("ctx", "item"), "ctx", "item", minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def pmi(cab: Long, ca: Long, cb: Long, n: Long): Double =
+      BigDecimal(math.log((cab.toDouble * n) / (ca.toDouble * cb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = 6L // kept contexts
+    assert(got((1L, 2L)) == ((2L, pmi(2, 2, 2, n))))
+    assert(got((8L, 9L)) == ((6L, pmi(6, 6, 6, n))))
+    // same counts, different popularity -> niche pair scores higher
+    assert(got((1L, 2L))._2 > got((8L, 9L))._2)
+  }
+
   test("projectItemGraph applies the shared-context threshold") {
     // items 1,2 share two contexts; 1,3 and 2,3 share one
     val rel = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L), (40L, 2L), (40L, 3L))
