@@ -279,6 +279,31 @@ object Similarity {
     }
   }
 
+  /** Bulk kNN-graph construction: top-k neighbors for EVERY corpus
+    * vector, restricted to its IVF cell — the build step for graph-based
+    * semantic clustering (kNN + connected components), diversity
+    * sampling, and HNSW-style index seeding. The distinguishing scale
+    * shape vs [[ivfTopK]]: when queries = corpus, the broadcast-probe
+    * plan is impossible (you cannot broadcast the corpus), so the
+    * candidate join is a CELL-KEYED SELF-JOIN of the assigned relation —
+    * co-partitioned on the cell key, candidate volume Σ_cells |cell|²
+    * instead of n², bounded-heap top-k per vector. Same assignment, same
+    * tie conventions (6-dp score grid, smaller id) as the probe path.
+    *
+    * @return (qid, id, rank, score) — k best same-cell neighbors per
+    *         vector; vectors alone in their cell produce no rows
+    */
+  def knnGraph(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val cells = graft.CacheScope.cache(
+      ivfBuildCells(corpus, anchors, idCol, vecCol))
+    val scored = cells.as("q").join(cells.as("c"), Seq("cell"))
+      .where(col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("qid"), col("c.id").as("id"),
+        round(cosine(col("q.v"), col("c.v")), 6).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** The INCREMENTAL half of the persisted index: assign an arriving
     * shard with the SAME anchors and APPEND its celled rows to the
     * bucketed table — no rebuild, no touch of the existing cells (the

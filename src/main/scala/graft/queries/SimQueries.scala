@@ -199,6 +199,17 @@ object SimQueries {
         dim = 64, outDim = 16)
         .orderBy("vec_id", "j")),
 
+    // Bulk kNN graph: top-3 same-cell neighbors for EVERY vector — the
+    // cell-keyed self-join shape (queries = corpus, so no broadcast probe
+    // is possible); feeds graph-based semantic clustering
+    "sim_knn_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnGraph(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Data-adaptive reduction next to the JL one: principal axis of the
     // corpus scatter in EXACT fixed-point integer algebra (quantized
     // grid, mean-free scatter, scaled-integer power iteration) — the
@@ -492,6 +503,29 @@ object SimQueries {
         |    (a, b) -> a + b) / sqrt(64.0), 6) AS pv
         |FROM e CROSS JOIN generate_series(1, 16) AS g(j)
         |ORDER BY vec_id, j""".stripMargin,
+
+    // same assignment CTEs as the IVF probe path; candidates are the
+    // within-cell pairs, ranked on the 6-dp grid with smaller-id ties
+    "sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
+         |a AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (SELECT e.vec_id AS id, cid,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY list_inner_product(cv, v)
+         |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v))) DESC,
+         |              cid) AS ark
+         |        FROM e CROSS JOIN a),
+         |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
+         |s AS (SELECT cq.id AS qid, cc.id AS vec_id,
+         |        round(list_inner_product(eq.v, ec.v)
+         |          / (sqrt(list_inner_product(eq.v, eq.v))
+         |             * sqrt(list_inner_product(ec.v, ec.v))), 6) AS score
+         |      FROM cells cq JOIN cells cc ON cc.cell = cq.cell AND cc.id <> cq.id
+         |      JOIN e eq ON eq.vec_id = cq.id JOIN e ec ON ec.vec_id = cc.id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
 
     // full fixed-point PCA replay: quantized grid, HUGEINT mean-free
     // scatter, capped entries, 12 unrolled matvec rounds, sign fix —

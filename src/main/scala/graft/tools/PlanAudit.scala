@@ -100,7 +100,9 @@ object PlanAudit {
     "graph_covisit_topk" ->
       "co-occurrence: promiscuous contexts pruned by a degree agg + left-semi BEFORE the ctx-keyed pair self-join (the one superlinear risk); counts partial-combine map-side; top-k is the bounded sorted-slice agg — no window, no all-pairs",
     "graph_triangles" ->
-      "triangles: every join a HASH equi-join (degree attach, wedge self-join on oriented src, closing-edge left-semi on (b,c)) — no BroadcastNestedLoopJoin/CartesianProduct; degree orientation bounds wedge fan-out at m^1.5")
+      "triangles: every join a HASH equi-join (degree attach, wedge self-join on oriented src, closing-edge left-semi on (b,c)) — no BroadcastNestedLoopJoin/CartesianProduct; degree orientation bounds wedge fan-out at m^1.5",
+    "sim_knn_graph" ->
+      "bulk kNN graph: queries = corpus, so NO broadcast probe — the candidate join is a cell-keyed SELF-JOIN of the cached assigned relation (InMemoryRelation on both sides), candidate volume Σ|cell|² not n², bounded-heap top-k per vector")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -93,6 +93,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0L, 0.5, 2L), (1L, 2.0, 1L)))
   }
 
+  test("knnGraph ranks same-cell neighbors only; every vector is a query; k bounds") {
+    // anchors 0=(1,0), 1=(0,1): ids 2,3 land in cell 0; ids 4,5,6 in cell 1
+    val pts = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)),
+      (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.2f, 0.8f)), (6L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(pts, pts.filter(col("vec_id") < 2), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byQ = g.groupBy(_._1)
+    // all seven vectors appear as queries (anchors assign to themselves)
+    assert(byQ.keySet == (0L to 6L).toSet)
+    // cell isolation: queries in cell 0 never rank cell-1 ids
+    val cell0 = Set(0L, 2L, 3L); val cell1 = Set(1L, 4L, 5L, 6L)
+    g.foreach { case (q, id, _) =>
+      assert(cell0(q) == cell0(id), s"cross-cell edge $q -> $id") }
+    // k bound and rank density
+    byQ.values.foreach { rows =>
+      assert(rows.size <= 2)
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // a 3-member cell yields exactly 2 neighbors each; 4-member cell caps at k=2
+    assert(byQ(2L).size == 2 && byQ(4L).size == 2)
+  }
+
   test("semDedup keeps the min-id representative per within-cell duplicate group") {
     // axis blobs: 2 duplicates each of the x and y directions plus an
     // isolated -x vector; k=2 seeds at ids 0,1
