@@ -210,6 +210,25 @@ object SimQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // semantic clusters: connected components over the MUTUAL-kNN graph
+    // (mutual filter = the standard hubness guard in graph clustering) —
+    // the grouping SemDeDup-style curation acts on, built from the same
+    // cell-keyed self-join
+    "sim_knn_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val g = graft.CacheScope.cache(
+        Similarity.knnGraph(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3).select(col("qid"), col("id")))
+      val mutual = g.as("x").join(g.as("y"),
+          col("x.qid") === col("y.id") && col("x.id") === col("y.qid"), "left_semi")
+        .where(col("qid") < col("id"))
+        .select(col("qid").as("a"), col("id").as("b"))
+      graft.functions.Dedup.connectedComponents(
+          e.select(col("vec_id")), mutual, "vec_id")
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // Data-adaptive reduction next to the JL one: principal axis of the
     // corpus scatter in EXACT fixed-point integer algebra (quantized
     // grid, mean-free scatter, scaled-integer power iteration) — the
@@ -506,26 +525,23 @@ object SimQueries {
 
     // same assignment CTEs as the IVF probe path; candidates are the
     // within-cell pairs, ranked on the 6-dp grid with smaller-id ties
-    "sim_knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
-         |a AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |asg AS (SELECT e.vec_id AS id, cid,
-         |          row_number() OVER (PARTITION BY e.vec_id
-         |            ORDER BY list_inner_product(cv, v)
-         |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v))) DESC,
-         |              cid) AS ark
-         |        FROM e CROSS JOIN a),
-         |cells AS (SELECT id, cid AS cell FROM asg WHERE ark = 1),
-         |s AS (SELECT cq.id AS qid, cc.id AS vec_id,
-         |        round(list_inner_product(eq.v, ec.v)
-         |          / (sqrt(list_inner_product(eq.v, eq.v))
-         |             * sqrt(list_inner_product(ec.v, ec.v))), 6) AS score
-         |      FROM cells cq JOIN cells cc ON cc.cell = cq.cell AND cc.id <> cq.id
-         |      JOIN e eq ON eq.vec_id = cq.id JOIN e ec ON ec.vec_id = cc.id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
-         |      FROM s)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3
-         |ORDER BY qid, rnk""".stripMargin,
+    "sim_knn_graph" -> ("WITH " + knnGraphChain +
+      """fin AS (SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3)
+        |SELECT qid, vec_id, rnk, score FROM fin ORDER BY qid, rnk""".stripMargin),
+
+    // the knn chain + mutual filter + the house recursive-CTE CC replay
+    "sim_knn_clusters" -> ("WITH RECURSIVE " + knnGraphChain +
+      """knn AS (SELECT qid, vec_id FROM r WHERE rk <= 3),
+        |mut AS (SELECT x.qid AS a, x.vec_id AS b FROM knn x
+        |  JOIN knn y ON y.qid = x.vec_id AND y.vec_id = x.qid
+        |  WHERE x.qid < x.vec_id),
+        |uedges AS (SELECT a, b FROM mut UNION ALL SELECT b AS a, a AS b FROM mut),
+        |reach(id, rt) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ue.a, reach.rt FROM uedges ue JOIN reach ON ue.b = reach.id)
+        |SELECT id AS vec_id, MIN(rt) AS cluster FROM reach
+        |GROUP BY id ORDER BY vec_id""".stripMargin),
 
     // full fixed-point PCA replay: quantized grid, HUGEINT mean-free
     // scatter, capped entries, 12 unrolled matvec rounds, sign fix —
@@ -552,6 +568,32 @@ object SimQueries {
 
     "sem_dedup" -> semDedupSql(k = 8, iters = 2, dim = 64, threshold = 0.35)
   )
+
+  /** the [[graft.functions.Similarity.knnGraph]] chain as DuckDB CTEs
+    * through the ranked relation `r` (trailing comma; prepend WITH or
+    * WITH RECURSIVE) — anchors vec_id < 8, same assignment/tie
+    * conventions as the IVF probe oracles
+    */
+  private def knnGraphChain: String =
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
+       |a AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS MATERIALIZED (SELECT e.vec_id AS id, cid,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |            ORDER BY list_inner_product(cv, v)
+       |              / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(v, v))) DESC,
+       |              cid) AS ark
+       |        FROM e CROSS JOIN a),
+       |cells AS MATERIALIZED (SELECT id, cid AS cell FROM asg WHERE ark = 1),
+       |s AS MATERIALIZED (SELECT cq.id AS qid, cc.id AS vec_id,
+       |        round(list_inner_product(eq.v, ec.v)
+       |          / (sqrt(list_inner_product(eq.v, eq.v))
+       |             * sqrt(list_inner_product(ec.v, ec.v))), 6) AS score
+       |      FROM cells cq JOIN cells cc ON cc.cell = cq.cell AND cc.id <> cq.id
+       |      JOIN e eq ON eq.vec_id = cq.id JOIN e ec ON ec.vec_id = cc.id),
+       |r AS MATERIALIZED (SELECT *,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+       |      FROM s),
+       |""".stripMargin
 
   /** the [[graft.functions.Pca]] pipeline as DuckDB CTEs, through the
     * sign-fixed `axis` relation: quantize (identical FLOOR grid), pair-
