@@ -990,14 +990,11 @@ object Dedup {
       .select(col(idCol).as("__bid"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
       .distinct()) // cached: the bloom build AND the exact join read it
-    val bf = bg.stat.bloomFilter("g", expectedGrams, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    val probe = graft.operators.JoinStrategies.bloomProbe(bg, "g", expectedGrams, fpp)
     val tg = train
       .select(col(idCol).as("__tid"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
-      .filter(call_function("bloom_might_contain",
-        lit(bos.toByteArray), col("g")))
+      .filter(probe(col("g")))
       .distinct()
     tg.join(bg, Seq("g"))
       .groupBy(col("__tid"))

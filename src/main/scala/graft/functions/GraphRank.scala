@@ -233,6 +233,13 @@ object GraphRank {
     val nodePairs: RDD[(Long, Unit)] = nodes.rdd.map(r => (r.getLong(0), ()))
     val n = nodePairs.count()
     require(n > 0, "hits over an empty edge relation")
+    // overflow envelope: round 1 starts UN-normalised (every hub = scale),
+    // so a raw sum can reach |E|*scale — and after normalisation every
+    // later round is bounded by the same product. Refuse loudly instead
+    // of wrapping (the oracle's HUGEINT sums would silently diverge).
+    val nEdges = e.count()
+    require(nEdges <= Long.MaxValue / scale,
+      s"hits: $nEdges edges at scale $scale overflows the raw-sum envelope; lower scale")
     val part = new HashPartitioner(math.max(1,
       math.min(spark.sessionState.conf.numShufflePartitions,
         math.ceil(n / 50000.0).toInt)))

@@ -19,6 +19,25 @@ import graft.CacheScope
   */
 object GraphStructure {
 
+  /** shared prelude of every co-occurrence op: distinct (ctx, item)
+    * interactions with promiscuous contexts (more than `maxCtxDegree`
+    * distinct items) dropped BEFORE any pair join, cached because every
+    * caller reads it at least twice (self-join sides, count relations)
+    */
+  private def prunedPairs(rel: DataFrame, ctxCol: String, itemCol: String,
+      maxCtxDegree: Int): DataFrame = {
+    require(maxCtxDegree >= 2, s"maxCtxDegree $maxCtxDegree must be >= 2")
+    val pairs = rel
+      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+    val kept = pairs.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxCtxDegree)
+      .select(col("ctx"))
+    CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+  }
+
   /** Top-k co-occurring items per item: two items co-occur once per
     * shared context (user, session, document — any grouping key).
     *
@@ -43,18 +62,7 @@ object GraphStructure {
   def coOccurrenceTopK(rel: DataFrame, ctxCol: String, itemCol: String,
       k: Int, maxCtxDegree: Int = 1000): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
-    require(maxCtxDegree >= 2, s"maxCtxDegree $maxCtxDegree must be >= 2")
-    val pairs = rel
-      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
-      .where(col("ctx").isNotNull && col("item").isNotNull)
-      .distinct()
-    val kept = pairs.groupBy(col("ctx"))
-      .agg(count(lit(1)).as("d"))
-      .where(col("d") <= maxCtxDegree)
-      .select(col("ctx"))
-    // both sides of the pair self-join read this — cache once (caller
-    // releases via CacheScope, the house lifecycle)
-    val p = CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+    val p = prunedPairs(rel, ctxCol, itemCol, maxCtxDegree)
     val co = p.as("a").join(p.as("b"), Seq("ctx"))
       .where(col("a.item") =!= col("b.item"))
       .groupBy(col("a.item").as("item"), col("b.item").as("other"))
@@ -76,15 +84,7 @@ object GraphStructure {
   def projectItemGraph(rel: DataFrame, ctxCol: String, itemCol: String,
       minShared: Long, maxCtxDegree: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared $minShared must be >= 1")
-    val pairs = rel
-      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
-      .where(col("ctx").isNotNull && col("item").isNotNull)
-      .distinct()
-    val kept = pairs.groupBy(col("ctx"))
-      .agg(count(lit(1)).as("d"))
-      .where(col("d") <= maxCtxDegree)
-      .select(col("ctx"))
-    val p = CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+    val p = prunedPairs(rel, ctxCol, itemCol, maxCtxDegree)
     p.as("x").join(p.as("y"), Seq("ctx"))
       .where(col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("a"), col("y.item").as("b"))
@@ -161,15 +161,7 @@ object GraphStructure {
   def covisitPmi(rel: DataFrame, ctxCol: String, itemCol: String,
       minShared: Long, maxCtxDegree: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared $minShared must be >= 1")
-    val pairs = rel
-      .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
-      .where(col("ctx").isNotNull && col("item").isNotNull)
-      .distinct()
-    val kept = pairs.groupBy(col("ctx"))
-      .agg(count(lit(1)).as("d"))
-      .where(col("d") <= maxCtxDegree)
-      .select(col("ctx"))
-    val p = CacheScope.cache(pairs.join(kept, Seq("ctx"), "left_semi"))
+    val p = prunedPairs(rel, ctxCol, itemCol, maxCtxDegree)
     val nCtx = p.agg(countDistinct(col("ctx")).as("n_ctx")) // 1-row broadcast
     val ci = p.groupBy(col("item")).agg(count(lit(1)).as("c"))
     val cab = p.as("x").join(p.as("y"), Seq("ctx"))

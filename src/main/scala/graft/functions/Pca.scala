@@ -134,9 +134,11 @@ object Pca {
         StructField("loading", LongType, nullable = false))))
   }
 
-  /** per-row projection onto the principal axis: score = Σ q_p·axis_p
-    * (exact longs: |q| <= quantScale·max|x|, |axis| <= vScale — the
-    * product grid is sized so a 4096-dim sum stays in range). The axis
+  /** per-row projection onto the principal axis: score = Σ q_p·axis_p.
+    * The sum accumulates in EXACT decimal (a long accumulator would wrap
+    * silently once |q|·vScale·dim passes 2^63 — e.g. entries ~10 at the
+    * default grid) and range-checks loudly before narrowing to long, the
+    * same failure mode as the oracle's HUGEINT→BIGINT cast. The axis
     * solve is driver-side; the scoring pass is a pure scan expression —
     * ZERO exchanges before any output ordering.
     *
@@ -146,9 +148,15 @@ object Pca {
       iters: Int = 12, quantScale: Long = QuantScale,
       vScale: Long = VScale): DataFrame = {
     val axis = principalAxisLocal(emb, vecCol, dim, iters, quantScale, vScale)
+    val s = aggregate(
+      zip_with(col("__q"), typedLit(axis),
+        (a, b) => a.cast("decimal(18,0)") * b.cast("decimal(18,0)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"), (acc, x) => acc + x)
     quantize(emb, vecCol, quantScale)
-      .select(col(idCol), aggregate(
-        zip_with(col("__q"), typedLit(axis), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).as("score"))
+      .select(col(idCol),
+        when(s.isNull || abs(s) > lit(Long.MaxValue),
+          raise_error(lit("projectPrincipal: score exceeds long range — " +
+            "lower quantScale for this value range")))
+          .otherwise(s.cast("long")).as("score"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The two join-layout techniques of the 100 TB playbook that aren't a
@@ -87,33 +87,44 @@ object JoinStrategies {
     * (Spark's own AQE runtime bloom injects the same shape when stats
     * line up; this operator makes it explicit and unconditional.)
     */
-  def bloomSemiJoin(big: DataFrame, keyed: DataFrame, bigKey: String,
-      smallKey: String, expectedKeys: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
+  /** The ONE audited bloom build+probe: construct the filter over
+    * `keyed`'s key column and return the codegen probe predicate for an
+    * equally-typed column. The probe must match how stat.bloomFilter
+    * inserted the keys — integral types as longs, strings as UTF-8 bytes;
+    * a mismatched probe (e.g. casting a string key to long) would
+    * silently drop every row instead of erroring (spec-pinned). The
+    * filter ships as serialized bytes in a foldable literal so the
+    * native probe (plans.BloomMightContain) deserializes once per
+    * expression instance and the gated scan stays inside one
+    * whole-stage-codegen span (a Scala-UDF probe would break it per row).
+    * Shared by [[bloomSemiJoin]] and the bloom-gated decontamination
+    * ([[graft.functions.Dedup.ngramContaminationBloom]]).
+    */
+  private[graft] def bloomProbe(keyed: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double): Column => Column = {
     import org.apache.spark.sql.types._
-    // the probe must match how stat.bloomFilter inserted the keys:
-    // integral types as longs, strings as UTF-8 bytes — a mismatched
-    // probe (e.g. casting a string key to long) would silently drop
-    // every row instead of erroring
-    val keyType = big.schema(bigKey).dataType
-    require(keyType == keyed.schema(smallKey).dataType,
-      s"bloomSemiJoin key types differ: $keyType vs ${keyed.schema(smallKey).dataType}")
-    val integral = keyType match {
+    val integral = keyed.schema(key).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case StringType => false
       case t => throw new IllegalArgumentException(
-        s"bloomSemiJoin supports integral or string keys, got ${t.simpleString}")
+        s"bloom probe supports integral or string keys, got ${t.simpleString}")
     }
-    val bf = keyed.stat.bloomFilter(smallKey, expectedKeys, fpp)
-    // ship the filter as serialized bytes in a foldable literal — the
-    // native codegen probe (plans.BloomMightContain) deserializes once per
-    // expression instance and keeps the fact scan inside one
-    // whole-stage-codegen span (the prior Scala-UDF probe broke it per row)
+    val bf = keyed.stat.bloomFilter(key, expectedKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val probeKey = if (integral) col(bigKey).cast("long") else col(bigKey)
+    val bytes = bos.toByteArray
+    probe => call_function("bloom_might_contain", lit(bytes),
+      if (integral) probe.cast("long") else probe)
+  }
+
+  def bloomSemiJoin(big: DataFrame, keyed: DataFrame, bigKey: String,
+      smallKey: String, expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val keyType = big.schema(bigKey).dataType
+    require(keyType == keyed.schema(smallKey).dataType,
+      s"bloomSemiJoin key types differ: $keyType vs ${keyed.schema(smallKey).dataType}")
     val prefiltered =
-      big.filter(call_function("bloom_might_contain", lit(bos.toByteArray), probeKey))
+      big.filter(bloomProbe(keyed, smallKey, expectedKeys, fpp)(col(bigKey)))
     // dataframe-qualified key refs: with an unqualified `col(k) === col(k)`
     // a shared key NAME across both sides is ambiguous (AnalysisException)
     prefiltered.join(keyed, prefiltered.col(bigKey) === keyed.col(smallKey), "left_semi")
