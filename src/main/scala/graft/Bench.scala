@@ -403,6 +403,23 @@ object Bench {
           .agg(count(lit(1)).as("n"), sum(col("rank")).as("mass"),
             max(col("rank")).as("top"))
       }),
+      // co-occurrence scale row: 1M interactions over 100k contexts
+      // (~10 items each) + 50 adversarial promiscuous contexts touching
+      // 2k items apiece. The degree cap drops the heavy contexts BEFORE
+      // the pair self-join; without it those 50 contexts alone would emit
+      // 50 * 2k^2 = 200M pairs — the cap keeps pair volume ~cap * |rel|.
+      "bt_1m_covisit" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val normal = s.range(0, 1000000L, 1, 32).select(
+          (col("id") / 10).cast("long").as("ctx"),
+          ((col("id") * 2654435761L + 11) % 5000).as("item"))
+        val heavy = s.range(0, 100000L, 1, 32).select(
+          (lit(10000000L) + col("id") % 50).as("ctx"),
+          (col("id") % 2000).as("item"))
+        functions.GraphStructure.coOccurrenceTopK(
+            normal.unionAll(heavy), "ctx", "item", k = 5, maxCtxDegree = 64)
+          .agg(count(lit(1)).as("n"), sum(col("n_shared")).as("mass"))
+      }),
       "bt_sparse_decode" -> ((s, _) => {
         val root = sys.props("java.io.tmpdir") + "/graft-bench-video"
         // construct+encode the 10k frames ONLY when not yet ingested —

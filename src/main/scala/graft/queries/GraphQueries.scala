@@ -310,6 +310,32 @@ object GraphQueries {
       GraphRank.pageRank(edges(s, dir), iters = Iters, scale = Scale)
         .orderBy(col("rank").desc, col("node"))),
 
+    // SESSION-scoped co-visitation: the context is one 30-minute-gap
+    // session, not the user's whole history — items co-rank only when
+    // interacted with in the same sitting (the recsys-standard temporal
+    // scoping; whole-history co-visitation conflates months-apart
+    // interests). Session ids via the same lag + running-sum derivation
+    // q_events_sessionize pins; then the identical capped pair machinery.
+    "graph_covisit_session" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.GraftSession.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withSid = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > lit(1800L * 1000000000L), 1L).otherwise(0L))
+        .withColumn("ctx",
+          col("user_id") * 100000L + sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("ctx"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+      GraphStructure.coOccurrenceTopK(withSid, "ctx", "item",
+          k = TopK, maxCtxDegree = Cap)
+        .orderBy(col("item"), col("rank"))
+    }),
+
     // PMI-normalized co-visitation: association strength with popularity
     // divided out (raw counts rank popular-x-popular first; PMI finds the
     // genuinely-related pairs) — exact counts, one 6-dp-rounded ln
@@ -384,6 +410,29 @@ object GraphQueries {
          |  ROW_NUMBER() OVER (PARTITION BY item ORDER BY n_shared DESC, other) AS rnk FROM co)
          |SELECT item, CAST(rnk AS BIGINT) AS rank, other, n_shared
          |FROM rk WHERE rnk <= $TopK ORDER BY item, rank""".stripMargin),
+
+    // session-id derivation identical to q_events_sessionize's, then the
+    // graph_covisit_topk replay with ctx = user*100000 + session_seq
+    "graph_covisit_session" ->
+      s"""WITH se AS MATERIALIZED (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events),
+         |flg AS MATERIALIZED (SELECT *, CASE WHEN prev IS NULL
+         |      OR ts_ns - prev > 1800000000000 THEN 1 ELSE 0 END AS ns
+         |  FROM (SELECT *, lag(ts_ns) OVER (PARTITION BY user_id
+         |          ORDER BY ts_ns, event_id) AS prev FROM se)),
+         |uk AS MATERIALIZED (SELECT DISTINCT
+         |    user_id * 100000 + SUM(ns) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS ctx,
+         |    k AS item
+         |  FROM flg WHERE k IS NOT NULL),
+         |kept AS MATERIALIZED (SELECT ctx FROM uk GROUP BY ctx HAVING COUNT(*) <= $Cap),
+         |p AS MATERIALIZED (SELECT uk.ctx, uk.item FROM uk JOIN kept ON kept.ctx = uk.ctx),
+         |co AS MATERIALIZED (SELECT a.item AS item, b.item AS other, COUNT(*) AS n_shared
+         |  FROM p a JOIN p b ON a.ctx = b.ctx AND a.item <> b.item GROUP BY 1, 2),
+         |rk AS (SELECT item, other, n_shared,
+         |  ROW_NUMBER() OVER (PARTITION BY item ORDER BY n_shared DESC, other) AS rnk FROM co)
+         |SELECT item, CAST(rnk AS BIGINT) AS rank, other, n_shared
+         |FROM rk WHERE rnk <= $TopK ORDER BY item, rank""".stripMargin,
 
     "graph_covisit_pmi" -> (structCtes +
       s"""nn AS MATERIALIZED (SELECT COUNT(DISTINCT ctx) AS n_ctx FROM p),
