@@ -294,15 +294,37 @@ object Similarity {
     *         vector; vectors alone in their cell produce no rows
     */
   def knnGraph(corpus: DataFrame, anchors: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int): DataFrame =
+    rankTopK(cellScored(corpus, anchors, idCol, vecCol), k)
+
+  /** the shared candidate relation of the bulk ops: every within-cell
+    * ordered pair scored on the 6-dp cosine grid (cell-keyed self-join of
+    * the cached assignment — see [[knnGraph]] for the scale argument) */
+  private def cellScored(corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val cells = graft.CacheScope.cache(
       ivfBuildCells(corpus, anchors, idCol, vecCol))
-    val scored = cells.as("q").join(cells.as("c"), Seq("cell"))
+    cells.as("q").join(cells.as("c"), Seq("cell"))
       .where(col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("id"),
         round(cosine(col("q.v"), col("c.v")), 6).as("score"))
-    rankTopK(scored, k)
   }
+
+  /** Hard-negative mining for contrastive/embedding training: for every
+    * vector, the k MOST similar same-cell vectors that are NOT positives
+    * (score < `posThreshold`, the same near-dup cut SemDeDup uses) — the
+    * "close but wrong" examples a contrastive loss learns the most from
+    * (easy negatives are random; too-similar ones are near-dup label
+    * noise). Identical candidate relation and tie conventions as
+    * [[knnGraph]]; the threshold filter runs BEFORE the bounded-heap
+    * top-k, so every vector still yields up to k negatives.
+    *
+    * @return (qid, id, rank, score) — score < posThreshold, rank 1..k
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, k: Int, posThreshold: Double): DataFrame =
+    rankTopK(cellScored(corpus, anchors, idCol, vecCol)
+      .where(col("score") < posThreshold), k)
 
   /** The INCREMENTAL half of the persisted index: assign an arriving
     * shard with the SAME anchors and APPEND its celled rows to the

@@ -210,6 +210,17 @@ object SimQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // hard negatives for contrastive training: per vector, the 3 most
+    // similar same-cell vectors BELOW the near-dup threshold — close
+    // enough to be informative, far enough to be true negatives
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3, posThreshold = 0.2)
+        .select(col("qid"), col("id").as("vec_id"), col("rank").as("rnk"), col("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // semantic clusters: connected components over the MUTUAL-kNN graph
     // (mutual filter = the standard hubness guard in graph clustering) —
     // the grouping SemDeDup-style curation acts on, built from the same
@@ -528,6 +539,14 @@ object SimQueries {
     "sim_knn_graph" -> ("WITH " + knnGraphChain +
       """fin AS (SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3)
         |SELECT qid, vec_id, rnk, score FROM fin ORDER BY qid, rnk""".stripMargin),
+
+    // knn chain + positive-threshold filter BEFORE the rank
+    "sim_hard_negatives" -> ("WITH " + knnGraphChain +
+      """neg AS (SELECT qid, vec_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS nrk
+        |  FROM s WHERE score < 0.2)
+        |SELECT qid, vec_id, CAST(nrk AS BIGINT) AS rnk, score FROM neg WHERE nrk <= 3
+        |ORDER BY qid, rnk""".stripMargin),
 
     // the knn chain + mutual filter + the house recursive-CTE CC replay
     "sim_knn_clusters" -> ("WITH RECURSIVE " + knnGraphChain +
