@@ -56,9 +56,25 @@ object Pca {
     */
   def principalAxisLocal(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int = 12, quantScale: Long = QuantScale,
-      vScale: Long = VScale): Array[Long] = {
+      vScale: Long = VScale): Array[Long] =
+    principalAxesLocal(emb, vecCol, dim, m = 1, iters, quantScale, vScale).head
+
+  /** The leading `m` principal axes by power iteration with
+    * TRUNCATING-INTEGER deflation: component c's every round first
+    * orthogonalizes the matvec result against each already-found axis
+    * (`w -= (w·aₚ / aₚ·aₚ)·aₚ`, both dots exact, the division truncating —
+    * bit-replayable in HUGEINT) before the max-normalisation. The
+    * truncation leaves a sub-ulp residual along the previous axes, so
+    * components are orthogonal on the fixed-point grid, not in exact
+    * rationals — the point is cross-engine bit identity, same as the
+    * rest of the pipeline. m = 1 is exactly [[principalAxisLocal]].
+    */
+  def principalAxesLocal(emb: DataFrame, vecCol: String, dim: Int, m: Int,
+      iters: Int = 12, quantScale: Long = QuantScale,
+      vScale: Long = VScale): Seq[Array[Long]] = {
     require(dim >= 1 && dim <= 4096, s"dim $dim out of [1, 4096]")
     require(iters >= 1, s"iters $iters must be >= 1")
+    require(m >= 1 && m <= dim && m <= 8, s"m $m out of [1, min(dim, 8)]")
     val q = CacheScope.cache(quantize(emb, vecCol, quantScale).select(col("__q")))
 
     // one distributed pass: upper-triangle pair-product sums (exact
@@ -110,16 +126,42 @@ object Pca {
     def sAt(i: Int, j: Int): BigInt =
       (if (i <= j) s0((i, j)) else s0((j, i))) / sDiv
 
-    var v = Array.fill(dim)(BigInt(vScale))
-    for (_ <- 0 until iters) {
-      val w = Array.tabulate(dim)(i =>
-        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + sAt(i, j) * v(j)))
-      val m = w.map(_.abs).max
-      v = if (m == 0) Array.fill(dim)(BigInt(0))
-          else w.map(x => x * vScale / m)
+    val axes = collection.mutable.Buffer.empty[Array[BigInt]]
+    for (_ <- 0 until m) {
+      var v = Array.fill(dim)(BigInt(vScale))
+      for (_ <- 0 until iters) {
+        var w = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + sAt(i, j) * v(j)))
+        for (prev <- axes) {
+          val pp = prev.map(x => x * x).sum
+          if (pp != 0) {
+            val c = w.iterator.zip(prev.iterator).map { case (a, b) => a * b }
+              .foldLeft(BigInt(0))(_ + _) / pp
+            w = w.iterator.zip(prev.iterator).map { case (a, b) => a - c * b }.toArray
+          }
+        }
+        val mx = w.map(_.abs).max
+        v = if (mx == 0) Array.fill(dim)(BigInt(0))
+            else w.map(x => x * vScale / mx)
+      }
+      val sign = v.find(_ != 0).map(_.signum).getOrElse(1)
+      axes += (if (sign < 0) v.map(x => -x) else v)
     }
-    val sign = v.find(_ != 0).map(_.signum).getOrElse(1)
-    (if (sign < 0) v.map(-_) else v).map(_.toLong)
+    axes.map(_.map(_.toLong)).toSeq
+  }
+
+  /** the leading axes as a relation: (comp LONG, pos LONG, loading LONG) */
+  def principalAxes(emb: DataFrame, vecCol: String, dim: Int, m: Int,
+      iters: Int = 12, quantScale: Long = QuantScale,
+      vScale: Long = VScale): DataFrame = {
+    val axes = principalAxesLocal(emb, vecCol, dim, m, iters, quantScale, vScale)
+    val rows = for ((ax, c) <- axes.zipWithIndex; (l, p) <- ax.zipWithIndex)
+      yield Row(c.toLong, p.toLong, l)
+    emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("comp", LongType, nullable = false),
+        StructField("pos", LongType, nullable = false),
+        StructField("loading", LongType, nullable = false))))
   }
 
   /** the principal axis as a relation: (pos LONG, loading LONG) */

@@ -248,6 +248,14 @@ object SimQueries {
       Pca.principalAxis(emb(s, dir), "embedding", dim = 64)
         .orderBy("pos")),
 
+    // leading TWO axes via truncating-integer deflation (whitening needs
+    // a basis, not one direction) — comp 1 orthogonalizes against comp 0
+    // every round with exact dots and truncating division, so the oracle
+    // replays both components to the bit
+    "emb_pca2" -> ((s, dir) =>
+      Pca.principalAxes(emb(s, dir), "embedding", dim = 64, m = 2)
+        .orderBy("comp", "pos")),
+
     // per-vector projection onto that axis (whitening/ranking scores):
     // the axis solve is driver-side on the constant-size scatter; the
     // scoring pass is a pure scan expression, zero exchanges
@@ -569,6 +577,13 @@ object SimQueries {
       """fin AS (SELECT CAST(pos AS BIGINT) AS pos, CAST(av AS BIGINT) AS loading FROM axis)
         |SELECT pos, loading FROM fin ORDER BY pos""".stripMargin),
 
+    "emb_pca2" -> (pca2Ctes(dim = 64, iters = 12) +
+      """fin AS (SELECT CAST(0 AS BIGINT) AS comp, CAST(pos AS BIGINT) AS pos,
+        |    CAST(av AS BIGINT) AS loading FROM axis
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), CAST(pos AS BIGINT), CAST(av AS BIGINT) FROM ax1)
+        |SELECT comp, pos, loading FROM fin ORDER BY comp, pos""".stripMargin),
+
     "emb_pca_scores" -> (pcaCtes(dim = 64, iters = 12) +
       s"""el AS MATERIALIZED (SELECT id, u.t.pos AS pos, u.t.qe AS qe FROM (
          |    SELECT id, UNNEST(list_transform(range(0, 64),
@@ -613,6 +628,44 @@ object SimQueries {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
        |      FROM s),
        |""".stripMargin
+
+  /** comp-1 extension of [[pcaCtes]]: the deflated power iteration —
+    * each round matvec (x), scalar Gram-Schmidt coefficient against the
+    * comp-0 `axis` (truncating HUGEINT division, exactly BigInt `/`),
+    * orthogonalized residual (o), max-normalisation (u) — ending with the
+    * sign-fixed `ax1` relation + trailing comma
+    */
+  private def pca2Ctes(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder(pcaCtes(dim, iters))
+    sb.append(
+      s"""dvv AS MATERIALIZED (SELECT SUM(av * av) AS pp FROM axis),
+         |u0 AS MATERIALIZED (SELECT UNNEST(range(0, $dim)) AS pos,
+         |    CAST(${Pca.VScale} AS HUGEINT) AS av),
+         |""".stripMargin)
+    for (r <- 0 until iters) {
+      sb.append(
+        s"""x$r AS MATERIALIZED (SELECT f.i AS pos, SUM(f.s * v.av) AS w
+           |  FROM sm f JOIN u$r v ON v.pos = f.j GROUP BY 1),
+           |c$r AS MATERIALIZED (SELECT CASE WHEN (SELECT pp FROM dvv) = 0
+           |    THEN CAST(0 AS HUGEINT)
+           |    ELSE (SELECT SUM(x.w * a.av) FROM x$r x JOIN axis a ON a.pos = x.pos)
+           |         // (SELECT pp FROM dvv) END AS c),
+           |o$r AS MATERIALIZED (SELECT x.pos, x.w - (SELECT c FROM c$r) * a.av AS w
+           |  FROM x$r x JOIN axis a ON a.pos = x.pos),
+           |n$r AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM o$r),
+           |u${r + 1} AS MATERIALIZED (SELECT pos,
+           |    CASE WHEN (SELECT m FROM n$r) = 0 THEN CAST(0 AS HUGEINT)
+           |         ELSE w * ${Pca.VScale} // (SELECT m FROM n$r) END AS av
+           |  FROM o$r),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""sgn1 AS (SELECT CASE WHEN (SELECT av FROM u$iters WHERE av <> 0
+         |    ORDER BY pos LIMIT 1) < 0 THEN -1 ELSE 1 END AS g),
+         |ax1 AS MATERIALIZED (SELECT pos, av * (SELECT g FROM sgn1) AS av FROM u$iters),
+         |""".stripMargin)
+    sb.toString
+  }
 
   /** the [[graft.functions.Pca]] pipeline as DuckDB CTEs, through the
     * sign-fixed `axis` relation: quantize (identical FLOOR grid), pair-
