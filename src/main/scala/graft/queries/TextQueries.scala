@@ -861,6 +861,27 @@ object TextQueries {
         budget = 512L, shards = 8)
         .orderBy("doc_id")),
 
+    // Curriculum construction: stage docs by LM difficulty (perplexity
+    // terciles, easy -> hard) and pack WITHIN each stage — the ordered
+    // training stream curriculum learning consumes (stage 0 packs first).
+    // Composes the pinned perplexity chain with the pack scan; docs too
+    // short for a perplexity (<2 tokens) have no difficulty signal and
+    // stay out, exactly like the oracle's len>=2 gate
+    "txt_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val buckets = graft.functions.LangModel
+        .perplexityBuckets(d, "doc_id", "text")
+        .select(col("doc_id"), col("bucket"))
+      val weighted = d.select(col("doc_id"), TF.tokenCount(col("text")).as("n_tok"))
+        .join(buckets, Seq("doc_id"))
+      graft.functions.Packing.packSequences(weighted, "doc_id", "n_tok",
+          "bucket", budget = 512L, shards = 8)
+        .withColumn("stage",
+          when(col("bucket") === "head", 0L)
+            .when(col("bucket") === "middle", 1L).otherwise(2L))
+        .orderBy("doc_id")
+    }),
+
     // Trained domain classifier: multinomial NB fit on (source, token)
     // counts, every doc scored against every source, argmax emitted. The
     // model relation is vocab-bounded, so scoring joins on token (inverted
@@ -2061,6 +2082,51 @@ object TextQueries {
          |       WHEN entropy <= t2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM e CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+
+    // the perplexity chain (bucket per doc) feeding the recursive pack
+    // replay keyed on the bucket instead of the source
+    "txt_curriculum" ->
+      s"""WITH RECURSIVE ex AS (
+         |  SELECT doc_id, unnest($shSql) AS t
+         |  FROM documents WHERE len($tokSql) >= 2),
+         |c2 AS (SELECT t, COUNT(*) AS n2 FROM ex GROUP BY t),
+         |c1 AS (SELECT split_part(t, ' ', 1) AS p, COUNT(*) AS n1
+         |       FROM ex GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM c1),
+         |sc AS (SELECT doc_id, -ln((n2 + 1.0) / (n1 + v)) AS nll
+         |       FROM ex JOIN c2 USING (t)
+         |       JOIN c1 ON c1.p = split_part(ex.t, ' ', 1)
+         |       CROSS JOIN vv),
+         |e AS (SELECT doc_id, ROUND(SUM(nll) / COUNT(*), 6) AS entropy
+         |      FROM sc GROUP BY doc_id),
+         |thr AS (SELECT quantile_cont(entropy, 1.0/3) AS t1,
+         |               quantile_cont(entropy, 2.0/3) AS t2 FROM e),
+         |b AS (SELECT doc_id,
+         |  CASE WHEN entropy <= t1 THEN 'head'
+         |       WHEN entropy <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |  FROM e CROSS JOIN thr),
+         |d AS (
+         |  SELECT b.doc_id, bucket, b.doc_id % 8 AS shard,
+         |         CAST(len($tokSql) AS BIGINT) AS n_tok,
+         |         ROW_NUMBER() OVER (PARTITION BY bucket, b.doc_id % 8
+         |                            ORDER BY b.doc_id) AS rn
+         |  FROM b JOIN documents USING (doc_id)),
+         |p(doc_id, bucket, shard, n_tok, rn, pack_id, fill) AS (
+         |  SELECT doc_id, bucket, shard, n_tok, rn, CAST(0 AS BIGINT), n_tok
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.bucket, d.shard, d.n_tok, d.rn,
+         |         CASE WHEN p.fill + d.n_tok > 512 THEN p.pack_id + 1
+         |              ELSE p.pack_id END,
+         |         CASE WHEN p.fill + d.n_tok > 512 THEN d.n_tok
+         |              ELSE p.fill + d.n_tok END
+         |  FROM p JOIN d ON d.bucket = p.bucket AND d.shard = p.shard
+         |              AND d.rn = p.rn + 1)
+         |SELECT doc_id, bucket, shard, n_tok, pack_id,
+         |  CASE bucket WHEN 'head' THEN CAST(0 AS BIGINT)
+         |       WHEN 'middle' THEN 1 ELSE 2 END AS stage
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     // decontamination replay: distinct 4-gram sets per side, one gram
     // equi-join, per-training-doc witness min + hit count
