@@ -403,6 +403,23 @@ object Bench {
           .agg(count(lit(1)).as("n"), sum(col("rank")).as("mass"),
             max(col("rank")).as("top"))
       }),
+      // triangle scale row: 1M pseudo-random edges over 100k nodes PLUS a
+      // degree-50k celebrity hub. Unoriented, wedges at the hub alone are
+      // ~1.25e9; the (degree, id) orientation points nearly every hub
+      // edge AT the hub, so its out-degree collapses and total wedge
+      // volume stays m^1.5-bounded — the row times that property.
+      "bt_1m_triangles" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val n = 100000L
+        val rnd = s.range(0, 1000000L, 1, 32).select(
+          ((col("id") * 2654435761L + 3) % n).as("src"),
+          ((col("id") * 40503L + 17) % n).as("dst"))
+        val hub = s.range(0, 50000L, 1, 32)
+          .select(lit(n).as("src"), (col("id") * 2 % n).as("dst"))
+        functions.GraphStructure.triangleCounts(rnd.unionAll(hub))
+          .agg(count(lit(1)).as("nodes_in_tri"),
+            sum(col("triangles")).as("tri_incidences"))
+      }),
       // co-occurrence scale row: 1M interactions over 100k contexts
       // (~10 items each) + 50 adversarial promiscuous contexts touching
       // 2k items apiece. The degree cap drops the heavy contexts BEFORE

@@ -326,6 +326,35 @@ object Similarity {
     rankTopK(cellScored(corpus, anchors, idCol, vecCol)
       .where(col("score") < posThreshold), k)
 
+  /** kNN-majority classification over the bulk graph: every vector takes
+    * the majority label of its k nearest same-cell neighbors (ties break
+    * to the smaller label; neighbors tie-ranked exactly like
+    * [[knnGraph]]) — embedding-space label transfer for weakly-labeled
+    * corpora (spread curator verdicts from a labeled seed set to the
+    * whole corpus by semantic proximity). The vote is one hash agg over
+    * the k-bounded edge relation — nothing beyond the knn build.
+    *
+    * @param labeled (idCol, labelCol) relation — typically a subset;
+    *                unlabeled neighbors simply don't vote
+    * @return (idCol, pred_label, n_votes) for vectors with >= 1 labeled
+    *         neighbor
+    */
+  def knnClassify(corpus: DataFrame, anchors: DataFrame, labeled: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val votes = knnGraph(corpus, anchors, idCol, vecCol, k)
+      .join(labeled.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("__lbl")), Seq("id"))
+      .groupBy(col("qid"), col("__lbl"))
+      .agg(count(lit(1)).as("n"))
+    votes
+      .select(col("qid"),
+        struct(col("n"), (-col("__lbl")).as("nl"), col("__lbl")).as("cand"))
+      .groupBy(col("qid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("qid").as(idCol), col("best.__lbl").as("pred_label"),
+        col("best.n").as("n_votes"))
+  }
+
   /** The INCREMENTAL half of the persisted index: assign an arriving
     * shard with the SAME anchors and APPEND its celled rows to the
     * bucketed table — no rebuild, no touch of the existing cells (the

@@ -210,6 +210,17 @@ object SimQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // kNN-majority label transfer: spread labels from the seeded subset
+    // (vec_id % 3 == 0 plays the labeled seed) to every vector by
+    // 3-NN majority vote — embedding-space weak labeling
+    "sim_knn_classify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 8),
+          e.filter(col("vec_id") % 3 === 0).select(col("vec_id"), col("label")),
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy("vec_id")
+    }),
+
     // hard negatives for contrastive training: per vector, the 3 most
     // similar same-cell vectors BELOW the near-dup threshold — close
     // enough to be informative, far enough to be true negatives
@@ -547,6 +558,19 @@ object SimQueries {
     "sim_knn_graph" -> ("WITH " + knnGraphChain +
       """fin AS (SELECT qid, vec_id, CAST(rk AS BIGINT) AS rnk, score FROM r WHERE rk <= 3)
         |SELECT qid, vec_id, rnk, score FROM fin ORDER BY qid, rnk""".stripMargin),
+
+    // knn chain + labeled-seed join + majority vote (count desc, smaller
+    // label on ties — the max(struct) replay)
+    "sim_knn_classify" -> ("WITH " + knnGraphChain +
+      """knn AS (SELECT qid, vec_id FROM r WHERE rk <= 3),
+        |votes AS (SELECT k.qid, CAST(emb.label AS BIGINT) AS lbl, COUNT(*) AS n
+        |  FROM knn k JOIN embeddings emb ON emb.vec_id = k.vec_id
+        |  WHERE emb.vec_id % 3 = 0 GROUP BY 1, 2),
+        |best AS (SELECT qid, lbl, n,
+        |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, lbl) AS rk2
+        |  FROM votes)
+        |SELECT qid AS vec_id, lbl AS pred_label, n AS n_votes
+        |FROM best WHERE rk2 = 1 ORDER BY vec_id""".stripMargin),
 
     // knn chain + positive-threshold filter BEFORE the rank
     "sim_hard_negatives" -> ("WITH " + knnGraphChain +

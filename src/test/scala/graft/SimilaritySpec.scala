@@ -118,6 +118,32 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ(2L).size == 2 && byQ(4L).size == 2)
   }
 
+  test("knnClassify: majority vote among labeled neighbors, smaller label on ties") {
+    // one cell (single anchor); labels: 2->7, 3->7, 4->9; id 5 unlabeled
+    val pts = Seq(
+      (0L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 7), (3L, Seq(0.8f, 0.1f), 7),
+      (4L, Seq(0.95f, 0.05f), 9), (5L, Seq(0.85f, 0.15f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val labeled = pts.filter(col("vec_id").isin(2L, 3L, 4L)).select(col("vec_id"), col("label"))
+    val got = Similarity.knnClassify(pts, pts.filter(col("vec_id") === 0L),
+        labeled, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every query's 3-NN include 2,3,4 minus itself (5 vectors in the cell):
+    // queries 0 and 5 see all three labeled -> 7 wins 2:1
+    assert(got(0L) == ((7L, 2L)) && got(5L) == ((7L, 2L)))
+    // query 4 sees 2,3 (+0 or 5 unlabeled) -> 7 with 2 votes
+    assert(got(4L)._1 == 7L)
+    // tie case: query 2 — check against a direct recount of its knn votes
+    val knn = Similarity.knnGraph(pts, pts.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lbl = Map(2L -> 7L, 3L -> 7L, 4L -> 9L)
+    val votes2 = knn.filter(_._1 == 2L).flatMap(e => lbl.get(e._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want2 = votes2.toSeq.sortBy { case (l, n) => (-n, l) }.head
+    assert(got(2L) == ((want2._1, want2._2.toLong)))
+  }
+
   test("semDedup keeps the min-id representative per within-cell duplicate group") {
     // axis blobs: 2 duplicates each of the x and y directions plus an
     // isolated -x vector; k=2 seeds at ids 0,1
