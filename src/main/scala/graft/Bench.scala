@@ -403,6 +403,32 @@ object Bench {
           .agg(count(lit(1)).as("n"), sum(col("rank")).as("mass"),
             max(col("rank")).as("top"))
       }),
+      // ANN quality at scale on a CLUSTERABLE fixture: the sf tables'
+      // embeddings are near-random unit vectors, so sim_recall_at_k
+      // honestly reports ~0 there; this row builds 100k deterministic
+      // vectors around 64 separated centers (+ small per-id perturbation)
+      // and measures IVF recall@10 vs the exact top-10 over 50 held-out
+      // queries — the index ship/no-ship eval on data an index can help.
+      "bt_100k_ann_recall" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        def vecs(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids.select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (((col("id") % 64) * 31 + j * 17 + 1) % 7 - lit(3) +
+             ((col("id") * 13 + j * 7 + seed) % 5 - lit(2)) * lit(0.45f))
+              .cast("float")).as("embedding"))
+        val corpus = vecs(s.range(0, 100000L, 1, 32).toDF("id"), seed = 0)
+        val queries = vecs(s.range(100000L, 100050L, 1, 1).toDF("id"), seed = 3)
+        val anchors = corpus.where(col("vec_id") % 1563 === 0)
+        val exact = functions.Similarity.bruteForceTopK(
+          corpus, queries, "vec_id", "embedding", 10).select(col("qid"), col("id"))
+        val approx = functions.Similarity.ivfTopK(
+          corpus, anchors, queries, "vec_id", "embedding", k = 10, nprobe = 2)
+          .select(col("qid"), col("id"))
+        exact.join(approx, Seq("qid", "id"))
+          .agg((count(lit(1)) / lit(500.0)).as("recall_at_10"),
+            count(lit(1)).as("n_hits"))
+      }),
       // triangle scale row: 1M pseudo-random edges over 100k nodes PLUS a
       // degree-50k celebrity hub. Unoriented, wedges at the hub alone are
       // ~1.25e9; the (degree, id) orientation points nearly every hub

@@ -14,10 +14,18 @@ object RunQuery {
     val sfDir  = args(0)
     val outDir = args(1)
     val names  = args.drop(2).toSeq
-    val unknown = names.filterNot(SparkEntry.queries.contains)
+    // bt_* stress rows dump too (rows-only — they carry no oracle)
+    val all = SparkEntry.queries ++ graft.Bench.benchTargets
+    val unknown = names.filterNot(all.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-runquery")
-    Verify.dump(spark, sfDir, outDir, names)
+    val (qNames, btNames) = names.partition(SparkEntry.queries.contains)
+    btNames.foreach { name =>
+      all(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      graft.CacheScope.release()
+    }
+    Verify.dump(spark, sfDir, outDir, qNames)
     spark.stop()
   }
 }
