@@ -91,6 +91,17 @@ object GraphRank {
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
     prCore(edges, None, Some(seeds), iters, scale, dampPct)
 
+  /** the full combination: weighted shares AND seeded teleport — rank by
+    * random-walk-with-restart proximity where hop probability follows
+    * edge multiplicity (the "related to these items, weighted by how
+    * often people actually co-interact" ranker). Same loop, same
+    * envelopes as the two specializations.
+    */
+  def personalizedPageRankWeighted(edges: DataFrame, weightCol: String,
+      seeds: DataFrame, iters: Int = 8,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame =
+    prCore(edges, Some(weightCol), Some(seeds), iters, scale, dampPct)
+
   private def prCore(edges: DataFrame, weightColOpt: Option[String],
       seedsOpt: Option[DataFrame], iters: Int,
       scale: Long, dampPct: Int): DataFrame = {

@@ -190,15 +190,37 @@ object Pca {
       iters: Int = 12, quantScale: Long = QuantScale,
       vScale: Long = VScale): DataFrame = {
     val axis = principalAxisLocal(emb, vecCol, dim, iters, quantScale, vScale)
+    quantize(emb, vecCol, quantScale)
+      .select(col(idCol), axisScore(axis).as("score"))
+  }
+
+  /** exact decimal dot of the quantized `__q` column with a driver-side
+    * axis, range-checked loudly before narrowing to long */
+  private def axisScore(axis: Array[Long]): org.apache.spark.sql.Column = {
     val s = aggregate(
       zip_with(col("__q"), typedLit(axis),
         (a, b) => a.cast("decimal(18,0)") * b.cast("decimal(18,0)")),
       lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"), (acc, x) => acc + x)
-    quantize(emb, vecCol, quantScale)
-      .select(col(idCol),
-        when(s.isNull || abs(s) > lit(Long.MaxValue),
-          raise_error(lit("projectPrincipal: score exceeds long range — " +
-            "lower quantScale for this value range")))
-          .otherwise(s.cast("long")).as("score"))
+    when(s.isNull || abs(s) > lit(Long.MaxValue),
+      raise_error(lit("projection score exceeds long range — " +
+        "lower quantScale for this value range")))
+      .otherwise(s.cast("long"))
+  }
+
+  /** whitening coordinates: every vector projected onto the leading-m
+    * deflated basis — the reduced representation downstream dedup/ANN
+    * consume (the data-adaptive analogue of
+    * [[Similarity.randomProjectVec]]). One scan pass emitting m exact
+    * scores per row, zero exchanges.
+    *
+    * @return (idCol, score0 .. score{m-1})
+    */
+  def projectAxes(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, iters: Int = 12, quantScale: Long = QuantScale,
+      vScale: Long = VScale): DataFrame = {
+    val axes = principalAxesLocal(emb, vecCol, dim, m, iters, quantScale, vScale)
+    val cols = col(idCol) +: axes.zipWithIndex.map { case (ax, c) =>
+      axisScore(ax).as(s"score$c") }
+    quantize(emb, vecCol, quantScale).select(cols: _*)
   }
 }

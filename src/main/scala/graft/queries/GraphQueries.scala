@@ -264,7 +264,59 @@ object GraphQueries {
          |  GROUP BY 1, 2)
          |SELECT center, context, n FROM pr ORDER BY center, context""".stripMargin
 
+  /** weighted prelude + seeded rounds: the full-combination recurrence */
+  private def wPprSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH wuk AS MATERIALIZED (
+         |  SELECT user_id AS u, CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+         |         COUNT(*) AS c
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, $ItemBase + k AS dst, c AS w FROM wuk
+         |  UNION ALL
+         |  SELECT $ItemBase + k AS src, u AS dst, c AS w FROM wuk),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+         |seeds AS MATERIALIZED (SELECT id FROM nodes
+         |  WHERE id >= $ItemBase AND id < $ItemBase + $NSeedItems),
+         |deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS outw FROM edges GROUP BY 1),
+         |c AS MATERIALIZED (SELECT COUNT(*) AS ns, $Scale // COUNT(*) AS base FROM seeds),
+         |r0 AS MATERIALIZED (SELECT n.id,
+         |    CASE WHEN s.id IS NULL THEN 0 ELSE (SELECT base FROM c) END AS rank
+         |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+         |""".stripMargin)
+    for (i <- 0 until iters) {
+      sb.append(
+        s"""d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
+           |  FROM r$i r LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+           |m$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank * e.w // g.outw) AS inc
+           |  FROM edges e JOIN r$i r ON r.id = e.src JOIN deg g ON g.id = e.src
+           |  GROUP BY 1),
+           |r${i + 1} AS MATERIALIZED (SELECT n.id,
+           |    (CASE WHEN s.id IS NULL THEN 0
+           |          ELSE 15 * (SELECT base FROM c)
+           |               + 85 * ((SELECT dm FROM d$i) // (SELECT ns FROM c)) END
+           |     + 85 * COALESCE(m.inc, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN m$i m ON m.id = n.id
+           |             LEFT JOIN seeds s ON s.id = n.id),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT id AS node, CAST(rank AS BIGINT) AS rank FROM r$iters)
+         |SELECT node, rank FROM fin ORDER BY rank DESC, node""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the full centrality combination: seeded restart over
+    // multiplicity-weighted hops ("related to THESE items, weighted by
+    // how often people actually co-interact")
+    "graph_ppr_weighted" -> ((s, dir) =>
+      GraphRank.personalizedPageRankWeighted(weightedEdges(s, dir), "w",
+          s.range(0, NSeedItems).select((col("id") + ItemBase).as("id")),
+          iters = Iters, scale = Scale)
+        .orderBy(col("rank").desc, col("node"))),
+
     // deterministic DeepWalk-style corpus: one 4-hop walk per node over
     // the co-visitation graph, neighbor choice by content hash — the
     // graph-embedding training-data generator, reproducible to the bit
@@ -399,6 +451,7 @@ object GraphQueries {
     "graph_pagerank" -> pageRankSql(Iters),
     "graph_ppr" -> pprSql(Iters),
     "graph_pagerank_weighted" -> wPageRankSql(Iters),
+    "graph_ppr_weighted" -> wPprSql(Iters),
     "graph_walks" -> walksSql(WalkSteps, WalkMaxDeg),
     "graph_walk_pairs" -> walkPairsSql(WalkSteps, WalkMaxDeg, window = 2),
     "graph_hits" -> hitsSql(Iters),

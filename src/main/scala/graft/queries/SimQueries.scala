@@ -267,6 +267,12 @@ object SimQueries {
       Pca.principalAxes(emb(s, dir), "embedding", dim = 64, m = 2)
         .orderBy("comp", "pos")),
 
+    // whitening coordinates in the leading-2 deflated basis — the
+    // data-adaptive reduced representation (JL's adaptive sibling)
+    "emb_whiten" -> ((s, dir) =>
+      Pca.projectAxes(emb(s, dir), "vec_id", "embedding", dim = 64, m = 2)
+        .orderBy("vec_id")),
+
     // per-vector projection onto that axis (whitening/ranking scores):
     // the axis solve is driver-side on the constant-size scatter; the
     // scoring pass is a pure scan expression, zero exchanges
@@ -607,6 +613,16 @@ object SimQueries {
         |  UNION ALL
         |  SELECT CAST(1 AS BIGINT), CAST(pos AS BIGINT), CAST(av AS BIGINT) FROM ax1)
         |SELECT comp, pos, loading FROM fin ORDER BY comp, pos""".stripMargin),
+
+    "emb_whiten" -> (pca2Ctes(dim = 64, iters = 12) +
+      s"""el AS MATERIALIZED (SELECT id, u.t.pos AS pos, u.t.qe AS qe FROM (
+         |    SELECT id, UNNEST(list_transform(range(0, 64),
+         |      p -> {'pos': p, 'qe': qv[p+1]})) AS t FROM q) u)
+         |SELECT e.id AS vec_id,
+         |       CAST(SUM(CAST(e.qe AS HUGEINT) * x0.av) AS BIGINT) AS score0,
+         |       CAST(SUM(CAST(e.qe AS HUGEINT) * x1.av) AS BIGINT) AS score1
+         |FROM el e JOIN axis x0 ON x0.pos = e.pos JOIN ax1 x1 ON x1.pos = e.pos
+         |GROUP BY 1 ORDER BY vec_id""".stripMargin),
 
     "emb_pca_scores" -> (pcaCtes(dim = 64, iters = 12) +
       s"""el AS MATERIALIZED (SELECT id, u.t.pos AS pos, u.t.qe AS qe FROM (

@@ -168,6 +168,47 @@ class GraphRankSpec extends SparkSpec {
     assert(r2 == r && !r2.contains(777L))
   }
 
+  /** replay of the full combination: weighted shares + seeded teleport */
+  private def refPprW(edges: Seq[(Long, Long, Long)], seeds: Set[Long], iters: Int,
+      scale: Long = 1000000000000L, damp: Long = 85L): Map[Long, Long] = {
+    val e = edges.filter(_._3 > 0).groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).sum).toSeq.map { case ((a, b), w) => (a, b, w) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val s = nodes.filter(seeds).toSet
+    val ns = s.size.toLong
+    val outw = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = scale / ns
+    var rank = nodes.map(v => v -> (if (s(v)) base else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filter(v => !outw.contains(v)).map(rank).sum
+      val dShare = dm / ns
+      val incoming = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => rank(u) * w / outw(u) }.sum).toMap
+      rank = nodes.map { v =>
+        val teleport = if (s(v)) (100L - damp) * base + damp * dShare else 0L
+        v -> ((teleport + damp * incoming.getOrElse(v, 0L)) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRankWeighted: combined recurrence bit-for-bit; specializations agree") {
+    val edges = Seq((0L, 1L, 3L), (1L, 2L, 1L), (2L, 0L, 5L), (3L, 0L, 2L), (2L, 4L, 1L))
+    def runPW(seeds: Seq[Long]) =
+      GraphRank.personalizedPageRankWeighted(edges.toDF("src", "dst", "w"), "w",
+          seeds.toDF("id"), iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(runPW(Seq(0L, 2L)) == refPprW(edges, Set(0L, 2L), 8))
+    // seeds = all nodes reduces to plain weighted PageRank
+    assert(runPW(0L to 4L) == runW(edges))
+    // all-ones weights reduce to plain personalized PageRank
+    val ones = edges.map(e => (e._1, e._2, 1L))
+    val got = GraphRank.personalizedPageRankWeighted(ones.toDF("src", "dst", "w"), "w",
+        Seq(2L).toDF("id"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == runPpr(ones.map(e => (e._1, e._2)), Seq(2L)))
+  }
+
   /** integer-recurrence replay for HITS (BigInt normalisation like the op) */
   private def refHits(edges: Seq[(Long, Long)], iters: Int,
       scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
