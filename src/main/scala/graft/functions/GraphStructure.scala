@@ -67,13 +67,17 @@ object GraphStructure {
       .where(col("a.item") =!= col("b.item"))
       .groupBy(col("a.item").as("item"), col("b.item").as("other"))
       .agg(count(lit(1)).as("n_shared"))
-    co.select(col("item"),
-        struct((col("n_shared") * -1).as("nc"), col("other")).as("c"))
-      .groupBy(col("item"))
-      .agg(slice(sort_array(collect_list(col("c"))), 1, k).as("top"))
-      .select(col("item"), posexplode(col("top")))
-      .select(col("item"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.other").as("other"), (col("col.nc") * -1).as("n_shared"))
+    // bounded-heap top-k (the Similarity.TopKAgg pattern): the
+    // aggregation state per item is k rows, never the full distinct
+    // neighbor list — a popular item's neighbor count is bounded only
+    // by maxCtxDegree x its context count, which collect_list would
+    // materialize in one row. Ordering matches the aggregator's
+    // (score desc, id asc) = (n_shared desc, other asc).
+    Similarity.rankTopK(
+        co.select(col("item").as("qid"), col("other").as("id"),
+          col("n_shared").cast("double").as("score")), k)
+      .select(col("qid").as("item"), col("rank"), col("id").as("other"),
+        col("score").cast("long").as("n_shared"))
   }
 
   /** Undirected item-item projection of a bipartite (ctx, item)

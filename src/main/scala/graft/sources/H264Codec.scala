@@ -1291,6 +1291,14 @@ object H264Codec {
 
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean)
 
+  /** per-slice deblocking request (§7.3.3): off, or on with α/β offsets
+    * and whether filtering crosses slice boundaries (idc 0 vs 2)
+    */
+  private sealed trait DeblockReq
+  private case object DeblockOff extends DeblockReq
+  private final case class DeblockOn(aOff: Int, bOff: Int,
+      acrossSlices: Boolean) extends DeblockReq
+
   /** the PPS fields the pixel decoder needs beyond [[H264.parsePps]] */
   private def parseCodecPps(r: H264.BitReader): CodecPps = {
     r.ue; r.ue // pps_id, sps_id
@@ -1309,11 +1317,11 @@ object H264Codec {
   }
 
   /** decode one slice (I or P) into the picture state; returns the
-    * deblocking request — Some((FilterOffsetA, FilterOffsetB)) when the
-    * slice enables the in-loop filter, None when it disables it
+    * slice's deblocking request (the caller collects one per slice and
+    * arbitrates at picture completion)
     */
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
-      nalType: Int, refIdc: Int, st: PicState, ref: PicState): Option[(Int, Int)] = {
+      nalType: Int, refIdc: Int, st: PicState, ref: PicState): DeblockReq = {
     val r = new H264.BitReader(rbsp)
     val firstMb = r.ue // slices start anywhere; caller sequences them into one picture
     require(firstMb < st.mbW * st.mbH, s"first_mb_in_slice $firstMb outside the picture")
@@ -1339,21 +1347,23 @@ object H264Codec {
       else require(r.u1 == 0, "adaptive ref pic marking not supported")
     }
     var qp = pps.picInitQp + r.se
-    // deblocking control (§7.3.3): idc 0 = filter, 1 = off, 2 = filter
-    // but not across slice boundaries (identical to 0 for our
-    // single-slice pictures); offsets shift the α/β/t_C0 lookups
-    val deblockReq: Option[(Int, Int)] =
-      if (!pps.deblockingPresent) Some((0, 0)) // absent fields default to filtering
+    // deblocking control (§7.3.3): idc 0 = filter across slice
+    // boundaries, 1 = off, 2 = filter but NOT across slice boundaries
+    // (distinct from 0 only in multi-slice pictures — the caller
+    // refuses that combination loudly); offsets shift the α/β/t_C0
+    // lookups
+    val deblockReq: DeblockReq =
+      if (!pps.deblockingPresent) DeblockOn(0, 0, acrossSlices = true)
       else {
         val idc = r.ue
         require(idc <= 2, s"disable_deblocking_filter_idc $idc out of range")
-        if (idc == 1) None
+        if (idc == 1) DeblockOff
         else {
           val aOff = 2 * r.se
           val bOff = 2 * r.se
           require(aOff >= -12 && aOff <= 12 && bOff >= -12 && bOff <= 12,
             s"deblocking offsets ($aOff,$bOff) out of the spec range")
-          Some((aOff, bOff))
+          DeblockOn(aOff, bOff, acrossSlices = idc == 0)
         }
       }
     val mbW = st.mbW; val mbH = st.mbH
@@ -1538,21 +1548,39 @@ object H264Codec {
     var pps: CodecPps = null
     var ref: PicState = null // previous decoded picture (P reference)
     var cur: PicState = null // picture being assembled from its slices
-    var curDeblock: Option[(Int, Int)] = None
+    val sliceDeblocks = ArrayBuffer.empty[DeblockReq] // one per decoded slice
     val out = ArrayBuffer.empty[Yuv]
 
     // a picture completes when the next one starts (first_mb_in_slice 0)
-    // or the stream ends: filter in-loop, emit, and promote to reference
+    // or the stream ends: filter in-loop, emit, and promote to reference.
+    // Per the refuse-loudly subset contract, mixed per-slice deblocking
+    // settings and idc=2 (no filtering across slice boundaries) in a
+    // multi-slice picture are refused rather than decoded wrong — the
+    // picture-wide filter below applies ONE setting and crosses slice
+    // boundaries.
     def finishPicture(): Unit = if (cur != null) {
       require(!cur.sliceOfMb.contains(-1),
         "picture has macroblocks covered by no slice — truncated or torn stream")
-      curDeblock.foreach { case (aOff, bOff) => deblockPicture(cur, aOff, bOff) }
+      val reqs = sliceDeblocks.distinct
+      require(reqs.size == 1,
+        s"mixed per-slice deblocking settings $reqs unsupported " +
+          "(picture-wide filter; refuse-loudly subset)")
+      reqs.head match {
+        case DeblockOff => ()
+        case DeblockOn(aOff, bOff, acrossSlices) =>
+          require(acrossSlices || sliceDeblocks.size == 1,
+            "disable_deblocking_filter_idc=2 (no filtering across slice " +
+              "boundaries) unsupported in multi-slice pictures " +
+              "(refuse-loudly subset)")
+          deblockPicture(cur, aOff, bOff)
+      }
       ref = cur
       out += Yuv(sps.width, sps.height,
         crop(cur.reconY, cur.pw, sps.width, sps.height),
         crop(cur.reconCb, cur.cw, sps.width / 2, sps.height / 2),
         crop(cur.reconCr, cur.cw, sps.width / 2, sps.height / 2))
       cur = null
+      sliceDeblocks.clear()
     }
 
     val nals = H264.nalUnits(stream).iterator
@@ -1580,7 +1608,7 @@ object H264Codec {
             cur.curSlice += 1
           }
           if (!stop) {
-            curDeblock = decodeSlice(rbsp, sps, pps, nal.nalType, nal.refIdc, cur,
+            sliceDeblocks += decodeSlice(rbsp, sps, pps, nal.nalType, nal.refIdc, cur,
               if (nal.nalType == 5) null else ref)
           }
         case _ => () // SEI / AUD / filler: ignored

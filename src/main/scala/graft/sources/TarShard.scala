@@ -170,6 +170,20 @@ object TarShard {
     val confB = spark.sparkContext.broadcast(confKV)
     val writers = if (nWriters > 0) nWriters
       else spark.sparkContext.defaultParallelism
+    // remove stale shards from a prior run (different parallelism/volume
+    // leaves extra shard-*.tar files that readDir would glob in)
+    locally {
+      val dir = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith("shard-") && n.endsWith(".tar")
+          }
+          .foreach(p => fs.delete(p, false))
+      }
+    }
     val counts = df.select(col("key").cast("string"), col("ext").cast("string"),
         col("payload").cast("binary"))
       .repartition(writers, col("key"))
@@ -236,6 +250,10 @@ object TarShard {
         paths.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
+          // close on ANY task exit path, not just full drain
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
           val es = entries(in)
           var idx = -1L
           new Iterator[(String, Long, String, String, Long, Array[Byte])] {

@@ -277,12 +277,15 @@ object Warc {
         paths.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
+          // close on ANY task exit (limit/take, downstream early-exit,
+          // failure) — not just full iterator drain
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
           val recs =
             if (pathStr.toLowerCase.endsWith(".gz")) gzRecords(in)
             else records(new BufferedInputStream(in, 1 << 16))
           var idx = -1L
-          // stream close rides the iterator's exhaustion: the last
-          // hasNext=false closes the file (flatMap fully drains)
           new Iterator[(String, Long, String, String, String, String, String,
               Int, String, Long, Array[Byte])] {
             override def hasNext: Boolean = {
