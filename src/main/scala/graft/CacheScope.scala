@@ -32,6 +32,13 @@ import org.apache.spark.sql.Dataset
 object CacheScope {
   private val live = new ConcurrentLinkedQueue[Dataset[_]]()
   private val liveRdds = new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  // SHARED tier: relations deliberately reused ACROSS ops in one session
+  // (the memoized TermIndex a whole retrieval board probes). release()
+  // leaves them alone; releaseShared() drops them and fires the
+  // registered invalidation hooks so no memo keeps handing out a
+  // dataset whose cache was just dropped.
+  private val shared = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val sharedHooks = new ConcurrentLinkedQueue[() => Unit]()
 
   /** persist + register — every graft-internal long-lived cache site */
   private[graft] def cache[T](ds: Dataset[T]): Dataset[T] = {
@@ -59,5 +66,27 @@ object CacheScope {
     while (d != null) { d.unpersist(blocking); d = live.poll() }
     var r = liveRdds.poll()
     while (r != null) { r.unpersist(blocking); r = liveRdds.poll() }
+  }
+
+  /** persist + register in the session-shared tier (survives [[release]]) */
+  private[graft] def cacheShared[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    shared.add(ds)
+    ds
+  }
+
+  /** a hook run by [[releaseShared]] — memo owners register their clear() */
+  private[graft] def onReleaseShared(hook: () => Unit): Unit = sharedHooks.add(hook)
+
+  /** Drop the shared tier (memoized cross-op relations) and clear the
+    * memos that reference it. Call at corpus boundaries (Bench between
+    * the sf0.1 and sf1 sections) or before session end; NOT per rep —
+    * amortizing the one tokenize+count index across a retrieval board is
+    * exactly what the tier exists for.
+    */
+  def releaseShared(blocking: Boolean = false): Unit = {
+    sharedHooks.forEach(h => h())
+    var d = shared.poll()
+    while (d != null) { d.unpersist(blocking); d = shared.poll() }
   }
 }

