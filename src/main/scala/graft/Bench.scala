@@ -432,6 +432,28 @@ object Bench {
           .agg((count(lit(1)) / lit(500.0)).as("recall_at_10"),
             count(lit(1)).as("n_hits"))
       }),
+      // adversarial IVF-COLLAPSE row: 20k vectors that ALL score highest
+      // against one of the two anchors (the other anchor is antipodal),
+      // i.e. k-means collapse — without the giant-cell cap the within-
+      // cell self-join is 20k² = 400M candidate pairs in ONE join key;
+      // with maxCellSize=512 the cell sub-splits into ~40 id-hash
+      // subcells and candidate volume is bounded by ~|corpus|*cap = 10M.
+      // The row times that bound holding under the worst assignment.
+      "bt_20k_knn_collapse" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        def vec(idc: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(7)), j =>
+            (lit(100.0f) + pmod(idc * 31 + j * 17, lit(7)).cast("float")))
+        val corpus = s.range(0, 20000L, 1, 32)
+          .select(col("id").as("vec_id"), vec(col("id")).as("embedding"))
+        val anchors = s.range(0, 2L, 1, 1).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)), _ =>
+            when(col("id") === 0, lit(100.0f)).otherwise(lit(-100.0f)))
+            .as("embedding"))
+        functions.Similarity.knnGraph(corpus, anchors, "vec_id", "embedding",
+            k = 5, maxCellSize = 512)
+          .agg(count(lit(1)).as("n"), max(col("score")).as("top"))
+      }),
       // triangle scale row: 1M pseudo-random edges over 100k nodes PLUS a
       // degree-50k celebrity hub. Unoriented, wedges at the hub alone are
       // ~1.25e9; the (degree, id) orientation points nearly every hub

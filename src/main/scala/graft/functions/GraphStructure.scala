@@ -73,6 +73,11 @@ object GraphStructure {
     // by maxCtxDegree x its context count, which collect_list would
     // materialize in one row. Ordering matches the aggregator's
     // (score desc, id asc) = (n_shared desc, other asc).
+    // n_shared (a BIGINT count) rides TopKAgg's double-typed score and
+    // casts back to long: exact only below 2^53 — unreachable here
+    // (n_shared <= the pruned context count per pair, and maxCtxDegree
+    // bounds pair emission), but a reuse with unbounded counts must not
+    // inherit this silently.
     Similarity.rankTopK(
         co.select(col("item").as("qid"), col("other").as("id"),
           col("n_shared").cast("double").as("score")), k)

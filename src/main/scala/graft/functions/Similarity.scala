@@ -294,17 +294,41 @@ object Similarity {
     *         vector; vectors alone in their cell produce no rows
     */
   def knnGraph(corpus: DataFrame, anchors: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame =
-    rankTopK(cellScored(corpus, anchors, idCol, vecCol), k)
+      vecCol: String, k: Int, maxCellSize: Int = 4096): DataFrame =
+    rankTopK(cellScored(corpus, anchors, idCol, vecCol, maxCellSize), k)
 
-  /** the shared candidate relation of the bulk ops: every within-cell
+  /** The shared candidate relation of the bulk ops: every within-cell
     * ordered pair scored on the 6-dp cosine grid (cell-keyed self-join of
-    * the cached assignment — see [[knnGraph]] for the scale argument) */
+    * the cached assignment — see [[knnGraph]] for the scale argument).
+    *
+    * GIANT-CELL CAP: the self-join is quadratic in cell size, so a
+    * degenerate assignment (k-means collapse: one anchor claims most of
+    * the corpus) would turn one hot cell into a near-cross-join no
+    * partitioner can save. Cells above `maxCellSize` split
+    * deterministically into ceil(|cell|/maxCellSize) SUBCELLS by id hash
+    * (xxhash64 — reproducible across runs/partitionings), and candidates
+    * stay within a subcell: per-key join volume is bounded by
+    * ~maxCellSize² regardless of how badly the anchors fit, total
+    * candidate volume by |corpus|·maxCellSize. The price is graceful —
+    * within an oversized cell each vector sees a 1/nsub uniform sample
+    * of its cellmates, the same recall trade IVF itself makes cell-wide —
+    * and healthy assignments (every cell <= maxCellSize) are EXACTLY
+    * unchanged (nsub = 1 → subcell 0 everywhere). Mirrors the
+    * maxCtxDegree prune in [[graft.functions.GraphStructure]], except
+    * splitting keeps the hot key's members queryable instead of dropping
+    * them. The cell-size relation is one |anchors|-row broadcast.
+    */
   private def cellScored(corpus: DataFrame, anchors: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, maxCellSize: Int = 4096): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize $maxCellSize must be >= 1")
     val cells = graft.CacheScope.cache(
       ivfBuildCells(corpus, anchors, idCol, vecCol))
-    cells.as("q").join(cells.as("c"), Seq("cell"))
+    val nsub = broadcast(cells.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).as("__nsub")))
+    val sub = cells.join(nsub, Seq("cell"))
+      .withColumn("__sc", when(col("__nsub") <= 1L, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), col("__nsub"))))
+    sub.as("q").join(sub.as("c"), Seq("cell", "__sc"))
       .where(col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("id"),
         round(cosine(col("q.v"), col("c.v")), 6).as("score"))
@@ -322,8 +346,9 @@ object Similarity {
     * @return (qid, id, rank, score) — score < posThreshold, rank 1..k
     */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
-      vecCol: String, k: Int, posThreshold: Double): DataFrame =
-    rankTopK(cellScored(corpus, anchors, idCol, vecCol)
+      vecCol: String, k: Int, posThreshold: Double,
+      maxCellSize: Int = 4096): DataFrame =
+    rankTopK(cellScored(corpus, anchors, idCol, vecCol, maxCellSize)
       .where(col("score") < posThreshold), k)
 
   /** kNN-majority classification over the bulk graph: every vector takes
@@ -670,19 +695,32 @@ object Similarity {
     *
     * Scale: within-cell pairing is |cell|² work, so k is the dial — the
     * paper runs ~100k clusters at corpus scale precisely so cells stay
-    * O(corpus/k) small; nothing here is all-pairs across cells. The pair
-    * dedup carries bare (a, b) ids only; the threshold compares the
-    * ROUNDED cosine so the oracle's grid matches bit-for-bit.
+    * O(corpus/k) small; nothing here is all-pairs across cells. Against
+    * k-means COLLAPSE (one centroid claiming most of the corpus — k stops
+    * helping), cells above `maxCellSize` sub-split by id hash exactly
+    * like [[cellScored]]: join volume stays bounded by |corpus|·
+    * maxCellSize; a near-dup pair split across subcells of a degenerate
+    * cell survives dedup — the same recall trade the cell boundary itself
+    * makes, and healthy assignments are unchanged. The pair dedup carries
+    * bare (a, b) ids only; the threshold compares the ROUNDED cosine so
+    * the oracle's grid matches bit-for-bit.
     */
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double): DataFrame = {
+      k: Int, iters: Int, threshold: Double,
+      maxCellSize: Int = 4096): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize $maxCellSize must be >= 1")
     val anchors = kmeansCentroidVectors(embs, idCol, vecCol, k, iters)
       .select(col("cid").as(idCol),
         transform(col("cv"), x => x.cast("float")).as(vecCol))
-    val celled = CacheScope.cache(ivfBuildCells(embs, anchors, idCol, vecCol))
-    val l = celled.select(col("cell"), col("id").as("a"), col("v").as("va"))
-    val r = celled.select(col("cell"), col("id").as("b"), col("v").as("vb"))
-    val drops = l.join(r, Seq("cell"))
+    val celled0 = CacheScope.cache(ivfBuildCells(embs, anchors, idCol, vecCol))
+    val nsub = broadcast(celled0.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).as("__nsub")))
+    val celled = celled0.join(nsub, Seq("cell"))
+      .withColumn("__sc", when(col("__nsub") <= 1L, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), col("__nsub"))))
+    val l = celled.select(col("cell"), col("__sc"), col("id").as("a"), col("v").as("va"))
+    val r = celled.select(col("cell"), col("__sc"), col("id").as("b"), col("v").as("vb"))
+    val drops = l.join(r, Seq("cell", "__sc"))
       .filter(col("a") < col("b"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select(col("b").as("id"))

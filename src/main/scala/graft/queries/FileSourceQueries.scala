@@ -298,11 +298,30 @@ object FileSourceQueries {
     })
   )
 
-  /** captions/jdbc/warc read generated inputs (pinned VALUES oracles);
-    * src_webdataset round-trips SHARED parquet through tar shards, so
-    * its oracle recomputes the expected samples straight from the table
+  /** src_webdataset round-trips SHARED parquet through tar shards, so its
+    * oracle recomputes expected samples from the table; captions and jdbc
+    * fixtures are closed-form (the generator formulas above), so their
+    * oracles REGENERATE the expected rows with generate_series — real
+    * recomputation of the parse/scan path, not frozen pins. src_warc_*
+    * stay pinned (gzip-member framing isn't SQL-replayable).
     */
   val oracles: Map[String, String] = Map(
+    // ensureJdbc seeds (sid 0..1, idx 0..14, label_{(sid*31+idx*7) mod 5})
+    "src_jdbc" ->
+      """SELECT a.range AS stream_id, b.range AS idx,
+        |  'label_' || CAST((a.range*31 + b.range*7) % 5 AS VARCHAR) AS label
+        |FROM range(0,2) a, range(0,15) b ORDER BY 1, 2""".stripMargin,
+    // ensureCaptions writes '<3i> <3i+2> caption s<sid> line <i> word<(sid*31+i*7)%97>'
+    "src_captions" ->
+      """SELECT a.range AS "streamId", b.range*3 AS "startFrame", b.range*3 + 2 AS "endFrame",
+        |  'caption s' || a.range || ' line ' || b.range || ' word' || ((a.range*31 + b.range*7) % 97) AS caption,
+        |  b.range AS "index"
+        |FROM range(0,2) a, range(0,30) b ORDER BY 1, 5""".stripMargin,
+    // as-of alignment: frame f's covering caption starts at 3*(f//3)
+    "src_caption_align" ->
+      """SELECT a.range AS "streamId", f.range AS frame,
+        |  'caption s' || a.range || ' line ' || (f.range // 3) || ' word' || ((a.range*31 + (f.range // 3)*7) % 97) AS caption
+        |FROM range(0,2) a, range(0,90) f ORDER BY 1, 2""".stripMargin,
     "src_webdataset" ->
       """WITH j AS (SELECT doc_id,
         |    '{"doc_id":' || doc_id || ',"source":"' || source || '"}' AS js

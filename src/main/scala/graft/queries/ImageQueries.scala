@@ -70,14 +70,24 @@ object ImageQueries {
     }),
 
     // image column feeding the SAME kernel pipeline as video frames:
-    // decode -> per-stream resize config -> histogram
+    // decode -> per-stream resize config -> histogram. Emitted as nonzero
+    // (channel, bucket, n) rows: the DuckDB oracle regenerates the ramp
+    // pixels, replays the bilinear resize (2x/4x scales land the weights
+    // exactly on 0.5, so the blend reduces to exact integer math) and
+    // rebuilds the histogram — PNG encode/decode + resize + histogram
+    // verified against independent truth
     "img_histogram" -> ((s, _) => {
       val root    = ensureImages(s)
       val resized = StdKernels.resizeOp(frames(s, root),
         Map(0L -> ((12, 8)), 1L -> ((6, 4))))
-      StdKernels.histogramOp(resized).toDF()
-        .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
-        .orderBy("streamId", "index")
+      import s.implicits._
+      StdKernels.histogramOp(resized).flatMap { e =>
+        val bins = StdKernels.histogramBins(e.payload)
+        bins.indices.collect { case i if bins(i) != 0 =>
+          (e.streamId, e.index, i / 16, i % 16, bins(i))
+        }
+      }.toDF("streamId", "index", "channel", "bucket", "n")
+        .orderBy("streamId", "index", "channel", "bucket")
     }),
 
     // perceptual near-dup for IMAGES: aHash fingerprints + banded Hamming
@@ -175,6 +185,83 @@ object ImageQueries {
       .orderBy("a", "b")
   }
 
-  /** inputs are generated PNGs, not shared parquet — rows-only checks */
-  val oracles: Map[String, String] = Map.empty
+  /** REAL DuckDB recomputation where the PNG source is closed-form:
+    * ramp pixels (sid*31+idx*7+p) mod 256, texture pixels
+    * bits 24..31 of (sid*1000003+idx*40503+p)*2654435761 (64-bit wrap —
+    * only the low 32 bits of the product matter for those bits, so BIGINT
+    * arithmetic never overflows). The hash-pair/dedup queries stay pinned
+    * (their DCT/banding chains aren't SQL-replayable at exact-equality).
+    */
+  val oracles: Map[String, String] = Map(
+    // bilinear at exact 2x (stream 0: 16x24 -> 8x12, src y0 = 2y, wy = .5)
+    // and 4x (stream 1: -> 4x6, y0 = 4y+1, wy = .5): the 4-neighbor blend
+    // is (p00+p01+p10+p11 + 2) // 4 exactly (round-half-up)
+    "img_histogram" ->
+      """WITH tgt AS (
+        |  SELECT a.range AS sid, b.range AS idx, y.range AS y, x.range AS x, k.range AS k,
+        |    CASE WHEN a.range = 0 THEN 2*y.range ELSE 4*y.range + 1 END AS y0,
+        |    CASE WHEN a.range = 0 THEN 2*x.range ELSE 4*x.range + 1 END AS x0
+        |  FROM range(0,2) a, range(0,20) b, range(0,8) y, range(0,12) x, range(0,3) k
+        |  WHERE (a.range = 0) OR (y.range < 4 AND x.range < 6)),
+        |v AS (
+        |  SELECT sid, idx, k,
+        |    (( (sid*31 + idx*7 + (y0*24 + x0)*3 + k) % 256
+        |     + (sid*31 + idx*7 + (y0*24 + x0 + 1)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((y0 + 1)*24 + x0)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((y0 + 1)*24 + x0 + 1)*3 + k) % 256) + 2) // 4 AS px
+        |  FROM tgt)
+        |SELECT sid AS "streamId", idx AS "index", CAST(k AS INT) AS channel,
+        |  CAST(px // 16 AS INT) AS bucket, CAST(COUNT(*) AS INT) AS n
+        |FROM v GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin,
+    // texture pixels -> channel-mean grayscale (// 3) -> [sharp | r=1 box
+    // blur (interior only, // 9)] -> 4-neighbor Laplacian over the
+    // interior -> population variance (integer sums exact below 2^53,
+    // then the same double divisions) -> round-half-up at 4 dp
+    "img_blur_scores" ->
+      """WITH px AS (
+        |  SELECT a.range AS sid, b.range AS idx, c.range AS p,
+        |    (((a.range*1000003 + b.range*40503 + c.range) * 2654435761) % 4294967296) // 16777216 AS v
+        |  FROM range(0,2) a, range(0,20) b, range(0,1152) c),
+        |cell AS (
+        |  SELECT sid, idx, (p // 3) // 24 AS y, (p // 3) % 24 AS x, p % 3 AS k, v FROM px),
+        |blurred AS (
+        |  SELECT c0.sid, c0.idx, c0.y, c0.x, c0.k,
+        |    CASE WHEN c0.y BETWEEN 1 AND 14 AND c0.x BETWEEN 1 AND 22 THEN
+        |      (SELECT SUM(c1.v) // 9 FROM cell c1
+        |       WHERE c1.sid = c0.sid AND c1.idx = c0.idx AND c1.k = c0.k
+        |         AND c1.y BETWEEN c0.y - 1 AND c0.y + 1 AND c1.x BETWEEN c0.x - 1 AND c0.x + 1)
+        |    ELSE c0.v END AS v
+        |  FROM cell c0),
+        |gs AS (SELECT sid, idx, y, x, SUM(v) // 3 AS g FROM cell GROUP BY sid, idx, y, x),
+        |gb AS (SELECT sid, idx, y, x, SUM(v) // 3 AS g FROM blurred GROUP BY sid, idx, y, x),
+        |laps AS (
+        |  SELECT g0.sid, g0.idx, 4*g0.g - gu.g - gd.g - gl.g - gr.g AS lap
+        |  FROM gs g0
+        |  JOIN gs gu ON gu.sid=g0.sid AND gu.idx=g0.idx AND gu.y=g0.y-1 AND gu.x=g0.x
+        |  JOIN gs gd ON gd.sid=g0.sid AND gd.idx=g0.idx AND gd.y=g0.y+1 AND gd.x=g0.x
+        |  JOIN gs gl ON gl.sid=g0.sid AND gl.idx=g0.idx AND gl.y=g0.y AND gl.x=g0.x-1
+        |  JOIN gs gr ON gr.sid=g0.sid AND gr.idx=g0.idx AND gr.y=g0.y AND gr.x=g0.x+1
+        |  WHERE g0.y BETWEEN 1 AND 14 AND g0.x BETWEEN 1 AND 22),
+        |lapb AS (
+        |  SELECT g0.sid, g0.idx, 4*g0.g - gu.g - gd.g - gl.g - gr.g AS lap
+        |  FROM gb g0
+        |  JOIN gb gu ON gu.sid=g0.sid AND gu.idx=g0.idx AND gu.y=g0.y-1 AND gu.x=g0.x
+        |  JOIN gb gd ON gd.sid=g0.sid AND gd.idx=g0.idx AND gd.y=g0.y+1 AND gd.x=g0.x
+        |  JOIN gb gl ON gl.sid=g0.sid AND gl.idx=g0.idx AND gl.y=g0.y AND gl.x=g0.x-1
+        |  JOIN gb gr ON gr.sid=g0.sid AND gr.idx=g0.idx AND gr.y=g0.y AND gr.x=g0.x+1
+        |  WHERE g0.y BETWEEN 1 AND 14 AND g0.x BETWEEN 1 AND 22),
+        |vs AS (
+        |  SELECT sid, idx,
+        |    CAST(SUM(lap*lap) AS DOUBLE)/COUNT(*) - (CAST(SUM(lap) AS DOUBLE)/COUNT(*))*(CAST(SUM(lap) AS DOUBLE)/COUNT(*)) AS var
+        |  FROM laps GROUP BY sid, idx),
+        |vb AS (
+        |  SELECT sid, idx,
+        |    CAST(SUM(lap*lap) AS DOUBLE)/COUNT(*) - (CAST(SUM(lap) AS DOUBLE)/COUNT(*))*(CAST(SUM(lap) AS DOUBLE)/COUNT(*)) AS var
+        |  FROM lapb GROUP BY sid, idx)
+        |SELECT vs.sid AS "streamId", vs.idx AS "index",
+        |  FLOOR(vs.var*10000 + 0.5)/10000 AS lap_sharp,
+        |  FLOOR(vb.var*10000 + 0.5)/10000 AS lap_blur,
+        |  vb.var < vs.var AS blur_detected
+        |FROM vs JOIN vb ON vb.sid = vs.sid AND vb.idx = vs.idx
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -14,11 +14,13 @@ import graft.streaming.StreamingOps
   * rows/schema/hash oracle machinery that gates the batch queries gates
   * the streaming pipelines too.
   *
-  * Determinism contract: each entry feeds its stream as ONE ordered
-  * MemoryStream batch (a single input partition). Shuffle reads preserve
-  * per-mapper row order, so stateful first-arrival choices (streaming
-  * exact dedup's keeper) resolve to the smallest doc_id — exactly what
-  * the DuckDB oracle's MIN(doc_id) computes.
+  * Determinism contract: entries whose ops make first-arrival choices
+  * (streaming exact dedup's keeper) feed ONE ordered single-partition
+  * MemoryStream batch, so shuffle-read order resolves to the smallest
+  * doc_id. stream_clean_corpus is stronger: its keeper is an
+  * order-independent min-per-(window, fingerprint) aggregation, and its
+  * gate deliberately feeds a 4-partition, doc_id-unordered stream —
+  * the oracle match PROVES partitioning independence there.
   */
 object StreamQueries {
 
@@ -43,10 +45,15 @@ object StreamQueries {
         .select(col("doc_id").as("id"),
           explode(Dedup.bandKeyStructs(col("__sh"), 8, 4)).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-      val shard = d.filter(col("doc_id") % 5 =!= 0).orderBy("doc_id")
+      // deliberately doc_id-UNORDERED (md5 shuffle) and fed through a
+      // 4-partition MemoryStream: the keeper is a min-per-(window, fp)
+      // aggregation, so the gate proves arrival-order/partitioning
+      // independence rather than assuming a single ordered feed
+      val shard = d.filter(col("doc_id") % 5 =!= 0)
+        .orderBy(md5(col("doc_id").cast("string")))
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val t0 = new java.sql.Timestamp(60L * 1000) // inside window [60s, 120s)
-      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)](s, numPartitions = 4)
       val out = StreamingOps.streamingCleanCorpus(
         in.toDF().toDF("doc_id", "text", "ts"), index,
         "doc_id", "text", "ts",
@@ -60,10 +67,15 @@ object StreamQueries {
       try {
         in.addData(shard.toSeq.map { case (id, t) => (id, t, t0) })
         q.processAllAvailable()
-        // sentinel: 1-token text (sentinel band, fails the gate) whose
-        // event time closes the shard's window; its own window never
-        // closes, so it can't emit
+        // sentinels: 1-token texts (sentinel band, fail the quality gate)
+        // whose event times close the shard's window; their own windows
+        // never close, so they can't emit. TWO sentinel batches because
+        // the pipeline now chains two stateful aggregations (keeper,
+        // band-miss count): the first flush emits the keeper agg, the
+        // second lets the downstream agg see the advanced watermark.
         in.addData(Seq((-1L, "flush", new java.sql.Timestamp(3600L * 1000))))
+        q.processAllAvailable()
+        in.addData(Seq((-2L, "flush", new java.sql.Timestamp(7200L * 1000))))
         q.processAllAvailable()
         val res = s.table(qname)
           .filter(col("id") >= 0)

@@ -39,17 +39,24 @@ object VideoQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ingest → Range(0,30) → Histogram — the reference's canonical pipeline.
-    // Bins are emitted as a scalar md5 digest (like img_histogram): the
-    // driver's compare sorts result columns in pandas, and an array column
-    // is unhashable there.
+    // Emitted as nonzero (channel, bucket, n) rows: the DuckDB oracle
+    // REGENERATES the synthetic source pixels ((sid*31+idx*7+p) & 255)
+    // with generate_series and recomputes the histogram — so the gate
+    // independently verifies the encode→store→decode→histogram chain
+    // (the stand-in codec is lossless), not a frozen digest.
     "video_histogram" -> ((s, _) => {
       val root   = ensureIngested(s)
       val frames = VideoStore.frames(s, root, "testvid").toDF()
       val ranged = SequenceOps.range(frames, 0L, 30L)
       val hists  = StdKernels.histogramOp(ranged.as[FrameElem](frameEnc))
-      hists.toDF()
-        .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
-        .orderBy("streamId", "index")
+      import s.implicits._
+      hists.flatMap { e =>
+        val bins = StdKernels.histogramBins(e.payload)
+        bins.indices.collect { case i if bins(i) != 0 =>
+          (e.streamId, e.index, i / 16, i % 16, bins(i))
+        }
+      }.toDF("streamId", "index", "channel", "bucket", "n")
+        .orderBy("streamId", "index", "channel", "bucket")
     }),
 
     // full container round-trip IN the driver gate: stored segments →
@@ -68,19 +75,31 @@ object VideoQueries {
       val frames = VideoStore.frames(s, root, "testvid_rt").toDF()
       val ranged = SequenceOps.range(frames, 0L, 30L)
       val hists  = StdKernels.histogramOp(ranged.as[FrameElem](frameEnc))
-      hists.toDF()
-        .select(col("streamId"), col("index"), md5(col("payload")).as("hist_md5"))
-        .orderBy("streamId", "index")
+      import s.implicits._
+      hists.flatMap { e =>
+        val bins = StdKernels.histogramBins(e.payload)
+        bins.indices.collect { case i if bins(i) != 0 =>
+          (e.streamId, e.index, i / 16, i % 16, bins(i))
+        }
+      }.toDF("streamId", "index", "channel", "bucket", "n")
+        .orderBy("streamId", "index", "channel", "bucket")
     }),
 
-    // sparse gather through the keyframe index (BASELINE.md bench target 4)
+    // sparse gather through the keyframe index (BASELINE.md bench target 4);
+    // emitted per-PIXEL so the DuckDB oracle regenerates the gathered
+    // frames' source pixels from the synthetic definition — decode
+    // fidelity checked against pre-ingest truth, not a frozen digest
     "video_sparse_gather" -> ((s, _) => {
       val root = ensureIngested(s)
       val rows = Seq(3L, 77L, 150L, 299L)
-      VideoStore.gatherFrames(s, root, "testvid", 0L, rows).toDF()
-        .select(col("streamId"), col("index"), col("height"), col("width"),
-          md5(col("data")).as("frame_md5"))
-        .orderBy("index")
+      import s.implicits._
+      VideoStore.gatherFrames(s, root, "testvid", 0L, rows)
+        .flatMap { f =>
+          f.data.indices.map(p =>
+            (f.streamId, f.index, f.height, f.width, p.toLong, f.data(p) & 0xff))
+        }
+        .toDF("streamId", "index", "height", "width", "pos", "pixel")
+        .orderBy("index", "pos")
     }),
 
     // stream-config args end-to-end (py_test.py:339-348): one graph over
@@ -374,6 +393,42 @@ object VideoQueries {
     // ingest diagnostics: per-stream GOP structure rollup (frame count,
     // keyframe density, bytes) — the first sanity report a video-corpus
     // ingest prints; one map-side-combining agg over the index rows
+    // CABAC entropy coding end-to-end through the committed store: the
+    // same 96 frames ingest twice — once CAVLC, once CABAC (arithmetic
+    // slice data, §9.3) — and every decoded pixel must MATCH across the
+    // two stores, because the quantized-coefficient pipeline is entropy-
+    // independent. The oracle recomputes the expected (n_pixels, 0)
+    // relation outright: a single flipped bin anywhere in the CABAC
+    // engine/contexts desynchronizes the decode and floods n_diff.
+    // I frames exercise the I16x16 CABAC path, P frames the
+    // skip/mvd/cbp path (gopSize 16 -> IDR + 15 P per GOP).
+    "video_h264_cabac_roundtrip" -> ((s, _) => {
+      val root = sys.props("java.io.tmpdir") + "/graft-videoq"
+      import s.implicits._
+      def ensure(name: String, codec: graft.sources.H264GopCodec): Unit =
+        if (!graft.sources.NamedStorage.committed(s, root, name)) {
+          val fr = (0L until 2L).flatMap(sid =>
+            (0 until 48).map(i => StdKernels.syntheticFrame(sid, i.toLong, 16, 24, 3)))
+          VideoStore.ingest(fr.toDS(), root, name, gopSize = 16,
+            CacheMode.Ignore, codec = codec)
+        }
+      ensure("cabacvid", graft.sources.H264GopCodec.Cabac)
+      ensure("cavlcvid", graft.sources.H264GopCodec.Default)
+      val pa = VideoStore.frames(s, root, "cabacvid",
+          codec = graft.sources.H264GopCodec.Cabac)
+        .flatMap(f => f.data.indices.map(p => (f.streamId, f.index, p, f.data(p))))
+        .toDF("streamId", "index", "pos", "va")
+      val pb = VideoStore.frames(s, root, "cavlcvid",
+          codec = graft.sources.H264GopCodec.Default)
+        .flatMap(f => f.data.indices.map(p => (f.streamId, f.index, p, f.data(p))))
+        .toDF("streamId", "index", "pos", "vb")
+      pa.join(pb, Seq("streamId", "index", "pos"))
+        .groupBy(col("streamId"), col("index"))
+        .agg(count(lit(1)).as("n_pixels"),
+          sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)).as("n_diff"))
+        .orderBy("streamId", "index")
+    }),
+
     "video_h264_gop_stats" -> ((s, _) => {
       val dir = ensureH264Fixture()
       graft.sources.H264Ingest.indexFiles(s, dir + "/*.h264")
@@ -561,7 +616,47 @@ object VideoQueries {
     dir.getPath
   }
 
-  /** inputs are generated codec segments, not shared parquet — oracles are
-    * pinned VALUES literals (see [[PinnedOracles]]) */
-  val oracles: Map[String, String] = Map.empty
+  /** REAL DuckDB recomputation for the queries whose synthetic source is
+    * closed-form ([[StdKernels.syntheticFrame]]: pixel = (sid*31+idx*7+p)
+    * mod 256, 16x24x3 HWC): the oracle regenerates the pre-ingest pixels
+    * with generate_series and replays the kernel — so these gates verify
+    * the whole encode→store→decode path against INDEPENDENT truth. */
+  private val recomputed: Map[String, String] = Map(
+    "video_histogram" ->
+      """WITH px AS (
+        |  SELECT a.range AS sid, b.range AS idx, c.range AS p,
+        |    (a.range*31 + b.range*7 + c.range) % 256 AS v
+        |  FROM range(0,2) a, range(0,30) b, range(0,1152) c)
+        |SELECT sid AS "streamId", idx AS "index", CAST(p % 3 AS INT) AS channel,
+        |  CAST(v // 16 AS INT) AS bucket, CAST(COUNT(*) AS INT) AS n
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // the roundtrip re-ingests STREAM 0 only (export → mp4 → demux)
+    "video_roundtrip_histogram" ->
+      """WITH px AS (
+        |  SELECT 0::BIGINT AS sid, b.range AS idx, c.range AS p,
+        |    (b.range*7 + c.range) % 256 AS v
+        |  FROM range(0,30) b, range(0,1152) c)
+        |SELECT sid AS "streamId", idx AS "index", CAST(p % 3 AS INT) AS channel,
+        |  CAST(v // 16 AS INT) AS bucket, CAST(COUNT(*) AS INT) AS n
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // the cross-entropy invariant: every frame fully decoded, zero pixel
+    // diffs between the CABAC and CAVLC stores
+    "video_h264_cabac_roundtrip" ->
+      """SELECT a.range AS "streamId", b.range AS "index",
+        |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
+        |FROM range(0,2) a, range(0,48) b ORDER BY 1, 2""".stripMargin,
+    "video_sparse_gather" ->
+      """WITH px AS (
+        |  SELECT 0::BIGINT AS sid, b.idx, c.range AS p,
+        |    (b.idx*7 + c.range) % 256 AS v
+        |  FROM (SELECT UNNEST([3, 77, 150, 299]) AS idx) b, range(0,1152) c)
+        |SELECT sid AS "streamId", idx AS "index", 16 AS height, 24 AS width,
+        |  CAST(p AS BIGINT) AS pos, CAST(v AS INT) AS pixel
+        |FROM px ORDER BY 2, 5""".stripMargin)
+
+  /** recomputed where the source is closed-form; the remaining video
+    * queries (flow/thumb/shot-cut/h264 pipelines) read generated codec
+    * segments whose transforms SQL can't replay — pinned VALUES literals
+    * (see [[PinnedOracles]]) */
+  val oracles: Map[String, String] = recomputed
 }

@@ -1,0 +1,259 @@
+package graft.sources
+
+/** CABAC entropy layer (ITU-T H.264 §9.3) for the pure-JVM codec: the
+  * binary arithmetic coding ENGINE (M-coder) with the spec's probability
+  * state machine, plus the binarization helpers the slice coders in
+  * [[H264Codec]] build on (truncated unary, UEGk, terminate).
+  *
+  * What is spec-true here: the arithmetic coder itself — 9-bit
+  * range/10-bit low, the 64-state LPS probability table
+  * (`rangeTabLPS`, Table 9-44), the state transitions
+  * (`transIdxLPS`/MPS, Table 9-45), bypass and terminate coding, the
+  * encoder flush (§9.3.4.6), and the §9.3.2 binarizations. The engine
+  * tables were transcribed from the published ITU-T H.264 spec; this
+  * container is offline, so the transcription could not be re-checked
+  * against a reference decoder — any slip there keeps every
+  * encode/decode ROUNDTRIP in this repo bit-exact (both sides share the
+  * table) but would break interop with external decoders at exactly the
+  * slipped state.
+  *
+  * What is deliberately NOT spec-conformant — and marked in-stream by an
+  * SEI (see [[H264Codec]]): CONTEXT INITIALIZATION. The spec derives
+  * each context's initial (pStateIdx, valMPS) from per-syntax-element
+  * (m, n) tables (9-12..9-33, several hundred constants) that were not
+  * available offline and are not reconstructible from first principles.
+  * All contexts here initialize to (pStateIdx = 0, valMPS = 0) — the
+  * maximum-entropy state the adaptive engine converges away from within
+  * a few bins. Cost: a few bits per context of adaptation overhead;
+  * effect on correctness: none for self-decode, fatal for external
+  * decoders (which would start from the spec's states) — hence the loud
+  * in-stream marker and the README note. `cabac_init_idc` is emitted as
+  * 0 and ignored on parse for the same reason.
+  *
+  * Reference context: scanner decodes CABAC via FFmpeg/NVDEC behind
+  * `scanner/video/decoder_automata.h:28-51`; this layer is the pure-JVM
+  * equivalent surface for the repo's own streams.
+  */
+object H264Cabac {
+
+  /** Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx] */
+  private[graft] val rangeTabLPS: Array[Array[Int]] = Array(
+    Array(128, 176, 208, 240), Array(128, 167, 197, 227),
+    Array(128, 158, 187, 216), Array(123, 150, 178, 205),
+    Array(116, 142, 169, 195), Array(111, 135, 160, 185),
+    Array(105, 128, 152, 175), Array(100, 122, 144, 166),
+    Array(95, 116, 137, 158), Array(90, 110, 130, 150),
+    Array(85, 104, 123, 142), Array(81, 99, 117, 135),
+    Array(77, 94, 111, 128), Array(73, 89, 105, 122),
+    Array(69, 85, 100, 116), Array(66, 80, 95, 110),
+    Array(62, 76, 90, 104), Array(59, 72, 86, 99),
+    Array(56, 69, 81, 94), Array(53, 65, 77, 89),
+    Array(51, 62, 73, 85), Array(48, 59, 69, 80),
+    Array(46, 56, 66, 76), Array(43, 53, 63, 72),
+    Array(41, 50, 59, 69), Array(39, 48, 56, 65),
+    Array(37, 45, 54, 62), Array(35, 43, 51, 59),
+    Array(33, 41, 48, 56), Array(32, 39, 46, 53),
+    Array(30, 37, 43, 50), Array(29, 35, 41, 48),
+    Array(27, 33, 39, 45), Array(26, 31, 37, 43),
+    Array(24, 30, 35, 41), Array(23, 28, 33, 39),
+    Array(22, 27, 32, 37), Array(21, 26, 30, 35),
+    Array(20, 24, 29, 33), Array(19, 23, 27, 31),
+    Array(18, 22, 26, 30), Array(17, 21, 25, 28),
+    Array(16, 20, 23, 27), Array(15, 19, 22, 25),
+    Array(14, 18, 21, 24), Array(14, 17, 20, 23),
+    Array(13, 16, 19, 22), Array(12, 15, 18, 21),
+    Array(12, 14, 17, 20), Array(11, 14, 16, 19),
+    Array(11, 13, 15, 18), Array(10, 12, 15, 17),
+    Array(10, 12, 14, 16), Array(9, 11, 13, 15),
+    Array(9, 11, 12, 14), Array(8, 10, 12, 14),
+    Array(8, 9, 11, 13), Array(7, 9, 11, 12),
+    Array(7, 9, 10, 12), Array(7, 8, 10, 11),
+    Array(6, 8, 9, 11), Array(6, 7, 9, 10),
+    Array(6, 7, 8, 9), Array(2, 2, 2, 2))
+
+  /** Table 9-45: transIdxLPS[pStateIdx] (MPS transition is min(s+1, 62)) */
+  private[graft] val transIdxLPS: Array[Int] = Array(
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+    24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+    33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63)
+
+  @inline private def transIdxMPS(s: Int): Int = if (s < 62) s + 1 else s
+
+  /** context bank: packed (pStateIdx << 1) | valMPS, repo-local uniform
+    * init (see the object scaladoc)
+    */
+  final class Contexts(n: Int) {
+    val s = new Array[Int](n)
+  }
+
+  /** §9.3.4 arithmetic ENCODER over the shared MSB-first BitWriter.
+    * Call pattern: bins via encodeBin/Bypass/Terminate; after the final
+    * terminate(1) (end_of_slice), `flush()` emits the tail INCLUDING the
+    * rbsp_stop_one_bit, then the caller byte-aligns with zeros.
+    */
+  final class Encoder(bw: H264Writer.BitWriter) {
+    private var low = 0L
+    private var range = 510
+    private var outstanding = 0
+    private var first = true
+
+    private def putBit(b: Int): Unit = {
+      if (first) first = false else bw.u1(b)
+      while (outstanding > 0) { bw.u1(1 - b); outstanding -= 1 }
+    }
+
+    private def renorm(): Unit = {
+      while (range < 256) {
+        if (low >= 512) { putBit(1); low -= 512 }
+        else if (low < 256) putBit(0)
+        else { outstanding += 1; low -= 256 }
+        range <<= 1
+        low <<= 1
+      }
+    }
+
+    def encodeBin(cx: Contexts, idx: Int, bin: Int): Unit = {
+      val packed = cx.s(idx)
+      val pState = packed >> 1
+      val valMps = packed & 1
+      val rLps = rangeTabLPS(pState)((range >> 6) & 3)
+      range -= rLps
+      if (bin != valMps) {
+        low += range
+        range = rLps
+        val nextMps = if (pState == 0) 1 - valMps else valMps
+        cx.s(idx) = (transIdxLPS(pState) << 1) | nextMps
+      } else
+        cx.s(idx) = (transIdxMPS(pState) << 1) | valMps
+      renorm()
+    }
+
+    def encodeBypass(bin: Int): Unit = {
+      low <<= 1
+      if (bin != 0) low += range
+      if (low >= 1024) { putBit(1); low -= 1024 }
+      else if (low < 512) putBit(0)
+      else { outstanding += 1; low -= 512 }
+    }
+
+    def encodeTerminate(bin: Int): Unit = {
+      range -= 2
+      if (bin != 0) {
+        low += range
+        range = 2
+      }
+      renorm()
+    }
+
+    /** §9.3.4.6 EncodeFlush — run AFTER encodeTerminate(1); the final
+      * written bits carry the rbsp stop bit
+      */
+    def flush(): Unit = {
+      // terminate(1) already set range = 2 and renormalized
+      putBit(((low >> 9) & 1).toInt)
+      bw.u(2, (((low >> 7) & 3) | 1).toInt)
+    }
+  }
+
+  /** §9.3.3.2 arithmetic DECODER over the shared BitReader (the reader
+    * must be byte-aligned by the caller — cabac_alignment_one_bit —
+    * before construction)
+    */
+  final class Decoder(r: H264.BitReader) {
+    // reads past the RBSP end resolve to 0 — the spec's decoder never
+    // needs bits beyond the flush, but renormalization may LOOK ahead a
+    // few bits past the aligned tail of a tiny slice
+    @inline private def bit(): Int = if (r.bitsLeft > 0) r.u1 else 0
+    private def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    private var range = 510
+    private var offset = bits(9)
+
+    def decodeBin(cx: Contexts, idx: Int): Int = {
+      val packed = cx.s(idx)
+      val pState = packed >> 1
+      val valMps = packed & 1
+      val rLps = rangeTabLPS(pState)((range >> 6) & 3)
+      range -= rLps
+      val bin =
+        if (offset >= range) {
+          offset -= range
+          range = rLps
+          val nextMps = if (pState == 0) 1 - valMps else valMps
+          cx.s(idx) = (transIdxLPS(pState) << 1) | nextMps
+          1 - valMps
+        } else {
+          cx.s(idx) = (transIdxMPS(pState) << 1) | valMps
+          valMps
+        }
+      while (range < 256) { range <<= 1; offset = (offset << 1) | bit() }
+      bin
+    }
+
+    def decodeBypass(): Int = {
+      offset = (offset << 1) | bit()
+      if (offset >= range) { offset -= range; 1 } else 0
+    }
+
+    /** returns 1 at slice end (no renorm — decoding stops) */
+    def decodeTerminate(): Int = {
+      range -= 2
+      if (offset >= range) 1
+      else {
+        while (range < 256) { range <<= 1; offset = (offset << 1) | bit() }
+        0
+      }
+    }
+  }
+
+  // ------------------------------------------------- binarization helpers
+
+  /** truncated unary: for v < cMax emit v ones + a zero; v == cMax emits
+    * cMax ones. `ctxOf(binIdx)` maps each bin to its context slot.
+    */
+  def encodeTU(e: Encoder, cx: Contexts, v: Int, cMax: Int, ctxOf: Int => Int): Unit = {
+    var i = 0
+    while (i < v) { e.encodeBin(cx, ctxOf(i), 1); i += 1 }
+    if (v < cMax) e.encodeBin(cx, ctxOf(v), 0)
+  }
+
+  def decodeTU(d: Decoder, cx: Contexts, cMax: Int, ctxOf: Int => Int): Int = {
+    var v = 0
+    while (v < cMax && d.decodeBin(cx, ctxOf(v)) == 1) v += 1
+    v
+  }
+
+  /** UEGk suffix (§9.3.2.3), bypass-coded; call when the TU prefix hit
+    * cMax. Encodes `sufS = v - cMax`.
+    */
+  def encodeEGkSuffix(e: Encoder, sufS0: Int, k0: Int): Unit = {
+    var sufS = sufS0
+    var k = k0
+    var stop = false
+    while (!stop) {
+      if (sufS >= (1 << k)) {
+        e.encodeBypass(1)
+        sufS -= 1 << k
+        k += 1
+      } else {
+        e.encodeBypass(0)
+        var i = k - 1
+        while (i >= 0) { e.encodeBypass((sufS >> i) & 1); i -= 1 }
+        stop = true
+      }
+    }
+  }
+
+  def decodeEGkSuffix(d: Decoder, k0: Int): Int = {
+    var v = 0
+    var k = k0
+    while (d.decodeBypass() == 1) { v += 1 << k; k += 1 }
+    var i = k - 1
+    while (i >= 0) { v += d.decodeBypass() << i; i -= 1 }
+    v
+  }
+}

@@ -99,12 +99,12 @@ object H264Codec {
     bw.rbspTrailing()
   }
 
-  /** codec PPS: CAVLC, deblocking control present (slices disable it) */
-  private def codecPps(): Array[Byte] = {
+  /** codec PPS: CAVLC or CABAC, deblocking control present */
+  private def codecPps(cabac: Boolean = false): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.ue(0)   // pps_id
     bw.ue(0)   // sps_id
-    bw.u1(0)   // entropy_coding_mode_flag: CAVLC
+    bw.u1(if (cabac) 1 else 0) // entropy_coding_mode_flag
     bw.u1(0)   // pic_order_present_flag
     bw.ue(0)   // num_slice_groups_minus1
     bw.ue(0); bw.ue(0) // num_ref_idx_l{0,1}_active_minus1
@@ -952,6 +952,529 @@ object H264Codec {
     chromaAc(st.nzCr, mc.crAcZig)
   }
 
+  // ------------------------------------------------ CABAC slice coding
+  //
+  // The entropy-independent layers (analyse*, reconstruct*, deblocking)
+  // are shared with CAVLC; only the bitstream read/write differs — which
+  // is why CabacSpec can assert CABAC-decoded pixels equal CAVLC-decoded
+  // pixels bit for bit. Context-increment derivations follow §9.3.3.1
+  // (neighbor-driven), with two documented repo-local choices: uniform
+  // context INIT (see [[H264Cabac]]'s scaladoc — the spec's (m, n)
+  // tables were not available offline) and condTermFlag = 0 for
+  // unavailable neighbors everywhere (the spec special-cases intra MBs
+  // to 1 for some elements). Both choices are symmetric between this
+  // encoder and decoder; both are marked by the stream's SEI.
+
+  /** context-bank layout (one [[H264Cabac.Contexts]] per slice) */
+  private object CabacCtx {
+    val MbTypeI = 0 // + inc 0..2
+    val MbTypeICbpLuma = 3
+    val MbTypeICbpChroma0 = 4
+    val MbTypeICbpChroma1 = 5
+    val MbTypeIPred0 = 6
+    val MbTypeIPred1 = 7
+    val Skip = 8 // + inc 0..2
+    val PMbType = 11 // bins 0..2
+    val QpDelta = 14 // bin0 + 0/1, bin1 + 2, rest + 3
+    val ChromaMode = 18 // bin0 + inc 0..2, bins > 0 at 21
+    val CbpLuma = 22 // + inc 0..3
+    val CbpChroma0 = 26 // + inc 0..3
+    val CbpChroma1 = 30 // + inc 0..3
+    val Mvd = 34 // x at 34 (bin0 +0..2, bins 1.. at 37..40), y at 41
+    val Cbf = 48 // + cat*4 + inc 0..3
+    val Sig = 68 // + sigBase(cat) + pos
+    val Last = 134 // + sigBase(cat) + pos
+    val AbsLevel = 200 // + cat*10 + inc 0..9
+    val N = 250
+    // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
+    // 3 ChromaDC(4) 4 ChromaAC(15)
+    val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
+    val maxCoeff: Array[Int] = Array(16, 15, 16, 4, 15)
+  }
+
+  /** Per-slice neighbor state for context increments — maintained
+    * IDENTICALLY by the encoder and the decoder as macroblocks complete
+    * (that symmetry is the whole correctness argument). Neighbor
+    * availability rides [[PicState.mbAvail]], so cross-slice neighbors
+    * are excluded exactly like the CAVLC nC contexts.
+    */
+  private final class CabacMbState(st: PicState) {
+    private val n = st.mbW * st.mbH
+    val skip = new Array[Boolean](n)
+    val cbp = new Array[Int](n) // luma | chroma << 4 (0 for skip)
+    val isIntra = new Array[Boolean](n)
+    val chromaModeNz = new Array[Boolean](n)
+    val mvdX = new Array[Int](n)
+    val mvdY = new Array[Int](n)
+    val lumaDcNz = new Array[Boolean](n)
+    val cbDcNz = new Array[Boolean](n)
+    val crDcNz = new Array[Boolean](n)
+    var lastQpDeltaNz = false
+
+    @inline private def mi(x: Int, y: Int) = y * st.mbW + x
+    @inline private def a(mbX: Int, mbY: Int): Int =
+      if (st.mbAvail(mbX - 1, mbY)) mi(mbX - 1, mbY) else -1
+    @inline private def b(mbX: Int, mbY: Int): Int =
+      if (st.mbAvail(mbX, mbY - 1)) mi(mbX, mbY - 1) else -1
+
+    def incMbTypeI(mbX: Int, mbY: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && isIntra(ia)) 1 else 0) + (if (ib >= 0 && isIntra(ib)) 1 else 0)
+    }
+    def incSkip(mbX: Int, mbY: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && !skip(ia)) 1 else 0) + (if (ib >= 0 && !skip(ib)) 1 else 0)
+    }
+    def incChromaMode(mbX: Int, mbY: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && isIntra(ia) && chromaModeNz(ia)) 1 else 0) +
+        (if (ib >= 0 && isIntra(ib) && chromaModeNz(ib)) 1 else 0)
+    }
+    def incQpDelta: Int = if (lastQpDeltaNz) 1 else 0
+    /** cbp-luma bin for 8x8 block b8 (z-order): condTerm = neighbor 8x8
+      * cbp bit == 0 (skipped neighbors have cbp 0 → condTerm 1)
+      */
+    def incCbpLuma(mbX: Int, mbY: Int, b8: Int, curBits: Int): Int = {
+      val bx = b8 & 1; val by = b8 >> 1
+      val condA =
+        if (bx == 1) (if ((curBits >> (b8 - 1) & 1) == 0) 1 else 0)
+        else {
+          val ia = a(mbX, mbY)
+          if (ia < 0) 0 else if ((cbp(ia) >> (b8 + 1) & 1) == 0) 1 else 0
+        }
+      val condB =
+        if (by == 1) (if ((curBits >> (b8 - 2) & 1) == 0) 1 else 0)
+        else {
+          val ib = b(mbX, mbY)
+          if (ib < 0) 0 else if ((cbp(ib) >> (b8 + 2) & 1) == 0) 1 else 0
+        }
+      condA + 2 * condB
+    }
+    def incCbpChroma(mbX: Int, mbY: Int, bin: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      def cond(i: Int): Int =
+        if (i < 0) 0
+        else {
+          val cc = cbp(i) >> 4
+          if (bin == 0) (if (cc != 0) 1 else 0) else (if (cc == 2) 1 else 0)
+        }
+      cond(ia) + 2 * cond(ib)
+    }
+    def incMvd(mbX: Int, mbY: Int, yComp: Boolean): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      val arr = if (yComp) mvdY else mvdX
+      val s = (if (ia >= 0) math.abs(arr(ia)) else 0) +
+        (if (ib >= 0) math.abs(arr(ib)) else 0)
+      if (s < 3) 0 else if (s <= 32) 1 else 2
+    }
+    /** coded_block_flag inc = condA + 2*condB over same-category
+      * neighbor blocks; DC flags are per-MB, AC/4x4 flags read the nz
+      * grids (count > 0) at block coordinates
+      */
+    def incCbfDc(mbX: Int, mbY: Int, flags: Array[Boolean]): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && flags(ia)) 1 else 0) + (if (ib >= 0 && flags(ib)) 2 else 0)
+    }
+    def incCbf4x4(nz: Array[Int], rowW: Int, blkPerMb: Int, bx: Int, by: Int): Int = {
+      val condA =
+        if (bx > 0 && st.mbAvail((bx - 1) / blkPerMb, by / blkPerMb) &&
+            nz(by * rowW + bx - 1) > 0) 1 else 0
+      val condB =
+        if (by > 0 && st.mbAvail(bx / blkPerMb, (by - 1) / blkPerMb) &&
+            nz((by - 1) * rowW + bx) > 0) 1 else 0
+      condA + 2 * condB
+    }
+  }
+
+  /** §9.3.2.3-style residual block, encode side: coded_block_flag +
+    * sig/last maps + reverse-order UEG0 levels. Returns the nonzero
+    * count (the nz bookkeeping value, same semantics as CAVLC
+    * TotalCoeff).
+    */
+  private def cabacWriteBlock(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      cat: Int, cbfInc: Int, coeffs: Array[Int], maxN: Int): Int = {
+    var total = 0
+    var lastIdx = -1
+    var i = 0
+    while (i < maxN) {
+      if (coeffs(i) != 0) { total += 1; lastIdx = i }
+      i += 1
+    }
+    e.encodeBin(cx, CabacCtx.Cbf + cat * 4 + cbfInc, if (total > 0) 1 else 0)
+    if (total == 0) return 0
+    @inline def sigPos(p: Int): Int = if (cat == 3) math.min(p, 2) else p
+    i = 0
+    var done = false
+    while (i < maxN - 1 && !done) {
+      val sig = coeffs(i) != 0
+      e.encodeBin(cx, CabacCtx.Sig + CabacCtx.sigBase(cat) + sigPos(i), if (sig) 1 else 0)
+      if (sig) {
+        e.encodeBin(cx, CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(i),
+          if (i == lastIdx) 1 else 0)
+        if (i == lastIdx) done = true
+      }
+      i += 1
+    }
+    // if the loop ran out, position maxN-1 is the implied last significant
+    var numGt1 = 0
+    var numEq1 = 0
+    i = lastIdx
+    while (i >= 0) {
+      val c = coeffs(i)
+      if (c != 0) {
+        val absM1 = math.abs(c) - 1
+        val bin0Inc = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
+        H264Cabac.encodeTU(e, cx, math.min(absM1, 14), 14,
+          b => CabacCtx.AbsLevel + cat * 10 +
+            (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
+        if (absM1 >= 14) H264Cabac.encodeEGkSuffix(e, absM1 - 14, 0)
+        e.encodeBypass(if (c < 0) 1 else 0)
+        if (math.abs(c) > 1) numGt1 += 1 else numEq1 += 1
+      }
+      i -= 1
+    }
+    total
+  }
+
+  /** residual block, decode side — fills `out` (zig order), returns the
+    * nonzero count */
+  private def cabacReadBlock(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
+      cat: Int, cbfInc: Int, out: Array[Int], maxN: Int): Int = {
+    java.util.Arrays.fill(out, 0, maxN, 0)
+    if (d.decodeBin(cx, CabacCtx.Cbf + cat * 4 + cbfInc) == 0) return 0
+    @inline def sigPos(p: Int): Int = if (cat == 3) math.min(p, 2) else p
+    val sig = new Array[Boolean](maxN)
+    var lastIdx = -1
+    var i = 0
+    var done = false
+    while (i < maxN - 1 && !done) {
+      if (d.decodeBin(cx, CabacCtx.Sig + CabacCtx.sigBase(cat) + sigPos(i)) == 1) {
+        sig(i) = true
+        if (d.decodeBin(cx, CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(i)) == 1) {
+          lastIdx = i
+          done = true
+        }
+      }
+      i += 1
+    }
+    if (!done) { sig(maxN - 1) = true; lastIdx = maxN - 1 }
+    var total = 0
+    var numGt1 = 0
+    var numEq1 = 0
+    i = lastIdx
+    while (i >= 0) {
+      if (sig(i)) {
+        val bin0Inc = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
+        var absM1 = H264Cabac.decodeTU(d, cx, 14,
+          b => CabacCtx.AbsLevel + cat * 10 +
+            (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
+        if (absM1 == 14) absM1 += H264Cabac.decodeEGkSuffix(d, 0)
+        val mag = absM1 + 1
+        out(i) = if (d.decodeBypass() == 1) -mag else mag
+        total += 1
+        if (mag > 1) numGt1 += 1 else numEq1 += 1
+      }
+      i -= 1
+    }
+    total
+  }
+
+  /** mvd component: UEG3, TU prefix cMax 9 (bin0 ctx by neighbor |mvd|
+    * sum, bins 1..4 ladder, 5+ share), EG3 bypass suffix, bypass sign
+    */
+  private def cabacWriteMvd(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      base: Int, inc0: Int, v: Int): Unit = {
+    val mag = math.abs(v)
+    H264Cabac.encodeTU(e, cx, math.min(mag, 9), 9,
+      b => base + (if (b == 0) inc0 else 3 + math.min(b - 1, 3)))
+    if (mag >= 9) H264Cabac.encodeEGkSuffix(e, mag - 9, 3)
+    if (mag != 0) e.encodeBypass(if (v < 0) 1 else 0)
+  }
+
+  private def cabacReadMvd(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
+      base: Int, inc0: Int): Int = {
+    var mag = H264Cabac.decodeTU(d, cx, 9,
+      b => base + (if (b == 0) inc0 else 3 + math.min(b - 1, 3)))
+    if (mag == 9) mag += H264Cabac.decodeEGkSuffix(d, 3)
+    if (mag == 0) 0
+    else if (d.decodeBypass() == 1) -mag
+    else mag
+  }
+
+  /** the shared I16 residual order (luma DC, luma AC x16, chroma DC Cb/Cr,
+    * chroma AC x8) for both CABAC directions — `rw` abstracts the block
+    * coder so write and read cannot drift
+    */
+  private def cabacResidualI16(st: PicState, cms: CabacMbState, mbX: Int, mbY: Int,
+      mc: MbCoeffs,
+      rw: (Int, Int, Array[Int], Int) => Int): Unit = {
+    val mi = mbY * st.mbW + mbX
+    val bX = mbX * 4; val bY = mbY * 4
+    val dcNz = rw(0, cms.incCbfDc(mbX, mbY, cms.lumaDcNz), mc.lumaDcZig, 16)
+    cms.lumaDcNz(mi) = dcNz > 0
+    var blk = 0
+    while (blk < 16) {
+      val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+      val tc =
+        if (mc.cbpLuma != 0)
+          rw(1, cms.incCbf4x4(st.nzY, st.bw4, 4, ax, ay), mc.lumaAcZig(blk), 15)
+        else 0
+      st.nzY(ay * st.bw4 + ax) = tc
+      blk += 1
+    }
+    if (mc.cbpChroma != 0) {
+      cms.cbDcNz(mi) = rw(3, cms.incCbfDc(mbX, mbY, cms.cbDcNz), mc.cbDcZig, 4) > 0
+      cms.crDcNz(mi) = rw(3, cms.incCbfDc(mbX, mbY, cms.crDcNz), mc.crDcZig, 4) > 0
+    }
+    val cX = mbX * 2; val cY = mbY * 2
+    def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      var cb = 0
+      while (cb < 4) {
+        val ax = cX + cb % 2; val ay = cY + cb / 2
+        val tc =
+          if (mc.cbpChroma == 2)
+            rw(4, cms.incCbf4x4(nz, st.cbw4, 2, ax, ay), acZig(cb), 15)
+          else 0
+        nz(ay * st.cbw4 + ax) = tc
+        cb += 1
+      }
+    }
+    chromaAc(st.nzCb, mc.cbAcZig)
+    chromaAc(st.nzCr, mc.crAcZig)
+  }
+
+  /** P-MB residual order (luma 4x4 x16 gated by 8x8 cbp bits, chroma DC,
+    * chroma AC), shared shape for both directions
+    */
+  private def cabacResidualP(st: PicState, cms: CabacMbState, mbX: Int, mbY: Int,
+      mc: PMbCoeffs,
+      rw: (Int, Int, Array[Int], Int) => Int): Unit = {
+    val mi = mbY * st.mbW + mbX
+    val bX = mbX * 4; val bY = mbY * 4
+    var blk = 0
+    while (blk < 16) {
+      val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+      val tc =
+        if (((mc.cbpLuma >> (blk / 4)) & 1) != 0)
+          rw(2, cms.incCbf4x4(st.nzY, st.bw4, 4, ax, ay), mc.lumaZig(blk), 16)
+        else 0
+      st.nzY(ay * st.bw4 + ax) = tc
+      blk += 1
+    }
+    if (mc.cbpChroma != 0) {
+      cms.cbDcNz(mi) = rw(3, cms.incCbfDc(mbX, mbY, cms.cbDcNz), mc.cbDcZig, 4) > 0
+      cms.crDcNz(mi) = rw(3, cms.incCbfDc(mbX, mbY, cms.crDcNz), mc.crDcZig, 4) > 0
+    }
+    val cX = mbX * 2; val cY = mbY * 2
+    def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      var cb = 0
+      while (cb < 4) {
+        val ax = cX + cb % 2; val ay = cY + cb / 2
+        val tc =
+          if (mc.cbpChroma == 2)
+            rw(4, cms.incCbf4x4(nz, st.cbw4, 2, ax, ay), acZig(cb), 15)
+          else 0
+        nz(ay * st.cbw4 + ax) = tc
+        cb += 1
+      }
+    }
+    chromaAc(st.nzCb, mc.cbAcZig)
+    chromaAc(st.nzCr, mc.crAcZig)
+  }
+
+  /** the CABAC I-slice macroblock loop over [startMb, endMb) */
+  private def encodeIRangeCabac(st: PicState, bw: H264Writer.BitWriter, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      startMb: Int, endMb: Int): Unit = {
+    bw.alignOne() // cabac_alignment_one_bit
+    val e = new H264Cabac.Encoder(bw)
+    val cx = new H264Cabac.Contexts(CabacCtx.N)
+    val cms = new CabacMbState(st)
+    var mb = startMb
+    while (mb < endMb) {
+      val mbX = mb % st.mbW; val mbY = mb / st.mbW
+      val mi = mbY * st.mbW + mbX
+      st.sliceOfMb(mb) = st.curSlice
+      val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
+      // mb_type I16x16: not-I_NxN, not-I_PCM (terminate), cbp + pred DC
+      e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 1)
+      e.encodeTerminate(0)
+      e.encodeBin(cx, CabacCtx.MbTypeICbpLuma, if (mc.cbpLuma == 15) 1 else 0)
+      e.encodeBin(cx, CabacCtx.MbTypeICbpChroma0, if (mc.cbpChroma != 0) 1 else 0)
+      if (mc.cbpChroma != 0)
+        e.encodeBin(cx, CabacCtx.MbTypeICbpChroma1, if (mc.cbpChroma == 2) 1 else 0)
+      e.encodeBin(cx, CabacCtx.MbTypeIPred0, 1) // Intra_16x16 pred mode 2 (DC): '10'
+      e.encodeBin(cx, CabacCtx.MbTypeIPred1, 0)
+      // intra_chroma_pred_mode 0 (DC): TU bin0 = 0
+      e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
+      // mb_qp_delta 0
+      e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0)
+      cms.lastQpDeltaNz = false
+      cabacResidualI16(st, cms, mbX, mbY, mc,
+        (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+      cms.isIntra(mi) = true
+      cms.cbp(mi) = mc.cbpLuma | (mc.cbpChroma << 4)
+      reconstructMb(st, mbX, mbY, qp, mc)
+      mb += 1
+      e.encodeTerminate(if (mb == endMb) 1 else 0) // end_of_slice_flag
+    }
+    e.flush() // emits the rbsp stop bit
+    bw.alignZero()
+  }
+
+  /** the CABAC P-slice macroblock loop over [startMb, endMb) */
+  private def encodePRangeCabac(st: PicState, ref: PicState, bw: H264Writer.BitWriter,
+      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
+      startMb: Int, endMb: Int): Unit = {
+    bw.alignOne()
+    val e = new H264Cabac.Encoder(bw)
+    val cx = new H264Cabac.Contexts(CabacCtx.N)
+    val cms = new CabacMbState(st)
+    var mb = startMb
+    while (mb < endMb) {
+      val mbX = mb % st.mbW; val mbY = mb / st.mbW
+      val mi = mbY * st.mbW + mbX
+      st.sliceOfMb(mb) = st.curSlice
+      val (mvx, mvy, mc) =
+        analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange,
+          halfPel, quarterPel)
+      val (sx, sy) = skipMv(st, mbX, mbY)
+      if (mc == null && mvx == sx && mvy == sy) {
+        e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 1)
+        cms.skip(mi) = true
+        clearNz(st, mbX, mbY)
+        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, null)
+      } else {
+        e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
+        // mb_type P_L0_16x16: '000'
+        e.encodeBin(cx, CabacCtx.PMbType, 0)
+        e.encodeBin(cx, CabacCtx.PMbType + 1, 0)
+        e.encodeBin(cx, CabacCtx.PMbType + 2, 0)
+        val (px, py, _, _) = predictMv(st, mbX, mbY)
+        val mvdX = mvx - px; val mvdY = mvy - py
+        cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false), mvdX)
+        cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true), mvdY)
+        cms.mvdX(mi) = mvdX; cms.mvdY(mi) = mvdY
+        val cbp = if (mc == null) 0 else mc.cbp
+        var b8 = 0
+        var bitsSoFar = 0
+        while (b8 < 4) {
+          val bit = (cbp >> b8) & 1
+          e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
+          bitsSoFar |= bit << b8
+          b8 += 1
+        }
+        val cbpChroma = cbp >> 4
+        e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
+          if (cbpChroma != 0) 1 else 0)
+        if (cbpChroma != 0)
+          e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
+            if (cbpChroma == 2) 1 else 0)
+        cms.cbp(mi) = cbp
+        if (cbp != 0) {
+          e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0) // mb_qp_delta 0
+          cms.lastQpDeltaNz = false
+          cabacResidualP(st, cms, mbX, mbY, mc,
+            (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+        } else clearNz(st, mbX, mbY)
+        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+      }
+      mb += 1
+      e.encodeTerminate(if (mb == endMb) 1 else 0)
+    }
+    e.flush()
+    bw.alignZero()
+  }
+
+  /** CABAC slice-data decode (I and P), mirror of the two encode loops */
+  private def decodeSliceDataCabac(r: H264.BitReader, st: PicState, ref: PicState,
+      isP: Boolean, qp: Int, firstMb: Int): Unit = {
+    r.align() // cabac_alignment_one_bit
+    val d = new H264Cabac.Decoder(r)
+    val cx = new H264Cabac.Contexts(CabacCtx.N)
+    val cms = new CabacMbState(st)
+    val nMb = st.mbW * st.mbH
+    var mb = firstMb
+    var end = false
+    while (!end) {
+      require(mb < nMb, "CABAC slice ran past the picture (missing end_of_slice)")
+      val mbX = mb % st.mbW; val mbY = mb / st.mbW
+      val mi = mbY * st.mbW + mbX
+      st.sliceOfMb(mb) = st.curSlice
+      if (isP && d.decodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY)) == 1) {
+        cms.skip(mi) = true
+        val (sx, sy) = skipMv(st, mbX, mbY)
+        clearNz(st, mbX, mbY)
+        reconstructPMb(st, ref, mbX, mbY, qp, sx, sy, null)
+      } else if (isP) {
+        require(d.decodeBin(cx, CabacCtx.PMbType) == 0,
+          "intra-in-P mb_type unsupported (P_L0_16x16 subset)")
+        val b1 = d.decodeBin(cx, CabacCtx.PMbType + 1)
+        val b2 = d.decodeBin(cx, CabacCtx.PMbType + 2)
+        require(b1 == 0 && b2 == 0,
+          s"P mb_type bins ($b1,$b2) unsupported (P_L0_16x16 subset)")
+        val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false))
+        val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true))
+        cms.mvdX(mi) = mvdX; cms.mvdY(mi) = mvdY
+        val (px, py, _, _) = predictMv(st, mbX, mbY)
+        val mvx = px + mvdX; val mvy = py + mvdY
+        var cbpLuma = 0
+        var b8 = 0
+        while (b8 < 4) {
+          cbpLuma |= d.decodeBin(cx,
+            CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma)) << b8
+          b8 += 1
+        }
+        var cbpChroma = 0
+        if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+          cbpChroma =
+            if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+            else 1
+        val cbp = cbpLuma | (cbpChroma << 4)
+        cms.cbp(mi) = cbp
+        val mc = if (cbp == 0) null else {
+          val m = new PMbCoeffs
+          m.cbp = cbp
+          require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+            "mb_qp_delta != 0 unsupported (constant-QP subset)")
+          cms.lastQpDeltaNz = false
+          cabacResidualP(st, cms, mbX, mbY, m,
+            (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+          m
+        }
+        if (mc == null) clearNz(st, mbX, mbY)
+        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+      } else {
+        require(d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 1,
+          "I_NxN mb_type unsupported (Intra_16x16 subset)")
+        require(d.decodeTerminate() == 0, "I_PCM in CABAC slices unsupported")
+        val mc = new MbCoeffs
+        mc.cbpLuma = if (d.decodeBin(cx, CabacCtx.MbTypeICbpLuma) == 1) 15 else 0
+        mc.cbpChroma =
+          if (d.decodeBin(cx, CabacCtx.MbTypeICbpChroma0) == 0) 0
+          else if (d.decodeBin(cx, CabacCtx.MbTypeICbpChroma1) == 1) 2
+          else 1
+        val pred0 = d.decodeBin(cx, CabacCtx.MbTypeIPred0)
+        val pred1 = d.decodeBin(cx, CabacCtx.MbTypeIPred1)
+        require(pred0 == 1 && pred1 == 0,
+          s"Intra_16x16 prediction mode bins ($pred0,$pred1) not DC")
+        require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
+          "chroma prediction mode != DC unsupported")
+        require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+          "mb_qp_delta != 0 unsupported (constant-QP subset)")
+        cms.lastQpDeltaNz = false
+        cabacResidualI16(st, cms, mbX, mbY, mc,
+          (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+        cms.isIntra(mi) = true
+        cms.cbp(mi) = mc.cbpLuma | (mc.cbpChroma << 4)
+        reconstructMb(st, mbX, mbY, qp, mc)
+      }
+      mb += 1
+      end = d.decodeTerminate() == 1
+    }
+  }
+
   /** zero the nC bookkeeping of an MB with no coded residual (skip, or
     * coded with cbp 0)
     */
@@ -1103,7 +1626,7 @@ object H264Codec {
     */
   private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
       ref: PicState, searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      deblock: Boolean, slices: Int): (Seq[Array[Byte]], PicState) = {
+      deblock: Boolean, slices: Int, cabac: Boolean = false): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -1131,6 +1654,7 @@ object H264Codec {
       }
       if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
       else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
+      if (cabac && pSlice) bw.ue(0) // cabac_init_idc (repo-local uniform init)
       bw.se(qp - 26)           // slice_qp_delta
       if (deblock) {
         bw.ue(0)               // disable_deblocking_filter_idc: filter on
@@ -1138,14 +1662,23 @@ object H264Codec {
         bw.se(0)               // slice_beta_offset_div2
       } else
         bw.ue(1)               // disable_deblocking_filter_idc: off
-      if (pSlice)
+      if (cabac) {
+        if (pSlice)
+          encodePRangeCabac(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
+            halfPel, quarterPel, startMb, endMb)
+        else
+          encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb)
+      } else if (pSlice)
         encodePRange(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb)
       else
         encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb)
       val nalRefIdc = if (idr) 3 else 2
       val nalType = if (idr) 5 else 1
-      nals += H264Writer.nal(nalRefIdc, nalType, bw.rbspTrailing())
+      // the CABAC flush already emitted the stop bit and byte-aligned;
+      // rbspTrailing would append a spurious trailing byte there
+      nals += H264Writer.nal(nalRefIdc, nalType,
+        if (cabac) bw.alignZero().rbspBytes() else bw.rbspTrailing())
       s += 1
     }
     // in-loop: the FILTERED picture is the next reference on both sides
@@ -1260,27 +1793,52 @@ object H264Codec {
     * each picture into MB-row-aligned slices (independently decodable —
     * the intra-frame parallelism unit big frames decode with).
     */
+  /** SEI user_data_unregistered (payload type 5): the LOUD in-stream
+    * marker for this codec's documented non-conformances (reassigned
+    * CAVLC Table 9-5 codewords; repo-local CABAC context init) — a
+    * conforming decoder ignores SEI, a investigating human finds the
+    * warning in the bytes themselves
+    */
+  private def seiUserData(msg: String): Array[Byte] = {
+    val uuid = "graft-h264-codec".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val data = uuid ++ msg.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bw = new H264Writer.BitWriter
+    bw.u(8, 5) // user_data_unregistered
+    var sz = data.length
+    while (sz >= 255) { bw.u(8, 255); sz -= 255 }
+    bw.u(8, sz)
+    data.foreach(b => bw.u(8, b & 0xff))
+    bw.rbspTrailing()
+  }
+
   def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false,
       allIntra: Boolean = false, searchRange: Int = 4,
       halfPel: Boolean = true, quarterPel: Boolean = true,
-      deblock: Boolean = true, slicesPerFrame: Int = 1): Array[Byte] = {
+      deblock: Boolean = true, slicesPerFrame: Int = 1,
+      cabac: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
     require(qp >= 0 && qp <= 51, s"QP $qp out of [0,51]")
     require(searchRange >= 0 && searchRange <= 16, s"searchRange $searchRange out of [0,16]")
     require(slicesPerFrame >= 1, s"slicesPerFrame $slicesPerFrame must be >= 1")
+    require(!(pcm && cabac), "I_PCM tier is CAVLC-only (pcm + cabac unsupported)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     val out = new java.io.ByteArrayOutputStream()
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h)))
-    out.write(H264Writer.nal(3, 8, codecPps()))
+    out.write(H264Writer.nal(3, 8, codecPps(cabac)))
+    out.write(H264Writer.nal(0, 6, seiUserData(
+      if (cabac)
+        "NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33); self-decode only"
+      else
+        "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only")))
     var ref: PicState = null
     frames.zipWithIndex.foreach { case (f, i) =>
       // the PCM tier stays filter-free: deblocking raw macroblocks would
       // break the bit-exact lossless guarantee that tier exists for
       val (nals, state) = encodeFrame(f, i, qp, pcm,
         if (pcm || allIntra) null else ref, searchRange, halfPel, quarterPel,
-        deblock && !pcm, slicesPerFrame)
+        deblock && !pcm, slicesPerFrame, cabac)
       nals.foreach(out.write)
       ref = state
     }
@@ -1289,7 +1847,8 @@ object H264Codec {
 
   // ------------------------------------------------------------- decode
 
-  private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean)
+  private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
+      cabac: Boolean)
 
   /** per-slice deblocking request (§7.3.3): off, or on with α/β offsets
     * and whether filtering crosses slice boundaries (idc 0 vs 2)
@@ -1302,7 +1861,7 @@ object H264Codec {
   /** the PPS fields the pixel decoder needs beyond [[H264.parsePps]] */
   private def parseCodecPps(r: H264.BitReader): CodecPps = {
     r.ue; r.ue // pps_id, sps_id
-    require(r.u1 == 0, "CABAC streams not supported (CAVLC decoder)")
+    val cabac = r.u1 == 1 // entropy_coding_mode_flag
     r.u1       // pic_order_present
     require(r.ue == 0, "FMO not supported")
     r.ue; r.ue // num_ref_idx defaults
@@ -1313,7 +1872,7 @@ object H264Codec {
     val deblk = r.u1 == 1
     r.u1 // constrained_intra_pred
     r.u1 // redundant_pic_cnt_present
-    CodecPps(picInitQp, deblk)
+    CodecPps(picInitQp, deblk, cabac)
   }
 
   /** decode one slice (I or P) into the picture state; returns the
@@ -1346,6 +1905,7 @@ object H264Codec {
       if (idr) { r.u1; r.u1 }
       else require(r.u1 == 0, "adaptive ref pic marking not supported")
     }
+    if (pps.cabac && isP) r.ue // cabac_init_idc (ignored: repo-local uniform init)
     var qp = pps.picInitQp + r.se
     // deblocking control (§7.3.3): idc 0 = filter across slice
     // boundaries, 1 = off, 2 = filter but NOT across slice boundaries
@@ -1367,6 +1927,12 @@ object H264Codec {
         }
       }
     val mbW = st.mbW; val mbH = st.mbH
+    if (pps.cabac) {
+      if (isP) require(ref != null,
+        "P slice with no reference picture (stream must open with an IDR)")
+      decodeSliceDataCabac(r, st, ref, isP, qp, firstMb)
+      return deblockReq
+    }
     if (isP) {
       require(ref != null, "P slice with no reference picture (stream must open with an IDR)")
       var mb = firstMb

@@ -24,7 +24,8 @@ import graft.model.{FrameElem, FrameType}
   * the Annex-B stream, so sparse reads can stop after `upTo + 1` access
   * units exactly like the reference's sequential-from-keyframe decode.
   */
-final class H264GopCodec(qp: Int = 12, pcm: Boolean = false) extends GopCodec {
+final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
+    cabac: Boolean = false) extends GopCodec {
 
   private val MAGIC = 0x47483236 // "GH26"
 
@@ -40,7 +41,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false) extends GopCodec {
         "GOP frames must share shape/dtype")
     }
     val yuvs = frames.map(toYuv)
-    val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm)
+    val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -133,4 +134,8 @@ object H264GopCodec {
   val Pcm: H264GopCodec = new H264GopCodec(pcm = true)
   /** default compressed store */
   val Default: H264GopCodec = new H264GopCodec(qp = 12)
+  /** CABAC-entropy compressed store (same pixel pipeline as [[Default]],
+    * §9.3 arithmetic coding in the slice data — see [[H264Cabac]] for
+    * the documented conformance envelope) */
+  val Cabac: H264GopCodec = new H264GopCodec(qp = 12, cabac = true)
 }

@@ -42,10 +42,19 @@ object H264Writer {
     def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
     /** pad with zero bits to the next byte boundary (pcm alignment, §7.3.5) */
     def alignZero(): this.type = { while (nBits != 0) u1(0); this }
+    /** pad with ONE bits to the next byte boundary
+      * (cabac_alignment_one_bit, §7.3.4) */
+    def alignOne(): this.type = { while (nBits != 0) u1(1); this }
     /** rbsp_trailing_bits + flush */
     def rbspTrailing(): Array[Byte] = {
       u1(1)
       while (nBits != 0) u1(0)
+      bytes.result()
+    }
+    /** flush WITHOUT trailing bits — for CABAC slices, whose flush
+      * already carried the stop bit (§9.3.4.6); caller must be aligned */
+    def rbspBytes(): Array[Byte] = {
+      require(nBits == 0, "rbspBytes on an unaligned writer")
       bytes.result()
     }
   }

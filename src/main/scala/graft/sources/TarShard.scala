@@ -170,20 +170,14 @@ object TarShard {
     val confB = spark.sparkContext.broadcast(confKV)
     val writers = if (nWriters > 0) nWriters
       else spark.sparkContext.defaultParallelism
-    // remove stale shards from a prior run (different parallelism/volume
-    // leaves extra shard-*.tar files that readDir would glob in)
-    locally {
-      val dir = new org.apache.hadoop.fs.Path(outDir)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir)) {
-        fs.listStatus(dir).map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            n.startsWith("shard-") && n.endsWith(".tar")
-          }
-          .foreach(p => fs.delete(p, false))
-      }
-    }
+    // Write into a temporary subdirectory and PROMOTE (rename + stale
+    // delete) only after the job succeeds: deleting stale shard-*.tar up
+    // front would (a) destroy prior output on a failed job and (b) eat
+    // the input of a lazy lineage that READS shards from outDir and
+    // writes back to the same dir. readDir never globs subdirectories,
+    // so an orphaned _tmp dir from a crashed run is inert.
+    val tmpName = s"_tmp-shards-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmpDirStr = s"$outDir/$tmpName"
     val counts = df.select(col("key").cast("string"), col("ext").cast("string"),
         col("payload").cast("binary"))
       .repartition(writers, col("key"))
@@ -194,7 +188,7 @@ object TarShard {
       .rdd.mapPartitionsWithIndex { (pid, rows) =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confB.value.foreach { case (k, v) => conf.set(k, v) }
-        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val dir = new org.apache.hadoop.fs.Path(tmpDirStr)
         val fs = dir.getFileSystem(conf)
         fs.mkdirs(dir)
         var seq = 0
@@ -219,6 +213,31 @@ object TarShard {
         if (out != null) { finish(out); out.close() }
         Iterator.single(nShards)
       }.sum().toLong
+    // the job succeeded: promote. Stale shards (a prior run with
+    // different parallelism/volume leaves extra shard-*.tar readDir
+    // would glob in) are deleted only now, then the fresh set renames
+    // into place and the tmp dir goes away. Note the overwrite is NOT
+    // atomic as a whole — a crash inside this window can mix old/new —
+    // but the window no longer spans the (arbitrarily long) write job.
+    locally {
+      val dir = new org.apache.hadoop.fs.Path(outDir)
+      val tmp = new org.apache.hadoop.fs.Path(tmpDirStr)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (fs.exists(tmp)) fs.listStatus(tmp).map(_.getPath)
+          .filter(p => p.getName.startsWith("shard-") && p.getName.endsWith(".tar"))
+        else Array.empty[org.apache.hadoop.fs.Path]
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith("shard-") && n.endsWith(".tar")
+          }
+          .foreach(p => fs.delete(p, false))
+      }
+      fresh.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
     counts
   }
 
@@ -250,10 +269,11 @@ object TarShard {
         paths.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
-          // close on ANY task exit path, not just full drain
+          // close on ANY task exit path, not just full drain; NonFatal,
+          // not just IOException — a close-time throw must not fail the task
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: java.io.IOException => () }))
+              try in.close() catch { case scala.util.control.NonFatal(_) => () }))
           val es = entries(in)
           var idx = -1L
           new Iterator[(String, Long, String, String, Long, Array[Byte])] {

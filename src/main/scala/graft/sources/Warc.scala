@@ -277,20 +277,33 @@ object Warc {
         paths.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
-          // close on ANY task exit (limit/take, downstream early-exit,
-          // failure) — not just full iterator drain
+          // close the OUTERMOST stream on ANY task exit (limit/take,
+          // downstream early-exit, failure) — closing only the raw FS
+          // stream would leave a GZIPInputStream's Inflater native memory
+          // to GC finalization. The holder starts at the raw stream so the
+          // listener is armed before the gzip header read (which itself
+          // can throw); closes are idempotent and a close-time throw must
+          // not fail the task, hence NonFatal, not just IOException.
+          var outer: InputStream = in
+          def closeAll(): Unit = {
+            try outer.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+            try in.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
           Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: java.io.IOException => () }))
-          val recs =
-            if (pathStr.toLowerCase.endsWith(".gz")) gzRecords(in)
-            else records(new BufferedInputStream(in, 1 << 16))
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
+          outer =
+            if (pathStr.toLowerCase.endsWith(".gz"))
+              new GZIPInputStream(new BufferedInputStream(in, 1 << 16))
+            else new BufferedInputStream(in, 1 << 16)
+          val recs = records(outer)
           var idx = -1L
           new Iterator[(String, Long, String, String, String, String, String,
               Int, String, Long, Array[Byte])] {
             override def hasNext: Boolean = {
               val h = recs.hasNext
-              if (!h) in.close()
+              if (!h) closeAll()
               h
             }
             override def next() = {

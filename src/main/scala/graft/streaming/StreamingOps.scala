@@ -279,25 +279,30 @@ object StreamingOps {
     * shards flow the whole pipeline end-to-end with per-window latency.
     *
     * Composition (all ingredients are the already-tested parts):
-    *  - exact dedup = [[streamingDedup]] (watermarked fingerprint state;
-    *    first arrival of a text passes, later byte-dups drop);
+    *  - exact dedup = a DETERMINISTIC keeper aggregation: min(id) per
+    *    (event-time window, text fingerprint). Unlike first-arrival
+    *    state-store dedup, the keeper is a pure function of the window's
+    *    contents — any feed partitioning or arrival order produces the
+    *    same representative (the batch oracle's MIN(doc_id));
     *  - near-dup = the [[streamingIndexProbe]] banding against the static
     *    [[graft.functions.Dedup.lshWriteBandIndex]] relation, flipped to
     *    KEEP the misses: band rows left-anti-join the index, and a doc
     *    survives only if EVERY band missed (count == n_bands via the
-    *    windowed aggregate — the only new stateful operator, bounded by
-    *    the watermark). Docs too short to shingle carry one sentinel band
+    *    CHAINED window aggregate re-windowing the keeper's window
+    *    column). Docs too short to shingle carry one sentinel band
     *    (band -1, null key) that can never match, so they ride the same
     *    path instead of a side union.
     *  - quality gate = the batch gate's pure row predicates (min token
     *    count + stopword-density band) on the aggregated survivor.
     *
-    * State inventory at 100 TB: fingerprint store (watermark-bounded),
-    * one window of per-doc band-miss counts, and nothing else — the
-    * corpus index is static data, text crosses the one aggregation as
-    * `first(text)` within its window, and every predicate is a row
+    * State inventory at 100 TB: one window of per-fingerprint keeper
+    * state, one window of per-doc band-miss counts, and nothing else —
+    * the corpus index is static data, text crosses the aggregations as
+    * min/first within its window, and every predicate is a row
     * expression. Output: (win_start, id, text, n_tokens, stop_ratio) per
-    * surviving doc, emitted when its window closes.
+    * surviving doc, emitted when its window closes (one watermark
+    * advance later than the single-agg formulation — the price of the
+    * deterministic keeper).
     */
   def streamingCleanCorpus(docs: DataFrame, index: DataFrame, idCol: String,
       textCol: String, tsCol: String, watermark: String, windowLen: String,
@@ -305,28 +310,46 @@ object StreamingOps {
       stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"),
       stopLo: Double = 0.02, stopHi: Double = 0.2): DataFrame = {
     import graft.functions.{Dedup, TextFunctions}
-    val deduped = streamingDedup(docs, textCol, Some(tsCol), Some(watermark))
+    // KEEPER: min(id) per (event-time window, exact fingerprint) — an
+    // order- and partition-INDEPENDENT streaming aggregation, not a
+    // first-arrival race. dropDuplicatesWithinWatermark keeps whichever
+    // duplicate its state partition happens to see first, which under a
+    // parallel multi-partition feed is shuffle-read order — two runs of
+    // the same stream could keep different representatives. min(struct)
+    // over the micro-batch/window set is associative and commutative, so
+    // the keeper is a pure function of the window's CONTENTS: any
+    // partitioning, any arrival order, same keeper (the batch oracle's
+    // MIN(doc_id)). The trade vs the state-store dedup: keepers emit at
+    // window close (watermark) instead of immediately, and duplicates in
+    // DIFFERENT windows both survive — the same lateness horizon the
+    // watermarked state expiry imposed anyway.
+    val deduped = docs
+      .withColumn("__fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("__w"), col("__fp"))
+      .agg(min(struct(col(idCol).as("id"), col(textCol).as("__text"))).as("__keep"))
+      .select(col("__w"), col("__keep.id").as("id"), col("__keep.__text").as("__text"))
     val banded = deduped
-      .withColumn("__sh", Dedup.shingleSet(col(textCol)))
+      .withColumn("__sh", Dedup.shingleSet(col("__text")))
       .withColumn("__bands",
         when(size(col("__sh")) >= 1, Dedup.bandKeyStructs(col("__sh"), k, rows))
           .otherwise(array(struct(lit(-1).as("band"),
             lit(null).cast("string").as("bk")))))
-      .select(col(idCol).as("id"), col(tsCol).as("__ts"), col(textCol).as("__text"),
+      .select(col("__w"), col("id"), col("__text"),
         size(col("__bands")).as("__nb"), explode(col("__bands")).as("bb"))
-      .select(col("id"), col("__ts"), col("__text"), col("__nb"),
+      .select(col("__w"), col("id"), col("__text"), col("__nb"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
     // KEEP the band rows the corpus index does NOT contain (stream-static
     // left anti; a null sentinel key never equi-matches, so short docs
     // keep their one row) — a doc is new iff all its bands survive
     val misses = banded.join(index.select(col("band"), col("bk")),
       Seq("band", "bk"), "left_anti")
-    // no second withWatermark: streamingDedup already defined it on tsCol
-    // and the alias to __ts carries the event-time tag; redefining a
-    // watermark between stateful operators is an AnalysisException in
-    // Spark 4 (allowMultiple stateful operators, single watermark def)
+    // CHAINED window aggregation (Spark >= 3.4 multiple-stateful-operator
+    // support): re-windowing the keeper agg's window column is the
+    // documented composition shape — same length, so the bins are
+    // identity and the band-miss count groups per (window, id)
     val survivors = misses
-      .groupBy(window(col("__ts"), windowLen), col("id"))
+      .groupBy(window(col("__w"), windowLen), col("id"))
       .agg(first(col("__text")).as("text"), count(lit(1)).as("__nm"),
         first(col("__nb")).as("__nb"))
       .filter(col("__nm") === col("__nb"))

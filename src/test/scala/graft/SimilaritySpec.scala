@@ -285,4 +285,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L) === ((9.899495, true)))
     assert(got(9L) === ((0.0, false)))
   }
+
+  test("knnGraph giant-cell cap: collapsed assignments sub-split, healthy ones unchanged") {
+    // all 600 vectors score highest on anchor 0 (anchor 1 is antipodal):
+    // a full k-means collapse — one cell of 600
+    def vec(id: Long): Seq[Float] =
+      (0 until 4).map(j => 10.0f + ((id * 31 + j * 17) % 7).toFloat)
+    val pts = (0L until 600L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val anchors = Seq(
+      (0L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (1L, Seq(-10.0f, -10.0f, -10.0f, -10.0f))).toDF("vec_id", "embedding")
+
+    val capped = Similarity.knnGraph(pts, anchors, "vec_id", "embedding",
+      k = 3, maxCellSize = 64)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect()
+    // nsub = ceil(600/64) = 10 subcells by xxhash64(id) — recompute the
+    // split here and assert every neighbor stays within its subcell
+    val sub = pts.select(col("vec_id"), pmod(xxhash64(col("vec_id")), lit(10L)).as("sc"))
+      .as[(Long, Long)].collect().toMap
+    assert(capped.nonEmpty)
+    capped.foreach { case (q, n, _) =>
+      assert(sub(q) == sub(n), s"pair ($q, $n) crosses subcells ${sub(q)} vs ${sub(n)}")
+    }
+    // per-query result count stays <= k
+    assert(capped.groupBy(_._1).values.forall(_.length <= 3))
+
+    // a HEALTHY assignment (cap at or above the cell size) is exactly the
+    // uncapped relation: nsub = 1 everywhere -> subcell 0 -> same joins
+    val small = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.knnGraph(small, anchors, "vec_id", "embedding",
+        k = 2, maxCellSize = cap)
+      .select("qid", "rank", "id").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(run(4096) == run(40),
+      "cap at exactly the cell size changed a healthy assignment's result")
+  }
 }

@@ -17,7 +17,10 @@ object SpyFileSystem {
     * least once, so a query that scans a source twice roughly doubles
     * this (the "how many corpus scans" signal for a parquet input) */
   val opens = new AtomicLong(0)
-  def reset(): Unit = { positionedReads.set(0); opens.set(0) }
+  /** stream closes on spy:// files (close is idempotent upstream, so a
+    * double-close counts twice — leak specs assert closes >= opens) */
+  val closes = new AtomicLong(0)
+  def reset(): Unit = { positionedReads.set(0); opens.set(0); closes.set(0) }
 }
 
 class SpyFileSystem extends RawLocalFileSystem {
@@ -48,7 +51,10 @@ class SpyFileSystem extends RawLocalFileSystem {
     override def seek(pos: Long): Unit = inner.seek(pos)
     override def getPos: Long = inner.getPos
     override def seekToNewSource(targetPos: Long): Boolean = inner.seekToNewSource(targetPos)
-    override def close(): Unit = { inner.close(); super.close() }
+    override def close(): Unit = {
+      SpyFileSystem.closes.incrementAndGet()
+      inner.close(); super.close()
+    }
     override def available(): Int = inner.available()
   }
 }

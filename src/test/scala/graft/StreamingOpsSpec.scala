@@ -644,6 +644,64 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingCleanCorpus keeper is feed-partitioning invariant (min-id per window/fp)") {
+    import graft.functions.Dedup
+    import org.apache.spark.sql.functions.{col, explode, size}
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha river flows gently past the ancient stone bridges where travelers " +
+      "rest beneath tall willow trees sharing stories about distant mountain journeys"
+    // 12 docs: ids 3..14, where ids {5, 9, 13} share one text (dup group)
+    // and the rest are unique — keeper must be id 5 under ANY feed order
+    val docs = (3L to 14L).map { id =>
+      val text = if (id == 5 || id == 9 || id == 13) base
+                 else base.replace("alpha", s"tok$id")
+      (id, text, new java.sql.Timestamp(60L * 1000))
+    }
+    val corpus = Seq((0L, "completely unrelated corpus text about turbines and engines " +
+      "spinning through the industrial night while workers watch gauges and dials"))
+      .toDF("doc_id", "text")
+    val index = corpus
+      .withColumn("__sh", Dedup.shingleSet(col("text")))
+      .filter(size(col("__sh")) >= 1)
+      .select(col("doc_id").as("id"),
+        explode(Dedup.bandKeyStructs(col("__sh"), 8, 4)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+
+    def run(feed: Seq[(Long, String, java.sql.Timestamp)], parts: Int): Seq[(Long, Long)] = {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark, parts)
+      val out = StreamingOps.streamingCleanCorpus(
+        in.toDF().toDF("doc_id", "text", "ts"), index,
+        "doc_id", "text", "ts", watermark = "10 seconds", windowLen = "1 minute")
+      val q = out.writeStream.format("memory")
+        .queryName("sccsplit_" + System.nanoTime())
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint())
+        .start()
+      try {
+        in.addData(feed)
+        q.processAllAvailable()
+        in.addData(Seq((-1L, "flush", new java.sql.Timestamp(3600L * 1000))))
+        q.processAllAvailable()
+        in.addData(Seq((-2L, "flush", new java.sql.Timestamp(7200L * 1000))))
+        q.processAllAvailable()
+        spark.table(q.name).filter(col("id") >= 0)
+          .select("id", "n_tokens")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      } finally { q.stop(); CacheScope.release() }
+    }
+
+    val ordered = run(docs, parts = 1)
+    val reversedMultiPart = run(docs.reverse, parts = 4)
+    val shuffledMultiPart = run(new scala.util.Random(7).shuffle(docs), parts = 3)
+    assert(ordered.nonEmpty)
+    assert(ordered.map(_._1).contains(5L), s"keeper must be min-id 5, got $ordered")
+    assert(!ordered.map(_._1).exists(Set(9L, 13L)), "duplicate ids 9/13 must drop")
+    assert(reversedMultiPart == ordered,
+      s"reversed 4-partition feed diverged: $reversedMultiPart vs $ordered")
+    assert(shuffledMultiPart == ordered,
+      s"shuffled 3-partition feed diverged: $shuffledMultiPart vs $ordered")
+  }
+
   test("streamingIndexProbe: arriving docs hit the persisted corpus index, one row per pair") {
     import graft.functions.Dedup
     implicit val sqlCtx = spark.sqlContext
