@@ -210,6 +210,54 @@ object H264Cavlc {
       runBeforeTab.zipWithIndex.flatMap { case (t, i) => check(s"rb${i + 1}", t) }
   }
 
+  /** The disputed Table 9-5 transcription entries — (table, totalCoeff,
+    * trailingOnes, circulated (len, code), reassigned (len, code)). The
+    * spec suite replays the ARBITRATION: substituting each circulated
+    * value back into its table provably violates prefix-freeness against
+    * the surrounding rows (so the circulated copy is self-inconsistent,
+    * not merely different), while the active reassignments are what the
+    * table actually holds. Emitted streams carry an SEI marker naming
+    * the deviation (see [[H264Codec]]).
+    */
+  private[graft] def disputed: Seq[(String, Int, Int, (Int, Int), (Int, Int))] = Seq(
+    ("tok1", 8, 2, (10, 5), (14, 12)),
+    ("tok1", 10, 3, (10, 4), (14, 13)),
+    ("tok2", 8, 3, (6, 13), (6, 26)))
+
+  private def tokTable(name: String): Array[Int] = name match {
+    case "tok0" => tok0
+    case "tok1" => tok1
+    case "tok2" => tok2
+    case "tokC" => tokC
+  }
+
+  /** current (len, code) of a coeff_token entry */
+  private[graft] def tokenEntry(table: String, tc: Int, t1: Int): (Int, Int) = {
+    val v = tokTable(table)(tc * 4 + t1)
+    (v >>> 16, v & 0xffff)
+  }
+
+  /** prefix/duplicate violations created by substituting (len, code) at
+    * (tc, t1) of the named table — empty means the substitution would be
+    * structurally admissible
+    */
+  private[graft] def substitutionViolations(table: String, tc: Int, t1: Int,
+      len: Int, code: Int): Seq[String] = {
+    val others = tokTable(table).zipWithIndex
+      .filter { case (v, i) => v != -1 && i != tc * 4 + t1 }
+      .map { case (v, _) => (v >>> 16, v & 0xffff) }
+    val prefixes = others.toSeq.flatMap { case (lo, co) =>
+      if (lo < len && (code >>> (len - lo)) == co)
+        Some(s"$table: existing ($lo,$co) prefixes substituted ($len,$code)")
+      else if (len < lo && (co >>> (lo - len)) == code)
+        Some(s"$table: substituted ($len,$code) prefixes existing ($lo,$co)")
+      else if (lo == len && co == code)
+        Some(s"$table: substituted ($len,$code) duplicates an existing codeword")
+      else None
+    }
+    prefixes
+  }
+
   // ------------------------------------------------------------- encode
 
   private def writeVlc(w: H264Writer.BitWriter, entry: Int): Unit = {

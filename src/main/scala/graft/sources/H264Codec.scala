@@ -185,6 +185,7 @@ object H264Codec {
 
   /** parsed/encoded residual of one Intra_16x16 macroblock */
   private final class MbCoeffs {
+    var predMode = 2 // Intra_16x16 luma mode: 0 V, 1 H, 2 DC, 3 plane
     val lumaDcZig = new Array[Int](16)
     val lumaAcZig: Array[Array[Int]] = Array.fill(16)(new Array[Int](15))
     val cbDcZig = new Array[Int](4)
@@ -207,6 +208,104 @@ object H264Codec {
     if (hasT && hasL) (sum + 16) >> 5
     else if (hasT || hasL) (sum + 8) >> 4
     else 128
+  }
+
+  /** Intra_16x16 prediction modes available at (mbX, mbY) given neighbor
+    * reconstruction (§8.3.3): 0 = vertical (needs top), 1 = horizontal
+    * (needs left), 2 = DC (always), 3 = plane (needs top, left, and the
+    * top-left corner)
+    */
+  private def i16Modes(st: PicState, mbX: Int, mbY: Int): Seq[Int] = {
+    val hasL = st.mbAvail(mbX - 1, mbY); val hasT = st.mbAvail(mbX, mbY - 1)
+    // the corner sample belongs to the top-left MB; for the interior of a
+    // raster slice it is available iff both top and left are (the same
+    // slice-availability rule the DC fold uses)
+    val hasTL = hasL && hasT && st.mbAvail(mbX - 1, mbY - 1)
+    Seq(2) ++ (if (hasT) Seq(0) else Nil) ++ (if (hasL) Seq(1) else Nil) ++
+      (if (hasTL) Seq(3) else Nil)
+  }
+
+  /** spec-suite hook: run [[predLuma16]] against planted neighbor
+    * samples (top row / left column / corner) without a real decode —
+    * the prediction math is verified directly against the §8.3.3
+    * formulas recomputed in the test
+    */
+  private[graft] def i16PredForTest(top: Option[Array[Int]],
+      left: Option[Array[Int]], corner: Int, mode: Int): Array[Int] = {
+    val st = new PicState(2, 2) // target MB at (1,1); neighbors planted
+    st.curSlice = 0
+    java.util.Arrays.fill(st.sliceOfMb, -1)
+    st.sliceOfMb(3) = 0 // the target itself
+    top.foreach { t =>
+      st.sliceOfMb(1) = 0 // MB above
+      var i = 0
+      while (i < 16) { st.reconY(15 * st.pw + 16 + i) = t(i).toByte; i += 1 }
+    }
+    left.foreach { l =>
+      st.sliceOfMb(2) = 0 // MB to the left
+      var i = 0
+      while (i < 16) { st.reconY((16 + i) * st.pw + 15) = l(i).toByte; i += 1 }
+    }
+    if (top.isDefined && left.isDefined) {
+      st.sliceOfMb(0) = 0 // corner MB
+      st.reconY(15 * st.pw + 15) = corner.toByte
+    }
+    require(i16Modes(st, 1, 1).contains(mode),
+      s"mode $mode not available for the planted neighbors")
+    predLuma16(st, 1, 1, mode)
+  }
+
+  /** per-pixel Intra_16x16 luma prediction (§8.3.3.1-4) from the
+    * reconstructed neighbors; returns 256 samples in raster order
+    */
+  private def predLuma16(st: PicState, mbX: Int, mbY: Int, mode: Int): Array[Int] = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val out = new Array[Int](256)
+    @inline def top(x: Int) = st.reconY((y0 - 1) * st.pw + x0 + x) & 0xff
+    @inline def left(y: Int) = st.reconY((y0 + y) * st.pw + x0 - 1) & 0xff
+    mode match {
+      case 0 => // vertical: copy the row above
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { out(y * 16 + x) = top(x); x += 1 }
+          y += 1
+        }
+      case 1 => // horizontal: replicate the left column
+        var y = 0
+        while (y < 16) {
+          val v = left(y)
+          var x = 0
+          while (x < 16) { out(y * 16 + x) = v; x += 1 }
+          y += 1
+        }
+      case 3 => // plane (§8.3.3.4)
+        val corner = st.reconY((y0 - 1) * st.pw + x0 - 1) & 0xff
+        var h = 0
+        var v = 0
+        var i = 1
+        while (i <= 8) {
+          h += i * (top(7 + i) - (if (i == 8) corner else top(7 - i)))
+          v += i * (left(7 + i) - (if (i == 8) corner else left(7 - i)))
+          i += 1
+        }
+        val a = 16 * (left(15) + top(15))
+        val b = (5 * h + 32) >> 6
+        val c = (5 * v + 32) >> 6
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val p = (a + b * (x - 7) + c * (y - 7) + 16) >> 5
+            out(y * 16 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+            x += 1
+          }
+          y += 1
+        }
+      case _ => // DC
+        java.util.Arrays.fill(out, predLumaDc(st, mbX, mbY))
+    }
+    out
   }
 
   /** chroma DC prediction (§8.3.4), per 4x4 quadrant of the 8x8 block;
@@ -261,7 +360,7 @@ object H264Codec {
     hadamard4x4(dcArr)
     i = 0
     while (i < 16) { dcArr(i) = dequantLumaDc(dcArr(i), qp); i += 1 }
-    val predY = predLumaDc(st, mbX, mbY)
+    val predY = predLuma16(st, mbX, mbY, mc.predMode)
     val x0 = mbX * 16; val y0 = mbY * 16
     var blk = 0
     val w = new Array[Int](16)
@@ -282,7 +381,8 @@ object H264Codec {
       while (r < 4) {
         var c = 0
         while (c < 4) {
-          st.reconY((by0 + r) * st.pw + bx0 + c) = clip(predY + w(r * 4 + c))
+          st.reconY((by0 + r) * st.pw + bx0 + c) = clip(
+            predY((blkY(blk) * 4 + r) * 16 + blkX(blk) * 4 + c) + w(r * 4 + c))
           c += 1
         }
         r += 1
@@ -605,9 +705,25 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): MbCoeffs = {
     val qpc = chromaQp(qp)
     val mc = new MbCoeffs
-    // ---- luma
-    val predY = predLumaDc(st, mbX, mbY)
+    // ---- luma: pick the lowest-SAD available Intra_16x16 mode
+    // (deterministic tie-break toward the smaller mode index), then
+    // transform the per-pixel residual against that prediction
     val x0 = mbX * 16; val y0 = mbY * 16
+    var bestMode = 2
+    var bestPred: Array[Int] = null
+    var bestSad = Long.MaxValue
+    i16Modes(st, mbX, mbY).sorted.foreach { m =>
+      val p = predLuma16(st, mbX, mbY, m)
+      var sad = 0L
+      var i = 0
+      while (i < 256) {
+        sad += math.abs((srcY((y0 + i / 16) * st.pw + x0 + i % 16) & 0xff) - p(i))
+        i += 1
+      }
+      if (sad < bestSad) { bestSad = sad; bestMode = m; bestPred = p }
+    }
+    mc.predMode = bestMode
+    val predY = bestPred
     val dcArr = new Array[Int](16)
     val b = new Array[Int](16)
     var anyLumaAc = false
@@ -618,7 +734,8 @@ object H264Codec {
       while (r < 4) {
         var c = 0
         while (c < 4) {
-          b(r * 4 + c) = (srcY((by0 + r) * st.pw + bx0 + c) & 0xff) - predY
+          b(r * 4 + c) = (srcY((by0 + r) * st.pw + bx0 + c) & 0xff) -
+            predY((blkY(blk) * 4 + r) * 16 + blkX(blk) * 4 + c)
           c += 1
         }
         r += 1
@@ -694,7 +811,7 @@ object H264Codec {
     */
   private def writeMbI16(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
       mc: MbCoeffs): Unit = {
-    val mbType = 1 + 2 + 4 * mc.cbpChroma + 12 * (if (mc.cbpLuma == 15) 1 else 0)
+    val mbType = 1 + mc.predMode + 4 * mc.cbpChroma + 12 * (if (mc.cbpLuma == 15) 1 else 0)
     bw.ue(mbType)
     bw.ue(0) // intra_chroma_pred_mode: DC
     bw.se(0) // mb_qp_delta
@@ -1303,8 +1420,9 @@ object H264Codec {
       e.encodeBin(cx, CabacCtx.MbTypeICbpChroma0, if (mc.cbpChroma != 0) 1 else 0)
       if (mc.cbpChroma != 0)
         e.encodeBin(cx, CabacCtx.MbTypeICbpChroma1, if (mc.cbpChroma == 2) 1 else 0)
-      e.encodeBin(cx, CabacCtx.MbTypeIPred0, 1) // Intra_16x16 pred mode 2 (DC): '10'
-      e.encodeBin(cx, CabacCtx.MbTypeIPred1, 0)
+      // Intra_16x16 prediction mode, 2 FL bins MSB-first
+      e.encodeBin(cx, CabacCtx.MbTypeIPred0, (mc.predMode >> 1) & 1)
+      e.encodeBin(cx, CabacCtx.MbTypeIPred1, mc.predMode & 1)
       // intra_chroma_pred_mode 0 (DC): TU bin0 = 0
       e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
       // mb_qp_delta 0
@@ -1455,10 +1573,8 @@ object H264Codec {
           if (d.decodeBin(cx, CabacCtx.MbTypeICbpChroma0) == 0) 0
           else if (d.decodeBin(cx, CabacCtx.MbTypeICbpChroma1) == 1) 2
           else 1
-        val pred0 = d.decodeBin(cx, CabacCtx.MbTypeIPred0)
-        val pred1 = d.decodeBin(cx, CabacCtx.MbTypeIPred1)
-        require(pred0 == 1 && pred1 == 0,
-          s"Intra_16x16 prediction mode bins ($pred0,$pred1) not DC")
+        mc.predMode = (d.decodeBin(cx, CabacCtx.MbTypeIPred0) << 1) |
+          d.decodeBin(cx, CabacCtx.MbTypeIPred1)
         require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
           "chroma prediction mode != DC unsupported")
         require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
@@ -2055,8 +2171,8 @@ object H264Codec {
         val rem = m % 12
         val cbpChroma = rem / 4
         val predMode = rem % 4
-        require(predMode == 2, s"Intra_16x16 prediction mode $predMode not implemented (DC only)")
         val mc = new MbCoeffs
+        mc.predMode = predMode
         mc.cbpLuma = if (lumaFlag == 1) 15 else 0
         mc.cbpChroma = cbpChroma
         require(r.ue == 0, "chroma prediction mode != DC not implemented")

@@ -151,10 +151,14 @@ class H264CabacSpec extends AnyFunSuite {
   }
 
   test("CABAC multi-slice pictures roundtrip (fresh contexts per slice)") {
+    // compare against CAVLC at the SAME slice split: slice boundaries
+    // change intra-prediction availability, so the slicing must match
+    // for the cross-entropy pixel equality to hold
     val frames = (0 until 2).map(t => grayYuv(32, 48, t))
     val cb = H264Codec.decode(H264Codec.encode(frames, qp = 16, cabac = true,
       slicesPerFrame = 3))
-    val cv = H264Codec.decode(H264Codec.encode(frames, qp = 16))
+    val cv = H264Codec.decode(H264Codec.encode(frames, qp = 16, slicesPerFrame = 3))
+    assert(cb.size == 2)
     cb.zip(cv).foreach { case (a, b) => assert(a.y.sameElements(b.y)) }
   }
 
@@ -177,6 +181,87 @@ class H264CabacSpec extends AnyFunSuite {
   test("pcm + cabac is refused loudly") {
     intercept[IllegalArgumentException] {
       H264Codec.encode(Seq(grayYuv(16, 16, 0)), pcm = true, cabac = true)
+    }
+  }
+
+  test("Intra_16x16 V/H/DC/plane predictions match the §8.3.3 formulas") {
+    val top = Array.tabulate(16)(i => 40 + i * 7)
+    val left = Array.tabulate(16)(i => 200 - i * 9)
+    val corner = 99
+    // vertical: each output row copies the top row
+    val v = H264Codec.i16PredForTest(Some(top), Some(left), corner, mode = 0)
+    for (y <- 0 until 16; x <- 0 until 16) assert(v(y * 16 + x) == top(x))
+    // horizontal: each output column replicates the left column
+    val h = H264Codec.i16PredForTest(Some(top), Some(left), corner, mode = 1)
+    for (y <- 0 until 16; x <- 0 until 16) assert(h(y * 16 + x) == left(y))
+    // DC with both neighbors: (sum + 16) >> 5
+    val dcBoth = H264Codec.i16PredForTest(Some(top), Some(left), corner, mode = 2)
+    val expDc = (top.sum + left.sum + 16) >> 5
+    assert(dcBoth.forall(_ == expDc))
+    // DC with no neighbors: 128
+    assert(H264Codec.i16PredForTest(None, None, 0, mode = 2).forall(_ == 128))
+    // plane: recompute §8.3.3.4 independently
+    val pl = H264Codec.i16PredForTest(Some(top), Some(left), corner, mode = 3)
+    def tAt(i: Int) = if (i == -1) corner else top(i)
+    def lAt(i: Int) = if (i == -1) corner else left(i)
+    val hG = (1 to 8).map(i => i * (tAt(7 + i) - tAt(7 - i))).sum
+    val vG = (1 to 8).map(i => i * (lAt(7 + i) - lAt(7 - i))).sum
+    val a = 16 * (left(15) + top(15))
+    val b = (5 * hG + 32) >> 6
+    val c = (5 * vG + 32) >> 6
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val exp = math.max(0, math.min(255, (a + b * (x - 7) + c * (y - 7) + 16) >> 5))
+      assert(pl(y * 16 + x) == exp, s"plane($x,$y)")
+    }
+    // availability: V refused without a top neighbor, plane without corner
+    intercept[IllegalArgumentException] {
+      H264Codec.i16PredForTest(None, Some(left), 0, mode = 0)
+    }
+    intercept[IllegalArgumentException] {
+      H264Codec.i16PredForTest(Some(top), None, 0, mode = 3)
+    }
+  }
+
+  test("I16 mode decision survives the full roundtrip on directional content") {
+    // three content types that favor different modes: vertical stripes
+    // (V from the row above is exact), horizontal bands (H exact from
+    // the left column), and a smooth diagonal ramp (plane fits best) —
+    // each must roundtrip decodable and match CAVLC pixels exactly
+    def frame(gen: (Int, Int) => Int): Yuv = {
+      val y = Array.tabulate(32 * 32)(i => gen(i % 32, i / 32).toByte)
+      Yuv(32, 32, y, Array.fill(16 * 16)(128.toByte), Array.fill(16 * 16)(128.toByte))
+    }
+    val fs = Seq(
+      frame((x, _) => 30 + (x % 8) * 25),        // vertical stripes
+      frame((_, y) => 30 + (y % 8) * 25),        // horizontal bands
+      frame((x, y) => (60 + x * 4 + y * 3).min(255))) // smooth ramp
+    for (f <- fs; qp <- Seq(12, 30)) {
+      val cavlc = H264Codec.decode(H264Codec.encode(Seq(f), qp = qp, allIntra = true))
+      val cabac = H264Codec.decode(H264Codec.encode(Seq(f), qp = qp, allIntra = true,
+        cabac = true))
+      assert(cavlc.size == 1 && cabac.size == 1)
+      assert(cavlc.head.y.sameElements(cabac.head.y))
+    }
+  }
+
+  test("Table 9-5 arbitration: circulated values are self-inconsistent, reassignments active") {
+    import graft.sources.H264Cavlc
+    val d = H264Cavlc.disputed
+    assert(d.size == 3)
+    d.foreach { case (table, tc, t1, circulated, reassigned) =>
+      // the table actually holds the reassignment...
+      assert(H264Cavlc.tokenEntry(table, tc, t1) == reassigned,
+        s"$table($tc,$t1) is not the documented reassignment")
+      // ...the reassignment is structurally admissible...
+      assert(H264Cavlc.substitutionViolations(table, tc, t1,
+        reassigned._1, reassigned._2).isEmpty)
+      // ...and the circulated value provably is NOT: putting it back
+      // breaks prefix-freeness against the surrounding rows, so the
+      // circulated table copy cannot be what the normative text says
+      val viol = H264Cavlc.substitutionViolations(table, tc, t1,
+        circulated._1, circulated._2)
+      assert(viol.nonEmpty,
+        s"circulated $table($tc,$t1)=$circulated is admissible — reassignment unjustified!")
     }
   }
 
