@@ -103,16 +103,20 @@ object VideoQueries {
     }),
 
     // stream-config args end-to-end (py_test.py:339-348): one graph over
-    // both ingested streams, per-stream resize dims bound by streamId
+    // both ingested streams, per-stream resize dims bound by streamId.
+    // Emitted per-PIXEL: the DuckDB oracle regenerates the synthetic
+    // source and replays the bilinear resize (the 2x/4x scales land the
+    // blend weights exactly on 0.5 — integer math, see img_histogram)
     "video_resize_perstream" -> ((s, _) => {
       val root   = ensureIngested(s)
       val frames = VideoStore.frames(s, root, "testvid")
       val ranged = SequenceOps.range(frames.toDF(), 0L, 20L).as[FrameElem](frameEnc)
       val resized = StdKernels.resizeOp(ranged, Map(0L -> ((12, 8)), 1L -> ((6, 4))))
-      resized.toDF()
-        .select(col("streamId"), col("index"), col("height"), col("width"),
-          md5(col("data")).as("frame_md5"))
-        .orderBy("streamId", "index")
+      import s.implicits._
+      resized.flatMap(f => f.data.indices.map(p =>
+          (f.streamId, f.index, f.height, f.width, p.toLong, f.data(p) & 0xff)))
+        .toDF("streamId", "index", "height", "width", "pos", "pixel")
+        .orderBy("streamId", "index", "pos")
     }),
 
     // preview contact sheet: sparse gather through the keyframe index →
@@ -639,6 +643,29 @@ object VideoQueries {
         |SELECT sid AS "streamId", idx AS "index", CAST(p % 3 AS INT) AS channel,
         |  CAST(v // 16 AS INT) AS bucket, CAST(COUNT(*) AS INT) AS n
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // per-stream bilinear resize replay (see ImageQueries.oracles for
+    // the exact-0.5-weight derivation; stream 0: 16x24 -> 8x12 with
+    // src y0 = 2y, stream 1: -> 4x6 with y0 = 4y + 1)
+    "video_resize_perstream" ->
+      """WITH tgt AS (
+        |  SELECT a.range AS sid, b.range AS idx, y.range AS y, x.range AS x, k.range AS k,
+        |    CASE WHEN a.range = 0 THEN 2*y.range ELSE 4*y.range + 1 END AS y0,
+        |    CASE WHEN a.range = 0 THEN 2*x.range ELSE 4*x.range + 1 END AS x0
+        |  FROM range(0,2) a, range(0,20) b, range(0,8) y, range(0,12) x, range(0,3) k
+        |  WHERE (a.range = 0) OR (y.range < 4 AND x.range < 6)),
+        |v AS (
+        |  SELECT sid, idx, y, x, k,
+        |    (( (sid*31 + idx*7 + (y0*24 + x0)*3 + k) % 256
+        |     + (sid*31 + idx*7 + (y0*24 + x0 + 1)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((y0 + 1)*24 + x0)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((y0 + 1)*24 + x0 + 1)*3 + k) % 256) + 2) // 4 AS px
+        |  FROM tgt)
+        |SELECT sid AS "streamId", idx AS "index",
+        |  CAST(CASE WHEN sid = 0 THEN 8 ELSE 4 END AS INT) AS height,
+        |  CAST(CASE WHEN sid = 0 THEN 12 ELSE 6 END AS INT) AS width,
+        |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
+        |  CAST(px AS INT) AS pixel
+        |FROM v ORDER BY 1, 2, 5""".stripMargin,
     // the cross-entropy invariant: every frame fully decoded, zero pixel
     // diffs between the CABAC and CAVLC stores
     "video_h264_cabac_roundtrip" ->
