@@ -66,8 +66,37 @@ object H264Codec {
     inv
   }
 
+  /** Table 9-4 Intra column (needed by I_NxN macroblocks, whose cbp is a
+    * separate me(v) SE — Intra_16x16 carries its cbp inside mb_type).
+    * Same transcription caveat as every table here (bijectivity checked;
+    * spec-suite pins it); exposed read-only for the structural spec.
+    */
+  private[graft] val cbpIntraFromCode: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  private val cbpIntraToCode: Array[Int] = {
+    val inv = Array.fill(48)(-1)
+    cbpIntraFromCode.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
+    require(inv.forall(_ >= 0), "intra cbp mapping must be a bijection on 0..47")
+    inv
+  }
+
+  /** test-suite observability: I_NxN macroblocks emitted by the most
+    * recent encodes on this JVM (specs reset + assert the mode
+    * competition actually engages on 4x4-scale texture)
+    */
+  private[graft] val i4MbCount = new java.util.concurrent.atomic.AtomicLong
+
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  /** inverse: (y4 * 4 + x4) raster position -> z-order blkIdx */
+  private lazy val zOf: Array[Int] = {
+    val a = new Array[Int](16)
+    var i = 0
+    while (i < 16) { a(blkY(i) * 4 + blkX(i)) = i; i += 1 }
+    a
+  }
   private val blkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
 
   import H264Transform._
@@ -162,6 +191,9 @@ object H264Codec {
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
     val pcmMb = new Array[Boolean](mbW * mbH)
+    // per-4x4-block Intra_4x4 prediction mode (-1 = not an I4 block) —
+    // the neighbor state §8.3.1.1's most-probable-mode derivation reads
+    val i4Mode: Array[Int] = Array.fill(bw4 * mbH * 4)(-1)
     // slice membership (§7.4.4 neighbour availability: a macroblock in
     // another slice is NOT available for nC contexts, MV prediction, or
     // intra prediction). -1 = not yet coded; curSlice advances per slice.
@@ -308,6 +340,328 @@ object H264Codec {
     out
   }
 
+  // ------------------------------------------------ Intra_4x4 prediction
+
+  /** Intra_4x4 luma prediction (§8.3.2.2.1-9), all nine modes, for the
+    * 4x4 block whose top-left ABSOLUTE pixel is (x0, y0). `avail(x, y)`
+    * answers whether the neighbor SAMPLE at absolute (x, y) is decoded
+    * and same-slice (within-MB decode order included). Top-right
+    * substitution per §8.3.2.2: when p[4..7, -1] are unavailable but the
+    * top row is, they take p[3, -1]. Returns 16 samples raster-order.
+    * Formula transcription carries the repo-wide offline caveat (no
+    * reference decoder to cross-check); the spec suite pins each mode
+    * against independently recomputed §8.3.2.2 arithmetic.
+    */
+  private def predLuma4(st: PicState, x0: Int, y0: Int, mode: Int,
+      avail: (Int, Int) => Boolean): Array[Int] = {
+    @inline def s(x: Int, y: Int) = st.reconY(y * st.pw + x) & 0xff
+    val hasL = avail(x0 - 1, y0)
+    val hasT = avail(x0, y0 - 1)
+    val hasD = avail(x0 - 1, y0 - 1)
+    val hasC = avail(x0 + 4, y0 - 1)
+    val t = new Array[Int](8)
+    if (hasT) {
+      var i = 0
+      while (i < 4) { t(i) = s(x0 + i, y0 - 1); i += 1 }
+      while (i < 8) { t(i) = if (hasC) s(x0 + i, y0 - 1) else t(3); i += 1 }
+    }
+    val l = new Array[Int](4)
+    if (hasL) { var i = 0; while (i < 4) { l(i) = s(x0 - 1, y0 + i); i += 1 } }
+    val d = if (hasD) s(x0 - 1, y0 - 1) else 0
+    val out = new Array[Int](16)
+    @inline def put(x: Int, y: Int, v: Int): Unit = out(y * 4 + x) = v
+    mode match {
+      case 0 => // vertical
+        require(hasT, "Intra_4x4 vertical needs the top row")
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { put(x, y, t(x)); x += 1 }; y += 1 }
+      case 1 => // horizontal
+        require(hasL, "Intra_4x4 horizontal needs the left column")
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { put(x, y, l(y)); x += 1 }; y += 1 }
+      case 2 => // DC
+        val v =
+          if (hasT && hasL) (t(0) + t(1) + t(2) + t(3) + l(0) + l(1) + l(2) + l(3) + 4) >> 3
+          else if (hasT) (t(0) + t(1) + t(2) + t(3) + 2) >> 2
+          else if (hasL) (l(0) + l(1) + l(2) + l(3) + 2) >> 2
+          else 128
+        java.util.Arrays.fill(out, v)
+      case 3 => // diagonal down-left
+        require(hasT, "Intra_4x4 DDL needs the top row")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            put(x, y,
+              if (x == 3 && y == 3) (t(6) + 3 * t(7) + 2) >> 2
+              else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 4 => // diagonal down-right
+        require(hasT && hasL && hasD, "Intra_4x4 DDR needs top+left+corner")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            put(x, y,
+              if (x > y) (tp(t, d, x - y - 2) + 2 * tp(t, d, x - y - 1) + t(x - y) + 2) >> 2
+              else if (x < y) (lp(l, d, y - x - 2) + 2 * lp(l, d, y - x - 1) + l(y - x) + 2) >> 2
+              else (t(0) + 2 * d + l(0) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 5 => // vertical-right
+        require(hasT && hasL && hasD, "Intra_4x4 VR needs top+left+corner")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * x - y
+            put(x, y,
+              if (z >= 0 && z % 2 == 0) (tp(t, d, x - (y >> 1) - 1) + tp(t, d, x - (y >> 1)) + 1) >> 1
+              else if (z >= 0) (tp(t, d, x - (y >> 1) - 2) + 2 * tp(t, d, x - (y >> 1) - 1) + tp(t, d, x - (y >> 1)) + 2) >> 2
+              else if (z == -1) (l(0) + 2 * d + t(0) + 2) >> 2
+              else (lp(l, d, y - 2 * x - 1) + 2 * lp(l, d, y - 2 * x - 2) + lp(l, d, y - 2 * x - 3) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 6 => // horizontal-down
+        require(hasT && hasL && hasD, "Intra_4x4 HD needs top+left+corner")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * y - x
+            put(x, y,
+              if (z >= 0 && z % 2 == 0) (lp(l, d, y - (x >> 1) - 1) + lp(l, d, y - (x >> 1)) + 1) >> 1
+              else if (z >= 0) (lp(l, d, y - (x >> 1) - 2) + 2 * lp(l, d, y - (x >> 1) - 1) + lp(l, d, y - (x >> 1)) + 2) >> 2
+              else if (z == -1) (l(0) + 2 * d + t(0) + 2) >> 2
+              else (tp(t, d, x - 2 * y - 1) + 2 * tp(t, d, x - 2 * y - 2) + tp(t, d, x - 2 * y - 3) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 7 => // vertical-left
+        require(hasT, "Intra_4x4 VL needs the top row")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val i = x + (y >> 1)
+            put(x, y,
+              if (y % 2 == 0) (t(i) + t(i + 1) + 1) >> 1
+              else (t(i) + 2 * t(i + 1) + t(i + 2) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 8 => // horizontal-up
+        require(hasL, "Intra_4x4 HU needs the left column")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = x + 2 * y
+            put(x, y,
+              if (z > 5) l(3)
+              else if (z == 5) (l(2) + 3 * l(3) + 2) >> 2
+              else if (z % 2 == 0) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+              else (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) + l(y + (x >> 1) + 2) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case other => sys.error(s"Intra_4x4 prediction mode $other out of range")
+    }
+    out
+  }
+
+  /** top-row sample with index -1 resolving to the corner */
+  @inline private def tp(t: Array[Int], corner: Int, i: Int): Int =
+    if (i < 0) corner else t(i)
+  /** left-column sample with index -1 resolving to the corner */
+  @inline private def lp(l: Array[Int], corner: Int, i: Int): Int =
+    if (i < 0) corner else l(i)
+
+  /** spec-suite hook: [[predLuma4]] against planted neighbor samples
+    * with independently controlled availability of the top / top-right /
+    * left / corner sample groups
+    */
+  private[graft] def i4PredForTest(top: Option[Array[Int]],
+      topRight: Option[Array[Int]], left: Option[Array[Int]],
+      corner: Option[Int], mode: Int): Array[Int] = {
+    val st = new PicState(2, 2)
+    top.foreach { t =>
+      var i = 0; while (i < 4) { st.reconY(15 * st.pw + 16 + i) = t(i).toByte; i += 1 } }
+    topRight.foreach { t =>
+      var i = 0; while (i < 4) { st.reconY(15 * st.pw + 20 + i) = t(i).toByte; i += 1 } }
+    left.foreach { l =>
+      var i = 0; while (i < 4) { st.reconY((16 + i) * st.pw + 15) = l(i).toByte; i += 1 } }
+    corner.foreach(c => st.reconY(15 * st.pw + 15) = c.toByte)
+    val avail: (Int, Int) => Boolean = (x, y) =>
+      if (y == 15 && x >= 16 && x < 20) top.isDefined
+      else if (y == 15 && x >= 20 && x < 24) topRight.isDefined
+      else if (x == 15 && y >= 16 && y < 20) left.isDefined
+      else if (x == 15 && y == 15) corner.isDefined
+      else false
+    predLuma4(st, 16, 16, mode, avail)
+  }
+
+  /** the modes available for the 4x4 block at absolute (x0, y0) */
+  private def i4AvailableModes(x0: Int, y0: Int,
+      avail: (Int, Int) => Boolean): Seq[Int] = {
+    val hasL = avail(x0 - 1, y0)
+    val hasT = avail(x0, y0 - 1)
+    val hasD = avail(x0 - 1, y0 - 1)
+    Seq(2) ++
+      (if (hasT) Seq(0, 3, 7) else Nil) ++
+      (if (hasL) Seq(1, 8) else Nil) ++
+      (if (hasT && hasL && hasD) Seq(4, 5, 6) else Nil)
+  }
+
+  /** §8.3.1.1 most-probable-mode: min of the left/top neighbor 4x4
+    * blocks' modes, with 2 (DC) for unavailable or non-I4 neighbors.
+    * (bx, by) are absolute 4x4-block coordinates.
+    */
+  private def predI4Mode(st: PicState, bx: Int, by: Int): Int = {
+    def nb(nbx: Int, nby: Int): Int =
+      if (nbx < 0 || nby < 0) 2
+      else if (!st.mbAvail(nbx / 4, nby / 4)) 2
+      else { val m = st.i4Mode(nby * st.bw4 + nbx); if (m < 0) 2 else m }
+    math.min(nb(bx - 1, by), nb(bx, by - 1))
+  }
+
+  /** sample-availability callback for the I4 block loop of MB (mbX, mbY):
+    * cross-MB samples follow mbAvail (raster slice order), within-MB
+    * samples follow the z-order decode progress in `done`
+    */
+  private def i4SampleAvail(st: PicState, mbX: Int, mbY: Int,
+      done: Array[Boolean]): (Int, Int) => Boolean = { (x, y) =>
+    if (x < 0 || y < 0 || x >= st.pw || y >= st.ph) false
+    else {
+      val omx = x / 16; val omy = y / 16
+      if (omx == mbX && omy == mbY)
+        done(zOf(((y % 16) / 4) * 4 + (x % 16) / 4))
+      else st.mbAvail(omx, omy)
+    }
+  }
+
+  /** Closed-loop Intra_4x4 ANALYSIS + reconstruction for one MB: per 4x4
+    * block in z-order, pick the lowest-SAD available mode (tie to the
+    * smaller index), transform/quantize the residual, and reconstruct
+    * immediately (later blocks predict from reconstructed earlier ones —
+    * the same closed loop the decoder replays). Luma only; the caller
+    * runs the shared chroma analysis. Returns (modes, per-block zig
+    * coefficients, cbpLuma, total prediction SAD).
+    */
+  private def analyseLumaI4(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte]): (Array[Int], Array[Array[Int]], Int, Long) = {
+    val modes = new Array[Int](16)
+    val zigs = Array.fill(16)(new Array[Int](16))
+    val done = new Array[Boolean](16)
+    val avail = i4SampleAvail(st, mbX, mbY, done)
+    val b = new Array[Int](16)
+    val w = new Array[Int](16)
+    var cbp = 0
+    var sadTotal = 0L
+    var blk = 0
+    while (blk < 16) {
+      val bx0 = mbX * 16 + blkX(blk) * 4
+      val by0 = mbY * 16 + blkY(blk) * 4
+      // mode decision on this block's source vs candidate predictions
+      var bestMode = 2
+      var bestSad = Long.MaxValue
+      var bestPred: Array[Int] = null
+      i4AvailableModes(bx0, by0, avail).sorted.foreach { m =>
+        val p = predLuma4(st, bx0, by0, m, avail)
+        var sad = 0L
+        var i = 0
+        while (i < 16) {
+          sad += math.abs((srcY((by0 + i / 4) * st.pw + bx0 + i % 4) & 0xff) - p(i))
+          i += 1
+        }
+        if (sad < bestSad) { bestSad = sad; bestMode = m; bestPred = p }
+      }
+      modes(blk) = bestMode
+      sadTotal += bestSad
+      st.i4Mode((by0 / 4) * st.bw4 + bx0 / 4) = bestMode
+      // transform + quantize the residual (coefficient 0 is a plain AC
+      // coefficient here — no separate DC plane in I_NxN luma)
+      var i = 0
+      while (i < 16) {
+        b(i) = (srcY((by0 + i / 4) * st.pw + bx0 + i % 4) & 0xff) - bestPred(i)
+        i += 1
+      }
+      forward4x4(b)
+      var any = false
+      var zi = 0
+      while (zi < 16) {
+        val pos = zigzag4x4(zi)
+        val z = quantAc(b(pos), qp, pos)
+        zigs(blk)(zi) = z
+        if (z != 0) any = true
+        zi += 1
+      }
+      if (any) cbp |= 1 << (blk / 4)
+      // immediate reconstruction so later blocks predict from recon
+      java.util.Arrays.fill(w, 0)
+      zi = 0
+      while (zi < 16) {
+        val pos = zigzag4x4(zi)
+        w(pos) = dequantAc(zigs(blk)(zi), qp, pos)
+        zi += 1
+      }
+      inverse4x4(w)
+      i = 0
+      while (i < 16) {
+        st.reconY((by0 + i / 4) * st.pw + bx0 + i % 4) =
+          clip(bestPred(i) + w(i))
+        i += 1
+      }
+      done(blk) = true
+      blk += 1
+    }
+    (modes, zigs, cbp, sadTotal)
+  }
+
+  /** decoder-side Intra_4x4 luma reconstruction from parsed modes +
+    * coefficients — the exact mirror of [[analyseLumaI4]]'s closed loop
+    */
+  private def reconstructLumaI4(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      modes: Array[Int], zigs: Array[Array[Int]], cbpLuma: Int): Unit = {
+    val done = new Array[Boolean](16)
+    val avail = i4SampleAvail(st, mbX, mbY, done)
+    val w = new Array[Int](16)
+    var blk = 0
+    while (blk < 16) {
+      val bx0 = mbX * 16 + blkX(blk) * 4
+      val by0 = mbY * 16 + blkY(blk) * 4
+      st.i4Mode((by0 / 4) * st.bw4 + bx0 / 4) = modes(blk)
+      val pred = predLuma4(st, bx0, by0, modes(blk), avail)
+      java.util.Arrays.fill(w, 0)
+      if (((cbpLuma >> (blk / 4)) & 1) != 0) {
+        var zi = 0
+        while (zi < 16) {
+          val pos = zigzag4x4(zi)
+          w(pos) = dequantAc(zigs(blk)(zi), qp, pos)
+          zi += 1
+        }
+      }
+      inverse4x4(w)
+      var i = 0
+      while (i < 16) {
+        st.reconY((by0 + i / 4) * st.pw + bx0 + i % 4) = clip(pred(i) + w(i))
+        i += 1
+      }
+      done(blk) = true
+      blk += 1
+    }
+  }
+
   /** chroma DC prediction (§8.3.4), per 4x4 quadrant of the 8x8 block;
     * returns the 4 quadrant DC values indexed [by*2+bx]
     */
@@ -390,6 +744,17 @@ object H264Codec {
       blk += 1
     }
     // ---- chroma
+    intraChromaRecon(st, mbX, mbY, qpc, mc.cbpChroma,
+      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig)
+  }
+
+  /** shared intra-MB chroma reconstruction (DC prediction per quadrant +
+    * residual add) — identical for Intra_16x16 and Intra_4x4 macroblocks
+    */
+  private def intraChromaRecon(st: PicState, mbX: Int, mbY: Int, qpc: Int,
+      cbpChroma: Int, cbDcZig: Array[Int], cbAcZig: Array[Array[Int]],
+      crDcZig: Array[Int], crAcZig: Array[Array[Int]]): Unit = {
+    val w = new Array[Int](16)
     def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
       val dc = new Array[Int](4)
       var k = 0
@@ -405,7 +770,7 @@ object H264Codec {
         val bx = cb % 2; val by = cb / 2
         java.util.Arrays.fill(w, 0)
         w(0) = dc(by * 2 + bx)
-        if (mc.cbpChroma == 2) {
+        if (cbpChroma == 2) {
           var zi = 1
           while (zi < 16) {
             val pos = zigzag4x4(zi)
@@ -427,8 +792,8 @@ object H264Codec {
         cb += 1
       }
     }
-    chroma(st.reconCb, mc.cbDcZig, mc.cbAcZig)
-    chroma(st.reconCr, mc.crDcZig, mc.crAcZig)
+    chroma(st.reconCb, cbDcZig, cbAcZig)
+    chroma(st.reconCr, crDcZig, crAcZig)
   }
 
   // ----------------------------------------------------- inter (P) path
@@ -701,13 +1066,10 @@ object H264Codec {
   // ------------------------------------------------------------- encode
 
   /** forward-code one MB as Intra_16x16 and return its coefficients */
-  private def analyseMbI16(st: PicState, mbX: Int, mbY: Int, qp: Int,
-      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): MbCoeffs = {
-    val qpc = chromaQp(qp)
-    val mc = new MbCoeffs
-    // ---- luma: pick the lowest-SAD available Intra_16x16 mode
-    // (deterministic tie-break toward the smaller mode index), then
-    // transform the per-pixel residual against that prediction
+  /** the I16 mode decision: (mode, per-pixel prediction, SAD) — shared
+    * by the I16 analysis and the I16-vs-I4 MB-type competition */
+  private def selectI16(st: PicState, mbX: Int, mbY: Int,
+      srcY: Array[Byte]): (Int, Array[Int], Long) = {
     val x0 = mbX * 16; val y0 = mbY * 16
     var bestMode = 2
     var bestPred: Array[Int] = null
@@ -722,6 +1084,18 @@ object H264Codec {
       }
       if (sad < bestSad) { bestSad = sad; bestMode = m; bestPred = p }
     }
+    (bestMode, bestPred, bestSad)
+  }
+
+  private def analyseMbI16(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): MbCoeffs = {
+    val qpc = chromaQp(qp)
+    val mc = new MbCoeffs
+    // ---- luma: pick the lowest-SAD available Intra_16x16 mode
+    // (deterministic tie-break toward the smaller mode index), then
+    // transform the per-pixel residual against that prediction
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val (bestMode, bestPred, _) = selectI16(st, mbX, mbY, srcY)
     mc.predMode = bestMode
     val predY = bestPred
     val dcArr = new Array[Int](16)
@@ -758,7 +1132,21 @@ object H264Codec {
     i = 0
     while (i < 16) { mc.lumaDcZig(i) = quantLumaDc(dcArr(zigzag4x4(i)), qp); i += 1 }
     mc.cbpLuma = if (anyLumaAc) 15 else 0
-    // ---- chroma
+    // ---- chroma (shared with the Intra_4x4 MB analysis)
+    mc.cbpChroma = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
+      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig)
+    mc
+  }
+
+  /** intra-MB chroma analysis (DC prediction per quadrant, forward
+    * transform + quantization into the caller's zig arrays); returns
+    * cbpChroma — identical for Intra_16x16 and Intra_4x4 macroblocks
+    */
+  private def analyseIntraChroma(st: PicState, mbX: Int, mbY: Int, qpc: Int,
+      srcCb: Array[Byte], srcCr: Array[Byte],
+      cbDcZig: Array[Int], cbAcZig: Array[Array[Int]],
+      crDcZig: Array[Int], crAcZig: Array[Array[Int]]): Int = {
+    val b = new Array[Int](16)
     var anyChromaAc = false
     var anyChromaDc = false
     def chroma(src: Array[Byte], plane: Array[Byte], dcZig: Array[Int],
@@ -800,10 +1188,86 @@ object H264Codec {
         k += 1
       }
     }
-    chroma(srcCb, st.reconCb, mc.cbDcZig, mc.cbAcZig)
-    chroma(srcCr, st.reconCr, mc.crDcZig, mc.crAcZig)
-    mc.cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
-    mc
+    chroma(srcCb, st.reconCb, cbDcZig, cbAcZig)
+    chroma(srcCr, st.reconCr, crDcZig, crAcZig)
+    if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
+  }
+
+  /** I16-vs-I4 macroblock-type competition + full Intra_4x4 analysis.
+    * Runs the closed-loop I4 analysis speculatively (it must write recon
+    * — later blocks predict from earlier ones); when I16 wins, the luma
+    * region and the i4Mode grid are restored. The SAD bias charges
+    * I_NxN's extra signaling (~16-65 mode bits + per-block entropy
+    * overhead) so near-ties don't bloat the stream.
+    */
+  private def tryI4(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte]): Option[(Array[Int], PMbCoeffs)] = {
+    val (_, _, sad16) = selectI16(st, mbX, mbY, srcY)
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val saved = Array.tabulate(16)(rr => java.util.Arrays.copyOfRange(
+      st.reconY, (y0 + rr) * st.pw + x0, (y0 + rr) * st.pw + x0 + 16))
+    val (modes, zigs, cbpL, sad4) = analyseLumaI4(st, mbX, mbY, qp, srcY)
+    if (sad4 + 96 < sad16) {
+      val m = new PMbCoeffs
+      var blk = 0
+      while (blk < 16) {
+        System.arraycopy(zigs(blk), 0, m.lumaZig(blk), 0, 16)
+        blk += 1
+      }
+      val qpc = chromaQp(qp)
+      val cbpC = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+      m.cbp = cbpL | (cbpC << 4)
+      intraChromaRecon(st, mbX, mbY, qpc, cbpC,
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+      st.mbQp(mbY * st.mbW + mbX) = qp
+      i4MbCount.incrementAndGet()
+      Some((modes, m))
+    } else {
+      var rr = 0
+      while (rr < 16) {
+        System.arraycopy(saved(rr), 0, st.reconY, (y0 + rr) * st.pw + x0, 16)
+        rr += 1
+      }
+      var by = 0
+      while (by < 4) {
+        var bx = 0
+        while (bx < 4) {
+          st.i4Mode((mbY * 4 + by) * st.bw4 + mbX * 4 + bx) = -1
+          bx += 1
+        }
+        by += 1
+      }
+      None
+    }
+  }
+
+  /** write one Intra_4x4 MB (CAVLC): mb_type 0, sixteen
+    * prev/rem mode codes against the §8.3.1.1 most-probable mode, DC
+    * chroma mode, the Table 9-4 INTRA cbp mapping, then the shared
+    * 16-coeff-block residual writer
+    */
+  private def writeMbI4(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
+      modes: Array[Int], m: PMbCoeffs): Unit = {
+    bw.ue(0) // mb_type I_NxN
+    var blk = 0
+    while (blk < 16) {
+      val bx = mbX * 4 + blkX(blk); val by = mbY * 4 + blkY(blk)
+      val pm = predI4Mode(st, bx, by)
+      if (modes(blk) == pm) bw.u1(1)
+      else {
+        bw.u1(0)
+        bw.u(3, if (modes(blk) < pm) modes(blk) else modes(blk) - 1)
+      }
+      blk += 1
+    }
+    bw.ue(0) // intra_chroma_pred_mode: DC
+    bw.ue(cbpIntraToCode(m.cbp))
+    if (m.cbp != 0) {
+      bw.se(0) // mb_qp_delta
+      writePResidual(bw, st, mbX, mbY, m)
+    } else clearNz(st, mbX, mbY)
   }
 
   /** write one Intra_16x16 MB's syntax elements + CAVLC residuals,
@@ -957,6 +1421,11 @@ object H264Codec {
         }
         r += 1
       }
+      // keep the SPATIAL residual for the coded-vs-zero distortion test
+      var ssdZero = 0L
+      var i = 0
+      val spatial = new Array[Int](16)
+      while (i < 16) { spatial(i) = b(i); ssdZero += b(i).toLong * b(i); i += 1 }
       forward4x4(b)
       var any = false
       var zi = 0
@@ -966,6 +1435,35 @@ object H264Codec {
         mc.lumaZig(blk)(zi) = z
         if (z != 0) any = true
         zi += 1
+      }
+      // Coefficient thresholding: drop a coded block whose reconstruction
+      // is NOT strictly closer to the source than coding nothing. At the
+      // quantizer deadzone a tiny residual can quantize to levels whose
+      // reconstruction overshoots — coding it wastes bits AND makes the
+      // next frame's residual nonzero again (a stable code/skip
+      // oscillation on static content: measured 28-52 B/frame of
+      // ping-pong before this gate). Zero-coding such a block converges
+      // the closed loop to whole-picture skips.
+      if (any) {
+        val w = new Array[Int](16)
+        zi = 0
+        while (zi < 16) {
+          val pos = zigzag4x4(zi)
+          w(pos) = dequantAc(mc.lumaZig(blk)(zi), qp, pos)
+          zi += 1
+        }
+        inverse4x4(w)
+        var ssdCoded = 0L
+        i = 0
+        while (i < 16) {
+          val d = spatial(i) - w(i)
+          ssdCoded += d.toLong * d
+          i += 1
+        }
+        if (ssdCoded >= ssdZero) {
+          java.util.Arrays.fill(mc.lumaZig(blk), 0)
+          any = false
+        }
       }
       if (any) lumaBits |= 1 << (blk / 4)
       blk += 1
@@ -1102,7 +1600,9 @@ object H264Codec {
     val Sig = 68 // + sigBase(cat) + pos
     val Last = 134 // + sigBase(cat) + pos
     val AbsLevel = 200 // + cat*10 + inc 0..9
-    val N = 250
+    val PrevI4x4 = 250 // prev_intra4x4_pred_mode_flag
+    val RemI4x4 = 251  // rem_intra4x4_pred_mode (3 FL bins, one ctx)
+    val N = 252
     // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
     // 3 ChromaDC(4) 4 ChromaAC(15)
     val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
@@ -1412,6 +1912,66 @@ object H264Codec {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
+      tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr) match {
+        case Some((modes, m4)) =>
+          // mb_type I_NxN: single bin 0
+          e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 0)
+          var blk = 0
+          while (blk < 16) {
+            val bx = mbX * 4 + blkX(blk); val by = mbY * 4 + blkY(blk)
+            val pm = predI4Mode(st, bx, by)
+            if (modes(blk) == pm) e.encodeBin(cx, CabacCtx.PrevI4x4, 1)
+            else {
+              e.encodeBin(cx, CabacCtx.PrevI4x4, 0)
+              val rem = if (modes(blk) < pm) modes(blk) else modes(blk) - 1
+              e.encodeBin(cx, CabacCtx.RemI4x4, (rem >> 2) & 1)
+              e.encodeBin(cx, CabacCtx.RemI4x4, (rem >> 1) & 1)
+              e.encodeBin(cx, CabacCtx.RemI4x4, rem & 1)
+            }
+            blk += 1
+          }
+          e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
+          var b8 = 0
+          var bitsSoFar = 0
+          while (b8 < 4) {
+            val bit = (m4.cbp >> b8) & 1
+            e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
+            bitsSoFar |= bit << b8
+            b8 += 1
+          }
+          val cbpC4 = m4.cbp >> 4
+          e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
+            if (cbpC4 != 0) 1 else 0)
+          if (cbpC4 != 0)
+            e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
+              if (cbpC4 == 2) 1 else 0)
+          cms.isIntra(mi) = true
+          cms.cbp(mi) = m4.cbp
+          if (m4.cbp != 0) {
+            e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0)
+            cms.lastQpDeltaNz = false
+            cabacResidualP(st, cms, mbX, mbY, m4,
+              (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+          } else clearNz(st, mbX, mbY)
+          // recon already in place (closed-loop analysis)
+          mb += 1
+          e.encodeTerminate(if (mb == endMb) 1 else 0)
+        case None =>
+      encodeI16Cabac(st, cms, e, cx, mbX, mbY, qp, srcY, srcCb, srcCr)
+          mb += 1
+          e.encodeTerminate(if (mb == endMb) 1 else 0)
+      }
+    }
+    e.flush() // emits the rbsp stop bit
+    bw.alignZero()
+  }
+
+  /** the I16 half of the CABAC I-MB loop (pulled out so the I4
+    * competition branch above stays readable) */
+  private def encodeI16Cabac(st: PicState, cms: CabacMbState,
+      e: H264Cabac.Encoder, cx: H264Cabac.Contexts, mbX: Int, mbY: Int,
+      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): Unit = {
+      val mi = mbY * st.mbW + mbX
       val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
       // mb_type I16x16: not-I_NxN, not-I_PCM (terminate), cbp + pred DC
       e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 1)
@@ -1433,11 +1993,6 @@ object H264Codec {
       cms.isIntra(mi) = true
       cms.cbp(mi) = mc.cbpLuma | (mc.cbpChroma << 4)
       reconstructMb(st, mbX, mbY, qp, mc)
-      mb += 1
-      e.encodeTerminate(if (mb == endMb) 1 else 0) // end_of_slice_flag
-    }
-    e.flush() // emits the rbsp stop bit
-    bw.alignZero()
   }
 
   /** the CABAC P-slice macroblock loop over [startMb, endMb) */
@@ -1563,9 +2118,54 @@ object H264Codec {
         }
         if (mc == null) clearNz(st, mbX, mbY)
         reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+      } else if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
+        // I_NxN (Intra_4x4)
+        val modes = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          val bx = mbX * 4 + blkX(blk); val by = mbY * 4 + blkY(blk)
+          val pm = predI4Mode(st, bx, by)
+          modes(blk) =
+            if (d.decodeBin(cx, CabacCtx.PrevI4x4) == 1) pm
+            else {
+              val rem = (d.decodeBin(cx, CabacCtx.RemI4x4) << 2) |
+                (d.decodeBin(cx, CabacCtx.RemI4x4) << 1) |
+                d.decodeBin(cx, CabacCtx.RemI4x4)
+              if (rem < pm) rem else rem + 1
+            }
+          st.i4Mode(by * st.bw4 + bx) = modes(blk)
+          blk += 1
+        }
+        require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
+          "chroma prediction mode != DC unsupported")
+        var cbpLuma4 = 0
+        var b8 = 0
+        while (b8 < 4) {
+          cbpLuma4 |= d.decodeBin(cx,
+            CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma4)) << b8
+          b8 += 1
+        }
+        var cbpChroma4 = 0
+        if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+          cbpChroma4 =
+            if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+            else 1
+        val m4 = new PMbCoeffs
+        m4.cbp = cbpLuma4 | (cbpChroma4 << 4)
+        cms.isIntra(mi) = true
+        cms.cbp(mi) = m4.cbp
+        if (m4.cbp != 0) {
+          require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+            "mb_qp_delta != 0 unsupported (constant-QP subset)")
+          cms.lastQpDeltaNz = false
+          cabacResidualP(st, cms, mbX, mbY, m4,
+            (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+        } else clearNz(st, mbX, mbY)
+        st.mbQp(mi) = qp
+        reconstructLumaI4(st, mbX, mbY, qp, modes, m4.lumaZig, m4.cbpLuma)
+        intraChromaRecon(st, mbX, mbY, chromaQp(qp), m4.cbpChroma,
+          m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig)
       } else {
-        require(d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 1,
-          "I_NxN mb_type unsupported (Intra_16x16 subset)")
         require(d.decodeTerminate() == 0, "I_PCM in CABAC slices unsupported")
         val mc = new MbCoeffs
         mc.cbpLuma = if (d.decodeBin(cx, CabacCtx.MbTypeICbpLuma) == 1) 15 else 0
@@ -1892,10 +2492,13 @@ object H264Codec {
             }
             i += 1
           }
-        } else {
-          val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
-          writeMbI16(bw, st, mbX, mbY, mc)
-          reconstructMb(st, mbX, mbY, qp, mc)
+        } else tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr) match {
+          case Some((modes, m)) =>
+            writeMbI4(bw, st, mbX, mbY, modes, m) // recon already in place
+          case None =>
+            val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
+            writeMbI16(bw, st, mbX, mbY, mc)
+            reconstructMb(st, mbX, mbY, qp, mc)
       }
       mb += 1
     }
@@ -1991,6 +2594,51 @@ object H264Codec {
     CodecPps(picInitQp, deblk, cabac)
   }
 
+  /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
+    * by the 8x8 cbp bits + chroma DC/AC) into `m`, with nC bookkeeping —
+    * the mirror of [[writePResidual]], shared by the P and Intra_4x4
+    * decode branches
+    */
+  private def readResidualCavlc(r: H264.BitReader, st: PicState,
+      mbX: Int, mbY: Int, m: PMbCoeffs): Unit = {
+    val bX = mbX * 4; val bY = mbY * 4
+    var blk = 0
+    while (blk < 16) {
+      val ax = bX + blkX(blk); val ay = bY + blkY(blk)
+      val tc =
+        if (((m.cbpLuma >> (blk / 4)) & 1) != 0) {
+          val (zz, t) = H264Cavlc.readBlock(r, 16, st.nC(st.nzY, st.bw4, ax, ay))
+          System.arraycopy(zz, 0, m.lumaZig(blk), 0, 16)
+          t
+        } else 0
+      st.nzY(ay * st.bw4 + ax) = tc
+      blk += 1
+    }
+    if (m.cbpChroma != 0) {
+      val (cbDc, _) = H264Cavlc.readBlock(r, 4, -1)
+      val (crDc, _) = H264Cavlc.readBlock(r, 4, -1)
+      System.arraycopy(cbDc, 0, m.cbDcZig, 0, 4)
+      System.arraycopy(crDc, 0, m.crDcZig, 0, 4)
+    }
+    val cX = mbX * 2; val cY = mbY * 2
+    def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      var cb = 0
+      while (cb < 4) {
+        val ax = cX + cb % 2; val ay = cY + cb / 2
+        val tc =
+          if (m.cbpChroma == 2) {
+            val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(nz, st.cbw4, ax, ay))
+            System.arraycopy(ac, 0, acZig(cb), 0, 15)
+            t
+          } else 0
+        nz(ay * st.cbw4 + ax) = tc
+        cb += 1
+      }
+    }
+    chromaAc(st.nzCb, m.cbAcZig)
+    chromaAc(st.nzCr, m.crAcZig)
+  }
+
   /** decode one slice (I or P) into the picture state; returns the
     * slice's deblocking request (the caller collects one per slice and
     * arbitrates at picture completion)
@@ -2081,42 +2729,7 @@ object H264Codec {
             val m = new PMbCoeffs
             m.cbp = cbp
             qp += r.se // mb_qp_delta
-            val bX = mbX * 4; val bY = mbY * 4
-            var blk = 0
-            while (blk < 16) {
-              val ax = bX + blkX(blk); val ay = bY + blkY(blk)
-              val tc =
-                if (((m.cbpLuma >> (blk / 4)) & 1) != 0) {
-                  val (zz, t) = H264Cavlc.readBlock(r, 16, st.nC(st.nzY, st.bw4, ax, ay))
-                  System.arraycopy(zz, 0, m.lumaZig(blk), 0, 16)
-                  t
-                } else 0
-              st.nzY(ay * st.bw4 + ax) = tc
-              blk += 1
-            }
-            if (m.cbpChroma != 0) {
-              val (cbDc, _) = H264Cavlc.readBlock(r, 4, -1)
-              val (crDc, _) = H264Cavlc.readBlock(r, 4, -1)
-              System.arraycopy(cbDc, 0, m.cbDcZig, 0, 4)
-              System.arraycopy(crDc, 0, m.crDcZig, 0, 4)
-            }
-            val cX = mbX * 2; val cY = mbY * 2
-            def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
-              var cb = 0
-              while (cb < 4) {
-                val ax = cX + cb % 2; val ay = cY + cb / 2
-                val tc =
-                  if (m.cbpChroma == 2) {
-                    val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(nz, st.cbw4, ax, ay))
-                    System.arraycopy(ac, 0, acZig(cb), 0, 15)
-                    t
-                  } else 0
-                nz(ay * st.cbw4 + ax) = tc
-                cb += 1
-              }
-            }
-            chromaAc(st.nzCb, m.cbAcZig)
-            chromaAc(st.nzCr, m.crAcZig)
+            readResidualCavlc(r, st, mbX, mbY, m)
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
@@ -2163,9 +2776,34 @@ object H264Codec {
           }
           i += 1
         }
+      } else if (mbType == 0) { // I_NxN (Intra_4x4, 4x4 transform)
+        val modes = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          val bx = mbX * 4 + blkX(blk); val by = mbY * 4 + blkY(blk)
+          val pm = predI4Mode(st, bx, by)
+          modes(blk) =
+            if (r.u1 == 1) pm
+            else { val rem = r.u(3); if (rem < pm) rem else rem + 1 }
+          st.i4Mode(by * st.bw4 + bx) = modes(blk)
+          blk += 1
+        }
+        require(r.ue == 0, "chroma prediction mode != DC not implemented")
+        val cbpCode = r.ue
+        require(cbpCode < 48, s"intra coded_block_pattern code $cbpCode out of range")
+        val m = new PMbCoeffs
+        m.cbp = cbpIntraFromCode(cbpCode)
+        if (m.cbp != 0) {
+          qp += r.se // mb_qp_delta
+          readResidualCavlc(r, st, mbX, mbY, m)
+        } else clearNz(st, mbX, mbY)
+        st.mbQp(mbY * st.mbW + mbX) = qp
+        reconstructLumaI4(st, mbX, mbY, qp, modes, m.lumaZig, m.cbpLuma)
+        intraChromaRecon(st, mbX, mbY, chromaQp(qp), m.cbpChroma,
+          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
       } else {
         require(mbType >= 1 && mbType <= 24,
-          s"mb_type $mbType unsupported (Intra_16x16 and I_PCM only)")
+          s"mb_type $mbType unsupported (Intra_16x16, Intra_4x4, and I_PCM only)")
         val m = mbType - 1
         val lumaFlag = m / 12
         val rem = m % 12
