@@ -302,10 +302,52 @@ object FileSourceQueries {
     * oracle recomputes expected samples from the table; captions and jdbc
     * fixtures are closed-form (the generator formulas above), so their
     * oracles REGENERATE the expected rows with generate_series — real
-    * recomputation of the parse/scan path, not frozen pins. src_warc_*
-    * stay pinned (gzip-member framing isn't SQL-replayable).
+    * recomputation of the parse/scan path, not frozen pins.
+    * src_warc_records also recomputes: the fixture's records are
+    * formula-built strings, so the oracle rebuilds every record (incl.
+    * the warcinfo/request/response framing and bodies) and the gate
+    * verifies the gzip-member + WARC + HTTP parse chain end-to-end
+    * against independent truth. pipeline_warc_wet stays pinned (the
+    * htmlToText strip chain is not worth replaying in SQL).
     */
   val oracles: Map[String, String] = Map(
+    "src_warc_records" ->
+      """WITH pages AS (
+        |  SELECT f.range AS f, i.range AS i,
+        |    '<html><head><title>Page ' || f.range || '-' || i.range ||
+        |    '</title><style>b{font:x} q>z{}</style></head><body><script>var n=' ||
+        |    i.range || '; if(n<3){n=3}</script><h1>Heading ' || i.range ||
+        |    '</h1><p>body text file ' || f.range || ' rec ' || i.range ||
+        |    ' word' || ((f.range*31 + i.range*7) % 97) || ' &amp; tail</p>' ||
+        |    repeat('<p>filler sentence repeated</p>', CAST(i.range % 4 AS INT)) ||
+        |    '</body></html>' AS body
+        |  FROM range(0,2) f, range(1,13) i),
+        |recs AS (
+        |  SELECT f.range AS f, 0::BIGINT AS rec_idx, 'warcinfo' AS warc_type,
+        |    '' AS target_uri, -1 AS http_status, '' AS http_content_type,
+        |    'software: graft-crawler' || chr(13) || chr(10) ||
+        |      'file: crawl-0' || f.range || chr(13) || chr(10) AS body
+        |  FROM range(0,2) f
+        |  UNION ALL
+        |  SELECT f, 2*i - 1, 'request', 'https://example.org/f' || f || '/page' || i || '.html',
+        |    -1, '',
+        |    'GET /f' || f || '/page' || i || '.html HTTP/1.1' || chr(13) || chr(10) ||
+        |      'Host: example.org' || chr(13) || chr(10) || chr(13) || chr(10)
+        |  FROM pages
+        |  UNION ALL
+        |  SELECT f, 2*i, 'response', 'https://example.org/f' || f || '/page' || i || '.html',
+        |    200, 'text/html', body
+        |  FROM pages
+        |  UNION ALL
+        |  SELECT f.range AS f, 25, 'response', 'https://example.org/f' || f.range || '/robots.txt',
+        |    200, 'text/plain',
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || f.range || chr(10)
+        |  FROM range(0,2) f)
+        |SELECT CASE WHEN f = 0 THEN 'crawl-00.warc.gz' ELSE 'crawl-01.warc' END AS file,
+        |  rec_idx, warc_type, target_uri, CAST(http_status AS INT) AS http_status,
+        |  http_content_type, CAST(strlen(body) AS BIGINT) AS body_len,
+        |  md5(body) AS body_md5
+        |FROM recs ORDER BY 1, 2""".stripMargin,
     // ensureJdbc seeds (sid 0..1, idx 0..14, label_{(sid*31+idx*7) mod 5})
     "src_jdbc" ->
       """SELECT a.range AS stream_id, b.range AS idx,

@@ -61,12 +61,17 @@ object ImageQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // image files -> dims + content hash (the Image column scan itself)
+    // emitted per-PIXEL: the DuckDB oracle regenerates the ramp source,
+    // so the gate verifies the PNG encode -> file -> decode roundtrip
+    // against independent truth (PNG is lossless by spec)
     "img_decode" -> ((s, _) => {
       val root = ensureImages(s)
-      frames(s, root).toDF()
-        .select(col("streamId"), col("index"), col("height"), col("width"),
-          md5(col("data")).as("px_md5"))
-        .orderBy("streamId", "index")
+      import s.implicits._
+      frames(s, root)
+        .flatMap(f => f.data.indices.map(p =>
+          (f.streamId, f.index, f.height, f.width, p.toLong, f.data(p) & 0xff)))
+        .toDF("streamId", "index", "height", "width", "pos", "pixel")
+        .orderBy("streamId", "index", "pos")
     }),
 
     // image column feeding the SAME kernel pipeline as video frames:
@@ -193,6 +198,15 @@ object ImageQueries {
     * (their DCT/banding chains aren't SQL-replayable at exact-equality).
     */
   val oracles: Map[String, String] = Map(
+    // PNG roundtrip fidelity: decoded pixels equal the ramp definition
+    "img_decode" ->
+      """WITH px AS (
+        |  SELECT a.range AS sid, b.range AS idx, c.range AS p,
+        |    (a.range*31 + b.range*7 + c.range) % 256 AS v
+        |  FROM range(0,2) a, range(0,20) b, range(0,1152) c)
+        |SELECT sid AS "streamId", idx AS "index", 16 AS height, 24 AS width,
+        |  CAST(p AS BIGINT) AS pos, CAST(v AS INT) AS pixel
+        |FROM px ORDER BY 1, 2, 5""".stripMargin,
     // bilinear at exact 2x (stream 0: 16x24 -> 8x12, src y0 = 2y, wy = .5)
     // and 4x (stream 1: -> 4x6, y0 = 4y+1, wy = .5): the 4-neighbor blend
     // is (p00+p01+p10+p11 + 2) // 4 exactly (round-half-up)
