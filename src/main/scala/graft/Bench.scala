@@ -518,8 +518,11 @@ object Bench {
           sources.VideoStore.ingest(frames.toDS(), root, "btvga", gopSize = 16,
             graft.model.CacheMode.Ignore, codec = sources.H264GopCodec.Default)
         }
+        // minDecodeTasks: the 32 ~0.5 MB GOP files bin-pack into ~2 scan
+        // partitions (openCost-tuned for I/O); decode is the bottleneck
+        // here, so spread GOPs one-per-task — measured 3.6 s -> 0.75 s
         sources.VideoStore.frames(s, root, "btvga",
-            codec = sources.H264GopCodec.Default).toDF()
+            codec = sources.H264GopCodec.Default, minDecodeTasks = 32).toDF()
       }),
       // full-stream decode through the REAL-entropy-coding codec (deflate
       // GOPs): 10k frames x 1152 B inflate+delta per task — the measurable

@@ -382,9 +382,21 @@ object H264Cavlc {
 
   /** Decode one block into zigzag order; returns (coeffs, TotalCoeff). */
   def readBlock(r: H264.BitReader, maxCoeff: Int, nC: Int): (Array[Int], Int) = {
-    val (tc, t1) = readToken(r, nC)
     val zig = new Array[Int](maxCoeff)
-    if (tc == 0) return (zig, 0)
+    (zig, readBlockInto(r, maxCoeff, nC, zig))
+  }
+
+  /** allocation-free variant for the decode hot loop: parse one block's
+    * coefficients INTO `zig` (first `maxCoeff` entries zeroed first) and
+    * return TotalCoeff. A VGA GOP decode parses ~half a million blocks;
+    * the per-block result array of [[readBlock]] was the decoder's
+    * dominant allocation at 32-way concurrency.
+    */
+  def readBlockInto(r: H264.BitReader, maxCoeff: Int, nC: Int,
+      zig: Array[Int]): Int = {
+    java.util.Arrays.fill(zig, 0, maxCoeff, 0)
+    val (tc, t1) = readToken(r, nC)
+    if (tc == 0) return 0
     require(tc <= maxCoeff, s"TotalCoeff $tc > maxCoeff $maxCoeff: corrupt block")
     val levels = new Array[Int](tc)
     var k = 0
@@ -429,6 +441,6 @@ object H264Cavlc {
       }
       k += 1
     }
-    (zig, tc)
+    tc
   }
 }

@@ -2606,19 +2606,15 @@ object H264Codec {
     while (blk < 16) {
       val ax = bX + blkX(blk); val ay = bY + blkY(blk)
       val tc =
-        if (((m.cbpLuma >> (blk / 4)) & 1) != 0) {
-          val (zz, t) = H264Cavlc.readBlock(r, 16, st.nC(st.nzY, st.bw4, ax, ay))
-          System.arraycopy(zz, 0, m.lumaZig(blk), 0, 16)
-          t
-        } else 0
+        if (((m.cbpLuma >> (blk / 4)) & 1) != 0)
+          H264Cavlc.readBlockInto(r, 16, st.nC(st.nzY, st.bw4, ax, ay), m.lumaZig(blk))
+        else 0
       st.nzY(ay * st.bw4 + ax) = tc
       blk += 1
     }
     if (m.cbpChroma != 0) {
-      val (cbDc, _) = H264Cavlc.readBlock(r, 4, -1)
-      val (crDc, _) = H264Cavlc.readBlock(r, 4, -1)
-      System.arraycopy(cbDc, 0, m.cbDcZig, 0, 4)
-      System.arraycopy(crDc, 0, m.crDcZig, 0, 4)
+      H264Cavlc.readBlockInto(r, 4, -1, m.cbDcZig)
+      H264Cavlc.readBlockInto(r, 4, -1, m.crDcZig)
     }
     val cX = mbX * 2; val cY = mbY * 2
     def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
@@ -2626,11 +2622,9 @@ object H264Codec {
       while (cb < 4) {
         val ax = cX + cb % 2; val ay = cY + cb / 2
         val tc =
-          if (m.cbpChroma == 2) {
-            val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(nz, st.cbw4, ax, ay))
-            System.arraycopy(ac, 0, acZig(cb), 0, 15)
-            t
-          } else 0
+          if (m.cbpChroma == 2)
+            H264Cavlc.readBlockInto(r, 15, st.nC(nz, st.cbw4, ax, ay), acZig(cb))
+          else 0
         nz(ay * st.cbw4 + ax) = tc
         cb += 1
       }
@@ -2816,25 +2810,21 @@ object H264Codec {
         require(r.ue == 0, "chroma prediction mode != DC not implemented")
         qp += r.se // mb_qp_delta
         val bX = mbX * 4; val bY = mbY * 4
-        val (dcZig, _) = H264Cavlc.readBlock(r, 16, st.nC(st.nzY, st.bw4, bX, bY))
-        System.arraycopy(dcZig, 0, mc.lumaDcZig, 0, 16)
+        H264Cavlc.readBlockInto(r, 16, st.nC(st.nzY, st.bw4, bX, bY), mc.lumaDcZig)
         var blk = 0
         while (blk < 16) {
           val ax = bX + blkX(blk); val ay = bY + blkY(blk)
           val tc =
-            if (mc.cbpLuma != 0) {
-              val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(st.nzY, st.bw4, ax, ay))
-              System.arraycopy(ac, 0, mc.lumaAcZig(blk), 0, 15)
-              t
-            } else 0
+            if (mc.cbpLuma != 0)
+              H264Cavlc.readBlockInto(r, 15, st.nC(st.nzY, st.bw4, ax, ay),
+                mc.lumaAcZig(blk))
+            else 0
           st.nzY(ay * st.bw4 + ax) = tc
           blk += 1
         }
         if (mc.cbpChroma != 0) {
-          val (cbDc, _) = H264Cavlc.readBlock(r, 4, -1)
-          val (crDc, _) = H264Cavlc.readBlock(r, 4, -1)
-          System.arraycopy(cbDc, 0, mc.cbDcZig, 0, 4)
-          System.arraycopy(crDc, 0, mc.crDcZig, 0, 4)
+          H264Cavlc.readBlockInto(r, 4, -1, mc.cbDcZig)
+          H264Cavlc.readBlockInto(r, 4, -1, mc.crDcZig)
         }
         val cX = mbX * 2; val cY = mbY * 2
         def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
@@ -2842,11 +2832,9 @@ object H264Codec {
           while (cb < 4) {
             val ax = cX + cb % 2; val ay = cY + cb / 2
             val tc =
-              if (mc.cbpChroma == 2) {
-                val (ac, t) = H264Cavlc.readBlock(r, 15, st.nC(nz, st.cbw4, ax, ay))
-                System.arraycopy(ac, 0, acZig(cb), 0, 15)
-                t
-              } else 0
+              if (mc.cbpChroma == 2)
+                H264Cavlc.readBlockInto(r, 15, st.nC(nz, st.cbw4, ax, ay), acZig(cb))
+              else 0
             nz(ay * st.cbw4 + ax) = tc
             cb += 1
           }

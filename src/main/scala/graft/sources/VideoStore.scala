@@ -99,12 +99,28 @@ object VideoStore {
   def segments(spark: SparkSession, root: String, name: String): Dataset[Segment] =
     NamedStorage.read(spark, root, name).as[Segment](segEnc)
 
-  /** Full-scan decode: one task per segment, no cross-segment work. */
+  /** Full-scan decode: per-segment work, no cross-segment dependencies.
+    *
+    * `minDecodeTasks`: the file scan bin-packs small segment files into
+    * few partitions (openCost + maxPartitionBytes are tuned for I/O, not
+    * CPU), which caps DECODE parallelism — a 32-GOP store of ~0.5 MB
+    * files packs into ~2 scan partitions, so an H264 decode runs ~2-way
+    * on a 32-core executor. Passing minDecodeTasks > 0 repartitions the
+    * SEGMENT relation (one shuffle of compressed payloads — cheap
+    * relative to decode exactly when decode is the bottleneck) so every
+    * GOP decodes in its own task, the reference's decode-parallelism
+    * unit. Leave 0 for I/O-bound codecs or stores whose segment files
+    * already split well (the 100 TB shape: row-group-sized segments).
+    */
   def frames(spark: SparkSession, root: String, name: String,
       decoded: Option[LongAccumulator] = None,
-      codec: GopCodec = FakeVideoCodec): Dataset[FrameElem] =
-    segments(spark, root, name).flatMap(s =>
+      codec: GopCodec = FakeVideoCodec,
+      minDecodeTasks: Int = 0): Dataset[FrameElem] = {
+    val segs = segments(spark, root, name)
+    val spread = if (minDecodeTasks > 0) segs.repartition(minDecodeTasks) else segs
+    spread.flatMap(s =>
       codec.decodeGop(s.payload, s.streamId, s.startIndex, Int.MaxValue, decoded))(frameEnc)
+  }
 
   /** Sparse read of exactly the `rows` indices of one stream (reference
     * Gather + sparse decode). Plans on metadata, scans only needed
