@@ -323,8 +323,20 @@ object Similarity {
     require(maxCellSize >= 1, s"maxCellSize $maxCellSize must be >= 1")
     val cells = graft.CacheScope.cache(
       ivfBuildCells(corpus, anchors, idCol, vecCol))
+    // degraded-recall mode must be OBSERVABLE, not silent: a udf over the
+    // |anchors|-row aggregate (tiny, broadcast side — never the corpus)
+    // logs each cell that actually sub-splits. Callers who want exactness
+    // regardless of assignment health pass maxCellSize = Int.MaxValue.
+    val warnSplit = udf { (cell: Long, n: Long) =>
+      if (n > 1L) org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"IVF cell $cell exceeds maxCellSize=$maxCellSize; splitting into " +
+          s"$n subcells — within-cell neighbors are a 1/$n sample (bounded " +
+          "recall loss). Re-train anchors or raise maxCellSize for exactness.")
+      n
+    }.asNondeterministic()
     val nsub = broadcast(cells.groupBy(col("cell"))
-      .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).as("__nsub")))
+      .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).as("__n0"))
+      .select(col("cell"), warnSplit(col("cell"), col("__n0")).as("__nsub")))
     val sub = cells.join(nsub, Seq("cell"))
       .withColumn("__sc", when(col("__nsub") <= 1L, lit(0L))
         .otherwise(pmod(xxhash64(col("id")), col("__nsub"))))

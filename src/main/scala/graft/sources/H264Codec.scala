@@ -2175,6 +2175,10 @@ object H264Codec {
           else 1
         mc.predMode = (d.decodeBin(cx, CabacCtx.MbTypeIPred0) << 1) |
           d.decodeBin(cx, CabacCtx.MbTypeIPred1)
+        // same neighbor-availability validation as the CAVLC branch
+        require(i16Modes(st, mbX, mbY).contains(mc.predMode),
+          s"Intra_16x16 pred mode ${mc.predMode} unavailable at mb ($mbX,$mbY): " +
+            s"required neighbor(s) missing (available: ${i16Modes(st, mbX, mbY).sorted.mkString(",")})")
         require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
           "chroma prediction mode != DC unsupported")
         require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
@@ -2803,6 +2807,13 @@ object H264Codec {
         val rem = m % 12
         val cbpChroma = rem / 4
         val predMode = rem % 4
+        // neighbor-availability validation (mirrors predLuma4's requires):
+        // a corrupt/external stream claiming e.g. vertical in MB row 0
+        // must fail as a parse error, not read out-of-bounds recon or
+        // silently predict from wrong samples
+        require(i16Modes(st, mbX, mbY).contains(predMode),
+          s"Intra_16x16 pred mode $predMode unavailable at mb ($mbX,$mbY): " +
+            s"required neighbor(s) missing (available: ${i16Modes(st, mbX, mbY).sorted.mkString(",")})")
         val mc = new MbCoeffs
         mc.predMode = predMode
         mc.cbpLuma = if (lumaFlag == 1) 15 else 0

@@ -227,15 +227,25 @@ object TarShard {
         if (fs.exists(tmp)) fs.listStatus(tmp).map(_.getPath)
           .filter(p => p.getName.startsWith("shard-") && p.getName.endsWith(".tar"))
         else Array.empty[org.apache.hadoop.fs.Path]
-      if (fs.exists(dir)) {
-        fs.listStatus(dir).map(_.getPath)
+      val freshNames = fresh.map(_.getName).toSet
+      val stale =
+        if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath)
           .filter { p =>
             val n = p.getName
             n.startsWith("shard-") && n.endsWith(".tar")
           }
-          .foreach(p => fs.delete(p, false))
+        else Array.empty[org.apache.hadoop.fs.Path]
+      // colliding names must go first (FileSystem.rename refuses an
+      // existing target on most impls — by returning FALSE, not
+      // throwing); non-colliding stale shards are deleted only AFTER
+      // every rename succeeded, so a failed promote never leaves the
+      // fresh set stranded in tmp for the recursive delete below
+      stale.filter(p => freshNames(p.getName)).foreach(p => fs.delete(p, false))
+      fresh.foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(dir, p.getName)
+        require(fs.rename(p, dst), s"tar-shard promote failed: $p -> $dst")
       }
-      fresh.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+      stale.filterNot(p => freshNames(p.getName)).foreach(p => fs.delete(p, false))
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
     counts
