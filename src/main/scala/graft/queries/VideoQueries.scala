@@ -120,9 +120,14 @@ object VideoQueries {
     }),
 
     // preview contact sheet: sparse gather through the keyframe index →
-    // per-stream resize → 2x3 tile → PNG digest. A bounded per-stream op
-    // (6 thumbs/stream), so the tiny per-stream group is fine here —
-    // the SCALE path is the sparse decode feeding it.
+    // per-stream resize → 2x3 tile, emitted per grid PIXEL. A bounded
+    // per-stream op (6 thumbs/stream), so the tiny per-stream group is
+    // fine here — the SCALE path is the sparse decode feeding it.
+    // Thumbs are 2x box scale (16x24 -> 8x12) so every bilinear weight
+    // is exactly 0.5 and the DuckDB oracle replays the gather + resize +
+    // tile layout from the closed-form source (was a frozen PNG-md5 pin
+    // through round 11; the PNG encoder itself stays gated by
+    // img_decode's real round-trip oracle).
     "video_thumb_grid" -> ((s, _) => {
       val root = ensureIngested(s)
       val want = Seq(0L, 60L, 120L, 180L, 240L, 299L)
@@ -131,18 +136,16 @@ object VideoQueries {
       // no per-stream driver loop (the N-streams plan is one metadata pass)
       val thumbs = VideoStore.gatherFramesMulti(s, root, "testvid",
         Map(0L -> want, 1L -> want))
-      val small = StdKernels.resizeOp(thumbs, Map(0L -> ((8, 12)), 1L -> ((8, 12))))
+      val small = StdKernels.resizeOp(thumbs, Map(0L -> ((12, 8)), 1L -> ((12, 8))))
       small.groupByKey(_.streamId)(Encoders.scalaLong)
         .flatMapSortedGroups(col("index")) { (sid: Long, it: Iterator[FrameElem]) =>
           val grid = StdKernels.tileGrid(it.toSeq, cols = 3)
-          val png  = StdKernels.encodePng(grid)
-          val md5d = java.security.MessageDigest.getInstance("MD5").digest(png)
-            .map(x => f"${x & 0xff}%02x").mkString
-          Iterator.single((sid, grid.height, grid.width, md5d))
+          grid.data.indices.iterator.map(p =>
+            (sid, grid.height, grid.width, p.toLong, grid.data(p) & 0xff))
         }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
-          Encoders.scalaInt, Encoders.STRING))
-        .toDF("streamId", "grid_h", "grid_w", "png_md5")
-        .orderBy("streamId")
+          Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt))
+        .toDF("streamId", "grid_h", "grid_w", "pos", "pixel")
+        .orderBy("streamId", "pos")
     }),
 
     // stencil {-1,0} optical-flow (real dense Lucas-Kanade estimator) →
@@ -327,42 +330,59 @@ object VideoQueries {
 
     // REAL H.264 pixel round trip through the WHOLE storage layer: gray
     // frames -> I_PCM H264 GOP segments (spec-syntax Annex-B via the
-    // pure-JVM codec) -> committed store -> decode -> per-frame digest
-    // joined against the source digest. Monochrome-in-4:2:0 PCM is
-    // lossless, so every `lossless` cell must be true — a regression
-    // anywhere in slice syntax, PCM alignment, NAL escaping, or the GOP
-    // seam flips the pinned hash.
+    // pure-JVM codec) -> committed store -> decode -> EVERY PIXEL emitted
+    // and verified cell-by-cell against the closed-form pre-ingest truth
+    // ([[grayPixel]]) regenerated by the DuckDB oracle with
+    // generate_series. Monochrome-in-4:2:0 PCM is lossless, so a
+    // regression anywhere in slice syntax, PCM alignment, NAL escaping,
+    // or the GOP seam flips specific cells of an INDEPENDENTLY
+    // recomputed relation (was: a frozen md5 pin through round 11).
     "video_h264_pcm_roundtrip" -> ((s, _) => {
       val root = ensureH264Stores(s)
       import s.implicits._
-      val src = h264GrayFixture(s).toDF()
-        .select(col("streamId"), col("index"), md5(col("data")).as("src_md5"))
-      val dec = VideoStore.frames(s, root, "h264pcm", codec = H264GopCodec.Pcm).toDF()
-        .select(col("streamId"), col("index"), md5(col("data")).as("dec_md5"))
-      src.join(dec, Seq("streamId", "index"))
-        .withColumn("lossless", col("src_md5") === col("dec_md5"))
-        .orderBy("streamId", "index")
+      VideoStore.frames(s, root, "h264pcm", codec = H264GopCodec.Pcm)
+        .flatMap(f => f.data.indices.map(p =>
+          (f.streamId, f.index, p.toLong, f.data(p) & 0xff)))
+        .toDF("streamId", "index", "pos", "pixel")
+        .orderBy("streamId", "index", "pos")
     }),
 
     // the COMPRESSED tier of the same path: IDR + P frames at QP 12 —
     // real temporal prediction (motion search, skip runs, inter CAVLC
     // residuals) — decoded sequentially-from-keyframe through the store
-    // via the Range plan into per-frame pixel digests. Decoded pixels are deterministic, so the digests pin
-    // exactly; the size columns assert the entropy layer actually
-    // compresses (stored GOP bytes < half the raw frame bytes).
+    // via the Range plan. PROPERTY oracle (was a frozen md5 pin through
+    // round 11): every decoded pixel must sit within `tol` of the
+    // closed-form pre-ingest truth ([[grayPixel]]) — lossy coding cannot
+    // be replayed in SQL, but its error is spec-bounded by the QP-12
+    // quantizer step, so the oracle recomputes the expected
+    // (n_pixels, 0 violations) relation outright; the `compressed` flag
+    // asserts the entropy layer actually compresses (stored GOP bytes <
+    // half the raw frame bytes). A decode/encode regression either
+    // shifts a pixel past tol (n_err flips) or kills compression.
     "video_h264_store_histogram" -> ((s, _) => {
       val root = ensureH264Stores(s)
+      val tol = 8 // measured max |dec-src| on the fixture is 3 at QP 12
       val frames = VideoStore
         .frames(s, root, "h264tp2", codec = H264GopCodec.Default).toDF()
-      val digests = SequenceOps.range(frames, 0L, 20L)
-        .select(col("streamId"), col("index"), md5(col("data")).as("frame_md5"))
+      import s.implicits._
+      val errs = SequenceOps.range(frames, 0L, 20L).as[FrameElem](frameEnc)
+        .map { f =>
+          var bad = 0; var p = 0
+          while (p < f.data.length) {
+            if (math.abs((f.data(p) & 0xff) - grayPixel(f.streamId, f.index, p)) > tol)
+              bad += 1
+            p += 1
+          }
+          (f.streamId, f.index, f.data.length.toLong, bad.toLong)
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("streamId", "index", "n_pixels", "n_err_gt_tol")
       val rawBytes = 32L * 48L * 60L // per stream: h*w*frames (U8 gray)
       val sizes = VideoStore.segments(s, root, "h264tp2").toDF()
         .groupBy(col("streamId"))
         .agg(sum(length(col("payload"))).as("stored_bytes"))
-        .withColumn("compressed", col("stored_bytes") < lit(rawBytes / 2))
-        .select(col("streamId"), col("stored_bytes"), col("compressed"))
-      digests.join(sizes, Seq("streamId"))
+        .select(col("streamId"), (col("stored_bytes") < lit(rawBytes / 2)).as("compressed"))
+      errs.join(sizes, Seq("streamId"))
         .orderBy("streamId", "index")
     }),
 
@@ -373,25 +393,25 @@ object VideoQueries {
     // segment, parameter sets self-contained) -> per-frame digest vs the
     // source digest. PCM is lossless, so every row must match — this one
     // row gates codec, muxer, demuxer, indexer, and segmenter together.
+    // (per-PIXEL emission since round 12: PCM is lossless, so the DuckDB
+    // oracle regenerates every decoded luma sample from [[grayPixel]] —
+    // the md5 pin this replaced could only say "something changed")
     "video_h264_mp4_pixels" -> ((s, _) => {
       val dir = ensureH264Mp4Fixture(s)
       val root = sys.props("java.io.tmpdir") + "/graft-h264store"
       graft.sources.H264Ingest.ingestMp4H264Dir(s, dir, root, "h264mp4",
         graft.model.CacheMode.Ignore)
       import s.implicits._
-      val dec = VideoStore.segments(s, root, "h264mp4")
+      VideoStore.segments(s, root, "h264mp4")
         .flatMap { seg =>
-          graft.sources.H264Codec.decode(seg.payload).zipWithIndex.map {
-            case (yuv, i) => (seg.streamId, seg.startIndex + i, yuv.y)
+          graft.sources.H264Codec.decode(seg.payload).zipWithIndex.flatMap {
+            case (yuv, i) => yuv.y.indices.map(p =>
+              (seg.streamId, seg.startIndex + i, p.toLong, yuv.y(p) & 0xff))
           }
-        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY))
-        .toDF("streamId", "index", "y")
-        .select(col("streamId"), col("index"), md5(col("y")).as("dec_md5"))
-      val src = h264GrayFixture(s).toDF()
-        .select(col("streamId"), col("index"), md5(col("data")).as("src_md5"))
-      src.join(dec, Seq("streamId", "index"))
-        .withColumn("lossless", col("src_md5") === col("dec_md5"))
-        .orderBy("streamId", "index")
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaInt))
+        .toDF("streamId", "index", "pos", "pixel")
+        .orderBy("streamId", "index", "pos")
     }),
 
     // ingest diagnostics: per-stream GOP structure rollup (frame count,
@@ -485,16 +505,21 @@ object VideoQueries {
     * x 60 frames of 32x48 U8 — gradient + 8x8 checker so the CAVLC tier
     * has real AC energy to code
     */
+  /** closed-form pixel of the gray fixture — the pre-ingest truth the
+    * roundtrip gates' DuckDB oracles regenerate independently */
+  private[graft] def grayPixel(sid: Long, i: Long, p: Int): Int = {
+    val x = p % 48; val y = p / 48
+    (((x + y * 3 + i * 5 + sid * 17) % 200) +
+      (if ((x / 8 + y / 8) % 2 == 0) 30 else 0)).toInt
+  }
+
   private def h264GrayFixture(s: SparkSession): org.apache.spark.sql.Dataset[FrameElem] = {
     import s.implicits._
     (0L until 2L).flatMap { sid =>
       (0L until 60L).map { i =>
         val h = 32; val w = 48
-        FrameElem(sid, i, h, w, 1, FrameType.U8, Array.tabulate(h * w) { p =>
-          val x = p % w; val y = p / w
-          ((x + y * 3 + i * 5 + sid * 17) % 200 +
-            (if ((x / 8 + y / 8) % 2 == 0) 30 else 0)).toByte
-        })
+        FrameElem(sid, i, h, w, 1, FrameType.U8,
+          Array.tabulate(h * w)(p => grayPixel(sid, i, p).toByte))
       }
     }.toDS()
   }
@@ -679,7 +704,53 @@ object VideoQueries {
         |  FROM (SELECT UNNEST([3, 77, 150, 299]) AS idx) b, range(0,1152) c)
         |SELECT sid AS "streamId", idx AS "index", 16 AS height, 24 AS width,
         |  CAST(p AS BIGINT) AS pos, CAST(v AS INT) AS pixel
-        |FROM px ORDER BY 2, 5""".stripMargin)
+        |FROM px ORDER BY 2, 5""".stripMargin,
+    // the gray fixture is closed-form ([[grayPixel]]: 32x48 U8, gradient
+    // + 8x8 checker) and I_PCM is lossless — regenerate every decoded
+    // sample; one SQL serves both the store path (pcm_roundtrip) and the
+    // mp4 mux→demux path (mp4_pixels), which must agree byte-for-byte
+    "video_h264_pcm_roundtrip" -> grayPixelOracle,
+    "video_h264_mp4_pixels" -> grayPixelOracle,
+    // lossy tier: the property relation (all pixels within tol, streams
+    // compressed) is recomputed outright — see the query comment
+    "video_h264_store_histogram" ->
+      """SELECT a.range AS "streamId", b.range AS "index",
+        |  1536::BIGINT AS n_pixels, 0::BIGINT AS n_err_gt_tol,
+        |  TRUE AS compressed
+        |FROM range(0,2) a, range(0,20) b ORDER BY 1, 2""".stripMargin,
+    // gather [0,60,120,180,240,299] -> 2x box resize (exact-0.5 weights,
+    // round-half-up == (sum+2)//4) -> 2x3 tile; source pixel =
+    // (sid*31 + idx*7 + (y*24+x)*3 + k) % 256 (StdKernels.syntheticFrame)
+    "video_thumb_grid" ->
+      """WITH cell AS (
+        |  SELECT a.range AS sid, t.range AS tn, y.range AS y, x.range AS x, k.range AS k,
+        |    CASE t.range WHEN 0 THEN 0 WHEN 1 THEN 60 WHEN 2 THEN 120
+        |      WHEN 3 THEN 180 WHEN 4 THEN 240 ELSE 299 END AS idx
+        |  FROM range(0,2) a, range(0,6) t, range(0,8) y, range(0,12) x, range(0,3) k),
+        |v AS (
+        |  SELECT sid, tn, y, x, k,
+        |    (( (sid*31 + idx*7 + ((2*y)*24 + 2*x)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((2*y)*24 + 2*x + 1)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((2*y + 1)*24 + 2*x)*3 + k) % 256
+        |     + (sid*31 + idx*7 + ((2*y + 1)*24 + 2*x + 1)*3 + k) % 256) + 2) // 4 AS px
+        |  FROM cell)
+        |SELECT sid AS "streamId", 16 AS grid_h, 36 AS grid_w,
+        |  CAST((((tn // 3)*8 + y)*36 + ((tn % 3)*12 + x))*3 + k AS BIGINT) AS pos,
+        |  CAST(px AS INT) AS pixel
+        |FROM v ORDER BY 1, 4""".stripMargin)
+
+  /** shared oracle of the two lossless H264 roundtrip gates: regenerate
+    * all 2 x 60 x 1536 luma samples from the [[grayPixel]] closed form */
+  private lazy val grayPixelOracle: String =
+    """WITH px AS (
+      |  SELECT a.range AS sid, b.range AS idx, c.range AS p,
+      |    ((c.range % 48) + (c.range // 48)*3 + b.range*5 + a.range*17) % 200
+      |      + CASE WHEN ((c.range % 48) // 8 + (c.range // 48) // 8) % 2 = 0
+      |        THEN 30 ELSE 0 END AS v
+      |  FROM range(0,2) a, range(0,60) b, range(0,1536) c)
+      |SELECT sid AS "streamId", idx AS "index", CAST(p AS BIGINT) AS pos,
+      |  CAST(v AS INT) AS pixel
+      |FROM px ORDER BY 1, 2, 3""".stripMargin
 
   /** recomputed where the source is closed-form; the remaining video
     * queries (flow/thumb/shot-cut/h264 pipelines) read generated codec
