@@ -36,4 +36,16 @@ trait GopCodec extends Serializable {
       startIndex: Long,
       upTo: Int = Int.MaxValue,
       decoded: Option[LongAccumulator] = None): Iterator[FrameElem]
+
+  /** Whether decode is CPU-bound relative to reading the stored bytes
+    * (true for real entropy-coded codecs). [[VideoStore.frames]] uses it
+    * to pick a decode-aware default parallelism: the file scan bin-packs
+    * segments by STORED bytes (an I/O heuristic), which starves a
+    * CPU-bound decode whenever compression is high — e.g. 128 HD GOP
+    * files packed into 3 scan tasks on a 32-core pool (measured: 37 s,
+    * 2.3 cores busy). The reference hits the same issue with one decoder
+    * instance per `io_packet`; its fix is the same unit — GOP-granular
+    * decode tasks (`scanner/video/decoder_automata.h:28-51`).
+    */
+  def cpuBoundDecode: Boolean = false
 }

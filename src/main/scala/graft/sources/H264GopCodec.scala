@@ -27,6 +27,11 @@ import graft.model.{FrameElem, FrameType}
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     cabac: Boolean = false) extends GopCodec {
 
+  /** entropy decode + prediction + deblocking are the bottleneck, not the
+    * segment read — opt into decode-aware scan spreading (incl. the PCM
+    * tier: the NAL walk + unescape is still ~10x slower than a read) */
+  override def cpuBoundDecode: Boolean = true
+
   private val MAGIC = 0x47483236 // "GH26"
 
   override def encodeGop(frames: Seq[FrameElem]): Array[Byte] = {

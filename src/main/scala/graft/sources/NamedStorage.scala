@@ -33,7 +33,7 @@ object NamedStorage {
     extends RuntimeException(s"stream '$name' already exists (CacheMode.Error)")
 
   private def dir(root: String, name: String)  = new Path(root, name)
-  private def dataDir(root: String, name: String) = new Path(dir(root, name), "data")
+  private[sources] def dataDir(root: String, name: String) = new Path(dir(root, name), "data")
   private def descPath(root: String, name: String) = new Path(dir(root, name), "descriptor.json")
 
   private def fs(spark: SparkSession, p: Path) =

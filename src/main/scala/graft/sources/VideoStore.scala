@@ -117,10 +117,49 @@ object VideoStore {
       codec: GopCodec = FakeVideoCodec,
       minDecodeTasks: Int = 0): Dataset[FrameElem] = {
     val segs = segments(spark, root, name)
-    val spread = if (minDecodeTasks > 0) segs.repartition(minDecodeTasks) else segs
+    val n =
+      if (minDecodeTasks > 0) minDecodeTasks
+      else if (codec.cpuBoundDecode) autoDecodeTasks(spark, root, name)
+      else 0
+    val spread = if (n > 0) segs.repartition(n) else segs
     spread.flatMap(s =>
       codec.decodeGop(s.payload, s.streamId, s.startIndex, Int.MaxValue, decoded))(frameEnc)
   }
+
+  /** Decode-aware default parallelism for CPU-bound codecs
+    * ([[GopCodec.cpuBoundDecode]]): metadata-only (descriptor row count +
+    * a driver-side file listing — no data scan, no extra job). The file
+    * scan packs segment files by STORED bytes (`maxPartitionBytes` +
+    * `openCostInBytes` model I/O cost), so a well-compressed store
+    * collapses decode onto a few cores: 128 HD GOPs measured as 3 scan
+    * tasks / 2.3 busy cores of 32. When the I/O estimate would starve the
+    * pool, repartition the segment relation — one shuffle of COMPRESSED
+    * payloads, cheap relative to decode exactly when decode is the
+    * bottleneck — to min(#segments, 4x cores): GOP-granular decode tasks
+    * (the reference's decode unit) up to a cap that keeps the task count
+    * bounded at corpus scale (millions of GOPs decode ~4 GOPs-deep per
+    * task wave, balanced by round-robin). Returns 0 (leave the scan
+    * alone) when bin-packing already feeds every core.
+    */
+  private def autoDecodeTasks(spark: SparkSession, root: String, name: String): Int =
+    try {
+      val d     = NamedStorage.descriptor(spark, root, name)
+      val nSegs = d.rows
+      val cores = spark.sparkContext.defaultParallelism.toLong
+      if (nSegs <= 1) return 0
+      val dataPath = new org.apache.hadoop.fs.Path(
+        d.location.getOrElse(NamedStorage.dataDir(root, name).toString))
+      val fsys  = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fsys.listStatus(dataPath).filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
+      val conf     = spark.sessionState.conf
+      val maxPart  = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
+      val ioParts = math.max(1L,
+        (files.map(_.getLen + openCost).sum + maxPart - 1) / maxPart)
+      if (ioParts >= math.min(nSegs, cores)) 0
+      else math.min(nSegs, 4L * cores).toInt
+    } catch { case _: Throwable => 0 } // conservative: unknown store shape
 
   /** Sparse read of exactly the `rows` indices of one stream (reference
     * Gather + sparse decode). Plans on metadata, scans only needed

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.model.FrameElem
 import graft.operators.StdKernels
-import graft.sources.{FakeVideoCodec, Mp4Writer, VideoStore}
+import graft.sources.{FakeVideoCodec, H264GopCodec, Mp4Writer, VideoStore}
 
 /** FakeVideoCodec with a static encode counter (executors share the test
   * JVM in local mode, so the counter sees every task's calls)
@@ -441,5 +441,35 @@ class VideoStoreSpec extends SparkSpec {
     val back = VideoStore.frames(spark, root, "fromSpy").collect().sortBy(_.index)
     assert(back.length == 120)
     back.foreach(f => assertSameFrame(f, StdKernels.syntheticFrame(0L, f.index, 8, 12, 3)))
+  }
+
+  test("decode-aware spread: cpuBoundDecode stores fan decode out past the I/O bin-packing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    // 24 tiny GOP segments: stored bytes pack into 1-2 scan partitions
+    val frames = (0 until 96).map(i =>
+      StdKernels.syntheticFrame(0L, i.toLong, 16, 16, 1))
+    VideoStore.ingest(frames.toDS(), root, "spread", gopSize = 4,
+      graft.model.CacheMode.Ignore, codec = H264GopCodec.Pcm)
+    def taskCount(codec: graft.sources.GopCodec): Long =
+      VideoStore.frames(spark, root, "spread", codec = codec).toDF()
+        .select(spark_partition_id().as("pid"))
+        .agg(countDistinct(col("pid"))).head().getLong(0)
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    // H264 (cpuBoundDecode): min(24 segments, 4x cores) decode tasks —
+    // never the 1-2 the stored-byte bin-packing would produce
+    assert(taskCount(H264GopCodec.Pcm) == math.min(24L, 4L * cores))
+    // explicit override still wins
+    assert(VideoStore.frames(spark, root, "spread", codec = H264GopCodec.Pcm,
+        minDecodeTasks = 3).toDF()
+      .select(spark_partition_id().as("pid"))
+      .agg(countDistinct(col("pid"))).head().getLong(0) == 3L)
+    // decoded content identical under the spread plan
+    val back = VideoStore.frames(spark, root, "spread", codec = H264GopCodec.Pcm)
+      .collect().sortBy(_.index)
+    assert(back.length == 96)
+    back.foreach(f => assertSameFrame(f,
+      StdKernels.syntheticFrame(0L, f.index, 16, 16, 1)))
   }
 }
