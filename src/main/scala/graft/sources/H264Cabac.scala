@@ -17,18 +17,22 @@ package graft.sources
   * table) but would break interop with external decoders at exactly the
   * slipped state.
   *
-  * What is deliberately NOT spec-conformant — and marked in-stream by an
-  * SEI (see [[H264Codec]]): CONTEXT INITIALIZATION. The spec derives
-  * each context's initial (pStateIdx, valMPS) from per-syntax-element
-  * (m, n) tables (9-12..9-33, several hundred constants) that were not
-  * available offline and are not reconstructible from first principles.
-  * All contexts here initialize to (pStateIdx = 0, valMPS = 0) — the
-  * maximum-entropy state the adaptive engine converges away from within
-  * a few bins. Cost: a few bits per context of adaptation overhead;
-  * effect on correctness: none for self-decode, fatal for external
-  * decoders (which would start from the spec's states) — hence the loud
-  * in-stream marker and the README note. `cabac_init_idc` is emitted as
-  * 0 and ignored on parse for the same reason.
+  * CONTEXT INITIALIZATION (round 12): the §9.3.1.1 derivation —
+  * (m, n, QP) -> (pStateIdx, valMPS) via [[initState]] — is implemented,
+  * spec-pinned (H264CabacInitSpec), and wired through the encoder and
+  * decoder including `cabac_init_idc` selection for P slices. What
+  * remains missing is the spec's (m, n) DATA: Tables 9-12..9-33 are
+  * several hundred published constants this offline container has no
+  * copy of, and transcribing them from memory would be indistinguishable
+  * from correct in self-decode while silently claiming interop — worse
+  * than the honest default. [[InitTables]] / `/graft/h264/cabac-init.tsv`
+  * is the documented seam the real constants plug into. ABSENT that
+  * resource, all contexts initialize to (pStateIdx = 0, valMPS = 0) —
+  * the maximum-entropy state the adaptive engine converges away from
+  * within a few bins. Cost: a few bits per context of adaptation
+  * overhead; effect on correctness: none for self-decode, fatal for
+  * external decoders (which start from the spec's states) — hence the
+  * loud in-stream SEI marker (see [[H264Codec]]) and the README note.
   *
   * Reference context: scanner decodes CABAC via FFmpeg/NVDEC behind
   * `scanner/video/decoder_automata.h:28-51`; this layer is the pure-JVM
@@ -80,11 +84,74 @@ object H264Cabac {
 
   @inline private def transIdxMPS(s: Int): Int = if (s < 62) s + 1 else s
 
-  /** context bank: packed (pStateIdx << 1) | valMPS, repo-local uniform
-    * init (see the object scaladoc)
+  /** §9.3.1.1 context-variable initialization from one (m, n) pair at
+    * slice QP: preCtxState = Clip3(1, 126, ((m * Clip3(0, 51, qp)) >> 4)
+    * + n); preCtxState <= 63 -> (pStateIdx = 63 - preCtxState, valMPS =
+    * 0), else (pStateIdx = preCtxState - 64, valMPS = 1). Returns the
+    * packed (pStateIdx << 1) | valMPS the engine uses. The DERIVATION is
+    * spec-exact and spec-pinned (H264CabacInitSpec); what this repo
+    * cannot supply offline is the spec's (m, n) DATA — see [[InitTables]].
+    */
+  def initState(m: Int, n: Int, qp: Int): Int = {
+    val q   = math.max(0, math.min(51, qp))
+    val pre = math.max(1, math.min(126, ((m * q) >> 4) + n))
+    if (pre <= 63) (63 - pre) << 1 else ((pre - 64) << 1) | 1
+  }
+
+  /** (m, n) rows for every slot of [[graft.sources.H264Codec]]'s context
+    * bank: one set for I slices, three (cabac_init_idc 0..2) for P.
+    * Loaded from the optional classpath resource
+    * `/graft/h264/cabac-init.tsv` (one line per slot:
+    * `slot mI nI mP0 nP0 mP1 nP1 mP2 nP2`, '#' comments) — the seam
+    * where the spec's Tables 9-12..9-33 constants plug in once
+    * transcribed from the published standard (they are pure data; this
+    * offline container has no copy, and guessing them would be
+    * indistinguishable from correct in self-decode while silently
+    * claiming interop). Absent the resource, contexts stay uniform
+    * (pStateIdx 0, valMPS 0) and the stream carries the SEI marker.
+    */
+  final case class InitTables(i: Array[Array[Int]], p: Array[Array[Array[Int]]]) {
+    require(p.length == 3, "three P-slice init sets (cabac_init_idc 0..2)")
+  }
+
+  /** test hook: lets a spec inject synthetic tables without a resource */
+  @volatile private[graft] var tablesForTest: Option[InitTables] = None
+
+  private lazy val resourceTables: Option[InitTables] =
+    Option(getClass.getResourceAsStream("/graft/h264/cabac-init.tsv")).map { in =>
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+        finally in.close()
+      val rows = lines.map(_.split("\\s+").map(_.toInt))
+      val n = rows.map(_.head).max + 1
+      val i = Array.fill(n)(Array(0, 0))
+      val p = Array.fill(3, n)(Array(0, 0))
+      rows.foreach { r =>
+        require(r.length == 9, s"cabac-init.tsv row needs 9 ints, got ${r.length}")
+        i(r(0)) = Array(r(1), r(2))
+        var k = 0
+        while (k < 3) { p(k)(r(0)) = Array(r(3 + 2 * k), r(4 + 2 * k)); k += 1 }
+      }
+      InitTables(i, p)
+    }
+
+  def initTables: Option[InitTables] = tablesForTest.orElse(resourceTables)
+
+  /** context bank: packed (pStateIdx << 1) | valMPS. Default state is the
+    * repo-local uniform init (see the object scaladoc); [[init]] applies
+    * a §9.3.1.1 table when one is available.
     */
   final class Contexts(n: Int) {
     val s = new Array[Int](n)
+    /** §9.3.1.1 init of every slot from (m, n) rows at slice QP */
+    def init(mn: Array[Array[Int]], qp: Int): Unit = {
+      var i = 0
+      while (i < s.length) {
+        if (i < mn.length) s(i) = initState(mn(i)(0), mn(i)(1), qp)
+        i += 1
+      }
+    }
   }
 
   /** §9.3.4 arithmetic ENCODER over the shared MSB-first BitWriter.

@@ -1906,6 +1906,7 @@ object H264Codec {
     bw.alignOne() // cabac_alignment_one_bit
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
+    H264Cabac.initTables.foreach(t => cx.init(t.i, qp))
     val cms = new CabacMbState(st)
     var mb = startMb
     while (mb < endMb) {
@@ -2003,6 +2004,7 @@ object H264Codec {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
+    H264Cabac.initTables.foreach(t => cx.init(t.p(0), qp)) // emitted idc = 0
     val cms = new CabacMbState(st)
     var mb = startMb
     while (mb < endMb) {
@@ -2062,10 +2064,12 @@ object H264Codec {
 
   /** CABAC slice-data decode (I and P), mirror of the two encode loops */
   private def decodeSliceDataCabac(r: H264.BitReader, st: PicState, ref: PicState,
-      isP: Boolean, qp: Int, firstMb: Int): Unit = {
+      isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0): Unit = {
     r.align() // cabac_alignment_one_bit
     val d = new H264Cabac.Decoder(r)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
+    H264Cabac.initTables.foreach(t =>
+      cx.init(if (isP) t.p(cabacInitIdc) else t.i, qp))
     val cms = new CabacMbState(st)
     val nMb = st.mbW * st.mbH
     var mb = firstMb
@@ -2551,7 +2555,9 @@ object H264Codec {
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h)))
     out.write(H264Writer.nal(3, 8, codecPps(cabac)))
     out.write(H264Writer.nal(0, 6, seiUserData(
-      if (cabac)
+      if (cabac && H264Cabac.initTables.isDefined)
+        "CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains; self-decode verified only"
+      else if (cabac)
         "NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33); self-decode only"
       else
         "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only")))
@@ -2667,7 +2673,10 @@ object H264Codec {
       if (idr) { r.u1; r.u1 }
       else require(r.u1 == 0, "adaptive ref pic marking not supported")
     }
-    if (pps.cabac && isP) r.ue // cabac_init_idc (ignored: repo-local uniform init)
+    // cabac_init_idc: selects the P-slice init set when §9.3.1.1 tables
+    // are available ([[H264Cabac.initTables]]); no-op under uniform init
+    val cabacInitIdc = if (pps.cabac && isP) r.ue else 0
+    require(cabacInitIdc <= 2, s"cabac_init_idc $cabacInitIdc out of range")
     var qp = pps.picInitQp + r.se
     // deblocking control (§7.3.3): idc 0 = filter across slice
     // boundaries, 1 = off, 2 = filter but NOT across slice boundaries
@@ -2692,7 +2701,7 @@ object H264Codec {
     if (pps.cabac) {
       if (isP) require(ref != null,
         "P slice with no reference picture (stream must open with an IDR)")
-      decodeSliceDataCabac(r, st, ref, isP, qp, firstMb)
+      decodeSliceDataCabac(r, st, ref, isP, qp, firstMb, cabacInitIdc)
       return deblockReq
     }
     if (isP) {
