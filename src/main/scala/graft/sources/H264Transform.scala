@@ -139,4 +139,164 @@ object H264Transform {
 
   /** decoder chroma-DC scaling after the inverse 2x2 Hadamard */
   def dequantChromaDc(fv: Int, qp: Int): Int = ((fv * v(qp, 0)) << (qp / 6)) >> 1
+
+  // ------------------------------------------------- 8x8 transform (High)
+
+  /** 8x8 frame zigzag (spec Table 8-8): generated by the standard
+    * diagonal walk (the same generator reproduces [[zigzag4x4]] at n=4,
+    * pinned by spec) — generation beats hand-typing 64 constants
+    */
+  val zigzag8x8: Array[Int] = diagonalZigzag(8)
+
+  private[graft] def diagonalZigzag(n: Int): Array[Int] = {
+    val out = new Array[Int](n * n)
+    var i = 0; var r = 0; var c = 0; var up = true
+    while (i < n * n) {
+      out(i) = r * n + c
+      i += 1
+      if (up) {
+        if (c == n - 1) { r += 1; up = false }
+        else if (r == 0) { c += 1; up = false }
+        else { r -= 1; c += 1 }
+      } else {
+        if (r == n - 1) { c += 1; up = true }
+        else if (c == 0) { r += 1; up = true }
+        else { r += 1; c -= 1 }
+      }
+    }
+    out
+  }
+
+  /** 8x8 position class (6 classes — the (i%4, j%4) pattern the spec's
+    * LevelScale8x8 table is built from)
+    */
+  private val posClass8: Array[Int] = Array.tabulate(64) { p =>
+    val i = p / 8; val j = p % 8
+    if (i % 4 == 0 && j % 4 == 0) 0
+    else if (i % 2 == 1 && j % 2 == 1) 1
+    else if (i % 4 == 2 && j % 4 == 2) 2
+    else if ((i % 4 == 0 && j % 2 == 1) || (i % 2 == 1 && j % 4 == 0)) 3
+    else if ((i % 4 == 0 && j % 4 == 2) || (i % 4 == 2 && j % 4 == 0)) 4
+    else 5
+  }
+
+  /** decoder 8x8 scales V8 (spec 8x8 LevelScale, Richardson-style
+    * formulation — transcribed from the published standard; like the
+    * CABAC engine tables, unverifiable against a reference decoder in
+    * this offline container, but the encoder MF8 below is DERIVED from
+    * V8 (2^18 / V8), so encode->decode round-trips exactly regardless
+    */
+  private val v8Tab: Array[Array[Int]] = Array(
+    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 46, 43))
+  /** encoder 8x8 multipliers, derived per class as
+    * MF8 = round(2^24 / (d_i * d_j * V8)) where d_i are the inverse
+    * basis norms^2 {8, 578/64, 5} (rows 0/4, odd, 2/6) — so that
+    * forward gain (d_i d_j), quant (>> 16 + qp/6), dequant (x V8 / 4 at
+    * qp%6) and the inverse's >> 6 compose to exactly 1. The derivation
+    * reproduces the well-known 8x8 MF constants (13107, 11428, 20972,
+    * 12222, 16777, 15481 at qp%6 = 0) — cross-validation of V8, the
+    * class map, and the basis norms at once.
+    */
+  private val dProd: Array[Double] = {
+    val d0 = 8.0; val d1 = 578.0 / 64.0; val d2 = 5.0
+    Array(d0 * d0, d1 * d1, d2 * d2, d0 * d1, d0 * d2, d1 * d2)
+  }
+  private val mf8Tab: Array[Array[Int]] =
+    v8Tab.map(_.zipWithIndex.map { case (v, c) =>
+      math.round((1L << 24) / (dProd(c) * v)).toInt
+    })
+
+  @inline def mf8(qp: Int, pos: Int): Int = mf8Tab(qp % 6)(posClass8(pos))
+  @inline def v8(qp: Int, pos: Int): Int = v8Tab(qp % 6)(posClass8(pos))
+
+  /** encoder 8x8 quantisation (non-normative; deadzone f = 2^qbits/3) */
+  def quantAc8(c: Int, qp: Int, pos: Int): Int = {
+    val qbits = 16 + qp / 6
+    val f = (1 << qbits) / 3
+    val z = (math.abs(c).toLong * mf8(qp, pos) + f) >> qbits
+    if (c < 0) -z.toInt else z.toInt
+  }
+
+  /** decoder 8x8 dequantisation (§8.5.13.1 structure: the scale carries
+    * a /4 relative to the <<qp/6 pattern; exact-integer below qp 12 via
+    * the rounding term, mirroring [[dequantLumaDc]])
+    */
+  @inline def dequantAc8(z: Int, qp: Int, pos: Int): Int =
+    if (qp >= 12) (z * v8(qp, pos)) << (qp / 6 - 2)
+    else (z * v8(qp, pos) + (1 << (1 - qp / 6))) >> (2 - qp / 6)
+
+  /** forward 8x8 core transform (x264/JM butterfly formulation — the
+    * encoder side is non-normative; the pair with [[inverse8x8]] is
+    * mutually inverse up to quantisation, spec-pinned numerically)
+    */
+  def forward8x8(b: Array[Int]): Unit = {
+    var pass = 0
+    while (pass < 2) {
+      var i = 0
+      while (i < 8) {
+        val (o, s) = if (pass == 0) (i * 8, 1) else (i, 8)
+        val s0 = b(o); val s1 = b(o + s); val s2 = b(o + 2 * s); val s3 = b(o + 3 * s)
+        val s4 = b(o + 4 * s); val s5 = b(o + 5 * s); val s6 = b(o + 6 * s); val s7 = b(o + 7 * s)
+        val a0 = s0 + s7; val a1 = s1 + s6; val a2 = s2 + s5; val a3 = s3 + s4
+        val a4 = s0 - s7; val a5 = s1 - s6; val a6 = s2 - s5; val a7 = s3 - s4
+        val b0 = a0 + a3; val b1 = a1 + a2; val b2 = a0 - a3; val b3 = a1 - a2
+        val b4 = a5 + a6 + ((a4 >> 1) + a4)
+        val b5 = a4 - a7 - ((a6 >> 1) + a6)
+        val b6 = a4 + a7 - ((a5 >> 1) + a5)
+        val b7 = a5 - a6 + ((a7 >> 1) + a7)
+        b(o) = b0 + b1
+        b(o + 2 * s) = b2 + (b3 >> 1)
+        b(o + 4 * s) = b0 - b1
+        b(o + 6 * s) = (b2 >> 1) - b3
+        b(o + s) = b4 + (b7 >> 2)
+        b(o + 3 * s) = b5 + (b6 >> 2)
+        b(o + 5 * s) = b6 - (b5 >> 2)
+        b(o + 7 * s) = (b4 >> 2) - b7
+        i += 1
+      }
+      pass += 1
+    }
+  }
+
+  /** inverse 8x8 core transform (§8.5.13.2 butterflies) incl. the final
+    * (x + 32) >> 6
+    */
+  def inverse8x8(b: Array[Int]): Unit = {
+    var pass = 0
+    while (pass < 2) {
+      var i = 0
+      while (i < 8) {
+        val (o, s) = if (pass == 0) (i * 8, 1) else (i, 8)
+        val w0 = b(o); val w1 = b(o + s); val w2 = b(o + 2 * s); val w3 = b(o + 3 * s)
+        val w4 = b(o + 4 * s); val w5 = b(o + 5 * s); val w6 = b(o + 6 * s); val w7 = b(o + 7 * s)
+        val a0 = w0 + w4
+        val a4 = w0 - w4
+        val a2 = (w2 >> 1) - w6
+        val a6 = w2 + (w6 >> 1)
+        val b0 = a0 + a6; val b2 = a4 + a2; val b4 = a4 - a2; val b6 = a0 - a6
+        val a1 = -w3 + w5 - w7 - (w7 >> 1)
+        val a3 = w1 + w7 - w3 - (w3 >> 1)
+        val a5 = -w1 + w7 + w5 + (w5 >> 1)
+        val a7 = w3 + w5 + w1 + (w1 >> 1)
+        val b1 = a1 + (a7 >> 2)
+        val b7 = a7 - (a1 >> 2)
+        val b3 = a3 + (a5 >> 2)
+        val b5 = (a3 >> 2) - a5
+        if (pass == 0) {
+          b(o) = b0 + b7; b(o + s) = b2 + b5; b(o + 2 * s) = b4 + b3
+          b(o + 3 * s) = b6 + b1; b(o + 4 * s) = b6 - b1; b(o + 5 * s) = b4 - b3
+          b(o + 6 * s) = b2 - b5; b(o + 7 * s) = b0 - b7
+        } else {
+          b(o) = (b0 + b7 + 32) >> 6; b(o + s) = (b2 + b5 + 32) >> 6
+          b(o + 2 * s) = (b4 + b3 + 32) >> 6; b(o + 3 * s) = (b6 + b1 + 32) >> 6
+          b(o + 4 * s) = (b6 - b1 + 32) >> 6; b(o + 5 * s) = (b4 - b3 + 32) >> 6
+          b(o + 6 * s) = (b2 - b5 + 32) >> 6; b(o + 7 * s) = (b0 - b7 + 32) >> 6
+        }
+        i += 1
+      }
+      pass += 1
+    }
+  }
 }
