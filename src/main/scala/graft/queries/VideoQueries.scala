@@ -347,7 +347,9 @@ object VideoQueries {
         .orderBy("streamId", "index", "pos")
     }),
 
-    // the COMPRESSED tier of the same path: IDR + P frames at QP 12 —
+    // the COMPRESSED tier of the same path, High-profile-shaped since
+    // round 12: IDR + P frames at QP 12 with Intra_8x8 + the 8x8
+    // transform in the per-MB competition (transform_size_8x8_flag),
     // real temporal prediction (motion search, skip runs, inter CAVLC
     // residuals) — decoded sequentially-from-keyframe through the store
     // via the Range plan. PROPERTY oracle (was a frozen md5 pin through
@@ -361,9 +363,9 @@ object VideoQueries {
     // shifts a pixel past tol (n_err flips) or kills compression.
     "video_h264_store_histogram" -> ((s, _) => {
       val root = ensureH264Stores(s)
-      val tol = 8 // measured max |dec-src| on the fixture is 3 at QP 12
+      val tol = 8 // measured max |dec-src| on the fixture: 3 at QP 12 (both the CAVLC and the High/I8 tier)
       val frames = VideoStore
-        .frames(s, root, "h264tp2", codec = H264GopCodec.Default).toDF()
+        .frames(s, root, "h264hi", codec = H264GopCodec.High).toDF()
       import s.implicits._
       val errs = SequenceOps.range(frames, 0L, 20L).as[FrameElem](frameEnc)
         .map { f =>
@@ -378,7 +380,7 @@ object VideoQueries {
           Encoders.scalaLong, Encoders.scalaLong))
         .toDF("streamId", "index", "n_pixels", "n_err_gt_tol")
       val rawBytes = 32L * 48L * 60L // per stream: h*w*frames (U8 gray)
-      val sizes = VideoStore.segments(s, root, "h264tp2").toDF()
+      val sizes = VideoStore.segments(s, root, "h264hi").toDF()
         .groupBy(col("streamId"))
         .agg(sum(length(col("payload"))).as("stored_bytes"))
         .select(col("streamId"), (col("stored_bytes") < lit(rawBytes / 2)).as("compressed"))
@@ -556,8 +558,8 @@ object VideoQueries {
     val root = sys.props("java.io.tmpdir") + "/graft-h264store"
     VideoStore.ingest(h264GrayFixture(s), root, "h264pcm", gopSize = 15,
       CacheMode.Ignore, codec = H264GopCodec.Pcm)
-    VideoStore.ingest(h264GrayFixture(s), root, "h264tp2", gopSize = 15,
-      CacheMode.Ignore, codec = H264GopCodec.Default)
+    VideoStore.ingest(h264GrayFixture(s), root, "h264hi", gopSize = 15,
+      CacheMode.Ignore, codec = H264GopCodec.High)
     root
   }
 

@@ -87,6 +87,7 @@ object H264Codec {
     * competition actually engages on 4x4-scale texture)
     */
   private[graft] val i4MbCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val i8MbCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -106,12 +107,18 @@ object H264Codec {
   /** codec SPS: Baseline, poc type 2 (no slice-header POC fields), frame
     * MBs only, cropping for non-multiple-of-16 dims
     */
-  private def codecSps(w: Int, h: Int): Array[Byte] = {
+  private def codecSps(w: Int, h: Int, high: Boolean = false): Array[Byte] = {
     val bw = new H264Writer.BitWriter
-    bw.u(8, 66) // profile_idc Baseline
+    bw.u(8, if (high) 100 else 66) // profile_idc High (8x8 transform) / Baseline
     bw.u(8, 0)  // constraint flags
     bw.u(8, 40) // level 4.0
     bw.ue(0)    // sps_id
+    if (high) {
+      bw.ue(1)  // chroma_format_idc 4:2:0
+      bw.ue(0); bw.ue(0) // bit_depth_{luma,chroma}_minus8
+      bw.u1(0)  // qpprime_y_zero_transform_bypass_flag
+      bw.u1(0)  // seq_scaling_matrix_present_flag (flat)
+    }
     bw.ue(8)    // log2_max_frame_num_minus4 -> 12 bits of frame_num
     bw.ue(2)    // pic_order_cnt_type 2 (POC from decode order)
     bw.ue(1)    // max_num_ref_frames
@@ -129,7 +136,8 @@ object H264Codec {
   }
 
   /** codec PPS: CAVLC or CABAC, deblocking control present */
-  private def codecPps(cabac: Boolean = false): Array[Byte] = {
+  private def codecPps(cabac: Boolean = false,
+      transform8x8: Boolean = false): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.ue(0)   // pps_id
     bw.ue(0)   // sps_id
@@ -145,6 +153,11 @@ object H264Codec {
     bw.u1(1)   // deblocking_filter_control_present_flag
     bw.u1(0)   // constrained_intra_pred_flag
     bw.u1(0)   // redundant_pic_cnt_present_flag
+    if (transform8x8) { // §7.3.2.2 extension trio (High profile)
+      bw.u1(1) // transform_8x8_mode_flag
+      bw.u1(0) // pic_scaling_matrix_present_flag (flat)
+      bw.se(0) // second_chroma_qp_index_offset
+    }
     bw.rbspTrailing()
   }
 
@@ -191,6 +204,9 @@ object H264Codec {
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
     val pcmMb = new Array[Boolean](mbW * mbH)
+    // per-MB transform_size_8x8_flag — deblocking skips the 4x4-internal
+    // luma edges of these MBs (the transform grid is 8x8)
+    val trans8 = new Array[Boolean](mbW * mbH)
     // per-4x4-block Intra_4x4 prediction mode (-1 = not an I4 block) —
     // the neighbor state §8.3.1.1's most-probable-mode derivation reads
     val i4Mode: Array[Int] = Array.fill(bw4 * mbH * 4)(-1)
@@ -699,6 +715,314 @@ object H264Codec {
       else if (hasL) (sumL(4) + 2) >> 2
       else 128
     q
+  }
+
+  // ---------------------------------------------- Intra_8x8 (High profile)
+
+  /** sample availability for the I8 block loop of MB (mbX, mbY): cross-MB
+    * samples follow mbAvail; within-MB samples follow the z-order decode
+    * progress of the four 8x8 blocks in `done`
+    */
+  private def i8SampleAvail(st: PicState, mbX: Int, mbY: Int,
+      done: Array[Boolean]): (Int, Int) => Boolean = { (x, y) =>
+    if (x < 0 || y < 0 || x >= st.pw || y >= st.ph) false
+    else {
+      val omx = x / 16; val omy = y / 16
+      if (omx == mbX && omy == mbY)
+        done(((y % 16) / 8) * 2 + (x % 16) / 8)
+      else st.mbAvail(omx, omy)
+    }
+  }
+
+  /** available Intra_8x8 modes at (x0, y0) — same availability algebra
+    * as [[i4AvailableModes]] (§8.3.2.2): DC always; V/DDL/VL need top;
+    * H/HU need left; DDR/VR/HD need top+left+corner
+    */
+  private def i8AvailableModes(x0: Int, y0: Int,
+      avail: (Int, Int) => Boolean): Seq[Int] = {
+    val hasT = avail(x0, y0 - 1)
+    val hasL = avail(x0 - 1, y0)
+    val hasD = avail(x0 - 1, y0 - 1)
+    Seq(2) ++
+      (if (hasT) Seq(0, 3, 7) else Nil) ++
+      (if (hasL) Seq(1, 8) else Nil) ++
+      (if (hasT && hasL && hasD) Seq(4, 5, 6) else Nil)
+  }
+
+  /** per-pixel Intra_8x8 luma prediction (§8.3.2.2) from the
+    * reconstructed neighbors, INCLUDING the §8.3.2.2.1 reference-sample
+    * low-pass filter ([1 2 1] with 3x-weighted ends) that distinguishes
+    * 8x8 intra from the 4x4 modes; returns 64 samples in raster order
+    */
+  private def predLuma8(st: PicState, x0: Int, y0: Int, mode: Int,
+      avail: (Int, Int) => Boolean): Array[Int] = {
+    @inline def s(x: Int, y: Int) = st.reconY(y * st.pw + x) & 0xff
+    val hasL = avail(x0 - 1, y0)
+    val hasT = avail(x0, y0 - 1)
+    val hasD = avail(x0 - 1, y0 - 1)
+    val hasC = avail(x0 + 8, y0 - 1)
+    val t = new Array[Int](16)
+    if (hasT) {
+      var i = 0
+      while (i < 8) { t(i) = s(x0 + i, y0 - 1); i += 1 }
+      while (i < 16) { t(i) = if (hasC) s(x0 + i, y0 - 1) else t(7); i += 1 }
+    }
+    val l = new Array[Int](8)
+    if (hasL) { var i = 0; while (i < 8) { l(i) = s(x0 - 1, y0 + i); i += 1 } }
+    val d = if (hasD) s(x0 - 1, y0 - 1) else 0
+    // §8.3.2.2.1 reference filtering
+    val ft = new Array[Int](16)
+    val fl = new Array[Int](8)
+    if (hasT) {
+      ft(0) = if (hasD) (d + 2 * t(0) + t(1) + 2) >> 2 else (3 * t(0) + t(1) + 2) >> 2
+      var i = 1
+      while (i < 15) { ft(i) = (t(i - 1) + 2 * t(i) + t(i + 1) + 2) >> 2; i += 1 }
+      ft(15) = (t(14) + 3 * t(15) + 2) >> 2
+    }
+    if (hasL) {
+      fl(0) = if (hasD) (d + 2 * l(0) + l(1) + 2) >> 2 else (3 * l(0) + l(1) + 2) >> 2
+      var i = 1
+      while (i < 7) { fl(i) = (l(i - 1) + 2 * l(i) + l(i + 1) + 2) >> 2; i += 1 }
+      fl(7) = (l(6) + 3 * l(7) + 2) >> 2
+    }
+    val fd =
+      if (!hasD) 0
+      else if (hasT && hasL) (t(0) + 2 * d + l(0) + 2) >> 2
+      else if (hasT) (3 * d + t(0) + 2) >> 2
+      else if (hasL) (3 * d + l(0) + 2) >> 2
+      else d
+    val out = new Array[Int](64)
+    @inline def put(x: Int, y: Int, v: Int): Unit = out(y * 8 + x) = v
+    @inline def ftp(i: Int): Int = if (i < 0) fd else ft(i)
+    @inline def flp(i: Int): Int = if (i < 0) fd else fl(i)
+    mode match {
+      case 0 =>
+        require(hasT, "Intra_8x8 vertical needs the top row")
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { put(x, y, ft(x)); x += 1 }; y += 1 }
+      case 1 =>
+        require(hasL, "Intra_8x8 horizontal needs the left column")
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { put(x, y, fl(y)); x += 1 }; y += 1 }
+      case 2 =>
+        var st8 = 0; var sl8 = 0
+        var i = 0
+        while (i < 8) { st8 += ft(i); sl8 += fl(i); i += 1 }
+        val v =
+          if (hasT && hasL) (st8 + sl8 + 8) >> 4
+          else if (hasT) (st8 + 4) >> 3
+          else if (hasL) (sl8 + 4) >> 3
+          else 128
+        java.util.Arrays.fill(out, v)
+      case 3 =>
+        require(hasT, "Intra_8x8 DDL needs the top row")
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            put(x, y,
+              if (x == 7 && y == 7) (ft(14) + 3 * ft(15) + 2) >> 2
+              else (ft(x + y) + 2 * ft(x + y + 1) + ft(x + y + 2) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 4 =>
+        require(hasT && hasL && hasD, "Intra_8x8 DDR needs top+left+corner")
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            put(x, y,
+              if (x > y) (ftp(x - y - 2) + 2 * ftp(x - y - 1) + ft(x - y) + 2) >> 2
+              else if (x < y) (flp(y - x - 2) + 2 * flp(y - x - 1) + fl(y - x) + 2) >> 2
+              else (ft(0) + 2 * fd + fl(0) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 5 =>
+        require(hasT && hasL && hasD, "Intra_8x8 VR needs top+left+corner")
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = 2 * x - y
+            put(x, y,
+              if (z >= 0 && z % 2 == 0) (ftp(x - (y >> 1) - 1) + ftp(x - (y >> 1)) + 1) >> 1
+              else if (z >= 0) (ftp(x - (y >> 1) - 2) + 2 * ftp(x - (y >> 1) - 1) + ftp(x - (y >> 1)) + 2) >> 2
+              else if (z == -1) (fl(0) + 2 * fd + ft(0) + 2) >> 2
+              else (flp(y - 2 * x - 1) + 2 * flp(y - 2 * x - 2) + flp(y - 2 * x - 3) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 6 =>
+        require(hasT && hasL && hasD, "Intra_8x8 HD needs top+left+corner")
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = 2 * y - x
+            put(x, y,
+              if (z >= 0 && z % 2 == 0) (flp(y - (x >> 1) - 1) + flp(y - (x >> 1)) + 1) >> 1
+              else if (z >= 0) (flp(y - (x >> 1) - 2) + 2 * flp(y - (x >> 1) - 1) + flp(y - (x >> 1)) + 2) >> 2
+              else if (z == -1) (fl(0) + 2 * fd + ft(0) + 2) >> 2
+              else (ftp(x - 2 * y - 1) + 2 * ftp(x - 2 * y - 2) + ftp(x - 2 * y - 3) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 7 =>
+        require(hasT, "Intra_8x8 VL needs the top row")
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val i = x + (y >> 1)
+            put(x, y,
+              if (y % 2 == 0) (ft(i) + ft(i + 1) + 1) >> 1
+              else (ft(i) + 2 * ft(i + 1) + ft(i + 2) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case 8 =>
+        require(hasL, "Intra_8x8 HU needs the left column")
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = x + 2 * y
+            put(x, y,
+              if (z > 13) fl(7)
+              else if (z == 13) (fl(6) + 3 * fl(7) + 2) >> 2
+              else if (z % 2 == 0) (fl(y + (x >> 1)) + fl(y + (x >> 1) + 1) + 1) >> 1
+              else (fl(y + (x >> 1)) + 2 * fl(y + (x >> 1) + 1) + fl(y + (x >> 1) + 2) + 2) >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case other => sys.error(s"Intra_8x8 prediction mode $other out of range")
+    }
+    out
+  }
+
+  /** replicate an 8x8 block's mode into its four covering 4x4 cells —
+    * neighbor MPM derivations (both I4-vs-I8 directions) then read the
+    * covering cell, which is the spec's cross-size MPM rule
+    */
+  @inline private def setI8ModeCells(st: PicState, mbX: Int, mbY: Int,
+      blk: Int, mode: Int): Unit = {
+    val bx = mbX * 4 + (blk % 2) * 2; val by = mbY * 4 + (blk / 2) * 2
+    st.i4Mode(by * st.bw4 + bx) = mode
+    st.i4Mode(by * st.bw4 + bx + 1) = mode
+    st.i4Mode((by + 1) * st.bw4 + bx) = mode
+    st.i4Mode((by + 1) * st.bw4 + bx + 1) = mode
+  }
+
+  /** closed-loop Intra_8x8 ANALYSIS + reconstruction for one MB (mirror
+    * of [[analyseLumaI4]] at 8x8 granularity): per block in z-order,
+    * lowest-SAD available mode, 8x8 transform/quant, immediate recon.
+    * Returns (modes, per-block 64-coeff zigzags, cbpLuma, total SAD).
+    */
+  private def analyseLumaI8(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte]): (Array[Int], Array[Array[Int]], Int, Long) = {
+    val modes = new Array[Int](4)
+    val zigs = Array.fill(4)(new Array[Int](64))
+    val done = new Array[Boolean](4)
+    val avail = i8SampleAvail(st, mbX, mbY, done)
+    val buf = new Array[Int](64)
+    val w = new Array[Int](64)
+    var cbp = 0
+    var sadTotal = 0L
+    var blk = 0
+    while (blk < 4) {
+      val x0 = mbX * 16 + (blk % 2) * 8
+      val y0 = mbY * 16 + (blk / 2) * 8
+      var bestMode = 2
+      var bestSad = Long.MaxValue
+      var bestPred: Array[Int] = null
+      i8AvailableModes(x0, y0, avail).sorted.foreach { m =>
+        val p = predLuma8(st, x0, y0, m, avail)
+        var sad = 0L
+        var i = 0
+        while (i < 64) {
+          sad += math.abs((srcY((y0 + i / 8) * st.pw + x0 + i % 8) & 0xff) - p(i))
+          i += 1
+        }
+        if (sad < bestSad) { bestSad = sad; bestMode = m; bestPred = p }
+      }
+      modes(blk) = bestMode
+      sadTotal += bestSad
+      setI8ModeCells(st, mbX, mbY, blk, bestMode)
+      var i = 0
+      while (i < 64) {
+        buf(i) = (srcY((y0 + i / 8) * st.pw + x0 + i % 8) & 0xff) - bestPred(i)
+        i += 1
+      }
+      forward8x8(buf)
+      var any = false
+      var zi = 0
+      while (zi < 64) {
+        val pos = zigzag8x8(zi)
+        val z = quantAc8(buf(pos), qp, pos)
+        zigs(blk)(zi) = z
+        if (z != 0) any = true
+        zi += 1
+      }
+      if (any) cbp |= 1 << blk
+      java.util.Arrays.fill(w, 0)
+      zi = 0
+      while (zi < 64) {
+        val pos = zigzag8x8(zi)
+        w(pos) = dequantAc8(zigs(blk)(zi), qp, pos)
+        zi += 1
+      }
+      inverse8x8(w)
+      i = 0
+      while (i < 64) {
+        st.reconY((y0 + i / 8) * st.pw + x0 + i % 8) = clip(bestPred(i) + w(i))
+        i += 1
+      }
+      done(blk) = true
+      blk += 1
+    }
+    (modes, zigs, cbp, sadTotal)
+  }
+
+  /** decoder-side Intra_8x8 luma reconstruction — exact mirror of
+    * [[analyseLumaI8]]'s closed loop (the caller has already replicated
+    * the parsed modes into the 4x4 cells)
+    */
+  private def reconstructLumaI8(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      modes: Array[Int], zig8: Array[Array[Int]], cbpLuma: Int): Unit = {
+    val done = new Array[Boolean](4)
+    val avail = i8SampleAvail(st, mbX, mbY, done)
+    val w = new Array[Int](64)
+    var blk = 0
+    while (blk < 4) {
+      val x0 = mbX * 16 + (blk % 2) * 8
+      val y0 = mbY * 16 + (blk / 2) * 8
+      val pred = predLuma8(st, x0, y0, modes(blk), avail)
+      java.util.Arrays.fill(w, 0)
+      if (((cbpLuma >> blk) & 1) != 0) {
+        var zi = 0
+        while (zi < 64) {
+          val pos = zigzag8x8(zi)
+          w(pos) = dequantAc8(zig8(blk)(zi), qp, pos)
+          zi += 1
+        }
+      }
+      inverse8x8(w)
+      var i = 0
+      while (i < 64) {
+        st.reconY((y0 + i / 8) * st.pw + x0 + i % 8) = clip(pred(i) + w(i))
+        i += 1
+      }
+      done(blk) = true
+      blk += 1
+    }
   }
 
   /** shared encoder/decoder reconstruction of one Intra_16x16 MB: dequant,
@@ -1243,14 +1567,178 @@ object H264Codec {
     }
   }
 
+  /** the CAVLC I-slice intra choice of one MB */
+  private sealed trait IntraSel
+  private object IntraSel {
+    case object I16 extends IntraSel
+    final case class I4(modes: Array[Int], m: PMbCoeffs) extends IntraSel
+    final case class I8(modes: Array[Int], zig8: Array[Array[Int]], m: PMbCoeffs)
+      extends IntraSel
+  }
+
+  /** Three-way intra mode competition (I16 vs I_NxN-4x4 vs
+    * I_NxN-8x8 when `allow8`): each NxN analysis runs its closed loop
+    * against a saved reconstruction, the winner's analysis is replayed
+    * (deterministic) and its chroma coded. Biases mirror the historical
+    * I4-vs-I16 margin (+96, sixteen mode codes of overhead); I8 carries
+    * a smaller one (+64, four mode codes).
+    */
+  private def tryIntraNxN(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      allow8: Boolean): IntraSel = {
+    if (!allow8)
+      return tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr) match {
+        case Some((modes, m)) => IntraSel.I4(modes, m)
+        case None             => IntraSel.I16
+      }
+    val (_, _, sad16) = selectI16(st, mbX, mbY, srcY)
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val saved = Array.tabulate(16)(rr => java.util.Arrays.copyOfRange(
+      st.reconY, (y0 + rr) * st.pw + x0, (y0 + rr) * st.pw + x0 + 16))
+    def restore(): Unit = {
+      var rr = 0
+      while (rr < 16) {
+        System.arraycopy(saved(rr), 0, st.reconY, (y0 + rr) * st.pw + x0, 16)
+        rr += 1
+      }
+      var by = 0
+      while (by < 4) {
+        var bx = 0
+        while (bx < 4) {
+          st.i4Mode((mbY * 4 + by) * st.bw4 + mbX * 4 + bx) = -1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    def finishChroma(m: PMbCoeffs, cbpL: Int): Unit = {
+      val qpc = chromaQp(qp)
+      val cbpC = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+      m.cbp = cbpL | (cbpC << 4)
+      intraChromaRecon(st, mbX, mbY, qpc, cbpC,
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+      st.mbQp(mbY * st.mbW + mbX) = qp
+    }
+    val (_, _, _, sad4) = analyseLumaI4(st, mbX, mbY, qp, srcY)
+    restore()
+    val (_, _, _, sad8) = analyseLumaI8(st, mbX, mbY, qp, srcY)
+    restore()
+    val cost16 = sad16
+    val cost4 = sad4 + 96
+    val cost8 = sad8 + 64
+    if (cost8 <= cost4 && cost8 < cost16) {
+      val (modes, zigs, cbpL, _) = analyseLumaI8(st, mbX, mbY, qp, srcY)
+      val m = new PMbCoeffs
+      finishChroma(m, cbpL)
+      st.trans8(mbY * st.mbW + mbX) = true
+      i8MbCount.incrementAndGet()
+      IntraSel.I8(modes, zigs, m)
+    } else if (cost4 < cost16) {
+      val (modes, zigs, cbpL, _) = analyseLumaI4(st, mbX, mbY, qp, srcY)
+      val m = new PMbCoeffs
+      var blk = 0
+      while (blk < 16) {
+        System.arraycopy(zigs(blk), 0, m.lumaZig(blk), 0, 16)
+        blk += 1
+      }
+      finishChroma(m, cbpL)
+      i4MbCount.incrementAndGet()
+      IntraSel.I4(modes, m)
+    } else IntraSel.I16
+  }
+
+  /** write one Intra_8x8 MB (CAVLC High): mb_type 0 +
+    * transform_size_8x8_flag 1, four prev/rem mode codes, DC chroma
+    * mode, the Table 9-4 INTRA cbp mapping, then each coded 8x8 block as
+    * four interleaved 4x4 CAVLC blocks (sub-block i carries scan
+    * positions 4k + i of the 8x8 zigzag) + the shared chroma writer
+    */
+  private def writeMbI8(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
+      modes: Array[Int], zig8: Array[Array[Int]], m: PMbCoeffs): Unit = {
+    bw.ue(0) // mb_type I_NxN
+    bw.u1(1) // transform_size_8x8_flag
+    var b = 0
+    while (b < 4) {
+      val bx = mbX * 4 + (b % 2) * 2; val by = mbY * 4 + (b / 2) * 2
+      val pm = predI4Mode(st, bx, by)
+      if (modes(b) == pm) bw.u1(1)
+      else {
+        bw.u1(0)
+        bw.u(3, if (modes(b) < pm) modes(b) else modes(b) - 1)
+      }
+      b += 1
+    }
+    bw.ue(0) // intra_chroma_pred_mode: DC
+    bw.ue(cbpIntraToCode(m.cbp))
+    if (m.cbp != 0) {
+      bw.se(0) // mb_qp_delta
+      writeI8LumaResidual(bw, st, mbX, mbY, m.cbpLuma, zig8)
+      writeChromaResidual(bw, st, mbX, mbY, m)
+    } else clearNz(st, mbX, mbY)
+  }
+
+  /** the luma half of the I8 residual: per coded 8x8 block, four
+    * interleaved 4x4 sub-blocks with standard neighbor nC contexts at
+    * their covering 4x4 positions
+    */
+  private def writeI8LumaResidual(bw: H264Writer.BitWriter, st: PicState,
+      mbX: Int, mbY: Int, cbpLuma: Int, zig8: Array[Array[Int]]): Unit = {
+    val bX = mbX * 4; val bY = mbY * 4
+    val sub = new Array[Int](16)
+    var b = 0
+    while (b < 4) {
+      var i = 0
+      while (i < 4) {
+        val ax = bX + (b % 2) * 2 + i % 2
+        val ay = bY + (b / 2) * 2 + i / 2
+        val tc =
+          if (((cbpLuma >> b) & 1) != 0) {
+            var k = 0
+            while (k < 16) { sub(k) = zig8(b)(4 * k + i); k += 1 }
+            H264Cavlc.writeBlock(bw, sub, st.nC(st.nzY, st.bw4, ax, ay))
+          } else 0
+        st.nzY(ay * st.bw4 + ax) = tc
+        i += 1
+      }
+      b += 1
+    }
+  }
+
+  /** mirror of [[writeI8LumaResidual]] */
+  private def readI8LumaResidual(r: H264.BitReader, st: PicState,
+      mbX: Int, mbY: Int, cbpLuma: Int, zig8: Array[Array[Int]]): Unit = {
+    val bX = mbX * 4; val bY = mbY * 4
+    val sub = new Array[Int](16)
+    var b = 0
+    while (b < 4) {
+      var i = 0
+      while (i < 4) {
+        val ax = bX + (b % 2) * 2 + i % 2
+        val ay = bY + (b / 2) * 2 + i / 2
+        val tc =
+          if (((cbpLuma >> b) & 1) != 0) {
+            val n = H264Cavlc.readBlockInto(r, 16, st.nC(st.nzY, st.bw4, ax, ay), sub)
+            var k = 0
+            while (k < 16) { zig8(b)(4 * k + i) = sub(k); k += 1 }
+            n
+          } else 0
+        st.nzY(ay * st.bw4 + ax) = tc
+        i += 1
+      }
+      b += 1
+    }
+  }
+
   /** write one Intra_4x4 MB (CAVLC): mb_type 0, sixteen
     * prev/rem mode codes against the §8.3.1.1 most-probable mode, DC
     * chroma mode, the Table 9-4 INTRA cbp mapping, then the shared
     * 16-coeff-block residual writer
     */
   private def writeMbI4(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
-      modes: Array[Int], m: PMbCoeffs): Unit = {
+      modes: Array[Int], m: PMbCoeffs, t8pps: Boolean = false): Unit = {
     bw.ue(0) // mb_type I_NxN
+    if (t8pps) bw.u1(0) // transform_size_8x8_flag: this MB stays 4x4
     var blk = 0
     while (blk < 16) {
       val bx = mbX * 4 + blkX(blk); val by = mbY * 4 + blkY(blk)
@@ -1546,6 +2034,15 @@ object H264Codec {
       st.nzY(ay * st.bw4 + ax) = tc
       blk += 1
     }
+    writeChromaResidual(bw, st, mbX, mbY, mc)
+  }
+
+  /** the chroma half of the CAVLC residual writer (DC always when
+    * cbpChroma != 0, AC only at cbpChroma == 2) — shared by the P/I4
+    * path and the Intra_8x8 luma writer
+    */
+  private def writeChromaResidual(bw: H264Writer.BitWriter, st: PicState,
+      mbX: Int, mbY: Int, mc: PMbCoeffs): Unit = {
     if (mc.cbpChroma != 0) {
       H264Cavlc.writeBlock(bw, mc.cbDcZig, -1)
       H264Cavlc.writeBlock(bw, mc.crDcZig, -1)
@@ -2247,7 +2744,10 @@ object H264Codec {
         while (e < 4) {
           val atMbEdge = e == 0
           val exists = if (vertical) !atMbEdge || mbX > 0 else !atMbEdge || mbY > 0
-          if (exists) {
+          // an 8x8-transform MB has no 4x4-internal transform edges:
+          // only e = 0 (MB edge) and e = 2 (8x8 grid) filter (§8.7);
+          // chroma rides e 0/2 only, so skipping e 1/3 outright is exact
+          if (exists && !(st.trans8(mb) && (e == 1 || e == 3))) {
             val qMb = mb
             val pMb = if (!atMbEdge) mb else if (vertical) mb - 1 else mb - st.mbW
             val qpavY = (qpOf(pMb) + qpOf(qMb) + 1) >> 1
@@ -2350,7 +2850,8 @@ object H264Codec {
     */
   private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
       ref: PicState, searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      deblock: Boolean, slices: Int, cabac: Boolean = false): (Seq[Array[Byte]], PicState) = {
+      deblock: Boolean, slices: Int, cabac: Boolean = false,
+      transform8x8: Boolean = false): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -2396,7 +2897,8 @@ object H264Codec {
         encodePRange(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb)
       else
-        encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb)
+        encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb,
+          transform8x8)
       val nalRefIdc = if (idr) 3 else 2
       val nalType = if (idr) 5 else 1
       // the CABAC flush already emitted the stop bit and byte-aligned;
@@ -2442,7 +2944,7 @@ object H264Codec {
   /** the I-slice macroblock loop over [startMb, endMb) */
   private def encodeIRange(st: PicState, bw: H264Writer.BitWriter, qp: Int,
       pcm: Boolean, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      startMb: Int, endMb: Int): Unit = {
+      startMb: Int, endMb: Int, transform8x8: Boolean = false): Unit = {
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % st.mbW
@@ -2500,10 +3002,12 @@ object H264Codec {
             }
             i += 1
           }
-        } else tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr) match {
-          case Some((modes, m)) =>
-            writeMbI4(bw, st, mbX, mbY, modes, m) // recon already in place
-          case None =>
+        } else tryIntraNxN(st, mbX, mbY, qp, srcY, srcCb, srcCr, transform8x8) match {
+          case IntraSel.I4(modes, m) => // recon already in place
+            writeMbI4(bw, st, mbX, mbY, modes, m, t8pps = transform8x8)
+          case IntraSel.I8(modes, zig8, m) => // recon already in place
+            writeMbI8(bw, st, mbX, mbY, modes, zig8, m)
+          case IntraSel.I16 =>
             val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
             writeMbI16(bw, st, mbX, mbY, mc)
             reconstructMb(st, mbX, mbY, qp, mc)
@@ -2542,7 +3046,7 @@ object H264Codec {
       allIntra: Boolean = false, searchRange: Int = 4,
       halfPel: Boolean = true, quarterPel: Boolean = true,
       deblock: Boolean = true, slicesPerFrame: Int = 1,
-      cabac: Boolean = false): Array[Byte] = {
+      cabac: Boolean = false, transform8x8: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -2550,10 +3054,13 @@ object H264Codec {
     require(searchRange >= 0 && searchRange <= 16, s"searchRange $searchRange out of [0,16]")
     require(slicesPerFrame >= 1, s"slicesPerFrame $slicesPerFrame must be >= 1")
     require(!(pcm && cabac), "I_PCM tier is CAVLC-only (pcm + cabac unsupported)")
+    require(!(transform8x8 && cabac),
+      "Intra_8x8 is CAVLC-only here (CABAC cat-5 residual contexts not implemented)")
+    require(!(transform8x8 && pcm), "I_PCM tier never uses the 8x8 transform")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     val out = new java.io.ByteArrayOutputStream()
-    out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h)))
-    out.write(H264Writer.nal(3, 8, codecPps(cabac)))
+    out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h, high = transform8x8)))
+    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8)))
     out.write(H264Writer.nal(0, 6, seiUserData(
       if (cabac && H264Cabac.initTables.isDefined)
         "CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains; self-decode verified only"
@@ -2567,7 +3074,7 @@ object H264Codec {
       // break the bit-exact lossless guarantee that tier exists for
       val (nals, state) = encodeFrame(f, i, qp, pcm,
         if (pcm || allIntra) null else ref, searchRange, halfPel, quarterPel,
-        deblock && !pcm, slicesPerFrame, cabac)
+        deblock && !pcm, slicesPerFrame, cabac, transform8x8)
       nals.foreach(out.write)
       ref = state
     }
@@ -2577,7 +3084,7 @@ object H264Codec {
   // ------------------------------------------------------------- decode
 
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
-      cabac: Boolean)
+      cabac: Boolean, transform8x8: Boolean = false)
 
   /** per-slice deblocking request (§7.3.3): off, or on with α/β offsets
     * and whether filtering crosses slice boundaries (idc 0 vs 2)
@@ -2601,7 +3108,17 @@ object H264Codec {
     val deblk = r.u1 == 1
     r.u1 // constrained_intra_pred
     r.u1 // redundant_pic_cnt_present
-    CodecPps(picInitQp, deblk, cabac)
+    // §7.3.2.2 extension (High profile): transform_8x8_mode_flag +
+    // scaling-matrix flag + second chroma qp offset
+    val t8 =
+      if (!r.moreRbspData) false
+      else {
+        val t = r.u1 == 1
+        require(r.u1 == 0, "pic_scaling_matrix_present unsupported (flat only)")
+        require(r.se == 0, "second_chroma_qp_index_offset != 0 unsupported")
+        t
+      }
+    CodecPps(picInitQp, deblk, cabac, t8)
   }
 
   /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
@@ -2622,6 +3139,15 @@ object H264Codec {
       st.nzY(ay * st.bw4 + ax) = tc
       blk += 1
     }
+    readChromaResidual(r, st, mbX, mbY, m)
+  }
+
+  /** the chroma half of the CAVLC residual parser — mirror of
+    * [[writeChromaResidual]], shared by the P/I4, Intra_16x16, and
+    * Intra_8x8 decode branches
+    */
+  private def readChromaResidual(r: H264.BitReader, st: PicState,
+      mbX: Int, mbY: Int, m: PMbCoeffs): Unit = {
     if (m.cbpChroma != 0) {
       H264Cavlc.readBlockInto(r, 4, -1, m.cbDcZig)
       H264Cavlc.readBlockInto(r, 4, -1, m.crDcZig)
@@ -2699,6 +3225,8 @@ object H264Codec {
       }
     val mbW = st.mbW; val mbH = st.mbH
     if (pps.cabac) {
+      require(!pps.transform8x8,
+        "CABAC + transform_8x8_mode unsupported (cat-5 residual contexts not implemented)")
       if (isP) require(ref != null,
         "P slice with no reference picture (stream must open with an IDR)")
       decodeSliceDataCabac(r, st, ref, isP, qp, firstMb, cabacInitIdc)
@@ -2783,6 +3311,35 @@ object H264Codec {
           }
           i += 1
         }
+      } else if (mbType == 0 && pps.transform8x8 && r.u1 == 1) {
+        // I_NxN with transform_size_8x8_flag = 1 (Intra_8x8, High)
+        val modes = new Array[Int](4)
+        var b = 0
+        while (b < 4) {
+          val bx = mbX * 4 + (b % 2) * 2; val by = mbY * 4 + (b / 2) * 2
+          val pm = predI4Mode(st, bx, by)
+          modes(b) =
+            if (r.u1 == 1) pm
+            else { val rem = r.u(3); if (rem < pm) rem else rem + 1 }
+          setI8ModeCells(st, mbX, mbY, b, modes(b))
+          b += 1
+        }
+        require(r.ue == 0, "chroma prediction mode != DC not implemented")
+        val cbpCode = r.ue
+        require(cbpCode < 48, s"intra coded_block_pattern code $cbpCode out of range")
+        val m = new PMbCoeffs
+        m.cbp = cbpIntraFromCode(cbpCode)
+        val zig8 = Array.fill(4)(new Array[Int](64))
+        if (m.cbp != 0) {
+          qp += r.se // mb_qp_delta
+          readI8LumaResidual(r, st, mbX, mbY, m.cbpLuma, zig8)
+          readChromaResidual(r, st, mbX, mbY, m)
+        } else clearNz(st, mbX, mbY)
+        st.mbQp(mbY * st.mbW + mbX) = qp
+        st.trans8(mbY * st.mbW + mbX) = true
+        reconstructLumaI8(st, mbX, mbY, qp, modes, zig8, m.cbpLuma)
+        intraChromaRecon(st, mbX, mbY, chromaQp(qp), m.cbpChroma,
+          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
       } else if (mbType == 0) { // I_NxN (Intra_4x4, 4x4 transform)
         val modes = new Array[Int](16)
         var blk = 0

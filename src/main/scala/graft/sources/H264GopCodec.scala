@@ -25,7 +25,7 @@ import graft.model.{FrameElem, FrameType}
   * units exactly like the reference's sequential-from-keyframe decode.
   */
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
-    cabac: Boolean = false) extends GopCodec {
+    cabac: Boolean = false, transform8x8: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -46,7 +46,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
         "GOP frames must share shape/dtype")
     }
     val yuvs = frames.map(toYuv)
-    val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac)
+    val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
+      transform8x8 = transform8x8)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -143,4 +144,7 @@ object H264GopCodec {
     * §9.3 arithmetic coding in the slice data — see [[H264Cabac]] for
     * the documented conformance envelope) */
   val Cabac: H264GopCodec = new H264GopCodec(qp = 12, cabac = true)
+  /** High-profile-shaped store: the 8x8 transform + Intra_8x8 join the
+    * per-MB competition (transform_size_8x8_flag per I_NxN MB) */
+  val High: H264GopCodec = new H264GopCodec(qp = 12, transform8x8 = true)
 }

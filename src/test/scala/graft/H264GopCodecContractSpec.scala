@@ -11,6 +11,13 @@ import graft.sources.H264GopCodec
 class H264GopCodecContractSpec
   extends GopCodecContract("h264-cavlc", new H264GopCodec(qp = 8), maxMeanAbsError = 4.0)
 
+/** the High-profile-shaped tier (Intra_8x8 + 8x8 transform in the per-MB
+  * competition) under the identical contract
+  */
+class H264HighGopCodecContractSpec
+  extends GopCodecContract("h264-high",
+    new H264GopCodec(qp = 8, transform8x8 = true), maxMeanAbsError = 4.0)
+
 /** I_PCM mode: raw macroblocks — still real H264 syntax, and for
   * grayscale frames the round trip must be BIT-exact (monochrome luma,
   * neutral chroma). RGB stays lossy under PCM too (chroma subsampling),
