@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{H264Cavlc, H264Codec, H264Writer => W}
+
+/** Decode-side conformance corpus (the closest offline proxy to running
+  * a third-party encoder's output through the decoder): minimal
+  * CONFORMANT bitstreams are constructed BY HAND here — SPS, PPS, and
+  * slice headers written field-by-field per §7.3 with the ingest-side
+  * bit primitives, never by the codec's own encoder — then decoded to
+  * pixels the test derives from the spec's arithmetic independently.
+  * The byte streams are additionally pinned by digest (golden
+  * literals): any change in NAL escaping, header layout, or block
+  * coding that alters the bytes or the decode flips the test.
+  */
+class H264ConformanceSpec extends AnyFunSuite {
+
+  /** Baseline SPS written field-by-field (§7.3.2.1.1):
+    * poc type 2, 4-bit frame_num, no cropping
+    */
+  private def handSps(mbW: Int, mbH: Int): Array[Byte] = {
+    val bw = new W.BitWriter
+    bw.u(8, 66) // profile_idc Baseline
+    bw.u(8, 0)  // constraint flags
+    bw.u(8, 10) // level 1.0
+    bw.ue(0)    // seq_parameter_set_id
+    bw.ue(0)    // log2_max_frame_num_minus4
+    bw.ue(2)    // pic_order_cnt_type
+    bw.ue(1)    // max_num_ref_frames
+    bw.u1(0)    // gaps_in_frame_num_value_allowed_flag
+    bw.ue(mbW - 1) // pic_width_in_mbs_minus1
+    bw.ue(mbH - 1) // pic_height_in_map_units_minus1
+    bw.u1(1)    // frame_mbs_only_flag
+    bw.u1(1)    // direct_8x8_inference_flag
+    bw.u1(0)    // frame_cropping_flag
+    bw.u1(0)    // vui_parameters_present_flag
+    bw.rbspTrailing()
+  }
+
+  /** CAVLC PPS written field-by-field (§7.3.2.2), pic_init_qp 26 */
+  private def handPps(): Array[Byte] = {
+    val bw = new W.BitWriter
+    bw.ue(0)    // pic_parameter_set_id
+    bw.ue(0)    // seq_parameter_set_id
+    bw.u1(0)    // entropy_coding_mode_flag (CAVLC)
+    bw.u1(0)    // bottom_field_pic_order_in_frame_present_flag
+    bw.ue(0)    // num_slice_groups_minus1
+    bw.ue(0); bw.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    bw.u1(0)    // weighted_pred_flag
+    bw.u(2, 0)  // weighted_bipred_idc
+    bw.se(0)    // pic_init_qp_minus26
+    bw.se(0)    // pic_init_qs_minus26
+    bw.se(0)    // chroma_qp_index_offset
+    bw.u1(1)    // deblocking_filter_control_present_flag
+    bw.u1(0)    // constrained_intra_pred_flag
+    bw.u1(0)    // redundant_pic_cnt_present_flag
+    bw.rbspTrailing()
+  }
+
+  /** IDR I-slice header (§7.3.3): first_mb 0, qp 26, deblocking OFF so
+    * the expected pixels stay filter-free spec arithmetic
+    */
+  private def newIdrSlice(): W.BitWriter = {
+    val bw = new W.BitWriter
+    bw.ue(0)    // first_mb_in_slice
+    bw.ue(7)    // slice_type: I (all slices of the picture)
+    bw.ue(0)    // pic_parameter_set_id
+    bw.u(4, 0)  // frame_num (log2_max_frame_num = 4)
+    bw.ue(0)    // idr_pic_id
+    bw.u1(0)    // no_output_of_prior_pics_flag
+    bw.u1(0)    // long_term_reference_flag
+    bw.se(0)    // slice_qp_delta -> qp 26
+    bw.ue(1)    // disable_deblocking_filter_idc: OFF
+    bw
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  test("hand-built I_PCM stream decodes to exactly its raw samples") {
+    val lumaPat = Array.tabulate(256)(i => ((7 * i + 13) % 256).toByte)
+    val cbPat = Array.tabulate(64)(i => ((i * 5 + 1) % 256).toByte)
+    val crPat = Array.tabulate(64)(i => ((i * 3 + 2) % 256).toByte)
+    val bw = newIdrSlice()
+    bw.ue(25)      // mb_type I_PCM
+    bw.alignZero() // pcm_alignment_zero_bit(s)
+    lumaPat.foreach(b => bw.u(8, b & 0xff))
+    cbPat.foreach(b => bw.u(8, b & 0xff))
+    crPat.foreach(b => bw.u(8, b & 0xff))
+    val stream =
+      W.nal(3, 7, handSps(1, 1)) ++ W.nal(3, 8, handPps()) ++
+        W.nal(3, 5, bw.rbspTrailing())
+    // golden byte literal: the constructed stream itself is pinned
+    assert(md5hex(stream) == "d0e76856b707316e22d157df043db87e") // golden
+    val out = H264Codec.decode(stream)
+    assert(out.size == 1)
+    assert(out.head.w == 16 && out.head.h == 16)
+    assert(out.head.y.toSeq == lumaPat.toSeq)
+    assert(out.head.cb.toSeq == cbPat.toSeq)
+    assert(out.head.cr.toSeq == crPat.toSeq)
+  }
+
+  test("hand-built CAVLC Intra_16x16 two-MB stream decodes to spec-derived pixels") {
+    val bw = newIdrSlice()
+    // MB0: Intra_16x16, DC pred, cbp 0 -> mb_type 1 + 2 (DC) = 3;
+    // luma DC block carries ONE +1 trailing-one coefficient. Expected
+    // per §8.5: inverse Hadamard spreads 1 to every 4x4 DC, scaled
+    // dequantLumaDc(1, 26) = 13 << 2 = 52, inverse transform
+    // (52 + 32) >> 6 = +1 on the 128 DC prediction -> all 129.
+    bw.ue(3)  // mb_type I_16x16_2_0_0 (DC, cbp luma 0, chroma 0)
+    bw.ue(0)  // intra_chroma_pred_mode: DC
+    bw.se(0)  // mb_qp_delta
+    locally { // luma DC 4x4 block, nC 0 (no neighbors)
+      val zig = new Array[Int](16); zig(0) = 1
+      H264Cavlc.writeBlock(bw, zig, 0)
+    }
+    // MB1: same shape, all-zero DC block (nC 0: MB0 recorded 0 AC
+    // coeffs). DC pred from MB0's left column (all 129) -> all 129.
+    bw.ue(3)
+    bw.ue(0)
+    bw.se(0)
+    locally {
+      val zig = new Array[Int](16)
+      H264Cavlc.writeBlock(bw, zig, 0)
+    }
+    val stream =
+      W.nal(3, 7, handSps(2, 1)) ++ W.nal(3, 8, handPps()) ++
+        W.nal(3, 5, bw.rbspTrailing())
+    assert(md5hex(stream) == "a6ab9680d56a655e713569315816c048") // golden
+    val out = H264Codec.decode(stream)
+    assert(out.size == 1)
+    assert(out.head.w == 32 && out.head.h == 16)
+    assert(out.head.y.forall(b => (b & 0xff) == 129),
+      s"luma must be uniformly 129, got ${out.head.y.take(8).map(_ & 0xff).mkString(",")}")
+    assert(out.head.cb.forall(b => (b & 0xff) == 128))
+    assert(out.head.cr.forall(b => (b & 0xff) == 128))
+  }
+}
