@@ -753,8 +753,12 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
 
     // deadline for the sf0.1 board: keep a reserve for the sf1 section
-    // (if its tier is already on disk) + final emission
+    // (so the 10x-ratio evidence isn't crowded out by the board's cheap
+    // tail) + final emission
     def remaining(reserveS: Double): Double = budgetS - elapsedS - reserveS
+    val sf1Planned = sfDir.endsWith("sf0.1") &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+    val sf1Reserve = if (sf1Planned) 280.0 else 0.0
     val doneBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
     @volatile var sf1Part = ""
     def emitPartial(skippedNow: Seq[String]): Unit = {
@@ -768,7 +772,7 @@ object Bench {
       Emit.flushFile()
     }
     val (results, skipped0) = timeAll(spark, tally, ordered, sfDir, reps, profileSet,
-      estimates = estimates, remainingS = () => remaining(20.0),
+      estimates = estimates, remainingS = () => remaining(20.0 + sf1Reserve),
       onResult = { (name, qr) =>
         doneBuf += ((name, qr))
         val doneNames = doneBuf.map(_._1).toSet
@@ -909,6 +913,10 @@ object Bench {
   /** per-query result: (min, median, per-rep (sec, telemetry), per-op ms) */
   private type QueryResult = (Double, Double, Seq[(Double, String)], Map[String, Long])
 
+  /** accumulated timed+warmup wall since the last settle GC (see
+    * timeOne's gc gate) — main is single-threaded */
+  private var unGcWall = 0.0
+
   /** the shared timing loop: warmup + reps + telemetry + optional per-op
     * profile pass per query, identical for the sf0.1 and sf1 sections.
     * Runs `selected` IN ORDER; before each row, `remainingS()` (the
@@ -939,7 +947,12 @@ object Bench {
         System.err.println(f"[bench] $tag$name SKIPPED (budget: $rem%.0fs left" +
           estCost.map(c => f", est $c%.0fs").getOrElse("") + ")")
       } else {
-        val qr = timeOne(spark, tally, name, fn, sfDir, reps, profileSet, tag, warmup)
+        // the untimed warmup exists for codegen/JIT constants, which
+        // only dominate CHEAP rows; a row known to run >= 5 s is
+        // steady-state work and skipping its warmup saves a full
+        // execution (~150 s across the board's heavy rows)
+        val warm = warmup && estimates.get(name).forall(_ < 5.0)
+        val qr = timeOne(spark, tally, name, fn, sfDir, reps, profileSet, tag, warm)
         out += ((name, qr))
         onResult(name, qr)
       }
@@ -963,17 +976,18 @@ object Bench {
       if (warmup)
         try { materialize(fn(spark, sfDir)); CacheScope.release(blocking = true) }
         catch { case _: Throwable => () } // the timed reps will report it
-      // settle the JVM ONCE before the reps (collecting prior queries'
+      // settle the JVM before the reps (collecting prior queries'
       // garbage lets the ContextCleaner reclaim their broadcast/shuffle
       // state — without it, a query's reps absorb its NEIGHBORS' cleanup:
       // seq_stencil_sum measured 3.1-6.2 s inside the suite vs 0.87 s in
-      // isolation, all plans identical). Deliberately NOT between reps:
-      // a full GC on this heap costs 0.3-1 s, and ~700 of them was a
-      // material slice of the r10 bench timeout. Rep 2 may absorb rep 1's
-      // own (query-local, bounded) cleanup — the min estimator picks the
-      // clean rep, and the cross-QUERY contamination the per-rep gc
-      // existed for is still handled at this query boundary.
-      System.gc()
+      // isolation, all plans identical). Deliberately NOT between reps,
+      // and since round 12 not between every QUERY either: a full GC on
+      // this heap costs 0.3-1 s, and one per ~230 rows was ~200 s of
+      // board wall. Instead, collect once ~3 s of un-collected query
+      // work has accumulated — heavy rows still settle every time,
+      // cheap rows amortize to one GC per ~dozen (their leftover state
+      // is proportionally tiny).
+      if (unGcWall > 3.0) { System.gc(); unGcWall = 0.0 }
       def oneRep(): Option[(Double, String)] = {
         val pre = snap(tally)
         val t0 = System.nanoTime()
@@ -1005,6 +1019,7 @@ object Bench {
           timed = timed ++ oneRep()
       }
       val times = timed.map(_._1)
+      unGcWall += times.sum
       // Headline value = MIN of the successful reps; median kept alongside.
       // Why min, not median: this host shows virtualization steal bursts —
       // /proc/stat steal measured ~30% of busy CPU across a bench run, with
