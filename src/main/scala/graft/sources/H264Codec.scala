@@ -908,6 +908,31 @@ object H264Codec {
     out
   }
 
+  /** spec-suite hook: [[predLuma8]] against planted neighbor samples —
+    * the white-box pin recomputes the §8.3.2.2 filter + mode formulas
+    * independently in the test and compares (same pattern as
+    * [[i4PredForTest]]/[[i16PredForTest]])
+    */
+  private[graft] def i8PredForTest(top: Option[Array[Int]],
+      topRight: Option[Array[Int]], left: Option[Array[Int]],
+      corner: Option[Int], mode: Int): Array[Int] = {
+    val st = new PicState(2, 2)
+    top.foreach { t =>
+      var i = 0; while (i < 8) { st.reconY(15 * st.pw + 16 + i) = t(i).toByte; i += 1 } }
+    topRight.foreach { t =>
+      var i = 0; while (i < 8) { st.reconY(15 * st.pw + 24 + i) = t(i).toByte; i += 1 } }
+    left.foreach { l =>
+      var i = 0; while (i < 8) { st.reconY((16 + i) * st.pw + 15) = l(i).toByte; i += 1 } }
+    corner.foreach(c => st.reconY(15 * st.pw + 15) = c.toByte)
+    val avail: (Int, Int) => Boolean = (x, y) =>
+      if (y == 15 && x >= 16 && x < 24) top.isDefined
+      else if (y == 15 && x >= 24 && x < 32) topRight.isDefined
+      else if (x == 15 && y >= 16 && y < 24) left.isDefined
+      else if (x == 15 && y == 15) corner.isDefined
+      else false
+    predLuma8(st, 16, 16, mode, avail)
+  }
+
   /** replicate an 8x8 block's mode into its four covering 4x4 cells —
     * neighbor MPM derivations (both I4-vs-I8 directions) then read the
     * covering cell, which is the spec's cross-size MPM rule
