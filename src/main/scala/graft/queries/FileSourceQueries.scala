@@ -307,10 +307,42 @@ object FileSourceQueries {
     * formula-built strings, so the oracle rebuilds every record (incl.
     * the warcinfo/request/response framing and bodies) and the gate
     * verifies the gzip-member + WARC + HTTP parse chain end-to-end
-    * against independent truth. pipeline_warc_wet stays pinned (the
-    * htmlToText strip chain is not worth replaying in SQL).
+    * against independent truth. pipeline_warc_wet (round 12) composes
+    * the same page regeneration with txt_html_extract's proven
+    * htmlToText SQL replay — the full crawl-to-text conversion verified
+    * against independent recomputation.
     */
   val oracles: Map[String, String] = Map(
+    "pipeline_warc_wet" ->
+      """WITH pages AS (
+        |  SELECT f.range AS f, i.range AS i,
+        |    '<html><head><title>Page ' || f.range || '-' || i.range ||
+        |    '</title><style>b{font:x} q>z{}</style></head><body><script>var n=' ||
+        |    i.range || '; if(n<3){n=3}</script><h1>Heading ' || i.range ||
+        |    '</h1><p>body text file ' || f.range || ' rec ' || i.range ||
+        |    ' word' || ((f.range*31 + i.range*7) % 97) || ' &amp; tail</p>' ||
+        |    repeat('<p>filler sentence repeated</p>', CAST(i.range % 4 AS INT)) ||
+        |    '</body></html>' AS html
+        |  FROM range(0,2) f, range(1,13) i),
+        |e AS (SELECT f, i,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          html,
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS txt
+        |  FROM pages)
+        |SELECT CASE WHEN f = 0 THEN 'crawl-00.warc.gz' ELSE 'crawl-01.warc' END AS file,
+        |  CAST(2*i AS BIGINT) AS rec_idx,
+        |  'https://example.org/f' || f || '/page' || i || '.html' AS target_uri,
+        |  'Page ' || f || '-' || i AS title,
+        |  md5(txt) AS digest, CAST(len(txt) AS BIGINT) AS n_chars
+        |FROM e ORDER BY 1, 2""".stripMargin,
     "src_warc_records" ->
       """WITH pages AS (
         |  SELECT f.range AS f, i.range AS i,
