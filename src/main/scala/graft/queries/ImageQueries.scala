@@ -194,10 +194,52 @@ object ImageQueries {
     * ramp pixels (sid*31+idx*7+p) mod 256, texture pixels
     * bits 24..31 of (sid*1000003+idx*40503+p)*2654435761 (64-bit wrap —
     * only the low 32 bits of the product matter for those bits, so BIGINT
-    * arithmetic never overflows). The hash-pair/dedup queries stay pinned
-    * (their DCT/banding chains aren't SQL-replayable at exact-equality).
+    * arithmetic never overflows). img_ahash_pairs (round 12) replays the
+    * whole aHash chain in SQL — PNG-decoded ramp + clamped variant,
+    * grayscale (channel mean with per-channel mod-256 wrap), bilinear
+    * 8x8 downsample at exact weights (16->8 rows is (a+b+1)//2; 24->8
+    * cols lands on x0=3x+1 with weight 0), the integer-exact mean
+    * threshold (64v >= sum), and pairwise Hamming <= 3 (the 4x16
+    * banding is COMPLETE at that radius by pigeonhole, so candidates =
+    * all qualifying pairs). The DCT-based queries stay pinned (pHash's
+    * double-precision DCT/median chain isn't SQL-replayable at
+    * exact-equality).
     */
   val oracles: Map[String, String] = Map(
+    "img_ahash_pairs" ->
+      """WITH imgs AS (
+        |  SELECT a.range AS sid, b.range AS bidx, v.range = 1 AS var,
+        |    a.range*1000 + b.range + CASE WHEN v.range = 1 THEN 100 ELSE 0 END AS img
+        |  FROM range(0,2) a, range(0,20) b, range(0,2) v),
+        |g AS ( -- grayscale at the 8x8 sample sites: rows 2y/2y+1, col 3x+1
+        |  SELECT img, sy.range AS sy, sx.range AS sx, r.range AS dy,
+        |    CASE WHEN var THEN
+        |      (least(255, (sid*31 + bidx*7 + (((2*sy.range + r.range)*24 + 3*sx.range + 1)*3)) % 256 + 3)
+        |     + least(255, (sid*31 + bidx*7 + (((2*sy.range + r.range)*24 + 3*sx.range + 1)*3 + 1)) % 256 + 3)
+        |     + least(255, (sid*31 + bidx*7 + (((2*sy.range + r.range)*24 + 3*sx.range + 1)*3 + 2)) % 256 + 3)) // 3
+        |    ELSE
+        |      ( ((sid*31 + bidx*7 + (((2*sy.range + r.range)*24 + 3*sx.range + 1)*3)) % 256)
+        |      + ((sid*31 + bidx*7 + (((2*sy.range + r.range)*24 + 3*sx.range + 1)*3 + 1)) % 256)
+        |      + ((sid*31 + bidx*7 + (((2*sy.range + r.range)*24 + 3*sx.range + 1)*3 + 2)) % 256)) // 3
+        |    END AS gr
+        |  FROM imgs, range(0,8) sy, range(0,8) sx, range(0,2) r),
+        |sm AS ( -- bilinear 2x rows (round-half-up), col weight 0
+        |  SELECT img, sy, sx,
+        |    (max(CASE WHEN dy = 0 THEN gr END) +
+        |     max(CASE WHEN dy = 1 THEN gr END) + 1) // 2 AS v
+        |  FROM g GROUP BY img, sy, sx),
+        |tot AS (SELECT img, SUM(v) AS s FROM sm GROUP BY img),
+        |bit AS (
+        |  SELECT sm.img, sy*8 + sx AS cell,
+        |    CASE WHEN 64*v >= s THEN 1 ELSE 0 END AS bit
+        |  FROM sm JOIN tot USING (img)),
+        |ham AS (
+        |  SELECT x.img AS a, y.img AS b,
+        |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM bit x JOIN bit y ON x.cell = y.cell AND x.img < y.img
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
     // PNG roundtrip fidelity: decoded pixels equal the ramp definition
     "img_decode" ->
       """WITH px AS (
