@@ -24,6 +24,22 @@ import graft.streaming.StreamingOps
   */
 object StreamQueries {
 
+  /** Streaming gates run on a session CLONE with state shards sized to
+    * the gate's stream volume (spark.sql.shuffle.partitions -> 4): every
+    * micro-batch commits one state-store delta per shard per stateful
+    * stage, so the session-wide 32 shards were ~10x pure commit overhead
+    * on KB-scale gate streams (stream_clean_corpus: 2 stateful stages x
+    * 32 shards x 3+ batches). Per-stream-job state sizing is the
+    * production posture too: the checkpoint FIXES the shard count at
+    * first run, so a real deployment chooses it deliberately per stream
+    * volume rather than inheriting a batch-tuned session default.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the INCREMENTAL clean-corpus pipeline (StreamingOps.streamingCleanCorpus):
     // streaming exact dedup -> static corpus band-index probe (keep misses)
@@ -33,9 +49,10 @@ object StreamQueries {
     // past the window so Append mode flushes the aggregated survivors.
     "stream_clean_corpus" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val ss = streamSession(s)
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+      val d = ss.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
       val corpus = d.filter(col("doc_id") % 5 === 0)
       // the static index: the same (band, bk) relation lshWriteBandIndex
       // persists, built inline (the probe only reads band/bk)
@@ -53,7 +70,7 @@ object StreamQueries {
         .orderBy(md5(col("doc_id").cast("string")))
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val t0 = new java.sql.Timestamp(60L * 1000) // inside window [60s, 120s)
-      val in = MemoryStream[(Long, String, java.sql.Timestamp)](s, numPartitions = 4)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)](ss, numPartitions = 4)
       val out = StreamingOps.streamingCleanCorpus(
         in.toDF().toDF("doc_id", "text", "ts"), index,
         "doc_id", "text", "ts",
@@ -77,7 +94,7 @@ object StreamQueries {
         q.processAllAvailable()
         in.addData(Seq((-2L, "flush", new java.sql.Timestamp(7200L * 1000))))
         q.processAllAvailable()
-        val res = s.table(qname)
+        val res = ss.table(qname)
           .filter(col("id") >= 0)
           .select(col("id").as("doc_id"), md5(col("text")).as("clean_digest"),
             col("n_tokens"), col("stop_ratio"))
@@ -94,9 +111,10 @@ object StreamQueries {
     // index; the drained sink must equal the per-witness batch join.
     "stream_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val ss = streamSession(s)
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+      val d = ss.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
       val bench = d.filter(col("doc_id") % 10 === 0)
       val shard = d.filter(col("doc_id") % 10 =!= 0).orderBy("doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -115,7 +133,7 @@ object StreamQueries {
         q.processAllAvailable()
         in.addData(half2)
         q.processAllAvailable()
-        val res = s.table(qname)
+        val res = ss.table(qname)
         val rows = res.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
           .orderBy("doc_id", "contaminated_by")
@@ -133,9 +151,10 @@ object StreamQueries {
     // oracle, two execution models.
     "stream_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = graft.GraftSession.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
+      val ss = streamSession(s)
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+      val rows = graft.GraftSession.tsToNanos(ss.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"))
         .orderBy("ts", "user_id")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -162,7 +181,7 @@ object StreamQueries {
         q.processAllAvailable()
         in.addData(Seq((-2L, farNs, far))) // batch in which timeouts fire
         q.processAllAvailable()
-        val res = s.table(qname)
+        val res = ss.table(qname)
           .filter(col("user_id") >= 0)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
@@ -180,9 +199,10 @@ object StreamQueries {
     // derivation is the oracle: one graph law, two execution models.
     "stream_covisit" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ss = streamSession(s)
+      import ss.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+      val ev = ss.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id").cast("long"), col("props"))
         .orderBy("event_id")
         .collect().map(r => (r.getLong(1), r.getString(2)))
@@ -203,7 +223,7 @@ object StreamQueries {
           in.addData(wave.toSeq)
           q.processAllAvailable()
         }
-        val res = s.table(qname)
+        val res = ss.table(qname)
         val rows = res.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
           .orderBy("u", "k")
