@@ -758,7 +758,7 @@ object Bench {
     def remaining(reserveS: Double): Double = budgetS - elapsedS - reserveS
     val sf1Planned = sfDir.endsWith("sf0.1") &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") != "0"
-    val sf1Reserve = if (sf1Planned) 280.0 else 0.0
+    val sf1Reserve = if (sf1Planned) 240.0 else 0.0 // measured ~220 s warm-tier
     val doneBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
     @volatile var sf1Part = ""
     def emitPartial(skippedNow: Seq[String]): Unit = {
@@ -938,20 +938,21 @@ object Bench {
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       val rem = remainingS()
-      // planned executions: warmup + reps (+ the occasional escalation
-      // rep and the profile pass where configured), plus a small constant
+      // the untimed warmup exists for codegen/JIT constants, which
+      // only dominate CHEAP rows; a row known to run >= 5 s is
+      // steady-state work and skipping its warmup saves a full
+      // execution (~150 s across the board's heavy rows)
+      val warm = warmup && estimates.get(name).forall(_ < 5.0)
+      // planned executions: warmup (when it will actually run) + reps
+      // (+ the occasional escalation rep and the profile pass where
+      // configured), plus a small constant
       val estCost = estimates.get(name).map(e =>
-        e * (reps + (if (warmup) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5)
+        e * (reps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5)
       if (rem <= 0 || estCost.exists(_ > rem)) {
         skipped += name
         System.err.println(f"[bench] $tag$name SKIPPED (budget: $rem%.0fs left" +
           estCost.map(c => f", est $c%.0fs").getOrElse("") + ")")
       } else {
-        // the untimed warmup exists for codegen/JIT constants, which
-        // only dominate CHEAP rows; a row known to run >= 5 s is
-        // steady-state work and skipping its warmup saves a full
-        // execution (~150 s across the board's heavy rows)
-        val warm = warmup && estimates.get(name).forall(_ < 5.0)
         val qr = timeOne(spark, tally, name, fn, sfDir, reps, profileSet, tag, warm)
         out += ((name, qr))
         onResult(name, qr)
