@@ -943,17 +943,22 @@ object Bench {
       // steady-state work and skipping its warmup saves a full
       // execution (~150 s across the board's heavy rows)
       val warm = warmup && estimates.get(name).forall(_ < 5.0)
+      // rows known to run >= 20 s get ONE timed rep: a steal burst is
+      // amortized over a minute of work (bt_1m_cc measured 57-66 s
+      // across runs, ±8%), and the second rep of the board's heaviest
+      // row was its single largest recoverable block of wall
+      val rowReps = if (estimates.get(name).exists(_ >= 20.0)) 1 else reps
       // planned executions: warmup (when it will actually run) + reps
       // (+ the occasional escalation rep and the profile pass where
       // configured), plus a small constant
       val estCost = estimates.get(name).map(e =>
-        e * (reps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5)
+        e * (rowReps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5)
       if (rem <= 0 || estCost.exists(_ > rem)) {
         skipped += name
         System.err.println(f"[bench] $tag$name SKIPPED (budget: $rem%.0fs left" +
           estCost.map(c => f", est $c%.0fs").getOrElse("") + ")")
       } else {
-        val qr = timeOne(spark, tally, name, fn, sfDir, reps, profileSet, tag, warm)
+        val qr = timeOne(spark, tally, name, fn, sfDir, rowReps, profileSet, tag, warm)
         out += ((name, qr))
         onResult(name, qr)
       }
