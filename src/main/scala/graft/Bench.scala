@@ -53,9 +53,15 @@ object Bench {
 
   /** Per-rep resource snapshot (deltas between two of these attribute a
     * slow rep to GC vs host CPU-steal vs genuine work — the variance
-    * question the r6 verdict left open). */
+    * question the r6 verdict left open). loadavg + cgroup throttled time
+    * added for r12's unattributed 5-7x driver-vs-in-session inflation:
+    * recorded steal alone did not explain it, so each rep now carries the
+    * host run-queue depth and any CFS-quota throttling too. */
   private final case class ResSnap(gcMs: Long, cpuNs: Long, stealTicks: Long,
-      shR: Long, shW: Long, spill: Long)
+      shR: Long, shW: Long, spill: Long, load1: Double, throttledNs: Long)
+  private def readFirstLine(p: String): Option[String] =
+    try Some(java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).get(0))
+    catch { case _: Throwable => None }
   private def snap(t: MetricsTally): ResSnap = {
     import scala.jdk.CollectionConverters._
     val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -71,7 +77,24 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
       if (f.length > 8) f(8).toLong else -1L
     } catch { case _: Throwable => -1L }
-    ResSnap(gc, cpu, steal, t.shuffleRead.get, t.shuffleWrite.get, t.spill.get)
+    // 1-minute host load average: run-queue pressure from OTHER tenants
+    // is the leading suspect for the driver-clock inflation
+    val load1 = readFirstLine("/proc/loadavg")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption).getOrElse(-1.0)
+    // CFS throttle time (cgroup v1 cpu.stat throttled_time is ns; v2
+    // cpu.stat throttled_usec) — this host has quota -1 so expected 0,
+    // but a quota'd driver host would show up here directly
+    val throttled = {
+      def parse(p: String, key: String, mult: Long): Option[Long] =
+        try java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).asScala
+          .find(_.startsWith(key)).map(_.split("\\s+")(1).toLong * mult)
+        catch { case _: Throwable => None }
+      parse("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1L)
+        .orElse(parse("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1000L))
+        .getOrElse(-1L)
+    }
+    ResSnap(gc, cpu, steal, t.shuffleRead.get, t.shuffleWrite.get, t.spill.get,
+      load1, throttled)
   }
 
   /** one rep's telemetry as a JSON object string */
@@ -80,9 +103,31 @@ object Bench {
     val cpuS   = if (a.cpuNs < 0 || b.cpuNs < 0) "-1" else f"${(b.cpuNs - a.cpuNs) / 1e9}%.2f"
     val stealS = if (a.stealTicks < 0 || b.stealTicks < 0) "-1"
                  else f"${(b.stealTicks - a.stealTicks) / 100.0}%.2f"
+    val thrS   = if (a.throttledNs < 0 || b.throttledNs < 0) "-1"
+                 else f"${(b.throttledNs - a.throttledNs) / 1e9}%.2f"
     s"""{"gc_ms":${b.gcMs - a.gcMs},"cpu_s":$cpuS,"steal_s":$stealS,""" +
       s""""sh_r_mb":${mb(b.shR - a.shR)},"sh_w_mb":${mb(b.shW - a.shW)},""" +
-      s""""spill_mb":${mb(b.spill - a.spill)}}"""
+      s""""spill_mb":${mb(b.spill - a.spill)},"load1":${f"${b.load1}%.2f"},""" +
+      s""""cfs_thr_s":$thrS}"""
+  }
+
+  /** ~0.5 s single-thread spin: measures effective per-core frequency /
+    * contention directly (Miters/s). Run before each heavy row so a slow
+    * rep can be attributed to "host is slow" (calibration low) vs "row
+    * regressed" (calibration normal) — VERDICT r12 ask 5. The work is a
+    * data-dependent integer chain the JIT cannot elide. */
+  private def spinCalibrate(): Double = {
+    var x = 0x9e3779b97f4a7c15L; var it = 0L
+    val t0 = System.nanoTime()
+    val deadline = t0 + 500L * 1000 * 1000
+    while (System.nanoTime() < deadline) {
+      var i = 0
+      while (i < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; x ^= x >>> 29; i += 1 }
+      it += 100000
+    }
+    val el = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // consume x: defeat dead-code elim
+    it / el / 1e6
   }
 
   /** BASELINE.md "BENCH targets for the rebuild" as first-class timed
@@ -736,18 +781,22 @@ object Bench {
 
     val all = SparkEntry.queries ++ benchTargets
     val selected = if (only.isEmpty) all else all.filter { case (n, _) => only(n) }
-    // fixed priority order: bt_* rows (the BASELINE-target evidence)
-    // first, then the query board; cheapest-first within each group by
-    // the PREVIOUS run's published min (unknown rows take the group
-    // median) — under a clock shorter than the board, the baseline
-    // targets land and only the most expensive tail rows drop
+    val estMedian =
+      if (estimates.isEmpty) 1.0
+      else estimates.values.toSeq.sorted.apply(estimates.size / 2)
+    // priority order (r12 lesson: bt_1m_cc at 442 s under driver-host
+    // contention ate a quarter of the budget FIRST and evicted the whole
+    // expensive library tail): cheap bt_* rows (the BASELINE-target
+    // evidence), then the full query board, then the HEAVY bt_* stress
+    // rows LAST — the board's ~190 rows cost ~350 s total and must never
+    // be hostage to a stress row. Cheapest-first within each group by the
+    // PREVIOUS run's published min (unknown rows take the group median).
     val ordered: Seq[(String, (SparkSession, String) => DataFrame)] = {
-      val med =
-        if (estimates.isEmpty) 1.0
-        else estimates.values.toSeq.sorted.apply(estimates.size / 2)
-      def est(n: String) = estimates.getOrElse(n, med)
+      def est(n: String) = estimates.getOrElse(n, estMedian)
       val (bt, rest) = selected.toSeq.sortBy(_._1).partition(_._1.startsWith("bt_"))
-      bt.sortBy(p => est(p._1)) ++ rest.sortBy(p => est(p._1))
+      val (btHeavy, btLight) = bt.partition(p => est(p._1) >= 30.0)
+      btLight.sortBy(p => est(p._1)) ++ rest.sortBy(p => est(p._1)) ++
+        btHeavy.sortBy(p => est(p._1))
     }
     val plannedNames = ordered.map(_._1)
     val tally = new MetricsTally
@@ -764,25 +813,33 @@ object Bench {
     @volatile var sf1Part = ""
     def emitPartial(skippedNow: Seq[String]): Unit = {
       val snapDone = doneBuf.toSeq
-      val failedNow = snapDone.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
+      val failedNow = snapDone.collect {
+        case (k, qr) if qr.min < 0 && !qr.aborted => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      val totalNow = snapDone.map(_._2._1).filter(_ >= 0).sum
+      val totalNow = snapDone.map(_._2.min).filter(_ >= 0).sum
       val sk = skippedNow.map("\"" + _ + "\"").mkString("[", ",", "]")
       Emit.latest =
         s"""{"metric":"total","value":$totalNow,"unit":"sec",${sectionJson(snapDone)},"reps":$reps,"failed":$failedNow,"sf":"$sfDir","budget_s":$budgetS,"truncated":true,"skipped":$sk$sf1Part}"""
       Emit.flushFile()
     }
+    // per-execution watchdog cap (r12 ask 1a): 4x the previous run's min
+    // for known rows, budget/12 for unknown ones, never below 20 s (a
+    // noise-inflated cancel of a healthy row would cost a board entry)
+    val capFor: String => Double = n => math.max(20.0,
+      estimates.get(n).map(e => math.min(4 * e, budgetS / 12)).getOrElse(budgetS / 12))
     val (results, skipped0) = timeAll(spark, tally, ordered, sfDir, reps, profileSet,
       estimates = estimates, remainingS = () => remaining(20.0 + sf1Reserve),
+      fallbackEst = estMedian, capFor = capFor,
       onResult = { (name, qr) =>
         doneBuf += ((name, qr))
         val doneNames = doneBuf.map(_._1).toSet
         emitPartial(plannedNames.filterNot(doneNames))
       })
 
-    val failed = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect {
+      case (k, qr) if qr.min < 0 && !qr.aborted => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val total = results.map(_._2.min).filter(_ >= 0).sum
     // sf1 section (VERDICT r8 ask 8): a ~10-query scale subset over the
     // 10x documents/embeddings tier, measured IN the driver artifact with
     // the same telemetry, so 10x-data ratios no longer rely on builder
@@ -846,30 +903,36 @@ object Bench {
         // in-session predictor of relative sf1 cost)
         val mins01 = results.toMap
         val sel1 = SparkEntry.queries.filter { case (n, _) => sel1names(n) }
-          .toSeq.sortBy { case (n, _) => mins01.get(n).map(_._1).getOrElse(1.0) }
+          .toSeq.sortBy { case (n, _) => mins01.get(n).map(_.min).getOrElse(1.0) }
         // per-op attribution at the 10x tier for the queries whose sf1
         // ratios the verdicts have asked to attribute (r8 asks 3 and 7)
         val prof1 = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_PROFILE",
           "dedup_simhash_pairs,txt_corpus_report").split(",").map(_.trim).toSet
         def sf1Section(res1: Seq[(String, QueryResult)], skipped1: Seq[String]): String = {
           val ratios = res1.collect {
-            case (k, (v, _, _, _)) if v > 0 &&
-                mins01.get(k).exists(_._1 > 0) =>
-              s"\"" + k + "\":" + f"${v / mins01(k)._1}%.2f"
+            case (k, qr) if qr.min > 0 &&
+                mins01.get(k).exists(_.min > 0) =>
+              s"\"" + k + "\":" + f"${qr.min / mins01(k).min}%.2f"
           }.mkString("{", ",", "}")
           // failed list for THIS section too — the top-level "failed" only
           // covers the sf0.1 results, and a consumer checking it would
           // otherwise see a clean run while sf1 numbers silently miss
-          val failed1 = res1.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
+          val failed1 = res1.collect {
+            case (k, qr) if qr.min < 0 && !qr.aborted => "\"" + k + "\"" }
             .mkString("[", ",", "]")
           val sk1 = skipped1.map("\"" + _ + "\"").mkString("[", ",", "]")
           s""","sf1":{"dir":"$sf1Dir","reps":$sf1Reps,${sectionJson(res1)},"failed":$failed1,"skipped":$sk1,"ratio_vs_sf0.1":$ratios}"""
         }
         val done1 = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
         val planned1 = sel1.map(_._1)
+        // sf1 rows carry no prior-run history; cap each execution at 10x
+        // its sf0.1 min (the tier is 10x the data) or budget/12
         val (res1, skipped1) = timeAll(spark, tally, sel1, sf1Dir, sf1Reps,
           profileSet = prof1, tag = "sf1 ", warmup = false,
           remainingS = () => remaining(15.0),
+          capFor = n => math.max(20.0, mins01.get(n).map(_.min)
+            .filter(_ > 0).map(m => math.min(10 * m * 4, budgetS / 12))
+            .getOrElse(budgetS / 12)),
           onResult = { (name, qr) =>
             done1 += ((name, qr))
             val dn = done1.map(_._1).toSet
@@ -911,8 +974,12 @@ object Bench {
     spark.stop()
   }
 
-  /** per-query result: (min, median, per-rep (sec, telemetry), per-op ms) */
-  private type QueryResult = (Double, Double, Seq[(Double, String)], Map[String, Long])
+  /** per-query result: min/median wall, per-rep (sec, telemetry), per-op
+    * ms, whether the watchdog aborted the row, and the pre-row spin
+    * calibration (Miters/s; -1 when not run) */
+  private final case class QueryResult(min: Double, med: Double,
+      reps: Seq[(Double, String)], ops: Map[String, Long],
+      aborted: Boolean = false, calibMops: Double = -1.0)
 
   /** accumulated timed+warmup wall since the last settle GC (see
     * timeOne's gc gate) — main is single-threaded */
@@ -922,9 +989,12 @@ object Bench {
     * profile pass per query, identical for the sf0.1 and sf1 sections.
     * Runs `selected` IN ORDER; before each row, `remainingS()` (the
     * self-imposed wall budget) gates it — a row whose estimated cost
-    * (previous run's min x planned executions) would cross the deadline
-    * is skipped, and once the deadline passes everything remaining is.
-    * `onResult` fires after each completed row for incremental emission.
+    * (previous run's min x planned executions, group-median `fallbackEst`
+    * when the row has no history) would cross the deadline is skipped,
+    * and once the deadline passes everything remaining is. `capFor`
+    * bounds any single execution via a job-group watchdog (r12: one
+    * uncapped 442 s row evicted 44 others). `onResult` fires after each
+    * completed row for incremental emission.
     * @return (completed results, skipped row names)
     */
   private def timeAll(spark: SparkSession, tally: MetricsTally,
@@ -933,6 +1003,8 @@ object Bench {
       tag: String = "", warmup: Boolean = true,
       estimates: Map[String, Double] = Map.empty,
       remainingS: () => Double = () => Double.MaxValue,
+      fallbackEst: Double = 1.0,
+      capFor: String => Double = _ => Double.MaxValue,
       onResult: (String, QueryResult) => Unit = (_, _) => ())
       : (Seq[(String, QueryResult)], Seq[String]) = {
     val out     = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
@@ -944,22 +1016,31 @@ object Bench {
       // steady-state work and skipping its warmup saves a full
       // execution (~150 s across the board's heavy rows)
       val warm = warmup && estimates.get(name).forall(_ < 5.0)
-      // rows known to run >= 20 s get ONE timed rep: a steal burst is
-      // amortized over a minute of work (bt_1m_cc measured 57-66 s
-      // across runs, ±8%), and the second rep of the board's heaviest
-      // row was its single largest recoverable block of wall
-      val rowReps = if (estimates.get(name).exists(_ >= 20.0)) 1 else reps
+      // rows known to run >= 20 s get ONE timed rep (a steal burst is
+      // amortized over a minute of work, and the second rep of the
+      // board's heaviest row was its single largest recoverable block of
+      // wall); SUB-SECOND rows get 3 reps — they are cheap exactly where
+      // reps are affordable, and min-of-3 cuts the lowconf flag count
+      // (r12 ask 7: 35 flagged rows were min-of-2 measurement-floor noise)
+      val est = estimates.get(name)
+      val rowReps =
+        if (est.exists(_ >= 20.0)) 1
+        else if (est.exists(_ < 1.0)) math.max(3, reps)
+        else reps
       // planned executions: warmup (when it will actually run) + reps
       // (+ the occasional escalation rep and the profile pass where
-      // configured), plus a small constant
-      val estCost = estimates.get(name).map(e =>
-        e * (rowReps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5)
-      if (rem <= 0 || estCost.exists(_ > rem)) {
+      // configured), plus a small constant. Unknown rows gate on the
+      // group-median estimate (ADVICE r12: they used to bypass the check
+      // entirely, so one new heavy row could overrun the wall budget).
+      val estCost = est.getOrElse(fallbackEst) *
+        (rowReps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5
+      if (rem <= 0 || estCost > rem) {
         skipped += name
         System.err.println(f"[bench] $tag$name SKIPPED (budget: $rem%.0fs left" +
-          estCost.map(c => f", est $c%.0fs").getOrElse("") + ")")
+          f", est $estCost%.0fs)")
       } else {
-        val qr = timeOne(spark, tally, name, fn, sfDir, rowReps, profileSet, tag, warm)
+        val qr = timeOne(spark, tally, name, fn, sfDir, rowReps, profileSet, tag,
+          warm, capS = capFor(name), calibrate = est.exists(_ >= 10.0))
         out += ((name, qr))
         onResult(name, qr)
       }
@@ -967,41 +1048,46 @@ object Bench {
     (out.toSeq, skipped.toSeq)
   }
 
-  /** one row of the board: warmup + timed reps + escalation + profile */
+  /** one row of the board: calibration + warmup + timed reps (each under
+    * a job-group watchdog) + escalation + profile */
   private def timeOne(spark: SparkSession, tally: MetricsTally,
       name: String, fn: (SparkSession, String) => DataFrame,
       sfDir: String, reps: Int, profileSet: Set[String],
-      tag: String, warmup: Boolean): QueryResult = {
-      // one UNTIMED warm-up execution: the first 1-2 runs of a query pay
-      // plan compile + Janino codegen + C2 JIT of the generated classes —
-      // measured 2-3x the steady state on sub-second queries. The number
-      // the 100 TB design cares about is per-row throughput, which the
-      // warmed runs measure; the one-time costs amortize to zero at scale.
-      // (the sf1 section passes warmup=false: every sf1 query already ran
-      // its sf0.1 twin in this session, so codegen + C2 are warm and the
-      // min-of-2 estimator absorbs any residual first-rep constant)
-      if (warmup)
-        try { materialize(fn(spark, sfDir)); CacheScope.release(blocking = true) }
-        catch { case _: Throwable => () } // the timed reps will report it
-      // settle the JVM before the reps (collecting prior queries'
-      // garbage lets the ContextCleaner reclaim their broadcast/shuffle
-      // state — without it, a query's reps absorb its NEIGHBORS' cleanup:
-      // seq_stencil_sum measured 3.1-6.2 s inside the suite vs 0.87 s in
-      // isolation, all plans identical). Deliberately NOT between reps,
-      // and since round 12 not between every QUERY either: a full GC on
-      // this heap costs 0.3-1 s, and one per ~230 rows was ~200 s of
-      // board wall. Instead, collect once ~3 s of un-collected query
-      // work has accumulated — heavy rows still settle every time,
-      // cheap rows amortize to one GC per ~dozen (their leftover state
-      // is proportionally tiny).
-      if (unGcWall > 3.0) { System.gc(); unGcWall = 0.0 }
-      def oneRep(): Option[(Double, String)] = {
+      tag: String, warmup: Boolean, capS: Double = Double.MaxValue,
+      calibrate: Boolean = false): QueryResult = {
+      // pre-row spin calibration on heavy rows: a slow rep with a LOW
+      // calibration is "host is slow", with a normal one it's "row
+      // regressed" — the distinction r12's telemetry could not make
+      val calib = if (calibrate) spinCalibrate() else -1.0
+      if (calib >= 0) System.err.println(f"[bench] $tag$name calib=$calib%.0f Miters/s")
+      // every execution of this row (warmup included — ADVICE r12: the
+      // warmup used to run open-loop) lives in a job group a watchdog can
+      // cancel: r12's artifact lost 44 rows to ONE uncapped 442 s rep
+      val rowAborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def runCapped(timed: Boolean): Option[(Double, String)] = {
         val pre = snap(tally)
+        val sc = spark.sparkContext
+        val group = s"graft-bench-$name"
+        sc.setJobGroup(group, s"bench $name", interruptOnCancel = true)
+        val watchdog = new java.util.Timer("graft-bench-watchdog", true)
+        if (capS < Double.MaxValue)
+          watchdog.schedule(new java.util.TimerTask {
+            def run(): Unit = {
+              System.err.println(f"[bench] $tag$name WATCHDOG fired at $capS%.0fs — cancelling job group")
+              rowAborted.set(true)
+              sc.cancelJobGroup(group)
+            }
+          }, math.max(1L, (capS * 1000).toLong))
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }
-          catch { case e: Throwable => System.err.println(s"bench query $name failed: $e"); false }
+          catch { case e: Throwable =>
+            if (!rowAborted.get)
+              System.err.println(s"bench query $name failed: $e")
+            false
+          } finally { watchdog.cancel(); sc.clearJobGroup() }
         val sec = (System.nanoTime() - t0) / 1e9
+        unGcWall += sec
         // drain the async bus (untimed) so the rep's shuffle counters are
         // complete, then snapshot BEFORE release so cleanup cost is
         // excluded from the rep's telemetry
@@ -1012,21 +1098,64 @@ object Bench {
         // queries in one session don't accumulate storage memory and so
         // every rep pays the query's full cost (honest isolation)
         CacheScope.release(blocking = true)
-        if (ok) Some((sec, telemetryJson(pre, post))) else None
+        if (ok || rowAborted.get) Some((sec, telemetryJson(pre, post))) else None
       }
-      var timed = (1 to reps).flatMap(_ => oneRep())
+      // one UNTIMED warm-up execution: the first 1-2 runs of a query pay
+      // plan compile + Janino codegen + C2 JIT of the generated classes —
+      // measured 2-3x the steady state on sub-second queries. The number
+      // the 100 TB design cares about is per-row throughput, which the
+      // warmed runs measure; the one-time costs amortize to zero at scale.
+      // (the sf1 section passes warmup=false: every sf1 query already ran
+      // its sf0.1 twin in this session, so codegen + C2 are warm and the
+      // min-of-2 estimator absorbs any residual first-rep constant)
+      val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+      if (warmup && !rowAborted.get) {
+        val w = runCapped(timed = false)
+        // an aborted warmup still surfaces its partial telemetry
+        if (rowAborted.get) w.foreach(timedBuf += _)
+      }
+      // settle the JVM before the reps (collecting prior queries'
+      // garbage lets the ContextCleaner reclaim their broadcast/shuffle
+      // state — without it, a query's reps absorb its NEIGHBORS' cleanup:
+      // seq_stencil_sum measured 3.1-6.2 s inside the suite vs 0.87 s in
+      // isolation, all plans identical). Deliberately NOT between reps,
+      // and since round 12 not between every QUERY either: a full GC on
+      // this heap costs 0.3-1 s, and one per ~230 rows was ~200 s of
+      // board wall. Instead, collect once ~3 s of un-collected work
+      // (timed reps AND warmups) has accumulated — heavy rows still
+      // settle every time, cheap rows amortize to one GC per ~dozen.
+      if (unGcWall > 3.0) { System.gc(); unGcWall = 0.0 }
+      var i = 0
+      var stop = rowAborted.get
+      while (i < reps && !stop) {
+        runCapped(timed = true) match {
+          case Some((sec, tel)) =>
+            timedBuf += ((sec, tel))
+            if (rowAborted.get) stop = true
+            // single-rep fallback (r12 ask 1b): a first rep over 60 s is
+            // amortized past steal noise and a second would only burn
+            // budget the board's tail needs
+            else if (sec > 60.0) stop = true
+          case None => () // genuine failure; remaining reps may still pass
+        }
+        i += 1
+      }
+      var timed = timedBuf.toSeq
+      // aborted = the watchdog fired during warmup or the base reps (an
+      // abort on the optional escalation rep below leaves the row's base
+      // measurement valid — the partial rep is just excluded)
+      val aborted = rowAborted.get
       // escalation rep: a heavy row whose base reps disagree by >25% has
       // likely eaten a steal burst — one more rep restores the old
       // reps=3 noise floor exactly where a false signal would matter
-      // (sub-second rows swing with job-setup constants; reporting their
-      // min-of-2 is as sound as min-of-3 was)
-      if (timed.size >= 2) {
+      if (!aborted && timed.size >= 2) {
         val t = timed.map(_._1)
-        if (t.min >= 1.0 && (t.max - t.min) / t.min > 0.25)
-          timed = timed ++ oneRep()
+        if (t.min >= 1.0 && (t.max - t.min) / t.min > 0.25) {
+          val extra = runCapped(timed = true)
+          if (!rowAborted.get) timed = timed ++ extra
+        }
       }
-      val times = timed.map(_._1)
-      unGcWall += times.sum
+      val times = if (aborted) Seq.empty[Double] else timed.map(_._1)
       // Headline value = MIN of the successful reps; median kept alongside.
       // Why min, not median: this host shows virtualization steal bursts —
       // /proc/stat steal measured ~30% of busy CPU across a bench run, with
@@ -1037,6 +1166,8 @@ object Bench {
       // engine cost; median-of-3 still reports a steal burst whenever 2 of
       // 3 reps are hit. A query that always throws keeps the -1 sentinel
       // and lands in "failed".
+      // an aborted row keeps the -1 sentinel too (its partial rep stays
+      // visible in the telemetry) but lands in "aborted", not "failed"
       val sec = if (times.isEmpty) -1.0 else times.min
       // true median: average the two middles for even rep counts — the
       // upper-middle shortcut would report the WORST of 2 reps, i.e. the
@@ -1049,7 +1180,8 @@ object Bench {
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
       System.err.println(
-        f"[bench] $tag$name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f")
+        f"[bench] $tag$name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f" +
+          (if (aborted) " ABORTED" else ""))
       timed.foreach { case (t, tel) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
       // per-op attribution for the configured heavy set: ONE extra
       // untimed profiled run, task time broken down by the library op
@@ -1065,7 +1197,7 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $tag$name profile pass failed: $e"); Map.empty
         }
-      (sec, med, timed, ops)
+      QueryResult(sec, med, timed, ops, aborted, calib)
   }
 
   /** the per-section JSON fields shared by the sf0.1 and sf1 sections:
@@ -1075,30 +1207,42 @@ object Bench {
     * self-diagnosing — one rep 3-6x the others on an unchanged plan is a
     * de-schedule, not a regression) */
   private def sectionJson(results: Seq[(String, QueryResult)]): String = {
-    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, qr) => s"\"" + k + "\":" + qr.min }
       .mkString("{", ",", "}")
-    val meds = results.map { case (k, (_, m, _, _)) => s"\"" + k + "\":" + m }
+    val meds = results.map { case (k, qr) => s"\"" + k + "\":" + qr.med }
       .mkString("{", ",", "}")
-    val perRep = results.map { case (k, (_, _, ts, _)) =>
-      s"\"" + k + "\":[" + ts.map(t => f"${t._1}%.4f").mkString(",") + "]"
+    val perRep = results.map { case (k, qr) =>
+      s"\"" + k + "\":[" + qr.reps.map(t => f"${t._1}%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val perTel = results.map { case (k, (_, _, ts, _)) =>
-      s"\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
+    val perTel = results.map { case (k, qr) =>
+      s"\"" + k + "\":[" + qr.reps.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val perOps = results.collect { case (k, (_, _, _, ops)) if ops.nonEmpty =>
-      s"\"" + k + "\":" + ops.toSeq.sortBy(-_._2).map { case (o, ms) =>
+    val perOps = results.collect { case (k, qr) if qr.ops.nonEmpty =>
+      s"\"" + k + "\":" + qr.ops.toSeq.sortBy(-_._2).map { case (o, ms) =>
         s"\"" + o.stripPrefix("graft:") + "\":" + ms
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    // sub-second rows published as min-of-2 whose reps disagree >25% are
-    // FLAGGED, not escalated (escalation stays gated on min >= 1 s): a
-    // steal burst inflating both cheap reps would otherwise publish an
-    // undetectable false signal — cross-round comparisons should discount
-    // any row listed here (ADVICE r11)
+    // rows the per-row watchdog cancelled: bounded spend, partial
+    // telemetry retained — distinct from "failed" (a thrown plan) so a
+    // consumer can tell "too slow under this clock" from "broken"
+    val aborted = results.collect { case (k, qr) if qr.aborted => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // pre-row spin calibrations (Miters/s): LOW values attribute a slow
+    // rep to host contention rather than an engine regression
+    val calib = results.collect { case (k, qr) if qr.calibMops >= 0 =>
+      s"\"" + k + "\":" + f"${qr.calibMops}%.0f"
+    }.mkString("{", ",", "}")
+    // sub-second rows whose min lacks corroboration — the second-lowest
+    // rep disagrees with the min by >25% — are FLAGGED, not escalated:
+    // cross-round comparisons should discount any row listed here
+    // (ADVICE r11; with 3 base reps on sub-second rows since r13 the
+    // flag now means "even min-of-3 failed to agree")
     val lowconf = results.collect {
-      case (k, (v, _, ts, _)) if v > 0 && v < 1.0 && ts.size == 2 &&
-          (ts.map(_._1).max - v) / v > 0.25 => s"\"" + k + "\""
+      case (k, qr) if qr.min > 0 && qr.min < 1.0 && qr.reps.size >= 2 && {
+        val s = qr.reps.map(_._1).sorted
+        (s(1) - s(0)) / s(0) > 0.25
+      } => s"\"" + k + "\""
     }.mkString("[", ",", "]")
-    s""""queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"queries_telemetry":$perTel,"queries_ops_ms":$perOps,"queries_lowconf":$lowconf"""
+    s""""queries":$qs,"queries_median":$meds,"queries_reps":$perRep,"queries_telemetry":$perTel,"queries_ops_ms":$perOps,"queries_calib":$calib,"aborted":$aborted,"queries_lowconf":$lowconf"""
   }
 }
