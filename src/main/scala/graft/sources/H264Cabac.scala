@@ -138,17 +138,45 @@ object H264Cabac {
 
   def initTables: Option[InitTables] = tablesForTest.orElse(resourceTables)
 
+  /** FNV-1a fingerprint of an init-table set; 0L = uniform init (tables
+    * absent). Embedded in the stream SEI at encode and REQUIRED to match
+    * at decode: decodability of persisted CABAC segments depends on the
+    * ambient init tables, and without this check a table/JVM mismatch
+    * surfaced as garbage pixels or an opaque require instead of a
+    * diagnosable version error (ADVICE r12).
+    */
+  def initFingerprintOf(t: Option[InitTables]): Long = t match {
+    case None => 0L
+    case Some(tab) =>
+      var h = 0xcbf29ce484222325L
+      def mix(v: Int): Unit = { h ^= (v & 0xffffffffL); h *= 0x100000001b3L }
+      tab.i.foreach { r => mix(r(0)); mix(r(1)) }
+      tab.p.foreach(_.foreach { r => mix(r(0)); mix(r(1)) })
+      // 0 is reserved for "uniform": a (vanishingly unlikely) real hash
+      // of 0 must not masquerade as it
+      if (h == 0L) 1L else h
+  }
+
+  /** fingerprint of the ACTIVE tables (what encode embeds / decode has) */
+  def initFingerprint: Long = initFingerprintOf(initTables)
+
   /** context bank: packed (pStateIdx << 1) | valMPS. Default state is the
     * repo-local uniform init (see the object scaladoc); [[init]] applies
     * a §9.3.1.1 table when one is available.
     */
   final class Contexts(n: Int) {
     val s = new Array[Int](n)
-    /** §9.3.1.1 init of every slot from (m, n) rows at slice QP */
+    /** §9.3.1.1 init of every slot from (m, n) rows at slice QP. A table
+      * covering FEWER slots than the bank is a loud error (ADVICE r12: a
+      * truncated cabac-init.tsv used to yield a silent mixed init that
+      * only round-tripped against the exact same partial file). */
     def init(mn: Array[Array[Int]], qp: Int): Unit = {
+      require(mn.length >= s.length,
+        s"CABAC init table covers ${mn.length} slots but the context bank " +
+          s"has ${s.length} — truncated/partial cabac-init.tsv?")
       var i = 0
       while (i < s.length) {
-        if (i < mn.length) s(i) = initState(mn(i)(0), mn(i)(1), qp)
+        s(i) = initState(mn(i)(0), mn(i)(1), qp)
         i += 1
       }
     }

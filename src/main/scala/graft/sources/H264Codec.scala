@@ -1603,10 +1603,12 @@ object H264Codec {
 
   /** Three-way intra mode competition (I16 vs I_NxN-4x4 vs
     * I_NxN-8x8 when `allow8`): each NxN analysis runs its closed loop
-    * against a saved reconstruction, the winner's analysis is replayed
-    * (deterministic) and its chroma coded. Biases mirror the historical
-    * I4-vs-I16 margin (+96, sixteen mode codes of overhead); I8 carries
-    * a smaller one (+64, four mode codes).
+    * against a saved reconstruction; the winner's analysis OUTPUTS
+    * (modes, zigs, cbp, and the luma recon + i4Mode region it produced)
+    * are captured on the first pass and restored, so no winning MB pays
+    * its prediction+transform+quant loop twice (ADVICE r12). Biases
+    * mirror the historical I4-vs-I16 margin (+96, sixteen mode codes of
+    * overhead); I8 carries a smaller one (+64, four mode codes).
     */
   private def tryIntraNxN(st: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
@@ -1618,24 +1620,32 @@ object H264Codec {
       }
     val (_, _, sad16) = selectI16(st, mbX, mbY, srcY)
     val x0 = mbX * 16; val y0 = mbY * 16
-    val saved = Array.tabulate(16)(rr => java.util.Arrays.copyOfRange(
-      st.reconY, (y0 + rr) * st.pw + x0, (y0 + rr) * st.pw + x0 + 16))
-    def restore(): Unit = {
+    // the analyses mutate exactly st.reconY's 16x16 region and this MB's
+    // 16 i4Mode cells — snapshot/restore of those is a full state swap
+    def snapRegion(): (Array[Array[Byte]], Array[Int]) = {
+      val rec = Array.tabulate(16)(rr => java.util.Arrays.copyOfRange(
+        st.reconY, (y0 + rr) * st.pw + x0, (y0 + rr) * st.pw + x0 + 16))
+      val im = new Array[Int](16)
+      var k = 0
+      while (k < 16) {
+        im(k) = st.i4Mode((mbY * 4 + k / 4) * st.bw4 + mbX * 4 + k % 4)
+        k += 1
+      }
+      (rec, im)
+    }
+    def restoreRegion(snapped: (Array[Array[Byte]], Array[Int])): Unit = {
       var rr = 0
       while (rr < 16) {
-        System.arraycopy(saved(rr), 0, st.reconY, (y0 + rr) * st.pw + x0, 16)
+        System.arraycopy(snapped._1(rr), 0, st.reconY, (y0 + rr) * st.pw + x0, 16)
         rr += 1
       }
-      var by = 0
-      while (by < 4) {
-        var bx = 0
-        while (bx < 4) {
-          st.i4Mode((mbY * 4 + by) * st.bw4 + mbX * 4 + bx) = -1
-          bx += 1
-        }
-        by += 1
+      var k = 0
+      while (k < 16) {
+        st.i4Mode((mbY * 4 + k / 4) * st.bw4 + mbX * 4 + k % 4) = snapped._2(k)
+        k += 1
       }
     }
+    val before = snapRegion() // pre-analysis state (i4Mode cells are -1)
     def finishChroma(m: PMbCoeffs, cbpL: Int): Unit = {
       val qpc = chromaQp(qp)
       val cbpC = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
@@ -1645,32 +1655,35 @@ object H264Codec {
         m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
       st.mbQp(mbY * st.mbW + mbX) = qp
     }
-    val (_, _, _, sad4) = analyseLumaI4(st, mbX, mbY, qp, srcY)
-    restore()
-    val (_, _, _, sad8) = analyseLumaI8(st, mbX, mbY, qp, srcY)
-    restore()
+    val (modes4, zigs4, cbp4, sad4) = analyseLumaI4(st, mbX, mbY, qp, srcY)
+    val after4 = snapRegion()
+    restoreRegion(before)
+    val (modes8, zigs8, cbp8, sad8) = analyseLumaI8(st, mbX, mbY, qp, srcY)
     val cost16 = sad16
     val cost4 = sad4 + 96
     val cost8 = sad8 + 64
     if (cost8 <= cost4 && cost8 < cost16) {
-      val (modes, zigs, cbpL, _) = analyseLumaI8(st, mbX, mbY, qp, srcY)
+      // I8 recon is already in place from its analysis
       val m = new PMbCoeffs
-      finishChroma(m, cbpL)
+      finishChroma(m, cbp8)
       st.trans8(mbY * st.mbW + mbX) = true
       i8MbCount.incrementAndGet()
-      IntraSel.I8(modes, zigs, m)
+      IntraSel.I8(modes8, zigs8, m)
     } else if (cost4 < cost16) {
-      val (modes, zigs, cbpL, _) = analyseLumaI4(st, mbX, mbY, qp, srcY)
+      restoreRegion(after4)
       val m = new PMbCoeffs
       var blk = 0
       while (blk < 16) {
-        System.arraycopy(zigs(blk), 0, m.lumaZig(blk), 0, 16)
+        System.arraycopy(zigs4(blk), 0, m.lumaZig(blk), 0, 16)
         blk += 1
       }
-      finishChroma(m, cbpL)
+      finishChroma(m, cbp4)
       i4MbCount.incrementAndGet()
-      IntraSel.I4(modes, m)
-    } else IntraSel.I16
+      IntraSel.I4(modes4, m)
+    } else {
+      restoreRegion(before)
+      IntraSel.I16
+    }
   }
 
   /** write one Intra_8x8 MB (CAVLC High): mb_type 0 +
@@ -3086,11 +3099,15 @@ object H264Codec {
     val out = new java.io.ByteArrayOutputStream()
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h, high = transform8x8)))
     out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8)))
+    // the cabac-init-fp token is MACHINE-CHECKABLE: decode() extracts it
+    // and refuses a stream whose init-table fingerprint differs from the
+    // decoding JVM's (ADVICE r12 — a table/JVM mismatch used to surface
+    // as garbage pixels, not a diagnosable error)
     out.write(H264Writer.nal(0, 6, seiUserData(
       if (cabac && H264Cabac.initTables.isDefined)
-        "CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains; self-decode verified only"
+        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains; self-decode verified only"
       else if (cabac)
-        "NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33); self-decode only"
+        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33); self-decode only"
       else
         "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only")))
     var ref: PicState = null
@@ -3458,6 +3475,9 @@ object H264Codec {
     var pps: CodecPps = null
     var ref: PicState = null // previous decoded picture (P reference)
     var cur: PicState = null // picture being assembled from its slices
+    // CABAC init-table fingerprint from the stream's graft SEI (None for
+    // foreign streams, which carry no such marker)
+    var streamInitFp: Option[Long] = None
     val sliceDeblocks = ArrayBuffer.empty[DeblockReq] // one per decoded slice
     val out = ArrayBuffer.empty[Yuv]
 
@@ -3518,10 +3538,27 @@ object H264Codec {
             cur.curSlice += 1
           }
           if (!stop) {
+            // version gate BEFORE entropy decode: a CABAC stream encoded
+            // under different init tables would desync the arithmetic
+            // decoder into garbage — fail with the actual cause instead
+            if (pps.cabac) streamInitFp.foreach { fp =>
+              val here = H264Cabac.initFingerprint
+              require(fp == here,
+                f"CABAC init-table mismatch: stream encoded with fingerprint $fp%016x " +
+                  f"but this JVM's tables fingerprint $here%016x " +
+                  "(cabac-init.tsv present/absent/different at encode vs decode)")
+            }
             sliceDeblocks += decodeSlice(rbsp, sps, pps, nal.nalType, nal.refIdc, cur,
               if (nal.nalType == 5) null else ref)
           }
-        case _ => () // SEI / AUD / filler: ignored
+        case 6 =>
+          // graft's own user_data SEI: extract the machine-checkable
+          // cabac-init-fp token (foreign SEI simply won't match)
+          val txt = new String(H264.rbsp(nal.bytes, 1),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val m = "cabac-init-fp=([0-9a-f]{16})".r.findFirstMatchIn(txt)
+          m.foreach(g => streamInitFp = Some(java.lang.Long.parseUnsignedLong(g.group(1), 16)))
+        case _ => () // AUD / filler: ignored
       }
     }
     if (!stop) finishPicture()

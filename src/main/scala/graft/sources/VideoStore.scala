@@ -141,25 +141,41 @@ object VideoStore {
     * task wave, balanced by round-robin). Returns 0 (leave the scan
     * alone) when bin-packing already feeds every core.
     */
+  /** memoized per (root, name) for the life of the JVM: the decision
+    * costs a remote-FS listStatus round-trip per frames() call otherwise
+    * (ADVICE r12). Committed stores are immutable (commit-last protocol),
+    * so the shape never changes under a cached key; an Overwrite recommit
+    * in the same JVM is the one case that could stale this — rare enough
+    * that the entry is simply replaced on descriptor-row-count change.
+    */
+  private val decodeTaskCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Int]()
+
   private def autoDecodeTasks(spark: SparkSession, root: String, name: String): Int =
     try {
       val d     = NamedStorage.descriptor(spark, root, name)
       val nSegs = d.rows
       val cores = spark.sparkContext.defaultParallelism.toLong
       if (nSegs <= 1) return 0
-      val dataPath = new org.apache.hadoop.fs.Path(
-        d.location.getOrElse(NamedStorage.dataDir(root, name).toString))
-      val fsys  = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = fsys.listStatus(dataPath).filter(_.isFile)
-        .filterNot(_.getPath.getName.startsWith("_"))
-      val conf     = spark.sessionState.conf
-      val maxPart  = conf.filesMaxPartitionBytes
-      val openCost = conf.filesOpenCostInBytes
-      val ioParts = math.max(1L,
-        (files.map(_.getLen + openCost).sum + maxPart - 1) / maxPart)
-      if (ioParts >= math.min(nSegs, cores)) 0
-      else math.min(nSegs, 4L * cores).toInt
-    } catch { case _: Throwable => 0 } // conservative: unknown store shape
+      // key includes the descriptor row count so an Overwrite recommit
+      // with a different segmentation recomputes
+      decodeTaskCache.computeIfAbsent((root, name, nSegs), _ => {
+        val dataPath = new org.apache.hadoop.fs.Path(
+          d.location.getOrElse(NamedStorage.dataDir(root, name).toString))
+        val fsys  = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fsys.listStatus(dataPath).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+        val conf     = spark.sessionState.conf
+        val maxPart  = conf.filesMaxPartitionBytes
+        val openCost = conf.filesOpenCostInBytes
+        val ioParts = math.max(1L,
+          (files.map(_.getLen + openCost).sum + maxPart - 1) / maxPart)
+        if (ioParts >= math.min(nSegs, cores)) 0
+        else math.min(nSegs, 4L * cores).toInt
+      })
+      // NonFatal only (ADVICE r12): swallowing OOM/interrupts here hid
+      // real failures behind a silently-unspread decode
+    } catch { case scala.util.control.NonFatal(_) => 0 }
 
   /** Sparse read of exactly the `rows` indices of one stream (reference
     * Gather + sparse decode). Plans on metadata, scans only needed
