@@ -350,9 +350,9 @@ object VideoQueries {
     // the COMPRESSED tier of the same path, High-profile-shaped since
     // round 12: IDR + P frames at QP 12 with Intra_8x8 + the 8x8
     // transform in the per-MB competition (transform_size_8x8_flag),
-    // real temporal prediction (motion search, skip runs, inter CAVLC
-    // residuals) — decoded sequentially-from-keyframe through the store
-    // via the Range plan. PROPERTY oracle (was a frozen md5 pin through
+    // real temporal prediction (motion search, skip runs), and since
+    // round 13 CABAC entropy coding (cat-5 residual contexts) — decoded
+    // sequentially-from-keyframe through the store via the Range plan. PROPERTY oracle (was a frozen md5 pin through
     // round 11): every decoded pixel must sit within `tol` of the
     // closed-form pre-ingest truth ([[grayPixel]]) — lossy coding cannot
     // be replayed in SQL, but its error is spec-bounded by the QP-12
@@ -427,7 +427,11 @@ object VideoQueries {
     // relation outright: a single flipped bin anywhere in the CABAC
     // engine/contexts desynchronizes the decode and floods n_diff.
     // I frames exercise the I16x16 CABAC path, P frames the
-    // skip/mvd/cbp path (gopSize 16 -> IDR + 15 P per GOP).
+    // skip/mvd/cbp path (gopSize 16 -> IDR + 15 P per GOP). Since round
+    // 13 the SAME invariant also runs at the High tier (transform8x8):
+    // the 'high' rows compare a CABAC+8x8 store against a CAVLC+8x8
+    // store, covering the ctxBlockCat-5 residual contexts and the
+    // CABAC-coded transform_size_8x8_flag end-to-end.
     "video_h264_cabac_roundtrip" -> ((s, _) => {
       val root = sys.props("java.io.tmpdir") + "/graft-videoq"
       import s.implicits._
@@ -438,21 +442,29 @@ object VideoQueries {
           VideoStore.ingest(fr.toDS(), root, name, gopSize = 16,
             CacheMode.Ignore, codec = codec)
         }
-      ensure("cabacvid", graft.sources.H264GopCodec.Cabac)
-      ensure("cavlcvid", graft.sources.H264GopCodec.Default)
-      val pa = VideoStore.frames(s, root, "cabacvid",
-          codec = graft.sources.H264GopCodec.Cabac)
-        .flatMap(f => f.data.indices.map(p => (f.streamId, f.index, p, f.data(p))))
-        .toDF("streamId", "index", "pos", "va")
-      val pb = VideoStore.frames(s, root, "cavlcvid",
-          codec = graft.sources.H264GopCodec.Default)
-        .flatMap(f => f.data.indices.map(p => (f.streamId, f.index, p, f.data(p))))
-        .toDF("streamId", "index", "pos", "vb")
-      pa.join(pb, Seq("streamId", "index", "pos"))
-        .groupBy(col("streamId"), col("index"))
-        .agg(count(lit(1)).as("n_pixels"),
-          sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)).as("n_diff"))
-        .orderBy("streamId", "index")
+      def diffRelation(tier: String, aName: String, aCodec: graft.sources.H264GopCodec,
+          bName: String, bCodec: graft.sources.H264GopCodec): DataFrame = {
+        ensure(aName, aCodec)
+        ensure(bName, bCodec)
+        val pa = VideoStore.frames(s, root, aName, codec = aCodec)
+          .flatMap(f => f.data.indices.map(p => (f.streamId, f.index, p, f.data(p))))
+          .toDF("streamId", "index", "pos", "va")
+        val pb = VideoStore.frames(s, root, bName, codec = bCodec)
+          .flatMap(f => f.data.indices.map(p => (f.streamId, f.index, p, f.data(p))))
+          .toDF("streamId", "index", "pos", "vb")
+        pa.join(pb, Seq("streamId", "index", "pos"))
+          .groupBy(col("streamId"), col("index"))
+          .agg(count(lit(1)).as("n_pixels"),
+            sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)).as("n_diff"))
+          .withColumn("tier", lit(tier))
+      }
+      diffRelation("default", "cabacvid", graft.sources.H264GopCodec.Cabac,
+          "cavlcvid", graft.sources.H264GopCodec.Default)
+        .unionAll(diffRelation("high",
+          "cabachivid", graft.sources.H264GopCodec.High, // CABAC + 8x8
+          "cavlchivid", new graft.sources.H264GopCodec(qp = 12,
+            transform8x8 = true))) // CAVLC + 8x8
+        .orderBy("tier", "streamId", "index")
     }),
 
     "video_h264_gop_stats" -> ((s, _) => {
@@ -693,12 +705,14 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant: every frame fully decoded, zero pixel
-    // diffs between the CABAC and CAVLC stores
+    // the cross-entropy invariant at BOTH tiers: every frame fully
+    // decoded, zero pixel diffs between the CABAC and CAVLC stores
+    // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts)
     "video_h264_cabac_roundtrip" ->
-      """SELECT a.range AS "streamId", b.range AS "index",
+      """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM range(0,2) a, range(0,48) b ORDER BY 1, 2""".stripMargin,
+        |FROM (SELECT UNNEST(['default', 'high']) AS tier) t,
+        |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (
         |  SELECT 0::BIGINT AS sid, b.idx, c.range AS p,

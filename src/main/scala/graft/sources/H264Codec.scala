@@ -2137,12 +2137,30 @@ object H264Codec {
     val AbsLevel = 200 // + cat*10 + inc 0..9
     val PrevI4x4 = 250 // prev_intra4x4_pred_mode_flag
     val RemI4x4 = 251  // rem_intra4x4_pred_mode (3 FL bins, one ctx)
-    val N = 252
+    // ---- ctxBlockCat 5 (luma 8x8, High + CABAC) ----
+    // transform_size_8x8_flag: inc 0..2 by neighbor flags (§9.3.3.1.1.10,
+    // derivational). Sig/Last position->context BUCKETS are REPO-LOCAL
+    // (min(pos>>2,14) / min(pos>>3,8)): the spec's Table 9-43 mapping is
+    // published DATA this offline container has no copy of — same honesty
+    // call as the 9.3.1.1 init tables, and the stream's SEI marks it. A
+    // self-consistent bucketing round-trips exactly; only cross-decoder
+    // interop (already void under uniform init) would notice.
+    val Trans8 = 252    // + inc 0..2
+    val Sig8 = 255      // + bucket 0..14 (63 coded positions)
+    val Last8 = 270     // + bucket 0..8
+    val AbsLevel8 = 279 // + inc 0..9 (same §9.3.3.1.3 derivation as cats 0-4)
+    val N = 289
     // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
-    // 3 ChromaDC(4) 4 ChromaAC(15)
+    // 3 ChromaDC(4) 4 ChromaAC(15); 5 Luma8x8(64) handled out-of-band
     val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
     val maxCoeff: Array[Int] = Array(16, 15, 16, 4, 15)
+    @inline def sig8Bucket(p: Int): Int = math.min(p >> 2, 14)
+    @inline def last8Bucket(p: Int): Int = math.min(p >> 3, 8)
   }
+
+  /** context-bank size, for tests that build synthetic init tables (a
+    * table must cover every slot — Contexts.init refuses partial ones) */
+  private[graft] def cabacContextSlots: Int = CabacCtx.N
 
   /** Per-slice neighbor state for context increments — maintained
     * IDENTICALLY by the encoder and the decoder as macroblocks complete
@@ -2183,6 +2201,12 @@ object H264Codec {
         (if (ib >= 0 && isIntra(ib) && chromaModeNz(ib)) 1 else 0)
     }
     def incQpDelta: Int = if (lastQpDeltaNz) 1 else 0
+    /** transform_size_8x8_flag inc: neighbor flags (§9.3.3.1.1.10) */
+    def incTrans8(mbX: Int, mbY: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && st.trans8(ia)) 1 else 0) +
+        (if (ib >= 0 && st.trans8(ib)) 1 else 0)
+    }
     /** cbp-luma bin for 8x8 block b8 (z-order): condTerm = neighbor 8x8
       * cbp bit == 0 (skipped neighbors have cbp 0 → condTerm 1)
       */
@@ -2252,17 +2276,29 @@ object H264Codec {
       if (coeffs(i) != 0) { total += 1; lastIdx = i }
       i += 1
     }
-    e.encodeBin(cx, CabacCtx.Cbf + cat * 4 + cbfInc, if (total > 0) 1 else 0)
-    if (total == 0) return 0
+    // cat 5 (luma 8x8, 4:2:0) carries NO coded_block_flag: the spec
+    // infers it from the cbp bit (maxNumCoeff == 64), so the caller only
+    // invokes the block coder for coded 8x8 blocks
+    if (cat != 5) {
+      e.encodeBin(cx, CabacCtx.Cbf + cat * 4 + cbfInc, if (total > 0) 1 else 0)
+      if (total == 0) return 0
+    } else require(total > 0,
+      "cat-5 block with zero coefficients must be skipped via its cbp bit")
     @inline def sigPos(p: Int): Int = if (cat == 3) math.min(p, 2) else p
+    @inline def sigCtx(p: Int): Int =
+      if (cat == 5) CabacCtx.Sig8 + CabacCtx.sig8Bucket(p)
+      else CabacCtx.Sig + CabacCtx.sigBase(cat) + sigPos(p)
+    @inline def lastCtx(p: Int): Int =
+      if (cat == 5) CabacCtx.Last8 + CabacCtx.last8Bucket(p)
+      else CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(p)
+    val lvlBase = if (cat == 5) CabacCtx.AbsLevel8 else CabacCtx.AbsLevel + cat * 10
     i = 0
     var done = false
     while (i < maxN - 1 && !done) {
       val sig = coeffs(i) != 0
-      e.encodeBin(cx, CabacCtx.Sig + CabacCtx.sigBase(cat) + sigPos(i), if (sig) 1 else 0)
+      e.encodeBin(cx, sigCtx(i), if (sig) 1 else 0)
       if (sig) {
-        e.encodeBin(cx, CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(i),
-          if (i == lastIdx) 1 else 0)
+        e.encodeBin(cx, lastCtx(i), if (i == lastIdx) 1 else 0)
         if (i == lastIdx) done = true
       }
       i += 1
@@ -2277,8 +2313,7 @@ object H264Codec {
         val absM1 = math.abs(c) - 1
         val bin0Inc = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
         H264Cabac.encodeTU(e, cx, math.min(absM1, 14), 14,
-          b => CabacCtx.AbsLevel + cat * 10 +
-            (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
+          b => lvlBase + (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
         if (absM1 >= 14) H264Cabac.encodeEGkSuffix(e, absM1 - 14, 0)
         e.encodeBypass(if (c < 0) 1 else 0)
         if (math.abs(c) > 1) numGt1 += 1 else numEq1 += 1
@@ -2293,16 +2328,24 @@ object H264Codec {
   private def cabacReadBlock(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
       cat: Int, cbfInc: Int, out: Array[Int], maxN: Int): Int = {
     java.util.Arrays.fill(out, 0, maxN, 0)
-    if (d.decodeBin(cx, CabacCtx.Cbf + cat * 4 + cbfInc) == 0) return 0
+    // cat 5: no coded_block_flag (see the write side)
+    if (cat != 5 && d.decodeBin(cx, CabacCtx.Cbf + cat * 4 + cbfInc) == 0) return 0
     @inline def sigPos(p: Int): Int = if (cat == 3) math.min(p, 2) else p
+    @inline def sigCtx(p: Int): Int =
+      if (cat == 5) CabacCtx.Sig8 + CabacCtx.sig8Bucket(p)
+      else CabacCtx.Sig + CabacCtx.sigBase(cat) + sigPos(p)
+    @inline def lastCtx(p: Int): Int =
+      if (cat == 5) CabacCtx.Last8 + CabacCtx.last8Bucket(p)
+      else CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(p)
+    val lvlBase = if (cat == 5) CabacCtx.AbsLevel8 else CabacCtx.AbsLevel + cat * 10
     val sig = new Array[Boolean](maxN)
     var lastIdx = -1
     var i = 0
     var done = false
     while (i < maxN - 1 && !done) {
-      if (d.decodeBin(cx, CabacCtx.Sig + CabacCtx.sigBase(cat) + sigPos(i)) == 1) {
+      if (d.decodeBin(cx, sigCtx(i)) == 1) {
         sig(i) = true
-        if (d.decodeBin(cx, CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(i)) == 1) {
+        if (d.decodeBin(cx, lastCtx(i)) == 1) {
           lastIdx = i
           done = true
         }
@@ -2318,8 +2361,7 @@ object H264Codec {
       if (sig(i)) {
         val bin0Inc = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
         var absM1 = H264Cabac.decodeTU(d, cx, 14,
-          b => CabacCtx.AbsLevel + cat * 10 +
-            (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
+          b => lvlBase + (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
         if (absM1 == 14) absM1 += H264Cabac.decodeEGkSuffix(d, 0)
         val mag = absM1 + 1
         out(i) = if (d.decodeBypass() == 1) -mag else mag
@@ -2434,10 +2476,73 @@ object H264Codec {
     chromaAc(st.nzCr, mc.crAcZig)
   }
 
+  /** Intra_8x8 residual order under CABAC: four cbp-gated cat-5 64-coeff
+    * luma blocks (no coded_block_flag — inferred from cbp at 4:2:0), then
+    * chroma DC/AC identical to the P/I4 shape; shared by both directions.
+    * nz bookkeeping mirrors the CAVLC interleaved sub-block counts
+    * EXACTLY, so deblock strengths (and later MBs' cbf contexts) cannot
+    * drift between entropy modes.
+    */
+  private def cabacResidualI8(st: PicState, cms: CabacMbState, mbX: Int, mbY: Int,
+      zig8: Array[Array[Int]], mc: PMbCoeffs,
+      rw: (Int, Int, Array[Int], Int) => Int): Unit = {
+    val mi = mbY * st.mbW + mbX
+    var b = 0
+    while (b < 4) {
+      if (((mc.cbpLuma >> b) & 1) != 0) rw(5, 0, zig8(b), 64)
+      b += 1
+    }
+    i8NzCounts(st, mbX, mbY, mc.cbpLuma, zig8)
+    if (mc.cbpChroma != 0) {
+      cms.cbDcNz(mi) = rw(3, cms.incCbfDc(mbX, mbY, cms.cbDcNz), mc.cbDcZig, 4) > 0
+      cms.crDcNz(mi) = rw(3, cms.incCbfDc(mbX, mbY, cms.crDcNz), mc.crDcZig, 4) > 0
+    }
+    val cX = mbX * 2; val cY = mbY * 2
+    def chromaAc(nz: Array[Int], acZig: Array[Array[Int]]): Unit = {
+      var cb = 0
+      while (cb < 4) {
+        val ax = cX + cb % 2; val ay = cY + cb / 2
+        val tc =
+          if (mc.cbpChroma == 2)
+            rw(4, cms.incCbf4x4(nz, st.cbw4, 2, ax, ay), acZig(cb), 15)
+          else 0
+        nz(ay * st.cbw4 + ax) = tc
+        cb += 1
+      }
+    }
+    chromaAc(st.nzCb, mc.cbAcZig)
+    chromaAc(st.nzCr, mc.crAcZig)
+  }
+
+  /** per-4x4-cell nonzero counts of an 8x8-transform MB via the same
+    * interleaved decomposition the CAVLC I8 writer uses (sub-block i
+    * carries zig positions 4k + i) — keeps nzY identical across entropy
+    * modes */
+  private def i8NzCounts(st: PicState, mbX: Int, mbY: Int, cbpLuma: Int,
+      zig8: Array[Array[Int]]): Unit = {
+    val bX = mbX * 4; val bY = mbY * 4
+    var b = 0
+    while (b < 4) {
+      var i = 0
+      while (i < 4) {
+        val ax = bX + (b % 2) * 2 + i % 2
+        val ay = bY + (b / 2) * 2 + i / 2
+        var tc = 0
+        if (((cbpLuma >> b) & 1) != 0) {
+          var k = 0
+          while (k < 16) { if (zig8(b)(4 * k + i) != 0) tc += 1; k += 1 }
+        }
+        st.nzY(ay * st.bw4 + ax) = tc
+        i += 1
+      }
+      b += 1
+    }
+  }
+
   /** the CABAC I-slice macroblock loop over [startMb, endMb) */
   private def encodeIRangeCabac(st: PicState, bw: H264Writer.BitWriter, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      startMb: Int, endMb: Int): Unit = {
+      startMb: Int, endMb: Int, t8: Boolean = false): Unit = {
     bw.alignOne() // cabac_alignment_one_bit
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -2448,10 +2553,30 @@ object H264Codec {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
-      tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr) match {
-        case Some((modes, m4)) =>
+      // shared cbp coder for the I_NxN branches (I4 and I8 use the same
+      // contexts: cbp luma bits are per 8x8 group in both)
+      def encodeCbp(cbp: Int): Unit = {
+        var b8 = 0
+        var bitsSoFar = 0
+        while (b8 < 4) {
+          val bit = (cbp >> b8) & 1
+          e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
+          bitsSoFar |= bit << b8
+          b8 += 1
+        }
+        val cbpC = cbp >> 4
+        e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
+          if (cbpC != 0) 1 else 0)
+        if (cbpC != 0)
+          e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
+            if (cbpC == 2) 1 else 0)
+      }
+      tryIntraNxN(st, mbX, mbY, qp, srcY, srcCb, srcCr, allow8 = t8) match {
+        case IntraSel.I4(modes, m4) =>
           // mb_type I_NxN: single bin 0
           e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 0)
+          // transform_size_8x8_flag = 0 (present only under a t8 PPS)
+          if (t8) e.encodeBin(cx, CabacCtx.Trans8 + cms.incTrans8(mbX, mbY), 0)
           var blk = 0
           while (blk < 16) {
             val bx = mbX * 4 + blkX(blk); val by = mbY * 4 + blkY(blk)
@@ -2467,20 +2592,7 @@ object H264Codec {
             blk += 1
           }
           e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
-          var b8 = 0
-          var bitsSoFar = 0
-          while (b8 < 4) {
-            val bit = (m4.cbp >> b8) & 1
-            e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
-            bitsSoFar |= bit << b8
-            b8 += 1
-          }
-          val cbpC4 = m4.cbp >> 4
-          e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
-            if (cbpC4 != 0) 1 else 0)
-          if (cbpC4 != 0)
-            e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
-              if (cbpC4 == 2) 1 else 0)
+          encodeCbp(m4.cbp)
           cms.isIntra(mi) = true
           cms.cbp(mi) = m4.cbp
           if (m4.cbp != 0) {
@@ -2492,8 +2604,41 @@ object H264Codec {
           // recon already in place (closed-loop analysis)
           mb += 1
           e.encodeTerminate(if (mb == endMb) 1 else 0)
-        case None =>
-      encodeI16Cabac(st, cms, e, cx, mbX, mbY, qp, srcY, srcCb, srcCr)
+        case IntraSel.I8(modes8, zig8, m8) =>
+          // mb_type I_NxN + transform_size_8x8_flag = 1 (Intra_8x8)
+          e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 0)
+          e.encodeBin(cx, CabacCtx.Trans8 + cms.incTrans8(mbX, mbY), 1)
+          var b = 0
+          while (b < 4) {
+            val bx = mbX * 4 + (b % 2) * 2; val by = mbY * 4 + (b / 2) * 2
+            val pm = predI4Mode(st, bx, by)
+            if (modes8(b) == pm) e.encodeBin(cx, CabacCtx.PrevI4x4, 1)
+            else {
+              e.encodeBin(cx, CabacCtx.PrevI4x4, 0)
+              val rem = if (modes8(b) < pm) modes8(b) else modes8(b) - 1
+              e.encodeBin(cx, CabacCtx.RemI4x4, (rem >> 2) & 1)
+              e.encodeBin(cx, CabacCtx.RemI4x4, (rem >> 1) & 1)
+              e.encodeBin(cx, CabacCtx.RemI4x4, rem & 1)
+            }
+            b += 1
+          }
+          e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
+          encodeCbp(m8.cbp)
+          cms.isIntra(mi) = true
+          cms.cbp(mi) = m8.cbp
+          if (m8.cbp != 0) {
+            e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0)
+            cms.lastQpDeltaNz = false
+            cabacResidualI8(st, cms, mbX, mbY, zig8, m8,
+              (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+          } else clearNz(st, mbX, mbY)
+          // recon already in place; st.trans8 set by tryIntraNxN
+          mb += 1
+          e.encodeTerminate(if (mb == endMb) 1 else 0)
+        case IntraSel.I16 =>
+          // I16 mb_type carries no transform_size_8x8_flag (§7.3.5: the
+          // flag follows mb_type only for I_NxN)
+          encodeI16Cabac(st, cms, e, cx, mbX, mbY, qp, srcY, srcCb, srcCr)
           mb += 1
           e.encodeTerminate(if (mb == endMb) 1 else 0)
       }
@@ -2599,7 +2744,8 @@ object H264Codec {
 
   /** CABAC slice-data decode (I and P), mirror of the two encode loops */
   private def decodeSliceDataCabac(r: H264.BitReader, st: PicState, ref: PicState,
-      isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0): Unit = {
+      isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0,
+      t8pps: Boolean = false): Unit = {
     r.align() // cabac_alignment_one_bit
     val d = new H264Cabac.Decoder(r)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -2658,6 +2804,59 @@ object H264Codec {
         if (mc == null) clearNz(st, mbX, mbY)
         reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
       } else if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
+        // I_NxN: transform_size_8x8_flag (present only under a t8 PPS)
+        // picks Intra_8x8 vs Intra_4x4
+        if (t8pps && d.decodeBin(cx, CabacCtx.Trans8 + cms.incTrans8(mbX, mbY)) == 1) {
+          // Intra_8x8 (High): 4 mode codes, DC chroma, cbp, cat-5 residual
+          val modes8 = new Array[Int](4)
+          var b = 0
+          while (b < 4) {
+            val bx = mbX * 4 + (b % 2) * 2; val by = mbY * 4 + (b / 2) * 2
+            val pm = predI4Mode(st, bx, by)
+            modes8(b) =
+              if (d.decodeBin(cx, CabacCtx.PrevI4x4) == 1) pm
+              else {
+                val rem = (d.decodeBin(cx, CabacCtx.RemI4x4) << 2) |
+                  (d.decodeBin(cx, CabacCtx.RemI4x4) << 1) |
+                  d.decodeBin(cx, CabacCtx.RemI4x4)
+                if (rem < pm) rem else rem + 1
+              }
+            setI8ModeCells(st, mbX, mbY, b, modes8(b))
+            b += 1
+          }
+          require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
+            "chroma prediction mode != DC unsupported")
+          var cbpLuma8 = 0
+          var b8 = 0
+          while (b8 < 4) {
+            cbpLuma8 |= d.decodeBin(cx,
+              CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma8)) << b8
+            b8 += 1
+          }
+          var cbpChroma8 = 0
+          if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+            cbpChroma8 =
+              if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+              else 1
+          val m8 = new PMbCoeffs
+          m8.cbp = cbpLuma8 | (cbpChroma8 << 4)
+          cms.isIntra(mi) = true
+          cms.cbp(mi) = m8.cbp
+          val zig8 = Array.fill(4)(new Array[Int](64))
+          if (m8.cbp != 0) {
+            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+              "mb_qp_delta != 0 unsupported (constant-QP subset)")
+            cms.lastQpDeltaNz = false
+            cabacResidualI8(st, cms, mbX, mbY, zig8, m8,
+              (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+          } else clearNz(st, mbX, mbY)
+          st.mbQp(mi) = qp
+          st.trans8(mi) = true
+          reconstructLumaI8(st, mbX, mbY, qp, modes8, zig8, m8.cbpLuma)
+          intraChromaRecon(st, mbX, mbY, chromaQp(qp), m8.cbpChroma,
+            m8.cbDcZig, m8.cbAcZig, m8.crDcZig, m8.crAcZig)
+          // the shared mb += 1 / end_of_slice tail below closes this MB
+        } else {
         // I_NxN (Intra_4x4)
         val modes = new Array[Int](16)
         var blk = 0
@@ -2704,6 +2903,7 @@ object H264Codec {
         reconstructLumaI4(st, mbX, mbY, qp, modes, m4.lumaZig, m4.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp), m4.cbpChroma,
           m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig)
+        } // end Intra_4x4 (the t8pps flag picked I8 above otherwise)
       } else {
         require(d.decodeTerminate() == 0, "I_PCM in CABAC slices unsupported")
         val mc = new MbCoeffs
@@ -2930,7 +3130,8 @@ object H264Codec {
           encodePRangeCabac(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
             halfPel, quarterPel, startMb, endMb)
         else
-          encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb)
+          encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb,
+            t8 = transform8x8)
       } else if (pSlice)
         encodePRange(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb)
@@ -3092,8 +3293,6 @@ object H264Codec {
     require(searchRange >= 0 && searchRange <= 16, s"searchRange $searchRange out of [0,16]")
     require(slicesPerFrame >= 1, s"slicesPerFrame $slicesPerFrame must be >= 1")
     require(!(pcm && cabac), "I_PCM tier is CAVLC-only (pcm + cabac unsupported)")
-    require(!(transform8x8 && cabac),
-      "Intra_8x8 is CAVLC-only here (CABAC cat-5 residual contexts not implemented)")
     require(!(transform8x8 && pcm), "I_PCM tier never uses the 8x8 transform")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     val out = new java.io.ByteArrayOutputStream()
@@ -3105,9 +3304,13 @@ object H264Codec {
     // as garbage pixels, not a diagnosable error)
     out.write(H264Writer.nal(0, 6, seiUserData(
       if (cabac && H264Cabac.initTables.isDefined)
-        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains; self-decode verified only"
+        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains" +
+          (if (transform8x8) "; cat-5 sig/last ctx buckets repo-local (not Table 9-43)" else "") +
+          "; self-decode verified only"
       else if (cabac)
-        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33); self-decode only"
+        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33)" +
+          (if (transform8x8) "; cat-5 sig/last ctx buckets repo-local (not Table 9-43)" else "") +
+          "; self-decode only"
       else
         "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only")))
     var ref: PicState = null
@@ -3267,11 +3470,10 @@ object H264Codec {
       }
     val mbW = st.mbW; val mbH = st.mbH
     if (pps.cabac) {
-      require(!pps.transform8x8,
-        "CABAC + transform_8x8_mode unsupported (cat-5 residual contexts not implemented)")
       if (isP) require(ref != null,
         "P slice with no reference picture (stream must open with an IDR)")
-      decodeSliceDataCabac(r, st, ref, isP, qp, firstMb, cabacInitIdc)
+      decodeSliceDataCabac(r, st, ref, isP, qp, firstMb, cabacInitIdc,
+        t8pps = pps.transform8x8)
       return deblockReq
     }
     if (isP) {

@@ -145,6 +145,11 @@ object H264GopCodec {
     * the documented conformance envelope) */
   val Cabac: H264GopCodec = new H264GopCodec(qp = 12, cabac = true)
   /** High-profile-shaped store: the 8x8 transform + Intra_8x8 join the
-    * per-MB competition (transform_size_8x8_flag per I_NxN MB) */
-  val High: H264GopCodec = new H264GopCodec(qp = 12, transform8x8 = true)
+    * per-MB competition (transform_size_8x8_flag per I_NxN MB), under
+    * CABAC entropy coding since round 13 (ctxBlockCat-5 residual
+    * contexts) — the entropy+transform combination real High-profile
+    * corpora use. The CAVLC+8x8 shape remains constructible via
+    * `new H264GopCodec(qp, transform8x8 = true)`. */
+  val High: H264GopCodec = new H264GopCodec(qp = 12, cabac = true,
+    transform8x8 = true)
 }

@@ -59,7 +59,7 @@ class H264CabacInitSpec extends AnyFunSuite {
     val uniformPx = H264Codec.decode(uniform).map(_.y.toSeq)
     // synthetic but non-trivial (m, n) rows — every slot starts somewhere
     // off the uniform state for at least one of the I/P sets
-    val slots = 252
+    val slots = H264Codec.cabacContextSlots
     val tables = H264Cabac.InitTables(
       i = Array.tabulate(slots)(k => Array((k * 7) % 61 - 30, 20 + (k * 13) % 80)),
       p = Array.tabulate(3, slots)((idc, k) =>
@@ -92,8 +92,8 @@ class H264CabacInitSpec extends AnyFunSuite {
     val uniform = H264Codec.encode(fs, qp = 16, cabac = true)
     assert(seiText(uniform).contains("NONCONFORMANT: CABAC context init is repo-local uniform"))
     H264Cabac.tablesForTest = Some(H264Cabac.InitTables(
-      i = Array.fill(252)(Array(0, 64)),
-      p = Array.fill(3, 252)(Array(0, 64))))
+      i = Array.fill(H264Codec.cabacContextSlots)(Array(0, 64)),
+      p = Array.fill(3, H264Codec.cabacContextSlots)(Array(0, 64))))
     try {
       val seeded = H264Codec.encode(fs, qp = 16, cabac = true)
       assert(seiText(seeded).contains("CABAC ctx init from provided 9.3.1.1 tables"))

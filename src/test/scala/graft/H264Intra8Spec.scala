@@ -94,9 +94,8 @@ class H264Intra8Spec extends AnyFunSuite {
 
   test("unsupported combinations refuse loudly") {
     val f = Seq(smooth(32, 32, 0))
-    intercept[IllegalArgumentException] {
-      H264Codec.encode(f, cabac = true, transform8x8 = true)
-    }
+    // cabac + transform8x8 is SUPPORTED since round 13 (cat-5 residual
+    // coding) — see H264Cabac8x8Spec; only the PCM combination refuses
     intercept[IllegalArgumentException] {
       H264Codec.encode(f, pcm = true, transform8x8 = true)
     }
