@@ -37,6 +37,93 @@ object VideoQueries {
     root
   }
 
+  /** Closed-form smooth texture for the flow PROPERTY gates: a sum of
+    * incommensurate sinusoids, so gradient energy exists in both axes at
+    * every pixel (no aperture ambiguity) and the field is defined on all
+    * of ℝ² — a frame translated by (dx, dy) is an EXACT translate of its
+    * predecessor, which makes "recovered flow ≈ (dx, dy)" an independent
+    * ground truth no estimator constant can leak into.
+    */
+  private[graft] def flowTex(x: Double, y: Double): Int =
+    (127.5 + 55 * math.sin(0.31 * x + 0.17 * y) * math.cos(0.23 * y - 0.11 * x)
+      + 45 * math.sin(0.13 * x) * math.sin(0.19 * y)).round.toInt.max(0).min(255)
+
+  private[graft] val FlowH = 48
+  private[graft] val FlowW = 64
+  private[graft] val FlowFrames = 48
+  /** per-stream ground-truth displacement (stream 0 pure-x, stream 1
+    * diagonal — both inside the single-scale estimators' range) */
+  private[graft] def flowDisp(sid: Long): (Int, Int) =
+    if (sid == 0L) (1, 0) else (1, 1)
+
+  /** idempotent ingest of the translated-texture fixture: 2 streams x 48
+    * frames of 48x64 gray, frame i = flowTex shifted by i*(dx,dy) */
+  private def ensureFlowIngested(s: SparkSession): String = {
+    val root = sys.props("java.io.tmpdir") + "/graft-videoq"
+    import s.implicits._
+    val frames = (0L until 2L).flatMap { sid =>
+      val (dx, dy) = flowDisp(sid)
+      (0 until FlowFrames).map { i =>
+        val data = new Array[Byte](FlowH * FlowW)
+        var p = 0
+        while (p < data.length) {
+          data(p) = flowTex(p % FlowW - i.toLong * dx, p / FlowW - i.toLong * dy).toByte
+          p += 1
+        }
+        FrameElem(sid, i.toLong, FlowH, FlowW, 1, FrameType.U8, data)
+      }
+    }
+    VideoStore.ingest(frames.toDS(), root, "flowvid", gopSize = 16, CacheMode.Ignore)
+    root
+  }
+
+  /** shared body of the two flow PROPERTY gates: store → stencil {-1,0}
+    * halo pair fetch → per-pair interior mean flow → |mean − truth| < tol
+    * booleans. The DuckDB oracle recomputes the expected all-true relation
+    * outright (the truth is the fixture's construction, not the
+    * estimator), replacing the frozen mean-|flow| pins of rounds 2-12.
+    */
+  private def flowPropertyGate(s: SparkSession,
+      estimator: (FrameElem, FrameElem) => FrameElem, tol: Double): DataFrame = {
+    val root = ensureFlowIngested(s)
+    val frames = VideoStore.frames(s, root, "flowvid").toDF()
+      .select(col("streamId"), col("index"),
+        struct(col("height"), col("width"), col("channels"), col("dtype"),
+          col("data")).as("f"))
+    val paired = SequenceOps
+      .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill,
+        bucketWidth = 1024)
+      .filter(element_at(col("window"), 1).isNotNull) // drop t=0 (no prev)
+    import s.implicits._
+    paired.map { r =>
+      val sid = r.getAs[Long]("streamId")
+      val t   = r.getAs[Long]("index")
+      val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
+      def fe(x: org.apache.spark.sql.Row, idx: Long) = FrameElem(sid, idx,
+        x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
+      val flow = estimator(fe(w(0), t - 1), fe(w(1), t))
+      val bb = java.nio.ByteBuffer.wrap(flow.data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // interior only: the clamped border + window radius bias the edge
+      var su = 0.0; var sv = 0.0; var n = 0L
+      var y = 10
+      while (y < FlowH - 10) {
+        var x = 10
+        while (x < FlowW - 10) {
+          val i = (y * FlowW + x) * 2 * 4
+          su += bb.getFloat(i); sv += bb.getFloat(i + 4); n += 1
+          x += 1
+        }
+        y += 1
+      }
+      val (dx, dy) = flowDisp(sid)
+      (sid, t, n, math.abs(su / n - dx) < tol, math.abs(sv / n - dy) < tol)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaBoolean, Encoders.scalaBoolean))
+      .toDF("streamId", "index", "n_interior", "u_ok", "v_ok")
+      .orderBy("streamId", "index")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ingest → Range(0,30) → Histogram — the reference's canonical pipeline.
     // Emitted as nonzero (channel, bucket, n) rows: the DuckDB oracle
@@ -148,40 +235,20 @@ object VideoQueries {
         .orderBy("streamId", "pos")
     }),
 
-    // stencil {-1,0} optical-flow (real dense Lucas-Kanade estimator) →
-    // per-frame mean |flow|. The frame-pair fetch goes through the
-    // halo-bucketed stencil, so parallelism is #buckets, not #streams —
-    // one multi-TB stream no longer serializes into a single task (the
-    // previous per-stream flatMapSortedGroups shape did exactly that).
-    "video_flow" -> ((s, _) => {
-      val root   = ensureIngested(s)
-      val frames = VideoStore.frames(s, root, "testvid").toDF()
-        .select(col("streamId"), col("index"),
-          struct(col("height"), col("width"), col("channels"), col("dtype"),
-            col("data")).as("f"))
-      // bucketWidth 1024: per-task memory = a bucket of FRAMES, so keep it
-      // small (1024 x frame bytes); parallelism is still stream-length/1024
-      val paired = SequenceOps
-        .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill,
-          bucketWidth = 1024)
-        .filter(element_at(col("window"), 1).isNotNull) // drop t=0 (no prev)
-      import s.implicits._
-      paired.map { r =>
-        val sid = r.getAs[Long]("streamId")
-        val t   = r.getAs[Long]("index")
-        val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
-        def fe(x: org.apache.spark.sql.Row, idx: Long) = FrameElem(sid, idx,
-          x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
-        val flow = StdKernels.opticalFlow(fe(w(0), t - 1), fe(w(1), t))
-        val bb = java.nio.ByteBuffer.wrap(flow.data)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var sum = 0.0; var n = 0
-        while (bb.hasRemaining) { sum += math.abs(bb.getFloat); n += 1 }
-        (sid, t, sum / n)
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
-        .toDF("streamId", "index", "mean_abs_flow")
-        .orderBy("streamId", "index")
-    }),
+    // stencil {-1,0} optical-flow (real dense Lucas-Kanade estimator) as
+    // a PROPERTY gate (was a frozen mean-|flow| pin through round 12):
+    // the fixture is a closed-form texture translated by a KNOWN per-
+    // stream (dx, dy) each frame, so the interior mean of the recovered
+    // field must land within tol of the construction's truth — a relation
+    // the DuckDB oracle recomputes outright. The frame-pair fetch still
+    // goes through the halo-bucketed stencil, so parallelism is #buckets,
+    // not #streams — one multi-TB stream never serializes into one task.
+    // tol 0.25: measured worst interior-mean error on this fixture is
+    // 0.062 (LK r=6) / 0.038 (Farneback) — 4x headroom, and a broken
+    // gradient/SAT/solve anywhere shifts the mean far past it.
+    "video_flow" -> ((s, _) =>
+      flowPropertyGate(s, (p, c) => StdKernels.opticalFlow(p, c, r = 6),
+        tol = 0.25)),
 
     // Shot detection (docs/scannertools.rst:77-89 `detect_shots`): per-
     // frame histograms -> consecutive L1 histogram distance per stream
@@ -242,37 +309,14 @@ object VideoQueries {
         .orderBy("streamId", "index", "blob")
     }),
 
-    // same stencil {-1,0} composition with the FARNEBACK estimator — the
-    // reference's actual flow family (test_ops.cpp:63-111 wraps
-    // cv::calcOpticalFlowFarneback); plan shape identical to video_flow
-    // (halo-bucketed pair fetch, parallelism = stream-length/bucket)
-    "video_flow_farneback" -> ((s, _) => {
-      val root   = ensureIngested(s)
-      val frames = VideoStore.frames(s, root, "testvid").toDF()
-        .select(col("streamId"), col("index"),
-          struct(col("height"), col("width"), col("channels"), col("dtype"),
-            col("data")).as("f"))
-      val paired = SequenceOps
-        .stencil(frames, Seq(-1, 0), "f", graft.model.Boundary.NullFill,
-          bucketWidth = 1024)
-        .filter(element_at(col("window"), 1).isNotNull)
-      import s.implicits._
-      paired.map { r =>
-        val sid = r.getAs[Long]("streamId")
-        val t   = r.getAs[Long]("index")
-        val w   = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("window"))
-        def fe(x: org.apache.spark.sql.Row, idx: Long) = FrameElem(sid, idx,
-          x.getInt(0), x.getInt(1), x.getInt(2), x.getByte(3), x.getAs[Array[Byte]](4))
-        val flow = StdKernels.farnebackFlow(fe(w(0), t - 1), fe(w(1), t))
-        val bb = java.nio.ByteBuffer.wrap(flow.data)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var sum = 0.0; var n = 0
-        while (bb.hasRemaining) { sum += math.abs(bb.getFloat); n += 1 }
-        (sid, t, sum / n)
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
-        .toDF("streamId", "index", "mean_abs_flow")
-        .orderBy("streamId", "index")
-    }),
+    // same stencil {-1,0} composition + the SAME property oracle with the
+    // FARNEBACK estimator — the reference's actual flow family
+    // (test_ops.cpp:63-111 wraps cv::calcOpticalFlowFarneback); plan
+    // shape identical to video_flow (halo-bucketed pair fetch,
+    // parallelism = stream-length/bucket)
+    "video_flow_farneback" -> ((s, _) =>
+      flowPropertyGate(s, (p, c) => StdKernels.farnebackFlow(p, c),
+        tol = 0.25)),
 
     // near-dup for VIDEO STREAMS, composed from the library's own parts:
     // per-frame aHash (brightness-robust perceptual token) -> per-stream
@@ -721,6 +765,14 @@ object VideoQueries {
         |SELECT sid AS "streamId", idx AS "index", 16 AS height, 24 AS width,
         |  CAST(p AS BIGINT) AS pos, CAST(v AS INT) AS pixel
         |FROM px ORDER BY 2, 5""".stripMargin,
+    // flow PROPERTY gates (pinned mean-|flow| literals through round 12):
+    // the fixture is an EXACT translate per frame ([[flowTex]] shifted by
+    // i*(dx,dy)), so the expected relation — every interior mean within
+    // tol of the construction's displacement — is recomputed outright;
+    // 1232 = (48-2*10)*(64-2*10) interior cells, indices 1..47 (t=0 has
+    // no predecessor under the {-1,0} stencil)
+    "video_flow" -> flowPropertyOracle,
+    "video_flow_farneback" -> flowPropertyOracle,
     // the gray fixture is closed-form ([[grayPixel]]: 32x48 U8, gradient
     // + 8x8 checker) and I_PCM is lossless — regenerate every decoded
     // sample; one SQL serves both the store path (pcm_roundtrip) and the
@@ -767,6 +819,13 @@ object VideoQueries {
       |SELECT sid AS "streamId", idx AS "index", CAST(p AS BIGINT) AS pos,
       |  CAST(v AS INT) AS pixel
       |FROM px ORDER BY 1, 2, 3""".stripMargin
+
+  /** shared oracle of the two flow property gates: both estimators must
+    * recover the construction's per-stream displacement on the interior */
+  private lazy val flowPropertyOracle: String =
+    """SELECT a.range AS "streamId", b.range AS "index",
+      |  1232::BIGINT AS n_interior, TRUE AS u_ok, TRUE AS v_ok
+      |FROM range(0,2) a, range(1,48) b ORDER BY 1, 2""".stripMargin
 
   /** recomputed where the source is closed-form; the remaining video
     * queries (flow/thumb/shot-cut/h264 pipelines) read generated codec
