@@ -201,11 +201,99 @@ object ImageQueries {
     * cols lands on x0=3x+1 with weight 0), the integer-exact mean
     * threshold (64v >= sum), and pairwise Hamming <= 3 (the 4x16
     * banding is COMPLETE at that radius by pigeonhole, so candidates =
-    * all qualifying pairs). The DCT-based queries stay pinned (pHash's
-    * double-precision DCT/median chain isn't SQL-replayable at
-    * exact-equality).
+    * all qualifying pairs). The DCT queries joined in round 13
+    * ([[phashChain]]): the whole pHash chain is replayed the same way —
+    * the 16x24 -> 32x32 bilinear upsample's weights are exact eighths/
+    * quarters so the resample is INTEGER arithmetic ((v32+16)//32), and
+    * the DCT-II cosine sums are safe at double precision because the
+    * textured fixture separates every AC coefficient from the median by
+    * >= 0.0497 (measured over all 80 images) while cross-engine FP
+    * disagreement (StrictMath.cos + fixed summation order vs libm cos +
+    * DuckDB's aggregation order) is bounded near 1e-8 — six orders of
+    * headroom. Cluster labels replay through the same recursive
+    * min-propagation CTE as the text dedup_clusters oracle.
     */
+  /** the shared pHash replay (texture pixels -> photometric variant ->
+    * grayscale -> exact-integer 32x32 bilinear -> DCT-II -> median
+    * threshold -> 63-bit pairwise Hamming), ending at the `ham` relation
+    * of all (a, b, hamming) pairs with a < b. MATERIALIZED hints keep
+    * DuckDB from inlining the pixel CTE into the 4-way resample join
+    * (the inlined plan re-derives 368k pixels per corner and explodes).
+    * The always-0 DC bit is excluded from both sides: it can never
+    * differ, so Hamming counts are unchanged.
+    */
+  private val phashChain: String =
+    """px AS MATERIALIZED (
+      |  SELECT a.range AS sid, b.range AS bidx, v.range AS var, c.range AS p,
+      |    CASE WHEN v.range = 1
+      |      THEN LEAST(255, CAST(FLOOR(((((a.range*1000003 + b.range*40503 + c.range) * 2654435761) % 4294967296) // 16777216) * 0.92 + 0.5) AS BIGINT) + 5)
+      |      ELSE (((a.range*1000003 + b.range*40503 + c.range) * 2654435761) % 4294967296) // 16777216
+      |    END AS val
+      |  FROM range(0,2) a, range(0,20) b, range(0,2) v, range(0,1152) c),
+      |g AS MATERIALIZED (
+      |  SELECT sid, bidx, var, (p//3)//24 AS y, (p//3)%24 AS x, SUM(val)//3 AS gv
+      |  FROM px GROUP BY 1,2,3,4,5),
+      |coords AS MATERIALIZED ( -- 32x32 target -> 16x24 source: wy quarters, wx eighths
+      |  SELECT ty.range AS y, tx.range AS x,
+      |    GREATEST(0, 2*ty.range - 1) // 4 AS y0,
+      |    LEAST(15, GREATEST(0, 2*ty.range - 1) // 4 + 1) AS y1,
+      |    GREATEST(0, 2*ty.range - 1) % 4 AS wy,
+      |    GREATEST(0, 6*tx.range - 1) // 8 AS x0,
+      |    LEAST(23, GREATEST(0, 6*tx.range - 1) // 8 + 1) AS x1,
+      |    GREATEST(0, 6*tx.range - 1) % 8 AS wx
+      |  FROM range(0,32) ty, range(0,32) tx),
+      |rs AS MATERIALIZED ( -- exact-integer bilinear: v = v32/32, round = (v32+16)//32
+      |  SELECT p00.sid, p00.bidx, p00.var, c.y, c.x,
+      |    ((p00.gv*(8-c.wx) + p01.gv*c.wx)*(4-c.wy)
+      |     + (p10.gv*(8-c.wx) + p11.gv*c.wx)*c.wy + 16) // 32 AS gv
+      |  FROM coords c
+      |  JOIN g p00 ON p00.y = c.y0 AND p00.x = c.x0
+      |  JOIN g p01 ON p01.sid=p00.sid AND p01.bidx=p00.bidx AND p01.var=p00.var AND p01.y = c.y0 AND p01.x = c.x1
+      |  JOIN g p10 ON p10.sid=p00.sid AND p10.bidx=p00.bidx AND p10.var=p00.var AND p10.y = c.y1 AND p10.x = c.x0
+      |  JOIN g p11 ON p11.sid=p00.sid AND p11.bidx=p00.bidx AND p11.var=p00.var AND p11.y = c.y1 AND p11.x = c.x1),
+      |dct AS MATERIALIZED (
+      |  SELECT r.sid, r.bidx, r.var, f.v, f.u,
+      |    SUM(r.gv * COS(PI()*(2*r.x+1)*f.u/64.0) * COS(PI()*(2*r.y+1)*f.v/64.0)) AS coef
+      |  FROM rs r, (SELECT fv.range AS v, fu.range AS u FROM range(0,8) fv, range(0,8) fu) f
+      |  GROUP BY 1,2,3,4,5),
+      |med AS MATERIALIZED ( -- exact element median of the 63 ACs (odd count)
+      |  SELECT sid, bidx, var, MEDIAN(coef) AS med
+      |  FROM dct WHERE NOT (v = 0 AND u = 0) GROUP BY 1,2,3),
+      |bit AS MATERIALIZED (
+      |  SELECT d.sid*1000 + d.bidx + CASE WHEN d.var = 1 THEN 100 ELSE 0 END AS img,
+      |    d.v*8 + d.u AS cell, CASE WHEN d.coef > m.med THEN 1 ELSE 0 END AS bit
+      |  FROM dct d JOIN med m ON m.sid=d.sid AND m.bidx=d.bidx AND m.var=d.var
+      |  WHERE NOT (d.v = 0 AND d.u = 0)),
+      |ham AS (
+      |  SELECT x.img AS a, y.img AS b,
+      |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM bit x JOIN bit y ON x.cell = y.cell AND x.img < y.img
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // DCT pHash near-dup pairs: the full chain replayed, 8x8-bit banding
+    // complete for Hamming <= 7 so candidates = all qualifying pairs
+    "img_phash_pairs" ->
+      s"""WITH $phashChain
+         |SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= 7 ORDER BY 1, 2""".stripMargin,
+    // pHash pairs -> connected components (recursive min-propagation,
+    // the dedup_clusters oracle pattern) -> sizes + min-id keeper
+    "img_dedup_clusters" ->
+      s"""WITH RECURSIVE $phashChain,
+         |prs AS (SELECT a, b FROM ham WHERE hamming <= 7),
+         |edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |nodes AS (SELECT DISTINCT img AS id FROM bit),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, COUNT(*) AS cluster_size, MIN(id) AS keeper_id
+         |  FROM lab GROUP BY cluster)
+         |SELECT lab.id, lab.cluster, sz.cluster_size,
+         |  lab.id = sz.keeper_id AS keeper
+         |FROM lab JOIN sz USING (cluster) ORDER BY id""".stripMargin,
     "img_ahash_pairs" ->
       """WITH imgs AS (
         |  SELECT a.range AS sid, b.range AS bidx, v.range = 1 AS var,
