@@ -475,7 +475,11 @@ object VideoQueries {
     // 13 the SAME invariant also runs at the High tier (transform8x8):
     // the 'high' rows compare a CABAC+8x8 store against a CAVLC+8x8
     // store, covering the ctxBlockCat-5 residual contexts and the
-    // CABAC-coded transform_size_8x8_flag end-to-end.
+    // CABAC-coded transform_size_8x8_flag end-to-end. The 'multiref'
+    // rows do the same for multi-reference P prediction (2-deep DPB,
+    // per-MB ref_idx_l0): reference selection is part of the shared
+    // analysis, so te(v)-coded CAVLC and ctxIdxOffset-54 unary CABAC
+    // streams must reconstruct identical pixels through the store.
     "video_h264_cabac_roundtrip" -> ((s, _) => {
       val root = sys.props("java.io.tmpdir") + "/graft-videoq"
       import s.implicits._
@@ -508,6 +512,10 @@ object VideoQueries {
           "cabachivid", graft.sources.H264GopCodec.High, // CABAC + 8x8
           "cavlchivid", new graft.sources.H264GopCodec(qp = 12,
             transform8x8 = true))) // CAVLC + 8x8
+        .unionAll(diffRelation("multiref",
+          "cabacmrvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            multiRef = true), // CABAC + ref_idx
+          "cavlcmrvid", graft.sources.H264GopCodec.MultiRef)) // CAVLC + ref_idx
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -749,13 +757,14 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at BOTH tiers: every frame fully
+    // the cross-entropy invariant at ALL THREE tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
-    // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts)
+    // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
+    // 'multiref' = 2-deep DPB + per-MB ref_idx_l0)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['default', 'high']) AS tier) t,
+        |FROM (SELECT UNNEST(['default', 'high', 'multiref']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

@@ -80,7 +80,8 @@ object H264 {
       spsId: Int, profileIdc: Int, levelIdc: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       deltaPicOrderAlwaysZero: Boolean, frameMbsOnly: Boolean,
-      width: Int, height: Int)
+      width: Int, height: Int,
+      maxNumRefFrames: Int = 1) // DPB size the pixel decoder must hold
 
   final case class Pps(
       ppsId: Int, spsId: Int, entropyCodingMode: Boolean,
@@ -188,7 +189,7 @@ object H264 {
       case 2 => ()
       case other => sys.error(s"illegal pic_order_cnt_type $other")
     }
-    r.ue // max_num_ref_frames
+    val maxNumRefFrames = r.ue
     r.u1 // gaps_in_frame_num_value_allowed_flag
     val widthMbs = r.ue + 1
     val heightMapUnits = r.ue + 1
@@ -208,7 +209,7 @@ object H264 {
     val height = heightMapUnits * 16 * (if (frameMbsOnly) 1 else 2) -
       cropUnitY * (ct + cb)
     Sps(spsId, profileIdc, levelIdc, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      deltaZero, frameMbsOnly, width, height)
+      deltaZero, frameMbsOnly, width, height, maxNumRefFrames)
   }
 
   /** parse a pic_parameter_set RBSP; spec §7.3.2.2 / `util/h264.h:253` */

@@ -107,7 +107,8 @@ object H264Codec {
   /** codec SPS: Baseline, poc type 2 (no slice-header POC fields), frame
     * MBs only, cropping for non-multiple-of-16 dims
     */
-  private def codecSps(w: Int, h: Int, high: Boolean = false): Array[Byte] = {
+  private def codecSps(w: Int, h: Int, high: Boolean = false,
+      maxRefFrames: Int = 1): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.u(8, if (high) 100 else 66) // profile_idc High (8x8 transform) / Baseline
     bw.u(8, 0)  // constraint flags
@@ -121,7 +122,7 @@ object H264Codec {
     }
     bw.ue(8)    // log2_max_frame_num_minus4 -> 12 bits of frame_num
     bw.ue(2)    // pic_order_cnt_type 2 (POC from decode order)
-    bw.ue(1)    // max_num_ref_frames
+    bw.ue(maxRefFrames) // max_num_ref_frames (DPB size)
     bw.u1(0)    // gaps_in_frame_num_value_allowed_flag
     val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
     bw.ue(mbW - 1)
@@ -137,14 +138,14 @@ object H264Codec {
 
   /** codec PPS: CAVLC or CABAC, deblocking control present */
   private def codecPps(cabac: Boolean = false,
-      transform8x8: Boolean = false): Array[Byte] = {
+      transform8x8: Boolean = false, numRefL0: Int = 1): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.ue(0)   // pps_id
     bw.ue(0)   // sps_id
     bw.u1(if (cabac) 1 else 0) // entropy_coding_mode_flag
     bw.u1(0)   // pic_order_present_flag
     bw.ue(0)   // num_slice_groups_minus1
-    bw.ue(0); bw.ue(0) // num_ref_idx_l{0,1}_active_minus1
+    bw.ue(numRefL0 - 1); bw.ue(0) // num_ref_idx_l{0,1}_active_minus1
     bw.u1(0)   // weighted_pred_flag
     bw.u(2, 0) // weighted_bipred_idc
     bw.se(0)   // pic_init_qp_minus26
@@ -200,6 +201,10 @@ object H264Codec {
     val mvX = new Array[Int](mbW * mbH)
     val mvY = new Array[Int](mbW * mbH)
     val inter = new Array[Boolean](mbW * mbH)
+    // per-MB L0 reference index (-1 = intra/uncoded) — §8.4.1.3's
+    // same-reference MV-predictor rule, the ref_idx entropy contexts,
+    // and §8.7.2.1's different-reference boundary strength all read it
+    val refIdxMb: Array[Int] = Array.fill(mbW * mbH)(-1)
     // per-MB qp + I_PCM flag, for deblocking-filter strength/thresholds
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
@@ -1277,22 +1282,30 @@ object H264Codec {
     * A=left, B=above, C=above-right (D=above-left when C is outside).
     * Returns (pred, A, B) — A and B feed the P_Skip zero conditions.
     */
-  private def predictMv(st: PicState, mbX: Int, mbY: Int): (Int, Int, Option[(Int, Int, Boolean)], Option[(Int, Int, Boolean)]) = {
-    def nb(x: Int, y: Int): Option[(Int, Int, Boolean)] =
+  /** §8.4.1.3 luma MV predictor for a 16x16 partition with reference
+    * index `refIdx`. Neighbor tuples carry (mvx, mvy, refIdxN) with
+    * refIdxN = -1 for intra/uncoded; the exactly-one shortcut fires only
+    * for a neighbor whose refIdxL0 EQUALS the current refIdx
+    * (§8.4.1.3.1), while the median fallback uses every inter neighbor's
+    * actual MV regardless of its reference (§8.4.1.3.2 zeroes only
+    * unavailable/intra neighbors).
+    */
+  private def predictMv(st: PicState, mbX: Int, mbY: Int,
+      refIdx: Int = 0): (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) = {
+    def nb(x: Int, y: Int): Option[(Int, Int, Int)] =
       if (!st.mbAvail(x, y)) None // out of picture OR another slice (§7.4.4)
-      else { val i = y * st.mbW + x; Some((st.mvX(i), st.mvY(i), st.inter(i))) }
+      else { val i = y * st.mbW + x; Some((st.mvX(i), st.mvY(i), st.refIdxMb(i))) }
     val a = nb(mbX - 1, mbY)
     val b = nb(mbX, mbY - 1)
     val cRaw = nb(mbX + 1, mbY - 1)
     val c = if (cRaw.isDefined) cRaw else nb(mbX - 1, mbY - 1) // D substitutes C
-    // exactly-one-inter rule (single reference picture, refIdx always 0)
-    val inters = Seq(a, b, c).flatten.filter(_._3)
+    // exactly-one-same-reference rule (refIdxN == refIdx; intra = -1)
+    val sameRef = Seq(a, b, c).flatten.filter(_._3 == refIdx)
     val pred =
       if (b.isEmpty && c.isEmpty && a.isDefined) (a.get._1, a.get._2)
-      else if (inters.size == 1 && Seq(a, b, c).count(_.isDefined) >= 1 &&
-        Seq(a, b, c).flatten.count(_._3) == 1) (inters.head._1, inters.head._2)
+      else if (sameRef.size == 1) (sameRef.head._1, sameRef.head._2)
       else {
-        def mv(n: Option[(Int, Int, Boolean)]) = n.filter(_._3).map(v => (v._1, v._2)).getOrElse((0, 0))
+        def mv(n: Option[(Int, Int, Int)]) = n.filter(_._3 >= 0).map(v => (v._1, v._2)).getOrElse((0, 0))
         val (ax, ay) = mv(a); val (bx, by) = mv(b); val (cx, cy) = mv(c)
         def med(p: Int, q: Int, r: Int) = math.max(math.min(p, q), math.min(math.max(p, q), r))
         (med(ax, bx, cx), med(ay, by, cy))
@@ -1300,15 +1313,16 @@ object H264Codec {
     (pred._1, pred._2, a, b)
   }
 
-  /** P_Skip motion vector (§8.4.1.1): the median predictor, forced to
-    * zero when a boundary/zero-neighbour condition holds
+  /** P_Skip motion vector (§8.4.1.1): the refIdx-0 median predictor,
+    * forced to zero when a boundary/zero-neighbour condition holds
+    * (P_Skip always references picture 0 of list 0)
     */
   private def skipMv(st: PicState, mbX: Int, mbY: Int): (Int, Int) = {
-    val (px, py, a, b) = predictMv(st, mbX, mbY)
+    val (px, py, a, b) = predictMv(st, mbX, mbY, refIdx = 0)
     val zero =
       a.isEmpty || b.isEmpty ||
-        (a.exists(n => n._3 && n._1 == 0 && n._2 == 0)) ||
-        (b.exists(n => n._3 && n._1 == 0 && n._2 == 0))
+        (a.exists(n => n._3 == 0 && n._1 == 0 && n._2 == 0)) ||
+        (b.exists(n => n._3 == 0 && n._1 == 0 && n._2 == 0))
     if (zero) (0, 0) else (px, py)
   }
 
@@ -1326,9 +1340,12 @@ object H264Codec {
     def cbpChroma: Int = cbp >> 4
   }
 
-  /** shared P-MB reconstruction: MC prediction + dequantised residual */
+  /** shared P-MB reconstruction: MC prediction + dequantised residual.
+    * `ref` is the picture list-0 entry `refIdx` selects (the caller
+    * indexes its DPB); `refIdx` is recorded for MV prediction, entropy
+    * contexts, and deblocking. */
   private def reconstructPMb(st: PicState, ref: PicState, mbX: Int, mbY: Int,
-      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs): Unit = {
+      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs, refIdx: Int = 0): Unit = {
     st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp)
     val predL = new Array[Int](256)
@@ -1410,6 +1427,7 @@ object H264Codec {
       if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig)
     val mi = mbY * st.mbW + mbX
     st.mvX(mi) = mvx; st.mvY(mi) = mvy; st.inter(mi) = true
+    st.refIdxMb(mi) = refIdx
   }
 
   // ------------------------------------------------------------- encode
@@ -1850,7 +1868,7 @@ object H264Codec {
     */
   private def analysePMb(st: PicState, ref: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      range: Int, halfPel: Boolean, quarterPel: Boolean): (Int, Int, PMbCoeffs) = {
+      range: Int, halfPel: Boolean, quarterPel: Boolean): (Int, Int, PMbCoeffs, Long) = {
     val x0 = mbX * 16; val y0 = mbY * 16
     def sad(dx: Int, dy: Int): Long = {
       var s = 0L
@@ -2039,16 +2057,48 @@ object H264Codec {
     chroma(srcCr, ref.reconCr, mc.crDcZig, mc.crAcZig)
     val cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
     mc.cbp = lumaBits | (cbpChroma << 4)
-    (mvx, mvy, if (mc.cbp == 0) null else mc)
+    (mvx, mvy, if (mc.cbp == 0) null else mc, best)
+  }
+
+  /** per-MB reference selection over the L0 list: full motion analysis
+    * against each candidate reference, lowest luma SAD wins with a small
+    * fixed penalty per ref_idx step (the ~1-2 extra header bits), ties
+    * to the lower index so single-reference content still produces
+    * all-refIdx-0 (and therefore skip-eligible) streams. Entropy-layer
+    * independent, so CAVLC and CABAC multiRef stores stay pixel-equal.
+    */
+  private def choosePMb(st: PicState, refs: IndexedSeq[PicState],
+      mbX: Int, mbY: Int, qp: Int, srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], range: Int, halfPel: Boolean,
+      quarterPel: Boolean): (Int, Int, Int, PMbCoeffs) = {
+    var bestRef = 0
+    var bestRes: (Int, Int, PMbCoeffs, Long) = null
+    var r = 0
+    while (r < refs.length) {
+      val cand = analysePMb(st, refs(r), mbX, mbY, qp, srcY, srcCb, srcCr,
+        range, halfPel, quarterPel)
+      if (bestRes == null || cand._4 + 16L * r < bestRes._4 + 16L * bestRef) {
+        bestRes = cand; bestRef = r
+      }
+      r += 1
+    }
+    (bestRef, bestRes._1, bestRes._2, bestRes._3)
   }
 
   /** write one coded P MB (P_L0_16x16) + CAVLC residuals, with nC and MV
     * bookkeeping shared with the parser
     */
   private def writePMb(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
-      mvx: Int, mvy: Int, mc: PMbCoeffs): Unit = {
+      mvx: Int, mvy: Int, mc: PMbCoeffs, numRefActive: Int = 1,
+      refIdx: Int = 0): Unit = {
     bw.ue(0) // mb_type: P_L0_16x16
-    val (px, py, _, _) = predictMv(st, mbX, mbY)
+    // ref_idx_l0, te(v) with cMax = numRefActive - 1 (§9.1.1: a single
+    // INVERTED bit at cMax 1, plain ue above)
+    if (numRefActive > 1) {
+      if (numRefActive == 2) bw.u1(1 - refIdx)
+      else bw.ue(refIdx)
+    }
+    val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
     bw.se(mvx - px)
     bw.se(mvy - py)
     val cbp = if (mc == null) 0 else mc.cbp
@@ -2149,7 +2199,11 @@ object H264Codec {
     val Sig8 = 255      // + bucket 0..14 (63 coded positions)
     val Last8 = 270     // + bucket 0..8
     val AbsLevel8 = 279 // + inc 0..9 (same §9.3.3.1.3 derivation as cats 0-4)
-    val N = 289
+    // ref_idx_l0 (Table 9-39 ctxIdxOffset 54 block): unary bins — bin 0
+    // ctx by §9.3.3.1.1.6 neighbor derivation (inc 0..3), bin 1 at +4,
+    // bins >= 2 at +5
+    val RefIdx = 289    // + inc 0..5
+    val N = 295
     // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
     // 3 ChromaDC(4) 4 ChromaAC(15); 5 Luma8x8(64) handled out-of-band
     val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
@@ -2235,6 +2289,15 @@ object H264Codec {
           if (bin == 0) (if (cc != 0) 1 else 0) else (if (cc == 2) 1 else 0)
         }
       cond(ia) + 2 * cond(ib)
+    }
+    /** ref_idx_l0 bin-0 inc (§9.3.3.1.1.6): condTermFlagN = 1 iff the
+      * neighbor is available, inter, and its refIdxL0 > 0 (skip MBs
+      * carry refIdx 0, intra/uncoded -1 — both condTerm 0)
+      */
+    def incRefIdx(mbX: Int, mbY: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && st.refIdxMb(ia) > 0) 1 else 0) +
+        (if (ib >= 0 && st.refIdxMb(ib) > 0) 2 else 0)
     }
     def incMvd(mbX: Int, mbY: Int, yComp: Boolean): Int = {
       val ia = a(mbX, mbY); val ib = b(mbX, mbY)
@@ -2677,10 +2740,11 @@ object H264Codec {
   }
 
   /** the CABAC P-slice macroblock loop over [startMb, endMb) */
-  private def encodePRangeCabac(st: PicState, ref: PicState, bw: H264Writer.BitWriter,
+  private def encodePRangeCabac(st: PicState, refs: IndexedSeq[PicState],
+      bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int): Unit = {
+      startMb: Int, endMb: Int, numRefActive: Int = 1): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -2691,22 +2755,34 @@ object H264Codec {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
-      val (mvx, mvy, mc) =
-        analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel)
+      val (refIdx, mvx, mvy, mc) =
+        choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
+          srcCr, searchRange, halfPel, quarterPel)
       val (sx, sy) = skipMv(st, mbX, mbY)
-      if (mc == null && mvx == sx && mvy == sy) {
+      if (refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, null)
+        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null)
       } else {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
         // mb_type P_L0_16x16: '000'
         e.encodeBin(cx, CabacCtx.PMbType, 0)
         e.encodeBin(cx, CabacCtx.PMbType + 1, 0)
         e.encodeBin(cx, CabacCtx.PMbType + 2, 0)
-        val (px, py, _, _) = predictMv(st, mbX, mbY)
+        // ref_idx_l0: unary bins (value k = k ones then a zero), bin 0
+        // context by neighbor derivation, bin 1 at +4, bins >= 2 at +5
+        if (numRefActive > 1) {
+          var bin = 0
+          while (bin < refIdx) {
+            e.encodeBin(cx, CabacCtx.RefIdx + (if (bin == 0)
+              cms.incRefIdx(mbX, mbY) else if (bin == 1) 4 else 5), 1)
+            bin += 1
+          }
+          e.encodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
+            cms.incRefIdx(mbX, mbY) else if (refIdx == 1) 4 else 5), 0)
+        }
+        val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
         val mvdX = mvx - px; val mvdY = mvy - py
         cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false), mvdX)
         cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true), mvdY)
@@ -2733,7 +2809,7 @@ object H264Codec {
           cabacResidualP(st, cms, mbX, mbY, mc,
             (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
         } else clearNz(st, mbX, mbY)
-        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
       }
       mb += 1
       e.encodeTerminate(if (mb == endMb) 1 else 0)
@@ -2743,9 +2819,10 @@ object H264Codec {
   }
 
   /** CABAC slice-data decode (I and P), mirror of the two encode loops */
-  private def decodeSliceDataCabac(r: H264.BitReader, st: PicState, ref: PicState,
+  private def decodeSliceDataCabac(r: H264.BitReader, st: PicState,
+      refs: IndexedSeq[PicState],
       isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0,
-      t8pps: Boolean = false): Unit = {
+      t8pps: Boolean = false, numRefActive: Int = 1): Unit = {
     r.align() // cabac_alignment_one_bit
     val d = new H264Cabac.Decoder(r)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -2764,7 +2841,7 @@ object H264Codec {
         cms.skip(mi) = true
         val (sx, sy) = skipMv(st, mbX, mbY)
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, ref, mbX, mbY, qp, sx, sy, null)
+        reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null)
       } else if (isP) {
         require(d.decodeBin(cx, CabacCtx.PMbType) == 0,
           "intra-in-P mb_type unsupported (P_L0_16x16 subset)")
@@ -2772,10 +2849,22 @@ object H264Codec {
         val b2 = d.decodeBin(cx, CabacCtx.PMbType + 2)
         require(b1 == 0 && b2 == 0,
           s"P mb_type bins ($b1,$b2) unsupported (P_L0_16x16 subset)")
+        // ref_idx_l0: unary — read 1-bins until the 0 terminator
+        var refIdx = 0
+        if (numRefActive > 1) {
+          while (d.decodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
+              cms.incRefIdx(mbX, mbY) else if (refIdx == 1) 4 else 5)) == 1) {
+            refIdx += 1
+            require(refIdx < numRefActive,
+              s"ref_idx_l0 $refIdx >= num_ref_idx_l0_active $numRefActive")
+          }
+        }
+        require(refIdx < refs.length,
+          s"ref_idx_l0 $refIdx with only ${refs.length} reference(s) decoded")
         val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false))
         val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true))
         cms.mvdX(mi) = mvdX; cms.mvdY(mi) = mvdY
-        val (px, py, _, _) = predictMv(st, mbX, mbY)
+        val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
         val mvx = px + mvdX; val mvy = py + mvdY
         var cbpLuma = 0
         var b8 = 0
@@ -2802,7 +2891,7 @@ object H264Codec {
           m
         }
         if (mc == null) clearNz(st, mbX, mbY)
-        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
       } else if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
         // I_NxN: transform_size_8x8_flag (present only under a t8 PPS)
         // picks Intra_8x8 vs Intra_4x4
@@ -2939,10 +3028,12 @@ object H264Codec {
     */
   // ------------------------------------------------- deblocking (§8.7)
 
-  /** boundary strength for one luma 4-sample edge segment: 4/3 when a
-    * side is intra (MB edge / internal), 2 on coded coefficients in an
-    * adjacent 4x4 block, 1 on an MV jump >= one integer sample
-    * (quarter-pel units; single reference, so no ref comparison), else 0
+  /** boundary strength for one luma 4-sample edge segment (§8.7.2.1):
+    * 4/3 when a side is intra (MB edge / internal), 2 on coded
+    * coefficients in an adjacent 4x4 block, 1 on different reference
+    * pictures (distinct refIdx into the shared L0 list — every list
+    * entry is a distinct short-term picture here) or an MV jump >= one
+    * integer sample (quarter-pel units), else 0
     */
   private def boundaryStrength(st: PicState, mbEdge: Boolean,
       pMb: Int, qMb: Int, pBx: Int, pBy: Int, qBx: Int, qBy: Int): Int = {
@@ -2950,7 +3041,8 @@ object H264Codec {
     val qIntra = !st.inter(qMb)
     if (pIntra || qIntra) { if (mbEdge) 4 else 3 }
     else if (st.nzY(pBy * st.bw4 + pBx) > 0 || st.nzY(qBy * st.bw4 + qBx) > 0) 2
-    else if (math.abs(st.mvX(pMb) - st.mvX(qMb)) >= 4 ||
+    else if (st.refIdxMb(pMb) != st.refIdxMb(qMb) ||
+             math.abs(st.mvX(pMb) - st.mvX(qMb)) >= 4 ||
              math.abs(st.mvY(pMb) - st.mvY(qMb)) >= 4) 1
     else 0
   }
@@ -3087,16 +3179,22 @@ object H264Codec {
     * intra-frame parallel decode)
     */
   private def encodeFrame(yuv: Yuv, frameIdx: Int, qp: Int, pcm: Boolean,
-      ref: PicState, searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
+      refs: IndexedSeq[PicState], searchRange: Int, halfPel: Boolean,
+      quarterPel: Boolean,
       deblock: Boolean, slices: Int, cabac: Boolean = false,
-      transform8x8: Boolean = false): (Seq[Array[Byte]], PicState) = {
+      transform8x8: Boolean = false,
+      numRefL0: Int = 1): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
     val srcCb = pad(yuv.cb, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val srcCr = pad(yuv.cr, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val idr = frameIdx == 0
-    val pSlice = ref != null && !idr
+    val pSlice = refs.nonEmpty && !idr
+    // a slice must not declare more active references than the DPB holds
+    // (the first P frame after an IDR has one): override the PPS default
+    // down when short
+    val numRefActive = if (pSlice) math.min(numRefL0, refs.size) else 0
     val nSlices = math.max(1, math.min(slices, mbH))
     val nals = Seq.newBuilder[Array[Byte]]
     var s = 0
@@ -3112,7 +3210,10 @@ object H264Codec {
       if (idr) bw.ue(0)        // idr_pic_id
       // poc type 2: no POC fields
       if (pSlice) {
-        bw.u1(0)               // num_ref_idx_active_override_flag
+        if (numRefActive != numRefL0) {
+          bw.u1(1)             // num_ref_idx_active_override_flag
+          bw.ue(numRefActive - 1)
+        } else bw.u1(0)
         bw.u1(0)               // ref_pic_list_modification_flag_l0
       }
       if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
@@ -3127,14 +3228,14 @@ object H264Codec {
         bw.ue(1)               // disable_deblocking_filter_idc: off
       if (cabac) {
         if (pSlice)
-          encodePRangeCabac(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
-            halfPel, quarterPel, startMb, endMb)
+          encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
+            halfPel, quarterPel, startMb, endMb, numRefActive)
         else
           encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb,
             t8 = transform8x8)
       } else if (pSlice)
-        encodePRange(st, ref, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb)
+        encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
+          halfPel, quarterPel, startMb, endMb, numRefActive)
       else
         encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb,
           transform8x8)
@@ -3151,29 +3252,32 @@ object H264Codec {
     (nals.result(), st)
   }
 
-  /** the P-slice macroblock loop over [startMb, endMb) */
-  private def encodePRange(st: PicState, ref: PicState, bw: H264Writer.BitWriter,
+  /** the P-slice macroblock loop over [startMb, endMb); `refs` is the
+    * L0 list (most recent first), `numRefActive` the slice header's
+    * num_ref_idx_l0_active (ref_idx is coded per MB only above 1) */
+  private def encodePRange(st: PicState, refs: IndexedSeq[PicState],
+      bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int): Unit = {
+      startMb: Int, endMb: Int, numRefActive: Int = 1): Unit = {
     val mbW = st.mbW
     var skipRun = 0
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
-      val (mvx, mvy, mc) =
-        analysePMb(st, ref, mbX, mbY, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel)
+      val (refIdx, mvx, mvy, mc) =
+        choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
+          srcCr, searchRange, halfPel, quarterPel)
       val (sx, sy) = skipMv(st, mbX, mbY)
-      if (mc == null && mvx == sx && mvy == sy) {
+      if (refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         skipRun += 1
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, null)
+        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null)
       } else {
         bw.ue(skipRun); skipRun = 0
-        writePMb(bw, st, mbX, mbY, mvx, mvy, mc)
-        reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+        writePMb(bw, st, mbX, mbY, mvx, mvy, mc, numRefActive, refIdx)
+        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
       }
       mb += 1
     }
@@ -3285,7 +3389,8 @@ object H264Codec {
       allIntra: Boolean = false, searchRange: Int = 4,
       halfPel: Boolean = true, quarterPel: Boolean = true,
       deblock: Boolean = true, slicesPerFrame: Int = 1,
-      cabac: Boolean = false, transform8x8: Boolean = false): Array[Byte] = {
+      cabac: Boolean = false, transform8x8: Boolean = false,
+      multiRef: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -3294,10 +3399,16 @@ object H264Codec {
     require(slicesPerFrame >= 1, s"slicesPerFrame $slicesPerFrame must be >= 1")
     require(!(pcm && cabac), "I_PCM tier is CAVLC-only (pcm + cabac unsupported)")
     require(!(transform8x8 && pcm), "I_PCM tier never uses the 8x8 transform")
+    require(!(multiRef && (pcm || allIntra)),
+      "multiRef needs P slices (pcm/allIntra tiers have none)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
+    // a 2-deep DPB with num_ref_idx_l0_active 2: per-MB ref_idx selects
+    // the previous or the previous-but-one reconstructed picture
+    val numRefL0 = if (multiRef) 2 else 1
     val out = new java.io.ByteArrayOutputStream()
-    out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h, high = transform8x8)))
-    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8)))
+    out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h,
+      high = transform8x8, maxRefFrames = numRefL0)))
+    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0)))
     // the cabac-init-fp token is MACHINE-CHECKABLE: decode() extracts it
     // and refuses a stream whose init-table fingerprint differs from the
     // decoding JVM's (ADVICE r12 — a table/JVM mismatch used to surface
@@ -3313,15 +3424,17 @@ object H264Codec {
           "; self-decode only"
       else
         "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only")))
-    var ref: PicState = null
+    val refs = ArrayBuffer.empty[PicState] // DPB, most recent first
     frames.zipWithIndex.foreach { case (f, i) =>
       // the PCM tier stays filter-free: deblocking raw macroblocks would
       // break the bit-exact lossless guarantee that tier exists for
       val (nals, state) = encodeFrame(f, i, qp, pcm,
-        if (pcm || allIntra) null else ref, searchRange, halfPel, quarterPel,
-        deblock && !pcm, slicesPerFrame, cabac, transform8x8)
+        if (pcm || allIntra) IndexedSeq.empty else refs.toIndexedSeq,
+        searchRange, halfPel, quarterPel,
+        deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0)
       nals.foreach(out.write)
-      ref = state
+      refs.prepend(state)
+      while (refs.size > numRefL0) refs.remove(refs.size - 1)
     }
     out.toByteArray
   }
@@ -3329,7 +3442,7 @@ object H264Codec {
   // ------------------------------------------------------------- decode
 
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
-      cabac: Boolean, transform8x8: Boolean = false)
+      cabac: Boolean, transform8x8: Boolean = false, numRefL0: Int = 1)
 
   /** per-slice deblocking request (§7.3.3): off, or on with α/β offsets
     * and whether filtering crosses slice boundaries (idc 0 vs 2)
@@ -3345,7 +3458,8 @@ object H264Codec {
     val cabac = r.u1 == 1 // entropy_coding_mode_flag
     r.u1       // pic_order_present
     require(r.ue == 0, "FMO not supported")
-    r.ue; r.ue // num_ref_idx defaults
+    val numRefL0 = r.ue + 1 // num_ref_idx_l0_active default
+    r.ue // num_ref_idx_l1 default (B slices refused downstream)
     r.u1; r.u(2)
     val picInitQp = 26 + r.se
     r.se // pic_init_qs
@@ -3363,7 +3477,7 @@ object H264Codec {
         require(r.se == 0, "second_chroma_qp_index_offset != 0 unsupported")
         t
       }
-    CodecPps(picInitQp, deblk, cabac, t8)
+    CodecPps(picInitQp, deblk, cabac, t8, numRefL0)
   }
 
   /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
@@ -3419,7 +3533,8 @@ object H264Codec {
     * arbitrates at picture completion)
     */
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
-      nalType: Int, refIdc: Int, st: PicState, ref: PicState): DeblockReq = {
+      nalType: Int, refIdc: Int, st: PicState,
+      refs: IndexedSeq[PicState]): DeblockReq = {
     val r = new H264.BitReader(rbsp)
     val firstMb = r.ue // slices start anywhere; caller sequences them into one picture
     require(firstMb < st.mbW * st.mbH, s"first_mb_in_slice $firstMb outside the picture")
@@ -3436,9 +3551,14 @@ object H264Codec {
       case 2 => ()
       case other => sys.error(s"poc type $other unsupported")
     }
+    // num_ref_idx_l0_active: the PPS default unless the slice overrides
+    var numRefActive = pps.numRefL0
     if (isP) {
-      if (r.u1 == 1) r.ue // num_ref_idx_active_override -> l0_active_minus1
+      if (r.u1 == 1) numRefActive = r.ue + 1 // override -> l0_active_minus1
       require(r.u1 == 0, "ref_pic_list_modification not supported")
+      require(numRefActive <= refs.length,
+        s"num_ref_idx_l0_active $numRefActive exceeds the ${refs.length} " +
+          "decoded reference(s) (default L0 order; no list modification)")
     }
     if (refIdc != 0) {
       if (idr) { r.u1; r.u1 }
@@ -3470,14 +3590,14 @@ object H264Codec {
       }
     val mbW = st.mbW; val mbH = st.mbH
     if (pps.cabac) {
-      if (isP) require(ref != null,
+      if (isP) require(refs.nonEmpty,
         "P slice with no reference picture (stream must open with an IDR)")
-      decodeSliceDataCabac(r, st, ref, isP, qp, firstMb, cabacInitIdc,
-        t8pps = pps.transform8x8)
+      decodeSliceDataCabac(r, st, refs, isP, qp, firstMb, cabacInitIdc,
+        t8pps = pps.transform8x8, numRefActive = numRefActive)
       return deblockReq
     }
     if (isP) {
-      require(ref != null, "P slice with no reference picture (stream must open with an IDR)")
+      require(refs.nonEmpty, "P slice with no reference picture (stream must open with an IDR)")
       var mb = firstMb
       // slice end = rbsp exhaustion (more_rbsp_data), picture end = MB count
       while (mb < mbW * mbH && r.moreRbspData) {
@@ -3488,7 +3608,7 @@ object H264Codec {
           st.sliceOfMb(mb) = st.curSlice
           val (sx, sy) = skipMv(st, mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructPMb(st, ref, mbX, mbY, qp, sx, sy, null)
+          reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null)
           mb += 1
           skipRun -= 1
         }
@@ -3498,8 +3618,16 @@ object H264Codec {
           val mbType = r.ue
           require(mbType == 0,
             s"P mb_type $mbType unsupported (P_L0_16x16 subset; intra-in-P not emitted)")
+          // ref_idx_l0, te(v): one inverted bit when the range is [0,1],
+          // plain ue above (§9.1.1)
+          val refIdx =
+            if (numRefActive <= 1) 0
+            else if (numRefActive == 2) 1 - r.u1
+            else r.ue
+          require(refIdx < numRefActive,
+            s"ref_idx_l0 $refIdx >= num_ref_idx_l0_active $numRefActive")
           val mvdX = r.se; val mvdY = r.se
-          val (px, py, _, _) = predictMv(st, mbX, mbY)
+          val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
           val mvx = px + mvdX; val mvy = py + mvdY
           val cbpCode = r.ue
           require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
@@ -3512,7 +3640,7 @@ object H264Codec {
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
-          reconstructPMb(st, ref, mbX, mbY, qp, mvx, mvy, mc)
+          reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
           mb += 1
         }
       }
@@ -3675,8 +3803,13 @@ object H264Codec {
   def decode(stream: Array[Byte], maxFrames: Int = Int.MaxValue): Vector[Yuv] = {
     var sps: H264.Sps = null
     var pps: CodecPps = null
-    var ref: PicState = null // previous decoded picture (P reference)
+    // decoded-picture buffer, most recent first — §8.2.4.2.1's default
+    // P-slice L0 order (descending PicNum) for the monotonic-frame_num
+    // streams this subset accepts; sized by the SPS max_num_ref_frames
+    // (sliding-window marking; adaptive marking is refused in the header)
+    val refs = ArrayBuffer.empty[PicState]
     var cur: PicState = null // picture being assembled from its slices
+    var curIsRef = true      // nal_ref_idc != 0 -> joins the DPB
     // CABAC init-table fingerprint from the stream's graft SEI (None for
     // foreign streams, which carry no such marker)
     var streamInitFp: Option[Long] = None
@@ -3706,7 +3839,11 @@ object H264Codec {
               "(refuse-loudly subset)")
           deblockPicture(cur, aOff, bOff)
       }
-      ref = cur
+      if (curIsRef) {
+        refs.prepend(cur)
+        val cap = math.max(1, sps.maxNumRefFrames)
+        while (refs.size > cap) refs.remove(refs.size - 1)
+      }
       out += Yuv(sps.width, sps.height,
         crop(cur.reconY, cur.pw, sps.width, sps.height),
         crop(cur.reconCb, cur.cw, sps.width / 2, sps.height / 2),
@@ -3730,9 +3867,11 @@ object H264Codec {
             finishPicture()
             if (out.size >= maxFrames) stop = true
             else {
+              if (nal.nalType == 5) refs.clear() // IDR resets the DPB
               val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
               cur = new PicState(mbW, mbH)
               cur.curSlice = 0
+              curIsRef = nal.refIdc != 0
             }
           } else {
             require(cur != null,
@@ -3751,7 +3890,7 @@ object H264Codec {
                   "(cabac-init.tsv present/absent/different at encode vs decode)")
             }
             sliceDeblocks += decodeSlice(rbsp, sps, pps, nal.nalType, nal.refIdc, cur,
-              if (nal.nalType == 5) null else ref)
+              if (nal.nalType == 5) IndexedSeq.empty else refs.toIndexedSeq)
           }
         case 6 =>
           // graft's own user_data SEI: extract the machine-checkable

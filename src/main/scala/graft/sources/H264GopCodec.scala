@@ -25,7 +25,8 @@ import graft.model.{FrameElem, FrameType}
   * units exactly like the reference's sequential-from-keyframe decode.
   */
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
-    cabac: Boolean = false, transform8x8: Boolean = false) extends GopCodec {
+    cabac: Boolean = false, transform8x8: Boolean = false,
+    multiRef: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -47,7 +48,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     }
     val yuvs = frames.map(toYuv)
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
-      transform8x8 = transform8x8)
+      transform8x8 = transform8x8, multiRef = multiRef)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -152,4 +153,11 @@ object H264GopCodec {
     * `new H264GopCodec(qp, transform8x8 = true)`. */
   val High: H264GopCodec = new H264GopCodec(qp = 12, cabac = true,
     transform8x8 = true)
+  /** multi-reference P prediction (round 13): a 2-deep DPB with
+    * num_ref_idx_l0_active 2 — per-MB ref_idx_l0 selects the previous or
+    * the previous-but-one picture (te(v) in CAVLC, ctxIdxOffset-54 unary
+    * bins in CABAC), the pervasive Main/High-stream feature after CABAC
+    * itself. CABAC variant via
+    * `new H264GopCodec(qp, cabac = true, multiRef = true)`. */
+  val MultiRef: H264GopCodec = new H264GopCodec(qp = 12, multiRef = true)
 }

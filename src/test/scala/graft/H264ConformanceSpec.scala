@@ -137,4 +137,88 @@ class H264ConformanceSpec extends AnyFunSuite {
     assert(out.head.cb.forall(b => (b & 0xff) == 128))
     assert(out.head.cr.forall(b => (b & 0xff) == 128))
   }
+
+  test("hand-built multi-reference stream: ref_idx_l0 = 1 selects the picture TWO back") {
+    // SPS with a 2-deep DPB, PPS with num_ref_idx_l0_default_active 2
+    val sps = {
+      val bw = new W.BitWriter
+      bw.u(8, 66); bw.u(8, 0); bw.u(8, 10)
+      bw.ue(0)    // sps_id
+      bw.ue(0)    // log2_max_frame_num_minus4 -> 4 bits
+      bw.ue(2)    // pic_order_cnt_type
+      bw.ue(2)    // max_num_ref_frames: TWO short-term pictures
+      bw.u1(0)    // gaps_in_frame_num_value_allowed_flag
+      bw.ue(0); bw.ue(0) // 1x1 MBs (16x16 picture)
+      bw.u1(1); bw.u1(1) // frame_mbs_only, direct_8x8_inference
+      bw.u1(0); bw.u1(0) // no cropping, no VUI
+      bw.rbspTrailing()
+    }
+    val pps = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(0)
+      bw.u1(0)    // CAVLC
+      bw.u1(0)
+      bw.ue(0)    // one slice group
+      bw.ue(1)    // num_ref_idx_l0_default_active_minus1 = 1 (TWO refs)
+      bw.ue(0)    // l1 default
+      bw.u1(0); bw.u(2, 0)
+      bw.se(0); bw.se(0); bw.se(0)
+      bw.u1(1)    // deblocking control present
+      bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val lumaA = Array.tabulate(256)(i => ((7 * i + 13) % 256).toByte)
+    val lumaB = Array.tabulate(256)(i => ((11 * i + 40) % 256).toByte)
+    val cA = Array.fill(64)(90.toByte); val cB = Array.fill(64)(200.toByte)
+    def pcmPicture(idr: Boolean, frameNum: Int, luma: Array[Byte],
+        cb: Array[Byte], cr: Array[Byte]): Array[Byte] = {
+      val bw = new W.BitWriter
+      bw.ue(0)                   // first_mb_in_slice
+      bw.ue(7)                   // slice_type I
+      bw.ue(0)                   // pps_id
+      bw.u(4, frameNum)
+      if (idr) bw.ue(0)          // idr_pic_id
+      if (idr) { bw.u1(0); bw.u1(0) } // dec_ref_pic_marking (IDR)
+      else bw.u1(0)              // adaptive_ref_pic_marking_mode_flag
+      bw.se(0)                   // slice_qp_delta
+      bw.ue(1)                   // deblocking OFF
+      bw.ue(25); bw.alignZero()  // I_PCM
+      luma.foreach(b => bw.u(8, b & 0xff))
+      cb.foreach(b => bw.u(8, b & 0xff))
+      cr.foreach(b => bw.u(8, b & 0xff))
+      W.nal(if (idr) 3 else 2, if (idr) 5 else 1, bw.rbspTrailing())
+    }
+    // P picture, one P_L0_16x16 MB at mv (0,0), cbp 0, ref_idx_l0 = 1:
+    // with the DPB holding [picture1(B), picture0(A)], a correct decoder
+    // outputs A; a decoder that ignores ref_idx outputs B
+    val pPicture = {
+      val bw = new W.BitWriter
+      bw.ue(0)                   // first_mb_in_slice
+      bw.ue(5)                   // slice_type P
+      bw.ue(0)                   // pps_id
+      bw.u(4, 2)                 // frame_num
+      bw.u1(0)                   // num_ref_idx_active_override_flag (PPS: 2)
+      bw.u1(0)                   // ref_pic_list_modification_flag_l0
+      bw.u1(0)                   // adaptive_ref_pic_marking_mode_flag
+      bw.se(0)                   // slice_qp_delta
+      bw.ue(1)                   // deblocking OFF
+      bw.ue(0)                   // mb_skip_run 0
+      bw.ue(0)                   // mb_type P_L0_16x16
+      bw.u1(0)                   // ref_idx_l0 te(v), cMax 1: inverted bit -> 1
+      bw.se(0); bw.se(0)         // mvd (0,0)
+      bw.ue(0)                   // coded_block_pattern: inter code 0 -> cbp 0
+      W.nal(2, 1, bw.rbspTrailing())
+    }
+    val stream = W.nal(3, 7, sps) ++ W.nal(3, 8, pps) ++
+      pcmPicture(idr = true, 0, lumaA, cA, cA) ++
+      pcmPicture(idr = false, 1, lumaB, cB, cB) ++
+      pPicture
+    assert(md5hex(stream) == "43ded74b515ced5c0258988ab319a981") // golden
+    val out = H264Codec.decode(stream)
+    assert(out.size == 3)
+    assert(out(0).y.toSeq == lumaA.toSeq && out(1).y.toSeq == lumaB.toSeq)
+    assert(out(2).y.toSeq == lumaA.toSeq,
+      "ref_idx_l0=1 must predict from the picture two back (pattern A)")
+    assert(out(2).cb.toSeq == cA.toSeq && out(2).cr.toSeq == cA.toSeq)
+  }
 }
