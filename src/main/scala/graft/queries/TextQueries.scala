@@ -705,10 +705,10 @@ object TextQueries {
     }),
 
     // BPE merge induction — tokenizer training (the iterative
-    // most-frequent-pair loop). No SQL oracle can replay it (each round
-    // re-aggregates over the previous round's merge result, which a
-    // recursive CTE cannot express), so its oracle is a VALUES pin
-    // generated at the GATE's scale factor — see [[PinnedOracles]].
+    // most-frequent-pair loop). REAL DuckDB recomputation since round
+    // 13: DuckDB's recursive CTEs (unlike Postgres's) permit an
+    // aggregate subquery over the working table, so the per-round
+    // pair-count argmax replays directly — see [[bpeMergesCte]].
     "txt_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       graft.functions.Bpe.induceMerges(docs(s, dir), "text", 8)
@@ -719,8 +719,10 @@ object TextQueries {
 
     // tokenizer ENCODE: apply the induced merge table to the corpus
     // (Bpe.encodeExpr — merge literals folded into one scan-pass
-    // expression chain). Pinned per-source rollup: doc count, total
-    // post-merge symbol count, digest-of-digests in doc_id order.
+    // expression chain). Recomputed per-source rollup since round 13
+    // (doc count, total post-merge symbol count, digest-of-digests in
+    // doc_id order): the oracle re-induces the merges recursively and
+    // replays the bracketed-replace encode chain per document.
     "txt_bpe_encode" -> ((s, dir) => {
       val merges = graft.functions.Bpe.induceMerges(docs(s, dir), "text", 8)
       docs(s, dir)
@@ -1273,6 +1275,45 @@ object TextQueries {
 
   // shared minhash-LSH band-key CTEs (k=8 slots, 2 bands of 4 — matching
   // the Spark queries' lshCandidatePairs(_, _, 8, 4)) used by the
+  /** Recursive replay of the whole BPE merge induction ([[graft.functions.Bpe]]):
+    * word frequencies once (the corpus-scale pass), then 8 rounds where
+    * each iteration (a) computes the weighted adjacent-pair argmax over
+    * the CURRENT word states via an aggregate subquery on the recursive
+    * table — legal in DuckDB, the feature Postgres-style engines lack —
+    * with the same count-desc / binary-collation tie-break as
+    * `Bpe.utf8Lt`, and (b) applies the merge to every word via one
+    * `replace` on the sentinel-bracketed symbol string (\x01 sym \x02 —
+    * SQL replace's left-to-right non-overlapping pass IS greedy BPE
+    * application, the `Bpe.encodeExpr` argument). Ends at `mg`:
+    * (rnk, a, b, cnt) per round.
+    */
+  private def bpeMergesCte(k: Int = 8): String =
+    s"""words0 AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS n,
+       |    list_aggregate(list_transform(string_split_regex(w, ''),
+       |      c -> chr(1) || c || chr(2)), 'string_agg', '') AS s
+       |  FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE len(w) > 0
+       |  GROUP BY w),
+       |rec(round, s, n, a, b, cnt) AS (
+       |  SELECT 0, s, n, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT FROM words0
+       |  UNION ALL
+       |  SELECT round + 1,
+       |    replace(s, chr(1) || best.a || chr(2) || chr(1) || best.b || chr(2),
+       |      chr(1) || best.a || best.b || chr(2)),
+       |    n, best.a, best.b, CAST(best.c AS BIGINT)
+       |  FROM rec, (
+       |    SELECT pr[1] AS a, pr[2] AS b, SUM(n) AS c FROM (
+       |      SELECT UNNEST(list_zip(sym[:len(sym) - 1], sym[2:])) AS pr, n
+       |      FROM (SELECT string_split(rtrim(ltrim(s, chr(1)), chr(2)),
+       |              chr(2) || chr(1)) AS sym, n FROM rec) t) p
+       |    GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1) best
+       |  WHERE round < $k),
+       |mg AS MATERIALIZED (SELECT round AS rnk, ANY_VALUE(a) AS a,
+       |  ANY_VALUE(b) AS b, ANY_VALUE(cnt) AS cnt
+       |  FROM rec WHERE round >= 1 GROUP BY round)""".stripMargin
+
   // dedup_lsh_pairs / dedup_jaccard / dedup_clusters oracles
   private[queries] def lshBandsCte(rel: String = "documents") =
     s"""${minhashSigCte(8, rel)},
@@ -1368,6 +1409,41 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full recursive replay of the merge-induction loop (was a VALUES
+    // pin through round 12 — see [[bpeMergesCte]])
+    "txt_bpe_merges" ->
+      s"""WITH RECURSIVE ${bpeMergesCte()}
+         |SELECT CAST(rnk AS BIGINT) AS "rank", a AS "left", b AS "right",
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM mg ORDER BY 1""".stripMargin,
+
+    // re-induce the merges, then replay Bpe.encodeExpr per document:
+    // the 8 rank-ordered merges each become one replace() over the
+    // sentinel-bracketed text (m1..m8 are single-row relations from the
+    // recursion), digests and symbol counts aggregate per source
+    "txt_bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeMergesCte()},
+         |${(1 to 8).map(r => s"m$r AS (SELECT a, b FROM mg WHERE rnk = $r)").mkString(",\n")},
+         |e0t AS (
+         |  SELECT doc_id, source,
+         |    list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> CASE WHEN len(w) = 0 THEN '' ELSE
+         |        list_aggregate(list_transform(string_split_regex(w, ''),
+         |          c -> chr(1) || c || chr(2)), 'string_agg', '') END),
+         |      'string_agg', ' ') AS e0
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, source, ${
+           (1 to 8).foldLeft("e0") { (acc, r) =>
+             s"replace($acc, chr(1)||m$r.a||chr(2)||chr(1)||m$r.b||chr(2), chr(1)||m$r.a||m$r.b||chr(2))"
+           }} AS e
+         |  FROM e0t, ${(1 to 8).map("m" + _).mkString(", ")})
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(e) - len(replace(e, chr(2), ''))) AS BIGINT) AS total_syms,
+         |  md5(string_agg(md5(e), ',' ORDER BY doc_id)) AS src_digest
+         |FROM enc GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_editdist" ->
       """SELECT a.doc_id, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS ed
