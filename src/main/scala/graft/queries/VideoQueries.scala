@@ -774,6 +774,36 @@ object VideoQueries {
         |SELECT sid AS "streamId", idx AS "index", 16 AS height, 24 AS width,
         |  CAST(p AS BIGINT) AS pos, CAST(v AS INT) AS pixel
         |FROM px ORDER BY 2, 5""".stripMargin,
+    // shot cuts replayed end-to-end (pinned VALUES through round 12):
+    // regenerate the crushed ramp, rebuild per-frame histograms, L1
+    // consecutive distance, per-stream mean + 3*stddev_samp threshold.
+    // The threshold comparison is FP-robust: the nearest distance sits
+    // 281 counts from the threshold (measured), vs ~1e-10 cross-engine
+    // aggregation-order noise on mu + 3*sd.
+    "video_shot_cuts" ->
+      s"""WITH $shotCutDistCte
+         |SELECT d.sid AS "streamId", d.idx AS "index",
+         |  CAST(d.dist AS BIGINT) AS dist
+         |FROM d JOIN stats ON stats.sid = d.sid
+         |WHERE d.dist > stats.mu + 3.0 * stats.sd
+         |ORDER BY 1, 2""".stripMargin,
+    // ...and the clip extraction derived from the same recomputed cut
+    // set: clip boundaries close by lead() exactly like the query
+    "video_scene_clips" ->
+      s"""WITH $shotCutDistCte,
+         |cuts AS (
+         |  SELECT d.sid, d.idx FROM d JOIN stats ON stats.sid = d.sid
+         |  WHERE d.dist > stats.mu + 3.0 * stats.sd),
+         |starts AS (
+         |  SELECT DISTINCT sid, idx FROM (
+         |    SELECT sid, idx FROM cuts
+         |    UNION ALL SELECT a.range AS sid, 0 AS idx FROM range(0,2) a))
+         |SELECT sid AS "streamId",
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY sid ORDER BY idx) - 1 AS BIGINT) AS clip,
+         |  idx AS start_index,
+         |  COALESCE(LEAD(idx) OVER (PARTITION BY sid ORDER BY idx) - 1, 299) AS end_index,
+         |  COALESCE(LEAD(idx) OVER (PARTITION BY sid ORDER BY idx) - 1, 299) - idx + 1 AS n_frames
+         |FROM starts ORDER BY 1, 2""".stripMargin,
     // flow PROPERTY gates (pinned mean-|flow| literals through round 12):
     // the fixture is an EXACT translate per frame ([[flowTex]] shifted by
     // i*(dx,dy)), so the expected relation — every interior mean within
@@ -828,6 +858,39 @@ object VideoQueries {
       |SELECT sid AS "streamId", idx AS "index", CAST(p AS BIGINT) AS pos,
       |  CAST(v AS INT) AS pixel
       |FROM px ORDER BY 1, 2, 3""".stripMargin
+
+  /** Shared replay of the shot-cut detector's distance relation: the
+    * testvid ramp (with the [100,200) contrast crush the QUERY also
+    * applies) -> dense 48-bin histograms (LEFT JOIN against a full bin
+    * grid so absent buckets count 0 in the L1) -> consecutive L1
+    * distance -> per-stream mean/stddev. Ends at `d` (sid, idx, dist)
+    * and `stats` (sid, mu, sd).
+    */
+  private lazy val shotCutDistCte: String =
+    """px AS MATERIALIZED (
+      |  SELECT a.range AS sid, b.range AS idx,
+      |    CAST(c.range % 3 AS INT) AS ch,
+      |    CAST(CASE WHEN b.range >= 100 AND b.range < 200
+      |      THEN ((a.range*31 + b.range*7 + c.range) % 256) // 2
+      |      ELSE (a.range*31 + b.range*7 + c.range) % 256 END // 16 AS INT) AS bucket
+      |  FROM range(0,2) a, range(0,300) b, range(0,1152) c),
+      |grid AS (
+      |  SELECT a.range AS sid, b.range AS idx, ch.range AS ch, bk.range AS bucket
+      |  FROM range(0,2) a, range(0,300) b, range(0,3) ch, range(0,16) bk),
+      |hist AS MATERIALIZED (
+      |  SELECT g.sid, g.idx, g.ch, g.bucket, COUNT(px.sid) AS n
+      |  FROM grid g LEFT JOIN px
+      |    ON px.sid = g.sid AND px.idx = g.idx AND px.ch = g.ch AND px.bucket = g.bucket
+      |  GROUP BY 1, 2, 3, 4),
+      |d AS MATERIALIZED (
+      |  SELECT cur.sid, cur.idx, SUM(ABS(cur.n - prv.n)) AS dist
+      |  FROM hist cur JOIN hist prv
+      |    ON prv.sid = cur.sid AND prv.idx = cur.idx - 1
+      |    AND prv.ch = cur.ch AND prv.bucket = cur.bucket
+      |  WHERE cur.idx >= 1
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT sid, AVG(dist) AS mu, STDDEV_SAMP(dist) AS sd FROM d GROUP BY sid)""".stripMargin
 
   /** shared oracle of the two flow property gates: both estimators must
     * recover the construction's per-stream displacement on the interior */
