@@ -774,6 +774,17 @@ object VideoQueries {
         |SELECT sid AS "streamId", idx AS "index", 16 AS height, 24 AS width,
         |  CAST(p AS BIGINT) AS pos, CAST(v AS INT) AS pixel
         |FROM px ORDER BY 2, 5""".stripMargin,
+    // video near-dup replayed END-TO-END (pinned VALUES through round
+    // 12): regenerate all four streams' frames (ramp, brightness
+    // variant, reversed copy), replay the aHash chain per frame
+    // (the img_ahash_pairs derivation), rebuild Spark's hex tokens
+    // exactly (to_hex on the two's-complement BIGINT matches Spark's
+    // hex: uppercase, no leading zeros), then the SAME minhash-LSH
+    // band candidates (Dedup's slot constants, chosen overflow-safe:
+    // max a * max xm < 2^63 on both engines) and bigram Jaccard.
+    // Exact token strings matter: band keys hash md5(shingle), so any
+    // other token representation would re-roll the band collisions.
+    "video_dup_pairs" -> videoDupPairsOracle,
     // shot cuts replayed end-to-end (pinned VALUES through round 12):
     // regenerate the crushed ramp, rebuild per-frame histograms, L1
     // consecutive distance, per-stream mean + 3*stddev_samp threshold.
@@ -858,6 +869,77 @@ object VideoQueries {
       |SELECT sid AS "streamId", idx AS "index", CAST(p AS BIGINT) AS pos,
       |  CAST(v AS INT) AS pixel
       |FROM px ORDER BY 1, 2, 3""".stripMargin
+
+  /** Full SQL replay of the video near-dup chain (see the
+    * video_dup_pairs query comment). The aHash stage mirrors
+    * ImageQueries' derivation (grayscale at the 8x8 sample sites,
+    * exact-weight bilinear, integer mean threshold); the hash value is
+    * assembled from 32-bit halves (DuckDB's `**` is DOUBLE — exact
+    * shifts only); minhash/banding reuses Dedup's slot constants
+    * verbatim so the md5-driven band collisions match Spark's.
+    */
+  private lazy val videoDupPairsOracle: String = {
+    import graft.functions.Dedup
+    val p = Dedup.minhashP
+    val consts = (0 until 8).map(i =>
+      s"($i, ${Dedup.slotA(i)}, ${Dedup.slotB(i)})").mkString(", ")
+    s"""WITH px AS MATERIALIZED (
+       |  SELECT s.range AS sid, b.range AS idx, g.range AS sy, x.range AS sx, r.range AS dy,
+       |    CASE WHEN s.range = 2
+       |      THEN LEAST(255, ((CASE WHEN s.range = 3 THEN 299 - b.range ELSE b.range END)*7
+       |        + (((2*g.range + r.range)*24 + 3*x.range + 1)*3 + k.range)) % 256 + 3)
+       |      ELSE ((CASE WHEN s.range IN (2,3) THEN 0 ELSE s.range END)*31
+       |        + (CASE WHEN s.range = 3 THEN 299 - b.range ELSE b.range END)*7
+       |        + (((2*g.range + r.range)*24 + 3*x.range + 1)*3 + k.range)) % 256
+       |    END AS v
+       |  FROM range(0,4) s, range(0,300) b, range(0,8) g, range(0,8) x, range(0,2) r, range(0,3) k),
+       |g1 AS (SELECT sid, idx, sy, sx, dy, SUM(v) // 3 AS gr FROM px GROUP BY 1,2,3,4,5),
+       |sm AS (
+       |  SELECT sid, idx, sy, sx,
+       |    (MAX(CASE WHEN dy = 0 THEN gr END) + MAX(CASE WHEN dy = 1 THEN gr END) + 1) // 2 AS v
+       |  FROM g1 GROUP BY 1,2,3,4),
+       |tot AS (SELECT sid, idx, SUM(v) AS s FROM sm GROUP BY 1,2),
+       |bit AS (
+       |  SELECT sm.sid, sm.idx, sy*8 + sx AS cell,
+       |    CASE WHEN 64*v >= s THEN 1 ELSE 0 END AS bit
+       |  FROM sm JOIN tot USING (sid, idx)),
+       |hv AS (
+       |  SELECT sid, idx,
+       |    to_hex(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)) AS tok
+       |  FROM (SELECT sid, idx,
+       |      CAST(SUM(CASE WHEN cell < 32 THEN bit << (31 - cell) ELSE 0 END) AS HUGEINT)
+       |        * 4294967296::HUGEINT
+       |      + CAST(SUM(CASE WHEN cell >= 32 THEN bit << (63 - cell) ELSE 0 END) AS HUGEINT) AS u
+       |    FROM bit GROUP BY sid, idx)),
+       |shg AS (
+       |  SELECT DISTINCT a.sid, a.tok || ' ' || b.tok AS s
+       |  FROM hv a JOIN hv b ON b.sid = a.sid AND b.idx = a.idx + 1),
+       |hx AS (
+       |  SELECT sid, s, ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS xm FROM shg),
+       |sig AS (
+       |  SELECT sid, k, MIN((a * xm + b) % $p) AS mh
+       |  FROM hx CROSS JOIN (VALUES $consts) AS c(k, a, b)
+       |  GROUP BY sid, k),
+       |bands AS (
+       |  SELECT sid, k // 4 AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bk
+       |  FROM sig GROUP BY sid, k // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.sid AS a, y.sid AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.sid < y.sid),
+       |sizes AS (SELECT sid, COUNT(*) AS n FROM shg GROUP BY sid),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i
+       |  FROM cand c JOIN shg sa ON sa.sid = c.a JOIN shg sb ON sb.sid = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT c.a, c.b,
+       |  ROUND(CAST(COALESCE(i.i,0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i,0)), 6) AS jac
+       |FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |JOIN sizes na ON na.sid = c.a JOIN sizes nb ON nb.sid = c.b
+       |WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i,0)) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** Shared replay of the shot-cut detector's distance relation: the
     * testvid ramp (with the [100,200) contrast crush the QUERY also
