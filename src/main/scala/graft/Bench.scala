@@ -1108,11 +1108,17 @@ object Bench {
       // (the sf1 section passes warmup=false: every sf1 query already ran
       // its sf0.1 twin in this session, so codegen + C2 are warm and the
       // min-of-2 estimator absorbs any residual first-rep constant)
+      // completed measurements and watchdog-killed partials live in
+      // SEPARATE buffers: a killed rep's wall is a lower bound, not a
+      // measurement — it must stay visible in the telemetry but never
+      // enter min/median (r13 run: a contention burst on rep 2 recorded
+      // three rows as -1 although rep 1 had measured them at 3-4 s)
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+      val killedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
       if (warmup && !rowAborted.get) {
         val w = runCapped(timed = false)
         // an aborted warmup still surfaces its partial telemetry
-        if (rowAborted.get) w.foreach(timedBuf += _)
+        if (rowAborted.get) w.foreach(killedBuf += _)
       }
       // settle the JVM before the reps (collecting prior queries'
       // garbage lets the ContextCleaner reclaim their broadcast/shuffle
@@ -1130,12 +1136,14 @@ object Bench {
       while (i < reps && !stop) {
         runCapped(timed = true) match {
           case Some((sec, tel)) =>
-            timedBuf += ((sec, tel))
-            if (rowAborted.get) stop = true
-            // single-rep fallback (r12 ask 1b): a first rep over 60 s is
-            // amortized past steal noise and a second would only burn
-            // budget the board's tail needs
-            else if (sec > 60.0) stop = true
+            if (rowAborted.get) { killedBuf += ((sec, tel)); stop = true }
+            else {
+              timedBuf += ((sec, tel))
+              // single-rep fallback (r12 ask 1b): a first rep over 60 s is
+              // amortized past steal noise and a second would only burn
+              // budget the board's tail needs
+              if (sec > 60.0) stop = true
+            }
           case None => () // genuine failure; remaining reps may still pass
         }
         i += 1
@@ -1144,7 +1152,24 @@ object Bench {
       // aborted = the watchdog fired during warmup or the base reps (an
       // abort on the optional escalation rep below leaves the row's base
       // measurement valid — the partial rep is just excluded)
-      val aborted = rowAborted.get
+      var aborted = rowAborted.get
+      // ONE recovery rep when the abort left no completed measurement:
+      // it distinguishes "genuinely over cap" (aborts again — stays -1)
+      // from "a passing steal burst ate the only rep" (r13 run:
+      // bt_h264_decode_vga — a BASELINE target row — landed -1 on one
+      // 66 steal-seconds burst and measured 3.9 s seconds later)
+      if (aborted && timed.isEmpty) {
+        rowAborted.set(false)
+        runCapped(timed = true) match {
+          case Some((sec, tel)) if !rowAborted.get =>
+            timed = Seq((sec, tel))
+            aborted = false
+            System.err.println(
+              f"[bench] $tag$name recovery rep $sec%.3f s after watchdog abort (burst passed)")
+          case Some((sec, tel)) => killedBuf += ((sec, tel))
+          case None => ()
+        }
+      }
       // escalation rep: a heavy row whose base reps disagree by >25% has
       // likely eaten a steal burst — one more rep restores the old
       // reps=3 noise floor exactly where a false signal would matter
@@ -1155,7 +1180,10 @@ object Bench {
           if (!rowAborted.get) timed = timed ++ extra
         }
       }
-      val times = if (aborted) Seq.empty[Double] else timed.map(_._1)
+      // killed partials never enter times: min/median come from genuine
+      // completed reps only (an aborted row with one completed rep keeps
+      // that rep's min and the aborted flag — both signals survive)
+      val times = timed.map(_._1)
       // Headline value = MIN of the successful reps; median kept alongside.
       // Why min, not median: this host shows virtualization steal bursts —
       // /proc/stat steal measured ~30% of busy CPU across a bench run, with
@@ -1183,6 +1211,8 @@ object Bench {
         f"[bench] $tag$name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f" +
           (if (aborted) " ABORTED" else ""))
       timed.foreach { case (t, tel) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
+      killedBuf.foreach { case (t, tel) =>
+        System.err.println(f"[bench]   rep $t%.3f s (KILLED partial) $tel") }
       // per-op attribution for the configured heavy set: ONE extra
       // untimed profiled run, task time broken down by the library op
       // that spent it (graft:cc-round vs the composed (final) action ...)
@@ -1197,7 +1227,9 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $tag$name profile pass failed: $e"); Map.empty
         }
-      QueryResult(sec, med, timed, ops, aborted, calib)
+      // killed partials ride along in the telemetry list (observability)
+      // AFTER min/median were computed from the genuine reps above
+      QueryResult(sec, med, timed ++ killedBuf, ops, aborted, calib)
   }
 
   /** the per-section JSON fields shared by the sf0.1 and sf1 sections:
