@@ -1012,20 +1012,24 @@ object Bench {
     selected.foreach { case (name, fn) =>
       val rem = remainingS()
       // the untimed warmup exists for codegen/JIT constants, which
-      // only dominate CHEAP rows; a row known to run >= 5 s is
+      // only dominate CHEAP rows; a row known to run >= 2 s is
       // steady-state work and skipping its warmup saves a full
-      // execution (~150 s across the board's heavy rows)
-      val warm = warmup && estimates.get(name).forall(_ < 5.0)
-      // rows known to run >= 20 s get ONE timed rep (a steal burst is
-      // amortized over a minute of work, and the second rep of the
-      // board's heaviest row was its single largest recoverable block of
-      // wall); SUB-SECOND rows get 3 reps — they are cheap exactly where
-      // reps are affordable, and min-of-3 cuts the lowconf flag count
-      // (r12 ask 7: 35 flagged rows were min-of-2 measurement-floor noise)
+      // execution. (Was >= 5 s through the r13 validation runs: the
+      // complete board + sf1 measured 1797.7 s wall against the 1800 s
+      // budget and dropped its 15-row expensive tail — the 2-5 s rows'
+      // warmups were the largest recoverable block.)
+      val warm = warmup && estimates.get(name).forall(_ < 2.0)
+      // rows known to run >= 10 s get ONE timed rep (a steal burst is
+      // amortized over tens of seconds of work, and second reps of the
+      // board's heaviest rows were its largest recoverable wall);
+      // MEASUREMENT-FLOOR rows (< 0.3 s) get 3 reps — they are cheap
+      // exactly where reps are affordable, and min-of-3 cuts the
+      // lowconf flag count (r12 ask 7) where the flags actually
+      // concentrate
       val est = estimates.get(name)
       val rowReps =
-        if (est.exists(_ >= 20.0)) 1
-        else if (est.exists(_ < 1.0)) math.max(3, reps)
+        if (est.exists(_ >= 10.0)) 1
+        else if (est.exists(_ < 0.3)) math.max(3, reps)
         else reps
       // planned executions: warmup (when it will actually run) + reps
       // (+ the occasional escalation rep and the profile pass where
