@@ -8,9 +8,10 @@ import graft.operators.AudioKernels.AudioChunk
 
 /** Audio-modality queries: PCM chunk streams through the shared sequence
   * operators and waveform kernels. Inputs are deterministic synthetic
-  * chunks (no audio corpus in the shared parquet, same as video), so these
-  * are rows-only checks; exact kernel values are pinned by
-  * AudioKernelsSpec.
+  * chunks (no audio corpus in the shared parquet, same as video), but the
+  * chunk definition is closed-form, so EVERY query here carries a real
+  * DuckDB recomputation oracle ([[oracles]]) — the gate regenerates the
+  * PCM independently and replays the kernel arithmetic in SQL.
   */
 object AudioQueries {
 
@@ -130,10 +131,38 @@ object AudioQueries {
     * generate_series and replays the kernel arithmetic in SQL — fully
     * independent recomputation, no frozen pins. DuckDB's `//` truncates
     * toward zero like JVM long division, which every formula below leans
-    * on. The remaining audio queries (mfcc/spectral: double FFT;
-    * dup_pairs: gain clamping) stay pinned — their FP accumulation order
-    * isn't replayable in SQL.
+    * on.
+    *
+    * Since round 13 this covers the WHOLE audio family, including the
+    * FP-heavy spectral chain: the kernel's radix-2 FFT is replayed as a
+    * direct DFT (O(n²) cos/sin sums over the 512-sample Hamming frames).
+    * The two summation orders differ only at ~1e-12 absolute, while the
+    * decision points sit far wider: the closest any rounded-to-6dp value
+    * lands to a .5e-6 rounding boundary is 2.9e-9 (mfcc) / 1.2e-8
+    * (spectral) absolute, and the closest any rolloff prefix-sum gets to
+    * the 0.85·total threshold is 5.7e-5 relative — 3-7 orders above the
+    * replay noise, so the cross-engine comparison is robust. dup_pairs is
+    * exact integer end-to-end (gain 5/4 never clamps at the triangle
+    * amplitudes: max |s| = 14700 → 18375 < 32767).
     */
+  /** Hamming-frame → direct-DFT power-spectrum CTE chain shared by the
+    * mfcc and spectral replays: 7 frames of 512 per chunk (hop 256; the
+    * zero-padded tail contributes nothing to the DFT sums, so only real
+    * samples appear), one-sided bins k = 0..256.
+    */
+  private def dftCtes: String =
+    """fr AS (
+      |  SELECT samp.sid, samp.idx, f.range AS fi, samp.i - f.range*256 AS wi,
+      |    (samp.s / 32768.0) * (0.54 - 0.46*cos(2*pi()*(samp.i - f.range*256)/511)) AS x
+      |  FROM samp, range(0,7) f
+      |  WHERE samp.i >= f.range*256 AND samp.i < f.range*256 + 512),
+      |ps AS (
+      |  SELECT sid, idx, fi, k.range AS k,
+      |    POWER(SUM(x * cos(2*pi()*wi*k.range/512)), 2) +
+      |    POWER(SUM(x * sin(2*pi()*wi*k.range/512)), 2) AS p
+      |  FROM fr, range(0,257) k
+      |  GROUP BY sid, idx, fi, k.range)""".stripMargin
+
   private val sampCte =
     """  samp AS (
       |    SELECT sid, idx, i,
@@ -199,5 +228,95 @@ act AS (
   FROM st JOIN med ON med.sid = st.sid WHERE st.sum_sq > med.m)
 SELECT sid AS "streamId", MIN(idx) AS seg_start, MAX(idx) AS seg_end,
   COUNT(*) AS n_chunks
-FROM act GROUP BY sid, grp ORDER BY 1, 2"""))
+FROM act GROUP BY sid, grp ORDER BY 1, 2"""),
+
+    // near-dup replay, exact integer end-to-end: variant PCM = s*5//4
+    // (trunc toward zero — DuckDB // matches JVM; int16 clamping never
+    // fires at triangle amplitudes), 8 bands of 200 samples, bit b iff
+    // band |s|-sum > integer mean, pairs on fp equality at offset 1000
+    "audio_dup_pairs" -> ("WITH" + sampCte.replace("{N}", "60") + """,
+allsamp AS (
+  SELECT sid, idx, v.range AS var, i,
+    CASE WHEN v.range = 0 THEN s ELSE (s*5) // 4 END AS s
+  FROM samp, range(0,2) v),
+en AS (
+  SELECT sid, idx, var, i // 200 AS band, SUM(ABS(s)) AS e
+  FROM allsamp GROUP BY 1, 2, 3, i // 200),
+fp AS (
+  SELECT sid, idx, var,
+    SUM(CASE WHEN e > (SELECT SUM(e2.e) // 8 FROM en e2
+          WHERE e2.sid = en.sid AND e2.idx = en.idx AND e2.var = en.var)
+        THEN (1::BIGINT << band) ELSE 0 END) AS f
+  FROM en GROUP BY sid, idx, var),
+cid AS (
+  SELECT sid*10000 + idx + CASE WHEN var = 1 THEN 1000 ELSE 0 END AS cid, f
+  FROM fp)
+SELECT x.cid AS "a", y.cid AS "b", CAST(x.f AS BIGINT) AS "fp"
+FROM cid x JOIN cid y ON x.f = y.f AND x.cid < y.cid AND y.cid - x.cid = 1000
+ORDER BY 1"""),
+
+    // MFCC replay: direct DFT (dftCtes) -> 26-triangle HTK mel filterbank
+    // (centers closed-form on the mel scale) -> ln -> DCT-II -> frame
+    // mean, rounded to the kernel's 6 dp (min boundary margin 2.9e-9 vs
+    // ~1e-12 FFT-vs-DFT noise — see the oracles scaladoc)
+    "audio_mfcc" -> ("WITH" + sampCte.replace("{N}", "8") + "," + dftCtes + """,
+ctr AS (
+  SELECT m.range AS m,
+    700.0*(POWER(10.0, (2595.0*log10(1.0 + 8000.0/700.0)) * m.range/27.0 / 2595.0) - 1.0) AS hz
+  FROM range(0,28) m),
+flt AS (
+  SELECT m.m AS mel, k.range AS k,
+    CASE WHEN k.range*31.25 > lo.hz AND k.range*31.25 < m.hz
+           THEN (k.range*31.25 - lo.hz)/(m.hz - lo.hz)
+         WHEN k.range*31.25 >= m.hz AND k.range*31.25 < hi.hz
+           THEN (hi.hz - k.range*31.25)/(hi.hz - m.hz)
+         ELSE 0.0 END AS w
+  FROM ctr m JOIN ctr lo ON lo.m = m.m - 1 JOIN ctr hi ON hi.m = m.m + 1,
+       range(0,257) k
+  WHERE m.m BETWEEN 1 AND 26),
+mel AS (
+  SELECT ps.sid, ps.idx, ps.fi, flt.mel - 1 AS m,
+    ln(GREATEST(SUM(ps.p * flt.w), 1e-10)) AS e
+  FROM ps JOIN flt ON flt.k = ps.k AND flt.w > 0
+  GROUP BY 1, 2, 3, 4),
+dct AS (
+  SELECT sid, idx, fi, k.range AS coef,
+    SUM(e * cos(pi()*k.range*(m + 0.5)/26)) * sqrt(2.0/26)
+      * CASE WHEN k.range = 0 THEN sqrt(0.5) ELSE 1.0 END AS c
+  FROM mel, range(0,13) k
+  GROUP BY sid, idx, fi, k.range)
+SELECT CAST(sid AS BIGINT) AS "streamId", CAST(idx AS BIGINT) AS "index",
+  CAST(coef AS INT) AS coef,
+  ROUND(AVG(c), 6) AS mean_val
+FROM dct GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    // spectral-shape replay over the same DFT: centroid / bandwidth /
+    // 0.85-energy rolloff (prefix-sum threshold margin 5.7e-5 relative)
+    // / flatness, frame means rounded to the kernel's 6 dp
+    "audio_spectral" -> ("WITH" + sampCte.replace("{N}", "12") + "," + dftCtes + """,
+pre AS (
+  SELECT sid, idx, fi, k, p,
+    SUM(p) OVER (PARTITION BY sid, idx, fi ORDER BY k) AS acc,
+    SUM(p) OVER (PARTITION BY sid, idx, fi) AS tot
+  FROM ps),
+feat AS (
+  SELECT sid, idx, fi,
+    SUM(k*31.25*p)/ANY_VALUE(tot) AS centroid,
+    ANY_VALUE(tot) AS tot,
+    SUM(ln(p + 1e-12))/257 AS logmean,
+    COALESCE(MIN(k) FILTER (WHERE acc >= 0.85*tot), 256) * 31.25 AS roll
+  FROM pre GROUP BY sid, idx, fi),
+feat2 AS (
+  SELECT f.sid, f.idx, f.fi, f.centroid, f.roll,
+    sqrt(SUM((pre.k*31.25 - f.centroid)*(pre.k*31.25 - f.centroid)*pre.p)/f.tot) AS bandwidth,
+    exp(f.logmean) / (f.tot/257 + 1e-12) AS flat
+  FROM feat f JOIN pre ON pre.sid = f.sid AND pre.idx = f.idx AND pre.fi = f.fi
+  WHERE f.tot > 1e-12
+  GROUP BY 1, 2, 3, 4, 5, f.tot, f.logmean)
+SELECT CAST(sid AS BIGINT) AS "streamId", CAST(idx AS BIGINT) AS "index",
+  ROUND(AVG(centroid), 6) AS centroid_hz,
+  ROUND(AVG(bandwidth), 6) AS bandwidth_hz,
+  ROUND(AVG(roll), 6) AS rolloff_hz,
+  ROUND(AVG(flat), 6) AS flatness
+FROM feat2 GROUP BY 1, 2 ORDER BY 1, 2"""))
 }

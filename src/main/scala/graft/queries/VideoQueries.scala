@@ -717,6 +717,53 @@ object VideoQueries {
     * with generate_series and replays the kernel — so these gates verify
     * the whole encode→store→decode path against INDEPENDENT truth. */
   private val recomputed: Map[String, String] = Map(
+    // bright-blob boxes replayed end-to-end: grayscale = channel mean of
+    // the closed-form ramp, threshold = mean + 1·std (both engines
+    // compute the identical IEEE expression on exact integer sums, so
+    // the comparison is bit-deterministic), 4-connected components via
+    // the recursive min-propagation CTE (the dedup_clusters pattern),
+    // boxes filtered at minArea 4, blob rank = (-area, y0, x0, y1, x1)
+    "video_blob_boxes" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT a.range AS sid, b.range AS idx, c.range AS cid,
+        |    c.range // 24 AS y, c.range % 24 AS x,
+        |    ( (a.range*31 + b.range*7 + c.range*3    ) % 256
+        |    + (a.range*31 + b.range*7 + c.range*3 + 1) % 256
+        |    + (a.range*31 + b.range*7 + c.range*3 + 2) % 256) // 3 AS v
+        |  FROM range(0,2) a, range(0,10) b, range(0,384) c),
+        |thr AS (
+        |  SELECT sid, idx,
+        |    CAST(SUM(v) AS DOUBLE)/384 +
+        |    sqrt(greatest(0.0, CAST(SUM(v*v) AS DOUBLE)/384
+        |        - (CAST(SUM(v) AS DOUBLE)/384)*(CAST(SUM(v) AS DOUBLE)/384))) AS t
+        |  FROM g GROUP BY sid, idx),
+        |act AS (
+        |  SELECT g.sid, g.idx, g.cid, g.y, g.x,
+        |    (g.sid*10 + g.idx)*384 + g.cid AS nid
+        |  FROM g JOIN thr ON thr.sid = g.sid AND thr.idx = g.idx
+        |  WHERE g.v > thr.t),
+        |edges AS (
+        |  SELECT p.nid AS a, q.nid AS b FROM act p JOIN act q
+        |    ON p.sid = q.sid AND p.idx = q.idx
+        |   AND ((abs(p.x - q.x) = 1 AND p.y = q.y) OR (abs(p.y - q.y) = 1 AND p.x = q.x))),
+        |reach(id, r) AS (
+        |  SELECT nid, nid FROM act
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |lab AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+        |bx AS (
+        |  SELECT act.sid, act.idx, lab.root,
+        |    MIN(act.x) AS x0, MIN(act.y) AS y0, MAX(act.x) AS x1, MAX(act.y) AS y1,
+        |    COUNT(*) AS area
+        |  FROM act JOIN lab ON lab.id = act.nid
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(sid AS BIGINT) AS "streamId", CAST(idx AS BIGINT) AS "index",
+        |  CAST(row_number() OVER (PARTITION BY sid, idx
+        |    ORDER BY area DESC, y0, x0, y1, x1) - 1 AS BIGINT) AS blob,
+        |  CAST(x0 AS INT) AS x0, CAST(y0 AS INT) AS y0,
+        |  CAST(x1 AS INT) AS x1, CAST(y1 AS INT) AS y1, CAST(area AS INT) AS area
+        |FROM bx WHERE area >= 4
+        |ORDER BY 1, 2, 3""".stripMargin,
     "video_histogram" ->
       """WITH px AS (
         |  SELECT a.range AS sid, b.range AS idx, c.range AS p,
