@@ -516,6 +516,10 @@ object VideoQueries {
           "cabacmrvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             multiRef = true), // CABAC + ref_idx
           "cavlcmrvid", graft.sources.H264GopCodec.MultiRef)) // CAVLC + ref_idx
+        .unionAll(diffRelation("bslice",
+          "cabacbfvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            bframes = true), // CABAC + B pictures (POC reorder)
+          "cavlcbfvid", graft.sources.H264GopCodec.BFrames)) // CAVLC + B
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -807,11 +811,13 @@ object VideoQueries {
     // the cross-entropy invariant at ALL THREE tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
-    // 'multiref' = 2-deep DPB + per-MB ref_idx_l0)
+    // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
+    // coding order + POC output reordering — a reorder bug would shear
+    // the two stores' frame indexing apart, not just their pixels)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['default', 'high', 'multiref']) AS tier) t,
+        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

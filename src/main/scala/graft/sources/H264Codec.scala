@@ -104,11 +104,12 @@ object H264Codec {
 
   // ------------------------------------------------------------ headers
 
-  /** codec SPS: Baseline, poc type 2 (no slice-header POC fields), frame
-    * MBs only, cropping for non-multiple-of-16 dims
+  /** codec SPS: Baseline, poc type 2 (no slice-header POC fields) for
+    * I/P-only streams or type 0 (8-bit pic_order_cnt_lsb) when B frames
+    * reorder output, frame MBs only, cropping for non-multiple-of-16 dims
     */
   private def codecSps(w: Int, h: Int, high: Boolean = false,
-      maxRefFrames: Int = 1): Array[Byte] = {
+      maxRefFrames: Int = 1, pocType: Int = 2): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.u(8, if (high) 100 else 66) // profile_idc High (8x8 transform) / Baseline
     bw.u(8, 0)  // constraint flags
@@ -121,7 +122,8 @@ object H264Codec {
       bw.u1(0)  // seq_scaling_matrix_present_flag (flat)
     }
     bw.ue(8)    // log2_max_frame_num_minus4 -> 12 bits of frame_num
-    bw.ue(2)    // pic_order_cnt_type 2 (POC from decode order)
+    bw.ue(pocType) // pic_order_cnt_type (2: decode order; 0: explicit lsb)
+    if (pocType == 0) bw.ue(4) // log2_max_pic_order_cnt_lsb_minus4 -> 8 bits
     bw.ue(maxRefFrames) // max_num_ref_frames (DPB size)
     bw.u1(0)    // gaps_in_frame_num_value_allowed_flag
     val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
@@ -205,6 +207,14 @@ object H264Codec {
     // same-reference MV-predictor rule, the ref_idx entropy contexts,
     // and §8.7.2.1's different-reference boundary strength all read it
     val refIdxMb: Array[Int] = Array.fill(mbW * mbH)(-1)
+    // list-1 twin state for B slices (refIdxL1 = -1: list 1 unused by
+    // this MB — true for every P/I MB, and for B_L0_16x16)
+    val mvXL1 = new Array[Int](mbW * mbH)
+    val mvYL1 = new Array[Int](mbW * mbH)
+    val refIdxL1: Array[Int] = Array.fill(mbW * mbH)(-1)
+    // picture order count (display order, §8.2.1) — drives B-slice
+    // default reference-list ordering and the decoder's output reorder
+    var poc: Int = 0
     // per-MB qp + I_PCM flag, for deblocking-filter strength/thresholds
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
@@ -1291,10 +1301,15 @@ object H264Codec {
     * unavailable/intra neighbors).
     */
   private def predictMv(st: PicState, mbX: Int, mbY: Int,
-      refIdx: Int = 0): (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) = {
+      refIdx: Int = 0, list: Int = 0)
+      : (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) = {
     def nb(x: Int, y: Int): Option[(Int, Int, Int)] =
       if (!st.mbAvail(x, y)) None // out of picture OR another slice (§7.4.4)
-      else { val i = y * st.mbW + x; Some((st.mvX(i), st.mvY(i), st.refIdxMb(i))) }
+      else {
+        val i = y * st.mbW + x
+        if (list == 0) Some((st.mvX(i), st.mvY(i), st.refIdxMb(i)))
+        else Some((st.mvXL1(i), st.mvYL1(i), st.refIdxL1(i)))
+      }
     val a = nb(mbX - 1, mbY)
     val b = nb(mbX, mbY - 1)
     val cRaw = nb(mbX + 1, mbY - 1)
@@ -1311,6 +1326,61 @@ object H264Codec {
         (med(ax, bx, cx), med(ay, by, cy))
       }
     (pred._1, pred._2, a, b)
+  }
+
+  /** Spatial direct luma motion for a whole B macroblock (§8.4.1.2.2 at
+    * 16x16 granularity — the per-4x4 colocated-partition refinement of
+    * conformant sub-partitioned streams collapses to one decision for
+    * the 16x16-only MB subset this codec emits and accepts):
+    *
+    *  - per-list reference index = MinPositive over the MV-prediction
+    *    neighbors A, B, C (D substituting an absent C), -1 when no
+    *    neighbor uses the list;
+    *  - both lists refIdx < 0 → directZeroPredictionFlag: refIdx 0 / 0
+    *    with zero motion;
+    *  - otherwise each used list takes its §8.4.1.3 median prediction at
+    *    the derived refIdx, zeroed when refIdx == 0 and the colocated
+    *    macroblock in RefPicList1[0] moves by at most a quarter sample
+    *    with refIdxCol 0 (colZeroFlag — every DPB picture here is
+    *    short-term).
+    *
+    * Returns (refIdxL0, refIdxL1, mv0x, mv0y, mv1x, mv1y); refIdx -1
+    * means the list is unused. `col` is RefPicList1[0] (never null for a
+    * B slice). Encoder and decoder share this single derivation — the
+    * symmetry that makes B_Skip/B_Direct_16x16 self-consistent.
+    */
+  private def directSpatial(st: PicState, col: PicState, mbX: Int, mbY: Int)
+      : (Int, Int, Int, Int, Int, Int) = {
+    def nbRef(list: Int)(x: Int, y: Int): Int =
+      if (!st.mbAvail(x, y)) -1
+      else {
+        val i = y * st.mbW + x
+        if (list == 0) st.refIdxMb(i) else st.refIdxL1(i)
+      }
+    def minPositive(list: Int): Int = {
+      val f = nbRef(list) _
+      val a = f(mbX - 1, mbY)
+      val b = f(mbX, mbY - 1)
+      val cRaw = if (st.mbAvail(mbX + 1, mbY - 1)) f(mbX + 1, mbY - 1)
+        else f(mbX - 1, mbY - 1) // D substitutes C, as in predictMv
+      Seq(a, b, cRaw).filter(_ >= 0) match {
+        case Nil => -1
+        case xs => xs.min
+      }
+    }
+    var ref0 = minPositive(0)
+    var ref1 = minPositive(1)
+    if (ref0 < 0 && ref1 < 0) { ref0 = 0; ref1 = 0; return (0, 0, 0, 0, 0, 0) }
+    val mi = mbY * st.mbW + mbX
+    val colZero = col.inter(mi) && col.refIdxMb(mi) == 0 &&
+      math.abs(col.mvX(mi)) <= 1 && math.abs(col.mvY(mi)) <= 1
+    def listMv(list: Int, refIdx: Int): (Int, Int) =
+      if (refIdx < 0) (0, 0)
+      else if (refIdx == 0 && colZero) (0, 0)
+      else { val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx, list); (px, py) }
+    val (m0x, m0y) = listMv(0, ref0)
+    val (m1x, m1y) = listMv(1, ref1)
+    (ref0, ref1, m0x, m0y, m1x, m1y)
   }
 
   /** P_Skip motion vector (§8.4.1.1): the refIdx-0 median predictor,
@@ -1345,11 +1415,42 @@ object H264Codec {
     * indexes its DPB); `refIdx` is recorded for MV prediction, entropy
     * contexts, and deblocking. */
   private def reconstructPMb(st: PicState, ref: PicState, mbX: Int, mbY: Int,
-      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs, refIdx: Int = 0): Unit = {
+      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs, refIdx: Int = 0): Unit =
+    reconstructInterMb(st, mbX, mbY, qp, ref, refIdx, mvx, mvy,
+      null, -1, 0, 0, mc)
+
+  /** Inter reconstruction over one or two prediction lists: each used
+    * list motion-compensates independently, two lists average per
+    * §8.4.2.3.1's default (no weighted prediction):
+    * (predL0 + predL1 + 1) >> 1 — then the shared dequantised residual
+    * adds on top. Per-list MV/refIdx state is recorded for MV
+    * prediction, entropy contexts, and the B-aware boundary strength.
+    * refIdx -1 marks a list unused (P MBs and B_L0/B_L1 use one).
+    */
+  private def reconstructInterMb(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      ref0: PicState, refIdx0: Int, mv0x: Int, mv0y: Int,
+      ref1: PicState, refIdx1: Int, mv1x: Int, mv1y: Int,
+      mc: PMbCoeffs): Unit = {
+    require(refIdx0 >= 0 || refIdx1 >= 0, "inter MB with no prediction list")
+    val bi = refIdx0 >= 0 && refIdx1 >= 0
     st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp)
     val predL = new Array[Int](256)
-    mcLuma(ref, mbX, mbY, mvx, mvy, predL)
+    if (refIdx0 >= 0) mcLuma(ref0, mbX, mbY, mv0x, mv0y, predL)
+    if (refIdx1 >= 0) {
+      if (!bi) mcLuma(ref1, mbX, mbY, mv1x, mv1y, predL)
+      else {
+        val p1 = new Array[Int](256)
+        mcLuma(ref1, mbX, mbY, mv1x, mv1y, p1)
+        var i = 0
+        while (i < 256) { predL(i) = (predL(i) + p1(i) + 1) >> 1; i += 1 }
+      }
+    }
+    // single-list motion/ref for the MC below (bi averages inside
+    // chromaRec via the same pattern)
+    val mvx = if (refIdx0 >= 0) mv0x else mv1x
+    val mvy = if (refIdx0 >= 0) mv0y else mv1y
+    val ref = if (refIdx0 >= 0) ref0 else ref1
     val x0 = mbX * 16; val y0 = mbY * 16
     val w = new Array[Int](16)
     var blk = 0
@@ -1379,9 +1480,15 @@ object H264Codec {
       blk += 1
     }
     def chromaRec(plane: Array[Byte], refPlane: Array[Byte],
-        dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
+        refPlane1: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
       val predC = new Array[Int](64)
       mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx, mvy, predC)
+      if (bi) {
+        val p1 = new Array[Int](64)
+        mcChroma(refPlane1, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
+        var i = 0
+        while (i < 64) { predC(i) = (predC(i) + p1(i) + 1) >> 1; i += 1 }
+      }
       val cbpChroma = if (mc == null) 0 else mc.cbpChroma
       val dc = new Array[Int](4)
       if (cbpChroma != 0) {
@@ -1421,13 +1528,20 @@ object H264Codec {
         cb += 1
       }
     }
-    chromaRec(st.reconCb, ref.reconCb,
+    chromaRec(st.reconCb, ref.reconCb, if (bi) ref1.reconCb else null,
       if (mc == null) null else mc.cbDcZig, if (mc == null) null else mc.cbAcZig)
-    chromaRec(st.reconCr, ref.reconCr,
+    chromaRec(st.reconCr, ref.reconCr, if (bi) ref1.reconCr else null,
       if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig)
     val mi = mbY * st.mbW + mbX
-    st.mvX(mi) = mvx; st.mvY(mi) = mvy; st.inter(mi) = true
-    st.refIdxMb(mi) = refIdx
+    st.inter(mi) = true
+    // unused lists keep zero motion with refIdx -1 (the entropy contexts
+    // and boundary strength read refIdx to tell "unused" apart)
+    if (refIdx0 >= 0) { st.mvX(mi) = mv0x; st.mvY(mi) = mv0y }
+    else { st.mvX(mi) = 0; st.mvY(mi) = 0 }
+    st.refIdxMb(mi) = refIdx0
+    if (refIdx1 >= 0) { st.mvXL1(mi) = mv1x; st.mvYL1(mi) = mv1y }
+    else { st.mvXL1(mi) = 0; st.mvYL1(mi) = 0 }
+    st.refIdxL1(mi) = refIdx1
   }
 
   // ------------------------------------------------------------- encode
@@ -1946,10 +2060,30 @@ object H264Codec {
         qy += 1
       }
     }
-    val qpc = chromaQp(qp)
-    val mc = new PMbCoeffs
     val predL = new Array[Int](256)
     mcLuma(ref, mbX, mbY, mvx, mvy, predL)
+    val predCb = new Array[Int](64)
+    val predCr = new Array[Int](64)
+    mcChroma(ref.reconCb, st.cw, st.ch, mbX, mbY, mvx, mvy, predCb)
+    mcChroma(ref.reconCr, st.cw, st.ch, mbX, mbY, mvx, mvy, predCr)
+    val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+      predL, predCb, predCr)
+    (mvx, mvy, mc, best)
+  }
+
+  /** Inter residual construction for one 16x16 MB against ARBITRARY
+    * prediction buffers (single-list MC or the bi-predictive average):
+    * forward transform + quant per 4x4 block with the code-vs-zero
+    * distortion gate, chroma DC/AC split — the entropy-independent
+    * analysis tail shared by the P path and every B-candidate. Returns
+    * null when nothing codes (cbp == 0).
+    */
+  private def interCoeffsFromPred(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      predL: Array[Int], predCb: Array[Int], predCr: Array[Int]): PMbCoeffs = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val qpc = chromaQp(qp)
+    val mc = new PMbCoeffs
     val b = new Array[Int](16)
     var lumaBits = 0
     var blk = 0
@@ -2014,10 +2148,8 @@ object H264Codec {
     }
     var anyChromaAc = false
     var anyChromaDc = false
-    def chroma(src: Array[Byte], refPlane: Array[Byte], dcZig: Array[Int],
+    def chroma(src: Array[Byte], predC: Array[Int], dcZig: Array[Int],
         acZig: Array[Array[Int]]): Unit = {
-      val predC = new Array[Int](64)
-      mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx, mvy, predC)
       val cx0 = mbX * 8; val cy0 = mbY * 8
       val dc = new Array[Int](4)
       var cb = 0
@@ -2053,11 +2185,11 @@ object H264Codec {
         k += 1
       }
     }
-    chroma(srcCb, ref.reconCb, mc.cbDcZig, mc.cbAcZig)
-    chroma(srcCr, ref.reconCr, mc.crDcZig, mc.crAcZig)
+    chroma(srcCb, predCb, mc.cbDcZig, mc.cbAcZig)
+    chroma(srcCr, predCr, mc.crDcZig, mc.crAcZig)
     val cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
     mc.cbp = lumaBits | (cbpChroma << 4)
-    (mvx, mvy, if (mc.cbp == 0) null else mc, best)
+    if (mc.cbp == 0) null else mc
   }
 
   /** per-MB reference selection over the L0 list: full motion analysis
@@ -2083,6 +2215,164 @@ object H264Codec {
       r += 1
     }
     (bestRef, bestRes._1, bestRes._2, bestRes._3)
+  }
+
+  /** Luma SAD of an arbitrary 16x16 prediction buffer vs the source —
+    * the comparable cost metric across B-MB candidates */
+  private def predSad(st: PicState, mbX: Int, mbY: Int, srcY: Array[Byte],
+      predL: Array[Int]): Long = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    var s = 0L
+    var r = 0
+    while (r < 16) {
+      var c = 0
+      while (c < 16) {
+        s += math.abs((srcY((y0 + r) * st.pw + x0 + c) & 0xff) - predL(r * 16 + c))
+        c += 1
+      }
+      r += 1
+    }
+    s
+  }
+
+  /** MC prediction buffers (luma + both chroma planes) for one list */
+  private def mcPred(st: PicState, ref: PicState, mbX: Int, mbY: Int,
+      mvx: Int, mvy: Int): (Array[Int], Array[Int], Array[Int]) = {
+    val pL = new Array[Int](256)
+    mcLuma(ref, mbX, mbY, mvx, mvy, pL)
+    val pCb = new Array[Int](64)
+    val pCr = new Array[Int](64)
+    mcChroma(ref.reconCb, st.cw, st.ch, mbX, mbY, mvx, mvy, pCb)
+    mcChroma(ref.reconCr, st.cw, st.ch, mbX, mbY, mvx, mvy, pCr)
+    (pL, pCb, pCr)
+  }
+
+  @inline private def avgInPlace(a: Array[Int], b: Array[Int]): Unit = {
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+  }
+
+  /** One chosen B macroblock: Table 7-14 mb_type (0 B_Direct_16x16,
+    * 1 B_L0_16x16, 2 B_L1_16x16, 3 B_Bi_16x16), per-list refIdx/MV
+    * (refIdx -1 = list unused; direct MBs carry their DERIVED motion so
+    * reconstruction and deblocking state need no re-derivation), and the
+    * residual (null = cbp 0 — a direct MB with null residual is B_Skip).
+    */
+  private final case class BMbChoice(mbType: Int, ref0: Int, ref1: Int,
+      mv0x: Int, mv0y: Int, mv1x: Int, mv1y: Int, mc: PMbCoeffs)
+
+  /** B-MB mode decision: full motion analysis per list, the averaged
+    * bi-candidate from the two winners, and the spatial-direct candidate
+    * — lowest prediction SAD wins with fixed header-bit penalties
+    * (direct 0, single-list 24, bi 48), ties to the cheaper header so
+    * static content still collapses to B_Skip runs. Entropy-independent,
+    * so CAVLC and CABAC B stores stay pixel-equal.
+    */
+  private def chooseBMb(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      range: Int, halfPel: Boolean, quarterPel: Boolean): BMbChoice = {
+    // spatial-direct candidate (its mc builds from the derived motion)
+    val (dr0, dr1, d0x, d0y, d1x, d1y) = directSpatial(st, l1(0), mbX, mbY)
+    val (dL, dCb, dCr) = {
+      if (dr0 >= 0 && dr1 >= 0) {
+        val p0 = mcPred(st, l0(dr0), mbX, mbY, d0x, d0y)
+        val p1 = mcPred(st, l1(dr1), mbX, mbY, d1x, d1y)
+        avgInPlace(p0._1, p1._1); avgInPlace(p0._2, p1._2); avgInPlace(p0._3, p1._3)
+        p0
+      } else if (dr0 >= 0) mcPred(st, l0(dr0), mbX, mbY, d0x, d0y)
+      else mcPred(st, l1(dr1), mbX, mbY, d1x, d1y)
+    }
+    val dSad = predSad(st, mbX, mbY, srcY, dL)
+    // per-list motion analyses (refIdx fixed 0: B lists are 1-deep here)
+    val (m0x, m0y, mc0, sad0) = analysePMb(st, l0(0), mbX, mbY, qp, srcY,
+      srcCb, srcCr, range, halfPel, quarterPel)
+    val (m1x, m1y, mc1, sad1) = analysePMb(st, l1(0), mbX, mbY, qp, srcY,
+      srcCb, srcCr, range, halfPel, quarterPel)
+    // bi candidate: average of the two single-list winners
+    val (bL, bCb, bCr) = {
+      val p0 = mcPred(st, l0(0), mbX, mbY, m0x, m0y)
+      val p1 = mcPred(st, l1(0), mbX, mbY, m1x, m1y)
+      avgInPlace(p0._1, p1._1); avgInPlace(p0._2, p1._2); avgInPlace(p0._3, p1._3)
+      p0
+    }
+    val bSad = predSad(st, mbX, mbY, srcY, bL)
+    // fixed header-bit penalties; evaluation order breaks ties cheapest-first
+    val costs = Array(dSad, sad0 + 24, sad1 + 24, bSad + 48)
+    var bestI = 0
+    var i = 1
+    while (i < 4) { if (costs(i) < costs(bestI)) bestI = i; i += 1 }
+    bestI match {
+      case 0 =>
+        val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+          dL, dCb, dCr)
+        BMbChoice(0, dr0, dr1, d0x, d0y, d1x, d1y, mc)
+      case 1 => BMbChoice(1, 0, -1, m0x, m0y, 0, 0, mc0)
+      case 2 => BMbChoice(2, -1, 0, 0, 0, m1x, m1y, mc1)
+      case _ =>
+        val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+          bL, bCb, bCr)
+        BMbChoice(3, 0, 0, m0x, m0y, m1x, m1y, mc)
+    }
+  }
+
+  /** reconstruct one chosen/parsed B MB (shared by encoder and decoder) */
+  private def reconstructBMb(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
+      ch: BMbChoice): Unit =
+    reconstructInterMb(st, mbX, mbY, qp,
+      if (ch.ref0 >= 0) l0(ch.ref0) else null, ch.ref0, ch.mv0x, ch.mv0y,
+      if (ch.ref1 >= 0) l1(ch.ref1) else null, ch.ref1, ch.mv1x, ch.mv1y,
+      ch.mc)
+
+  /** the B-slice macroblock loop (CAVLC): B_Skip runs via mb_skip_run,
+    * Table 7-14 16x16 types, per-list mvd against the per-list §8.4.1.3
+    * predictor; list actives are 1/1 so no ref_idx bits appear (te(v)
+    * with cMax 0 codes nothing)
+    */
+  private def encodeBRange(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], bw: H264Writer.BitWriter,
+      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
+      startMb: Int, endMb: Int): Unit = {
+    val mbW = st.mbW
+    var skipRun = 0
+    var mb = startMb
+    while (mb < endMb) {
+      val mbX = mb % mbW; val mbY = mb / mbW
+      st.sliceOfMb(mb) = st.curSlice
+      val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
+        searchRange, halfPel, quarterPel)
+      if (ch.mbType == 0 && ch.mc == null) { // B_Skip
+        skipRun += 1
+        clearNz(st, mbX, mbY)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+      } else {
+        bw.ue(skipRun); skipRun = 0
+        bw.ue(ch.mbType)
+        // ref_idx_lX: cMax 0 at 1-deep lists -> no bits
+        if (ch.ref0 >= 0 && ch.mbType != 0) {
+          val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
+          bw.se(ch.mv0x - px); bw.se(ch.mv0y - py)
+        }
+        if (ch.ref1 >= 0 && ch.mbType != 0) {
+          val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
+          bw.se(ch.mv1x - px); bw.se(ch.mv1y - py)
+        }
+        val cbp = if (ch.mc == null) 0 else ch.mc.cbp
+        bw.ue(cbpInterToCode(cbp))
+        if (cbp != 0) {
+          bw.se(0) // mb_qp_delta
+          // reconstruct FIRST: writePResidual updates the nC grids the
+          // next MB reads, while reconstruction only needs pixels + MVs
+        }
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+        if (cbp != 0) writePResidual(bw, st, mbX, mbY, ch.mc)
+        else clearNz(st, mbX, mbY)
+      }
+      mb += 1
+    }
+    if (skipRun > 0) bw.ue(skipRun)
   }
 
   /** write one coded P MB (P_L0_16x16) + CAVLC residuals, with nC and MV
@@ -2203,7 +2493,14 @@ object H264Codec {
     // ctx by §9.3.3.1.1.6 neighbor derivation (inc 0..3), bin 1 at +4,
     // bins >= 2 at +5
     val RefIdx = 289    // + inc 0..5
-    val N = 295
+    // B-slice blocks (Table 9-37 binarization): mb_type bin0 at +0..2
+    // (condTermFlagN = neighbor coded and not B_Skip/B_Direct), bin1 at
+    // +3, bin2 at +4 when the prior bin was 0 / +5 when 1 (§9.3.3.1.2),
+    // bins >= 3 at +5; mb_skip_flag gets its own 3-slot block (the
+    // spec's 24..26, distinct from P's 11..13)
+    val BMbType = 295   // + 0..5
+    val BSkip = 301     // + inc 0..2
+    val N = 304
     // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
     // 3 ChromaDC(4) 4 ChromaAC(15); 5 Luma8x8(64) handled out-of-band
     val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
@@ -2230,6 +2527,12 @@ object H264Codec {
     val chromaModeNz = new Array[Boolean](n)
     val mvdX = new Array[Int](n)
     val mvdY = new Array[Int](n)
+    // list-1 mvd accumulators (B slices): §9.3.3.1.1.7 sums the SAME
+    // list's neighbor mvd per component
+    val mvdXL1 = new Array[Int](n)
+    val mvdYL1 = new Array[Int](n)
+    // B_Direct_16x16 marker (mb_type bin-0 condTerm excludes direct MBs)
+    val directB = new Array[Boolean](n)
     val lumaDcNz = new Array[Boolean](n)
     val cbDcNz = new Array[Boolean](n)
     val crDcNz = new Array[Boolean](n)
@@ -2299,12 +2602,21 @@ object H264Codec {
       (if (ia >= 0 && st.refIdxMb(ia) > 0) 1 else 0) +
         (if (ib >= 0 && st.refIdxMb(ib) > 0) 2 else 0)
     }
-    def incMvd(mbX: Int, mbY: Int, yComp: Boolean): Int = {
+    def incMvd(mbX: Int, mbY: Int, yComp: Boolean, list: Int = 0): Int = {
       val ia = a(mbX, mbY); val ib = b(mbX, mbY)
-      val arr = if (yComp) mvdY else mvdX
+      val arr =
+        if (list == 0) { if (yComp) mvdY else mvdX }
+        else { if (yComp) mvdYL1 else mvdXL1 }
       val s = (if (ia >= 0) math.abs(arr(ia)) else 0) +
         (if (ib >= 0) math.abs(arr(ib)) else 0)
       if (s < 3) 0 else if (s <= 32) 1 else 2
+    }
+    /** B mb_type bin-0 inc: condTermFlagN = 1 iff the neighbor is
+      * available and coded as neither B_Skip nor B_Direct_16x16 */
+    def incBMbType(mbX: Int, mbY: Int): Int = {
+      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+      (if (ia >= 0 && !skip(ia) && !directB(ia)) 1 else 0) +
+        (if (ib >= 0 && !skip(ib) && !directB(ib)) 1 else 0)
     }
     /** coded_block_flag inc = condA + 2*condB over same-category
       * neighbor blocks; DC flags are per-MB, AC/4x4 flags read the nz
@@ -2818,16 +3130,128 @@ object H264Codec {
     bw.alignZero()
   }
 
-  /** CABAC slice-data decode (I and P), mirror of the two encode loops */
+  /** B mb_type bins, Table 9-37 subset (16x16 partitions): 0 '0',
+    * 1 '100', 2 '101', 3 '110000'; bin0 ctx by neighbor condTerm, bin1
+    * at +3, bin2 at +4/+5 by the prior bin (§9.3.3.1.2), rest at +5 */
+  private def cabacWriteBMbType(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      inc0: Int, mbType: Int): Unit = {
+    if (mbType == 0) { e.encodeBin(cx, CabacCtx.BMbType + inc0, 0); return }
+    e.encodeBin(cx, CabacCtx.BMbType + inc0, 1)
+    if (mbType <= 2) {
+      e.encodeBin(cx, CabacCtx.BMbType + 3, 0)
+      e.encodeBin(cx, CabacCtx.BMbType + 4, mbType - 1)
+    } else {
+      e.encodeBin(cx, CabacCtx.BMbType + 3, 1)
+      var k = 0
+      while (k < 4) { e.encodeBin(cx, CabacCtx.BMbType + 5, 0); k += 1 }
+    }
+  }
+
+  private def cabacReadBMbType(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
+      inc0: Int): Int = {
+    if (d.decodeBin(cx, CabacCtx.BMbType + inc0) == 0) return 0
+    if (d.decodeBin(cx, CabacCtx.BMbType + 3) == 0)
+      1 + d.decodeBin(cx, CabacCtx.BMbType + 4)
+    else {
+      // '11' prefix: only B_Bi_16x16 ('110000') sits in this subset
+      var k = 0
+      while (k < 4) {
+        require(d.decodeBin(cx, CabacCtx.BMbType + 5) == 0,
+          "B mb_type beyond the 16x16 subset (partitions/intra-in-B)")
+        k += 1
+      }
+      3
+    }
+  }
+
+  /** the B-slice CABAC macroblock loop (encode side) */
+  private def encodeBRangeCabac(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], bw: H264Writer.BitWriter,
+      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
+      startMb: Int, endMb: Int): Unit = {
+    bw.alignOne()
+    val e = new H264Cabac.Encoder(bw)
+    val cx = new H264Cabac.Contexts(CabacCtx.N)
+    H264Cabac.initTables.foreach(t => cx.init(t.p(0), qp)) // emitted idc = 0
+    val cms = new CabacMbState(st)
+    var mb = startMb
+    while (mb < endMb) {
+      val mbX = mb % st.mbW; val mbY = mb / st.mbW
+      val mi = mbY * st.mbW + mbX
+      st.sliceOfMb(mb) = st.curSlice
+      val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
+        searchRange, halfPel, quarterPel)
+      if (ch.mbType == 0 && ch.mc == null) { // B_Skip
+        e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 1)
+        cms.skip(mi) = true
+        clearNz(st, mbX, mbY)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+      } else {
+        e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 0)
+        cabacWriteBMbType(e, cx, cms.incBMbType(mbX, mbY), ch.mbType)
+        cms.directB(mi) = ch.mbType == 0
+        if (ch.mbType != 0) {
+          // ref_idx_lX: 1-deep lists code no bins (cMax 0)
+          if (ch.ref0 >= 0) {
+            val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
+            val dx = ch.mv0x - px; val dy = ch.mv0y - py
+            cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false), dx)
+            cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true), dy)
+            cms.mvdX(mi) = dx; cms.mvdY(mi) = dy
+          }
+          if (ch.ref1 >= 0) {
+            val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
+            val dx = ch.mv1x - px; val dy = ch.mv1y - py
+            cabacWriteMvd(e, cx, CabacCtx.Mvd,
+              cms.incMvd(mbX, mbY, yComp = false, list = 1), dx)
+            cabacWriteMvd(e, cx, CabacCtx.Mvd + 7,
+              cms.incMvd(mbX, mbY, yComp = true, list = 1), dy)
+            cms.mvdXL1(mi) = dx; cms.mvdYL1(mi) = dy
+          }
+        }
+        val cbp = if (ch.mc == null) 0 else ch.mc.cbp
+        var b8 = 0
+        var bitsSoFar = 0
+        while (b8 < 4) {
+          val bit = (cbp >> b8) & 1
+          e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
+          bitsSoFar |= bit << b8
+          b8 += 1
+        }
+        val cbpChroma = cbp >> 4
+        e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
+          if (cbpChroma != 0) 1 else 0)
+        if (cbpChroma != 0)
+          e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
+            if (cbpChroma == 2) 1 else 0)
+        cms.cbp(mi) = cbp
+        if (cbp != 0) {
+          e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0) // mb_qp_delta 0
+          cms.lastQpDeltaNz = false
+          cabacResidualP(st, cms, mbX, mbY, ch.mc,
+            (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+        } else clearNz(st, mbX, mbY)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+      }
+      mb += 1
+      e.encodeTerminate(if (mb == endMb) 1 else 0)
+    }
+    e.flush()
+    bw.alignZero()
+  }
+
+  /** CABAC slice-data decode (I, P, and B), mirror of the encode loops */
   private def decodeSliceDataCabac(r: H264.BitReader, st: PicState,
       refs: IndexedSeq[PicState],
       isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0,
-      t8pps: Boolean = false, numRefActive: Int = 1): Unit = {
+      t8pps: Boolean = false, numRefActive: Int = 1,
+      isB: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty): Unit = {
     r.align() // cabac_alignment_one_bit
     val d = new H264Cabac.Decoder(r)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
     H264Cabac.initTables.foreach(t =>
-      cx.init(if (isP) t.p(cabacInitIdc) else t.i, qp))
+      cx.init(if (isP || isB) t.p(cabacInitIdc) else t.i, qp))
     val cms = new CabacMbState(st)
     val nMb = st.mbW * st.mbH
     var mb = firstMb
@@ -2837,7 +3261,74 @@ object H264Codec {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
-      if (isP && d.decodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY)) == 1) {
+      if (isB) {
+        if (d.decodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY)) == 1) {
+          cms.skip(mi) = true
+          val (r0, r1, m0x, m0y, m1x, m1y) = directSpatial(st, l1(0), mbX, mbY)
+          clearNz(st, mbX, mbY)
+          reconstructBMb(st, refs, l1, mbX, mbY, qp,
+            BMbChoice(0, r0, r1, m0x, m0y, m1x, m1y, null))
+        } else {
+          val mbType = cabacReadBMbType(d, cx, cms.incBMbType(mbX, mbY))
+          cms.directB(mi) = mbType == 0
+          var ref0 = -1; var ref1 = -1
+          var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
+          if (mbType == 0) {
+            val dm = directSpatial(st, l1(0), mbX, mbY)
+            ref0 = dm._1; ref1 = dm._2
+            mv0x = dm._3; mv0y = dm._4; mv1x = dm._5; mv1y = dm._6
+          } else {
+            // ref_idx_lX: 1-deep lists code no bins (cMax 0)
+            if (mbType == 1 || mbType == 3) {
+              ref0 = 0
+              val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
+                cms.incMvd(mbX, mbY, yComp = false))
+              val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
+                cms.incMvd(mbX, mbY, yComp = true))
+              cms.mvdX(mi) = dx; cms.mvdY(mi) = dy
+              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 0)
+              mv0x = px + dx; mv0y = py + dy
+            }
+            if (mbType == 2 || mbType == 3) {
+              ref1 = 0
+              val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
+                cms.incMvd(mbX, mbY, yComp = false, list = 1))
+              val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
+                cms.incMvd(mbX, mbY, yComp = true, list = 1))
+              cms.mvdXL1(mi) = dx; cms.mvdYL1(mi) = dy
+              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 1)
+              mv1x = px + dx; mv1y = py + dy
+            }
+          }
+          var cbpLuma = 0
+          var b8 = 0
+          while (b8 < 4) {
+            cbpLuma |= d.decodeBin(cx,
+              CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma)) << b8
+            b8 += 1
+          }
+          var cbpChroma = 0
+          if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+            cbpChroma =
+              if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+              else 1
+          val cbp = cbpLuma | (cbpChroma << 4)
+          cms.cbp(mi) = cbp
+          val mc = if (cbp == 0) null else {
+            val m = new PMbCoeffs
+            m.cbp = cbp
+            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+              "mb_qp_delta != 0 unsupported (constant-QP subset)")
+            cms.lastQpDeltaNz = false
+            cabacResidualP(st, cms, mbX, mbY, m,
+              (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+            m
+          }
+          if (mc == null) clearNz(st, mbX, mbY)
+          reconstructBMb(st, refs, l1, mbX, mbY, qp,
+            BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
+        }
+      } else if (isP && d.decodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY)) == 1) {
         cms.skip(mi) = true
         val (sx, sy) = skipMv(st, mbX, mbY)
         clearNz(st, mbX, mbY)
@@ -3041,10 +3532,25 @@ object H264Codec {
     val qIntra = !st.inter(qMb)
     if (pIntra || qIntra) { if (mbEdge) 4 else 3 }
     else if (st.nzY(pBy * st.bw4 + pBx) > 0 || st.nzY(qBy * st.bw4 + qBx) > 0) 2
-    else if (st.refIdxMb(pMb) != st.refIdxMb(qMb) ||
-             math.abs(st.mvX(pMb) - st.mvX(qMb)) >= 4 ||
-             math.abs(st.mvY(pMb) - st.mvY(qMb)) >= 4) 1
-    else 0
+    else {
+      // §8.7.2.1 motion test, per prediction list: bs = 1 when the two
+      // sides predict from different reference pictures (within one
+      // picture every MB shares the slice-header lists, so (list,
+      // refIdx) identifies the picture; this subset never places the
+      // same picture in both lists) or any same-list MV component jumps
+      // by >= one integer sample (quarter-pel units). Single-list P MBs
+      // carry refIdxL1 = -1 on both sides, reducing to the P rule.
+      val refsDiffer = st.refIdxMb(pMb) != st.refIdxMb(qMb) ||
+        st.refIdxL1(pMb) != st.refIdxL1(qMb)
+      val mvJump =
+        (st.refIdxMb(pMb) >= 0 &&
+          (math.abs(st.mvX(pMb) - st.mvX(qMb)) >= 4 ||
+           math.abs(st.mvY(pMb) - st.mvY(qMb)) >= 4)) ||
+        (st.refIdxL1(pMb) >= 0 &&
+          (math.abs(st.mvXL1(pMb) - st.mvXL1(qMb)) >= 4 ||
+           math.abs(st.mvYL1(pMb) - st.mvYL1(qMb)) >= 4))
+      if (refsDiffer || mvJump) 1 else 0
+    }
   }
 
   @inline private def clip3i(lo: Int, hi: Int, v: Int): Int =
@@ -3183,14 +3689,17 @@ object H264Codec {
       quarterPel: Boolean,
       deblock: Boolean, slices: Int, cabac: Boolean = false,
       transform8x8: Boolean = false,
-      numRefL0: Int = 1): (Seq[Array[Byte]], PicState) = {
+      numRefL0: Int = 1,
+      bSlice: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
+      frameNum: Int = -1, pocLsb: Int = -1): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
     val srcCb = pad(yuv.cb, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val srcCr = pad(yuv.cr, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val idr = frameIdx == 0
-    val pSlice = refs.nonEmpty && !idr
+    val pSlice = refs.nonEmpty && !idr && !bSlice
+    require(!bSlice || (refs.nonEmpty && l1.nonEmpty), "B frame needs both lists")
     // a slice must not declare more active references than the DPB holds
     // (the first P frame after an IDR has one): override the PPS default
     // down when short
@@ -3204,21 +3713,30 @@ object H264Codec {
       st.curSlice = s
       val bw = new H264Writer.BitWriter
       bw.ue(startMb)           // first_mb_in_slice
-      bw.ue(if (pSlice) 5 else 7) // slice_type: P / I ("all slices of picture")
+      // slice_type, the "all slices of this picture" variants (+5)
+      bw.ue(if (bSlice) 6 else if (pSlice) 5 else 7)
       bw.ue(0)                 // pps_id
-      bw.u(12, frameIdx % (1 << 12)) // frame_num
+      bw.u(12, (if (frameNum >= 0) frameNum else frameIdx) % (1 << 12))
       if (idr) bw.ue(0)        // idr_pic_id
-      // poc type 2: no POC fields
+      if (pocLsb >= 0) bw.u(8, pocLsb % 256) // pic_order_cnt_lsb (poc type 0)
+      if (bSlice) bw.u1(1)     // direct_spatial_mv_pred_flag: spatial
       if (pSlice) {
         if (numRefActive != numRefL0) {
           bw.u1(1)             // num_ref_idx_active_override_flag
           bw.ue(numRefActive - 1)
         } else bw.u1(0)
         bw.u1(0)               // ref_pic_list_modification_flag_l0
+      } else if (bSlice) {
+        bw.u1(0)               // no override: PPS defaults 1/1
+        bw.u1(0)               // ref_pic_list_modification_flag_l0
+        bw.u1(0)               // ref_pic_list_modification_flag_l1
       }
-      if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
-      else bw.u1(0)            // adaptive_ref_pic_marking_mode_flag
-      if (cabac && pSlice) bw.ue(0) // cabac_init_idc (repo-local uniform init)
+      // dec_ref_pic_marking only rides reference pictures (B is non-ref)
+      if (!bSlice) {
+        if (idr) { bw.u1(0); bw.u1(0) } // no_output_of_prior_pics, long_term_reference
+        else bw.u1(0)          // adaptive_ref_pic_marking_mode_flag
+      }
+      if (cabac && (pSlice || bSlice)) bw.ue(0) // cabac_init_idc (repo-local uniform init)
       bw.se(qp - 26)           // slice_qp_delta
       if (deblock) {
         bw.ue(0)               // disable_deblocking_filter_idc: filter on
@@ -3227,19 +3745,25 @@ object H264Codec {
       } else
         bw.ue(1)               // disable_deblocking_filter_idc: off
       if (cabac) {
-        if (pSlice)
+        if (bSlice)
+          encodeBRangeCabac(st, refs, l1, bw, qp, srcY, srcCb, srcCr,
+            searchRange, halfPel, quarterPel, startMb, endMb)
+        else if (pSlice)
           encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
             halfPel, quarterPel, startMb, endMb, numRefActive)
         else
           encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb,
             t8 = transform8x8)
-      } else if (pSlice)
+      } else if (bSlice)
+        encodeBRange(st, refs, l1, bw, qp, srcY, srcCb, srcCr, searchRange,
+          halfPel, quarterPel, startMb, endMb)
+      else if (pSlice)
         encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, numRefActive)
       else
         encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb,
           transform8x8)
-      val nalRefIdc = if (idr) 3 else 2
+      val nalRefIdc = if (idr) 3 else if (bSlice) 0 else 2
       val nalType = if (idr) 5 else 1
       // the CABAC flush already emitted the stop bit and byte-aligned;
       // rbspTrailing would append a spurious trailing byte there
@@ -3385,12 +3909,87 @@ object H264Codec {
     bw.rbspTrailing()
   }
 
+  /** the conformance-envelope text for the stream's marker SEI (the
+    * cabac-init-fp token is machine-checked at decode) */
+  private def seiMsg(cabac: Boolean, transform8x8: Boolean): String =
+    if (cabac && H264Cabac.initTables.isDefined)
+      f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains" +
+        (if (transform8x8) "; cat-5 sig/last ctx buckets repo-local (not Table 9-43)" else "") +
+        "; self-decode verified only"
+    else if (cabac)
+      f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33)" +
+        (if (transform8x8) "; cat-5 sig/last ctx buckets repo-local (not Table 9-43)" else "") +
+        "; self-decode only"
+    else
+      "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only"
+
+  /** B-frame GOP coding (IBPBP…): anchors (I then P) at even display
+    * indices reference the previous anchor; one non-reference B between
+    * consecutive anchors bi-predicts from both (an odd display tail
+    * becomes a trailing P). POC type 0 carries display order (poc =
+    * 2·display) so the decoder's output reorder restores input order;
+    * frame_num increments per reference picture only, a non-ref B takes
+    * PrevRefFrameNum + 1 (§7.4.3).
+    */
+  private def encodeBGop(frames: Seq[Yuv], qp: Int, searchRange: Int,
+      halfPel: Boolean, quarterPel: Boolean, deblock: Boolean,
+      slicesPerFrame: Int, cabac: Boolean, transform8x8: Boolean): Array[Byte] = {
+    val head = frames.head
+    val out = new java.io.ByteArrayOutputStream()
+    // DPB must hold BOTH anchors around a B (sliding-window, 2 deep)
+    out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h,
+      high = transform8x8, maxRefFrames = 2, pocType = 0)))
+    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0 = 1)))
+    out.write(H264Writer.nal(0, 6, seiUserData(seiMsg(cabac, transform8x8))))
+    val n = frames.length
+    // coding order over display indices
+    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Char)]
+    order += ((0, 'I'))
+    var a = 2
+    while (a < n) { order += ((a, 'P')); order += ((a - 1, 'B')); a += 2 }
+    if (n % 2 == 0 && n > 1) order += ((n - 1, 'P'))
+    val dpb = ArrayBuffer.empty[PicState] // anchors, most recent first
+    var refCount = 0
+    var codingIdx = 0
+    order.foreach { case (disp, kind) =>
+      val poc = 2 * disp
+      val (nals, st) = kind match {
+        case 'I' =>
+          encodeFrame(frames(disp), 0, qp, pcm = false, IndexedSeq.empty,
+            searchRange, halfPel, quarterPel, deblock, slicesPerFrame,
+            cabac, transform8x8, numRefL0 = 1, frameNum = 0, pocLsb = poc)
+        case 'P' =>
+          encodeFrame(frames(disp), codingIdx, qp, pcm = false,
+            IndexedSeq(dpb.head), searchRange, halfPel, quarterPel, deblock,
+            slicesPerFrame, cabac, transform8x8, numRefL0 = 1,
+            frameNum = refCount, pocLsb = poc)
+        case _ =>
+          val past = dpb.filter(_.poc < poc).maxBy(_.poc)
+          val fut = dpb.filter(_.poc > poc).minBy(_.poc)
+          encodeFrame(frames(disp), codingIdx, qp, pcm = false,
+            IndexedSeq(past), searchRange, halfPel, quarterPel, deblock,
+            slicesPerFrame, cabac, transform8x8, numRefL0 = 1,
+            bSlice = true, l1 = IndexedSeq(fut),
+            frameNum = refCount, pocLsb = poc)
+      }
+      st.poc = poc
+      if (kind != 'B') { // B frames are non-reference: the DPB skips them
+        dpb.prepend(st)
+        while (dpb.size > 2) dpb.remove(dpb.size - 1)
+        refCount += 1
+      }
+      nals.foreach(out.write)
+      codingIdx += 1
+    }
+    out.toByteArray
+  }
+
   def encode(frames: Seq[Yuv], qp: Int = 12, pcm: Boolean = false,
       allIntra: Boolean = false, searchRange: Int = 4,
       halfPel: Boolean = true, quarterPel: Boolean = true,
       deblock: Boolean = true, slicesPerFrame: Int = 1,
       cabac: Boolean = false, transform8x8: Boolean = false,
-      multiRef: Boolean = false): Array[Byte] = {
+      multiRef: Boolean = false, bframes: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -3401,7 +4000,13 @@ object H264Codec {
     require(!(transform8x8 && pcm), "I_PCM tier never uses the 8x8 transform")
     require(!(multiRef && (pcm || allIntra)),
       "multiRef needs P slices (pcm/allIntra tiers have none)")
+    require(!(bframes && (pcm || allIntra)),
+      "bframes needs inter anchors (pcm/allIntra tiers have none)")
+    require(!(bframes && multiRef),
+      "bframes x multiRef untested combination (one tier per stream)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
+    if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
+      quarterPel, deblock, slicesPerFrame, cabac, transform8x8)
     // a 2-deep DPB with num_ref_idx_l0_active 2: per-MB ref_idx selects
     // the previous or the previous-but-one reconstructed picture
     val numRefL0 = if (multiRef) 2 else 1
@@ -3413,17 +4018,7 @@ object H264Codec {
     // and refuses a stream whose init-table fingerprint differs from the
     // decoding JVM's (ADVICE r12 — a table/JVM mismatch used to surface
     // as garbage pixels, not a diagnosable error)
-    out.write(H264Writer.nal(0, 6, seiUserData(
-      if (cabac && H264Cabac.initTables.isDefined)
-        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; CABAC ctx init from provided 9.3.1.1 tables; condTermFlag simplification remains" +
-          (if (transform8x8) "; cat-5 sig/last ctx buckets repo-local (not Table 9-43)" else "") +
-          "; self-decode verified only"
-      else if (cabac)
-        f"cabac-init-fp=${H264Cabac.initFingerprint}%016x; NONCONFORMANT: CABAC context init is repo-local uniform (not Tables 9-12..9-33)" +
-          (if (transform8x8) "; cat-5 sig/last ctx buckets repo-local (not Table 9-43)" else "") +
-          "; self-decode only"
-      else
-        "NONCONFORMANT: 3 CAVLC Table 9-5 codewords reassigned (see graft README); self-decode verified only")))
+    out.write(H264Writer.nal(0, 6, seiUserData(seiMsg(cabac, transform8x8))))
     val refs = ArrayBuffer.empty[PicState] // DPB, most recent first
     frames.zipWithIndex.foreach { case (f, i) =>
       // the PCM tier stays filter-free: deblocking raw macroblocks would
@@ -3443,6 +4038,25 @@ object H264Codec {
 
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
       cabac: Boolean, transform8x8: Boolean = false, numRefL0: Int = 1)
+
+  /** §8.2.1.1 picture-order-count state (poc type 0): MSB wraparound
+    * tracking against the previous REFERENCE picture. `compute` is
+    * idempotent across the slices of one picture (same lsb → same msb →
+    * same prev update), so multi-slice pictures call it per slice safely.
+    */
+  private final class PocCtx {
+    private var prevMsb = 0
+    private var prevLsb = 0
+    def compute(lsb: Int, maxLsb: Int, idr: Boolean, isRef: Boolean): Int = {
+      if (idr) { prevMsb = 0; prevLsb = 0 }
+      val msb =
+        if (lsb < prevLsb && (prevLsb - lsb) >= maxLsb / 2) prevMsb + maxLsb
+        else if (lsb > prevLsb && (lsb - prevLsb) > maxLsb / 2) prevMsb - maxLsb
+        else prevMsb
+      if (isRef) { prevMsb = msb; prevLsb = lsb }
+      msb + lsb
+    }
+  }
 
   /** per-slice deblocking request (§7.3.3): off, or on with α/β offsets
     * and whether filtering crosses slice boundaries (idc 0 vs 2)
@@ -3534,31 +4148,63 @@ object H264Codec {
     */
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
       nalType: Int, refIdc: Int, st: PicState,
-      refs: IndexedSeq[PicState]): DeblockReq = {
+      refs: IndexedSeq[PicState], pocCtx: PocCtx): DeblockReq = {
     val r = new H264.BitReader(rbsp)
     val firstMb = r.ue // slices start anywhere; caller sequences them into one picture
     require(firstMb < st.mbW * st.mbH, s"first_mb_in_slice $firstMb outside the picture")
     val sliceType = r.ue
     val isI = sliceType == 2 || sliceType == 7
     val isP = sliceType == 0 || sliceType == 5
-    require(isI || isP, s"slice_type $sliceType unsupported (I and P only)")
+    val isB = sliceType == 1 || sliceType == 6
+    require(isI || isP || isB, s"slice_type $sliceType unsupported (I/P/B only)")
     r.ue // pps_id
-    r.u(sps.log2MaxFrameNum) // frame_num
+    val frameNum = r.u(sps.log2MaxFrameNum)
     val idr = nalType == 5
     if (idr) r.ue // idr_pic_id
     sps.pocType match {
-      case 0 => r.u(sps.log2MaxPocLsb)
-      case 2 => ()
+      case 0 =>
+        val lsb = r.u(sps.log2MaxPocLsb)
+        st.poc = pocCtx.compute(lsb, 1 << sps.log2MaxPocLsb, idr, refIdc != 0)
+      case 2 =>
+        // §8.2.1.3 without the wrap offset (decode order; never drives
+        // reordering — type-2 streams are I/P-only by construction)
+        st.poc = 2 * frameNum - (if (refIdc != 0) 0 else 1)
       case other => sys.error(s"poc type $other unsupported")
     }
-    // num_ref_idx_l0_active: the PPS default unless the slice overrides
+    if (isB) {
+      require(sps.pocType == 0,
+        "B slice with poc type 2 unsupported (display order needs explicit POC)")
+      require(r.u1 == 1,
+        "direct_spatial_mv_pred_flag=0 (temporal direct) unsupported")
+    }
+    // default B reference list order (§8.2.4.2.3): L0 = closer-past
+    // first then future, L1 = closer-future first then past; the P list
+    // (decode-order recency) stays as passed
+    lazy val bL0: IndexedSeq[PicState] =
+      refs.filter(_.poc < st.poc).sortBy(-_.poc) ++
+        refs.filter(_.poc > st.poc).sortBy(_.poc)
+    lazy val bL1: IndexedSeq[PicState] =
+      refs.filter(_.poc > st.poc).sortBy(_.poc) ++
+        refs.filter(_.poc < st.poc).sortBy(-_.poc)
+    // num_ref_idx_lX_active: the PPS default unless the slice overrides
     var numRefActive = pps.numRefL0
+    var numRefActiveL1 = 1
     if (isP) {
       if (r.u1 == 1) numRefActive = r.ue + 1 // override -> l0_active_minus1
       require(r.u1 == 0, "ref_pic_list_modification not supported")
       require(numRefActive <= refs.length,
         s"num_ref_idx_l0_active $numRefActive exceeds the ${refs.length} " +
           "decoded reference(s) (default L0 order; no list modification)")
+    } else if (isB) {
+      if (r.u1 == 1) { numRefActive = r.ue + 1; numRefActiveL1 = r.ue + 1 }
+      else numRefActive = pps.numRefL0
+      require(numRefActive == 1 && numRefActiveL1 == 1,
+        s"B list actives ($numRefActive,$numRefActiveL1) unsupported " +
+          "(1-deep lists; 16x16 subset)")
+      require(r.u1 == 0, "ref_pic_list_modification (l0) not supported")
+      require(r.u1 == 0, "ref_pic_list_modification (l1) not supported")
+      require(bL0.nonEmpty && bL1.nonEmpty,
+        "B slice without both a past and a future reference picture")
     }
     if (refIdc != 0) {
       if (idr) { r.u1; r.u1 }
@@ -3566,7 +4212,7 @@ object H264Codec {
     }
     // cabac_init_idc: selects the P-slice init set when §9.3.1.1 tables
     // are available ([[H264Cabac.initTables]]); no-op under uniform init
-    val cabacInitIdc = if (pps.cabac && isP) r.ue else 0
+    val cabacInitIdc = if (pps.cabac && (isP || isB)) r.ue else 0
     require(cabacInitIdc <= 2, s"cabac_init_idc $cabacInitIdc out of range")
     var qp = pps.picInitQp + r.se
     // deblocking control (§7.3.3): idc 0 = filter across slice
@@ -3592,8 +4238,70 @@ object H264Codec {
     if (pps.cabac) {
       if (isP) require(refs.nonEmpty,
         "P slice with no reference picture (stream must open with an IDR)")
-      decodeSliceDataCabac(r, st, refs, isP, qp, firstMb, cabacInitIdc,
-        t8pps = pps.transform8x8, numRefActive = numRefActive)
+      decodeSliceDataCabac(r, st, if (isB) bL0 else refs, isP, qp, firstMb,
+        cabacInitIdc, t8pps = pps.transform8x8, numRefActive = numRefActive,
+        isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty)
+      return deblockReq
+    }
+    if (isB) {
+      val l0 = bL0; val l1 = bL1
+      var mb = firstMb
+      while (mb < mbW * mbH && r.moreRbspData) {
+        var skipRun = r.ue
+        require(skipRun <= mbW * mbH - mb, s"mb_skip_run $skipRun overruns the picture")
+        while (skipRun > 0) { // B_Skip: spatial-direct motion, no residual
+          val mbX = mb % mbW; val mbY = mb / mbW
+          st.sliceOfMb(mb) = st.curSlice
+          val (r0, r1, m0x, m0y, m1x, m1y) = directSpatial(st, l1(0), mbX, mbY)
+          clearNz(st, mbX, mbY)
+          reconstructBMb(st, l0, l1, mbX, mbY, qp,
+            BMbChoice(0, r0, r1, m0x, m0y, m1x, m1y, null))
+          mb += 1
+          skipRun -= 1
+        }
+        if (mb < mbW * mbH && r.moreRbspData) {
+          val mbX = mb % mbW; val mbY = mb / mbW
+          st.sliceOfMb(mb) = st.curSlice
+          val mbType = r.ue
+          require(mbType <= 3,
+            s"B mb_type $mbType unsupported (16x16 subset: Direct/L0/L1/Bi)")
+          var ref0 = -1; var ref1 = -1
+          var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
+          if (mbType == 0) {
+            val dm = directSpatial(st, l1(0), mbX, mbY)
+            ref0 = dm._1; ref1 = dm._2
+            mv0x = dm._3; mv0y = dm._4; mv1x = dm._5; mv1y = dm._6
+          } else {
+            // ref_idx_lX te(v): cMax 0 at the required 1-deep lists -> no bits
+            if (mbType == 1 || mbType == 3) {
+              ref0 = 0
+              val dx = r.se; val dy = r.se
+              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 0)
+              mv0x = px + dx; mv0y = py + dy
+            }
+            if (mbType == 2 || mbType == 3) {
+              ref1 = 0
+              val dx = r.se; val dy = r.se
+              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 1)
+              mv1x = px + dx; mv1y = py + dy
+            }
+          }
+          val cbpCode = r.ue
+          require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
+          val cbp = cbpInterFromCode(cbpCode)
+          val mc = if (cbp == 0) null else {
+            val m = new PMbCoeffs
+            m.cbp = cbp
+            qp += r.se // mb_qp_delta
+            readResidualCavlc(r, st, mbX, mbY, m)
+            m
+          }
+          if (mc == null) clearNz(st, mbX, mbY)
+          reconstructBMb(st, l0, l1, mbX, mbY, qp,
+            BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
+          mb += 1
+        }
+      }
       return deblockReq
     }
     if (isP) {
@@ -3815,6 +4523,27 @@ object H264Codec {
     var streamInitFp: Option[Long] = None
     val sliceDeblocks = ArrayBuffer.empty[DeblockReq] // one per decoded slice
     val out = ArrayBuffer.empty[Yuv]
+    val pocCtx = new PocCtx
+    // output reorder (§C.2-shaped, bounded): poc-type-0 streams hold one
+    // picture back and emit in ascending POC (this encoder's B depth);
+    // type-2 streams emit in decode order (depth 0, the pending buffer
+    // drains immediately). A foreign stream needing deeper reorder trips
+    // the monotone check below instead of emitting out of order.
+    val pending = ArrayBuffer.empty[(Int, Yuv)] // (poc, picture)
+    var lastOutPoc = Int.MinValue
+    def reorderDepth: Int = if (sps != null && sps.pocType == 0) 1 else 0
+    def emitMin(): Unit = {
+      var best = 0
+      var i = 1
+      while (i < pending.size) { if (pending(i)._1 < pending(best)._1) best = i; i += 1 }
+      val (poc, yuv) = pending.remove(best)
+      require(poc > lastOutPoc,
+        s"output reorder depth exceeded: POC $poc after $lastOutPoc already " +
+          "emitted (stream reorders deeper than this subset's 1-frame delay)")
+      lastOutPoc = poc
+      out += yuv
+    }
+    def flushPending(): Unit = while (pending.nonEmpty) emitMin()
 
     // a picture completes when the next one starts (first_mb_in_slice 0)
     // or the stream ends: filter in-loop, emit, and promote to reference.
@@ -3844,10 +4573,11 @@ object H264Codec {
         val cap = math.max(1, sps.maxNumRefFrames)
         while (refs.size > cap) refs.remove(refs.size - 1)
       }
-      out += Yuv(sps.width, sps.height,
+      pending += ((cur.poc, Yuv(sps.width, sps.height,
         crop(cur.reconY, cur.pw, sps.width, sps.height),
         crop(cur.reconCb, cur.cw, sps.width / 2, sps.height / 2),
-        crop(cur.reconCr, cur.cw, sps.width / 2, sps.height / 2))
+        crop(cur.reconCr, cur.cw, sps.width / 2, sps.height / 2))))
+      while (pending.size > reorderDepth) emitMin()
       cur = null
       sliceDeblocks.clear()
     }
@@ -3865,6 +4595,12 @@ object H264Codec {
           val firstMb = new H264.BitReader(rbsp).ue // peek the slice start
           if (firstMb == 0) {
             finishPicture()
+            if (nal.nalType == 5) {
+              // IDR: prior pictures all leave (no_output_of_prior_pics=0
+              // semantics — emit, don't drop), POCs restart at 0
+              flushPending()
+              lastOutPoc = Int.MinValue
+            }
             if (out.size >= maxFrames) stop = true
             else {
               if (nal.nalType == 5) refs.clear() // IDR resets the DPB
@@ -3890,7 +4626,7 @@ object H264Codec {
                   "(cabac-init.tsv present/absent/different at encode vs decode)")
             }
             sliceDeblocks += decodeSlice(rbsp, sps, pps, nal.nalType, nal.refIdc, cur,
-              if (nal.nalType == 5) IndexedSeq.empty else refs.toIndexedSeq)
+              if (nal.nalType == 5) IndexedSeq.empty else refs.toIndexedSeq, pocCtx)
           }
         case 6 =>
           // graft's own user_data SEI: extract the machine-checkable
@@ -3902,7 +4638,9 @@ object H264Codec {
         case _ => () // AUD / filler: ignored
       }
     }
-    if (!stop) finishPicture()
-    out.toVector
+    if (!stop) { finishPicture(); flushPending() }
+    // a reordering stream can overshoot by the pictures the final flush
+    // emitted past the request — trim to the contract
+    if (out.size > maxFrames) out.take(maxFrames).toVector else out.toVector
   }
 }

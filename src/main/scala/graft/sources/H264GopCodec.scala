@@ -26,7 +26,7 @@ import graft.model.{FrameElem, FrameType}
   */
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     cabac: Boolean = false, transform8x8: Boolean = false,
-    multiRef: Boolean = false) extends GopCodec {
+    multiRef: Boolean = false, bframes: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -48,7 +48,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     }
     val yuvs = frames.map(toYuv)
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
-      transform8x8 = transform8x8, multiRef = multiRef)
+      transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -160,4 +160,10 @@ object H264GopCodec {
     * itself. CABAC variant via
     * `new H264GopCodec(qp, cabac = true, multiRef = true)`. */
   val MultiRef: H264GopCodec = new H264GopCodec(qp = 12, multiRef = true)
+  /** B-frame GOP structure (round 13): IBPBP coding order with one
+    * non-reference bi-predicted picture between anchors, POC type 0
+    * carrying display order, decoder-side output reordering — the
+    * dominant GOP shape of real-world corpora. CABAC variant via
+    * `new H264GopCodec(qp, cabac = true, bframes = true)`. */
+  val BFrames: H264GopCodec = new H264GopCodec(qp = 12, bframes = true)
 }

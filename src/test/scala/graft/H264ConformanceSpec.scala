@@ -221,4 +221,113 @@ class H264ConformanceSpec extends AnyFunSuite {
       "ref_idx_l0=1 must predict from the picture two back (pattern A)")
     assert(out(2).cb.toSeq == cA.toSeq && out(2).cr.toSeq == cA.toSeq)
   }
+
+  test("hand-built B stream: POC reorder + L0/L1/Bi prediction against both anchors") {
+    // 48x16 (3 MBs wide), POC type 0 with 4-bit lsb, 2-deep DPB.
+    // Decode order: IDR I_PCM "A" (poc 0) -> non-IDR I_PCM "B" (poc 4)
+    // -> non-ref B picture (poc 2) whose three MBs are B_L0_16x16,
+    // B_L1_16x16, B_Bi_16x16, all at mv (0,0), no residual. Display
+    // order must come back [A, b, B] — a decoder ignoring POC emits the
+    // B picture LAST; one ignoring the list split predicts the wrong
+    // anchor; one mis-rounding the bi average misses the exact
+    // (A + B + 1) >> 1 pixels.
+    val sps = {
+      val bw = new W.BitWriter
+      bw.u(8, 66); bw.u(8, 0); bw.u(8, 10)
+      bw.ue(0)    // sps_id
+      bw.ue(0)    // log2_max_frame_num_minus4 -> 4 bits
+      bw.ue(0)    // pic_order_cnt_type 0
+      bw.ue(0)    // log2_max_pic_order_cnt_lsb_minus4 -> 4-bit lsb
+      bw.ue(2)    // max_num_ref_frames: both anchors
+      bw.u1(0)    // gaps_in_frame_num_value_allowed_flag
+      bw.ue(2); bw.ue(0) // 3x1 MBs (48x16 picture)
+      bw.u1(1); bw.u1(1) // frame_mbs_only, direct_8x8_inference
+      bw.u1(0); bw.u1(0) // no cropping, no VUI
+      bw.rbspTrailing()
+    }
+    val pps = handPps() // CAVLC, list defaults 1/1
+    val mbs = 3
+    def pat(mul: Int, add: Int, n: Int) =
+      Array.tabulate(n)(i => ((mul * i + add) % 256).toByte)
+    val lumaA = pat(7, 13, 256 * mbs); val lumaB = pat(11, 40, 256 * mbs)
+    val cbA = pat(5, 1, 64 * mbs); val cbB = pat(3, 9, 64 * mbs)
+    def pcmPicture(idr: Boolean, frameNum: Int, pocLsb: Int,
+        luma: Array[Byte], cb: Array[Byte], cr: Array[Byte]): Array[Byte] = {
+      val bw = new W.BitWriter
+      bw.ue(0)                   // first_mb_in_slice
+      bw.ue(7)                   // slice_type I
+      bw.ue(0)                   // pps_id
+      bw.u(4, frameNum)
+      if (idr) bw.ue(0)          // idr_pic_id
+      bw.u(4, pocLsb)            // pic_order_cnt_lsb
+      if (idr) { bw.u1(0); bw.u1(0) } // dec_ref_pic_marking (IDR)
+      else bw.u1(0)              // adaptive_ref_pic_marking_mode_flag
+      bw.se(0)                   // slice_qp_delta
+      bw.ue(1)                   // deblocking OFF
+      var mb = 0
+      while (mb < mbs) {         // I_PCM per MB, planes interleaved per MB
+        bw.ue(25); bw.alignZero()
+        (0 until 256).foreach(i => bw.u(8, luma(i / 16 * 16 * mbs + mb * 16 + i % 16) & 0xff))
+        (0 until 64).foreach(i => bw.u(8, cb(i / 8 * 8 * mbs + mb * 8 + i % 8) & 0xff))
+        (0 until 64).foreach(i => bw.u(8, cr(i / 8 * 8 * mbs + mb * 8 + i % 8) & 0xff))
+        mb += 1
+      }
+      W.nal(if (idr) 3 else 2, if (idr) 5 else 1, bw.rbspTrailing())
+    }
+    val bPicture = {
+      val bw = new W.BitWriter
+      bw.ue(0)                   // first_mb_in_slice
+      bw.ue(6)                   // slice_type B
+      bw.ue(0)                   // pps_id
+      bw.u(4, 2)                 // frame_num (PrevRefFrameNum + 1)
+      bw.u(4, 2)                 // pic_order_cnt_lsb: BETWEEN the anchors
+      bw.u1(1)                   // direct_spatial_mv_pred_flag
+      bw.u1(0)                   // num_ref_idx_active_override (1/1 defaults)
+      bw.u1(0)                   // ref_pic_list_modification_flag_l0
+      bw.u1(0)                   // ref_pic_list_modification_flag_l1
+      // nal_ref_idc 0: no dec_ref_pic_marking
+      bw.se(0)                   // slice_qp_delta
+      bw.ue(1)                   // deblocking OFF
+      // MB0: B_L0_16x16 at mv(0,0) -> past anchor A exactly
+      bw.ue(0); bw.ue(1); bw.se(0); bw.se(0); bw.ue(0)
+      // MB1: B_L1_16x16 at mv(0,0) -> future anchor B exactly
+      bw.ue(0); bw.ue(2); bw.se(0); bw.se(0); bw.ue(0)
+      // MB2: B_Bi_16x16 at mv(0,0)/(0,0) -> (A + B + 1) >> 1
+      bw.ue(0); bw.ue(3); bw.se(0); bw.se(0); bw.se(0); bw.se(0); bw.ue(0)
+      W.nal(0, 1, bw.rbspTrailing())
+    }
+    val stream = W.nal(3, 7, sps) ++ W.nal(3, 8, pps) ++
+      pcmPicture(idr = true, 0, 0, lumaA, cbA, cbA) ++
+      pcmPicture(idr = false, 1, 4, lumaB, cbB, cbB) ++
+      bPicture
+    val out = H264Codec.decode(stream)
+    assert(out.size == 3)
+    // display order restored from POC
+    assert(out(0).y.toSeq == lumaA.toSeq, "display 0 must be the IDR (poc 0)")
+    assert(out(2).y.toSeq == lumaB.toSeq, "display 2 must be the ref I (poc 4)")
+    // the B picture sits between them: per-MB expected pixels
+    def avg(a: Byte, b: Byte) = (((a & 0xff) + (b & 0xff) + 1) >> 1).toByte
+    val bY = out(1).y
+    (0 until 16).foreach { r =>
+      (0 until 16).foreach { c =>
+        val w = 16 * mbs
+        assert(bY(r * w + c) == lumaA(r * w + c), s"MB0 L0 pixel ($r,$c)")
+        assert(bY(r * w + 16 + c) == lumaB(r * w + 16 + c), s"MB1 L1 pixel ($r,$c)")
+        assert(bY(r * w + 32 + c) == avg(lumaA(r * w + 32 + c), lumaB(r * w + 32 + c)),
+          s"MB2 Bi pixel ($r,$c)")
+      }
+    }
+    val bCb = out(1).cb
+    (0 until 8).foreach { r =>
+      (0 until 8).foreach { c =>
+        val w = 8 * mbs
+        assert(bCb(r * w + c) == cbA(r * w + c), s"MB0 L0 chroma ($r,$c)")
+        assert(bCb(r * w + 8 + c) == cbB(r * w + 8 + c), s"MB1 L1 chroma ($r,$c)")
+        assert(bCb(r * w + 16 + c) == avg(cbA(r * w + 16 + c), cbB(r * w + 16 + c)),
+          s"MB2 Bi chroma ($r,$c)")
+      }
+    }
+    // golden byte literal: the constructed stream itself is pinned
+    assert(md5hex(stream) == "354f01ed18bd3b6f1ca3842d259c93ee")
+  }
 }
