@@ -720,7 +720,76 @@ object VideoQueries {
     * mod 256, 16x24x3 HWC): the oracle regenerates the pre-ingest pixels
     * with generate_series and replays the kernel — so these gates verify
     * the whole encode→store→decode path against INDEPENDENT truth. */
+  /** The Annex-B fixture's per-access-unit byte layout, RE-DERIVED from
+    * the construction arithmetic ([[ensureH264Fixture]] + the
+    * [[graft.sources.H264Writer]] field widths) rather than frozen from
+    * the indexer's output: Exp-Golomb lengths (ue(v) codes 2·⌊log2(v+1)⌋+1
+    * bits), fixed header fields, rbsp stop-bit padding, filler lengths,
+    * and the indexer's self-contained-GOP normalization (SPS 7 + PPS 3
+    * rbsp bytes re-inserted per GOP with 3-byte start codes). No byte of
+    * this fixture contains an emulation-prevention sequence (fillers
+    * start at 0x11), so escape bytes contribute zero. A change in slice
+    * header layout, NAL framing, or the indexer's AU segmentation shifts
+    * these sizes and flips the gate.
+    */
+  private val h264IndexSized: String =
+    """aus AS (
+      |  SELECT 0 AS stream, g.range AS g, k.range AS k, 5*g.range + k.range AS frame
+      |  FROM range(0,3) g, range(0,5) k
+      |  UNION ALL
+      |  SELECT 1, g.range, k.range, 3*g.range + k.range
+      |  FROM range(0,2) g, range(0,3) k),
+      |sized AS (
+      |  SELECT stream, g, k, frame,
+      |    CASE WHEN k = 0 THEN TRUE ELSE FALSE END AS keyframe,
+      |    k AS frame_num,
+      |    CASE WHEN stream = 0 AND frame = 7 THEN 2 ELSE 1 END AS n_slices,
+      |    CASE WHEN stream = 0 THEN 64 ELSE 50 END AS width,
+      |    CASE WHEN stream = 0 THEN 48 ELSE 30 END AS height,
+      |    CASE
+      |      -- stream 0 IDR AU: SPS(11)+PPS(7) (per-GOP normalization) +
+      |      -- SEI(3+1+5) + IDR slice (hdr 25+ue(g) bits, filler 40+g)
+      |      WHEN stream = 0 AND k = 0 THEN
+      |        18 + 9 +
+      |        4 + (25 + 2*CAST(floor(log2(g+1)) AS INT)+1 + 8) // 8 + 40 + g
+      |      -- stream 0 frame 7: two slices (firstMb 0/6, fillers 20/21)
+      |      WHEN stream = 0 AND frame = 7 THEN
+      |        (4 + (1+5+1+8+8+2 + 8) // 8 + 20) +
+      |        (4 + (5+5+1+8+8+2 + 8) // 8 + 21)
+      |      -- stream 0 P AU: hdr 25 bits, filler 25+frame
+      |      WHEN stream = 0 THEN 4 + (25 + 8) // 8 + 25 + frame
+      |      -- stream 1 IDR AU: cropped SPS (64 rbsp bits) + PPS (16) +
+      |      -- IDR slice (filler 30+g); param sets normalized to 3-byte
+      |      -- start codes regardless of the file's 4-byte ones
+      |      WHEN stream = 1 AND k = 0 THEN
+      |        (3 + 1 + (24+1+5+1+5+3+1+5+3+1+1+1+1+7+1+3+1 + 8) // 8) +
+      |        (3 + 1 + (16 + 8) // 8) +
+      |        4 + (25 + 2*CAST(floor(log2(g+1)) AS INT)+1 + 8) // 8 + 30 + g
+      |      -- stream 1 P AU: filler 18+k
+      |      ELSE 4 + (25 + 8) // 8 + 18 + k
+      |    END AS byte_size
+      |  FROM aus)""".stripMargin
+
   private val recomputed: Map[String, String] = Map(
+    "video_h264_index" ->
+      s"""WITH $h264IndexSized
+         |SELECT CAST(stream AS BIGINT) AS "stream", CAST(frame AS BIGINT) AS "frame",
+         |  CAST(COALESCE(SUM(byte_size) OVER (PARTITION BY stream ORDER BY frame
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_offset,
+         |  CAST(byte_size AS BIGINT) AS byte_size,
+         |  keyframe, CAST(frame_num AS INT) AS frame_num,
+         |  CAST(n_slices AS INT) AS n_slices,
+         |  CAST(width AS INT) AS width, CAST(height AS INT) AS height
+         |FROM sized ORDER BY 1, 2""".stripMargin,
+    "video_h264_gop_stats" ->
+      s"""WITH $h264IndexSized
+         |SELECT CAST(stream AS BIGINT) AS "stream",
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(SUM(CASE WHEN keyframe THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+         |  CAST(SUM(byte_size) AS BIGINT) AS total_bytes,
+         |  CAST(MAX(n_slices) AS INT) AS max_slices,
+         |  ROUND(AVG(byte_size), 2) AS mean_au_bytes
+         |FROM sized GROUP BY 1 ORDER BY 1""".stripMargin,
     // bright-blob boxes replayed end-to-end: grayscale = channel mean of
     // the closed-form ramp, threshold = mean + 1·std (both engines
     // compute the identical IEEE expression on exact integer sums, so
