@@ -35,23 +35,70 @@ import scala.collection.mutable
 object H264 {
 
   /** MSB-first bit reader over an RBSP buffer (spec §9.1 exp-Golomb). */
+  /** Bit reader over an RBSP buffer with a 64-bit MSB-aligned bit cache:
+    * the next unread bit is always bit 63 of `cache`, `bits` of it are
+    * valid, and the cache tail (`pos + bits`) stays byte-aligned so the
+    * refill appends whole bytes (zero-padded past the buffer end — the
+    * pad is peekable but [[skip]] refuses to consume past the real end).
+    * Every read — `u1`, `u(n)`, exp-Golomb, and the CAVLC table peeks —
+    * is then shift arithmetic on one register instead of per-bit array
+    * walks (the bit-serial reader profiled at ~15% of H.264 decode).
+    */
   final class BitReader(buf: Array[Byte]) {
-    private var pos = 0 // bit position
-    def bitsLeft: Int = buf.length * 8 - pos
+    private val limit = buf.length * 8
+    private var pos = 0 // bit position of the cache head
+    private var cache = 0L
+    private var bits = 0 // valid bits in cache
+    private def refill(): Unit = {
+      var bp = (pos + bits) >>> 3
+      while (bits <= 56) {
+        cache |= (if (bp < buf.length) buf(bp) & 0xffL else 0L) << (56 - bits)
+        bits += 8
+        bp += 1
+      }
+    }
+    def bitsLeft: Int = limit - pos
     def u1: Int = {
-      require(pos < buf.length * 8, s"bit read past RBSP end (bit $pos)")
-      val v = (buf(pos >> 3) >> (7 - (pos & 7))) & 1
+      require(pos < limit, s"bit read past RBSP end (bit $pos)")
+      if (bits == 0) refill()
+      val v = (cache >>> 63).toInt
+      cache <<= 1
+      bits -= 1
       pos += 1
       v
     }
+    /** read the next `n` bits (1..32) WITHOUT advancing, zero-padded past
+      * the buffer end (prefix decode peeks a full table width near the
+      * stop bit; [[skip]] still bounds-checks what's actually consumed)
+      */
+    def peek(n: Int): Int = {
+      if (bits < n) refill()
+      (cache >>> (64 - n)).toInt
+    }
+    /** advance past `n <= 32` bits already inspected via [[peek]] */
+    def skip(n: Int): Unit = {
+      pos += n
+      require(pos <= limit, s"bit read past RBSP end (bit $pos)")
+      if (bits < n) refill() // skip beyond the peeked width
+      cache <<= n
+      bits -= n
+    }
     def u(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | u1; i += 1 }
+      if (n == 0) return 0
+      val v = peek(n)
+      skip(n)
       v
     }
     /** ue(v): count leading zeros z, read z info bits; value 2^z - 1 + info */
     def ue: Int = {
+      if (bits < 48) refill()
+      if (cache < 0L) { skip(1); return 0 } // leading 1: the common value 0
+      val lz = java.lang.Long.numberOfLeadingZeros(cache)
+      if (lz <= 23) { // whole code (2*lz+1 <= 47 bits) sits in the cache
+        val v = ((cache >>> (63 - 2 * lz)) & ((1L << lz) - 1)).toInt
+        skip(2 * lz + 1)
+        return (1 << lz) - 1 + v
+      }
       var zeros = 0
       while (u1 == 0) {
         zeros += 1
@@ -65,14 +112,22 @@ object H264 {
       if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
     }
     /** skip to the next byte boundary (pcm_alignment_zero_bit, §7.3.5) */
-    def align(): Unit = pos = (pos + 7) & ~7
+    def align(): Unit = {
+      val delta = (8 - (pos & 7)) & 7
+      if (delta > 0) skip(delta)
+    }
     /** more_rbsp_data(): true while bits beyond the rbsp_stop_one_bit
-      * remain (§7.2 — the stop bit is the last 1 in the buffer)
+      * remain (§7.2 — the stop bit is the last 1 in the buffer; found
+      * once and memoized — this is polled per macroblock)
       */
+    private var stopBit = Int.MinValue
     def moreRbspData: Boolean = {
-      var last = buf.length * 8 - 1
-      while (last >= 0 && ((buf(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
-      pos < last
+      if (stopBit == Int.MinValue) {
+        var last = buf.length * 8 - 1
+        while (last >= 0 && ((buf(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
+        stopBit = last
+      }
+      pos < stopBit
     }
   }
 

@@ -175,16 +175,41 @@ object H264Cavlc {
     else if (nC < 4) tok1
     else tok2
 
-  // decode maps: (len << 16 | code) -> (tc << 8 | t1), built once per table
-  private def decodeMap(tab: Array[Int]): Map[Int, Int] =
-    tab.zipWithIndex.collect { case (v, i) if v != -1 => v -> ((i / 4) << 8 | (i % 4)) }.toMap
-  private val tokDec: Array[Map[Int, Int]] = Array(tok0, tok1, tok2, tokC).map(decodeMap)
-  private val tzDec: Array[Map[Int, Int]] =
-    totalZerosTab.map(t => t.zipWithIndex.map { case (v, i) => v -> i }.toMap)
-  private val tzcDec: Array[Map[Int, Int]] =
-    totalZerosChromaTab.map(t => t.zipWithIndex.map { case (v, i) => v -> i }.toMap)
-  private val rbDec: Array[Map[Int, Int]] =
-    runBeforeTab.map(t => t.zipWithIndex.map { case (v, i) => v -> i }.toMap)
+  // Flat prefix-decode LUTs, built once per table: peek the table's max
+  // code width W, index the LUT, entry = (len << 24) | symbol (-1 = no
+  // code). One array read replaces the bit-serial Map walk that profiled
+  // as the decoder's #2 cost (readToken 14% of decode samples).
+  private def buildLut(pairs: Seq[(Int, Int)]): (Array[Int], Int) = {
+    // pairs: (packed e(len,code), symbol)
+    val w = pairs.map(_._1 >>> 16).max
+    val lut = Array.fill(1 << w)(-1)
+    pairs.foreach { case (packed, sym) =>
+      val len = packed >>> 16
+      val code = packed & 0xffff
+      val base = code << (w - len)
+      var s = 0
+      while (s < (1 << (w - len))) { lut(base + s) = (len << 24) | sym; s += 1 }
+    }
+    (lut, w)
+  }
+  private def tokPairs(tab: Array[Int]): Seq[(Int, Int)] =
+    tab.zipWithIndex.collect { case (v, i) if v != -1 => v -> ((i / 4) << 8 | (i % 4)) }.toSeq
+  private val tokLut: Array[(Array[Int], Int)] =
+    Array(tok0, tok1, tok2, tokC).map(t => buildLut(tokPairs(t)))
+  private val tzLut: Array[(Array[Int], Int)] =
+    totalZerosTab.map(t => buildLut(t.zipWithIndex.toSeq))
+  private val tzcLut: Array[(Array[Int], Int)] =
+    totalZerosChromaTab.map(t => buildLut(t.zipWithIndex.toSeq))
+  private val rbLut: Array[(Array[Int], Int)] =
+    runBeforeTab.map(t => buildLut(t.zipWithIndex.toSeq))
+
+  @inline private def lutRead(r: H264.BitReader, lut: (Array[Int], Int),
+      what: String): Int = {
+    val entry = lut._1(r.peek(lut._2))
+    require(entry != -1, s"invalid $what codeword")
+    r.skip(entry >>> 24)
+    entry & 0xffffff
+  }
 
   /** structural validation hook for the spec suite: every VLC table must
     * be prefix-free (no codeword a prefix of another) — the property that
@@ -343,33 +368,29 @@ object H264Cavlc {
 
   // ------------------------------------------------------------- decode
 
-  private def readVlc(r: H264.BitReader, dec: Map[Int, Int], what: String): Int = {
-    var len = 0
-    var code = 0
-    while (len <= 16) {
-      code = (code << 1) | r.u1
-      len += 1
-      dec.get(e(len, code)) match {
-        case Some(sym) => return sym
-        case None      => ()
-      }
-    }
-    sys.error(s"invalid $what codeword")
-  }
-
-  private def readToken(r: H264.BitReader, nC: Int): (Int, Int) =
+  /** returns (tc << 8 | t1) */
+  private def readToken(r: H264.BitReader, nC: Int): Int =
     if (nC >= 8) {
       val v = r.u(6)
-      if (v == 3) (0, 0) else (((v >> 2) & 0xf) + 1, v & 3)
+      if (v == 3) 0 else (((((v >> 2) & 0xf) + 1) << 8) | (v & 3))
     } else {
       val idx = if (nC == -1) 3 else if (nC < 2) 0 else if (nC < 4) 1 else 2
-      val sym = readVlc(r, tokDec(idx), "coeff_token")
-      (sym >> 8, sym & 0xff)
+      lutRead(r, tokLut(idx), "coeff_token")
     }
 
   private def readLevelCode(r: H264.BitReader, sl: Int): Int = {
+    // level_prefix: unary zero run; count via 16-bit peeks
     var p = 0
-    while (r.u1 == 0) { p += 1; require(p <= 32, "level_prefix overrun") }
+    var w = r.peek(16)
+    while (w == 0) {
+      r.skip(16); p += 16
+      require(p <= 32, "level_prefix overrun")
+      w = r.peek(16)
+    }
+    val z = Integer.numberOfLeadingZeros(w) - 16
+    r.skip(z + 1) // the zeros and the terminating 1
+    p += z
+    require(p <= 32, "level_prefix overrun")
     val suffixSize =
       if (p == 14 && sl == 0) 4
       else if (p >= 15) p - 3
@@ -392,13 +413,19 @@ object H264Cavlc {
     * the per-block result array of [[readBlock]] was the decoder's
     * dominant allocation at 32-way concurrency.
     */
+  // per-thread level scratch (tc <= 16); decode runs one block at a time
+  private val levelScratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+
   def readBlockInto(r: H264.BitReader, maxCoeff: Int, nC: Int,
       zig: Array[Int]): Int = {
     java.util.Arrays.fill(zig, 0, maxCoeff, 0)
-    val (tc, t1) = readToken(r, nC)
+    val tok = readToken(r, nC)
+    val tc = tok >> 8; val t1 = tok & 0xff
     if (tc == 0) return 0
     require(tc <= maxCoeff, s"TotalCoeff $tc > maxCoeff $maxCoeff: corrupt block")
-    val levels = new Array[Int](tc)
+    val levels = levelScratch.get()
     var k = 0
     while (k < t1) { levels(k) = if (r.u1 == 1) -1 else 1; k += 1 }
     var sl = if (tc > 10 && t1 < 3) 1 else 0
@@ -414,8 +441,8 @@ object H264Cavlc {
     }
     val totalZeros =
       if (tc == maxCoeff) 0
-      else if (maxCoeff == 4) readVlc(r, tzcDec(tc - 1), "total_zeros(chroma)")
-      else readVlc(r, tzDec(tc - 1), "total_zeros")
+      else if (maxCoeff == 4) lutRead(r, tzcLut(tc - 1), "total_zeros(chroma)")
+      else lutRead(r, tzLut(tc - 1), "total_zeros")
     var pos = tc + totalZeros - 1
     var zerosLeft = totalZeros
     k = 0
@@ -424,7 +451,7 @@ object H264Cavlc {
       if (k < tc - 1) {
         val run =
           if (zerosLeft == 0) 0
-          else if (zerosLeft <= 6) readVlc(r, rbDec(zerosLeft - 1), "run_before")
+          else if (zerosLeft <= 6) lutRead(r, rbLut(zerosLeft - 1), "run_before")
           else {
             // zl > 6: 3-bit codes for runs 0..6, unary tail for 7..14
             val first3 = r.u(3)

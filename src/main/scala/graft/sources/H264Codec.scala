@@ -1121,11 +1121,16 @@ object H264Codec {
     val w = new Array[Int](16)
     def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
       val dc = new Array[Int](4)
-      var k = 0
-      while (k < 4) { dc(k) = dcZig(k); k += 1 }
-      hadamard2x2(dc)
-      k = 0
-      while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+      // cbpChroma == 0 means NO chroma residual was parsed — the dcZig
+      // scratch may hold a previous MB's data (pooled), so it must not be
+      // read (zero DC == zero residual, matching the parse)
+      if (cbpChroma != 0) {
+        var k = 0
+        while (k < 4) { dc(k) = dcZig(k); k += 1 }
+        hadamard2x2(dc)
+        k = 0
+        while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+      }
       val q = predChromaDc(plane, st.cw, mbX, mbY,
         st.mbAvail(mbX - 1, mbY), st.mbAvail(mbX, mbY - 1))
       val cx0 = mbX * 8; val cy0 = mbY * 8
@@ -1169,6 +1174,31 @@ object H264Codec {
     plane(cy * pw + cx) & 0xff
   }
 
+  /** per-thread MC/reconstruction scratch — motion compensation runs per
+    * macroblock (hundreds of thousands per VGA GOP) and the per-call
+    * temporaries (quarter-pel halves, the separable 6-tap row buffer, the
+    * prediction blocks) profiled as a steady GC tax. One codec call runs
+    * per thread at a time (Spark task threads each decode their own GOP),
+    * so thread-local reuse is safe; the recursion in [[mcLuma]] is one
+    * level deep (quarter -> two even positions) and the even paths touch
+    * only `hrow`, never `qa`/`qb`.
+    */
+  private final class McScratch {
+    val qa = new Array[Int](256) // quarter-pel half A
+    val qb = new Array[Int](256) // quarter-pel half B
+    val hrow = new Array[Int](16 * 21) // separable center-j row buffer
+    val predL = new Array[Int](256) // inter luma prediction
+    val predL1 = new Array[Int](256) // list-1 luma (bi averaging)
+    val predC = new Array[Int](64) // inter chroma prediction
+    val predC1 = new Array[Int](64) // list-1 chroma
+    val w16 = new Array[Int](16) // dequantised 4x4 residual
+    val ch0 = new Array[Int](8) // chroma separable row caches
+    val ch1 = new Array[Int](8)
+  }
+  private val mcScratch = new ThreadLocal[McScratch] {
+    override def initialValue(): McScratch = new McScratch
+  }
+
   /** 16x16 luma motion compensation. MVs are QUARTER-pel per the spec's
     * mvd semantics; integer and HALF-pel positions are implemented (the
     * spec's 6-tap (1,-5,20,20,-5,1)/32 Wiener filter, §8.4.2.2.1, with
@@ -1197,8 +1227,9 @@ object H264Codec {
         else if (fx % 2 == 0) (mvx, mvy - 1, mvx, mvy + 1)
         else if ((fx + fy) % 4 == 2) (mvx + 1, mvy - 1, mvx - 1, mvy + 1)
         else                  (mvx - 1, mvy - 1, mvx + 1, mvy + 1)
-      val a = new Array[Int](256)
-      val b = new Array[Int](256)
+      val sc = mcScratch.get()
+      val a = sc.qa
+      val b = sc.qb
       mcLuma(ref, mbX, mbY, mvAx, mvAy, a)
       mcLuma(ref, mbX, mbY, mvBx, mvBy, b)
       var i = 0
@@ -1209,51 +1240,131 @@ object H264Codec {
     val pw = ref.pw; val ph = ref.ph; val plane = ref.reconY
     @inline def s(x: Int, y: Int) = refSample(plane, pw, ph, x, y)
     @inline def clip255(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    // interior = the whole 6-tap footprint (x0-2 .. x0+18, y0-2 .. y0+18)
+    // lands inside the plane, so the clamp in refSample can be skipped and
+    // samples indexed directly — true for every macroblock that isn't on
+    // the picture edge with an outward-pointing MV
+    val interior = x0 >= 2 && y0 >= 2 && x0 + 18 < pw && y0 + 18 < ph
     if (fx == 0 && fy == 0) {
-      var r = 0
-      while (r < 16) {
-        var c = 0
-        while (c < 16) { out(r * 16 + c) = s(x0 + c, y0 + r); c += 1 }
-        r += 1
+      if (interior) {
+        var r = 0
+        while (r < 16) {
+          val base = (y0 + r) * pw + x0
+          val o = r * 16
+          var c = 0
+          while (c < 16) { out(o + c) = plane(base + c) & 0xff; c += 1 }
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) { out(r * 16 + c) = s(x0 + c, y0 + r); c += 1 }
+          r += 1
+        }
       }
     } else if (fx == 2 && fy == 0) { // horizontal half-pel b
-      var r = 0
-      while (r < 16) {
-        var c = 0
-        while (c < 16) {
-          val x = x0 + c; val y = y0 + r
-          val b1 = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
-            20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
-          out(r * 16 + c) = clip255((b1 + 16) >> 5)
-          c += 1
+      if (interior) {
+        var r = 0
+        while (r < 16) {
+          val base = (y0 + r) * pw + x0
+          val o = r * 16
+          var c = 0
+          while (c < 16) {
+            val p = base + c
+            // (1,-5,20,20,-5,1) via 2 multiplies: (a+f) + 20(c+d) - 5(b+e)
+            val b1 = ((plane(p - 2) & 0xff) + (plane(p + 3) & 0xff)) +
+              20 * ((plane(p) & 0xff) + (plane(p + 1) & 0xff)) -
+              5 * ((plane(p - 1) & 0xff) + (plane(p + 2) & 0xff))
+            out(o + c) = clip255((b1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
         }
-        r += 1
+      } else {
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            val x = x0 + c; val y = y0 + r
+            val b1 = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+              20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+            out(r * 16 + c) = clip255((b1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
+        }
       }
     } else if (fx == 0 && fy == 2) { // vertical half-pel h
-      var r = 0
-      while (r < 16) {
-        var c = 0
-        while (c < 16) {
-          val x = x0 + c; val y = y0 + r
-          val h1 = s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
-            20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3)
-          out(r * 16 + c) = clip255((h1 + 16) >> 5)
-          c += 1
+      if (interior) {
+        var r = 0
+        while (r < 16) {
+          val base = (y0 + r) * pw + x0
+          val o = r * 16
+          var c = 0
+          while (c < 16) {
+            val p = base + c
+            val h1 = ((plane(p - 2 * pw) & 0xff) + (plane(p + 3 * pw) & 0xff)) +
+              20 * ((plane(p) & 0xff) + (plane(p + pw) & 0xff)) -
+              5 * ((plane(p - pw) & 0xff) + (plane(p + 2 * pw) & 0xff))
+            out(o + c) = clip255((h1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
         }
-        r += 1
+      } else {
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            val x = x0 + c; val y = y0 + r
+            val h1 = s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
+              20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3)
+            out(r * 16 + c) = clip255((h1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
+        }
       }
-    } else { // center half-pel j: 6-tap over unnormalised horizontal taps
-      @inline def b1(x: Int, y: Int) =
-        s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
-          20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+    } else { // center half-pel j: separable — horizontal 6-tap rows once
+      // (21 rows cover the vertical footprint), then the vertical 6-tap
+      // over the row buffer. The naive form recomputed each horizontal
+      // tap 6x per output pixel (36 clamped loads/pixel); this is ~6.
+      val hb = mcScratch.get().hrow
+      var rr = 0
+      while (rr < 21) {
+        val y = y0 - 2 + rr
+        val o = rr * 16
+        if (interior) {
+          val base = y * pw + x0
+          var c = 0
+          while (c < 16) {
+            val p = base + c
+            hb(o + c) = ((plane(p - 2) & 0xff) + (plane(p + 3) & 0xff)) +
+              20 * ((plane(p) & 0xff) + (plane(p + 1) & 0xff)) -
+              5 * ((plane(p - 1) & 0xff) + (plane(p + 2) & 0xff))
+            c += 1
+          }
+        } else {
+          var c = 0
+          while (c < 16) {
+            val x = x0 + c
+            hb(o + c) = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+              20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+            c += 1
+          }
+        }
+        rr += 1
+      }
       var r = 0
       while (r < 16) {
+        val o = r * 16
         var c = 0
         while (c < 16) {
-          val x = x0 + c; val y = y0 + r
-          val j1 = b1(x, y - 2) - 5 * b1(x, y - 1) + 20 * b1(x, y) +
-            20 * b1(x, y + 1) - 5 * b1(x, y + 2) + b1(x, y + 3)
-          out(r * 16 + c) = clip255((j1 + 512) >> 10)
+          val i = o + c
+          val j1 = (hb(i) + hb(i + 80)) + 20 * (hb(i + 32) + hb(i + 48)) -
+            5 * (hb(i + 16) + hb(i + 64))
+          out(i) = clip255((j1 + 512) >> 10)
           c += 1
         }
         r += 1
@@ -1271,20 +1382,80 @@ object H264Codec {
     val fy = mvy & 7
     val bx = mbX * 8 + (mvx >> 3)
     val by = mbY * 8 + (mvy >> 3)
-    var r = 0
-    while (r < 8) {
-      var c = 0
-      while (c < 8) {
-        val a = refSample(plane, cw, ch, bx + c, by + r)
-        val b = refSample(plane, cw, ch, bx + c + 1, by + r)
-        val d = refSample(plane, cw, ch, bx + c, by + r + 1)
-        val e = refSample(plane, cw, ch, bx + c + 1, by + r + 1)
-        out(r * 8 + c) =
-          ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b +
-            (8 - fx) * fy * d + fx * fy * e + 32) >> 6
-        c += 1
+    val interior = bx >= 0 && by >= 0 && bx + 9 <= cw && by + 9 <= ch
+    if (fx == 0 && fy == 0) {
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          out(r * 8 + c) =
+            if (interior) plane((by + r) * cw + bx + c) & 0xff
+            else refSample(plane, cw, ch, bx + c, by + r)
+          c += 1
+        }
+        r += 1
       }
-      r += 1
+      return
+    }
+    if (interior) {
+      // separable bilinear: horizontal pass h = 8a + fx(b-a) per row,
+      // cached so each source row is filtered once (row r's bottom pair
+      // is row r+1's top pair), then vertical v = 8h0 + fy(h1-h0)
+      val sc = mcScratch.get()
+      var h0 = sc.ch0; var h1 = sc.ch1
+      var p = by * cw + bx
+      var c = 0
+      if (fx == 0) {
+        while (c < 8) { h0(c) = (plane(p + c) & 0xff) << 3; c += 1 }
+      } else {
+        while (c < 8) {
+          val a = plane(p + c) & 0xff
+          h0(c) = (a << 3) + fx * ((plane(p + c + 1) & 0xff) - a)
+          c += 1
+        }
+      }
+      var r = 0
+      while (r < 8) {
+        p = (by + r + 1) * cw + bx
+        c = 0
+        if (fx == 0) {
+          while (c < 8) { h1(c) = (plane(p + c) & 0xff) << 3; c += 1 }
+        } else {
+          while (c < 8) {
+            val a = plane(p + c) & 0xff
+            h1(c) = (a << 3) + fx * ((plane(p + c + 1) & 0xff) - a)
+            c += 1
+          }
+        }
+        val o = r * 8
+        c = 0
+        if (fy == 0) {
+          while (c < 8) { out(o + c) = ((h0(c) << 3) + 32) >> 6; c += 1 }
+        } else {
+          while (c < 8) {
+            out(o + c) = ((h0(c) << 3) + fy * (h1(c) - h0(c)) + 32) >> 6
+            c += 1
+          }
+        }
+        val t = h0; h0 = h1; h1 = t
+        r += 1
+      }
+    } else {
+      val w00 = (8 - fx) * (8 - fy); val w10 = fx * (8 - fy)
+      val w01 = (8 - fx) * fy; val w11 = fx * fy
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val a = refSample(plane, cw, ch, bx + c, by + r)
+          val b = refSample(plane, cw, ch, bx + c + 1, by + r)
+          val d = refSample(plane, cw, ch, bx + c, by + r + 1)
+          val e = refSample(plane, cw, ch, bx + c + 1, by + r + 1)
+          out(r * 8 + c) = (w00 * a + w10 * b + w01 * d + w11 * e + 32) >> 6
+          c += 1
+        }
+        r += 1
+      }
     }
   }
 
@@ -1435,12 +1606,13 @@ object H264Codec {
     val bi = refIdx0 >= 0 && refIdx1 >= 0
     st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp)
-    val predL = new Array[Int](256)
+    val sc = mcScratch.get()
+    val predL = sc.predL
     if (refIdx0 >= 0) mcLuma(ref0, mbX, mbY, mv0x, mv0y, predL)
     if (refIdx1 >= 0) {
       if (!bi) mcLuma(ref1, mbX, mbY, mv1x, mv1y, predL)
       else {
-        val p1 = new Array[Int](256)
+        val p1 = sc.predL1
         mcLuma(ref1, mbX, mbY, mv1x, mv1y, p1)
         var i = 0
         while (i < 256) { predL(i) = (predL(i) + p1(i) + 1) >> 1; i += 1 }
@@ -1452,7 +1624,7 @@ object H264Codec {
     val mvy = if (refIdx0 >= 0) mv0y else mv1y
     val ref = if (refIdx0 >= 0) ref0 else ref1
     val x0 = mbX * 16; val y0 = mbY * 16
-    val w = new Array[Int](16)
+    val w = sc.w16
     var blk = 0
     while (blk < 16) {
       val coded = mc != null && ((mc.cbpLuma >> (blk / 4)) & 1) != 0
@@ -1466,25 +1638,38 @@ object H264Codec {
           zi += 1
         }
         inverse4x4(w)
-      } else java.util.Arrays.fill(w, 0)
-      var r = 0
-      while (r < 4) {
-        var c = 0
-        while (c < 4) {
-          st.reconY((y0 + by0 + r) * st.pw + x0 + bx0 + c) =
-            clip(predL((by0 + r) * 16 + bx0 + c) + w(r * 4 + c))
-          c += 1
+        var r = 0
+        while (r < 4) {
+          val rb = (y0 + by0 + r) * st.pw + x0 + bx0
+          val pb = (by0 + r) * 16 + bx0
+          val wb = r * 4
+          var c = 0
+          while (c < 4) {
+            st.reconY(rb + c) = clip(predL(pb + c) + w(wb + c))
+            c += 1
+          }
+          r += 1
         }
-        r += 1
+      } else {
+        // no residual: the MC prediction IS the reconstruction (mcLuma
+        // output is already clipped to 0..255)
+        var r = 0
+        while (r < 4) {
+          val rb = (y0 + by0 + r) * st.pw + x0 + bx0
+          val pb = (by0 + r) * 16 + bx0
+          var c = 0
+          while (c < 4) { st.reconY(rb + c) = predL(pb + c).toByte; c += 1 }
+          r += 1
+        }
       }
       blk += 1
     }
     def chromaRec(plane: Array[Byte], refPlane: Array[Byte],
         refPlane1: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
-      val predC = new Array[Int](64)
+      val predC = sc.predC
       mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx, mvy, predC)
       if (bi) {
-        val p1 = new Array[Int](64)
+        val p1 = sc.predC1
         mcChroma(refPlane1, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
         var i = 0
         while (i < 64) { predC(i) = (predC(i) + p1(i) + 1) >> 1; i += 1 }
@@ -1499,33 +1684,45 @@ object H264Codec {
         while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
       }
       val cx0 = mbX * 8; val cy0 = mbY * 8
+      if (cbpChroma == 0) {
+        // no chroma residual: the MC prediction IS the reconstruction
+        var r = 0
+        while (r < 8) {
+          val rb = (cy0 + r) * st.cw + cx0
+          val pb = r * 8
+          var c = 0
+          while (c < 8) { plane(rb + c) = predC(pb + c).toByte; c += 1 }
+          r += 1
+        }
+      } else {
       var cb = 0
       while (cb < 4) {
         val bx = cb % 2; val by = cb / 2
         java.util.Arrays.fill(w, 0)
-        if (cbpChroma != 0) {
-          w(0) = dc(by * 2 + bx)
-          if (cbpChroma == 2) {
-            var zi = 1
-            while (zi < 16) {
-              val pos = zigzag4x4(zi)
-              w(pos) = dequantAc(acZig(cb)(zi - 1), qpc, pos)
-              zi += 1
-            }
+        w(0) = dc(by * 2 + bx)
+        if (cbpChroma == 2) {
+          var zi = 1
+          while (zi < 16) {
+            val pos = zigzag4x4(zi)
+            w(pos) = dequantAc(acZig(cb)(zi - 1), qpc, pos)
+            zi += 1
           }
-          inverse4x4(w)
         }
+        inverse4x4(w)
         var r = 0
         while (r < 4) {
+          val rb = (cy0 + by * 4 + r) * st.cw + cx0 + bx * 4
+          val pb = (by * 4 + r) * 8 + bx * 4
+          val wb = r * 4
           var c = 0
           while (c < 4) {
-            plane((cy0 + by * 4 + r) * st.cw + cx0 + bx * 4 + c) =
-              clip(predC((by * 4 + r) * 8 + bx * 4 + c) + w(r * 4 + c))
+            plane(rb + c) = clip(predC(pb + c) + w(wb + c))
             c += 1
           }
           r += 1
         }
         cb += 1
+      }
       }
     }
     chromaRec(st.reconCb, ref.reconCb, if (bi) ref1.reconCb else null,
@@ -4235,6 +4432,13 @@ object H264Codec {
         }
       }
     val mbW = st.mbW; val mbH = st.mbH
+    // reused per-MB residual scratch: every field a reconstruct reads is
+    // gated by the cbp the parser just set, so cross-MB staleness can't
+    // leak (allocation of the 28 zigzag arrays per coded MB profiled at
+    // ~4% of decode)
+    val pmPool = new PMbCoeffs
+    lazy val m16Pool = new MbCoeffs
+    lazy val zig8Pool: Array[Array[Int]] = Array.fill(4)(new Array[Int](64))
     if (pps.cabac) {
       if (isP) require(refs.nonEmpty,
         "P slice with no reference picture (stream must open with an IDR)")
@@ -4290,7 +4494,7 @@ object H264Codec {
           require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
           val cbp = cbpInterFromCode(cbpCode)
           val mc = if (cbp == 0) null else {
-            val m = new PMbCoeffs
+            val m = pmPool
             m.cbp = cbp
             qp += r.se // mb_qp_delta
             readResidualCavlc(r, st, mbX, mbY, m)
@@ -4341,7 +4545,7 @@ object H264Codec {
           require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
           val cbp = cbpInterFromCode(cbpCode)
           val mc = if (cbp == 0) null else {
-            val m = new PMbCoeffs
+            val m = pmPool
             m.cbp = cbp
             qp += r.se // mb_qp_delta
             readResidualCavlc(r, st, mbX, mbY, m)
@@ -4407,9 +4611,9 @@ object H264Codec {
         require(r.ue == 0, "chroma prediction mode != DC not implemented")
         val cbpCode = r.ue
         require(cbpCode < 48, s"intra coded_block_pattern code $cbpCode out of range")
-        val m = new PMbCoeffs
+        val m = pmPool
         m.cbp = cbpIntraFromCode(cbpCode)
-        val zig8 = Array.fill(4)(new Array[Int](64))
+        val zig8 = zig8Pool
         if (m.cbp != 0) {
           qp += r.se // mb_qp_delta
           readI8LumaResidual(r, st, mbX, mbY, m.cbpLuma, zig8)
@@ -4435,7 +4639,7 @@ object H264Codec {
         require(r.ue == 0, "chroma prediction mode != DC not implemented")
         val cbpCode = r.ue
         require(cbpCode < 48, s"intra coded_block_pattern code $cbpCode out of range")
-        val m = new PMbCoeffs
+        val m = pmPool
         m.cbp = cbpIntraFromCode(cbpCode)
         if (m.cbp != 0) {
           qp += r.se // mb_qp_delta
@@ -4460,7 +4664,7 @@ object H264Codec {
         require(i16Modes(st, mbX, mbY).contains(predMode),
           s"Intra_16x16 pred mode $predMode unavailable at mb ($mbX,$mbY): " +
             s"required neighbor(s) missing (available: ${i16Modes(st, mbX, mbY).sorted.mkString(",")})")
-        val mc = new MbCoeffs
+        val mc = m16Pool
         mc.predMode = predMode
         mc.cbpLuma = if (lumaFlag == 1) 15 else 0
         mc.cbpChroma = cbpChroma
