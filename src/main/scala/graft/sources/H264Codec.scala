@@ -230,6 +230,32 @@ object H264Codec {
     // intra prediction). -1 = not yet coded; curSlice advances per slice.
     val sliceOfMb: Array[Int] = Array.fill(mbW * mbH)(-1)
     var curSlice = 0
+    /** restore the freshly-constructed state for picture reuse (the
+      * decoder pools PicStates — allocating + zeroing ~0.7 MB per VGA
+      * picture profiled at ~5%). Only the neighbor/context arrays need
+      * it: recon planes and nz counts are fully overwritten by any
+      * picture that passes the all-MBs-covered check, and MVs are
+      * re-zeroed per MB by the inter paths — but i4Mode/refIdx/slice
+      * membership gate "was this cell written", so they must read as
+      * unwritten. MVs and qp join them out of caution (both are read
+      * through gates, but the gates live in other methods).
+      */
+    def reset(): Unit = {
+      java.util.Arrays.fill(sliceOfMb, -1)
+      java.util.Arrays.fill(refIdxMb, -1)
+      java.util.Arrays.fill(refIdxL1, -1)
+      java.util.Arrays.fill(i4Mode, -1)
+      java.util.Arrays.fill(pcmMb, false)
+      java.util.Arrays.fill(trans8, false)
+      java.util.Arrays.fill(inter, false)
+      java.util.Arrays.fill(mvX, 0)
+      java.util.Arrays.fill(mvY, 0)
+      java.util.Arrays.fill(mvXL1, 0)
+      java.util.Arrays.fill(mvYL1, 0)
+      java.util.Arrays.fill(mbQp, 0)
+      curSlice = 0
+      poc = 0
+    }
     @inline def mbAvail(x: Int, y: Int): Boolean =
       x >= 0 && y >= 0 && x < mbW && y < mbH &&
         sliceOfMb(y * mbW + x) == curSlice
@@ -1631,10 +1657,11 @@ object H264Codec {
       val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
       if (coded) {
         java.util.Arrays.fill(w, 0)
+        val zigs = mc.lumaZig(blk)
         var zi = 0
         while (zi < 16) {
-          val pos = zigzag4x4(zi)
-          w(pos) = dequantAc(mc.lumaZig(blk)(zi), qp, pos)
+          val z = zigs(zi)
+          if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qp, pos) }
           zi += 1
         }
         inverse4x4(w)
@@ -1701,10 +1728,11 @@ object H264Codec {
         java.util.Arrays.fill(w, 0)
         w(0) = dc(by * 2 + bx)
         if (cbpChroma == 2) {
+          val zigs = acZig(cb)
           var zi = 1
           while (zi < 16) {
-            val pos = zigzag4x4(zi)
-            w(pos) = dequantAc(acZig(cb)(zi - 1), qpc, pos)
+            val z = zigs(zi - 1)
+            if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qpc, pos) }
             zi += 1
           }
         }
@@ -4735,6 +4763,21 @@ object H264Codec {
     // the monotone check below instead of emitting out of order.
     val pending = ArrayBuffer.empty[(Int, Yuv)] // (poc, picture)
     var lastOutPoc = Int.MinValue
+    // PicState free list: non-reference pictures return after their crop,
+    // evicted/IDR-cleared references after leaving the DPB
+    val pool = ArrayBuffer.empty[PicState]
+    def acquirePic(mbW: Int, mbH: Int): PicState = {
+      var i = pool.size - 1
+      while (i >= 0) {
+        if (pool(i).mbW == mbW && pool(i).mbH == mbH) {
+          val p = pool.remove(i)
+          p.reset()
+          return p
+        }
+        i -= 1
+      }
+      new PicState(mbW, mbH)
+    }
     def reorderDepth: Int = if (sps != null && sps.pocType == 0) 1 else 0
     def emitMin(): Unit = {
       var best = 0
@@ -4772,15 +4815,15 @@ object H264Codec {
               "(refuse-loudly subset)")
           deblockPicture(cur, aOff, bOff)
       }
-      if (curIsRef) {
-        refs.prepend(cur)
-        val cap = math.max(1, sps.maxNumRefFrames)
-        while (refs.size > cap) refs.remove(refs.size - 1)
-      }
       pending += ((cur.poc, Yuv(sps.width, sps.height,
         crop(cur.reconY, cur.pw, sps.width, sps.height),
         crop(cur.reconCb, cur.cw, sps.width / 2, sps.height / 2),
         crop(cur.reconCr, cur.cw, sps.width / 2, sps.height / 2))))
+      if (curIsRef) {
+        refs.prepend(cur)
+        val cap = math.max(1, sps.maxNumRefFrames)
+        while (refs.size > cap) pool += refs.remove(refs.size - 1)
+      } else pool += cur // emitted copy above; the state can be reused
       while (pending.size > reorderDepth) emitMin()
       cur = null
       sliceDeblocks.clear()
@@ -4807,9 +4850,9 @@ object H264Codec {
             }
             if (out.size >= maxFrames) stop = true
             else {
-              if (nal.nalType == 5) refs.clear() // IDR resets the DPB
+              if (nal.nalType == 5) { pool ++= refs; refs.clear() } // IDR resets the DPB
               val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
-              cur = new PicState(mbW, mbH)
+              cur = acquirePic(mbW, mbH)
               cur.curSlice = 0
               curIsRef = nal.refIdc != 0
             }
