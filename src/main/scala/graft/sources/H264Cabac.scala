@@ -260,10 +260,12 @@ object H264Cabac {
     // needs bits beyond the flush, but renormalization may LOOK ahead a
     // few bits past the aligned tail of a tiny slice
     @inline private def bit(): Int = if (r.bitsLeft > 0) r.u1 else 0
+    /** n zero-padded bits past the flush (renormalization look-ahead) */
     private def bits(n: Int): Int = {
-      var v = 0; var i = 0
-      while (i < n) { v = (v << 1) | bit(); i += 1 }
-      v
+      val avail = r.bitsLeft
+      if (avail >= n) r.u(n)
+      else if (avail <= 0) 0
+      else r.u(avail) << (n - avail)
     }
     private var range = 510
     private var offset = bits(9)
@@ -272,7 +274,7 @@ object H264Cabac {
       val packed = cx.s(idx)
       val pState = packed >> 1
       val valMps = packed & 1
-      val rLps = rangeTabLPS(pState)((range >> 6) & 3)
+      val rLps = lpsFlat((pState << 2) | ((range >> 6) & 3))
       range -= rLps
       val bin =
         if (offset >= range) {
@@ -285,7 +287,11 @@ object H264Cabac {
           cx.s(idx) = (transIdxMPS(pState) << 1) | valMps
           valMps
         }
-      while (range < 256) { range <<= 1; offset = (offset << 1) | bit() }
+      if (range < 256) { // batched renorm: one shift + one multi-bit read
+        val sh = Integer.numberOfLeadingZeros(range) - 23
+        range <<= sh
+        offset = (offset << sh) | bits(sh)
+      }
       bin
     }
 
@@ -294,15 +300,57 @@ object H264Cabac {
       if (offset >= range) { offset -= range; 1 } else 0
     }
 
+    /** `n` bypass bins in one reader access (MSB first — equivalent to
+      * n chained [[decodeBypass]] calls): absorb the bits into `offset`
+      * and run the per-bin compare against shifted `range`. `offset`
+      * stays < range << n <= 2^9 << 20, so chunks of 20 fit an Int.
+      */
+    def decodeBypassN(n: Int): Int = {
+      var v = 0
+      var left = n
+      while (left > 0) {
+        val take = if (left > 20) 20 else left
+        offset = (offset << take) | bits(take)
+        var t = take - 1
+        var acc = 0
+        while (t >= 0) {
+          val th = range << t
+          if (offset >= th) { offset -= th; acc |= 1 << t }
+          t -= 1
+        }
+        v = (v << take) | acc
+        left -= take
+      }
+      v
+    }
+
     /** returns 1 at slice end (no renorm — decoding stops) */
     def decodeTerminate(): Int = {
       range -= 2
       if (offset >= range) 1
       else {
-        while (range < 256) { range <<= 1; offset = (offset << 1) | bit() }
+        if (range < 256) {
+          val sh = Integer.numberOfLeadingZeros(range) - 23
+          range <<= sh
+          offset = (offset << sh) | bits(sh)
+        }
         0
       }
     }
+  }
+
+  /** Table 9-44 flattened to (pState << 2) | qCodIRangeIdx for the bin
+    * decode hot path (one load instead of two dependent ones)
+    */
+  private val lpsFlat: Array[Int] = {
+    val f = new Array[Int](64 * 4)
+    var s = 0
+    while (s < 64) {
+      var q = 0
+      while (q < 4) { f((s << 2) | q) = rangeTabLPS(s)(q); q += 1 }
+      s += 1
+    }
+    f
   }
 
   // ------------------------------------------------- binarization helpers
@@ -347,8 +395,7 @@ object H264Cabac {
     var v = 0
     var k = k0
     while (d.decodeBypass() == 1) { v += 1 << k; k += 1 }
-    var i = k - 1
-    while (i >= 0) { v += d.decodeBypass() << i; i -= 1 }
+    if (k > 0) v += d.decodeBypassN(k)
     v
   }
 }

@@ -1220,6 +1220,7 @@ object H264Codec {
     val w16 = new Array[Int](16) // dequantised 4x4 residual
     val ch0 = new Array[Int](8) // chroma separable row caches
     val ch1 = new Array[Int](8)
+    val sig64 = new Array[Boolean](64) // CABAC significance map scratch
   }
   private val mcScratch = new ThreadLocal[McScratch] {
     override def initialValue(): McScratch = new McScratch
@@ -2938,7 +2939,8 @@ object H264Codec {
       if (cat == 5) CabacCtx.Last8 + CabacCtx.last8Bucket(p)
       else CabacCtx.Last + CabacCtx.sigBase(cat) + sigPos(p)
     val lvlBase = if (cat == 5) CabacCtx.AbsLevel8 else CabacCtx.AbsLevel + cat * 10
-    val sig = new Array[Boolean](maxN)
+    val sig = mcScratch.get().sig64
+    java.util.Arrays.fill(sig, 0, maxN, false)
     var lastIdx = -1
     var i = 0
     var done = false
@@ -2960,8 +2962,14 @@ object H264Codec {
     while (i >= 0) {
       if (sig(i)) {
         val bin0Inc = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
-        var absM1 = H264Cabac.decodeTU(d, cx, 14,
-          b => lvlBase + (if (b == 0) bin0Inc else 5 + math.min(4, numGt1)))
+        // TU prefix (cMax 14), inlined: bin 0 on the eq1-ladder context,
+        // bins 1+ sharing the gt1-ladder context (closure-free hot loop)
+        var absM1 = 0
+        if (d.decodeBin(cx, lvlBase + bin0Inc) == 1) {
+          val ctxRest = lvlBase + 5 + math.min(4, numGt1)
+          absM1 = 1
+          while (absM1 < 14 && d.decodeBin(cx, ctxRest) == 1) absM1 += 1
+        }
         if (absM1 == 14) absM1 += H264Cabac.decodeEGkSuffix(d, 0)
         val mag = absM1 + 1
         out(i) = if (d.decodeBypass() == 1) -mag else mag
@@ -3478,6 +3486,12 @@ object H264Codec {
     H264Cabac.initTables.foreach(t =>
       cx.init(if (isP || isB) t.p(cabacInitIdc) else t.i, qp))
     val cms = new CabacMbState(st)
+    // per-slice residual scratch (see decodeSlice's pmPool): every field a
+    // reconstruct reads is gated by the cbp the parser just set, and
+    // cabacReadBlock pre-zeroes each parsed block
+    val pmPool = new PMbCoeffs
+    lazy val m16Pool = new MbCoeffs
+    lazy val zig8Pool: Array[Array[Int]] = Array.fill(4)(new Array[Int](64))
     val nMb = st.mbW * st.mbH
     var mb = firstMb
     var end = false
@@ -3540,7 +3554,7 @@ object H264Codec {
           val cbp = cbpLuma | (cbpChroma << 4)
           cms.cbp(mi) = cbp
           val mc = if (cbp == 0) null else {
-            val m = new PMbCoeffs
+            val m = pmPool
             m.cbp = cbp
             require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
               "mb_qp_delta != 0 unsupported (constant-QP subset)")
@@ -3597,7 +3611,7 @@ object H264Codec {
         val cbp = cbpLuma | (cbpChroma << 4)
         cms.cbp(mi) = cbp
         val mc = if (cbp == 0) null else {
-          val m = new PMbCoeffs
+          val m = pmPool
           m.cbp = cbp
           require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
             "mb_qp_delta != 0 unsupported (constant-QP subset)")
@@ -3643,11 +3657,11 @@ object H264Codec {
             cbpChroma8 =
               if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
               else 1
-          val m8 = new PMbCoeffs
+          val m8 = pmPool
           m8.cbp = cbpLuma8 | (cbpChroma8 << 4)
           cms.isIntra(mi) = true
           cms.cbp(mi) = m8.cbp
-          val zig8 = Array.fill(4)(new Array[Int](64))
+          val zig8 = zig8Pool
           if (m8.cbp != 0) {
             require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
               "mb_qp_delta != 0 unsupported (constant-QP subset)")
@@ -3693,7 +3707,7 @@ object H264Codec {
           cbpChroma4 =
             if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
             else 1
-        val m4 = new PMbCoeffs
+        val m4 = pmPool
         m4.cbp = cbpLuma4 | (cbpChroma4 << 4)
         cms.isIntra(mi) = true
         cms.cbp(mi) = m4.cbp
@@ -3711,7 +3725,7 @@ object H264Codec {
         } // end Intra_4x4 (the t8pps flag picked I8 above otherwise)
       } else {
         require(d.decodeTerminate() == 0, "I_PCM in CABAC slices unsupported")
-        val mc = new MbCoeffs
+        val mc = m16Pool
         mc.cbpLuma = if (d.decodeBin(cx, CabacCtx.MbTypeICbpLuma) == 1) 15 else 0
         mc.cbpChroma =
           if (d.decodeBin(cx, CabacCtx.MbTypeICbpChroma0) == 0) 0
