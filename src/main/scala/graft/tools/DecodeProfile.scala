@@ -26,6 +26,8 @@ object DecodeProfile {
   def main(args: Array[String]): Unit = {
     val nGops = args.headOption.map(_.toInt).getOrElse(8)
     val tier = args.drop(1).headOption.getOrElse("default")
+    val h = args.drop(2).headOption.map(_.toInt).getOrElse(480)
+    val w = args.drop(3).headOption.map(_.toInt).getOrElse(640)
     val codec = tier match {
       case "default"  => H264GopCodec.Default
       case "cabac"    => H264GopCodec.Cabac
@@ -36,11 +38,11 @@ object DecodeProfile {
       case other      => sys.error(s"unknown tier $other")
     }
     val gopSize = 16
-    println(s"== encoding $nGops GOPs of $gopSize VGA frames (tier=$tier)")
+    println(s"== encoding $nGops GOPs of $gopSize ${w}x$h frames (tier=$tier)")
     val tEnc0 = System.nanoTime()
     val gops = (0 until nGops).map { g =>
       val frames = (0 until gopSize).map(i =>
-        StdKernels.syntheticFrame(0L, (g * gopSize + i).toLong, 480, 640, 1))
+        StdKernels.syntheticFrame(0L, (g * gopSize + i).toLong, h, w, 1))
       codec.encodeGop(frames)
     }
     val encS = (System.nanoTime() - tEnc0) / 1e9
@@ -93,6 +95,37 @@ object DecodeProfile {
     val cpuS = (tmx.getCurrentThreadCpuTime - cpu0) / 1e9
     println(f"== decode: $decodedFrames frames in $wallS%.2f s wall / $cpuS%.2f s cpu " +
       f"=> ${decodedFrames / cpuS}%.1f fps/core (${decodedFrames / wallS}%.1f fps wall), $reps reps")
+
+    // optional concurrency probe: decode the same GOPs on T threads and
+    // report aggregate cpu per frame (reproduces — or exonerates — the
+    // 32-way Spark-scan inflation without Spark in the loop)
+    val threads = sys.env.getOrElse("DECODE_THREADS", "0").toInt
+    if (threads > 0) {
+      val tmx2 = ManagementFactory.getThreadMXBean
+      val done = new java.util.concurrent.atomic.AtomicLong(0)
+      val cpuTot = new java.util.concurrent.atomic.AtomicLong(0)
+      val t0c = System.nanoTime()
+      val ts = (0 until threads).map { ti =>
+        val t = new Thread(() => {
+          val c0 = tmx2.getCurrentThreadCpuTime
+          var n = 0L
+          // 4 rounds over the gop set per thread
+          var rep = 0
+          while (rep < 4) {
+            gops.foreach { g => n += codec.decodeGop(g, 0L, 0L, Int.MaxValue, None).size }
+            rep += 1
+          }
+          done.addAndGet(n)
+          cpuTot.addAndGet(tmx2.getCurrentThreadCpuTime - c0)
+        }, s"dec-$ti")
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val wallC = (System.nanoTime() - t0c) / 1e9
+      val cpuC = cpuTot.get / 1e9
+      println(f"== concurrency x$threads: ${done.get} frames, wall $wallC%.2f s, " +
+        f"cpu $cpuC%.2f s => ${done.get / cpuC}%.1f fps/core, ${done.get / wallC}%.1f fps wall")
+    }
 
     val total = hist.values.sum.max(1)
     println(s"== stack samples: $total")
