@@ -2210,28 +2210,54 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       range: Int, halfPel: Boolean, quarterPel: Boolean): (Int, Int, PMbCoeffs, Long) = {
     val x0 = mbX * 16; val y0 = mbY * 16
-    def sad(dx: Int, dy: Int): Long = {
+    // SAD with a row-wise early exit against `bound`: once the running
+    // sum can no longer beat the incumbent the exact value is irrelevant
+    // (the caller only does a strict < compare), so the argmin — and the
+    // emitted bitstream — is unchanged while the full search drops ~4x
+    // of its pixel work. Interior displacements skip the edge clamp.
+    def sad(dx: Int, dy: Int, bound: Long): Long = {
+      val rx0 = x0 + dx; val ry0 = y0 + dy
+      val refPlane = ref.reconY
       var s = 0L
-      var r = 0
-      while (r < 16) {
-        var c = 0
-        while (c < 16) {
-          s += math.abs((srcY((y0 + r) * st.pw + x0 + c) & 0xff) -
-            refSample(ref.reconY, ref.pw, ref.ph, x0 + c + dx, y0 + r + dy))
-          c += 1
+      if (rx0 >= 0 && ry0 >= 0 && rx0 + 16 <= ref.pw && ry0 + 16 <= ref.ph) {
+        var r = 0
+        while (r < 16) {
+          val sb = (y0 + r) * st.pw + x0
+          val rb = (ry0 + r) * ref.pw + rx0
+          var c = 0
+          while (c < 16) {
+            val d = (srcY(sb + c) & 0xff) - (refPlane(rb + c) & 0xff)
+            s += (if (d < 0) -d else d)
+            c += 1
+          }
+          if (s >= bound) return s
+          r += 1
         }
-        r += 1
+      } else {
+        var r = 0
+        while (r < 16) {
+          val sb = (y0 + r) * st.pw + x0
+          var c = 0
+          while (c < 16) {
+            val d = (srcY(sb + c) & 0xff) -
+              refSample(refPlane, ref.pw, ref.ph, rx0 + c, ry0 + r)
+            s += (if (d < 0) -d else d)
+            c += 1
+          }
+          if (s >= bound) return s
+          r += 1
+        }
       }
       s
     }
     var bestDx = 0; var bestDy = 0
-    var best = sad(0, 0)
+    var best = sad(0, 0, Long.MaxValue)
     var dy = -range
     while (dy <= range) {
       var dx = -range
       while (dx <= range) {
         if (dx != 0 || dy != 0) {
-          val s = sad(dx, dy)
+          val s = sad(dx, dy, best)
           if (s < best) { best = s; bestDx = dx; bestDy = dy }
         }
         dx += 1
@@ -2242,17 +2268,21 @@ object H264Codec {
     // winner, SAD over the actual 6-tap interpolated prediction
     // (integer-preferring tie-break keeps zero-motion skip paths cheap)
     var mvx = bestDx * 4; var mvy = bestDy * 4
-    val predTmp = new Array[Int](256)
-    def sadInterp(qx: Int, qy: Int): Long = {
+    val predTmp = new Array[Int](256) // local: mcLuma may use the shared scratch
+    def sadInterp(qx: Int, qy: Int, bound: Long): Long = {
       mcLuma(ref, mbX, mbY, qx, qy, predTmp)
       var s = 0L
       var r = 0
       while (r < 16) {
+        val sb = (y0 + r) * st.pw + x0
+        val pb = r * 16
         var c = 0
         while (c < 16) {
-          s += math.abs((srcY((y0 + r) * st.pw + x0 + c) & 0xff) - predTmp(r * 16 + c))
+          val d = (srcY(sb + c) & 0xff) - predTmp(pb + c)
+          s += (if (d < 0) -d else d)
           c += 1
         }
+        if (s >= bound) return s
         r += 1
       }
       s
@@ -2262,7 +2292,7 @@ object H264Codec {
       var hx = -2
       while (hx <= 2) {
         if ((hx != 0 || hy != 0) && (hx % 4 != 0 || hy % 4 != 0)) {
-          val s = sadInterp(bestDx * 4 + hx, bestDy * 4 + hy)
+          val s = sadInterp(bestDx * 4 + hx, bestDy * 4 + hy, best)
           if (s < best) { best = s; mvx = bestDx * 4 + hx; mvy = bestDy * 4 + hy }
         }
         hx += 2
@@ -2278,7 +2308,7 @@ object H264Codec {
         var qx = -1
         while (qx <= 1) {
           if (qx != 0 || qy != 0) {
-            val s = sadInterp(cx + qx, cy + qy)
+            val s = sadInterp(cx + qx, cy + qy, best)
             if (s < best) { best = s; mvx = cx + qx; mvy = cy + qy }
           }
           qx += 1

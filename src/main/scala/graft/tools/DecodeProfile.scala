@@ -39,11 +39,34 @@ object DecodeProfile {
     }
     val gopSize = 16
     println(s"== encoding $nGops GOPs of $gopSize ${w}x$h frames (tier=$tier)")
+    // optional encode-phase sampler (PROFILE_ENCODE=1)
+    val encHist = new mutable.HashMap[String, Int]().withDefaultValue(0)
+    @volatile var encSampling = sys.env.get("PROFILE_ENCODE").contains("1")
+    if (encSampling) {
+      val encThread = Thread.currentThread()
+      val t = new Thread(() => {
+        while (encSampling) {
+          encThread.getStackTrace.find(_.getClassName.startsWith("graft.sources")).foreach {
+            f => encHist(f.getClassName.split('.').last + "." + f.getMethodName) += 1
+          }
+          Thread.sleep(2)
+        }
+      }, "encode-sampler")
+      t.setDaemon(true); t.start()
+    }
     val tEnc0 = System.nanoTime()
     val gops = (0 until nGops).map { g =>
       val frames = (0 until gopSize).map(i =>
         StdKernels.syntheticFrame(0L, (g * gopSize + i).toLong, h, w, 1))
       codec.encodeGop(frames)
+    }
+    if (encSampling) {
+      encSampling = false
+      val tot = encHist.values.sum.max(1)
+      println(s"== encode stack samples: $tot")
+      encHist.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
+        println(f"  ${v * 100.0 / tot}%5.1f%%  $k")
+      }
     }
     val encS = (System.nanoTime() - tEnc0) / 1e9
     val bytes = gops.map(_.length.toLong).sum
