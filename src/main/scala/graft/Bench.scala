@@ -1044,7 +1044,8 @@ object Bench {
           f", est $estCost%.0fs)")
       } else {
         val qr = timeOne(spark, tally, name, fn, sfDir, rowReps, profileSet, tag,
-          warm, capS = capFor(name), calibrate = est.exists(_ >= 10.0))
+          warm, capS = capFor(name), calibrate = est.exists(_ >= 10.0),
+          prevMin = est)
         out += ((name, qr))
         onResult(name, qr)
       }
@@ -1058,7 +1059,7 @@ object Bench {
       name: String, fn: (SparkSession, String) => DataFrame,
       sfDir: String, reps: Int, profileSet: Set[String],
       tag: String, warmup: Boolean, capS: Double = Double.MaxValue,
-      calibrate: Boolean = false): QueryResult = {
+      calibrate: Boolean = false, prevMin: Option[Double] = None): QueryResult = {
       // pre-row spin calibration on heavy rows: a slow rep with a LOW
       // calibration is "host is slow", with a normal one it's "row
       // regressed" — the distinction r12's telemetry could not make
@@ -1147,6 +1148,15 @@ object Bench {
               // amortized past steal noise and a second would only burn
               // budget the board's tail needs
               if (sec > 60.0) stop = true
+              // confirmation mode (r13: the 3600s-budget full board spent
+              // 840 s on non-min reps): this host's noise is virtualization
+              // steal, which only INFLATES a rep — so a first rep at or
+              // below ~1.25x the previous run's min cannot itself be a
+              // burst, and IS a valid min sample; further reps add no
+              // information. A regressed or burst-hit rep1 fails the
+              // check and the row keeps its full rep count.
+              if (timedBuf.size == 1 && prevMin.exists(p => sec <= 1.25 * p))
+                stop = true
             }
           case None => () // genuine failure; remaining reps may still pass
         }

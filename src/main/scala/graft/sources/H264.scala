@@ -77,9 +77,11 @@ object H264 {
     }
     /** advance past `n <= 32` bits already inspected via [[peek]] */
     def skip(n: Int): Unit = {
+      // refill BEFORE advancing pos: refill's tail is (pos + bits), so a
+      // skip wider than the cached bits must top up against the OLD head
+      if (bits < n) refill()
       pos += n
       require(pos <= limit, s"bit read past RBSP end (bit $pos)")
-      if (bits < n) refill() // skip beyond the peeked width
       cache <<= n
       bits -= n
     }
