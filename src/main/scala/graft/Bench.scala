@@ -823,12 +823,30 @@ object Bench {
       Emit.flushFile()
     }
     // per-execution watchdog cap (r12 ask 1a): 4x the previous run's min
-    // for known rows, budget/12 for unknown ones, never below 20 s (a
-    // noise-inflated cancel of a healthy row would cost a board entry)
-    val capFor: String => Double = n => math.max(20.0,
+    // for known rows, budget/12 for unknown ones, never below 45 s — this
+    // host's contention swings are legitimately 10-15x on multi-MB-working-
+    // set rows (BENCHNOTES r13: bt_h264_decode_hd 2.15 s calm / ~31 s
+    // contended; the r13 validation run killed it at the old 20 s floor
+    // and lost the board entry). 45 s still bounds a runaway to a 40th of
+    // the budget; the r12 disaster rep (442 s) dies at budget/12 = 150 s.
+    val capFor: String => Double = n => math.max(45.0,
       estimates.get(n).map(e => math.min(4 * e, budgetS / 12)).getOrElse(budgetS / 12))
+    // heavy-row reserve (r13 validation run: the cheap tail + sf1 reserve
+    // left no room and bt_1m_cc — the single most expensive row, deferred
+    // to run LAST — was the one skip of an otherwise-complete board).
+    // While a deferred heavy row hasn't run, its estimated cost is held
+    // back from every EARLIER row's budget; the row itself (and rows
+    // after it) no longer see its reserve.
+    val heavyNames = ordered.map(_._1)
+      .filter(n => n.startsWith("bt_") &&
+        estimates.getOrElse(n, estMedian) >= 30.0)
+    def heavyReserve(upTo: String): Double = {
+      val later = plannedNames.dropWhile(_ != upTo).drop(1).toSet
+      heavyNames.filter(later).map(n => estimates.getOrElse(n, estMedian) * 1.2 + 5).sum
+    }
     val (results, skipped0) = timeAll(spark, tally, ordered, sfDir, reps, profileSet,
-      estimates = estimates, remainingS = () => remaining(20.0 + sf1Reserve),
+      estimates = estimates,
+      remainingS = n => remaining(20.0 + sf1Reserve + heavyReserve(n)),
       fallbackEst = estMedian, capFor = capFor,
       onResult = { (name, qr) =>
         doneBuf += ((name, qr))
@@ -929,7 +947,7 @@ object Bench {
         // its sf0.1 min (the tier is 10x the data) or budget/12
         val (res1, skipped1) = timeAll(spark, tally, sel1, sf1Dir, sf1Reps,
           profileSet = prof1, tag = "sf1 ", warmup = false,
-          remainingS = () => remaining(15.0),
+          remainingS = _ => remaining(15.0),
           capFor = n => math.max(20.0, mins01.get(n).map(_.min)
             .filter(_ > 0).map(m => math.min(10 * m * 4, budgetS / 12))
             .getOrElse(budgetS / 12)),
@@ -1002,7 +1020,7 @@ object Bench {
       sfDir: String, reps: Int, profileSet: Set[String],
       tag: String = "", warmup: Boolean = true,
       estimates: Map[String, Double] = Map.empty,
-      remainingS: () => Double = () => Double.MaxValue,
+      remainingS: String => Double = _ => Double.MaxValue,
       fallbackEst: Double = 1.0,
       capFor: String => Double = _ => Double.MaxValue,
       onResult: (String, QueryResult) => Unit = (_, _) => ())
@@ -1010,7 +1028,7 @@ object Bench {
     val out     = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      val rem = remainingS()
+      val rem = remainingS(name)
       // the untimed warmup exists for codegen/JIT constants, which
       // only dominate CHEAP rows; a row known to run >= 2 s is
       // steady-state work and skipping its warmup saves a full
