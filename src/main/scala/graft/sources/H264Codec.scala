@@ -1633,6 +1633,71 @@ object H264Codec {
     val bi = refIdx0 >= 0 && refIdx1 >= 0
     st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp)
+    // no-residual integer-pel single-list MB (P_Skip on panning/static
+    // content — the common case): the reconstruction IS a plane-to-plane
+    // block copy, so skip the int prediction buffer entirely. Byte-
+    // identical to the general path (integer MC is a clamped copy and
+    // the residual is zero); chroma qualifies separately (its eighth-pel
+    // fraction is mv & 7).
+    if (mc == null && !bi) {
+      val refP = if (refIdx0 >= 0) ref0 else ref1
+      val mvx0 = if (refIdx0 >= 0) mv0x else mv1x
+      val mvy0 = if (refIdx0 >= 0) mv0y else mv1y
+      if ((mvx0 & 3) == 0 && (mvy0 & 3) == 0) {
+        val sx = mbX * 16 + (mvx0 >> 2); val sy = mbY * 16 + (mvy0 >> 2)
+        if (sx >= 0 && sy >= 0 && sx + 16 <= refP.pw && sy + 16 <= refP.ph) {
+          val dx = mbX * 16; val dy = mbY * 16
+          var r = 0
+          while (r < 16) {
+            System.arraycopy(refP.reconY, (sy + r) * refP.pw + sx,
+              st.reconY, (dy + r) * st.pw + dx, 16)
+            r += 1
+          }
+          val chromaCopied = (mvx0 & 7) == 0 && (mvy0 & 7) == 0 && {
+            val cx = mbX * 8 + (mvx0 >> 3); val cy = mbY * 8 + (mvy0 >> 3)
+            cx >= 0 && cy >= 0 && cx + 8 <= st.cw && cy + 8 <= st.ch && {
+              var cr0 = 0
+              while (cr0 < 8) {
+                System.arraycopy(refP.reconCb, (cy + cr0) * st.cw + cx,
+                  st.reconCb, (mbY * 8 + cr0) * st.cw + mbX * 8, 8)
+                System.arraycopy(refP.reconCr, (cy + cr0) * st.cw + cx,
+                  st.reconCr, (mbY * 8 + cr0) * st.cw + mbX * 8, 8)
+                cr0 += 1
+              }
+              true
+            }
+          }
+          if (!chromaCopied) {
+            val scc = mcScratch.get()
+            var pl = 0
+            while (pl < 2) {
+              val (plane, refPlane) =
+                if (pl == 0) (st.reconCb, refP.reconCb) else (st.reconCr, refP.reconCr)
+              val predC = scc.predC
+              mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx0, mvy0, predC)
+              var r2 = 0
+              while (r2 < 8) {
+                val rb = (mbY * 8 + r2) * st.cw + mbX * 8
+                val pb = r2 * 8
+                var c2 = 0
+                while (c2 < 8) { plane(rb + c2) = predC(pb + c2).toByte; c2 += 1 }
+                r2 += 1
+              }
+              pl += 1
+            }
+          }
+          val mi0 = mbY * st.mbW + mbX
+          st.inter(mi0) = true
+          if (refIdx0 >= 0) { st.mvX(mi0) = mv0x; st.mvY(mi0) = mv0y }
+          else { st.mvX(mi0) = 0; st.mvY(mi0) = 0 }
+          st.refIdxMb(mi0) = refIdx0
+          if (refIdx1 >= 0) { st.mvXL1(mi0) = mv1x; st.mvYL1(mi0) = mv1y }
+          else { st.mvXL1(mi0) = 0; st.mvYL1(mi0) = 0 }
+          st.refIdxL1(mi0) = refIdx1
+          return
+        }
+      }
+    }
     val sc = mcScratch.get()
     val predL = sc.predL
     if (refIdx0 >= 0) mcLuma(ref0, mbX, mbY, mv0x, mv0y, predL)
