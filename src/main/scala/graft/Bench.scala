@@ -706,23 +706,97 @@ object Bench {
   }
 
   /** previous run's min times (from the result file this run will
-    * overwrite) — ordering + skip estimates only, never published
+    * overwrite) — ordering + skip estimates only, never published.
+    * Returns (sf0.1 board mins, sf1 section mins): the sf1 mins size the
+    * sf1 reserve from MEASURED cost (VERDICT r13 ask 1a — the flat 240 s
+    * reserve was advisory and the contended r13 board ate it, evicting
+    * 8/15 sf1 rows).
     */
-  private def loadEstimates(): Map[String, Double] =
+  private def loadEstimates(): (Map[String, Double], Map[String, Double]) =
     try {
       val f = Emit.outPath.toFile
-      if (!f.exists()) Map.empty
+      if (!f.exists()) (Map.empty, Map.empty)
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val q = om.readTree(f).get("queries")
-        if (q == null) Map.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble(-1.0))
+        val root = om.readTree(f)
+        import scala.jdk.CollectionConverters._
+        def mins(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
+          if (node == null) Map.empty
+          else node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble(-1.0))
             .filter(_._2 > 0).toMap
-        }
+        val sf1 = root.get("sf1")
+        (mins(root.get("queries")),
+          if (sf1 == null) Map.empty else mins(sf1.get("queries")))
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  /** Per-row best-known-min ledger (VERDICT r13 ask 1c): a COMMITTED
+    * file (repo root, not target/) recording each row's best min ever
+    * measured on a CALM rep — load1 < 10 and steal below 3% of the
+    * rep's cpu time — so cross-round comparison can separate "host
+    * regime" from "regression" without BENCHNOTES archaeology. The
+    * bench also reads it as an estimate fallback: a row whose previous
+    * run aborted (no published min — bt_1m_cc in r12 AND r13) otherwise
+    * gates on the useless group median.
+    */
+  private object Ledger {
+    val path: java.nio.file.Path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_LEDGER", "BENCH_LEDGER.json"))
+    // "tier/name" -> (best calm min, load1 at record, steal_s at record);
+    // tier-keyed because the gate runs the same query names at sf0.01 —
+    // an untiered ledger would hand the sf0.1 board 10x-too-low
+    // estimates, and the 4x-est watchdog caps would kill healthy rows
+    val rows = scala.collection.mutable.Map.empty[String, (Double, Double, Double)]
+    @volatile private var dirty = false
+    def key(tier: String, name: String): String = s"$tier/$name"
+    /** calm mins for one tier, name-keyed */
+    def minsFor(tier: String): Map[String, Double] = {
+      val p = tier + "/"
+      rows.collect { case (k, v) if k.startsWith(p) =>
+        k.stripPrefix(p) -> v._1 }.toMap
+    }
+    def load(): Unit =
+      try {
+        if (java.nio.file.Files.exists(path)) {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val q = om.readTree(path.toFile).get("rows")
+          if (q != null) {
+            import scala.jdk.CollectionConverters._
+            q.fields().asScala.foreach { e =>
+              val v = e.getValue
+              rows(e.getKey) = (v.get("min").asDouble(-1.0),
+                if (v.has("load1")) v.get("load1").asDouble(-1.0) else -1.0,
+                if (v.has("steal_s")) v.get("steal_s").asDouble(-1.0) else -1.0)
+            }
+            rows.filterInPlace((_, v) => v._1 > 0)
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ledger load failed (starting fresh): $e") }
+    /** record a calm measurement; keeps the per-row min over history */
+    def offer(tier: String, name: String, sec: Double, load1: Double,
+        stealS: Double): Unit = {
+      val k = key(tier, name)
+      if (sec > 0 && rows.get(k).forall(_._1 > sec)) {
+        rows(k) = (sec, load1, stealS)
+        dirty = true
+      }
+    }
+    def save(): Unit = if (dirty) try {
+      val body = rows.toSeq.sortBy(_._1).map { case (n, (m, l, s)) =>
+        s""""$n":{"min":${f"$m%.4f"},"load1":${f"$l%.2f"},"steal_s":${f"$s%.2f"}}"""
+      }.mkString(",")
+      java.nio.file.Files.write(path,
+        s"""{"_comment":"best-known calm min per bench row; updated only from reps with load1<10 and steal<3% cpu — see Bench.Ledger","rows":{$body}}""".getBytes("UTF-8"))
+      dirty = false
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ledger save failed: $e") }
+  }
+
+  /** 1-minute host load average right now (calm-window scheduling for
+    * heavy rows — VERDICT r13 ask 1b) */
+  private def load1Now(): Double = readFirstLine("/proc/loadavg")
+    .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption).getOrElse(-1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -730,7 +804,16 @@ object Bench {
     val startNanos = System.nanoTime()
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1800").toDouble
     def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
-    val estimates = loadEstimates()
+    Ledger.load()
+    val tierTag = new java.io.File(sfDir).getName // e.g. "sf0.1"
+    val (prevMins, prevSf1MinsFile) = loadEstimates()
+    val prevSf1Mins =
+      if (prevSf1MinsFile.nonEmpty) prevSf1MinsFile else Ledger.minsFor("sf1")
+    // ledger calm mins back-fill rows the previous run aborted or skipped
+    // (bt_1m_cc published NO min in r12 or r13, so it gated and capped on
+    // the group median / budget/12 — exactly the rows that most need a
+    // real estimate get none without the ledger)
+    val estimates = Ledger.minsFor(tierTag) ++ prevMins
     Emit.installHook()
     Emit.flushFile()
     // Base timed reps per query after one untimed warmup: single-shot
@@ -808,7 +891,18 @@ object Bench {
     def remaining(reserveS: Double): Double = budgetS - elapsedS - reserveS
     val sf1Planned = sfDir.endsWith("sf0.1") &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") != "0"
-    val sf1Reserve = if (sf1Planned) 240.0 else 0.0 // measured ~220 s warm-tier
+    // sf1 reserve sized from MEASURED sf1 cost when the previous run has
+    // one (sum of sf1 mins x 1.6 for rep overhead + 30 s section slack,
+    // never below the 240 s warm-tier floor, capped at a third of the
+    // budget); r13's flat 240 s underestimated a contended sf1 tier and
+    // 8/15 rows were evicted
+    val sf1Reserve =
+      if (!sf1Planned) 0.0
+      else if (prevSf1Mins.isEmpty) 240.0
+      else math.min(budgetS / 3,
+        math.max(240.0, prevSf1Mins.values.sum * 1.6 + 30.0))
+    if (sf1Planned) System.err.println(
+      f"[bench] sf1 reserve $sf1Reserve%.0fs (prev measured ${prevSf1Mins.values.sum}%.0fs over ${prevSf1Mins.size} rows)")
     val doneBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
     @volatile var sf1Part = ""
     def emitPartial(skippedNow: Seq[String]): Unit = {
@@ -829,8 +923,21 @@ object Bench {
     // contended; the r13 validation run killed it at the old 20 s floor
     // and lost the board entry). 45 s still bounds a runaway to a 40th of
     // the budget; the r12 disaster rep (442 s) dies at budget/12 = 150 s.
-    val capFor: String => Double = n => math.max(45.0,
-      estimates.get(n).map(e => math.min(4 * e, budgetS / 12)).getOrElse(budgetS / 12))
+    // the single heaviest known row gets ONE attempt at a budget/8 cap
+    // (VERDICT r13 ask 1b: bt_1m_cc's calm cost is 81-90 s but the 150 s
+    // budget/12 cap killed both reps under load1 >= 15 two rounds
+    // running — 225 s at the default budget absorbs a 2.5x contention
+    // multiple while still bounding a runaway to an eighth of the clock)
+    val heaviestRow: Option[String] = {
+      val bt = selected.keysIterator.filter(n =>
+        n.startsWith("bt_") && estimates.getOrElse(n, 0.0) >= 30.0)
+      if (bt.isEmpty) None else Some(bt.maxBy(n => estimates(n)))
+    }
+    val capFor: String => Double = n => {
+      val base = math.max(45.0,
+        estimates.get(n).map(e => math.min(4 * e, budgetS / 12)).getOrElse(budgetS / 12))
+      if (heaviestRow.contains(n)) math.max(base, budgetS / 8) else base
+    }
     // heavy-row reserve (r13 validation run: the cheap tail + sf1 reserve
     // left no room and bt_1m_cc — the single most expensive row, deferred
     // to run LAST — was the one skip of an otherwise-complete board).
@@ -848,8 +955,10 @@ object Bench {
       estimates = estimates,
       remainingS = n => remaining(20.0 + sf1Reserve + heavyReserve(n)),
       fallbackEst = estMedian, capFor = capFor,
+      deferHeavyWhenBusy = true, ledgerTier = tierTag,
       onResult = { (name, qr) =>
         doneBuf += ((name, qr))
+        Ledger.save()
         val doneNames = doneBuf.map(_._1).toSet
         emitPartial(plannedNames.filterNot(doneNames))
       })
@@ -947,7 +1056,7 @@ object Bench {
         // its sf0.1 min (the tier is 10x the data) or budget/12
         val (res1, skipped1) = timeAll(spark, tally, sel1, sf1Dir, sf1Reps,
           profileSet = prof1, tag = "sf1 ", warmup = false,
-          remainingS = _ => remaining(15.0),
+          remainingS = _ => remaining(15.0), ledgerTier = "sf1",
           capFor = n => math.max(20.0, mins01.get(n).map(_.min)
             .filter(_ > 0).map(m => math.min(10 * m * 4, budgetS / 12))
             .getOrElse(budgetS / 12)),
@@ -988,6 +1097,8 @@ object Bench {
     Emit.latest = json
     Emit.flushFile()
     System.err.println(s"[bench] full results written to ${Emit.outPath}")
+    Ledger.save()
+    System.err.println(s"[bench] calm best-min ledger at ${Ledger.path} (${Ledger.rows.size} rows)")
     if (Emit.finalPrinted.compareAndSet(false, true)) println(json)
     spark.stop()
   }
@@ -1023,11 +1134,25 @@ object Bench {
       remainingS: String => Double = _ => Double.MaxValue,
       fallbackEst: Double = 1.0,
       capFor: String => Double = _ => Double.MaxValue,
+      deferHeavyWhenBusy: Boolean = false,
+      ledgerTier: String = "",
       onResult: (String, QueryResult) => Unit = (_, _) => ())
       : (Seq[(String, QueryResult)], Seq[String]) = {
     val out     = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
-    selected.foreach { case (name, fn) =>
+    // contention-adaptive gating (r13: the board's reps ran 2-4x their
+    // calm estimates under load1 15-28 and the cheap tail ate the sf1
+    // reserve): once >= 20 s of estimated work has completed, scale every
+    // later row's estimated cost by the observed actual/estimated ratio
+    // (clamped to [1, 3]) so the budget gate sheds load EARLY on a
+    // contended host instead of overrunning the reserves
+    var estSum = 0.0; var actSum = 0.0
+    def inflation: Double =
+      if (estSum < 20.0) 1.0 else math.min(3.0, math.max(1.0, actSum / estSum))
+    val queue = scala.collection.mutable.Queue(selected: _*)
+    val deferred = scala.collection.mutable.Set.empty[String]
+    while (queue.nonEmpty) {
+      val (name, fn) = queue.dequeue()
       val rem = remainingS(name)
       // the untimed warmup exists for codegen/JIT constants, which
       // only dominate CHEAP rows; a row known to run >= 2 s is
@@ -1054,16 +1179,42 @@ object Bench {
       // configured), plus a small constant. Unknown rows gate on the
       // group-median estimate (ADVICE r12: they used to bypass the check
       // entirely, so one new heavy row could overrun the wall budget).
-      val estCost = est.getOrElse(fallbackEst) *
-        (rowReps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5
-      if (rem <= 0 || estCost > rem) {
+      val estCost = (est.getOrElse(fallbackEst) *
+        (rowReps + (if (warm) 1 else 0) + (if (profileSet(name)) 1 else 0)) + 0.5) *
+        inflation
+      // calm-window scheduling for heavy rows (VERDICT r13 ask 1b):
+      // a >= 30 s row arriving inside a contention window (load1 >= 12
+      // — the r13 bt_1m_cc kills all happened at load1 >= 15) is pushed
+      // to the back of the queue ONCE; when it comes up again still
+      // contended, wait one bounded 45 s calm window, then run
+      // regardless — a bounded abort beats an unmeasured row, but a
+      // calm rep beats both.
+      lazy val busy = load1Now() >= 12.0
+      if (deferHeavyWhenBusy && est.exists(_ >= 30.0) && busy &&
+          !deferred(name) && queue.nonEmpty) {
+        deferred += name
+        queue.enqueue((name, fn))
+        System.err.println(f"[bench] $tag$name DEFERRED (load1 ${load1Now()}%.1f >= 12; retrying later in the run)")
+      } else if (rem <= 0 || estCost > rem) {
         skipped += name
         System.err.println(f"[bench] $tag$name SKIPPED (budget: $rem%.0fs left" +
-          f", est $estCost%.0fs)")
+          f", est $estCost%.0fs @ inflation ${inflation}%.2f)")
       } else {
+        if (deferHeavyWhenBusy && est.exists(_ >= 30.0) && deferred(name) &&
+            busy && rem - estCost > 90.0) {
+          System.err.println(f"[bench] $tag$name still contended after deferral; waiting one 45 s calm window")
+          val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000
+          while (load1Now() >= 12.0 && System.nanoTime() < deadline)
+            Thread.sleep(5000)
+        }
+        val t0 = System.nanoTime()
         val qr = timeOne(spark, tally, name, fn, sfDir, rowReps, profileSet, tag,
           warm, capS = capFor(name), calibrate = est.exists(_ >= 10.0),
-          prevMin = est)
+          prevMin = est, ledgerTier = ledgerTier)
+        est.foreach { e =>
+          estSum += estCost / inflation
+          actSum += (System.nanoTime() - t0) / 1e9
+        }
         out += ((name, qr))
         onResult(name, qr)
       }
@@ -1077,7 +1228,8 @@ object Bench {
       name: String, fn: (SparkSession, String) => DataFrame,
       sfDir: String, reps: Int, profileSet: Set[String],
       tag: String, warmup: Boolean, capS: Double = Double.MaxValue,
-      calibrate: Boolean = false, prevMin: Option[Double] = None): QueryResult = {
+      calibrate: Boolean = false, prevMin: Option[Double] = None,
+      ledgerTier: String = ""): QueryResult = {
       // pre-row spin calibration on heavy rows: a slow rep with a LOW
       // calibration is "host is slow", with a normal one it's "row
       // regressed" — the distinction r12's telemetry could not make
@@ -1087,7 +1239,9 @@ object Bench {
       // warmup used to run open-loop) lives in a job group a watchdog can
       // cancel: r12's artifact lost 44 rows to ONE uncapped 442 s rep
       val rowAborted = new java.util.concurrent.atomic.AtomicBoolean(false)
-      def runCapped(timed: Boolean): Option[(Double, String)] = {
+      // (wall s, telemetry json, steal_s, cpu_s, load1 after) — the
+      // numeric trio feeds the calm-rep ledger gate
+      def runCapped(timed: Boolean): Option[(Double, String, Double, Double, Double)] = {
         val pre = snap(tally)
         val sc = spark.sparkContext
         val group = s"graft-bench-$name"
@@ -1121,7 +1275,13 @@ object Bench {
         // queries in one session don't accumulate storage memory and so
         // every rep pays the query's full cost (honest isolation)
         CacheScope.release(blocking = true)
-        if (ok || rowAborted.get) Some((sec, telemetryJson(pre, post))) else None
+        if (ok || rowAborted.get) {
+          val stealS = if (pre.stealTicks < 0 || post.stealTicks < 0) -1.0
+            else (post.stealTicks - pre.stealTicks) / 100.0
+          val cpuS = if (pre.cpuNs < 0 || post.cpuNs < 0) -1.0
+            else (post.cpuNs - pre.cpuNs) / 1e9
+          Some((sec, telemetryJson(pre, post), stealS, cpuS, post.load1))
+        } else None
       }
       // one UNTIMED warm-up execution: the first 1-2 runs of a query pay
       // plan compile + Janino codegen + C2 JIT of the generated classes —
@@ -1136,8 +1296,8 @@ object Bench {
       // measurement — it must stay visible in the telemetry but never
       // enter min/median (r13 run: a contention burst on rep 2 recorded
       // three rows as -1 although rep 1 had measured them at 3-4 s)
-      val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
-      val killedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+      val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String, Double, Double, Double)]
+      val killedBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, String, Double, Double, Double)]
       if (warmup && !rowAborted.get) {
         val w = runCapped(timed = false)
         // an aborted warmup still surfaces its partial telemetry
@@ -1158,10 +1318,10 @@ object Bench {
       var stop = rowAborted.get
       while (i < reps && !stop) {
         runCapped(timed = true) match {
-          case Some((sec, tel)) =>
-            if (rowAborted.get) { killedBuf += ((sec, tel)); stop = true }
+          case Some(rep @ (sec, _, _, _, _)) =>
+            if (rowAborted.get) { killedBuf += rep; stop = true }
             else {
-              timedBuf += ((sec, tel))
+              timedBuf += rep
               // single-rep fallback (r12 ask 1b): a first rep over 60 s is
               // amortized past steal noise and a second would only burn
               // budget the board's tail needs
@@ -1193,12 +1353,12 @@ object Bench {
       if (aborted && timed.isEmpty) {
         rowAborted.set(false)
         runCapped(timed = true) match {
-          case Some((sec, tel)) if !rowAborted.get =>
-            timed = Seq((sec, tel))
+          case Some(rep @ (sec, _, _, _, _)) if !rowAborted.get =>
+            timed = Seq(rep)
             aborted = false
             System.err.println(
               f"[bench] $tag$name recovery rep $sec%.3f s after watchdog abort (burst passed)")
-          case Some((sec, tel)) => killedBuf += ((sec, tel))
+          case Some(rep) => killedBuf += rep
           case None => ()
         }
       }
@@ -1242,9 +1402,17 @@ object Bench {
       System.err.println(
         f"[bench] $tag$name reps=${times.map(t => f"$t%.3f").mkString(",")} min=$sec%.3f median=$med%.3f" +
           (if (aborted) " ABORTED" else ""))
-      timed.foreach { case (t, tel) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
-      killedBuf.foreach { case (t, tel) =>
+      timed.foreach { case (t, tel, _, _, _) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
+      killedBuf.foreach { case (t, tel, _, _, _) =>
         System.err.println(f"[bench]   rep $t%.3f s (KILLED partial) $tel") }
+      // calm-rep ledger gate: load1 under 10, steal under 3% of the
+      // rep's cpu time (floor 0.5 s for sub-second reps where a single
+      // tick is noise) — only such reps may update the best-known min
+      if (ledgerTier.nonEmpty) timed.foreach { case (t, _, stealS, cpuS, load1) =>
+        if (load1 >= 0 && load1 < 10.0 && stealS >= 0 &&
+            stealS < math.max(0.5, 0.03 * math.max(cpuS, t)))
+          Ledger.offer(ledgerTier, name, t, load1, stealS)
+      }
       // per-op attribution for the configured heavy set: ONE extra
       // untimed profiled run, task time broken down by the library op
       // that spent it (graft:cc-round vs the composed (final) action ...)
@@ -1261,7 +1429,8 @@ object Bench {
         }
       // killed partials ride along in the telemetry list (observability)
       // AFTER min/median were computed from the genuine reps above
-      QueryResult(sec, med, timed ++ killedBuf, ops, aborted, calib)
+      QueryResult(sec, med, (timed ++ killedBuf).map(r => (r._1, r._2)),
+        ops, aborted, calib)
   }
 
   /** the per-section JSON fields shared by the sf0.1 and sf1 sections:
