@@ -199,19 +199,58 @@ object H264Codec {
     val nzY = new Array[Int](bw4 * mbH * 4)
     val nzCb = new Array[Int](cbw4 * mbH * 2)
     val nzCr = new Array[Int](cbw4 * mbH * 2)
-    // per-MB motion state (16x16 partitions only), for MV prediction
-    val mvX = new Array[Int](mbW * mbH)
-    val mvY = new Array[Int](mbW * mbH)
+    // Motion state at 4x4-BLOCK granularity (since round 14, for
+    // sub-16x16 inter partitions): §8.4.1.3 MV prediction, §8.7.2.1
+    // per-edge boundary strength, the ref_idx/mvd entropy contexts, and
+    // spatial/temporal direct all sample the specific neighbour block.
+    // A 16x16 MB fills all 16 cells uniformly, so every pre-partition
+    // stream decodes bit-identically. ref4 = -1 marks intra/uncoded
+    // (participates in prediction as "no reference"); -2 marks a cell of
+    // the MB CURRENTLY being coded whose partition has not been reached
+    // yet (§6.4 neighbour availability: not yet decoded -> unavailable).
+    val mv4X = new Array[Int](bw4 * mbH * 4)
+    val mv4Y = new Array[Int](bw4 * mbH * 4)
+    val ref4: Array[Int] = Array.fill(bw4 * mbH * 4)(-1)
+    // list-1 twin state for B slices (ref -1: list unused by the block)
+    val mv4XL1 = new Array[Int](bw4 * mbH * 4)
+    val mv4YL1 = new Array[Int](bw4 * mbH * 4)
+    val ref4L1: Array[Int] = Array.fill(bw4 * mbH * 4)(-1)
+    // POC of the picture each block's L0 refIdx selected at decode time
+    // (temporal-direct MV scaling reads the COLOCATED block's reference
+    // distance; the colocated picture's reference lists are long gone)
+    val refPoc4 = new Array[Int](bw4 * mbH * 4)
     val inter = new Array[Boolean](mbW * mbH)
-    // per-MB L0 reference index (-1 = intra/uncoded) — §8.4.1.3's
-    // same-reference MV-predictor rule, the ref_idx entropy contexts,
-    // and §8.7.2.1's different-reference boundary strength all read it
-    val refIdxMb: Array[Int] = Array.fill(mbW * mbH)(-1)
-    // list-1 twin state for B slices (refIdxL1 = -1: list 1 unused by
-    // this MB — true for every P/I MB, and for B_L0_16x16)
-    val mvXL1 = new Array[Int](mbW * mbH)
-    val mvYL1 = new Array[Int](mbW * mbH)
-    val refIdxL1: Array[Int] = Array.fill(mbW * mbH)(-1)
+    /** assign one partition's two-list motion to its 4x4 cells */
+    def setMotion4(bx4: Int, by4: Int, w4: Int, h4: Int,
+        r0: Int, m0x: Int, m0y: Int, r1: Int, m1x: Int, m1y: Int,
+        poc0: Int = 0): Unit = {
+      var y = by4
+      while (y < by4 + h4) {
+        var x = bx4
+        while (x < bx4 + w4) {
+          val i = y * bw4 + x
+          if (r0 >= 0) { mv4X(i) = m0x; mv4Y(i) = m0y } else { mv4X(i) = 0; mv4Y(i) = 0 }
+          ref4(i) = r0
+          refPoc4(i) = poc0
+          if (r1 >= 0) { mv4XL1(i) = m1x; mv4YL1(i) = m1y } else { mv4XL1(i) = 0; mv4YL1(i) = 0 }
+          ref4L1(i) = r1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    /** mark the current MB's cells not-yet-decoded before partitioned
+      * parsing (sliceOfMb is set BEFORE the MB parses, so without the
+      * sentinel an in-MB neighbour of a later partition would read
+      * stale motion as "available") */
+    def beginPartitionedMb(mbX: Int, mbY: Int): Unit = {
+      var y = mbY * 4
+      while (y < mbY * 4 + 4) {
+        var x = mbX * 4
+        while (x < mbX * 4 + 4) { ref4(y * bw4 + x) = -2; x += 1 }
+        y += 1
+      }
+    }
     // picture order count (display order, §8.2.1) — drives B-slice
     // default reference-list ordering and the decoder's output reorder
     var poc: Int = 0
@@ -242,16 +281,17 @@ object H264Codec {
       */
     def reset(): Unit = {
       java.util.Arrays.fill(sliceOfMb, -1)
-      java.util.Arrays.fill(refIdxMb, -1)
-      java.util.Arrays.fill(refIdxL1, -1)
+      java.util.Arrays.fill(ref4, -1)
+      java.util.Arrays.fill(ref4L1, -1)
       java.util.Arrays.fill(i4Mode, -1)
       java.util.Arrays.fill(pcmMb, false)
       java.util.Arrays.fill(trans8, false)
       java.util.Arrays.fill(inter, false)
-      java.util.Arrays.fill(mvX, 0)
-      java.util.Arrays.fill(mvY, 0)
-      java.util.Arrays.fill(mvXL1, 0)
-      java.util.Arrays.fill(mvYL1, 0)
+      java.util.Arrays.fill(mv4X, 0)
+      java.util.Arrays.fill(mv4Y, 0)
+      java.util.Arrays.fill(mv4XL1, 0)
+      java.util.Arrays.fill(mv4YL1, 0)
+      java.util.Arrays.fill(refPoc4, 0)
       java.util.Arrays.fill(mbQp, 0)
       curSlice = 0
       poc = 0
@@ -259,6 +299,13 @@ object H264Codec {
     @inline def mbAvail(x: Int, y: Int): Boolean =
       x >= 0 && y >= 0 && x < mbW && y < mbH &&
         sliceOfMb(y * mbW + x) == curSlice
+    /** 4x4-block availability for motion sampling: inside the picture,
+      * same slice, and (for cells of the MB being coded) its partition
+      * already decoded — the -2 sentinel beginPartitionedMb plants */
+    @inline def avail4(x4: Int, y4: Int): Boolean =
+      x4 >= 0 && y4 >= 0 && x4 < bw4 && y4 < mbH * 4 &&
+        sliceOfMb((y4 >> 2) * mbW + (x4 >> 2)) == curSlice &&
+        ref4(y4 * bw4 + x4) != -2
     def nC(nz: Array[Int], rowW: Int, bx: Int, by: Int): Int = {
       val blkPerMb = if (rowW == bw4) 4 else 2
       val nA = if (bx > 0 && mbAvail((bx - 1) / blkPerMb, by / blkPerMb))
@@ -1215,8 +1262,9 @@ object H264Codec {
     val hrow = new Array[Int](16 * 21) // separable center-j row buffer
     val predL = new Array[Int](256) // inter luma prediction
     val predL1 = new Array[Int](256) // list-1 luma (bi averaging)
-    val predC = new Array[Int](64) // inter chroma prediction
-    val predC1 = new Array[Int](64) // list-1 chroma
+    val predC = new Array[Int](64) // inter chroma prediction (Cb)
+    val predC1 = new Array[Int](64) // list-1 chroma (bi averaging temp)
+    val predC2 = new Array[Int](64) // inter chroma prediction (Cr)
     val w16 = new Array[Int](16) // dequantised 4x4 residual
     val ch0 = new Array[Int](8) // chroma separable row caches
     val ch1 = new Array[Int](8)
@@ -1241,7 +1289,17 @@ object H264Codec {
     * e/g/p/r average the adjacent b-row and h-column half samples.
     */
   private def mcLuma(ref: PicState, mbX: Int, mbY: Int, mvx: Int, mvy: Int,
-      out: Array[Int]): Unit = {
+      out: Array[Int]): Unit =
+    mcLumaBlk(ref, mbX * 16, mbY * 16, 16, 16, mvx, mvy, out, 0, 0)
+
+  /** Block-size-generic luma MC (sub-16x16 partitions since round 14):
+    * predicts the w x h block whose top-left source position is
+    * (px, py) + mv into `out` (a 16x16 MB-local buffer, stride 16) at
+    * offset (ox, oy). The 16x16 wrapper above is the pre-partition MB
+    * path, byte-identical to the round-13 implementation.
+    */
+  private def mcLumaBlk(ref: PicState, px: Int, py: Int, w: Int, h: Int,
+      mvx: Int, mvy: Int, out: Array[Int], ox: Int, oy: Int): Unit = {
     val fx = mvx & 3; val fy = mvy & 3
     if (fx % 2 == 1 || fy % 2 == 1) {
       // quarter position: average the two source positions (both with
@@ -1257,47 +1315,57 @@ object H264Codec {
       val sc = mcScratch.get()
       val a = sc.qa
       val b = sc.qb
-      mcLuma(ref, mbX, mbY, mvAx, mvAy, a)
-      mcLuma(ref, mbX, mbY, mvBx, mvBy, b)
-      var i = 0
-      while (i < 256) { out(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+      // halves land at offset (0,0) of the scratch buffers (stride 16)
+      mcLumaBlk(ref, px, py, w, h, mvAx, mvAy, a, 0, 0)
+      mcLumaBlk(ref, px, py, w, h, mvBx, mvBy, b, 0, 0)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = r * 16 + c
+          out((oy + r) * 16 + ox + c) = (a(i) + b(i) + 1) >> 1
+          c += 1
+        }
+        r += 1
+      }
       return
     }
-    val x0 = mbX * 16 + (mvx >> 2); val y0 = mbY * 16 + (mvy >> 2)
+    val x0 = px + (mvx >> 2); val y0 = py + (mvy >> 2)
     val pw = ref.pw; val ph = ref.ph; val plane = ref.reconY
     @inline def s(x: Int, y: Int) = refSample(plane, pw, ph, x, y)
     @inline def clip255(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
-    // interior = the whole 6-tap footprint (x0-2 .. x0+18, y0-2 .. y0+18)
-    // lands inside the plane, so the clamp in refSample can be skipped and
-    // samples indexed directly — true for every macroblock that isn't on
-    // the picture edge with an outward-pointing MV
-    val interior = x0 >= 2 && y0 >= 2 && x0 + 18 < pw && y0 + 18 < ph
+    // interior = the whole 6-tap footprint (x0-2 .. x0+w+2, y0-2 ..
+    // y0+h+2) lands inside the plane, so the clamp in refSample can be
+    // skipped and samples indexed directly — true for every block that
+    // isn't on the picture edge with an outward-pointing MV
+    val interior = x0 >= 2 && y0 >= 2 && x0 + w + 2 < pw && y0 + h + 2 < ph
     if (fx == 0 && fy == 0) {
       if (interior) {
         var r = 0
-        while (r < 16) {
+        while (r < h) {
           val base = (y0 + r) * pw + x0
-          val o = r * 16
+          val o = (oy + r) * 16 + ox
           var c = 0
-          while (c < 16) { out(o + c) = plane(base + c) & 0xff; c += 1 }
+          while (c < w) { out(o + c) = plane(base + c) & 0xff; c += 1 }
           r += 1
         }
       } else {
         var r = 0
-        while (r < 16) {
+        while (r < h) {
+          val o = (oy + r) * 16 + ox
           var c = 0
-          while (c < 16) { out(r * 16 + c) = s(x0 + c, y0 + r); c += 1 }
+          while (c < w) { out(o + c) = s(x0 + c, y0 + r); c += 1 }
           r += 1
         }
       }
     } else if (fx == 2 && fy == 0) { // horizontal half-pel b
       if (interior) {
         var r = 0
-        while (r < 16) {
+        while (r < h) {
           val base = (y0 + r) * pw + x0
-          val o = r * 16
+          val o = (oy + r) * 16 + ox
           var c = 0
-          while (c < 16) {
+          while (c < w) {
             val p = base + c
             // (1,-5,20,20,-5,1) via 2 multiplies: (a+f) + 20(c+d) - 5(b+e)
             val b1 = ((plane(p - 2) & 0xff) + (plane(p + 3) & 0xff)) +
@@ -1310,13 +1378,14 @@ object H264Codec {
         }
       } else {
         var r = 0
-        while (r < 16) {
+        while (r < h) {
+          val o = (oy + r) * 16 + ox
           var c = 0
-          while (c < 16) {
+          while (c < w) {
             val x = x0 + c; val y = y0 + r
             val b1 = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
               20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
-            out(r * 16 + c) = clip255((b1 + 16) >> 5)
+            out(o + c) = clip255((b1 + 16) >> 5)
             c += 1
           }
           r += 1
@@ -1325,11 +1394,11 @@ object H264Codec {
     } else if (fx == 0 && fy == 2) { // vertical half-pel h
       if (interior) {
         var r = 0
-        while (r < 16) {
+        while (r < h) {
           val base = (y0 + r) * pw + x0
-          val o = r * 16
+          val o = (oy + r) * 16 + ox
           var c = 0
-          while (c < 16) {
+          while (c < w) {
             val p = base + c
             val h1 = ((plane(p - 2 * pw) & 0xff) + (plane(p + 3 * pw) & 0xff)) +
               20 * ((plane(p) & 0xff) + (plane(p + pw) & 0xff)) -
@@ -1341,31 +1410,32 @@ object H264Codec {
         }
       } else {
         var r = 0
-        while (r < 16) {
+        while (r < h) {
+          val o = (oy + r) * 16 + ox
           var c = 0
-          while (c < 16) {
+          while (c < w) {
             val x = x0 + c; val y = y0 + r
             val h1 = s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
               20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3)
-            out(r * 16 + c) = clip255((h1 + 16) >> 5)
+            out(o + c) = clip255((h1 + 16) >> 5)
             c += 1
           }
           r += 1
         }
       }
     } else { // center half-pel j: separable — horizontal 6-tap rows once
-      // (21 rows cover the vertical footprint), then the vertical 6-tap
+      // (h+5 rows cover the vertical footprint), then the vertical 6-tap
       // over the row buffer. The naive form recomputed each horizontal
       // tap 6x per output pixel (36 clamped loads/pixel); this is ~6.
       val hb = mcScratch.get().hrow
       var rr = 0
-      while (rr < 21) {
+      while (rr < h + 5) {
         val y = y0 - 2 + rr
         val o = rr * 16
         if (interior) {
           val base = y * pw + x0
           var c = 0
-          while (c < 16) {
+          while (c < w) {
             val p = base + c
             hb(o + c) = ((plane(p - 2) & 0xff) + (plane(p + 3) & 0xff)) +
               20 * ((plane(p) & 0xff) + (plane(p + 1) & 0xff)) -
@@ -1374,7 +1444,7 @@ object H264Codec {
           }
         } else {
           var c = 0
-          while (c < 16) {
+          while (c < w) {
             val x = x0 + c
             hb(o + c) = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
               20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
@@ -1384,14 +1454,14 @@ object H264Codec {
         rr += 1
       }
       var r = 0
-      while (r < 16) {
-        val o = r * 16
+      while (r < h) {
+        val o = (oy + r) * 16 + ox
         var c = 0
-        while (c < 16) {
-          val i = o + c
+        while (c < w) {
+          val i = r * 16 + c
           val j1 = (hb(i) + hb(i + 80)) + 20 * (hb(i + 32) + hb(i + 48)) -
             5 * (hb(i + 16) + hb(i + 64))
-          out(i) = clip255((j1 + 512) >> 10)
+          out(o + c) = clip255((j1 + 512) >> 10)
           c += 1
         }
         r += 1
@@ -1404,18 +1474,28 @@ object H264Codec {
     * by the spec's bilinear interpolation (§8.4.2.2.2)
     */
   private def mcChroma(plane: Array[Byte], cw: Int, ch: Int, mbX: Int, mbY: Int,
-      mvx: Int, mvy: Int, out: Array[Int]): Unit = {
+      mvx: Int, mvy: Int, out: Array[Int]): Unit =
+    mcChromaBlk(plane, cw, ch, mbX * 8, mbY * 8, 8, 8, mvx, mvy, out, 0, 0)
+
+  /** Block-size-generic chroma MC: predicts the cwB x chB chroma block at
+    * source position (cpx, cpy) + mv into `out` (an 8x8 MB-local buffer,
+    * stride 8) at offset (ox, oy). The 8x8 wrapper above is the
+    * pre-partition MB path. */
+  private def mcChromaBlk(plane: Array[Byte], cw: Int, ch: Int,
+      cpx: Int, cpy: Int, cwB: Int, chB: Int,
+      mvx: Int, mvy: Int, out: Array[Int], ox: Int, oy: Int): Unit = {
     val fx = mvx & 7 // eighth-pel fraction (two's-complement & handles <0)
     val fy = mvy & 7
-    val bx = mbX * 8 + (mvx >> 3)
-    val by = mbY * 8 + (mvy >> 3)
-    val interior = bx >= 0 && by >= 0 && bx + 9 <= cw && by + 9 <= ch
+    val bx = cpx + (mvx >> 3)
+    val by = cpy + (mvy >> 3)
+    val interior = bx >= 0 && by >= 0 && bx + cwB + 1 <= cw && by + chB + 1 <= ch
     if (fx == 0 && fy == 0) {
       var r = 0
-      while (r < 8) {
+      while (r < chB) {
+        val o = (oy + r) * 8 + ox
         var c = 0
-        while (c < 8) {
-          out(r * 8 + c) =
+        while (c < cwB) {
+          out(o + c) =
             if (interior) plane((by + r) * cw + bx + c) & 0xff
             else refSample(plane, cw, ch, bx + c, by + r)
           c += 1
@@ -1433,33 +1513,33 @@ object H264Codec {
       var p = by * cw + bx
       var c = 0
       if (fx == 0) {
-        while (c < 8) { h0(c) = (plane(p + c) & 0xff) << 3; c += 1 }
+        while (c < cwB) { h0(c) = (plane(p + c) & 0xff) << 3; c += 1 }
       } else {
-        while (c < 8) {
+        while (c < cwB) {
           val a = plane(p + c) & 0xff
           h0(c) = (a << 3) + fx * ((plane(p + c + 1) & 0xff) - a)
           c += 1
         }
       }
       var r = 0
-      while (r < 8) {
+      while (r < chB) {
         p = (by + r + 1) * cw + bx
         c = 0
         if (fx == 0) {
-          while (c < 8) { h1(c) = (plane(p + c) & 0xff) << 3; c += 1 }
+          while (c < cwB) { h1(c) = (plane(p + c) & 0xff) << 3; c += 1 }
         } else {
-          while (c < 8) {
+          while (c < cwB) {
             val a = plane(p + c) & 0xff
             h1(c) = (a << 3) + fx * ((plane(p + c + 1) & 0xff) - a)
             c += 1
           }
         }
-        val o = r * 8
+        val o = (oy + r) * 8 + ox
         c = 0
         if (fy == 0) {
-          while (c < 8) { out(o + c) = ((h0(c) << 3) + 32) >> 6; c += 1 }
+          while (c < cwB) { out(o + c) = ((h0(c) << 3) + 32) >> 6; c += 1 }
         } else {
-          while (c < 8) {
+          while (c < cwB) {
             out(o + c) = ((h0(c) << 3) + fy * (h1(c) - h0(c)) + 32) >> 6
             c += 1
           }
@@ -1471,14 +1551,15 @@ object H264Codec {
       val w00 = (8 - fx) * (8 - fy); val w10 = fx * (8 - fy)
       val w01 = (8 - fx) * fy; val w11 = fx * fy
       var r = 0
-      while (r < 8) {
+      while (r < chB) {
+        val o = (oy + r) * 8 + ox
         var c = 0
-        while (c < 8) {
+        while (c < cwB) {
           val a = refSample(plane, cw, ch, bx + c, by + r)
           val b = refSample(plane, cw, ch, bx + c + 1, by + r)
           val d = refSample(plane, cw, ch, bx + c, by + r + 1)
           val e = refSample(plane, cw, ch, bx + c + 1, by + r + 1)
-          out(r * 8 + c) = (w00 * a + w10 * b + w01 * d + w11 * e + 32) >> 6
+          out(o + c) = (w00 * a + w10 * b + w01 * d + w11 * e + 32) >> 6
           c += 1
         }
         r += 1
@@ -1500,18 +1581,42 @@ object H264Codec {
     */
   private def predictMv(st: PicState, mbX: Int, mbY: Int,
       refIdx: Int = 0, list: Int = 0)
+      : (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) =
+    predictMvPart(st, mbX * 4, mbY * 4, 4, 4, refIdx, list)
+
+  /** §8.4.1.3 luma MV predictor for an arbitrary partition at absolute
+    * 4x4-block coords (bx4, by4), size (w4 x h4) blocks. Neighbours are
+    * the spec's partition neighbours: A left of the top-left block,
+    * B above it, C above-right of the partition (D above-left when C is
+    * unavailable) — sampled at 4x4 granularity so partitioned neighbour
+    * MBs contribute the correct block. The 16x8/8x16 directional rules
+    * (§8.4.1.3: top takes B, bottom takes A, left takes A, right takes
+    * C — each only when that neighbour codes the SAME refIdx) are
+    * derived from the partition geometry. */
+  private def predictMvPart(st: PicState, bx4: Int, by4: Int, w4: Int, h4: Int,
+      refIdx: Int, list: Int)
       : (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) = {
-    def nb(x: Int, y: Int): Option[(Int, Int, Int)] =
-      if (!st.mbAvail(x, y)) None // out of picture OR another slice (§7.4.4)
+    def nb(x4: Int, y4: Int): Option[(Int, Int, Int)] =
+      if (!st.avail4(x4, y4)) None // outside / other slice / not yet decoded
       else {
-        val i = y * st.mbW + x
-        if (list == 0) Some((st.mvX(i), st.mvY(i), st.refIdxMb(i)))
-        else Some((st.mvXL1(i), st.mvYL1(i), st.refIdxL1(i)))
+        val i = y4 * st.bw4 + x4
+        if (list == 0) Some((st.mv4X(i), st.mv4Y(i), st.ref4(i)))
+        else Some((st.mv4XL1(i), st.mv4YL1(i), st.ref4L1(i)))
       }
-    val a = nb(mbX - 1, mbY)
-    val b = nb(mbX, mbY - 1)
-    val cRaw = nb(mbX + 1, mbY - 1)
-    val c = if (cRaw.isDefined) cRaw else nb(mbX - 1, mbY - 1) // D substitutes C
+    val a = nb(bx4 - 1, by4)
+    val b = nb(bx4, by4 - 1)
+    val cRaw = nb(bx4 + w4, by4 - 1)
+    val c = if (cRaw.isDefined) cRaw else nb(bx4 - 1, by4 - 1) // D substitutes C
+    // 16x8 / 8x16 directional shortcuts (fire only on a same-reference
+    // neighbour; geometry identifies the partition: 16x8 rows are 4x2
+    // blocks, 8x16 columns 2x4)
+    if (w4 == 4 && h4 == 2) {
+      val dir = if ((by4 & 3) == 0) b else a // top <- B, bottom <- A
+      dir.filter(_._3 == refIdx).foreach(n => return (n._1, n._2, a, b))
+    } else if (w4 == 2 && h4 == 4) {
+      val dir = if ((bx4 & 3) == 0) a else c // left <- A, right <- C(/D)
+      dir.filter(_._3 == refIdx).foreach(n => return (n._1, n._2, a, b))
+    }
     // exactly-one-same-reference rule (refIdxN == refIdx; intra = -1)
     val sameRef = Seq(a, b, c).flatten.filter(_._3 == refIdx)
     val pred =
@@ -1547,20 +1652,34 @@ object H264Codec {
     * B slice). Encoder and decoder share this single derivation — the
     * symmetry that makes B_Skip/B_Direct_16x16 self-consistent.
     */
+  /** Spatial-direct derivation result: per-list reference indices and
+    * per-8x8-quadrant motion (z-order quadrants; quad(q*4+{0,1,2,3}) =
+    * m0x, m0y, m1x, m1y). Quadrants differ only through the per-quadrant
+    * colZeroFlag, so a colocated picture coded 16x16-only yields four
+    * identical quadrants (the pre-partition behaviour, bit-exact). */
+  private final case class DirectMv(ref0: Int, ref1: Int, quad: Array[Int]) {
+    def uniform: Boolean =
+      quad(0) == quad(4) && quad(0) == quad(8) && quad(0) == quad(12) &&
+      quad(1) == quad(5) && quad(1) == quad(9) && quad(1) == quad(13) &&
+      quad(2) == quad(6) && quad(2) == quad(10) && quad(2) == quad(14) &&
+      quad(3) == quad(7) && quad(3) == quad(11) && quad(3) == quad(15)
+  }
+
   private def directSpatial(st: PicState, col: PicState, mbX: Int, mbY: Int)
-      : (Int, Int, Int, Int, Int, Int) = {
-    def nbRef(list: Int)(x: Int, y: Int): Int =
-      if (!st.mbAvail(x, y)) -1
+      : DirectMv = {
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    def nbRef(list: Int)(x4: Int, y4: Int): Int =
+      if (!st.avail4(x4, y4)) -1
       else {
-        val i = y * st.mbW + x
-        if (list == 0) st.refIdxMb(i) else st.refIdxL1(i)
+        val i = y4 * st.bw4 + x4
+        if (list == 0) st.ref4(i) else st.ref4L1(i)
       }
     def minPositive(list: Int): Int = {
       val f = nbRef(list) _
-      val a = f(mbX - 1, mbY)
-      val b = f(mbX, mbY - 1)
-      val cRaw = if (st.mbAvail(mbX + 1, mbY - 1)) f(mbX + 1, mbY - 1)
-        else f(mbX - 1, mbY - 1) // D substitutes C, as in predictMv
+      val a = f(bx4 - 1, by4)
+      val b = f(bx4, by4 - 1)
+      val cRaw = if (st.avail4(bx4 + 4, by4 - 1)) f(bx4 + 4, by4 - 1)
+        else f(bx4 - 1, by4 - 1) // D substitutes C, as in predictMv
       Seq(a, b, cRaw).filter(_ >= 0) match {
         case Nil => -1
         case xs => xs.min
@@ -1568,17 +1687,31 @@ object H264Codec {
     }
     var ref0 = minPositive(0)
     var ref1 = minPositive(1)
-    if (ref0 < 0 && ref1 < 0) { ref0 = 0; ref1 = 0; return (0, 0, 0, 0, 0, 0) }
-    val mi = mbY * st.mbW + mbX
-    val colZero = col.inter(mi) && col.refIdxMb(mi) == 0 &&
-      math.abs(col.mvX(mi)) <= 1 && math.abs(col.mvY(mi)) <= 1
-    def listMv(list: Int, refIdx: Int): (Int, Int) =
+    if (ref0 < 0 && ref1 < 0)
+      return DirectMv(0, 0, new Array[Int](16)) // directZeroPrediction
+    def listPred(list: Int, refIdx: Int): (Int, Int) =
       if (refIdx < 0) (0, 0)
-      else if (refIdx == 0 && colZero) (0, 0)
       else { val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx, list); (px, py) }
-    val (m0x, m0y) = listMv(0, ref0)
-    val (m1x, m1y) = listMv(1, ref1)
-    (ref0, ref1, m0x, m0y, m1x, m1y)
+    val (p0x, p0y) = listPred(0, ref0)
+    val (p1x, p1y) = listPred(1, ref1)
+    // per-quadrant colZeroFlag (direct_8x8_inference_flag = 1: the
+    // quadrant's CORNER 4x4 block of the colocated picture decides —
+    // blocks 0, 3, 12, 15 of the colocated MB)
+    val quad = new Array[Int](16)
+    var q = 0
+    while (q < 4) {
+      val cx4 = bx4 + (q & 1) * 3
+      val cy4 = by4 + (q >> 1) * 3
+      val ci = cy4 * col.bw4 + cx4
+      val colZero = col.ref4(ci) == 0 &&
+        math.abs(col.mv4X(ci)) <= 1 && math.abs(col.mv4Y(ci)) <= 1
+      quad(q * 4) = if (ref0 == 0 && colZero) 0 else p0x
+      quad(q * 4 + 1) = if (ref0 == 0 && colZero) 0 else p0y
+      quad(q * 4 + 2) = if (ref1 == 0 && colZero) 0 else p1x
+      quad(q * 4 + 3) = if (ref1 == 0 && colZero) 0 else p1y
+      q += 1
+    }
+    DirectMv(ref0, ref1, quad)
   }
 
   /** P_Skip motion vector (§8.4.1.1): the refIdx-0 median predictor,
@@ -1686,14 +1819,9 @@ object H264Codec {
               pl += 1
             }
           }
-          val mi0 = mbY * st.mbW + mbX
-          st.inter(mi0) = true
-          if (refIdx0 >= 0) { st.mvX(mi0) = mv0x; st.mvY(mi0) = mv0y }
-          else { st.mvX(mi0) = 0; st.mvY(mi0) = 0 }
-          st.refIdxMb(mi0) = refIdx0
-          if (refIdx1 >= 0) { st.mvXL1(mi0) = mv1x; st.mvYL1(mi0) = mv1y }
-          else { st.mvXL1(mi0) = 0; st.mvYL1(mi0) = 0 }
-          st.refIdxL1(mi0) = refIdx1
+          st.inter(mbY * st.mbW + mbX) = true
+          st.setMotion4(mbX * 4, mbY * 4, 4, 4, refIdx0, mv0x, mv0y,
+            refIdx1, mv1x, mv1y, if (refIdx0 >= 0) ref0.poc else 0)
           return
         }
       }
@@ -1710,11 +1838,42 @@ object H264Codec {
         while (i < 256) { predL(i) = (predL(i) + p1(i) + 1) >> 1; i += 1 }
       }
     }
-    // single-list motion/ref for the MC below (bi averages inside
-    // chromaRec via the same pattern)
+    // single-list motion/ref for the chroma MC (bi averages again)
     val mvx = if (refIdx0 >= 0) mv0x else mv1x
     val mvy = if (refIdx0 >= 0) mv0y else mv1y
     val ref = if (refIdx0 >= 0) ref0 else ref1
+    val predCb = sc.predC; val predCr = sc.predC2
+    mcChroma(ref.reconCb, st.cw, st.ch, mbX, mbY, mvx, mvy, predCb)
+    if (bi) {
+      val p1 = sc.predC1
+      mcChroma(ref1.reconCb, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
+      var i = 0
+      while (i < 64) { predCb(i) = (predCb(i) + p1(i) + 1) >> 1; i += 1 }
+    }
+    mcChroma(ref.reconCr, st.cw, st.ch, mbX, mbY, mvx, mvy, predCr)
+    if (bi) {
+      val p1 = sc.predC1
+      mcChroma(ref1.reconCr, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
+      var i = 0
+      while (i < 64) { predCr(i) = (predCr(i) + p1(i) + 1) >> 1; i += 1 }
+    }
+    interResidualCommit(st, mbX, mbY, qp, mc, predL, predCb, predCr)
+    st.inter(mbY * st.mbW + mbX) = true
+    // unused lists keep zero motion with refIdx -1 (the entropy contexts
+    // and boundary strength read refIdx to tell "unused" apart)
+    st.setMotion4(mbX * 4, mbY * 4, 4, 4, refIdx0, mv0x, mv0y,
+      refIdx1, mv1x, mv1y, if (refIdx0 >= 0) ref0.poc else 0)
+  }
+
+  /** shared inter-MB residual add: writes recon = clip(pred + residual)
+    * for luma (16 4x4 blocks against `predL`, stride 16) and chroma
+    * (DC/AC structure against `predCb`/`predCr`, stride 8). mc == null
+    * means no residual anywhere (skip / cbp 0). */
+  private def interResidualCommit(st: PicState, mbX: Int, mbY: Int, qp: Int,
+      mc: PMbCoeffs, predL: Array[Int], predCb: Array[Int],
+      predCr: Array[Int]): Unit = {
+    val sc = mcScratch.get()
+    val qpc = chromaQp(qp)
     val x0 = mbX * 16; val y0 = mbY * 16
     val w = sc.w16
     var blk = 0
@@ -1757,16 +1916,8 @@ object H264Codec {
       }
       blk += 1
     }
-    def chromaRec(plane: Array[Byte], refPlane: Array[Byte],
-        refPlane1: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
-      val predC = sc.predC
-      mcChroma(refPlane, st.cw, st.ch, mbX, mbY, mvx, mvy, predC)
-      if (bi) {
-        val p1 = sc.predC1
-        mcChroma(refPlane1, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
-        var i = 0
-        while (i < 64) { predC(i) = (predC(i) + p1(i) + 1) >> 1; i += 1 }
-      }
+    def chromaRec(plane: Array[Byte], predC: Array[Int],
+        dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
       val cbpChroma = if (mc == null) 0 else mc.cbpChroma
       val dc = new Array[Int](4)
       if (cbpChroma != 0) {
@@ -1819,20 +1970,111 @@ object H264Codec {
       }
       }
     }
-    chromaRec(st.reconCb, ref.reconCb, if (bi) ref1.reconCb else null,
+    chromaRec(st.reconCb, predCb,
       if (mc == null) null else mc.cbDcZig, if (mc == null) null else mc.cbAcZig)
-    chromaRec(st.reconCr, ref.reconCr, if (bi) ref1.reconCr else null,
+    chromaRec(st.reconCr, predCr,
       if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig)
-    val mi = mbY * st.mbW + mbX
-    st.inter(mi) = true
-    // unused lists keep zero motion with refIdx -1 (the entropy contexts
-    // and boundary strength read refIdx to tell "unused" apart)
-    if (refIdx0 >= 0) { st.mvX(mi) = mv0x; st.mvY(mi) = mv0y }
-    else { st.mvX(mi) = 0; st.mvY(mi) = 0 }
-    st.refIdxMb(mi) = refIdx0
-    if (refIdx1 >= 0) { st.mvXL1(mi) = mv1x; st.mvYL1(mi) = mv1y }
-    else { st.mvXL1(mi) = 0; st.mvYL1(mi) = 0 }
-    st.refIdxL1(mi) = refIdx1
+  }
+
+  /** geometry + two-list motion of one inter partition / sub-partition:
+    * MB-relative offset (ox4, oy4) and size (w4, h4), all in 4x4-block
+    * units. ref -1 = list unused. */
+  private final case class InterPart(ox4: Int, oy4: Int, w4: Int, h4: Int,
+      ref0: Int, mv0x: Int, mv0y: Int,
+      ref1: Int = -1, mv1x: Int = 0, mv1y: Int = 0)
+
+  /** Reconstruction of a PARTITIONED inter MB (P_16x8 / P_8x16 / P_8x8
+    * with sub-partitions, and the per-quadrant direct B MB): each
+    * partition motion-compensates into the MB-local prediction buffers
+    * (bi partitions average per §8.4.2.3.1), then the shared residual
+    * commits. The caller must have recorded per-partition motion state
+    * (setMotion4) BEFORE calling — parse-order MV prediction already
+    * needed it. */
+  private def reconstructInterParts(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
+      parts: Seq[InterPart], mc: PMbCoeffs): Unit = {
+    st.mbQp(mbY * st.mbW + mbX) = qp
+    val sc = mcScratch.get()
+    val predL = sc.predL
+    val predCb = sc.predC; val predCr = sc.predC2
+    assembleInterPred(st, l0, l1, mbX, mbY, parts, predL, predCb, predCr)
+    interResidualCommit(st, mbX, mbY, qp, mc, predL, predCb, predCr)
+    st.inter(mbY * st.mbW + mbX) = true
+  }
+
+  /** per-partition (bi-)MC into MB-local prediction buffers (luma
+    * stride 16, chroma stride 8) — shared by partitioned reconstruction
+    * and the encoder's direct-candidate evaluation */
+  private def assembleInterPred(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, parts: Seq[InterPart],
+      predL: Array[Int], predCb: Array[Int], predCr: Array[Int]): Unit = {
+    val sc = mcScratch.get()
+    parts.foreach { p =>
+      require(p.ref0 >= 0 || p.ref1 >= 0, "inter partition with no list")
+      val bi = p.ref0 >= 0 && p.ref1 >= 0
+      val px = mbX * 16 + p.ox4 * 4; val py = mbY * 16 + p.oy4 * 4
+      val w = p.w4 * 4; val h = p.h4 * 4
+      val cpx = mbX * 8 + p.ox4 * 2; val cpy = mbY * 8 + p.oy4 * 2
+      val ox = p.ox4 * 4; val oy = p.oy4 * 4
+      val cox = p.ox4 * 2; val coy = p.oy4 * 2
+      if (p.ref0 >= 0) {
+        val r0 = l0(p.ref0)
+        mcLumaBlk(r0, px, py, w, h, p.mv0x, p.mv0y, predL, ox, oy)
+        mcChromaBlk(r0.reconCb, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
+          p.mv0x, p.mv0y, predCb, cox, coy)
+        mcChromaBlk(r0.reconCr, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
+          p.mv0x, p.mv0y, predCr, cox, coy)
+      }
+      if (p.ref1 >= 0) {
+        val r1 = l1(p.ref1)
+        if (!bi) {
+          mcLumaBlk(r1, px, py, w, h, p.mv1x, p.mv1y, predL, ox, oy)
+          mcChromaBlk(r1.reconCb, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
+            p.mv1x, p.mv1y, predCb, cox, coy)
+          mcChromaBlk(r1.reconCr, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
+            p.mv1x, p.mv1y, predCr, cox, coy)
+        } else {
+          // list-1 prediction into scratch at offset 0, then average
+          // into the partition's region of the MB-local buffers
+          val pL1 = sc.predL1; val pC1 = sc.predC1
+          mcLumaBlk(r1, px, py, w, h, p.mv1x, p.mv1y, pL1, 0, 0)
+          var r = 0
+          while (r < h) {
+            var c = 0
+            while (c < w) {
+              val d = (oy + r) * 16 + ox + c
+              predL(d) = (predL(d) + pL1(r * 16 + c) + 1) >> 1
+              c += 1
+            }
+            r += 1
+          }
+          mcChromaBlk(r1.reconCb, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
+            p.mv1x, p.mv1y, pC1, 0, 0)
+          r = 0
+          while (r < h / 2) {
+            var c = 0
+            while (c < w / 2) {
+              val d = (coy + r) * 8 + cox + c
+              predCb(d) = (predCb(d) + pC1(r * 8 + c) + 1) >> 1
+              c += 1
+            }
+            r += 1
+          }
+          mcChromaBlk(r1.reconCr, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
+            p.mv1x, p.mv1y, pC1, 0, 0)
+          r = 0
+          while (r < h / 2) {
+            var c = 0
+            while (c < w / 2) {
+              val d = (coy + r) * 8 + cox + c
+              predCr(d) = (predCr(d) + pC1(r * 8 + c) + 1) >> 1
+              c += 1
+            }
+            r += 1
+          }
+        }
+      }
+    }
   }
 
   // ------------------------------------------------------------- encode
@@ -2580,7 +2822,16 @@ object H264Codec {
     * residual (null = cbp 0 — a direct MB with null residual is B_Skip).
     */
   private final case class BMbChoice(mbType: Int, ref0: Int, ref1: Int,
-      mv0x: Int, mv0y: Int, mv1x: Int, mv1y: Int, mc: PMbCoeffs)
+      mv0x: Int, mv0y: Int, mv1x: Int, mv1y: Int, mc: PMbCoeffs,
+      quad: Array[Int] = null) // non-null: per-quadrant direct motion
+
+  /** BMbChoice for a direct/skip MB from the spatial-direct derivation:
+    * uniform quadrants take the plain 16x16 path (bit-exact with the
+    * pre-partition decoder); divergent quadrants (a partitioned
+    * colocated picture) carry the per-quadrant motion */
+  private def directBChoice(dm: DirectMv, mc: PMbCoeffs): BMbChoice =
+    BMbChoice(0, dm.ref0, dm.ref1, dm.quad(0), dm.quad(1), dm.quad(2), dm.quad(3),
+      mc, if (dm.uniform) null else dm.quad)
 
   /** B-MB mode decision: full motion analysis per list, the averaged
     * bi-candidate from the two winners, and the spatial-direct candidate
@@ -2594,9 +2845,21 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       range: Int, halfPel: Boolean, quarterPel: Boolean): BMbChoice = {
     // spatial-direct candidate (its mc builds from the derived motion)
-    val (dr0, dr1, d0x, d0y, d1x, d1y) = directSpatial(st, l1(0), mbX, mbY)
+    val dm = directSpatial(st, l1(0), mbX, mbY)
+    val (dr0, dr1) = (dm.ref0, dm.ref1)
+    val (d0x, d0y, d1x, d1y) = (dm.quad(0), dm.quad(1), dm.quad(2), dm.quad(3))
     val (dL, dCb, dCr) = {
-      if (dr0 >= 0 && dr1 >= 0) {
+      if (!dm.uniform) {
+        // partitioned colocated picture: assemble the per-quadrant
+        // direct prediction exactly as reconstruction will
+        val pL = new Array[Int](256)
+        val pCb = new Array[Int](64); val pCr = new Array[Int](64)
+        val parts = (0 until 4).map(q => InterPart((q & 1) * 2, (q >> 1) * 2, 2, 2,
+          dr0, dm.quad(q * 4), dm.quad(q * 4 + 1),
+          dr1, dm.quad(q * 4 + 2), dm.quad(q * 4 + 3)))
+        assembleInterPred(st, l0, l1, mbX, mbY, parts, pL, pCb, pCr)
+        (pL, pCb, pCr)
+      } else if (dr0 >= 0 && dr1 >= 0) {
         val p0 = mcPred(st, l0(dr0), mbX, mbY, d0x, d0y)
         val p1 = mcPred(st, l1(dr1), mbX, mbY, d1x, d1y)
         avgInPlace(p0._1, p1._1); avgInPlace(p0._2, p1._2); avgInPlace(p0._3, p1._3)
@@ -2627,7 +2890,7 @@ object H264Codec {
       case 0 =>
         val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
           dL, dCb, dCr)
-        BMbChoice(0, dr0, dr1, d0x, d0y, d1x, d1y, mc)
+        directBChoice(dm, mc)
       case 1 => BMbChoice(1, 0, -1, m0x, m0y, 0, 0, mc0)
       case 2 => BMbChoice(2, -1, 0, 0, 0, m1x, m1y, mc1)
       case _ =>
@@ -2637,14 +2900,29 @@ object H264Codec {
     }
   }
 
-  /** reconstruct one chosen/parsed B MB (shared by encoder and decoder) */
+  /** reconstruct one chosen/parsed B MB (shared by encoder and decoder);
+    * per-quadrant direct motion (ch.quad != null — the colocated picture
+    * was partitioned) takes the partitioned path */
   private def reconstructBMb(st: PicState, l0: IndexedSeq[PicState],
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
       ch: BMbChoice): Unit =
-    reconstructInterMb(st, mbX, mbY, qp,
-      if (ch.ref0 >= 0) l0(ch.ref0) else null, ch.ref0, ch.mv0x, ch.mv0y,
-      if (ch.ref1 >= 0) l1(ch.ref1) else null, ch.ref1, ch.mv1x, ch.mv1y,
-      ch.mc)
+    if (ch.quad == null)
+      reconstructInterMb(st, mbX, mbY, qp,
+        if (ch.ref0 >= 0) l0(ch.ref0) else null, ch.ref0, ch.mv0x, ch.mv0y,
+        if (ch.ref1 >= 0) l1(ch.ref1) else null, ch.ref1, ch.mv1x, ch.mv1y,
+        ch.mc)
+    else {
+      val parts = (0 until 4).map { q =>
+        val p = InterPart((q & 1) * 2, (q >> 1) * 2, 2, 2,
+          ch.ref0, ch.quad(q * 4), ch.quad(q * 4 + 1),
+          ch.ref1, ch.quad(q * 4 + 2), ch.quad(q * 4 + 3))
+        st.setMotion4(mbX * 4 + p.ox4, mbY * 4 + p.oy4, 2, 2,
+          p.ref0, p.mv0x, p.mv0y, p.ref1, p.mv1x, p.mv1y,
+          if (p.ref0 >= 0) l0(p.ref0).poc else 0)
+        p
+      }
+      reconstructInterParts(st, l0, l1, mbX, mbY, qp, parts, ch.mc)
+    }
 
   /** the B-slice macroblock loop (CAVLC): B_Skip runs via mb_skip_run,
     * Table 7-14 16x16 types, per-list mvd against the per-list §8.4.1.3
@@ -2846,12 +3124,31 @@ object H264Codec {
     val cbp = new Array[Int](n) // luma | chroma << 4 (0 for skip)
     val isIntra = new Array[Boolean](n)
     val chromaModeNz = new Array[Boolean](n)
-    val mvdX = new Array[Int](n)
-    val mvdY = new Array[Int](n)
+    // per-4x4-block mvd accumulators (§9.3.3.1.1.7 sums the NEIGHBOUR
+    // PARTITION's mvd per component — block granularity since round 14's
+    // sub-16x16 partitions; a 16x16 MB fills its 16 cells uniformly so
+    // pre-partition streams keep identical context increments)
+    private val n4 = st.bw4 * st.mbH * 4
+    val mvdX = new Array[Int](n4)
+    val mvdY = new Array[Int](n4)
     // list-1 mvd accumulators (B slices): §9.3.3.1.1.7 sums the SAME
     // list's neighbor mvd per component
-    val mvdXL1 = new Array[Int](n)
-    val mvdYL1 = new Array[Int](n)
+    val mvdXL1 = new Array[Int](n4)
+    val mvdYL1 = new Array[Int](n4)
+    /** record a partition's coded mvd into its 4x4 cells */
+    def setMvd(bx4: Int, by4: Int, w4: Int, h4: Int, dx: Int, dy: Int,
+        list: Int = 0): Unit = {
+      val (ax, ay) = if (list == 0) (mvdX, mvdY) else (mvdXL1, mvdYL1)
+      var y = by4
+      while (y < by4 + h4) {
+        var x = bx4
+        while (x < bx4 + w4) {
+          ax(y * st.bw4 + x) = dx; ay(y * st.bw4 + x) = dy
+          x += 1
+        }
+        y += 1
+      }
+    }
     // B_Direct_16x16 marker (mb_type bin-0 condTerm excludes direct MBs)
     val directB = new Array[Boolean](n)
     val lumaDcNz = new Array[Boolean](n)
@@ -2918,18 +3215,23 @@ object H264Codec {
       * neighbor is available, inter, and its refIdxL0 > 0 (skip MBs
       * carry refIdx 0, intra/uncoded -1 — both condTerm 0)
       */
-    def incRefIdx(mbX: Int, mbY: Int): Int = {
-      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
-      (if (ia >= 0 && st.refIdxMb(ia) > 0) 1 else 0) +
-        (if (ib >= 0 && st.refIdxMb(ib) > 0) 2 else 0)
+    /** ref_idx_l0 bin-0 inc at PARTITION granularity (§9.3.3.1.1.6):
+      * condTermFlagN = 1 iff the neighbour block (left of / above the
+      * partition's top-left 4x4) is available, inter, and its refIdxL0
+      * > 0 (skip blocks carry refIdx 0, intra/uncoded -1 — condTerm 0)
+      */
+    def incRefIdx(bx4: Int, by4: Int): Int = {
+      (if (st.avail4(bx4 - 1, by4) && st.ref4(by4 * st.bw4 + bx4 - 1) > 0) 1 else 0) +
+        (if (st.avail4(bx4, by4 - 1) && st.ref4((by4 - 1) * st.bw4 + bx4) > 0) 2 else 0)
     }
-    def incMvd(mbX: Int, mbY: Int, yComp: Boolean, list: Int = 0): Int = {
-      val ia = a(mbX, mbY); val ib = b(mbX, mbY)
+    /** mvd component inc: |mvd| sum over the partition's A/B neighbour
+      * blocks, same list (§9.3.3.1.1.7) */
+    def incMvd(bx4: Int, by4: Int, yComp: Boolean, list: Int = 0): Int = {
       val arr =
         if (list == 0) { if (yComp) mvdY else mvdX }
         else { if (yComp) mvdYL1 else mvdXL1 }
-      val s = (if (ia >= 0) math.abs(arr(ia)) else 0) +
-        (if (ib >= 0) math.abs(arr(ib)) else 0)
+      val s = (if (st.avail4(bx4 - 1, by4)) math.abs(arr(by4 * st.bw4 + bx4 - 1)) else 0) +
+        (if (st.avail4(bx4, by4 - 1)) math.abs(arr((by4 - 1) * st.bw4 + bx4)) else 0)
       if (s < 3) 0 else if (s <= 32) 1 else 2
     }
     /** B mb_type bin-0 inc: condTermFlagN = 1 iff the neighbor is
@@ -3416,17 +3718,17 @@ object H264Codec {
           var bin = 0
           while (bin < refIdx) {
             e.encodeBin(cx, CabacCtx.RefIdx + (if (bin == 0)
-              cms.incRefIdx(mbX, mbY) else if (bin == 1) 4 else 5), 1)
+              cms.incRefIdx(mbX * 4, mbY * 4) else if (bin == 1) 4 else 5), 1)
             bin += 1
           }
           e.encodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
-            cms.incRefIdx(mbX, mbY) else if (refIdx == 1) 4 else 5), 0)
+            cms.incRefIdx(mbX * 4, mbY * 4) else if (refIdx == 1) 4 else 5), 0)
         }
         val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
         val mvdX = mvx - px; val mvdY = mvy - py
-        cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false), mvdX)
-        cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true), mvdY)
-        cms.mvdX(mi) = mvdX; cms.mvdY(mi) = mvdY
+        cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false), mvdX)
+        cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true), mvdY)
+        cms.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
         val cbp = if (mc == null) 0 else mc.cbp
         var b8 = 0
         var bitsSoFar = 0
@@ -3524,18 +3826,18 @@ object H264Codec {
           if (ch.ref0 >= 0) {
             val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
             val dx = ch.mv0x - px; val dy = ch.mv0y - py
-            cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false), dx)
-            cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true), dy)
-            cms.mvdX(mi) = dx; cms.mvdY(mi) = dy
+            cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false), dx)
+            cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true), dy)
+            cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy)
           }
           if (ch.ref1 >= 0) {
             val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
             val dx = ch.mv1x - px; val dy = ch.mv1y - py
             cabacWriteMvd(e, cx, CabacCtx.Mvd,
-              cms.incMvd(mbX, mbY, yComp = false, list = 1), dx)
+              cms.incMvd(mbX * 4, mbY * 4, yComp = false, list = 1), dx)
             cabacWriteMvd(e, cx, CabacCtx.Mvd + 7,
-              cms.incMvd(mbX, mbY, yComp = true, list = 1), dy)
-            cms.mvdXL1(mi) = dx; cms.mvdYL1(mi) = dy
+              cms.incMvd(mbX * 4, mbY * 4, yComp = true, list = 1), dy)
+            cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy, list = 1)
           }
         }
         val cbp = if (ch.mc == null) 0 else ch.mc.cbp
@@ -3598,38 +3900,39 @@ object H264Codec {
       if (isB) {
         if (d.decodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY)) == 1) {
           cms.skip(mi) = true
-          val (r0, r1, m0x, m0y, m1x, m1y) = directSpatial(st, l1(0), mbX, mbY)
+          val dm = directSpatial(st, l1(0), mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructBMb(st, refs, l1, mbX, mbY, qp,
-            BMbChoice(0, r0, r1, m0x, m0y, m1x, m1y, null))
+          reconstructBMb(st, refs, l1, mbX, mbY, qp, directBChoice(dm, null))
         } else {
           val mbType = cabacReadBMbType(d, cx, cms.incBMbType(mbX, mbY))
           cms.directB(mi) = mbType == 0
           var ref0 = -1; var ref1 = -1
           var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
+          var dmDirect: DirectMv = null
           if (mbType == 0) {
             val dm = directSpatial(st, l1(0), mbX, mbY)
-            ref0 = dm._1; ref1 = dm._2
-            mv0x = dm._3; mv0y = dm._4; mv1x = dm._5; mv1y = dm._6
+            dmDirect = dm
+            ref0 = dm.ref0; ref1 = dm.ref1
+            mv0x = dm.quad(0); mv0y = dm.quad(1); mv1x = dm.quad(2); mv1y = dm.quad(3)
           } else {
             // ref_idx_lX: 1-deep lists code no bins (cMax 0)
             if (mbType == 1 || mbType == 3) {
               ref0 = 0
               val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
-                cms.incMvd(mbX, mbY, yComp = false))
+                cms.incMvd(mbX * 4, mbY * 4, yComp = false))
               val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
-                cms.incMvd(mbX, mbY, yComp = true))
-              cms.mvdX(mi) = dx; cms.mvdY(mi) = dy
+                cms.incMvd(mbX * 4, mbY * 4, yComp = true))
+              cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy)
               val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 0)
               mv0x = px + dx; mv0y = py + dy
             }
             if (mbType == 2 || mbType == 3) {
               ref1 = 0
               val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
-                cms.incMvd(mbX, mbY, yComp = false, list = 1))
+                cms.incMvd(mbX * 4, mbY * 4, yComp = false, list = 1))
               val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
-                cms.incMvd(mbX, mbY, yComp = true, list = 1))
-              cms.mvdXL1(mi) = dx; cms.mvdYL1(mi) = dy
+                cms.incMvd(mbX * 4, mbY * 4, yComp = true, list = 1))
+              cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy, list = 1)
               val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 1)
               mv1x = px + dx; mv1y = py + dy
             }
@@ -3660,7 +3963,8 @@ object H264Codec {
           }
           if (mc == null) clearNz(st, mbX, mbY)
           reconstructBMb(st, refs, l1, mbX, mbY, qp,
-            BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
+            if (dmDirect != null) directBChoice(dmDirect, mc)
+            else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
         }
       } else if (isP && d.decodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY)) == 1) {
         cms.skip(mi) = true
@@ -3678,7 +3982,7 @@ object H264Codec {
         var refIdx = 0
         if (numRefActive > 1) {
           while (d.decodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
-              cms.incRefIdx(mbX, mbY) else if (refIdx == 1) 4 else 5)) == 1) {
+              cms.incRefIdx(mbX * 4, mbY * 4) else if (refIdx == 1) 4 else 5)) == 1) {
             refIdx += 1
             require(refIdx < numRefActive,
               s"ref_idx_l0 $refIdx >= num_ref_idx_l0_active $numRefActive")
@@ -3686,9 +3990,9 @@ object H264Codec {
         }
         require(refIdx < refs.length,
           s"ref_idx_l0 $refIdx with only ${refs.length} reference(s) decoded")
-        val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX, mbY, yComp = false))
-        val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX, mbY, yComp = true))
-        cms.mvdX(mi) = mvdX; cms.mvdY(mi) = mvdY
+        val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false))
+        val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true))
+        cms.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
         val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
         val mvx = px + mvdX; val mvy = py + mvdY
         var cbpLuma = 0
@@ -3867,22 +4171,26 @@ object H264Codec {
     if (pIntra || qIntra) { if (mbEdge) 4 else 3 }
     else if (st.nzY(pBy * st.bw4 + pBx) > 0 || st.nzY(qBy * st.bw4 + qBx) > 0) 2
     else {
-      // §8.7.2.1 motion test, per prediction list: bs = 1 when the two
-      // sides predict from different reference pictures (within one
-      // picture every MB shares the slice-header lists, so (list,
-      // refIdx) identifies the picture; this subset never places the
-      // same picture in both lists) or any same-list MV component jumps
-      // by >= one integer sample (quarter-pel units). Single-list P MBs
-      // carry refIdxL1 = -1 on both sides, reducing to the P rule.
-      val refsDiffer = st.refIdxMb(pMb) != st.refIdxMb(qMb) ||
-        st.refIdxL1(pMb) != st.refIdxL1(qMb)
+      // §8.7.2.1 motion test PER 4x4 EDGE SEGMENT, per prediction list:
+      // bs = 1 when the two sides' blocks predict from different
+      // reference pictures (within one picture every MB shares the
+      // slice-header lists, so (list, refIdx) identifies the picture;
+      // this subset never places the same picture in both lists) or any
+      // same-list MV component jumps by >= one integer sample
+      // (quarter-pel units). Partitioned MBs get genuine internal
+      // bs-1 edges wherever partition MVs jump; single-list P blocks
+      // carry ref4L1 = -1 on both sides, reducing to the P rule.
+      val pi = pBy * st.bw4 + pBx
+      val qi = qBy * st.bw4 + qBx
+      val refsDiffer = st.ref4(pi) != st.ref4(qi) ||
+        st.ref4L1(pi) != st.ref4L1(qi)
       val mvJump =
-        (st.refIdxMb(pMb) >= 0 &&
-          (math.abs(st.mvX(pMb) - st.mvX(qMb)) >= 4 ||
-           math.abs(st.mvY(pMb) - st.mvY(qMb)) >= 4)) ||
-        (st.refIdxL1(pMb) >= 0 &&
-          (math.abs(st.mvXL1(pMb) - st.mvXL1(qMb)) >= 4 ||
-           math.abs(st.mvYL1(pMb) - st.mvYL1(qMb)) >= 4))
+        (st.ref4(pi) >= 0 &&
+          (math.abs(st.mv4X(pi) - st.mv4X(qi)) >= 4 ||
+           math.abs(st.mv4Y(pi) - st.mv4Y(qi)) >= 4)) ||
+        (st.ref4L1(pi) >= 0 &&
+          (math.abs(st.mv4XL1(pi) - st.mv4XL1(qi)) >= 4 ||
+           math.abs(st.mv4YL1(pi) - st.mv4YL1(qi)) >= 4))
       if (refsDiffer || mvJump) 1 else 0
     }
   }
@@ -4593,10 +4901,9 @@ object H264Codec {
         while (skipRun > 0) { // B_Skip: spatial-direct motion, no residual
           val mbX = mb % mbW; val mbY = mb / mbW
           st.sliceOfMb(mb) = st.curSlice
-          val (r0, r1, m0x, m0y, m1x, m1y) = directSpatial(st, l1(0), mbX, mbY)
+          val dm = directSpatial(st, l1(0), mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructBMb(st, l0, l1, mbX, mbY, qp,
-            BMbChoice(0, r0, r1, m0x, m0y, m1x, m1y, null))
+          reconstructBMb(st, l0, l1, mbX, mbY, qp, directBChoice(dm, null))
           mb += 1
           skipRun -= 1
         }
@@ -4608,10 +4915,12 @@ object H264Codec {
             s"B mb_type $mbType unsupported (16x16 subset: Direct/L0/L1/Bi)")
           var ref0 = -1; var ref1 = -1
           var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
+          var dmDirect: DirectMv = null
           if (mbType == 0) {
             val dm = directSpatial(st, l1(0), mbX, mbY)
-            ref0 = dm._1; ref1 = dm._2
-            mv0x = dm._3; mv0y = dm._4; mv1x = dm._5; mv1y = dm._6
+            dmDirect = dm
+            ref0 = dm.ref0; ref1 = dm.ref1
+            mv0x = dm.quad(0); mv0y = dm.quad(1); mv1x = dm.quad(2); mv1y = dm.quad(3)
           } else {
             // ref_idx_lX te(v): cMax 0 at the required 1-deep lists -> no bits
             if (mbType == 1 || mbType == 3) {
@@ -4639,7 +4948,8 @@ object H264Codec {
           }
           if (mc == null) clearNz(st, mbX, mbY)
           reconstructBMb(st, l0, l1, mbX, mbY, qp,
-            BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
+            if (dmDirect != null) directBChoice(dmDirect, mc)
+            else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
           mb += 1
         }
       }
