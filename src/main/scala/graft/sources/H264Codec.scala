@@ -88,6 +88,9 @@ object H264Codec {
     */
   private[graft] val i4MbCount = new java.util.concurrent.atomic.AtomicLong
   private[graft] val i8MbCount = new java.util.concurrent.atomic.AtomicLong
+  /** partitioned P MBs emitted by the most recent encodes (specs assert
+    * the 16x8/8x16/8x8 competition actually engages on divergent motion) */
+  private[graft] val partMbCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -1976,6 +1979,29 @@ object H264Codec {
       if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig)
   }
 
+  /** Decode-order geometry of the partitions of one P macroblock:
+    * (ox4, oy4, w4, h4, refSlot) per partition, MB-relative 4x4-block
+    * units. refSlot indexes the per-partition ref_idx list (one slot
+    * per MB partition — both 16x8 halves, or the four 8x8 sub-MBs).
+    * mbType: 1 P_L0_L0_16x8, 2 P_L0_L0_8x16, 3/4 P_8x8(ref0) with
+    * `subTypes` (Table 7-17: 0 8x8, 1 8x4, 2 4x8, 3 4x4) per sub-MB. */
+  private def pPartGeometry(mbType: Int, subTypes: Array[Int])
+      : Seq[(Int, Int, Int, Int, Int)] = mbType match {
+    case 1 => Seq((0, 0, 4, 2, 0), (0, 2, 4, 2, 1))
+    case 2 => Seq((0, 0, 2, 4, 0), (2, 0, 2, 4, 1))
+    case _ =>
+      (0 until 4).flatMap { i =>
+        val ox = (i & 1) * 2; val oy = (i >> 1) * 2
+        subTypes(i) match {
+          case 0 => Seq((ox, oy, 2, 2, i))
+          case 1 => Seq((ox, oy, 2, 1, i), (ox, oy + 1, 2, 1, i))
+          case 2 => Seq((ox, oy, 1, 2, i), (ox + 1, oy, 1, 2, i))
+          case _ => Seq((ox, oy, 1, 1, i), (ox + 1, oy, 1, 1, i),
+            (ox, oy + 1, 1, 1, i), (ox + 1, oy + 1, 1, 1, i))
+        }
+      }
+  }
+
   /** geometry + two-list motion of one inter partition / sub-partition:
     * MB-relative offset (ox4, oy4) and size (w4, h4), all in 4x4-block
     * units. ref -1 = list unused. */
@@ -2765,7 +2791,7 @@ object H264Codec {
   private def choosePMb(st: PicState, refs: IndexedSeq[PicState],
       mbX: Int, mbY: Int, qp: Int, srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], range: Int, halfPel: Boolean,
-      quarterPel: Boolean): (Int, Int, Int, PMbCoeffs) = {
+      quarterPel: Boolean): (Int, Int, Int, PMbCoeffs, Long) = {
     var bestRef = 0
     var bestRes: (Int, Int, PMbCoeffs, Long) = null
     var r = 0
@@ -2777,7 +2803,146 @@ object H264Codec {
       }
       r += 1
     }
-    (bestRef, bestRes._1, bestRes._2, bestRes._3)
+    (bestRef, bestRes._1, bestRes._2, bestRes._3, bestRes._4)
+  }
+
+  /** Motion search for one w x h luma block at absolute pixel (px, py):
+    * full integer search in [-range, range]^2 with early-exit SAD, then
+    * half- and quarter-pel refinement over the interpolated prediction —
+    * the block-size-generic core of analysePMb's search, for partition
+    * candidates. Returns (mvx, mvy, sad) in quarter-pel units. */
+  private def searchBlock(st: PicState, ref: PicState, px: Int, py: Int,
+      w: Int, h: Int, srcY: Array[Byte], range: Int, halfPel: Boolean,
+      quarterPel: Boolean): (Int, Int, Long) = {
+    val refPlane = ref.reconY
+    def sad(dx: Int, dy: Int, bound: Long): Long = {
+      val rx0 = px + dx; val ry0 = py + dy
+      var s = 0L
+      if (rx0 >= 0 && ry0 >= 0 && rx0 + w <= ref.pw && ry0 + h <= ref.ph) {
+        var r = 0
+        while (r < h) {
+          val sb = (py + r) * st.pw + px
+          val rb = (ry0 + r) * ref.pw + rx0
+          var c = 0
+          while (c < w) {
+            val d = (srcY(sb + c) & 0xff) - (refPlane(rb + c) & 0xff)
+            s += (if (d < 0) -d else d)
+            c += 1
+          }
+          if (s >= bound) return s
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < h) {
+          val sb = (py + r) * st.pw + px
+          var c = 0
+          while (c < w) {
+            val d = (srcY(sb + c) & 0xff) -
+              refSample(refPlane, ref.pw, ref.ph, rx0 + c, ry0 + r)
+            s += (if (d < 0) -d else d)
+            c += 1
+          }
+          if (s >= bound) return s
+          r += 1
+        }
+      }
+      s
+    }
+    var bestDx = 0; var bestDy = 0
+    var best = sad(0, 0, Long.MaxValue)
+    var dy = -range
+    while (dy <= range) {
+      var dx = -range
+      while (dx <= range) {
+        if (dx != 0 || dy != 0) {
+          val s = sad(dx, dy, best)
+          if (s < best) { best = s; bestDx = dx; bestDy = dy }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    var mvx = bestDx * 4; var mvy = bestDy * 4
+    val predTmp = new Array[Int](256)
+    def sadInterp(qx: Int, qy: Int, bound: Long): Long = {
+      mcLumaBlk(ref, px, py, w, h, qx, qy, predTmp, 0, 0)
+      var s = 0L
+      var r = 0
+      while (r < h) {
+        val sb = (py + r) * st.pw + px
+        val pb = r * 16
+        var c = 0
+        while (c < w) {
+          val d = (srcY(sb + c) & 0xff) - predTmp(pb + c)
+          s += (if (d < 0) -d else d)
+          c += 1
+        }
+        if (s >= bound) return s
+        r += 1
+      }
+      s
+    }
+    var hy = if (halfPel) -2 else 4
+    while (hy <= 2) {
+      var hx = -2
+      while (hx <= 2) {
+        if ((hx != 0 || hy != 0) && (hx % 4 != 0 || hy % 4 != 0)) {
+          val s = sadInterp(bestDx * 4 + hx, bestDy * 4 + hy, best)
+          if (s < best) { best = s; mvx = bestDx * 4 + hx; mvy = bestDy * 4 + hy }
+        }
+        hx += 2
+      }
+      hy += 2
+    }
+    if (halfPel && quarterPel) {
+      val cx = mvx; val cy = mvy
+      var qy = -1
+      while (qy <= 1) {
+        var qx = -1
+        while (qx <= 1) {
+          if (qx != 0 || qy != 0) {
+            val s = sadInterp(cx + qx, cy + qy, best)
+            if (s < best) { best = s; mvx = cx + qx; mvy = cy + qy }
+          }
+          qx += 1
+        }
+        qy += 1
+      }
+    }
+    (mvx, mvy, best)
+  }
+
+  /** a partitioned P-MB candidate: Table 7-13 mb_type (1 16x8, 2 8x16,
+    * 3 P_8x8 at sub-type 8x8), its partitions (refIdx 0), and the total
+    * luma SAD + header-bit penalty it competes with */
+  private final case class PPartsCand(mbType: Int, parts: IndexedSeq[InterPart],
+      cost: Long)
+
+  /** Partition-shape competition for one P MB against reference 0:
+    * 16x8, 8x16, and 8x8 (sub-type 8x8 only — the emitted subset; the
+    * decoder accepts 8x4/4x8/4x4 sub-partitions from external streams).
+    * Costs carry a fixed per-extra-mvd-pair penalty (24 SAD units, the
+    * same ballpark as the B-candidate header penalties) so flat motion
+    * never fragments. */
+  private def analysePParts(st: PicState, ref: PicState, mbX: Int, mbY: Int,
+      srcY: Array[Byte], range: Int, halfPel: Boolean,
+      quarterPel: Boolean): PPartsCand = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    def part(ox4: Int, oy4: Int, w4: Int, h4: Int): (InterPart, Long) = {
+      val (mx, my, s) = searchBlock(st, ref, x0 + ox4 * 4, y0 + oy4 * 4,
+        w4 * 4, h4 * 4, srcY, range, halfPel, quarterPel)
+      (InterPart(ox4, oy4, w4, h4, 0, mx, my), s)
+    }
+    val h0 = part(0, 0, 4, 2); val h1 = part(0, 2, 4, 2)
+    val v0 = part(0, 0, 2, 4); val v1 = part(2, 0, 2, 4)
+    val q = IndexedSeq(part(0, 0, 2, 2), part(2, 0, 2, 2),
+      part(0, 2, 2, 2), part(2, 2, 2, 2))
+    val cands = Seq(
+      PPartsCand(1, IndexedSeq(h0._1, h1._1), h0._2 + h1._2 + 24),
+      PPartsCand(2, IndexedSeq(v0._1, v1._1), v0._2 + v1._2 + 24),
+      PPartsCand(3, q.map(_._1), q.map(_._2).sum + 72))
+    cands.minBy(_.cost)
   }
 
   /** Luma SAD of an arbitrary 16x16 prediction buffer vs the source —
@@ -2998,6 +3163,45 @@ object H264Codec {
     } else clearNz(st, mbX, mbY)
   }
 
+  /** write one partitioned P MB (CAVLC): mb_type, sub_mb_types (P_8x8 at
+    * sub-type 8x8), te(0) ref bits when the slice codes >1 active ref,
+    * per-partition mvd against the sequenced §8.4.1.3 predictor, then
+    * cbp + residual from the assembled prediction; reconstructs in place.
+    * State evolution (sentinel, motion, nz) mirrors the decoder exactly.
+    */
+  private def writePPartsMb(bw: H264Writer.BitWriter, st: PicState,
+      refs: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
+      cand: PPartsCand, numRefActive: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): Unit = {
+    partMbCount.incrementAndGet()
+    bw.ue(cand.mbType)
+    if (cand.mbType == 3) { var i = 0; while (i < 4) { bw.ue(0); i += 1 } }
+    if (numRefActive > 1) {
+      val nSlots = if (cand.mbType == 3) 4 else 2
+      var k = 0
+      // te(v) of refIdx 0: inverted single bit at cMax 1, ue(0) above
+      while (k < nSlots) { if (numRefActive == 2) bw.u1(1) else bw.ue(0); k += 1 }
+    }
+    st.beginPartitionedMb(mbX, mbY)
+    cand.parts.foreach { p =>
+      val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
+      val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+      bw.se(p.mv0x - px); bw.se(p.mv0y - py)
+      st.setMotion4(bx4, by4, p.w4, p.h4, 0, p.mv0x, p.mv0y, -1, 0, 0, refs(0).poc)
+    }
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    assembleInterPred(st, refs, refs, mbX, mbY, cand.parts, predL, predCb, predCr)
+    val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+      predL, predCb, predCr)
+    val cbp = if (mc == null) 0 else mc.cbp
+    bw.ue(cbpInterToCode(cbp))
+    if (cbp != 0) bw.se(0) // mb_qp_delta
+    reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc)
+    if (cbp != 0) writePResidual(bw, st, mbX, mbY, mc)
+    else clearNz(st, mbX, mbY)
+  }
+
   private def writePResidual(bw: H264Writer.BitWriter, st: PicState,
       mbX: Int, mbY: Int, mc: PMbCoeffs): Unit = {
     val bX = mbX * 4; val bY = mbY * 4
@@ -3099,7 +3303,11 @@ object H264Codec {
     // spec's 24..26, distinct from P's 11..13)
     val BMbType = 295   // + 0..5
     val BSkip = 301     // + inc 0..2
-    val N = 304
+    // P sub_mb_type (Table 9-38 binarization: 8x8 '1', 8x4 '00',
+    // 4x8 '011', 4x4 '010'): bins 0/1/2 get one slot each (the spec's
+    // ctxIdxOffset-21 block)
+    val SubMbType = 304 // + bin 0..2
+    val N = 307
     // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
     // 3 ChromaDC(4) 4 ChromaAC(15); 5 Luma8x8(64) handled out-of-band
     val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
@@ -3686,7 +3894,8 @@ object H264Codec {
       bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int, numRefActive: Int = 1): Unit = {
+      startMb: Int, endMb: Int, numRefActive: Int = 1,
+      parts: Boolean = false): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -3697,15 +3906,24 @@ object H264Codec {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
-      val (refIdx, mvx, mvy, mc) =
+      val (refIdx, mvx, mvy, mc, sad16) =
         choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
           srcCr, searchRange, halfPel, quarterPel)
+      val cand =
+        if (!parts) null
+        else analysePParts(st, refs(0), mbX, mbY, srcY, searchRange,
+          halfPel, quarterPel)
+      val usePart = cand != null && cand.cost < sad16
       val (sx, sy) = skipMv(st, mbX, mbY)
-      if (refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
+      if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
         reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null)
+      } else if (usePart) {
+        e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
+        writePPartsMbCabac(e, cx, cms, st, refs, mbX, mbY, qp, cand,
+          numRefActive, srcY, srcCb, srcCr)
       } else {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
         // mb_type P_L0_16x16: '000'
@@ -3758,6 +3976,76 @@ object H264Codec {
     }
     e.flush()
     bw.alignZero()
+  }
+
+  /** write one partitioned P MB (CABAC): Table 9-34 mb_type bins
+    * ('011' 16x8, '010' 8x16, '001' P_8x8), sub_mb_type '1' bins
+    * (8x8), ref_idx-0 terminator bins when >1 active ref, per-partition
+    * mvd with block-granular contexts, cbp + residual — state evolution
+    * identical to the decoder's partitioned branch */
+  private def writePPartsMbCabac(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState, st: PicState, refs: IndexedSeq[PicState],
+      mbX: Int, mbY: Int, qp: Int, cand: PPartsCand, numRefActive: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): Unit = {
+    val mi = mbY * st.mbW + mbX
+    partMbCount.incrementAndGet()
+    e.encodeBin(cx, CabacCtx.PMbType, 0)
+    e.encodeBin(cx, CabacCtx.PMbType + 1, if (cand.mbType == 3) 0 else 1)
+    e.encodeBin(cx, CabacCtx.PMbType + 2, if (cand.mbType == 2) 0 else 1)
+    if (cand.mbType == 3) {
+      var i = 0
+      while (i < 4) { e.encodeBin(cx, CabacCtx.SubMbType, 1); i += 1 } // 8x8
+    }
+    if (numRefActive > 1) {
+      val nSlots = if (cand.mbType == 3) 4 else 2
+      var k = 0
+      while (k < nSlots) {
+        val (sx4, sy4) =
+          if (cand.mbType == 1) (mbX * 4, mbY * 4 + k * 2)
+          else if (cand.mbType == 2) (mbX * 4 + k * 2, mbY * 4)
+          else (mbX * 4 + (k & 1) * 2, mbY * 4 + (k >> 1) * 2)
+        e.encodeBin(cx, CabacCtx.RefIdx + cms.incRefIdx(sx4, sy4), 0)
+        k += 1
+      }
+    }
+    st.beginPartitionedMb(mbX, mbY)
+    cand.parts.foreach { p =>
+      val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
+      val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+      val dx = p.mv0x - px; val dy = p.mv0y - py
+      cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(bx4, by4, yComp = false), dx)
+      cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(bx4, by4, yComp = true), dy)
+      cms.setMvd(bx4, by4, p.w4, p.h4, dx, dy)
+      st.setMotion4(bx4, by4, p.w4, p.h4, 0, p.mv0x, p.mv0y, -1, 0, 0, refs(0).poc)
+    }
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    assembleInterPred(st, refs, refs, mbX, mbY, cand.parts, predL, predCb, predCr)
+    val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+      predL, predCb, predCr)
+    val cbp = if (mc == null) 0 else mc.cbp
+    var b8 = 0
+    var bitsSoFar = 0
+    while (b8 < 4) {
+      val bit = (cbp >> b8) & 1
+      e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
+      bitsSoFar |= bit << b8
+      b8 += 1
+    }
+    val cbpChroma = cbp >> 4
+    e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
+      if (cbpChroma != 0) 1 else 0)
+    if (cbpChroma != 0)
+      e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
+        if (cbpChroma == 2) 1 else 0)
+    cms.cbp(mi) = cbp
+    if (cbp != 0) {
+      e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0) // mb_qp_delta 0
+      cms.lastQpDeltaNz = false
+      cabacResidualP(st, cms, mbX, mbY, mc,
+        (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+    } else clearNz(st, mbX, mbY)
+    reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc)
   }
 
   /** B mb_type bins, Table 9-37 subset (16x16 partitions): 0 '0',
@@ -3973,54 +4261,135 @@ object H264Codec {
         reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null)
       } else if (isP) {
         require(d.decodeBin(cx, CabacCtx.PMbType) == 0,
-          "intra-in-P mb_type unsupported (P_L0_16x16 subset)")
+          "intra-in-P mb_type unsupported (P_L0 subset)")
         val b1 = d.decodeBin(cx, CabacCtx.PMbType + 1)
         val b2 = d.decodeBin(cx, CabacCtx.PMbType + 2)
-        require(b1 == 0 && b2 == 0,
-          s"P mb_type bins ($b1,$b2) unsupported (P_L0_16x16 subset)")
-        // ref_idx_l0: unary — read 1-bins until the 0 terminator
-        var refIdx = 0
-        if (numRefActive > 1) {
-          while (d.decodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
-              cms.incRefIdx(mbX * 4, mbY * 4) else if (refIdx == 1) 4 else 5)) == 1) {
-            refIdx += 1
-            require(refIdx < numRefActive,
-              s"ref_idx_l0 $refIdx >= num_ref_idx_l0_active $numRefActive")
+        // Table 9-34 P prefix: '000' 16x16, '011' 16x8, '010' 8x16,
+        // '001' P_8x8 (no P_8x8ref0 in CABAC)
+        val mbType = (b1, b2) match {
+          case (0, 0) => 0
+          case (1, 1) => 1
+          case (1, 0) => 2
+          case _      => 3
+        }
+        // ref_idx_l0 for one partition slot: unary — 1-bins to the 0
+        // terminator; bin-0 context from the partition's A/B neighbour
+        // blocks (an in-MB neighbour slot whose motion is not yet
+        // derived reads as unavailable — repo-local within the
+        // documented CABAC envelope; the emitted subset keeps
+        // partitioned MBs on refIdx 0 so no stream this encoder writes
+        // exercises the difference)
+        def readRefIdx(bx4: Int, by4: Int): Int = {
+          var refIdx = 0
+          if (numRefActive > 1) {
+            while (d.decodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
+                cms.incRefIdx(bx4, by4) else if (refIdx == 1) 4 else 5)) == 1) {
+              refIdx += 1
+              require(refIdx < numRefActive,
+                s"ref_idx_l0 $refIdx >= num_ref_idx_l0_active $numRefActive")
+            }
           }
+          require(refIdx < refs.length,
+            s"ref_idx_l0 $refIdx with only ${refs.length} reference(s) decoded")
+          refIdx
         }
-        require(refIdx < refs.length,
-          s"ref_idx_l0 $refIdx with only ${refs.length} reference(s) decoded")
-        val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false))
-        val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true))
-        cms.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
-        val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
-        val mvx = px + mvdX; val mvy = py + mvdY
-        var cbpLuma = 0
-        var b8 = 0
-        while (b8 < 4) {
-          cbpLuma |= d.decodeBin(cx,
-            CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma)) << b8
-          b8 += 1
+        if (mbType == 0) {
+          val refIdx = readRefIdx(mbX * 4, mbY * 4)
+          val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false))
+          val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true))
+          cms.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+          val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
+          val mvx = px + mvdX; val mvy = py + mvdY
+          var cbpLuma = 0
+          var b8 = 0
+          while (b8 < 4) {
+            cbpLuma |= d.decodeBin(cx,
+              CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma)) << b8
+            b8 += 1
+          }
+          var cbpChroma = 0
+          if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+            cbpChroma =
+              if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+              else 1
+          val cbp = cbpLuma | (cbpChroma << 4)
+          cms.cbp(mi) = cbp
+          val mc = if (cbp == 0) null else {
+            val m = pmPool
+            m.cbp = cbp
+            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+              "mb_qp_delta != 0 unsupported (constant-QP subset)")
+            cms.lastQpDeltaNz = false
+            cabacResidualP(st, cms, mbX, mbY, m,
+              (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+            m
+          }
+          if (mc == null) clearNz(st, mbX, mbY)
+          reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+        } else {
+          // partitioned P MB: sub_mb_types (P_8x8), ref_idx per slot,
+          // then mvd + MV derivation per partition in decode order
+          val subTypes: Array[Int] =
+            if (mbType == 3) Array.fill(4) {
+              if (d.decodeBin(cx, CabacCtx.SubMbType) == 1) 0
+              else if (d.decodeBin(cx, CabacCtx.SubMbType + 1) == 0) 1
+              else if (d.decodeBin(cx, CabacCtx.SubMbType + 2) == 1) 2
+              else 3
+            } else null
+          val geo = pPartGeometry(mbType, subTypes)
+          val nRefSlots = if (mbType == 3) 4 else 2
+          val refSlots = new Array[Int](nRefSlots)
+          locally {
+            var k = 0
+            while (k < nRefSlots) {
+              val (sx4, sy4) =
+                if (mbType == 1) (mbX * 4, mbY * 4 + k * 2)
+                else if (mbType == 2) (mbX * 4 + k * 2, mbY * 4)
+                else (mbX * 4 + (k & 1) * 2, mbY * 4 + (k >> 1) * 2)
+              refSlots(k) = readRefIdx(sx4, sy4)
+              k += 1
+            }
+          }
+          st.beginPartitionedMb(mbX, mbY)
+          val parts = geo.map { case (ox4, oy4, w4, h4, slot) =>
+            val refIdx = refSlots(slot)
+            val bx4 = mbX * 4 + ox4; val by4 = mbY * 4 + oy4
+            val dx = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(bx4, by4, yComp = false))
+            val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(bx4, by4, yComp = true))
+            cms.setMvd(bx4, by4, w4, h4, dx, dy)
+            val (px, py, _, _) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
+            val mvx = px + dx; val mvy = py + dy
+            st.setMotion4(bx4, by4, w4, h4, refIdx, mvx, mvy, -1, 0, 0,
+              refs(refIdx).poc)
+            InterPart(ox4, oy4, w4, h4, refIdx, mvx, mvy)
+          }
+          var cbpLuma = 0
+          var b8 = 0
+          while (b8 < 4) {
+            cbpLuma |= d.decodeBin(cx,
+              CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma)) << b8
+            b8 += 1
+          }
+          var cbpChroma = 0
+          if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+            cbpChroma =
+              if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+              else 1
+          val cbp = cbpLuma | (cbpChroma << 4)
+          cms.cbp(mi) = cbp
+          val mc = if (cbp == 0) null else {
+            val m = pmPool
+            m.cbp = cbp
+            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
+              "mb_qp_delta != 0 unsupported (constant-QP subset)")
+            cms.lastQpDeltaNz = false
+            cabacResidualP(st, cms, mbX, mbY, m,
+              (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+            m
+          }
+          if (mc == null) clearNz(st, mbX, mbY)
+          reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc)
         }
-        var cbpChroma = 0
-        if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
-          cbpChroma =
-            if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
-            else 1
-        val cbp = cbpLuma | (cbpChroma << 4)
-        cms.cbp(mi) = cbp
-        val mc = if (cbp == 0) null else {
-          val m = pmPool
-          m.cbp = cbp
-          require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-            "mb_qp_delta != 0 unsupported (constant-QP subset)")
-          cms.lastQpDeltaNz = false
-          cabacResidualP(st, cms, mbX, mbY, m,
-            (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
-          m
-        }
-        if (mc == null) clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
       } else if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
         // I_NxN: transform_size_8x8_flag (present only under a t8 PPS)
         // picks Intra_8x8 vs Intra_4x4
@@ -4333,7 +4702,8 @@ object H264Codec {
       transform8x8: Boolean = false,
       numRefL0: Int = 1,
       bSlice: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
-      frameNum: Int = -1, pocLsb: Int = -1): (Seq[Array[Byte]], PicState) = {
+      frameNum: Int = -1, pocLsb: Int = -1,
+      parts: Boolean = false): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -4392,7 +4762,7 @@ object H264Codec {
             searchRange, halfPel, quarterPel, startMb, endMb)
         else if (pSlice)
           encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
-            halfPel, quarterPel, startMb, endMb, numRefActive)
+            halfPel, quarterPel, startMb, endMb, numRefActive, parts)
         else
           encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb,
             t8 = transform8x8)
@@ -4401,7 +4771,7 @@ object H264Codec {
           halfPel, quarterPel, startMb, endMb)
       else if (pSlice)
         encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb, numRefActive)
+          halfPel, quarterPel, startMb, endMb, numRefActive, parts)
       else
         encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb,
           transform8x8)
@@ -4425,21 +4795,31 @@ object H264Codec {
       bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int, numRefActive: Int = 1): Unit = {
+      startMb: Int, endMb: Int, numRefActive: Int = 1,
+      parts: Boolean = false): Unit = {
     val mbW = st.mbW
     var skipRun = 0
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
-      val (refIdx, mvx, mvy, mc) =
+      val (refIdx, mvx, mvy, mc, sad16) =
         choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
           srcCr, searchRange, halfPel, quarterPel)
+      val cand =
+        if (!parts) null
+        else analysePParts(st, refs(0), mbX, mbY, srcY, searchRange,
+          halfPel, quarterPel)
+      val usePart = cand != null && cand.cost < sad16
       val (sx, sy) = skipMv(st, mbX, mbY)
-      if (refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
+      if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         skipRun += 1
         clearNz(st, mbX, mbY)
         reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null)
+      } else if (usePart) {
+        bw.ue(skipRun); skipRun = 0
+        writePPartsMb(bw, st, refs, mbX, mbY, qp, cand, numRefActive,
+          srcY, srcCb, srcCr)
       } else {
         bw.ue(skipRun); skipRun = 0
         writePMb(bw, st, mbX, mbY, mvx, mvy, mc, numRefActive, refIdx)
@@ -4575,7 +4955,8 @@ object H264Codec {
     */
   private def encodeBGop(frames: Seq[Yuv], qp: Int, searchRange: Int,
       halfPel: Boolean, quarterPel: Boolean, deblock: Boolean,
-      slicesPerFrame: Int, cabac: Boolean, transform8x8: Boolean): Array[Byte] = {
+      slicesPerFrame: Int, cabac: Boolean, transform8x8: Boolean,
+      parts: Boolean = false): Array[Byte] = {
     val head = frames.head
     val out = new java.io.ByteArrayOutputStream()
     // DPB must hold BOTH anchors around a B (sliding-window, 2 deep)
@@ -4604,7 +4985,7 @@ object H264Codec {
           encodeFrame(frames(disp), codingIdx, qp, pcm = false,
             IndexedSeq(dpb.head), searchRange, halfPel, quarterPel, deblock,
             slicesPerFrame, cabac, transform8x8, numRefL0 = 1,
-            frameNum = refCount, pocLsb = poc)
+            frameNum = refCount, pocLsb = poc, parts = parts)
         case _ =>
           val past = dpb.filter(_.poc < poc).maxBy(_.poc)
           val fut = dpb.filter(_.poc > poc).minBy(_.poc)
@@ -4631,7 +5012,8 @@ object H264Codec {
       halfPel: Boolean = true, quarterPel: Boolean = true,
       deblock: Boolean = true, slicesPerFrame: Int = 1,
       cabac: Boolean = false, transform8x8: Boolean = false,
-      multiRef: Boolean = false, bframes: Boolean = false): Array[Byte] = {
+      multiRef: Boolean = false, bframes: Boolean = false,
+      parts: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -4646,9 +5028,13 @@ object H264Codec {
       "bframes needs inter anchors (pcm/allIntra tiers have none)")
     require(!(bframes && multiRef),
       "bframes x multiRef untested combination (one tier per stream)")
+    require(!(parts && (pcm || allIntra)),
+      "parts needs P slices (pcm/allIntra tiers have none)")
+    require(!(parts && multiRef),
+      "parts x multiRef untested combination (one tier per stream)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
-      quarterPel, deblock, slicesPerFrame, cabac, transform8x8)
+      quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts)
     // a 2-deep DPB with num_ref_idx_l0_active 2: per-MB ref_idx selects
     // the previous or the previous-but-one reconstructed picture
     val numRefL0 = if (multiRef) 2 else 1
@@ -4668,7 +5054,8 @@ object H264Codec {
       val (nals, state) = encodeFrame(f, i, qp, pcm,
         if (pcm || allIntra) IndexedSeq.empty else refs.toIndexedSeq,
         searchRange, halfPel, quarterPel,
-        deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0)
+        deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0,
+        parts = parts)
       nals.foreach(out.write)
       refs.prepend(state)
       while (refs.size > numRefL0) refs.remove(refs.size - 1)
@@ -4975,31 +5362,79 @@ object H264Codec {
           val mbX = mb % mbW; val mbY = mb / mbW
           st.sliceOfMb(mb) = st.curSlice
           val mbType = r.ue
-          require(mbType == 0,
-            s"P mb_type $mbType unsupported (P_L0_16x16 subset; intra-in-P not emitted)")
+          require(mbType <= 4,
+            s"P mb_type $mbType unsupported (P_L0 16x16/16x8/8x16/8x8(ref0); intra-in-P not emitted)")
           // ref_idx_l0, te(v): one inverted bit when the range is [0,1],
           // plain ue above (§9.1.1)
-          val refIdx =
-            if (numRefActive <= 1) 0
-            else if (numRefActive == 2) 1 - r.u1
-            else r.ue
-          require(refIdx < numRefActive,
-            s"ref_idx_l0 $refIdx >= num_ref_idx_l0_active $numRefActive")
-          val mvdX = r.se; val mvdY = r.se
-          val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
-          val mvx = px + mvdX; val mvy = py + mvdY
-          val cbpCode = r.ue
-          require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
-          val cbp = cbpInterFromCode(cbpCode)
-          val mc = if (cbp == 0) null else {
-            val m = pmPool
-            m.cbp = cbp
-            qp += r.se // mb_qp_delta
-            readResidualCavlc(r, st, mbX, mbY, m)
-            m
+          def readRefTe(): Int = {
+            val v =
+              if (numRefActive <= 1) 0
+              else if (numRefActive == 2) 1 - r.u1
+              else r.ue
+            require(v < numRefActive,
+              s"ref_idx_l0 $v >= num_ref_idx_l0_active $numRefActive")
+            v
           }
-          if (mc == null) clearNz(st, mbX, mbY)
-          reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+          if (mbType == 0) {
+            val refIdx = readRefTe()
+            val mvdX = r.se; val mvdY = r.se
+            val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
+            val mvx = px + mvdX; val mvy = py + mvdY
+            val cbpCode = r.ue
+            require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
+            val cbp = cbpInterFromCode(cbpCode)
+            val mc = if (cbp == 0) null else {
+              val m = pmPool
+              m.cbp = cbp
+              qp += r.se // mb_qp_delta
+              readResidualCavlc(r, st, mbX, mbY, m)
+              m
+            }
+            if (mc == null) clearNz(st, mbX, mbY)
+            reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+          } else {
+            // Sub-16x16 partitions (§7.3.5.1/.2 syntax order: sub_mb_type
+            // x4, then ref_idx per MB partition, then mvd per partition
+            // in decode order; P_8x8ref0 infers every ref_idx = 0)
+            val subTypes: Array[Int] =
+              if (mbType >= 3) Array.fill(4) {
+                val t = r.ue
+                require(t <= 3, s"P sub_mb_type $t out of range")
+                t
+              } else null
+            val geo = pPartGeometry(mbType, subTypes)
+            val nRefSlots = if (mbType >= 3) 4 else 2
+            val refSlots = new Array[Int](nRefSlots)
+            if (mbType != 4) {
+              var k = 0
+              while (k < nRefSlots) { refSlots(k) = readRefTe(); k += 1 }
+            }
+            val mvds = geo.map(_ => (r.se, r.se))
+            // derive MVs in decode order: partition k's predictor reads
+            // the final motion of partitions < k (recorded as we go)
+            st.beginPartitionedMb(mbX, mbY)
+            val parts = geo.zip(mvds).map { case ((ox4, oy4, w4, h4, slot), (dx, dy)) =>
+              val refIdx = refSlots(slot)
+              val bx4 = mbX * 4 + ox4; val by4 = mbY * 4 + oy4
+              val (px, py, _, _) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
+              val mvx = px + dx; val mvy = py + dy
+              st.setMotion4(bx4, by4, w4, h4, refIdx, mvx, mvy, -1, 0, 0,
+                refs(refIdx).poc)
+              InterPart(ox4, oy4, w4, h4, refIdx, mvx, mvy)
+            }
+            val cbpCode = r.ue
+            require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
+            val cbp = cbpInterFromCode(cbpCode)
+            val mc = if (cbp == 0) null else {
+              val m = pmPool
+              m.cbp = cbp
+              qp += r.se // mb_qp_delta
+              readResidualCavlc(r, st, mbX, mbY, m)
+              m
+            }
+            if (mc == null) clearNz(st, mbX, mbY)
+            reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc)
+          }
           mb += 1
         }
       }

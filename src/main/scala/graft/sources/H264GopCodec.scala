@@ -26,7 +26,8 @@ import graft.model.{FrameElem, FrameType}
   */
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     cabac: Boolean = false, transform8x8: Boolean = false,
-    multiRef: Boolean = false, bframes: Boolean = false) extends GopCodec {
+    multiRef: Boolean = false, bframes: Boolean = false,
+    parts: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -48,7 +49,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     }
     val yuvs = frames.map(toYuv)
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
-      transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes)
+      transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
+      parts = parts)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -166,4 +168,14 @@ object H264GopCodec {
     * dominant GOP shape of real-world corpora. CABAC variant via
     * `new H264GopCodec(qp, cabac = true, bframes = true)`. */
   val BFrames: H264GopCodec = new H264GopCodec(qp = 12, bframes = true)
+  /** sub-16x16 inter partitions (round 14): the per-MB mode competition
+    * adds P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 (sub-type 8x8) against
+    * the 16x16 shapes, with §8.4.1.3 partition MV prediction and
+    * per-edge boundary strengths — the near-universal real-stream
+    * syntax. The DECODER additionally accepts 8x4/4x8/4x4
+    * sub-partitions and P_8x8ref0 from external streams
+    * (H264ConformanceSpec pins a hand-built mixed-shape stream).
+    * CABAC variant via `new H264GopCodec(qp, cabac = true,
+    * parts = true)`. */
+  val Parts: H264GopCodec = new H264GopCodec(qp = 12, parts = true)
 }
