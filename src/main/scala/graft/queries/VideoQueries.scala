@@ -527,6 +527,13 @@ object VideoQueries {
           "cabacptvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             parts = true), // CABAC + partitions
           "cavlcptvid", graft.sources.H264GopCodec.Parts)) // CAVLC + partitions
+        // round 14: explicit weighted prediction — the slice-header
+        // pred_weight_table + §8.4.2.3.2 reconstruction must produce
+        // identical pixels under both entropy layers through the store
+        .unionAll(diffRelation("wp",
+          "cabacwpvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            weightedPred = true), // CABAC + WP
+          "cavlcwpvid", graft.sources.H264GopCodec.Wp)) // CAVLC + WP
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -884,17 +891,18 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at ALL FIVE tiers: every frame fully
+    // the cross-entropy invariant at ALL SIX tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
     // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
     // coding order + POC output reordering — a reorder bug would shear
     // the two stores' frame indexing apart, not just their pixels —
-    // 'parts' = sub-16x16 partitions + partition-granular contexts)
+    // 'parts' = sub-16x16 partitions + partition-granular contexts,
+    // 'wp' = explicit weighted prediction)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts']) AS tier) t,
+        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts', 'wp']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

@@ -143,7 +143,8 @@ object H264Codec {
 
   /** codec PPS: CAVLC or CABAC, deblocking control present */
   private def codecPps(cabac: Boolean = false,
-      transform8x8: Boolean = false, numRefL0: Int = 1): Array[Byte] = {
+      transform8x8: Boolean = false, numRefL0: Int = 1,
+      weightedPred: Boolean = false): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.ue(0)   // pps_id
     bw.ue(0)   // sps_id
@@ -151,7 +152,7 @@ object H264Codec {
     bw.u1(0)   // pic_order_present_flag
     bw.ue(0)   // num_slice_groups_minus1
     bw.ue(numRefL0 - 1); bw.ue(0) // num_ref_idx_l{0,1}_active_minus1
-    bw.u1(0)   // weighted_pred_flag
+    bw.u1(if (weightedPred) 1 else 0) // weighted_pred_flag (explicit P)
     bw.u(2, 0) // weighted_bipred_idc
     bw.se(0)   // pic_init_qp_minus26
     bw.se(0)   // pic_init_qs_minus26
@@ -1744,14 +1745,129 @@ object H264Codec {
     def cbpChroma: Int = cbp >> 4
   }
 
+  /** Explicit weighted-prediction state for one slice (§7.3.3.2
+    * pred_weight_table, §8.4.2.3.2 reconstruction): per-list per-refIdx
+    * luma and chroma weights/offsets; log denominators shared across a
+    * list. Identity entries carry w = 1 << logWD, o = 0 (the inferred
+    * value when the per-ref flag is 0). null WpCtx = default
+    * (unweighted) prediction everywhere. */
+  private final class WpCtx(val lumaLog2: Int, val chromaLog2: Int,
+      val lw: Array[Array[Int]], val lo: Array[Array[Int]],
+      val cw: Array[Array[Array[Int]]], val co: Array[Array[Array[Int]]]) {
+    /** weighted single-list luma transform of a stride-16 region */
+    def applyLuma(list: Int, ref: Int, buf: Array[Int], ox: Int, oy: Int,
+        w: Int, h: Int): Unit = {
+      val ww = lw(list)(ref); val oo = lo(list)(ref)
+      val rnd = if (lumaLog2 > 0) 1 << (lumaLog2 - 1) else 0
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = (oy + r) * 16 + ox + c
+          val v = ((buf(i) * ww + rnd) >> lumaLog2) + oo
+          buf(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          c += 1
+        }
+        r += 1
+      }
+    }
+    /** weighted single-list chroma transform of a stride-8 region;
+      * plane 0 = Cb, 1 = Cr */
+    def applyChroma(list: Int, ref: Int, plane: Int, buf: Array[Int],
+        ox: Int, oy: Int, w: Int, h: Int): Unit = {
+      val ww = cw(list)(ref)(plane); val oo = co(list)(ref)(plane)
+      val rnd = if (chromaLog2 > 0) 1 << (chromaLog2 - 1) else 0
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = (oy + r) * 8 + ox + c
+          val v = ((buf(i) * ww + rnd) >> chromaLog2) + oo
+          buf(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          c += 1
+        }
+        r += 1
+      }
+    }
+    /** §8.4.2.3.2 explicit BI combine: a(i) = clip(((a*w0 + b*w1 +
+      * 2^logWD) >> (logWD+1)) + (o0+o1+1)>>1) over a stride-`stride`
+      * region; luma = true selects the luma tables */
+    def applyBi(ref0: Int, ref1: Int, luma: Boolean, a: Array[Int],
+        b: Array[Int], ox: Int, oy: Int, stride: Int, w: Int, h: Int,
+        plane: Int = 0): Unit = {
+      val log2 = if (luma) lumaLog2 else chromaLog2
+      val w0 = if (luma) lw(0)(ref0) else cw(0)(ref0)(plane)
+      val w1 = if (luma) lw(1)(ref1) else cw(1)(ref1)(plane)
+      val o0 = if (luma) lo(0)(ref0) else co(0)(ref0)(plane)
+      val o1 = if (luma) lo(1)(ref1) else co(1)(ref1)(plane)
+      val rnd = 1 << log2
+      val off = (o0 + o1 + 1) >> 1
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = (oy + r) * stride + ox + c
+          val v = ((a(i) * w0 + b(i) * w1 + rnd) >> (log2 + 1)) + off
+          a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          c += 1
+        }
+        r += 1
+      }
+    }
+  }
+
+  /** parse §7.3.3.2 pred_weight_table: one (flag, w, o) group per active
+    * reference of each coded list; absent flags infer identity */
+  private def parsePredWeightTable(r: H264.BitReader, nL0: Int,
+      nL1: Int): WpCtx = {
+    val lumaLog2 = r.ue
+    require(lumaLog2 <= 7, s"luma_log2_weight_denom $lumaLog2 out of range")
+    val chromaLog2 = r.ue
+    require(chromaLog2 <= 7, s"chroma_log2_weight_denom $chromaLog2 out of range")
+    val n = Array(nL0, nL1)
+    val lw = Array(Array.fill(math.max(nL0, 1))(1 << lumaLog2),
+      Array.fill(math.max(nL1, 1))(1 << lumaLog2))
+    val lo = Array(Array.fill(math.max(nL0, 1))(0), Array.fill(math.max(nL1, 1))(0))
+    val cw = Array.tabulate(2)(l => Array.fill(math.max(n(l), 1))(
+      Array.fill(2)(1 << chromaLog2)))
+    val co = Array.tabulate(2)(l => Array.fill(math.max(n(l), 1))(
+      Array.fill(2)(0)))
+    var list = 0
+    while (list < 2) {
+      var i = 0
+      while (i < n(list)) {
+        if (r.u1 == 1) { // luma_weight_lX_flag
+          lw(list)(i) = r.se; lo(list)(i) = r.se
+          require(lw(list)(i) >= -128 && lw(list)(i) <= 127 &&
+            lo(list)(i) >= -128 && lo(list)(i) <= 127,
+            "luma weight/offset out of the 8-bit spec range")
+        }
+        if (r.u1 == 1) { // chroma_weight_lX_flag
+          var p = 0
+          while (p < 2) {
+            cw(list)(i)(p) = r.se; co(list)(i)(p) = r.se
+            require(cw(list)(i)(p) >= -128 && cw(list)(i)(p) <= 127 &&
+              co(list)(i)(p) >= -128 && co(list)(i)(p) <= 127,
+              "chroma weight/offset out of the 8-bit spec range")
+            p += 1
+          }
+        }
+        i += 1
+      }
+      list += 1
+    }
+    new WpCtx(lumaLog2, chromaLog2, lw, lo, cw, co)
+  }
+
   /** shared P-MB reconstruction: MC prediction + dequantised residual.
     * `ref` is the picture list-0 entry `refIdx` selects (the caller
     * indexes its DPB); `refIdx` is recorded for MV prediction, entropy
     * contexts, and deblocking. */
   private def reconstructPMb(st: PicState, ref: PicState, mbX: Int, mbY: Int,
-      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs, refIdx: Int = 0): Unit =
+      qp: Int, mvx: Int, mvy: Int, mc: PMbCoeffs, refIdx: Int = 0,
+      wp: WpCtx = null): Unit =
     reconstructInterMb(st, mbX, mbY, qp, ref, refIdx, mvx, mvy,
-      null, -1, 0, 0, mc)
+      null, -1, 0, 0, mc, wp)
 
   /** Inter reconstruction over one or two prediction lists: each used
     * list motion-compensates independently, two lists average per
@@ -1764,7 +1880,7 @@ object H264Codec {
   private def reconstructInterMb(st: PicState, mbX: Int, mbY: Int, qp: Int,
       ref0: PicState, refIdx0: Int, mv0x: Int, mv0y: Int,
       ref1: PicState, refIdx1: Int, mv1x: Int, mv1y: Int,
-      mc: PMbCoeffs): Unit = {
+      mc: PMbCoeffs, wp: WpCtx = null): Unit = {
     require(refIdx0 >= 0 || refIdx1 >= 0, "inter MB with no prediction list")
     val bi = refIdx0 >= 0 && refIdx1 >= 0
     st.mbQp(mbY * st.mbW + mbX) = qp
@@ -1774,8 +1890,9 @@ object H264Codec {
     // block copy, so skip the int prediction buffer entirely. Byte-
     // identical to the general path (integer MC is a clamped copy and
     // the residual is zero); chroma qualifies separately (its eighth-pel
-    // fraction is mv & 7).
-    if (mc == null && !bi) {
+    // fraction is mv & 7). Weighted prediction transforms samples, so
+    // the copy shortcut is off whenever a WpCtx is active.
+    if (mc == null && !bi && wp == null) {
       val refP = if (refIdx0 >= 0) ref0 else ref1
       val mvx0 = if (refIdx0 >= 0) mv0x else mv1x
       val mvy0 = if (refIdx0 >= 0) mv0y else mv1y
@@ -1831,35 +1948,54 @@ object H264Codec {
     }
     val sc = mcScratch.get()
     val predL = sc.predL
-    if (refIdx0 >= 0) mcLuma(ref0, mbX, mbY, mv0x, mv0y, predL)
+    if (refIdx0 >= 0) {
+      mcLuma(ref0, mbX, mbY, mv0x, mv0y, predL)
+      if (wp != null && !bi) wp.applyLuma(0, refIdx0, predL, 0, 0, 16, 16)
+    }
     if (refIdx1 >= 0) {
-      if (!bi) mcLuma(ref1, mbX, mbY, mv1x, mv1y, predL)
-      else {
+      if (!bi) {
+        mcLuma(ref1, mbX, mbY, mv1x, mv1y, predL)
+        if (wp != null) wp.applyLuma(1, refIdx1, predL, 0, 0, 16, 16)
+      } else {
         val p1 = sc.predL1
         mcLuma(ref1, mbX, mbY, mv1x, mv1y, p1)
-        var i = 0
-        while (i < 256) { predL(i) = (predL(i) + p1(i) + 1) >> 1; i += 1 }
+        if (wp != null)
+          wp.applyBi(refIdx0, refIdx1, luma = true, predL, p1, 0, 0, 16, 16, 16)
+        else {
+          var i = 0
+          while (i < 256) { predL(i) = (predL(i) + p1(i) + 1) >> 1; i += 1 }
+        }
       }
     }
-    // single-list motion/ref for the chroma MC (bi averages again)
+    // single-list motion/ref for the chroma MC (bi combines again)
     val mvx = if (refIdx0 >= 0) mv0x else mv1x
     val mvy = if (refIdx0 >= 0) mv0y else mv1y
     val ref = if (refIdx0 >= 0) ref0 else ref1
+    val wpList = if (refIdx0 >= 0) 0 else 1
+    val wpRef = if (refIdx0 >= 0) refIdx0 else refIdx1
     val predCb = sc.predC; val predCr = sc.predC2
     mcChroma(ref.reconCb, st.cw, st.ch, mbX, mbY, mvx, mvy, predCb)
     if (bi) {
       val p1 = sc.predC1
       mcChroma(ref1.reconCb, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
-      var i = 0
-      while (i < 64) { predCb(i) = (predCb(i) + p1(i) + 1) >> 1; i += 1 }
-    }
+      if (wp != null)
+        wp.applyBi(refIdx0, refIdx1, luma = false, predCb, p1, 0, 0, 8, 8, 8, plane = 0)
+      else {
+        var i = 0
+        while (i < 64) { predCb(i) = (predCb(i) + p1(i) + 1) >> 1; i += 1 }
+      }
+    } else if (wp != null) wp.applyChroma(wpList, wpRef, 0, predCb, 0, 0, 8, 8)
     mcChroma(ref.reconCr, st.cw, st.ch, mbX, mbY, mvx, mvy, predCr)
     if (bi) {
       val p1 = sc.predC1
       mcChroma(ref1.reconCr, st.cw, st.ch, mbX, mbY, mv1x, mv1y, p1)
-      var i = 0
-      while (i < 64) { predCr(i) = (predCr(i) + p1(i) + 1) >> 1; i += 1 }
-    }
+      if (wp != null)
+        wp.applyBi(refIdx0, refIdx1, luma = false, predCr, p1, 0, 0, 8, 8, 8, plane = 1)
+      else {
+        var i = 0
+        while (i < 64) { predCr(i) = (predCr(i) + p1(i) + 1) >> 1; i += 1 }
+      }
+    } else if (wp != null) wp.applyChroma(wpList, wpRef, 1, predCr, 0, 0, 8, 8)
     interResidualCommit(st, mbX, mbY, qp, mc, predL, predCb, predCr)
     st.inter(mbY * st.mbW + mbX) = true
     // unused lists keep zero motion with refIdx -1 (the entropy contexts
@@ -2018,12 +2154,12 @@ object H264Codec {
     * needed it. */
   private def reconstructInterParts(st: PicState, l0: IndexedSeq[PicState],
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
-      parts: Seq[InterPart], mc: PMbCoeffs): Unit = {
+      parts: Seq[InterPart], mc: PMbCoeffs, wp: WpCtx = null): Unit = {
     st.mbQp(mbY * st.mbW + mbX) = qp
     val sc = mcScratch.get()
     val predL = sc.predL
     val predCb = sc.predC; val predCr = sc.predC2
-    assembleInterPred(st, l0, l1, mbX, mbY, parts, predL, predCb, predCr)
+    assembleInterPred(st, l0, l1, mbX, mbY, parts, predL, predCb, predCr, wp)
     interResidualCommit(st, mbX, mbY, qp, mc, predL, predCb, predCr)
     st.inter(mbY * st.mbW + mbX) = true
   }
@@ -2033,7 +2169,8 @@ object H264Codec {
     * and the encoder's direct-candidate evaluation */
   private def assembleInterPred(st: PicState, l0: IndexedSeq[PicState],
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, parts: Seq[InterPart],
-      predL: Array[Int], predCb: Array[Int], predCr: Array[Int]): Unit = {
+      predL: Array[Int], predCb: Array[Int], predCr: Array[Int],
+      wp: WpCtx = null): Unit = {
     val sc = mcScratch.get()
     parts.foreach { p =>
       require(p.ref0 >= 0 || p.ref1 >= 0, "inter partition with no list")
@@ -2050,6 +2187,11 @@ object H264Codec {
           p.mv0x, p.mv0y, predCb, cox, coy)
         mcChromaBlk(r0.reconCr, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
           p.mv0x, p.mv0y, predCr, cox, coy)
+        if (wp != null && !bi) {
+          wp.applyLuma(0, p.ref0, predL, ox, oy, w, h)
+          wp.applyChroma(0, p.ref0, 0, predCb, cox, coy, w / 2, h / 2)
+          wp.applyChroma(0, p.ref0, 1, predCr, cox, coy, w / 2, h / 2)
+        }
       }
       if (p.ref1 >= 0) {
         val r1 = l1(p.ref1)
@@ -2059,17 +2201,40 @@ object H264Codec {
             p.mv1x, p.mv1y, predCb, cox, coy)
           mcChromaBlk(r1.reconCr, st.cw, st.ch, cpx, cpy, w / 2, h / 2,
             p.mv1x, p.mv1y, predCr, cox, coy)
+          if (wp != null) {
+            wp.applyLuma(1, p.ref1, predL, ox, oy, w, h)
+            wp.applyChroma(1, p.ref1, 0, predCb, cox, coy, w / 2, h / 2)
+            wp.applyChroma(1, p.ref1, 1, predCr, cox, coy, w / 2, h / 2)
+          }
         } else {
-          // list-1 prediction into scratch at offset 0, then average
-          // into the partition's region of the MB-local buffers
+          // list-1 prediction into scratch at offset 0, then combine
+          // into the partition's region of the MB-local buffers —
+          // §8.4.2.3.1 rounding average, or the §8.4.2.3.2 explicit
+          // two-weight formula under weighted prediction
           val pL1 = sc.predL1; val pC1 = sc.predC1
+          @inline def biL(a: Int, b: Int): Int =
+            if (wp == null) (a + b + 1) >> 1
+            else {
+              val v = ((a * wp.lw(0)(p.ref0) + b * wp.lw(1)(p.ref1) +
+                (1 << wp.lumaLog2)) >> (wp.lumaLog2 + 1)) +
+                ((wp.lo(0)(p.ref0) + wp.lo(1)(p.ref1) + 1) >> 1)
+              if (v < 0) 0 else if (v > 255) 255 else v
+            }
+          @inline def biC(a: Int, b: Int, pl: Int): Int =
+            if (wp == null) (a + b + 1) >> 1
+            else {
+              val v = ((a * wp.cw(0)(p.ref0)(pl) + b * wp.cw(1)(p.ref1)(pl) +
+                (1 << wp.chromaLog2)) >> (wp.chromaLog2 + 1)) +
+                ((wp.co(0)(p.ref0)(pl) + wp.co(1)(p.ref1)(pl) + 1) >> 1)
+              if (v < 0) 0 else if (v > 255) 255 else v
+            }
           mcLumaBlk(r1, px, py, w, h, p.mv1x, p.mv1y, pL1, 0, 0)
           var r = 0
           while (r < h) {
             var c = 0
             while (c < w) {
               val d = (oy + r) * 16 + ox + c
-              predL(d) = (predL(d) + pL1(r * 16 + c) + 1) >> 1
+              predL(d) = biL(predL(d), pL1(r * 16 + c))
               c += 1
             }
             r += 1
@@ -2081,7 +2246,7 @@ object H264Codec {
             var c = 0
             while (c < w / 2) {
               val d = (coy + r) * 8 + cox + c
-              predCb(d) = (predCb(d) + pC1(r * 8 + c) + 1) >> 1
+              predCb(d) = biC(predCb(d), pC1(r * 8 + c), 0)
               c += 1
             }
             r += 1
@@ -2093,7 +2258,7 @@ object H264Codec {
             var c = 0
             while (c < w / 2) {
               val d = (coy + r) * 8 + cox + c
-              predCr(d) = (predCr(d) + pC1(r * 8 + c) + 1) >> 1
+              predCr(d) = biC(predCr(d), pC1(r * 8 + c), 1)
               c += 1
             }
             r += 1
@@ -2541,7 +2706,8 @@ object H264Codec {
     */
   private def analysePMb(st: PicState, ref: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      range: Int, halfPel: Boolean, quarterPel: Boolean): (Int, Int, PMbCoeffs, Long) = {
+      range: Int, halfPel: Boolean, quarterPel: Boolean,
+      wp: WpCtx = null, wpRef: Int = 0): (Int, Int, PMbCoeffs, Long) = {
     val x0 = mbX * 16; val y0 = mbY * 16
     // SAD with a row-wise early exit against `bound`: once the running
     // sum can no longer beat the incumbent the exact value is irrelevant
@@ -2655,6 +2821,15 @@ object H264Codec {
     val predCr = new Array[Int](64)
     mcChroma(ref.reconCb, st.cw, st.ch, mbX, mbY, mvx, mvy, predCb)
     mcChroma(ref.reconCr, st.cw, st.ch, mbX, mbY, mvx, mvy, predCr)
+    // under explicit WP the residual codes against the WEIGHTED
+    // prediction — the same transform reconstruction will apply (the
+    // integer-pel MV search above stays unweighted: a global fade is a
+    // monotone sample map, so the SAD argmin is essentially unchanged)
+    if (wp != null) {
+      wp.applyLuma(0, wpRef, predL, 0, 0, 16, 16)
+      wp.applyChroma(0, wpRef, 0, predCb, 0, 0, 8, 8)
+      wp.applyChroma(0, wpRef, 1, predCr, 0, 0, 8, 8)
+    }
     val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
       predL, predCb, predCr)
     (mvx, mvy, mc, best)
@@ -2791,13 +2966,13 @@ object H264Codec {
   private def choosePMb(st: PicState, refs: IndexedSeq[PicState],
       mbX: Int, mbY: Int, qp: Int, srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], range: Int, halfPel: Boolean,
-      quarterPel: Boolean): (Int, Int, Int, PMbCoeffs, Long) = {
+      quarterPel: Boolean, wp: WpCtx = null): (Int, Int, Int, PMbCoeffs, Long) = {
     var bestRef = 0
     var bestRes: (Int, Int, PMbCoeffs, Long) = null
     var r = 0
     while (r < refs.length) {
       val cand = analysePMb(st, refs(r), mbX, mbY, qp, srcY, srcCb, srcCr,
-        range, halfPel, quarterPel)
+        range, halfPel, quarterPel, wp, wpRef = r)
       if (bestRes == null || cand._4 + 16L * r < bestRes._4 + 16L * bestRef) {
         bestRes = cand; bestRef = r
       }
@@ -3070,12 +3245,12 @@ object H264Codec {
     * was partitioned) takes the partitioned path */
   private def reconstructBMb(st: PicState, l0: IndexedSeq[PicState],
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
-      ch: BMbChoice): Unit =
+      ch: BMbChoice, wp: WpCtx = null): Unit =
     if (ch.quad == null)
       reconstructInterMb(st, mbX, mbY, qp,
         if (ch.ref0 >= 0) l0(ch.ref0) else null, ch.ref0, ch.mv0x, ch.mv0y,
         if (ch.ref1 >= 0) l1(ch.ref1) else null, ch.ref1, ch.mv1x, ch.mv1y,
-        ch.mc)
+        ch.mc, wp)
     else {
       val parts = (0 until 4).map { q =>
         val p = InterPart((q & 1) * 2, (q >> 1) * 2, 2, 2,
@@ -3086,7 +3261,7 @@ object H264Codec {
           if (p.ref0 >= 0) l0(p.ref0).poc else 0)
         p
       }
-      reconstructInterParts(st, l0, l1, mbX, mbY, qp, parts, ch.mc)
+      reconstructInterParts(st, l0, l1, mbX, mbY, qp, parts, ch.mc, wp)
     }
 
   /** the B-slice macroblock loop (CAVLC): B_Skip runs via mb_skip_run,
@@ -3172,7 +3347,8 @@ object H264Codec {
   private def writePPartsMb(bw: H264Writer.BitWriter, st: PicState,
       refs: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
       cand: PPartsCand, numRefActive: Int,
-      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): Unit = {
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      wp: WpCtx = null): Unit = {
     partMbCount.incrementAndGet()
     bw.ue(cand.mbType)
     if (cand.mbType == 3) { var i = 0; while (i < 4) { bw.ue(0); i += 1 } }
@@ -3191,13 +3367,14 @@ object H264Codec {
     }
     val predL = new Array[Int](256)
     val predCb = new Array[Int](64); val predCr = new Array[Int](64)
-    assembleInterPred(st, refs, refs, mbX, mbY, cand.parts, predL, predCb, predCr)
+    assembleInterPred(st, refs, refs, mbX, mbY, cand.parts, predL, predCb,
+      predCr, wp)
     val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
       predL, predCb, predCr)
     val cbp = if (mc == null) 0 else mc.cbp
     bw.ue(cbpInterToCode(cbp))
     if (cbp != 0) bw.se(0) // mb_qp_delta
-    reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc)
+    reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc, wp)
     if (cbp != 0) writePResidual(bw, st, mbX, mbY, mc)
     else clearNz(st, mbX, mbY)
   }
@@ -3895,7 +4072,7 @@ object H264Codec {
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
       startMb: Int, endMb: Int, numRefActive: Int = 1,
-      parts: Boolean = false): Unit = {
+      parts: Boolean = false, wp: WpCtx = null): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -3908,7 +4085,7 @@ object H264Codec {
       st.sliceOfMb(mb) = st.curSlice
       val (refIdx, mvx, mvy, mc, sad16) =
         choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
-          srcCr, searchRange, halfPel, quarterPel)
+          srcCr, searchRange, halfPel, quarterPel, wp)
       val cand =
         if (!parts) null
         else analysePParts(st, refs(0), mbX, mbY, srcY, searchRange,
@@ -3919,11 +4096,11 @@ object H264Codec {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null)
+        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null, wp = wp)
       } else if (usePart) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
         writePPartsMbCabac(e, cx, cms, st, refs, mbX, mbY, qp, cand,
-          numRefActive, srcY, srcCb, srcCr)
+          numRefActive, srcY, srcCb, srcCr, wp)
       } else {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
         // mb_type P_L0_16x16: '000'
@@ -3969,7 +4146,7 @@ object H264Codec {
           cabacResidualP(st, cms, mbX, mbY, mc,
             (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
         } else clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
       }
       mb += 1
       e.encodeTerminate(if (mb == endMb) 1 else 0)
@@ -3986,7 +4163,8 @@ object H264Codec {
   private def writePPartsMbCabac(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
       cms: CabacMbState, st: PicState, refs: IndexedSeq[PicState],
       mbX: Int, mbY: Int, qp: Int, cand: PPartsCand, numRefActive: Int,
-      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): Unit = {
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      wp: WpCtx = null): Unit = {
     val mi = mbY * st.mbW + mbX
     partMbCount.incrementAndGet()
     e.encodeBin(cx, CabacCtx.PMbType, 0)
@@ -4020,7 +4198,8 @@ object H264Codec {
     }
     val predL = new Array[Int](256)
     val predCb = new Array[Int](64); val predCr = new Array[Int](64)
-    assembleInterPred(st, refs, refs, mbX, mbY, cand.parts, predL, predCb, predCr)
+    assembleInterPred(st, refs, refs, mbX, mbY, cand.parts, predL, predCb,
+      predCr, wp)
     val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
       predL, predCb, predCr)
     val cbp = if (mc == null) 0 else mc.cbp
@@ -4045,7 +4224,7 @@ object H264Codec {
       cabacResidualP(st, cms, mbX, mbY, mc,
         (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
     } else clearNz(st, mbX, mbY)
-    reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc)
+    reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc, wp)
   }
 
   /** B mb_type bins, Table 9-37 subset (16x16 partitions): 0 '0',
@@ -4164,7 +4343,8 @@ object H264Codec {
       refs: IndexedSeq[PicState],
       isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0,
       t8pps: Boolean = false, numRefActive: Int = 1,
-      isB: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty): Unit = {
+      isB: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
+      wp: WpCtx = null): Unit = {
     r.align() // cabac_alignment_one_bit
     val d = new H264Cabac.Decoder(r)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -4190,7 +4370,7 @@ object H264Codec {
           cms.skip(mi) = true
           val dm = directSpatial(st, l1(0), mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructBMb(st, refs, l1, mbX, mbY, qp, directBChoice(dm, null))
+          reconstructBMb(st, refs, l1, mbX, mbY, qp, directBChoice(dm, null), wp)
         } else {
           val mbType = cabacReadBMbType(d, cx, cms.incBMbType(mbX, mbY))
           cms.directB(mi) = mbType == 0
@@ -4252,13 +4432,13 @@ object H264Codec {
           if (mc == null) clearNz(st, mbX, mbY)
           reconstructBMb(st, refs, l1, mbX, mbY, qp,
             if (dmDirect != null) directBChoice(dmDirect, mc)
-            else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
+            else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc), wp)
         }
       } else if (isP && d.decodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY)) == 1) {
         cms.skip(mi) = true
         val (sx, sy) = skipMv(st, mbX, mbY)
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null)
+        reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null, wp = wp)
       } else if (isP) {
         require(d.decodeBin(cx, CabacCtx.PMbType) == 0,
           "intra-in-P mb_type unsupported (P_L0 subset)")
@@ -4325,7 +4505,7 @@ object H264Codec {
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
-          reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+          reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
         } else {
           // partitioned P MB: sub_mb_types (P_8x8), ref_idx per slot,
           // then mvd + MV derivation per partition in decode order
@@ -4388,7 +4568,7 @@ object H264Codec {
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
-          reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc)
+          reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc, wp)
         }
       } else if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
         // I_NxN: transform_size_8x8_flag (present only under a t8 PPS)
@@ -4703,7 +4883,8 @@ object H264Codec {
       numRefL0: Int = 1,
       bSlice: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
       frameNum: Int = -1, pocLsb: Int = -1,
-      parts: Boolean = false): (Seq[Array[Byte]], PicState) = {
+      parts: Boolean = false, wpEnabled: Boolean = false)
+      : (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -4716,6 +4897,37 @@ object H264Codec {
     // (the first P frame after an IDR has one): override the PPS default
     // down when short
     val numRefActive = if (pSlice) math.min(numRefL0, refs.size) else 0
+    // explicit WP (§8.4.2.3.2): one global (w, o) least-bias luma fit
+    // per reference from the plane means — w = mean(src)/mean(ref) at
+    // denom 32 catches fades/dissolves; chroma stays identity (flag 0).
+    // logWD 5 keeps w inside the 8-bit spec range for any gain <= 4x.
+    val wpCtx: WpCtx =
+      if (!wpEnabled || !pSlice) null
+      else {
+        def mean(a: Array[Byte]): Double = {
+          var t = 0L; var i = 0
+          while (i < a.length) { t += a(i) & 0xff; i += 1 }
+          t.toDouble / a.length
+        }
+        val ms = mean(srcY)
+        val log2 = 5
+        val lw = Array.ofDim[Int](2, math.max(numRefActive, 1))
+        val lo = Array.ofDim[Int](2, math.max(numRefActive, 1))
+        var i = 0
+        while (i < numRefActive) {
+          val mr = mean(refs(i).reconY)
+          val w = math.max(-128, math.min(127,
+            math.round(ms * (1 << log2) / math.max(mr, 1.0)).toInt))
+          val o = math.max(-128, math.min(127,
+            math.round(ms - w * mr / (1 << log2)).toInt))
+          lw(0)(i) = w; lo(0)(i) = o
+          i += 1
+        }
+        lw(1)(0) = 1 << log2
+        val cw = Array.fill(2, math.max(numRefActive, 1), 2)(1 << log2)
+        val co = Array.fill(2, math.max(numRefActive, 1), 2)(0)
+        new WpCtx(log2, log2, lw, lo, cw, co)
+      }
     val nSlices = math.max(1, math.min(slices, mbH))
     val nals = Seq.newBuilder[Array[Byte]]
     var s = 0
@@ -4738,6 +4950,17 @@ object H264Codec {
           bw.ue(numRefActive - 1)
         } else bw.u1(0)
         bw.u1(0)               // ref_pic_list_modification_flag_l0
+        if (wpCtx != null) {   // pred_weight_table (§7.3.3.2)
+          bw.ue(wpCtx.lumaLog2)
+          bw.ue(wpCtx.chromaLog2)
+          var i = 0
+          while (i < numRefActive) {
+            bw.u1(1)           // luma_weight_l0_flag
+            bw.se(wpCtx.lw(0)(i)); bw.se(wpCtx.lo(0)(i))
+            bw.u1(0)           // chroma_weight_l0_flag: identity
+            i += 1
+          }
+        }
       } else if (bSlice) {
         bw.u1(0)               // no override: PPS defaults 1/1
         bw.u1(0)               // ref_pic_list_modification_flag_l0
@@ -4762,7 +4985,7 @@ object H264Codec {
             searchRange, halfPel, quarterPel, startMb, endMb)
         else if (pSlice)
           encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
-            halfPel, quarterPel, startMb, endMb, numRefActive, parts)
+            halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx)
         else
           encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb,
             t8 = transform8x8)
@@ -4771,7 +4994,7 @@ object H264Codec {
           halfPel, quarterPel, startMb, endMb)
       else if (pSlice)
         encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb, numRefActive, parts)
+          halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx)
       else
         encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb,
           transform8x8)
@@ -4796,7 +5019,7 @@ object H264Codec {
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
       startMb: Int, endMb: Int, numRefActive: Int = 1,
-      parts: Boolean = false): Unit = {
+      parts: Boolean = false, wp: WpCtx = null): Unit = {
     val mbW = st.mbW
     var skipRun = 0
     var mb = startMb
@@ -4805,7 +5028,7 @@ object H264Codec {
       st.sliceOfMb(mb) = st.curSlice
       val (refIdx, mvx, mvy, mc, sad16) =
         choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
-          srcCr, searchRange, halfPel, quarterPel)
+          srcCr, searchRange, halfPel, quarterPel, wp)
       val cand =
         if (!parts) null
         else analysePParts(st, refs(0), mbX, mbY, srcY, searchRange,
@@ -4815,15 +5038,15 @@ object H264Codec {
       if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         skipRun += 1
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null)
+        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null, wp = wp)
       } else if (usePart) {
         bw.ue(skipRun); skipRun = 0
         writePPartsMb(bw, st, refs, mbX, mbY, qp, cand, numRefActive,
-          srcY, srcCb, srcCr)
+          srcY, srcCb, srcCr, wp)
       } else {
         bw.ue(skipRun); skipRun = 0
         writePMb(bw, st, mbX, mbY, mvx, mvy, mc, numRefActive, refIdx)
-        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
       }
       mb += 1
     }
@@ -5013,7 +5236,7 @@ object H264Codec {
       deblock: Boolean = true, slicesPerFrame: Int = 1,
       cabac: Boolean = false, transform8x8: Boolean = false,
       multiRef: Boolean = false, bframes: Boolean = false,
-      parts: Boolean = false): Array[Byte] = {
+      parts: Boolean = false, weightedPred: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -5032,6 +5255,10 @@ object H264Codec {
       "parts needs P slices (pcm/allIntra tiers have none)")
     require(!(parts && multiRef),
       "parts x multiRef untested combination (one tier per stream)")
+    require(!(weightedPred && (pcm || allIntra)),
+      "weightedPred needs P slices (pcm/allIntra tiers have none)")
+    require(!(weightedPred && (multiRef || bframes)),
+      "weightedPred x multiRef/bframes untested combination (one tier per stream)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
       quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts)
@@ -5041,7 +5268,8 @@ object H264Codec {
     val out = new java.io.ByteArrayOutputStream()
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h,
       high = transform8x8, maxRefFrames = numRefL0)))
-    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0)))
+    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0,
+      weightedPred)))
     // the cabac-init-fp token is MACHINE-CHECKABLE: decode() extracts it
     // and refuses a stream whose init-table fingerprint differs from the
     // decoding JVM's (ADVICE r12 — a table/JVM mismatch used to surface
@@ -5055,7 +5283,7 @@ object H264Codec {
         if (pcm || allIntra) IndexedSeq.empty else refs.toIndexedSeq,
         searchRange, halfPel, quarterPel,
         deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0,
-        parts = parts)
+        parts = parts, wpEnabled = weightedPred)
       nals.foreach(out.write)
       refs.prepend(state)
       while (refs.size > numRefL0) refs.remove(refs.size - 1)
@@ -5066,7 +5294,8 @@ object H264Codec {
   // ------------------------------------------------------------- decode
 
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
-      cabac: Boolean, transform8x8: Boolean = false, numRefL0: Int = 1)
+      cabac: Boolean, transform8x8: Boolean = false, numRefL0: Int = 1,
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
 
   /** §8.2.1.1 picture-order-count state (poc type 0): MSB wraparound
     * tracking against the previous REFERENCE picture. `compute` is
@@ -5103,7 +5332,10 @@ object H264Codec {
     require(r.ue == 0, "FMO not supported")
     val numRefL0 = r.ue + 1 // num_ref_idx_l0_active default
     r.ue // num_ref_idx_l1 default (B slices refused downstream)
-    r.u1; r.u(2)
+    val weightedPred = r.u1 == 1
+    val weightedBipredIdc = r.u(2)
+    require(weightedBipredIdc != 2,
+      "weighted_bipred_idc 2 (implicit B weighting) unsupported; explicit (1) and default (0) only")
     val picInitQp = 26 + r.se
     r.se // pic_init_qs
     r.se // chroma_qp_index_offset (0 in our streams; nonzero unsupported)
@@ -5120,7 +5352,7 @@ object H264Codec {
         require(r.se == 0, "second_chroma_qp_index_offset != 0 unsupported")
         t
       }
-    CodecPps(picInitQp, deblk, cabac, t8, numRefL0)
+    CodecPps(picInitQp, deblk, cabac, t8, numRefL0, weightedPred, weightedBipredIdc)
   }
 
   /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
@@ -5235,6 +5467,15 @@ object H264Codec {
       require(bL0.nonEmpty && bL1.nonEmpty,
         "B slice without both a past and a future reference picture")
     }
+    // §7.3.3: pred_weight_table rides P slices under weighted_pred_flag
+    // and B slices under weighted_bipred_idc == 1 (explicit); implicit
+    // B weighting (idc 2) is refused at PPS parse
+    val wp: WpCtx =
+      if (isP && pps.weightedPred)
+        parsePredWeightTable(r, numRefActive, 0)
+      else if (isB && pps.weightedBipredIdc == 1)
+        parsePredWeightTable(r, numRefActive, numRefActiveL1)
+      else null
     if (refIdc != 0) {
       if (idr) { r.u1; r.u1 }
       else require(r.u1 == 0, "adaptive ref pic marking not supported")
@@ -5276,7 +5517,7 @@ object H264Codec {
         "P slice with no reference picture (stream must open with an IDR)")
       decodeSliceDataCabac(r, st, if (isB) bL0 else refs, isP, qp, firstMb,
         cabacInitIdc, t8pps = pps.transform8x8, numRefActive = numRefActive,
-        isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty)
+        isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty, wp = wp)
       return deblockReq
     }
     if (isB) {
@@ -5290,7 +5531,7 @@ object H264Codec {
           st.sliceOfMb(mb) = st.curSlice
           val dm = directSpatial(st, l1(0), mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructBMb(st, l0, l1, mbX, mbY, qp, directBChoice(dm, null))
+          reconstructBMb(st, l0, l1, mbX, mbY, qp, directBChoice(dm, null), wp)
           mb += 1
           skipRun -= 1
         }
@@ -5336,7 +5577,7 @@ object H264Codec {
           if (mc == null) clearNz(st, mbX, mbY)
           reconstructBMb(st, l0, l1, mbX, mbY, qp,
             if (dmDirect != null) directBChoice(dmDirect, mc)
-            else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc))
+            else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc), wp)
           mb += 1
         }
       }
@@ -5354,7 +5595,7 @@ object H264Codec {
           st.sliceOfMb(mb) = st.curSlice
           val (sx, sy) = skipMv(st, mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null)
+          reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null, wp = wp)
           mb += 1
           skipRun -= 1
         }
@@ -5391,7 +5632,7 @@ object H264Codec {
               m
             }
             if (mc == null) clearNz(st, mbX, mbY)
-            reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx)
+            reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
           } else {
             // Sub-16x16 partitions (§7.3.5.1/.2 syntax order: sub_mb_type
             // x4, then ref_idx per MB partition, then mvd per partition
@@ -5433,7 +5674,7 @@ object H264Codec {
               m
             }
             if (mc == null) clearNz(st, mbX, mbY)
-            reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc)
+            reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc, wp)
           }
           mb += 1
         }

@@ -27,7 +27,7 @@ import graft.model.{FrameElem, FrameType}
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     cabac: Boolean = false, transform8x8: Boolean = false,
     multiRef: Boolean = false, bframes: Boolean = false,
-    parts: Boolean = false) extends GopCodec {
+    parts: Boolean = false, weightedPred: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -50,7 +50,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     val yuvs = frames.map(toYuv)
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
-      parts = parts)
+      parts = parts, weightedPred = weightedPred)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -178,4 +178,13 @@ object H264GopCodec {
     * CABAC variant via `new H264GopCodec(qp, cabac = true,
     * parts = true)`. */
   val Parts: H264GopCodec = new H264GopCodec(qp = 12, parts = true)
+  /** explicit weighted prediction (round 14, §8.4.2.3.2): the PPS sets
+    * weighted_pred_flag and each P slice carries a pred_weight_table
+    * with a global least-bias luma (w, o) fit per reference — fades and
+    * dissolves (ubiquitous in real corpora) collapse to P_Skip runs
+    * instead of coding full-frame residuals. The decoder additionally
+    * accepts per-reference chroma weights and explicit B bi-weighting
+    * (weighted_bipred_idc 1) from external streams. CABAC variant via
+    * `new H264GopCodec(qp, cabac = true, weightedPred = true)`. */
+  val Wp: H264GopCodec = new H264GopCodec(qp = 12, weightedPred = true)
 }
