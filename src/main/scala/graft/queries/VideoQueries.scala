@@ -534,6 +534,13 @@ object VideoQueries {
           "cabacwpvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             weightedPred = true), // CABAC + WP
           "cavlcwpvid", graft.sources.H264GopCodec.Wp)) // CAVLC + WP
+        // round 14: temporal direct — POC-scaled colocated motion in B
+        // direct/skip MBs must reconstruct identically under both
+        // entropy layers through the store
+        .unionAll(diffRelation("tdirect",
+          "cabactdvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            bframes = true, tdirect = true), // CABAC + temporal direct
+          "cavlctdvid", graft.sources.H264GopCodec.BFramesTd)) // CAVLC + td
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -891,18 +898,19 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at ALL SIX tiers: every frame fully
+    // the cross-entropy invariant at ALL SEVEN tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
     // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
     // coding order + POC output reordering — a reorder bug would shear
     // the two stores' frame indexing apart, not just their pixels —
     // 'parts' = sub-16x16 partitions + partition-granular contexts,
-    // 'wp' = explicit weighted prediction)
+    // 'wp' = explicit weighted prediction, 'tdirect' = POC-scaled
+    // temporal direct B motion)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts', 'wp']) AS tier) t,
+        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts', 'tdirect', 'wp']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

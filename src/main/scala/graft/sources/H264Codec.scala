@@ -1718,6 +1718,62 @@ object H264Codec {
     DirectMv(ref0, ref1, quad)
   }
 
+  /** Temporal direct motion (§8.4.1.2.3, direct_spatial_mv_pred_flag
+    * = 0): per 8x8 quadrant (direct_8x8_inference), the colocated block
+    * of RefPicList1[0] contributes its L0 motion, scaled by the POC
+    * distance ratio — tx = (16384 + |td|/2) / td, DistScaleFactor =
+    * clip3(-1024, 1023, (tb·tx + 32) >> 6), mvL0 = (dsf·mvCol + 128) >>
+    * 8, mvL1 = mvL0 - mvCol. refIdxL0 maps the colocated block's
+    * reference back into the current L0 list by POC (refPoc4 recorded
+    * it at the colocated picture's decode); an intra colocated block
+    * contributes zero motion. td == 0 keeps mvCol unscaled with a zero
+    * list-1 vector (all pictures here are short-term). */
+  private def directTemporal(st: PicState, l0: IndexedSeq[PicState],
+      col: PicState, mbX: Int, mbY: Int): DirectMv = {
+    val quad = new Array[Int](16)
+    var ref0 = 0
+    var q = 0
+    while (q < 4) {
+      val cx4 = mbX * 4 + (q & 1) * 3
+      val cy4 = mbY * 4 + (q >> 1) * 3
+      val ci = cy4 * col.bw4 + cx4
+      if (col.ref4(ci) < 0 && col.ref4L1(ci) >= 0)
+        sys.error("temporal direct over an L1-predicted colocated block " +
+          "unsupported (colocated pictures here are P/I)")
+      if (col.ref4(ci) >= 0) {
+        val mvColX = col.mv4X(ci); val mvColY = col.mv4Y(ci)
+        val colRefPoc = col.refPoc4(ci)
+        val r0 = l0.indexWhere(_.poc == colRefPoc)
+        require(r0 >= 0, s"temporal direct: colocated reference (poc " +
+          s"$colRefPoc) not in the current L0 list")
+        ref0 = r0
+        val tb = clip3i(-128, 127, st.poc - colRefPoc)
+        val td = clip3i(-128, 127, col.poc - colRefPoc)
+        if (td == 0) {
+          quad(q * 4) = mvColX; quad(q * 4 + 1) = mvColY
+          quad(q * 4 + 2) = 0; quad(q * 4 + 3) = 0
+        } else {
+          val tx = (16384 + math.abs(td) / 2) / td
+          val dsf = clip3i(-1024, 1023, (tb * tx + 32) >> 6)
+          val m0x = (dsf * mvColX + 128) >> 8
+          val m0y = (dsf * mvColY + 128) >> 8
+          quad(q * 4) = m0x; quad(q * 4 + 1) = m0y
+          quad(q * 4 + 2) = m0x - mvColX; quad(q * 4 + 3) = m0y - mvColY
+        }
+      } // intra colocated block: all-zero motion on both lists
+      q += 1
+    }
+    DirectMv(ref0, 0, quad)
+  }
+
+  /** direct-mode dispatch: the slice header's
+    * direct_spatial_mv_pred_flag selects the derivation */
+  private def deriveDirect(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int,
+      spatial: Boolean): DirectMv =
+    if (spatial) directSpatial(st, l1(0), mbX, mbY)
+    else directTemporal(st, l0, l1(0), mbX, mbY)
+
   /** P_Skip motion vector (§8.4.1.1): the refIdx-0 median predictor,
     * forced to zero when a boundary/zero-neighbour condition holds
     * (P_Skip always references picture 0 of list 0)
@@ -3183,9 +3239,11 @@ object H264Codec {
   private def chooseBMb(st: PicState, l0: IndexedSeq[PicState],
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      range: Int, halfPel: Boolean, quarterPel: Boolean): BMbChoice = {
-    // spatial-direct candidate (its mc builds from the derived motion)
-    val dm = directSpatial(st, l1(0), mbX, mbY)
+      range: Int, halfPel: Boolean, quarterPel: Boolean,
+      spatialDirect: Boolean = true): BMbChoice = {
+    // direct candidate (its mc builds from the derived motion; the
+    // slice header's direct flag picks the derivation)
+    val dm = deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
     val (dr0, dr1) = (dm.ref0, dm.ref1)
     val (d0x, d0y, d1x, d1y) = (dm.quad(0), dm.quad(1), dm.quad(2), dm.quad(3))
     val (dL, dCb, dCr) = {
@@ -3273,7 +3331,7 @@ object H264Codec {
       l1: IndexedSeq[PicState], bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int): Unit = {
+      startMb: Int, endMb: Int, spatialDirect: Boolean = true): Unit = {
     val mbW = st.mbW
     var skipRun = 0
     var mb = startMb
@@ -3281,7 +3339,7 @@ object H264Codec {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
-        searchRange, halfPel, quarterPel)
+        searchRange, halfPel, quarterPel, spatialDirect)
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         skipRun += 1
         clearNz(st, mbX, mbY)
@@ -4266,7 +4324,7 @@ object H264Codec {
       l1: IndexedSeq[PicState], bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int): Unit = {
+      startMb: Int, endMb: Int, spatialDirect: Boolean = true): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -4278,7 +4336,7 @@ object H264Codec {
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
-        searchRange, halfPel, quarterPel)
+        searchRange, halfPel, quarterPel, spatialDirect)
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
@@ -4344,7 +4402,7 @@ object H264Codec {
       isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0,
       t8pps: Boolean = false, numRefActive: Int = 1,
       isB: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
-      wp: WpCtx = null): Unit = {
+      wp: WpCtx = null, spatialDirect: Boolean = true): Unit = {
     r.align() // cabac_alignment_one_bit
     val d = new H264Cabac.Decoder(r)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -4368,7 +4426,7 @@ object H264Codec {
       if (isB) {
         if (d.decodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY)) == 1) {
           cms.skip(mi) = true
-          val dm = directSpatial(st, l1(0), mbX, mbY)
+          val dm = deriveDirect(st, refs, l1, mbX, mbY, spatialDirect)
           clearNz(st, mbX, mbY)
           reconstructBMb(st, refs, l1, mbX, mbY, qp, directBChoice(dm, null), wp)
         } else {
@@ -4378,7 +4436,7 @@ object H264Codec {
           var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
           var dmDirect: DirectMv = null
           if (mbType == 0) {
-            val dm = directSpatial(st, l1(0), mbX, mbY)
+            val dm = deriveDirect(st, refs, l1, mbX, mbY, spatialDirect)
             dmDirect = dm
             ref0 = dm.ref0; ref1 = dm.ref1
             mv0x = dm.quad(0); mv0y = dm.quad(1); mv1x = dm.quad(2); mv1y = dm.quad(3)
@@ -4883,8 +4941,8 @@ object H264Codec {
       numRefL0: Int = 1,
       bSlice: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
       frameNum: Int = -1, pocLsb: Int = -1,
-      parts: Boolean = false, wpEnabled: Boolean = false)
-      : (Seq[Array[Byte]], PicState) = {
+      parts: Boolean = false, wpEnabled: Boolean = false,
+      spatialDirect: Boolean = true): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
@@ -4943,7 +5001,7 @@ object H264Codec {
       bw.u(12, (if (frameNum >= 0) frameNum else frameIdx) % (1 << 12))
       if (idr) bw.ue(0)        // idr_pic_id
       if (pocLsb >= 0) bw.u(8, pocLsb % 256) // pic_order_cnt_lsb (poc type 0)
-      if (bSlice) bw.u1(1)     // direct_spatial_mv_pred_flag: spatial
+      if (bSlice) bw.u1(if (spatialDirect) 1 else 0) // direct_spatial_mv_pred_flag
       if (pSlice) {
         if (numRefActive != numRefL0) {
           bw.u1(1)             // num_ref_idx_active_override_flag
@@ -4982,7 +5040,7 @@ object H264Codec {
       if (cabac) {
         if (bSlice)
           encodeBRangeCabac(st, refs, l1, bw, qp, srcY, srcCb, srcCr,
-            searchRange, halfPel, quarterPel, startMb, endMb)
+            searchRange, halfPel, quarterPel, startMb, endMb, spatialDirect)
         else if (pSlice)
           encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
             halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx)
@@ -4991,7 +5049,7 @@ object H264Codec {
             t8 = transform8x8)
       } else if (bSlice)
         encodeBRange(st, refs, l1, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb)
+          halfPel, quarterPel, startMb, endMb, spatialDirect)
       else if (pSlice)
         encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx)
@@ -5179,7 +5237,7 @@ object H264Codec {
   private def encodeBGop(frames: Seq[Yuv], qp: Int, searchRange: Int,
       halfPel: Boolean, quarterPel: Boolean, deblock: Boolean,
       slicesPerFrame: Int, cabac: Boolean, transform8x8: Boolean,
-      parts: Boolean = false): Array[Byte] = {
+      parts: Boolean = false, spatialDirect: Boolean = true): Array[Byte] = {
     val head = frames.head
     val out = new java.io.ByteArrayOutputStream()
     // DPB must hold BOTH anchors around a B (sliding-window, 2 deep)
@@ -5216,7 +5274,7 @@ object H264Codec {
             IndexedSeq(past), searchRange, halfPel, quarterPel, deblock,
             slicesPerFrame, cabac, transform8x8, numRefL0 = 1,
             bSlice = true, l1 = IndexedSeq(fut),
-            frameNum = refCount, pocLsb = poc)
+            frameNum = refCount, pocLsb = poc, spatialDirect = spatialDirect)
       }
       st.poc = poc
       if (kind != 'B') { // B frames are non-reference: the DPB skips them
@@ -5236,7 +5294,8 @@ object H264Codec {
       deblock: Boolean = true, slicesPerFrame: Int = 1,
       cabac: Boolean = false, transform8x8: Boolean = false,
       multiRef: Boolean = false, bframes: Boolean = false,
-      parts: Boolean = false, weightedPred: Boolean = false): Array[Byte] = {
+      parts: Boolean = false, weightedPred: Boolean = false,
+      tdirect: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -5259,9 +5318,11 @@ object H264Codec {
       "weightedPred needs P slices (pcm/allIntra tiers have none)")
     require(!(weightedPred && (multiRef || bframes)),
       "weightedPred x multiRef/bframes untested combination (one tier per stream)")
+    require(!tdirect || bframes, "tdirect modifies the bframes tier")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
-      quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts)
+      quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts,
+      spatialDirect = !tdirect)
     // a 2-deep DPB with num_ref_idx_l0_active 2: per-MB ref_idx selects
     // the previous or the previous-but-one reconstructed picture
     val numRefL0 = if (multiRef) 2 else 1
@@ -5432,11 +5493,11 @@ object H264Codec {
         st.poc = 2 * frameNum - (if (refIdc != 0) 0 else 1)
       case other => sys.error(s"poc type $other unsupported")
     }
+    var spatialDirect = true
     if (isB) {
       require(sps.pocType == 0,
         "B slice with poc type 2 unsupported (display order needs explicit POC)")
-      require(r.u1 == 1,
-        "direct_spatial_mv_pred_flag=0 (temporal direct) unsupported")
+      spatialDirect = r.u1 == 1 // 0 = temporal direct (§8.4.1.2.3)
     }
     // default B reference list order (§8.2.4.2.3): L0 = closer-past
     // first then future, L1 = closer-future first then past; the P list
@@ -5517,7 +5578,8 @@ object H264Codec {
         "P slice with no reference picture (stream must open with an IDR)")
       decodeSliceDataCabac(r, st, if (isB) bL0 else refs, isP, qp, firstMb,
         cabacInitIdc, t8pps = pps.transform8x8, numRefActive = numRefActive,
-        isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty, wp = wp)
+        isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty, wp = wp,
+        spatialDirect = spatialDirect)
       return deblockReq
     }
     if (isB) {
@@ -5529,7 +5591,7 @@ object H264Codec {
         while (skipRun > 0) { // B_Skip: spatial-direct motion, no residual
           val mbX = mb % mbW; val mbY = mb / mbW
           st.sliceOfMb(mb) = st.curSlice
-          val dm = directSpatial(st, l1(0), mbX, mbY)
+          val dm = deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
           clearNz(st, mbX, mbY)
           reconstructBMb(st, l0, l1, mbX, mbY, qp, directBChoice(dm, null), wp)
           mb += 1
@@ -5545,7 +5607,7 @@ object H264Codec {
           var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
           var dmDirect: DirectMv = null
           if (mbType == 0) {
-            val dm = directSpatial(st, l1(0), mbX, mbY)
+            val dm = deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
             dmDirect = dm
             ref0 = dm.ref0; ref1 = dm.ref1
             mv0x = dm.quad(0); mv0y = dm.quad(1); mv1x = dm.quad(2); mv1y = dm.quad(3)

@@ -27,7 +27,8 @@ import graft.model.{FrameElem, FrameType}
 final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     cabac: Boolean = false, transform8x8: Boolean = false,
     multiRef: Boolean = false, bframes: Boolean = false,
-    parts: Boolean = false, weightedPred: Boolean = false) extends GopCodec {
+    parts: Boolean = false, weightedPred: Boolean = false,
+    tdirect: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -50,7 +51,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     val yuvs = frames.map(toYuv)
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
-      parts = parts, weightedPred = weightedPred)
+      parts = parts, weightedPred = weightedPred, tdirect = tdirect)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -187,4 +188,13 @@ object H264GopCodec {
     * (weighted_bipred_idc 1) from external streams. CABAC variant via
     * `new H264GopCodec(qp, cabac = true, weightedPred = true)`. */
   val Wp: H264GopCodec = new H264GopCodec(qp = 12, weightedPred = true)
+  /** temporal-direct B GOPs (round 14, §8.4.1.2.3): the bframes tier
+    * with direct_spatial_mv_pred_flag = 0 — B direct/skip motion comes
+    * from the colocated block of the future anchor, scaled by POC
+    * distance (DistScaleFactor arithmetic), using the per-block
+    * reference-POC state recorded at the anchor's decode. CABAC variant
+    * via `new H264GopCodec(qp, cabac = true, bframes = true,
+    * tdirect = true)`. */
+  val BFramesTd: H264GopCodec = new H264GopCodec(qp = 12, bframes = true,
+    tdirect = true)
 }
