@@ -23,7 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// the SIMD decode kernels (graft.simd.VectorKernels) use the JDK 17
+// incubator Vector API; the Scala seam (graft.sources.Simd) probes at
+// runtime and falls back to scalar when the module is absent
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in ONE JVM: an 8g heap meant the

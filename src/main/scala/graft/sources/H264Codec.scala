@@ -291,11 +291,10 @@ object H264Codec {
       java.util.Arrays.fill(pcmMb, false)
       java.util.Arrays.fill(trans8, false)
       java.util.Arrays.fill(inter, false)
-      java.util.Arrays.fill(mv4X, 0)
-      java.util.Arrays.fill(mv4Y, 0)
-      java.util.Arrays.fill(mv4XL1, 0)
-      java.util.Arrays.fill(mv4YL1, 0)
-      java.util.Arrays.fill(refPoc4, 0)
+      // mv4*/refPoc4 deliberately NOT cleared: every read is gated on
+      // the cell's ref4 (>= 0 or == a specific value), and setMotion4
+      // writes mv+ref+poc together — clearing 5 more 57k-cell arrays
+      // per pooled-picture acquire measured ~1.5% of 720p decode
       java.util.Arrays.fill(mbQp, 0)
       curSlice = 0
       poc = 0
@@ -1270,6 +1269,8 @@ object H264Codec {
     val predC1 = new Array[Int](64) // list-1 chroma (bi averaging temp)
     val predC2 = new Array[Int](64) // inter chroma prediction (Cr)
     val w16 = new Array[Int](16) // dequantised 4x4 residual
+    val res256 = new Array[Int](256) // SIMD residual-commit spread (luma)
+    val res64 = new Array[Int](64)   // SIMD residual-commit spread (chroma)
     val ch0 = new Array[Int](8) // chroma separable row caches
     val ch1 = new Array[Int](8)
     val sig64 = new Array[Boolean](64) // CABAC significance map scratch
@@ -1292,9 +1293,191 @@ object H264Codec {
     * average the half position with the centre j, and the diagonal
     * e/g/p/r average the adjacent b-row and h-column half samples.
     */
+  /** 16x16 whole-MB luma MC, kept as a SEPARATE constant-bound copy of
+    * [[mcLumaBlk]]: the JIT unrolls the fixed 16-wide loops here where
+    * the generic version's variable bounds cost ~15-20% of total decode
+    * (measured via DecodeProfile when the round-14 refactor briefly
+    * routed this through the generic path) — and whole-MB prediction is
+    * the dominant case in every tier. */
   private def mcLuma(ref: PicState, mbX: Int, mbY: Int, mvx: Int, mvy: Int,
-      out: Array[Int]): Unit =
-    mcLumaBlk(ref, mbX * 16, mbY * 16, 16, 16, mvx, mvy, out, 0, 0)
+      out: Array[Int]): Unit = {
+    val fx = mvx & 3; val fy = mvy & 3
+    if (fx % 2 == 1 || fy % 2 == 1) {
+      val (mvAx, mvAy, mvBx, mvBy) =
+        if (fy % 2 == 0)      (mvx - 1, mvy, mvx + 1, mvy)
+        else if (fx % 2 == 0) (mvx, mvy - 1, mvx, mvy + 1)
+        else if ((fx + fy) % 4 == 2) (mvx + 1, mvy - 1, mvx - 1, mvy + 1)
+        else                  (mvx - 1, mvy - 1, mvx + 1, mvy + 1)
+      val sc = mcScratch.get()
+      val a = sc.qa
+      val b = sc.qb
+      mcLuma(ref, mbX, mbY, mvAx, mvAy, a)
+      mcLuma(ref, mbX, mbY, mvBx, mvBy, b)
+      if (Simd.enabled) {
+        var o = 0
+        while (o < 256) { graft.simd.VectorKernels.avg3Row16(a, o, b, o, out, o); o += 16 }
+      } else {
+        var i = 0
+        while (i < 256) { out(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+      }
+      return
+    }
+    val x0 = mbX * 16 + (mvx >> 2); val y0 = mbY * 16 + (mvy >> 2)
+    val pw = ref.pw; val ph = ref.ph; val plane = ref.reconY
+    @inline def s(x: Int, y: Int) = refSample(plane, pw, ph, x, y)
+    @inline def clip255(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    val interior = x0 >= 2 && y0 >= 2 && x0 + 18 < pw && y0 + 18 < ph
+    if (fx == 0 && fy == 0) {
+      if (interior && Simd.enabled) {
+        var r = 0
+        while (r < 16) {
+          graft.simd.VectorKernels.widenRow16(plane, (y0 + r) * pw + x0, out, r * 16)
+          r += 1
+        }
+      } else if (interior) {
+        var r = 0
+        while (r < 16) {
+          val base = (y0 + r) * pw + x0
+          val o = r * 16
+          var c = 0
+          while (c < 16) { out(o + c) = plane(base + c) & 0xff; c += 1 }
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) { out(r * 16 + c) = s(x0 + c, y0 + r); c += 1 }
+          r += 1
+        }
+      }
+    } else if (fx == 2 && fy == 0) { // horizontal half-pel b
+      if (interior && Simd.enabled) {
+        var r = 0
+        while (r < 16) {
+          graft.simd.VectorKernels.hfirRow16(plane, (y0 + r) * pw + x0, out, r * 16)
+          r += 1
+        }
+      } else if (interior) {
+        var r = 0
+        while (r < 16) {
+          val base = (y0 + r) * pw + x0
+          val o = r * 16
+          var c = 0
+          while (c < 16) {
+            val p = base + c
+            val b1 = ((plane(p - 2) & 0xff) + (plane(p + 3) & 0xff)) +
+              20 * ((plane(p) & 0xff) + (plane(p + 1) & 0xff)) -
+              5 * ((plane(p - 1) & 0xff) + (plane(p + 2) & 0xff))
+            out(o + c) = clip255((b1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            val x = x0 + c; val y = y0 + r
+            val b1 = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+              20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+            out(r * 16 + c) = clip255((b1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
+        }
+      }
+    } else if (fx == 0 && fy == 2) { // vertical half-pel h
+      if (interior && Simd.enabled) {
+        var r = 0
+        while (r < 16) {
+          graft.simd.VectorKernels.vfirRow16(plane, (y0 + r) * pw + x0, pw, out, r * 16)
+          r += 1
+        }
+      } else if (interior) {
+        var r = 0
+        while (r < 16) {
+          val base = (y0 + r) * pw + x0
+          val o = r * 16
+          var c = 0
+          while (c < 16) {
+            val p = base + c
+            val h1 = ((plane(p - 2 * pw) & 0xff) + (plane(p + 3 * pw) & 0xff)) +
+              20 * ((plane(p) & 0xff) + (plane(p + pw) & 0xff)) -
+              5 * ((plane(p - pw) & 0xff) + (plane(p + 2 * pw) & 0xff))
+            out(o + c) = clip255((h1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            val x = x0 + c; val y = y0 + r
+            val h1 = s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
+              20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3)
+            out(r * 16 + c) = clip255((h1 + 16) >> 5)
+            c += 1
+          }
+          r += 1
+        }
+      }
+    } else { // center half-pel j: separable (see mcLumaBlk)
+      val hb = mcScratch.get().hrow
+      val simd = Simd.enabled
+      var rr = 0
+      while (rr < 21) {
+        val y = y0 - 2 + rr
+        val o = rr * 16
+        if (interior && simd) {
+          graft.simd.VectorKernels.hrawRow16(plane, y * pw + x0, hb, o)
+        } else if (interior) {
+          val base = y * pw + x0
+          var c = 0
+          while (c < 16) {
+            val p = base + c
+            hb(o + c) = ((plane(p - 2) & 0xff) + (plane(p + 3) & 0xff)) +
+              20 * ((plane(p) & 0xff) + (plane(p + 1) & 0xff)) -
+              5 * ((plane(p - 1) & 0xff) + (plane(p + 2) & 0xff))
+            c += 1
+          }
+        } else {
+          var c = 0
+          while (c < 16) {
+            val x = x0 + c
+            hb(o + c) = s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+              20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+            c += 1
+          }
+        }
+        rr += 1
+      }
+      if (simd) {
+        var r = 0
+        while (r < 16) {
+          graft.simd.VectorKernels.jfirRow16(hb, r * 16, out, r * 16)
+          r += 1
+        }
+      } else {
+      var r = 0
+      while (r < 16) {
+        val o = r * 16
+        var c = 0
+        while (c < 16) {
+          val i = o + c
+          val j1 = (hb(i) + hb(i + 80)) + 20 * (hb(i + 32) + hb(i + 48)) -
+            5 * (hb(i + 16) + hb(i + 64))
+          out(i) = clip255((j1 + 512) >> 10)
+          c += 1
+        }
+        r += 1
+      }
+      }
+    }
+  }
 
   /** Block-size-generic luma MC (sub-16x16 partitions since round 14):
     * predicts the w x h block whose top-left source position is
@@ -1477,9 +1660,108 @@ object H264Codec {
     * integer-pel luma motion lands on {0, 1/2} chroma positions, handled
     * by the spec's bilinear interpolation (§8.4.2.2.2)
     */
+  /** 8x8 whole-MB chroma MC — constant-bound copy of [[mcChromaBlk]]
+    * for the same JIT reason as [[mcLuma]] */
   private def mcChroma(plane: Array[Byte], cw: Int, ch: Int, mbX: Int, mbY: Int,
-      mvx: Int, mvy: Int, out: Array[Int]): Unit =
-    mcChromaBlk(plane, cw, ch, mbX * 8, mbY * 8, 8, 8, mvx, mvy, out, 0, 0)
+      mvx: Int, mvy: Int, out: Array[Int]): Unit = {
+    val fx = mvx & 7 // eighth-pel fraction (two's-complement & handles <0)
+    val fy = mvy & 7
+    val bx = mbX * 8 + (mvx >> 3)
+    val by = mbY * 8 + (mvy >> 3)
+    val interior = bx >= 0 && by >= 0 && bx + 9 <= cw && by + 9 <= ch
+    if (fx == 0 && fy == 0) {
+      if (interior && Simd.enabled) {
+        var r = 0
+        while (r < 8) {
+          graft.simd.VectorKernels.widenRow8(plane, (by + r) * cw + bx, out, r * 8)
+          r += 1
+        }
+        return
+      }
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          out(r * 8 + c) =
+            if (interior) plane((by + r) * cw + bx + c) & 0xff
+            else refSample(plane, cw, ch, bx + c, by + r)
+          c += 1
+        }
+        r += 1
+      }
+      return
+    }
+    if (interior && Simd.enabled) {
+      // vectorised separable bilinear: same row caching as the scalar
+      // path, one 8-lane op per pass (fx/fy 0 degenerate exactly)
+      val sc = mcScratch.get()
+      var h0 = sc.ch0; var h1 = sc.ch1
+      graft.simd.VectorKernels.chromaHRow8(plane, by * cw + bx, fx, h0, 0)
+      var r = 0
+      while (r < 8) {
+        graft.simd.VectorKernels.chromaHRow8(plane, (by + r + 1) * cw + bx, fx, h1, 0)
+        graft.simd.VectorKernels.chromaVRow8(h0, 0, h1, 0, fy, out, r * 8)
+        val t = h0; h0 = h1; h1 = t
+        r += 1
+      }
+    } else if (interior) {
+      val sc = mcScratch.get()
+      var h0 = sc.ch0; var h1 = sc.ch1
+      var p = by * cw + bx
+      var c = 0
+      if (fx == 0) {
+        while (c < 8) { h0(c) = (plane(p + c) & 0xff) << 3; c += 1 }
+      } else {
+        while (c < 8) {
+          val a = plane(p + c) & 0xff
+          h0(c) = (a << 3) + fx * ((plane(p + c + 1) & 0xff) - a)
+          c += 1
+        }
+      }
+      var r = 0
+      while (r < 8) {
+        p = (by + r + 1) * cw + bx
+        c = 0
+        if (fx == 0) {
+          while (c < 8) { h1(c) = (plane(p + c) & 0xff) << 3; c += 1 }
+        } else {
+          while (c < 8) {
+            val a = plane(p + c) & 0xff
+            h1(c) = (a << 3) + fx * ((plane(p + c + 1) & 0xff) - a)
+            c += 1
+          }
+        }
+        val o = r * 8
+        c = 0
+        if (fy == 0) {
+          while (c < 8) { out(o + c) = ((h0(c) << 3) + 32) >> 6; c += 1 }
+        } else {
+          while (c < 8) {
+            out(o + c) = ((h0(c) << 3) + fy * (h1(c) - h0(c)) + 32) >> 6
+            c += 1
+          }
+        }
+        val t = h0; h0 = h1; h1 = t
+        r += 1
+      }
+    } else {
+      val w00 = (8 - fx) * (8 - fy); val w10 = fx * (8 - fy)
+      val w01 = (8 - fx) * fy; val w11 = fx * fy
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val a = refSample(plane, cw, ch, bx + c, by + r)
+          val b = refSample(plane, cw, ch, bx + c + 1, by + r)
+          val d = refSample(plane, cw, ch, bx + c, by + r + 1)
+          val e = refSample(plane, cw, ch, bx + c + 1, by + r + 1)
+          out(r * 8 + c) = (w00 * a + w10 * b + w01 * d + w11 * e + 32) >> 6
+          c += 1
+        }
+        r += 1
+      }
+    }
+  }
 
   /** Block-size-generic chroma MC: predicts the cwB x chB chroma block at
     * source position (cpx, cpy) + mv into `out` (an 8x8 MB-local buffer,
@@ -2017,7 +2299,10 @@ object H264Codec {
         mcLuma(ref1, mbX, mbY, mv1x, mv1y, p1)
         if (wp != null)
           wp.applyBi(refIdx0, refIdx1, luma = true, predL, p1, 0, 0, 16, 16, 16)
-        else {
+        else if (Simd.enabled) {
+          var o = 0
+          while (o < 256) { graft.simd.VectorKernels.avgRow16(predL, o, p1, o); o += 16 }
+        } else {
           var i = 0
           while (i < 256) { predL(i) = (predL(i) + p1(i) + 1) >> 1; i += 1 }
         }
@@ -2070,6 +2355,163 @@ object H264Codec {
     val sc = mcScratch.get()
     val qpc = chromaQp(qp)
     val x0 = mbX * 16; val y0 = mbY * 16
+    if (Simd.enabled) {
+      // row-wise vector commit: spread the dequantised residual (if
+      // any) into an MB-local buffer, then one clip(pred+res)+narrow
+      // vector op per 16-sample luma / 8-sample chroma row — the
+      // per-4x4 scalar add/clip/store loops measured ~25% of 720p
+      // decode. Bit-identical: uncoded regions add zero and pred is
+      // already in [0,255].
+      val w = sc.w16
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      if (mc == null) {
+        var r = 0
+        while (r < 16) {
+          graft.simd.VectorKernels.narrowRow16(predL, r * 16,
+            st.reconY, (y0 + r) * st.pw + x0)
+          r += 1
+        }
+        r = 0
+        while (r < 8) {
+          graft.simd.VectorKernels.narrowRow8(predCb, r * 8,
+            st.reconCb, (cy0 + r) * st.cw + cx0)
+          graft.simd.VectorKernels.narrowRow8(predCr, r * 8,
+            st.reconCr, (cy0 + r) * st.cw + cx0)
+          r += 1
+        }
+        return
+      }
+      if (mc.cbpLuma == 15) {
+        // all four 8x8 groups coded: every block spreads, so no buffer
+        // clear; one vector clip(pred+res)+narrow per row. A PARTIAL
+        // cbp takes the scalar per-block path below instead — on
+        // sparse-residual content the full-row pass (256-int clear +
+        // 16 full-width rows) measured SLOWER than touching only the
+        // coded blocks (SimdAb: 0.94x at VGA).
+        val res = sc.res256
+        var blk = 0
+        while (blk < 16) {
+          java.util.Arrays.fill(w, 0)
+          val zigs = mc.lumaZig(blk)
+          var zi = 0
+          while (zi < 16) {
+            val z = zigs(zi)
+            if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qp, pos) }
+            zi += 1
+          }
+          inverse4x4(w)
+          val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
+          var r = 0
+          while (r < 4) {
+            val d = (by0 + r) * 16 + bx0; val ws = r * 4
+            res(d) = w(ws); res(d + 1) = w(ws + 1)
+            res(d + 2) = w(ws + 2); res(d + 3) = w(ws + 3)
+            r += 1
+          }
+          blk += 1
+        }
+        var r = 0
+        while (r < 16) {
+          graft.simd.VectorKernels.addClipNarrowRow16(predL, r * 16, res, r * 16,
+            st.reconY, (y0 + r) * st.pw + x0)
+          r += 1
+        }
+      } else {
+        // partial cbp: scalar per-block (coded blocks transform + add,
+        // uncoded blocks store the prediction)
+        var blk = 0
+        while (blk < 16) {
+          val coded = ((mc.cbpLuma >> (blk / 4)) & 1) != 0
+          val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
+          if (coded) {
+            java.util.Arrays.fill(w, 0)
+            val zigs = mc.lumaZig(blk)
+            var zi = 0
+            while (zi < 16) {
+              val z = zigs(zi)
+              if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qp, pos) }
+              zi += 1
+            }
+            inverse4x4(w)
+            var r = 0
+            while (r < 4) {
+              val rb = (y0 + by0 + r) * st.pw + x0 + bx0
+              val pb = (by0 + r) * 16 + bx0
+              val wb = r * 4
+              var c = 0
+              while (c < 4) {
+                st.reconY(rb + c) = clip(predL(pb + c) + w(wb + c))
+                c += 1
+              }
+              r += 1
+            }
+          } else {
+            var r = 0
+            while (r < 4) {
+              val rb = (y0 + by0 + r) * st.pw + x0 + bx0
+              val pb = (by0 + r) * 16 + bx0
+              var c = 0
+              while (c < 4) { st.reconY(rb + c) = predL(pb + c).toByte; c += 1 }
+              r += 1
+            }
+          }
+          blk += 1
+        }
+      }
+      def chromaSimd(plane: Array[Byte], predC: Array[Int],
+          dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
+        val cbpChroma = mc.cbpChroma
+        if (cbpChroma == 0) {
+          var r = 0
+          while (r < 8) {
+            graft.simd.VectorKernels.narrowRow8(predC, r * 8,
+              plane, (cy0 + r) * st.cw + cx0)
+            r += 1
+          }
+          return
+        }
+        val resC = sc.res64
+        val dc = new Array[Int](4)
+        var k = 0
+        while (k < 4) { dc(k) = dcZig(k); k += 1 }
+        hadamard2x2(dc)
+        k = 0
+        while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+        var cb = 0
+        while (cb < 4) {
+          val bx = cb % 2; val by = cb / 2
+          java.util.Arrays.fill(w, 0)
+          w(0) = dc(by * 2 + bx)
+          if (cbpChroma == 2) {
+            val zigs = acZig(cb)
+            var zi = 1
+            while (zi < 16) {
+              val z = zigs(zi - 1)
+              if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qpc, pos) }
+              zi += 1
+            }
+          }
+          inverse4x4(w)
+          var r = 0
+          while (r < 4) {
+            val d = (by * 4 + r) * 8 + bx * 4; val ws = r * 4
+            resC(d) = w(ws); resC(d + 1) = w(ws + 1)
+            resC(d + 2) = w(ws + 2); resC(d + 3) = w(ws + 3)
+            r += 1
+          }
+          cb += 1
+        }
+        var r = 0
+        while (r < 8) {
+          graft.simd.VectorKernels.addClipNarrowRow8(predC, r * 8, resC, r * 8,
+            plane, (cy0 + r) * st.cw + cx0)
+          r += 1
+        }
+      }
+      chromaSimd(st.reconCb, predCb, mc.cbDcZig, mc.cbAcZig)
+      chromaSimd(st.reconCr, predCr, mc.crDcZig, mc.crAcZig)
+      return
+    }
     val w = sc.w16
     var blk = 0
     while (blk < 16) {
