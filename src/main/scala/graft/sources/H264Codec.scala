@@ -91,6 +91,9 @@ object H264Codec {
   /** partitioned P MBs emitted by the most recent encodes (specs assert
     * the 16x8/8x16/8x8 competition actually engages on divergent motion) */
   private[graft] val partMbCount = new java.util.concurrent.atomic.AtomicLong
+  /** direct/skip B MBs emitted by the most recent encodes (specs assert
+    * the direct candidate actually wins where its derivation is exact) */
+  private[graft] val directBCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -3782,6 +3785,7 @@ object H264Codec {
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
         searchRange, halfPel, quarterPel, spatialDirect)
+      if (ch.mbType == 0) directBCount.incrementAndGet()
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         skipRun += 1
         clearNz(st, mbX, mbY)
@@ -4779,6 +4783,7 @@ object H264Codec {
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
         searchRange, halfPel, quarterPel, spatialDirect)
+      if (ch.mbType == 0) directBCount.incrementAndGet()
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
@@ -5387,6 +5392,11 @@ object H264Codec {
       spatialDirect: Boolean = true): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
+    // the picture's POC must be live DURING encoding, not set by the
+    // caller afterwards: temporal direct's tb = poc_cur - poc_ref runs
+    // inside the B-MB competition, and an encoder deriving with a stale
+    // poc 0 would pick motion the decoder never reconstructs
+    if (pocLsb >= 0) st.poc = pocLsb
     val srcY = pad(yuv.y, yuv.w, yuv.h, st.pw, st.ph)
     val srcCb = pad(yuv.cb, yuv.w / 2, yuv.h / 2, st.cw, st.ch)
     val srcCr = pad(yuv.cr, yuv.w / 2, yuv.h / 2, st.cw, st.ch)

@@ -55,6 +55,28 @@ class H264TemporalDirectSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal direct collapses a perfectly linear pan to near-skip B pictures") {
+    // anchors pan 4 px/2 frames; the POC-scaled colocated MV is exactly
+    // the B's true 2 px displacement, so B MBs should ride direct/skip
+    // with (near) no residual. This pins the poc-live-during-encode
+    // invariant: an encoder deriving tb from a stale poc 0 prices the
+    // direct candidate with wrong motion, codes full residual instead,
+    // and blows the marginal-cost bound (measured ~8x it).
+    val frames = (0 until 3).map(t => movingYuv(64, 48, t)) // I, B, P coding order: I P B
+    H264Codec.directBCount.set(0)
+    val withB = H264Codec.encode(frames, qp = 12, bframes = true, tdirect = true)
+    assert(H264Codec.directBCount.get() > 0,
+      "no B MB chose the temporal-direct candidate on a perfectly linear pan " +
+        "(measured 0/12 when the encoder derived tb from a stale poc 0; " +
+        "3/12 with poc live — edge MBs see revealed content and " +
+        "legitimately code their own motion)")
+    val anchorsOnly = H264Codec.encode(Seq(frames(0), frames(2)), qp = 12,
+      bframes = true, tdirect = true) // same I + P anchors, no B between
+    val bCost = withB.length - anchorsOnly.length
+    assert(bCost < 600,
+      s"B picture marginal cost $bCost B — temporal direct must track the linear pan")
+  }
+
   test("the spatial and temporal flags produce genuinely different streams") {
     val frames = (0 until 7).map(t => movingYuv(64, 48, t))
     val sp = H264Codec.encode(frames, qp = 12, bframes = true)
