@@ -1405,11 +1405,15 @@ object Bench {
       timed.foreach { case (t, tel, _, _, _) => System.err.println(f"[bench]   rep $t%.3f s $tel") }
       killedBuf.foreach { case (t, tel, _, _, _) =>
         System.err.println(f"[bench]   rep $t%.3f s (KILLED partial) $tel") }
-      // calm-rep ledger gate: load1 under 10, steal under 3% of the
-      // rep's cpu time (floor 0.5 s for sub-second reps where a single
-      // tick is noise) — only such reps may update the best-known min
+      // calm-rep ledger gate: host STEAL under 3% of the rep's cpu time
+      // (floor 0.5 s for sub-second reps where a single tick is noise)
+      // and load1 under 48 as an absurdity guard — steal measures
+      // EXTERNAL contention, which is what the ledger must exclude;
+      // load1 alone cannot (the bench's own 32 Spark threads push it to
+      // ~10-30 by design, and a load1 < 10 gate starved the ledger of
+      // exactly the heavy rows it exists for)
       if (ledgerTier.nonEmpty) timed.foreach { case (t, _, stealS, cpuS, load1) =>
-        if (load1 >= 0 && load1 < 10.0 && stealS >= 0 &&
+        if (load1 >= 0 && load1 < 48.0 && stealS >= 0 &&
             stealS < math.max(0.5, 0.03 * math.max(cpuS, t)))
           Ledger.offer(ledgerTier, name, t, load1, stealS)
       }
