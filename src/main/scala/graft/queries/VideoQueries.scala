@@ -485,8 +485,17 @@ object VideoQueries {
       import s.implicits._
       def ensure(name: String, codec: graft.sources.H264GopCodec): Unit =
         if (!graft.sources.NamedStorage.committed(s, root, name)) {
+          // the 'scenecut' tier stores get a hard content cut MID-GOP at
+          // frame 24 (an unrelated generator stream) so the P pictures
+          // there must code intra-in-P macroblocks through the store
+          val cutAt = if (name.contains("scvid")) 24 else Int.MaxValue
           val fr = (0L until 2L).flatMap(sid =>
-            (0 until 48).map(i => StdKernels.syntheticFrame(sid, i.toLong, 16, 24, 3)))
+            (0 until 48).map(i =>
+              if (i < cutAt) StdKernels.syntheticFrame(sid, i.toLong, 16, 24, 3)
+              else {
+                val alt = StdKernels.syntheticFrame(sid + 9, i * 31L + 5, 16, 24, 3)
+                alt.copy(streamId = sid, index = i.toLong)
+              }))
           VideoStore.ingest(fr.toDS(), root, name, gopSize = 16,
             CacheMode.Ignore, codec = codec)
         }
@@ -541,6 +550,12 @@ object VideoQueries {
           "cabactdvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             bframes = true, tdirect = true), // CABAC + temporal direct
           "cavlctdvid", graft.sources.H264GopCodec.BFramesTd)) // CAVLC + td
+        // round 14: intra-in-P — a mid-GOP scene cut forces intra MBs
+        // inside P slices; both entropy layers must agree through the
+        // store (P mb_type >= 5 / the Table 9-37 prefix bin)
+        .unionAll(diffRelation("scenecut",
+          "cabacscvid", graft.sources.H264GopCodec.Cabac,
+          "cavlcscvid", graft.sources.H264GopCodec.Default))
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -898,7 +913,7 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at ALL SEVEN tiers: every frame fully
+    // the cross-entropy invariant at ALL EIGHT tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
     // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
@@ -906,11 +921,12 @@ object VideoQueries {
     // the two stores' frame indexing apart, not just their pixels —
     // 'parts' = sub-16x16 partitions + partition-granular contexts,
     // 'wp' = explicit weighted prediction, 'tdirect' = POC-scaled
-    // temporal direct B motion)
+    // temporal direct B motion, 'scenecut' = intra-in-P on a mid-GOP
+    // content cut)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts', 'tdirect', 'wp']) AS tier) t,
+        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts', 'scenecut', 'tdirect', 'wp']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

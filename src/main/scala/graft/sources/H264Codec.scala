@@ -94,6 +94,9 @@ object H264Codec {
   /** direct/skip B MBs emitted by the most recent encodes (specs assert
     * the direct candidate actually wins where its derivation is exact) */
   private[graft] val directBCount = new java.util.concurrent.atomic.AtomicLong
+  /** intra MBs emitted inside P slices by the most recent encodes
+    * (specs assert the intra competition engages on scene cuts) */
+  private[graft] val intraInPCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -1909,7 +1912,13 @@ object H264Codec {
     // exactly-one-same-reference rule (refIdxN == refIdx; intra = -1)
     val sameRef = Seq(a, b, c).flatten.filter(_._3 == refIdx)
     val pred =
-      if (b.isEmpty && c.isEmpty && a.isDefined) (a.get._1, a.get._2)
+      // B/C-absent A-shortcut: an INTRA A contributes zero motion
+      // (§8.4.1.3.2 zeroes intra neighbours BEFORE the substitution —
+      // reading A's array cells raw was only accidentally right while
+      // intra rows were pre-zeroed; a pooled decoder picture keeps
+      // stale values there by design since the round-14 reset trim)
+      if (b.isEmpty && c.isEmpty && a.isDefined)
+        (if (a.get._3 >= 0) (a.get._1, a.get._2) else (0, 0))
       else if (sameRef.size == 1) (sameRef.head._1, sameRef.head._2)
       else {
         def mv(n: Option[(Int, Int, Int)]) = n.filter(_._3 >= 0).map(v => (v._1, v._2)).getOrElse((0, 0))
@@ -3157,8 +3166,9 @@ object H264Codec {
     * updating the nC bookkeeping (shared block order with the parser)
     */
   private def writeMbI16(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
-      mc: MbCoeffs): Unit = {
-    val mbType = 1 + mc.predMode + 4 * mc.cbpChroma + 12 * (if (mc.cbpLuma == 15) 1 else 0)
+      mc: MbCoeffs, typeOffset: Int = 0): Unit = {
+    val mbType = typeOffset +
+      1 + mc.predMode + 4 * mc.cbpChroma + 12 * (if (mc.cbpLuma == 15) 1 else 0)
     bw.ue(mbType)
     bw.ue(0) // intra_chroma_pred_mode: DC
     bw.se(0) // mb_qp_delta
@@ -4595,8 +4605,18 @@ object H264Codec {
         else analysePParts(st, refs(0), mbX, mbY, srcY, searchRange,
           halfPel, quarterPel)
       val usePart = cand != null && cand.cost < sad16
+      val interBest = if (usePart) cand.cost else sad16
+      val useIntra = interBest > 1500 && {
+        val (_, _, i16Sad) = selectI16(st, mbX, mbY, srcY)
+        i16Sad + 96 < interBest
+      }
       val (sx, sy) = skipMv(st, mbX, mbY)
-      if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
+      if (useIntra) {
+        e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
+        e.encodeBin(cx, CabacCtx.PMbType, 1) // Table 9-37 prefix: intra
+        intraInPCount.incrementAndGet()
+        encodeI16Cabac(st, cms, e, cx, mbX, mbY, qp, srcY, srcCb, srcCr)
+      } else if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
@@ -4945,8 +4965,13 @@ object H264Codec {
         clearNz(st, mbX, mbY)
         reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null, wp = wp)
       } else if (isP) {
-        require(d.decodeBin(cx, CabacCtx.PMbType) == 0,
-          "intra-in-P mb_type unsupported (P_L0 subset)")
+        if (d.decodeBin(cx, CabacCtx.PMbType) == 1) {
+          // intra-in-P: the Table 9-37 prefix bin selects the I-slice
+          // mb_type suffix (scene cuts / uncovered regions); falls
+          // through to the loop's shared mb/end_of_slice tail
+          decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qp, t8pps,
+            pmPool, m16Pool, zig8Pool)
+        } else {
         val b1 = d.decodeBin(cx, CabacCtx.PMbType + 1)
         val b2 = d.decodeBin(cx, CabacCtx.PMbType + 2)
         // Table 9-34 P prefix: '000' 16x16, '011' 16x8, '010' 8x16,
@@ -5075,7 +5100,26 @@ object H264Codec {
           if (mc == null) clearNz(st, mbX, mbY)
           reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc, wp)
         }
-      } else if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
+        }
+      } else decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qp, t8pps,
+        pmPool, m16Pool, zig8Pool)
+      mb += 1
+      end = d.decodeTerminate() == 1
+    }
+  }
+
+  /** decode one intra macroblock, CABAC — the I-slice mb_type
+    * binarization from its first (I_NxN vs I_16x16) bin onward; shared
+    * by I slices and intra-in-P (the P prefix bin 1 selects it,
+    * §9.3.3.1.2 / Table 9-37 suffix — contexts repo-local within the
+    * documented CABAC envelope, symmetric encoder/decoder) */
+  private def decodeIntraMbCabac(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState, st: PicState, mbX: Int, mbY: Int, qp: Int,
+      t8pps: Boolean, pmPool: PMbCoeffs, m16Pool: MbCoeffs,
+      zig8Pool: Array[Array[Int]]): Unit = {
+    val mi = mbY * st.mbW + mbX
+    locally {
+      if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
         // I_NxN: transform_size_8x8_flag (present only under a t8 PPS)
         // picks Intra_8x8 vs Intra_4x4
         if (t8pps && d.decodeBin(cx, CabacCtx.Trans8 + cms.incTrans8(mbX, mbY)) == 1) {
@@ -5201,8 +5245,6 @@ object H264Codec {
         cms.cbp(mi) = mc.cbpLuma | (mc.cbpChroma << 4)
         reconstructMb(st, mbX, mbY, qp, mc)
       }
-      mb += 1
-      end = d.decodeTerminate() == 1
     }
   }
 
@@ -5544,8 +5586,22 @@ object H264Codec {
         else analysePParts(st, refs(0), mbX, mbY, srcY, searchRange,
           halfPel, quarterPel)
       val usePart = cand != null && cand.cost < sad16
+      // intra-in-P competition (scene cuts / uncovered regions): only
+      // evaluated when motion compensation failed badly — the SAD gate
+      // keeps the extra intra analysis off the smooth-motion hot path
+      val interBest = if (usePart) cand.cost else sad16
+      val useIntra = interBest > 1500 && {
+        val (_, _, i16Sad) = selectI16(st, mbX, mbY, srcY)
+        i16Sad + 96 < interBest
+      }
       val (sx, sy) = skipMv(st, mbX, mbY)
-      if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
+      if (useIntra) {
+        bw.ue(skipRun); skipRun = 0
+        intraInPCount.incrementAndGet()
+        val imc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
+        writeMbI16(bw, st, mbX, mbY, imc, typeOffset = 5)
+        reconstructMb(st, mbX, mbY, qp, imc)
+      } else if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         skipRun += 1
         clearNz(st, mbX, mbY)
         reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null, wp = wp)
@@ -6053,8 +6109,16 @@ object H264Codec {
           val mbX = mb % mbW; val mbY = mb / mbW
           st.sliceOfMb(mb) = st.curSlice
           val mbType = r.ue
-          require(mbType <= 3,
-            s"B mb_type $mbType unsupported (16x16 subset: Direct/L0/L1/Bi)")
+          require(mbType <= 3 || mbType >= 23,
+            s"B mb_type $mbType unsupported (Direct/L0/L1/Bi 16x16 + intra; B partitions refused)")
+          if (mbType >= 23) {
+            // intra-in-B (§7.4.5: B mb_type 23..48 maps to the I-slice
+            // space shifted by 23)
+            require(mbType <= 48, s"B mb_type $mbType out of the Table 7-14 range")
+            qp = decodeIntraMbCavlc(r, st, pps, mbX, mbY, qp, mbType - 23,
+              pmPool, m16Pool, zig8Pool)
+            mb += 1
+          } else {
           var ref0 = -1; var ref1 = -1
           var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
           var dmDirect: DirectMv = null
@@ -6093,6 +6157,7 @@ object H264Codec {
             if (dmDirect != null) directBChoice(dmDirect, mc)
             else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc), wp)
           mb += 1
+          }
         }
       }
       return deblockReq
@@ -6117,8 +6182,15 @@ object H264Codec {
           val mbX = mb % mbW; val mbY = mb / mbW
           st.sliceOfMb(mb) = st.curSlice
           val mbType = r.ue
-          require(mbType <= 4,
-            s"P mb_type $mbType unsupported (P_L0 16x16/16x8/8x16/8x8(ref0); intra-in-P not emitted)")
+          require(mbType <= 30,
+            s"P mb_type $mbType out of the Table 7-13 range")
+          if (mbType >= 5) {
+            // intra-in-P (§7.4.5: P mb_type 5..30 maps to the I-slice
+            // space shifted by 5) — scene cuts / uncovered regions
+            qp = decodeIntraMbCavlc(r, st, pps, mbX, mbY, qp, mbType - 5,
+              pmPool, m16Pool, zig8Pool)
+            mb += 1
+          } else {
           // ref_idx_l0, te(v): one inverted bit when the range is [0,1],
           // plain ue above (§9.1.1)
           def readRefTe(): Int = {
@@ -6191,6 +6263,7 @@ object H264Codec {
             reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc, wp)
           }
           mb += 1
+          }
         }
       }
       return deblockReq
@@ -6200,6 +6273,22 @@ object H264Codec {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
       val mbType = r.ue
+      qp = decodeIntraMbCavlc(r, st, pps, mbX, mbY, qp, mbType,
+        pmPool, m16Pool, zig8Pool)
+      mb += 1
+    }
+    deblockReq
+  }
+
+  /** decode one intra macroblock body, CAVLC — `mbType` already mapped
+    * into the I-slice space (I slices pass it through; intra-in-P
+    * subtracts 5, intra-in-B 23). Returns the updated slice qp. */
+  private def decodeIntraMbCavlc(r: H264.BitReader, st: PicState,
+      pps: CodecPps, mbX: Int, mbY: Int, qpIn: Int, mbType: Int,
+      pmPool: PMbCoeffs, m16Pool: MbCoeffs,
+      zig8Pool: Array[Array[Int]]): Int = {
+    var qp = qpIn
+    locally {
       if (mbType == 25) { // I_PCM
         r.align()
         st.pcmMb(mbY * st.mbW + mbX) = true
@@ -6341,9 +6430,8 @@ object H264Codec {
         chromaAc(st.nzCr, mc.crAcZig)
         reconstructMb(st, mbX, mbY, qp, mc)
       }
-      mb += 1
     }
-    deblockReq
+    qp
   }
 
   /** decode the first `maxFrames` frames of an Annex-B stream produced by
