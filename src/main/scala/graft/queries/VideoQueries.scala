@@ -556,6 +556,22 @@ object VideoQueries {
         .unionAll(diffRelation("scenecut",
           "cabacscvid", graft.sources.H264GopCodec.Cabac,
           "cavlcscvid", graft.sources.H264GopCodec.Default))
+        // round 15: adaptive QP — per-MB mb_qp_delta from source-luma
+        // activity, threaded through dequant and deblock; the per-MB QP
+        // choice is a pure function of the source so both entropy layers
+        // must pick identical QPs and reconstruct identical pixels
+        .unionAll(diffRelation("aqp",
+          "cabacaqvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            aqp = true), // CABAC + adaptive QP
+          "cavlcaqvid", graft.sources.H264GopCodec.Aqp)) // CAVLC + adaptive QP
+        // round 15: full §8.3.4 chroma intra prediction — the four
+        // intra_chroma_pred_mode values compete per intra MB on joint
+        // Cb+Cr SAD; mode signaling differs per layer (ue(v) vs TU bins)
+        // but the chosen modes and pixels must match
+        .unionAll(diffRelation("chroma",
+          "cabaccmvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            chromaModes = true), // CABAC + chroma modes
+          "cavlccmvid", graft.sources.H264GopCodec.Chroma)) // CAVLC + chroma modes
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -913,7 +929,7 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at ALL EIGHT tiers: every frame fully
+    // the cross-entropy invariant at ALL TEN tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
     // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
@@ -922,11 +938,12 @@ object VideoQueries {
     // 'parts' = sub-16x16 partitions + partition-granular contexts,
     // 'wp' = explicit weighted prediction, 'tdirect' = POC-scaled
     // temporal direct B motion, 'scenecut' = intra-in-P on a mid-GOP
-    // content cut)
+    // content cut, 'aqp' = per-MB mb_qp_delta through dequant+deblock,
+    // 'chroma' = §8.3.4 H/V/plane chroma intra modes)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['bslice', 'default', 'high', 'multiref', 'parts', 'scenecut', 'tdirect', 'wp']) AS tier) t,
+        |FROM (SELECT UNNEST(['aqp', 'bslice', 'chroma', 'default', 'high', 'multiref', 'parts', 'scenecut', 'tdirect', 'wp']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

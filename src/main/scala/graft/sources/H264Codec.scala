@@ -97,6 +97,12 @@ object H264Codec {
   /** intra MBs emitted inside P slices by the most recent encodes
     * (specs assert the intra competition engages on scene cuts) */
   private[graft] val intraInPCount = new java.util.concurrent.atomic.AtomicLong
+  /** NONZERO mb_qp_delta elements emitted by the most recent encodes
+    * (specs assert the Aqp activity modulation actually varies QP) */
+  private[graft] val aqpDeltaCount = new java.util.concurrent.atomic.AtomicLong
+  /** non-DC intra_chroma_pred_mode elements emitted by the most recent
+    * encodes (specs assert the §8.3.4 mode competition engages) */
+  private[graft] val chromaModeCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -110,6 +116,48 @@ object H264Codec {
   private val blkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
 
   import H264Transform._
+
+  /** §7.4.5 per-MB luma QP update: QPy = ((QPy,prev + mb_qp_delta + 52)
+    * % 52) for 8-bit video, with the spec's [-26, +25] range check —
+    * shared by both entropy decoders and the Aqp encoder
+    */
+  @inline private def qpWrap(prev: Int, delta: Int): Int = {
+    require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of [-26,25]")
+    ((prev + delta) % 52 + 52) % 52
+  }
+
+  /** per-MB adaptive-QP offset from source luma activity (mean absolute
+    * deviation over the 16x16): flat macroblocks quantize finer, busy
+    * ones coarser — the textbook perceptual rate-control shape, kept to
+    * {-2, 0, +2} so the delta stays deep inside the §7.4.5 range. Purely
+    * a function of the SOURCE pixels, so CAVLC and CABAC encodes of the
+    * same frames pick identical per-MB QPs (the roundtrip tier's
+    * cross-entropy pixel-equality argument needs that determinism).
+    */
+  private def aqpOffset(srcY: Array[Byte], pw: Int, mbX: Int, mbY: Int): Int = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    var sum = 0
+    var i = 0
+    while (i < 256) {
+      sum += srcY((y0 + (i >> 4)) * pw + x0 + (i & 15)) & 0xff
+      i += 1
+    }
+    val mean = (sum + 128) >> 8
+    var act = 0
+    i = 0
+    while (i < 256) {
+      val d = (srcY((y0 + (i >> 4)) * pw + x0 + (i & 15)) & 0xff) - mean
+      act += (if (d < 0) -d else d)
+      i += 1
+    }
+    if (act < 1024) -2 else if (act > 4096) 2 else 0
+  }
+
+  /** the Aqp tiers' per-MB target QP (base + activity offset, clamped
+    * away from the lossless-ish floor and the 51 ceiling) */
+  @inline private def aqpTarget(base: Int, srcY: Array[Byte], pw: Int,
+      mbX: Int, mbY: Int): Int =
+    math.max(1, math.min(51, base + aqpOffset(srcY, pw, mbX, mbY)))
 
   // ------------------------------------------------------------ headers
 
@@ -331,6 +379,7 @@ object H264Codec {
   /** parsed/encoded residual of one Intra_16x16 macroblock */
   private final class MbCoeffs {
     var predMode = 2 // Intra_16x16 luma mode: 0 V, 1 H, 2 DC, 3 plane
+    var chromaMode = 0 // intra_chroma_pred_mode (§8.3.4): 0 DC, 1 H, 2 V, 3 plane
     val lumaDcZig = new Array[Int](16)
     val lumaAcZig: Array[Array[Int]] = Array.fill(16)(new Array[Int](15))
     val cbDcZig = new Array[Int](4)
@@ -814,6 +863,79 @@ object H264Codec {
     q
   }
 
+  /** §8.3.4 chroma intra prediction: one 8x8 prediction block for
+    * intra_chroma_pred_mode `mode` — 0 DC per 4x4 quadrant (§8.3.4.1,
+    * via [[predChromaDc]]), 1 horizontal (§8.3.4.2), 2 vertical
+    * (§8.3.4.3), 3 plane (§8.3.4.4 at ChromaArrayType 1: the 34-weight
+    * gradient fit over the 8x8 block). Directional/plane modes REQUIRE
+    * their neighbour samples — a stream signalling a mode whose
+    * neighbours are missing is refused as a parse error, never predicted
+    * from garbage (same refuse-loudly stance as the Intra_16x16 modes).
+    */
+  private def predChroma8(plane: Array[Byte], cw: Int, mbX: Int, mbY: Int,
+      mode: Int, hasL: Boolean, hasT: Boolean, hasTL: Boolean): Array[Int] = {
+    val x0 = mbX * 8; val y0 = mbY * 8
+    val out = new Array[Int](64)
+    @inline def top(x: Int) = plane((y0 - 1) * cw + x0 + x) & 0xff
+    @inline def left(y: Int) = plane((y0 + y) * cw + x0 - 1) & 0xff
+    mode match {
+      case 0 =>
+        val q = predChromaDc(plane, cw, mbX, mbY, hasL, hasT)
+        var i = 0
+        while (i < 64) {
+          out(i) = q(((i >> 3) >> 2) * 2 + ((i & 7) >> 2))
+          i += 1
+        }
+      case 1 =>
+        require(hasL, "intra_chroma_pred_mode 1 (horizontal) without a left neighbour")
+        var y = 0
+        while (y < 8) {
+          val v = left(y)
+          var x = 0
+          while (x < 8) { out(y * 8 + x) = v; x += 1 }
+          y += 1
+        }
+      case 2 =>
+        require(hasT, "intra_chroma_pred_mode 2 (vertical) without a top neighbour")
+        var x = 0
+        while (x < 8) {
+          val v = top(x)
+          var y = 0
+          while (y < 8) { out(y * 8 + x) = v; y += 1 }
+          x += 1
+        }
+      case 3 =>
+        require(hasL && hasT && hasTL,
+          "intra_chroma_pred_mode 3 (plane) without left+top+corner neighbours")
+        @inline def p(x: Int, y: Int): Int =
+          if (x == -1 && y == -1) plane((y0 - 1) * cw + x0 - 1) & 0xff
+          else if (y == -1) top(x)
+          else left(y)
+        var hS = 0; var vS = 0
+        var i = 0
+        while (i < 4) {
+          hS += (i + 1) * (p(4 + i, -1) - p(2 - i, -1))
+          vS += (i + 1) * (p(-1, 4 + i) - p(-1, 2 - i))
+          i += 1
+        }
+        val a = 16 * (p(-1, 7) + p(7, -1))
+        val b = (34 * hS + 32) >> 6
+        val c = (34 * vS + 32) >> 6
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5
+            out(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
+      case other => sys.error(s"intra_chroma_pred_mode $other out of range")
+    }
+    out
+  }
+
   // ---------------------------------------------- Intra_8x8 (High profile)
 
   /** sample availability for the I8 block loop of MB (mbX, mbY): cross-MB
@@ -1191,16 +1313,21 @@ object H264Codec {
     }
     // ---- chroma
     intraChromaRecon(st, mbX, mbY, qpc, mc.cbpChroma,
-      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig)
+      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig, mc.chromaMode)
   }
 
-  /** shared intra-MB chroma reconstruction (DC prediction per quadrant +
-    * residual add) — identical for Intra_16x16 and Intra_4x4 macroblocks
+  /** shared intra-MB chroma reconstruction (§8.3.4 prediction by
+    * `chromaMode` + residual add) — identical for Intra_16x16, Intra_4x4,
+    * and Intra_8x8 macroblocks
     */
   private def intraChromaRecon(st: PicState, mbX: Int, mbY: Int, qpc: Int,
       cbpChroma: Int, cbDcZig: Array[Int], cbAcZig: Array[Array[Int]],
-      crDcZig: Array[Int], crAcZig: Array[Array[Int]]): Unit = {
+      crDcZig: Array[Int], crAcZig: Array[Array[Int]],
+      chromaMode: Int = 0): Unit = {
     val w = new Array[Int](16)
+    val hasL = st.mbAvail(mbX - 1, mbY)
+    val hasT = st.mbAvail(mbX, mbY - 1)
+    val hasTL = st.mbAvail(mbX - 1, mbY - 1)
     def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
       val dc = new Array[Int](4)
       // cbpChroma == 0 means NO chroma residual was parsed — the dcZig
@@ -1213,8 +1340,7 @@ object H264Codec {
         k = 0
         while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
       }
-      val q = predChromaDc(plane, st.cw, mbX, mbY,
-        st.mbAvail(mbX - 1, mbY), st.mbAvail(mbX, mbY - 1))
+      val pred = predChroma8(plane, st.cw, mbX, mbY, chromaMode, hasL, hasT, hasTL)
       val cx0 = mbX * 8; val cy0 = mbY * 8
       var cb = 0
       while (cb < 4) {
@@ -1235,7 +1361,8 @@ object H264Codec {
         while (r < 4) {
           var c = 0
           while (c < 4) {
-            plane((py0 + r) * st.cw + px0 + c) = clip(q(by * 2 + bx) + w(r * 4 + c))
+            plane((py0 + r) * st.cw + px0 + c) = clip(
+              pred((by * 4 + r) * 8 + bx * 4 + c) + w(r * 4 + c))
             c += 1
           }
           r += 1
@@ -2093,6 +2220,10 @@ object H264Codec {
     var cbp = 0 // 6 bits: low 4 = luma 8x8 groups, high 2 = chroma mode
     def cbpLuma: Int = cbp & 15
     def cbpChroma: Int = cbp >> 4
+    // intra_chroma_pred_mode of an INTRA MB carrying this residual
+    // (§8.3.4; 0 DC — inter MBs never read it). POOLED scratch: the
+    // intra parse/analysis paths overwrite it per MB before any read.
+    var chromaMode = 0
   }
 
   /** Explicit weighted-prediction state for one slice (§7.3.3.2
@@ -2803,7 +2934,8 @@ object H264Codec {
   }
 
   private def analyseMbI16(st: PicState, mbX: Int, mbY: Int, qp: Int,
-      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): MbCoeffs = {
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      chromaModes: Boolean = false): MbCoeffs = {
     val qpc = chromaQp(qp)
     val mc = new MbCoeffs
     // ---- luma: pick the lowest-SAD available Intra_16x16 mode
@@ -2848,27 +2980,66 @@ object H264Codec {
     while (i < 16) { mc.lumaDcZig(i) = quantLumaDc(dcArr(zigzag4x4(i)), qp); i += 1 }
     mc.cbpLuma = if (anyLumaAc) 15 else 0
     // ---- chroma (shared with the Intra_4x4 MB analysis)
-    mc.cbpChroma = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
-      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig)
+    val packed = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
+      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig, tryModes = chromaModes)
+    mc.cbpChroma = packed & 3
+    mc.chromaMode = packed >> 2
     mc
   }
 
-  /** intra-MB chroma analysis (DC prediction per quadrant, forward
-    * transform + quantization into the caller's zig arrays); returns
-    * cbpChroma — identical for Intra_16x16 and Intra_4x4 macroblocks
+  /** intra-MB chroma analysis (§8.3.4 prediction, forward transform +
+    * quantization into the caller's zig arrays); returns cbpChroma
+    * packed with the chosen intra_chroma_pred_mode as
+    * `cbp | (mode << 2)` — identical for Intra_16x16, Intra_4x4, and
+    * Intra_8x8 macroblocks. With `tryModes` the four §8.3.4 modes
+    * compete on joint Cb+Cr SAD (non-DC modes charged a small signaling
+    * bias; deterministic tie-break toward the smaller mode index —
+    * source-only inputs, so CAVLC and CABAC encodes agree); without it
+    * the mode stays DC (pre-round-15 streams byte-identical).
     */
   private def analyseIntraChroma(st: PicState, mbX: Int, mbY: Int, qpc: Int,
       srcCb: Array[Byte], srcCr: Array[Byte],
       cbDcZig: Array[Int], cbAcZig: Array[Array[Int]],
-      crDcZig: Array[Int], crAcZig: Array[Array[Int]]): Int = {
+      crDcZig: Array[Int], crAcZig: Array[Array[Int]],
+      tryModes: Boolean = false): Int = {
+    val hasL = st.mbAvail(mbX - 1, mbY)
+    val hasT = st.mbAvail(mbX, mbY - 1)
+    val hasTL = st.mbAvail(mbX - 1, mbY - 1)
+    val cx0 = mbX * 8; val cy0 = mbY * 8
+    def sadVs(src: Array[Byte], pred: Array[Int]): Long = {
+      var sad = 0L
+      var i = 0
+      while (i < 64) {
+        sad += math.abs((src((cy0 + (i >> 3)) * st.cw + cx0 + (i & 7)) & 0xff) - pred(i))
+        i += 1
+      }
+      sad
+    }
+    val mode =
+      if (!tryModes) 0
+      else {
+        var best = 0
+        var bestCost = Long.MaxValue
+        var m = 0
+        while (m < 4) {
+          val ok = m == 0 || (m == 1 && hasL) || (m == 2 && hasT) ||
+            (m == 3 && hasL && hasT && hasTL)
+          if (ok) {
+            val cost = sadVs(srcCb, predChroma8(st.reconCb, st.cw, mbX, mbY, m, hasL, hasT, hasTL)) +
+              sadVs(srcCr, predChroma8(st.reconCr, st.cw, mbX, mbY, m, hasL, hasT, hasTL)) +
+              (if (m == 0) 0 else 8) // TU signaling bias
+            if (cost < bestCost) { bestCost = cost; best = m }
+          }
+          m += 1
+        }
+        best
+      }
     val b = new Array[Int](16)
     var anyChromaAc = false
     var anyChromaDc = false
     def chroma(src: Array[Byte], plane: Array[Byte], dcZig: Array[Int],
         acZig: Array[Array[Int]]): Unit = {
-      val q = predChromaDc(plane, st.cw, mbX, mbY,
-        st.mbAvail(mbX - 1, mbY), st.mbAvail(mbX, mbY - 1))
-      val cx0 = mbX * 8; val cy0 = mbY * 8
+      val pred = predChroma8(plane, st.cw, mbX, mbY, mode, hasL, hasT, hasTL)
       val dc = new Array[Int](4)
       var cb = 0
       while (cb < 4) {
@@ -2878,7 +3049,8 @@ object H264Codec {
         while (r < 4) {
           var c = 0
           while (c < 4) {
-            b(r * 4 + c) = (src((py0 + r) * st.cw + px0 + c) & 0xff) - q(by * 2 + bx)
+            b(r * 4 + c) = (src((py0 + r) * st.cw + px0 + c) & 0xff) -
+              pred((by * 4 + r) * 8 + bx * 4 + c)
             c += 1
           }
           r += 1
@@ -2905,7 +3077,8 @@ object H264Codec {
     }
     chroma(srcCb, st.reconCb, cbDcZig, cbAcZig)
     chroma(srcCr, st.reconCr, crDcZig, crAcZig)
-    if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
+    if (mode != 0) chromaModeCount.incrementAndGet()
+    (if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0) | (mode << 2)
   }
 
   /** I16-vs-I4 macroblock-type competition + full Intra_4x4 analysis.
@@ -2917,7 +3090,8 @@ object H264Codec {
     */
   private def tryI4(st: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte],
-      srcCr: Array[Byte]): Option[(Array[Int], PMbCoeffs)] = {
+      srcCr: Array[Byte],
+      chromaModes: Boolean = false): Option[(Array[Int], PMbCoeffs)] = {
     val (_, _, sad16) = selectI16(st, mbX, mbY, srcY)
     val x0 = mbX * 16; val y0 = mbY * 16
     val saved = Array.tabulate(16)(rr => java.util.Arrays.copyOfRange(
@@ -2931,11 +3105,13 @@ object H264Codec {
         blk += 1
       }
       val qpc = chromaQp(qp)
-      val cbpC = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
-        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+      val packed = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, tryModes = chromaModes)
+      val cbpC = packed & 3
+      m.chromaMode = packed >> 2
       m.cbp = cbpL | (cbpC << 4)
       intraChromaRecon(st, mbX, mbY, qpc, cbpC,
-        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, m.chromaMode)
       st.mbQp(mbY * st.mbW + mbX) = qp
       i4MbCount.incrementAndGet()
       Some((modes, m))
@@ -2978,9 +3154,9 @@ object H264Codec {
     */
   private def tryIntraNxN(st: PicState, mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      allow8: Boolean): IntraSel = {
+      allow8: Boolean, chromaModes: Boolean = false): IntraSel = {
     if (!allow8)
-      return tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr) match {
+      return tryI4(st, mbX, mbY, qp, srcY, srcCb, srcCr, chromaModes) match {
         case Some((modes, m)) => IntraSel.I4(modes, m)
         case None             => IntraSel.I16
       }
@@ -3014,11 +3190,13 @@ object H264Codec {
     val before = snapRegion() // pre-analysis state (i4Mode cells are -1)
     def finishChroma(m: PMbCoeffs, cbpL: Int): Unit = {
       val qpc = chromaQp(qp)
-      val cbpC = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
-        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+      val packed = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, tryModes = chromaModes)
+      val cbpC = packed & 3
+      m.chromaMode = packed >> 2
       m.cbp = cbpL | (cbpC << 4)
       intraChromaRecon(st, mbX, mbY, qpc, cbpC,
-        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+        m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, m.chromaMode)
       st.mbQp(mbY * st.mbW + mbX) = qp
     }
     val (modes4, zigs4, cbp4, sad4) = analyseLumaI4(st, mbX, mbY, qp, srcY)
@@ -3059,7 +3237,8 @@ object H264Codec {
     * positions 4k + i of the 8x8 zigzag) + the shared chroma writer
     */
   private def writeMbI8(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
-      modes: Array[Int], zig8: Array[Array[Int]], m: PMbCoeffs): Unit = {
+      modes: Array[Int], zig8: Array[Array[Int]], m: PMbCoeffs,
+      qpDelta: Int = 0): Unit = {
     bw.ue(0) // mb_type I_NxN
     bw.u1(1) // transform_size_8x8_flag
     var b = 0
@@ -3073,10 +3252,11 @@ object H264Codec {
       }
       b += 1
     }
-    bw.ue(0) // intra_chroma_pred_mode: DC
+    bw.ue(m.chromaMode) // intra_chroma_pred_mode
     bw.ue(cbpIntraToCode(m.cbp))
     if (m.cbp != 0) {
-      bw.se(0) // mb_qp_delta
+      bw.se(qpDelta) // mb_qp_delta
+      if (qpDelta != 0) aqpDeltaCount.incrementAndGet()
       writeI8LumaResidual(bw, st, mbX, mbY, m.cbpLuma, zig8)
       writeChromaResidual(bw, st, mbX, mbY, m)
     } else clearNz(st, mbX, mbY)
@@ -3140,7 +3320,8 @@ object H264Codec {
     * 16-coeff-block residual writer
     */
   private def writeMbI4(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
-      modes: Array[Int], m: PMbCoeffs, t8pps: Boolean = false): Unit = {
+      modes: Array[Int], m: PMbCoeffs, t8pps: Boolean = false,
+      qpDelta: Int = 0): Unit = {
     bw.ue(0) // mb_type I_NxN
     if (t8pps) bw.u1(0) // transform_size_8x8_flag: this MB stays 4x4
     var blk = 0
@@ -3154,10 +3335,11 @@ object H264Codec {
       }
       blk += 1
     }
-    bw.ue(0) // intra_chroma_pred_mode: DC
+    bw.ue(m.chromaMode) // intra_chroma_pred_mode
     bw.ue(cbpIntraToCode(m.cbp))
     if (m.cbp != 0) {
-      bw.se(0) // mb_qp_delta
+      bw.se(qpDelta) // mb_qp_delta
+      if (qpDelta != 0) aqpDeltaCount.incrementAndGet()
       writePResidual(bw, st, mbX, mbY, m)
     } else clearNz(st, mbX, mbY)
   }
@@ -3166,12 +3348,13 @@ object H264Codec {
     * updating the nC bookkeeping (shared block order with the parser)
     */
   private def writeMbI16(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
-      mc: MbCoeffs, typeOffset: Int = 0): Unit = {
+      mc: MbCoeffs, typeOffset: Int = 0, qpDelta: Int = 0): Unit = {
     val mbType = typeOffset +
       1 + mc.predMode + 4 * mc.cbpChroma + 12 * (if (mc.cbpLuma == 15) 1 else 0)
     bw.ue(mbType)
-    bw.ue(0) // intra_chroma_pred_mode: DC
-    bw.se(0) // mb_qp_delta
+    bw.ue(mc.chromaMode) // intra_chroma_pred_mode
+    bw.se(qpDelta) // mb_qp_delta (always coded for Intra_16x16, §7.3.5)
+    if (qpDelta != 0) aqpDeltaCount.incrementAndGet()
     val bX = mbX * 4; val bY = mbY * 4
     // luma DC: nC of blkIdx 0
     H264Cavlc.writeBlock(bw, mc.lumaDcZig, st.nC(st.nzY, st.bw4, bX, bY))
@@ -3833,7 +4016,7 @@ object H264Codec {
     */
   private def writePMb(bw: H264Writer.BitWriter, st: PicState, mbX: Int, mbY: Int,
       mvx: Int, mvy: Int, mc: PMbCoeffs, numRefActive: Int = 1,
-      refIdx: Int = 0): Unit = {
+      refIdx: Int = 0, qpDelta: Int = 0): Unit = {
     bw.ue(0) // mb_type: P_L0_16x16
     // ref_idx_l0, te(v) with cMax = numRefActive - 1 (§9.1.1: a single
     // INVERTED bit at cMax 1, plain ue above)
@@ -3847,7 +4030,8 @@ object H264Codec {
     val cbp = if (mc == null) 0 else mc.cbp
     bw.ue(cbpInterToCode(cbp))
     if (cbp != 0) {
-      bw.se(0) // mb_qp_delta
+      bw.se(qpDelta) // mb_qp_delta
+      if (qpDelta != 0) aqpDeltaCount.incrementAndGet()
       writePResidual(bw, st, mbX, mbY, mc)
     } else clearNz(st, mbX, mbY)
   }
@@ -4054,6 +4238,17 @@ object H264Codec {
     val cbDcNz = new Array[Boolean](n)
     val crDcNz = new Array[Boolean](n)
     var lastQpDeltaNz = false
+    // whether THIS MB coded an mb_qp_delta element (set by the qp-delta
+    // coders); §9.3.3.1.1.5 conditions the next delta's bin-0 context on
+    // the PREVIOUS MB's value, and an MB without the element (skip, cbp
+    // 0) infers delta 0 — endMb() folds that inference into the state
+    var qpDeltaCodedThisMb = false
+    /** close one MB's qp-delta context state (call once per MB, after
+      * its syntax elements, on BOTH coder sides) */
+    def endMb(): Unit = {
+      if (!qpDeltaCodedThisMb) lastQpDeltaNz = false
+      qpDeltaCodedThisMb = false
+    }
 
     @inline private def mi(x: Int, y: Int) = y * st.mbW + x
     @inline private def a(mbX: Int, mbY: Int): Int =
@@ -4299,6 +4494,72 @@ object H264Codec {
     else mag
   }
 
+  /** mb_qp_delta, CABAC decode side: unary binarization of the §9.3.2.7
+    * signed mapping (k odd -> +(k+1)/2, k even -> -k/2), bin 0's context
+    * conditioned on the previous MB's delta being nonzero
+    * (§9.3.3.1.1.5), bin 1 at +2, bins >= 2 at +3. Updates the
+    * lastQpDeltaNz context state symmetrically with the encoder.
+    */
+  private def cabacReadQpDelta(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState): Int = {
+    var k = 0
+    while (d.decodeBin(cx, CabacCtx.QpDelta +
+        (if (k == 0) cms.incQpDelta else if (k == 1) 2 else 3)) == 1) {
+      k += 1
+      require(k <= 52, "mb_qp_delta unary code overruns the signed range")
+    }
+    cms.lastQpDeltaNz = k != 0
+    cms.qpDeltaCodedThisMb = true
+    if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+  }
+
+  /** mb_qp_delta, CABAC encode side (mirror of [[cabacReadQpDelta]]) */
+  private def cabacWriteQpDelta(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState, delta: Int): Unit = {
+    val k = if (delta > 0) 2 * delta - 1 else -2 * delta
+    var i = 0
+    while (i < k) {
+      e.encodeBin(cx, CabacCtx.QpDelta +
+        (if (i == 0) cms.incQpDelta else if (i == 1) 2 else 3), 1)
+      i += 1
+    }
+    e.encodeBin(cx, CabacCtx.QpDelta +
+      (if (k == 0) cms.incQpDelta else if (k == 1) 2 else 3), 0)
+    cms.lastQpDeltaNz = delta != 0
+    cms.qpDeltaCodedThisMb = true
+    if (delta != 0) aqpDeltaCount.incrementAndGet()
+  }
+
+  /** intra_chroma_pred_mode, CABAC decode side: TU cMax 3 — bin 0's
+    * context from the §9.3.3.1.1.8 neighbour derivation, bins 1..2 share
+    * the +3 slot. Records the per-MB nonzero-mode flag the neighbour
+    * contexts read.
+    */
+  private def cabacReadChromaMode(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState, st: PicState, mbX: Int, mbY: Int): Int = {
+    val mode =
+      if (d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0) 0
+      else if (d.decodeBin(cx, CabacCtx.ChromaMode + 3) == 0) 1
+      else if (d.decodeBin(cx, CabacCtx.ChromaMode + 3) == 0) 2
+      else 3
+    cms.chromaModeNz(mbY * st.mbW + mbX) = mode != 0
+    mode
+  }
+
+  /** intra_chroma_pred_mode, CABAC encode side (mirror of
+    * [[cabacReadChromaMode]]) */
+  private def cabacWriteChromaMode(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState, st: PicState, mbX: Int, mbY: Int, mode: Int): Unit = {
+    e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY),
+      if (mode == 0) 0 else 1)
+    if (mode > 0) {
+      e.encodeBin(cx, CabacCtx.ChromaMode + 3, if (mode == 1) 0 else 1)
+      if (mode > 1)
+        e.encodeBin(cx, CabacCtx.ChromaMode + 3, if (mode == 2) 0 else 1)
+    }
+    cms.chromaModeNz(mbY * st.mbW + mbX) = mode != 0
+  }
+
   /** the shared I16 residual order (luma DC, luma AC x16, chroma DC Cb/Cr,
     * chroma AC x8) for both CABAC directions — `rw` abstracts the block
     * coder so write and read cannot drift
@@ -4446,17 +4707,23 @@ object H264Codec {
   /** the CABAC I-slice macroblock loop over [startMb, endMb) */
   private def encodeIRangeCabac(st: PicState, bw: H264Writer.BitWriter, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      startMb: Int, endMb: Int, t8: Boolean = false): Unit = {
+      startMb: Int, endMb: Int, t8: Boolean = false,
+      aqp: Boolean = false, chromaModes: Boolean = false): Unit = {
     bw.alignOne() // cabac_alignment_one_bit
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
     H264Cabac.initTables.foreach(t => cx.init(t.i, qp))
     val cms = new CabacMbState(st)
+    // running decoder-visible QP (§7.4.5): advances only where a delta is
+    // actually coded — an I_NxN MB with cbp 0 carries no delta, so its
+    // deblock QP stays at the running value, not the analysis target
+    var qpCur = qp
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
+      val qpT = if (aqp) aqpTarget(qp, srcY, st.pw, mbX, mbY) else qp
       // shared cbp coder for the I_NxN branches (I4 and I8 use the same
       // contexts: cbp luma bits are per 8x8 group in both)
       def encodeCbp(cbp: Int): Unit = {
@@ -4475,7 +4742,8 @@ object H264Codec {
           e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
             if (cbpC == 2) 1 else 0)
       }
-      tryIntraNxN(st, mbX, mbY, qp, srcY, srcCb, srcCr, allow8 = t8) match {
+      tryIntraNxN(st, mbX, mbY, qpT, srcY, srcCb, srcCr, allow8 = t8,
+          chromaModes = chromaModes) match {
         case IntraSel.I4(modes, m4) =>
           // mb_type I_NxN: single bin 0
           e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 0)
@@ -4495,19 +4763,20 @@ object H264Codec {
             }
             blk += 1
           }
-          e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
+          cabacWriteChromaMode(e, cx, cms, st, mbX, mbY, m4.chromaMode)
           encodeCbp(m4.cbp)
           cms.isIntra(mi) = true
           cms.cbp(mi) = m4.cbp
           if (m4.cbp != 0) {
-            e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0)
-            cms.lastQpDeltaNz = false
+            cabacWriteQpDelta(e, cx, cms, qpT - qpCur)
+            qpCur = qpT
             cabacResidualP(st, cms, mbX, mbY, m4,
               (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
-          } else clearNz(st, mbX, mbY)
+          } else {
+            clearNz(st, mbX, mbY)
+            st.mbQp(mi) = qpCur // no delta coded: decoder stays at qpCur
+          }
           // recon already in place (closed-loop analysis)
-          mb += 1
-          e.encodeTerminate(if (mb == endMb) 1 else 0)
         case IntraSel.I8(modes8, zig8, m8) =>
           // mb_type I_NxN + transform_size_8x8_flag = 1 (Intra_8x8)
           e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 0)
@@ -4526,26 +4795,31 @@ object H264Codec {
             }
             b += 1
           }
-          e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
+          cabacWriteChromaMode(e, cx, cms, st, mbX, mbY, m8.chromaMode)
           encodeCbp(m8.cbp)
           cms.isIntra(mi) = true
           cms.cbp(mi) = m8.cbp
           if (m8.cbp != 0) {
-            e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0)
-            cms.lastQpDeltaNz = false
+            cabacWriteQpDelta(e, cx, cms, qpT - qpCur)
+            qpCur = qpT
             cabacResidualI8(st, cms, mbX, mbY, zig8, m8,
               (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
-          } else clearNz(st, mbX, mbY)
+          } else {
+            clearNz(st, mbX, mbY)
+            st.mbQp(mi) = qpCur
+          }
           // recon already in place; st.trans8 set by tryIntraNxN
-          mb += 1
-          e.encodeTerminate(if (mb == endMb) 1 else 0)
         case IntraSel.I16 =>
           // I16 mb_type carries no transform_size_8x8_flag (§7.3.5: the
-          // flag follows mb_type only for I_NxN)
-          encodeI16Cabac(st, cms, e, cx, mbX, mbY, qp, srcY, srcCb, srcCr)
-          mb += 1
-          e.encodeTerminate(if (mb == endMb) 1 else 0)
+          // flag follows mb_type only for I_NxN); its mb_qp_delta is
+          // unconditional, so the running QP always lands on the target
+          encodeI16Cabac(st, cms, e, cx, mbX, mbY, qpT, srcY, srcCb, srcCr,
+            qpDelta = qpT - qpCur, chromaModes = chromaModes)
+          qpCur = qpT
       }
+      cms.endMb()
+      mb += 1
+      e.encodeTerminate(if (mb == endMb) 1 else 0)
     }
     e.flush() // emits the rbsp stop bit
     bw.alignZero()
@@ -4555,9 +4829,10 @@ object H264Codec {
     * competition branch above stays readable) */
   private def encodeI16Cabac(st: PicState, cms: CabacMbState,
       e: H264Cabac.Encoder, cx: H264Cabac.Contexts, mbX: Int, mbY: Int,
-      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte]): Unit = {
+      qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      qpDelta: Int = 0, chromaModes: Boolean = false): Unit = {
       val mi = mbY * st.mbW + mbX
-      val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
+      val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr, chromaModes)
       // mb_type I16x16: not-I_NxN, not-I_PCM (terminate), cbp + pred DC
       e.encodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY), 1)
       e.encodeTerminate(0)
@@ -4568,11 +4843,8 @@ object H264Codec {
       // Intra_16x16 prediction mode, 2 FL bins MSB-first
       e.encodeBin(cx, CabacCtx.MbTypeIPred0, (mc.predMode >> 1) & 1)
       e.encodeBin(cx, CabacCtx.MbTypeIPred1, mc.predMode & 1)
-      // intra_chroma_pred_mode 0 (DC): TU bin0 = 0
-      e.encodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY), 0)
-      // mb_qp_delta 0
-      e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0)
-      cms.lastQpDeltaNz = false
+      cabacWriteChromaMode(e, cx, cms, st, mbX, mbY, mc.chromaMode)
+      cabacWriteQpDelta(e, cx, cms, qpDelta)
       cabacResidualI16(st, cms, mbX, mbY, mc,
         (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
       cms.isIntra(mi) = true
@@ -4586,19 +4858,24 @@ object H264Codec {
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
       startMb: Int, endMb: Int, numRefActive: Int = 1,
-      parts: Boolean = false, wp: WpCtx = null): Unit = {
+      parts: Boolean = false, wp: WpCtx = null,
+      aqp: Boolean = false): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
     H264Cabac.initTables.foreach(t => cx.init(t.p(0), qp)) // emitted idc = 0
     val cms = new CabacMbState(st)
+    // running decoder-visible QP: advances only where a delta is coded
+    // (skip and cbp-0 MBs carry none and deblock at the running value)
+    var qpCur = qp
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
+      val qpT = if (aqp) aqpTarget(qp, srcY, st.pw, mbX, mbY) else qp
       val (refIdx, mvx, mvy, mc, sad16) =
-        choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
+        choosePMb(st, refs.take(numRefActive), mbX, mbY, qpT, srcY, srcCb,
           srcCr, searchRange, halfPel, quarterPel, wp)
       val cand =
         if (!parts) null
@@ -4615,12 +4892,14 @@ object H264Codec {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
         e.encodeBin(cx, CabacCtx.PMbType, 1) // Table 9-37 prefix: intra
         intraInPCount.incrementAndGet()
-        encodeI16Cabac(st, cms, e, cx, mbX, mbY, qp, srcY, srcCb, srcCr)
+        encodeI16Cabac(st, cms, e, cx, mbX, mbY, qpT, srcY, srcCb, srcCr,
+          qpDelta = qpT - qpCur)
+        qpCur = qpT
       } else if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null, wp = wp)
+        reconstructPMb(st, refs(0), mbX, mbY, qpCur, mvx, mvy, null, wp = wp)
       } else if (usePart) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
         writePPartsMbCabac(e, cx, cms, st, refs, mbX, mbY, qp, cand,
@@ -4665,13 +4944,16 @@ object H264Codec {
             if (cbpChroma == 2) 1 else 0)
         cms.cbp(mi) = cbp
         if (cbp != 0) {
-          e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0) // mb_qp_delta 0
-          cms.lastQpDeltaNz = false
+          cabacWriteQpDelta(e, cx, cms, qpT - qpCur)
+          qpCur = qpT
           cabacResidualP(st, cms, mbX, mbY, mc,
             (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
         } else clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
+        // cbp 0: no delta was coded, so the decoder's QP stays qpCur
+        reconstructPMb(st, refs(refIdx), mbX, mbY,
+          if (mc != null) qpT else qpCur, mvx, mvy, mc, refIdx, wp)
       }
+      cms.endMb()
       mb += 1
       e.encodeTerminate(if (mb == endMb) 1 else 0)
     }
@@ -4743,8 +5025,7 @@ object H264Codec {
         if (cbpChroma == 2) 1 else 0)
     cms.cbp(mi) = cbp
     if (cbp != 0) {
-      e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0) // mb_qp_delta 0
-      cms.lastQpDeltaNz = false
+      cabacWriteQpDelta(e, cx, cms, 0) // parts tier stays constant-QP
       cabacResidualP(st, cms, mbX, mbY, mc,
         (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
     } else clearNz(st, mbX, mbY)
@@ -4849,13 +5130,13 @@ object H264Codec {
             if (cbpChroma == 2) 1 else 0)
         cms.cbp(mi) = cbp
         if (cbp != 0) {
-          e.encodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta, 0) // mb_qp_delta 0
-          cms.lastQpDeltaNz = false
+          cabacWriteQpDelta(e, cx, cms, 0) // B tier stays constant-QP
           cabacResidualP(st, cms, mbX, mbY, ch.mc,
             (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
         } else clearNz(st, mbX, mbY)
         reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
       }
+      cms.endMb()
       mb += 1
       e.encodeTerminate(if (mb == endMb) 1 else 0)
     }
@@ -4883,6 +5164,9 @@ object H264Codec {
     lazy val m16Pool = new MbCoeffs
     lazy val zig8Pool: Array[Array[Int]] = Array.fill(4)(new Array[Int](64))
     val nMb = st.mbW * st.mbH
+    // running per-MB QP (§7.4.5): mb_qp_delta elements advance it; MBs
+    // without one (skip, cbp 0) reconstruct/deblock at the running value
+    var qpCur = qp
     var mb = firstMb
     var end = false
     while (!end) {
@@ -4895,7 +5179,7 @@ object H264Codec {
           cms.skip(mi) = true
           val dm = deriveDirect(st, refs, l1, mbX, mbY, spatialDirect)
           clearNz(st, mbX, mbY)
-          reconstructBMb(st, refs, l1, mbX, mbY, qp, directBChoice(dm, null), wp)
+          reconstructBMb(st, refs, l1, mbX, mbY, qpCur, directBChoice(dm, null), wp)
         } else {
           val mbType = cabacReadBMbType(d, cx, cms.incBMbType(mbX, mbY))
           cms.directB(mi) = mbType == 0
@@ -4947,15 +5231,13 @@ object H264Codec {
           val mc = if (cbp == 0) null else {
             val m = pmPool
             m.cbp = cbp
-            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-              "mb_qp_delta != 0 unsupported (constant-QP subset)")
-            cms.lastQpDeltaNz = false
+            qpCur = qpWrap(qpCur, cabacReadQpDelta(d, cx, cms))
             cabacResidualP(st, cms, mbX, mbY, m,
               (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
-          reconstructBMb(st, refs, l1, mbX, mbY, qp,
+          reconstructBMb(st, refs, l1, mbX, mbY, qpCur,
             if (dmDirect != null) directBChoice(dmDirect, mc)
             else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc), wp)
         }
@@ -4963,13 +5245,13 @@ object H264Codec {
         cms.skip(mi) = true
         val (sx, sy) = skipMv(st, mbX, mbY)
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null, wp = wp)
+        reconstructPMb(st, refs(0), mbX, mbY, qpCur, sx, sy, null, wp = wp)
       } else if (isP) {
         if (d.decodeBin(cx, CabacCtx.PMbType) == 1) {
           // intra-in-P: the Table 9-37 prefix bin selects the I-slice
           // mb_type suffix (scene cuts / uncovered regions); falls
           // through to the loop's shared mb/end_of_slice tail
-          decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qp, t8pps,
+          qpCur = decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qpCur, t8pps,
             pmPool, m16Pool, zig8Pool)
         } else {
         val b1 = d.decodeBin(cx, CabacCtx.PMbType + 1)
@@ -5027,15 +5309,13 @@ object H264Codec {
           val mc = if (cbp == 0) null else {
             val m = pmPool
             m.cbp = cbp
-            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-              "mb_qp_delta != 0 unsupported (constant-QP subset)")
-            cms.lastQpDeltaNz = false
+            qpCur = qpWrap(qpCur, cabacReadQpDelta(d, cx, cms))
             cabacResidualP(st, cms, mbX, mbY, m,
               (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
-          reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
+          reconstructPMb(st, refs(refIdx), mbX, mbY, qpCur, mvx, mvy, mc, refIdx, wp)
         } else {
           // partitioned P MB: sub_mb_types (P_8x8), ref_idx per slot,
           // then mvd + MV derivation per partition in decode order
@@ -5090,19 +5370,18 @@ object H264Codec {
           val mc = if (cbp == 0) null else {
             val m = pmPool
             m.cbp = cbp
-            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-              "mb_qp_delta != 0 unsupported (constant-QP subset)")
-            cms.lastQpDeltaNz = false
+            qpCur = qpWrap(qpCur, cabacReadQpDelta(d, cx, cms))
             cabacResidualP(st, cms, mbX, mbY, m,
               (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
             m
           }
           if (mc == null) clearNz(st, mbX, mbY)
-          reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc, wp)
+          reconstructInterParts(st, refs, refs, mbX, mbY, qpCur, parts, mc, wp)
         }
         }
-      } else decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qp, t8pps,
+      } else qpCur = decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qpCur, t8pps,
         pmPool, m16Pool, zig8Pool)
+      cms.endMb()
       mb += 1
       end = d.decodeTerminate() == 1
     }
@@ -5114,10 +5393,11 @@ object H264Codec {
     * §9.3.3.1.2 / Table 9-37 suffix — contexts repo-local within the
     * documented CABAC envelope, symmetric encoder/decoder) */
   private def decodeIntraMbCabac(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
-      cms: CabacMbState, st: PicState, mbX: Int, mbY: Int, qp: Int,
+      cms: CabacMbState, st: PicState, mbX: Int, mbY: Int, qpIn: Int,
       t8pps: Boolean, pmPool: PMbCoeffs, m16Pool: MbCoeffs,
-      zig8Pool: Array[Array[Int]]): Unit = {
+      zig8Pool: Array[Array[Int]]): Int = {
     val mi = mbY * st.mbW + mbX
+    var qp = qpIn
     locally {
       if (d.decodeBin(cx, CabacCtx.MbTypeI + cms.incMbTypeI(mbX, mbY)) == 0) {
         // I_NxN: transform_size_8x8_flag (present only under a t8 PPS)
@@ -5140,8 +5420,7 @@ object H264Codec {
             setI8ModeCells(st, mbX, mbY, b, modes8(b))
             b += 1
           }
-          require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
-            "chroma prediction mode != DC unsupported")
+          val chromaMode8 = cabacReadChromaMode(d, cx, cms, st, mbX, mbY)
           var cbpLuma8 = 0
           var b8 = 0
           while (b8 < 4) {
@@ -5160,9 +5439,7 @@ object H264Codec {
           cms.cbp(mi) = m8.cbp
           val zig8 = zig8Pool
           if (m8.cbp != 0) {
-            require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-              "mb_qp_delta != 0 unsupported (constant-QP subset)")
-            cms.lastQpDeltaNz = false
+            qp = qpWrap(qp, cabacReadQpDelta(d, cx, cms))
             cabacResidualI8(st, cms, mbX, mbY, zig8, m8,
               (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
           } else clearNz(st, mbX, mbY)
@@ -5170,7 +5447,7 @@ object H264Codec {
           st.trans8(mi) = true
           reconstructLumaI8(st, mbX, mbY, qp, modes8, zig8, m8.cbpLuma)
           intraChromaRecon(st, mbX, mbY, chromaQp(qp), m8.cbpChroma,
-            m8.cbDcZig, m8.cbAcZig, m8.crDcZig, m8.crAcZig)
+            m8.cbDcZig, m8.cbAcZig, m8.crDcZig, m8.crAcZig, chromaMode8)
           // the shared mb += 1 / end_of_slice tail below closes this MB
         } else {
         // I_NxN (Intra_4x4)
@@ -5190,8 +5467,7 @@ object H264Codec {
           st.i4Mode(by * st.bw4 + bx) = modes(blk)
           blk += 1
         }
-        require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
-          "chroma prediction mode != DC unsupported")
+        val chromaMode4 = cabacReadChromaMode(d, cx, cms, st, mbX, mbY)
         var cbpLuma4 = 0
         var b8 = 0
         while (b8 < 4) {
@@ -5209,16 +5485,14 @@ object H264Codec {
         cms.isIntra(mi) = true
         cms.cbp(mi) = m4.cbp
         if (m4.cbp != 0) {
-          require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-            "mb_qp_delta != 0 unsupported (constant-QP subset)")
-          cms.lastQpDeltaNz = false
+          qp = qpWrap(qp, cabacReadQpDelta(d, cx, cms))
           cabacResidualP(st, cms, mbX, mbY, m4,
             (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
         } else clearNz(st, mbX, mbY)
         st.mbQp(mi) = qp
         reconstructLumaI4(st, mbX, mbY, qp, modes, m4.lumaZig, m4.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp), m4.cbpChroma,
-          m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig)
+          m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig, chromaMode4)
         } // end Intra_4x4 (the t8pps flag picked I8 above otherwise)
       } else {
         require(d.decodeTerminate() == 0, "I_PCM in CABAC slices unsupported")
@@ -5234,11 +5508,8 @@ object H264Codec {
         require(i16Modes(st, mbX, mbY).contains(mc.predMode),
           s"Intra_16x16 pred mode ${mc.predMode} unavailable at mb ($mbX,$mbY): " +
             s"required neighbor(s) missing (available: ${i16Modes(st, mbX, mbY).sorted.mkString(",")})")
-        require(d.decodeBin(cx, CabacCtx.ChromaMode + cms.incChromaMode(mbX, mbY)) == 0,
-          "chroma prediction mode != DC unsupported")
-        require(d.decodeBin(cx, CabacCtx.QpDelta + cms.incQpDelta) == 0,
-          "mb_qp_delta != 0 unsupported (constant-QP subset)")
-        cms.lastQpDeltaNz = false
+        mc.chromaMode = cabacReadChromaMode(d, cx, cms, st, mbX, mbY)
+        qp = qpWrap(qp, cabacReadQpDelta(d, cx, cms))
         cabacResidualI16(st, cms, mbX, mbY, mc,
           (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
         cms.isIntra(mi) = true
@@ -5246,6 +5517,7 @@ object H264Codec {
         reconstructMb(st, mbX, mbY, qp, mc)
       }
     }
+    qp
   }
 
   /** zero the nC bookkeeping of an MB with no coded residual (skip, or
@@ -5431,7 +5703,8 @@ object H264Codec {
       bSlice: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
       frameNum: Int = -1, pocLsb: Int = -1,
       parts: Boolean = false, wpEnabled: Boolean = false,
-      spatialDirect: Boolean = true): (Seq[Array[Byte]], PicState) = {
+      spatialDirect: Boolean = true,
+      aqp: Boolean = false, chromaModes: Boolean = false): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     // the picture's POC must be live DURING encoding, not set by the
@@ -5537,19 +5810,21 @@ object H264Codec {
             searchRange, halfPel, quarterPel, startMb, endMb, spatialDirect)
         else if (pSlice)
           encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
-            halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx)
+            halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
+            aqp)
         else
           encodeIRangeCabac(st, bw, qp, srcY, srcCb, srcCr, startMb, endMb,
-            t8 = transform8x8)
+            t8 = transform8x8, aqp = aqp, chromaModes = chromaModes)
       } else if (bSlice)
         encodeBRange(st, refs, l1, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, spatialDirect)
       else if (pSlice)
         encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx)
+          halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
+          aqp)
       else
         encodeIRange(st, bw, qp, pcm, srcY, srcCb, srcCr, startMb, endMb,
-          transform8x8)
+          transform8x8, aqp, chromaModes)
       val nalRefIdc = if (idr) 3 else if (bSlice) 0 else 2
       val nalType = if (idr) 5 else 1
       // the CABAC flush already emitted the stop bit and byte-aligned;
@@ -5571,15 +5846,19 @@ object H264Codec {
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
       startMb: Int, endMb: Int, numRefActive: Int = 1,
-      parts: Boolean = false, wp: WpCtx = null): Unit = {
+      parts: Boolean = false, wp: WpCtx = null,
+      aqp: Boolean = false): Unit = {
     val mbW = st.mbW
+    // running decoder-visible QP — see encodePRangeCabac
+    var qpCur = qp
     var skipRun = 0
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
+      val qpT = if (aqp) aqpTarget(qp, srcY, st.pw, mbX, mbY) else qp
       val (refIdx, mvx, mvy, mc, sad16) =
-        choosePMb(st, refs.take(numRefActive), mbX, mbY, qp, srcY, srcCb,
+        choosePMb(st, refs.take(numRefActive), mbX, mbY, qpT, srcY, srcCb,
           srcCr, searchRange, halfPel, quarterPel, wp)
       val cand =
         if (!parts) null
@@ -5598,21 +5877,28 @@ object H264Codec {
       if (useIntra) {
         bw.ue(skipRun); skipRun = 0
         intraInPCount.incrementAndGet()
-        val imc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
-        writeMbI16(bw, st, mbX, mbY, imc, typeOffset = 5)
-        reconstructMb(st, mbX, mbY, qp, imc)
+        val imc = analyseMbI16(st, mbX, mbY, qpT, srcY, srcCb, srcCr)
+        writeMbI16(bw, st, mbX, mbY, imc, typeOffset = 5, qpDelta = qpT - qpCur)
+        qpCur = qpT
+        reconstructMb(st, mbX, mbY, qpT, imc)
       } else if (!usePart && refIdx == 0 && mc == null && mvx == sx && mvy == sy) {
         skipRun += 1
         clearNz(st, mbX, mbY)
-        reconstructPMb(st, refs(0), mbX, mbY, qp, mvx, mvy, null, wp = wp)
+        reconstructPMb(st, refs(0), mbX, mbY, qpCur, mvx, mvy, null, wp = wp)
       } else if (usePart) {
         bw.ue(skipRun); skipRun = 0
         writePPartsMb(bw, st, refs, mbX, mbY, qp, cand, numRefActive,
           srcY, srcCb, srcCr, wp)
       } else {
         bw.ue(skipRun); skipRun = 0
-        writePMb(bw, st, mbX, mbY, mvx, mvy, mc, numRefActive, refIdx)
-        reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
+        if (mc != null) {
+          writePMb(bw, st, mbX, mbY, mvx, mvy, mc, numRefActive, refIdx,
+            qpDelta = qpT - qpCur)
+          qpCur = qpT
+        } else writePMb(bw, st, mbX, mbY, mvx, mvy, mc, numRefActive, refIdx)
+        // cbp 0 codes no delta: the decoder reconstructs at the running QP
+        reconstructPMb(st, refs(refIdx), mbX, mbY,
+          if (mc != null) qpT else qpCur, mvx, mvy, mc, refIdx, wp)
       }
       mb += 1
     }
@@ -5622,7 +5908,10 @@ object H264Codec {
   /** the I-slice macroblock loop over [startMb, endMb) */
   private def encodeIRange(st: PicState, bw: H264Writer.BitWriter, qp: Int,
       pcm: Boolean, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      startMb: Int, endMb: Int, transform8x8: Boolean = false): Unit = {
+      startMb: Int, endMb: Int, transform8x8: Boolean = false,
+      aqp: Boolean = false, chromaModes: Boolean = false): Unit = {
+    // running decoder-visible QP (§7.4.5) — see encodeIRangeCabac
+    var qpCur = qp
     var mb = startMb
     while (mb < endMb) {
       val mbX = mb % st.mbW
@@ -5680,15 +5969,34 @@ object H264Codec {
             }
             i += 1
           }
-        } else tryIntraNxN(st, mbX, mbY, qp, srcY, srcCb, srcCr, transform8x8) match {
+        } else {
+        val qpT = if (aqp) aqpTarget(qp, srcY, st.pw, mbX, mbY) else qp
+        tryIntraNxN(st, mbX, mbY, qpT, srcY, srcCb, srcCr, transform8x8,
+            chromaModes) match {
           case IntraSel.I4(modes, m) => // recon already in place
-            writeMbI4(bw, st, mbX, mbY, modes, m, t8pps = transform8x8)
+            if (m.cbp != 0) {
+              writeMbI4(bw, st, mbX, mbY, modes, m, t8pps = transform8x8,
+                qpDelta = qpT - qpCur)
+              qpCur = qpT
+            } else {
+              writeMbI4(bw, st, mbX, mbY, modes, m, t8pps = transform8x8)
+              st.mbQp(mbY * st.mbW + mbX) = qpCur // no delta coded
+            }
           case IntraSel.I8(modes, zig8, m) => // recon already in place
-            writeMbI8(bw, st, mbX, mbY, modes, zig8, m)
+            if (m.cbp != 0) {
+              writeMbI8(bw, st, mbX, mbY, modes, zig8, m, qpDelta = qpT - qpCur)
+              qpCur = qpT
+            } else {
+              writeMbI8(bw, st, mbX, mbY, modes, zig8, m)
+              st.mbQp(mbY * st.mbW + mbX) = qpCur
+            }
           case IntraSel.I16 =>
-            val mc = analyseMbI16(st, mbX, mbY, qp, srcY, srcCb, srcCr)
-            writeMbI16(bw, st, mbX, mbY, mc)
-            reconstructMb(st, mbX, mbY, qp, mc)
+            val mc = analyseMbI16(st, mbX, mbY, qpT, srcY, srcCb, srcCr,
+              chromaModes)
+            writeMbI16(bw, st, mbX, mbY, mc, qpDelta = qpT - qpCur)
+            qpCur = qpT
+            reconstructMb(st, mbX, mbY, qpT, mc)
+        }
       }
       mb += 1
     }
@@ -5803,7 +6111,8 @@ object H264Codec {
       cabac: Boolean = false, transform8x8: Boolean = false,
       multiRef: Boolean = false, bframes: Boolean = false,
       parts: Boolean = false, weightedPred: Boolean = false,
-      tdirect: Boolean = false): Array[Byte] = {
+      tdirect: Boolean = false, aqp: Boolean = false,
+      chromaModes: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -5827,6 +6136,12 @@ object H264Codec {
     require(!(weightedPred && (multiRef || bframes)),
       "weightedPred x multiRef/bframes untested combination (one tier per stream)")
     require(!tdirect || bframes, "tdirect modifies the bframes tier")
+    require(!(aqp && (pcm || multiRef || bframes || parts || weightedPred ||
+        transform8x8)),
+      "aqp rides the default I16/I4 + P-16x16 shape (one tier per stream)")
+    require(!(chromaModes && (pcm || multiRef || bframes || parts ||
+        weightedPred || transform8x8)),
+      "chromaModes rides the default I16/I4 + P-16x16 shape (one tier per stream)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
       quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts,
@@ -5852,7 +6167,8 @@ object H264Codec {
         if (pcm || allIntra) IndexedSeq.empty else refs.toIndexedSeq,
         searchRange, halfPel, quarterPel,
         deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0,
-        parts = parts, wpEnabled = weightedPred)
+        parts = parts, wpEnabled = weightedPred, aqp = aqp,
+        chromaModes = chromaModes)
       nals.foreach(out.write)
       refs.prepend(state)
       while (refs.size > numRefL0) refs.remove(refs.size - 1)
@@ -6148,7 +6464,7 @@ object H264Codec {
           val mc = if (cbp == 0) null else {
             val m = pmPool
             m.cbp = cbp
-            qp += r.se // mb_qp_delta
+            qp = qpWrap(qp, r.se) // mb_qp_delta
             readResidualCavlc(r, st, mbX, mbY, m)
             m
           }
@@ -6213,7 +6529,7 @@ object H264Codec {
             val mc = if (cbp == 0) null else {
               val m = pmPool
               m.cbp = cbp
-              qp += r.se // mb_qp_delta
+              qp = qpWrap(qp, r.se) // mb_qp_delta
               readResidualCavlc(r, st, mbX, mbY, m)
               m
             }
@@ -6255,7 +6571,7 @@ object H264Codec {
             val mc = if (cbp == 0) null else {
               val m = pmPool
               m.cbp = cbp
-              qp += r.se // mb_qp_delta
+              qp = qpWrap(qp, r.se) // mb_qp_delta
               readResidualCavlc(r, st, mbX, mbY, m)
               m
             }
@@ -6334,14 +6650,15 @@ object H264Codec {
           setI8ModeCells(st, mbX, mbY, b, modes(b))
           b += 1
         }
-        require(r.ue == 0, "chroma prediction mode != DC not implemented")
+        val chromaMode8 = r.ue // intra_chroma_pred_mode (§8.3.4)
+        require(chromaMode8 <= 3, s"intra_chroma_pred_mode $chromaMode8 out of range")
         val cbpCode = r.ue
         require(cbpCode < 48, s"intra coded_block_pattern code $cbpCode out of range")
         val m = pmPool
         m.cbp = cbpIntraFromCode(cbpCode)
         val zig8 = zig8Pool
         if (m.cbp != 0) {
-          qp += r.se // mb_qp_delta
+          qp = qpWrap(qp, r.se) // mb_qp_delta
           readI8LumaResidual(r, st, mbX, mbY, m.cbpLuma, zig8)
           readChromaResidual(r, st, mbX, mbY, m)
         } else clearNz(st, mbX, mbY)
@@ -6349,7 +6666,7 @@ object H264Codec {
         st.trans8(mbY * st.mbW + mbX) = true
         reconstructLumaI8(st, mbX, mbY, qp, modes, zig8, m.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp), m.cbpChroma,
-          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode8)
       } else if (mbType == 0) { // I_NxN (Intra_4x4, 4x4 transform)
         val modes = new Array[Int](16)
         var blk = 0
@@ -6362,19 +6679,20 @@ object H264Codec {
           st.i4Mode(by * st.bw4 + bx) = modes(blk)
           blk += 1
         }
-        require(r.ue == 0, "chroma prediction mode != DC not implemented")
+        val chromaMode4 = r.ue // intra_chroma_pred_mode (§8.3.4)
+        require(chromaMode4 <= 3, s"intra_chroma_pred_mode $chromaMode4 out of range")
         val cbpCode = r.ue
         require(cbpCode < 48, s"intra coded_block_pattern code $cbpCode out of range")
         val m = pmPool
         m.cbp = cbpIntraFromCode(cbpCode)
         if (m.cbp != 0) {
-          qp += r.se // mb_qp_delta
+          qp = qpWrap(qp, r.se) // mb_qp_delta
           readResidualCavlc(r, st, mbX, mbY, m)
         } else clearNz(st, mbX, mbY)
         st.mbQp(mbY * st.mbW + mbX) = qp
         reconstructLumaI4(st, mbX, mbY, qp, modes, m.lumaZig, m.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp), m.cbpChroma,
-          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig)
+          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode4)
       } else {
         require(mbType >= 1 && mbType <= 24,
           s"mb_type $mbType unsupported (Intra_16x16, Intra_4x4, and I_PCM only)")
@@ -6394,8 +6712,10 @@ object H264Codec {
         mc.predMode = predMode
         mc.cbpLuma = if (lumaFlag == 1) 15 else 0
         mc.cbpChroma = cbpChroma
-        require(r.ue == 0, "chroma prediction mode != DC not implemented")
-        qp += r.se // mb_qp_delta
+        mc.chromaMode = r.ue // intra_chroma_pred_mode (§8.3.4)
+        require(mc.chromaMode <= 3,
+          s"intra_chroma_pred_mode ${mc.chromaMode} out of range")
+        qp = qpWrap(qp, r.se) // mb_qp_delta
         val bX = mbX * 4; val bY = mbY * 4
         H264Cavlc.readBlockInto(r, 16, st.nC(st.nzY, st.bw4, bX, bY), mc.lumaDcZig)
         var blk = 0

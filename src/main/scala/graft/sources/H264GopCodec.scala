@@ -28,7 +28,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     cabac: Boolean = false, transform8x8: Boolean = false,
     multiRef: Boolean = false, bframes: Boolean = false,
     parts: Boolean = false, weightedPred: Boolean = false,
-    tdirect: Boolean = false) extends GopCodec {
+    tdirect: Boolean = false, aqp: Boolean = false,
+    chromaModes: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -51,7 +52,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     val yuvs = frames.map(toYuv)
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
-      parts = parts, weightedPred = weightedPred, tdirect = tdirect)
+      parts = parts, weightedPred = weightedPred, tdirect = tdirect,
+      aqp = aqp, chromaModes = chromaModes)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -197,4 +199,20 @@ object H264GopCodec {
     * tdirect = true)`. */
   val BFramesTd: H264GopCodec = new H264GopCodec(qp = 12, bframes = true,
     tdirect = true)
+  /** adaptive QP (round 15, §7.4.5): per-MB mb_qp_delta from source
+    * luma activity — flat macroblocks quantize finer, busy ones coarser
+    * (the rate-control shape essentially every real encoder emits; its
+    * absence was the top decodes-real-streams refusal after round 14).
+    * Per-MB QP threads through dequant AND the §8.7 deblock α/β/t_C0
+    * lookups. CABAC variant via `new H264GopCodec(qp, cabac = true,
+    * aqp = true)`. */
+  val Aqp: H264GopCodec = new H264GopCodec(qp = 12, aqp = true)
+  /** full §8.3.4 chroma intra prediction (round 15): the four
+    * intra_chroma_pred_mode values (DC/horizontal/vertical/plane)
+    * compete on joint Cb+Cr SAD per intra MB, signalled in both entropy
+    * layers (ue(v) / TU bins with neighbour-conditioned contexts). The
+    * decoder accepts all four modes from any stream regardless of this
+    * capability flag. CABAC variant via `new H264GopCodec(qp,
+    * cabac = true, chromaModes = true)`. */
+  val Chroma: H264GopCodec = new H264GopCodec(qp = 12, chromaModes = true)
 }

@@ -47,7 +47,9 @@ class H264SimdParitySpec extends AnyFunSuite {
       "bframes" -> H264Codec.encode(frames, qp = 12, bframes = true),
       "tdirect" -> H264Codec.encode(frames, qp = 12, bframes = true, tdirect = true),
       "parts" -> H264Codec.encode(frames, qp = 12, parts = true),
-      "wp" -> H264Codec.encode(frames, qp = 12, weightedPred = true))
+      "wp" -> H264Codec.encode(frames, qp = 12, weightedPred = true),
+      "aqp" -> H264Codec.encode(frames, qp = 16, aqp = true),
+      "chroma" -> H264Codec.encode(frames, qp = 12, chromaModes = true))
     tiers.foreach { case (tier, stream) =>
       val (on, off) = decodeBoth(stream)
       assert(on.size == off.size, tier)
