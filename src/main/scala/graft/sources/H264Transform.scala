@@ -38,6 +38,12 @@ object H264Transform {
   @inline def mf(qp: Int, pos: Int): Int = mfTab(qp % 6)(posClass(pos))
   @inline def v(qp: Int, pos: Int): Int = vTab(qp % 6)(posClass(pos))
 
+  /** the V scale row expanded to raster positions, per qp%6 — the SIMD
+    * batched dequant multiplies a whole position row by vRaster(qp%6)(p)
+    */
+  val vRaster: Array[Array[Int]] =
+    Array.tabulate(6)(m => Array.tabulate(16)(p => vTab(m)(posClass(p))))
+
   /** forward core transform C = T X T^t, T = [1 1 1 1; 2 1 -1 -2; 1 -1 -1 1; 1 -2 2 -1] */
   def forward4x4(b: Array[Int]): Unit = {
     var i = 0

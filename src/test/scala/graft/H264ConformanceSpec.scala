@@ -330,4 +330,49 @@ class H264ConformanceSpec extends AnyFunSuite {
     // golden byte literal: the constructed stream itself is pinned
     assert(md5hex(stream) == "354f01ed18bd3b6f1ca3842d259c93ee")
   }
+
+  /** Two slices in ONE picture (round 15, VERDICT r14 ask 6): slice 0
+    * covers MB (0,0) with a DC-only I16 residual (level 8 at qp 26 →
+    * flat 135 per the §8.5 arithmetic pinned above); slice 1 starts at
+    * first_mb_in_slice = 1 and covers MB (0,1) with NO residual. The
+    * §7.4.4 pin: MB (0,1)'s top neighbour lies in the OTHER slice, so
+    * its Intra_16x16 DC prediction must fall back to flat 128 — a
+    * decoder that lets intra prediction (or the nC contexts) cross the
+    * slice boundary reconstructs 135 instead.
+    */
+  test("hand-built 2-slice picture: intra prediction must not cross the slice boundary") {
+    val sps = handSps(1, 2) // 16x32, one MB per row
+    val pps = handPps()
+    def slice(firstMb: Int, level: Int): Array[Byte] = {
+      val bw = new W.BitWriter
+      bw.ue(firstMb) // first_mb_in_slice
+      bw.ue(7)       // slice_type I (all slices)
+      bw.ue(0)       // pps_id
+      bw.u(4, 0)     // frame_num
+      bw.ue(0)       // idr_pic_id
+      bw.u1(0); bw.u1(0) // no_output_of_prior_pics, long_term_reference
+      bw.se(0)       // slice_qp_delta -> qp 26
+      bw.ue(1)       // disable_deblocking_filter_idc: OFF
+      bw.ue(3)       // mb_type I_16x16_2_0_0 (DC, cbp 0)
+      bw.ue(0)       // intra_chroma_pred_mode DC
+      bw.se(0)       // mb_qp_delta
+      val dc = new Array[Int](16)
+      dc(0) = level
+      H264Cavlc.writeBlock(bw, dc, 0) // nC 0: no same-slice neighbours
+      W.nal(3, 5, bw.rbspTrailing())
+    }
+    val stream = W.nal(3, 7, sps) ++ W.nal(3, 8, pps) ++
+      slice(0, 8) ++ slice(1, 0)
+    assert(md5hex(stream) == "504673ed3689a7c960d840ff878904a9") // golden bytes
+    val out = H264Codec.decode(stream)
+    assert(out.size == 1)
+    val y = out(0).y // 16x32
+    for (r <- 0 until 16; c <- 0 until 16)
+      assert((y(r * 16 + c) & 0xff) == 135, s"slice-0 MB ($c,$r): flat 135 (128 + dequant step)")
+    for (r <- 16 until 32; c <- 0 until 16)
+      assert((y(r * 16 + c) & 0xff) == 128,
+        s"slice-1 MB ($c,$r): DC across the slice boundary must be UNAVAILABLE (flat 128)")
+    assert(out(0).cb.forall(b => (b & 0xff) == 128))
+    assert(out(0).cr.forall(b => (b & 0xff) == 128))
+  }
 }
