@@ -572,6 +572,14 @@ object VideoQueries {
           "cabaccmvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             chromaModes = true), // CABAC + chroma modes
           "cavlccmvid", graft.sources.H264GopCodec.Chroma)) // CAVLC + chroma modes
+        // round 15: implicit B weighting — weighted_bipred_idc 2 with an
+        // I B B P ladder, so the POC-derived bi weights are non-trivial
+        // (43/21 and 22/42); both entropy layers derive the same weights
+        // from the same POCs and must reconstruct identical pixels
+        .unionAll(diffRelation("wpimplicit",
+          "cabacwivid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            bframes = true, wpImplicit = true), // CABAC + implicit WP
+          "cavlcwivid", graft.sources.H264GopCodec.WpImplicit)) // CAVLC + implicit WP
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -939,11 +947,12 @@ object VideoQueries {
     // 'wp' = explicit weighted prediction, 'tdirect' = POC-scaled
     // temporal direct B motion, 'scenecut' = intra-in-P on a mid-GOP
     // content cut, 'aqp' = per-MB mb_qp_delta through dequant+deblock,
-    // 'chroma' = §8.3.4 H/V/plane chroma intra modes)
+    // 'chroma' = §8.3.4 H/V/plane chroma intra modes, 'wpimplicit' =
+    // §8.4.2.3.1 POC-derived bi weights on an I B B P ladder)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['aqp', 'bslice', 'chroma', 'default', 'high', 'multiref', 'parts', 'scenecut', 'tdirect', 'wp']) AS tier) t,
+        |FROM (SELECT UNNEST(['aqp', 'bslice', 'chroma', 'default', 'high', 'multiref', 'parts', 'scenecut', 'tdirect', 'wp', 'wpimplicit']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

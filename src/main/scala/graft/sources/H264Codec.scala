@@ -103,6 +103,9 @@ object H264Codec {
   /** non-DC intra_chroma_pred_mode elements emitted by the most recent
     * encodes (specs assert the §8.3.4 mode competition engages) */
   private[graft] val chromaModeCount = new java.util.concurrent.atomic.AtomicLong
+  /** implicit-WP slices built with NON-trivial weights (w1 != 32) by
+    * either coder side (specs assert asymmetric-POC GOPs actually weight) */
+  private[graft] val implicitWpCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
@@ -198,7 +201,8 @@ object H264Codec {
   /** codec PPS: CAVLC or CABAC, deblocking control present */
   private def codecPps(cabac: Boolean = false,
       transform8x8: Boolean = false, numRefL0: Int = 1,
-      weightedPred: Boolean = false): Array[Byte] = {
+      weightedPred: Boolean = false,
+      weightedBipredIdc: Int = 0): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.ue(0)   // pps_id
     bw.ue(0)   // sps_id
@@ -207,7 +211,7 @@ object H264Codec {
     bw.ue(0)   // num_slice_groups_minus1
     bw.ue(numRefL0 - 1); bw.ue(0) // num_ref_idx_l{0,1}_active_minus1
     bw.u1(if (weightedPred) 1 else 0) // weighted_pred_flag (explicit P)
-    bw.u(2, 0) // weighted_bipred_idc
+    bw.u(2, weightedBipredIdc) // 0 default, 2 implicit B (§8.4.2.3.1)
     bw.se(0)   // pic_init_qp_minus26
     bw.se(0)   // pic_init_qs_minus26
     bw.se(0)   // chroma_qp_index_offset
@@ -315,6 +319,10 @@ object H264Codec {
     // per-MB qp + I_PCM flag, for deblocking-filter strength/thresholds
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
+    // the active PPS's chroma_qp_index_offset (§8.5: QPc looks up Table
+    // 8-15 at QPy + offset) — set per slice by the decoder; encoder
+    // pictures keep 0 (this encoder emits offset 0)
+    var cqpOff: Int = 0
     val pcmMb = new Array[Boolean](mbW * mbH)
     // per-MB transform_size_8x8_flag — deblocking skips the 4x4-internal
     // luma edges of these MBs (the transform grid is 8x8)
@@ -352,6 +360,7 @@ object H264Codec {
       java.util.Arrays.fill(mbQp, 0)
       curSlice = 0
       poc = 0
+      cqpOff = 0
     }
     @inline def mbAvail(x: Int, y: Int): Boolean =
       x >= 0 && y >= 0 && x < mbW && y < mbH &&
@@ -1274,7 +1283,7 @@ object H264Codec {
     */
   private def reconstructMb(st: PicState, mbX: Int, mbY: Int, qp: Int, mc: MbCoeffs): Unit = {
     st.mbQp(mbY * st.mbW + mbX) = qp
-    val qpc = chromaQp(qp)
+    val qpc = chromaQp(qp + st.cqpOff)
     // ---- luma
     val dcArr = new Array[Int](16)
     var i = 0
@@ -2291,10 +2300,13 @@ object H264Codec {
     * (unweighted) prediction everywhere. */
   private final class WpCtx(val lumaLog2: Int, val chromaLog2: Int,
       val lw: Array[Array[Int]], val lo: Array[Array[Int]],
-      val cw: Array[Array[Array[Int]]], val co: Array[Array[Array[Int]]]) {
-    /** weighted single-list luma transform of a stride-16 region */
+      val cw: Array[Array[Array[Int]]], val co: Array[Array[Array[Int]]],
+      val biOnly: Boolean = false) {
+    /** weighted single-list luma transform of a stride-16 region
+      * (no-op under implicit mode: §8.4.2.3.1 weights ONLY bi MBs) */
     def applyLuma(list: Int, ref: Int, buf: Array[Int], ox: Int, oy: Int,
         w: Int, h: Int): Unit = {
+      if (biOnly) return
       val ww = lw(list)(ref); val oo = lo(list)(ref)
       val rnd = if (lumaLog2 > 0) 1 << (lumaLog2 - 1) else 0
       var r = 0
@@ -2313,6 +2325,7 @@ object H264Codec {
       * plane 0 = Cb, 1 = Cr */
     def applyChroma(list: Int, ref: Int, plane: Int, buf: Array[Int],
         ox: Int, oy: Int, w: Int, h: Int): Unit = {
+      if (biOnly) return
       val ww = cw(list)(ref)(plane); val oo = co(list)(ref)(plane)
       val rnd = if (chromaLog2 > 0) 1 << (chromaLog2 - 1) else 0
       var r = 0
@@ -2352,6 +2365,34 @@ object H264Codec {
         r += 1
       }
     }
+  }
+
+  /** §8.4.2.3.1 implicit B weights from POC distances (round 15; the
+    * 1-deep B lists this subset requires mean exactly one (w0, w1) pair
+    * per slice): the DistScaleFactor arithmetic of temporal direct,
+    * w1 = DSF >> 2 and w0 = 64 - w1 with the spec's degenerate-distance
+    * and range fallbacks to (32, 32) — a plain rounded average. Offsets
+    * are zero, logWD 5, chroma shares the luma weights; single-list
+    * prediction stays UNWEIGHTED (the biOnly flag). Derivation is a
+    * pure function of the three POCs, so encoder and decoder agree.
+    */
+  private def implicitWpCtx(pocCur: Int, poc0: Int, poc1: Int): WpCtx = {
+    val (w0, w1) =
+      if (poc1 == poc0) (32, 32)
+      else {
+        val tb = math.max(-128, math.min(127, pocCur - poc0))
+        val td = math.max(-128, math.min(127, poc1 - poc0))
+        val tx = (16384 + math.abs(td / 2)) / td
+        val dsf = math.max(-1024, math.min(1023, (tb * tx + 32) >> 6))
+        val w1c = dsf >> 2
+        if (w1c < -64 || w1c > 128) (32, 32) else (64 - w1c, w1c)
+      }
+    if (w1 != 32) implicitWpCount.incrementAndGet()
+    new WpCtx(5, 5,
+      Array(Array(w0), Array(w1)), Array(Array(0), Array(0)),
+      Array(Array(Array(w0, w0)), Array(Array(w1, w1))),
+      Array(Array(Array(0, 0)), Array(Array(0, 0))),
+      biOnly = true)
   }
 
   /** parse §7.3.3.2 pred_weight_table: one (flag, w, o) group per active
@@ -2422,7 +2463,6 @@ object H264Codec {
     require(refIdx0 >= 0 || refIdx1 >= 0, "inter MB with no prediction list")
     val bi = refIdx0 >= 0 && refIdx1 >= 0
     st.mbQp(mbY * st.mbW + mbX) = qp
-    val qpc = chromaQp(qp)
     // no-residual integer-pel single-list MB (P_Skip on panning/static
     // content — the common case): the reconstruction IS a plane-to-plane
     // block copy, so skip the int prediction buffer entirely. Byte-
@@ -2553,7 +2593,7 @@ object H264Codec {
       mc: PMbCoeffs, predL: Array[Int], predCb: Array[Int],
       predCr: Array[Int]): Unit = {
     val sc = mcScratch.get()
-    val qpc = chromaQp(qp)
+    val qpc = chromaQp(qp + st.cqpOff)
     val x0 = mbX * 16; val y0 = mbY * 16
     if (Simd.enabled) {
       // row-wise vector commit: spread the dequantised residual (if
@@ -3931,6 +3971,22 @@ object H264Codec {
     while (i < a.length) { a(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
   }
 
+  /** combine a (luma256, cb64, cr64) prediction pair into the first,
+    * exactly as [[reconstructInterMb]] will: weighted bi (§8.4.2.3.2)
+    * when the slice carries a WpCtx, the default rounded average
+    * otherwise — the B analysis must price candidates with the SAME
+    * combine or the closed loop breaks */
+  private def biCombine(wp: WpCtx, ref0: Int, ref1: Int,
+      p0: (Array[Int], Array[Int], Array[Int]),
+      p1: (Array[Int], Array[Int], Array[Int])): Unit =
+    if (wp == null) {
+      avgInPlace(p0._1, p1._1); avgInPlace(p0._2, p1._2); avgInPlace(p0._3, p1._3)
+    } else {
+      wp.applyBi(ref0, ref1, luma = true, p0._1, p1._1, 0, 0, 16, 16, 16)
+      wp.applyBi(ref0, ref1, luma = false, p0._2, p1._2, 0, 0, 8, 8, 8, plane = 0)
+      wp.applyBi(ref0, ref1, luma = false, p0._3, p1._3, 0, 0, 8, 8, 8, plane = 1)
+    }
+
   /** One chosen B macroblock: Table 7-14 mb_type (0 B_Direct_16x16,
     * 1 B_L0_16x16, 2 B_L1_16x16, 3 B_Bi_16x16), per-list refIdx/MV
     * (refIdx -1 = list unused; direct MBs carry their DERIVED motion so
@@ -3960,7 +4016,7 @@ object H264Codec {
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       range: Int, halfPel: Boolean, quarterPel: Boolean,
-      spatialDirect: Boolean = true): BMbChoice = {
+      spatialDirect: Boolean = true, wp: WpCtx = null): BMbChoice = {
     // direct candidate (its mc builds from the derived motion; the
     // slice header's direct flag picks the derivation)
     val dm = deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
@@ -3975,12 +4031,12 @@ object H264Codec {
         val parts = (0 until 4).map(q => InterPart((q & 1) * 2, (q >> 1) * 2, 2, 2,
           dr0, dm.quad(q * 4), dm.quad(q * 4 + 1),
           dr1, dm.quad(q * 4 + 2), dm.quad(q * 4 + 3)))
-        assembleInterPred(st, l0, l1, mbX, mbY, parts, pL, pCb, pCr)
+        assembleInterPred(st, l0, l1, mbX, mbY, parts, pL, pCb, pCr, wp)
         (pL, pCb, pCr)
       } else if (dr0 >= 0 && dr1 >= 0) {
         val p0 = mcPred(st, l0(dr0), mbX, mbY, d0x, d0y)
         val p1 = mcPred(st, l1(dr1), mbX, mbY, d1x, d1y)
-        avgInPlace(p0._1, p1._1); avgInPlace(p0._2, p1._2); avgInPlace(p0._3, p1._3)
+        biCombine(wp, dr0, dr1, p0, p1)
         p0
       } else if (dr0 >= 0) mcPred(st, l0(dr0), mbX, mbY, d0x, d0y)
       else mcPred(st, l1(dr1), mbX, mbY, d1x, d1y)
@@ -3991,11 +4047,12 @@ object H264Codec {
       srcCb, srcCr, range, halfPel, quarterPel)
     val (m1x, m1y, mc1, sad1) = analysePMb(st, l1(0), mbX, mbY, qp, srcY,
       srcCb, srcCr, range, halfPel, quarterPel)
-    // bi candidate: average of the two single-list winners
+    // bi candidate: the two single-list winners combined exactly as
+    // reconstruction will (implicit weights when the slice carries them)
     val (bL, bCb, bCr) = {
       val p0 = mcPred(st, l0(0), mbX, mbY, m0x, m0y)
       val p1 = mcPred(st, l1(0), mbX, mbY, m1x, m1y)
-      avgInPlace(p0._1, p1._1); avgInPlace(p0._2, p1._2); avgInPlace(p0._3, p1._3)
+      biCombine(wp, 0, 0, p0, p1)
       p0
     }
     val bSad = predSad(st, mbX, mbY, srcY, bL)
@@ -4051,7 +4108,8 @@ object H264Codec {
       l1: IndexedSeq[PicState], bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int, spatialDirect: Boolean = true): Unit = {
+      startMb: Int, endMb: Int, spatialDirect: Boolean = true,
+      wp: WpCtx = null): Unit = {
     val mbW = st.mbW
     var skipRun = 0
     var mb = startMb
@@ -4059,12 +4117,12 @@ object H264Codec {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
-        searchRange, halfPel, quarterPel, spatialDirect)
+        searchRange, halfPel, quarterPel, spatialDirect, wp)
       if (ch.mbType == 0) directBCount.incrementAndGet()
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         skipRun += 1
         clearNz(st, mbX, mbY)
-        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch, wp)
       } else {
         bw.ue(skipRun); skipRun = 0
         bw.ue(ch.mbType)
@@ -4084,7 +4142,7 @@ object H264Codec {
           // reconstruct FIRST: writePResidual updates the nC grids the
           // next MB reads, while reconstruction only needs pixels + MVs
         }
-        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch, wp)
         if (cbp != 0) writePResidual(bw, st, mbX, mbY, ch.mc)
         else clearNz(st, mbX, mbY)
       }
@@ -5152,7 +5210,8 @@ object H264Codec {
       l1: IndexedSeq[PicState], bw: H264Writer.BitWriter,
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
-      startMb: Int, endMb: Int, spatialDirect: Boolean = true): Unit = {
+      startMb: Int, endMb: Int, spatialDirect: Boolean = true,
+      wp: WpCtx = null): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -5164,13 +5223,13 @@ object H264Codec {
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
-        searchRange, halfPel, quarterPel, spatialDirect)
+        searchRange, halfPel, quarterPel, spatialDirect, wp)
       if (ch.mbType == 0) directBCount.incrementAndGet()
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
-        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch, wp)
       } else {
         e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 0)
         cabacWriteBMbType(e, cx, cms.incBMbType(mbX, mbY), ch.mbType)
@@ -5215,7 +5274,7 @@ object H264Codec {
           cabacResidualP(st, cms, mbX, mbY, ch.mc,
             (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
         } else clearNz(st, mbX, mbY)
-        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch)
+        reconstructBMb(st, l0, l1, mbX, mbY, qp, ch, wp)
       }
       cms.endMb()
       mb += 1
@@ -5527,7 +5586,7 @@ object H264Codec {
           st.mbQp(mi) = qp
           st.trans8(mi) = true
           reconstructLumaI8(st, mbX, mbY, qp, modes8, zig8, m8.cbpLuma)
-          intraChromaRecon(st, mbX, mbY, chromaQp(qp), m8.cbpChroma,
+          intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m8.cbpChroma,
             m8.cbDcZig, m8.cbAcZig, m8.crDcZig, m8.crAcZig, chromaMode8)
           // the shared mb += 1 / end_of_slice tail below closes this MB
         } else {
@@ -5572,7 +5631,7 @@ object H264Codec {
         } else clearNz(st, mbX, mbY)
         st.mbQp(mi) = qp
         reconstructLumaI4(st, mbX, mbY, qp, modes, m4.lumaZig, m4.cbpLuma)
-        intraChromaRecon(st, mbX, mbY, chromaQp(qp), m4.cbpChroma,
+        intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m4.cbpChroma,
           m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig, chromaMode4)
         } // end Intra_4x4 (the t8pps flag picked I8 above otherwise)
       } else {
@@ -5682,7 +5741,8 @@ object H264Codec {
             val idxB = clip3i(0, 51, qpavY + bOff)
             val alpha = H264Deblock.alphaTab(idxA)
             val beta = H264Deblock.betaTab(idxB)
-            val qpavC = (chromaQp(qpOf(pMb)) + chromaQp(qpOf(qMb)) + 1) >> 1
+            val qpavC = (chromaQp(qpOf(pMb) + st.cqpOff) +
+              chromaQp(qpOf(qMb) + st.cqpOff) + 1) >> 1
             val cIdxA = clip3i(0, 51, qpavC + aOff)
             val cIdxB = clip3i(0, 51, qpavC + bOff)
             val cAlpha = H264Deblock.alphaTab(cIdxA)
@@ -5785,7 +5845,8 @@ object H264Codec {
       frameNum: Int = -1, pocLsb: Int = -1,
       parts: Boolean = false, wpEnabled: Boolean = false,
       spatialDirect: Boolean = true,
-      aqp: Boolean = false, chromaModes: Boolean = false): (Seq[Array[Byte]], PicState) = {
+      aqp: Boolean = false, chromaModes: Boolean = false,
+      wpImplicitB: Boolean = false): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     // the picture's POC must be live DURING encoding, not set by the
@@ -5808,7 +5869,11 @@ object H264Codec {
     // denom 32 catches fades/dissolves; chroma stays identity (flag 0).
     // logWD 5 keeps w inside the 8-bit spec range for any gain <= 4x.
     val wpCtx: WpCtx =
-      if (!wpEnabled || !pSlice) null
+      if (bSlice && wpImplicitB)
+        // §8.4.2.3.1 implicit bi weights from the three POCs (no table
+        // in the slice header; the decoder re-derives the same pair)
+        implicitWpCtx(st.poc, refs.head.poc, l1.head.poc)
+      else if (!wpEnabled || !pSlice) null
       else {
         def mean(a: Array[Byte]): Double = {
           var t = 0L; var i = 0
@@ -5888,7 +5953,8 @@ object H264Codec {
       if (cabac) {
         if (bSlice)
           encodeBRangeCabac(st, refs, l1, bw, qp, srcY, srcCb, srcCr,
-            searchRange, halfPel, quarterPel, startMb, endMb, spatialDirect)
+            searchRange, halfPel, quarterPel, startMb, endMb, spatialDirect,
+            wpCtx)
         else if (pSlice)
           encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
             halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
@@ -5898,7 +5964,7 @@ object H264Codec {
             t8 = transform8x8, aqp = aqp, chromaModes = chromaModes)
       } else if (bSlice)
         encodeBRange(st, refs, l1, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb, spatialDirect)
+          halfPel, quarterPel, startMb, endMb, spatialDirect, wpCtx)
       else if (pSlice)
         encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
@@ -6134,21 +6200,41 @@ object H264Codec {
   private def encodeBGop(frames: Seq[Yuv], qp: Int, searchRange: Int,
       halfPel: Boolean, quarterPel: Boolean, deblock: Boolean,
       slicesPerFrame: Int, cabac: Boolean, transform8x8: Boolean,
-      parts: Boolean = false, spatialDirect: Boolean = true): Array[Byte] = {
+      parts: Boolean = false, spatialDirect: Boolean = true,
+      wpImplicit: Boolean = false): Array[Byte] = {
     val head = frames.head
     val out = new java.io.ByteArrayOutputStream()
     // DPB must hold BOTH anchors around a B (sliding-window, 2 deep)
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h,
       high = transform8x8, maxRefFrames = 2, pocType = 0)))
-    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0 = 1)))
+    out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0 = 1,
+      weightedBipredIdc = if (wpImplicit) 2 else 0)))
     out.write(H264Writer.nal(0, 6, seiUserData(seiMsg(cabac, transform8x8))))
     val n = frames.length
-    // coding order over display indices
+    // coding order over display indices. The default ladder is IBPBP
+    // (one B centered between anchors: implicit weights degenerate to
+    // the trivial 32/32 average); under wpImplicit the ladder places
+    // TWO Bs per anchor gap (I B B P), so tb/td = 1/3 and 2/3 derive
+    // the non-trivial (43,21)/(22,42) weight pairs the tier exists for
     val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Char)]
     order += ((0, 'I'))
-    var a = 2
-    while (a < n) { order += ((a, 'P')); order += ((a - 1, 'B')); a += 2 }
-    if (n % 2 == 0 && n > 1) order += ((n - 1, 'P'))
+    if (wpImplicit) {
+      var a = 3
+      while (a < n) {
+        order += ((a, 'P')); order += ((a - 2, 'B')); order += ((a - 1, 'B'))
+        a += 3
+      }
+      val lastAnchor = a - 3
+      if (lastAnchor + 1 < n) { // tail gap: anchor the last frame
+        order += ((n - 1, 'P'))
+        var d = lastAnchor + 1
+        while (d < n - 1) { order += ((d, 'B')); d += 1 }
+      }
+    } else {
+      var a = 2
+      while (a < n) { order += ((a, 'P')); order += ((a - 1, 'B')); a += 2 }
+      if (n % 2 == 0 && n > 1) order += ((n - 1, 'P'))
+    }
     val dpb = ArrayBuffer.empty[PicState] // anchors, most recent first
     var refCount = 0
     var codingIdx = 0
@@ -6171,7 +6257,8 @@ object H264Codec {
             IndexedSeq(past), searchRange, halfPel, quarterPel, deblock,
             slicesPerFrame, cabac, transform8x8, numRefL0 = 1,
             bSlice = true, l1 = IndexedSeq(fut),
-            frameNum = refCount, pocLsb = poc, spatialDirect = spatialDirect)
+            frameNum = refCount, pocLsb = poc, spatialDirect = spatialDirect,
+            wpImplicitB = wpImplicit)
       }
       st.poc = poc
       if (kind != 'B') { // B frames are non-reference: the DPB skips them
@@ -6193,7 +6280,8 @@ object H264Codec {
       multiRef: Boolean = false, bframes: Boolean = false,
       parts: Boolean = false, weightedPred: Boolean = false,
       tdirect: Boolean = false, aqp: Boolean = false,
-      chromaModes: Boolean = false): Array[Byte] = {
+      chromaModes: Boolean = false,
+      wpImplicit: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -6217,6 +6305,11 @@ object H264Codec {
     require(!(weightedPred && (multiRef || bframes)),
       "weightedPred x multiRef/bframes untested combination (one tier per stream)")
     require(!tdirect || bframes, "tdirect modifies the bframes tier")
+    require(!wpImplicit || bframes, "wpImplicit modifies the bframes tier")
+    require(!(wpImplicit && weightedPred),
+      "wpImplicit x weightedPred untested combination (one tier per stream)")
+    require(!(wpImplicit && tdirect),
+      "wpImplicit x tdirect untested combination (one tier per stream)")
     require(!(aqp && (pcm || multiRef || bframes || parts || weightedPred ||
         transform8x8)),
       "aqp rides the default I16/I4 + P-16x16 shape (one tier per stream)")
@@ -6226,7 +6319,7 @@ object H264Codec {
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
       quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts,
-      spatialDirect = !tdirect)
+      spatialDirect = !tdirect, wpImplicit = wpImplicit)
     // a 2-deep DPB with num_ref_idx_l0_active 2: per-MB ref_idx selects
     // the previous or the previous-but-one reconstructed picture
     val numRefL0 = if (multiRef) 2 else 1
@@ -6261,7 +6354,8 @@ object H264Codec {
 
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
       cabac: Boolean, transform8x8: Boolean = false, numRefL0: Int = 1,
-      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
+      cqpOff: Int = 0)
 
   /** §8.2.1.1 picture-order-count state (poc type 0): MSB wraparound
     * tracking against the previous REFERENCE picture. `compute` is
@@ -6299,12 +6393,19 @@ object H264Codec {
     val numRefL0 = r.ue + 1 // num_ref_idx_l0_active default
     r.ue // num_ref_idx_l1 default (B slices refused downstream)
     val weightedPred = r.u1 == 1
+    // 0 default, 1 explicit (pred_weight_table in B slices), 2 implicit
+    // (POC-derived bi weights, §8.4.2.3.1 — accepted since round 15)
     val weightedBipredIdc = r.u(2)
-    require(weightedBipredIdc != 2,
-      "weighted_bipred_idc 2 (implicit B weighting) unsupported; explicit (1) and default (0) only")
+    require(weightedBipredIdc <= 2, s"weighted_bipred_idc $weightedBipredIdc invalid")
     val picInitQp = 26 + r.se
     r.se // pic_init_qs
-    r.se // chroma_qp_index_offset (0 in our streams; nonzero unsupported)
+    // §8.5: QPc = Table 8-15 at Clip3(0, 51, QPy + chroma_qp_index_offset)
+    // — real encoders routinely shift chroma quantization; round 15 it
+    // threads through dequant and the deblock chroma thresholds (it was
+    // parsed-and-ignored before: a silent wrong decode on foreign streams)
+    val cqpOff = r.se
+    require(cqpOff >= -12 && cqpOff <= 12,
+      s"chroma_qp_index_offset $cqpOff out of the spec range [-12,12]")
     val deblk = r.u1 == 1
     r.u1 // constrained_intra_pred
     r.u1 // redundant_pic_cnt_present
@@ -6315,10 +6416,15 @@ object H264Codec {
       else {
         val t = r.u1 == 1
         require(r.u1 == 0, "pic_scaling_matrix_present unsupported (flat only)")
-        require(r.se == 0, "second_chroma_qp_index_offset != 0 unsupported")
+        // a distinct Cr offset would need per-plane chroma QP threading;
+        // streams repeating the shared offset (the common emission) pass
+        require(r.se == cqpOff,
+          "second_chroma_qp_index_offset != chroma_qp_index_offset unsupported " +
+            "(one shared offset for both chroma planes)")
         t
       }
-    CodecPps(picInitQp, deblk, cabac, t8, numRefL0, weightedPred, weightedBipredIdc)
+    CodecPps(picInitQp, deblk, cabac, t8, numRefL0, weightedPred,
+      weightedBipredIdc, cqpOff)
   }
 
   /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
@@ -6377,6 +6483,7 @@ object H264Codec {
       nalType: Int, refIdc: Int, st: PicState,
       refs: IndexedSeq[PicState], pocCtx: PocCtx): DeblockReq = {
     val r = new H264.BitReader(rbsp)
+    st.cqpOff = pps.cqpOff // §8.5 chroma QP offset, live for this picture
     val firstMb = r.ue // slices start anywhere; caller sequences them into one picture
     require(firstMb < st.mbW * st.mbH, s"first_mb_in_slice $firstMb outside the picture")
     val sliceType = r.ue
@@ -6434,13 +6541,16 @@ object H264Codec {
         "B slice without both a past and a future reference picture")
     }
     // §7.3.3: pred_weight_table rides P slices under weighted_pred_flag
-    // and B slices under weighted_bipred_idc == 1 (explicit); implicit
-    // B weighting (idc 2) is refused at PPS parse
+    // and B slices under weighted_bipred_idc == 1 (explicit); idc 2
+    // derives the bi weights from POC distances with NO table in the
+    // header (§8.4.2.3.1)
     val wp: WpCtx =
       if (isP && pps.weightedPred)
         parsePredWeightTable(r, numRefActive, 0)
       else if (isB && pps.weightedBipredIdc == 1)
         parsePredWeightTable(r, numRefActive, numRefActiveL1)
+      else if (isB && pps.weightedBipredIdc == 2)
+        implicitWpCtx(st.poc, bL0.head.poc, bL1.head.poc)
       else null
     if (refIdc != 0) {
       if (idr) { r.u1; r.u1 }
@@ -6746,7 +6856,7 @@ object H264Codec {
         st.mbQp(mbY * st.mbW + mbX) = qp
         st.trans8(mbY * st.mbW + mbX) = true
         reconstructLumaI8(st, mbX, mbY, qp, modes, zig8, m.cbpLuma)
-        intraChromaRecon(st, mbX, mbY, chromaQp(qp), m.cbpChroma,
+        intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m.cbpChroma,
           m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode8)
       } else if (mbType == 0) { // I_NxN (Intra_4x4, 4x4 transform)
         val modes = new Array[Int](16)
@@ -6772,7 +6882,7 @@ object H264Codec {
         } else clearNz(st, mbX, mbY)
         st.mbQp(mbY * st.mbW + mbX) = qp
         reconstructLumaI4(st, mbX, mbY, qp, modes, m.lumaZig, m.cbpLuma)
-        intraChromaRecon(st, mbX, mbY, chromaQp(qp), m.cbpChroma,
+        intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m.cbpChroma,
           m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode4)
       } else {
         require(mbType >= 1 && mbType <= 24,

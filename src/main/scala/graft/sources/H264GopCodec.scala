@@ -29,7 +29,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     multiRef: Boolean = false, bframes: Boolean = false,
     parts: Boolean = false, weightedPred: Boolean = false,
     tdirect: Boolean = false, aqp: Boolean = false,
-    chromaModes: Boolean = false) extends GopCodec {
+    chromaModes: Boolean = false,
+    wpImplicit: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -53,7 +54,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
       parts = parts, weightedPred = weightedPred, tdirect = tdirect,
-      aqp = aqp, chromaModes = chromaModes)
+      aqp = aqp, chromaModes = chromaModes, wpImplicit = wpImplicit)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -215,4 +216,15 @@ object H264GopCodec {
     * capability flag. CABAC variant via `new H264GopCodec(qp,
     * cabac = true, chromaModes = true)`. */
   val Chroma: H264GopCodec = new H264GopCodec(qp = 12, chromaModes = true)
+  /** implicit B weighting (round 15, §8.4.2.3.1): the bframes tier with
+    * weighted_bipred_idc 2 — bi-predicted MBs combine their two
+    * predictions with POC-distance-derived weights (w1 = DistScaleFactor
+    * >> 2, w0 = 64 - w1) instead of the plain average, with NO
+    * pred_weight_table in the slice header; single-list prediction
+    * stays unweighted. The common broadcast-encoder configuration for
+    * fades between unequally-spaced anchors. CABAC variant via
+    * `new H264GopCodec(qp, cabac = true, bframes = true,
+    * wpImplicit = true)`. */
+  val WpImplicit: H264GopCodec = new H264GopCodec(qp = 12, bframes = true,
+    wpImplicit = true)
 }

@@ -147,6 +147,53 @@ class H264AdaptiveQpSpec extends AnyFunSuite {
     assert(out(0).cr.forall(b => (b & 0xff) == 128))
   }
 
+  /** chroma_qp_index_offset (§8.5, round 15 — previously parsed and
+    * IGNORED, a silent wrong decode on foreign streams): a 1x1-MB stream
+    * whose PPS carries offset +12 codes a chroma-DC-only I16 residual.
+    * QPc = Table 8-15 at 26+12 = 35, so dc level 4 dequantizes to 1152
+    * and steps chroma by (1152+32)>>6 = 18 -> flat 146. A decoder
+    * ignoring the offset dequantizes at QPc 26 and lands on 135.
+    */
+  test("hand-built stream with chroma_qp_index_offset dequantizes chroma at the shifted QP") {
+    val sps = {
+      val bw = new W.BitWriter
+      bw.u(8, 66); bw.u(8, 0); bw.u(8, 10)
+      bw.ue(0); bw.ue(0); bw.ue(2); bw.ue(1); bw.u1(0)
+      bw.ue(0); bw.ue(0) // 1x1 MBs
+      bw.u1(1); bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val pps = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(0); bw.u1(0); bw.u1(0); bw.ue(0)
+      bw.ue(0); bw.ue(0); bw.u1(0); bw.u(2, 0)
+      bw.se(0); bw.se(0)
+      bw.se(12) // chroma_qp_index_offset +12
+      bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val bw = new W.BitWriter
+    bw.ue(0); bw.ue(7); bw.ue(0)
+    bw.u(4, 0); bw.ue(0)
+    bw.u1(0); bw.u1(0)
+    bw.se(0); bw.ue(1) // qp 26, deblocking OFF
+    bw.ue(7) // mb_type I_16x16_2_1_0: DC pred, cbp luma 0 chroma 1
+    bw.ue(0) // intra_chroma_pred_mode DC
+    bw.se(0) // mb_qp_delta
+    H264Cavlc.writeBlock(bw, new Array[Int](16), 0) // zero luma DC
+    val dc = Array(4, 0, 0, 0)
+    H264Cavlc.writeBlock(bw, dc, -1) // Cb DC
+    H264Cavlc.writeBlock(bw, dc, -1) // Cr DC
+    val stream = W.nal(3, 7, sps) ++ W.nal(3, 8, pps) ++
+      W.nal(3, 5, bw.rbspTrailing())
+    val out = H264Codec.decode(stream)
+    assert(out.size == 1)
+    assert(out(0).y.forall(b => (b & 0xff) == 128))
+    assert(out(0).cb.forall(b => (b & 0xff) == 146),
+      "QPc must shift by the PPS chroma offset (146, not the unshifted 135)")
+    assert(out(0).cr.forall(b => (b & 0xff) == 146))
+  }
+
   test("an out-of-range mb_qp_delta is refused loudly, not wrapped silently") {
     val bw = new W.BitWriter
     bw.ue(0); bw.ue(7); bw.ue(0)

@@ -49,7 +49,9 @@ class H264SimdParitySpec extends AnyFunSuite {
       "parts" -> H264Codec.encode(frames, qp = 12, parts = true),
       "wp" -> H264Codec.encode(frames, qp = 12, weightedPred = true),
       "aqp" -> H264Codec.encode(frames, qp = 16, aqp = true),
-      "chroma" -> H264Codec.encode(frames, qp = 12, chromaModes = true))
+      "chroma" -> H264Codec.encode(frames, qp = 12, chromaModes = true),
+      "wpimplicit" -> H264Codec.encode(frames, qp = 12, bframes = true,
+        wpImplicit = true))
     tiers.foreach { case (tier, stream) =>
       val (on, off) = decodeBoth(stream)
       assert(on.size == off.size, tier)

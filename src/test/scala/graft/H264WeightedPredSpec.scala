@@ -56,6 +56,35 @@ class H264WeightedPredSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------ implicit B weighting (round 15)
+
+  test("wpImplicit GOPs derive NON-trivial weights and round-trip (both layers)") {
+    val frames = (0 until 7).map(t => fadeYuv(64, 48, t))
+    for (cabac <- Seq(false, true)) {
+      H264Codec.implicitWpCount.set(0)
+      val dec = H264Codec.decode(H264Codec.encode(frames, qp = 12,
+        bframes = true, wpImplicit = true, cabac = cabac))
+      assert(H264Codec.implicitWpCount.get() > 0,
+        s"cabac=$cabac: the I B B P ladder must derive w1 != 32 at least once")
+      assert(dec.size == frames.size)
+      dec.indices.foreach(i => assert(mse(frames(i).y, dec(i).y) < 12.0,
+        s"cabac=$cabac frame $i poor reconstruction"))
+    }
+  }
+
+  test("CAVLC and CABAC wpImplicit streams decode to identical pixels") {
+    val frames = (0 until 7).map(t => fadeYuv(64, 48, t))
+    val dA = H264Codec.decode(H264Codec.encode(frames, qp = 12,
+      bframes = true, wpImplicit = true))
+    val dB = H264Codec.decode(H264Codec.encode(frames, qp = 12,
+      bframes = true, wpImplicit = true, cabac = true))
+    frames.indices.foreach { i =>
+      assert(java.util.Arrays.equals(dA(i).y, dB(i).y), s"frame $i luma")
+      assert(java.util.Arrays.equals(dA(i).cb, dB(i).cb), s"frame $i cb")
+      assert(java.util.Arrays.equals(dA(i).cr, dB(i).cr), s"frame $i cr")
+    }
+  }
+
   test("a fade compresses measurably better with WP on") {
     val frames = (0 until 8).map(t => fadeYuv(64, 48, t))
     val plain = H264Codec.encode(frames, qp = 12)
@@ -90,6 +119,110 @@ class H264WeightedPredSpec extends AnyFunSuite {
     * decode IS the §8.4.2.3.2 formula, which the test recomputes
     * independently per pixel.
     */
+  /** Implicit B weighting (§8.4.2.3.1) against hand-built bytes: anchors
+    * at poc 0 ("A", IDR I_PCM) and poc 6 ("B", non-IDR I_PCM), a
+    * non-reference B picture at poc 2 under a PPS with
+    * weighted_bipred_idc 2. tb/td = 2/6 -> tx 2731, DistScaleFactor 85,
+    * w1 = 21, w0 = 43. The three MBs pin the three §8.4.2.3.1 branches:
+    * B_L0 and B_L1 stay UNWEIGHTED (implicit mode touches only bi), and
+    * B_Bi must land on clip((43*a + 21*b + 32) >> 6) exactly — a decoder
+    * averaging instead drifts on every asymmetric sample pair.
+    */
+  test("hand-built implicit-WP B stream decodes to the POC-derived weights") {
+    val sps = {
+      val bw = new W.BitWriter
+      bw.u(8, 66); bw.u(8, 0); bw.u(8, 10)
+      bw.ue(0); bw.ue(0)
+      bw.ue(0)    // pic_order_cnt_type 0
+      bw.ue(0)    // 4-bit poc lsb
+      bw.ue(2)    // max_num_ref_frames
+      bw.u1(0)
+      bw.ue(2); bw.ue(0) // 3x1 MBs
+      bw.u1(1); bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val pps = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(0); bw.u1(0); bw.u1(0); bw.ue(0)
+      bw.ue(0); bw.ue(0)
+      bw.u1(0)   // weighted_pred_flag
+      bw.u(2, 2) // weighted_bipred_idc 2: IMPLICIT
+      bw.se(0); bw.se(0); bw.se(0)
+      bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val mbs = 3
+    def pat(mul: Int, add: Int, n: Int) =
+      Array.tabulate(n)(i => ((mul * i + add) % 256).toByte)
+    val lumaA = pat(7, 13, 256 * mbs); val lumaB = pat(11, 40, 256 * mbs)
+    val cA = pat(5, 1, 64 * mbs); val cB = pat(3, 9, 64 * mbs)
+    def pcmPicture(idr: Boolean, frameNum: Int, pocLsb: Int,
+        luma: Array[Byte], cb: Array[Byte], cr: Array[Byte]): Array[Byte] = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(7); bw.ue(0)
+      bw.u(4, frameNum)
+      if (idr) bw.ue(0)
+      bw.u(4, pocLsb)
+      if (idr) { bw.u1(0); bw.u1(0) } else bw.u1(0)
+      bw.se(0); bw.ue(1)
+      var mb = 0
+      while (mb < mbs) {
+        bw.ue(25); bw.alignZero()
+        (0 until 256).foreach(i => bw.u(8, luma(i / 16 * 16 * mbs + mb * 16 + i % 16) & 0xff))
+        (0 until 64).foreach(i => bw.u(8, cb(i / 8 * 8 * mbs + mb * 8 + i % 8) & 0xff))
+        (0 until 64).foreach(i => bw.u(8, cr(i / 8 * 8 * mbs + mb * 8 + i % 8) & 0xff))
+        mb += 1
+      }
+      W.nal(if (idr) 3 else 2, if (idr) 5 else 1, bw.rbspTrailing())
+    }
+    val bPicture = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0) // B slice
+      bw.u(4, 2)                   // frame_num
+      bw.u(4, 2)                   // poc lsb 2: tb 2, td 6
+      bw.u1(1)                     // spatial direct
+      bw.u1(0); bw.u1(0); bw.u1(0) // no override / list modifications
+      // idc 2: NO pred_weight_table in the header
+      bw.se(0); bw.ue(1)           // qp, deblocking OFF
+      bw.ue(0); bw.ue(1); bw.se(0); bw.se(0); bw.ue(0) // MB0 B_L0 mv(0,0)
+      bw.ue(0); bw.ue(2); bw.se(0); bw.se(0); bw.ue(0) // MB1 B_L1 mv(0,0)
+      bw.ue(0); bw.ue(3); bw.se(0); bw.se(0); bw.se(0); bw.se(0); bw.ue(0) // MB2 B_Bi
+      W.nal(0, 1, bw.rbspTrailing())
+    }
+    val stream = W.nal(3, 7, sps) ++ W.nal(3, 8, pps) ++
+      pcmPicture(idr = true, 0, 0, lumaA, cA, cA) ++
+      pcmPicture(idr = false, 1, 6, lumaB, cB, cB) ++
+      bPicture
+    val out = H264Codec.decode(stream)
+    assert(out.size == 3)
+    assert(out(0).y.toSeq == lumaA.toSeq)
+    assert(out(2).y.toSeq == lumaB.toSeq)
+    def wtd(a: Byte, b: Byte): Int = {
+      val v = ((a & 0xff) * 43 + (b & 0xff) * 21 + 32) >> 6
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    val bY = out(1).y
+    val w = 16 * mbs
+    (0 until 16).foreach { r =>
+      (0 until 16).foreach { c =>
+        assert(bY(r * w + c) == lumaA(r * w + c),
+          s"MB0 L0 pixel ($r,$c): single-list must stay UNWEIGHTED under implicit")
+        assert(bY(r * w + 16 + c) == lumaB(r * w + 16 + c),
+          s"MB1 L1 pixel ($r,$c): single-list must stay UNWEIGHTED under implicit")
+        assert((bY(r * w + 32 + c) & 0xff) == wtd(lumaA(r * w + 32 + c), lumaB(r * w + 32 + c)),
+          s"MB2 Bi pixel ($r,$c): (43*a + 21*b + 32) >> 6")
+      }
+    }
+    val bCb = out(1).cb
+    val cwd = 8 * mbs
+    (0 until 8).foreach { r =>
+      (0 until 8).foreach { c =>
+        assert((bCb(r * cwd + 16 + c) & 0xff) == wtd(cA(r * cwd + 16 + c), cB(r * cwd + 16 + c)),
+          s"MB2 Bi chroma ($r,$c)")
+      }
+    }
+  }
+
   test("hand-built weighted P stream decodes to the §8.4.2.3.2 arithmetic") {
     val sps = {
       val bw = new W.BitWriter
