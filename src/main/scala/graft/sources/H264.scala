@@ -138,7 +138,15 @@ object H264 {
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       deltaPicOrderAlwaysZero: Boolean, frameMbsOnly: Boolean,
       width: Int, height: Int,
-      maxNumRefFrames: Int = 1) // DPB size the pixel decoder must hold
+      maxNumRefFrames: Int = 1, // DPB size the pixel decoder must hold
+      // seq_scaling_matrix lists (§7.3.2.1.1), resolved through fall-back
+      // rule A; None = flat (the overwhelmingly common case)
+      scaling: Option[ScalingLists] = None)
+
+  /** resolved scaling lists in ZIGZAG (scan) order: six 4x4 (Intra
+    * Y/Cb/Cr, Inter Y/Cb/Cr) and two 8x8 (Intra Y, Inter Y — 4:2:0)
+    */
+  final case class ScalingLists(s4: Array[Array[Int]], s8: Array[Array[Int]])
 
   final case class Pps(
       ppsId: Int, spsId: Int, entropyCodingMode: Boolean,
@@ -220,6 +228,7 @@ object H264 {
     val levelIdc = r.u(8)
     val spsId = r.ue
     var chromaFormatIdc = 1 // 4:2:0 default for non-high profiles
+    var scaling: Option[ScalingLists] = None
     if (highProfiles.contains(profileIdc)) {
       chromaFormatIdc = r.ue
       require(chromaFormatIdc <= 3, s"invalid chroma_format_idc $chromaFormatIdc")
@@ -230,7 +239,11 @@ object H264 {
       require(bdLuma == bdChroma && bdLuma >= 8 && bdLuma <= 14,
         s"unsupported bit depths $bdLuma/$bdChroma")
       r.u1 // qpprime_y_zero_transform_bypass_flag
-      require(r.u1 == 0, "seq_scaling_matrix not supported")
+      if (r.u1 == 1) { // seq_scaling_matrix_present_flag
+        require(chromaFormatIdc != 3,
+          "seq_scaling_matrix with chroma_format_idc 3 (12 lists) not supported")
+        scaling = Some(readScalingLists(r, 8, null))
+      }
     }
     val log2MaxFrameNum = r.ue + 4
     val pocType = r.ue
@@ -266,7 +279,61 @@ object H264 {
     val height = heightMapUnits * 16 * (if (frameMbsOnly) 1 else 2) -
       cropUnitY * (ct + cb)
     Sps(spsId, profileIdc, levelIdc, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      deltaZero, frameMbsOnly, width, height, maxNumRefFrames)
+      deltaZero, frameMbsOnly, width, height, maxNumRefFrames, scaling)
+  }
+
+  /** one scaling_list() (§7.3.2.1.1.1): delta_scale deltas in scan order;
+    * a first-delta driving nextScale to 0 means "use the default list"
+    */
+  private def scalingList(r: BitReader, size: Int, default: Array[Int]): Array[Int] = {
+    val out = new Array[Int](size)
+    var lastScale = 8; var nextScale = 8
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) {
+        val delta = r.se
+        require(delta >= -128 && delta <= 127, s"delta_scale $delta out of [-128,127]")
+        nextScale = (lastScale + delta + 256) % 256
+        if (j == 0 && nextScale == 0) return default.clone() // useDefaultScalingMatrixFlag
+      }
+      out(j) = if (nextScale == 0) lastScale else nextScale
+      lastScale = out(j)
+      j += 1
+    }
+    out
+  }
+
+  /** the SPS/PPS scaling-list loop with the Table 7-2 fall-back rules:
+    * rule A (`spsLists == null`) falls group heads {0,3,6,7} back to the
+    * default lists, rule B falls them back to the SPS-resolved lists;
+    * everything else copies the previous resolved list of the same size.
+    * `count` is 8 for an SPS (4:2:0) and 6 or 8 for a PPS (by
+    * transform_8x8_mode_flag); unparsed 8x8 slots inherit the SPS lists
+    * (rule B) or the defaults (rule A — unreachable for a conforming
+    * PPS without the 8x8 mode, which never reads them).
+    */
+  def readScalingLists(r: BitReader, count: Int,
+      spsLists: ScalingLists): ScalingLists = {
+    val s4 = new Array[Array[Int]](6)
+    val s8 = new Array[Array[Int]](2)
+    var i = 0
+    while (i < 8) {
+      val is8 = i >= 6
+      val default =
+        if (is8) { if (i == 6) H264Transform.default8Intra else H264Transform.default8Inter }
+        else if (i < 3) H264Transform.default4Intra
+        else H264Transform.default4Inter
+      val head = i == 0 || i == 3 || i == 6 || i == 7
+      val resolved =
+        if (i < count && r.u1 == 1) scalingList(r, if (is8) 64 else 16, default)
+        else if (head) {
+          if (spsLists == null) default.clone()
+          else (if (is8) spsLists.s8(i - 6) else spsLists.s4(i)).clone()
+        } else (if (is8) s8(i - 7) else s4(i - 1)).clone()
+      if (is8) s8(i - 6) = resolved else s4(i) = resolved
+      i += 1
+    }
+    ScalingLists(s4, s8)
   }
 
   /** parse a pic_parameter_set RBSP; spec §7.3.2.2 / `util/h264.h:253` */

@@ -108,6 +108,15 @@ object H264Codec {
   private[graft] val implicitWpCount = new java.util.concurrent.atomic.AtomicLong
 
   /** blkIdx -> (x4, y4) block coords inside the MB (spec Figure 6-10 order) */
+  // §8.5.9 scaling-list indices (ScalingMatrices list layout)
+  private final val LIntraY = 0
+  private final val LIntraCb = 1
+  private final val LIntraCr = 2
+  private final val LInterY = 3
+  private final val LInterCb = 4
+  private final val LInterCr = 5
+  private final val L8Intra = 0
+
   private val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
   /** inverse: (y4 * 4 + x4) raster position -> z-order blkIdx */
   private lazy val zOf: Array[Int] = {
@@ -169,7 +178,7 @@ object H264Codec {
     * reorder output, frame MBs only, cropping for non-multiple-of-16 dims
     */
   private def codecSps(w: Int, h: Int, high: Boolean = false,
-      maxRefFrames: Int = 1, pocType: Int = 2): Array[Byte] = {
+      maxRefFrames: Int = 1, pocType: Int = 2, cqm: Boolean = false): Array[Byte] = {
     val bw = new H264Writer.BitWriter
     bw.u(8, if (high) 100 else 66) // profile_idc High (8x8 transform) / Baseline
     bw.u(8, 0)  // constraint flags
@@ -179,7 +188,21 @@ object H264Codec {
       bw.ue(1)  // chroma_format_idc 4:2:0
       bw.ue(0); bw.ue(0) // bit_depth_{luma,chroma}_minus8
       bw.u1(0)  // qpprime_y_zero_transform_bypass_flag
-      bw.u1(0)  // seq_scaling_matrix_present_flag (flat)
+      if (cqm) {
+        // seq_scaling_matrix: the spec default lists, emitted so the
+        // parse exercises all three encodings — explicit delta_scale
+        // runs (lists 0 and 3), the in-band use-default signal (first
+        // delta drives nextScale to 0: list 1), and absent lists
+        // resolving through fall-back rule A (2 copies 1; 4,5 copy
+        // their predecessors; 6,7 take the 8x8 defaults)
+        bw.u1(1)
+        bw.u1(1); writeScalingList(bw, H264Transform.default4Intra)
+        bw.u1(1); bw.se(-8) // list 1: useDefaultScalingMatrixFlag
+        bw.u1(0)            // list 2: rule A copy of list 1
+        bw.u1(1); writeScalingList(bw, H264Transform.default4Inter)
+        bw.u1(0); bw.u1(0)  // lists 4,5: rule A copies
+        bw.u1(0); bw.u1(0)  // lists 6,7 (8x8): rule A defaults
+      } else bw.u1(0) // seq_scaling_matrix_present_flag (flat)
     }
     bw.ue(8)    // log2_max_frame_num_minus4 -> 12 bits of frame_num
     bw.ue(pocType) // pic_order_cnt_type (2: decode order; 0: explicit lsb)
@@ -197,6 +220,29 @@ object H264Codec {
     bw.u1(0)    // vui_parameters_present_flag
     bw.rbspTrailing()
   }
+
+  /** one explicit scaling_list() emission: delta_scale runs in scan
+    * order ([[H264.parseSps]]'s exact mirror; weights 1..255 so the
+    * ±-wrap keeps deltas in [-128,127]) */
+  private def writeScalingList(bw: H264Writer.BitWriter, wZig: Array[Int]): Unit = {
+    var last = 8
+    wZig.foreach { v =>
+      var d = v - last
+      if (d < -128) d += 256 else if (d > 127) d -= 256
+      bw.se(d)
+      last = v
+    }
+  }
+
+  /** the matrices the cqm tier encodes under — exactly what the SPS
+    * [[codecSps]] writes resolves to on parse (spec-default intra lists
+    * for 0-2, inter for 3-5; the 8x8 defaults ride along unused)
+    */
+  private[sources] val cqmMatrices: ScalingMatrices = new ScalingMatrices(
+    Array(H264Transform.default4Intra, H264Transform.default4Intra,
+      H264Transform.default4Intra, H264Transform.default4Inter,
+      H264Transform.default4Inter, H264Transform.default4Inter),
+    Array(H264Transform.default8Intra, H264Transform.default8Inter))
 
   /** codec PPS: CAVLC or CABAC, deblocking control present */
   private def codecPps(cabac: Boolean = false,
@@ -327,6 +373,10 @@ object H264Codec {
     // per-MB transform_size_8x8_flag — deblocking skips the 4x4-internal
     // luma edges of these MBs (the transform grid is 8x8)
     val trans8 = new Array[Boolean](mbW * mbH)
+    // the picture's active scaling matrices (§8.5.9, PPS over SPS) —
+    // Flat for every pre-CQM stream; set per picture by the decoder
+    // (pooled states!) and at encode setup by the cqm tier
+    var scal: ScalingMatrices = ScalingMatrices.Flat
     // per-4x4-block Intra_4x4 prediction mode (-1 = not an I4 block) —
     // the neighbor state §8.3.1.1's most-probable-mode derivation reads
     val i4Mode: Array[Int] = Array.fill(bw4 * mbH * 4)(-1)
@@ -772,7 +822,7 @@ object H264Codec {
       var zi = 0
       while (zi < 16) {
         val pos = zigzag4x4(zi)
-        val z = quantAc(b(pos), qp, pos)
+        val z = st.scal.qAc(b(pos), qp, pos, LIntraY)
         zigs(blk)(zi) = z
         if (z != 0) any = true
         zi += 1
@@ -783,7 +833,7 @@ object H264Codec {
       zi = 0
       while (zi < 16) {
         val pos = zigzag4x4(zi)
-        w(pos) = dequantAc(zigs(blk)(zi), qp, pos)
+        w(pos) = st.scal.deqAc(zigs(blk)(zi), qp, pos, LIntraY)
         zi += 1
       }
       inverse4x4(w)
@@ -818,7 +868,7 @@ object H264Codec {
         var zi = 0
         while (zi < 16) {
           val pos = zigzag4x4(zi)
-          w(pos) = dequantAc(zigs(blk)(zi), qp, pos)
+          w(pos) = st.scal.deqAc(zigs(blk)(zi), qp, pos, LIntraY)
           zi += 1
         }
       }
@@ -1219,7 +1269,7 @@ object H264Codec {
       var zi = 0
       while (zi < 64) {
         val pos = zigzag8x8(zi)
-        val z = quantAc8(buf(pos), qp, pos)
+        val z = st.scal.qAc8(buf(pos), qp, pos, L8Intra)
         zigs(blk)(zi) = z
         if (z != 0) any = true
         zi += 1
@@ -1229,7 +1279,7 @@ object H264Codec {
       zi = 0
       while (zi < 64) {
         val pos = zigzag8x8(zi)
-        w(pos) = dequantAc8(zigs(blk)(zi), qp, pos)
+        w(pos) = st.scal.deqAc8(zigs(blk)(zi), qp, pos, L8Intra)
         zi += 1
       }
       inverse8x8(w)
@@ -1263,7 +1313,7 @@ object H264Codec {
         var zi = 0
         while (zi < 64) {
           val pos = zigzag8x8(zi)
-          w(pos) = dequantAc8(zig8(blk)(zi), qp, pos)
+          w(pos) = st.scal.deqAc8(zig8(blk)(zi), qp, pos, L8Intra)
           zi += 1
         }
       }
@@ -1290,10 +1340,10 @@ object H264Codec {
     while (i < 16) { dcArr(zigzag4x4(i)) = mc.lumaDcZig(i); i += 1 }
     hadamard4x4(dcArr)
     i = 0
-    while (i < 16) { dcArr(i) = dequantLumaDc(dcArr(i), qp); i += 1 }
+    while (i < 16) { dcArr(i) = st.scal.deqLumaDc(dcArr(i), qp); i += 1 }
     val predY = predLuma16(st, mbX, mbY, mc.predMode)
     val x0 = mbX * 16; val y0 = mbY * 16
-    if (Simd.enabled) {
+    if (Simd.enabled && st.scal.flat) {
       // batched I16 luma: the separately-scaled DC (inverse Hadamard +
       // dequantLumaDc above) fills the SoA position-0 row, the AC levels
       // vector-dequant from position 1 — then the same two-batch
@@ -1357,7 +1407,7 @@ object H264Codec {
         var zi = 1
         while (zi < 16) {
           val pos = zigzag4x4(zi)
-          w(pos) = dequantAc(mc.lumaAcZig(blk)(zi - 1), qp, pos)
+          w(pos) = st.scal.deqAc(mc.lumaAcZig(blk)(zi - 1), qp, pos, LIntraY)
           zi += 1
         }
       }
@@ -1393,7 +1443,8 @@ object H264Codec {
     val hasL = st.mbAvail(mbX - 1, mbY)
     val hasT = st.mbAvail(mbX, mbY - 1)
     val hasTL = st.mbAvail(mbX - 1, mbY - 1)
-    def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
+    def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]],
+        list: Int): Unit = {
       val dc = new Array[Int](4)
       // cbpChroma == 0 means NO chroma residual was parsed — the dcZig
       // scratch may hold a previous MB's data (pooled), so it must not be
@@ -1403,7 +1454,7 @@ object H264Codec {
         while (k < 4) { dc(k) = dcZig(k); k += 1 }
         hadamard2x2(dc)
         k = 0
-        while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+        while (k < 4) { dc(k) = st.scal.deqChromaDc(dc(k), qpc, list); k += 1 }
       }
       val pred = predChroma8(plane, st.cw, mbX, mbY, chromaMode, hasL, hasT, hasTL)
       val cx0 = mbX * 8; val cy0 = mbY * 8
@@ -1416,7 +1467,7 @@ object H264Codec {
           var zi = 1
           while (zi < 16) {
             val pos = zigzag4x4(zi)
-            w(pos) = dequantAc(acZig(cb)(zi - 1), qpc, pos)
+            w(pos) = st.scal.deqAc(acZig(cb)(zi - 1), qpc, pos, list)
             zi += 1
           }
         }
@@ -1435,8 +1486,8 @@ object H264Codec {
         cb += 1
       }
     }
-    chroma(st.reconCb, cbDcZig, cbAcZig)
-    chroma(st.reconCr, crDcZig, crAcZig)
+    chroma(st.reconCb, cbDcZig, cbAcZig, LIntraCb)
+    chroma(st.reconCr, crDcZig, crAcZig, LIntraCr)
   }
 
   // ----------------------------------------------------- inter (P) path
@@ -2595,7 +2646,7 @@ object H264Codec {
     val sc = mcScratch.get()
     val qpc = chromaQp(qp + st.cqpOff)
     val x0 = mbX * 16; val y0 = mbY * 16
-    if (Simd.enabled) {
+    if (Simd.enabled && st.scal.flat) {
       // row-wise vector commit: spread the dequantised residual (if
       // any) into an MB-local buffer, then one clip(pred+res)+narrow
       // vector op per 16-sample luma / 8-sample chroma row — the
@@ -2758,7 +2809,7 @@ object H264Codec {
         var zi = 0
         while (zi < 16) {
           val z = zigs(zi)
-          if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qp, pos) }
+          if (z != 0) { val pos = zigzag4x4(zi); w(pos) = st.scal.deqAc(z, qp, pos, LInterY) }
           zi += 1
         }
         inverse4x4(w)
@@ -2789,7 +2840,7 @@ object H264Codec {
       blk += 1
     }
     def chromaRec(plane: Array[Byte], predC: Array[Int],
-        dcZig: Array[Int], acZig: Array[Array[Int]]): Unit = {
+        dcZig: Array[Int], acZig: Array[Array[Int]], list: Int): Unit = {
       val cbpChroma = if (mc == null) 0 else mc.cbpChroma
       val dc = new Array[Int](4)
       if (cbpChroma != 0) {
@@ -2797,7 +2848,7 @@ object H264Codec {
         while (k < 4) { dc(k) = dcZig(k); k += 1 }
         hadamard2x2(dc)
         k = 0
-        while (k < 4) { dc(k) = dequantChromaDc(dc(k), qpc); k += 1 }
+        while (k < 4) { dc(k) = st.scal.deqChromaDc(dc(k), qpc, list); k += 1 }
       }
       val cx0 = mbX * 8; val cy0 = mbY * 8
       if (cbpChroma == 0) {
@@ -2821,7 +2872,7 @@ object H264Codec {
           var zi = 1
           while (zi < 16) {
             val z = zigs(zi - 1)
-            if (z != 0) { val pos = zigzag4x4(zi); w(pos) = dequantAc(z, qpc, pos) }
+            if (z != 0) { val pos = zigzag4x4(zi); w(pos) = st.scal.deqAc(z, qpc, pos, list) }
             zi += 1
           }
         }
@@ -2843,9 +2894,11 @@ object H264Codec {
       }
     }
     chromaRec(st.reconCb, predCb,
-      if (mc == null) null else mc.cbDcZig, if (mc == null) null else mc.cbAcZig)
+      if (mc == null) null else mc.cbDcZig, if (mc == null) null else mc.cbAcZig,
+      LInterCb)
     chromaRec(st.reconCr, predCr,
-      if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig)
+      if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig,
+      LInterCr)
   }
 
   /** Decode-order geometry of the partitions of one P macroblock:
@@ -3088,7 +3141,7 @@ object H264Codec {
       var zi = 1
       while (zi < 16) {
         val pos = zigzag4x4(zi)
-        val z = quantAc(b(pos), qp, pos)
+        val z = st.scal.qAc(b(pos), qp, pos, LIntraY)
         mc.lumaAcZig(blk)(zi - 1) = z
         if (z != 0) anyLumaAc = true
         zi += 1
@@ -3099,7 +3152,7 @@ object H264Codec {
     var i = 0
     while (i < 16) { dcArr(i) = dcArr(i) / 2; i += 1 }
     i = 0
-    while (i < 16) { mc.lumaDcZig(i) = quantLumaDc(dcArr(zigzag4x4(i)), qp); i += 1 }
+    while (i < 16) { mc.lumaDcZig(i) = st.scal.qLumaDc(dcArr(zigzag4x4(i)), qp); i += 1 }
     mc.cbpLuma = if (anyLumaAc) 15 else 0
     // ---- chroma (shared with the Intra_4x4 MB analysis)
     val packed = analyseIntraChroma(st, mbX, mbY, qpc, srcCb, srcCr,
@@ -3160,7 +3213,7 @@ object H264Codec {
     var anyChromaAc = false
     var anyChromaDc = false
     def chroma(src: Array[Byte], plane: Array[Byte], dcZig: Array[Int],
-        acZig: Array[Array[Int]]): Unit = {
+        acZig: Array[Array[Int]], list: Int): Unit = {
       val pred = predChroma8(plane, st.cw, mbX, mbY, mode, hasL, hasT, hasTL)
       val dc = new Array[Int](4)
       var cb = 0
@@ -3182,7 +3235,7 @@ object H264Codec {
         var zi = 1
         while (zi < 16) {
           val pos = zigzag4x4(zi)
-          val z = quantAc(b(pos), qpc, pos)
+          val z = st.scal.qAc(b(pos), qpc, pos, list)
           acZig(cb)(zi - 1) = z
           if (z != 0) anyChromaAc = true
           zi += 1
@@ -3192,13 +3245,13 @@ object H264Codec {
       hadamard2x2(dc)
       var k = 0
       while (k < 4) {
-        dcZig(k) = quantChromaDc(dc(k), qpc)
+        dcZig(k) = st.scal.qChromaDc(dc(k), qpc, list)
         if (dcZig(k) != 0) anyChromaDc = true
         k += 1
       }
     }
-    chroma(srcCb, st.reconCb, cbDcZig, cbAcZig)
-    chroma(srcCr, st.reconCr, crDcZig, crAcZig)
+    chroma(srcCb, st.reconCb, cbDcZig, cbAcZig, LIntraCb)
+    chroma(srcCr, st.reconCr, crDcZig, crAcZig, LIntraCr)
     if (mode != 0) chromaModeCount.incrementAndGet()
     (if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0) | (mode << 2)
   }
@@ -3689,7 +3742,7 @@ object H264Codec {
       var zi = 0
       while (zi < 16) {
         val pos = zigzag4x4(zi)
-        val z = quantAc(b(pos), qp, pos)
+        val z = st.scal.qAc(b(pos), qp, pos, LInterY)
         mc.lumaZig(blk)(zi) = z
         if (z != 0) any = true
         zi += 1
@@ -3707,7 +3760,7 @@ object H264Codec {
         zi = 0
         while (zi < 16) {
           val pos = zigzag4x4(zi)
-          w(pos) = dequantAc(mc.lumaZig(blk)(zi), qp, pos)
+          w(pos) = st.scal.deqAc(mc.lumaZig(blk)(zi), qp, pos, LInterY)
           zi += 1
         }
         inverse4x4(w)
@@ -3729,7 +3782,7 @@ object H264Codec {
     var anyChromaAc = false
     var anyChromaDc = false
     def chroma(src: Array[Byte], predC: Array[Int], dcZig: Array[Int],
-        acZig: Array[Array[Int]]): Unit = {
+        acZig: Array[Array[Int]], list: Int): Unit = {
       val cx0 = mbX * 8; val cy0 = mbY * 8
       val dc = new Array[Int](4)
       var cb = 0
@@ -3750,7 +3803,7 @@ object H264Codec {
         var zi = 1
         while (zi < 16) {
           val pos = zigzag4x4(zi)
-          val z = quantAc(b(pos), qpc, pos)
+          val z = st.scal.qAc(b(pos), qpc, pos, list)
           acZig(cb)(zi - 1) = z
           if (z != 0) anyChromaAc = true
           zi += 1
@@ -3760,13 +3813,13 @@ object H264Codec {
       hadamard2x2(dc)
       var k = 0
       while (k < 4) {
-        dcZig(k) = quantChromaDc(dc(k), qpc)
+        dcZig(k) = st.scal.qChromaDc(dc(k), qpc, list)
         if (dcZig(k) != 0) anyChromaDc = true
         k += 1
       }
     }
-    chroma(srcCb, predCb, mc.cbDcZig, mc.cbAcZig)
-    chroma(srcCr, predCr, mc.crDcZig, mc.crAcZig)
+    chroma(srcCb, predCb, mc.cbDcZig, mc.cbAcZig, LInterCb)
+    chroma(srcCr, predCr, mc.crDcZig, mc.crAcZig, LInterCr)
     val cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
     mc.cbp = lumaBits | (cbpChroma << 4)
     if (mc.cbp == 0) null else mc
@@ -5846,9 +5899,11 @@ object H264Codec {
       parts: Boolean = false, wpEnabled: Boolean = false,
       spatialDirect: Boolean = true,
       aqp: Boolean = false, chromaModes: Boolean = false,
-      wpImplicitB: Boolean = false): (Seq[Array[Byte]], PicState) = {
+      wpImplicitB: Boolean = false,
+      scal: ScalingMatrices = ScalingMatrices.Flat): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
+    st.scal = scal
     // the picture's POC must be live DURING encoding, not set by the
     // caller afterwards: temporal direct's tb = poc_cur - poc_ref runs
     // inside the B-MB competition, and an encoder deriving with a stale
@@ -6281,7 +6336,7 @@ object H264Codec {
       parts: Boolean = false, weightedPred: Boolean = false,
       tdirect: Boolean = false, aqp: Boolean = false,
       chromaModes: Boolean = false,
-      wpImplicit: Boolean = false): Array[Byte] = {
+      wpImplicit: Boolean = false, cqm: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -6316,6 +6371,9 @@ object H264Codec {
     require(!(chromaModes && (pcm || multiRef || bframes || parts ||
         weightedPred || transform8x8)),
       "chromaModes rides the default I16/I4 + P-16x16 shape (one tier per stream)")
+    require(!(cqm && (pcm || multiRef || bframes || parts || weightedPred ||
+        transform8x8 || aqp || chromaModes)),
+      "cqm rides the default I16/I4 + P-16x16 shape (one tier per stream)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
       quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts,
@@ -6325,9 +6383,10 @@ object H264Codec {
     val numRefL0 = if (multiRef) 2 else 1
     val out = new java.io.ByteArrayOutputStream()
     out.write(H264Writer.nal(3, 7, codecSps(head.w, head.h,
-      high = transform8x8, maxRefFrames = numRefL0)))
+      high = transform8x8 || cqm, maxRefFrames = numRefL0, cqm = cqm)))
     out.write(H264Writer.nal(3, 8, codecPps(cabac, transform8x8, numRefL0,
       weightedPred)))
+    val scalM = if (cqm) cqmMatrices else ScalingMatrices.Flat
     // the cabac-init-fp token is MACHINE-CHECKABLE: decode() extracts it
     // and refuses a stream whose init-table fingerprint differs from the
     // decoding JVM's (ADVICE r12 — a table/JVM mismatch used to surface
@@ -6342,7 +6401,7 @@ object H264Codec {
         searchRange, halfPel, quarterPel,
         deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0,
         parts = parts, wpEnabled = weightedPred, aqp = aqp,
-        chromaModes = chromaModes)
+        chromaModes = chromaModes, scal = scalM)
       nals.foreach(out.write)
       refs.prepend(state)
       while (refs.size > numRefL0) refs.remove(refs.size - 1)
@@ -6355,7 +6414,10 @@ object H264Codec {
   private final case class CodecPps(picInitQp: Int, deblockingPresent: Boolean,
       cabac: Boolean, transform8x8: Boolean = false, numRefL0: Int = 1,
       weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
-      cqpOff: Int = 0)
+      cqpOff: Int = 0,
+      // pic_scaling_matrix lists, already resolved through fall-back
+      // rule B against the active SPS; None = the SPS lists (or flat)
+      scaling: Option[H264.ScalingLists] = None)
 
   /** §8.2.1.1 picture-order-count state (poc type 0): MSB wraparound
     * tracking against the previous REFERENCE picture. `compute` is
@@ -6384,8 +6446,12 @@ object H264Codec {
   private final case class DeblockOn(aOff: Int, bOff: Int,
       acrossSlices: Boolean) extends DeblockReq
 
-  /** the PPS fields the pixel decoder needs beyond [[H264.parsePps]] */
-  private def parseCodecPps(r: H264.BitReader): CodecPps = {
+  /** the PPS fields the pixel decoder needs beyond [[H264.parsePps]];
+    * `spsScaling` is the active SPS's resolved scaling lists (None =
+    * flat), the fall-back target of a pic_scaling_matrix (rule B)
+    */
+  private def parseCodecPps(r: H264.BitReader,
+      spsScaling: Option[H264.ScalingLists] = None): CodecPps = {
     r.ue; r.ue // pps_id, sps_id
     val cabac = r.u1 == 1 // entropy_coding_mode_flag
     r.u1       // pic_order_present
@@ -6411,11 +6477,14 @@ object H264Codec {
     r.u1 // redundant_pic_cnt_present
     // §7.3.2.2 extension (High profile): transform_8x8_mode_flag +
     // scaling-matrix flag + second chroma qp offset
+    var ppsScaling: Option[H264.ScalingLists] = None
     val t8 =
       if (!r.moreRbspData) false
       else {
         val t = r.u1 == 1
-        require(r.u1 == 0, "pic_scaling_matrix_present unsupported (flat only)")
+        if (r.u1 == 1) // pic_scaling_matrix_present_flag (§7.3.2.2)
+          ppsScaling = Some(H264.readScalingLists(r, 6 + (if (t) 2 else 0),
+            spsScaling.orNull))
         // a distinct Cr offset would need per-plane chroma QP threading;
         // streams repeating the shared offset (the common emission) pass
         require(r.se == cqpOff,
@@ -6424,7 +6493,7 @@ object H264Codec {
         t
       }
     CodecPps(picInitQp, deblk, cabac, t8, numRefL0, weightedPred,
-      weightedBipredIdc, cqpOff)
+      weightedBipredIdc, cqpOff, ppsScaling)
   }
 
   /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
@@ -6987,6 +7056,23 @@ object H264Codec {
       new PicState(mbW, mbH)
     }
     def reorderDepth: Int = if (sps != null && sps.pocType == 0) 1 else 0
+    // §8.5.9 active scaling matrices: PPS lists over SPS lists over flat,
+    // rebuilt (cheap: 6x6x16 + 2x6x64 multiplies) only when the resolved
+    // list object changes — i.e. once per SPS/PPS activation, not per
+    // picture
+    var scalCacheKey: AnyRef = null
+    var scalCache: ScalingMatrices = ScalingMatrices.Flat
+    def activeScal(): ScalingMatrices = {
+      val lists = pps.scaling.orElse(sps.scaling).orNull
+      if (lists == null) ScalingMatrices.Flat
+      else {
+        if (!(lists eq scalCacheKey)) {
+          scalCache = new ScalingMatrices(lists.s4, lists.s8)
+          scalCacheKey = lists
+        }
+        scalCache
+      }
+    }
     def emitMin(): Unit = {
       var best = 0
       var i = 1
@@ -7043,7 +7129,8 @@ object H264Codec {
       val nal = nals.next()
       nal.nalType match {
         case 7 => sps = H264.parseSps(new H264.BitReader(H264.rbsp(nal.bytes, 1)))
-        case 8 => pps = parseCodecPps(new H264.BitReader(H264.rbsp(nal.bytes, 1)))
+        case 8 => pps = parseCodecPps(new H264.BitReader(H264.rbsp(nal.bytes, 1)),
+          if (sps != null) sps.scaling else None)
         case 1 | 5 =>
           require(sps != null && pps != null, "VCL NAL before SPS/PPS")
           val rbsp = H264.rbsp(nal.bytes, 1)
@@ -7061,6 +7148,7 @@ object H264Codec {
               if (nal.nalType == 5) { pool ++= refs; refs.clear() } // IDR resets the DPB
               val mbW = (sps.width + 15) / 16; val mbH = (sps.height + 15) / 16
               cur = acquirePic(mbW, mbH)
+              cur.scal = activeScal()
               cur.curSlice = 0
               curIsRef = nal.refIdc != 0
             }

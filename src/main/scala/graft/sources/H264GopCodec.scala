@@ -30,7 +30,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     parts: Boolean = false, weightedPred: Boolean = false,
     tdirect: Boolean = false, aqp: Boolean = false,
     chromaModes: Boolean = false,
-    wpImplicit: Boolean = false) extends GopCodec {
+    wpImplicit: Boolean = false, cqm: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -54,7 +54,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     val stream = H264Codec.encode(yuvs, qp = qp, pcm = pcm, cabac = cabac,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
       parts = parts, weightedPred = weightedPred, tdirect = tdirect,
-      aqp = aqp, chromaModes = chromaModes, wpImplicit = wpImplicit)
+      aqp = aqp, chromaModes = chromaModes, wpImplicit = wpImplicit,
+      cqm = cqm)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -227,4 +228,14 @@ object H264GopCodec {
     * wpImplicit = true)`. */
   val WpImplicit: H264GopCodec = new H264GopCodec(qp = 12, bframes = true,
     wpImplicit = true)
+  /** scaling matrices / CQM (round 15, §7.3.2.1.1 + §8.5.9): the SPS
+    * carries the spec-default quantisation matrices (explicit
+    * delta_scale runs, the in-band use-default signal, AND fall-back
+    * rule A resolution — all three parse encodings on one stream), and
+    * every dequant weights per coefficient position through the
+    * §8.5.10-13 LevelScale formulas. The decoder accepts arbitrary
+    * SPS/PPS lists from any stream (PPS overriding SPS per rule B);
+    * this capability self-hosts the gate tier. CABAC variant via
+    * `new H264GopCodec(qp, cabac = true, cqm = true)`. */
+  val Cqm: H264GopCodec = new H264GopCodec(qp = 12, cqm = true)
 }

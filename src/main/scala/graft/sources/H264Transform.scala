@@ -266,6 +266,80 @@ object H264Transform {
     }
   }
 
+  // --------------------------------------- scaling matrices (CQM, §8.5.9)
+
+  /** default scaling lists, spec Tables 7-3/7-4, in ZIGZAG (scan) order —
+    * like the 8x8 V table these are transcribed from the published
+    * standard; the spec tests pin the parse fall-back rules and the
+    * encoder derives its weighted quantisers from the same arrays, so
+    * encode->decode round-trips exactly regardless
+    */
+  val default4Intra: Array[Int] =
+    Array(6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32, 32, 37, 37, 42)
+  val default4Inter: Array[Int] =
+    Array(10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27, 27, 30, 30, 34)
+  val default8Intra: Array[Int] = Array(
+    6, 10, 10, 13, 11, 13, 16, 16, 16, 16, 18, 18, 18, 18, 18, 23,
+    23, 23, 23, 23, 23, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 27, 29, 29, 29, 29, 29, 29, 29, 29, 31, 31, 31, 31,
+    31, 31, 31, 33, 33, 33, 33, 33, 33, 36, 36, 36, 36, 38, 38, 40)
+  val default8Inter: Array[Int] = Array(
+    9, 13, 13, 15, 13, 15, 17, 17, 17, 17, 19, 19, 19, 19, 19, 21,
+    21, 21, 21, 21, 21, 22, 22, 22, 22, 22, 22, 22, 24, 24, 24, 24,
+    24, 24, 24, 24, 25, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 28, 28, 28, 28, 28, 28, 30, 30, 30, 30, 32, 32, 33)
+  val flat16: Array[Int] = Array.fill(16)(16)
+  val flat64: Array[Int] = Array.fill(64)(16)
+
+  /** §8.5.12.1 4x4 AC dequant against a LevelScale raster row
+    * (ls(pos) = weightScale(pos) * normAdjust(qp%6, pos)); with flat
+    * weights (16) this equals [[dequantAc]] at every qp — the extra >>4
+    * is exactly the 16 (spec-pinned by H264ScalingMatrixSpec)
+    */
+  @inline def dequantAcLs(z: Int, qp: Int, ls: Array[Int], pos: Int): Int =
+    if (qp >= 24) (z * ls(pos)) << (qp / 6 - 4)
+    else (z * ls(pos) + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+
+  /** §8.5.10 Intra_16x16 luma DC scaling against LevelScale(qp%6, 0, 0) */
+  @inline def dequantLumaDcLs(fv: Int, qp: Int, ls00: Int): Int =
+    if (qp >= 36) (fv * ls00) << (qp / 6 - 6)
+    else (fv * ls00 + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+
+  /** §8.5.11 chroma DC scaling against LevelScale(qpc%6, 0, 0) */
+  @inline def dequantChromaDcLs(fv: Int, qpc: Int, ls00: Int): Int =
+    ((fv * ls00) << (qpc / 6)) >> 5
+
+  /** §8.5.13.1 8x8 dequant against a 64-entry LevelScale raster row */
+  @inline def dequantAc8Ls(z: Int, qp: Int, ls: Array[Int], pos: Int): Int =
+    if (qp >= 36) (z * ls(pos)) << (qp / 6 - 6)
+    else (z * ls(pos) + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+
+  /** build the six LevelScale4x4 raster rows (one per qp%6) for a
+    * raster-order weight row */
+  def ls4Rows(wRaster: Array[Int]): Array[Array[Int]] =
+    Array.tabulate(6)(m => Array.tabulate(16)(p => wRaster(p) * vTab(m)(posClass(p))))
+
+  def ls8Rows(wRaster: Array[Int]): Array[Array[Int]] =
+    Array.tabulate(6)(m => Array.tabulate(64)(p => wRaster(p) * v8Tab(m)(posClass8(p))))
+
+  /** weighted encoder multipliers: MF' = round(MF * 16 / weight), so the
+    * non-normative quantiser tracks the normative weighted dequant (flat
+    * weights reproduce the MF tables exactly); clamped >= 1 so huge
+    * weights can't zero the quantiser
+    */
+  def mf4Rows(wRaster: Array[Int]): Array[Array[Int]] =
+    Array.tabulate(6)(m => Array.tabulate(16)(p =>
+      math.max(1, math.round(mfTab(m)(posClass(p)) * 16.0 / wRaster(p)).toInt)))
+
+  def mf8Rows(wRaster: Array[Int]): Array[Array[Int]] =
+    Array.tabulate(6)(m => Array.tabulate(64)(p =>
+      math.max(1, math.round(mf8Tab(m)(posClass8(p)) * 16.0 / wRaster(p)).toInt)))
+
+  /** zigzag-order scaling list -> raster-order weights */
+  def zigToRaster(wZig: Array[Int]): Array[Int] =
+    if (wZig.length == 16) Array.tabulate(16)(p => wZig(zigzag4x4.indexOf(p)))
+    else Array.tabulate(64)(p => wZig(zigzag8x8.indexOf(p)))
+
   /** inverse 8x8 core transform (§8.5.13.2 butterflies) incl. the final
     * (x + 32) >> 6
     */
@@ -305,4 +379,101 @@ object H264Transform {
       pass += 1
     }
   }
+}
+
+/** the active scaling matrices of one picture (§7.4.2.1.1 / §8.5.9):
+  * six 4x4 lists (Intra Y/Cb/Cr, Inter Y/Cb/Cr) and two 8x8 lists
+  * (Intra Y, Inter Y — 4:2:0), held as raster-order weight rows with the
+  * derived LevelScale and weighted-MF rasters per qp%6. The [[flat]]
+  * singleton (all 16s) delegates every call to the pre-CQM fast paths,
+  * keeping non-CQM streams byte- and cycle-identical (incl. the SIMD
+  * batched dequant, which the codec gates on `scal.flat`).
+  *
+  * List indexing follows the spec: 0 IntraY, 1 IntraCb, 2 IntraCr,
+  * 3 InterY, 4 InterCb, 5 InterCr; 8x8: 0 intra, 1 inter.
+  */
+final class ScalingMatrices(w4Zig: Array[Array[Int]], w8Zig: Array[Array[Int]]) {
+  import H264Transform._
+  require(w4Zig.length == 6 && w4Zig.forall(_.length == 16),
+    "need six 16-entry 4x4 scaling lists")
+  require(w8Zig.length == 2 && w8Zig.forall(_.length == 64),
+    "need two 64-entry 8x8 scaling lists")
+  w4Zig.foreach(_.foreach(w => require(w >= 1 && w <= 255, s"weight $w out of [1,255]")))
+  w8Zig.foreach(_.foreach(w => require(w >= 1 && w <= 255, s"weight $w out of [1,255]")))
+
+  /** raster-order weights, exposed for the spec tests */
+  private[sources] val w4: Array[Array[Int]] = w4Zig.map(zigToRaster)
+  private[sources] val w8: Array[Array[Int]] = w8Zig.map(zigToRaster)
+
+  val flat: Boolean =
+    w4.forall(_.forall(_ == 16)) && w8.forall(_.forall(_ == 16))
+
+  // LevelScale / weighted-MF rasters [list][qp%6][pos] — only built for
+  // non-flat matrices (the flat singleton never reads them)
+  private val ls4: Array[Array[Array[Int]]] = if (flat) null else w4.map(ls4Rows)
+  private val ls8: Array[Array[Array[Int]]] = if (flat) null else w8.map(ls8Rows)
+  private val mf4: Array[Array[Array[Int]]] = if (flat) null else w4.map(mf4Rows)
+  private val mf8: Array[Array[Array[Int]]] = if (flat) null else w8.map(mf8Rows)
+
+  @inline def deqAc(z: Int, qp: Int, pos: Int, list: Int): Int =
+    if (flat) dequantAc(z, qp, pos)
+    else dequantAcLs(z, qp, ls4(list)(qp % 6), pos)
+
+  /** Intra_16x16 luma DC (always list 0 — I16 MBs are intra by definition) */
+  @inline def deqLumaDc(fv: Int, qp: Int): Int =
+    if (flat) dequantLumaDc(fv, qp)
+    else dequantLumaDcLs(fv, qp, ls4(0)(qp % 6)(0))
+
+  @inline def deqChromaDc(fv: Int, qpc: Int, list: Int): Int =
+    if (flat) dequantChromaDc(fv, qpc)
+    else dequantChromaDcLs(fv, qpc, ls4(list)(qpc % 6)(0))
+
+  @inline def deqAc8(z: Int, qp: Int, pos: Int, list: Int): Int =
+    if (flat) dequantAc8(z, qp, pos)
+    else dequantAc8Ls(z, qp, ls8(list)(qp % 6), pos)
+
+  // -- encoder side (non-normative; tracks the weighted dequant exactly
+  //    the way the flat MF tables track the flat V tables)
+
+  def qAc(c: Int, qp: Int, pos: Int, list: Int): Int =
+    if (flat) quantAc(c, qp, pos)
+    else {
+      val qbits = 15 + qp / 6
+      val f = (1 << qbits) / 3
+      val z = ((math.abs(c).toLong * mf4(list)(qp % 6)(pos) + f) >> qbits).toInt
+      if (c < 0) -z else z
+    }
+
+  def qLumaDc(had2: Int, qp: Int): Int =
+    if (flat) quantLumaDc(had2, qp)
+    else {
+      val qbits = 15 + qp / 6
+      val f = (1 << qbits) / 3
+      val z = ((math.abs(had2).toLong * mf4(0)(qp % 6)(0) + 2 * f) >> (qbits + 1)).toInt
+      if (had2 < 0) -z else z
+    }
+
+  def qChromaDc(had: Int, qpc: Int, list: Int): Int =
+    if (flat) quantChromaDc(had, qpc)
+    else {
+      val qbits = 15 + qpc / 6
+      val f = (1 << qbits) / 3
+      val z = ((math.abs(had).toLong * mf4(list)(qpc % 6)(0) + 2 * f) >> (qbits + 1)).toInt
+      if (had < 0) -z else z
+    }
+
+  def qAc8(c: Int, qp: Int, pos: Int, list: Int): Int =
+    if (flat) quantAc8(c, qp, pos)
+    else {
+      val qbits = 16 + qp / 6
+      val f = (1 << qbits) / 3
+      val z = ((math.abs(c).toLong * mf8(list)(qp % 6)(pos) + f) >> qbits).toInt
+      if (c < 0) -z else z
+    }
+}
+
+object ScalingMatrices {
+  /** the flat (all-16) matrices every pre-CQM stream decodes under */
+  val Flat: ScalingMatrices = new ScalingMatrices(
+    Array.fill(6)(H264Transform.flat16), Array.fill(2)(H264Transform.flat64))
 }
