@@ -589,6 +589,14 @@ object VideoQueries {
           "cabaccqvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             cqm = true), // CABAC + scaling matrices
           "cavlccqvid", graft.sources.H264GopCodec.Cqm)) // CAVLC + scaling matrices
+        // round 15: ref_pic_list_modification — every P slice moves the
+        // older multiRef reference to refIdx 0 via a §8.2.4.3 short-term
+        // op; both entropy layers code against the same reordered list
+        // and must reconstruct identical pixels
+        .unionAll(diffRelation("reorder",
+          "cabacrovid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            multiRef = true, reorder = true), // CABAC + list modification
+          "cavlcrovid", graft.sources.H264GopCodec.Reorder)) // CAVLC + list modification
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -946,7 +954,7 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at ALL TWELVE tiers: every frame fully
+    // the cross-entropy invariant at ALL THIRTEEN tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
     // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
@@ -958,11 +966,12 @@ object VideoQueries {
     // content cut, 'aqp' = per-MB mb_qp_delta through dequant+deblock,
     // 'chroma' = §8.3.4 H/V/plane chroma intra modes, 'wpimplicit' =
     // §8.4.2.3.1 POC-derived bi weights on an I B B P ladder,
-    // 'cqm' = §8.5.9 scaling matrices weighting every dequant)
+    // 'cqm' = §8.5.9 scaling matrices weighting every dequant,
+    // 'reorder' = §8.2.4.3 ref_pic_list_modification on every P slice)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['aqp', 'bslice', 'chroma', 'cqm', 'default', 'high', 'multiref', 'parts', 'scenecut', 'tdirect', 'wp', 'wpimplicit']) AS tier) t,
+        |FROM (SELECT UNNEST(['aqp', 'bslice', 'chroma', 'cqm', 'default', 'high', 'multiref', 'parts', 'reorder', 'scenecut', 'tdirect', 'wp', 'wpimplicit']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

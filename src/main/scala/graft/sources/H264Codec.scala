@@ -362,6 +362,9 @@ object H264Codec {
     // picture order count (display order, §8.2.1) — drives B-slice
     // default reference-list ordering and the decoder's output reorder
     var poc: Int = 0
+    // frame_num as coded (mod MaxFrameNum) — the §8.2.4.3.1 short-term
+    // picNum this picture resolves to in ref_pic_list_modification
+    var frameNum: Int = 0
     // per-MB qp + I_PCM flag, for deblocking-filter strength/thresholds
     // (§8.7: an I_PCM macroblock filters as qp 0)
     val mbQp = new Array[Int](mbW * mbH)
@@ -5900,10 +5903,19 @@ object H264Codec {
       spatialDirect: Boolean = true,
       aqp: Boolean = false, chromaModes: Boolean = false,
       wpImplicitB: Boolean = false,
-      scal: ScalingMatrices = ScalingMatrices.Flat): (Seq[Array[Byte]], PicState) = {
+      scal: ScalingMatrices = ScalingMatrices.Flat,
+      reorderL0: Boolean = false): (Seq[Array[Byte]], PicState) = {
     val mbW = (yuv.w + 15) / 16; val mbH = (yuv.h + 15) / 16
     val st = new PicState(mbW, mbH)
     st.scal = scal
+    st.frameNum = (if (frameNum >= 0) frameNum else frameIdx) % (1 << 12)
+    // the reorder capability swaps the two most-recent references and
+    // SIGNALS the swap via ref_pic_list_modification — analysis, coded
+    // ref_idx, and the decoder's §8.2.4.3 reordering all see the same
+    // list, so the closed loop stays exact
+    val refsL0: IndexedSeq[PicState] =
+      if (reorderL0 && refs.size >= 2) IndexedSeq(refs(1), refs(0)) ++ refs.drop(2)
+      else refs
     // the picture's POC must be live DURING encoding, not set by the
     // caller afterwards: temporal direct's tb = poc_cur - poc_ref runs
     // inside the B-MB competition, and an encoder deriving with a stale
@@ -5975,7 +5987,15 @@ object H264Codec {
           bw.u1(1)             // num_ref_idx_active_override_flag
           bw.ue(numRefActive - 1)
         } else bw.u1(0)
-        bw.u1(0)               // ref_pic_list_modification_flag_l0
+        if (reorderL0 && refs.size >= 2) {
+          // §7.3.3.1: one short-term op moves the older reference to
+          // refIdx 0 (picNum = CurrPicNum - absDiff), then end
+          bw.u1(1)             // ref_pic_list_modification_flag_l0
+          val maxPic = 1 << 12
+          val absDiff = ((st.frameNum - refs(1).frameNum) % maxPic + maxPic) % maxPic
+          bw.ue(0); bw.ue(absDiff - 1)
+          bw.ue(3)
+        } else bw.u1(0)        // ref_pic_list_modification_flag_l0
         if (wpCtx != null) {   // pred_weight_table (§7.3.3.2)
           bw.ue(wpCtx.lumaLog2)
           bw.ue(wpCtx.chromaLog2)
@@ -6011,7 +6031,7 @@ object H264Codec {
             searchRange, halfPel, quarterPel, startMb, endMb, spatialDirect,
             wpCtx)
         else if (pSlice)
-          encodePRangeCabac(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
+          encodePRangeCabac(st, refsL0, bw, qp, srcY, srcCb, srcCr, searchRange,
             halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
             aqp)
         else
@@ -6021,7 +6041,7 @@ object H264Codec {
         encodeBRange(st, refs, l1, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, spatialDirect, wpCtx)
       else if (pSlice)
-        encodePRange(st, refs, bw, qp, srcY, srcCb, srcCr, searchRange,
+        encodePRange(st, refsL0, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
           aqp)
       else
@@ -6336,7 +6356,8 @@ object H264Codec {
       parts: Boolean = false, weightedPred: Boolean = false,
       tdirect: Boolean = false, aqp: Boolean = false,
       chromaModes: Boolean = false,
-      wpImplicit: Boolean = false, cqm: Boolean = false): Array[Byte] = {
+      wpImplicit: Boolean = false, cqm: Boolean = false,
+      reorder: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "empty GOP")
     val head = frames.head
     require(head.w % 2 == 0 && head.h % 2 == 0, "4:2:0 requires even dimensions")
@@ -6374,6 +6395,8 @@ object H264Codec {
     require(!(cqm && (pcm || multiRef || bframes || parts || weightedPred ||
         transform8x8 || aqp || chromaModes)),
       "cqm rides the default I16/I4 + P-16x16 shape (one tier per stream)")
+    require(!reorder || multiRef,
+      "reorder rides the multiRef tier (a 1-deep DPB has nothing to reorder)")
     frames.foreach(f => require(f.w == head.w && f.h == head.h, "frames must share dims"))
     if (bframes) return encodeBGop(frames, qp, searchRange, halfPel,
       quarterPel, deblock, slicesPerFrame, cabac, transform8x8, parts,
@@ -6401,7 +6424,7 @@ object H264Codec {
         searchRange, halfPel, quarterPel,
         deblock && !pcm, slicesPerFrame, cabac, transform8x8, numRefL0,
         parts = parts, wpEnabled = weightedPred, aqp = aqp,
-        chromaModes = chromaModes, scal = scalM)
+        chromaModes = chromaModes, scal = scalM, reorderL0 = reorder)
       nals.foreach(out.write)
       refs.prepend(state)
       while (refs.size > numRefL0) refs.remove(refs.size - 1)
@@ -6548,6 +6571,67 @@ object H264Codec {
     * slice's deblocking request (the caller collects one per slice and
     * arbitrates at picture completion)
     */
+  /** §7.3.3.1 ref_pic_list_modification for one list + the §8.2.4.3
+    * reordering process: short-term ops (idc 0/1) walk picNumPred by
+    * abs_diff_pic_num over the MaxPicNum wrap, locate the target in the
+    * DPB by picNum (frame coding: picNum = frame_num, wrapped below the
+    * current), and insert it at the next refIdx with the later duplicate
+    * removed (§8.2.4.3.2). Long-term ops (idc 2) are refused loudly —
+    * this decoder marks no long-term references, so a conforming stream
+    * can't address one. Returns the modified list truncated to
+    * numRefActive. The flag itself has already been read by the caller.
+    */
+  private def parseRefListMod(r: H264.BitReader, init: IndexedSeq[PicState],
+      dpb: IndexedSeq[PicState], numRefActive: Int, curPicNum: Int,
+      maxPicNum: Int): IndexedSeq[PicState] = {
+    val list = scala.collection.mutable.ArrayBuffer.from(init)
+    var refIdx = 0
+    var picNumPred = curPicNum
+    var continue = true
+    var ops = 0
+    while (continue) {
+      val idc = r.ue
+      idc match {
+        case 0 | 1 =>
+          val absDiff = r.ue + 1
+          require(absDiff <= maxPicNum / 2,
+            s"abs_diff_pic_num $absDiff out of range (MaxPicNum $maxPicNum)")
+          var noWrap = if (idc == 0) picNumPred - absDiff else picNumPred + absDiff
+          if (noWrap < 0) noWrap += maxPicNum
+          else if (noWrap >= maxPicNum) noWrap -= maxPicNum
+          picNumPred = noWrap
+          val picNum = if (noWrap > curPicNum) noWrap - maxPicNum else noWrap
+          def pn(p: PicState): Int =
+            if (p.frameNum > curPicNum) p.frameNum - maxPicNum else p.frameNum
+          val pic = dpb.find(pn(_) == picNum).getOrElse(sys.error(
+            s"ref_pic_list_modification targets picNum $picNum, not in the " +
+              s"DPB (${dpb.map(pn).mkString(",")})"))
+          list.insert(refIdx, pic)
+          var i = refIdx + 1
+          var removed = false
+          while (i < list.length && !removed) {
+            if (list(i) eq pic) { list.remove(i); removed = true } else i += 1
+          }
+          refIdx += 1
+          ops += 1
+        case 2 => sys.error("long-term ref_pic_list_modification unsupported " +
+          "(no long-term references are ever marked)")
+        case 3 => continue = false
+        case other => sys.error(s"modification_of_pic_nums_idc $other invalid")
+      }
+      require(ops <= maxPicNum, "runaway ref_pic_list_modification")
+    }
+    refModCount.addAndGet(ops.toLong)
+    require(list.length >= numRefActive,
+      s"modified reference list (${list.length}) shorter than " +
+        s"num_ref_idx_active $numRefActive")
+    list.take(numRefActive).toIndexedSeq
+  }
+
+  /** modification ops applied per decoded slice — engagement counter for
+    * the reorder tier specs */
+  val refModCount = new java.util.concurrent.atomic.AtomicLong
+
   private def decodeSlice(rbsp: Array[Byte], sps: H264.Sps, pps: CodecPps,
       nalType: Int, refIdc: Int, st: PicState,
       refs: IndexedSeq[PicState], pocCtx: PocCtx): DeblockReq = {
@@ -6562,6 +6646,7 @@ object H264Codec {
     require(isI || isP || isB, s"slice_type $sliceType unsupported (I/P/B only)")
     r.ue // pps_id
     val frameNum = r.u(sps.log2MaxFrameNum)
+    st.frameNum = frameNum // short-term picNum for list modification
     val idr = nalType == 5
     if (idr) r.ue // idr_pic_id
     sps.pocType match {
@@ -6583,31 +6668,42 @@ object H264Codec {
     // default B reference list order (§8.2.4.2.3): L0 = closer-past
     // first then future, L1 = closer-future first then past; the P list
     // (decode-order recency) stays as passed
-    lazy val bL0: IndexedSeq[PicState] =
+    lazy val bL0Init: IndexedSeq[PicState] =
       refs.filter(_.poc < st.poc).sortBy(-_.poc) ++
         refs.filter(_.poc > st.poc).sortBy(_.poc)
-    lazy val bL1: IndexedSeq[PicState] =
+    lazy val bL1Init: IndexedSeq[PicState] =
       refs.filter(_.poc > st.poc).sortBy(_.poc) ++
         refs.filter(_.poc < st.poc).sortBy(-_.poc)
     // num_ref_idx_lX_active: the PPS default unless the slice overrides
     var numRefActive = pps.numRefL0
     var numRefActiveL1 = 1
+    // the lists the slice actually predicts from, after any §8.2.4.3
+    // ref_pic_list_modification (round 15 — previously refused)
+    var pL0: IndexedSeq[PicState] = refs
+    var bL0: IndexedSeq[PicState] = null
+    var bL1: IndexedSeq[PicState] = null
+    val maxPicNum = 1 << sps.log2MaxFrameNum
     if (isP) {
       if (r.u1 == 1) numRefActive = r.ue + 1 // override -> l0_active_minus1
-      require(r.u1 == 0, "ref_pic_list_modification not supported")
       require(numRefActive <= refs.length,
         s"num_ref_idx_l0_active $numRefActive exceeds the ${refs.length} " +
-          "decoded reference(s) (default L0 order; no list modification)")
+          "decoded reference(s)")
+      if (r.u1 == 1) // ref_pic_list_modification_flag_l0
+        pL0 = parseRefListMod(r, refs, refs, numRefActive, frameNum, maxPicNum)
     } else if (isB) {
       if (r.u1 == 1) { numRefActive = r.ue + 1; numRefActiveL1 = r.ue + 1 }
       else numRefActive = pps.numRefL0
       require(numRefActive == 1 && numRefActiveL1 == 1,
         s"B list actives ($numRefActive,$numRefActiveL1) unsupported " +
           "(1-deep lists; 16x16 subset)")
-      require(r.u1 == 0, "ref_pic_list_modification (l0) not supported")
-      require(r.u1 == 0, "ref_pic_list_modification (l1) not supported")
-      require(bL0.nonEmpty && bL1.nonEmpty,
+      require(bL0Init.nonEmpty && bL1Init.nonEmpty,
         "B slice without both a past and a future reference picture")
+      bL0 = if (r.u1 == 1) // ref_pic_list_modification_flag_l0
+        parseRefListMod(r, bL0Init, refs, numRefActive, frameNum, maxPicNum)
+      else bL0Init
+      bL1 = if (r.u1 == 1) // ref_pic_list_modification_flag_l1
+        parseRefListMod(r, bL1Init, refs, numRefActiveL1, frameNum, maxPicNum)
+      else bL1Init
     }
     // §7.3.3: pred_weight_table rides P slices under weighted_pred_flag
     // and B slices under weighted_bipred_idc == 1 (explicit); idc 2
@@ -6660,7 +6756,7 @@ object H264Codec {
     if (pps.cabac) {
       if (isP) require(refs.nonEmpty,
         "P slice with no reference picture (stream must open with an IDR)")
-      decodeSliceDataCabac(r, st, if (isB) bL0 else refs, isP, qp, firstMb,
+      decodeSliceDataCabac(r, st, if (isB) bL0 else pL0, isP, qp, firstMb,
         cabacInitIdc, t8pps = pps.transform8x8, numRefActive = numRefActive,
         isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty, wp = wp,
         spatialDirect = spatialDirect)
@@ -6750,7 +6846,7 @@ object H264Codec {
           st.sliceOfMb(mb) = st.curSlice
           val (sx, sy) = skipMv(st, mbX, mbY)
           clearNz(st, mbX, mbY)
-          reconstructPMb(st, refs(0), mbX, mbY, qp, sx, sy, null, wp = wp)
+          reconstructPMb(st, pL0(0), mbX, mbY, qp, sx, sy, null, wp = wp)
           mb += 1
           skipRun -= 1
         }
@@ -6794,7 +6890,7 @@ object H264Codec {
               m
             }
             if (mc == null) clearNz(st, mbX, mbY)
-            reconstructPMb(st, refs(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
+            reconstructPMb(st, pL0(refIdx), mbX, mbY, qp, mvx, mvy, mc, refIdx, wp)
           } else {
             // Sub-16x16 partitions (§7.3.5.1/.2 syntax order: sub_mb_type
             // x4, then ref_idx per MB partition, then mvd per partition
@@ -6822,7 +6918,7 @@ object H264Codec {
               val (px, py, _, _) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
               val mvx = px + dx; val mvy = py + dy
               st.setMotion4(bx4, by4, w4, h4, refIdx, mvx, mvy, -1, 0, 0,
-                refs(refIdx).poc)
+                pL0(refIdx).poc)
               InterPart(ox4, oy4, w4, h4, refIdx, mvx, mvy)
             }
             val cbpCode = r.ue
@@ -6836,7 +6932,7 @@ object H264Codec {
               m
             }
             if (mc == null) clearNz(st, mbX, mbY)
-            reconstructInterParts(st, refs, refs, mbX, mbY, qp, parts, mc, wp)
+            reconstructInterParts(st, pL0, pL0, mbX, mbY, qp, parts, mc, wp)
           }
           mb += 1
           }

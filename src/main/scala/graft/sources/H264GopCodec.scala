@@ -30,7 +30,8 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     parts: Boolean = false, weightedPred: Boolean = false,
     tdirect: Boolean = false, aqp: Boolean = false,
     chromaModes: Boolean = false,
-    wpImplicit: Boolean = false, cqm: Boolean = false) extends GopCodec {
+    wpImplicit: Boolean = false, cqm: Boolean = false,
+    reorder: Boolean = false) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -55,7 +56,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
       parts = parts, weightedPred = weightedPred, tdirect = tdirect,
       aqp = aqp, chromaModes = chromaModes, wpImplicit = wpImplicit,
-      cqm = cqm)
+      cqm = cqm, reorder = reorder)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -238,4 +239,15 @@ object H264GopCodec {
     * this capability self-hosts the gate tier. CABAC variant via
     * `new H264GopCodec(qp, cabac = true, cqm = true)`. */
   val Cqm: H264GopCodec = new H264GopCodec(qp = 12, cqm = true)
+  /** ref_pic_list_modification (round 15, §7.3.3.1 + §8.2.4.3): the
+    * multiRef tier with every P slice moving the OLDER of its two
+    * references to refIdx 0 via a short-term modification op — the
+    * encoder's analysis, the coded ref_idx bits, and the decoder's
+    * reordering process all see the same swapped list. The decoder
+    * applies arbitrary short-term modification sequences from any
+    * stream (P and both B lists); long-term ops are refused loudly.
+    * CABAC variant via `new H264GopCodec(qp, cabac = true,
+    * multiRef = true, reorder = true)`. */
+  val Reorder: H264GopCodec = new H264GopCodec(qp = 12, multiRef = true,
+    reorder = true)
 }
