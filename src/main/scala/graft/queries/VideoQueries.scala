@@ -597,6 +597,23 @@ object VideoQueries {
           "cabacrovid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
             multiRef = true, reorder = true), // CABAC + list modification
           "cavlcrovid", graft.sources.H264GopCodec.Reorder)) // CAVLC + list modification
+        // round 15: multi-slice pictures — two slices per picture with
+        // §7.4.4 cross-slice neighbour unavailability; both entropy
+        // layers split at the same MB row and must agree on every pixel
+        // including the slice-seam deblocking
+        .unionAll(diffRelation("slices",
+          "cabacslvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            slicesPerFrame = 2), // CABAC + 2 slices/picture
+          "cavlcslvid", graft.sources.H264GopCodec.Slices2)) // CAVLC + 2 slices/picture
+        // round 15: B partitions — B frames compete 16x8/8x16/B_8x8
+        // with per-partition L0/L1/Bi selection (Table 7-14/7-18); the
+        // mb_type/sub_mb_type trees differ per layer (ue vs the 9-37/
+        // 9-38 bins) but the chosen shapes and pixels must match
+        .unionAll(diffRelation("bparts",
+          "cabacbpvid", new graft.sources.H264GopCodec(qp = 12, cabac = true,
+            bframes = true, parts = true), // CABAC + B partitions
+          "cavlcbpvid", new graft.sources.H264GopCodec(qp = 12,
+            bframes = true, parts = true))) // CAVLC + B partitions
         .orderBy("tier", "streamId", "index")
     }),
 
@@ -954,7 +971,7 @@ object VideoQueries {
         |  CAST((y * (CASE WHEN sid = 0 THEN 12 ELSE 6 END) + x) * 3 + k AS BIGINT) AS pos,
         |  CAST(px AS INT) AS pixel
         |FROM v ORDER BY 1, 2, 5""".stripMargin,
-    // the cross-entropy invariant at ALL THIRTEEN tiers: every frame fully
+    // the cross-entropy invariant at ALL FIFTEEN tiers: every frame fully
     // decoded, zero pixel diffs between the CABAC and CAVLC stores
     // ('default' = 4x4-only, 'high' = transform8x8 + cat-5 contexts,
     // 'multiref' = 2-deep DPB + per-MB ref_idx_l0, 'bslice' = IBPBP
@@ -967,11 +984,13 @@ object VideoQueries {
     // 'chroma' = §8.3.4 H/V/plane chroma intra modes, 'wpimplicit' =
     // §8.4.2.3.1 POC-derived bi weights on an I B B P ladder,
     // 'cqm' = §8.5.9 scaling matrices weighting every dequant,
-    // 'reorder' = §8.2.4.3 ref_pic_list_modification on every P slice)
+    // 'reorder' = §8.2.4.3 ref_pic_list_modification on every P slice,
+    // 'slices' = two slices per picture with §7.4.4 seam availability,
+    // 'bparts' = Table 7-14/7-18 B partitions with per-part L0/L1/Bi)
     "video_h264_cabac_roundtrip" ->
       """SELECT t.tier, a.range AS "streamId", b.range AS "index",
         |  1152::BIGINT AS n_pixels, 0::BIGINT AS n_diff
-        |FROM (SELECT UNNEST(['aqp', 'bslice', 'chroma', 'cqm', 'default', 'high', 'multiref', 'parts', 'reorder', 'scenecut', 'tdirect', 'wp', 'wpimplicit']) AS tier) t,
+        |FROM (SELECT UNNEST(['aqp', 'bparts', 'bslice', 'chroma', 'cqm', 'default', 'high', 'multiref', 'parts', 'reorder', 'scenecut', 'slices', 'tdirect', 'wp', 'wpimplicit']) AS tier) t,
         |  range(0,2) a, range(0,48) b ORDER BY 1, 2, 3""".stripMargin,
     "video_sparse_gather" ->
       """WITH px AS (

@@ -91,6 +91,9 @@ object H264Codec {
   /** partitioned P MBs emitted by the most recent encodes (specs assert
     * the 16x8/8x16/8x8 competition actually engages on divergent motion) */
   private[graft] val partMbCount = new java.util.concurrent.atomic.AtomicLong
+  /** partitioned B MBs decoded/emitted (round 15: the Table 7-14
+    * two-partition types and B_8x8 sub-MBs) */
+  private[graft] val bPartMbCount = new java.util.concurrent.atomic.AtomicLong
   /** direct/skip B MBs emitted by the most recent encodes (specs assert
     * the direct candidate actually wins where its derivation is exact) */
   private[graft] val directBCount = new java.util.concurrent.atomic.AtomicLong
@@ -2934,6 +2937,132 @@ object H264Codec {
       ref0: Int, mv0x: Int, mv0y: Int,
       ref1: Int = -1, mv1x: Int = 0, mv1y: Int = 0)
 
+  /** Table 7-14 two-partition B types (mbType 4..21): prediction mode of
+    * the first and second partition (1 L0, 2 L1, 3 Bi) and the shape —
+    * the nine (L0/L1/Bi)^2 pairs each in 16x8 then 8x16 order */
+  private val bPartPairs: Array[(Int, Int)] = Array((1, 1), (2, 2), (1, 2),
+    (2, 1), (1, 3), (2, 3), (3, 1), (3, 2), (3, 3))
+  private def bPartModes(mbType: Int): (Int, Int, Boolean) = {
+    val (m0, m1) = bPartPairs((mbType - 4) / 2)
+    (m0, m1, mbType % 2 == 0)
+  }
+  /** the encoder's inverse: two partition modes + shape -> Table 7-14 type */
+  private def bTwoPartType(m0: Int, m1: Int, is16x8: Boolean): Int =
+    4 + 2 * bPartPairs.indexOf((m0, m1)) + (if (is16x8) 0 else 1)
+
+  /** Table 7-18 B sub_mb_type: (mode 0 direct / 1 L0 / 2 L1 / 3 Bi,
+    * sub-partition w4, h4) */
+  private def bSubMbShape(t: Int): (Int, Int, Int) = t match {
+    case 0 => (0, 2, 2)
+    case 1 => (1, 2, 2)
+    case 2 => (2, 2, 2)
+    case 3 => (3, 2, 2)
+    case 4 => (1, 2, 1)
+    case 5 => (1, 1, 2)
+    case 6 => (2, 2, 1)
+    case 7 => (2, 1, 2)
+    case 8 => (3, 2, 1)
+    case 9 => (3, 1, 2)
+    case 10 => (1, 1, 1)
+    case 11 => (2, 1, 1)
+    case 12 => (3, 1, 1)
+    case other => sys.error(s"B sub_mb_type $other out of the Table 7-18 range")
+  }
+  /** sub-partition offsets within one 8x8 quadrant for a (w4, h4) shape */
+  private def subPartOffsets(w4: Int, h4: Int): Seq[(Int, Int)] = (w4, h4) match {
+    case (2, 2) => Seq((0, 0))
+    case (2, 1) => Seq((0, 0), (0, 1))
+    case (1, 2) => Seq((0, 0), (1, 0))
+    case _      => Seq((0, 0), (1, 0), (0, 1), (1, 1))
+  }
+
+  /** one partition of a parsed-but-not-yet-derived B MB: geometry, the
+    * Table 7-14/7-18 prediction mode, the owning quadrant (for direct
+    * sub-MBs), and the raw mvds (list-major in the bitstream) */
+  private final case class BRawPart(ox4: Int, oy4: Int, w4: Int, h4: Int,
+      mode: Int, quadIdx: Int,
+      d0x: Int = 0, d0y: Int = 0, d1x: Int = 0, d1y: Int = 0)
+
+  /** collect the raw partitions of a partitioned B MB (mbType 4..22):
+    * geometry + prediction modes from the type tables, then the mvds in
+    * §7.3.5.1 BITSTREAM order — every mvd_l0 first, then every mvd_l1 —
+    * via the entropy-layer callback (MB-relative offset + shape + list,
+    * so the CABAC side can update its mvd context state in exactly this
+    * order). Derivation order is [[deriveBParts]]'s job, not this one's.
+    */
+  private def readBRawParts(mbType: Int, subTypes: Array[Int],
+      readMvdPair: (Int, Int, Int, Int, Int) => (Int, Int)): Seq[BRawPart] = {
+    val skel: Seq[BRawPart] =
+      if (mbType <= 21) {
+        val (m0, m1, is16x8) = bPartModes(mbType)
+        val geo =
+          if (is16x8) Seq((0, 0, 4, 2), (0, 2, 4, 2))
+          else Seq((0, 0, 2, 4), (2, 0, 2, 4))
+        geo.zip(Seq(m0, m1)).map { case ((ox, oy, w, h), m) =>
+          BRawPart(ox, oy, w, h, m, 0)
+        }
+      } else
+        (0 until 4).flatMap { q =>
+          val (mode, w4, h4) = bSubMbShape(subTypes(q))
+          val qx = (q & 1) * 2; val qy = (q >> 1) * 2
+          if (mode == 0) Seq(BRawPart(qx, qy, 2, 2, 0, q))
+          else subPartOffsets(w4, h4).map { case (ox, oy) =>
+            BRawPart(qx + ox, qy + oy, w4, h4, mode, q)
+          }
+        }
+    val withL0 = skel.map { p =>
+      if (p.mode == 1 || p.mode == 3) {
+        val (dx, dy) = readMvdPair(p.ox4, p.oy4, p.w4, p.h4, 0)
+        p.copy(d0x = dx, d0y = dy)
+      } else p
+    }
+    withL0.map { p =>
+      if (p.mode >= 2) {
+        val (dx, dy) = readMvdPair(p.ox4, p.oy4, p.w4, p.h4, 1)
+        p.copy(d1x = dx, d1y = dy)
+      } else p
+    }
+  }
+
+  /** §8.4.1.3 motion derivation of a partitioned B MB: runs in PARTITION
+    * decode order (the bitstream groups mvds list-major, but each
+    * partition's predictor samples the final motion of every earlier
+    * partition — both lists), records motion per partition, and returns
+    * the reconstruction-ready parts. `dm` carries the direct-derivation
+    * for B_Direct_8x8 sub-MBs (null when none occur). */
+  private def deriveBParts(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, raw: Seq[BRawPart],
+      dm: DirectMv): IndexedSeq[InterPart] = {
+    st.beginPartitionedMb(mbX, mbY)
+    raw.toIndexedSeq.map { p =>
+      val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
+      if (p.mode == 0) {
+        val q = p.quadIdx
+        val (m0x, m0y, m1x, m1y) =
+          if (dm.uniform) (dm.quad(0), dm.quad(1), dm.quad(2), dm.quad(3))
+          else (dm.quad(q * 4), dm.quad(q * 4 + 1),
+            dm.quad(q * 4 + 2), dm.quad(q * 4 + 3))
+        st.setMotion4(bx4, by4, 2, 2, dm.ref0, m0x, m0y, dm.ref1, m1x, m1y,
+          if (dm.ref0 >= 0) l0(dm.ref0).poc else 0)
+        InterPart(p.ox4, p.oy4, 2, 2, dm.ref0, m0x, m0y, dm.ref1, m1x, m1y)
+      } else {
+        var r0 = -1; var m0x = 0; var m0y = 0
+        var r1 = -1; var m1x = 0; var m1y = 0
+        if ((p.mode & 1) == 1) { // L0 or Bi
+          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+          r0 = 0; m0x = px + p.d0x; m0y = py + p.d0y
+        }
+        if (p.mode >= 2) { // L1 or Bi
+          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 1)
+          r1 = 0; m1x = px + p.d1x; m1y = py + p.d1y
+        }
+        st.setMotion4(bx4, by4, p.w4, p.h4, r0, m0x, m0y, r1, m1x, m1y,
+          if (r0 >= 0) l0(0).poc else 0)
+        InterPart(p.ox4, p.oy4, p.w4, p.h4, r0, m0x, m0y, r1, m1x, m1y)
+      }
+    }
+  }
+
   /** Reconstruction of a PARTITIONED inter MB (P_16x8 / P_8x16 / P_8x8
     * with sub-partitions, and the per-quadrant direct B MB): each
     * partition motion-compensates into the MB-local prediction buffers
@@ -3992,6 +4121,65 @@ object H264Codec {
     cands.minBy(_.cost)
   }
 
+  /** a partitioned B-MB candidate: Table 7-14 type, the sub_mb_type
+    * codes for B_8x8 (encoder subset: B_L0/L1/Bi_8x8 -> codes 1..3;
+    * the decoder accepts every Table 7-18 shape from external streams),
+    * parts in decode order with final MVs, and the comparable cost */
+  private final case class BPartsCand(mbType: Int, subTypes: Array[Int],
+      parts: IndexedSeq[InterPart], cost: Long)
+
+  /** Partition-shape competition for one B MB: 16x8, 8x16, and B_8x8,
+    * each partition independently picking L0 / L1 / Bi by luma SAD —
+    * mixed pairs land on the full Table 7-14 two-partition space. The
+    * bi candidate prices through the SAME assembled prediction
+    * (implicit-WP included) reconstruction uses. Penalties mirror the
+    * P competition (24 SAD units per mvd pair, 24/72 per shape). */
+  private def analyseBParts(st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, srcY: Array[Byte],
+      range: Int, halfPel: Boolean, quarterPel: Boolean,
+      wp: WpCtx): BPartsCand = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    def partSad(p: InterPart, pred: Array[Int]): Long = {
+      var s = 0L
+      var r = p.oy4 * 4
+      while (r < (p.oy4 + p.h4) * 4) {
+        var c = p.ox4 * 4
+        while (c < (p.ox4 + p.w4) * 4) {
+          s += math.abs((srcY((y0 + r) * st.pw + x0 + c) & 0xff) - pred(r * 16 + c))
+          c += 1
+        }
+        r += 1
+      }
+      s
+    }
+    def best(ox4: Int, oy4: Int, w4: Int, h4: Int): (Int, InterPart, Long) = {
+      val (m0x, m0y, s0) = searchBlock(st, l0(0), x0 + ox4 * 4, y0 + oy4 * 4,
+        w4 * 4, h4 * 4, srcY, range, halfPel, quarterPel)
+      val (m1x, m1y, s1) = searchBlock(st, l1(0), x0 + ox4 * 4, y0 + oy4 * 4,
+        w4 * 4, h4 * 4, srcY, range, halfPel, quarterPel)
+      val biPart = InterPart(ox4, oy4, w4, h4, 0, m0x, m0y, 0, m1x, m1y)
+      val pL = new Array[Int](256)
+      val pCb = new Array[Int](64); val pCr = new Array[Int](64)
+      assembleInterPred(st, l0, l1, mbX, mbY, Seq(biPart), pL, pCb, pCr, wp)
+      val sBi = partSad(biPart, pL)
+      val c0 = s0 + 24; val c1 = s1 + 24; val cBi = sBi + 48
+      if (c0 <= c1 && c0 <= cBi) (1, InterPart(ox4, oy4, w4, h4, 0, m0x, m0y), c0)
+      else if (c1 <= cBi) (2, InterPart(ox4, oy4, w4, h4, -1, 0, 0, 0, m1x, m1y), c1)
+      else (3, biPart, cBi)
+    }
+    val h = Seq(best(0, 0, 4, 2), best(0, 2, 4, 2))
+    val v = Seq(best(0, 0, 2, 4), best(2, 0, 2, 4))
+    val q = (0 until 4).map(i => best((i & 1) * 2, (i >> 1) * 2, 2, 2))
+    val cands = Seq(
+      BPartsCand(bTwoPartType(h(0)._1, h(1)._1, is16x8 = true), null,
+        h.map(_._2).toIndexedSeq, h.map(_._3).sum + 24),
+      BPartsCand(bTwoPartType(v(0)._1, v(1)._1, is16x8 = false), null,
+        v.map(_._2).toIndexedSeq, v.map(_._3).sum + 24),
+      BPartsCand(22, q.map(_._1).toArray, q.map(_._2).toIndexedSeq,
+        q.map(_._3).sum + 72))
+    cands.minBy(_.cost)
+  }
+
   /** Luma SAD of an arbitrary 16x16 prediction buffer vs the source —
     * the comparable cost metric across B-MB candidates */
   private def predSad(st: PicState, mbX: Int, mbY: Int, srcY: Array[Byte],
@@ -4051,7 +4239,9 @@ object H264Codec {
     */
   private final case class BMbChoice(mbType: Int, ref0: Int, ref1: Int,
       mv0x: Int, mv0y: Int, mv1x: Int, mv1y: Int, mc: PMbCoeffs,
-      quad: Array[Int] = null) // non-null: per-quadrant direct motion
+      quad: Array[Int] = null, // non-null: per-quadrant direct motion
+      parts: IndexedSeq[InterPart] = null, // non-null: sub-16x16 partitions
+      subTypes: Array[Int] = null) // B_8x8 sub_mb_type codes
 
   /** BMbChoice for a direct/skip MB from the spatial-direct derivation:
     * uniform quadrants take the plain 16x16 path (bit-exact with the
@@ -4072,7 +4262,8 @@ object H264Codec {
       l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       range: Int, halfPel: Boolean, quarterPel: Boolean,
-      spatialDirect: Boolean = true, wp: WpCtx = null): BMbChoice = {
+      spatialDirect: Boolean = true, wp: WpCtx = null,
+      tryParts: Boolean = false): BMbChoice = {
     // direct candidate (its mc builds from the derived motion; the
     // slice header's direct flag picks the derivation)
     val dm = deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
@@ -4117,6 +4308,15 @@ object H264Codec {
     var bestI = 0
     var i = 1
     while (i < 4) { if (costs(i) < costs(bestI)) bestI = i; i += 1 }
+    if (tryParts) {
+      // sub-16x16 competition: a partitioned candidate must beat the
+      // best 16x16 candidate to fragment (same stance as the P tier)
+      val pc = analyseBParts(st, l0, l1, mbX, mbY, srcY, range, halfPel,
+        quarterPel, wp)
+      if (pc.cost < costs(bestI))
+        return BMbChoice(pc.mbType, -1, -1, 0, 0, 0, 0, null,
+          parts = pc.parts, subTypes = pc.subTypes)
+    }
     bestI match {
       case 0 =>
         val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
@@ -4165,7 +4365,7 @@ object H264Codec {
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
       startMb: Int, endMb: Int, spatialDirect: Boolean = true,
-      wp: WpCtx = null): Unit = {
+      wp: WpCtx = null, tryParts: Boolean = false): Unit = {
     val mbW = st.mbW
     var skipRun = 0
     var mb = startMb
@@ -4173,12 +4373,15 @@ object H264Codec {
       val mbX = mb % mbW; val mbY = mb / mbW
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
-        searchRange, halfPel, quarterPel, spatialDirect, wp)
+        searchRange, halfPel, quarterPel, spatialDirect, wp, tryParts)
       if (ch.mbType == 0) directBCount.incrementAndGet()
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         skipRun += 1
         clearNz(st, mbX, mbY)
         reconstructBMb(st, l0, l1, mbX, mbY, qp, ch, wp)
+      } else if (ch.parts != null) {
+        bw.ue(skipRun); skipRun = 0
+        writeBPartsMb(bw, st, l0, l1, mbX, mbY, qp, ch, srcY, srcCb, srcCr, wp)
       } else {
         bw.ue(skipRun); skipRun = 0
         bw.ue(ch.mbType)
@@ -4269,6 +4472,62 @@ object H264Codec {
     bw.ue(cbpInterToCode(cbp))
     if (cbp != 0) bw.se(0) // mb_qp_delta
     reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc, wp)
+    if (cbp != 0) writePResidual(bw, st, mbX, mbY, mc)
+    else clearNz(st, mbX, mbY)
+  }
+
+  /** derive the mvds of a partitioned B MB in partition order (the
+    * §8.4.1.3 predictors sample every earlier partition's FINAL motion,
+    * both lists) and record the motion state — shared by both
+    * entropy-layer writers, which then emit the mvds list-major */
+  private def deriveBPartMvds(st: PicState, l0: IndexedSeq[PicState],
+      mbX: Int, mbY: Int, parts: IndexedSeq[InterPart])
+      : IndexedSeq[((Int, Int), (Int, Int))] = {
+    st.beginPartitionedMb(mbX, mbY)
+    parts.map { p =>
+      val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
+      var d0 = (0, 0); var d1 = (0, 0)
+      if (p.ref0 >= 0) {
+        val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+        d0 = (p.mv0x - px, p.mv0y - py)
+      }
+      if (p.ref1 >= 0) {
+        val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 1)
+        d1 = (p.mv1x - px, p.mv1y - py)
+      }
+      st.setMotion4(bx4, by4, p.w4, p.h4, p.ref0, p.mv0x, p.mv0y,
+        p.ref1, p.mv1x, p.mv1y, if (p.ref0 >= 0) l0(0).poc else 0)
+      (d0, d1)
+    }
+  }
+
+  /** write one partitioned B MB (CAVLC): mb_type, sub_mb_types (B_8x8),
+    * mvds in §7.3.5.1 list-major order, then cbp + residual from the
+    * assembled two-list prediction; reconstructs in place */
+  private def writeBPartsMb(bw: H264Writer.BitWriter, st: PicState,
+      l0: IndexedSeq[PicState], l1: IndexedSeq[PicState], mbX: Int, mbY: Int,
+      qp: Int, ch: BMbChoice, srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], wp: WpCtx): Unit = {
+    bPartMbCount.incrementAndGet()
+    bw.ue(ch.mbType)
+    if (ch.mbType == 22) ch.subTypes.foreach(t => bw.ue(t))
+    // ref_idx_lX: te(v) cMax 0 at the 1-deep lists -> no bits
+    val mvds = deriveBPartMvds(st, l0, mbX, mbY, ch.parts)
+    ch.parts.zip(mvds).foreach { case (p, (d0, _)) =>
+      if (p.ref0 >= 0) { bw.se(d0._1); bw.se(d0._2) }
+    }
+    ch.parts.zip(mvds).foreach { case (p, (_, d1)) =>
+      if (p.ref1 >= 0) { bw.se(d1._1); bw.se(d1._2) }
+    }
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    assembleInterPred(st, l0, l1, mbX, mbY, ch.parts, predL, predCb, predCr, wp)
+    val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+      predL, predCb, predCr)
+    val cbp = if (mc == null) 0 else mc.cbp
+    bw.ue(cbpInterToCode(cbp))
+    if (cbp != 0) bw.se(0) // mb_qp_delta
+    reconstructInterParts(st, l0, l1, mbX, mbY, qp, ch.parts, mc, wp)
     if (cbp != 0) writePResidual(bw, st, mbX, mbY, mc)
     else clearNz(st, mbX, mbY)
   }
@@ -4378,7 +4637,10 @@ object H264Codec {
     // 4x8 '011', 4x4 '010'): bins 0/1/2 get one slot each (the spec's
     // ctxIdxOffset-21 block)
     val SubMbType = 304 // + bin 0..2
-    val N = 307
+    // B sub_mb_type (Table 9-38 B column): bin0/1/2 one slot each, bins
+    // >= 3 share the fourth (the spec's ctxIdxOffset-36 block shape)
+    val BSubMbType = 307 // + 0..3
+    val N = 311
     // block categories: 0 LumaDC(16) 1 LumaAC(15) 2 Luma4x4(16)
     // 3 ChromaDC(4) 4 ChromaAC(15); 5 Luma8x8(64) handled out-of-band
     val sigBase: Array[Int] = Array(0, 16, 31, 47, 51)
@@ -4390,6 +4652,28 @@ object H264Codec {
   /** context-bank size, for tests that build synthetic init tables (a
     * table must cover every slot — Contexts.init refuses partial ones) */
   private[graft] def cabacContextSlots: Int = CabacCtx.N
+
+  /** test hook: every Table 9-37 B mb_type (0..22) and Table 9-38 B
+    * sub_mb_type (0..12) through the CABAC binarization pair — the
+    * encoder subset only emits a few of these, so the spec pins the
+    * whole tree symmetric without hand-arithmetic-coding streams */
+  private[graft] def cabacBTypeRoundtripForTest(): Boolean = {
+    val bw = new H264Writer.BitWriter
+    bw.alignOne()
+    val e = new H264Cabac.Encoder(bw)
+    val cx = new H264Cabac.Contexts(CabacCtx.N)
+    (0 to 22).foreach(t => cabacWriteBMbType(e, cx, 0, t))
+    (0 to 12).foreach(t => cabacWriteBSubType(e, cx, t))
+    e.encodeTerminate(1)
+    e.flush()
+    bw.alignZero()
+    val r = new H264.BitReader(bw.rbspBytes())
+    r.align()
+    val d = new H264Cabac.Decoder(r)
+    val cx2 = new H264Cabac.Contexts(CabacCtx.N)
+    (0 to 22).forall(t => cabacReadBMbType(d, cx2, 0) == t) &&
+      (0 to 12).forall(t => cabacReadBSubType(d, cx2) == t)
+  }
 
   /** Per-slice neighbor state for context increments — maintained
     * IDENTICALLY by the encoder and the decoder as macroblocks complete
@@ -5227,9 +5511,14 @@ object H264Codec {
     reconstructInterParts(st, refs, refs, mbX, mbY, qp, cand.parts, mc, wp)
   }
 
-  /** B mb_type bins, Table 9-37 subset (16x16 partitions): 0 '0',
-    * 1 '100', 2 '101', 3 '110000'; bin0 ctx by neighbor condTerm, bin1
-    * at +3, bin2 at +4/+5 by the prior bin (§9.3.3.1.2), rest at +5 */
+  /** B mb_type bins, the full Table 9-37 tree: 0 '0', 1 '100', 2 '101',
+    * then '11' + a 4-bin suffix b — b<8 maps to mbType 3+b (the Bi_16x16
+    * and 16x8/8x16 two-partition types), b=13 escapes to intra (the
+    * I-slice binarization follows), b=14 is B_L1_L0_8x16, b=15 B_8x8,
+    * and b in 8..12 takes one more bin for types 12..21. Bin0 ctx by
+    * neighbor condTerm, bin1 at +3, the 16x16 selector bin at +4, every
+    * suffix bin at +5 (repo-local ctx-inc assignment within the
+    * documented CABAC envelope — symmetric encoder/decoder). */
   private def cabacWriteBMbType(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
       inc0: Int, mbType: Int): Unit = {
     if (mbType == 0) { e.encodeBin(cx, CabacCtx.BMbType + inc0, 0); return }
@@ -5237,28 +5526,138 @@ object H264Codec {
     if (mbType <= 2) {
       e.encodeBin(cx, CabacCtx.BMbType + 3, 0)
       e.encodeBin(cx, CabacCtx.BMbType + 4, mbType - 1)
-    } else {
-      e.encodeBin(cx, CabacCtx.BMbType + 3, 1)
-      var k = 0
-      while (k < 4) { e.encodeBin(cx, CabacCtx.BMbType + 5, 0); k += 1 }
+      return
     }
+    e.encodeBin(cx, CabacCtx.BMbType + 3, 1)
+    def suffix(bits: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { e.encodeBin(cx, CabacCtx.BMbType + 5, (bits >> k) & 1); k -= 1 }
+    }
+    if (mbType <= 10) suffix(mbType - 3, 4) // bits 0..7
+    else if (mbType == 11) suffix(14, 4)
+    else if (mbType == 22) suffix(15, 4)
+    else suffix(mbType + 4, 5) // 12..21 -> 5-bin 16..25
   }
 
+  /** decode mirror; returns -1 when the intra escape ('11'+'1101') was
+    * consumed — the caller hands off to the I-slice mb_type decode */
   private def cabacReadBMbType(d: H264Cabac.Decoder, cx: H264Cabac.Contexts,
       inc0: Int): Int = {
     if (d.decodeBin(cx, CabacCtx.BMbType + inc0) == 0) return 0
     if (d.decodeBin(cx, CabacCtx.BMbType + 3) == 0)
-      1 + d.decodeBin(cx, CabacCtx.BMbType + 4)
-    else {
-      // '11' prefix: only B_Bi_16x16 ('110000') sits in this subset
-      var k = 0
-      while (k < 4) {
-        require(d.decodeBin(cx, CabacCtx.BMbType + 5) == 0,
-          "B mb_type beyond the 16x16 subset (partitions/intra-in-B)")
-        k += 1
-      }
-      3
+      return 1 + d.decodeBin(cx, CabacCtx.BMbType + 4)
+    var bits = 0
+    var k = 0
+    while (k < 4) { bits = (bits << 1) | d.decodeBin(cx, CabacCtx.BMbType + 5); k += 1 }
+    if (bits < 8) 3 + bits
+    else if (bits == 13) -1 // intra escape
+    else if (bits == 14) 11
+    else if (bits == 15) 22
+    else ((bits << 1) | d.decodeBin(cx, CabacCtx.BMbType + 5)) - 4 // 12..21
+  }
+
+  /** B sub_mb_type bins (Table 9-38 B column): 0 '0', 1 '100', 2 '101',
+    * 3..6 '110xx', 7..10 '1110xx', 11..12 '1111x'; bin0/1/2 at
+    * +0/+1/+2, every later bin at +3 */
+  private def cabacWriteBSubType(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      t: Int): Unit = {
+    val B = CabacCtx.BSubMbType
+    if (t == 0) { e.encodeBin(cx, B, 0); return }
+    e.encodeBin(cx, B, 1)
+    if (t <= 2) {
+      e.encodeBin(cx, B + 1, 0)
+      e.encodeBin(cx, B + 3, t - 1)
+      return
     }
+    e.encodeBin(cx, B + 1, 1)
+    if (t <= 6) {
+      e.encodeBin(cx, B + 2, 0)
+      e.encodeBin(cx, B + 3, (t - 3) >> 1)
+      e.encodeBin(cx, B + 3, (t - 3) & 1)
+    } else if (t <= 10) {
+      e.encodeBin(cx, B + 2, 1)
+      e.encodeBin(cx, B + 3, 0)
+      e.encodeBin(cx, B + 3, (t - 7) >> 1)
+      e.encodeBin(cx, B + 3, (t - 7) & 1)
+    } else {
+      e.encodeBin(cx, B + 2, 1)
+      e.encodeBin(cx, B + 3, 1)
+      e.encodeBin(cx, B + 3, t - 11)
+    }
+  }
+
+  private def cabacReadBSubType(d: H264Cabac.Decoder, cx: H264Cabac.Contexts): Int = {
+    val B = CabacCtx.BSubMbType
+    if (d.decodeBin(cx, B) == 0) return 0
+    if (d.decodeBin(cx, B + 1) == 0) return 1 + d.decodeBin(cx, B + 3)
+    if (d.decodeBin(cx, B + 2) == 0)
+      3 + (d.decodeBin(cx, B + 3) << 1) + d.decodeBin(cx, B + 3)
+    else if (d.decodeBin(cx, B + 3) == 0)
+      7 + (d.decodeBin(cx, B + 3) << 1) + d.decodeBin(cx, B + 3)
+    else 11 + d.decodeBin(cx, B + 3)
+  }
+
+  /** write one partitioned B MB (CABAC): mb_type + sub_mb_type bins,
+    * mvds list-major with live ctx-state updates in emission order
+    * (mirroring the decode parse), then cbp bins + residual from the
+    * assembled two-list prediction; reconstructs in place */
+  private def cabacWriteBPartsMb(e: H264Cabac.Encoder, cx: H264Cabac.Contexts,
+      cms: CabacMbState, st: PicState, l0: IndexedSeq[PicState],
+      l1: IndexedSeq[PicState], mbX: Int, mbY: Int, qp: Int, ch: BMbChoice,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      wp: WpCtx): Unit = {
+    bPartMbCount.incrementAndGet()
+    val mi = mbY * st.mbW + mbX
+    cabacWriteBMbType(e, cx, cms.incBMbType(mbX, mbY), ch.mbType)
+    cms.directB(mi) = false
+    if (ch.mbType == 22) ch.subTypes.foreach(t => cabacWriteBSubType(e, cx, t))
+    // ref_idx_lX: 1-deep lists code no bins
+    val mvds = deriveBPartMvds(st, l0, mbX, mbY, ch.parts)
+    ch.parts.zip(mvds).foreach { case (p, (d0, _)) =>
+      if (p.ref0 >= 0) {
+        val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
+        cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(bx4, by4, yComp = false), d0._1)
+        cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(bx4, by4, yComp = true), d0._2)
+        cms.setMvd(bx4, by4, p.w4, p.h4, d0._1, d0._2)
+      }
+    }
+    ch.parts.zip(mvds).foreach { case (p, (_, d1)) =>
+      if (p.ref1 >= 0) {
+        val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
+        cabacWriteMvd(e, cx, CabacCtx.Mvd,
+          cms.incMvd(bx4, by4, yComp = false, list = 1), d1._1)
+        cabacWriteMvd(e, cx, CabacCtx.Mvd + 7,
+          cms.incMvd(bx4, by4, yComp = true, list = 1), d1._2)
+        cms.setMvd(bx4, by4, p.w4, p.h4, d1._1, d1._2, list = 1)
+      }
+    }
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    assembleInterPred(st, l0, l1, mbX, mbY, ch.parts, predL, predCb, predCr, wp)
+    val mc = interCoeffsFromPred(st, mbX, mbY, qp, srcY, srcCb, srcCr,
+      predL, predCb, predCr)
+    val cbp = if (mc == null) 0 else mc.cbp
+    var b8 = 0
+    var bitsSoFar = 0
+    while (b8 < 4) {
+      val bit = (cbp >> b8) & 1
+      e.encodeBin(cx, CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, bitsSoFar), bit)
+      bitsSoFar |= bit << b8
+      b8 += 1
+    }
+    val cbpChroma = cbp >> 4
+    e.encodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0),
+      if (cbpChroma != 0) 1 else 0)
+    if (cbpChroma != 0)
+      e.encodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1),
+        if (cbpChroma == 2) 1 else 0)
+    cms.cbp(mi) = cbp
+    if (cbp != 0) {
+      cabacWriteQpDelta(e, cx, cms, 0)
+      cabacResidualP(st, cms, mbX, mbY, mc,
+        (cat, inc, coeffs, maxN) => cabacWriteBlock(e, cx, cat, inc, coeffs, maxN))
+    } else clearNz(st, mbX, mbY)
+    reconstructInterParts(st, l0, l1, mbX, mbY, qp, ch.parts, mc, wp)
   }
 
   /** the B-slice CABAC macroblock loop (encode side) */
@@ -5267,7 +5666,7 @@ object H264Codec {
       qp: Int, srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       searchRange: Int, halfPel: Boolean, quarterPel: Boolean,
       startMb: Int, endMb: Int, spatialDirect: Boolean = true,
-      wp: WpCtx = null): Unit = {
+      wp: WpCtx = null, tryParts: Boolean = false): Unit = {
     bw.alignOne()
     val e = new H264Cabac.Encoder(bw)
     val cx = new H264Cabac.Contexts(CabacCtx.N)
@@ -5279,13 +5678,17 @@ object H264Codec {
       val mi = mbY * st.mbW + mbX
       st.sliceOfMb(mb) = st.curSlice
       val ch = chooseBMb(st, l0, l1, mbX, mbY, qp, srcY, srcCb, srcCr,
-        searchRange, halfPel, quarterPel, spatialDirect, wp)
+        searchRange, halfPel, quarterPel, spatialDirect, wp, tryParts)
       if (ch.mbType == 0) directBCount.incrementAndGet()
       if (ch.mbType == 0 && ch.mc == null) { // B_Skip
         e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 1)
         cms.skip(mi) = true
         clearNz(st, mbX, mbY)
         reconstructBMb(st, l0, l1, mbX, mbY, qp, ch, wp)
+      } else if (ch.parts != null) {
+        e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 0)
+        cabacWriteBPartsMb(e, cx, cms, st, l0, l1, mbX, mbY, qp, ch,
+          srcY, srcCb, srcCr, wp)
       } else {
         e.encodeBin(cx, CabacCtx.BSkip + cms.incSkip(mbX, mbY), 0)
         cabacWriteBMbType(e, cx, cms.incBMbType(mbX, mbY), ch.mbType)
@@ -5379,6 +5782,58 @@ object H264Codec {
         } else {
           val mbType = cabacReadBMbType(d, cx, cms.incBMbType(mbX, mbY))
           cms.directB(mi) = mbType == 0
+          if (mbType == -1) {
+            // intra-in-B via the '11'+'1101' escape (§9.3.3.1.2):
+            // the I-slice mb_type binarization follows
+            qpCur = decodeIntraMbCabac(d, cx, cms, st, mbX, mbY, qpCur,
+              t8pps, pmPool, m16Pool, zig8Pool)
+          } else if (mbType >= 4) {
+            // partitioned B MB (round 15): sub types, then mvds in
+            // bitstream (list-major) order with live ctx updates,
+            // then §8.4.1.3 derivation in partition order
+            val subTypes: Array[Int] =
+              if (mbType == 22) Array.fill(4)(cabacReadBSubType(d, cx))
+              else null
+            val dm =
+              if (mbType == 22 && subTypes.exists(_ == 0))
+                deriveDirect(st, refs, l1, mbX, mbY, spatialDirect)
+              else null
+            val raw = readBRawParts(mbType, subTypes, (ox4, oy4, w4, h4, list) => {
+              val bx4 = mbX * 4 + ox4; val by4 = mbY * 4 + oy4
+              val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
+                cms.incMvd(bx4, by4, yComp = false, list = list))
+              val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
+                cms.incMvd(bx4, by4, yComp = true, list = list))
+              cms.setMvd(bx4, by4, w4, h4, dx, dy, list = list)
+              (dx, dy)
+            })
+            val parts = deriveBParts(st, refs, l1, mbX, mbY, raw, dm)
+            bPartMbCount.incrementAndGet()
+            var cbpLuma = 0
+            var b8 = 0
+            while (b8 < 4) {
+              cbpLuma |= d.decodeBin(cx,
+                CabacCtx.CbpLuma + cms.incCbpLuma(mbX, mbY, b8, cbpLuma)) << b8
+              b8 += 1
+            }
+            var cbpChroma = 0
+            if (d.decodeBin(cx, CabacCtx.CbpChroma0 + cms.incCbpChroma(mbX, mbY, 0)) == 1)
+              cbpChroma =
+                if (d.decodeBin(cx, CabacCtx.CbpChroma1 + cms.incCbpChroma(mbX, mbY, 1)) == 1) 2
+                else 1
+            val cbp = cbpLuma | (cbpChroma << 4)
+            cms.cbp(mi) = cbp
+            val mc = if (cbp == 0) null else {
+              val m = pmPool
+              m.cbp = cbp
+              qpCur = qpWrap(qpCur, cabacReadQpDelta(d, cx, cms))
+              cabacResidualP(st, cms, mbX, mbY, m,
+                (cat, inc, coeffs, maxN) => cabacReadBlock(d, cx, cat, inc, coeffs, maxN))
+              m
+            }
+            if (mc == null) clearNz(st, mbX, mbY)
+            reconstructInterParts(st, refs, l1, mbX, mbY, qpCur, parts, mc, wp)
+          } else {
           var ref0 = -1; var ref1 = -1
           var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
           var dmDirect: DirectMv = null
@@ -5436,6 +5891,7 @@ object H264Codec {
           reconstructBMb(st, refs, l1, mbX, mbY, qpCur,
             if (dmDirect != null) directBChoice(dmDirect, mc)
             else BMbChoice(mbType, ref0, ref1, mv0x, mv0y, mv1x, mv1y, mc), wp)
+          }
         }
       } else if (isP && d.decodeBin(cx, CabacCtx.Skip + cms.incSkip(mbX, mbY)) == 1) {
         cms.skip(mi) = true
@@ -5966,12 +6422,23 @@ object H264Codec {
         val co = Array.fill(2, math.max(numRefActive, 1), 2)(0)
         new WpCtx(log2, log2, lw, lo, cw, co)
       }
-    val nSlices = math.max(1, math.min(slices, mbH))
+    // MB-row-aligned split while the picture has enough rows (the
+    // historical emission, byte-pinned by the bench fixtures); a
+    // single-MB-row picture falls back to MB-granular splits — §7.4.4
+    // slices may start at any macroblock, and availability/deblocking
+    // are slice-index-based on both sides, not row-based
+    val totalMbs = mbW * mbH
+    val nSlices = math.max(1, math.min(slices, totalMbs))
+    val rowAligned = mbH >= nSlices
     val nals = Seq.newBuilder[Array[Byte]]
     var s = 0
     while (s < nSlices) {
-      val startMb = ((mbH.toLong * s) / nSlices).toInt * mbW
-      val endMb = ((mbH.toLong * (s + 1)) / nSlices).toInt * mbW
+      val startMb =
+        if (rowAligned) ((mbH.toLong * s) / nSlices).toInt * mbW
+        else ((totalMbs.toLong * s) / nSlices).toInt
+      val endMb =
+        if (rowAligned) ((mbH.toLong * (s + 1)) / nSlices).toInt * mbW
+        else ((totalMbs.toLong * (s + 1)) / nSlices).toInt
       st.curSlice = s
       val bw = new H264Writer.BitWriter
       bw.ue(startMb)           // first_mb_in_slice
@@ -6029,7 +6496,7 @@ object H264Codec {
         if (bSlice)
           encodeBRangeCabac(st, refs, l1, bw, qp, srcY, srcCb, srcCr,
             searchRange, halfPel, quarterPel, startMb, endMb, spatialDirect,
-            wpCtx)
+            wpCtx, tryParts = parts)
         else if (pSlice)
           encodePRangeCabac(st, refsL0, bw, qp, srcY, srcCb, srcCr, searchRange,
             halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
@@ -6039,7 +6506,8 @@ object H264Codec {
             t8 = transform8x8, aqp = aqp, chromaModes = chromaModes)
       } else if (bSlice)
         encodeBRange(st, refs, l1, bw, qp, srcY, srcCb, srcCr, searchRange,
-          halfPel, quarterPel, startMb, endMb, spatialDirect, wpCtx)
+          halfPel, quarterPel, startMb, endMb, spatialDirect, wpCtx,
+          tryParts = parts)
       else if (pSlice)
         encodePRange(st, refsL0, bw, qp, srcY, srcCb, srcCr, searchRange,
           halfPel, quarterPel, startMb, endMb, numRefActive, parts, wpCtx,
@@ -6333,7 +6801,7 @@ object H264Codec {
             slicesPerFrame, cabac, transform8x8, numRefL0 = 1,
             bSlice = true, l1 = IndexedSeq(fut),
             frameNum = refCount, pocLsb = poc, spatialDirect = spatialDirect,
-            wpImplicitB = wpImplicit)
+            wpImplicitB = wpImplicit, parts = parts)
       }
       st.poc = poc
       if (kind != 'B') { // B frames are non-reference: the DPB skips them
@@ -6781,14 +7249,42 @@ object H264Codec {
           val mbX = mb % mbW; val mbY = mb / mbW
           st.sliceOfMb(mb) = st.curSlice
           val mbType = r.ue
-          require(mbType <= 3 || mbType >= 23,
-            s"B mb_type $mbType unsupported (Direct/L0/L1/Bi 16x16 + intra; B partitions refused)")
+          require(mbType <= 48, s"B mb_type $mbType out of the Table 7-14 range")
           if (mbType >= 23) {
             // intra-in-B (§7.4.5: B mb_type 23..48 maps to the I-slice
             // space shifted by 23)
-            require(mbType <= 48, s"B mb_type $mbType out of the Table 7-14 range")
             qp = decodeIntraMbCavlc(r, st, pps, mbX, mbY, qp, mbType - 23,
               pmPool, m16Pool, zig8Pool)
+            mb += 1
+          } else if (mbType >= 4) {
+            // partitioned B MB (round 15): Table 7-14 two-partition
+            // types and B_8x8 with Table 7-18 sub-MB types
+            val subTypes: Array[Int] =
+              if (mbType == 22) Array.fill(4) {
+                val t = r.ue
+                require(t <= 12, s"B sub_mb_type $t out of the Table 7-18 range")
+                t
+              } else null
+            val dm =
+              if (mbType == 22 && subTypes.exists(_ == 0))
+                deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
+              else null
+            val raw = readBRawParts(mbType, subTypes,
+              (_, _, _, _, _) => (r.se, r.se))
+            val parts = deriveBParts(st, l0, l1, mbX, mbY, raw, dm)
+            bPartMbCount.incrementAndGet()
+            val cbpCode = r.ue
+            require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
+            val cbp = cbpInterFromCode(cbpCode)
+            val mc = if (cbp == 0) null else {
+              val m = pmPool
+              m.cbp = cbp
+              qp = qpWrap(qp, r.se) // mb_qp_delta
+              readResidualCavlc(r, st, mbX, mbY, m)
+              m
+            }
+            if (mc == null) clearNz(st, mbX, mbY)
+            reconstructInterParts(st, l0, l1, mbX, mbY, qp, parts, mc, wp)
             mb += 1
           } else {
           var ref0 = -1; var ref1 = -1

@@ -31,7 +31,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
     tdirect: Boolean = false, aqp: Boolean = false,
     chromaModes: Boolean = false,
     wpImplicit: Boolean = false, cqm: Boolean = false,
-    reorder: Boolean = false) extends GopCodec {
+    reorder: Boolean = false, slicesPerFrame: Int = 1) extends GopCodec {
 
   /** entropy decode + prediction + deblocking are the bottleneck, not the
     * segment read — opt into decode-aware scan spreading (incl. the PCM
@@ -56,7 +56,7 @@ final class H264GopCodec(qp: Int = 12, pcm: Boolean = false,
       transform8x8 = transform8x8, multiRef = multiRef, bframes = bframes,
       parts = parts, weightedPred = weightedPred, tdirect = tdirect,
       aqp = aqp, chromaModes = chromaModes, wpImplicit = wpImplicit,
-      cqm = cqm, reorder = reorder)
+      cqm = cqm, reorder = reorder, slicesPerFrame = slicesPerFrame)
     val out = ByteBuffer.allocate(21 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(MAGIC).putInt(head.height).putInt(head.width)
       .put(head.channels.toByte).put(head.dtype)
@@ -250,4 +250,12 @@ object H264GopCodec {
     * multiRef = true, reorder = true)`. */
   val Reorder: H264GopCodec = new H264GopCodec(qp = 12, multiRef = true,
     reorder = true)
+  /** multi-slice pictures (round 15 tier; §7.4.4): every picture coded
+    * as two MB-row-aligned slices — per-slice neighbour unavailability,
+    * first_mb_in_slice > 0, per-slice header state, and the §8.7.2
+    * boundary-strength rules at the slice seam, through the store.
+    * The decoder has accepted continuation slices since round 13; this
+    * self-hosts a gate tier. CABAC variant via `new H264GopCodec(qp,
+    * cabac = true, slicesPerFrame = 2)`. */
+  val Slices2: H264GopCodec = new H264GopCodec(qp = 12, slicesPerFrame = 2)
 }

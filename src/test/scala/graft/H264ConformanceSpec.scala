@@ -375,4 +375,32 @@ class H264ConformanceSpec extends AnyFunSuite {
     assert(out(0).cb.forall(b => (b & 0xff) == 128))
     assert(out(0).cr.forall(b => (b & 0xff) == 128))
   }
+
+  test("slicesPerFrame 2 splits a single-MB-row picture MB-granularly (round 15)") {
+    // the gate fixture pictures are one MB row tall, so the encoder must
+    // fall back from row-aligned splits to MB-granular ones — two VCL
+    // NALs per picture with a HORIZONTAL (left-neighbour) slice seam
+    import graft.sources.H264Codec.Yuv
+    val frames = (0 until 3).map { t =>
+      val y = Array.tabulate(16 * 32)(i => ((i * 5 + t * 29) % 256).toByte)
+      Yuv(32, 16, y, Array.fill(16 * 8)(120.toByte), Array.fill(16 * 8)(130.toByte))
+    }
+    for (cabac <- Seq(false, true)) {
+      val stream = H264Codec.encode(frames, qp = 12, slicesPerFrame = 2,
+        cabac = cabac)
+      val vcl = graft.sources.H264.nalUnits(stream).filter(_.isVcl)
+      assert(vcl.size == frames.size * 2, s"cabac=$cabac: 2 slices per picture")
+      val dec = H264Codec.decode(stream)
+      assert(dec.size == frames.size)
+    }
+    // both entropy layers agree on every pixel across the seam
+    val dA = H264Codec.decode(H264Codec.encode(frames, qp = 12, slicesPerFrame = 2))
+    val dB = H264Codec.decode(H264Codec.encode(frames, qp = 12, slicesPerFrame = 2,
+      cabac = true))
+    frames.indices.foreach { i =>
+      assert(java.util.Arrays.equals(dA(i).y, dB(i).y), s"frame $i luma")
+      assert(java.util.Arrays.equals(dA(i).cb, dB(i).cb), s"frame $i cb")
+      assert(java.util.Arrays.equals(dA(i).cr, dB(i).cr), s"frame $i cr")
+    }
+  }
 }
