@@ -375,6 +375,9 @@ object H264Codec {
     // 8-15 at QPy + offset) — set per slice by the decoder; encoder
     // pictures keep 0 (this encoder emits offset 0)
     var cqpOff: Int = 0
+    // second_chroma_qp_index_offset (Cr); equals cqpOff unless the PPS
+    // carries a distinct value (round 15 — previously refused)
+    var cqpOff2: Int = 0
     val pcmMb = new Array[Boolean](mbW * mbH)
     // per-MB transform_size_8x8_flag — deblocking skips the 4x4-internal
     // luma edges of these MBs (the transform grid is 8x8)
@@ -417,6 +420,7 @@ object H264Codec {
       curSlice = 0
       poc = 0
       cqpOff = 0
+      cqpOff2 = 0
     }
     @inline def mbAvail(x: Int, y: Int): Boolean =
       x >= 0 && y >= 0 && x < mbW && y < mbH &&
@@ -1340,6 +1344,7 @@ object H264Codec {
   private def reconstructMb(st: PicState, mbX: Int, mbY: Int, qp: Int, mc: MbCoeffs): Unit = {
     st.mbQp(mbY * st.mbW + mbX) = qp
     val qpc = chromaQp(qp + st.cqpOff)
+    val qpcCr = chromaQp(qp + st.cqpOff2)
     // ---- luma
     val dcArr = new Array[Int](16)
     var i = 0
@@ -1434,23 +1439,25 @@ object H264Codec {
     }
     // ---- chroma
     intraChromaRecon(st, mbX, mbY, qpc, mc.cbpChroma,
-      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig, mc.chromaMode)
+      mc.cbDcZig, mc.cbAcZig, mc.crDcZig, mc.crAcZig, mc.chromaMode,
+      qpcCrIn = qpcCr)
   }
 
   /** shared intra-MB chroma reconstruction (§8.3.4 prediction by
     * `chromaMode` + residual add) — identical for Intra_16x16, Intra_4x4,
     * and Intra_8x8 macroblocks
     */
-  private def intraChromaRecon(st: PicState, mbX: Int, mbY: Int, qpc: Int,
+  private def intraChromaRecon(st: PicState, mbX: Int, mbY: Int, qpcCb: Int,
       cbpChroma: Int, cbDcZig: Array[Int], cbAcZig: Array[Array[Int]],
       crDcZig: Array[Int], crAcZig: Array[Array[Int]],
-      chromaMode: Int = 0): Unit = {
+      chromaMode: Int = 0, qpcCrIn: Int = -1): Unit = {
+    val qpcCr = if (qpcCrIn >= 0) qpcCrIn else qpcCb
     val w = new Array[Int](16)
     val hasL = st.mbAvail(mbX - 1, mbY)
     val hasT = st.mbAvail(mbX, mbY - 1)
     val hasTL = st.mbAvail(mbX - 1, mbY - 1)
     def chroma(plane: Array[Byte], dcZig: Array[Int], acZig: Array[Array[Int]],
-        list: Int): Unit = {
+        list: Int, qpc: Int): Unit = {
       val dc = new Array[Int](4)
       // cbpChroma == 0 means NO chroma residual was parsed — the dcZig
       // scratch may hold a previous MB's data (pooled), so it must not be
@@ -1492,8 +1499,8 @@ object H264Codec {
         cb += 1
       }
     }
-    chroma(st.reconCb, cbDcZig, cbAcZig, LIntraCb)
-    chroma(st.reconCr, crDcZig, crAcZig, LIntraCr)
+    chroma(st.reconCb, cbDcZig, cbAcZig, LIntraCb, qpcCb)
+    chroma(st.reconCr, crDcZig, crAcZig, LIntraCr, qpcCr)
   }
 
   // ----------------------------------------------------- inter (P) path
@@ -2358,7 +2365,12 @@ object H264Codec {
   private final class WpCtx(val lumaLog2: Int, val chromaLog2: Int,
       val lw: Array[Array[Int]], val lo: Array[Array[Int]],
       val cw: Array[Array[Array[Int]]], val co: Array[Array[Array[Int]]],
-      val biOnly: Boolean = false) {
+      val biOnly: Boolean = false,
+      // §8.4.2.3.1 implicit mode with multi-ref lists: w1 per (ref0,
+      // ref1) PAIR (w0 = 64 - w1, offsets 0, logWD 5) — the POC-derived
+      // weights depend on both references, which the factored per-list
+      // tables cannot represent
+      val implicitW1: Array[Array[Int]] = null) {
     /** weighted single-list luma transform of a stride-16 region
       * (no-op under implicit mode: §8.4.2.3.1 weights ONLY bi MBs) */
     def applyLuma(list: Int, ref: Int, buf: Array[Int], ox: Int, oy: Int,
@@ -2403,11 +2415,15 @@ object H264Codec {
     def applyBi(ref0: Int, ref1: Int, luma: Boolean, a: Array[Int],
         b: Array[Int], ox: Int, oy: Int, stride: Int, w: Int, h: Int,
         plane: Int = 0): Unit = {
-      val log2 = if (luma) lumaLog2 else chromaLog2
-      val w0 = if (luma) lw(0)(ref0) else cw(0)(ref0)(plane)
-      val w1 = if (luma) lw(1)(ref1) else cw(1)(ref1)(plane)
-      val o0 = if (luma) lo(0)(ref0) else co(0)(ref0)(plane)
-      val o1 = if (luma) lo(1)(ref1) else co(1)(ref1)(plane)
+      val log2 = if (implicitW1 != null) 5 else if (luma) lumaLog2 else chromaLog2
+      val w1 = if (implicitW1 != null) implicitW1(ref0)(ref1)
+        else if (luma) lw(1)(ref1) else cw(1)(ref1)(plane)
+      val w0 = if (implicitW1 != null) 64 - w1
+        else if (luma) lw(0)(ref0) else cw(0)(ref0)(plane)
+      val o0 = if (implicitW1 != null) 0
+        else if (luma) lo(0)(ref0) else co(0)(ref0)(plane)
+      val o1 = if (implicitW1 != null) 0
+        else if (luma) lo(1)(ref1) else co(1)(ref1)(plane)
       val rnd = 1 << log2
       val off = (o0 + o1 + 1) >> 1
       var r = 0
@@ -2433,23 +2449,30 @@ object H264Codec {
     * prediction stays UNWEIGHTED (the biOnly flag). Derivation is a
     * pure function of the three POCs, so encoder and decoder agree.
     */
-  private def implicitWpCtx(pocCur: Int, poc0: Int, poc1: Int): WpCtx = {
-    val (w0, w1) =
-      if (poc1 == poc0) (32, 32)
+  private def implicitWpCtx(pocCur: Int, l0Pocs: IndexedSeq[Int],
+      l1Pocs: IndexedSeq[Int]): WpCtx = {
+    def w1Of(poc0: Int, poc1: Int): Int =
+      if (poc1 == poc0) 32
       else {
         val tb = math.max(-128, math.min(127, pocCur - poc0))
         val td = math.max(-128, math.min(127, poc1 - poc0))
         val tx = (16384 + math.abs(td / 2)) / td
         val dsf = math.max(-1024, math.min(1023, (tb * tx + 32) >> 6))
         val w1c = dsf >> 2
-        if (w1c < -64 || w1c > 128) (32, 32) else (64 - w1c, w1c)
+        if (w1c < -64 || w1c > 128) 32 else w1c
       }
-    if (w1 != 32) implicitWpCount.incrementAndGet()
+    val pairs = Array.tabulate(math.max(l0Pocs.length, 1),
+      math.max(l1Pocs.length, 1))((i, j) =>
+      w1Of(l0Pocs(math.min(i, l0Pocs.length - 1)),
+        l1Pocs(math.min(j, l1Pocs.length - 1))))
+    if (pairs.exists(_.exists(_ != 32))) implicitWpCount.incrementAndGet()
+    // the factored tables are placeholders (applyLuma/applyChroma no-op
+    // under biOnly; applyBi reads the pair table)
     new WpCtx(5, 5,
-      Array(Array(w0), Array(w1)), Array(Array(0), Array(0)),
-      Array(Array(Array(w0, w0)), Array(Array(w1, w1))),
+      Array(Array(32), Array(32)), Array(Array(0), Array(0)),
+      Array(Array(Array(32, 32)), Array(Array(32, 32))),
       Array(Array(Array(0, 0)), Array(Array(0, 0))),
-      biOnly = true)
+      biOnly = true, implicitW1 = pairs)
   }
 
   /** parse §7.3.3.2 pred_weight_table: one (flag, w, o) group per active
@@ -2651,8 +2674,11 @@ object H264Codec {
       predCr: Array[Int]): Unit = {
     val sc = mcScratch.get()
     val qpc = chromaQp(qp + st.cqpOff)
+    val qpcCr = chromaQp(qp + st.cqpOff2)
     val x0 = mbX * 16; val y0 = mbY * 16
-    if (Simd.enabled && st.scal.flat) {
+    // the joint Cb+Cr SIMD batch dequants both planes at one QPc — a
+    // distinct second offset takes the per-plane scalar path
+    if (Simd.enabled && st.scal.flat && qpc == qpcCr) {
       // row-wise vector commit: spread the dequantised residual (if
       // any) into an MB-local buffer, then one clip(pred+res)+narrow
       // vector op per 16-sample luma / 8-sample chroma row — the
@@ -2846,7 +2872,8 @@ object H264Codec {
       blk += 1
     }
     def chromaRec(plane: Array[Byte], predC: Array[Int],
-        dcZig: Array[Int], acZig: Array[Array[Int]], list: Int): Unit = {
+        dcZig: Array[Int], acZig: Array[Array[Int]], list: Int,
+        qpc: Int): Unit = {
       val cbpChroma = if (mc == null) 0 else mc.cbpChroma
       val dc = new Array[Int](4)
       if (cbpChroma != 0) {
@@ -2901,10 +2928,10 @@ object H264Codec {
     }
     chromaRec(st.reconCb, predCb,
       if (mc == null) null else mc.cbDcZig, if (mc == null) null else mc.cbAcZig,
-      LInterCb)
+      LInterCb, qpc)
     chromaRec(st.reconCr, predCr,
       if (mc == null) null else mc.crDcZig, if (mc == null) null else mc.crAcZig,
-      LInterCr)
+      LInterCr, qpcCr)
   }
 
   /** Decode-order geometry of the partitions of one P macroblock:
@@ -2981,7 +3008,8 @@ object H264Codec {
     * sub-MBs), and the raw mvds (list-major in the bitstream) */
   private final case class BRawPart(ox4: Int, oy4: Int, w4: Int, h4: Int,
       mode: Int, quadIdx: Int,
-      d0x: Int = 0, d0y: Int = 0, d1x: Int = 0, d1y: Int = 0)
+      d0x: Int = 0, d0y: Int = 0, d1x: Int = 0, d1y: Int = 0,
+      r0: Int = 0, r1: Int = 0)
 
   /** collect the raw partitions of a partitioned B MB (mbType 4..22):
     * geometry + prediction modes from the type tables, then the mvds in
@@ -2991,8 +3019,9 @@ object H264Codec {
     * order). Derivation order is [[deriveBParts]]'s job, not this one's.
     */
   private def readBRawParts(mbType: Int, subTypes: Array[Int],
+      readRef: (Int, Int, Int) => Int,
       readMvdPair: (Int, Int, Int, Int, Int) => (Int, Int)): Seq[BRawPart] = {
-    val skel: Seq[BRawPart] =
+    val skel0: Seq[BRawPart] =
       if (mbType <= 21) {
         val (m0, m1, is16x8) = bPartModes(mbType)
         val geo =
@@ -3010,6 +3039,32 @@ object H264Codec {
             BRawPart(qx + ox, qy + oy, w4, h4, mode, q)
           }
         }
+    // ref_idx (§7.3.5.1/.2: every lX slot in partition/sub-MB order
+    // BEFORE any mvd; one slot per MB partition or per sub-MB, shared by
+    // that sub-MB's sub-partitions)
+    def refsFor(list: Int): Map[Int, Int] = {
+      val uses = (p: BRawPart) =>
+        if (list == 0) p.mode == 1 || p.mode == 3 else p.mode >= 2
+      if (mbType <= 21)
+        skel0.zipWithIndex.collect { case (p, i) if uses(p) =>
+          i -> readRef(p.ox4, p.oy4, list)
+        }.toMap
+      else {
+        val perQuad = (0 until 4).collect {
+          case q if skel0.exists(p => p.quadIdx == q && uses(p)) =>
+            val head = skel0.find(p => p.quadIdx == q && uses(p)).get
+            q -> readRef(head.ox4, head.oy4, list)
+        }.toMap
+        skel0.zipWithIndex.collect { case (p, i) if uses(p) =>
+          i -> perQuad(p.quadIdx)
+        }.toMap
+      }
+    }
+    val refs0 = refsFor(0)
+    val refs1 = refsFor(1)
+    val skel = skel0.zipWithIndex.map { case (p, i) =>
+      p.copy(r0 = refs0.getOrElse(i, 0), r1 = refs1.getOrElse(i, 0))
+    }
     val withL0 = skel.map { p =>
       if (p.mode == 1 || p.mode == 3) {
         val (dx, dy) = readMvdPair(p.ox4, p.oy4, p.w4, p.h4, 0)
@@ -3049,15 +3104,15 @@ object H264Codec {
         var r0 = -1; var m0x = 0; var m0y = 0
         var r1 = -1; var m1x = 0; var m1y = 0
         if ((p.mode & 1) == 1) { // L0 or Bi
-          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
-          r0 = 0; m0x = px + p.d0x; m0y = py + p.d0y
+          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, p.r0, 0)
+          r0 = p.r0; m0x = px + p.d0x; m0y = py + p.d0y
         }
         if (p.mode >= 2) { // L1 or Bi
-          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 1)
-          r1 = 0; m1x = px + p.d1x; m1y = py + p.d1y
+          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, p.r1, 1)
+          r1 = p.r1; m1x = px + p.d1x; m1y = py + p.d1y
         }
         st.setMotion4(bx4, by4, p.w4, p.h4, r0, m0x, m0y, r1, m1x, m1y,
-          if (r0 >= 0) l0(0).poc else 0)
+          if (r0 >= 0) l0(r0).poc else 0)
         InterPart(p.ox4, p.oy4, p.w4, p.h4, r0, m0x, m0y, r1, m1x, m1y)
       }
     }
@@ -4794,9 +4849,10 @@ object H264Codec {
       * partition's top-left 4x4) is available, inter, and its refIdxL0
       * > 0 (skip blocks carry refIdx 0, intra/uncoded -1 — condTerm 0)
       */
-    def incRefIdx(bx4: Int, by4: Int): Int = {
-      (if (st.avail4(bx4 - 1, by4) && st.ref4(by4 * st.bw4 + bx4 - 1) > 0) 1 else 0) +
-        (if (st.avail4(bx4, by4 - 1) && st.ref4((by4 - 1) * st.bw4 + bx4) > 0) 2 else 0)
+    def incRefIdx(bx4: Int, by4: Int, list: Int = 0): Int = {
+      val arr = if (list == 0) st.ref4 else st.ref4L1
+      (if (st.avail4(bx4 - 1, by4) && arr(by4 * st.bw4 + bx4 - 1) > 0) 1 else 0) +
+        (if (st.avail4(bx4, by4 - 1) && arr((by4 - 1) * st.bw4 + bx4) > 0) 2 else 0)
     }
     /** mvd component inc: |mvd| sum over the partition's A/B neighbour
       * blocks, same list (§9.3.3.1.1.7) */
@@ -5748,6 +5804,7 @@ object H264Codec {
       refs: IndexedSeq[PicState],
       isP: Boolean, qp: Int, firstMb: Int, cabacInitIdc: Int = 0,
       t8pps: Boolean = false, numRefActive: Int = 1,
+      numRefActiveL1: Int = 1,
       isB: Boolean = false, l1: IndexedSeq[PicState] = IndexedSeq.empty,
       wp: WpCtx = null, spatialDirect: Boolean = true): Unit = {
     r.align() // cabac_alignment_one_bit
@@ -5798,7 +5855,22 @@ object H264Codec {
               if (mbType == 22 && subTypes.exists(_ == 0))
                 deriveDirect(st, refs, l1, mbX, mbY, spatialDirect)
               else null
-            val raw = readBRawParts(mbType, subTypes, (ox4, oy4, w4, h4, list) => {
+            val raw = readBRawParts(mbType, subTypes,
+              (ox4, oy4, list) => {
+                val n = if (list == 0) numRefActive else numRefActiveL1
+                var refIdx = 0
+                if (n > 1) {
+                  val bx4 = mbX * 4 + ox4; val by4 = mbY * 4 + oy4
+                  while (d.decodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
+                      cms.incRefIdx(bx4, by4, list) else if (refIdx == 1) 4
+                    else 5)) == 1) {
+                    refIdx += 1
+                    require(refIdx < n, s"B ref_idx $refIdx >= num_ref_idx_active $n")
+                  }
+                }
+                refIdx
+              },
+              (ox4, oy4, w4, h4, list) => {
               val bx4 = mbX * 4 + ox4; val by4 = mbY * 4 + oy4
               val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
                 cms.incMvd(bx4, by4, yComp = false, list = list))
@@ -5843,25 +5915,38 @@ object H264Codec {
             ref0 = dm.ref0; ref1 = dm.ref1
             mv0x = dm.quad(0); mv0y = dm.quad(1); mv1x = dm.quad(2); mv1y = dm.quad(3)
           } else {
-            // ref_idx_lX: 1-deep lists code no bins (cMax 0)
-            if (mbType == 1 || mbType == 3) {
-              ref0 = 0
+            // ref_idx_lX (unary, RefIdx ctxs — both slots precede any
+            // mvd, §7.3.5.1; 1-deep lists code no bins at cMax 0)
+            def readRefIdxB(list: Int, n: Int): Int = {
+              var refIdx = 0
+              if (n > 1) {
+                while (d.decodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
+                    cms.incRefIdx(mbX * 4, mbY * 4, list) else if (refIdx == 1) 4
+                  else 5)) == 1) {
+                  refIdx += 1
+                  require(refIdx < n, s"B ref_idx $refIdx >= num_ref_idx_active $n")
+                }
+              }
+              refIdx
+            }
+            if (mbType == 1 || mbType == 3) ref0 = readRefIdxB(0, numRefActive)
+            if (mbType == 2 || mbType == 3) ref1 = readRefIdxB(1, numRefActiveL1)
+            if (ref0 >= 0) {
               val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
                 cms.incMvd(mbX * 4, mbY * 4, yComp = false))
               val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
                 cms.incMvd(mbX * 4, mbY * 4, yComp = true))
               cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy)
-              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 0)
+              val (px, py, _, _) = predictMv(st, mbX, mbY, ref0, list = 0)
               mv0x = px + dx; mv0y = py + dy
             }
-            if (mbType == 2 || mbType == 3) {
-              ref1 = 0
+            if (ref1 >= 0) {
               val dx = cabacReadMvd(d, cx, CabacCtx.Mvd,
                 cms.incMvd(mbX * 4, mbY * 4, yComp = false, list = 1))
               val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
                 cms.incMvd(mbX * 4, mbY * 4, yComp = true, list = 1))
               cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy, list = 1)
-              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 1)
+              val (px, py, _, _) = predictMv(st, mbX, mbY, ref1, list = 1)
               mv1x = px + dx; mv1y = py + dy
             }
           }
@@ -6099,7 +6184,8 @@ object H264Codec {
           st.trans8(mi) = true
           reconstructLumaI8(st, mbX, mbY, qp, modes8, zig8, m8.cbpLuma)
           intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m8.cbpChroma,
-            m8.cbDcZig, m8.cbAcZig, m8.crDcZig, m8.crAcZig, chromaMode8)
+            m8.cbDcZig, m8.cbAcZig, m8.crDcZig, m8.crAcZig, chromaMode8,
+            qpcCrIn = chromaQp(qp + st.cqpOff2))
           // the shared mb += 1 / end_of_slice tail below closes this MB
         } else {
         // I_NxN (Intra_4x4)
@@ -6144,7 +6230,8 @@ object H264Codec {
         st.mbQp(mi) = qp
         reconstructLumaI4(st, mbX, mbY, qp, modes, m4.lumaZig, m4.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m4.cbpChroma,
-          m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig, chromaMode4)
+          m4.cbDcZig, m4.cbAcZig, m4.crDcZig, m4.crAcZig, chromaMode4,
+          qpcCrIn = chromaQp(qp + st.cqpOff2))
         } // end Intra_4x4 (the t8pps flag picked I8 above otherwise)
       } else {
         require(d.decodeTerminate() == 0, "I_PCM in CABAC slices unsupported")
@@ -6259,7 +6346,15 @@ object H264Codec {
             val cIdxB = clip3i(0, 51, qpavC + bOff)
             val cAlpha = H264Deblock.alphaTab(cIdxA)
             val cBeta = H264Deblock.betaTab(cIdxB)
-            if (alpha > 0 || cAlpha > 0) {
+            // Cr thresholds from the second offset (§8.7 computes QPc
+            // per chroma component; identical offsets collapse)
+            val qpavC2 = (chromaQp(qpOf(pMb) + st.cqpOff2) +
+              chromaQp(qpOf(qMb) + st.cqpOff2) + 1) >> 1
+            val cIdxA2 = clip3i(0, 51, qpavC2 + aOff)
+            val cIdxB2 = clip3i(0, 51, qpavC2 + bOff)
+            val cAlpha2 = H264Deblock.alphaTab(cIdxA2)
+            val cBeta2 = H264Deblock.betaTab(cIdxB2)
+            if (alpha > 0 || cAlpha > 0 || cAlpha2 > 0) {
               var seg = 0
               while (seg < 4) {
                 // 4x4 blocks across this segment of the edge
@@ -6291,8 +6386,9 @@ object H264Codec {
                   }
                   // chroma edges ride luma edges 0 and 2; two chroma
                   // lines per luma segment (4:2:0 subsampling)
-                  if (cAlpha > 0 && (e == 0 || e == 2)) {
+                  if ((cAlpha > 0 || cAlpha2 > 0) && (e == 0 || e == 2)) {
                     val cTc0 = if (bS < 4) H264Deblock.tc0Tab(bS - 1)(cIdxA) else 0
+                    val cTc02 = if (bS < 4) H264Deblock.tc0Tab(bS - 1)(cIdxA2) else 0
                     var r = 0
                     while (r < 2) {
                       val q0Idx =
@@ -6301,8 +6397,10 @@ object H264Codec {
                         else
                           (mbY * 8 + e * 2) * st.cw + mbX * 8 + seg * 2 + r
                       val step = if (vertical) 1 else st.cw
-                      H264Deblock.filterChromaLine(st.reconCb, q0Idx, step, bS, cAlpha, cBeta, cTc0)
-                      H264Deblock.filterChromaLine(st.reconCr, q0Idx, step, bS, cAlpha, cBeta, cTc0)
+                      if (cAlpha > 0)
+                        H264Deblock.filterChromaLine(st.reconCb, q0Idx, step, bS, cAlpha, cBeta, cTc0)
+                      if (cAlpha2 > 0)
+                        H264Deblock.filterChromaLine(st.reconCr, q0Idx, step, bS, cAlpha2, cBeta2, cTc02)
                       r += 1
                     }
                   }
@@ -6395,7 +6493,7 @@ object H264Codec {
       if (bSlice && wpImplicitB)
         // §8.4.2.3.1 implicit bi weights from the three POCs (no table
         // in the slice header; the decoder re-derives the same pair)
-        implicitWpCtx(st.poc, refs.head.poc, l1.head.poc)
+        implicitWpCtx(st.poc, refs.map(_.poc), l1.map(_.poc))
       else if (!wpEnabled || !pSlice) null
       else {
         def mean(a: Array[Byte]): Double = {
@@ -6908,7 +7006,8 @@ object H264Codec {
       cqpOff: Int = 0,
       // pic_scaling_matrix lists, already resolved through fall-back
       // rule B against the active SPS; None = the SPS lists (or flat)
-      scaling: Option[H264.ScalingLists] = None)
+      scaling: Option[H264.ScalingLists] = None,
+      cqpOff2: Int = 0)
 
   /** §8.2.1.1 picture-order-count state (poc type 0): MSB wraparound
     * tracking against the previous REFERENCE picture. `compute` is
@@ -6969,6 +7068,7 @@ object H264Codec {
     // §7.3.2.2 extension (High profile): transform_8x8_mode_flag +
     // scaling-matrix flag + second chroma qp offset
     var ppsScaling: Option[H264.ScalingLists] = None
+    var cqpOff2 = cqpOff // the Cr offset defaults to the shared one
     val t8 =
       if (!r.moreRbspData) false
       else {
@@ -6976,15 +7076,16 @@ object H264Codec {
         if (r.u1 == 1) // pic_scaling_matrix_present_flag (§7.3.2.2)
           ppsScaling = Some(H264.readScalingLists(r, 6 + (if (t) 2 else 0),
             spsScaling.orNull))
-        // a distinct Cr offset would need per-plane chroma QP threading;
-        // streams repeating the shared offset (the common emission) pass
-        require(r.se == cqpOff,
-          "second_chroma_qp_index_offset != chroma_qp_index_offset unsupported " +
-            "(one shared offset for both chroma planes)")
+        // distinct Cr offset (§7.3.2.2): per-plane chroma QP threading
+        // through dequant and the deblock thresholds (round 15)
+        val off2 = r.se
+        require(off2 >= -12 && off2 <= 12,
+          s"second_chroma_qp_index_offset $off2 out of the spec range [-12,12]")
+        cqpOff2 = off2
         t
       }
     CodecPps(picInitQp, deblk, cabac, t8, numRefL0, weightedPred,
-      weightedBipredIdc, cqpOff, ppsScaling)
+      weightedBipredIdc, cqpOff, ppsScaling, cqpOff2)
   }
 
   /** CAVLC residual parse of one coded MB (16 full 4x4 luma blocks gated
@@ -7104,7 +7205,8 @@ object H264Codec {
       nalType: Int, refIdc: Int, st: PicState,
       refs: IndexedSeq[PicState], pocCtx: PocCtx): DeblockReq = {
     val r = new H264.BitReader(rbsp)
-    st.cqpOff = pps.cqpOff // §8.5 chroma QP offset, live for this picture
+    st.cqpOff = pps.cqpOff // §8.5 chroma QP offsets, live for this picture
+    st.cqpOff2 = pps.cqpOff2
     val firstMb = r.ue // slices start anywhere; caller sequences them into one picture
     require(firstMb < st.mbW * st.mbH, s"first_mb_in_slice $firstMb outside the picture")
     val sliceType = r.ue
@@ -7161,11 +7263,11 @@ object H264Codec {
     } else if (isB) {
       if (r.u1 == 1) { numRefActive = r.ue + 1; numRefActiveL1 = r.ue + 1 }
       else numRefActive = pps.numRefL0
-      require(numRefActive == 1 && numRefActiveL1 == 1,
-        s"B list actives ($numRefActive,$numRefActiveL1) unsupported " +
-          "(1-deep lists; 16x16 subset)")
       require(bL0Init.nonEmpty && bL1Init.nonEmpty,
         "B slice without both a past and a future reference picture")
+      require(numRefActive <= bL0Init.length && numRefActiveL1 <= bL1Init.length,
+        s"B list actives ($numRefActive,$numRefActiveL1) exceed the " +
+          s"(${bL0Init.length},${bL1Init.length}) decoded references")
       bL0 = if (r.u1 == 1) // ref_pic_list_modification_flag_l0
         parseRefListMod(r, bL0Init, refs, numRefActive, frameNum, maxPicNum)
       else bL0Init
@@ -7183,7 +7285,7 @@ object H264Codec {
       else if (isB && pps.weightedBipredIdc == 1)
         parsePredWeightTable(r, numRefActive, numRefActiveL1)
       else if (isB && pps.weightedBipredIdc == 2)
-        implicitWpCtx(st.poc, bL0.head.poc, bL1.head.poc)
+        implicitWpCtx(st.poc, bL0.map(_.poc), bL1.map(_.poc))
       else null
     if (refIdc != 0) {
       if (idr) { r.u1; r.u1 }
@@ -7226,6 +7328,7 @@ object H264Codec {
         "P slice with no reference picture (stream must open with an IDR)")
       decodeSliceDataCabac(r, st, if (isB) bL0 else pL0, isP, qp, firstMb,
         cabacInitIdc, t8pps = pps.transform8x8, numRefActive = numRefActive,
+        numRefActiveL1 = numRefActiveL1,
         isB = isB, l1 = if (isB) bL1 else IndexedSeq.empty, wp = wp,
         spatialDirect = spatialDirect)
       return deblockReq
@@ -7270,6 +7373,12 @@ object H264Codec {
                 deriveDirect(st, l0, l1, mbX, mbY, spatialDirect)
               else null
             val raw = readBRawParts(mbType, subTypes,
+              (_, _, list) => {
+                val n = if (list == 0) numRefActive else numRefActiveL1
+                val v = if (n <= 1) 0 else if (n == 2) 1 - r.u1 else r.ue
+                require(v < n, s"B ref_idx $v >= num_ref_idx_active $n")
+                v
+              },
               (_, _, _, _, _) => (r.se, r.se))
             val parts = deriveBParts(st, l0, l1, mbX, mbY, raw, dm)
             bPartMbCount.incrementAndGet()
@@ -7296,17 +7405,22 @@ object H264Codec {
             ref0 = dm.ref0; ref1 = dm.ref1
             mv0x = dm.quad(0); mv0y = dm.quad(1); mv1x = dm.quad(2); mv1y = dm.quad(3)
           } else {
-            // ref_idx_lX te(v): cMax 0 at the required 1-deep lists -> no bits
-            if (mbType == 1 || mbType == 3) {
-              ref0 = 0
+            // ref_idx_lX te(v) (both slots precede any mvd, §7.3.5.1)
+            def readRefTeB(n: Int): Int = {
+              val v = if (n <= 1) 0 else if (n == 2) 1 - r.u1 else r.ue
+              require(v < n, s"B ref_idx $v >= num_ref_idx_active $n")
+              v
+            }
+            if (mbType == 1 || mbType == 3) ref0 = readRefTeB(numRefActive)
+            if (mbType == 2 || mbType == 3) ref1 = readRefTeB(numRefActiveL1)
+            if (ref0 >= 0) {
               val dx = r.se; val dy = r.se
-              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 0)
+              val (px, py, _, _) = predictMv(st, mbX, mbY, ref0, list = 0)
               mv0x = px + dx; mv0y = py + dy
             }
-            if (mbType == 2 || mbType == 3) {
-              ref1 = 0
+            if (ref1 >= 0) {
               val dx = r.se; val dy = r.se
-              val (px, py, _, _) = predictMv(st, mbX, mbY, 0, list = 1)
+              val (px, py, _, _) = predictMv(st, mbX, mbY, ref1, list = 1)
               mv1x = px + dx; mv1y = py + dy
             }
           }
@@ -7518,7 +7632,8 @@ object H264Codec {
         st.trans8(mbY * st.mbW + mbX) = true
         reconstructLumaI8(st, mbX, mbY, qp, modes, zig8, m.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m.cbpChroma,
-          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode8)
+          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode8,
+          qpcCrIn = chromaQp(qp + st.cqpOff2))
       } else if (mbType == 0) { // I_NxN (Intra_4x4, 4x4 transform)
         val modes = new Array[Int](16)
         var blk = 0
@@ -7544,7 +7659,8 @@ object H264Codec {
         st.mbQp(mbY * st.mbW + mbX) = qp
         reconstructLumaI4(st, mbX, mbY, qp, modes, m.lumaZig, m.cbpLuma)
         intraChromaRecon(st, mbX, mbY, chromaQp(qp + st.cqpOff), m.cbpChroma,
-          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode4)
+          m.cbDcZig, m.cbAcZig, m.crDcZig, m.crAcZig, chromaMode4,
+          qpcCrIn = chromaQp(qp + st.cqpOff2))
       } else {
         require(mbType >= 1 && mbType <= 24,
           s"mb_type $mbType unsupported (Intra_16x16, Intra_4x4, and I_PCM only)")

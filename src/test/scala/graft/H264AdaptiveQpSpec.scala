@@ -194,6 +194,55 @@ class H264AdaptiveQpSpec extends AnyFunSuite {
     assert(out(0).cr.forall(b => (b & 0xff) == 146))
   }
 
+  /** second_chroma_qp_index_offset (§7.3.2.2, round 15 — a DISTINCT Cr
+    * offset was previously refused): offsets (+12, 0) must dequantize
+    * the SAME dc level to 146 on Cb (QPc 35) but 135 on Cr (QPc 26),
+    * through per-plane QPc threading in dequant AND deblock thresholds.
+    */
+  test("hand-built stream with a distinct second_chroma_qp_index_offset splits the planes") {
+    val sps = {
+      val bw = new W.BitWriter
+      bw.u(8, 66); bw.u(8, 0); bw.u(8, 10)
+      bw.ue(0); bw.ue(0); bw.ue(2); bw.ue(1); bw.u1(0)
+      bw.ue(0); bw.ue(0) // 1x1 MBs
+      bw.u1(1); bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val pps = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(0); bw.u1(0); bw.u1(0); bw.ue(0)
+      bw.ue(0); bw.ue(0); bw.u1(0); bw.u(2, 0)
+      bw.se(0); bw.se(0)
+      bw.se(12) // chroma_qp_index_offset +12 (Cb)
+      bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.u1(0)  // transform_8x8_mode_flag (extension trio present)
+      bw.u1(0)  // pic_scaling_matrix_present_flag
+      bw.se(0)  // second_chroma_qp_index_offset 0 (Cr)
+      bw.rbspTrailing()
+    }
+    val bw = new W.BitWriter
+    bw.ue(0); bw.ue(7); bw.ue(0)
+    bw.u(4, 0); bw.ue(0)
+    bw.u1(0); bw.u1(0)
+    bw.se(0); bw.ue(1) // qp 26, deblocking OFF
+    bw.ue(7) // mb_type I_16x16_2_1_0: DC pred, cbp luma 0 chroma 1
+    bw.ue(0) // intra_chroma_pred_mode DC
+    bw.se(0) // mb_qp_delta
+    H264Cavlc.writeBlock(bw, new Array[Int](16), 0) // zero luma DC
+    val dc = Array(4, 0, 0, 0)
+    H264Cavlc.writeBlock(bw, dc, -1) // Cb DC
+    H264Cavlc.writeBlock(bw, dc, -1) // Cr DC
+    val stream = W.nal(3, 7, sps) ++ W.nal(3, 8, pps) ++
+      W.nal(3, 5, bw.rbspTrailing())
+    val out = H264Codec.decode(stream)
+    assert(out.size == 1)
+    assert(out(0).y.forall(b => (b & 0xff) == 128))
+    assert(out(0).cb.forall(b => (b & 0xff) == 146),
+      "Cb must dequantize at QPc 35 (first offset +12)")
+    assert(out(0).cr.forall(b => (b & 0xff) == 135),
+      "Cr must dequantize at QPc 26 (second offset 0), not follow Cb")
+  }
+
   test("an out-of-range mb_qp_delta is refused loudly, not wrapped silently") {
     val bw = new W.BitWriter
     bw.ue(0); bw.ue(7); bw.ue(0)

@@ -223,6 +223,70 @@ class H264BPartitionSpec extends AnyFunSuite {
       assert(bCb(r * cw + c) == expectC(r, c), s"chroma ($r,$c)")
   }
 
+  /** B reference lists deeper than 1 (round 15 — previously refused):
+    * three I_PCM anchors A(poc 0) / B(poc 4) / C(poc 8) and a B picture
+    * at poc 6 overriding actives to (2,1): L0 = [B, A] (closer past
+    * first), L1 = [C]. Its four MBs select by ref_idx: L0 ref 1 -> A,
+    * L0 ref 0 -> B, L1 -> C, Bi(ref0 1) -> avg(A, C) — a decoder
+    * ignoring the te(v) ref_idx bits (the old 1-deep assumption)
+    * desyncs the parse or shears every region onto the wrong anchor.
+    */
+  test("hand-built B stream with num_ref_idx_l0_active 2 selects by ref_idx") {
+    val sps3 = {
+      val bw = new W.BitWriter
+      bw.u(8, 66); bw.u(8, 0); bw.u(8, 10)
+      bw.ue(0); bw.ue(0); bw.ue(0); bw.ue(0)
+      bw.ue(3); bw.u1(0) // max_num_ref_frames 3
+      bw.ue(mbs - 1); bw.ue(0)
+      bw.u1(1); bw.u1(1); bw.u1(0); bw.u1(0)
+      bw.rbspTrailing()
+    }
+    val lumaA = pat(7, 13, 256 * mbs); val lumaB = pat(11, 40, 256 * mbs)
+    val lumaC = pat(13, 77, 256 * mbs)
+    val cbA = pat(5, 1, 64 * mbs); val cbB = pat(3, 9, 64 * mbs)
+    val cbC = pat(9, 21, 64 * mbs)
+    val bPicture = {
+      val bw = new W.BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)
+      bw.u(4, 3); bw.u(4, 6) // frame_num, poc 6
+      bw.u1(1)               // direct_spatial
+      bw.u1(1); bw.ue(1); bw.ue(0) // override: actives (2, 1)
+      bw.u1(0); bw.u1(0)     // no list modification
+      bw.se(0); bw.ue(1)
+      // MB0: B_L0_16x16, ref_idx_l0 = 1 (te inverted bit 0) -> A
+      bw.ue(0); bw.ue(1); bw.u1(0); bw.se(0); bw.se(0); bw.ue(0)
+      // MB1: B_L0_16x16, ref_idx_l0 = 0 (te bit 1) -> B
+      bw.ue(0); bw.ue(1); bw.u1(1); bw.se(0); bw.se(0); bw.ue(0)
+      // MB2: B_L1_16x16 (L1 actives 1: no ref bits) -> C
+      bw.ue(0); bw.ue(2); bw.se(0); bw.se(0); bw.ue(0)
+      // MB3: B_Bi_16x16, ref0 = 1, ref1 = 0 -> avg(A, C)
+      bw.ue(0); bw.ue(3); bw.u1(0); bw.se(0); bw.se(0); bw.se(0); bw.se(0); bw.ue(0)
+      W.nal(0, 1, bw.rbspTrailing())
+    }
+    val stream = W.nal(3, 7, sps3) ++ W.nal(3, 8, pps()) ++
+      pcmPicture(idr = true, 0, 0, lumaA, cbA, cbA) ++
+      pcmPicture(idr = false, 1, 4, lumaB, cbB, cbB) ++
+      pcmPicture(idr = false, 2, 8, lumaC, cbC, cbC) ++
+      bPicture
+    val out = H264Codec.decode(stream)
+    assert(out.size == 4)
+    assert(out(0).y.toSeq == lumaA.toSeq)
+    assert(out(1).y.toSeq == lumaB.toSeq)
+    assert(out(3).y.toSeq == lumaC.toSeq)
+    def avg(a: Byte, b: Byte) = (((a & 0xff) + (b & 0xff) + 1) >> 1).toByte
+    val w = 16 * mbs
+    val bY = out(2).y
+    for (r <- 0 until 16; c <- 0 until w) {
+      val exp = (c / 16) match {
+        case 0 => lumaA(r * w + c)
+        case 1 => lumaB(r * w + c)
+        case 2 => lumaC(r * w + c)
+        case _ => avg(lumaA(r * w + c), lumaC(r * w + c))
+      }
+      assert(bY(r * w + c) == exp, s"luma ($r,$c): ref_idx routing mis-decoded")
+    }
+  }
+
   test("a B sub_mb_type beyond Table 7-18 is refused loudly") {
     val bw = new W.BitWriter
     bw.ue(0); bw.ue(6); bw.ue(0)
