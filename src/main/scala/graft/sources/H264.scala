@@ -45,6 +45,9 @@ object H264 {
     * walks (the bit-serial reader profiled at ~15% of H.264 decode).
     */
   final class BitReader(buf: Array[Byte]) {
+    /** per-reader CAVLC level scratch (a reader is single-threaded; the
+      * per-block ThreadLocal.get this replaces measured ~1% of decode) */
+    private[sources] val cavlcLevels = new Array[Int](16)
     private val limit = buf.length * 8
     private var pos = 0 // bit position of the cache head
     private var cache = 0L

@@ -194,18 +194,28 @@ object H264Cavlc {
   }
   private def tokPairs(tab: Array[Int]): Seq[(Int, Int)] =
     tab.zipWithIndex.collect { case (v, i) if v != -1 => v -> ((i / 4) << 8 | (i % 4)) }.toSeq
-  private val tokLut: Array[(Array[Int], Int)] =
-    Array(tok0, tok1, tok2, tokC).map(t => buildLut(tokPairs(t)))
-  private val tzLut: Array[(Array[Int], Int)] =
-    totalZerosTab.map(t => buildLut(t.zipWithIndex.toSeq))
-  private val tzcLut: Array[(Array[Int], Int)] =
-    totalZerosChromaTab.map(t => buildLut(t.zipWithIndex.toSeq))
-  private val rbLut: Array[(Array[Int], Int)] =
-    runBeforeTab.map(t => buildLut(t.zipWithIndex.toSeq))
+  // parallel arrays (not tuples: Tuple2[Array, Int] is unspecialized, so
+  // the per-symbol width read boxed an Integer in the hot loop)
+  private val tokLutA: Array[Array[Int]] =
+    Array(tok0, tok1, tok2, tokC).map(t => buildLut(tokPairs(t))._1)
+  private val tokLutW: Array[Int] =
+    Array(tok0, tok1, tok2, tokC).map(t => buildLut(tokPairs(t))._2)
+  private val tzLutA: Array[Array[Int]] =
+    totalZerosTab.map(t => buildLut(t.zipWithIndex.toSeq)._1)
+  private val tzLutW: Array[Int] =
+    totalZerosTab.map(t => buildLut(t.zipWithIndex.toSeq)._2)
+  private val tzcLutA: Array[Array[Int]] =
+    totalZerosChromaTab.map(t => buildLut(t.zipWithIndex.toSeq)._1)
+  private val tzcLutW: Array[Int] =
+    totalZerosChromaTab.map(t => buildLut(t.zipWithIndex.toSeq)._2)
+  private val rbLutA: Array[Array[Int]] =
+    runBeforeTab.map(t => buildLut(t.zipWithIndex.toSeq)._1)
+  private val rbLutW: Array[Int] =
+    runBeforeTab.map(t => buildLut(t.zipWithIndex.toSeq)._2)
 
-  @inline private def lutRead(r: H264.BitReader, lut: (Array[Int], Int),
+  @inline private def lutRead(r: H264.BitReader, lut: Array[Int], width: Int,
       what: String): Int = {
-    val entry = lut._1(r.peek(lut._2))
+    val entry = lut(r.peek(width))
     require(entry != -1, s"invalid $what codeword")
     r.skip(entry >>> 24)
     entry & 0xffffff
@@ -375,7 +385,7 @@ object H264Cavlc {
       if (v == 3) 0 else (((((v >> 2) & 0xf) + 1) << 8) | (v & 3))
     } else {
       val idx = if (nC == -1) 3 else if (nC < 2) 0 else if (nC < 4) 1 else 2
-      lutRead(r, tokLut(idx), "coeff_token")
+      lutRead(r, tokLutA(idx), tokLutW(idx), "coeff_token")
     }
 
   private def readLevelCode(r: H264.BitReader, sl: Int): Int = {
@@ -413,11 +423,6 @@ object H264Cavlc {
     * the per-block result array of [[readBlock]] was the decoder's
     * dominant allocation at 32-way concurrency.
     */
-  // per-thread level scratch (tc <= 16); decode runs one block at a time
-  private val levelScratch = new ThreadLocal[Array[Int]] {
-    override def initialValue(): Array[Int] = new Array[Int](16)
-  }
-
   def readBlockInto(r: H264.BitReader, maxCoeff: Int, nC: Int,
       zig: Array[Int]): Int = {
     java.util.Arrays.fill(zig, 0, maxCoeff, 0)
@@ -425,11 +430,17 @@ object H264Cavlc {
     val tc = tok >> 8; val t1 = tok & 0xff
     if (tc == 0) return 0
     require(tc <= maxCoeff, s"TotalCoeff $tc > maxCoeff $maxCoeff: corrupt block")
-    val levels = levelScratch.get()
-    var k = 0
-    while (k < t1) { levels(k) = if (r.u1 == 1) -1 else 1; k += 1 }
+    // level scratch lives on the (single-threaded) reader — a per-block
+    // ThreadLocal.get measured ~1% of decode at half a million blocks
+    // per VGA GOP; the trailing-one signs read as ONE u(t1)
+    val levels = r.cavlcLevels
+    if (t1 > 0) {
+      val sb = r.u(t1)
+      var k = 0
+      while (k < t1) { levels(k) = 1 - (((sb >> (t1 - 1 - k)) & 1) << 1); k += 1 }
+    }
     var sl = if (tc > 10 && t1 < 3) 1 else 0
-    k = t1
+    var k = t1
     while (k < tc) {
       var lc = readLevelCode(r, sl)
       if (k == t1 && t1 < 3) lc += 2
@@ -441,8 +452,8 @@ object H264Cavlc {
     }
     val totalZeros =
       if (tc == maxCoeff) 0
-      else if (maxCoeff == 4) lutRead(r, tzcLut(tc - 1), "total_zeros(chroma)")
-      else lutRead(r, tzLut(tc - 1), "total_zeros")
+      else if (maxCoeff == 4) lutRead(r, tzcLutA(tc - 1), tzcLutW(tc - 1), "total_zeros(chroma)")
+      else lutRead(r, tzLutA(tc - 1), tzLutW(tc - 1), "total_zeros")
     var pos = tc + totalZeros - 1
     var zerosLeft = totalZeros
     k = 0
@@ -451,7 +462,7 @@ object H264Cavlc {
       if (k < tc - 1) {
         val run =
           if (zerosLeft == 0) 0
-          else if (zerosLeft <= 6) lutRead(r, rbLut(zerosLeft - 1), "run_before")
+          else if (zerosLeft <= 6) lutRead(r, rbLutA(zerosLeft - 1), rbLutW(zerosLeft - 1), "run_before")
           else {
             // zl > 6: 3-bit codes for runs 0..6, unary tail for 7..14
             val first3 = r.u(3)

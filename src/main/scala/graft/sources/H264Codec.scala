@@ -292,8 +292,11 @@ object H264Codec {
 
   private def crop(src: Array[Byte], pw: Int, w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) { System.arraycopy(src, y * pw, out, y * w, w); y += 1 }
+    if (w == pw) System.arraycopy(src, 0, out, 0, w * h) // MB-multiple width
+    else {
+      var y = 0
+      while (y < h) { System.arraycopy(src, y * pw, out, y * w, w); y += 1 }
+    }
     out
   }
 
@@ -335,16 +338,21 @@ object H264Codec {
     def setMotion4(bx4: Int, by4: Int, w4: Int, h4: Int,
         r0: Int, m0x: Int, m0y: Int, r1: Int, m1x: Int, m1y: Int,
         poc0: Int = 0): Unit = {
+      // row-segment fills (branches hoisted): this runs per partition of
+      // every inter MB and the per-cell branchy loop measured ~4% of
+      // 720p decode
+      val v0x = if (r0 >= 0) m0x else 0
+      val v0y = if (r0 >= 0) m0y else 0
+      val v1x = if (r1 >= 0) m1x else 0
+      val v1y = if (r1 >= 0) m1y else 0
       var y = by4
       while (y < by4 + h4) {
-        var x = bx4
-        while (x < bx4 + w4) {
-          val i = y * bw4 + x
-          if (r0 >= 0) { mv4X(i) = m0x; mv4Y(i) = m0y } else { mv4X(i) = 0; mv4Y(i) = 0 }
-          ref4(i) = r0
-          refPoc4(i) = poc0
-          if (r1 >= 0) { mv4XL1(i) = m1x; mv4YL1(i) = m1y } else { mv4XL1(i) = 0; mv4YL1(i) = 0 }
-          ref4L1(i) = r1
+        val i0 = y * bw4 + bx4
+        val i1 = i0 + w4
+        var x = i0
+        while (x < i1) {
+          mv4X(x) = v0x; mv4Y(x) = v0y; ref4(x) = r0; refPoc4(x) = poc0
+          mv4XL1(x) = v1x; mv4YL1(x) = v1y; ref4L1(x) = r1
           x += 1
         }
         y += 1
@@ -2129,8 +2137,7 @@ object H264Codec {
     * unavailable/intra neighbors).
     */
   private def predictMv(st: PicState, mbX: Int, mbY: Int,
-      refIdx: Int = 0, list: Int = 0)
-      : (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) =
+      refIdx: Int = 0, list: Int = 0): (Int, Int) =
     predictMvPart(st, mbX * 4, mbY * 4, 4, 4, refIdx, list)
 
   /** §8.4.1.3 luma MV predictor for an arbitrary partition at absolute
@@ -2143,47 +2150,65 @@ object H264Codec {
     * C — each only when that neighbour codes the SAME refIdx) are
     * derived from the partition geometry. */
   private def predictMvPart(st: PicState, bx4: Int, by4: Int, w4: Int, h4: Int,
-      refIdx: Int, list: Int)
-      : (Int, Int, Option[(Int, Int, Int)], Option[(Int, Int, Int)]) = {
-    def nb(x4: Int, y4: Int): Option[(Int, Int, Int)] =
-      if (!st.avail4(x4, y4)) None // outside / other slice / not yet decoded
-      else {
-        val i = y4 * st.bw4 + x4
-        if (list == 0) Some((st.mv4X(i), st.mv4Y(i), st.ref4(i)))
-        else Some((st.mv4XL1(i), st.mv4YL1(i), st.ref4L1(i)))
-      }
-    val a = nb(bx4 - 1, by4)
-    val b = nb(bx4, by4 - 1)
-    val cRaw = nb(bx4 + w4, by4 - 1)
-    val c = if (cRaw.isDefined) cRaw else nb(bx4 - 1, by4 - 1) // D substitutes C
+      refIdx: Int, list: Int): (Int, Int) = {
+    // allocation-free neighbour sampling (the Option/tuple version
+    // measured ~4% of 720p decode purely in garbage): availability and
+    // index per neighbour as locals, with D substituting C
+    val bw4 = st.bw4
+    val mvXArr = if (list == 0) st.mv4X else st.mv4XL1
+    val mvYArr = if (list == 0) st.mv4Y else st.mv4YL1
+    val refArr = if (list == 0) st.ref4 else st.ref4L1
+    val aAvail = st.avail4(bx4 - 1, by4)
+    val iA = by4 * bw4 + bx4 - 1
+    val aRef = if (aAvail) refArr(iA) else -9
+    val bAvail = st.avail4(bx4, by4 - 1)
+    val iB = (by4 - 1) * bw4 + bx4
+    val bRef = if (bAvail) refArr(iB) else -9
+    var cAvail = st.avail4(bx4 + w4, by4 - 1)
+    var iC = (by4 - 1) * bw4 + bx4 + w4
+    if (!cAvail) { // D substitutes C
+      cAvail = st.avail4(bx4 - 1, by4 - 1)
+      iC = (by4 - 1) * bw4 + bx4 - 1
+    }
+    val cRef = if (cAvail) refArr(iC) else -9
     // 16x8 / 8x16 directional shortcuts (fire only on a same-reference
     // neighbour; geometry identifies the partition: 16x8 rows are 4x2
     // blocks, 8x16 columns 2x4)
     if (w4 == 4 && h4 == 2) {
-      val dir = if ((by4 & 3) == 0) b else a // top <- B, bottom <- A
-      dir.filter(_._3 == refIdx).foreach(n => return (n._1, n._2, a, b))
+      if ((by4 & 3) == 0) { // top <- B
+        if (bRef == refIdx) return (mvXArr(iB), mvYArr(iB))
+      } else if (aRef == refIdx) return (mvXArr(iA), mvYArr(iA)) // bottom <- A
     } else if (w4 == 2 && h4 == 4) {
-      val dir = if ((bx4 & 3) == 0) a else c // left <- A, right <- C(/D)
-      dir.filter(_._3 == refIdx).foreach(n => return (n._1, n._2, a, b))
+      if ((bx4 & 3) == 0) { // left <- A
+        if (aRef == refIdx) return (mvXArr(iA), mvYArr(iA))
+      } else if (cRef == refIdx) return (mvXArr(iC), mvYArr(iC)) // right <- C(/D)
     }
+    // B/C-absent A-shortcut: an INTRA A contributes zero motion
+    // (§8.4.1.3.2 zeroes intra neighbours BEFORE the substitution —
+    // reading A's array cells raw was only accidentally right while
+    // intra rows were pre-zeroed; a pooled decoder picture keeps
+    // stale values there by design since the round-14 reset trim)
+    if (!bAvail && !cAvail && aAvail)
+      return (if (aRef >= 0) (mvXArr(iA), mvYArr(iA)) else (0, 0))
     // exactly-one-same-reference rule (refIdxN == refIdx; intra = -1)
-    val sameRef = Seq(a, b, c).flatten.filter(_._3 == refIdx)
-    val pred =
-      // B/C-absent A-shortcut: an INTRA A contributes zero motion
-      // (§8.4.1.3.2 zeroes intra neighbours BEFORE the substitution —
-      // reading A's array cells raw was only accidentally right while
-      // intra rows were pre-zeroed; a pooled decoder picture keeps
-      // stale values there by design since the round-14 reset trim)
-      if (b.isEmpty && c.isEmpty && a.isDefined)
-        (if (a.get._3 >= 0) (a.get._1, a.get._2) else (0, 0))
-      else if (sameRef.size == 1) (sameRef.head._1, sameRef.head._2)
-      else {
-        def mv(n: Option[(Int, Int, Int)]) = n.filter(_._3 >= 0).map(v => (v._1, v._2)).getOrElse((0, 0))
-        val (ax, ay) = mv(a); val (bx, by) = mv(b); val (cx, cy) = mv(c)
-        def med(p: Int, q: Int, r: Int) = math.max(math.min(p, q), math.min(math.max(p, q), r))
-        (med(ax, bx, cx), med(ay, by, cy))
-      }
-    (pred._1, pred._2, a, b)
+    val sameA = aRef == refIdx
+    val sameB = bRef == refIdx
+    val sameC = cRef == refIdx
+    val nSame = (if (sameA) 1 else 0) + (if (sameB) 1 else 0) + (if (sameC) 1 else 0)
+    if (nSame == 1) {
+      if (sameA) return (mvXArr(iA), mvYArr(iA))
+      if (sameB) return (mvXArr(iB), mvYArr(iB))
+      return (mvXArr(iC), mvYArr(iC))
+    }
+    val ax = if (aRef >= 0) mvXArr(iA) else 0
+    val ay = if (aRef >= 0) mvYArr(iA) else 0
+    val bx = if (bRef >= 0) mvXArr(iB) else 0
+    val by = if (bRef >= 0) mvYArr(iB) else 0
+    val cx = if (cRef >= 0) mvXArr(iC) else 0
+    val cy = if (cRef >= 0) mvYArr(iC) else 0
+    @inline def med(p: Int, q: Int, r: Int) =
+      math.max(math.min(p, q), math.min(math.max(p, q), r))
+    (med(ax, bx, cx), med(ay, by, cy))
   }
 
   /** Spatial direct luma motion for a whole B macroblock (§8.4.1.2.2 at
@@ -2246,7 +2271,7 @@ object H264Codec {
       return DirectMv(0, 0, new Array[Int](16)) // directZeroPrediction
     def listPred(list: Int, refIdx: Int): (Int, Int) =
       if (refIdx < 0) (0, 0)
-      else { val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx, list); (px, py) }
+      else { val (px, py) = predictMv(st, mbX, mbY, refIdx, list); (px, py) }
     val (p0x, p0y) = listPred(0, ref0)
     val (p1x, p1y) = listPred(1, ref1)
     // per-quadrant colZeroFlag (direct_8x8_inference_flag = 1: the
@@ -2330,12 +2355,17 @@ object H264Codec {
     * (P_Skip always references picture 0 of list 0)
     */
   private def skipMv(st: PicState, mbX: Int, mbY: Int): (Int, Int) = {
-    val (px, py, a, b) = predictMv(st, mbX, mbY, refIdx = 0)
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val bw4 = st.bw4
+    val aAvail = st.avail4(bx4 - 1, by4)
+    val bAvail = st.avail4(bx4, by4 - 1)
+    val iA = by4 * bw4 + bx4 - 1
+    val iB = (by4 - 1) * bw4 + bx4
     val zero =
-      a.isEmpty || b.isEmpty ||
-        (a.exists(n => n._3 == 0 && n._1 == 0 && n._2 == 0)) ||
-        (b.exists(n => n._3 == 0 && n._1 == 0 && n._2 == 0))
-    if (zero) (0, 0) else (px, py)
+      !aAvail || !bAvail ||
+        (st.ref4(iA) == 0 && st.mv4X(iA) == 0 && st.mv4Y(iA) == 0) ||
+        (st.ref4(iB) == 0 && st.mv4X(iB) == 0 && st.mv4Y(iB) == 0)
+    if (zero) (0, 0) else predictMv(st, mbX, mbY, refIdx = 0)
   }
 
   /** inter residual of one P MB: 16 luma 4x4 blocks (16 coeffs each, no
@@ -3104,11 +3134,11 @@ object H264Codec {
         var r0 = -1; var m0x = 0; var m0y = 0
         var r1 = -1; var m1x = 0; var m1y = 0
         if ((p.mode & 1) == 1) { // L0 or Bi
-          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, p.r0, 0)
+          val (px, py) = predictMvPart(st, bx4, by4, p.w4, p.h4, p.r0, 0)
           r0 = p.r0; m0x = px + p.d0x; m0y = py + p.d0y
         }
         if (p.mode >= 2) { // L1 or Bi
-          val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, p.r1, 1)
+          val (px, py) = predictMvPart(st, bx4, by4, p.w4, p.h4, p.r1, 1)
           r1 = p.r1; m1x = px + p.d1x; m1y = py + p.d1y
         }
         st.setMotion4(bx4, by4, p.w4, p.h4, r0, m0x, m0y, r1, m1x, m1y,
@@ -4442,11 +4472,11 @@ object H264Codec {
         bw.ue(ch.mbType)
         // ref_idx_lX: cMax 0 at 1-deep lists -> no bits
         if (ch.ref0 >= 0 && ch.mbType != 0) {
-          val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
+          val (px, py) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
           bw.se(ch.mv0x - px); bw.se(ch.mv0y - py)
         }
         if (ch.ref1 >= 0 && ch.mbType != 0) {
-          val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
+          val (px, py) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
           bw.se(ch.mv1x - px); bw.se(ch.mv1y - py)
         }
         val cbp = if (ch.mc == null) 0 else ch.mc.cbp
@@ -4478,7 +4508,7 @@ object H264Codec {
       if (numRefActive == 2) bw.u1(1 - refIdx)
       else bw.ue(refIdx)
     }
-    val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
+    val (px, py) = predictMv(st, mbX, mbY, refIdx)
     bw.se(mvx - px)
     bw.se(mvy - py)
     val cbp = if (mc == null) 0 else mc.cbp
@@ -4513,7 +4543,7 @@ object H264Codec {
     st.beginPartitionedMb(mbX, mbY)
     cand.parts.foreach { p =>
       val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
-      val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+      val (px, py) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
       bw.se(p.mv0x - px); bw.se(p.mv0y - py)
       st.setMotion4(bx4, by4, p.w4, p.h4, 0, p.mv0x, p.mv0y, -1, 0, 0, refs(0).poc)
     }
@@ -4543,11 +4573,11 @@ object H264Codec {
       val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
       var d0 = (0, 0); var d1 = (0, 0)
       if (p.ref0 >= 0) {
-        val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+        val (px, py) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
         d0 = (p.mv0x - px, p.mv0y - py)
       }
       if (p.ref1 >= 0) {
-        val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 1)
+        val (px, py) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 1)
         d1 = (p.mv1x - px, p.mv1y - py)
       }
       st.setMotion4(bx4, by4, p.w4, p.h4, p.ref0, p.mv0x, p.mv0y,
@@ -5457,7 +5487,7 @@ object H264Codec {
           e.encodeBin(cx, CabacCtx.RefIdx + (if (refIdx == 0)
             cms.incRefIdx(mbX * 4, mbY * 4) else if (refIdx == 1) 4 else 5), 0)
         }
-        val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
+        val (px, py) = predictMv(st, mbX, mbY, refIdx)
         val mvdX = mvx - px; val mvdY = mvy - py
         cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false), mvdX)
         cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true), mvdY)
@@ -5530,7 +5560,7 @@ object H264Codec {
     st.beginPartitionedMb(mbX, mbY)
     cand.parts.foreach { p =>
       val bx4 = mbX * 4 + p.ox4; val by4 = mbY * 4 + p.oy4
-      val (px, py, _, _) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
+      val (px, py) = predictMvPart(st, bx4, by4, p.w4, p.h4, 0, 0)
       val dx = p.mv0x - px; val dy = p.mv0y - py
       cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(bx4, by4, yComp = false), dx)
       cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(bx4, by4, yComp = true), dy)
@@ -5752,14 +5782,14 @@ object H264Codec {
         if (ch.mbType != 0) {
           // ref_idx_lX: 1-deep lists code no bins (cMax 0)
           if (ch.ref0 >= 0) {
-            val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
+            val (px, py) = predictMv(st, mbX, mbY, ch.ref0, list = 0)
             val dx = ch.mv0x - px; val dy = ch.mv0y - py
             cabacWriteMvd(e, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false), dx)
             cabacWriteMvd(e, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true), dy)
             cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy)
           }
           if (ch.ref1 >= 0) {
-            val (px, py, _, _) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
+            val (px, py) = predictMv(st, mbX, mbY, ch.ref1, list = 1)
             val dx = ch.mv1x - px; val dy = ch.mv1y - py
             cabacWriteMvd(e, cx, CabacCtx.Mvd,
               cms.incMvd(mbX * 4, mbY * 4, yComp = false, list = 1), dx)
@@ -5937,7 +5967,7 @@ object H264Codec {
               val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
                 cms.incMvd(mbX * 4, mbY * 4, yComp = true))
               cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy)
-              val (px, py, _, _) = predictMv(st, mbX, mbY, ref0, list = 0)
+              val (px, py) = predictMv(st, mbX, mbY, ref0, list = 0)
               mv0x = px + dx; mv0y = py + dy
             }
             if (ref1 >= 0) {
@@ -5946,7 +5976,7 @@ object H264Codec {
               val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7,
                 cms.incMvd(mbX * 4, mbY * 4, yComp = true, list = 1))
               cms.setMvd(mbX * 4, mbY * 4, 4, 4, dx, dy, list = 1)
-              val (px, py, _, _) = predictMv(st, mbX, mbY, ref1, list = 1)
+              val (px, py) = predictMv(st, mbX, mbY, ref1, list = 1)
               mv1x = px + dx; mv1y = py + dy
             }
           }
@@ -6027,7 +6057,7 @@ object H264Codec {
           val mvdX = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(mbX * 4, mbY * 4, yComp = false))
           val mvdY = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(mbX * 4, mbY * 4, yComp = true))
           cms.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
-          val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
+          val (px, py) = predictMv(st, mbX, mbY, refIdx)
           val mvx = px + mvdX; val mvy = py + mvdY
           var cbpLuma = 0
           var b8 = 0
@@ -6084,7 +6114,7 @@ object H264Codec {
             val dx = cabacReadMvd(d, cx, CabacCtx.Mvd, cms.incMvd(bx4, by4, yComp = false))
             val dy = cabacReadMvd(d, cx, CabacCtx.Mvd + 7, cms.incMvd(bx4, by4, yComp = true))
             cms.setMvd(bx4, by4, w4, h4, dx, dy)
-            val (px, py, _, _) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
+            val (px, py) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
             val mvx = px + dx; val mvy = py + dy
             st.setMotion4(bx4, by4, w4, h4, refIdx, mvx, mvy, -1, 0, 0,
               refs(refIdx).poc)
@@ -7415,12 +7445,12 @@ object H264Codec {
             if (mbType == 2 || mbType == 3) ref1 = readRefTeB(numRefActiveL1)
             if (ref0 >= 0) {
               val dx = r.se; val dy = r.se
-              val (px, py, _, _) = predictMv(st, mbX, mbY, ref0, list = 0)
+              val (px, py) = predictMv(st, mbX, mbY, ref0, list = 0)
               mv0x = px + dx; mv0y = py + dy
             }
             if (ref1 >= 0) {
               val dx = r.se; val dy = r.se
-              val (px, py, _, _) = predictMv(st, mbX, mbY, ref1, list = 1)
+              val (px, py) = predictMv(st, mbX, mbY, ref1, list = 1)
               mv1x = px + dx; mv1y = py + dy
             }
           }
@@ -7487,7 +7517,7 @@ object H264Codec {
           if (mbType == 0) {
             val refIdx = readRefTe()
             val mvdX = r.se; val mvdY = r.se
-            val (px, py, _, _) = predictMv(st, mbX, mbY, refIdx)
+            val (px, py) = predictMv(st, mbX, mbY, refIdx)
             val mvx = px + mvdX; val mvy = py + mvdY
             val cbpCode = r.ue
             require(cbpCode < 48, s"inter coded_block_pattern code $cbpCode out of range")
@@ -7525,7 +7555,7 @@ object H264Codec {
             val parts = geo.zip(mvds).map { case ((ox4, oy4, w4, h4, slot), (dx, dy)) =>
               val refIdx = refSlots(slot)
               val bx4 = mbX * 4 + ox4; val by4 = mbY * 4 + oy4
-              val (px, py, _, _) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
+              val (px, py) = predictMvPart(st, bx4, by4, w4, h4, refIdx, 0)
               val mvx = px + dx; val mvy = py + dy
               st.setMotion4(bx4, by4, w4, h4, refIdx, mvx, mvy, -1, 0, 0,
                 pL0(refIdx).poc)
