@@ -270,4 +270,78 @@ public final class VectorKernels {
             e0.sub(e3).add(32).lanewise(VectorOperators.ASHR, 6).intoArray(soa, o + 96);
         }
     }
+
+    /** running-bound SAD of a 16-wide byte block pair, bound-checked
+     *  every 4 rows. Partial sums are only ever compared against the
+     *  caller's incumbent with >=, so the coarser abort granularity is
+     *  DECISION-identical to the scalar per-row exit: any sum at or
+     *  above the bound rejects, and accepted candidates always ran to
+     *  the exact full sum (integer adds are associative). */
+    public static long sadByte16(byte[] src, int so, int ss,
+            byte[] ref, int ro, int rs, int h, long bound) {
+        long total = 0;
+        for (int r0 = 0; r0 < h; r0 += 4) {
+            IntVector acc = V0;
+            int rEnd = Math.min(r0 + 4, h);
+            for (int r = r0; r < rEnd; r++) {
+                int a = so + r * ss, b = ro + r * rs;
+                acc = acc.add(loadW(src, a).sub(loadW(ref, b)).abs());
+                acc = acc.add(loadW(src, a + 8).sub(loadW(ref, b + 8)).abs());
+            }
+            total += acc.reduceLanes(VectorOperators.ADD);
+            if (total >= bound) return total;
+        }
+        return total;
+    }
+
+    /** 8-wide variant of {@link #sadByte16} */
+    public static long sadByte8(byte[] src, int so, int ss,
+            byte[] ref, int ro, int rs, int h, long bound) {
+        long total = 0;
+        for (int r0 = 0; r0 < h; r0 += 4) {
+            IntVector acc = V0;
+            int rEnd = Math.min(r0 + 4, h);
+            for (int r = r0; r < rEnd; r++)
+                acc = acc.add(loadW(src, so + r * ss).sub(loadW(ref, ro + r * rs)).abs());
+            total += acc.reduceLanes(VectorOperators.ADD);
+            if (total >= bound) return total;
+        }
+        return total;
+    }
+
+    /** SAD of a byte source region vs an int[] prediction buffer (the
+     *  interpolated-candidate cost), 16 wide, stride ps on the pred */
+    public static long sadPred16(byte[] src, int so, int ss,
+            int[] pred, int po, int ps, int h, long bound) {
+        long total = 0;
+        for (int r0 = 0; r0 < h; r0 += 4) {
+            IntVector acc = V0;
+            int rEnd = Math.min(r0 + 4, h);
+            for (int r = r0; r < rEnd; r++) {
+                int a = so + r * ss, b = po + r * ps;
+                acc = acc.add(loadW(src, a).sub(IntVector.fromArray(I16, pred, b)).abs());
+                acc = acc.add(loadW(src, a + 8)
+                    .sub(IntVector.fromArray(I16, pred, b + 8)).abs());
+            }
+            total += acc.reduceLanes(VectorOperators.ADD);
+            if (total >= bound) return total;
+        }
+        return total;
+    }
+
+    /** 8-wide variant of {@link #sadPred16} */
+    public static long sadPred8(byte[] src, int so, int ss,
+            int[] pred, int po, int ps, int h, long bound) {
+        long total = 0;
+        for (int r0 = 0; r0 < h; r0 += 4) {
+            IntVector acc = V0;
+            int rEnd = Math.min(r0 + 4, h);
+            for (int r = r0; r < rEnd; r++)
+                acc = acc.add(loadW(src, so + r * ss)
+                    .sub(IntVector.fromArray(I16, pred, po + r * ps)).abs());
+            total += acc.reduceLanes(VectorOperators.ADD);
+            if (total >= bound) return total;
+        }
+        return total;
+    }
 }

@@ -3805,6 +3805,9 @@ object H264Codec {
       val refPlane = ref.reconY
       var s = 0L
       if (rx0 >= 0 && ry0 >= 0 && rx0 + 16 <= ref.pw && ry0 + 16 <= ref.ph) {
+        if (Simd.enabled)
+          return graft.simd.VectorKernels.sadByte16(srcY, y0 * st.pw + x0,
+            st.pw, refPlane, ry0 * ref.pw + rx0, ref.pw, 16, bound)
         var r = 0
         while (r < 16) {
           val sb = (y0 + r) * st.pw + x0
@@ -3856,6 +3859,9 @@ object H264Codec {
     val predTmp = new Array[Int](256) // local: mcLuma may use the shared scratch
     def sadInterp(qx: Int, qy: Int, bound: Long): Long = {
       mcLuma(ref, mbX, mbY, qx, qy, predTmp)
+      if (Simd.enabled)
+        return graft.simd.VectorKernels.sadPred16(srcY, y0 * st.pw + x0,
+          st.pw, predTmp, 0, 16, 16, bound)
       var s = 0L
       var r = 0
       while (r < 16) {
@@ -4080,6 +4086,12 @@ object H264Codec {
       val rx0 = px + dx; val ry0 = py + dy
       var s = 0L
       if (rx0 >= 0 && ry0 >= 0 && rx0 + w <= ref.pw && ry0 + h <= ref.ph) {
+        if (Simd.enabled && w == 16)
+          return graft.simd.VectorKernels.sadByte16(srcY, py * st.pw + px,
+            st.pw, refPlane, ry0 * ref.pw + rx0, ref.pw, h, bound)
+        if (Simd.enabled && w == 8)
+          return graft.simd.VectorKernels.sadByte8(srcY, py * st.pw + px,
+            st.pw, refPlane, ry0 * ref.pw + rx0, ref.pw, h, bound)
         var r = 0
         while (r < h) {
           val sb = (py + r) * st.pw + px
@@ -4128,6 +4140,12 @@ object H264Codec {
     val predTmp = new Array[Int](256)
     def sadInterp(qx: Int, qy: Int, bound: Long): Long = {
       mcLumaBlk(ref, px, py, w, h, qx, qy, predTmp, 0, 0)
+      if (Simd.enabled && w == 16)
+        return graft.simd.VectorKernels.sadPred16(srcY, py * st.pw + px,
+          st.pw, predTmp, 0, 16, h, bound)
+      if (Simd.enabled && w == 8)
+        return graft.simd.VectorKernels.sadPred8(srcY, py * st.pw + px,
+          st.pw, predTmp, 0, 16, h, bound)
       var s = 0L
       var r = 0
       while (r < h) {
@@ -4270,6 +4288,9 @@ object H264Codec {
   private def predSad(st: PicState, mbX: Int, mbY: Int, srcY: Array[Byte],
       predL: Array[Int]): Long = {
     val x0 = mbX * 16; val y0 = mbY * 16
+    if (Simd.enabled)
+      return graft.simd.VectorKernels.sadPred16(srcY, y0 * st.pw + x0,
+        st.pw, predL, 0, 16, 16, Long.MaxValue)
     var s = 0L
     var r = 0
     while (r < 16) {
