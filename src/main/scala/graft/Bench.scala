@@ -1187,11 +1187,17 @@ object Bench {
     // evidence to refute it
     Emit.latest = json
     Emit.flushFile()
-    // a COMPLETED run also refreshes the committed board copy (partial
-    // runs deliberately don't — see Emit.commitPath)
-    Emit.flushCommitted()
-    System.err.println(s"[bench] full results written to ${Emit.outPath} " +
-      s"and committed copy ${Emit.commitPath}")
+    // a COMPLETED FULL run also refreshes the committed board copy —
+    // partial runs deliberately don't, and neither do TARGETED subset
+    // runs (a one-row rerun must not clobber the round's full board:
+    // exactly that happened in r15 before this guard)
+    if (only.isEmpty) {
+      Emit.flushCommitted()
+      System.err.println(s"[bench] full results written to ${Emit.outPath} " +
+        s"and committed copy ${Emit.commitPath}")
+    } else
+      System.err.println(s"[bench] targeted run: results written to " +
+        s"${Emit.outPath} only (committed board copy untouched)")
     Ledger.save()
     System.err.println(s"[bench] calm best-min ledger at ${Ledger.path} (${Ledger.rows.size} rows)")
     if (Emit.finalPrinted.compareAndSet(false, true)) println(json)
