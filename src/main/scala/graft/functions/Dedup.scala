@@ -161,7 +161,61 @@ object Dedup {
     val chgAcc  = spark.sparkContext.longAccumulator("ccChanged")
     var changed = 1L
     var iter    = 0
-    while (changed > 0 && iter < maxIters) {
+    if (part.numPartitions == 1) {
+      // SMALL-SUBGRAPH FAST PATH: the partitioner is sized to the dup
+      // subgraph, so P == 1 means the whole label loop fits one
+      // partition — where each distributed round paid ~5 one-task
+      // shuffle stages of pure scheduler latency (measured ~350 ms/round
+      // at fixture scale). The identical recurrence (min-message fold,
+      // then TWO pointer jumps per round, convergence when no label
+      // improves) runs partition-locally over primitive-long maps in ONE
+      // narrow job: same per-round label states, hence the same round
+      // count and the same fixpoint — DedupSpec's long-chain round pin
+      // and the CC oracles verify both. P > 1 takes the distributed loop
+      // below, character-identical to the audited r8-r14 shape.
+      val roundsAcc = spark.sparkContext.longAccumulator("ccLocalRounds")
+      val leftAcc   = spark.sparkContext.longAccumulator("ccLocalUnconverged")
+      val maxItersL = maxIters
+      val res = labels.zipPartitions(edgesR, preservesPartitioning = true) { (itL, itE) =>
+        var lab = new scala.collection.mutable.LongMap[Long]()
+        itL.foreach { case (i, c) => lab.update(i, c) }
+        val edgeArr = itE.toArray // (b, a): b's label flows to a
+        def jumpL(cur: scala.collection.mutable.LongMap[Long])
+            : scala.collection.mutable.LongMap[Long] = {
+          val out = new scala.collection.mutable.LongMap[Long](cur.size)
+          cur.foreach { case (i, c) => out.update(i, math.min(c, cur.getOrElse(c, c))) }
+          out
+        }
+        var chg = 1L
+        var rounds = 0
+        while (chg > 0 && rounds < maxItersL) {
+          val prop = new scala.collection.mutable.LongMap[Long](lab.size)
+          lab.foreach { case (i, c) => prop.update(i, c) }
+          edgeArr.foreach { case (b, a) =>
+            val c = lab(b)
+            if (c < prop(a)) prop.update(a, c)
+          }
+          val next = jumpL(jumpL(prop))
+          chg = 0L
+          next.foreach { case (i, nc) => if (nc < lab(i)) chg += 1 }
+          lab = next
+          rounds += 1
+        }
+        roundsAcc.add(rounds)
+        if (chg > 0) leftAcc.add(chg)
+        lab.iterator
+      }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // reliable-checkpoint contract (lineage truncation that survives
+      // executor loss) holds on this path too: the converged labels are
+      // checkpointed once (persist-before-checkpoint, same as the
+      // distributed loop, so the writer's second pass reads the cache)
+      if (checkpointDir.isDefined) res.checkpoint()
+      graft.Profiler.attributed(spark, "cc-round") { res.count() }
+      labels.unpersist(blocking = true)
+      labels = res
+      iter = roundsAcc.value.toInt
+      changed = leftAcc.value
+    } else while (changed > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
       // min over own label and all neighbors' labels: the edge join is
       // narrow (both sides on `part`); the only shuffle is the map-side-

@@ -205,28 +205,75 @@ object GraphRank {
     // shuffle outputs (incoming + the scalar fan-out), which Spark
     // materializes and reuses across the two stages that read `joined` —
     // no persist sites, no lineage blowup, ONE job at the end.
-    var it = 0
-    while (it < iters) {
-      val joined = ranks.join(degR) // narrow: both on `part`
-      val dmRep = replicatedSum(joined, part) {
-        case (_, (rank, (ow, _))) => if (ow == 0L) rank else 0L }
-      // per-edge shares rank*w/W at the src partition (narrow: joined and
-      // edgesR co-partitioned), then the round's main shuffle: the map-
-      // side-combined sum of incoming shares keyed by dst
-      val srcRank = joined
-        .flatMapValues { case (rank, (ow, _)) => if (ow == 0L) None else Some((rank, ow)) }
-      val incoming = edgesR.join(srcRank)
-        .map { case (_, ((dst, w), (rank, ow))) => (dst, rank * w / ow) }
-        .reduceByKey(part, _ + _)
-      ranks = degR.leftOuterJoin(incoming)
-        .zipPartitions(dmRep, preservesPartitioning = true) { (itN, itD) =>
-          val dShare = (if (itD.hasNext) itD.next()._2 else 0L) / nSeeds
-          itN.map { case (id, ((_, seed), inc)) =>
-            val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
-            (id, (teleport + damp * inc.getOrElse(0L)) / 100L)
+    // SMALL-GRAPH FAST PATH: the partitioner is sized to the data, so
+    // P == 1 means the whole graph fits one partition — where the
+    // distributed round structure is pure overhead (measured: each
+    // 1-task shuffle stage costs ~60-100 ms of scheduler latency, and
+    // the narrow-stage alternative pays repeated serialized-cache reads).
+    // The identical recurrence runs partition-locally over primitive-long
+    // maps in ONE narrow task: same integer algebra, same evaluation
+    // order per round (dangling fold, truncating shares, teleport), so
+    // ranks land bit-identical — the oracle gates and the recurrence-
+    // replay specs verify exactly that. At P > 1 the loop below is
+    // untouched.
+    if (part.numPartitions == 1) {
+      val itersL = iters
+      ranks = degR.zipPartitions(edgesR, preservesPartitioning = true) { (itD, itE) =>
+        val ow = new scala.collection.mutable.LongMap[Long]()
+        val seed = new scala.collection.mutable.LongMap[Boolean]()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        itD.foreach { case (id, (o, s)) =>
+          ids += id; ow.update(id, o); seed.update(id, s) }
+        val edgeArr = itE.toArray // (src, (dst, w))
+        var rk = new scala.collection.mutable.LongMap[Long](ids.length)
+        ids.foreach(id => rk.update(id, if (seed(id)) base else 0L))
+        var t = 0
+        while (t < itersL) {
+          var dm = 0L
+          ids.foreach { id => if (ow(id) == 0L) dm += rk(id) }
+          val inc = new scala.collection.mutable.LongMap[Long]()
+          edgeArr.foreach { case (src, (dst, w)) =>
+            val o = ow(src)
+            if (o != 0L) {
+              val sh = rk(src) * w / o
+              inc.update(dst, inc.getOrElse(dst, 0L) + sh)
+            }
           }
+          val dShare = dm / nSeeds
+          val next = new scala.collection.mutable.LongMap[Long](ids.length)
+          ids.foreach { id =>
+            val teleport = if (seed(id)) (100L - damp) * base + damp * dShare else 0L
+            next.update(id, (teleport + damp * inc.getOrElse(id, 0L)) / 100L)
+          }
+          rk = next
+          t += 1
         }
-      it += 1
+        ids.iterator.map(id => (id, rk(id)))
+      }
+    } else {
+      var it = 0
+      while (it < iters) {
+        val joined = ranks.join(degR) // narrow: both on `part`
+        val dmRep = replicatedSum(joined, part) {
+          case (_, (rank, (ow, _))) => if (ow == 0L) rank else 0L }
+        // per-edge shares rank*w/W at the src partition (narrow: joined and
+        // edgesR co-partitioned), then the round's main shuffle: the map-
+        // side-combined sum of incoming shares keyed by dst
+        val srcRank = joined
+          .flatMapValues { case (rank, (ow, _)) => if (ow == 0L) None else Some((rank, ow)) }
+        val incoming = edgesR.join(srcRank)
+          .map { case (_, ((dst, w), (rank, ow))) => (dst, rank * w / ow) }
+          .reduceByKey(part, _ + _)
+        ranks = degR.leftOuterJoin(incoming)
+          .zipPartitions(dmRep, preservesPartitioning = true) { (itN, itD) =>
+            val dShare = (if (itD.hasNext) itD.next()._2 else 0L) / nSeeds
+            itN.map { case (id, ((_, seed), inc)) =>
+              val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
+              (id, (teleport + damp * inc.getOrElse(0L)) / 100L)
+            }
+          }
+        it += 1
+      }
     }
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK_SER)
     ranks.count() // the ONE action: materializes every round
@@ -302,17 +349,62 @@ object GraphRank {
 
     var hub: RDD[(Long, Long)] = nodesR.mapValues(_ => scale)
     var auth: RDD[(Long, Long)] = hub
-    var it = 0
-    while (it < iters) {
-      val rawAuth = bySrc.join(hub) // narrow: co-partitioned
-        .map { case (_, (dst, h)) => (dst, h) }
-        .reduceByKey(part, _ + _)
-      auth = normalise(rawAuth)
-      val rawHub = byDst.join(auth)
-        .map { case (_, (src, a)) => (src, a) }
-        .reduceByKey(part, _ + _)
-      hub = normalise(rawHub)
-      it += 1
+    // SMALL-GRAPH FAST PATH (same rationale and bit-identity argument as
+    // the pageRank loop's): at P == 1 the full hubs/authorities iteration
+    // runs partition-locally in ONE narrow task — identical collect sums,
+    // identical per-node BigInt normalisation. P > 1 untouched.
+    if (part.numPartitions == 1) {
+      val itersL = iters
+      val ha = nodesR.zipPartitions(bySrc, byDst, preservesPartitioning = true) {
+        (itN, itS, itD) =>
+          val ids = itN.map(_._1).toArray
+          val srcE = itS.toArray // (src, dst)
+          val dstE = itD.toArray // (dst, src)
+          def normaliseL(raw: scala.collection.mutable.LongMap[Long])
+              : scala.collection.mutable.LongMap[Long] = {
+            var total = 0L
+            raw.foreach { case (_, v) => total += v }
+            val out = new scala.collection.mutable.LongMap[Long](ids.length)
+            ids.foreach { id =>
+              val r = raw.getOrElse(id, 0L)
+              out.update(id, if (total == 0L) 0L else (BigInt(r) * sc / total).toLong)
+            }
+            out
+          }
+          var hubL = new scala.collection.mutable.LongMap[Long](ids.length)
+          ids.foreach(id => hubL.update(id, scale))
+          var authL = hubL
+          var t = 0
+          while (t < itersL) {
+            val rawAuth = new scala.collection.mutable.LongMap[Long]()
+            srcE.foreach { case (src, dst) =>
+              rawAuth.update(dst, rawAuth.getOrElse(dst, 0L) + hubL(src)) }
+            authL = normaliseL(rawAuth)
+            val rawHub = new scala.collection.mutable.LongMap[Long]()
+            dstE.foreach { case (dst, src) =>
+              rawHub.update(src, rawHub.getOrElse(src, 0L) + authL(dst)) }
+            hubL = normaliseL(rawHub)
+            t += 1
+          }
+          val h = hubL; val a = authL
+          ids.iterator.map(id => (id, (h(id), a(id))))
+      }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      hub = ha.mapValues(_._1)
+      auth = ha.mapValues(_._2)
+      CacheScope.registerRdd(ha)
+    } else {
+      var it = 0
+      while (it < iters) {
+        val rawAuth = bySrc.join(hub) // narrow: co-partitioned
+          .map { case (_, (dst, h)) => (dst, h) }
+          .reduceByKey(part, _ + _)
+        auth = normalise(rawAuth)
+        val rawHub = byDst.join(auth)
+          .map { case (_, (src, a)) => (src, a) }
+          .reduceByKey(part, _ + _)
+        hub = normalise(rawHub)
+        it += 1
+      }
     }
     hub = hub.persist(StorageLevel.MEMORY_AND_DISK_SER)
     auth = auth.persist(StorageLevel.MEMORY_AND_DISK_SER)

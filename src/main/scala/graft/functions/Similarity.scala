@@ -68,6 +68,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** per-row L2 norm sqrt(dot(v,v)) — hoisted ONCE per row ahead of the
+    * pair joins below, so a quadratic candidate stage evaluates one
+    * vec_dot per pair instead of three (the two self-dots were
+    * recomputed per CANDIDATE when written inline in [[cosine]]).
+    * `dot(a,b) / (na * nb)` with the hoisted norms multiplies the same
+    * two sqrt results in the same order, so every rounded score is
+    * bit-identical to the inline form.
+    */
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
   /** sign-bit bucket over `bits` dimensions starting at `from` (bit q set
     * iff dim from+q+1 >= 0) — the cheap IVF/LSH partition key
     */
@@ -163,10 +173,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("__nq")))
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("__nv"))
       .join(q, col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("__nq") * col("__nv")), 6).as("score"))
     rankTopK(scored, k)
   }
 
@@ -177,12 +190,13 @@ object Similarity {
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      norm(col(vecCol)).as("__nv"), signBucket(col(vecCol), bits).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), bits).as("bucket")))
+      norm(col(vecCol)).as("__nq"), signBucket(col(vecCol), bits).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("__nq") * col("__nv")), 6).as("score"))
     rankTopK(scored, k)
   }
 
@@ -228,12 +242,18 @@ object Similarity {
     */
   def ivfBuildCells(corpus: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norms hoisted: the anchor norm once per ANCHOR (broadcast side),
+    // the vector norm once per ROW instead of once per (row, anchor) —
+    // cosine(cv, v) = dot / (sqrt(cv·cv) * sqrt(v·v)), same multiply
+    // order, bit-identical argmax input. Output schema unchanged.
+    val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("__ncv")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("__nv"))
       .join(a)
       .select(col("id"), col("v"),
-        struct(cosine(col("cv"), col("v")).as("s"), (-col("cid")).as("nc"),
-          col("cid")).as("cand"))
+        struct((dot(col("cv"), col("v")) / (col("__ncv") * col("__nv"))).as("s"),
+          (-col("cid")).as("nc"), col("cid")).as("cand"))
       .groupBy(col("id"))
       .agg(max(col("cand")).as("best"), first(col("v")).as("v"))
       .select(col("id"), col("v"), col("best.cid").as("cell"))
@@ -321,8 +341,12 @@ object Similarity {
   private def cellScored(corpus: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String, maxCellSize: Int = 4096): DataFrame = {
     require(maxCellSize >= 1, s"maxCellSize $maxCellSize must be >= 1")
+    // the per-row norm rides the cached assignment so the quadratic
+    // within-cell self-join below computes one vec_dot per candidate
+    // pair, not three (see [[norm]])
     val cells = graft.CacheScope.cache(
-      ivfBuildCells(corpus, anchors, idCol, vecCol))
+      ivfBuildCells(corpus, anchors, idCol, vecCol)
+        .withColumn("__nrm", norm(col("v"))))
     // degraded-recall mode must be OBSERVABLE, not silent: a udf over the
     // |anchors|-row aggregate (tiny, broadcast side — never the corpus)
     // logs each cell that actually sub-splits. Callers who want exactness
@@ -343,7 +367,8 @@ object Similarity {
     sub.as("q").join(sub.as("c"), Seq("cell", "__sc"))
       .where(col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("id"),
-        round(cosine(col("q.v"), col("c.v")), 6).as("score"))
+        round(dot(col("q.v"), col("c.v")) / (col("q.__nrm") * col("c.__nrm")), 6)
+          .as("score"))
   }
 
   /** Hard-negative mining for contrastive/embedding training: for every
@@ -420,18 +445,27 @@ object Similarity {
     */
   def ivfProbe(celled: DataFrame, anchors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // query/anchor norms hoisted once per row (broadcast side included);
+    // the corpus-side norm computes once per celled row instead of once
+    // per (row, probing query) — bit-identical scores, see [[norm]]
+    val a = broadcast(anchors.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("__ncv")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("__nq"))
     // per-query probe list: nprobe highest-cosine cells (bounded heap over
     // the broadcast anchor relation — |queries| * |anchors| rows, k rows out)
     val probes = rankTopK(
       q.join(a).select(col("qid"), col("cid").as("id"),
-        round(cosine(col("cv"), col("qv")), 6).as("score")), nprobe)
+        round(dot(col("cv"), col("qv")) / (col("__ncv") * col("__nq")), 6)
+          .as("score")), nprobe)
       .select(col("qid"), col("id").as("cell"))
     val qp = broadcast(probes.join(q, Seq("qid")))
-    val scored = celled.select(col("id"), col("v"), col("cell")).join(qp, Seq("cell"))
+    val scored = celled.select(col("id"), col("v"), col("cell"),
+        norm(col("v")).as("__nv"))
+      .join(qp, Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), round(cosine(col("qv"), col("v")), 6).as("score"))
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("__nq") * col("__nv")), 6).as("score"))
     rankTopK(scored, k)
   }
 
@@ -674,10 +708,11 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
     val keyed = CacheScope.cache(corpus.select(
-      col(idCol).as("id") +: col(vecCol).as("v") +:
+      col(idCol).as("id") +: col(vecCol).as("v") +: norm(col(vecCol)).as("__nrm") +:
         (0 until bands).map(b =>
           signBucket(col(vecCol), bitsPerBand, b * bitsPerBand).as(s"band$b")): _*)
       ) // cached: both sides of every band join AND the post-dedup vector fetch
+        // (the hoisted per-row norm rides it — one vec_dot per surviving pair)
     // candidates carry ONLY (a, b): at dim=1024 the pair-dedup exchange
     // moves 16 bytes per candidate instead of ~8 KB of rider vectors —
     // the vectors re-join from the cached keyed relation AFTER the
@@ -691,9 +726,10 @@ object Similarity {
     }
     perBand.reduce(_ unionByName _)
       .dropDuplicates("a", "b")
-      .join(keyed.select(col("id").as("a"), col("v").as("va")), Seq("a"))
-      .join(keyed.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("score"))
+      .join(keyed.select(col("id").as("a"), col("v").as("va"), col("__nrm").as("na")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("v").as("vb"), col("__nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= threshold)
   }
 
@@ -724,17 +760,20 @@ object Similarity {
     val anchors = kmeansCentroidVectors(embs, idCol, vecCol, k, iters)
       .select(col("cid").as(idCol),
         transform(col("cv"), x => x.cast("float")).as(vecCol))
-    val celled0 = CacheScope.cache(ivfBuildCells(embs, anchors, idCol, vecCol))
+    val celled0 = CacheScope.cache(ivfBuildCells(embs, anchors, idCol, vecCol)
+      .withColumn("__nrm", norm(col("v")))) // hoisted per-row norm (see [[norm]])
     val nsub = broadcast(celled0.groupBy(col("cell"))
       .agg(ceil(count(lit(1)) / lit(maxCellSize.toDouble)).as("__nsub")))
     val celled = celled0.join(nsub, Seq("cell"))
       .withColumn("__sc", when(col("__nsub") <= 1L, lit(0L))
         .otherwise(pmod(xxhash64(col("id")), col("__nsub"))))
-    val l = celled.select(col("cell"), col("__sc"), col("id").as("a"), col("v").as("va"))
-    val r = celled.select(col("cell"), col("__sc"), col("id").as("b"), col("v").as("vb"))
+    val l = celled.select(col("cell"), col("__sc"), col("id").as("a"), col("v").as("va"),
+      col("__nrm").as("na"))
+    val r = celled.select(col("cell"), col("__sc"), col("id").as("b"), col("v").as("vb"),
+      col("__nrm").as("nb"))
     val drops = l.join(r, Seq("cell", "__sc"))
       .filter(col("a") < col("b"))
-      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
       .select(col("b").as("id"))
       .distinct()
     celled.select(col("id"), col("cell"))

@@ -143,13 +143,18 @@ object SimQueries {
     // max(struct(score, -qid)) — no window, ties break to the smaller qid
     "sim_assign" -> ((s, dir) => {
       val e = emb(s, dir)
+      // norms hoisted per row/per anchor ahead of the corpus x anchors
+      // join — cosine(qv, v) = dot/(sqrt(qv·qv)*sqrt(v·v)) with the same
+      // multiply order, so the argmax input is bit-identical
       val q = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
-      e.select(col("vec_id"), col("embedding").as("v"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("__nq")))
+      e.select(col("vec_id"), col("embedding").as("v"),
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("__nv"))
         .join(q, col("vec_id") =!= col("qid"))
         .select(col("vec_id"),
           struct(
-            Similarity.cosine(col("qv"), col("v")).as("score"),
+            (Similarity.dot(col("qv"), col("v")) / (col("__nq") * col("__nv"))).as("score"),
             (-col("qid")).as("nq"), col("qid")).as("cand"))
         .groupBy(col("vec_id"))
         .agg(max(col("cand")).as("best"))
