@@ -117,16 +117,11 @@ object Dedup {
     val paired = CacheScope.cache(nodeIds
       .join(edgesDf.select(col("a").as("id")).distinct(), Seq("id"), "left_semi"))
 
-    // Dictionary-encode paired node ids to dense longs IN NATURAL ID ORDER
-    // (sort + zipWithIndex): code order mirrors id order, so the min-code
-    // fixpoint decodes to exactly the min-id labels the callers' oracles
-    // expect, for any orderable id type (longs, md5 strings, ...).
-    val idField = StructField("id", nodeIds.schema.head.dataType, nodeIds.schema.head.nullable)
-    val dict = CacheScope.cache(spark.createDataFrame(
-      paired.orderBy("id").rdd.zipWithIndex()
-        .map { case (r, code) => Row(r.get(0), code) },
-      StructType(Seq(idField, StructField("code", LongType, nullable = false)))))
-
+    // Dictionary-encode paired node ids to dense longs IN NATURAL ID ORDER:
+    // code order mirrors id order, so the min-code fixpoint decodes to
+    // exactly the min-id labels the callers' oracles expect, for any
+    // orderable id type (longs, md5 strings, ...).
+    //
     // one partitioner for the WHOLE loop: edges and every round's labels
     // stay co-partitioned, so the per-round joins below are narrow.
     // Size it to the duplicate SUBGRAPH, not the session default: every
@@ -134,16 +129,49 @@ object Dedup {
     // whose dup subgraph is a few hundred nodes pays pure per-stage
     // scheduling latency on partitions that hold a handful of rows
     // (50k labels/partition keeps tasks meaningful; the count is a
-    // cached-scan job that also materializes the dict exactly once).
-    val nPaired = dict.count()
+    // cached-scan job that also materializes the paired cache — and the
+    // whole upstream pair plan — exactly once).
+    val idField = StructField("id", nodeIds.schema.head.dataType, nodeIds.schema.head.nullable)
+    val nPaired = paired.count()
     val part = new HashPartitioner(math.max(1,
       math.min(spark.sessionState.conf.numShufflePartitions,
         math.ceil(nPaired / 50000.0).toInt)))
-    val edgesR: RDD[(Long, Long)] = edgesDf
-      .join(dict.select(col("id").as("a"), col("code").as("ca")), Seq("a"))
-      .join(dict.select(col("id").as("b"), col("code").as("cb")), Seq("b"))
-      .select(col("cb"), col("ca")).rdd // keyed by source b: b's label flows to a
-      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // The dict has two representations by subgraph size:
+    //  - P == 1 (≤ 50k paired ids by partitioner construction): the
+    //    ordered ids COLLECT to the driver once; codes are array indices,
+    //    the encode map broadcasts, and decode is an array lookup — no
+    //    sort exchange, no zipWithIndex pre-job, no dict cache, and no
+    //    encode/decode joins (4 fixture-scale stages per CC call gone).
+    //    The ordering comes from the same Spark orderBy, so code order
+    //    (hence every min-code fixpoint) is identical to the
+    //    distributed dict's.
+    //  - P > 1: the audited distributed dict (sort + zipWithIndex),
+    //    unchanged.
+    val localIds: Array[Any] =
+      if (part.numPartitions == 1) paired.orderBy("id").collect().map(_.get(0))
+      else null
+    val dict: DataFrame =
+      if (localIds != null) null
+      else CacheScope.cache(spark.createDataFrame(
+        paired.orderBy("id").rdd.zipWithIndex()
+          .map { case (r, code) => Row(r.get(0), code) },
+        StructType(Seq(idField, StructField("code", LongType, nullable = false)))))
+
+    val edgesR: RDD[(Long, Long)] =
+      (if (localIds != null) {
+        val codeOf = new java.util.HashMap[Any, java.lang.Long](localIds.length * 2)
+        localIds.zipWithIndex.foreach { case (v, i) => codeOf.put(v, i.toLong) }
+        val bc = spark.sparkContext.broadcast(codeOf)
+        // keyed by source b: b's label flows to a (endpoints ⊆ paired by
+        // the semi-joins above, so the map lookups always hit)
+        edgesDf.rdd.map(r => (bc.value.get(r.get(1)).longValue,
+          bc.value.get(r.get(0)).longValue))
+      } else edgesDf
+        .join(dict.select(col("id").as("a"), col("code").as("ca")), Seq("a"))
+        .join(dict.select(col("id").as("b"), col("code").as("cb")), Seq("b"))
+        .select(col("cb"), col("ca")).rdd // keyed by source b
+        .map(r => (r.getLong(0), r.getLong(1))))
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
@@ -152,8 +180,12 @@ object Dedup {
     // old gen because rounds outlive young collections) and re-persists a
     // fresh object graph per round; the serialized form is ~10 bytes/row
     // of Kryo varints in a handful of byte arrays — GC-invisible.
-    var labels: RDD[(Long, Long)] = dict.select("code").rdd
-      .map(r => (r.getLong(0), r.getLong(0)))
+    var labels: RDD[(Long, Long)] =
+      (if (localIds != null)
+        spark.sparkContext.parallelize(0L until localIds.length.toLong, 1)
+          .map(c => (c, c))
+      else dict.select("code").rdd
+        .map(r => (r.getLong(0), r.getLong(0))))
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
@@ -275,19 +307,30 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds")
-    // decode: two small dict joins give back (id, cluster) in the caller's
-    // id type; singletons rejoin with self-labels. The returned relation
-    // reads the final round's blocks + the cached dict/node relations —
-    // they live until the caller's CacheScope.release().
+    // decode back to the caller's id type — an array lookup over the
+    // broadcast driver dict at P == 1, two small dict joins otherwise;
+    // singletons rejoin with self-labels. The returned relation reads the
+    // final round's blocks + the cached node relations — they live until
+    // the caller's CacheScope.release().
     CacheScope.registerRdd(labels)
-    val labDf = spark.createDataFrame(
-      labels.map { case (i, c) => Row(i, c) },
-      StructType(Seq(StructField("code", LongType, nullable = false),
-        StructField("ccode", LongType, nullable = false))))
-    val decoded = labDf
-      .join(dict, Seq("code"))
-      .join(dict.select(col("code").as("ccode"), col("id").as("cluster")), Seq("ccode"))
-      .select(col("id"), col("cluster"))
+    val decoded =
+      if (localIds != null) {
+        val bcIds = spark.sparkContext.broadcast(localIds)
+        spark.createDataFrame(
+          labels.map { case (i, c) =>
+            Row(bcIds.value(i.toInt), bcIds.value(c.toInt)) },
+          StructType(Seq(idField,
+            StructField("cluster", idField.dataType, idField.nullable))))
+      } else {
+        val labDf = spark.createDataFrame(
+          labels.map { case (i, c) => Row(i, c) },
+          StructType(Seq(StructField("code", LongType, nullable = false),
+            StructField("ccode", LongType, nullable = false))))
+        labDf
+          .join(dict, Seq("code"))
+          .join(dict.select(col("code").as("ccode"), col("id").as("cluster")), Seq("ccode"))
+          .select(col("id"), col("cluster"))
+      }
     val singletons = nodeIds.join(paired, Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
     (decoded.unionByName(singletons), iter)

@@ -27,10 +27,12 @@ object GraphStructure {
   private def prunedPairs(rel: DataFrame, ctxCol: String, itemCol: String,
       maxCtxDegree: Int): DataFrame = {
     require(maxCtxDegree >= 2, s"maxCtxDegree $maxCtxDegree must be >= 2")
-    val pairs = rel
+    // cached: `kept` (the degree filter) and the semi-join left side both
+    // read it — uncached, the upstream scan + distinct evaluated twice
+    val pairs = CacheScope.cache(rel
       .select(col(ctxCol).cast(LongType).as("ctx"), col(itemCol).cast(LongType).as("item"))
       .where(col("ctx").isNotNull && col("item").isNotNull)
-      .distinct()
+      .distinct())
     val kept = pairs.groupBy(col("ctx"))
       .agg(count(lit(1)).as("d"))
       .where(col("d") <= maxCtxDegree)
@@ -127,6 +129,10 @@ object GraphStructure {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(steps >= 1 && steps <= 64, s"steps $steps out of [1, 64]")
     require(maxDegree >= 1, s"maxDegree $maxDegree must be >= 1")
+    // NOT cached (measured, round 15): caching this pre-distinct relation
+    // grew the row's cpu_s ~60% — the cache write + InMemory scans cost
+    // more than the two cheap re-derivations it saved, and it blocks the
+    // exchange reuse between the adjacency agg and the node-set distinct
     val e = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)

@@ -401,7 +401,11 @@ object GraphQueries {
     // every measure an exact integer aggregate with map-side combine
     // (max degrees, not medians: nothing here collects a per-node list)
     "graph_report" -> ((s, dir) => {
-      val ia = interactions(s, dir).distinct()
+      // cached: five rollup legs (base counts, both degree maxes, the
+      // projection, triangles) each re-evaluated the events scan + JSON
+      // parse + distinct without it (the profile showed the subtree
+      // twice per exchange pair)
+      val ia = graft.CacheScope.cache(interactions(s, dir).distinct())
       val base = ia.agg(
         countDistinct(col("ctx")).as("n_users"),
         countDistinct(col("item")).as("n_items"),

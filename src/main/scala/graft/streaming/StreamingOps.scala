@@ -341,9 +341,13 @@ object StreamingOps {
         col("bb.band").as("band"), col("bb.bk").as("bk"))
     // KEEP the band rows the corpus index does NOT contain (stream-static
     // left anti; a null sentinel key never equi-matches, so short docs
-    // keep their one row) — a doc is new iff all its bands survive
-    val misses = banded.join(index.select(col("band"), col("bk")),
-      Seq("band", "bk"), "left_anti")
+    // keep their one row) — a doc is new iff all its bands survive.
+    // The static side is CACHED: a stream-static join re-executes the
+    // static plan EVERY micro-batch, so an inline-built index would
+    // re-band the whole corpus per batch (the [[streamingIndexProbe]]
+    // static-side discipline applied here too).
+    val idx = graft.CacheScope.cache(index.select(col("band"), col("bk")))
+    val misses = banded.join(idx, Seq("band", "bk"), "left_anti")
     // CHAINED window aggregation (Spark >= 3.4 multiple-stateful-operator
     // support): re-windowing the keeper agg's window column is the
     // documented composition shape — same length, so the bins are
