@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.CacheScope
 
 /** Exact fixed-point principal-component analysis for embedding columns —
   * the whitening/reduction step ahead of semantic dedup and ANN indexing
