@@ -689,6 +689,16 @@ object Bench {
   // ------------------------------------------------------------------
   private object Emit {
     @volatile var latest: String = """{"metric":"total","value":0,"unit":"sec","queries":{},"failed":[],"truncated":true,"skipped":["__board_not_started__"]}"""
+    // the COMPACT line printed to stdout (VERDICT r15 defect 1: the full
+    // line grew to ~60 KB of telemetry and the driver keeps only a ~2 KB
+    // stdout tail, so PERF comparisons were blind for two rounds). The
+    // compact line carries total + per-query min + failed/skipped/aborted
+    // + cpus + sf ONLY; telemetry/reps/ops/calibration stay in the file
+    // artifacts. Scalar fields come AFTER the queries map so that even a
+    // tail-truncated capture retains them plus the trailing rows.
+    @volatile var latestCompact: String = latest
+    // stamped into both JSONs and used to key the committed board file
+    @volatile var cpusTag: String = "?"
     val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val outPath: java.nio.file.Path = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench-results.json"))
@@ -699,8 +709,18 @@ object Bench {
     // `git add` preserves it; refreshed only by a COMPLETED run (the
     // shutdown hook keeps partial boards in target/ alone, so a SIGTERM'd
     // rerun can't clobber the round's good committed artifact).
-    val commitPath: java.nio.file.Path = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_COMMIT_OUT", "BENCH_LOCAL_LATEST.json"))
+    // the committed copy of the MAIN-configuration board. A full run at a
+    // DIFFERENT core count (the driver's scaling run) must not clobber it
+    // (VERDICT r15 defect 2: the 8-core scaling run overwrote the 32-core
+    // board of record), so flushCommitted keys the file on cpus: only the
+    // main-cpus run refreshes the plain path; other counts get their own
+    // suffixed file.
+    val mainCpus: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAIN_CPUS", "32")
+    def commitPath: java.nio.file.Path = {
+      val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMMIT_OUT", "BENCH_LOCAL_LATEST.json")
+      if (cpusTag == mainCpus) java.nio.file.Paths.get(base)
+      else java.nio.file.Paths.get(base.stripSuffix(".json") + s"_c$cpusTag.json")
+    }
     def flushFile(): Unit =
       try {
         if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
@@ -714,8 +734,9 @@ object Bench {
     def installHook(): Unit =
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         if (finalPrinted.compareAndSet(false, true)) {
-          // partial emission on SIGTERM: stdout line + file, no Spark use
-          println(latest)
+          // partial emission on SIGTERM: compact stdout line (the driver
+          // contract) + full file, no Spark use
+          println(latestCompact)
           System.out.flush()
           flushFile()
         }
@@ -900,6 +921,7 @@ object Bench {
     val (prevMins, prevSf1MinsFile) = loadEstimates()
     val prevSf1Mins =
       if (prevSf1MinsFile.nonEmpty) prevSf1MinsFile else Ledger.minsFor("sf1")
+    Emit.cpusTag = cpus
     // ledger calm mins back-fill rows the previous run aborted or skipped
     // (bt_1m_cc published NO min in r12 or r13, so it gated and capped on
     // the group median / budget/12 — exactly the rows that most need a
@@ -996,6 +1018,7 @@ object Bench {
       f"[bench] sf1 reserve $sf1Reserve%.0fs (prev measured ${prevSf1Mins.values.sum}%.0fs over ${prevSf1Mins.size} rows)")
     val doneBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
     @volatile var sf1Part = ""
+    @volatile var sf1Compact = ""
     def emitPartial(skippedNow: Seq[String]): Unit = {
       val snapDone = doneBuf.toSeq
       val failedNow = snapDone.collect {
@@ -1004,7 +1027,9 @@ object Bench {
       val totalNow = snapDone.map(_._2.min).filter(_ >= 0).sum
       val sk = skippedNow.map("\"" + _ + "\"").mkString("[", ",", "]")
       Emit.latest =
-        s"""{"metric":"total","value":$totalNow,"unit":"sec",${sectionJson(snapDone)},"reps":$reps,"failed":$failedNow,"sf":"$sfDir","budget_s":$budgetS,"truncated":true,"skipped":$sk$sf1Part}"""
+        s"""{"metric":"total","value":$totalNow,"unit":"sec",${sectionJson(snapDone)},"reps":$reps,"failed":$failedNow,"sf":"$sfDir","cpus":$cpus,"budget_s":$budgetS,"truncated":true,"skipped":$sk$sf1Part}"""
+      Emit.latestCompact = compactJson(snapDone, reps, sfDir, cpus, budgetS,
+        elapsedS, truncated = true, skippedNow, sf1Compact)
       Emit.flushFile()
     }
     // per-execution watchdog cap (r12 ask 1a): 4x the previous run's min
@@ -1139,6 +1164,14 @@ object Bench {
             case (k, qr) if qr.min < 0 && !qr.aborted => "\"" + k + "\"" }
             .mkString("[", ",", "]")
           val sk1 = skipped1.map("\"" + _ + "\"").mkString("[", ",", "]")
+          // compact sf1 summary for the stdout line: total + per-row mins
+          // + failure lists (ratios/telemetry stay in the file artifact)
+          val tot1 = res1.map(_._2.min).filter(_ >= 0).sum
+          val q1 = res1.map { case (k, qr) =>
+            "\"" + k + "\":" + (if (qr.min < 0) qr.min.toString else f"${qr.min}%.3f")
+          }.mkString("{", ",", "}")
+          sf1Compact =
+            s""","sf1_total":${f"$tot1%.2f"},"sf1_queries":$q1,"sf1_failed":$failed1,"sf1_skipped":$sk1"""
           s""","sf1":{"dir":"$sf1Dir","reps":$sf1Reps,${sectionJson(res1)},"failed":$failed1,"skipped":$sk1,"ratio_vs_sf0.1":$ratios}"""
         }
         val done1 = scala.collection.mutable.ArrayBuffer.empty[(String, QueryResult)]
@@ -1173,6 +1206,7 @@ object Bench {
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         }
+        sf1Compact = s""","sf1_error":true"""
         s""","sf1":{"error":"$msg"}"""
       }
     // a board that dropped rows to the budget is still marked truncated
@@ -1180,12 +1214,16 @@ object Bench {
     // board as a complete one
     val wasCut = skipped0.nonEmpty
     val skJson = skipped0.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",${sectionJson(results)},"reps":$reps,"failed":$failed,"sf":"$sfDir","budget_s":$budgetS,"wall_s":${f"$elapsedS%.1f"},"truncated":$wasCut,"skipped":$skJson$sf1Json}"""
-    // ALSO write the full JSON to a file: the driver's stdout capture
-    // truncates to a tail, which cost r5 ~35 of 96 query numbers and let a
-    // contaminated run publish as a regression cluster with no per-rep
-    // evidence to refute it
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",${sectionJson(results)},"reps":$reps,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"budget_s":$budgetS,"wall_s":${f"$elapsedS%.1f"},"truncated":$wasCut,"skipped":$skJson$sf1Json}"""
+    // stdout gets the COMPACT line (driver contract; VERDICT r15 defect 1
+    // — the full line's telemetry overflowed the driver's ~2 KB stdout
+    // tail for two rounds and PERF per-query comparison went blind); the
+    // FULL JSON goes to the file artifacts, which cost r5 ~35 of 96 query
+    // numbers to learn the hard way
+    val compact = compactJson(results, reps, sfDir, cpus, budgetS, elapsedS,
+      truncated = wasCut, skipped0, sf1Compact)
     Emit.latest = json
+    Emit.latestCompact = compact
     Emit.flushFile()
     // a COMPLETED FULL run also refreshes the committed board copy —
     // partial runs deliberately don't, and neither do TARGETED subset
@@ -1200,8 +1238,31 @@ object Bench {
         s"${Emit.outPath} only (committed board copy untouched)")
     Ledger.save()
     System.err.println(s"[bench] calm best-min ledger at ${Ledger.path} (${Ledger.rows.size} rows)")
-    if (Emit.finalPrinted.compareAndSet(false, true)) println(json)
+    if (Emit.finalPrinted.compareAndSet(false, true)) println(compact)
     spark.stop()
+  }
+
+  /** the one-line stdout JSON: the driver-parseable contract line. Total +
+    * per-query min + failure lists + cpus + sf ONLY — the scalar fields sit
+    * AFTER the queries map so a tail-truncated stdout capture still retains
+    * them together with the trailing per-query rows. Everything else
+    * (per-rep walls, telemetry, per-op attribution, calibration, the full
+    * sf1 section) lives in the file artifacts. */
+  private def compactJson(results: Seq[(String, QueryResult)], reps: Int,
+      sfDir: String, cpus: String, budgetS: Double, wallS: Double,
+      truncated: Boolean, skipped: Seq[String], sf1Compact: String): String = {
+    val qs = results.map { case (k, qr) =>
+      "\"" + k + "\":" + (if (qr.min < 0) qr.min.toString else f"${qr.min}%.3f")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    val failed = results.collect {
+      case (k, qr) if qr.min < 0 && !qr.aborted => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val aborted = results.collect {
+      case (k, qr) if qr.aborted => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"aborted":$aborted,"skipped":$sk,"truncated":$truncated,"sf":"$sfDir","cpus":$cpus,"budget_s":$budgetS,"wall_s":${f"$wallS%.1f"}$sf1Compact}"""
   }
 
   /** per-query result: min/median wall, per-rep (sec, telemetry), per-op

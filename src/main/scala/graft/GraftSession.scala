@@ -29,6 +29,16 @@ object GraftSession {
       .withExtensions(graft.plans.GraftExtensions)
       .appName(appName)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // the RDD loops shuffle/cache only acyclic records (primitive
+      // tuples) and acyclic broadcasts; Kryo's reference tracking is pure
+      // per-record bookkeeping there (measured on bt_1m_cc, r16 — see
+      // OPTIMIZATION_r16.md). Env-overridable for A/B.
+      .config("spark.kryo.referenceTracking",
+        sys.env.getOrElse("SPARK_GRAFT_KRYO_REFTRACK", "false"))
+      // shuffle/cache block codec, env-parameterized for the guide §2.3
+      // lz4-vs-zstd A/B (lz4 = Spark default)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

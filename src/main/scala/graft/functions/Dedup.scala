@@ -148,8 +148,21 @@ object Dedup {
     //    distributed dict's.
     //  - P > 1: the audited distributed dict (sort + zipWithIndex),
     //    unchanged.
+    // the driver-side dict keys a java.util.HashMap on raw row values:
+    // BinaryType ids surface as Array[Byte], which hashes/compares by
+    // REFERENCE — every lookup would miss and NPE. Ids containing binary
+    // anywhere take the distributed dict (which handles any orderable id
+    // type); everything else Spark returns as value-equal JVM objects.
+    def valueEqual(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.BinaryType => false
+      case org.apache.spark.sql.types.ArrayType(et, _) => valueEqual(et)
+      case org.apache.spark.sql.types.StructType(fs) => fs.forall(f => valueEqual(f.dataType))
+      case org.apache.spark.sql.types.MapType(k, v, _) => valueEqual(k) && valueEqual(v)
+      case _ => true
+    }
     val localIds: Array[Any] =
-      if (part.numPartitions == 1) paired.orderBy("id").collect().map(_.get(0))
+      if (part.numPartitions == 1 && valueEqual(idField.dataType))
+        paired.orderBy("id").collect().map(_.get(0))
       else null
     val dict: DataFrame =
       if (localIds != null) null
@@ -193,7 +206,18 @@ object Dedup {
     val chgAcc  = spark.sparkContext.longAccumulator("ccChanged")
     var changed = 1L
     var iter    = 0
-    if (part.numPartitions == 1) {
+    // defensive edge-count gate on the partition-local loop: the
+    // partitioner is sized by NODES (<= 50k at P == 1), but a
+    // pathologically dense subgraph could still hold O(n²) edges — past
+    // this bound the distributed loop below runs instead (same recurrence,
+    // same fixpoint), so the one-task heap exposure is explicit, not
+    // implied by the node sizing. Overridable for tests (prop) and ops (env).
+    val maxLocalEdges = sys.props.get("graft.cc.maxLocalEdges")
+      .orElse(sys.env.get("GRAFT_CC_MAX_LOCAL_EDGES"))
+      .flatMap(_.toLongOption).getOrElse(5000000L)
+    val localLoop = part.numPartitions == 1 &&
+      edgesDf.count() <= maxLocalEdges
+    if (localLoop) {
       // SMALL-SUBGRAPH FAST PATH: the partitioner is sized to the dup
       // subgraph, so P == 1 means the whole label loop fits one
       // partition — where each distributed round paid ~5 one-task
@@ -205,8 +229,14 @@ object Dedup {
       // count and the same fixpoint — DedupSpec's long-chain round pin
       // and the CC oracles verify both. P > 1 takes the distributed loop
       // below, character-identical to the audited r8-r14 shape.
-      val roundsAcc = spark.sparkContext.longAccumulator("ccLocalRounds")
-      val leftAcc   = spark.sparkContext.longAccumulator("ccLocalUnconverged")
+      // MAX-semantics accumulators: the loop's (rounds, unconverged) are
+      // deterministic per partition, so a retried or speculative task
+      // re-reports the SAME value and max keeps it — a plain add would
+      // double-count and inflate the spec-pinned round observable
+      val roundsAcc = new MaxAccumulator
+      val leftAcc   = new MaxAccumulator
+      spark.sparkContext.register(roundsAcc, "ccLocalRounds")
+      spark.sparkContext.register(leftAcc, "ccLocalUnconverged")
       val maxItersL = maxIters
       val res = labels.zipPartitions(edgesR, preservesPartitioning = true) { (itL, itE) =>
         var lab = new scala.collection.mutable.LongMap[Long]()
@@ -249,28 +279,67 @@ object Dedup {
       changed = leftAcc.value
     } else while (changed > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
-      // min over own label and all neighbors' labels: the edge join is
-      // narrow (both sides on `part`); the only shuffle is the map-side-
-      // combined message reduction
-      val msgs = edgesR.join(labels)
-        .map { case (_, (a, c)) => (a, c) }
+      import scala.collection.mutable.LongMap
+      // Per-round relational joins run as zipPartitions over primitive
+      // LongMaps instead of RDD join/leftOuterJoin (r16, guide §1.2 step 2
+      // + §5): every operand pair is co-partitioned on `part` and the
+      // lookup side has unique keys, so a cogroup-based join only added
+      // CompactBuffer + boxed-Option allocation per row — the LongMap
+      // lookups produce the identical (node, label) values with none of
+      // it. Shuffle count and bytes per round are unchanged (the message
+      // reduction and the two jump re-keyings); only the narrow per-task
+      // work got cheaper.
+      def lookupOf(it: Iterator[(Long, Long)]): LongMap[Long] = {
+        val m = new LongMap[Long]()
+        it.foreach { case (k, v) => m.update(k, v) }
+        m
+      }
+      // min over own label and all neighbors' labels: the edge-side label
+      // lookup is narrow (both sides on `part`; endpoints ⊆ paired ids by
+      // the semi-joins, so lab(b) always hits); the only shuffle is the
+      // map-side-combined message reduction
+      // (preservesPartitioning = false: the output re-keys from b to a, so
+      // the reduceByKey below must plant its real shuffle)
+      val msgs = edgesR.zipPartitions(labels, preservesPartitioning = false) {
+          (itE, itL) =>
+            val lab = lookupOf(itL)
+            itE.map { case (b, a) => (a, lab(b)) }
+        }
         .reduceByKey(part, minL)
-      val prop = labels.leftOuterJoin(msgs)
-        .mapValues { case (c, m) => math.min(c, m.getOrElse(c)) }
+      // labels holds every paired id; msgs keys are unique post-reduce —
+      // the left-outer min fold is a plain map lookup
+      val prop = labels.zipPartitions(msgs, preservesPartitioning = true) {
+        (itL, itM) =>
+          val m = lookupOf(itM)
+          itL.map { case (i, c) => (i, math.min(c, m.getOrElse(i, c))) }
+      }
       // ...then pointer-jump (label <- label of label) twice: path
       // compression makes convergence logarithmic in component diameter;
       // two jumps per materialized round squares the compression again so
       // the count of driver-synchronous rounds (the real cost) halves.
       // Each jump shuffles only compact (long, long) pairs: once to key by
-      // cluster for the parent lookup (the lookup join itself is narrow),
-      // once to bring the jumped labels back to their node's partition.
+      // cluster for the parent lookup (the lookup itself is narrow), once
+      // to bring the jumped labels back to their node's partition. Every
+      // label IS some node's code, so rel(c) always hits; rel has one
+      // record per node, so the jumped keys are already unique and the
+      // return re-keying is a plain partitionBy (the old reduceByKey's
+      // min fold never fired — map-side combine on unique keys built a
+      // per-partition hash map for nothing).
       def jump(rel: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+        // NOTE preservesPartitioning = false on the lookup stage: its
+        // output re-keys from c to i, so the following partitionBy must
+        // see "unknown partitioner" and do the real shuffle back to i
         val jumped = rel.map { case (i, c) => (c, i) }
           .partitionBy(part)
-          .join(rel)
-          .map { case (_, (i, jc)) => (i, jc) }
-          .reduceByKey(part, minL)
-        rel.leftOuterJoin(jumped).mapValues { case (c, j) => math.min(c, j.getOrElse(c)) }
+          .zipPartitions(rel, preservesPartitioning = false) { (itJ, itR) =>
+            val m = lookupOf(itR)
+            itJ.map { case (c, i) => (i, m(c)) }
+          }
+          .partitionBy(part)
+        rel.zipPartitions(jumped, preservesPartitioning = true) { (itR, itJ) =>
+          val m = lookupOf(itJ)
+          itR.map { case (i, c) => (i, math.min(c, m.getOrElse(i, c))) }
+        }
       }
       // Convergence detection rides the round's one materialization job:
       // the old label zips in (narrow), a mapPartitions bumps an
@@ -278,11 +347,14 @@ object Dedup {
       // resubmitted task can at worst over-count (never report 0 when
       // labels moved), which only risks one extra cheap round.
       chgAcc.reset()
-      val flagged = jump(jump(prop)).join(labels)
-        .mapPartitions(_.map { case (i, (nc, oc)) =>
-          if (nc < oc) chgAcc.add(1L)
-          (i, nc)
-        }, preservesPartitioning = true)
+      val flagged = jump(jump(prop))
+        .zipPartitions(labels, preservesPartitioning = true) { (itN, itL) =>
+          val old = lookupOf(itL)
+          itN.map { case (i, nc) =>
+            if (nc < old(i)) chgAcc.add(1L)
+            (i, nc)
+          }
+        }
       // one driver-synchronous job per round, labeled for Profiler's
       // per-op breakdown (graft:cc-round vs the composed query's action).
       // persist BEFORE checkpoint: the checkpoint writer's second pass
@@ -334,6 +406,23 @@ object Dedup {
     val singletons = nodeIds.join(paired, Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
     (decoded.unionByName(singletons), iter)
+  }
+
+  /** Long accumulator with MAX merge semantics: deterministic per-task
+    * values survive task retries/speculation un-inflated (see the CC
+    * local loop's round count).
+    */
+  private final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _v = 0L
+    override def isZero: Boolean = _v == 0L
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c._v = _v; c }
+    override def reset(): Unit = _v = 0L
+    override def add(v: Long): Unit = if (v > _v) _v = v
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      if (o.value > _v) _v = o.value
+    override def value: Long = _v
   }
 
   /** MinHash hash model: ONE strong hash per shingle, k cheap universal

@@ -36,6 +36,28 @@ import graft.CacheScope
   */
 object GraphRank {
 
+  /** edge bound for the P == 1 partition-local fast paths (here and the
+    * callers' reading of it): one task holds the whole edge array, so the
+    * node-count partitioner sizing alone must not imply the heap bound.
+    * Overridable for tests.
+    */
+  private[graft] def maxLocalEdges: Long = sys.props
+    .get("graft.graph.maxLocalEdges")
+    .orElse(sys.env.get("GRAFT_GRAPH_MAX_LOCAL_EDGES"))
+    .flatMap(_.toLongOption).getOrElse(5000000L)
+
+  /** drain a unique-key (Long, Long) iterator into a primitive LongMap —
+    * the lookup side of the narrow per-round joins below (r16: cogroup
+    * joins of co-partitioned unique-key relations paid CompactBuffer +
+    * boxed-Option allocation per row for what is a plain map lookup)
+    */
+  private def lookupOf(it: Iterator[(Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
+    val m = new scala.collection.mutable.LongMap[Long]()
+    it.foreach { case (k, v) => m.update(k, v) }
+    m
+  }
+
   /** Lazily replicate a per-round global Long sum to every partition of
     * the loop partitioner, WITHOUT a driver action: per-partition partial
     * sums collapse to one record through a single-key shuffle, which fans
@@ -216,7 +238,13 @@ object GraphRank {
     // ranks land bit-identical — the oracle gates and the recurrence-
     // replay specs verify exactly that. At P > 1 the loop below is
     // untouched.
-    if (part.numPartitions == 1) {
+    // defensive edge-count gate (shared with the CC loop's): P == 1 bounds
+    // NODES at 50k, but a dense graph could hold O(n²) edges — past the
+    // bound the distributed loop runs (same recurrence, same bits). The
+    // count materializes edgesR's persist, which the loop reads anyway.
+    val localLoop = part.numPartitions == 1 &&
+      edgesR.count() <= GraphRank.maxLocalEdges
+    if (localLoop) {
       val itersL = iters
       ranks = degR.zipPartitions(edgesR, preservesPartitioning = true) { (itD, itE) =>
         val ow = new scala.collection.mutable.LongMap[Long]()
@@ -253,7 +281,18 @@ object GraphRank {
     } else {
       var it = 0
       while (it < iters) {
-        val joined = ranks.join(degR) // narrow: both on `part`
+        // Per-round joins as zipPartitions over primitive LongMaps (r16,
+        // guide §1.2 step 2 + §5): all operand pairs are co-partitioned on
+        // `part` with unique lookup keys, so the cogroup-based join/
+        // leftOuterJoin machinery only added CompactBuffer/boxed-Option
+        // allocation per row. Shuffle count and bytes per round unchanged
+        // (the scalar fan-out + the map-side-combined incoming reduction);
+        // values identical (same lookups, same integer algebra).
+        val joined = degR.zipPartitions(ranks, preservesPartitioning = true) {
+          (itD, itR) =>
+            val rk = lookupOf(itR) // ranks covers every id, every round
+            itD.map { case (id, ds) => (id, (rk(id), ds)) }
+        }
         val dmRep = replicatedSum(joined, part) {
           case (_, (rank, (ow, _))) => if (ow == 0L) rank else 0L }
         // per-edge shares rank*w/W at the src partition (narrow: joined and
@@ -261,17 +300,30 @@ object GraphRank {
         // side-combined sum of incoming shares keyed by dst
         val srcRank = joined
           .flatMapValues { case (rank, (ow, _)) => if (ow == 0L) None else Some((rank, ow)) }
-        val incoming = edgesR.join(srcRank)
-          .map { case (_, ((dst, w), (rank, ow))) => (dst, rank * w / ow) }
-          .reduceByKey(part, _ + _)
-        ranks = degR.leftOuterJoin(incoming)
-          .zipPartitions(dmRep, preservesPartitioning = true) { (itN, itD) =>
-            val dShare = (if (itD.hasNext) itD.next()._2 else 0L) / nSeeds
-            itN.map { case (id, ((_, seed), inc)) =>
-              val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
-              (id, (teleport + damp * inc.getOrElse(0L)) / 100L)
-            }
+        // srcRank's keys ⊆ the id set (dangling srcs dropped — a missing
+        // lookup skips the edge, the old inner join's behavior). NOT
+        // partitioning-preserving: the output re-keys src → dst, so the
+        // reduceByKey below must plant its real shuffle.
+        val incoming = edgesR.zipPartitions(srcRank, preservesPartitioning = false) {
+            (itE, itS) =>
+              val s = new scala.collection.mutable.LongMap[(Long, Long)]()
+              itS.foreach { case (k, v) => s.update(k, v) }
+              itE.flatMap { case (src, (dst, w)) =>
+                val v = s.getOrNull(src)
+                if (v == null) Iterator.empty
+                else Iterator.single((dst, v._1 * w / v._2))
+              }
           }
+          .reduceByKey(part, _ + _)
+        ranks = degR.zipPartitions(incoming, dmRep, preservesPartitioning = true) {
+          (itN, itI, itD) =>
+            val inc = lookupOf(itI) // unique keys post-reduce
+            val dShare = (if (itD.hasNext) itD.next()._2 else 0L) / nSeeds
+            itN.map { case (id, (_, seed)) =>
+              val teleport = if (seed) (100L - damp) * base + damp * dShare else 0L
+              (id, (teleport + damp * inc.getOrElse(id, 0L)) / 100L)
+            }
+        }
         it += 1
       }
     }
@@ -337,23 +389,33 @@ object GraphRank {
     // partial-sum stage and the scores join) without a persist site.
     def normalise(raw: RDD[(Long, Long)]): RDD[(Long, Long)] = {
       val totRep = replicatedSum(raw, part)(_._2)
-      nodesR.leftOuterJoin(raw)
-        .zipPartitions(totRep, preservesPartitioning = true) { (itN, itT) =>
+      // LongMap lookup instead of leftOuterJoin (r16): raw has unique keys
+      // ⊆ the node set and is co-partitioned with nodesR — same values,
+      // none of the cogroup/Option allocation
+      nodesR.zipPartitions(raw, totRep, preservesPartitioning = true) {
+        (itN, itR, itT) =>
+          val m = lookupOf(itR)
           val total = if (itT.hasNext) itT.next()._2 else 0L
-          itN.map { case (id, (_, r)) =>
+          itN.map { case (id, _) =>
             (id, if (total == 0L) 0L
-                 else (BigInt(r.getOrElse(0L)) * sc / total).toLong)
+                 else (BigInt(m.getOrElse(id, 0L)) * sc / total).toLong)
           }
-        }
+      }
     }
 
     var hub: RDD[(Long, Long)] = nodesR.mapValues(_ => scale)
     var auth: RDD[(Long, Long)] = hub
+    // the P == 1 branch persists the one (hub, auth) pair RDD and derives
+    // hub/auth as cheap narrow mapValues over it — re-persisting those
+    // derivations would triple-cache the same data
+    var persistHalves = true
     // SMALL-GRAPH FAST PATH (same rationale and bit-identity argument as
     // the pageRank loop's): at P == 1 the full hubs/authorities iteration
     // runs partition-locally in ONE narrow task — identical collect sums,
-    // identical per-node BigInt normalisation. P > 1 untouched.
-    if (part.numPartitions == 1) {
+    // identical per-node BigInt normalisation. P > 1 untouched. Gated on
+    // the edge count too (nEdges is already computed for the overflow
+    // envelope): a dense 50k-node graph falls back to the distributed loop.
+    if (part.numPartitions == 1 && nEdges <= GraphRank.maxLocalEdges) {
       val itersL = iters
       val ha = nodesR.zipPartitions(bySrc, byDst, preservesPartitioning = true) {
         (itN, itS, itD) =>
@@ -391,31 +453,46 @@ object GraphRank {
       }.persist(StorageLevel.MEMORY_AND_DISK_SER)
       hub = ha.mapValues(_._1)
       auth = ha.mapValues(_._2)
+      persistHalves = false
       CacheScope.registerRdd(ha)
     } else {
       var it = 0
       while (it < iters) {
-        val rawAuth = bySrc.join(hub) // narrow: co-partitioned
-          .map { case (_, (dst, h)) => (dst, h) }
+        // edge-side score lookups as narrow LongMap zips (hub/auth cover
+        // every node each round, so the lookups always hit); NOT
+        // partitioning-preserving — the outputs re-key src ↔ dst and the
+        // reduceByKey must plant its real shuffle
+        val rawAuth = bySrc.zipPartitions(hub, preservesPartitioning = false) {
+            (itE, itH) =>
+              val h = lookupOf(itH)
+              itE.map { case (src, dst) => (dst, h(src)) }
+          }
           .reduceByKey(part, _ + _)
         auth = normalise(rawAuth)
-        val rawHub = byDst.join(auth)
-          .map { case (_, (src, a)) => (src, a) }
+        val rawHub = byDst.zipPartitions(auth, preservesPartitioning = false) {
+            (itE, itA) =>
+              val a = lookupOf(itA)
+              itE.map { case (dst, src) => (src, a(dst)) }
+          }
           .reduceByKey(part, _ + _)
         hub = normalise(rawHub)
         it += 1
       }
     }
-    hub = hub.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    auth = auth.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    // the ONE action: computing hub's final half-round runs THROUGH auth's
-    // chain, so this also populates auth's cache
+    if (persistHalves) {
+      // P > 1: hub's final half-round computes THROUGH auth's chain (auth
+      // feeds rawHub), so the one count materializes BOTH persists
+      hub = hub.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      auth = auth.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      CacheScope.registerRdd(hub)
+      CacheScope.registerRdd(auth)
+    }
+    // the ONE action: materializes the loop (P > 1) or the persisted ha
+    // pair RDD (P == 1, where hub/auth are narrow mapValues over it)
     hub.count()
     bySrc.unpersist(blocking = false)
     byDst.unpersist(blocking = false)
     nodesR.unpersist(blocking = false)
-    CacheScope.registerRdd(hub)
-    CacheScope.registerRdd(auth)
     e.unpersist(blocking = false)
 
     val joined = hub.join(auth).map { case (id, (h, a)) => Row(id, h, a) }

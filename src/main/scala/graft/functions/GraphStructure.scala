@@ -139,6 +139,22 @@ object GraphStructure {
     val adj = CacheScope.cache(e.distinct()
       .groupBy(col("src").as("cur"))
       .agg(slice(sort_array(collect_set(col("dst"))), 1, maxDegree).as("nbrs")))
+    // DATA-adaptive broadcast of the adjacency (r16, guide §3.1): the
+    // cached relation's pre-materialization size ESTIMATE derives from the
+    // raw upstream scan, so the planner sort-merge-joined every step —
+    // one frontier exchange + sort per hop. When the adjacency is small,
+    // hint it broadcast and every hop becomes a narrow BroadcastHashJoin —
+    // zero per-step exchanges. The gate is the MEASURED neighbor-entry
+    // count (one tiny agg over the cache, which the first hop would have
+    // to materialize anyway): entries × 8 B bounds the broadcast payload,
+    // default cap 8M entries ≈ 64 MB. Large graphs keep the shuffled
+    // join; the gate is data size, never core count.
+    val adjBcastEntries = sys.props.get("graft.walk.bcastEntries")
+      .orElse(sys.env.get("GRAFT_WALK_BCAST_ENTRIES"))
+      .flatMap(_.toLongOption).getOrElse(8000000L)
+    val adjRow = adj.agg(sum(size(col("nbrs")))).head
+    val adjEntries = if (adjRow.isNullAt(0)) 0L else adjRow.getLong(0)
+    val adjSide = if (adjEntries <= adjBcastEntries) broadcast(adj) else adj
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
 
@@ -151,7 +167,7 @@ object GraphStructure {
         .cast(LongType)
       // each step is read twice (its output rows + the next hop) — cache
       // keeps the unioned plan linear in steps instead of quadratic
-      frontier = CacheScope.cache(frontier.join(adj, Seq("cur"))
+      frontier = CacheScope.cache(frontier.join(adjSide, Seq("cur"))
         .select(col("start"),
           element_at(col("nbrs"), (h % size(col("nbrs")) + 1).cast("int")).as("cur")))
       out += frontier.select(col("start"), lit(t.toLong).as("step"), col("cur").as("node"))

@@ -157,7 +157,12 @@ object Pca {
     require(dim >= 1 && dim <= 4096, s"dim $dim out of [1, 4096]")
     require(iters >= 1, s"iters $iters must be >= 1")
     require(m >= 1 && m <= dim && m <= 8, s"m $m out of [1, min(dim, 8)]")
+    // null embedding rows are SKIPPED, matching the historical explode-
+    // based aggregation (which never emitted cells for a null vector);
+    // rows with the wrong number of positions still fail loudly in the
+    // aggregate's ragged check below
     val q = quantize(emb, vecCol, quantScale).select(col("__q"))
+      .where(col("__q").isNotNull)
 
     // ONE distributed pass + ONE driver job: the [[ScatterAgg]] imperative
     // aggregate folds every row's d(d+1)/2 pair products, the per-position
@@ -187,9 +192,10 @@ object Pca {
         s"quantized magnitude ${mx(p)} at position $p exceeds the " +
           s"exact-product grid; lower quantScale ($quantScale) for this value range")
     }
+    require(hi.size == pairIdx.size && lo.size == pairIdx.size,
+      s"scatter agg returned ${hi.size}/${lo.size} limb cells, expected ${pairIdx.size}")
     val spp = pairIdx.zipWithIndex.map { case ((i, j), c) =>
       (i, j) -> big128(hi(c), lo(c)) }.toMap
-    require(spp.size == pairIdx.size, s"scatter agg returned ${spp.size} of ${pairIdx.size} cells")
 
     // S = n*Σqq − (Σq)(Σq)ᵀ, capped by truncating division (exact algebra
     // both engines replay); BigInt `/` truncates toward zero = DuckDB `//`

@@ -88,8 +88,11 @@ object Similarity {
 
   /** one candidate row in the top-k buffer */
   final case class ScoredId(id: Long, score: Double)
-  /** encoder-friendly wrapper so buffer/output use Encoders.product */
-  final case class TopKBuf(hits: Seq[ScoredId])
+  /** encoder-friendly wrapper so buffer/output use Encoders.product
+    * (collection.Seq: the working form inside the aggregate is a mutable
+    * ArrayBuffer — see [[TopKAgg.reduce]])
+    */
+  final case class TopKBuf(hits: scala.collection.Seq[ScoredId])
 
   /** ordering: best first — score desc, id asc tiebreak (matches oracle) */
   private val best: Ordering[ScoredId] =
@@ -104,25 +107,57 @@ object Similarity {
   final class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
     override def zero: TopKBuf = TopKBuf(Vector.empty)
 
+    /** working form of a buffer: a mutable ArrayBuffer (still a Seq, so
+      * the product encoder serializes it unchanged). reduce runs once per
+      * scored CANDIDATE in the quadratic sim_* paths — the old
+      * immutable-Vector insert (`(le ++ (a +: gt)).take(k)`) allocated a
+      * fresh k-element chain per accepted row (r16, guide §5 allocation
+      * churn); the in-place insert below produces the identical sorted
+      * k-prefix.
+      */
+    private def mut(b: TopKBuf)
+        : (TopKBuf, scala.collection.mutable.ArrayBuffer[ScoredId]) =
+      b.hits match {
+        case ab: scala.collection.mutable.ArrayBuffer[ScoredId @unchecked] => (b, ab)
+        case other =>
+          val ab = new scala.collection.mutable.ArrayBuffer[ScoredId](k + 1)
+          ab ++= other
+          (TopKBuf(ab), ab)
+      }
+
     override def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
       val h = b.hits
-      if (h.size >= k && best.lteq(h.last, a)) b
+      if (h.size >= k && best.lteq(h.last, a)) b // O(1) reject: worse than the k-th
       else {
-        val (le, gt) = h.span(e => best.lteq(e, a))
-        TopKBuf((le ++ (a +: gt)).take(k))
+        val (nb, ab) = mut(b)
+        // binary search for the first element ordered AFTER a — the same
+        // split point the old span(lteq) computed (ties insert after, so
+        // equal-compare stability is preserved)
+        var lo = 0
+        var hi = ab.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (best.lteq(ab(mid), a)) lo = mid + 1 else hi = mid
+        }
+        ab.insert(lo, a)
+        if (ab.length > k) ab.remove(ab.length - 1)
+        nb
       }
     }
 
     override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
-      val out = Vector.newBuilder[ScoredId]
-      var (i, j, n) = (0, 0, 0)
-      val (x, y) = (b1.hits, b2.hits)
-      while (n < k && (i < x.size || j < y.size)) {
-        val takeX = j >= y.size || (i < x.size && best.lteq(x(i), y(j)))
-        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
-        n += 1
+      if (b2.hits.isEmpty) b1
+      else if (b1.hits.isEmpty) b2
+      else {
+        val (x, y) = (b1.hits, b2.hits)
+        val out = new scala.collection.mutable.ArrayBuffer[ScoredId](k)
+        var (i, j) = (0, 0)
+        while (out.length < k && (i < x.size || j < y.size)) {
+          val takeX = j >= y.size || (i < x.size && best.lteq(x(i), y(j)))
+          if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+        }
+        TopKBuf(out)
       }
-      TopKBuf(out.result())
     }
 
     override def finish(r: TopKBuf): TopKBuf = r
@@ -483,6 +518,136 @@ object Similarity {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
+  /** Exact vector-mean state: signed-128-bit limb sums of each position's
+    * decimal(30,8) HALF_UP element image, plus per-position row and
+    * non-null counts — the one-pass replacement (r16, the Pca.ScatterAgg
+    * technique per guide §5) for the kmeans/pq means chain
+    * `posexplode → sum(cast(decimal(30,8)))/count per (group, pos) →
+    * collect_list/array_sort reassembly`, which paid an exploded row +
+    * two hash-agg probes per element per Lloyd round.
+    */
+  final case class MeanBuf(hi: Array[Long], lo: Array[Long],
+      rows: Array[Long], nn: Array[Long])
+  /** finished vector mean: n = rows at position 0 (the old chain's
+    * `first(n)`, identical whenever vectors are equal-length), cv = the
+    * per-position means rounded at 6 dp (null where every element was
+    * null/non-finite, as the decimal sum yielded null)
+    */
+  final case class MeanOut(n: Long, cv: Seq[java.lang.Double])
+
+  /** Replicates the decimal chain bit for bit on its whole envelope:
+    * element → decimal(30,8) is HALF_UP on the shortest decimal string
+    * (java BigDecimal.valueOf), NaN/±Inf cast to null (summed as absent,
+    * still counted), sums are exact integers, sum → double is BigDecimal
+    * rounding, the division is IEEE double by the row count, and the
+    * final round(·, 6) is the same valueOf/setScale(HALF_UP) Spark's
+    * Round runs. Elements beyond ±2^63 at scale 8 (|x| > ~9.2e10) refuse
+    * loudly — far outside any embedding range; the old chain kept exact
+    * sums to 1e22 — and a sum past decimal(38,8) returns null exactly as
+    * the non-ANSI decimal sum overflow did.
+    */
+  final class VecMeanAgg extends Aggregator[Seq[java.lang.Double], MeanBuf, MeanOut] {
+    @inline private def add128(hi: Array[Long], lo: Array[Long], i: Int,
+        pHi: Long, pLo: Long): Unit = {
+      val x = lo(i)
+      val nl = x + pLo
+      val carry = if (java.lang.Long.compareUnsigned(nl, x) < 0) 1L else 0L
+      lo(i) = nl
+      hi(i) = try math.addExact(math.addExact(hi(i), pHi), carry)
+      catch {
+        case _: ArithmeticException => throw new IllegalStateException(
+          "vector-mean sum overflowed 128 bits")
+      }
+    }
+
+    override def zero: MeanBuf =
+      MeanBuf(Array.emptyLongArray, Array.emptyLongArray,
+        Array.emptyLongArray, Array.emptyLongArray)
+
+    private def grown(b: MeanBuf, d: Int): MeanBuf =
+      if (b.hi.length >= d) b
+      else MeanBuf(java.util.Arrays.copyOf(b.hi, d),
+        java.util.Arrays.copyOf(b.lo, d),
+        java.util.Arrays.copyOf(b.rows, d),
+        java.util.Arrays.copyOf(b.nn, d))
+
+    override def reduce(b0: MeanBuf, v: Seq[java.lang.Double]): MeanBuf = {
+      // a null vector explodes to zero rows in the old chain — skip whole
+      if (v == null) return b0
+      val d = v.length
+      val b = grown(b0, d)
+      var p = 0
+      while (p < d) {
+        b.rows(p) += 1
+        val x = v(p)
+        if (x != null) {
+          val xd = x.doubleValue()
+          if (!java.lang.Double.isNaN(xd) && !java.lang.Double.isInfinite(xd)) {
+            val dec = new java.math.BigDecimal(java.lang.Double.toString(xd))
+              .setScale(8, java.math.RoundingMode.HALF_UP)
+            val u = dec.unscaledValue()
+            if (u.bitLength() > 63) throw new IllegalStateException(
+              s"vector element $xd exceeds the exact-mean envelope (|x| <= ~9.2e10)")
+            val l = u.longValue()
+            add128(b.hi, b.lo, p, l >> 63, l)
+            b.nn(p) += 1
+          }
+        }
+        p += 1
+      }
+      b
+    }
+
+    override def merge(x0: MeanBuf, y: MeanBuf): MeanBuf = {
+      val x = grown(x0, y.hi.length)
+      var p = 0
+      while (p < y.hi.length) {
+        add128(x.hi, x.lo, p, y.hi(p), y.lo(p))
+        x.rows(p) += y.rows(p)
+        x.nn(p) += y.nn(p)
+        p += 1
+      }
+      x
+    }
+
+    private val decimal38Max = (BigInt(10).pow(38)) - 1
+
+    override def finish(r: MeanBuf): MeanOut = {
+      val d = r.hi.length
+      if (d == 0) return MeanOut(0L, Seq.empty)
+      val cv = new Array[java.lang.Double](d)
+      var p = 0
+      while (p < d) {
+        cv(p) =
+          if (r.nn(p) == 0L) null // all-null position: decimal sum = null
+          else {
+            val s = (BigInt(r.hi(p)) << 64) +
+              (BigInt(r.lo(p)) & ((BigInt(1) << 64) - 1))
+            if (s.abs > decimal38Max) null // decimal(38,8) sum overflow → null (non-ANSI)
+            else {
+              val sumD = new java.math.BigDecimal(s.bigInteger, 8).doubleValue()
+              val m = sumD / r.rows(p)
+              if (java.lang.Double.isNaN(m) || java.lang.Double.isInfinite(m)) m
+              else java.math.BigDecimal.valueOf(m)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            }
+          }
+        p += 1
+      }
+      MeanOut(r.rows(0), scala.collection.immutable.ArraySeq.unsafeWrapArray(cv))
+    }
+
+    override def bufferEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
+    override def outputEncoder: Encoder[MeanOut] = Encoders.product[MeanOut]
+  }
+
+  /** the [[VecMeanAgg]] as a DataFrame aggregate expression */
+  private[graft] def vecMeanUdaf: Column => Column = {
+    val agg = udaf(new VecMeanAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Double]]())
+    c => agg(c)
+  }
+
   /** Lloyd's k-means — the IVF coarse-quantizer trainer (reference's
     * anchors in [[ivfTopK]] are exactly these centroids at corpus scale).
     * Deterministic: init = the k lowest-id vectors; assignment argmin via
@@ -535,21 +700,18 @@ object Similarity {
         .groupBy(col("id"))
         .agg(min(col("cand")).as("best"), first(col("v")).as("v"))
         .select(col("best.cid").as("cid"), col("v"))
+      // exact per-position means in ONE imperative aggregate ([[VecMeanAgg]],
+      // r16): same decimal(30,8) HALF_UP sums and 6-dp rounding as the old
+      // posexplode → (cid,pos) decimal agg → collect_list chain, minus the
+      // dim× exploded rows and two hash-agg probes per element per round.
+      // The size filter replicates the old chain's ABSENCE of a means row
+      // for cids whose every vector was null/empty (carry-forward applies).
+      val vecMean = vecMeanUdaf
       val means = assigned
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        // DECIMAL(30,8) element casts: exact sums stay partition-order
-        // independent with headroom to |x| < 1e22 per element (20,8
-        // overflowed — became NULL non-ANSI — at 1e12)
-        .agg(count(lit(1)).as("n"),
-          (sum(col("col").cast("decimal(30,8)")).cast("double") /
-            count(lit(1))).as("m"))
         .groupBy(col("cid"))
-        .agg(first(col("n")).as("n"),
-          array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m"))))
-            .as("pm"))
-        .select(col("cid"), col("n"),
-          transform(col("pm"), p => p.getField("m")).as("cv"))
+        .agg(vecMean(col("v")).as("mo"))
+        .filter(size(col("mo.cv")) > 0)
+        .select(col("cid"), col("mo.n").as("n"), col("mo.cv").as("cv"))
       // a centroid assigned zero points this round has no means row; carry
       // it forward (n=0) instead of silently returning < k centroids — a
       // shrunken quantizer would quietly search fewer IVF cells downstream.
@@ -620,18 +782,14 @@ object Similarity {
         .groupBy(col("id"), col("sub"))
         .agg(min(col("cand")).as("best"), first(col("v")).as("v"))
         .select(col("sub"), col("best.cid").as("cid"), col("v"))
+      // the same one-pass exact mean aggregate as kmeansCentroidVectors'
+      // (see [[VecMeanAgg]]), keyed by (sub, cid)
+      val vecMean = vecMeanUdaf
       val means = assigned
-        .select(col("sub"), col("cid"), posexplode(col("v")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(count(lit(1)).as("n"),
-          (sum(col("col").cast("decimal(30,8)")).cast("double") /
-            count(lit(1))).as("m"))
         .groupBy(col("sub"), col("cid"))
-        .agg(first(col("n")).as("n"),
-          array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m"))))
-            .as("pm"))
-        .select(col("sub"), col("cid"), col("n"),
-          transform(col("pm"), p => p.getField("m")).as("cv"))
+        .agg(vecMean(col("v")).as("mo"))
+        .filter(size(col("mo.cv")) > 0)
+        .select(col("sub"), col("cid"), col("mo.n").as("n"), col("mo.cv").as("cv"))
       // empty-cell carry-forward per (sub, cid), same as the single-space
       // trainer; cache each round's m×ksub relation (referenced twice)
       cent = CacheScope.cache(

@@ -87,18 +87,47 @@ object TfIdf {
     * (id, t, w) weights (stop-term pruned at `maxDf`, IDF over the
     * indexed-doc count) and the positive-norm relation (id, nrm). One
     * definition so no ranker's weights can drift from another's.
+    *
+    * The weights cache is REPARTITIONED by term before persisting (r16,
+    * guide §2.5/§2.6): AQE's partition coalescing shrank the small weight
+    * relation's build to ONE partition, and since the posting self-join
+    * broadcasts its build side, the probe side streamed the cache — the
+    * ENTIRE sum(df²) pair fan-out of sim_tfidf_topk ran in one task
+    * (profiled: a single 24 s task writing the 141 MB pair partial-agg
+    * exchange while 31 cores idled). Clustering the cache by `t` spreads
+    * each posting list's probe across the session's shuffle partitions;
+    * the exchange it adds moves only the (small) weight relation once.
+    *
+    * NOT taken (r16, measured): dictionary-encoding `t` to a dense long
+    * join key (VERDICT #3). The posting self-join is a BROADCAST hash
+    * join here — there is no t-keyed exchange to shrink — and the dict's
+    * RDD-backed build destroyed the broadcast (unknown stats → sort-merge
+    * join) plus doubled the single-task cache scans: sim_tfidf_topk
+    * measured 15.7 → 28.4 s. Reverted; plan evidence in plans/r16/.
     */
-  private def tfidfWeightsFrom(idx: TermIndex, maxDf: DfBound): (DataFrame, DataFrame) = {
+  private def tfidfWeightsFrom(idx: TermIndex, maxDf: DfBound,
+      clusterByTerm: Boolean = false): (DataFrame, DataFrame) = {
     // document frequency, stop-term pruned: df > resolved-bound terms are
     // dropped from weights AND norms (the oracle replays the same
     // convention, including the floor(frac*N) resolution)
     val dfRel = idx.terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf.resolve(idx.nDocs))
+    val shufP = idx.terms.sparkSession.sessionState.conf.numShufflePartitions
+    val flat = idx.terms.join(dfRel, Seq("t"))
+      .select(col("id"), col("t"),
+        (col("n").cast("double")
+          * log(lit(idx.nDocs).cast("double") / col("df").cast("double"))).as("w"))
+    // clusterByTerm only for the corpus SELF-join consumer (r16, guide
+    // §2.5/§2.6): AQE coalesced this small cache to ONE partition, and
+    // since the pair join's probe streams the cache, sim_tfidf_topk's
+    // whole sum(df²) fan-out ran in a single 24 s task while 31 cores
+    // idled. The explicit term-clustered repartition spreads the probe;
+    // numShufflePartitions is the session's scale dial, not a core-count
+    // constant. The query-side rankers stay unclustered: their probe
+    // volume is linear and the extra exchange measured as a pure loss
+    // there (sim_hybrid_rrf 3.8 → 5.0 s when applied blanket).
     val w = graft.CacheScope.cache(
-      idx.terms.join(dfRel, Seq("t"))
-        .select(col("id"), col("t"),
-          (col("n").cast("double")
-            * log(lit(idx.nDocs).cast("double") / col("df").cast("double"))).as("w")))
+      if (clusterByTerm) flat.repartition(shufP, col("t")) else flat)
     val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .filter(col("nrm") > 0d)
     (w, norms)
@@ -123,11 +152,19 @@ object TfIdf {
   /** [[topKNeighbors]] off a prebuilt (possibly session-shared) index */
   def topKNeighborsIndexed(idx: TermIndex, idCol: String,
       k: Int, maxDf: DfBound = DfBound.Default): DataFrame = {
-    val (w, norms) = tfidfWeightsFrom(idx, maxDf)
+    val (w, norms) = tfidfWeightsFrom(idx, maxDf, clusterByTerm = true)
     // inverted index: postings self-join per term, halved by id order,
-    // then one hash agg accumulates the sparse dot products
+    // then one hash agg accumulates the sparse dot products. The build
+    // side takes SHUFFLE_HASH: its per-partition build is one partition
+    // of the (small) weight relation, and skipping the sort-merge sorts
+    // of the two posting exchanges measured faster. (An expression-level
+    // pair expansion — group postings per term, explode i<j pairs via
+    // nested transform — was tried and measured 2.7x WORSE: interpreted
+    // HOF lambdas per pair lose to the codegen'd join; see
+    // OPTIMIZATION_r16.md.)
     val dots = w.select(col("t"), col("id").as("ai"), col("w").as("wa"))
-      .join(w.select(col("t"), col("id").as("bi"), col("w").as("wb")), Seq("t"))
+      .join(w.select(col("t"), col("id").as("bi"), col("w").as("wb"))
+        .hint("shuffle_hash"), Seq("t"))
       .filter(col("ai") < col("bi"))
       .groupBy(col("ai"), col("bi")).agg(sum(col("wa") * col("wb")).as("dot"))
     val sims = dots

@@ -133,6 +133,51 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("connectedComponents handles BinaryType ids (distributed dict, no reference-equality trap)") {
+    import org.apache.spark.sql.functions._
+    // 8-byte big-endian binary ids: numeric order == binary order, so the
+    // expected min-id labels are the binary images of the long labels.
+    // The driver-side dict would key a HashMap on Array[Byte] (reference
+    // equality — every lookup misses); binary ids must take the
+    // distributed dict instead and still label correctly.
+    def b(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 16, "0"))
+    val nodes = Seq(1L, 7L, 8L).toDF("v").select(b(col("v")).as("doc_id"))
+    val pairs = Seq((1L, 7L)).toDF("va", "vb")
+      .select(b(col("va")).as("a"), b(col("vb")).as("b"))
+    val got = Dedup.connectedComponents(nodes, pairs, "doc_id")
+      .collect()
+      .map(r => (BigInt(r.getAs[Array[Byte]](0)).toLong,
+        BigInt(r.getAs[Array[Byte]](1)).toLong))
+      .toMap
+    CacheScope.release()
+    assert(got == Map(1L -> 1L, 7L -> 1L, 8L -> 8L))
+  }
+
+  test("edge-count gate: past maxLocalEdges the distributed loop runs — identical labels AND rounds") {
+    val key = "graft.cc.maxLocalEdges"
+    val prev = sys.props.get(key)
+    val nodes = (0L until 60L).toDF("doc_id")
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    def run(): (Map[Long, Long], Int) = {
+      val (df, rounds) = Dedup.connectedComponentsWithStats(nodes, chain, "doc_id")
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheScope.release()
+      (m, rounds)
+    }
+    try {
+      val (mLocal, rLocal) = run() // default gate: P==1 local loop
+      sys.props(key) = "1"         // force the distributed loop at P==1
+      val (mDist, rDist) = run()
+      assert(mLocal == mDist, "gate changed the labels")
+      assert(rLocal == rDist, "gate changed the round count — the local " +
+        "loop no longer replays the distributed recurrence")
+      assert(mLocal.size == 60 && mLocal.values.forall(_ == 0L))
+    } finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+  }
+
   test("connectedComponents with a reliable checkpoint dir: same labels, checkpoint files written") {
     // the cluster-safe mode VERDICT asked for: per-round lineage truncation
     // goes through sc.checkpoint (survives executor loss), not local blocks

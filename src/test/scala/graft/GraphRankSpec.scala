@@ -47,6 +47,35 @@ class GraphRankSpec extends SparkSpec {
     assert(a == refPageRank(edges, 8))
   }
 
+  test("edge-count gate: forcing the distributed pageRank/HITS loops reproduces the local bits") {
+    // the P == 1 partition-local fast paths must replay the distributed
+    // recurrence exactly — force the distributed loops via the gate and
+    // compare bit-for-bit (this is also the P > 1 loop shape's only
+    // in-suite coverage, since test graphs always size to one partition)
+    val key = "graft.graph.maxLocalEdges"
+    val prev = sys.props.get(key)
+    val edges = (0L until 150L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 150L), (i, (i * 13 + 5) % 150L)))
+    def hitsMap() = {
+      val m = GraphRank.hits(edges.toDF("src", "dst"), iters = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      CacheScope.release()
+      m
+    }
+    def prMap() = { val m = run(edges, iters = 4); CacheScope.release(); m }
+    try {
+      val (prLocal, hLocal) = (prMap(), hitsMap())
+      sys.props(key) = "0" // every graph takes the distributed loop
+      val (prDist, hDist) = (prMap(), hitsMap())
+      assert(prLocal == prDist, "pageRank local/distributed paths diverged")
+      assert(hLocal == hDist, "hits local/distributed paths diverged")
+      assert(prLocal == refPageRank(edges, 4))
+    } finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+  }
+
   test("pageRank semantics: hub with many in-links outranks leaf nodes; mass ~conserved") {
     // star: 1..9 all link to 0; 0 links back to 1 (so 0 is not dangling)
     val edges = (1L to 9L).map(i => (i, 0L)) :+ ((0L, 1L))

@@ -125,6 +125,21 @@ class GraphStructureSpec extends SparkSpec {
     assert(walks(edges, 4) == walks(edges, 4))
   }
 
+  test("randomWalks: broadcast-adjacency gate off reproduces the shuffled-join walks exactly") {
+    val key = "graft.walk.bcastEntries"
+    val prev = sys.props.get(key)
+    val edges = (0L until 100L).flatMap(i => Seq((i, (i * 13 + 1) % 100L), (i, (i * 7 + 3) % 100L)))
+    try {
+      val bcast = walks(edges, 4) // default gate: small adjacency broadcasts
+      sys.props(key) = "0"        // force the shuffled join on every hop
+      val shuffled = walks(edges, 4)
+      assert(bcast == shuffled, "broadcast vs shuffled hop joins diverged")
+    } finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+  }
+
   test("randomWalks degree cap restricts choices to the first sorted neighbors") {
     val edges = (1L to 9L).map(i => (0L, i)) :+ ((1L, 0L))
     val w = walks(edges, steps = 1, maxDeg = 3)

@@ -44,6 +44,87 @@ class SimilaritySpec extends SparkSpec {
     assert(one == run(7) && one == run(32))
   }
 
+  test("VecMeanAgg replicates the decimal(30,8) mean chain bit for bit (nulls, NaN, ragged, empty)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // adversarial assigned-style relation: normal vectors, a null vector,
+    // null elements, NaN/±Inf elements (decimal cast -> null, still
+    // counted), ragged lengths, an all-null-vector group (must emit NO
+    // means row), values at awkward decimal boundaries (HALF_UP ties)
+    val rnd = new scala.util.Random(13)
+    val rows = scala.collection.mutable.Buffer.empty[Row]
+    for (i <- 0 until 300) {
+      val cid = (i % 5).toLong
+      val v: Seq[java.lang.Double] =
+        if (i == 17) null
+        else if (i == 23) Seq.empty
+        else Seq.tabulate(if (i % 7 == 0) 3 else 4) { j =>
+          if ((i + j) % 31 == 0) null
+          else if ((i + j) % 53 == 0) java.lang.Double.valueOf(Double.NaN)
+          else if ((i + j) % 67 == 0) java.lang.Double.valueOf(Double.PositiveInfinity)
+          else if ((i + j) % 11 == 0) java.lang.Double.valueOf(0.000000125) // scale-8 HALF_UP tie
+          else java.lang.Double.valueOf(rnd.nextDouble() * 200 - 100)
+        }
+      rows += Row(cid, v)
+    }
+    // group 9: every vector null/empty -> the old chain emits NO row
+    rows += Row(9L, null)
+    rows += Row(9L, Seq.empty[java.lang.Double])
+    val schema = StructType(Seq(StructField("cid", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 5), schema)
+
+    val vecMean = Similarity.vecMeanUdaf
+    val viaAgg = df.groupBy(col("cid")).agg(vecMean(col("v")).as("mo"))
+      .filter(size(col("mo.cv")) > 0)
+      .select(col("cid"), col("mo.n").as("n"), col("mo.cv").as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[java.lang.Double](2).toList)))
+      .toMap
+    // the pre-r16 formulation, verbatim
+    val viaDecimal = df
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("col").cast("decimal(30,8)")).cast("double") /
+          count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(first(col("n")).as("n"),
+        array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m"))))
+          .as("pm"))
+      .select(col("cid"), col("n"),
+        transform(col("pm"), p => p.getField("m")).as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[java.lang.Double](2).toList)))
+      .toMap
+    assert(viaAgg.keySet == viaDecimal.keySet,
+      s"group sets differ: ${viaAgg.keySet} vs ${viaDecimal.keySet}")
+    // exact bit comparison per element (null-safe). n is NOT compared on
+    // this ragged input: the old chain's `first(n)` picks an arbitrary
+    // position's count there — the equal-length case is asserted below.
+    for (k <- viaDecimal.keySet) {
+      val (_, ca) = viaAgg(k)
+      val (_, cd) = viaDecimal(k)
+      assert(ca.length == cd.length, s"group $k: dim ${ca.length} vs ${cd.length}")
+      ca.zip(cd).zipWithIndex.foreach { case ((x, y), p) =>
+        val same = (x == null && y == null) || (x != null && y != null &&
+          java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+        assert(same, s"group $k pos $p: $x vs $y")
+      }
+    }
+    assert(!viaAgg.contains(9L), "all-null group must emit no means row")
+
+    // equal-length n check: every vector 2-dim, n must equal the row count
+    val eq = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 10).map(i => Row((i % 2).toLong,
+        Seq[java.lang.Double](i.toDouble, i * 0.5))), 2), schema)
+    val ns = eq.groupBy(col("cid")).agg(vecMean(col("v")).as("mo"))
+      .select(col("cid"), col("mo.n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ns == Map(0L -> 5L, 1L -> 5L))
+  }
+
   test("kmeansCentroids: a cluster that empties mid-training is carried forward, never dropped") {
     // ids 0,1,2 share one vector -> init seeds three IDENTICAL centroids;
     // every point ties across all three and the tie-break sends ALL of
