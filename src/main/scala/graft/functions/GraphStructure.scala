@@ -158,6 +158,13 @@ object GraphStructure {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
 
+    // NOT taken (r16, measured): repartitioning the frontier to spread
+    // the step chain across cores. The hops run in AQE-coalesced
+    // single-task stages at fixture scale, but the explicit exchange +
+    // 32-block step caches measured ~80% WORSE on a calm host
+    // (graph_walks 2.7 → 5.0 s) — per-stage scheduling overhead swamps
+    // the per-step md5 work at this node count, and at real scale the
+    // node set is large enough that AQE keeps it parallel on its own.
     var frontier = nodes.select(col("id").as("start"), col("id").as("cur"))
     val out = collection.mutable.Buffer(
       frontier.select(col("start"), lit(0L).as("step"), col("cur").as("node")))
